@@ -7,9 +7,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass (untimed): the first ~90s of JVM life are dominated by
+    // JIT + whole-stage-codegen (janino) compilation, which would otherwise
+    // be billed to whichever queries happen to run first. One full pass
+    // compiles every plan's generated code; the timed pass then measures
+    // steady-state execution, as a long-lived cluster would see.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,472 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.IntegerType
+import graft.sources.Tables
+
+/** SURVEY.md §2 relational operator inventory, demonstrated on the harness
+  * tables with DuckDB oracle twins. Each query is the idiomatic Spark
+  * expression of a reference capability (file:line cites in each entry).
+  *
+  * Determinism rules (driver hash-compares parquet vs DuckDB):
+  *  - money/quantity aggregates go through [[Exact]] (decimal-exact sums);
+  *  - every query ends in a total-order `orderBy`;
+  *  - int-typed derivations are cast to INT in the oracle (DuckDB widens to
+  *    BIGINT by default).
+  */
+object RelationalQueries {
+
+  /** Scale note: final `orderBy` on query results here is presentation-side
+    * (results are small aggregates); fact-scale intermediates are never
+    * globally sorted. */
+  val all: Seq[Q] = Seq(
+
+    // ----- S13/O1/O2: sort + limit (reference: Table.Range DUMMY.pq:67,
+    // orderBy+show AS2G:465)
+    Q("o1_sort_limit", "S13,O1,O2,O4",
+      "SELECT * FROM region ORDER BY r_regionkey LIMIT 3") { (s, dir) =>
+      Tables.region(s, dir).orderBy("r_regionkey").limit(3)
+    },
+
+    // ----- P4/P5/F1: trim + IN-list + conjunctive null-guarded predicate
+    // (reference: BB2S:55-69, AB2S:71-104)
+    Q("p4_inlist_filter", "P4,P5,P6,F1",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE trim(l_returnflag) IN ('A','R') AND l_quantity IS NOT NULL
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(trim(col("l_returnflag")).isin("A", "R")
+          && col("l_quantity").isNotNull
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ----- P1/P2/P3/P7: projection, rename, inequality filter
+    // (reference: AB2S:85-92 select, PI:42-45 rename + != filter)
+    Q("p1_project_rename", "P1,P2,P3,P7",
+      """SELECT c_custkey AS cust_id, c_name AS cust_name,
+        |       c_mktsegment AS segment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY cust_id""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust_id"), col("c_name").as("cust_name"),
+          col("c_mktsegment").as("segment"))
+        .filter(col("segment") =!= "BUILDING")
+        .orderBy("cust_id")
+    },
+
+    // ----- F7/F10/F11: CASE-WHEN category ladder + boolean flag
+    // (reference AQI category BS2G:219-228, exceeds_standard AS2G:218-220)
+    Q("f7_case_category", "F7,F10,F11",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice IS NULL THEN 'Unknown'
+        |       WHEN o_totalprice <= 50000  THEN 'Good'
+        |       WHEN o_totalprice <= 100000 THEN 'Moderate'
+        |       WHEN o_totalprice <= 150000 THEN 'Unhealthy for Sensitive Groups'
+        |       WHEN o_totalprice <= 200000 THEN 'Unhealthy'
+        |       WHEN o_totalprice <= 300000 THEN 'Very Unhealthy'
+        |       ELSE 'Hazardous' END AS price_category,
+        |  o_totalprice > 200000 AS exceeds_standard
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        when(col("o_totalprice").isNull, "Unknown")
+          .when(col("o_totalprice") <= 50000, "Good")
+          .when(col("o_totalprice") <= 100000, "Moderate")
+          .when(col("o_totalprice") <= 150000, "Unhealthy for Sensitive Groups")
+          .when(col("o_totalprice") <= 200000, "Unhealthy")
+          .when(col("o_totalprice") <= 300000, "Very Unhealthy")
+          .otherwise("Hazardous").as("price_category"),
+        (col("o_totalprice") > 200000).as("exceeds_standard"))
+        .orderBy("o_orderkey")
+    },
+
+    // ----- F2/F4-F6/W1/D3: dim_date build — distinct dates + calendar
+    // attributes + row_number surrogate key
+    // (reference: BS2G:74-87, AS2G:124-141)
+    Q("f4_dim_date", "F2,F4,F5,F6,W1,D3",
+      """SELECT d AS date, CAST(year(d) AS INT) AS year,
+        |  CAST(month(d) AS INT) AS month, monthname(d) AS month_name,
+        |  CAST(day(d) AS INT) AS day,
+        |  CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+        |  dayname(d) AS day_name, CAST(quarter(d) AS INT) AS quarter,
+        |  (dayofweek(d) + 1) IN (1, 7) AS is_weekend,
+        |  CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY date""".stripMargin) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("date")).distinct()
+      d.select(col("date"),
+        year(col("date")).as("year"),
+        month(col("date")).as("month"),
+        date_format(col("date"), "MMMM").as("month_name"),
+        dayofmonth(col("date")).as("day"),
+        dayofweek(col("date")).as("day_of_week"),
+        date_format(col("date"), "EEEE").as("day_name"),
+        quarter(col("date")).as("quarter"),
+        dayofweek(col("date")).isin(1, 7).as("is_weekend"),
+        (year(col("date")) * 10000 + month(col("date")) * 100
+          + dayofmonth(col("date"))).cast(IntegerType).as("date_key"))
+        .orderBy("date")
+    },
+
+    // ----- D1/D2: deterministic key-based dedup (earliest-row-wins)
+    // (reference dropDuplicates on natural key AB2S:98; determinized per
+    // SURVEY §2.4 note via row_number)
+    Q("d1_dedup_key", "D1,D2",
+      """SELECT event_id, user_id, event_type, ts, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+    },
+
+    // ----- A1/A3/A4: grouped aggregation — counts, exact sums, exact avg
+    // (reference groupBy counts AS2G:439, AVG_AQI FACT.tmdl:73-76)
+    Q("a1_agg_by_group", "A1,A3,A4,A8",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+         |  ${Exact.sqlSum("l_extendedprice")} AS sum_price,
+         |  ${Exact.sqlAvg("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_price"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ----- A2: global scalar aggregate (max-surrogate-key pattern
+    // AS2G:277,297,315,333)
+    Q("a2_global_max", "A2",
+      """SELECT max(o_orderkey) AS max_key, min(o_orderkey) AS min_key,
+        |       COUNT(*) AS n FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        max("o_orderkey").as("max_key"),
+        min("o_orderkey").as("min_key"),
+        count(lit(1)).as("n"))
+    },
+
+    // ----- A5/A6/D4: filtered count + predicated distinct count
+    // (Unhealthy Day Count FACT.tmdl:5-13; distinct bad days DATE.tmdl:5-13)
+    Q("a5_filtered_counts", "A5,A6,D4",
+      """SELECT event_type,
+        |  COUNT(CASE WHEN value > 100 THEN 1 END) AS n_high,
+        |  COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END) AS n_users_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(when(col("value") > 100, 1)).as("n_high"),
+          countDistinct(when(col("value") > 100, col("user_id"))).as("n_users_high"))
+        .orderBy("event_type")
+    },
+
+    // ----- J1: left join + aggregate over the joined frame
+    // (parameter⋈unit BS2G:98-100 shape)
+    Q("j1_left_join", "J1",
+      s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+         |  ${Exact.sqlSum("o.o_totalprice")} AS revenue
+         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY segment NULLS FIRST""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(asc_nulls_first("segment"))
+    },
+
+    // ----- J8: left-anti "new rows only" staging (AS2G:279-283)
+    Q("j8_anti_join", "J8",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ----- J5/J6/J7/J10: star join — fact ⋈ broadcast dims, grouped measure
+    // (fact assembly BS2G:211-218; DAX star relationships.tmdl:1-16)
+    Q("j10_star_join", "J2,J5,J6,J7,J10",
+      s"""SELECT r.r_name AS region, o.o_orderpriority AS priority,
+         |  COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+         |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+         |JOIN region r   ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, o.o_orderpriority
+         |ORDER BY region, priority""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("region", "priority")
+    },
+
+    // ----- W3: dense rank over an aggregate (State Rank FACT.tmdl:271-289)
+    Q("w3_dense_rank", "W3,A9",
+      """SELECT n_name, n_orders,
+        |  CAST(dense_rank() OVER (ORDER BY n_orders DESC) AS INT) AS rnk
+        |FROM (
+        |  SELECT n.n_name, COUNT(*) AS n_orders
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |ORDER BY rnk, n_name""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      val counts = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_orders"))
+      counts
+        .withColumn("rnk",
+          dense_rank().over(Window.orderBy(col("n_orders").desc)).cast(IntegerType))
+        .orderBy("rnk", "n_name")
+    },
+
+    // ----- W4/O5: top-1 per group with deterministic tiebreak
+    // (TOPN(1) worst state / leading pollutant FACT.tmdl:34-40,56-67)
+    Q("w4_top1_per_group", "W4,O5",
+      """SELECT region, n_name, n_cust FROM (
+        |  SELECT r.r_name AS region, n.n_name, COUNT(*) AS n_cust,
+        |    row_number() OVER (PARTITION BY r.r_name
+        |                       ORDER BY COUNT(*) DESC, n.n_name ASC) AS rn
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name)
+        |WHERE rn = 1 ORDER BY region""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      val counts = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+      val w = Window.partitionBy("region")
+        .orderBy(col("n_cust").desc, col("n_name").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("region", "n_name", "n_cust")
+        .orderBy("region")
+    },
+
+    // ----- W5: month-over-month % change via lag
+    // (MoM AQI change FACT.tmdl:117-164)
+    Q("w5_mom_change", "W5",
+      s"""SELECT year, month, avg_price,
+         |  round((avg_price - lag(avg_price) OVER (ORDER BY year, month))
+         |        / lag(avg_price) OVER (ORDER BY year, month) * 100, 6)
+         |    AS mom_pct
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS year,
+         |         CAST(month(o_orderdate) AS INT) AS month,
+         |         ${Exact.sqlAvg("o_totalprice")} AS avg_price
+         |  FROM orders GROUP BY 1, 2)
+         |ORDER BY year, month""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+        .agg(Exact.davg(col("o_totalprice")).as("avg_price"))
+      // Global window over ~tens of month rows — post-aggregate, so the
+      // single-partition sort is over a bounded-size frame even at 100 TB.
+      val w = Window.orderBy("year", "month")
+      m.withColumn("prev", lag("avg_price", 1).over(w))
+        .select(col("year"), col("month"), col("avg_price"),
+          round((col("avg_price") - col("prev")) / col("prev") * 100, 6)
+            .as("mom_pct"))
+        .orderBy("year", "month")
+    },
+
+    // ----- W6: year-over-year % change (YOY AQI Change % FACT.tmdl:166-193)
+    Q("w6_yoy_change", "W6",
+      s"""SELECT year, avg_price, prev_year_avg,
+         |  round((avg_price - prev_year_avg) / prev_year_avg * 100, 6) AS yoy_pct
+         |FROM (
+         |  SELECT year, avg_price,
+         |         lag(avg_price) OVER (ORDER BY year) AS prev_year_avg
+         |  FROM (
+         |    SELECT CAST(year(o_orderdate) AS INT) AS year,
+         |           ${Exact.sqlAvg("o_totalprice")} AS avg_price
+         |    FROM orders GROUP BY 1))
+         |ORDER BY year""".stripMargin) { (s, dir) =>
+      val y = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("year"))
+        .agg(Exact.davg(col("o_totalprice")).as("avg_price"))
+      val w = Window.orderBy("year")
+      y.withColumn("prev_year_avg", lag("avg_price", 1).over(w))
+        .withColumn("yoy_pct",
+          round((col("avg_price") - col("prev_year_avg")) / col("prev_year_avg") * 100, 6))
+        .orderBy("year")
+    },
+
+    // ----- W7: YTD running accumulation (DATESYTD FACT.tmdl:252-265)
+    Q("w7_ytd_running", "W7",
+      """SELECT year, month, month_total,
+        |  CAST(SUM(dec_total) OVER (PARTITION BY year ORDER BY month
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS ytd_total
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |         CAST(month(o_orderdate) AS INT) AS month,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS month_total
+        |  FROM orders GROUP BY 1, 2)
+        |ORDER BY year, month""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("dec_total"))
+        .withColumn("month_total", col("dec_total").cast("double"))
+      val w = Window.partitionBy("year").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("ytd_total", sum("dec_total").over(w).cast("double"))
+        .select("year", "month", "month_total", "ytd_total")
+        .orderBy("year", "month")
+    },
+
+    // ----- A10: ratio-of-total (REMOVEFILTERS / % of US Exposure
+    // PARAM.tmdl:29-42) — window aggregate over the full frame
+    Q("a10_ratio_of_total", "A7,A10",
+      """SELECT region, revenue,
+        |  round(revenue / SUM(revenue) OVER () * 100, 6) AS pct_of_total
+        |FROM (
+        |  SELECT r.r_name AS region,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name)
+        |ORDER BY region""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      val agg = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(Exact.dsum(col("o_totalprice")).as("revenue"))
+      // SUM OVER () on the 5-row aggregate — trivially single-partition.
+      agg.withColumn("pct_of_total",
+          round(col("revenue") / sum("revenue").over(Window.partitionBy()) * 100, 6))
+        .orderBy("region")
+    },
+
+    // ----- W1/W2: surrogate key assignment over distinct natural keys
+    // (row_number dim keys BS2G:86-87; continuation offset AS2G:286-287)
+    Q("w1_surrogate_key", "W1,W2",
+      """SELECT p_brand,
+        |  CAST(row_number() OVER (ORDER BY p_brand) + 1000 AS BIGINT)
+        |    AS brand_key
+        |FROM (SELECT DISTINCT p_brand FROM part)
+        |ORDER BY brand_key""".stripMargin) { (s, dir) =>
+      // Parity-mode surrogate keys: global row_number over *distinct dim
+      // values* — the windowed frame is dim-sized (small), never fact-sized.
+      // Scale mode for fact-sized keys is xxhash64 (see t-queries).
+      val w = Window.orderBy("p_brand")
+      Tables.part(s, dir).select("p_brand").distinct()
+        .withColumn("brand_key",
+          (row_number().over(w) + lit(1000)).cast("bigint"))
+        .orderBy("brand_key")
+    },
+
+    // ----- F13: ordered string aggregation (CONCATENATEX FACT.tmdl:42-46)
+    Q("f13_string_agg", "F13",
+      """SELECT r.r_name AS region,
+        |  string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY region""".stripMargin) { (s, dir) =>
+      val n = Tables.nation(s, dir)
+      val r = broadcast(Tables.region(s, dir))
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(array_join(array_sort(collect_list("n_name")), ", ").as("nations"))
+        .orderBy("region")
+    },
+
+    // ----- S11/J9/§2.9: insert-only MERGE emulation —
+    // target ∪ (source ∖ target) on the natural key (AS2G:276-292)
+    Q("s11_merge_insert_only", "S11,J9,SET",
+      """WITH tgt AS (SELECT * FROM orders WHERE year(o_orderdate) <= 1996),
+        |     src AS (SELECT * FROM orders WHERE year(o_orderdate) >= 1996),
+        |     merged AS (
+        |       SELECT * FROM tgt
+        |       UNION ALL
+        |       SELECT s.* FROM src s
+        |       WHERE NOT EXISTS (SELECT 1 FROM tgt t
+        |                         WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |       COUNT(DISTINCT o_orderkey) AS n_keys
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val tgt = orders.filter(year(col("o_orderdate")) <= 1996)
+      val src = orders.filter(year(col("o_orderdate")) >= 1996)
+      val merged = graft.operators.MergeInsertOnly(tgt, src, Seq("o_orderkey"))
+      merged.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), countDistinct("o_orderkey").as("n_keys"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ----- Events: time-bucketed aggregation (date_trunc) + JSON extraction
+    // (batch analog of the streaming windowed agg; props is a JSON column)
+    Q("e1_hourly_rollup", "F4,A1,A4",
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${Exact.sqlSum("value", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    Q("e2_json_extract", "F3,F11",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE props IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("props").isNotNull)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id")
+    }
+  )
+}

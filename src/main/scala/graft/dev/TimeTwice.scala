@@ -1,0 +1,28 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: run each registered query twice in one JVM to separate
+  * first-run (codegen/JIT/broadcast warmup) cost from steady-state cost. */
+object TimeTwice {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-24s first=${times(0)}%7.2fs second=${times(1)}%7.2fs")
+    }
+    spark.stop()
+  }
+}
