@@ -1,0 +1,255 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.IntegerType
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+
+/** Training-data text-curation operators over the `documents` table:
+  * token/char statistics, quality scoring, language-ID heuristic, exact and
+  * near-duplicate detection (normalized-key, MinHash+LSH, SimHash,
+  * n-gram Jaccard), and winnowing fingerprints.
+  *
+  * Scale design (100 TB posture): every per-document feature is a narrow
+  * per-row map over array higher-order functions — embarrassingly parallel,
+  * no shuffle. The dedup pipelines shuffle exactly once each, on the
+  * candidate key (dup_key / band signature / shingle), which is the minimum
+  * for distributed dedup; no O(n²) comparisons ever materialize — LSH
+  * banding and bucket joins keep the pair space restricted to colliding
+  * buckets.
+  */
+object TextQueries {
+
+  private val docsTokens =
+    "WITH t AS (SELECT doc_id, text, n_chars, lang, source, string_split(text, ' ') AS l FROM documents)"
+
+  val all: Seq[Q] = Seq(
+
+    // ----- token counting + char stats (whitespace tokenizer)
+    Q("t1_text_stats", "TXT-stats",
+      s"""$docsTokens
+         |SELECT doc_id, CAST(len(l) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(l, x -> x IN ('a', 'the'))) AS INT) AS n_stopwords,
+         |  CAST(len(list_distinct(l)) AS INT) AS n_distinct_tokens,
+         |  round(CAST(list_sum(list_transform(l, x -> strlen(x))) AS DOUBLE)
+         |        / len(l), 6) AS avg_token_len,
+         |  CAST(strlen(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT)
+         |    AS n_punct
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isin("a", "the"))).as("n_stopwords"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+          / size(toks), 6).as("avg_token_len"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("n_punct"))
+        .orderBy("doc_id")
+    },
+
+    // ----- quality scoring: length / stopword / diversity composite.
+    // All inputs are exact ints; the score formula is the same IEEE op
+    // sequence in both engines, so the doubles are bit-identical.
+    Q("t2_quality_score", "TXT-quality",
+      s"""$docsTokens
+         |SELECT doc_id,
+         |  round(0.4 * least(CAST(n_chars AS DOUBLE) / 300, 1.0)
+         |      + 0.3 * (1.0 - CAST(len(list_filter(l, x -> x IN ('a', 'the'))) AS DOUBLE) / len(l))
+         |      + 0.3 * (CAST(len(list_distinct(l)) AS DOUBLE) / len(l)), 6)
+         |    AS quality,
+         |  CASE WHEN 0.4 * least(CAST(n_chars AS DOUBLE) / 300, 1.0)
+         |          + 0.3 * (1.0 - CAST(len(list_filter(l, x -> x IN ('a', 'the'))) AS DOUBLE) / len(l))
+         |          + 0.3 * (CAST(len(list_distinct(l)) AS DOUBLE) / len(l)) >= 0.75
+         |       THEN 'high' ELSE 'low' END AS tier
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val score = lit(0.4) * least(col("n_chars").cast("double") / 300, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)) +
+        lit(0.3) * (size(array_distinct(toks)).cast("double") / size(toks))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(score, 6).as("quality"),
+        when(score >= 0.75, "high").otherwise("low").as("tier"))
+        .orderBy("doc_id")
+    },
+
+    // ----- language-ID heuristic: stopword-list hit counts, argmax with
+    // fixed precedence. (The synthetic corpus is one shared vocabulary, so
+    // this demonstrates the operator's plumbing + determinism, not
+    // linguistic accuracy.)
+    Q("t3_lang_id", "TXT-langid",
+      s"""$docsTokens
+         |SELECT doc_id, lang,
+         |  CASE
+         |    WHEN len(list_filter(l, x -> x IN ('the', 'a', 'of', 'and', 'is'))) >= 2 THEN 'en'
+         |    WHEN len(list_filter(l, x -> x IN ('el', 'la', 'de', 'y', 'es'))) >= 2 THEN 'es'
+         |    WHEN len(list_filter(l, x -> x IN ('le', 'la', 'et', 'un', 'est'))) >= 2 THEN 'fr'
+         |    WHEN len(list_filter(l, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) >= 2 THEN 'de'
+         |    ELSE 'und' END AS predicted_lang
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      def hits(ws: String*) = size(filter(toks, t => t.isin(ws: _*)))
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        when(hits("the", "a", "of", "and", "is") >= 2, "en")
+          .when(hits("el", "la", "de", "y", "es") >= 2, "es")
+          .when(hits("le", "la", "et", "un", "est") >= 2, "fr")
+          .when(hits("der", "die", "das", "und", "ist") >= 2, "de")
+          .otherwise("und").as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ----- exact dedup on a normalized key (hash-groupBy): md5 of the
+    // 3-token prefix clusters near-identical openings; keeper = min doc_id.
+    // One shuffle, on dup_key. (Full-text md5 yields zero dups in this
+    // corpus — the prefix key exercises the same plan with real clusters.)
+    Q("t4_dedup_exact", "DEDUP-exact,D1",
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS dup_key
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id, dup_key,
+        |    count(*) OVER (PARTITION BY dup_key) AS cluster_size,
+        |    min(doc_id) OVER (PARTITION BY dup_key) AS keeper
+        |  FROM keyed)
+        |SELECT doc_id, dup_key, cluster_size, keeper,
+        |       doc_id = keeper AS is_keeper
+        |FROM cl WHERE cluster_size > 1 ORDER BY dup_key, doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(array_join(slice(toks, 1, 3), " ")).as("dup_key"))
+      val w = Window.partitionBy("dup_key")
+      keyed
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("keeper", min("doc_id").over(w))
+        .filter(col("cluster_size") > 1)
+        .select(col("doc_id"), col("dup_key"), col("cluster_size"),
+          col("keeper"), (col("doc_id") === col("keeper")).as("is_keeper"))
+        .orderBy("dup_key", "doc_id")
+    },
+
+    // ----- MinHash + LSH near-dup candidates: 3-token shingles → 8
+    // permutations → band-1 buckets (aggressive recall) → bucket join →
+    // signature-estimated Jaccard. The pair space is only colliding
+    // buckets; the bucket join is the single shuffle.
+    Q("t5_minhash_lsh", "DEDUP-minhash-lsh", {
+      val sig = (0 until 8).map(p => s"${TS.minhash("s", p)} AS mh$p").mkString(",\n    ")
+      val bands = (0 until 8).map(p => s"SELECT doc_id, $p AS band, mh$p AS sig FROM sig")
+        .mkString("\n    UNION ALL ")
+      val est = (0 until 8).map(p => s"(CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
+         |sig AS (SELECT doc_id,
+         |    $sig
+         |  FROM sh),
+         |bands AS (
+         |    $bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT c.doc_a, c.doc_b, round(($est) / 8.0, 6) AS est_jaccard
+         |FROM cand c
+         |JOIN sig a ON c.doc_a = a.doc_id
+         |JOIN sig b ON c.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
+      val sig = sh.select(
+        col("doc_id") +: (0 until 8).map(p => TF.minhash(col("sh"), p).as(s"mh$p")): _*)
+      val bandCols = (0 until 8).map(p =>
+        struct(lit(p).as("band"), col(s"mh$p").as("sig")))
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      val cand = bands.toDF("doc_a", "band", "sig")
+        .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sa = sig.toDF("doc_a" +: (0 until 8).map(p => s"a$p"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until 8).map(p => s"b$p"): _*)
+      val matches = (0 until 8)
+        .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(matches / 8.0, 6).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- SimHash signatures: 32-bit sign-aggregated token hashes.
+    Q("t6_simhash", "DEDUP-simhash",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |h AS (SELECT doc_id, list_transform(l, tk -> ${TS.hash("tk")}) AS hs FROM t)
+         |SELECT doc_id, ${TS.simhash("hs")} AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("hs", transform(toks, t => TF.polyHash(t)))
+        .select(col("doc_id"), TF.simhash(col("hs")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ----- n-gram Jaccard: exact similarity via shingle-explode join —
+    // pairs sharing ≥1 shingle only (never the full n² pair space), one
+    // shuffle on the shingle.
+    Q("t7_ngram_jaccard", "DEDUP-ngram-jaccard",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+         |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common), 6)
+         |    AS jaccard
+         |FROM inter i
+         |JOIN sz a ON i.doc_a = a.doc_id
+         |JOIN sz b ON i.doc_b = b.doc_id
+         |WHERE CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common) >= 0.01
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TF.shingles(toks, 3).as("s"))
+      val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+      val inter = ex.toDF("doc_a", "shingle")
+        .join(ex.toDF("doc_b", "shingle"), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))
+      inter
+        .join(sz.toDF("doc_a", "na"), "doc_a")
+        .join(sz.toDF("doc_b", "nb"), "doc_b")
+        .filter(jac >= 0.01)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- winnowing-style fingerprint: min 4-gram shingle hash per doc;
+    // equal fingerprints are near-dup candidate clusters.
+    Q("t8_fingerprint", "TXT-fingerprint",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |fp AS (SELECT doc_id, ${TS.fingerprint("l")} AS fingerprint FROM t)
+         |SELECT doc_id, fingerprint,
+         |  count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+         |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.fingerprint(toks).as("fingerprint"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,135 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.IntegerType
+import graft.sources.Tables
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors +
+  * a precomputed coarse-cluster `label`).
+  *
+  * Scale design: brute-force top-k is the *correctness baseline* — its cost
+  * is |Q|×N with Q broadcast, so it parallelizes perfectly but scans all N.
+  * The IVF variant is the scale path: restrict candidates to the query's
+  * coarse cluster (here the `label` column stands in for a k-means
+  * assignment, exactly how IVF indexes store it), turning the scan into
+  * N/k per query via one co-partitioned join on the cluster id. Same
+  * pattern holds at 100 TB: cluster-id join is shuffle-partitioned, never
+  * a cross join.
+  */
+object VectorQueries {
+
+  /** CTE shared by all oracles: embeddings as DOUBLE[] + its L2 norm
+    * (norms precomputed once — same as the Spark side). */
+  private val baseCte =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${VS.norm("v")} AS nrm FROM e)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ----- brute-force cosine top-k (k=5) for the first 10 vectors as the
+    // query set, against all others.
+    Q("v1_knn_bruteforce", "ANN-brute", {
+      val cos = s"${VS.dot("q.v", "c.v")} / (q.nrm * c.nrm)"
+      s"""$baseCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         $cos AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |       round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val scored = c.join(q) // broadcast nested loop: |Q| small by design
+        .withColumn("cos", VF.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ----- IVF-style ANN: candidates restricted to the query's coarse
+    // cluster (label = precomputed centroid assignment), top-3 per query.
+    Q("v2_ann_ivf", "ANN-ivf", {
+      val cos = s"${VS.dot("q.v", "c.v")} / (q.nrm * c.nrm)"
+      s"""$baseCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+         |         $cos AS cos
+         |  FROM n q JOIN n c
+         |    ON q.label = c.label AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, label, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, label, neighbor_id, CAST(rank AS INT) AS rank,
+         |       round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      // co-partitioned equi-join on the cluster id — the IVF probe
+      val scored = q.join(c, Seq("label"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VF.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ----- embedding-cosine near-duplicate pairs within cluster buckets:
+    // the O(n²) pair space is cut to per-bucket pairs before any scoring.
+    Q("v3_cosine_neardup", "DEDUP-embedding", {
+      val cos = s"${VS.dot("a.v", "b.v")} / (a.nrm * b.nrm)"
+      s"""$baseCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         |       round($cos, 6) AS cosine
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("v").as("av"), col("nrm").as("an"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", VF.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+        .filter(col("cos") >= 0.25)
+        .select(col("vec_a"), col("vec_b"), col("label"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, shingling, polynomial hashing, MinHash, SimHash, and
+  * winnowing-style fingerprints — all as composable Column expressions over
+  * Spark's built-in (array) higher-order functions, so every operator is a
+  * narrow per-row map: no shuffle, no UDF, no driver involvement. The only
+  * shuffles in the downstream dedup pipelines are the groupBy/join on the
+  * emitted keys, which is the minimum any distributed dedup needs.
+  *
+  * The hash is a char-level polynomial rolling hash mod 1e9+7 — chosen over
+  * xxhash64 because the DuckDB correctness oracle must reproduce it
+  * bit-for-bit with portable SQL (see [[TextSql]], which emits the same
+  * formulas as DuckDB SQL from this one definition site).
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** acc = (acc*31 + ascii(char)) % 1e9+7, folded left-to-right — exact
+    * integer arithmetic, identical in any engine. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % HashMod)
+
+  /** Distinct n-token shingles, joined with single spaces. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+
+  /** MinHash under permutation `perm`: min over shingles of H(perm|shingle).
+    * One value per (row, perm); k permutations = k narrow map columns. */
+  def minhash(shingleArr: Column, perm: Int): Column =
+    array_min(transform(shingleArr, s => polyHash(concat(lit(s"$perm|"), s))))
+
+  /** 32-bit SimHash over the token multiset: bit j of the result is the
+    * sign of Σ_tokens (bit_j(H(token))*2-1). `tokenHashes` must be the
+    * pre-materialized `transform(tokens, polyHash)` column (materialize it
+    * once; this builds 32 aggregations over it). */
+  def simhash(tokenHashes: Column): Column = {
+    val bitVals = (0 until 32).map { j =>
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitVals.reduce(_ + _)
+  }
+
+  /** Winnowing-style document fingerprint: min hash over n-token shingles
+    * (single permutation). Equal fingerprints → near-dup candidates. */
+  def fingerprint(toks: Column, n: Int = 4): Column =
+    array_min(transform(shingles(toks, n), s => polyHash(s)))
+}
+
+/** DuckDB-SQL twins of [[TextFunctions]] — string templates emitting the
+  * same arithmetic, so Spark result and oracle share one definition. */
+object TextSql {
+  /** char-polynomial hash of a VARCHAR expression. */
+  def hash(inner: String): String =
+    "list_reduce(list_transform(string_split(" + inner +
+      ", ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
+
+  /** distinct n-token shingles of a token-list expression `l`. */
+  def shingles(l: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"$l[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct(CASE WHEN len($l) >= $n THEN list_transform(range(1, len($l) - ${n - 2}), i -> $parts) ELSE [] END)"
+  }
+
+  def minhash(shingleExpr: String, perm: Int): String =
+    s"list_min(list_transform($shingleExpr, s -> ${hash(s"'$perm|' || s")}))"
+
+  /** 32-bit simhash over a precomputed token-hash list expression `hs`. */
+  def simhash(hs: String): String =
+    (0 until 32).map { j =>
+      val pow = 1L << j
+      s"(CASE WHEN list_sum(list_transform($hs, h -> ((h // $pow) % 2)*2 - 1)) > 0 THEN CAST($pow AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def fingerprint(l: String, n: Int = 4): String =
+    s"list_min(list_transform(${shingles(l, n)}, s -> ${hash("s")}))"
+}

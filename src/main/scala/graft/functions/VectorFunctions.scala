@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns, built on
+  * Spark's array higher-order functions (codegen-interpreted, no UDF, no
+  * driver round-trip). Floats are widened to double before any arithmetic:
+  * float×float in double is exact, and the left-to-right fold order matches
+  * the DuckDB oracle's `list_reduce`, so cosine values are bit-identical
+  * across engines (fold seed 0.0 + x ≡ x exactly in IEEE).
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double>. */
+  def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ over two double arrays, left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
+
+/** DuckDB twins (same index order, same fold order). Expressions expect a
+  * DOUBLE[]-typed column name. */
+object VectorSql {
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x, y) -> x + y)"
+
+  def norm(a: String): String = s"sqrt(${dot(a, a)})"
+
+  def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyHash matches the reference recurrence") {
+    // independently computed: fold of (acc*31 + ascii) % 1e9+7 over chars
+    val got = Seq("5|t1 t2 t3", "a").toDF("s")
+      .select(TextFunctions.polyHash(col("s"))).as[Long].collect()
+    assert(got === Array(428288651L, 97L))
+  }
+
+  test("shingles: n-grams, distinct, short-input guard") {
+    val got = Seq("t1 t2 t3 t4 t5", "t1 t2").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("t1 t2 t3", "t2 t3 t4", "t3 t4 t5"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("minhash is permutation-dependent and deterministic") {
+    val df = Seq("x y z w").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2).as("sh"))
+    val a = df.select(TextFunctions.minhash(col("sh"), 0)).head().getLong(0)
+    val b = df.select(TextFunctions.minhash(col("sh"), 1)).head().getLong(0)
+    val a2 = df.select(TextFunctions.minhash(col("sh"), 0)).head().getLong(0)
+    assert(a === a2)
+    assert(a !== b)
+  }
+
+  test("simhash: identical docs collide, 32-bit range") {
+    val df = Seq("spark window agg join", "spark window agg join", "totally different words here")
+      .toDF("text")
+      .withColumn("hs", transform(TextFunctions.tokens(col("text")),
+        t => TextFunctions.polyHash(t)))
+      .select(TextFunctions.simhash(col("hs")).as("sh"))
+    val got = df.as[Long].collect()
+    assert(got(0) === got(1))
+    assert(got.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonality 0.0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(
+        VectorFunctions.toDoubleArr(col("a")),
+        VectorFunctions.toDoubleArr(col("b"))).as("cos"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) === 0.0)
+  }
+}

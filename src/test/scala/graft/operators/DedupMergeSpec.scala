@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val dup = Seq(
+    ("k1", 1, "2024-01-02"), ("k1", 2, "2024-01-01"), ("k1", 3, "2024-01-01"),
+    ("k2", 4, "2024-01-05")).toDF("k", "v", "d")
+
+  test("deterministic dedup keeps min-by-tiebreak per key") {
+    val got = Dedup.deterministic(dup, Seq("k"), Seq("d", "v"))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSeq
+      === Seq(("k1", 2), ("k2", 4)))
+  }
+
+  test("arbitrary dedup yields unique keys") {
+    val got = Dedup.arbitrary(dup, Seq("k"))
+    assert(got.count() === 2)
+    assert(got.select("k").distinct().count() === 2)
+  }
+
+  test("insert-only merge = target ∪ (source ∖ target); idempotent") {
+    val target = Seq((1, "t1"), (2, "t2")).toDF("id", "v")
+    val source = Seq((2, "s2"), (3, "s3")).toDF("id", "v")
+    val merged = MergeInsertOnly(target, source, Seq("id"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // matched key 2 keeps the TARGET value (insert-only, no update)
+    assert(rows === Seq((1, "t1"), (2, "t2"), (3, "s3")))
+    val again = MergeInsertOnly(merged, source, Seq("id"))
+    assert(again.count() === merged.count())
+    assert(again.except(merged).count() === 0)
+  }
+
+  test("merge property: key set of result = keys(target) ∪ keys(source)") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val t = (1 to 30).map(_ => (rng.nextInt(20), rng.nextInt(100))).toDF("id", "v")
+        .dropDuplicates("id")
+      val s = (1 to 30).map(_ => (rng.nextInt(20), rng.nextInt(100))).toDF("id", "v")
+        .dropDuplicates("id")
+      val m = MergeInsertOnly(t, s, Seq("id"))
+      val expect = (t.select("id").collect().map(_.getInt(0)).toSet
+        ++ s.select("id").collect().map(_.getInt(0)).toSet)
+      assert(m.select("id").collect().map(_.getInt(0)).toSet === expect)
+      assert(m.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    }
+  }
+}
