@@ -1,0 +1,45 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.sources.Tables
+import graft.multimodal.Multimodal
+import graft.functions.{TextSql => TS}
+
+/** Driver-verifiable slice of the multimodal plumbing: documents wrapped as
+  * binary payloads, decoded partition-locally by the stub decoder; the
+  * oracle recomputes the stub's deterministic metadata arithmetic in SQL
+  * (payload = UTF-8 bytes of ASCII text, so the byte-polynomial hash equals
+  * the char-polynomial hash).
+  */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("m1_multimodal_meta", "MM-decode", {
+      val h = TS.hash("text")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |    strlen(text) AS byte_len, $h AS h
+         |  FROM documents)
+         |SELECT doc_id, modality, byte_len,
+         |  CAST(64 + h % 512 AS INT) AS width,
+         |  CAST(64 + (h // 512) % 512 AS INT) AS height,
+         |  CAST(CASE WHEN modality = 'audio' THEN 16000 ELSE 0 END AS INT)
+         |    AS sample_rate,
+         |  CAST(CASE WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
+         |    AS n_frames
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val media = Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.decodeMeta(s, media)
+        .select(col("doc_id"), col("meta.modality").as("modality"),
+          col("meta.byteLen").as("byte_len"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sampleRate").as("sample_rate"),
+          col("meta.nFrames").as("n_frames"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media travels as
+  * an opaque `binary` payload column + a typed metadata struct, and media
+  * operations (decode, feature-extract, resize, frame-sample) run
+  * partition-local over an iterator of rows — the Scala analog of
+  * `mapInPandas` batches: no shuffle, no driver round-trip, codec state
+  * amortized per partition.
+  *
+  * The actual byte decoding is STUBBED (no image/audio codecs in this
+  * environment): [[StubDecoder.decode]] derives deterministic fake
+  * dimensions from the payload bytes. Everything around it — schema,
+  * partitioning, batch shape, typed Dataset plumbing — is real and tested;
+  * swapping in a codec is a one-function change.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      modality: String, byteLen: Long, width: Int, height: Int,
+      sampleRate: Int, nFrames: Int)
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class DecodedRow(doc_id: Long, meta: MediaMeta)
+  final case class FeatureRow(doc_id: Long, features: Array[Float])
+
+  /** Wrap a text column as an opaque binary payload with a modality tag —
+    * the fixture stand-in for real media bytes. */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"))
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation would hand `payload` to an image/audio codec
+    * here — same signature, same batch shape. */
+  object StubDecoder {
+    def decode(modality: String, payload: Array[Byte]): MediaMeta = {
+      var h = 0L
+      payload.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      MediaMeta(
+        modality = modality,
+        byteLen = payload.length.toLong,
+        width = 64 + (h % 512).toInt,
+        height = 64 + ((h / 512) % 512).toInt,
+        sampleRate = if (modality == "audio") 16000 else 0,
+        nFrames = if (modality == "video") 1 + (h % 300).toInt else 1)
+    }
+
+    /** Fake feature vector (e.g. an embedding a vision tower would emit):
+      * 8 floats derived from the payload hash — deterministic, fixed
+      * width, partition-local. */
+    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      var h = 0L
+      payload.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      Array.tabulate(dim) { i =>
+        val v = (h * (i + 1)) % 1000003L
+        (v.toDouble / 1000003.0).toFloat
+      }
+    }
+  }
+
+  /** Decode payloads partition-locally (mapPartitions = the batch loop a
+    * Pandas UDF would run; one decoder instance per partition). */
+  def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val withMod = media.select(
+      col("doc_id"), col("payload"), col("modality"))
+      .as[(Long, Array[Byte], String)]
+    withMod.mapPartitions { it =>
+      // per-partition setup (codec init would go here, once per partition)
+      it.map { case (id, payload, modality) =>
+        DecodedRow(id, StubDecoder.decode(modality, payload))
+      }
+    }.toDF()
+  }
+
+  /** Feature extraction with explicit batch shape: rows are processed in
+    * grouped batches (default 64) like Arrow record batches, so a
+    * vectorized model call gets amortized invocations. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      batchSize: Int = 64): Dataset[FeatureRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real impl would run ONE vectorized model call per batch
+          batch.map(r => FeatureRow(r.doc_id, StubDecoder.features(r.payload)))
+        }
+      }
+  }
+
+  /** Metadata-level ops (resize / frame-sample plans) — pure column math
+    * over the decoded struct, no payload touch. */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame =
+    decoded.withColumn("scale",
+      when(greatest(col("meta.width"), col("meta.height")) > maxSide,
+        lit(maxSide) / greatest(col("meta.width"), col("meta.height")).cast("double"))
+        .otherwise(1.0))
+      .withColumn("out_width", floor(col("meta.width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("meta.height") * col("scale")).cast("int"))
+
+  def frameSamplePlan(decoded: DataFrame, everyN: Int): DataFrame =
+    decoded.filter(col("meta.modality") === "video")
+      .withColumn("sampled_frames",
+        greatest(lit(1), (col("meta.nFrames") / everyN).cast("int")))
+}

