@@ -32,7 +32,10 @@ object MultimodalQueries {
          |    AS n_frames
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val media = Multimodal.attachPayload(Tables.documents(s, dir), "doc_id", "text")
+      // spread before the partition-local decode: decode parallelism must
+      // come from partitioning, not file count
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
       Multimodal.decodeMeta(s, media)
         .select(col("doc_id"), col("meta.modality").as("modality"),
           col("meta.byteLen").as("byte_len"),

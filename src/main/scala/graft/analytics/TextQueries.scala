@@ -160,10 +160,16 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       val toks = TF.tokens(col("text"))
-      val sh = Tables.documents(s, dir)
+      // repartition: the table is few parquet files; without a spread the
+      // signature computation would run on as many cores as files
+      val sh = Tables.documents(s, dir).repartition(col("doc_id"))
         .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
+      // signatures feed three consumers (bands + both pair sides): persist
+      // so the interpreted minhash computation runs once, not three times —
+      // at scale this stage would be checkpointed for the same reason
       val sig = sh.select(
         col("doc_id") +: (0 until 8).map(p => TF.minhash(col("sh"), p).as(s"mh$p")): _*)
+        .persist()
       val bandCols = (0 until 8).map(p =>
         struct(lit(p).as("band"), col(s"mh$p").as("sig")))
       val bands = sig
@@ -191,7 +197,7 @@ object TextQueries {
          |SELECT doc_id, ${TS.simhash("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(col("text"))
-      Tables.documents(s, dir)
+      Tables.documents(s, dir).repartition(col("doc_id"))
         .withColumn("hs", transform(toks, t => TF.polyHash(t)))
         .select(col("doc_id"), TF.simhash(col("hs")).as("simhash"))
         .orderBy("doc_id")
@@ -204,10 +210,12 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
          |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |ex AS (SELECT doc_id,
+         |         unnest(list_transform(s, x -> ${TS.hash("x")})) AS h
+         |       FROM sh),
          |inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-         |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
          |  GROUP BY x.doc_id, y.doc_id)
          |SELECT i.doc_a, i.doc_b,
          |  round(CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common), 6)
@@ -218,12 +226,18 @@ object TextQueries {
          |WHERE CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common) >= 0.01
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val toks = TF.tokens(col("text"))
-      val sh = Tables.documents(s, dir)
+      // persist: the shingle stage feeds the pair join (twice) and both
+      // size lookups; join on the 64-bit shingle hash, not the string —
+      // smaller shuffle keys and cheaper comparisons (hash collisions hit
+      // both engines identically, so the oracle stays exact)
+      val sh = Tables.documents(s, dir).repartition(col("doc_id"))
         .select(col("doc_id"), TF.shingles(toks, 3).as("s"))
+        .persist()
       val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-      val inter = ex.toDF("doc_a", "shingle")
-        .join(ex.toDF("doc_b", "shingle"), Seq("shingle"))
+      val ex = sh.select(col("doc_id"),
+        explode(transform(col("s"), x => TF.polyHash(x))).as("h"))
+      val inter = ex.toDF("doc_a", "h")
+        .join(ex.toDF("doc_b", "h"), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       val jac = col("n_common").cast("double") /

@@ -24,9 +24,17 @@ object TextFunctions {
   /** Whitespace tokenization (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** acc = (acc*31 + ascii(char)) % 1e9+7, folded left-to-right — exact
-    * integer arithmetic, identical in any engine. */
-  def polyHash(s: Column): Column =
+  /** acc = (acc*31 + byte) % 1e9+7, folded left-to-right — exact integer
+    * arithmetic, identical in any engine. Backed by the codegen-native
+    * [[graft.plans.PolyHash]] expression (sessions must call
+    * `PolyHashExpr.register` once); [[polyHashHof]] is the pure-built-in
+    * formulation kept for cross-validation. */
+  def polyHash(s: Column): Column = graft.plans.PolyHashExpr.column(s)
+
+  /** Reference formulation via array higher-order functions — same values
+    * (for ASCII input), ~100× slower inner loop; used in tests to pin the
+    * custom expression's semantics. */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast(LongType)),
       lit(0L),
@@ -46,16 +54,22 @@ object TextFunctions {
     array_min(transform(shingleArr, s => polyHash(concat(lit(s"$perm|"), s))))
 
   /** 32-bit SimHash over the token multiset: bit j of the result is the
-    * sign of Σ_tokens (bit_j(H(token))*2-1). `tokenHashes` must be the
-    * pre-materialized `transform(tokens, polyHash)` column (materialize it
-    * once; this builds 32 aggregations over it). */
+    * sign of Σ_tokens (bit_j(H(token))*2-1). Single-pass: one aggregate
+    * folds every token hash into a 32-wide bit-sum array (bit test via
+    * `h & 2^j`), then one fold re-assembles the value — the token hashes
+    * are evaluated exactly once per row (a per-bit formulation would be
+    * inlined 32× by Catalyst's project collapsing). */
   def simhash(tokenHashes: Column): Column = {
-    val bitVals = (0 until 32).map { j =>
-      val bitSum = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitVals.reduce(_ + _)
+    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
+    val bitSums = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc,
+        transform(powers, p => when(h.bitwiseAND(p) > 0, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
   }
 
   /** Winnowing-style document fingerprint: min hash over n-token shingles

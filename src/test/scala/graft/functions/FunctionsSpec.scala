@@ -13,6 +13,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got === Array(428288651L, 97L))
   }
 
+  test("codegen PolyHash expression equals the HOF formulation") {
+    val strs = (1 to 200).map(i => s"token_$i some text $i!")
+    val df = strs.toDF("s").select(
+      TextFunctions.polyHash(col("s")).as("fast"),
+      TextFunctions.polyHashHof(col("s")).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("shingles: n-grams, distinct, short-input guard") {
     val got = Seq("t1 t2 t3 t4 t5", "t1 t2").toDF("text")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
