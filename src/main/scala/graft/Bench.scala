@@ -12,7 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.PolyHashExpr.register(spark)
+    graft.plans.GraftFunctions.registerAll(spark)
     // Warmup pass (untimed): the first ~90s of JVM life are dominated by
     // JIT + whole-stage-codegen (janino) compilation, which would otherwise
     // be billed to whichever queries happen to run first. One full pass

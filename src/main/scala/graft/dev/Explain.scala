@@ -15,7 +15,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.plans.PolyHashExpr.register(spark)
+    graft.plans.GraftFunctions.registerAll(spark)
     val dir = "/root/testdata/sf0.001"
     val only = args.headOption
     graft.SparkEntry.queries.toSeq.sortBy(_._1)

@@ -12,7 +12,7 @@ object ProfileT7 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.plans.PolyHashExpr.register(spark)
+    graft.plans.GraftFunctions.registerAll(spark)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

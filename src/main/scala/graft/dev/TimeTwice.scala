@@ -15,7 +15,7 @@ object TimeTwice {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.plans.PolyHashExpr.register(spark)
+    graft.plans.GraftFunctions.registerAll(spark)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

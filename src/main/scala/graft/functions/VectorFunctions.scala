@@ -15,8 +15,16 @@ object VectorFunctions {
   /** array<float> → array<double>. */
   def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ over two double arrays, left-to-right accumulation. */
+  /** Σ aᵢ·bᵢ over two double arrays, left-to-right accumulation. Backed by
+    * the codegen-native [[graft.plans.DotProduct]] expression (sessions
+    * register via `GraftFunctions.registerAll`); [[dotHof]] is the
+    * pure-built-in formulation kept for cross-validation. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.GraftFunctions.vecDot(a, b)
+
+  /** Reference formulation via array higher-order functions — identical
+    * values (same accumulation order), interpreted inner loop. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** ‖a‖₂ */

@@ -20,7 +20,7 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    graft.plans.PolyHashExpr.register(s)
+    graft.plans.GraftFunctions.registerAll(s)
     s
   }
 }

@@ -50,6 +50,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("codegen DotProduct equals the HOF formulation bit-for-bit") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 100).map { _ =>
+      (Array.fill(64)(rng.nextFloat()), Array.fill(64)(rng.nextFloat()))
+    }.toDF("a", "b")
+      .select(VectorFunctions.toDoubleArr(col("a")).as("a"),
+        VectorFunctions.toDoubleArr(col("b")).as("b"))
+    val cmp = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("cosine: self-similarity 1.0, orthogonality 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),

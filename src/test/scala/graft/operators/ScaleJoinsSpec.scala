@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join under heavy skew") {
+    // 10k rows of one hot key + a long tail
+    val left = ((1 to 10000).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "lv")
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).zipWithIndex
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+    val salted = ScaleJoins.salted(left, right, Seq("k"), salt = 8)
+      .select(plain.columns.map(col): _*).orderBy("k", "lv")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("same-bucketed tables join without a shuffle") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "bv")
+    ScaleJoins.saveBucketed(a, "bk_a", Seq("id"), buckets = 8)
+    ScaleJoins.saveBucketed(b, "bk_b", Seq("id"), buckets = 8)
+    // disable auto-broadcast: at test size the planner would broadcast and
+    // never exercise the bucket layout (at scale neither side broadcasts)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.bucketedJoin(spark, "bk_a", "bk_b", Seq("id"))
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}
