@@ -445,6 +445,39 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // ----- left-semi join (EXISTS; §2.9 complement of J8)
+    Q("j11_semi_join", "J8,SET",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ----- F13 string concat + COALESCE (DAX `st & " - " & pol`,
+    // COALESCE — PARAM.tmdl:7-16, LOC.tmdl:7-9)
+    Q("f13_concat_coalesce", "F13",
+      """SELECT o_orderkey,
+        |  o_orderstatus || ' - ' || o_orderpriority AS label,
+        |  coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL
+        |                ELSE o_orderstatus END, 'OPEN') AS status_resolved
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(col("o_orderstatus"), lit(" - "), col("o_orderpriority")).as("label"),
+        coalesce(
+          when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")),
+          lit("OPEN")).as("status_resolved"))
+        .orderBy("o_orderkey")
+    },
+
     // ----- Events: time-bucketed aggregation (date_trunc) + JSON extraction
     // (batch analog of the streaming windowed agg; props is a JSON column)
     Q("e1_hourly_rollup", "F4,A1,A4",

@@ -159,6 +159,7 @@ object TextQueries {
          |JOIN sig b ON c.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
       // repartition: the table is few parquet files; without a spread the
       // signature computation would run on as many cores as files
@@ -196,6 +197,7 @@ object TextQueries {
          |h AS (SELECT doc_id, list_transform(l, tk -> ${TS.hash("tk")}) AS hs FROM t)
          |SELECT doc_id, ${TS.simhash("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
       Tables.documents(s, dir).repartition(col("doc_id"))
         .withColumn("hs", transform(toks, t => TF.polyHash(t)))
@@ -225,6 +227,7 @@ object TextQueries {
          |JOIN sz b ON i.doc_b = b.doc_id
          |WHERE CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common) >= 0.01
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
       // persist: the shingle stage feeds the pair join (twice) and both
       // size lookups; join on the 64-bit shingle hash, not the string —
@@ -258,6 +261,7 @@ object TextQueries {
          |SELECT doc_id, fingerprint,
          |  count(*) OVER (PARTITION BY fingerprint) AS cluster_size
          |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
       Tables.documents(s, dir)
         .select(col("doc_id"), TF.fingerprint(toks).as("fingerprint"))

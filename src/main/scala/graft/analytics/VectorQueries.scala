@@ -47,6 +47,7 @@ object VectorQueries {
          |       round(cos, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VF.norm(col("v")))
@@ -84,6 +85,7 @@ object VectorQueries {
          |       round(cos, 6) AS cosine
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VF.norm(col("v")))
@@ -116,6 +118,7 @@ object VectorQueries {
          |WHERE $cos >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin
     }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VF.norm(col("v")))

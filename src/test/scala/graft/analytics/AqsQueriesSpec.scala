@@ -67,6 +67,16 @@ class AqsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("one-pass AqiHistogram aggregator matches groupBy counts") {
+    val hist = s.agg(graft.operators.AqiHistogram.column(col("aqi")).as("h"))
+      .head().getMap[String, Long](0)
+    val byCat = s.groupBy("aqi_category").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("Unknown") -> r.getLong(1)).toMap
+    graft.operators.AqiHistogram.names.foreach { n =>
+      assert(hist.getOrElse(n, 0L) === byCat.getOrElse(n, 0L), s"category $n")
+    }
+  }
+
   test("category shares sum to 1 per state") {
     val bad = AqsQueries.aqiCategoryShareByState(s)
       .groupBy("state_name").agg(sum("share").as("t"))
