@@ -101,6 +101,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- BPE-ish subword tokenization: letter runs / digit runs /
+    // single punctuation, via regexp — the pre-tokenizer shape BPE vocabs
+    // use; counts per doc + corpus total.
+    Q("t9_token_regex", "TXT-bpe-tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ----- exact dedup on a normalized key (hash-groupBy): md5 of the
     // 3-token prefix clusters near-identical openings; keeper = min doc_id.
     // One shuffle, on dup_key. (Full-text md5 yields zero dups in this
