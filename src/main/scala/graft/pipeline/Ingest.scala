@@ -34,6 +34,21 @@ object Ingest {
     raw.filter(col("state") =!= "NAME")
       .withColumn("population", col("population").cast("int"))
 
+  /** Rolling re-ingestion window: the reference's weekly run re-pulls
+    * T−110d..T−100d because the upstream feed lags ~3 months and restates
+    * (Automated Pipeline pipeline-content.json:12,19); combined with the
+    * dynamic-partition-overwrite sink this makes re-ingestion idempotent. */
+  def rollingWindow(today: java.time.LocalDate,
+                    lagDays: Int = 110, spanDays: Int = 10):
+      (java.sql.Date, java.sql.Date) =
+    (java.sql.Date.valueOf(today.minusDays(lagDays.toLong)),
+      java.sql.Date.valueOf(today.minusDays((lagDays - spanDays).toLong)))
+
+  /** Restrict a bronze-shaped frame to an ingestion window (partition
+    * pruning applies when date_local is a partition column). */
+  def windowFilter(df: DataFrame, from: java.sql.Date, to: java.sql.Date): DataFrame =
+    df.filter(col("date_local") >= from && col("date_local") < to)
+
   /** Ingestion QA gate: fail the run when fewer than `minStates` distinct
     * states are present (automated_ingestion notebook-content.py:249-250). */
   def assertStateCoverage(bronze: DataFrame, minStates: Int): Unit = {

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.pipeline.Ingest
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain, star, singleton-free edge list") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (21L, 20L)).toDF("src", "dst")
+    val got = ConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepers marks exactly one keeper per cluster") {
+    val edges = Seq((5L, 9L), (9L, 7L), (1L, 2L)).toDF("a", "b")
+    val k = ConnectedComponents.keepers(edges)
+    assert(k.filter(col("is_keeper")).count() === 2)
+    assert(k.filter(col("keeper") === 5L).count() === 3)
+  }
+
+  test("components over LSH candidate pairs cluster the fixture docs") {
+    // end-to-end: shared-shingle candidate pairs → edges → components
+    // (shared 4-gram ⇒ same component)
+    val docs = Seq(
+      (1L, "x y z w q"), (2L, "x y z w k"),  // share 4-gram "x y z w"
+      (3L, "a b c d e"), (4L, "a b c d f"),  // share "a b c d"
+      (5L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(
+        split(col("text"), " "), 4)).as("s"))
+    val edges = sh.toDF("a", "s").join(sh.toDF("b", "s"), Seq("s"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val comp = ConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(2L) === 1L && comp(4L) === 3L)
+    assert(!comp.contains(5L)) // no edges → not in the edge-derived set
+  }
+
+  test("rolling ingest window computes T-110..T-100") {
+    val (from, to) = Ingest.rollingWindow(java.time.LocalDate.of(2026, 8, 12))
+    assert(from.toString === "2026-04-24" && to.toString === "2026-05-04")
+    val df = Seq("2026-04-23", "2026-04-24", "2026-05-03", "2026-05-04")
+      .toDF("s").select(to_date(col("s")).as("date_local"))
+    val kept = Ingest.windowFilter(df, from, to).collect().map(_.getDate(0).toString)
+    assert(kept.sorted.toSeq === Seq("2026-04-24", "2026-05-03"))
+  }
+}
