@@ -18,16 +18,28 @@ object Bench {
     // be billed to whichever queries happen to run first. One full pass
     // compiles every plan's generated code; the timed pass then measures
     // steady-state execution, as a long-lived cluster would see.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench:warmup] $name failed: $e")
+      }
+      graft.analytics.Caches.release()
     }
     // Timed pass: best of 2 — this host shows sporadic multi-second stalls
     // unrelated to the workload; the minimum is the reproducible cost.
+    // A failing query is reported loudly and billed at a 9999 s sentinel
+    // (finite, so the JSON stays parseable) so it cannot flatter the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              false
+          }
+        graft.analytics.Caches.release()
+        if (ok) (System.nanoTime() - t0) / 1e9 else 9999.0
       }
       name -> times.min
     }

@@ -186,7 +186,8 @@ object RelationalQueries {
          |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY c.c_mktsegment ORDER BY segment NULLS FIRST""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir)
-      val c = broadcast(Tables.customer(s, dir))
+      // customer grows with SF — no broadcast hint; AQE picks the strategy.
+      val c = Tables.customer(s, dir)
       o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -222,7 +223,9 @@ object RelationalQueries {
          |ORDER BY region, priority""".stripMargin) { (s, dir) =>
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
-      val c = broadcast(Tables.customer(s, dir))
+      // Only bounded dims (nation 25 / region 5 rows) get broadcast hints;
+      // customer scales with SF, so its join strategy is left to AQE.
+      val c = Tables.customer(s, dir)
       val n = broadcast(Tables.nation(s, dir))
       val r = broadcast(Tables.region(s, dir))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -248,7 +251,7 @@ object RelationalQueries {
         |  GROUP BY n.n_name)
         |ORDER BY rnk, n_name""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir)
-      val c = broadcast(Tables.customer(s, dir))
+      val c = Tables.customer(s, dir) // unbounded — AQE chooses
       val n = broadcast(Tables.nation(s, dir))
       val counts = o.join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
@@ -376,7 +379,7 @@ object RelationalQueries {
         |  GROUP BY r.r_name)
         |ORDER BY region""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir)
-      val c = broadcast(Tables.customer(s, dir))
+      val c = Tables.customer(s, dir) // unbounded — AQE chooses
       val n = broadcast(Tables.nation(s, dir))
       val r = broadcast(Tables.region(s, dir))
       val agg = o.join(c, o("o_custkey") === c("c_custkey"))
@@ -500,6 +503,97 @@ object RelationalQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .orderBy("event_id")
+    },
+
+    // ----- F8: census-region CASE over the full 51-code FIPS domain
+    // (Batch_Silver_to_Gold notebook-content.py:121-140). The harness has
+    // no state-code column, so the code domain is derived: c_custkey % 60
+    // zero-padded to 2 chars covers "00".."59" ⊇ all four region IN-lists
+    // plus Unknown codes. One definition site: the oracle's IN-lists are
+    // emitted from DimBuild's Seqs.
+    Q("f8_region_map", "F8", {
+      def inList(cs: Seq[String]) = cs.map(c => s"'$c'").mkString(", ")
+      import graft.operators.DimBuild
+      s"""SELECT code,
+         |  CASE WHEN code IN (${inList(DimBuild.northeast)}) THEN 'Northeast'
+         |       WHEN code IN (${inList(DimBuild.midwest)}) THEN 'Midwest'
+         |       WHEN code IN (${inList(DimBuild.south)}) THEN 'South'
+         |       WHEN code IN (${inList(DimBuild.west)}) THEN 'West'
+         |       ELSE 'Unknown' END AS region,
+         |  COUNT(*) AS n
+         |FROM (SELECT lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0') AS code
+         |      FROM customer)
+         |GROUP BY code ORDER BY code""".stripMargin
+    }) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(lpad((col("c_custkey") % 60).cast("string"), 2, "0").as("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("region", graft.operators.DimBuild.region(col("code")))
+        .select("code", "region", "n")
+        .orderBy("code")
+    },
+
+    // ----- SAMEPERIODLASTYEAR analog (FACT.tmdl:82-97 `AVG AQI PY` /
+    // `AVG YoY Perc`): monthly aggregate left-joined to itself on
+    // add_months(month, -12). Months without a prior-year twin (first year
+    // of data) yield NULL = DAX BLANK — the edge DAX lag-based YoY misses.
+    Q("w9_sameperiod_py", "W6,F12",
+      s"""WITH m AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         |         ${Exact.sqlAvg("o_totalprice")} AS avg_price
+         |  FROM orders GROUP BY 1)
+         |SELECT a.month_start, a.avg_price, b.avg_price AS avg_price_py,
+         |  round((a.avg_price - b.avg_price) / b.avg_price * 100, 6) AS yoy_pct
+         |FROM m a LEFT JOIN m b
+         |  ON b.month_start = CAST(a.month_start - INTERVAL 12 MONTH AS DATE)
+         |ORDER BY a.month_start""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(trunc(col("o_orderdate"), "mm").as("month_start"))
+        .agg(Exact.davg(col("o_totalprice")).as("avg_price"))
+      val py = m.select(col("month_start").as("py_month"),
+        col("avg_price").as("avg_price_py"))
+      m.join(py, add_months(col("month_start"), -12) === col("py_month"), "left")
+        .select(col("month_start"), col("avg_price"), col("avg_price_py"),
+          round((col("avg_price") - col("avg_price_py")) / col("avg_price_py") * 100, 6)
+            .as("yoy_pct"))
+        .orderBy("month_start")
+    },
+
+    // ----- batch twin of the streaming sessionization
+    // (EventStreams.sessionize): 30-min-gap sessions via lag/flag/cumsum
+    // windows, all partitioned by user_id — one shuffle on the user key,
+    // session count per partition bounded by that user's events.
+    Q("e3_sessionize", "STREAM-sessionize-twin,W5,A1",
+      s"""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus
+         |           FROM events),
+         |m AS (SELECT user_id, event_id, ts, value, tus,
+         |        CASE WHEN lag(tus) OVER w IS NULL
+         |               OR tus - lag(tus) OVER w > 1800000000 THEN 1
+         |             ELSE 0 END AS new_sess
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT *, SUM(new_sess) OVER (
+         |        PARTITION BY user_id ORDER BY tus, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS sess_seq FROM m)
+         |SELECT user_id, CAST(sess_seq AS INT) AS sess_seq,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       COUNT(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+         |FROM s GROUP BY user_id, sess_seq
+         |ORDER BY user_id, sess_seq""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("tus", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val prev = lag("tus", 1).over(w)
+      val flagged = e.withColumn("new_sess",
+        when(prev.isNull || col("tus") - prev > 1800000000L, 1).otherwise(0))
+      val sessions = flagged.withColumn("sess_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(IntegerType))
+      sessions.groupBy("user_id", "sess_seq")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "sess_seq")
     }
   )
 }

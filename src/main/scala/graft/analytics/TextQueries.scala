@@ -24,6 +24,72 @@ object TextQueries {
   private val docsTokens =
     "WITH t AS (SELECT doc_id, text, n_chars, lang, source, string_split(text, ' ') AS l FROM documents)"
 
+  /** Hot-shingle document-frequency cap for the n-gram pair join: shingles
+    * appearing in more than this many documents are dropped before the
+    * self-join. A single ubiquitous shingle ("in the of") otherwise
+    * produces df² pairs on its key — the quadratic hot spot at corpus
+    * scale. Non-binding on the harness corpora (max df: 7 at sf0.01, 25 at
+    * sf0.1) and mirrored in the oracle SQL, so results stay bit-equal at
+    * any SF; the bound is what survives 100 TB. */
+  val MaxShingleDf = 100
+
+  /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
+    * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
+    * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
+    * t7 (pairs) and cc_components (cluster closure over the pair graph). */
+  private def ngramCteBody: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
+       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       |ex AS (SELECT doc_id,
+       |         unnest(list_transform(s, x -> ${TS.hash("x")})) AS h
+       |       FROM sh),
+       |dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+       |exf AS (SELECT e.doc_id, e.h FROM ex e
+       |        JOIN dfreq d ON e.h = d.h WHERE d.df <= $MaxShingleDf),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+       |  FROM exf x JOIN exf y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |scored AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common) AS jac
+       |  FROM inter i
+       |  JOIN sz a ON i.doc_a = a.doc_id
+       |  JOIN sz b ON i.doc_b = b.doc_id)""".stripMargin
+
+  /** Spark twin of [[ngramCteBody]]: (doc_a, doc_b, jac) for all pairs
+    * sharing ≥1 df-capped shingle. One shuffle on the shingle hash, one on
+    * the pair key; the df cap bounds any single key's pair fan-out by
+    * MaxShingleDf². */
+  private def ngramScored(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.registerAll(s)
+    val toks = TF.tokens(col("text"))
+    // persist: the shingle stage feeds the pair join (twice) and both
+    // size lookups; join on the 64-bit shingle hash, not the string —
+    // smaller shuffle keys and cheaper comparisons (hash collisions hit
+    // both engines identically, so the oracle stays exact)
+    val sh = Caches.persistTracked(
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), TF.shingles(toks, 3).as("s")))
+    val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
+    val ex = sh.select(col("doc_id"),
+      explode(transform(col("s"), x => TF.polyHash(x))).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val exf = ex.join(dfreq.filter(col("df") <= MaxShingleDf).select("h"), Seq("h"))
+    val inter = exf.toDF("h", "doc_a")
+      .join(exf.toDF("h", "doc_b"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----- token counting + char stats (whitespace tokenizer)
@@ -184,10 +250,10 @@ object TextQueries {
         .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
       // signatures feed three consumers (bands + both pair sides): persist
       // so the interpreted minhash computation runs once, not three times —
-      // at scale this stage would be checkpointed for the same reason
-      val sig = sh.select(
-        col("doc_id") +: (0 until 8).map(p => TF.minhash(col("sh"), p).as(s"mh$p")): _*)
-        .persist()
+      // at scale this stage would be checkpointed for the same reason.
+      // Tracked in Caches; the harness unpersists after the query's action.
+      val sig = Caches.persistTracked(sh.select(
+        col("doc_id") +: (0 until 8).map(p => TF.minhash(col("sh"), p).as(s"mh$p")): _*))
       val bandCols = (0 until 8).map(p =>
         struct(lit(p).as("band"), col(s"mh$p").as("sig")))
       val bands = sig
@@ -222,52 +288,92 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // ----- n-gram Jaccard: exact similarity via shingle-explode join —
-    // pairs sharing ≥1 shingle only (never the full n² pair space), one
-    // shuffle on the shingle.
-    Q("t7_ngram_jaccard", "DEDUP-ngram-jaccard",
+    // ----- SimHash Hamming-band candidate pairs: the t6 signatures carried
+    // through to an end-to-end dedup path. The 32-bit signature splits into
+    // 4 bands of 8 bits; by pigeonhole, any pair within Hamming distance 6
+    // shares at least one exact band — so the candidate join is 4 equality
+    // joins on (band, byte), never an all-pairs scan, then an exact
+    // popcount filter on the survivors. Same plan shape at 100 TB: one
+    // shuffle on the band byte.
+    Q("t10_simhash_pairs", "DEDUP-simhash-pairs",
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
-         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         |ex AS (SELECT doc_id,
-         |         unnest(list_transform(s, x -> ${TS.hash("x")})) AS h
-         |       FROM sh),
-         |inter AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-         |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
-         |  GROUP BY x.doc_id, y.doc_id)
-         |SELECT i.doc_a, i.doc_b,
-         |  round(CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common), 6)
-         |    AS jaccard
-         |FROM inter i
-         |JOIN sz a ON i.doc_a = a.doc_id
-         |JOIN sz b ON i.doc_b = b.doc_id
-         |WHERE CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common) >= 0.01
+         |h AS (SELECT doc_id, list_transform(l, tk -> ${TS.hash("tk")}) AS hs FROM t),
+         |sg AS (SELECT doc_id, ${TS.simhash("hs")} AS sh FROM h),
+         |b AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM sg),
+         |b2 AS (SELECT doc_id, sh, band,
+         |         (sh >> CAST(band * 8 AS INT)) & 255 AS bv FROM b),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, x.sh AS sha,
+         |                  y.doc_id AS doc_b, y.sh AS shb
+         |  FROM b2 x JOIN b2 y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
-      // persist: the shingle stage feeds the pair join (twice) and both
-      // size lookups; join on the 64-bit shingle hash, not the string —
-      // smaller shuffle keys and cheaper comparisons (hash collisions hit
-      // both engines identically, so the oracle stays exact)
-      val sh = Tables.documents(s, dir).repartition(col("doc_id"))
-        .select(col("doc_id"), TF.shingles(toks, 3).as("s"))
-        .persist()
-      val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
-      val ex = sh.select(col("doc_id"),
-        explode(transform(col("s"), x => TF.polyHash(x))).as("h"))
-      val inter = ex.toDF("doc_a", "h")
-        .join(ex.toDF("doc_b", "h"), Seq("h"))
+      // signatures feed both sides of the band join: persist once
+      val sig = Caches.persistTracked(
+        Tables.documents(s, dir).repartition(col("doc_id"))
+          .withColumn("hs", transform(toks, t => TF.polyHash(t)))
+          .select(col("doc_id"), TF.simhash(col("hs")).as("sh")))
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("bv")))
+      val bands = sig
+        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("x"))
+        .select(col("doc_id"), col("sh"),
+          col("x.band").as("band"), col("x.bv").as("bv"))
+      val cand = bands.toDF("doc_a", "sha", "band", "bv")
+        .join(bands.toDF("doc_b", "shb", "band", "bv"), Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-      val jac = col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common"))
-      inter
-        .join(sz.toDF("doc_a", "na"), "doc_a")
-        .join(sz.toDF("doc_b", "nb"), "doc_b")
-        .filter(jac >= 0.01)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .select("doc_a", "sha", "doc_b", "shb").distinct()
+      val hamming = expr("bit_count(sha ^ shb)")
+      cand
+        .filter(hamming <= 6)
+        .select(col("doc_a"), col("doc_b"),
+          hamming.cast(IntegerType).as("hamming"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- n-gram Jaccard: exact similarity via shingle-explode join —
+    // pairs sharing ≥1 (df-capped) shingle only, never the full n² pair
+    // space; shuffles on the shingle hash and the pair key.
+    Q("t7_ngram_jaccard", "DEDUP-ngram-jaccard",
+      s"""WITH $ngramCteBody
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM scored WHERE jac >= 0.01
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      ngramScored(s, dir)
+        .filter(col("jac") >= 0.01)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- dedup clustering: connected components over the n-gram pair
+    // graph (jac ≥ 0.2 edges) — near-dup pairs become transitive clusters,
+    // keeper = min doc_id (the dedup contract of AB2S:98 extended to
+    // near-dup clusters). Oracle: recursive label walk in DuckDB.
+    Q("cc_components", "DEDUP-cc",
+      s"""WITH RECURSIVE $ngramCteBody,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |walk(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node)
+         |SELECT node, min(comp) AS component,
+         |       node = min(comp) AS is_keeper
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      val edges = ngramScored(s, dir)
+        .filter(col("jac") >= 0.2)
+        .select("doc_a", "doc_b")
+      graft.operators.ConnectedComponents(edges)
+        .select(col("node"), col("component"),
+          (col("node") === col("component")).as("is_keeper"))
+        .orderBy("node")
     },
 
     // ----- winnowing-style fingerprint: min 4-gram shingle hash per doc;

@@ -20,6 +20,24 @@ import graft.functions.{VectorFunctions => VF, VectorSql => VS}
   */
 object VectorQueries {
 
+  /** Bucket size above which near-dup pairing sub-splits a bucket by
+    * sign-bit LSH (see `v3_cosine_neardup`). */
+  val SubBucketThreshold = 256
+
+  /** Sign-bit LSH sub-bucket key: 0 for small buckets; for oversized ones,
+    * ceil(log2(cnt/threshold)) (≤ 8) sign bits of the leading vector
+    * components packed into a long. Spark twin of the oracle's `sub`. */
+  private def subBucket(cnt: org.apache.spark.sql.Column,
+                        v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bits = least(lit(8),
+      ceil(log2(cnt.cast("double") / SubBucketThreshold)).cast("int"))
+    when(cnt <= SubBucketThreshold, lit(0L))
+      .otherwise(aggregate(sequence(lit(0), bits - 1), lit(0L),
+        (acc, j) => acc +
+          when(get(v, j) >= 0, pow(lit(2.0), j.cast("double")).cast("long"))
+            .otherwise(lit(0L))))
+  }
+
   /** CTE shared by all oracles: embeddings as DOUBLE[] + its L2 norm
     * (norms precomputed once — same as the Spark side). */
   private val baseCte =
@@ -109,12 +127,34 @@ object VectorQueries {
 
     // ----- embedding-cosine near-duplicate pairs within cluster buckets:
     // the O(n²) pair space is cut to per-bucket pairs before any scoring.
+    // Oversized buckets (> SubBucketThreshold vectors) are further split
+    // by a sign-bit LSH sub-key — ceil(log2(size/threshold)) hyperplanes
+    // (axis-aligned: the sign of the leading components), capped at 8 —
+    // so no single join key ever fans out quadratically: a 1M-vector
+    // bucket splits ~4000× before pairing. Non-binding on the harness
+    // corpora (max bucket 59 at sf0.01, 218 at sf0.1) and mirrored in the
+    // oracle, so results stay bit-equal at any tested SF; recall loss only
+    // begins where the unsplit plan would already be infeasible.
     Q("v3_cosine_neardup", "DEDUP-embedding", {
       val cos = s"${VS.dot("a.v", "b.v")} / (a.nrm * b.nrm)"
-      s"""$baseCte
+      val t = SubBucketThreshold
+      s"""$baseCte,
+         |n2 AS (SELECT vec_id, label, v, nrm,
+         |         count(*) OVER (PARTITION BY label) AS cnt FROM n),
+         |n3 AS (SELECT vec_id, label, v, nrm,
+         |         CASE WHEN cnt <= $t THEN 0
+         |              ELSE list_sum(list_transform(
+         |                     range(0, least(8, CAST(ceil(log2(
+         |                       CAST(cnt AS DOUBLE) / $t)) AS BIGINT))),
+         |                     j -> CASE WHEN v[CAST(j AS INT) + 1] >= 0
+         |                               THEN CAST(pow(2, j) AS BIGINT)
+         |                               ELSE CAST(0 AS BIGINT) END))
+         |         END AS sub
+         |       FROM n2)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
          |       round($cos, 6) AS cosine
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM n3 a JOIN n3 b
+         |  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin
     }) { (s, dir) =>
@@ -122,11 +162,13 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VF.norm(col("v")))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+        .withColumn("sub", subBucket(col("cnt"), col("v")))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("sub"),
         col("v").as("av"), col("nrm").as("an"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("sub"),
         col("v").as("bv"), col("nrm").as("bn"))
-      a.join(b, Seq("label"))
+      a.join(b, Seq("label", "sub"))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("cos", VF.dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cos") >= 0.25)

@@ -13,23 +13,36 @@ import org.apache.spark.sql.functions._
   * O(component diameter) rounds; near-dup clusters are shallow (stars /
   * short chains), so 3-6 rounds suffice in practice. Each round is one
   * join + one aggregate, both hash-partitioned on the node id — no driver
-  * state, no global structures; `localCheckpoint` cuts the lineage so
-  * plans don't grow exponentially across iterations.
+  * state, no global structures. The convergence check is folded into the
+  * same round (a `changed` flag computed with the new labels and read off
+  * the checkpointed result), not a separate join.
+  *
+  * Checkpointing cuts the lineage so plans don't grow across iterations:
+  * `localCheckpoint` (executor-local blocks) for single-node/dev runs;
+  * pass `reliable = true` on a cluster with
+  * `spark.sparkContext.setCheckpointDir` configured so labels survive
+  * executor loss (HDFS/object-store backed).
   */
 object ConnectedComponents {
 
-  /** @param edges two-column frame (src, dst) of undirected edges.
+  /** @param edges    two-column frame (src, dst) of undirected edges.
+    * @param maxIter  propagation-round bound; exceeding it with changes
+    *                 still in flight throws (silently split components are
+    *                 a correctness bug, not a degraded answer).
+    * @param reliable use reliable `checkpoint` (requires a checkpoint dir)
+    *                 instead of `localCheckpoint`.
     * @return (node, component) — component = min node id reachable. */
-  def apply(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    val cols = edges.columns
-    val sym = edges.toDF("a", "b")
-      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
-      .distinct()
-      .localCheckpoint()
+  def apply(edges: DataFrame, maxIter: Int = 10,
+            reliable: Boolean = false): DataFrame = {
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    val sym = save(edges.toDF("a", "b")
+      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
+      .distinct())
+
+    var labels = save(sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")))
 
     var converged = false
     var iter = 0
@@ -40,17 +53,23 @@ object ConnectedComponents {
           Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min("nbr_component").as("nbr_component"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      // One pass computes both the new label and whether it moved; the
+      // convergence probe is then a scan of the checkpointed blocks —
+      // no second join, no recomputation.
+      val next = save(labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+            .as("component"),
+          (coalesce(col("nbr_component"), col("component")) < col("component"))
+            .as("changed")))
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise maxIter")
     labels
   }
 

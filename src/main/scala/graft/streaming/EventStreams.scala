@@ -49,40 +49,65 @@ object EventStreams {
         col("n"), col("sum_value"))
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
-    * after `gapMinutes` of user inactivity (emitted on the batch that
-    * observes the gap, or on state timeout for idle users). */
+    * after `gapMinutes` of user inactivity — emitted on the batch that
+    * observes the gap, or via event-time state timeout for users who go
+    * idle (once the watermark passes last-event + gap, the open session is
+    * emitted and the per-user state evicted, so state size tracks *active*
+    * users, not all users ever seen).
+    *
+    * `watermarkDelay` bounds accepted event lateness; it also bounds how
+    * far the watermark trails the data, i.e. how long an idle user's state
+    * lingers past its timeout point. */
   def sessionize(spark: SparkSession, events: DataFrame,
-                 gapMinutes: Int = 30): Dataset[Session] = {
+                 gapMinutes: Int = 30,
+                 watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
+    val gapMillis = gapMinutes * 60L * 1000L
 
     def toSession(uid: Long, s: OpenSession) = Session(
       uid, new java.sql.Timestamp(s.start / 1000), new java.sql.Timestamp(s.end / 1000),
       s.n, s.v)
 
     events.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime * 1000L // micros
-            open match {
-              case Some(s) if t - s.end <= gapMicros =>
-                open = Some(OpenSession(s.start, t, s.n + 1, s.v + e.value))
-              case Some(s) =>
-                closed += toSession(uid, s)
-                open = Some(OpenSession(t, t, 1L, e.value))
-              case None =>
-                open = Some(OpenSession(t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            // Watermark passed last-event + gap with no new events: the
+            // open session is final — emit it and evict the state.
+            val out = state.getOption.map(toSession(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L // micros
+              open match {
+                case Some(s) if t - s.end <= gapMicros =>
+                  open = Some(OpenSession(s.start, t, s.n + 1, s.v + e.value))
+                case Some(s) =>
+                  closed += toSession(uid, s)
+                  open = Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // Timeout must stay ahead of the watermark (Spark rejects a
+              // timestamp at/behind it — possible when allowed-late events
+              // extend a session whose timeout point has already passed).
+              state.setTimeoutTimestamp(
+                math.max(s.end / 1000L + gapMillis, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

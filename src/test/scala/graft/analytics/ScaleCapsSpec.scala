@@ -1,0 +1,72 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Proofs that the quadratic-risk dedup paths stay bounded under hot keys:
+  * the t7 shingle document-frequency cap and the v3 bucket sub-splitting.
+  * Each test builds a synthetic corpus where the uncapped plan would blow
+  * up and asserts the pair space the capped plan actually produces.
+  */
+class ScaleCapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t7 df cap drops ubiquitous shingles; bounded shingles still pair") {
+    val dir = tmpDir("t7-hotkey")
+    // 150 docs sharing one hot shingle (df = 150 > MaxShingleDf = 100) —
+    // without the cap: 150·149/2 ≈ 11k pairs on that key alone. Plus 5
+    // docs sharing a bounded shingle (df = 5) that must still pair.
+    val hot = (0 until 150).map(i =>
+      (i.toLong, s"hot key shingle u$i v$i w$i", "en", "syn", 20L))
+    val warm = (0 until 5).map(i =>
+      (1000L + i, s"warm little shingle x$i y$i z$i", "en", "syn", 20L))
+    (hot ++ warm).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry.queries("t7_ngram_jaccard")(spark, dir)
+      .collect()
+    graft.analytics.Caches.release()
+    // all surviving pairs come from the warm shingle's 5 docs
+    assert(got.length === 5 * 4 / 2)
+    assert(got.forall(r => r.getAs[Long]("doc_a") >= 1000L
+      && r.getAs[Long]("doc_b") >= 1000L))
+  }
+
+  test("v3 sub-bucketing splits an oversized bucket on sign bits") {
+    val dir = tmpDir("v3-hotbucket")
+    // one label bucket of 600 vectors (> threshold 256 → 2 sign bits →
+    // 4 sub-buckets of 150); vectors within a sign pattern are
+    // near-identical, so every within-sub-bucket pair passes cosine 0.25.
+    val rows = (0 until 600).map { i =>
+      val s0 = if (i % 4 % 2 == 0) 1.0f else -1.0f
+      val s1 = if (i % 4 / 2 == 0) 1.0f else -1.0f
+      val v = Array(s0, s1) ++ Array.fill(62)(0.5f + (i % 7) * 0.001f)
+      (i.toLong, v.toSeq, 1)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = graft.SparkEntry.queries("v3_cosine_neardup")(spark, dir)
+      .collect()
+    // exactly the 4 × C(150,2) within-sub-bucket pairs — the 600² cross-
+    // pattern pairs never materialize
+    assert(got.length === 4 * (150 * 149 / 2))
+    val signOf = (id: Long) => (id % 4).toInt
+    assert(got.forall(r =>
+      signOf(r.getAs[Long]("vec_a")) === signOf(r.getAs[Long]("vec_b"))))
+  }
+
+  test("connected components throws rather than split a long chain") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    // diameter 11 > maxIter 3 → must signal, not return split components
+    val e = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    // and with enough rounds the same chain resolves to one component
+    val ok = graft.operators.ConnectedComponents(chain, maxIter = 12)
+      .agg(countDistinct("component")).head().getLong(0)
+    assert(ok === 1L)
+  }
+}

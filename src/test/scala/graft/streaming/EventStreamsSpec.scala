@@ -28,14 +28,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(joined.filter(col("n") =!= col("bn")).count() === 0)
   }
 
-  test("sessionization splits on the idle gap and carries state") {
+  test("sessionization splits on the idle gap and evicts idle state") {
     import spark.implicits._
     val dir = tmpDir("events-sess") + "/data"
     def ev(uid: Long, minute: Long, v: Double) =
       (minute * 60L * 1000000000L, uid, "click", v, minute)
     // user 1: events at minute 0,10,20 then 120,125 → one closed session
-    // (0-20) once the 120 event arrives; (120-125) stays open in state.
-    // user 2: single burst, stays open.
+    // (0-20) once the 120 event arrives; (120-125) stays open in state
+    // (its timeout point, 155, is past the final watermark of 95).
+    // user 2: single event at minute 30 → idle; the watermark (125 - 30 =
+    // 95) passes its timeout point (30 + 30 = 60), so the open session is
+    // emitted via event-time timeout and the user's state evicted.
     Seq(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 20, 3.0),
       ev(1, 120, 4.0), ev(1, 125, 5.0), ev(2, 30, 9.0))
       .zipWithIndex
@@ -46,10 +49,33 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.sessionize(spark,
         EventStreams.readEventStream(spark, dir)).toDF(),
       "sessions", OutputMode.Append()).collect()
-    assert(sessions.length === 1)
-    val s = sessions.head
-    assert(s.getAs[Long]("user_id") === 1L)
-    assert(s.getAs[Long]("n_events") === 3L)
-    assert(s.getAs[Double]("total_value") === 6.0)
+      .sortBy(_.getAs[Long]("user_id"))
+    assert(sessions.length === 2)
+    val u1 = sessions(0)
+    assert(u1.getAs[Long]("user_id") === 1L)
+    assert(u1.getAs[Long]("n_events") === 3L)
+    assert(u1.getAs[Double]("total_value") === 6.0)
+    val u2 = sessions(1)
+    assert(u2.getAs[Long]("user_id") === 2L)
+    assert(u2.getAs[Long]("n_events") === 1L)
+    assert(u2.getAs[Double]("total_value") === 9.0)
+  }
+
+  test("streaming sessions agree with the e3 batch twin") {
+    // Every emitted streaming session must appear verbatim in the batch
+    // sessionization of the same events (the e3_sessionize formulation).
+    val dir = "/root/testdata/sf0.001"
+    val streamed = startStream(
+      EventStreams.sessionize(spark,
+        EventStreams.readEventStream(spark, dir)).toDF(),
+      "sess_parity", OutputMode.Append())
+    val batch = graft.SparkEntry.queries("e3_sessionize")(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val missing = streamed
+      .select("user_id", "session_start", "session_end", "n_events")
+      .join(batch, Seq("user_id", "session_start", "session_end", "n_events"),
+        "left_anti")
+    assert(missing.isEmpty, "streamed session absent from batch twin")
+    assert(streamed.count() > 0)
   }
 }
