@@ -31,11 +31,25 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events directory (schema must be explicit
-    * for streaming reads), with the ns→µs timestamp conversion. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
+  /** File-source stream over events parquet data (schema must be explicit
+    * for streaming reads), with the ns→µs timestamp conversion.
+    *
+    * `path` must point at event part-files only — a single file, a glob, or
+    * a directory containing nothing but event parquet. Globbing a mixed
+    * table directory would resolve every non-event file's columns to NULL
+    * under this schema. For the harness layout use [[readEventTable]]. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming twin of `Tables.events`: streams `$dir/events.parquet` from
+    * a harness sf directory (which holds all ten tables flat — the events
+    * file must be addressed specifically, not the whole directory). The
+    * wildcard keeps the path a glob: FileStreamSource pins `basePath` to a
+    * non-glob path, and basePath must be a directory, so a bare file path
+    * would throw at the first micro-batch. */
+  def readEventTable(spark: SparkSession, dir: String): DataFrame =
+    readEventStream(spark, s"$dir/events*.parquet")
 
   /** Tumbling-hour rollup — the streaming twin of the batch
     * `e1_hourly_rollup` query; late data beyond 2h is dropped at the
@@ -65,11 +79,28 @@ object EventStreams {
     val gapMicros = gapMinutes * 60L * 1000000L
     val gapMillis = gapMinutes * 60L * 1000L
 
+    // µs-exact Timestamp conversions. `Timestamp.getTime` truncates to
+    // milliseconds (the µs live in the nanos field), and `new Timestamp(ms)`
+    // can't carry them — so both directions must go through the nanos field
+    // or streamed session boundaries drift off the µs-exact batch twin
+    // (`e3_sessionize`) and parity joins miss.
+    def tsMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def microsToTs(us: Long): java.sql.Timestamp = {
+      val secs = Math.floorDiv(us, 1000000L)
+      val ts = new java.sql.Timestamp(secs * 1000L)
+      ts.setNanos(((us - secs * 1000000L) * 1000L).toInt)
+      ts
+    }
+
     def toSession(uid: Long, s: OpenSession) = Session(
-      uid, new java.sql.Timestamp(s.start / 1000), new java.sql.Timestamp(s.end / 1000),
-      s.n, s.v)
+      uid, microsToTs(s.start), microsToTs(s.end), s.n, s.v)
 
     events.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      // Guard the typed cast: Event.user_id is a primitive Long, so a NULL
+      // (e.g. from a mis-pointed source) would throw NOT_NULL_ASSERT_VIOLATION
+      // deep in the stream instead of being attributable to its row.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
@@ -83,11 +114,11 @@ object EventStreams {
             state.remove()
             out
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => tsMicros(e.ts))
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime * 1000L // micros
+              val t = tsMicros(e.ts)
               open match {
                 case Some(s) if t - s.end <= gapMicros =>
                   open = Some(OpenSession(s.start, t, s.n + 1, s.v + e.value))

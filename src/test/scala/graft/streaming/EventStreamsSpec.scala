@@ -18,7 +18,7 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming hourly rollup equals the batch rollup") {
     val dir = "/root/testdata/sf0.001"
     val got = startStream(
-      EventStreams.hourlyRollup(EventStreams.readEventStream(spark, dir)),
+      EventStreams.hourlyRollup(EventStreams.readEventTable(spark, dir)),
       "rollup", OutputMode.Complete()).cache()
     val batch = graft.sources.Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -31,25 +31,36 @@ class EventStreamsSpec extends SparkSpec {
   test("sessionization splits on the idle gap and evicts idle state") {
     import spark.implicits._
     val dir = tmpDir("events-sess") + "/data"
+    // Timeline is shifted +1 day off epoch zero: the initial watermark is 0,
+    // and Spark's late-row predicate drops an event sitting exactly AT the
+    // watermark — an epoch-0 event would vanish before the stateful op.
     def ev(uid: Long, minute: Long, v: Double) =
-      (minute * 60L * 1000000000L, uid, "click", v, minute)
+      ((minute + 1440L) * 60L * 1000000000L, uid, "click", v, minute)
     // user 1: events at minute 0,10,20 then 120,125 → one closed session
     // (0-20) once the 120 event arrives; (120-125) stays open in state
     // (its timeout point, 155, is past the final watermark of 95).
     // user 2: single event at minute 30 → idle; the watermark (125 - 30 =
     // 95) passes its timeout point (30 + 30 = 60), so the open session is
     // emitted via event-time timeout and the user's state evicted.
+    // Single part-file: the file source then delivers all 6 events in ONE
+    // micro-batch, which the timeline reasoning below depends on (split
+    // across batches, the watermark from an earlier batch could late-drop
+    // the minute-20 event).
     Seq(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 20, 3.0),
       ev(1, 120, 4.0), ev(1, 125, 5.0), ev(2, 30, 9.0))
       .zipWithIndex
       .map { case ((ts, uid, et, v, _), i) => (i.toLong, ts, uid, et, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
       .write.parquet(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) === 1,
+      "fixture must be a single part-file so events arrive in one micro-batch")
     val sessions = startStream(
       EventStreams.sessionize(spark,
         EventStreams.readEventStream(spark, dir)).toDF(),
       "sessions", OutputMode.Append()).collect()
       .sortBy(_.getAs[Long]("user_id"))
+    sessions.foreach(r => info(s"emitted: $r"))
     assert(sessions.length === 2)
     val u1 = sessions(0)
     assert(u1.getAs[Long]("user_id") === 1L)
@@ -67,7 +78,7 @@ class EventStreamsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val streamed = startStream(
       EventStreams.sessionize(spark,
-        EventStreams.readEventStream(spark, dir)).toDF(),
+        EventStreams.readEventTable(spark, dir)).toDF(),
       "sess_parity", OutputMode.Append())
     val batch = graft.SparkEntry.queries("e3_sessionize")(spark, dir)
       .select("user_id", "session_start", "session_end", "n_events")
