@@ -33,6 +33,17 @@ object TextQueries {
     * any SF; the bound is what survives 100 TB. */
   val MaxShingleDf = 100
 
+  /** Hot-bucket cap for LSH band joins (t5 MinHash bands, t10 SimHash
+    * bands): a (band, value) bucket holding more than this many documents
+    * is dropped before the candidate self-join. A degenerate bucket — all
+    * boilerplate docs sharing one minhash value, or a structurally common
+    * simhash band — otherwise fans out quadratically on its single key.
+    * Non-binding on the harness corpora (max bucket: 3 at sf0.01, 7 at
+    * sf0.1 for t5) and mirrored in the oracle SQL, so results stay
+    * bit-equal at any tested SF; the bound is what survives 100 TB. A pair
+    * is lost only when every band the two docs share is hot. */
+  val MaxBandBucket = 100
+
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
@@ -218,7 +229,9 @@ object TextQueries {
     // ----- MinHash + LSH near-dup candidates: 3-token shingles → 8
     // permutations → band-1 buckets (aggressive recall) → bucket join →
     // signature-estimated Jaccard. The pair space is only colliding
-    // buckets; the bucket join is the single shuffle.
+    // buckets; the bucket join is the single shuffle. Buckets above
+    // MaxBandBucket are dropped before the join (see the constant's doc) —
+    // a hot minhash value never fans out quadratically.
     Q("t5_minhash_lsh", "DEDUP-minhash-lsh", {
       val sig = (0 until 8).map(p => s"${TS.minhash("s", p)} AS mh$p").mkString(",\n    ")
       val bands = (0 until 8).map(p => s"SELECT doc_id, $p AS band, mh$p AS sig FROM sig")
@@ -232,10 +245,13 @@ object TextQueries {
          |  FROM sh),
          |bands AS (
          |    $bands),
+         |bands2 AS (SELECT doc_id, band, sig,
+         |             count(*) OVER (PARTITION BY band, sig) AS bcnt FROM bands),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |  FROM bands2 x JOIN bands2 y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket)
          |SELECT c.doc_a, c.doc_b, round(($est) / 8.0, 6) AS est_jaccard
          |FROM cand c
          |JOIN sig a ON c.doc_a = a.doc_id
@@ -259,6 +275,10 @@ object TextQueries {
       val bands = sig
         .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+        // hot-bucket cap on the join key's own partitioning (exchange reuse)
+        .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("band", "sig")))
+        .filter(col("bcnt") <= MaxBandBucket)
+        .drop("bcnt")
       val cand = bands.toDF("doc_a", "band", "sig")
         .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
@@ -288,49 +308,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // ----- SimHash Hamming-band candidate pairs: the t6 signatures carried
-    // through to an end-to-end dedup path. The 32-bit signature splits into
-    // 4 bands of 8 bits; by pigeonhole, any pair within Hamming distance 6
-    // shares at least one exact band — so the candidate join is 4 equality
-    // joins on (band, byte), never an all-pairs scan, then an exact
-    // popcount filter on the survivors. Same plan shape at 100 TB: one
-    // shuffle on the band byte.
+    // ----- SimHash Hamming-band candidate pairs: a 60-bit signature (two
+    // independent 30-bit half-signatures — the poly-hash domain is mod
+    // 1e9+7, so one hash carries only 30 bits of signal) split into 4
+    // bands of 15 bits. By pigeonhole, any pair within Hamming distance 3
+    // shares at least one exact band, so the emitted `hamming <= 3` set has
+    // FULL recall from 4 equality joins on (band, value) — never an
+    // all-pairs scan. 15-bit bands give 32,768 keys per band (vs 256 for
+    // byte bands): expected bucket size N/2^15, and structurally hot
+    // buckets (boilerplate-heavy corpora collapse to few signatures) are
+    // dropped outright above MaxBandBucket — same trade as the t7 df cap,
+    // mirrored in the oracle, non-binding at harness SFs (max bucket 2 at
+    // sf0.01). A pair is lost only if EVERY band it shares is hot — at
+    // which point its docs are boilerplate with thousands of nearer
+    // neighbors anyway. Same plan shape at 100 TB: one shuffle on the band
+    // value.
     Q("t10_simhash_pairs", "DEDUP-simhash-pairs",
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |h AS (SELECT doc_id, list_transform(l, tk -> ${TS.hash("tk")}) AS hs FROM t),
-         |sg AS (SELECT doc_id, ${TS.simhash("hs")} AS sh FROM h),
+         |h AS (SELECT doc_id, list_transform(l, tk -> ${TS.hash("tk")}) AS hs1,
+         |        list_transform(l, tk -> ${TS.hash("'q|' || tk")}) AS hs2 FROM t),
+         |sg AS (SELECT doc_id, ${TS.simhashBits("hs1", 30)}
+         |         + ${TS.simhashBits("hs2", 30)} * 1073741824 AS sh FROM h),
          |b AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM sg),
          |b2 AS (SELECT doc_id, sh, band,
-         |         (sh >> CAST(band * 8 AS INT)) & 255 AS bv FROM b),
+         |         (sh >> CAST(band * 15 AS INT)) & 32767 AS bv FROM b),
+         |b3 AS (SELECT doc_id, sh, band, bv,
+         |         count(*) OVER (PARTITION BY band, bv) AS bcnt FROM b2),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, x.sh AS sha,
          |                  y.doc_id AS doc_b, y.sh AS shb
-         |  FROM b2 x JOIN b2 y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |  FROM b3 x JOIN b3 y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(sha, shb)) <= 6
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
       // signatures feed both sides of the band join: persist once
       val sig = Caches.persistTracked(
         Tables.documents(s, dir).repartition(col("doc_id"))
-          .withColumn("hs", transform(toks, t => TF.polyHash(t)))
-          .select(col("doc_id"), TF.simhash(col("hs")).as("sh")))
+          .withColumn("hs1", transform(toks, t => TF.polyHash(t)))
+          .withColumn("hs2", transform(toks, t => TF.polyHash(concat(lit("q|"), t))))
+          .select(col("doc_id"),
+            (TF.simhashBits(col("hs1"), 30) +
+              TF.simhashBits(col("hs2"), 30) * lit(1073741824L)).as("sh")))
       val bandCols = (0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("bv")))
+          shiftright(col("sh"), b * 15).bitwiseAND(lit(32767L)).as("bv")))
       val bands = sig
         .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("x"))
         .select(col("doc_id"), col("sh"),
           col("x.band").as("band"), col("x.bv").as("bv"))
+        // hot-bucket cap: the window partitions by the join key, so the
+        // count costs the shuffle the join needs anyway (exchange reuse)
+        .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("band", "bv")))
+        .filter(col("bcnt") <= MaxBandBucket)
+        .drop("bcnt")
       val cand = bands.toDF("doc_a", "sha", "band", "bv")
         .join(bands.toDF("doc_b", "shb", "band", "bv"), Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "sha", "doc_b", "shb").distinct()
       val hamming = expr("bit_count(sha ^ shb)")
       cand
-        .filter(hamming <= 6)
+        .filter(hamming <= 3)
         .select(col("doc_a"), col("doc_b"),
           hamming.cast(IntegerType).as("hamming"))
         .orderBy("doc_a", "doc_b")

@@ -53,17 +53,21 @@ object TextFunctions {
   def minhash(shingleArr: Column, perm: Int): Column =
     array_min(transform(shingleArr, s => polyHash(concat(lit(s"$perm|"), s))))
 
-  /** 32-bit SimHash over the token multiset: bit j of the result is the
+  /** n-bit SimHash over the token multiset: bit j of the result is the
     * sign of Σ_tokens (bit_j(H(token))*2-1). Single-pass: one aggregate
-    * folds every token hash into a 32-wide bit-sum array (bit test via
+    * folds every token hash into an n-wide bit-sum array (bit test via
     * `h & 2^j`), then one fold re-assembles the value — the token hashes
     * are evaluated exactly once per row (a per-bit formulation would be
-    * inlined 32× by Catalyst's project collapsing). */
-  def simhash(tokenHashes: Column): Column = {
-    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
+    * inlined n× by Catalyst's project collapsing).
+    *
+    * The hash domain is mod 1e9+7, so only bits 0..29 carry signal; wider
+    * signatures must combine several independent hash arrays (see
+    * `t10_simhash_pairs`: two 30-bit half-signatures → 60 usable bits). */
+  def simhashBits(tokenHashes: Column, nbits: Int): Column = {
+    val powers = array((0 until nbits).map(j => lit(1L << j)): _*)
     val bitSums = aggregate(
       tokenHashes,
-      array_repeat(lit(0L), 32),
+      array_repeat(lit(0L), nbits),
       (acc, h) => zip_with(acc,
         transform(powers, p => when(h.bitwiseAND(p) > 0, lit(1L)).otherwise(lit(-1L))),
         (a, b) => a + b))
@@ -71,6 +75,9 @@ object TextFunctions {
       zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
   }
+
+  /** 32-bit SimHash (bits 30/31 are structurally 0 — see [[simhashBits]]). */
+  def simhash(tokenHashes: Column): Column = simhashBits(tokenHashes, 32)
 
   /** Winnowing-style document fingerprint: min hash over n-token shingles
     * (single permutation). Equal fingerprints → near-dup candidates. */
@@ -95,12 +102,15 @@ object TextSql {
   def minhash(shingleExpr: String, perm: Int): String =
     s"list_min(list_transform($shingleExpr, s -> ${hash(s"'$perm|' || s")}))"
 
-  /** 32-bit simhash over a precomputed token-hash list expression `hs`. */
-  def simhash(hs: String): String =
-    (0 until 32).map { j =>
+  /** n-bit simhash over a precomputed token-hash list expression `hs`. */
+  def simhashBits(hs: String, nbits: Int): String =
+    (0 until nbits).map { j =>
       val pow = 1L << j
       s"(CASE WHEN list_sum(list_transform($hs, h -> ((h // $pow) % 2)*2 - 1)) > 0 THEN CAST($pow AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** 32-bit simhash over a precomputed token-hash list expression `hs`. */
+  def simhash(hs: String): String = simhashBits(hs, 32)
 
   def fingerprint(l: String, n: Int = 4): String =
     s"list_min(list_transform(${shingles(l, n)}, s -> ${hash("s")}))"

@@ -32,6 +32,47 @@ class ScaleCapsSpec extends SparkSpec {
       && r.getAs[Long]("doc_b") >= 1000L))
   }
 
+  test("t5 LSH bucket cap drops a hot minhash bucket; small buckets still pair") {
+    val dir = tmpDir("t5-hotbucket")
+    // 150 identical docs share every minhash → all 8 band buckets hold 150
+    // (> MaxBandBucket = 100) → without the cap: 8 · 150·149/2 ≈ 89k joined
+    // rows. 5 identical docs of a different text form size-5 buckets that
+    // must still pair (est_jaccard 1.0).
+    val hot = (0 until 150).map(i =>
+      (i.toLong, "hot boilerplate page footer terms privacy contact", "en", "syn", 48L))
+    val warm = (0 until 5).map(i =>
+      (1000L + i, "warm unique little story about mountain lakes", "en", "syn", 45L))
+    (hot ++ warm).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry.queries("t5_minhash_lsh")(spark, dir).collect()
+    graft.analytics.Caches.release()
+    assert(got.length === 5 * 4 / 2)
+    assert(got.forall(r => r.getAs[Long]("doc_a") >= 1000L
+      && r.getAs[Long]("doc_b") >= 1000L))
+    assert(got.forall(_.getAs[Double]("est_jaccard") === 1.0))
+  }
+
+  test("t10 simhash band cap drops a hot band bucket; small buckets still pair") {
+    val dir = tmpDir("t10-hotband")
+    // identical docs → identical 60-bit signatures → every band bucket of
+    // the hot group holds 150 (> MaxBandBucket) and is dropped; the warm
+    // group's size-5 buckets survive and pair at hamming 0.
+    val hot = (0 until 150).map(i =>
+      (i.toLong, "hot boilerplate page footer terms privacy contact", "en", "syn", 48L))
+    val warm = (0 until 5).map(i =>
+      (1000L + i, "warm unique little story about mountain lakes", "en", "syn", 45L))
+    (hot ++ warm).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry.queries("t10_simhash_pairs")(spark, dir).collect()
+    graft.analytics.Caches.release()
+    assert(got.length === 5 * 4 / 2)
+    assert(got.forall(r => r.getAs[Long]("doc_a") >= 1000L
+      && r.getAs[Long]("doc_b") >= 1000L))
+    assert(got.forall(_.getAs[Int]("hamming") === 0))
+  }
+
   test("v3 sub-bucketing splits an oversized bucket on sign bits") {
     val dir = tmpDir("v3-hotbucket")
     // one label bucket of 600 vectors (> threshold 256 → 2 sign bits →
