@@ -534,6 +534,38 @@ object RelationalQueries {
         .orderBy("code")
     },
 
+    // ----- F9: particulate-vs-gas parameter category
+    // (Batch_Silver_to_Gold notebook-content.py:108-111). The harness has
+    // no parameter_code column, so the code domain is derived: p_partkey
+    // indexes a fixed 5-code list covering both particulate codes and
+    // three gas codes (public EPA AQS codes: PM2.5, PM10, CO, O3, SO2).
+    // One definition site: the oracle's IN-list is emitted from
+    // Schemas.particulateCodes.
+    Q("f9_param_category", "F9", {
+      val codes = Seq("88101", "81102", "42101", "44201", "42401")
+      val codeList = codes.map(c => s"'$c'").mkString(", ")
+      val partIn = graft.model.Schemas.particulateCodes
+        .map(c => s"'$c'").mkString(", ")
+      s"""SELECT code,
+         |  CASE WHEN code IN ($partIn) THEN 'Particulate Matter'
+         |       ELSE 'Gas' END AS category,
+         |  COUNT(*) AS n
+         |FROM (SELECT ([$codeList])[CAST(p_partkey % 5 AS INT) + 1] AS code
+         |      FROM part)
+         |GROUP BY code ORDER BY code""".stripMargin
+    }) { (s, dir) =>
+      val codes = Seq("88101", "81102", "42101", "44201", "42401")
+      Tables.part(s, dir)
+        .select(element_at(array(codes.map(lit): _*),
+          (col("p_partkey") % 5).cast(IntegerType) + 1).as("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("category",
+          graft.operators.DimBuild.parameterCategory(col("code")))
+        .select("code", "category", "n")
+        .orderBy("code")
+    },
+
     // ----- SAMEPERIODLASTYEAR analog (FACT.tmdl:82-97 `AVG AQI PY` /
     // `AVG YoY Perc`): monthly aggregate left-joined to itself on
     // add_months(month, -12). Months without a prior-year twin (first year
