@@ -24,6 +24,15 @@ object VectorQueries {
     * sign-bit LSH (see `v3_cosine_neardup`). */
   val SubBucketThreshold = 256
 
+  /** Coarse-quantizer training sample step (see `v4_ann_trained`): every
+    * CentroidStep-th vector becomes a centroid — a deterministic seeded
+    * sample, so the oracle can reproduce the exact centroid set without a
+    * shared RNG. K grows as N/step; a production trainer would run
+    * k-means|| over a sample, but the *assignment plumbing* (centroids
+    * table → broadcast argmin join → cluster-bucketed probe) is identical
+    * and is what this operator exercises. */
+  val CentroidStep = 61
+
   /** Sign-bit LSH sub-bucket key: 0 for small buckets; for oversized ones,
     * ceil(log2(cnt/threshold)) (≤ 8) sign bits of the leading vector
     * components packed into a long. Spark twin of the oracle's `sub`. */
@@ -122,6 +131,79 @@ object VectorQueries {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ----- end-to-end trained IVF: coarse-quantizer training (seeded
+    // centroid sample) → assignment (broadcast argmin join: K centroids,
+    // cosine, ties to the lower centroid id) → cluster-bucketed top-3
+    // probe, replacing v2's precomputed `label`. Scale posture: the
+    // centroid set is K ≈ N/step rows — broadcast-sized by construction
+    // (real IVF keeps K ≈ √N); assignment is a broadcast nested-loop plus
+    // one shuffle on vec_id for the argmin window; the probe join is
+    // co-partitioned on centroid_id exactly like v2.
+    Q("v4_ann_trained", "ANN-ivf-trained", {
+      val acos = s"${VS.dot("n.v", "c.cv")} / (n.nrm * c.cn)"
+      val pcos = s"${VS.dot("q.qv", "m.mv")} / (q.qn * m.mn)"
+      s"""$baseCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+         |      FROM n WHERE vec_id % $CentroidStep = 0),
+         |asgscored AS (
+         |  SELECT n.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |                       ORDER BY $acos DESC, c.centroid_id) AS rn
+         |  FROM n CROSS JOIN c),
+         |asg AS (SELECT vec_id, centroid_id FROM asgscored WHERE rn = 1),
+         |m AS (SELECT n.vec_id, a.centroid_id, n.v AS mv, n.nrm AS mn
+         |      FROM n JOIN asg a ON n.vec_id = a.vec_id),
+         |q AS (SELECT vec_id AS query_id, centroid_id, mv AS qv, mn AS qn
+         |      FROM m WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.query_id, q.centroid_id, m.vec_id AS neighbor_id,
+         |         $pcos AS cos
+         |  FROM q JOIN m ON q.centroid_id = m.centroid_id
+         |               AND m.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, centroid_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, centroid_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |       round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+      // training: the centroid table (the emit-able quantizer artifact)
+      val cent = broadcast(e.filter(col("vec_id") % CentroidStep === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("v").as("cv"), col("nrm").as("cn")))
+      // assignment: K-way broadcast nested loop + per-vector argmin
+      val wAsg = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      val asg = e.join(cent)
+        .withColumn("ccos", VF.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"))
+      // members table feeds query side + candidate side: persist once
+      val m = Caches.persistTracked(e.join(asg, "vec_id"))
+      val q = m.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("centroid_id"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val cands = m.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("v").as("mv"), col("nrm").as("mn"))
+      val scored = q.join(cands, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VF.dot(col("qv"), col("mv")) / (col("qn") * col("mn")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("centroid_id"), col("neighbor_id"),
+          col("rank"), round(col("cos"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     },
 
