@@ -19,57 +19,81 @@ import org.apache.spark.sql.functions._
   *
   * Checkpointing cuts the lineage so plans don't grow across iterations:
   * `localCheckpoint` (executor-local blocks) for single-node/dev runs;
-  * pass `reliable = true` on a cluster with
-  * `spark.sparkContext.setCheckpointDir` configured so labels survive
-  * executor loss (HDFS/object-store backed).
+  * reliable `checkpoint` (HDFS/object-store backed, survives executor
+  * loss) is chosen automatically whenever the session has a checkpoint
+  * dir configured (`spark.sparkContext.setCheckpointDir`) — cluster runs
+  * get durability without caller changes; pass `reliable` to override.
   */
 object ConnectedComponents {
 
   /** @param edges    two-column frame (src, dst) of undirected edges.
-    * @param maxIter  propagation-round bound; exceeding it with changes
-    *                 still in flight throws (silently split components are
-    *                 a correctness bug, not a degraded answer).
-    * @param reliable use reliable `checkpoint` (requires a checkpoint dir)
-    *                 instead of `localCheckpoint`.
+    * @param maxIter  bound on label-CHANGING propagation rounds: a
+    *                 component of diameter d needs d changing rounds, and
+    *                 convergence is detected by one further quiescent
+    *                 round, which does NOT count against the bound (on
+    *                 hitting it, one extra probe round distinguishes
+    *                 "already converged" from genuine non-convergence).
+    *                 Exceeding the bound with changes still in flight
+    *                 throws — silently split components are a correctness
+    *                 bug, not a degraded answer.
+    * @param reliable Some(true) = reliable `checkpoint` (requires a
+    *                 checkpoint dir), Some(false) = `localCheckpoint`,
+    *                 None (default) = reliable iff the session has a
+    *                 checkpoint dir set.
     * @return (node, component) — component = min node id reachable. */
   def apply(edges: DataFrame, maxIter: Int = 10,
-            reliable: Boolean = false): DataFrame = {
+            reliable: Option[Boolean] = None): DataFrame = {
+    val useReliable = reliable.getOrElse(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
     def save(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
 
     val sym = save(edges.toDF("a", "b")
       .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
       .distinct())
 
-    var labels = save(sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node")))
-
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // One round: every node adopts the min label among itself and its
+    // neighbors. One pass computes both the new label and whether it
+    // moved; the convergence probe is then a scan of the checkpointed
+    // blocks — no second join, no recomputation.
+    def round(cur: DataFrame): (DataFrame, Boolean) = {
       val neighborMin = sym
-        .join(labels.withColumnRenamed("node", "b")
+        .join(cur.withColumnRenamed("node", "b")
           .withColumnRenamed("component", "nbr_component"),
           Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min("nbr_component").as("nbr_component"))
-      // One pass computes both the new label and whether it moved; the
-      // convergence probe is then a scan of the checkpointed blocks —
-      // no second join, no recomputation.
-      val next = save(labels.join(neighborMin, Seq("node"), "left")
+      val next = save(cur.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"),
           (coalesce(col("nbr_component"), col("component")) < col("component"))
             .as("changed")))
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.drop("changed")
+      val quiet = next.filter(col("changed")).isEmpty
+      (next.drop("changed"), quiet)
+    }
+
+    var converged = false
+    var iter = 0
+    var labels = save(sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")))
+    while (!converged && iter < maxIter) {
+      val (next, quiet) = round(labels)
+      labels = next
+      converged = quiet
       iter += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds — " +
-          "a component's diameter exceeds maxIter; raise maxIter")
+    if (!converged) {
+      // The bound was hit by a still-changing round — but its updates may
+      // already BE the fixpoint (a diameter-d component converges in round
+      // d and proves it in round d+1). One probe round settles it without
+      // charging the caller an extra diameter unit.
+      val (_, quiet) = round(labels)
+      if (!quiet)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds — " +
+            "a component's diameter exceeds maxIter; raise maxIter")
+    }
     labels
   }
 

@@ -105,8 +105,10 @@ class ScaleCapsSpec extends SparkSpec {
       graft.operators.ConnectedComponents(chain, maxIter = 3).collect()
     }
     assert(e.getMessage.contains("converge"))
-    // and with enough rounds the same chain resolves to one component
-    val ok = graft.operators.ConnectedComponents(chain, maxIter = 12)
+    // maxIter = diameter exactly: the final labels land in round 11 and
+    // the quiescence probe (which doesn't count against the bound)
+    // confirms convergence instead of throwing
+    val ok = graft.operators.ConnectedComponents(chain, maxIter = 11)
       .agg(countDistinct("component")).head().getLong(0)
     assert(ok === 1L)
   }

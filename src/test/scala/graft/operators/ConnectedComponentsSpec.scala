@@ -43,6 +43,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(!comp.contains(5L)) // no edges → not in the edge-derived set
   }
 
+  test("checkpoint mode: reliable engages with a checkpoint dir, local still works") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // explicit local mode, independent of session state
+    val local = ConnectedComponents(edges, reliable = Some(false)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expected)
+    // with a checkpoint dir configured, the default (None) auto-selects
+    // reliable checkpointing — cluster durability without caller changes
+    val ckpt = tmpDir("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val auto = ConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto === expected)
+    val written = new java.io.File(ckpt).listFiles()
+    assert(written != null && written.nonEmpty,
+      "reliable mode must materialize checkpoint files under the configured dir")
+  }
+
   test("rolling ingest window computes T-110..T-100") {
     val (from, to) = Ingest.rollingWindow(java.time.LocalDate.of(2026, 8, 12))
     assert(from.toString === "2026-04-24" && to.toString === "2026-05-04")
