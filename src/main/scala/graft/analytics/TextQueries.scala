@@ -261,36 +261,47 @@ object TextQueries {
       graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
       // repartition: the table is few parquet files; without a spread the
-      // signature computation would run on as many cores as files
-      val sh = Tables.documents(s, dir).repartition(col("doc_id"))
-        .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
-      // signatures feed three consumers (bands + both pair sides): persist
-      // so the interpreted minhash computation runs once, not three times —
-      // at scale this stage would be checkpointed for the same reason.
-      // Tracked in Caches; the harness unpersists after the query's action.
-      val sig = Caches.persistTracked(sh.select(
-        col("doc_id") +: (0 until 8).map(p => TF.minhash(col("sh"), p).as(s"mh$p")): _*))
-      val bandCols = (0 until 8).map(p =>
-        struct(lit(p).as("band"), col(s"mh$p").as("sig")))
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-        // hot-bucket cap on the join key's own partitioning (exchange reuse)
-        .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      // signature computation would run on as many cores as files.
+      // The signature ARRAY rides along through the band explode, so the
+      // pair sides never re-join the signature table: one band self-join
+      // + one pair-key aggregate replace r2's distinct + two signature
+      // joins. The persist is a hard materialization boundary between the
+      // HOF signature expressions and the Generate: an expensive array
+      // expression feeding explode re-evaluates per generated row (~8×
+      // measured — ProfileT5), while cached rows explode at memory speed.
+      // At scale this stage would be checkpointed for the same reason.
+      val sig = Caches.persistTracked(
+        Tables.documents(s, dir).repartition(col("doc_id"))
+          .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
+          .select(col("doc_id"),
+            array((0 until 8).map(p => TF.minhash(col("sh"), p)): _*).as("mhs")))
+      val exploded = sig
+        .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
+        .toDF("doc_id", "mhs", "band", "sig")
+      // hot-bucket cap as an aggregate + (AQE-broadcast) semi-join — an
+      // all-hash plan, where a count window would force two full sorts
+      val okBuckets = exploded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("bcnt"))
         .filter(col("bcnt") <= MaxBandBucket)
-        .drop("bcnt")
-      val cand = bands.toDF("doc_a", "band", "sig")
-        .join(bands.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
+        .select("band", "sig")
+      val bands = exploded.join(okBuckets, Seq("band", "sig"))
+        .select("doc_id", "mhs", "band", "sig")
+      val matches = aggregate(
+        zip_with(col("mha"), col("mhb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, b) => a + b)
+      bands.toDF("doc_a", "mha", "band", "sig")
+        .join(bands.toDF("doc_b", "mhb", "band", "sig"), Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val sa = sig.toDF("doc_a" +: (0 until 8).map(p => s"a$p"): _*)
-      val sb = sig.toDF("doc_b" +: (0 until 8).map(p => s"b$p"): _*)
-      val matches = (0 until 8)
-        .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
+        // match count computed per collided row, BEFORE the pair-dedup
+        // aggregate: a primitive column keeps the groupBy a HashAggregate
+        // (first() over the arrays would force a SortAggregate); it is
+        // functionally determined by the pair, so first() is
+        // deterministic in value
         .select(col("doc_a"), col("doc_b"),
-          round(matches / 8.0, 6).as("est_jaccard"))
+          round(matches / 8.0, 6).as("est"))
+        .groupBy("doc_a", "doc_b")
+        .agg(first("est").as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
