@@ -77,16 +77,19 @@ object TextQueries {
                           dir: String): org.apache.spark.sql.DataFrame = {
     graft.plans.GraftFunctions.registerAll(s)
     val toks = TF.tokens(col("text"))
-    // persist: the shingle stage feeds the pair join (twice) and both
-    // size lookups; join on the 64-bit shingle hash, not the string —
-    // smaller shuffle keys and cheaper comparisons (hash collisions hit
-    // both engines identically, so the oracle stays exact)
+    // persist: the HASHED shingle arrays — the stage feeds the df count,
+    // the pair join (twice) and both size lookups. Joining on the hash,
+    // not the string, means smaller shuffle keys and cheaper comparisons
+    // (hash collisions hit both engines identically, so the oracle stays
+    // exact); hashing INSIDE the persisted projection means the explode
+    // generator below is a bare cached attribute — an expensive HOF
+    // generator re-evaluates per generated row (see ProfileT5).
     val sh = Caches.persistTracked(
       Tables.documents(s, dir).repartition(col("doc_id"))
-        .select(col("doc_id"), TF.shingles(toks, 3).as("s")))
-    val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
-    val ex = sh.select(col("doc_id"),
-      explode(transform(col("s"), x => TF.polyHash(x))).as("h"))
+        .select(col("doc_id"),
+          transform(TF.shingles(toks, 3), x => TF.polyHash(x)).as("hs")))
+    val sz = sh.select(col("doc_id"), size(col("hs")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val exf = ex.join(dfreq.filter(col("df") <= MaxShingleDf).select("h"), Seq("h"))
     val inter = exf.toDF("h", "doc_a")
