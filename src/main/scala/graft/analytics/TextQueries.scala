@@ -431,6 +431,68 @@ object TextQueries {
         .orderBy("node")
     },
 
+    // ----- deterministic hash-based corpus sampling: keep a doc iff
+    // H("smpl|" || doc_id) mod 100 < rate. Reproducible across runs and
+    // engines (no RNG), stable under reprocessing (a doc's fate never
+    // changes as the corpus grows), and embarrassingly parallel — a narrow
+    // filter with no shuffle, the sampling operator a curation pipeline
+    // actually ships. The salt prefix decorrelates the sample from any
+    // other hash use of doc_id.
+    Q("t11_hash_sample", "SAMPLE-hash",
+      s"""SELECT doc_id,
+         |  CAST(${TS.hash("'smpl|' || doc_id")} % 100 AS INT) AS bucket
+         |FROM documents
+         |WHERE ${TS.hash("'smpl|' || doc_id")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val bucket = pmod(
+        TF.polyHash(concat(lit("smpl|"), col("doc_id").cast("string"))), lit(100L))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bucket.cast(IntegerType).as("bucket"))
+        .filter(col("bucket") < 10)
+        .orderBy("doc_id")
+    },
+
+    // ----- per-source token-length quantiles by exact rank selection:
+    // row_number over (n_tokens, doc_id) within each source, quantile =
+    // the value at rank ceil(q·n) — bit-identical in any engine, unlike
+    // interpolating percentile variants whose formulas differ. One shuffle
+    // on the group key; per-group sort cost is the corpus-stats price any
+    // exact quantile pays (at 100 TB you'd pre-aggregate to (source,
+    // n_tokens, count) first — same plan shape, smaller sort).
+    Q("t12_len_quantiles", "STATS-quantiles",
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_tokens, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM s)
+        |SELECT source,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN n_tokens END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN n_tokens END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN n_tokens END) AS p75,
+        |  max(n_tokens) AS p100, count(*) AS n_docs
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val sDf = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+      val r = sDf
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      def q(p: Double, name: String) =
+        max(when(col("rn") === ceil(lit(p) * col("cnt")).cast("long"),
+          col("n_tokens"))).as(name)
+      r.groupBy("source")
+        .agg(q(0.25, "p25"), q(0.50, "p50"), q(0.75, "p75"),
+          max("n_tokens").as("p100"), count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
     // ----- winnowing-style fingerprint: min 4-gram shingle hash per doc;
     // equal fingerprints are near-dup candidate clusters.
     Q("t8_fingerprint", "TXT-fingerprint",
