@@ -43,6 +43,59 @@ object MultimodalQueries {
           col("meta.sampleRate").as("sample_rate"),
           col("meta.nFrames").as("n_frames"))
         .orderBy("doc_id")
+    },
+
+    // Metadata-level media planning on top of the decode: resize targets
+    // (fit longest side to 256, never upscale) for every asset plus the
+    // every-30th frame-sample count for videos — pure column math over the
+    // decoded struct, no payload touch, no shuffle beyond the decode's.
+    // Oracle note: out_* use floor();  Spark's double→int cast truncates
+    // while DuckDB's rounds, so the floor is explicit in both engines
+    // (values are non-negative: truncation ≡ floor).
+    Q("m2_resize_plan", "MM-resize-framesample", {
+      val h = TS.hash("text")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |    $h AS h
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, modality,
+         |    CAST(64 + h % 512 AS INT) AS width,
+         |    CAST(64 + (h // 512) % 512 AS INT) AS height,
+         |    CAST(CASE WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
+         |      AS n_frames
+         |  FROM m),
+         |p AS (
+         |  SELECT doc_id, modality, width, height,
+         |    CASE WHEN greatest(width, height) > 256
+         |         THEN 256 / CAST(greatest(width, height) AS DOUBLE)
+         |         ELSE 1.0 END AS scale,
+         |    n_frames
+         |  FROM d)
+         |SELECT doc_id, modality, width, height,
+         |  round(scale, 6) AS scale,
+         |  CAST(floor(width * scale) AS INT) AS out_width,
+         |  CAST(floor(height * scale) AS INT) AS out_height,
+         |  CASE WHEN modality = 'video'
+         |       THEN greatest(1, CAST(floor(n_frames / CAST(30 AS DOUBLE)) AS INT))
+         |       END AS sampled_frames
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
+      val decoded = Multimodal.decodeMeta(s, media)
+      val resized = Multimodal.resizePlan(decoded, maxSide = 256)
+      val frames = Multimodal.frameSamplePlan(decoded, everyN = 30)
+        .select(col("doc_id"), col("sampled_frames"))
+      resized.join(frames, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("meta.modality").as("modality"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          round(col("scale"), 6).as("scale"),
+          col("out_width"), col("out_height"),
+          col("sampled_frames").cast(IntegerType).as("sampled_frames"))
+        .orderBy("doc_id")
     }
   )
 }
