@@ -62,6 +62,20 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on the event id — the ingest-side twin of batch
+    * `dropDuplicates`: `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes it, so state size tracks the lateness
+    * horizon, not history — the property that makes exact dedup viable on
+    * an unbounded 100 TB/day feed (a plain streaming dropDuplicates would
+    * accumulate every key ever seen). Duplicates arriving within the
+    * horizon are suppressed; a replay later than the watermark delay is a
+    * new row — callers pick the horizon to match their at-least-once
+    * window. */
+  def dedupEvents(events: DataFrame,
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of user inactivity — emitted on the batch that
     * observes the gap, or via event-time state timeout for users who go

@@ -72,6 +72,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(u2.getAs[Double]("total_value") === 9.0)
   }
 
+  test("streaming dedup suppresses within-watermark duplicate event ids") {
+    import spark.implicits._
+    val dir = tmpDir("events-dedup") + "/data"
+    def ev(id: Long, minute: Long, v: Double) =
+      (id, (minute + 1440L) * 60L * 1000000000L, 7L, "click", v, "{}")
+    // event 10 arrives three times (an at-least-once replay burst), the
+    // duplicates well inside the 2h watermark horizon → exactly one
+    // survivor; 11/12 are unique
+    Seq(ev(10L, 0, 1.0), ev(10L, 5, 1.0), ev(11L, 10, 2.0),
+      ev(12L, 20, 3.0), ev(10L, 30, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.parquet(dir)
+    val got = startStream(
+      EventStreams.dedupEvents(EventStreams.readEventStream(spark, dir)),
+      "dedup", OutputMode.Append())
+    assert(got.count() === 3)
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L, 12L))
+  }
+
   test("streaming sessions agree with the e3 batch twin") {
     // Every emitted streaming session must appear verbatim in the batch
     // sessionization of the same events (the e3_sessionize formulation).
