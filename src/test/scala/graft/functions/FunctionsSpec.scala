@@ -50,6 +50,39 @@ class FunctionsSpec extends SparkSpec {
     assert(got.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("simhashBits: width control, 32-bit compat, 60-bit composition locality") {
+    val texts = Seq(
+      "spark window agg join broadcast shuffle codegen",
+      "spark window agg join broadcast shuffle codegen",      // identical
+      "spark window agg join broadcast shuffle pipeline",     // 1 token off
+      "entirely unrelated vocabulary everywhere now")
+    val df = texts.toDF("text")
+      .withColumn("hs1", transform(TextFunctions.tokens(col("text")),
+        t => TextFunctions.polyHash(t)))
+      .withColumn("hs2", transform(TextFunctions.tokens(col("text")),
+        t => TextFunctions.polyHash(concat(lit("q|"), t))))
+      .select(
+        TextFunctions.simhashBits(col("hs1"), 30).as("h30"),
+        (TextFunctions.simhashBits(col("hs1"), 30) +
+          TextFunctions.simhashBits(col("hs2"), 30) * lit(1073741824L)).as("h60"),
+        TextFunctions.simhash(col("hs1")).as("h32"))
+    val rows = df.collect()
+    val h30 = rows.map(_.getAs[Long]("h30"))
+    val h60 = rows.map(_.getAs[Long]("h60"))
+    val h32 = rows.map(_.getAs[Long]("h32"))
+    // the hash domain is mod 1e9+7 (< 2^30), so 30- and 32-bit simhashes
+    // agree and stay in 30-bit range
+    assert(h30 === h32)
+    assert(h30.forall(v => v >= 0 && v < (1L << 30)))
+    assert(h60.forall(v => v >= 0 && v < (1L << 60)))
+    // identical docs collide at 60 bits; near-identical docs land within
+    // a small Hamming distance; unrelated docs far away
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h60(0) === h60(1))
+    assert(ham(h60(0), h60(2)) <= 12)
+    assert(ham(h60(0), h60(3)) > 12)
+  }
+
   test("codegen DotProduct equals the HOF formulation bit-for-bit") {
     val rng = new scala.util.Random(7)
     val df = (1 to 100).map { _ =>
