@@ -85,7 +85,9 @@ object MultimodalQueries {
     }) { (s, dir) =>
       val media = Multimodal.attachPayload(
         Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
-      val decoded = Multimodal.decodeMeta(s, media)
+      // decode feeds both planning branches: persist so the (at scale,
+      // codec-expensive) decode pass runs once, not per consumer
+      val decoded = Caches.persistTracked(Multimodal.decodeMeta(s, media))
       val resized = Multimodal.resizePlan(decoded, maxSide = 256)
       val frames = Multimodal.frameSamplePlan(decoded, everyN = 30)
         .select(col("doc_id"), col("sampled_frames"))
