@@ -207,6 +207,70 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ----- LSH-bucketed ANN: the hyperplane alternative to IVF (v2/v4).
+    // 4 deterministic pseudo-random hyperplanes (components k/8 for exact
+    // binary representation, one shared Scala definition site emitted into
+    // both engines) hash every vector to a 4-bit sign bucket; queries probe
+    // only their own bucket — candidate scan N/16 per query via one
+    // co-partitioned equi-join on the bucket id, never a cross join. Same
+    // recall/probe trade IVF makes, but index-free: no centroid table, no
+    // training pass — the right variant when the corpus churns faster than
+    // a quantizer can be retrained. Scale shape at 100 TB: bucket id is a
+    // narrow per-row map; the probe join shuffles on it once.
+    Q("v5_ann_lsh", "ANN-lsh", {
+      def w(r: Int, i: Int): Double = (((r * 73 + i * 37) % 17) - 8) / 8.0
+      def wSql(r: Int): String =
+        (0 until 64).map(i => w(r, i).toString).mkString("[", ", ", "]::DOUBLE[]")
+      val bucketSql = (0 until 4).map(r =>
+        s"(CASE WHEN ${VS.dot("n.v", s"hp.w$r")} >= 0 THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      val cos = s"${VS.dot("q.qv", "c.cv")} / (q.qn * c.cn)"
+      s"""$baseCte,
+         |hp AS (SELECT ${(0 until 4).map(r => s"${wSql(r)} AS w$r").mkString(", ")}),
+         |b AS (SELECT vec_id, v, nrm, CAST($bucketSql AS INT) AS bucket
+         |      FROM n CROSS JOIN hp),
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv, nrm AS qn
+         |      FROM b WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, bucket, v AS cv, nrm AS cn FROM b),
+         |scored AS (
+         |  SELECT q.query_id, q.bucket, c.neighbor_id, $cos AS cos
+         |  FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, bucket, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, bucket, neighbor_id, CAST(rank AS INT) AS rank,
+         |       round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      def w(r: Int, i: Int): Double = (((r * 73 + i * 37) % 17) - 8) / 8.0
+      def hyper(r: Int) = array((0 until 64).map(i => lit(w(r, i))): _*)
+      val bucket = (0 until 4).map(r =>
+        when(VF.dot(col("v"), hyper(r)) >= 0, lit(1 << r)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+        .withColumn("bucket", bucket.cast(IntegerType))
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = b.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val scored = q.join(c, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VF.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      val win = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(win).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("bucket"), col("neighbor_id"),
+          col("rank"), round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ----- embedding-cosine near-duplicate pairs within cluster buckets:
     // the O(n²) pair space is cut to per-bucket pairs before any scoring.
     // Oversized buckets (> SubBucketThreshold vectors) are further split
