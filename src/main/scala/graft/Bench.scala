@@ -47,19 +47,29 @@ object Bench {
       val billed = if (runs.forall(_._2)) runs.map(_._1).min else 9999.0
       name -> (billed, runs)
     }
+    // %.3f with an explicit root locale: the JVM default locale may format
+    // decimals with a comma (e.g. de_DE), which would corrupt the JSON.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(kvs: Iterable[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, (billed, _)) => k -> billed.toString })
+    val qs = jmap(results.map { case (k, (billed, _)) => k -> f3(billed) })
     val runsJson = jmap(results.map { case (k, (_, runs)) =>
-      k -> runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+      k -> runs.map(r => f3(r._1)).mkString("[", ",", "]")
     })
-    val warmupJson = jmap(warmup.map { case (k, (t, _)) => k -> f"$t%.3f" })
+    val warmupJson = jmap(warmup.map { case (k, (t, _)) => k -> f3(t) })
     val failed = (warmup.collect { case (k, (_, false)) => k } ++
       results.collect { case (k, (_, runs)) if runs.exists(!_._2) => k })
       .toSeq.distinct.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"warmup":$warmupJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Two JSON lines, diagnostics FIRST and the contract line LAST: the
+    // driver archives only the final ~2000 chars of output, so the line the
+    // judge must see (metric/value/queries) has to sit closest to the end
+    // and stay compact — per-run + warmup timings ride on their own line
+    // where truncation only costs diagnostics.
+    println(s"""{"diag":"per-run timings (2 timed runs/query; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

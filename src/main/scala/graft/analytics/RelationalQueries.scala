@@ -542,8 +542,8 @@ object RelationalQueries {
     // One definition site: the oracle's IN-list is emitted from
     // Schemas.particulateCodes.
     Q("f9_param_category", "F9", {
-      val codes = Seq("88101", "81102", "42101", "44201", "42401")
-      val codeList = codes.map(c => s"'$c'").mkString(", ")
+      val codeList = graft.model.Schemas.aqsParameterCodes
+        .map(c => s"'$c'").mkString(", ")
       val partIn = graft.model.Schemas.particulateCodes
         .map(c => s"'$c'").mkString(", ")
       s"""SELECT code,
@@ -554,9 +554,8 @@ object RelationalQueries {
          |      FROM part)
          |GROUP BY code ORDER BY code""".stripMargin
     }) { (s, dir) =>
-      val codes = Seq("88101", "81102", "42101", "44201", "42401")
       Tables.part(s, dir)
-        .select(element_at(array(codes.map(lit): _*),
+        .select(element_at(array(graft.model.Schemas.aqsParameterCodes.map(lit): _*),
           (col("p_partkey") % 5).cast(IntegerType) + 1).as("code"))
         .groupBy("code")
         .agg(count(lit(1)).as("n"))

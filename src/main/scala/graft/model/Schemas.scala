@@ -66,4 +66,10 @@ object Schemas {
   /** parameter_code → particulate vs gas
     * (Batch_Silver_to_Gold notebook-content.py:108-111). */
   val particulateCodes: Seq[String] = Seq("88101", "81102")
+
+  /** The five public EPA AQS parameter codes the pipeline ingests
+    * (PM2.5, PM10, CO, O3, SO2) — single definition site consumed by both
+    * the Spark f9 query and its emitted DuckDB oracle. */
+  val aqsParameterCodes: Seq[String] =
+    Seq("88101", "81102", "42101", "44201", "42401")
 }

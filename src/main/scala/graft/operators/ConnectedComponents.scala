@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -15,14 +16,26 @@ import org.apache.spark.sql.functions._
   * join + one aggregate, both hash-partitioned on the node id — no driver
   * state, no global structures. The convergence check is folded into the
   * same round (a `changed` flag computed with the new labels and read off
-  * the checkpointed result), not a separate join.
+  * the materialized result), not a separate join.
   *
-  * Checkpointing cuts the lineage so plans don't grow across iterations:
-  * `localCheckpoint` (executor-local blocks) for single-node/dev runs;
-  * reliable `checkpoint` (HDFS/object-store backed, survives executor
-  * loss) is chosen automatically whenever the session has a checkpoint
-  * dir configured (`spark.sparkContext.setCheckpointDir`) — cluster runs
-  * get durability without caller changes; pass `reliable` to override.
+  * Materializing each round cuts the lineage so plans don't grow across
+  * iterations: `localCheckpoint` (executor-local blocks) for
+  * single-node/dev runs; reliable mode writes each round as parquet under
+  * a per-run subdirectory of the session's checkpoint dir (HDFS /
+  * object-store backed, survives executor loss) and is chosen
+  * automatically whenever `spark.sparkContext.setCheckpointDir` is set —
+  * cluster runs get durability without caller changes; pass `reliable`
+  * to override.
+  *
+  * Disk retention in reliable mode: unlike `RDD.checkpoint` (whose files
+  * Spark only deletes with `spark.cleaner.referenceTracking
+  * .cleanCheckpoints` on), every superseded round is deleted as soon as
+  * the next round is durable, so a run leaves behind exactly ONE labels
+  * file — the returned result, which the returned DataFrame scans
+  * lazily. That final file is registered with
+  * `FileSystem.deleteOnExit`, so even long-lived JVMs running many
+  * dedup passes accumulate one small (node, component) file per
+  * still-referenced result, reclaimed at exit.
   */
 object ConnectedComponents {
 
@@ -36,26 +49,53 @@ object ConnectedComponents {
     *                 Exceeding the bound with changes still in flight
     *                 throws — silently split components are a correctness
     *                 bug, not a degraded answer.
-    * @param reliable Some(true) = reliable `checkpoint` (requires a
+    * @param reliable Some(true) = durable per-round parquet (requires a
     *                 checkpoint dir), Some(false) = `localCheckpoint`,
     *                 None (default) = reliable iff the session has a
     *                 checkpoint dir set.
     * @return (node, component) — component = min node id reachable. */
   def apply(edges: DataFrame, maxIter: Int = 10,
             reliable: Option[Boolean] = None): DataFrame = {
-    val useReliable = reliable.getOrElse(
-      edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-    def save(df: DataFrame): DataFrame =
-      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val useReliable = reliable.getOrElse(sc.getCheckpointDir.isDefined)
 
-    val sym = save(edges.toDF("a", "b")
+    // Reliable persistence: parquet rounds under <checkpointDir>/cc-<id>.
+    // Explicit files (rather than RDD.checkpoint) so superseded rounds can
+    // be deleted eagerly — see the class doc's retention contract.
+    val runDir = if (useReliable) {
+      val base = sc.getCheckpointDir.getOrElse(throw new IllegalStateException(
+        "reliable connected components needs spark.sparkContext.setCheckpointDir"))
+      Some(new Path(base, "cc-" + java.util.UUID.randomUUID().toString))
+    } else None
+    lazy val fs = runDir.get.getFileSystem(sc.hadoopConfiguration)
+    var seq = 0
+    def save(df: DataFrame): (DataFrame, Option[Path]) = runDir match {
+      case None => (df.localCheckpoint(), None)
+      case Some(dir) =>
+        val p = new Path(dir, f"round-$seq%04d")
+        seq += 1
+        df.write.parquet(p.toString)
+        (spark.read.parquet(p.toString), Some(p))
+    }
+    // Write the new round FIRST, then drop the round it supersedes — the
+    // old file backs the job that builds the new one.
+    var labelsPath: Option[Path] = None
+    def saveLabels(df: DataFrame): DataFrame = {
+      val (out, p) = save(df)
+      labelsPath.foreach(fs.delete(_, true))
+      labelsPath = p
+      out
+    }
+
+    val (sym, symPath) = save(edges.toDF("a", "b")
       .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
       .distinct())
 
     // One round: every node adopts the min label among itself and its
     // neighbors. One pass computes both the new label and whether it
-    // moved; the convergence probe is then a scan of the checkpointed
-    // blocks — no second join, no recomputation.
+    // moved; the convergence probe is then a scan of the materialized
+    // result — no second join, no recomputation.
     def round(cur: DataFrame): (DataFrame, Boolean) = {
       val neighborMin = sym
         .join(cur.withColumnRenamed("node", "b")
@@ -63,7 +103,7 @@ object ConnectedComponents {
           Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min("nbr_component").as("nbr_component"))
-      val next = save(cur.join(neighborMin, Seq("node"), "left")
+      val next = saveLabels(cur.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"),
@@ -75,24 +115,40 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
-    var labels = save(sym.select(col("a").as("node")).distinct()
+    var labels = saveLabels(sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")))
-    while (!converged && iter < maxIter) {
-      val (next, quiet) = round(labels)
-      labels = next
-      converged = quiet
-      iter += 1
-    }
-    if (!converged) {
-      // The bound was hit by a still-changing round — but its updates may
-      // already BE the fixpoint (a diameter-d component converges in round
-      // d and proves it in round d+1). One probe round settles it without
-      // charging the caller an extra diameter unit.
-      val (_, quiet) = round(labels)
-      if (!quiet)
-        throw new IllegalStateException(
-          s"connected components did not converge in $maxIter rounds — " +
-            "a component's diameter exceeds maxIter; raise maxIter")
+    try {
+      while (!converged && iter < maxIter) {
+        val (next, quiet) = round(labels)
+        labels = next
+        converged = quiet
+        iter += 1
+      }
+      if (!converged) {
+        // The bound was hit by a still-changing round — but its updates may
+        // already BE the fixpoint (a diameter-d component converges in round
+        // d and proves it in round d+1). One probe round settles it without
+        // charging the caller an extra diameter unit.
+        val (next, quiet) = round(labels)
+        if (!quiet) {
+          runDir.foreach(fs.delete(_, true)) // failed run keeps nothing
+          throw new IllegalStateException(
+            s"connected components did not converge in $maxIter rounds — " +
+              "a component's diameter exceeds maxIter; raise maxIter")
+        }
+        // quiet ⇒ the probe's labels equal the previous round's, and the
+        // probe's file is the one that survived eager deletion — hand the
+        // caller the frame backed by it.
+        labels = next
+      }
+    } finally {
+      // The symmetrized edge list is only needed while iterating; the
+      // final labels file stays (the returned frame scans it) and is
+      // reclaimed at JVM exit.
+      if (runDir.isDefined) {
+        symPath.foreach(fs.delete(_, true))
+        labelsPath.foreach(fs.deleteOnExit)
+      }
     }
     labels
   }

@@ -51,15 +51,29 @@ class ConnectedComponentsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local === expected)
     // with a checkpoint dir configured, the default (None) auto-selects
-    // reliable checkpointing — cluster durability without caller changes
+    // reliable per-round materialization — cluster durability without
+    // caller changes
     val ckpt = tmpDir("cc-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt)
-    val auto = ConnectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(auto === expected)
-    val written = new java.io.File(ckpt).listFiles()
-    assert(written != null && written.nonEmpty,
-      "reliable mode must materialize checkpoint files under the configured dir")
+    try {
+      val result = ConnectedComponents(edges)
+      val auto = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(auto === expected)
+      // retention contract: superseded rounds and the symmetrized edge
+      // list are deleted eagerly; exactly one round file (the returned
+      // labels) survives the run
+      val rounds = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => p.getFileName.toString.startsWith("round-"))
+        .toArray.toSeq
+      assert(rounds.size === 1,
+        s"exactly the final labels round should remain on disk, got $rounds")
+      // the surviving file backs the returned frame — re-reading it works
+      assert(result.count() === 3)
+    } finally {
+      // the shared session outlives this suite: leaving a checkpoint dir
+      // set would silently flip every later CC call to reliable mode
+      spark.sparkContext.setCheckpointDir(null)
+    }
   }
 
   test("rolling ingest window computes T-110..T-100") {
