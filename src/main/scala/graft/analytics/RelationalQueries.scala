@@ -17,6 +17,14 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Price-band intervals for the j13 range join — single definition site
+    * consumed by both the Spark frame and the emitted oracle VALUES list.
+    * Irregular (not grid-computable) boundaries on purpose: the operator
+    * under test is interval containment, not floor-division bucketing. */
+  private val priceBands: Seq[(String, Double, Double)] = Seq(
+    ("budget", 900.0, 925.0), ("value", 925.0, 960.0),
+    ("premium", 960.0, 985.0), ("luxury", 985.0, 1000.0))
+
   /** Scale note: final `orderBy` on query results here is presentation-side
     * (results are small aggregates); fact-scale intermediates are never
     * globally sorted. */
@@ -625,6 +633,117 @@ object RelationalQueries {
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
           count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
         .orderBy("user_id", "sess_seq")
+    },
+
+    // ----- as-of join (operators/AsOfJoin): each event attached to the
+    // user's most recent order at-or-before the event date. Spark lacks
+    // the operator; the library encodes it as union + ignore-nulls running
+    // `last` — one shuffle on the key, per-key linear work, no range
+    // fan-out (see AsOfJoin scaladoc). Orders are pre-reduced to one row
+    // per (customer, day) — max order id that day — so the at-or-before
+    // match is unique. The oracle uses DuckDB's native ASOF LEFT JOIN,
+    // an independent implementation of the same semantics.
+    Q("j12_asof_join", "J-asof,W5",
+      """WITH od AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,
+        |         max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_day
+        |      FROM events)
+        |SELECT e.event_id, e.user_id, e.event_day,
+        |       o.day AS asof_day, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN od o
+        |  ON e.user_id = o.user_id AND e.event_day >= o.day
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val od = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          to_date(col("o_orderdate")).as("__rt"))
+        .agg(max("o_orderkey").as("asof_orderkey"))
+        .withColumn("asof_day", col("__rt"))
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_day"))
+      graft.operators.AsOfJoin(e, od, "user_id", "event_day", "__rt")
+        .select("event_id", "user_id", "event_day", "asof_day", "asof_orderkey")
+        .orderBy("event_id")
+    },
+
+    // ----- range (band) join (operators/ScaleJoins.bandJoin): parts
+    // classified into price bands by interval containment — a non-equi
+    // join with no shuffle key, so the interval side is broadcast and the
+    // fact side streams through with no shuffle (the only plan shape that
+    // survives 100 TB; see bandJoin scaladoc). Band boundaries have one
+    // definition site: the oracle VALUES list is emitted from the same
+    // Seq the Spark frame is built from.
+    Q("j13_range_band", "J-range,A4", {
+      val values = priceBands
+        .map { case (b, lo, hi) =>
+          s"('$b', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH bands(band, lo, hi) AS (VALUES $values)
+         |SELECT b.band, COUNT(*) AS n,
+         |       ${Exact.sqlAvg("p_retailprice")} AS avg_price
+         |FROM part p JOIN bands b
+         |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val bands = priceBands.toDF("band", "lo", "hi")
+      graft.operators.ScaleJoins
+        .bandJoin(Tables.part(s, dir).select(col("p_retailprice").as("price")),
+          bands, "price")
+        .filter(col("band").isNotNull)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), Exact.davg(col("price")).as("avg_price"))
+        .orderBy("band")
+    },
+
+    // ----- grouped stddev + z-score outlier detection. Cross-engine
+    // determinism: stddev is derived from exact decimal sums (n, Σx, Σx²)
+    // cast to double, then the SAME IEEE op sequence on both engines —
+    // sqrt is correctly-rounded per IEEE-754, so unlike log/exp it is
+    // bit-stable across libm implementations. Outliers = rows beyond
+    // 2σ of their group mean; the stats frame is group-cardinality-sized,
+    // so AQE broadcasts the join back onto the fact table — the fact side
+    // is scanned twice but never shuffled.
+    Q("a11_zscore_outliers", "A-stddev,W-outlier",
+      """WITH stats AS (
+        |  SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT priority, n, s1 / n AS mean,
+        |        sqrt((n * s2 - s1 * s1) / (n * (n - 1))) AS sd
+        |      FROM stats),
+        |c AS (SELECT o.o_orderpriority AS priority, COUNT(*) AS n_outliers
+        |      FROM orders o JOIN m ON o.o_orderpriority = m.priority
+        |      WHERE abs(o.o_totalprice - m.mean) > 2.0 * m.sd
+        |      GROUP BY 1)
+        |SELECT m.priority, m.n, round(m.mean, 6) AS mean,
+        |       round(m.sd, 6) AS sd,
+        |       COALESCE(c.n_outliers, 0) AS n_outliers
+        |FROM m LEFT JOIN c ON m.priority = c.priority
+        |ORDER BY m.priority""".stripMargin) { (s, dir) =>
+      val dec = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val stats = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s1"),
+          sum(dec * dec).cast("double").as("s2"))
+      val m = stats.select(col("priority"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n") * (col("n") - lit(1)))).as("sd"))
+      val c = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"), col("o_totalprice").as("x"))
+        .join(m, "priority")
+        .filter(abs(col("x") - col("mean")) > lit(2.0) * col("sd"))
+        .groupBy("priority").agg(count(lit(1)).as("n_outliers"))
+      m.join(c, Seq("priority"), "left")
+        .select(col("priority"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("sd"), 6).as("sd"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy("priority")
     }
   )
 }

@@ -508,6 +508,97 @@ object TextQueries {
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("fingerprint")))
         .orderBy("doc_id")
+    },
+
+    // ----- TF-IDF-style salient terms: top-3 terms per doc by a df-damped
+    // score. The score is tf·(N+1)/(df+1) — monotone in tf and 1/df like
+    // tf·idf, but log-free: an exact integer ratio evaluated as one IEEE
+    // division, bit-identical across engines (ln/exp are NOT
+    // correctly-rounded and differ across libm implementations, so a true
+    // log-idf cannot be hash-compared). Plan shape is the inverted-index
+    // reality at corpus scale: explode → tf agg (shuffle on doc,term) →
+    // df agg (shuffle on term) → tf⋈df (shuffle on term; the vocabulary
+    // is corpus-sized, so no broadcast) → per-doc top-k window (shuffle on
+    // doc). Four shuffles, each on a different key, none avoidable — and
+    // nothing quadratic.
+    Q("t13_tfidf_terms", "TXT-tfidf,W4",
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          ((col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+            .as("score"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("term")))
+          .cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+
+    // ----- stratified (per-language) deterministic sample: up to K docs
+    // per stratum, chosen by salted-hash order — reprocessing-stable class
+    // rebalancing for training mixes (the hash, not arrival order, decides
+    // membership). Scale shape: a naive `row_number() PARTITION BY lang`
+    // funnels a 60%-of-corpus stratum through one task, so the engine runs
+    // two-phase top-K — phase 1 takes K per (lang, salt-of-32) shard in
+    // parallel, phase 2 re-ranks the ≤ 32·K survivors per lang; exact same
+    // result, hot stratum spread over 32 tasks. The oracle states the
+    // semantics directly as the single window.
+    Q("t14_stratified_sample", "SAMPLE-stratified,W4", {
+      val h = TS.hash("'strat|' || doc_id")
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY $h % 1000000007, doc_id) AS rank
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 50
+         |ORDER BY lang, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val k = 50
+      val h = pmod(
+        TF.polyHash(concat(lit("strat|"), col("doc_id").cast("string"))),
+        lit(1000000007L))
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), h.as("h"),
+          pmod(col("doc_id"), lit(32)).as("salt"))
+      // phase 1: top-K within each (lang, salt) shard — 32-way parallel
+      val local = hashed
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("lang", "salt").orderBy("h", "doc_id")))
+        .filter(col("lrn") <= k)
+      // phase 2: exact global top-K per lang over ≤ 32·K survivors
+      local
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy("h", "doc_id")).cast(IntegerType))
+        .filter(col("rank") <= k)
+        .select("doc_id", "lang", "rank")
+        .orderBy("lang", "rank")
     }
   )
 }

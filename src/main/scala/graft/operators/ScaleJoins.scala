@@ -46,4 +46,21 @@ object ScaleJoins {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: Seq[String]): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Range (band) join: attach to each fact row the interval row whose
+    * `[lo, hi)` contains `value`. The interval side is `broadcast()` — a
+    * non-equi join has no shuffle key, so the only scale-right physical
+    * plan is BroadcastNestedLoop with the small side replicated: the fact
+    * table streams through untouched (no shuffle, no sort) and each row
+    * scans the handful of broadcast intervals. For interval sides too big
+    * to broadcast, discretize: map both sides to aligned grid cells and
+    * equi-join on the cell — not needed for dimension-sized band tables.
+    *
+    * `bands` must be non-overlapping for the result to stay 1:1 with
+    * facts; gaps yield NULL band columns (left join). */
+  def bandJoin(facts: DataFrame, bands: DataFrame, valueCol: String,
+               loCol: String = "lo", hiCol: String = "hi"): DataFrame =
+    facts.join(broadcast(bands),
+      facts(valueCol) >= bands(loCol) && facts(valueCol) < bands(hiCol),
+      "left")
 }
