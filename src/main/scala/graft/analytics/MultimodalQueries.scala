@@ -98,6 +98,48 @@ object MultimodalQueries {
           col("out_width"), col("out_height"),
           col("sampled_frames").cast(IntegerType).as("sampled_frames"))
         .orderBy("doc_id")
+    },
+
+    // Chunking plan (Multimodal.chunkPlan): overlapping sample windows for
+    // audio, frame clips for video, whole-asset for images — one row per
+    // (asset, chunk). Fan-out is a per-row explode of an integer range
+    // derived from decoded metadata: no shuffle, no payload touch, row
+    // count proportional to total asset length (the encoder-batch
+    // cardinality, unavoidable by definition).
+    Q("m3_chunk_plan", "MM-chunking", {
+      val h = TS.hash("text")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |    strlen(text) AS byte_len, $h AS h
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, modality,
+         |    CASE modality WHEN 'audio' THEN byte_len
+         |         WHEN 'video' THEN 1 + h % 300 ELSE 1 END AS n_units,
+         |    CASE modality WHEN 'audio' THEN 4000
+         |         WHEN 'video' THEN 30 ELSE 1 END AS chunk,
+         |    CASE modality WHEN 'audio' THEN 3000
+         |         WHEN 'video' THEN 30 ELSE 1 END AS stride
+         |  FROM m),
+         |n AS (
+         |  SELECT *, CASE WHEN n_units <= chunk THEN 1
+         |    ELSE 1 + (n_units - chunk + stride - 1) // stride END AS n_chunks
+         |  FROM u),
+         |c AS (
+         |  SELECT doc_id, modality, n_units, chunk, stride,
+         |    unnest(range(0, CAST(n_chunks AS BIGINT))) AS chunk_idx
+         |  FROM n)
+         |SELECT doc_id, modality, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * stride AS BIGINT) AS chunk_start,
+         |  CAST(least(chunk_idx * stride + chunk, n_units) AS BIGINT) AS chunk_end
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
+      Multimodal.chunkPlan(Multimodal.decodeMeta(s, media))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

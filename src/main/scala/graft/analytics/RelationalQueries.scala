@@ -635,6 +635,41 @@ object RelationalQueries {
         .orderBy("user_id", "sess_seq")
     },
 
+    // ----- batch twin of the streaming stream-stream interval join
+    // (EventStreams.attributionPairs): clicks attributed to same-user
+    // purchases within the hour before. Equi-join on the user key (one
+    // shuffle per side) with the time range as residual predicate —
+    // per-purchase fan-out bounded by that user's clicks in the window.
+    // LEFT join so zero-click purchases surface with n_clicks = 0.
+    Q("e4_attribution", "STREAM-join-twin,J-interval,A1",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |       COUNT(c.click_id) AS n_clicks, max(c.click_ts) AS last_click_ts
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND epoch_us(c.click_ts) > epoch_us(p.purchase_ts) - 3600000000
+        |  AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      p.join(c,
+        col("c_user") === col("user_id") &&
+          unix_micros(col("click_ts")) > unix_micros(col("purchase_ts")) - 3600000000L &&
+          unix_micros(col("click_ts")) <= unix_micros(col("purchase_ts")),
+        "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(count(col("click_id")).as("n_clicks"),
+          max(col("click_ts")).as("last_click_ts"))
+        .orderBy("purchase_id")
+    },
+
     // ----- as-of join (operators/AsOfJoin): each event attached to the
     // user's most recent order at-or-before the event date. Spark lacks
     // the operator; the library encodes it as union + ignore-nulls running

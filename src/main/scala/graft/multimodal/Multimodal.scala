@@ -108,4 +108,43 @@ object Multimodal {
     decoded.filter(col("meta.modality") === "video")
       .withColumn("sampled_frames",
         greatest(lit(1), (col("meta.nFrames") / everyN).cast("int")))
+
+  /** Chunking plan: fixed-size windows with stride over each asset's
+    * temporal axis — overlapping sample windows for audio (the stub's
+    * "samples" are payload bytes), non-overlapping frame clips for video,
+    * a single whole-asset chunk for images. The batch shape encoder
+    * pipelines consume: one row per (asset, chunk) with unit offsets, so
+    * a downstream `mapPartitions` decode can slice payloads without any
+    * row ever exceeding chunk size.
+    *
+    * Pure column math + a per-row `explode` of the chunk index range — no
+    * payload touch, no shuffle; row fan-out per asset is
+    * ceil(n_units/stride), bounded and proportional to asset length. */
+  def chunkPlan(decoded: DataFrame, audioChunk: Int = 4000,
+                audioStride: Int = 3000, videoChunk: Int = 30): DataFrame = {
+    val m = col("meta.modality")
+    val base = decoded.select(col("doc_id"), m.as("modality"),
+      when(m === "audio", col("meta.byteLen"))
+        .when(m === "video", col("meta.nFrames").cast("long"))
+        .otherwise(lit(1L)).as("n_units"),
+      when(m === "audio", lit(audioChunk.toLong))
+        .when(m === "video", lit(videoChunk.toLong))
+        .otherwise(lit(1L)).as("chunk"),
+      when(m === "audio", lit(audioStride.toLong))
+        .when(m === "video", lit(videoChunk.toLong))
+        .otherwise(lit(1L)).as("stride"))
+    base
+      // last chunk may be short but every unit is covered exactly once
+      // past the overlap: 1 + ceil((n - chunk)/stride) chunks when n > chunk
+      .withColumn("n_chunks",
+        when(col("n_units") <= col("chunk"), lit(1L))
+          .otherwise(expr("1 + (n_units - chunk + stride - 1) div stride")))
+      .select(col("doc_id"), col("modality"), col("n_units"), col("chunk"),
+        col("stride"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("modality"), col("chunk_idx"),
+        (col("chunk_idx") * col("stride")).as("chunk_start"),
+        least(col("chunk_idx") * col("stride") + col("chunk"), col("n_units"))
+          .as("chunk_end"))
+  }
 }

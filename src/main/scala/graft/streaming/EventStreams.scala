@@ -76,6 +76,41 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — click→purchase attribution: every
+    * (click, purchase) pair for the same user where the click falls in the
+    * `windowMinutes` before the purchase (inclusive of the purchase
+    * instant). Both branches derive from one event stream (a streaming
+    * self-join, supported since Spark 3.x).
+    *
+    * Scale posture: both sides are watermarked and the join condition
+    * bounds each side's event time relative to the other, so Spark evicts
+    * join state once the watermark passes `purchase_ts` (click side) /
+    * `purchase_ts − window` (purchase side) — state size tracks the
+    * lateness horizon + attribution window, not the stream's history.
+    * The equi-key (user) partitions state; fan-out per purchase is
+    * bounded by that user's clicks inside the window.
+    *
+    * Batch twin: `e4_attribution` aggregates the same pairs per purchase
+    * (LEFT join there, so zero-click purchases surface; the stream emits
+    * matched pairs — append-mode inner join). */
+  def attributionPairs(events: DataFrame, windowMinutes: Int = 60,
+                       watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of user inactivity — emitted on the batch that
     * observes the gap, or via event-time state timeout for users who go

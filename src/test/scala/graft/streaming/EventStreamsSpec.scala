@@ -93,6 +93,33 @@ class EventStreamsSpec extends SparkSpec {
       === Seq(10L, 11L, 12L))
   }
 
+  test("stream-stream attribution join matches the batch pair join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = startStream(
+      EventStreams.attributionPairs(EventStreams.readEventTable(spark, dir)),
+      "attr", OutputMode.Append()).cache()
+    // batch twin of the same inner pair join (e4's pre-aggregation shape)
+    val e = graft.sources.Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val batch = p.join(c,
+      col("c_user") === col("user_id") &&
+        unix_micros(col("click_ts")) > unix_micros(col("purchase_ts")) - 3600000000L &&
+        unix_micros(col("click_ts")) <= unix_micros(col("purchase_ts")))
+      .select("purchase_id", "click_id")
+    assert(got.count() > 0, "fixture data must produce at least one pair")
+    assert(got.count() === batch.count())
+    val keys = Seq("purchase_id", "click_id")
+    assert(got.select(keys.head, keys.tail: _*).join(batch, keys, "left_anti").isEmpty,
+      "streamed pair absent from batch join")
+    assert(batch.join(got.select(keys.head, keys.tail: _*), keys, "left_anti").isEmpty,
+      "batch pair missing from stream")
+  }
+
   test("streaming sessions agree with the e3 batch twin") {
     // Every emitted streaming session must appear verbatim in the batch
     // sessionization of the same events (the e3_sessionize formulation).
