@@ -670,6 +670,38 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ----- running COUNT(DISTINCT) — cumulative unique users by day.
+    // A distinct count is not window-able directly (per-frame distinct
+    // state is quadratic); the scalable identity: each user counts once
+    // on their FIRST day (one agg on user), daily news aggregate (one agg
+    // on day), then a running sum over the day axis — the distinct-ness
+    // is resolved before any window runs, and the window frame is
+    // day-cardinality, not event-cardinality.
+    Q("w10_cum_distinct", "W7,A6,D4",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |           FROM events GROUP BY 1),
+        |nu AS (SELECT first_day AS day, COUNT(*) AS new_users
+        |       FROM f GROUP BY 1),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |SELECT days.day, COALESCE(nu.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+        |    ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM days LEFT JOIN nu ON days.day = nu.day
+        |ORDER BY days.day""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = e.groupBy("user_id").agg(min("day").as("first_day"))
+      val newUsers = firstDay.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val days = e.select("day").distinct()
+      // day-cardinality frame: the unpartitioned running sum is over ~one
+      // row per day, a presentation-sized axis, not the event table
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(newUsers, Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("day")
+    },
+
     // ----- as-of join (operators/AsOfJoin): each event attached to the
     // user's most recent order at-or-before the event date. Spark lacks
     // the operator; the library encodes it as union + ignore-nulls running

@@ -559,6 +559,37 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // ----- normalization / masking pass: lowercase, mask email-shaped
+    // and numeric tokens, collapse runs of whitespace — the standard
+    // pre-dedup canonicalization (so "Call 555-1234" and "call 555-9999"
+    // dedup together). Pure per-row regex map: no shuffle, streams at
+    // scan speed. Patterns stay in the POSIX-classes subset that Java
+    // regex (Spark) and RE2 (DuckDB) interpret identically; DuckDB needs
+    // the explicit 'g' flag to match Spark's replace-all default.
+    Q("t15_normalize", "TXT-normalize,F1", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |    '$email', '<EMAIL>', 'g'),
+         |    '[0-9]+', '<NUM>', 'g'),
+         |    '[ \\t]+', ' ', 'g')) AS norm_text,
+         |  CAST(strlen(text) AS INT) AS n_chars_before,
+         |  CAST(strlen(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |    '$email', '<EMAIL>', 'g'),
+         |    '[0-9]+', '<NUM>', 'g'),
+         |    '[ \\t]+', ' ', 'g'))) AS INT) AS n_chars_after
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+      val norm = trim(regexp_replace(regexp_replace(regexp_replace(lower(col("text")),
+        email, "<EMAIL>"), "[0-9]+", "<NUM>"), "[ \\t]+", " "))
+      Tables.documents(s, dir).select(
+        col("doc_id"), norm.as("norm_text"),
+        length(col("text")).as("n_chars_before"),
+        length(norm).as("n_chars_after"))
+        .orderBy("doc_id")
+    },
+
     // ----- stratified (per-language) deterministic sample: up to K docs
     // per stratum, chosen by salted-hash order — reprocessing-stable class
     // rebalancing for training mixes (the hash, not arrival order, decides

@@ -44,4 +44,25 @@ class MultimodalSpec extends SparkSpec {
     val sampled = Multimodal.frameSamplePlan(decoded, everyN = 10)
     assert(sampled.select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
+
+  test("chunk plan covers every unit with stride overlap and exact tails") {
+    val decoded = Multimodal.decodeMeta(spark, media)
+    // audio doc 1 has byteLen 5 (= "short"): chunk 4, stride 3 →
+    // chunks [0,4) and [3,5) — boundary case where the last chunk is
+    // short but the tail unit is still covered
+    val audio = Multimodal.chunkPlan(decoded, audioChunk = 4, audioStride = 3)
+      .filter(col("doc_id") === 1).orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("chunk_start"),
+        r.getAs[Long]("chunk_end")))
+    assert(audio.toSeq === Seq((0L, 0L, 4L), (1L, 3L, 5L)))
+    // n_units == chunk exactly → a single chunk, no empty trailing chunk
+    val exact = Multimodal.chunkPlan(decoded, audioChunk = 5, audioStride = 3)
+      .filter(col("doc_id") === 1).collect()
+    assert(exact.length === 1)
+    assert(exact.head.getAs[Long]("chunk_end") === 5L)
+    // images are always a single whole-asset chunk
+    val img = Multimodal.chunkPlan(decoded).filter(col("modality") === "image")
+      .collect()
+    assert(img.length === 1 && img.head.getAs[Long]("chunk_idx") === 0L)
+  }
 }
