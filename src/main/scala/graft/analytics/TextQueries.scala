@@ -590,6 +590,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- benchmark decontamination: corpus docs sharing any 4-gram
+    // shingle hash with the held-out set (doc_id % 97 = 0 stands in for a
+    // benchmark membership table — the harness ships no second corpus).
+    // THE pre-training hygiene op: training docs overlapping an eval set
+    // are flagged with their shared-shingle counts. Scale shape: one
+    // shingle-hash shuffle; the benchmark side is eval-set-sized, so AQE
+    // broadcasts it and the corpus side streams — no pair fan-out, only
+    // (doc, shared-hash) survivors reach the count-distinct agg.
+    Q("t16_contamination", "TXT-decontam,J-semi,A6", {
+      val sh = TS.shingles("l", 4)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_transform($sh, x -> ${TS.hash("x")})) AS h
+         |       FROM t),
+         |b AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared
+         |FROM c JOIN b ON c.h = b.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      // hash inside the persisted projection; explode from cache (the
+      // generator-re-eval landmine, same rationale as the t7 pipeline)
+      val sh = Caches.persistTracked(
+        Tables.documents(s, dir).repartition(col("doc_id"))
+          .select(col("doc_id"),
+            transform(TF.shingles(TF.tokens(col("text")), 4),
+              x => TF.polyHash(x)).as("hs")))
+      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val bench = ex.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      ex.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // ----- stratified (per-language) deterministic sample: up to K docs
     // per stratum, chosen by salted-hash order — reprocessing-stable class
     // rebalancing for training mixes (the hash, not arrival order, decides

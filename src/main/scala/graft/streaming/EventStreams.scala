@@ -76,6 +76,38 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent streaming upsert sink: each micro-batch is MERGEd into a
+    * catalog table insert-only on `key` (the batch's own duplicates
+    * collapse first — deterministic keeper = min of the remaining columns'
+    * tuple would need an ordering; `dropDuplicates(key)` suffices for
+    * replayed identical rows, the at-least-once case this sink exists
+    * for). At-least-once delivery + an idempotent merge converge to
+    * exactly-once TABLE CONTENTS: a replayed batch re-merges and inserts
+    * nothing.
+    *
+    * This is the streaming twin of the reference's scheduled
+    * `whenNotMatchedInsertAll` merges — `foreachBatch` + the same
+    * [[graft.operators.MergeInsertOnly]] the batch path uses, then an
+    * atomic table swap per batch ([[graft.pipeline.Catalog]]-style). Scale
+    * note: per batch this costs one key-shuffle (or broadcast of the
+    * batch side) for the anti join — identical to what a Delta streaming
+    * merge does internally. */
+  def upsertSink(spark: SparkSession, stream: DataFrame, table: String,
+                 key: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val target =
+          if (spark.catalog.tableExists(table)) spark.table(table)
+          else batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        val merged = graft.operators.MergeInsertOnly(
+          target, batch.dropDuplicates(key), key)
+        graft.pipeline.Catalog.overwriteTable(spark, merged, table)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join — click→purchase attribution: every
     * (click, purchase) pair for the same user where the click falls in the
     * `windowMinutes` before the purchase (inclusive of the purchase
