@@ -36,4 +36,21 @@ class ScaleJoinsSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("band join classifies by interval, leaves gaps null, streams broadcast") {
+    val bands = Seq(("low", 0.0, 10.0), ("high", 20.0, 30.0)).toDF("band", "lo", "hi")
+    val facts = Seq(0.0, 5.0, 9.999, 10.0, 15.0, 20.0, 29.9, 42.0).toDF("v")
+    val got = ScaleJoins.bandJoin(facts, bands, "v")
+      .select(col("v"), col("band")).collect()
+      .map(r => r.getDouble(0) -> Option(r.getString(1))).toMap
+    // [lo, hi): lower bound inclusive, upper exclusive; gap values keep NULL
+    assert(got === Map(0.0 -> Some("low"), 5.0 -> Some("low"),
+      9.999 -> Some("low"), 10.0 -> None, 15.0 -> None,
+      20.0 -> Some("high"), 29.9 -> Some("high"), 42.0 -> None))
+    // physical shape: the interval side is broadcast - no Exchange on facts
+    val plan = ScaleJoins.bandJoin(facts, bands, "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast NLJ for the non-equi band join, got:\n$plan")
+  }
 }
