@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Physical-plan guards for the 100 TB posture: these assert the plan
+  * SHAPES the scale design depends on, so a refactor that silently
+  * degrades one (a lost pushdown, a join that decays to a cartesian
+  * product) fails here instead of at cluster scale.
+  *
+  * Plans are built at sf0.001 — join strategy picks are size-based and
+  * would differ at scale (AQE), so the sweep pins only invariants that
+  * hold at any size.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val s = df.queryExecution.executedPlan.toString
+    Caches.release()
+    s
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    // A condition-less, non-broadcast join is never the right plan at any
+    // scale. (BroadcastNestedLoopJoin is allowed: the band join and the
+    // broadcast-side cross joins use it deliberately, with a dimension- or
+    // scalar-sized build side.)
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = try plan(name) catch { case e: Throwable =>
+        fail(s"$name failed to plan: $e")
+      }
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("filters reach the parquet scan in the filter-heavy queries") {
+    // p4 is the predicate-pushdown witness: its IN-list + null guard +
+    // date bound must appear as PushedFilters on the lineitem scan, not
+    // as a post-scan Filter only.
+    val p = plan("p4_inlist_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"expected pushed filters on the scan:\n$p")
+  }
+
+  test("the star join broadcasts its dimension sides") {
+    val p = plan("j10_star_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins in the star plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("column pruning reaches the scan for a narrow projection") {
+    // j13 reads exactly one column of part; a scan fetching more columns
+    // than the projection needs would read 100 TB to use 2 TB
+    val p = plan("j13_range_band")
+    assert(p.contains("ReadSchema: struct<p_retailprice:double>"),
+      s"expected single-column ReadSchema:\n$p")
+  }
+}
