@@ -114,9 +114,17 @@ object ConnectedComponents {
     }
 
     var converged = false
-    var iter = 0
-    var labels = saveLabels(sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node")))
+    // Fused initialization: with self-labels, round 1 would compute
+    // min(node, min over neighbors) — but that needs no join against a
+    // label table, it IS one aggregation over the symmetrized edges.
+    // Start from its output directly: one materialization and one join
+    // cheaper, and the loop below begins at round 2. Counts as one
+    // label-changing round against maxIter.
+    var iter = 1
+    var labels = saveLabels(sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nbr_min"))
+      .select(col("a").as("node"),
+        least(col("nbr_min"), col("a")).as("component")))
     try {
       while (!converged && iter < maxIter) {
         val (next, quiet) = round(labels)
