@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Randomized cross-checks of the custom operators against brute-force
+  * in-memory oracles — seeded, so failures reproduce. The DuckDB gate
+  * verifies each operator on ONE data distribution; these sweep many
+  * random shapes (dense/sparse graphs, tie-heavy timelines) where the
+  * distributed formulations could diverge from the spec'd semantics.
+  */
+class RandomizedOracleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components match a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(40)
+      val m = 5 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // union-find oracle → per-node min reachable id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val touched = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+      val minOfRoot = touched.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val expected = touched.map(v => v.toLong -> minOfRoot(find(v)).toLong).toMap
+
+      val got = ConnectedComponents(edges.toDF("a", "b"), maxIter = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: n=$n m=$m")
+    }
+  }
+
+  test("as-of join matches a brute-force scan on random keyed timelines") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nKeys = 1 + rnd.nextInt(4)
+      // quotes: distinct (key, time) as AsOfJoin requires; values encode
+      // identity so the matched row is checkable
+      val quotes = (for {
+        k <- 0 until nKeys
+        t <- rnd.shuffle((0 until 50).toList).take(5 + rnd.nextInt(10))
+      } yield (k.toLong, t.toLong, k * 1000.0 + t)).toSeq
+      val trades = Seq.fill(30)((rnd.nextInt(nKeys).toLong, rnd.nextInt(55).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val expected = trades.map { case (id, k, t) =>
+        id -> quotes.filter(q => q._1 == k && q._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+
+      val got = AsOfJoin(
+        trades.toDF("trade_id", "k", "t_time"),
+        quotes.toDF("k", "q_time", "px"),
+        "k", "t_time", "q_time")
+        .collect()
+        .map(r => r.getAs[Long]("trade_id") ->
+          (if (r.isNullAt(r.fieldIndex("px"))) None
+           else Some(r.getAs[Double]("px")))).toMap
+      assert(got === expected, s"trial $trial: keys=$nKeys")
+    }
+  }
+}
