@@ -652,9 +652,12 @@ object TextQueries {
       val h = pmod(
         TF.polyHash(concat(lit("strat|"), col("doc_id").cast("string"))),
         lit(1000000007L))
+      // salt from the ordering hash, not the id: any partition is correct
+      // for two-phase top-K, but id-derived salts collapse to one shard
+      // when ids share a residue (e.g. all multiples of the salt modulus)
       val hashed = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), h.as("h"),
-          pmod(col("doc_id"), lit(32)).as("salt"))
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("salt", pmod(col("h"), lit(32)))
       // phase 1: top-K within each (lang, salt) shard — 32-way parallel
       val local = hashed
         .withColumn("lrn", row_number().over(
