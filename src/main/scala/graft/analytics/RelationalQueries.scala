@@ -670,6 +670,38 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ----- built-in session windows (the compose-existing-ops
+    // counterpart of the custom flatMapGroupsWithState sessionization):
+    // `session_window` merges events within a 30-min gap per user in one
+    // groupBy — state-store-backed when streamed, plain agg in batch.
+    // Boundary semantics differ from e3's lag formulation: an event at
+    // exactly last + gap begins a NEW session here (window is
+    // [start, last + gap)), so the oracle's new-session flag uses >=
+    // where e3 uses >. window_end = last event + gap by definition.
+    Q("e5_session_window", "STREAM-session-builtin,A1,F12",
+      s"""WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS tus
+         |           FROM events),
+         |m AS (SELECT user_id, ts, value, tus,
+         |        CASE WHEN lag(tus) OVER w IS NULL
+         |               OR tus - lag(tus) OVER w >= 1800000000 THEN 1
+         |             ELSE 0 END AS new_sess
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         |s AS (SELECT *, SUM(new_sess) OVER (
+         |        PARTITION BY user_id ORDER BY tus
+         |        ROWS UNBOUNDED PRECEDING) AS sess_seq FROM m)
+         |SELECT user_id, min(ts) AS session_start,
+         |       max(ts) + INTERVAL 30 MINUTE AS window_end,
+         |       COUNT(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+         |FROM s GROUP BY user_id, sess_seq
+         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("window_end"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ----- running COUNT(DISTINCT) — cumulative unique users by day.
     // A distinct count is not window-able directly (per-frame distinct
     // state is quadratic); the scalable identity: each user counts once

@@ -76,6 +76,21 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Built-in session windows over the stream — the compose-existing-ops
+    * counterpart of [[sessionize]]: `session_window` in a watermarked
+    * groupBy gives gap-merged sessions from the state store, no custom
+    * state function. Windows close (emit + evict) once the watermark
+    * passes their end; batch twin: `e5_session_window`. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                     watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("window_end"), col("n_events"), col("total_value"))
+
   /** Idempotent streaming upsert sink: each micro-batch is MERGEd into a
     * catalog table insert-only on `key` (the batch's own duplicates
     * collapse first — deterministic keeper = min of the remaining columns'

@@ -145,6 +145,22 @@ class EventStreamsSpec extends SparkSpec {
       "batch pair missing from stream")
   }
 
+  test("streaming session_window aggregates agree with the e5 batch twin") {
+    // Append mode emits only watermark-closed windows; every emitted one
+    // must appear verbatim in the batch session_window result.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = startStream(
+      EventStreams.sessionWindows(EventStreams.readEventTable(spark, dir)),
+      "sw_parity", OutputMode.Append())
+    val batch = graft.SparkEntry.queries("e5_session_window")(spark, dir)
+      .select("user_id", "session_start", "window_end", "n_events")
+    val keys = Seq("user_id", "session_start", "window_end", "n_events")
+    val missing = streamed.select(keys.head, keys.tail: _*)
+      .join(batch, keys, "left_anti")
+    assert(missing.isEmpty, "streamed session window absent from batch twin")
+    assert(streamed.count() > 0)
+  }
+
   test("streaming sessions agree with the e3 batch twin") {
     // Every emitted streaming session must appear verbatim in the batch
     // sessionization of the same events (the e3_sessionize formulation).
