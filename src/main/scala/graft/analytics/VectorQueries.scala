@@ -207,6 +207,81 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ----- multi-probe IVF (nprobe = 2): identical index to v4, but each
+    // query probes its TWO nearest centroids — the standard IVF recall
+    // lever (a true neighbor just across a Voronoi boundary is invisible
+    // to nprobe=1). Cost scales linearly in nprobe (2·N/K candidates per
+    // query) while the index and the probe join shape are unchanged:
+    // queries fan out to nprobe rows pre-join, candidates still arrive
+    // via one equi-join on the cluster id — never a cross join. Members
+    // belong to exactly one centroid and probes are distinct, so no
+    // neighbor dedup is needed.
+    Q("v6_ann_multiprobe", "ANN-ivf-multiprobe", {
+      val acos = s"${VS.dot("n.v", "c.cv")} / (n.nrm * c.cn)"
+      val pcos = s"${VS.dot("q.qv", "m.mv")} / (q.qn * m.mn)"
+      s"""$baseCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+         |      FROM n WHERE vec_id % $CentroidStep = 0),
+         |asgscored AS (
+         |  SELECT n.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |                       ORDER BY $acos DESC, c.centroid_id) AS rn
+         |  FROM n CROSS JOIN c),
+         |asg AS (SELECT vec_id, centroid_id FROM asgscored WHERE rn = 1),
+         |m AS (SELECT n.vec_id, a.centroid_id, n.v AS mv, n.nrm AS mn
+         |      FROM n JOIN asg a ON n.vec_id = a.vec_id),
+         |probes AS (SELECT vec_id AS query_id, centroid_id
+         |           FROM asgscored WHERE rn <= 2 AND vec_id < 20),
+         |q AS (SELECT vec_id AS query_id, mv AS qv, mn AS qn
+         |      FROM m WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.query_id, m.vec_id AS neighbor_id, $pcos AS cos
+         |  FROM q JOIN probes p ON q.query_id = p.query_id
+         |         JOIN m ON m.centroid_id = p.centroid_id
+         |               AND m.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |       round(cos, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+      val cent = broadcast(e.filter(col("vec_id") % CentroidStep === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("v").as("cv"), col("nrm").as("cn")))
+      val wAsg = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      val scoredAsg = e.join(cent)
+        .withColumn("ccos", VF.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wAsg))
+      val asg = scoredAsg.filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"))
+      val m = Caches.persistTracked(e.join(asg, "vec_id"))
+      val probes = scoredAsg.filter(col("rn") <= 2 && col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("centroid_id"))
+      val q = m.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .join(probes, "query_id")
+      val cands = m.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("v").as("mv"), col("nrm").as("mn"))
+      val scored = q.join(cands, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VF.dot(col("qv"), col("mv")) / (col("qn") * col("mn")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ----- LSH-bucketed ANN: the hyperplane alternative to IVF (v2/v4).
     // 4 deterministic pseudo-random hyperplanes (components k/8 for exact
     // binary representation, one shared Scala definition site emitted into
