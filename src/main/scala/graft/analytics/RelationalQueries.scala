@@ -670,6 +670,26 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ----- salted skew join (operators/ScaleJoins.salted), driver-
+    // verified: the events fact keys on ~150 users (a genuinely hot key
+    // distribution — thousands of rows per key), the kind of skew where
+    // one reducer melts while 31 idle. The salted encoding spreads each
+    // hot key over 8 sub-keys (right side replicated 8×) and is
+    // RESULT-identical to the plain equi-join — which is exactly what the
+    // oracle states, so the correctness gate proves the rewrite.
+    Q("j14_salted_join", "J-skew-salted,A1,A3",
+      """SELECT e.user_id, COUNT(*) AS n_pairs, max(o.o_orderkey) AS max_orderkey
+        |FROM events e JOIN orders o ON o.o_custkey = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+      graft.operators.ScaleJoins.salted(e, o, Seq("user_id"), salt = 8)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), max("o_orderkey").as("max_orderkey"))
+        .orderBy("user_id")
+    },
+
     // ----- built-in session windows (the compose-existing-ops
     // counterpart of the custom flatMapGroupsWithState sessionization):
     // `session_window` merges events within a 30-min gap per user in one
