@@ -722,6 +722,36 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ----- frame-based moving average: 7-day trailing mean of daily
+    // order totals (ROWS 6 PRECEDING). Determinism note: the windowed SUM
+    // runs over DECIMAL and is cast to double only afterwards — engines
+    // disagree on windowed-double summation ORDER (DuckDB slides a
+    // segment tree, Spark streams the frame), but decimal addition is
+    // order-independent, so exactness survives the frame. The window is
+    // unpartitioned but day-cardinality (one row per day after the
+    // pre-aggregate), a presentation-sized axis, not the fact table.
+    Q("w11_moving_avg", "W8,F12,A7",
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(total AS DOUBLE) AS day_total,
+        |  round(CAST(SUM(total) OVER w AS DOUBLE) / (COUNT(*) OVER w), 6)
+        |    AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val dec = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val d = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(dec).as("total"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      d.select(col("day"), col("total").cast("double").as("day_total"),
+        round(sum("total").over(w).cast("double") / count(lit(1)).over(w), 6)
+          .as("ma7"))
+        .orderBy("day")
+    },
+
     // ----- running COUNT(DISTINCT) — cumulative unique users by day.
     // A distinct count is not window-able directly (per-frame distinct
     // state is quadratic); the scalable identity: each user counts once

@@ -38,9 +38,13 @@ object EventStreams {
     * a directory containing nothing but event parquet. Globbing a mixed
     * table directory would resolve every non-event file's columns to NULL
     * under this schema. For the harness layout use [[readEventTable]]. */
-  def readEventStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(path)
+  def readEventStream(spark: SparkSession, path: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Streaming twin of `Tables.events`: streams `$dir/events.parquet` from
     * a harness sf directory (which holds all ten tables flat — the events

@@ -145,6 +145,30 @@ class EventStreamsSpec extends SparkSpec {
       "batch pair missing from stream")
   }
 
+  test("stream-stream join pairs across micro-batch boundaries") {
+    import spark.implicits._
+    // The join sides arrive in DIFFERENT micro-batches (one file per
+    // trigger): the state store must hold the first side until the second
+    // arrives. Whichever file the source picks first, the pair only
+    // exists if cross-batch join state works.
+    val dir = tmpDir("events-xbatch") + "/data"
+    def ev(id: Long, minute: Long, et: String) =
+      (id, (minute + 1440L) * 60L * 1000000000L, 5L, et, 1.0, "{}")
+    Seq(ev(1L, 10L, "click")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir)
+    Seq(ev(2L, 30L, "purchase")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val got = startStream(
+      EventStreams.attributionPairs(
+        EventStreams.readEventStream(spark, dir, maxFilesPerTrigger = Some(1))),
+      "xbatch", OutputMode.Append()).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("purchase_id") === 2L)
+    assert(got.head.getAs[Long]("click_id") === 1L)
+  }
+
   test("streaming session_window aggregates agree with the e5 batch twin") {
     // Append mode emits only watermark-closed windows; every emitted one
     // must appear verbatim in the batch session_window result.
