@@ -722,6 +722,29 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ----- relative-rank window functions: percent_rank + cume_dist +
+    // quartile (ntile) per market segment. The window orders by
+    // (acctbal, custkey) — the unique tiebreak matters for ntile, whose
+    // bucket assignment depends on row POSITION (tied rows would land in
+    // either bucket nondeterministically); percent_rank/cume_dist are
+    // functions of the ordering-key values and both engines implement the
+    // SQL-standard formulas, so the doubles agree bit-exactly.
+    Q("w12_rank_stats", "W3,O5,A-rank-relative",
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast(IntegerType).as("quartile"))
+        .orderBy("c_custkey")
+    },
+
     // ----- frame-based moving average: 7-day trailing mean of daily
     // order totals (ROWS 6 PRECEDING). Determinism note: the windowed SUM
     // runs over DECIMAL and is cast to double only afterwards — engines
