@@ -69,7 +69,24 @@ object Bench {
     // and stay compact — per-run + warmup timings ride on their own line
     // where truncation only costs diagnostics.
     println(s"""{"diag":"per-run timings (2 timed runs/query; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Keep the contract line inside the archive window even as the registry
+    // grows: if it would overflow, drop the FASTEST per-query entries (the
+    // slow ones are the informative ones; failures bill the 9999 sentinel
+    // and so always survive) and say how many were omitted. The total is
+    // always over ALL queries.
+    def contractLine(qmap: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.toSeq.map { case (k, (b, _)) => (k, b) }.sortBy(-_._2)
+    var keep = bySlowest.length
+    var line = contractLine(qs, 0)
+    while (line.length > 1800 && keep > 1) {
+      keep -= 1
+      line = contractLine(jmap(bySlowest.take(keep).map { case (k, b) => k -> f3(b) }),
+        bySlowest.length - keep)
+    }
+    println(line)
     spark.stop()
   }
 }
