@@ -722,6 +722,48 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ----- data-quality gate: referential-integrity and range audits as
+    // one query — the engine-side generalization of the reference's
+    // ingestion QA gate (automated_ingestion fails a run below 45/51
+    // complete states). Each orphan check is a left-anti count (one
+    // key-shuffle per audited edge — the unavoidable audit cost; zeros =
+    // pass); the range check is a pushed-down scan filter, and the
+    // threshold is chosen so the harness data trips it — the gate's
+    // nonzero path is exercised, not just the all-clear.
+    Q("qa1_integrity", "QA-gate,J8,A1",
+      """SELECT 'customer_no_nation' AS check_name, COUNT(*) AS n_bad
+        |  FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'lineitem_no_order', COUNT(*)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_no_customer', COUNT(*)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orders_price_gt_400k', COUNT(*)
+        |  FROM orders WHERE o_totalprice > 400000
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      def orphans(name: String, fact: org.apache.spark.sql.DataFrame,
+                  dim: org.apache.spark.sql.DataFrame, fk: String, pk: String) =
+        fact.join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+          .select(lit(name).as("check_name"), col("n_bad"))
+      val checks = Seq(
+        orphans("customer_no_nation", Tables.customer(s, dir).select(col("c_nationkey")),
+          Tables.nation(s, dir), "c_nationkey", "n_nationkey"),
+        orphans("lineitem_no_order", Tables.lineitem(s, dir).select(col("l_orderkey")),
+          Tables.orders(s, dir), "l_orderkey", "o_orderkey"),
+        orphans("orders_no_customer", Tables.orders(s, dir).select(col("o_custkey")),
+          Tables.customer(s, dir), "o_custkey", "c_custkey"),
+        Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+          .agg(count(lit(1)).as("n_bad"))
+          .select(lit("orders_price_gt_400k").as("check_name"), col("n_bad")))
+      checks.reduce(_.unionByName(_)).orderBy("check_name")
+    },
+
     // ----- relative-rank window functions: percent_rank + cume_dist +
     // quartile (ntile) per market segment. The window orders by
     // (acctbal, custkey) — the unique tiebreak matters for ntile, whose
