@@ -722,6 +722,56 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ----- ROLLUP subtotals (the BI matrix-with-totals shape): per
+    // (priority, status) counts/sums plus per-priority subtotals and the
+    // grand total in one pass — Spark plans rollup as a single expand +
+    // aggregate, not three scans. Determinism: grouping(col) flags
+    // disambiguate data NULLs from subtotal NULLs, subtotal labels are
+    // COALESCEd to 'ALL', and the ORDER BY runs on the flags + labels so
+    // no NULL-ordering divergence (Spark sorts NULLS FIRST, DuckDB
+    // NULLS LAST) can reach the comparison.
+    Q("a12_rollup", "A-rollup,A1,A7",
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COALESCE(o_orderstatus, 'ALL') AS status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  COUNT(*) AS n, ${Exact.sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY g_priority, g_status, priority, status""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("g_priority"), col("g_status"), col("n"), col("total"))
+        .orderBy("g_priority", "g_status", "priority", "status")
+    },
+
+    // ----- pivot (long → wide, the Power BI matrix visual): order counts
+    // by priority pivoted across the three order statuses. Spark's
+    // `pivot` with an EXPLICIT value list compiles to one aggregate with
+    // conditional branches (no second pass to discover values, and the
+    // output schema is static — at 100 TB an implicit pivot would scan
+    // once just to enumerate columns); the oracle states the same thing
+    // as FILTERed counts.
+    Q("a13_pivot", "A-pivot,A1",
+      """SELECT o_orderpriority AS priority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("priority"), coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"), coalesce(col("P"), lit(0L)).as("p"))
+        .orderBy("priority")
+    },
+
     // ----- data-quality gate: referential-integrity and range audits as
     // one query — the engine-side generalization of the reference's
     // ingestion QA gate (automated_ingestion fails a run below 45/51
