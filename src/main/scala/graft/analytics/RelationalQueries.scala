@@ -722,6 +722,51 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ----- INTERSECT / EXCEPT (§2.9 set-op completion): both are
+    // DISTINCT-semantics set ops in both engines, planned as aggregates
+    // over a shuffle on the full row — one shuffle each, the same cost
+    // envelope as dropDuplicates. Tagged and unioned so one query
+    // witnesses both ops.
+    Q("s14_set_ops", "SET-intersect-except",
+      """WITH a AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT c_custkey FROM customer WHERE c_nationkey < 13)
+        |SELECT 'intersect' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except', c_custkey FROM
+        |  (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val a = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = cust.filter(col("c_nationkey") < 13).select("c_custkey")
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    },
+
+    // ----- UNPIVOT (wide → long, the inverse of a13's pivot): lineitem's
+    // four measure columns melted to (measure, value) rows — Spark plans
+    // it as a single Expand (4 output rows per input row, no shuffle),
+    // then one aggregate per measure. The oracle states the same result
+    // as a UNION ALL of per-column aggregates.
+    Q("a14_unpivot", "A-unpivot,A1,A7", {
+      def arm(c: String) =
+        s"SELECT '$c' AS measure, COUNT(*) AS n, ${Exact.sqlSum(c)} AS total FROM lineitem"
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY measure")
+    }) { (s, dir) =>
+      val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Tables.lineitem(s, dir)
+        .select(measures.map(col): _*)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          measures.map(col).toArray, "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
+        .orderBy("measure")
+    },
+
     // ----- ROLLUP subtotals (the BI matrix-with-totals shape): per
     // (priority, status) counts/sums plus per-priority subtotals and the
     // grand total in one pass — Spark plans rollup as a single expand +
