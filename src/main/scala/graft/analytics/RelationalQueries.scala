@@ -722,6 +722,38 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ----- event funnel (ordered-sequence analytics): users who signed
+    // up, then clicked, then purchased — in that temporal order. The
+    // scalable encoding: ONE aggregate per user collapses each stage to
+    // its first timestamp (conditional min — no per-user event sorting,
+    // no self-joins between stages), then stage predicates are timestamp
+    // comparisons and the funnel is one more count. Two aggregates total,
+    // one shuffle on the user key.
+    Q("e6_funnel", "FUNNEL,A5,A1",
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+        |  COUNT(*) FILTER (WHERE t_signup < t_click) AS n_signup_click,
+        |  COUNT(*) FILTER (WHERE t_signup < t_click AND t_click < t_purchase)
+        |    AS n_full_funnel
+        |FROM m""".stripMargin) { (s, dir) =>
+      def firstOf(et: String, as: String) =
+        min(when(col("event_type") === et, col("ts"))).as(as)
+      val m = Tables.events(s, dir).groupBy("user_id")
+        .agg(firstOf("signup", "t_signup"), firstOf("click", "t_click"),
+          firstOf("purchase", "t_purchase"))
+      m.agg(count(lit(1)).as("n_users"),
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_signup") < col("t_click"), 1)).as("n_signup_click"),
+        count(when(col("t_signup") < col("t_click")
+          && col("t_click") < col("t_purchase"), 1)).as("n_full_funnel"))
+    },
+
     // ----- INTERSECT / EXCEPT (§2.9 set-op completion): both are
     // DISTINCT-semantics set ops in both engines, planned as aggregates
     // over a shuffle on the full row — one shuffle each, the same cost

@@ -590,6 +590,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- global vocabulary heavy hitters: top-20 tokens by corpus
+    // frequency — the Zipf-head profile every corpus audit starts with
+    // (stopword lists, tokenizer sanity, boilerplate detection). Shape:
+    // explode → one count shuffle on the term; the final rank window is
+    // global but runs on the term-frequency AGGREGATE (vocab-sized, and
+    // WindowGroupLimit caps what reaches the single partition), never on
+    // token rows.
+    Q("t17_top_tokens", "TXT-vocab-topk,A1,W3", {
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+        |r AS (SELECT term, n,
+        |        row_number() OVER (ORDER BY n DESC, term) AS rank
+        |      FROM c)
+        |SELECT term, n, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("term"))).cast(IntegerType))
+        .filter(col("rank") <= 20)
+        .orderBy("rank")
+    },
+
     // ----- benchmark decontamination: corpus docs sharing any 4-gram
     // shingle hash with the held-out set (doc_id % 97 = 0 stands in for a
     // benchmark membership table — the harness ships no second corpus).
