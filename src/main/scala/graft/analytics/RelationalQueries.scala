@@ -1085,6 +1085,212 @@ object RelationalQueries {
           round(col("sd"), 6).as("sd"),
           coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
         .orderBy("priority")
+    },
+
+    // ----- cohort retention: users bucketed by first-active week, distinct
+    // activity counted per (cohort, weeks-since) cell — the canonical
+    // engagement matrix. Scale shape: distinctness is resolved FIRST by one
+    // (user, week) dedup (map-side combine collapses each user's events
+    // before the shuffle), the cohort is one more user-key agg, and the
+    // final cell agg runs on user-week rows, never raw events. No window,
+    // no per-cell COUNT(DISTINCT user) over events — at 100 TB the
+    // event→user-week reduction is where the data dies.
+    Q("e7_retention", "A6,F12,J1,W-cohort",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             date_trunc('week', CAST(ts AS DATE))::DATE AS week
+        |           FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT c.cohort_week,
+        |       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT)
+        |         AS weeks_since,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val a = Tables.events(s, dir)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .distinct()
+      val c = a.groupBy("user_id").agg(min("week").as("cohort_week"))
+      a.join(c, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7)
+            .cast(IntegerType).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+
+    // ----- full outer join: order-day activity vs event-day activity —
+    // the one join type the inventory lacked. Both sides are pre-aggregated
+    // to day cardinality before the join, so the full-outer shuffle moves
+    // day-rows, not facts; the USING key coalesces automatically. The date
+    // ranges genuinely differ (orders span 1995-1998, events 2024), so
+    // both unmatched sides are exercised, not just the happy path.
+    Q("j15_full_outer", "J-full-outer,A1,F12",
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |              count(*) AS n_orders FROM orders GROUP BY 1),
+        |ev AS (SELECT CAST(ts AS DATE) AS day,
+        |         count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT COALESCE(od.day, ev.day) AS day,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(n_events, 0) AS n_events,
+        |       CASE WHEN od.day IS NULL THEN 'events_only'
+        |            WHEN ev.day IS NULL THEN 'orders_only'
+        |            ELSE 'both' END AS presence
+        |FROM od FULL OUTER JOIN ev ON od.day = ev.day
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val od = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ev = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      od.join(ev, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("n_orders").isNull, "events_only")
+            .when(col("n_events").isNull, "orders_only")
+            .otherwise("both").as("presence"))
+        .orderBy("day")
+    },
+
+    // ----- date-spine gap fill + forward fill: sparse daily totals (the
+    // P/1-URGENT slice leaves ~2/3 of days empty at sf0.01) densified over
+    // a generated calendar spine, gaps carrying the last observed value —
+    // the time-series-regularization op every reporting layer needs. The
+    // spine is generated from a 1-row min/max aggregate via sequence()
+    // (never collected to the driver); the forward-fill window is
+    // unpartitioned but runs on the day-cardinality spine, a
+    // presentation-sized axis, not the fact table. The windowed value stays
+    // DECIMAL through the frame (order-independent addition), cast to
+    // double only on output.
+    Q("w13_gap_fill", "W7,F12,S13,W-gapfill",
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders
+        |  WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM d),
+        |                                (SELECT max(day) FROM d),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |j AS (SELECT s.day, d.total FROM spine s LEFT JOIN d ON s.day = d.day)
+        |SELECT day, CAST(COALESCE(total, 0) AS DOUBLE) AS day_total,
+        |  CAST(last_value(total IGNORE NULLS) OVER (
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS filled_total,
+        |  total IS NULL AS is_gap
+        |FROM j ORDER BY day""".stripMargin) { (s, dir) =>
+      val dec = col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val d = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "P"
+          && col("o_orderpriority") === "1-URGENT")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(dec).as("total"))
+      val spine = d.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(d, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("total"), lit(0)).cast("double").as("day_total"),
+          last(col("total"), ignoreNulls = true).over(w)
+            .cast("double").as("filled_total"),
+          col("total").isNull.as("is_gap"))
+        .orderBy("day")
+    },
+
+    // ----- GROUPING SETS: two independent one-dimension margins + the
+    // grand total in ONE pass — distinct from a12's ROLLUP (nested
+    // subtotals) and a13's pivot (wide layout). A single Expand feeds one
+    // aggregate: the fact table is scanned once, not once per margin;
+    // grouping() flags + COALESCE labels keep engine NULL-ordering out of
+    // the compare (same trick as a12).
+    Q("a15_grouping_sets", "A1,A7,A-groupingsets",
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         |       COUNT(*) AS n,
+         |       ${Exact.sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority, status, priority""".stripMargin) {
+      (s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("total"))
+        .orderBy("g_status", "g_priority", "status", "priority")
+    },
+
+    // ----- fixed-width histogram: floor-division bucketing (vs j13's
+    // irregular interval containment — different operator, different plan:
+    // no join at all here). bucket = floor(x / w) is one narrow map fused
+    // into the scan, then a single agg; the double division and floor are
+    // the same IEEE ops in both engines, so bucket edges can't disagree.
+    Q("a16_histogram", "A1,A4,F-bucket",
+      s"""SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+         |       CAST(floor(o_totalprice / 50000.0) * 50000.0 AS DOUBLE)
+         |         AS lo,
+         |       COUNT(*) AS n,
+         |       ${Exact.sqlAvg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val b = floor(col("o_totalprice") / lit(50000.0))
+      Tables.orders(s, dir)
+        .groupBy(b.cast(IntegerType).as("bucket"),
+          (b * lit(50000.0)).cast("double").as("lo"))
+        .agg(count(lit(1)).as("n"),
+          Exact.davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("bucket")
+    },
+
+    // ----- SCD2 interval build: each user's event_type change-points
+    // become effective-dated validity rows (valid_from, valid_to,
+    // is_current) — the reference's dimension tables are SCD1 overwrites
+    // (Batch_Silver_to_Gold...py:199-213); this is the type-2 variant a
+    // warehouse needs for history. Two user-partitioned windows (lag to
+    // find change-points, lead to close intervals) — user-key parallel,
+    // no unpartitioned state; ties at identical timestamps are broken by
+    // event_id so the segmentation is deterministic in both engines.
+    Q("s15_scd2_intervals", "W5,W6,S-scd2,F10",
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, event_id, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id
+        |         ORDER BY valid_from, event_id) AS valid_to,
+        |       (lead(valid_from) OVER (PARTITION BY user_id
+        |          ORDER BY valid_from, event_id) IS NULL) AS is_current
+        |FROM seg ORDER BY user_id, valid_from, event_id""".stripMargin) {
+      (s, dir) =>
+      val w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(w1))
+        .filter(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").as("valid_from"))
+      val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+      seg
+        .withColumn("valid_to", lead("valid_from", 1).over(w2))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from", "event_id")
     }
   )
 }

@@ -696,6 +696,51 @@ object TextQueries {
         .filter(col("rank") <= k)
         .select("doc_id", "lang", "rank")
         .orderBy("lang", "rank")
+    },
+
+    // ----- end-to-end dedup pipeline outcome: near-dup clusters (t7's
+    // jac ≥ 0.2 edge graph → connected components) reduced to the
+    // corpus-level decision a curation run actually ships — per source:
+    // how many docs survive, how many are removed as non-keeper cluster
+    // members, how many chars the kept corpus holds. Composes three
+    // already-bounded stages (df-capped shingle join, CC label
+    // propagation, one broadcast-able anti-ish join back onto documents);
+    // the drop list is cluster-member-cardinality (tiny vs the corpus), so
+    // AQE broadcasts it and the corpus never shuffles.
+    Q("t18_dedup_survivors", "DEDUP-pipeline,J8,A1",
+      s"""WITH RECURSIVE $ngramCteBody,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |walk(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),
+         |comp AS (SELECT node, min(comp) AS component FROM walk
+         |         GROUP BY node),
+         |drops AS (SELECT node FROM comp WHERE node <> component)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |       COUNT(*) FILTER (WHERE dr.node IS NOT NULL) AS n_removed,
+         |       COUNT(*) FILTER (WHERE dr.node IS NULL) AS n_kept,
+         |       CAST(SUM(d.n_chars) FILTER (WHERE dr.node IS NULL)
+         |            AS BIGINT) AS chars_kept
+         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val edges = ngramScored(s, dir)
+        .filter(col("jac") >= 0.2)
+        .select("doc_a", "doc_b")
+      val drops = graft.operators.ConnectedComponents(edges)
+        .filter(col("node") =!= col("component"))
+        .select(col("node"), lit(1).as("dropped"))
+      Tables.documents(s, dir)
+        .join(drops, col("doc_id") === col("node"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("dropped")).as("n_removed"),
+          count(when(col("dropped").isNull, lit(1))).as("n_kept"),
+          sum(when(col("dropped").isNull, col("n_chars"))).as("chars_kept"))
+        .orderBy("source")
     }
   )
 }

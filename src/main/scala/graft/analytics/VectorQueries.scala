@@ -396,6 +396,33 @@ object VectorQueries {
         .select(col("vec_a"), col("vec_b"), col("label"),
           round(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ----- per-cluster centroids: the element-wise mean vector of each
+    // label group — the M-step of distributed k-means and the refresh op
+    // any IVF index needs as the corpus drifts. Plan shape: posexplode
+    // fans each vector to 64 (dim, value) rows, but hash aggregation runs
+    // a map-side partial FIRST, so each partition contributes at most
+    // labels×64 rows to the shuffle — the explosion never crosses the
+    // wire. Determinism: float sums are accumulation-order dependent, so
+    // the sum runs in DECIMAL (exact, order-free) and is divided/rounded
+    // only on output — same Exact-pattern the money aggregates use.
+    Q("v7_centroids", "ANN-centroids,A4", {
+      """SELECT label, CAST(i AS INT) AS i,
+        |  round(CAST(SUM(CAST(e AS DECIMAL(28,10))) AS DOUBLE)
+        |        / COUNT(*), 6) AS c
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             unnest(range(len(embedding))) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("i"))
+        .agg(round(
+          sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1)), 6).as("c"))
+        .orderBy("label", "i")
     }
   )
 }
