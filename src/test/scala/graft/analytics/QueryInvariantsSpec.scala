@@ -1,0 +1,159 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 query additions — properties the
+  * DuckDB hash-compare can't state (it proves equality, not meaning).
+  * Run at sf0.001 on the harness tables.
+  */
+class QueryInvariantsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val rows = df.collect()
+    Caches.release()
+    (df.columns, rows)
+  }
+
+  test("w13 gap fill: spine is contiguous, fills carry the last real value") {
+    val (cols, rows) = q("w13_gap_fill")
+    val day = cols.indexOf("day")
+    val dayTotal = cols.indexOf("day_total")
+    val filled = cols.indexOf("filled_total")
+    val isGap = cols.indexOf("is_gap")
+    val byDay = rows.sortBy(_.getDate(day).toLocalDate.toEpochDay)
+    // contiguous daily spine: every consecutive pair is exactly 1 day apart
+    byDay.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDate(day).toLocalDate.toEpochDay ==
+        a.getDate(day).toLocalDate.toEpochDay + 1,
+        s"spine gap between ${a.getDate(day)} and ${b.getDate(day)}")
+    }
+    assert(byDay.exists(_.getBoolean(isGap)), "fixture produced no gaps")
+    // forward-fill: a gap row's filled_total equals the last non-gap total
+    var lastReal = Double.NaN
+    byDay.foreach { r =>
+      if (!r.getBoolean(isGap)) lastReal = r.getDouble(dayTotal)
+      assert(!r.isNullAt(filled), "filled_total must never be null")
+      assert(r.getDouble(filled) == lastReal,
+        s"fill mismatch on ${r.getDate(day)}")
+    }
+  }
+
+  test("s15 SCD2: intervals chain per user and exactly one is current") {
+    val (cols, rows) = q("s15_scd2_intervals")
+    val user = cols.indexOf("user_id")
+    val from = cols.indexOf("valid_from")
+    val to = cols.indexOf("valid_to")
+    val current = cols.indexOf("is_current")
+    rows.groupBy(_.getLong(user)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r.getTimestamp(from).getTime))
+      // chaining: each interval closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(to) == b.getTimestamp(from),
+            s"user $u: interval break at ${a.getTimestamp(to)}")
+        case _ => ()
+      }
+      assert(rs.count(_.getBoolean(current)) == 1,
+        s"user $u: expected exactly one current interval")
+      // the open interval is the chronologically last one
+      assert(sorted.last.getBoolean(current))
+      sorted.init.foreach(r => assert(!r.isNullAt(to)))
+    }
+  }
+
+  test("e7 retention: week-0 cell equals the cohort size") {
+    val (cols, rows) = q("e7_retention")
+    val cohort = cols.indexOf("cohort_week")
+    val weeks = cols.indexOf("weeks_since")
+    val n = cols.indexOf("n_users")
+    assert(rows.forall(_.getInt(weeks) >= 0))
+    // every user is active in their own first week, so the weeks_since=0
+    // cell must hold the full cohort — and no later cell can exceed it
+    rows.groupBy(_.getDate(cohort)).foreach { case (cw, rs) =>
+      val w0 = rs.find(_.getInt(weeks) == 0)
+      assert(w0.isDefined, s"cohort $cw missing its week-0 cell")
+      assert(rs.forall(_.getLong(n) <= w0.get.getLong(n)),
+        s"cohort $cw: a later week exceeds the cohort size")
+    }
+  }
+
+  test("t18 dedup survivors: kept + removed = docs, totals cover the corpus") {
+    val (cols, rows) = q("t18_dedup_survivors")
+    val nDocs = cols.indexOf("n_docs")
+    val nRemoved = cols.indexOf("n_removed")
+    val nKept = cols.indexOf("n_kept")
+    rows.foreach { r =>
+      assert(r.getLong(nKept) + r.getLong(nRemoved) == r.getLong(nDocs))
+    }
+    val total = rows.map(_.getLong(nDocs)).sum
+    assert(total == Tables.documents(spark, dir).count(),
+      "per-source doc counts must cover the whole corpus")
+  }
+
+  test("a15 grouping sets: each margin re-sums to the grand total") {
+    val (cols, rows) = q("a15_grouping_sets")
+    val gs = cols.indexOf("g_status")
+    val gp = cols.indexOf("g_priority")
+    val n = cols.indexOf("n")
+    val grand = rows.filter(r => r.getInt(gs) == 1 && r.getInt(gp) == 1)
+    assert(grand.length == 1)
+    val totalN = grand.head.getLong(n)
+    val statusMargin = rows.filter(r => r.getInt(gs) == 0).map(_.getLong(n)).sum
+    val prioMargin = rows.filter(r => r.getInt(gp) == 0 && r.getInt(gs) == 1)
+      .map(_.getLong(n)).sum
+    assert(statusMargin == totalN, "status margin must cover all orders")
+    assert(prioMargin == totalN, "priority margin must cover all orders")
+  }
+
+  test("j15 full outer: unmatched sides are both populated and counts add up") {
+    val (cols, rows) = q("j15_full_outer")
+    val presence = cols.indexOf("presence")
+    val nOrders = cols.indexOf("n_orders")
+    val nEvents = cols.indexOf("n_events")
+    val byPresence = rows.groupBy(_.getString(presence))
+    assert(byPresence.contains("orders_only"), "no order-only days")
+    assert(byPresence.contains("events_only"), "no event-only days")
+    rows.foreach { r =>
+      r.getString(presence) match {
+        case "orders_only" => assert(r.getLong(nEvents) == 0)
+        case "events_only" => assert(r.getLong(nOrders) == 0)
+        case "both" => assert(r.getLong(nOrders) > 0 && r.getLong(nEvents) > 0)
+      }
+    }
+    assert(rows.map(_.getLong(nOrders)).sum ==
+      Tables.orders(spark, dir).count())
+    assert(rows.map(_.getLong(nEvents)).sum ==
+      Tables.events(spark, dir).count())
+  }
+
+  test("a16 histogram: buckets partition the table") {
+    val (cols, rows) = q("a16_histogram")
+    val bucket = cols.indexOf("bucket")
+    val lo = cols.indexOf("lo")
+    val n = cols.indexOf("n")
+    rows.foreach { r =>
+      assert(r.getDouble(lo) == r.getInt(bucket) * 50000.0)
+    }
+    assert(rows.map(_.getLong(n)).sum == Tables.orders(spark, dir).count())
+    assert(rows.map(_.getInt(bucket)).distinct.length == rows.length)
+  }
+
+  test("v7 centroids: one row per (label, dim), every dim covered") {
+    val (cols, rows) = q("v7_centroids")
+    val label = cols.indexOf("label")
+    val i = cols.indexOf("i")
+    val c = cols.indexOf("c")
+    val labels = Tables.embeddings(spark, dir)
+      .select("label").distinct().count()
+    assert(rows.length == labels * 64, s"expected $labels labels x 64 dims")
+    rows.groupBy(_.getInt(label)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(i)).sorted.toSeq == (0 until 64))
+    }
+    assert(rows.forall(!_.isNullAt(c)))
+  }
+}
