@@ -741,6 +741,74 @@ object TextQueries {
           count(when(col("dropped").isNull, lit(1))).as("n_kept"),
           sum(when(col("dropped").isNull, col("n_chars"))).as("chars_kept"))
         .orderBy("source")
+    },
+
+    // ----- BPE merge-candidate statistics: corpus-wide adjacent-character
+    // pair frequencies — the count a byte-pair-encoding trainer computes
+    // before its first merge. Scale shape: two generator fan-outs
+    // (word explode, pair explode) feed ONE hash aggregate whose map-side
+    // partial collapses each partition to its distinct-pair frequencies
+    // (alphabet², tiny) before the shuffle; the global top-30 runs as
+    // TakeOrderedAndProject on the aggregated pair table, never on raw
+    // pairs. Single-char words generate no pairs in either engine; the
+    // explicit length filter keeps the two plans aligned anyway.
+    Q("t19_bpe_pairs", "BPE-stats,A1,O1",
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |w AS (SELECT unnest(l) AS word FROM t),
+        |w2 AS (SELECT word FROM w WHERE strlen(word) >= 2),
+        |p AS (SELECT unnest(list_transform(range(strlen(word) - 1),
+        |        i -> substr(word, CAST(i AS INT) + 1, 2))) AS pair
+        |      FROM w2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin) {
+      (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(explode(transform(
+          sequence(lit(0), length(col("word")) - 2),
+          i => substr(col("word"), i + 1, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(30)
+    },
+
+    // ----- bigram language-model counts: P(w2 | w1) = c(w1,w2) / c(w1·) —
+    // the table a Kneser-Ney-style LM or a next-token-statistics probe
+    // starts from. The unigram denominator is derived FROM the bigram
+    // aggregate (sum over w2), not a second corpus pass — one generator
+    // explode, one (w1,w2) agg, one vocab-sized re-agg + join. The
+    // division is two exact counts, so the probability is bit-identical
+    // in both engines.
+    Q("t21_bigram_lm", "LM-bigram,A1,A10,O1",
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |t2 AS (SELECT l FROM t WHERE len(l) >= 2),
+        |b AS (SELECT unnest(list_transform(range(len(l) - 1),
+        |        i -> struct_pack(w1 := l[CAST(i AS INT) + 1],
+        |                         w2 := l[CAST(i AS INT) + 2]))) AS bg
+        |      FROM t2),
+        |c12 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n12
+        |        FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+        |       FROM c12 GROUP BY 1)
+        |SELECT c12.w1, c12.w2, n12, n1,
+        |       round(CAST(n12 AS DOUBLE) / n1, 6) AS p
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY n12 DESC, w1, w2 LIMIT 40""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val b = Tables.documents(s, dir)
+        .select(toks.as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(slice(col("l"), lit(1), size(col("l")) - 1).as("a"),
+          slice(col("l"), lit(2), size(col("l")) - 1).as("b"))
+        .select(explode(arrays_zip(col("a"), col("b"))).as("bg"))
+        .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
+      val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
+      c12.join(c1, "w1")
+        .select(col("w1"), col("w2"), col("n12"), col("n1"),
+          round(col("n12").cast("double") / col("n1"), 6).as("p"))
+        .orderBy(desc("n12"), col("w1"), col("w2")).limit(40)
     }
   )
 }

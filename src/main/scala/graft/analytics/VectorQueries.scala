@@ -423,6 +423,34 @@ object VectorQueries {
           sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
             .cast("double") / count(lit(1)), 6).as("c"))
         .orderBy("label", "i")
+    },
+
+    // ----- int8 scalar-quantization calibration: per-dimension min/max +
+    // the (max−min)/255 scale — the pass that precedes quantizing an
+    // embedding corpus for a compact ANN index. min/max are exact
+    // comparisons (unlike sums, no accumulation-order hazard), so the
+    // floats need no decimal detour; the float→double widening and the
+    // /255 division are IEEE-identical in both engines. Plan: posexplode
+    // with map-side partial min/max — each partition contributes 64 rows
+    // to the shuffle regardless of corpus size.
+    Q("v8_quant_calibration", "ANN-quantize,A2", {
+      """SELECT CAST(i AS INT) AS i,
+        |  CAST(min(e) AS DOUBLE) AS vmin, CAST(max(e) AS DOUBLE) AS vmax,
+        |  (CAST(max(e) AS DOUBLE) - CAST(min(e) AS DOUBLE)) / 255.0
+        |    AS scale
+        |FROM (SELECT unnest(embedding) AS e,
+        |             unnest(range(len(embedding))) AS i
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")))
+        .groupBy(col("pos").as("i"))
+        .agg(min(col("col")).cast("double").as("vmin"),
+          max(col("col")).cast("double").as("vmax"))
+        .select(col("i"), col("vmin"), col("vmax"),
+          ((col("vmax") - col("vmin")) / lit(255.0)).as("scale"))
+        .orderBy("i")
     }
   )
 }
