@@ -1291,6 +1291,139 @@ object RelationalQueries {
         .withColumn("valid_to", lead("valid_from", 1).over(w2))
         .withColumn("is_current", col("valid_to").isNull)
         .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // ----- Markov transition matrix over event sequences: P(next | cur)
+    // per event_type from each user's time-ordered stream — the
+    // behavioral-model twin of t21's text bigrams, but windowed (lead over
+    // the user partition) instead of array-exploded, because event
+    // sequences live across ROWS. One user-key shuffle for the window,
+    // then type²-cardinality aggregates; the denominator derives from the
+    // transition agg, never a second event pass.
+    Q("e8_transition_matrix", "W5,A1,A10,LM-markov",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n
+        |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+        |        FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n, t.n_total,
+        |       round(CAST(c.n AS DOUBLE) / t.n_total, 6) AS p
+        |FROM c JOIN tot t USING (event_type)
+        |ORDER BY c.event_type, c.next_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("event_type").agg(sum("n").as("n_total"))
+      c.join(tot, "event_type")
+        .select(col("event_type"), col("next_type"), col("n"), col("n_total"),
+          round(col("n").cast("double") / col("n_total"), 6).as("p"))
+        .orderBy("event_type", "next_type")
+    },
+
+    // ----- deliberate cross join: the (priority × status) scaffold grid a
+    // report densifies against — the one join type where NO key exists by
+    // construction. Both sides are value-domain aggregates (≤ a few rows
+    // at ANY corpus size), and the broadcast hint pins the nested-loop
+    // build side so the plan never decays to a partitioned cartesian
+    // product; the left join back onto the fact aggregate marks genuinely
+    // empty cells.
+    Q("j16_cross_grid", "J-cross,A1,F11",
+      """WITH pr AS (SELECT DISTINCT o_orderpriority AS priority
+        |            FROM orders),
+        |st AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+        |grid AS (SELECT priority, status FROM pr CROSS JOIN st),
+        |act AS (SELECT o_orderpriority AS priority,
+        |               o_orderstatus AS status, count(*) AS n
+        |        FROM orders GROUP BY 1, 2)
+        |SELECT g.priority, g.status, COALESCE(a.n, 0) AS n,
+        |       a.n IS NULL AS is_empty_cell
+        |FROM grid g LEFT JOIN act a
+        |  ON g.priority = a.priority AND g.status = a.status
+        |ORDER BY g.priority, g.status""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val pr = orders.select(col("o_orderpriority").as("priority")).distinct()
+      val st = orders.select(col("o_orderstatus").as("status")).distinct()
+      val act = orders
+        .groupBy(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+      pr.crossJoin(broadcast(st))
+        .join(act, Seq("priority", "status"), "left")
+        .select(col("priority"), col("status"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("is_empty_cell"))
+        .orderBy("priority", "status")
+    },
+
+    // ----- column profile: per-column row/non-null/distinct counts and
+    // min/max (value for numerics, length for strings) — the schema-drift
+    // sentinel an ingestion QA layer runs per batch. Scale shape: ONE
+    // table pass — all four columns profile in a single aggregate (the
+    // multi-distinct is one Expand ×4, not four scans), then stack()
+    // pivots the 1-row aggregate to the per-column layout; the oracle
+    // states the same semantics as four UNION branches. At 100 TB the
+    // distinct counts would move to approx_count_distinct — exact here
+    // because the oracle must hash-match.
+    Q("qa2_profile", "QA-profile,A1,A6,A2",
+      """SELECT 'l_discount' AS col_name, count(*) AS n_rows,
+        |       count(l_discount) AS n_nonnull,
+        |       count(DISTINCT l_discount) AS n_distinct,
+        |       CAST(min(l_discount) AS DOUBLE) AS vmin,
+        |       CAST(max(l_discount) AS DOUBLE) AS vmax
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(l_linestatus),
+        |       count(DISTINCT l_linestatus),
+        |       CAST(min(strlen(l_linestatus)) AS DOUBLE),
+        |       CAST(max(strlen(l_linestatus)) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(l_quantity),
+        |       count(DISTINCT l_quantity),
+        |       CAST(min(l_quantity) AS DOUBLE),
+        |       CAST(max(l_quantity) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |       count(DISTINCT l_returnflag),
+        |       CAST(min(strlen(l_returnflag)) AS DOUBLE),
+        |       CAST(max(strlen(l_returnflag)) AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val one = Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_discount")).as("di_nn"),
+        countDistinct(col("l_discount")).as("di_nd"),
+        min(col("l_discount")).cast("double").as("di_min"),
+        max(col("l_discount")).cast("double").as("di_max"),
+        count(col("l_linestatus")).as("ls_nn"),
+        countDistinct(col("l_linestatus")).as("ls_nd"),
+        min(length(col("l_linestatus"))).cast("double").as("ls_min"),
+        max(length(col("l_linestatus"))).cast("double").as("ls_max"),
+        count(col("l_quantity")).as("qt_nn"),
+        countDistinct(col("l_quantity")).as("qt_nd"),
+        min(col("l_quantity")).cast("double").as("qt_min"),
+        max(col("l_quantity")).cast("double").as("qt_max"),
+        count(col("l_returnflag")).as("rf_nn"),
+        countDistinct(col("l_returnflag")).as("rf_nd"),
+        min(length(col("l_returnflag"))).cast("double").as("rf_min"),
+        max(length(col("l_returnflag"))).cast("double").as("rf_max"))
+      one.select(expr(
+        """stack(4,
+          |  'l_discount',   n_rows, di_nn, di_nd, di_min, di_max,
+          |  'l_linestatus', n_rows, ls_nn, ls_nd, ls_min, ls_max,
+          |  'l_quantity',   n_rows, qt_nn, qt_nd, qt_min, qt_max,
+          |  'l_returnflag', n_rows, rf_nn, rf_nd, rf_min, rf_max)
+          |AS (col_name, n_rows, n_nonnull, n_distinct, vmin, vmax)
+          |""".stripMargin))
+        .orderBy("col_name")
     }
   )
 }
