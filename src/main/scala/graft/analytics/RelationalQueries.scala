@@ -1424,6 +1424,34 @@ object RelationalQueries {
           |AS (col_name, n_rows, n_nonnull, n_distinct, vmin, vmax)
           |""".stripMargin))
         .orderBy("col_name")
+    },
+
+    // ----- native bounded-heap top-k aggregate (plans/TopKAgg): the k
+    // largest balances per segment WITHOUT the window formulation's
+    // per-group full sort — each partition folds into a k-sized heap
+    // (map-side partial), only k doubles per (partition, group) cross the
+    // shuffle, and a skewed group costs O(n log k) in parallel instead of
+    // one task sorting the hot key. The oracle states the same semantics
+    // as the window query it replaces. Values-only output keeps ties
+    // deterministic (any boundary-tied rows contribute equal doubles).
+    Q("w14_topk_agg", "W4,O5,AGG-topk",
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC) AS rk
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(rk AS INT) AS rank, c_acctbal AS bal
+        |FROM r WHERE rk <= 5
+        |ORDER BY c_mktsegment, rank""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(graft.plans.GraftFunctions.topK(col("c_acctbal"), 5).as("tk"))
+        .select(col("c_mktsegment"), posexplode(col("tk")))
+        .select(col("c_mktsegment"),
+          (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("col").as("bal"))
+        .orderBy("c_mktsegment", "rank")
     }
   )
 }

@@ -42,12 +42,25 @@ case class DotProduct(left: Expression, right: Expression)
   * function registry (Column access via `call_function`, plus SQL). */
 object GraftFunctions {
   val DotName = "vec_dot"
+  val TopKName = "topk"
 
   def registerAll(spark: SparkSession): Unit = {
     PolyHashExpr.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    // topk(col, k): k must be a foldable literal — it sizes the agg buffer
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName,
+      exprs => TopKDoubles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)
+        .toAggregateExpression(),
+      "built-in")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** k largest values of `c` per group, descending (native bounded-heap
+    * aggregate — see [[TopKDoubles]]). */
+  def topK(c: Column, k: Int): Column =
+    call_function(TopKName, c, org.apache.spark.sql.functions.lit(k))
 }
