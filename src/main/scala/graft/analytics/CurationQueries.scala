@@ -1,0 +1,325 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF, TextSql => TS, VectorFunctions => VF, VectorSql => VS}
+
+/** Training-data curation operators beyond dedup/similarity: sequence
+  * packing, repetition-quality signals, domain mixture weighting, and a
+  * full k-means (Lloyd) iteration over the embedding corpus.
+  *
+  * Scale design (100 TB posture): packing is sharded so no global window
+  * ever forms; repetition signals are per-row array folds with zero
+  * shuffle; mixture weights aggregate to source cardinality before any
+  * join; the Lloyd E-step is a broadcast nested-loop whose argmax
+  * collapses map-side — one row per vector crosses the shuffle, not one
+  * per (vector, centroid).
+  */
+object CurationQueries {
+
+  /** Tokens per packed training sequence (the context-window budget). */
+  val ChunkTokens = 512L
+
+  /** Packing shards: documents are packed independently within each of
+    * these hash shards, so the running-offset window is partitioned — at
+    * corpus scale this is the knob that keeps packing embarrassingly
+    * parallel (one shard ≈ one writer task). 8 here to exercise multiple
+    * shards at the harness SFs; a 100 TB run sets it to O(output files). */
+  val PackShards = 8L
+
+  val all: Seq[Q] = Seq(
+
+    // ----- sequence packing (concat-and-chunk): the GPT-style pretraining
+    // layout — documents are concatenated in a deterministic per-shard
+    // order and the token stream is split every ChunkTokens tokens. Emits
+    // each document's shard, its token offset in the shard's stream, the
+    // first chunk it lands in, and how many chunks it spans (a doc
+    // straddling a boundary is split across sequences). The offsets are a
+    // running sum over (shard, doc_id) — partitioned, never global — and
+    // chunk ids are exact integer division, bit-equal in any engine.
+    Q("t20_seq_pack", "PACK-sequences,W7",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(${TS.hash("'pack|' || doc_id")} % $PackShards AS INT) AS shard
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+         |  CAST((cum - n_tokens) // $ChunkTokens AS BIGINT) AS chunk_first,
+         |  CAST((cum - 1) // $ChunkTokens
+         |       - (cum - n_tokens) // $ChunkTokens + 1 AS BIGINT) AS n_chunks
+         |FROM w ORDER BY shard, doc_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val shard = pmod(
+        TF.polyHash(concat(lit("pack|"), col("doc_id").cast("string"))),
+        lit(PackShards)).cast("int")
+      val t = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+        shard.as("shard"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("tok_offset"),
+          expr(s"(cum - n_tokens) div $ChunkTokens").as("chunk_first"),
+          expr(s"(cum - 1) div $ChunkTokens" +
+            s" - (cum - n_tokens) div $ChunkTokens + 1").as("n_chunks"))
+        .orderBy("shard", "doc_id")
+    },
+
+    // ----- repetition signals (Gopher-style quality filters): per
+    // document, the mode-token count/fraction and the duplicate-bigram
+    // fraction — the signals that catch boilerplate and degenerate
+    // repetition before training. The Spark side is SHUFFLE-FREE: the mode
+    // count is the longest run in the sorted token array (an O(n log n)
+    // per-row fold), distinct bigrams an array_distinct over a zip — no
+    // token explode ever leaves the row. The oracle states the same
+    // semantics the relational way (unnest + count) since DuckDB's list
+    // fold cannot carry struct state; results are bit-equal.
+    Q("t22_repetition", "TXT-repetition,TXT-quality",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |t2 AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 2),
+        |w AS (SELECT doc_id, unnest(l) AS tok FROM t2),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_n FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |  len(list_distinct(list_transform(range(len(l) - 1),
+        |    i -> l[CAST(i AS INT) + 1] || ' ' || l[CAST(i AS INT) + 2]))) AS nb
+        |  FROM t2)
+        |SELECT t2.doc_id, CAST(t2.n AS BIGINT) AS n_tokens,
+        |  CAST(top.top_n AS BIGINT) AS top_token_n,
+        |  round(CAST(top.top_n AS DOUBLE) / t2.n, 6) AS top_token_frac,
+        |  round(1 - CAST(bg.nb AS DOUBLE) / (t2.n - 1), 6) AS dup_bigram_frac
+        |FROM t2
+        |JOIN top ON t2.doc_id = top.doc_id
+        |JOIN bg ON t2.doc_id = bg.doc_id
+        |ORDER BY t2.doc_id""".stripMargin) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("l"), size(toks).cast("long").as("n"))
+        .filter(col("n") >= 2)
+      // mode count = longest run in the sorted array: fold carrying
+      // (prev token, current run, best run) as a struct accumulator
+      val sorted = sort_array(col("l"))
+      val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+      val topN = aggregate(sorted, zero,
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val bigrams = zip_with(
+        slice(col("l"), lit(1), (size(col("l")) - 1).cast("int")),
+        slice(col("l"), lit(2), (size(col("l")) - 1).cast("int")),
+        (a, b) => concat(a, lit(" "), b))
+      base.select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        topN.as("top_token_n"),
+        round(topN.cast("double") / col("n"), 6).as("top_token_frac"),
+        round(lit(1) - size(array_distinct(bigrams)).cast("double")
+          / (col("n") - 1), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ----- domain mixture weights: per-source token shares and the
+    // resampling weight that flattens the mixture to uniform — the knob a
+    // pretraining run turns to hit a target domain mix. weight =
+    // target_share / actual_share = total / (n_sources · source_tokens);
+    // every input is an exact count, the two divisions are the same IEEE
+    // ops in both engines. Plan: one source-cardinality aggregate, then a
+    // broadcast of the 1-row grand total — the corpus is read once.
+    Q("t23_mixture_weights", "MIX-weights,A7,A10",
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT count(*) AS n_sources,
+        |             CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+        |  round(CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens), 6)
+        |    AS weight
+        |FROM s CROSS JOIN g ORDER BY source""".stripMargin) { (s, dir) =>
+      val bySource = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TF.tokens(col("text"))).cast("long")).as("n_tokens"))
+      val grand = bySource.agg(
+        count(lit(1)).as("n_sources"),
+        sum("n_tokens").as("total_tokens"))
+      bySource.crossJoin(broadcast(grand))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+            .as("token_share"),
+          round(col("total_tokens").cast("double")
+            / (col("n_sources") * col("n_tokens")), 6).as("weight"))
+        .orderBy("source")
+    },
+
+    // ----- one full k-means (Lloyd) iteration, spherical (cosine) metric:
+    // E-step assigns every vector to its nearest centroid, M-step emits
+    // the per-cluster per-dimension means and cluster sizes — composing
+    // v4's trained assignment with v7's exact-decimal centroid build into
+    // the update a k-means trainer loops. The E-step is a broadcast
+    // nested-loop over the centroid table whose argmax collapses in the
+    // partial aggregate: ONE row per vector crosses the shuffle, not one
+    // per (vector, centroid) — the window formulation would shuffle and
+    // sort N·K rows. DECIMAL(28,10) sums make the means order-free, so
+    // the doubles are bit-identical cross-engine.
+    Q("v9_kmeans_iter", "ANN-kmeans-iter,A4", {
+      val acos = s"${VS.dot("n.v", "c.cv")} / (n.nrm * c.cn)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${VS.norm("v")} AS nrm FROM e),
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+         |      FROM n WHERE vec_id % ${VectorQueries.CentroidStep} = 0),
+         |asgscored AS (
+         |  SELECT n.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |                       ORDER BY $acos DESC, c.centroid_id) AS rn
+         |  FROM n CROSS JOIN c),
+         |asg AS (SELECT vec_id, centroid_id FROM asgscored WHERE rn = 1),
+         |sizes AS (SELECT centroid_id, count(*) AS n_members
+         |          FROM asg GROUP BY 1),
+         |m AS (SELECT a.centroid_id, unnest(n.v) AS ev,
+         |             unnest(range(len(n.v))) AS i
+         |      FROM asg a JOIN n ON a.vec_id = n.vec_id),
+         |newc AS (
+         |  SELECT centroid_id, CAST(i AS INT) AS i,
+         |    round(CAST(SUM(CAST(ev AS DECIMAL(28,10))) AS DOUBLE)
+         |          / COUNT(*), 6) AS c_new
+         |  FROM m GROUP BY 1, 2)
+         |SELECT newc.centroid_id, newc.i, newc.c_new,
+         |       CAST(s.n_members AS BIGINT) AS n_members
+         |FROM newc JOIN sizes s ON newc.centroid_id = s.centroid_id
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+      val cent = broadcast(
+        e.filter(col("vec_id") % VectorQueries.CentroidStep === 0)
+          .select(col("vec_id").as("centroid_id"),
+            col("v").as("cv"), col("nrm").as("cn")))
+      // E-step: argmax-by-(cos, -centroid_id) as an aggregate, so the
+      // broadcast join's K candidate rows per vector collapse map-side
+      val asg = e.join(cent)
+        .withColumn("ccos",
+          VF.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("centroid_id"),
+            struct(col("ccos"), (-col("centroid_id")).as("neg")))
+            .as("centroid_id"),
+          any_value(col("v")).as("v"))
+      // M-step: exact-decimal per-dimension means + cluster sizes
+      val sizes = asg.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_members"))
+      val newc = asg.select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos").as("i"))
+        .agg(round(sum(col("col").cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1)), 6).as("c_new"))
+      newc.join(sizes, "centroid_id")
+        .select(col("centroid_id"), col("i"), col("c_new"), col("n_members"))
+        .orderBy("centroid_id", "i")
+    },
+
+    // ----- incremental near-dedup: probe an existing MinHash band INDEX
+    // with a new batch instead of re-deduping the whole corpus — the way a
+    // growing 100 TB corpus actually runs dedup (cost scales with the
+    // batch, not the corpus). Batch = the t11 hash sample (a deterministic
+    // 10%, standing in for "today's arrivals"); index = the rest, whose
+    // band table is exactly what a production pipeline persists between
+    // runs. The probe join touches only colliding (band, sig) buckets,
+    // with the t5 hot-bucket cap applied to the index side (the side with
+    // structural mass); emitted pairs carry the signature-agreement
+    // Jaccard estimate, same as t5.
+    Q("t24_incremental_dedup", "DEDUP-incremental,J-semi", {
+      val sigCols = (0 until 8)
+        .map(p => s"${TS.minhash("s", p)} AS mh$p").mkString(",\n    ")
+      val bands = (0 until 8)
+        .map(p => s"SELECT doc_id, is_new, $p AS band, mh$p AS sig FROM sig")
+        .mkString("\n    UNION ALL ")
+      val est = (0 until 8)
+        .map(p => s"(CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+         |    (${TS.hash("'smpl|' || doc_id")} % 100 < 10) AS is_new
+         |  FROM documents),
+         |sh AS (SELECT doc_id, is_new, ${TS.shingles("l", 3)} AS s FROM t),
+         |sig AS (SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM sh),
+         |bands AS (
+         |    $bands),
+         |idx AS (SELECT band, sig, doc_id FROM bands WHERE NOT is_new),
+         |idxok AS (SELECT band, sig FROM idx GROUP BY 1, 2
+         |          HAVING count(*) <= ${TextQueries.MaxBandBucket}),
+         |newb AS (SELECT band, sig, doc_id FROM bands WHERE is_new),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_doc, ix.doc_id AS index_doc
+         |  FROM newb nb
+         |  JOIN idxok ok ON nb.band = ok.band AND nb.sig = ok.sig
+         |  JOIN idx ix ON nb.band = ix.band AND nb.sig = ix.sig)
+         |SELECT c.new_doc, c.index_doc, round(($est) / 8.0, 6) AS est_jaccard
+         |FROM cand c
+         |JOIN sig a ON c.new_doc = a.doc_id
+         |JOIN sig b ON c.index_doc = b.doc_id
+         |ORDER BY new_doc, index_doc""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val toks = TF.tokens(col("text"))
+      val isNew = pmod(
+        TF.polyHash(concat(lit("smpl|"), col("doc_id").cast("string"))),
+        lit(100L)) < 10
+      // one signature pass here because the harness table is one corpus;
+      // incrementally, `idx`'s band table is read back from the last run
+      val sig = Caches.persistTracked(
+        Tables.documents(s, dir).repartition(col("doc_id"))
+          .select(col("doc_id"), isNew.as("is_new"),
+            TF.shingles(toks, 3).as("sh"))
+          .select(col("doc_id"), col("is_new"),
+            array((0 until 8).map(p => TF.minhash(col("sh"), p)): _*)
+              .as("mhs")))
+      val exploded = sig
+        .select(col("doc_id"), col("is_new"), col("mhs"),
+          posexplode(col("mhs")))
+        .toDF("doc_id", "is_new", "mhs", "band", "sig")
+      val idx = exploded.filter(!col("is_new"))
+      val okBuckets = idx.groupBy("band", "sig")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= TextQueries.MaxBandBucket)
+        .select("band", "sig")
+      val idxB = idx.join(okBuckets, Seq("band", "sig"))
+        .select(col("doc_id").as("index_doc"), col("mhs").as("mhb"),
+          col("band"), col("sig"))
+      val newB = exploded.filter(col("is_new"))
+        .select(col("doc_id").as("new_doc"), col("mhs").as("mha"),
+          col("band"), col("sig"))
+      val matches = aggregate(
+        zip_with(col("mha"), col("mhb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, b) => a + b)
+      // est computed per collided row BEFORE the pair-dedup aggregate
+      // (primitive column keeps the groupBy a HashAggregate — see t5)
+      newB.join(idxB, Seq("band", "sig"))
+        .select(col("new_doc"), col("index_doc"),
+          round(matches / 8.0, 6).as("est"))
+        .groupBy("new_doc", "index_doc")
+        .agg(first("est").as("est_jaccard"))
+        .orderBy("new_doc", "index_doc")
+    }
+  )
+}

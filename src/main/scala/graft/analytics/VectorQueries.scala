@@ -47,6 +47,23 @@ object VectorQueries {
             .otherwise(lit(0L))))
   }
 
+  /** Deterministic hyperplane weights for sign-bit LSH (shared by
+    * `v5_ann_lsh` and `v10_ann_recall`): 4 planes × 64 dims of small
+    * rationals, identical literals in both engines — no RNG to share. */
+  private def hpW(r: Int, i: Int): Double = (((r * 73 + i * 37) % 17) - 8) / 8.0
+  private def hpWSql(r: Int): String =
+    (0 until 64).map(i => hpW(r, i).toString).mkString("[", ", ", "]::DOUBLE[]")
+  private def hpHyper(r: Int) = array((0 until 64).map(i => lit(hpW(r, i))): _*)
+  /** 4-bit sign bucket of vector column `v` against the 4 hyperplanes. */
+  private def hpBucket(v: org.apache.spark.sql.Column) =
+    (0 until 4).map(r =>
+      when(VF.dot(v, hpHyper(r)) >= 0, lit(1 << r)).otherwise(lit(0)))
+      .reduce(_ + _)
+  /** Oracle twin of [[hpBucket]] over CTE alias `n.v`. */
+  private def hpBucketSql: String = (0 until 4).map(r =>
+    s"(CASE WHEN ${VS.dot("n.v", s"hp.w$r")} >= 0 THEN ${1 << r} ELSE 0 END)")
+    .mkString(" + ")
+
   /** CTE shared by all oracles: embeddings as DOUBLE[] + its L2 norm
     * (norms precomputed once — same as the Spark side). */
   private val baseCte =
@@ -293,16 +310,10 @@ object VectorQueries {
     // a quantizer can be retrained. Scale shape at 100 TB: bucket id is a
     // narrow per-row map; the probe join shuffles on it once.
     Q("v5_ann_lsh", "ANN-lsh", {
-      def w(r: Int, i: Int): Double = (((r * 73 + i * 37) % 17) - 8) / 8.0
-      def wSql(r: Int): String =
-        (0 until 64).map(i => w(r, i).toString).mkString("[", ", ", "]::DOUBLE[]")
-      val bucketSql = (0 until 4).map(r =>
-        s"(CASE WHEN ${VS.dot("n.v", s"hp.w$r")} >= 0 THEN ${1 << r} ELSE 0 END)")
-        .mkString(" + ")
       val cos = s"${VS.dot("q.qv", "c.cv")} / (q.qn * c.cn)"
       s"""$baseCte,
-         |hp AS (SELECT ${(0 until 4).map(r => s"${wSql(r)} AS w$r").mkString(", ")}),
-         |b AS (SELECT vec_id, v, nrm, CAST($bucketSql AS INT) AS bucket
+         |hp AS (SELECT ${(0 until 4).map(r => s"${hpWSql(r)} AS w$r").mkString(", ")}),
+         |b AS (SELECT vec_id, v, nrm, CAST($hpBucketSql AS INT) AS bucket
          |      FROM n CROSS JOIN hp),
          |q AS (SELECT vec_id AS query_id, bucket, v AS qv, nrm AS qn
          |      FROM b WHERE vec_id < 20),
@@ -320,11 +331,7 @@ object VectorQueries {
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
-      def w(r: Int, i: Int): Double = (((r * 73 + i * 37) % 17) - 8) / 8.0
-      def hyper(r: Int) = array((0 until 64).map(i => lit(w(r, i))): _*)
-      val bucket = (0 until 4).map(r =>
-        when(VF.dot(col("v"), hyper(r)) >= 0, lit(1 << r)).otherwise(lit(0)))
-        .reduce(_ + _)
+      val bucket = hpBucket(col("v"))
       val b = Tables.embeddings(s, dir)
         .select(col("vec_id"), VF.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VF.norm(col("v")))
@@ -451,6 +458,83 @@ object VectorQueries {
         .select(col("i"), col("vmin"), col("vmax"),
           ((col("vmax") - col("vmin")) / lit(255.0)).as("scale"))
         .orderBy("i")
+    },
+
+    // ----- ANN index-quality evaluation: recall@3 of the v5 LSH probe
+    // against brute-force ground truth, per query — the gate a production
+    // index build runs before swapping an index in. Both candidate sets
+    // come from the same scored formulations as v1/v5; the hit count is a
+    // left join on (query, neighbor), so a query whose bucket had < 3
+    // candidates (or unlucky hashing) shows its true degraded recall
+    // rather than dropping out. Plan: ground truth is query-side
+    // broadcast × corpus (the exact-baseline cost an evaluation accepts
+    // on a SAMPLE of queries — never the full corpus); the ANN side reuses
+    // the bucket-probe join; everything downstream is query-cardinality.
+    Q("v10_ann_recall", "ANN-recall,A5", {
+      val cosAll = s"${VS.dot("q.qv", "c.v")} / (q.qn * c.nrm)"
+      val cosBkt = s"${VS.dot("q.qv", "c.cv")} / (q.qn * c.cn)"
+      s"""$baseCte,
+         |hp AS (SELECT ${(0 until 4).map(r => s"${hpWSql(r)} AS w$r").mkString(", ")}),
+         |b AS (SELECT vec_id, v, nrm, CAST($hpBucketSql AS INT) AS bucket
+         |      FROM n CROSS JOIN hp),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+         |      FROM b WHERE vec_id < 20),
+         |gtscored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |                       ORDER BY $cosAll DESC, c.vec_id) AS rank
+         |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+         |gt AS (SELECT query_id, neighbor_id FROM gtscored WHERE rank <= 3),
+         |annscored AS (
+         |  SELECT q.query_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |                       ORDER BY $cosBkt DESC, c.neighbor_id) AS rank
+         |  FROM q JOIN (SELECT vec_id AS neighbor_id, bucket, v AS cv,
+         |                      nrm AS cn FROM b) c
+         |    ON q.bucket = c.bucket AND c.neighbor_id <> q.query_id),
+         |ann AS (SELECT query_id, neighbor_id FROM annscored WHERE rank <= 3),
+         |hits AS (
+         |  SELECT g.query_id, count(a.neighbor_id) AS n_hits
+         |  FROM gt g LEFT JOIN ann a
+         |    ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
+         |  GROUP BY g.query_id)
+         |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |       round(n_hits / 3.0, 6) AS recall_at_3
+         |FROM hits ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+        .withColumn("bucket", hpBucket(col("v")).cast(IntegerType))
+      val q = broadcast(b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qbucket")))
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val gt = b.select(col("vec_id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        .join(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VF.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+      val ann = b.select(col("vec_id").as("neighbor_id"), col("bucket"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        .join(q.withColumnRenamed("qbucket", "bucket"), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VF.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+      gt.join(ann.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          round(col("n_hits") / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
     }
   )
 }

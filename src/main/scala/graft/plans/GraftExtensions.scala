@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Config-driven registration of every custom graft expression: set
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster-wide via
+  * `--conf`, no code change in the consuming job) and `poly_hash`,
+  * `vec_dot` and `topk` resolve in SQL and `call_function` from session
+  * construction on — the production route to the same registry entries
+  * that [[GraftFunctions.registerAll]] installs per-session (Verify, Bench
+  * and the test harness keep using the latter because their sessions are
+  * built before the library is on `spark.sql.extensions`).
+  *
+  * Unlike `createOrReplaceTempFunction`, injected builders are part of the
+  * session state builder, so `SparkSession.newSession()` and cloned
+  * sessions (e.g. per-query isolation on a shared cluster) inherit them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(PolyHashExpr.FnName),
+      info(PolyHashExpr.FnName,
+        "poly_hash(str) - (acc*31 + byte) mod 1e9+7 over the UTF-8 bytes"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotName),
+      info(GraftFunctions.DotName,
+        "vec_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.TopKName),
+      info(GraftFunctions.TopKName,
+        "topk(col, k) - k largest doubles per group, descending"),
+      (exprs: Seq[Expression]) => TopKDoubles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)
+        .toAggregateExpression()))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** The `spark.sql.extensions` route: a session constructed with
+  * [[GraftExtensions]] resolves the custom functions with no explicit
+  * `registerAll` call, and child sessions inherit them.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions-built session resolves poly_hash/vec_dot/topk in SQL") {
+    spark // force the shared session (and its SparkContext) to exist first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // reuses the JVM's SparkContext; builds a NEW session state with the
+      // extensions applied — exactly what --conf spark.sql.extensions does
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      try {
+        val hash = s2.sql("SELECT poly_hash('spark')").head().getLong(0)
+        assert(hash == PolyHashExpr.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString("spark")))
+        val dot = s2.sql(
+          "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+          .head().getDouble(0)
+        assert(dot == 11.0)
+        val topk = s2.sql(
+          "SELECT topk(x, 2) FROM VALUES (1.0d), (3.0d), (2.0d) AS t(x)")
+          .head().getSeq[Double](0)
+        assert(topk == Seq(3.0, 2.0))
+        // newSession() keeps injected builders (temp functions would not
+        // survive this — the reason extensions are the cluster-wide route)
+        val s3 = s2.newSession()
+        assert(s3.sql("SELECT poly_hash('x')").head().getLong(0) ==
+          PolyHashExpr.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+      } finally {
+        // do NOT s2.stop(): that would stop the JVM-shared SparkContext
+        // out from under every later suite; dropping the references is
+        // the correct teardown for a context-sharing session
+      }
+    } finally {
+      // restore the shared test session as default/active
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
