@@ -29,6 +29,15 @@ object CurationQueries {
     * shards at the harness SFs; a 100 TB run sets it to O(output files). */
   val PackShards = 8L
 
+  /** t25 sliding-window chunking: window width and stride in tokens
+    * (stride < width ⇒ overlapping retrieval chunks). */
+  val ChunkWords = 32L
+  val ChunkStride = 24L
+
+  /** t27 scrub blocklist — ONE definition site: the Spark lambda and the
+    * oracle IN-list are both emitted from this Seq. */
+  val Blocklist = Seq("customer", "stream", "vector")
+
   val all: Seq[Q] = Seq(
 
     // ----- sequence packing (concat-and-chunk): the GPT-style pretraining
@@ -320,6 +329,122 @@ object CurationQueries {
         .groupBy("new_doc", "index_doc")
         .agg(first("est").as("est_jaccard"))
         .orderBy("new_doc", "index_doc")
+    },
+
+    // ----- RAG-style sliding-window chunking: each document becomes
+    // overlapping ChunkWords-token windows advanced by ChunkStride (the
+    // embedding-context layout retrieval corpora are built with, vs t20's
+    // disjoint concat-and-chunk pretraining layout). Chunk count, spans
+    // and hashes are all exact integer arithmetic; the per-chunk content
+    // hash is what a downstream chunk-level dedup would key on. Plan: a
+    // narrow per-row explode — ZERO shuffles before the (oracle-only)
+    // ordering; at corpus scale this is a map-only stage that pipelines
+    // straight into the embedding batch writer.
+    Q("t25_window_chunks", "TXT-chunk-window,PACK-sequences", {
+      val W = ChunkWords; val S = ChunkStride
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+         |           FROM documents),
+         |n AS (SELECT doc_id, l, len(l) AS n,
+         |        CASE WHEN len(l) <= $W THEN 1
+         |             ELSE 1 + (len(l) - $W + ${S - 1}) // $S END AS nch
+         |      FROM t),
+         |c AS (SELECT doc_id, l, n, unnest(range(nch)) AS idx FROM n)
+         |SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(l, idx*$S + 1, idx*$S + $W)) AS INT)
+         |    AS chunk_len,
+         |  ${TS.hash(s"array_to_string(list_slice(l, idx*$S + 1, idx*$S + $W), ' ')")}
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val W = ChunkWords.toInt; val S = ChunkStride.toInt
+      val toks = TF.tokens(col("text"))
+      val nch = when(col("n") <= W, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n - $W + ${S - 1}) div $S"))
+      val chunk = slice(col("l"), col("idx") * S + 1, lit(W))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("l"))
+        .withColumn("n", size(col("l")).cast("long"))
+        .select(col("doc_id"), col("l"),
+          explode(sequence(lit(0L), nch - 1)).as("idx"))
+        .select(col("doc_id"), col("idx").cast("int").as("chunk_idx"),
+          size(chunk).as("chunk_len"),
+          TF.polyHash(array_join(chunk, " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ----- n-gram novelty (corpus-diversity signal): per document, the
+    // fraction of its distinct 3-shingles whose FIRST corpus occurrence
+    // (min doc_id) is this document — low novelty marks boilerplate-heavy
+    // docs a curation pass down-weights. Unlike the pairwise dedup family
+    // this is LINEAR in corpus size: one groupBy-min on the shingle hash
+    // and one join back — no candidate-pair fanout exists to cap. The
+    // shuffle key is the 8-byte poly-hash, never the shingle string.
+    Q("t26_ngram_novelty", "TXT-novelty,DEDUP-ngram,A5", {
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+         |           FROM documents),
+         |sh AS (SELECT doc_id, ${TS.hash("s")} AS h
+         |       FROM (SELECT doc_id, unnest(${TS.shingles("l", 3)}) AS s
+         |             FROM t)),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / count(*) AS novelty
+         |FROM sh JOIN f USING (h)
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), TF.polyHash(col("sh")).as("h"))
+      val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+      val novel = sum(when(col("first_doc") === col("doc_id"), 1L)
+        .otherwise(0L))
+      sh.join(first, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), novel.as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // ----- blocklist scrub: remove blocklisted tokens from every document
+    // and report what changed — the bad-word / PII-token filtering pass a
+    // training corpus runs before tokenization. The blocklist literal is
+    // emitted into BOTH the Spark lambda and the oracle SQL from the one
+    // Seq below (the f8 one-definition-site pattern); the scrubbed-text
+    // hash keys a downstream re-dedup of now-identical survivors. Plan:
+    // per-row array filter, zero shuffles — at 100 TB this fuses into
+    // whatever scan feeds it.
+    Q("t27_blocklist_scrub", "TXT-blocklist,P4,F1", {
+      val inList = Blocklist.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+         |           FROM documents),
+         |k AS (SELECT doc_id, len(l) AS n_tokens,
+         |        list_filter(l, t -> t NOT IN ($inList)) AS kept
+         |      FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(n_tokens - len(kept) AS INT) AS n_removed,
+         |  CASE WHEN len(kept) = 0 THEN 0
+         |       ELSE ${TS.hash("array_to_string(kept, ' ')")} END
+         |    AS scrub_hash
+         |FROM k ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val blockArr = array(Blocklist.map(lit): _*)
+      val toks = TF.tokens(col("text"))
+      val kept = filter(toks, t => !array_contains(blockArr, t))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("l"), kept.as("kept"))
+        .select(col("doc_id"), size(col("l")).as("n_tokens"),
+          (size(col("l")) - size(col("kept"))).as("n_removed"),
+          when(size(col("kept")) === 0, lit(0L))
+            .otherwise(TF.polyHash(array_join(col("kept"), " ")))
+            .as("scrub_hash"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1327,6 +1327,56 @@ object RelationalQueries {
         .orderBy("event_type", "next_type")
     },
 
+    // ----- trailing z-score anomaly flag on the daily event volume: each
+    // day scored against the PRECEDING 28 days (frame ends at 1 PRECEDING
+    // — the scored day never contaminates its own baseline), anomalous
+    // when |z| > 3 with ≥ 14 days of history. Mean/variance come from
+    // exact integer Σn and Σn² over the frame — never stddev_samp, whose
+    // accumulation internals differ per engine — widened through
+    // DECIMAL(38,0) (daily counts at 100 TB put n² past BIGINT), then one
+    // fixed order of double ops: var = (ss − s·s/m)/(m−1). The window is
+    // a global ORDER BY day, safe at any corpus size: the frame is the
+    // post-aggregate calendar (≤ 366 rows/year), not the fact table.
+    Q("e9_volume_anomaly", "EVT-anomaly,W5,A1",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |w AS (SELECT day, n,
+        |    CAST(sum(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
+        |         OVER fr AS DOUBLE) AS ss,
+        |    CAST(sum(CAST(n AS DECIMAL(38,0))) OVER fr AS DOUBLE) AS s,
+        |    count(*) OVER fr AS m
+        |  FROM d
+        |  WINDOW fr AS (ORDER BY day
+        |                ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n,
+        |  CASE WHEN m >= 14 AND (ss - s * s / m) / (m - 1) > 0
+        |       THEN (CAST(n AS DOUBLE) - s / m)
+        |            / sqrt((ss - s * s / m) / (m - 1)) END AS z,
+        |  CASE WHEN m >= 14 AND (ss - s * s / m) / (m - 1) > 0
+        |       THEN abs((CAST(n AS DOUBLE) - s / m)
+        |            / sqrt((ss - s * s / m) / (m - 1))) > 3 END
+        |    AS is_anomaly
+        |FROM w ORDER BY day""".stripMargin) { (s, dir) =>
+      val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val fr = Window.orderBy("day").rowsBetween(-28, -1)
+      val w = d.select(col("day"), col("n"),
+        sum(col("n").cast(dec18) * col("n").cast(dec18)).over(fr)
+          .cast("double").as("ss"),
+        sum(col("n").cast(dec38)).over(fr).cast("double").as("s"),
+        count(lit(1)).over(fr).as("m"))
+      val varr = (col("ss") - col("s") * col("s") / col("m")) / (col("m") - 1)
+      val z = (col("n").cast("double") - col("s") / col("m")) / sqrt(varr)
+      val guard = col("m") >= 14 && varr > 0
+      w.select(col("day"), col("n"),
+          when(guard, z).as("z"),
+          when(guard, abs(z) > 3).as("is_anomaly"))
+        .orderBy("day")
+    },
+
     // ----- deliberate cross join: the (priority × status) scaffold grid a
     // report densifies against — the one join type where NO key exists by
     // construction. Both sides are value-domain aggregates (≤ a few rows

@@ -535,6 +535,85 @@ object VectorQueries {
         .select(col("query_id"), col("n_hits"),
           round(col("n_hits") / 3.0, 6).as("recall_at_3"))
         .orderBy("query_id")
+    },
+
+    // ----- int8 scalar-quantization ENCODE + reconstruction error: apply
+    // v8's per-dimension (min, scale) calibration to every vector —
+    // code_i = clamp(floor((x_i − min_i)/scale_i + 0.5), 0..255) — decode
+    // it back, and report per-label mean/max squared reconstruction error:
+    // the accept/reject gate an index build runs before swapping in a
+    // quantized corpus. floor(+0.5) replaces round() because the two
+    // engines disagree on round-half semantics while floor is IEEE-exact
+    // in both; the per-vector error is a fixed-order left fold, and the
+    // cross-row mean goes through DECIMAL(28,10) so accumulation order
+    // cannot perturb the double. Plan: the 64-row calibration aggregates
+    // map-side (v8), collapses to ONE broadcast row of arrays, and the
+    // encode+error is then a narrow per-row map — corpus read twice, one
+    // 64-row shuffle, no join wider than the broadcast.
+    Q("v11_quant_encode", "ANN-quantize-encode,A7,A4", {
+      val code = """CASE WHEN scales[i] = 0 THEN 0.0
+                   |      ELSE least(255.0, greatest(0.0,
+                   |        floor((v[i] - vmins[i]) / scales[i] + 0.5))) END"""
+        .stripMargin.replaceAll("\\s+", " ")
+      s"""WITH x AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |cal AS (SELECT i, CAST(min(e) AS DOUBLE) AS vmin,
+         |    (CAST(max(e) AS DOUBLE) - CAST(min(e) AS DOUBLE)) / 255.0
+         |      AS scale
+         |  FROM (SELECT unnest(embedding) AS e,
+         |               unnest(range(len(embedding))) AS i FROM embeddings)
+         |  GROUP BY i),
+         |arr AS (SELECT list(vmin ORDER BY i) AS vmins,
+         |               list(scale ORDER BY i) AS scales FROM cal),
+         |err AS (SELECT label,
+         |    list_reduce(list_transform(range(1, len(v) + 1), i ->
+         |        (v[i] - (vmins[i] + ($code) * scales[i]))
+         |      * (v[i] - (vmins[i] + ($code) * scales[i]))),
+         |      (a, b) -> a + b) / len(v) AS e
+         |  FROM x CROSS JOIN arr)
+         |SELECT label, count(*) AS n,
+         |  CAST(sum(CAST(e AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+         |    AS avg_err,
+         |  max(e) AS max_err
+         |FROM err GROUP BY label ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+      val calib = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")))
+        .groupBy(col("pos"))
+        .agg(min(col("col")).cast("double").as("vmin"),
+          max(col("col")).cast("double").as("vmax"))
+        .select(col("pos"),
+          struct(col("pos"), col("vmin")).as("m"),
+          struct(col("pos"),
+            ((col("vmax") - col("vmin")) / lit(255.0)).as("scale")).as("sc"))
+      val arrs = calib.agg(
+          sort_array(collect_list(col("m"))).as("ms"),
+          sort_array(collect_list(col("sc"))).as("scs"))
+        .select(
+          transform(col("ms"), m => m.getField("vmin")).as("vmins"),
+          transform(col("scs"), m => m.getField("scale")).as("scales"))
+      val errExpr = aggregate(
+        transform(sequence(lit(1), size(col("v"))), i => {
+          val xv = element_at(col("v"), i)
+          val mn = element_at(col("vmins"), i)
+          val sc = element_at(col("scales"), i)
+          val codeC = when(sc === 0.0, lit(0.0))
+            .otherwise(least(lit(255.0),
+              greatest(lit(0.0), floor((xv - mn) / sc + 0.5))))
+          val d = xv - (mn + codeC * sc)
+          d * d
+        }),
+        lit(0.0), (a, b) => a + b) / size(col("v"))
+      Tables.embeddings(s, dir)
+        .select(col("label"), VF.toDoubleArr(col("embedding")).as("v"))
+        .crossJoin(broadcast(arrs))
+        .select(col("label"), errExpr.as("e"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("e").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1))).as("avg_err"),
+          max(col("e")).as("max_err"))
+        .orderBy("label")
     }
   )
 }

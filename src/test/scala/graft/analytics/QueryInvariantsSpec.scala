@@ -156,4 +156,100 @@ class QueryInvariantsSpec extends SparkSpec {
     }
     assert(rows.forall(!_.isNullAt(c)))
   }
+
+  test("t25 window chunks: contiguous indices, full windows except the tail") {
+    val (cols, rows) = q("t25_window_chunks")
+    val doc = cols.indexOf("doc_id")
+    val idx = cols.indexOf("chunk_idx")
+    val len = cols.indexOf("chunk_len")
+    val W = CurationQueries.ChunkWords.toInt
+    val S = CurationQueries.ChunkStride.toInt
+    val docLens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(_.getLong(doc)).distinct.length == docLens.size,
+      "every document must chunk")
+    rows.groupBy(_.getLong(doc)).foreach { case (d, rs) =>
+      val n = docLens(d)
+      val expect = if (n <= W) 1 else 1 + (n - W + S - 1) / S
+      val sorted = rs.sortBy(_.getInt(idx))
+      assert(sorted.map(_.getInt(idx)).toSeq == (0 until expect),
+        s"doc $d: chunk indices not 0..${expect - 1}")
+      // all chunks are full windows except possibly the last, which still
+      // reaches the document's end exactly
+      sorted.init.foreach(r => assert(r.getInt(len) == W))
+      assert(sorted.last.getInt(len) == n - (expect - 1) * S)
+    }
+  }
+
+  test("t26 novelty: every shingle is novel exactly once, at its first doc") {
+    val (cols, rows) = q("t26_ngram_novelty")
+    val novel = cols.indexOf("n_novel")
+    val total = cols.indexOf("n_shingles")
+    val ratio = cols.indexOf("novelty")
+    rows.foreach { r =>
+      assert(r.getLong(novel) <= r.getLong(total))
+      assert(r.getDouble(ratio) >= 0.0 && r.getDouble(ratio) <= 1.0)
+    }
+    // summed over the corpus, n_novel counts each distinct shingle exactly
+    // once (at its min-doc_id owner)
+    val distinctShingles = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.shingles(
+        split(col("text"), " "), 3)).as("s"))
+      .select(countDistinct("s")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(novel)).sum == distinctShingles)
+    // doc 0 (the corpus minimum) sees everything first
+    val first = rows.minBy(_.getLong(cols.indexOf("doc_id")))
+    assert(first.getDouble(ratio) == 1.0)
+  }
+
+  test("t27 blocklist scrub: removals equal the corpus blocklist hits") {
+    val (cols, rows) = q("t27_blocklist_scrub")
+    val removed = cols.indexOf("n_removed")
+    val nTokens = cols.indexOf("n_tokens")
+    assert(rows.exists(_.getInt(removed) > 0), "blocklist never fired")
+    rows.foreach(r => assert(r.getInt(removed) <= r.getInt(nTokens)))
+    val hits = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(CurationQueries.Blocklist: _*))
+      .count()
+    assert(rows.map(_.getInt(removed).toLong).sum == hits)
+  }
+
+  test("v11 quant encode: error bounded by the coarsest dimension's step") {
+    val (cols, rows) = q("v11_quant_encode")
+    val n = cols.indexOf("n")
+    val avgErr = cols.indexOf("avg_err")
+    val maxErr = cols.indexOf("max_err")
+    assert(rows.map(_.getLong(n)).sum ==
+      Tables.embeddings(spark, dir).count())
+    // per-dim |x - decode| <= scale/2 for in-range x, so the per-vector
+    // mean squared error can never exceed (max scale)^2 / 4
+    val maxScale = graft.SparkEntry.queries("v8_quant_calibration")(spark, dir)
+      .agg(max("scale")).collect()(0).getDouble(0)
+    val bound = maxScale * maxScale / 4 + 1e-12
+    rows.foreach { r =>
+      assert(r.getDouble(avgErr) >= 0.0)
+      assert(r.getDouble(avgErr) <= r.getDouble(maxErr))
+      assert(r.getDouble(maxErr) <= bound,
+        s"max_err ${r.getDouble(maxErr)} exceeds quantization bound $bound")
+    }
+  }
+
+  test("e9 volume anomaly: no score without 14 days of history") {
+    val (cols, rows) = q("e9_volume_anomaly")
+    val day = cols.indexOf("day")
+    val z = cols.indexOf("z")
+    val anom = cols.indexOf("is_anomaly")
+    val byDay = rows.sortBy(_.getDate(day).toLocalDate.toEpochDay)
+    // the frame is PRECEDING-only: day k has k prior days, so the first 14
+    // rows can never satisfy the m >= 14 guard
+    byDay.take(14).foreach(r => assert(r.isNullAt(z), "early day scored"))
+    assert(byDay.drop(14).exists(!_.isNullAt(z)), "no day ever scored")
+    byDay.foreach { r =>
+      assert(r.isNullAt(z) == r.isNullAt(anom))
+      if (!r.isNullAt(z))
+        assert(r.getBoolean(anom) == (math.abs(r.getDouble(z)) > 3))
+    }
+  }
 }
