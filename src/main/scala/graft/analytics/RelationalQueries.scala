@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.IntegerType
 import graft.sources.Tables
+import graft.functions.{TextFunctions => TF}
 
 /** SURVEY.md §2 relational operator inventory, demonstrated on the harness
   * tables with DuckDB oracle twins. Each query is the idiomatic Spark
@@ -16,6 +17,10 @@ import graft.sources.Tables
   *    BIGINT by default).
   */
 object RelationalQueries {
+
+  /** qa3 privacy floor: cells identifying fewer distinct users than this
+    * are flagged for suppression (one definition site for Spark + oracle). */
+  val KAnonThreshold = 5
 
   /** Price-band intervals for the j13 range join — single definition site
     * consumed by both the Spark frame and the emitted oracle VALUES list.
@@ -1293,6 +1298,37 @@ object RelationalQueries {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    // ----- incremental aggregate maintenance (partial-merge): the standing
+    // per-priority order aggregate is kept as mergeable partials
+    // (count, exact-decimal sum) and a new delta batch folds in WITHOUT
+    // re-reading history — union the partial tables, re-aggregate. The
+    // harness simulates state vs delta with the t11 deterministic hash
+    // split (90% standing state / 10% arrivals); the oracle aggregates the
+    // FULL table directly, so a green row PROVES merge(state, delta) ≡
+    // full recompute — the algebraic property incremental pipelines rest
+    // on. At 100 TB the state partials are a persisted
+    // priority-cardinality table and cost scales with the batch only.
+    Q("s16_incremental_agg", "S-incremental,A1,A7",
+      s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+         |  ${Exact.sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val isDelta = pmod(
+        TF.polyHash(concat(lit("incr|"), col("o_orderkey").cast("string"))),
+        lit(100L)) < 10
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("s"))
+      val state = partials(Tables.orders(s, dir).filter(!isDelta))
+      val delta = partials(Tables.orders(s, dir).filter(isDelta))
+      state.unionByName(delta)
+        .groupBy("priority")
+        .agg(sum("n").as("n_orders"), sum("s").cast("double").as("total"))
+        .orderBy("priority")
+    },
+
     // ----- Markov transition matrix over event sequences: P(next | cur)
     // per event_type from each user's time-ordered stream — the
     // behavioral-model twin of t21's text bigrams, but windowed (lead over
@@ -1474,6 +1510,30 @@ object RelationalQueries {
           |AS (col_name, n_rows, n_nonnull, n_distinct, vmin, vmax)
           |""".stripMargin))
         .orderBy("col_name")
+    },
+
+    // ----- k-anonymity release gate: per (event_type, day) cell, the
+    // distinct-user count, flagged for suppression when it identifies
+    // fewer than KAnonThreshold users — the privacy floor a dataset
+    // release applies to quasi-identifier combinations before events
+    // leave the warehouse. One exact distinct aggregate over the
+    // cell grain (Expand ×1, type×day cardinality out) — at 100 TB the
+    // cell table is calendar×type-sized, never event-sized, and the
+    // distinct shuffles once on (cell, user).
+    Q("qa3_k_anonymity", "QA-privacy,A5,A6",
+      s"""SELECT event_type, CAST(ts AS DATE) AS day,
+         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+         |  count(DISTINCT user_id) < $KAnonThreshold AS suppress
+         |FROM events GROUP BY 1, 2
+         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("day"), col("n_users"),
+          col("n_events"),
+          (col("n_users") < KAnonThreshold).as("suppress"))
+        .orderBy("event_type", "day")
     },
 
     // ----- native bounded-heap top-k aggregate (plans/TopKAgg): the k

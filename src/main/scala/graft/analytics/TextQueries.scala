@@ -809,6 +809,61 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("n12"), col("n1"),
           round(col("n12").cast("double") / col("n1"), 6).as("p"))
         .orderBy(desc("n12"), col("w1"), col("w2")).limit(40)
+    },
+
+    // ----- LM-based document scoring (CCNet-style quality filter): score
+    // every document under the corpus's own bigram LM — mean and min
+    // bigram probability per doc; low means flag token soup, low mins flag
+    // the single most-surprising transition. Probabilities are exact-count
+    // ratios n12/n1 (no logs — engines disagree in the last ulp of ln(),
+    // never on integer division), and the per-doc mean crosses DECIMAL
+    // (28,10) so shuffle layout can't flip a bit. Plan: ONE bigram explode
+    // is persisted and reused for BOTH the LM aggregate and the per-doc
+    // join-back; joins key on the (w1,w2)/(w1) aggregates — vocab²-bounded
+    // tables, not corpus-sized; everything else is map-side.
+    Q("t28_lm_score", "LM-score,TXT-quality,A4", {
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |           FROM documents),
+        |t2 AS (SELECT doc_id, l FROM t WHERE len(l) >= 2),
+        |b AS (SELECT doc_id, unnest(list_transform(range(len(l) - 1),
+        |        i -> struct_pack(w1 := l[CAST(i AS INT) + 1],
+        |                         w2 := l[CAST(i AS INT) + 2]))) AS bg
+        |      FROM t2),
+        |d AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |c12 AS (SELECT w1, w2, count(*) AS n12 FROM d GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+        |       FROM c12 GROUP BY 1),
+        |p AS (SELECT w1, w2, CAST(n12 AS DOUBLE) / n1 AS p
+        |      FROM c12 JOIN c1 USING (w1))
+        |SELECT d.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(p AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+        |    AS lm_score,
+        |  min(p) AS min_p
+        |FROM d JOIN p USING (w1, w2)
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val d = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("doc_id"),
+            slice(col("l"), lit(1), size(col("l")) - 1).as("a"),
+            slice(col("l"), lit(2), size(col("l")) - 1).as("b"))
+          .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+          .select(col("doc_id"), col("bg.a").as("w1"), col("bg.b").as("w2")))
+      val c12 = d.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
+      val p = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          (col("n12").cast("double") / col("n1")).as("p"))
+      d.join(p, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1))).as("lm_score"),
+          min(col("p")).as("min_p"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -236,6 +236,51 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t28 lm score: probabilities bounded, bigram counts match the text") {
+    val (cols, rows) = q("t28_lm_score")
+    val nBg = cols.indexOf("n_bigrams")
+    val score = cols.indexOf("lm_score")
+    val minP = cols.indexOf("min_p")
+    val docLens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == docLens.count(_._2 >= 2),
+      "one row per doc with at least one bigram")
+    rows.foreach { r =>
+      val d = r.getLong(cols.indexOf("doc_id"))
+      assert(r.getLong(nBg) == docLens(d) - 1, s"doc $d bigram count")
+      assert(r.getDouble(score) > 0.0 && r.getDouble(score) <= 1.0)
+      assert(r.getDouble(minP) > 0.0, "every doc bigram exists in its own LM")
+      assert(r.getDouble(minP) <= r.getDouble(score) + 1e-9)
+    }
+  }
+
+  test("s16 incremental agg: partial merge equals the full recompute") {
+    val (cols, rows) = q("s16_incremental_agg")
+    val pr = cols.indexOf("priority")
+    val n = cols.indexOf("n_orders")
+    val full = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == full.size)
+    rows.foreach(r => assert(r.getLong(n) == full(r.getString(pr)),
+      s"merged count diverges for ${r.getString(pr)}"))
+  }
+
+  test("qa3 k-anonymity: cells partition events, flag tracks the threshold") {
+    val (cols, rows) = q("qa3_k_anonymity")
+    val nUsers = cols.indexOf("n_users")
+    val nEvents = cols.indexOf("n_events")
+    val sup = cols.indexOf("suppress")
+    assert(rows.map(_.getLong(nEvents)).sum ==
+      Tables.events(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(nUsers) <= r.getLong(nEvents))
+      assert(r.getBoolean(sup) ==
+        (r.getLong(nUsers) < RelationalQueries.KAnonThreshold))
+    }
+  }
+
   test("e9 volume anomaly: no score without 14 days of history") {
     val (cols, rows) = q("e9_volume_anomaly")
     val day = cols.indexOf("day")
