@@ -300,8 +300,7 @@ object CurationQueries {
           .select(col("doc_id"), isNew.as("is_new"),
             TF.shingles(toks, 3).as("sh"))
           .select(col("doc_id"), col("is_new"),
-            array((0 until 8).map(p => TF.minhash(col("sh"), p)): _*)
-              .as("mhs")))
+            TF.minhashes(col("sh"), 8).as("mhs")))
       val exploded = sig
         .select(col("doc_id"), col("is_new"), col("mhs"),
           posexplode(col("mhs")))

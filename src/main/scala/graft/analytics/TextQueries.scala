@@ -276,8 +276,7 @@ object TextQueries {
       val sig = Caches.persistTracked(
         Tables.documents(s, dir).repartition(col("doc_id"))
           .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
-          .select(col("doc_id"),
-            array((0 until 8).map(p => TF.minhash(col("sh"), p)): _*).as("mhs")))
+          .select(col("doc_id"), TF.minhashes(col("sh"), 8).as("mhs")))
       val exploded = sig
         .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
         .toDF("doc_id", "mhs", "band", "sig")

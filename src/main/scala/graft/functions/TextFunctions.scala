@@ -53,6 +53,13 @@ object TextFunctions {
   def minhash(shingleArr: Column, perm: Int): Column =
     array_min(transform(shingleArr, s => polyHash(concat(lit(s"$perm|"), s))))
 
+  /** All k MinHash permutations in ONE shingle-array pass — bit-equal to
+    * `array(minhash(arr, 0), …, minhash(arr, k-1))` (FunctionsSpec pins
+    * it) via the codegen-native [[graft.plans.MinHashes]] expression;
+    * sessions must call `GraftFunctions.registerAll` first. */
+  def minhashes(shingleArr: Column, k: Int): Column =
+    call_function(graft.plans.MinHashExpr.FnName, shingleArr, lit(k))
+
   /** n-bit SimHash over the token multiset: bit j of the result is the
     * sign of Σ_tokens (bit_j(H(token))*2-1). Single-pass: one aggregate
     * folds every token hash into an n-wide bit-sum array (bit test via

@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => TopKDoubles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue)
         .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(MinHashExpr.FnName),
+      info(MinHashExpr.FnName,
+        "minhashes(shingles, k) - k-permutation MinHash signature in one pass"),
+      (exprs: Seq[Expression]) => MinHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
   }
 }

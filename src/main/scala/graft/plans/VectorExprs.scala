@@ -55,6 +55,13 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue)
         .toAggregateExpression(),
       "built-in")
+    // minhashes(arr, k): k must be a foldable literal — it sizes the
+    // prefix-hash table
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashExpr.FnName,
+      exprs => MinHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue),
+      "built-in")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)

@@ -29,6 +29,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("fused minhashes equals the per-permutation formulation bit-for-bit") {
+    // includes multi-char permutation prefixes (10..11) and the empty-
+    // shingle edge (short doc -> k NULL elements, like array_min(empty))
+    val k = 12
+    val docs = (1 to 120).map(i =>
+      (1 to (i % 7) + 1).map(j => s"w${(i * 31 + j) % 50}").mkString(" ")) :+
+      "short"
+    val df = docs.toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2).as("sh"))
+      .select(
+        TextFunctions.minhashes(col("sh"), k).as("fused"),
+        array((0 until k).map(p => TextFunctions.minhash(col("sh"), p)): _*)
+          .as("ref"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+    }
+    // the short doc produced the all-NULL signature in both formulations
+    assert(rows.exists(_.getSeq[Any](0).forall(_ == null)))
+  }
+
   test("minhash is permutation-dependent and deterministic") {
     val df = Seq("x y z w").toDF("text")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2).as("sh"))

@@ -34,6 +34,16 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT topk(x, 2) FROM VALUES (1.0d), (3.0d), (2.0d) AS t(x)")
           .head().getSeq[Double](0)
         assert(topk == Seq(3.0, 2.0))
+        val mh = s2.sql("SELECT minhashes(array('a b', 'b c'), 2)")
+          .head().getSeq[Long](0)
+        val ref = s2.sql(
+          """SELECT array(
+            |  array_min(transform(array('a b', 'b c'),
+            |    s -> poly_hash(concat('0|', s)))),
+            |  array_min(transform(array('a b', 'b c'),
+            |    s -> poly_hash(concat('1|', s)))))""".stripMargin)
+          .head().getSeq[Long](0)
+        assert(mh == ref)
         // newSession() keeps injected builders (temp functions would not
         // survive this — the reason extensions are the cluster-wide route)
         val s3 = s2.newSession()
