@@ -492,6 +492,68 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // ----- robust length outliers (median/MAD): per-source exact median
+    // of n_chars, exact median absolute deviation, and the per-doc flag
+    // dev > 3·MAD — the robust counterpart of a11's z-score filter (one
+    // garbage 100 MB doc shifts a mean/stddev fence, not a median/MAD
+    // one). EVERYTHING here is integer arithmetic on exact rank-selected
+    // values — no floating point exists to drift between engines. The
+    // mad > 0 guard keeps the degenerate corpus (over half the docs at
+    // the median length) from flagging every non-median doc. Plan: two
+    // source-partitioned rank windows (the exact-stats price; at 100 TB
+    // pre-aggregate to (source, n_chars, count) first — same shape,
+    // value-domain-sized sort) + two source-cardinality broadcast joins.
+    Q("t29_mad_outliers", "STATS-robust,W3,A2",
+      """WITH s AS (SELECT source, doc_id, n_chars FROM documents),
+        |r1 AS (SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |       FROM s),
+        |med AS (SELECT source,
+        |          max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |              THEN n_chars END) AS med
+        |        FROM r1 GROUP BY source),
+        |d AS (SELECT s.source, s.doc_id, s.n_chars, med.med,
+        |        abs(s.n_chars - med.med) AS dev
+        |      FROM s JOIN med USING (source)),
+        |r2 AS (SELECT source, doc_id, dev,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY dev, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |       FROM d),
+        |mad AS (SELECT source,
+        |          max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |              THEN dev END) AS mad
+        |        FROM r2 GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, d.med, mad.mad,
+        |       mad.mad > 0 AND d.dev > 3 * mad.mad AS is_outlier
+        |FROM d JOIN mad USING (source)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sDf = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      def exactMedian(df: org.apache.spark.sql.DataFrame, value: String,
+                      out: String) = {
+        val w = Window.partitionBy("source").orderBy(value, "doc_id")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(max(when(col("rn") === ceil(lit(0.5) * col("cnt")).cast("long"),
+            col(value))).as(out))
+      }
+      val med = exactMedian(sDf, "n_chars", "med")
+      val d = sDf.join(med, "source")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = exactMedian(d.select(col("source"), col("doc_id"),
+        col("dev")), "dev", "mad")
+      d.join(mad, "source")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+          col("mad"),
+          (col("mad") > 0 && col("dev") > lit(3) * col("mad"))
+            .as("is_outlier"))
+        .orderBy("doc_id")
+    },
+
     // ----- winnowing-style fingerprint: min 4-gram shingle hash per doc;
     // equal fingerprints are near-dup candidate clusters.
     Q("t8_fingerprint", "TXT-fingerprint",

@@ -281,6 +281,28 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t29 MAD outliers: medians match an independent sort, flags exact") {
+    val (cols, rows) = q("t29_mad_outliers")
+    val src = cols.indexOf("source")
+    val nc = cols.indexOf("n_chars")
+    val med = cols.indexOf("med")
+    val mad = cols.indexOf("mad")
+    val flag = cols.indexOf("is_outlier")
+    rows.groupBy(_.getString(src)).foreach { case (s, rs) =>
+      // independent recompute: rank-ceil(n/2) element of the sorted values
+      val lens = rs.map(_.getLong(nc)).sorted
+      val m = lens((lens.length + 1) / 2 - 1)
+      assert(rs.forall(_.getLong(med) == m), s"median mismatch for $s")
+      val devs = rs.map(r => math.abs(r.getLong(nc) - m)).sorted
+      val md = devs((devs.length + 1) / 2 - 1)
+      assert(rs.forall(_.getLong(mad) == md), s"MAD mismatch for $s")
+      rs.foreach { r =>
+        val dev = math.abs(r.getLong(nc) - m)
+        assert(r.getBoolean(flag) == (md > 0 && dev > 3 * md))
+      }
+    }
+  }
+
   test("e9 volume anomaly: no score without 14 days of history") {
     val (cols, rows) = q("e9_volume_anomaly")
     val day = cols.indexOf("day")
