@@ -492,6 +492,52 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // ----- cross-source duplication leakage: for every ordered source
+    // pair, the share of source A's distinct winnowing fingerprints that
+    // also appear in source B — the matrix that tells a corpus builder
+    // which domains are re-hosting each other's content before mixture
+    // weights (t23) are trusted. Scale shape: the fingerprint self-join's
+    // per-key fanout is structurally ≤ #sources² (source cardinality is a
+    // domain constant, not data-sized), so no cap is needed — unlike
+    // doc-level pair joins; one shuffle on the fingerprint, then
+    // source²-cardinality aggregates and a broadcast totals join.
+    Q("t30_source_overlap", "DEDUP-cross-source,A5,A10", {
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS l
+         |           FROM documents),
+         |fp AS (SELECT DISTINCT source, ${TS.fingerprint("l")} AS fp
+         |       FROM t WHERE len(l) >= 4),
+         |tot AS (SELECT source, count(*) AS n_fp FROM fp GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*) AS n_shared
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT s.source_a, s.source_b, s.n_shared, t.n_fp AS n_a,
+         |       CAST(s.n_shared AS DOUBLE) / t.n_fp AS share
+         |FROM shared s JOIN tot t ON s.source_a = t.source
+         |ORDER BY source_a, source_b""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val toks = TF.tokens(col("text"))
+      val fp = Tables.documents(s, dir)
+        .filter(size(toks) >= 4)
+        .select(col("source"), TF.fingerprint(toks).as("fp"))
+        .distinct()
+      val tot = fp.groupBy("source").agg(count(lit(1)).as("n_fp"))
+      val shared = fp.toDF("source_a", "fp")
+        .join(fp.toDF("source_b", "fp"), Seq("fp"))
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(tot.withColumnRenamed("source", "source_a")),
+          Seq("source_a"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_fp").as("n_a"),
+          (col("n_shared").cast("double") / col("n_fp")).as("share"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ----- robust length outliers (median/MAD): per-source exact median
     // of n_chars, exact median absolute deviation, and the per-doc flag
     // dev > 3·MAD — the robust counterpart of a11's z-score filter (one

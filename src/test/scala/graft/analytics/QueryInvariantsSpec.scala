@@ -281,6 +281,25 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t30 source overlap: symmetric counts, shares bounded by 1") {
+    val (cols, rows) = q("t30_source_overlap")
+    val a = cols.indexOf("source_a")
+    val b = cols.indexOf("source_b")
+    val shared = cols.indexOf("n_shared")
+    val share = cols.indexOf("share")
+    assert(rows.nonEmpty, "fixture produced no cross-source duplicates")
+    // n_shared is an intersection size: identical in both directions
+    val m = rows.map(r =>
+      (r.getString(a), r.getString(b)) -> r.getLong(shared)).toMap
+    m.foreach { case ((x, y), n) =>
+      assert(m((y, x)) == n, s"asymmetric intersection for ($x,$y)")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(share) > 0.0 && r.getDouble(share) <= 1.0)
+      assert(r.getString(a) != r.getString(b))
+    }
+  }
+
   test("t29 MAD outliers: medians match an independent sort, flags exact") {
     val (cols, rows) = q("t29_mad_outliers")
     val src = cols.indexOf("source")
