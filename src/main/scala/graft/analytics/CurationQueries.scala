@@ -395,18 +395,25 @@ object CurationQueries {
          |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
-        .select(col("doc_id"), TF.polyHash(col("sh")).as("h"))
-      val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
-      val novel = sum(when(col("first_doc") === col("doc_id"), 1L)
-        .otherwise(0L))
-      sh.join(first, Seq("h"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"), novel.as("n_novel"))
-        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      // the oracle's shingle-level join-back is the semantic statement;
+      // the plan reformulates it as two DOC-cardinality aggregates
+      // (n_novel = ownership count of first-occurrence groups; shingles
+      // are distinct per doc so the join-back would count each exactly
+      // once) joined doc-to-doc — the shingle table is read twice from
+      // cache but never joined at shingle grain
+      val sh = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
+          .select(col("doc_id"), TF.polyHash(col("sh")).as("h")))
+      val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_shingles")).as("novelty"))
         .orderBy("doc_id")
     },
 

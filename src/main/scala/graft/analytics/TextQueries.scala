@@ -519,10 +519,13 @@ object TextQueries {
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
       val toks = TF.tokens(col("text"))
-      val fp = Tables.documents(s, dir)
-        .filter(size(toks) >= 4)
-        .select(col("source"), TF.fingerprint(toks).as("fp"))
-        .distinct()
+      // persist: fp feeds three consumers (both self-join sides + totals);
+      // uncached, each would re-scan and re-fingerprint the corpus
+      val fp = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .filter(size(toks) >= 4)
+          .select(col("source"), TF.fingerprint(toks).as("fp"))
+          .distinct())
       val tot = fp.groupBy("source").agg(count(lit(1)).as("n_fp"))
       val shared = fp.toDF("source_a", "fp")
         .join(fp.toDF("source_b", "fp"), Seq("fp"))

@@ -24,7 +24,8 @@ object ScaleJoins {
              salt: Int): DataFrame = {
     require(salt > 0)
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salt))
+        .cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, key :+ "__salt", "inner").drop("__salt")
