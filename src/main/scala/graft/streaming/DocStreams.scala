@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{TextFunctions => TF}
+
+/** Streaming near-duplicate detection over a document feed — the in-flight
+  * twin of the batch incremental dedup (`t24_incremental_dedup`): new
+  * documents arriving on a stream probe a STATIC MinHash band index (the
+  * artifact a production dedup pipeline persists between runs) and emit
+  * candidate near-dup pairs as they arrive.
+  *
+  * Scale posture: the probe is a stream-static equi-join on (band, sig) —
+  * STATELESS on the streaming side (stream-static joins keep no state, so
+  * there is no watermark to tune and state size is zero regardless of feed
+  * volume); per micro-batch cost is the batch's signature pass (one fused
+  * `minhashes` scan per doc) plus lookups into only the colliding index
+  * buckets. The index side carries t24's hot-bucket cap, so a degenerate
+  * bucket cannot fan a batch out quadratically. A doc colliding with the
+  * same index doc in several bands emits one row per band — by design:
+  * pair-dedup state on an unbounded stream would grow without bound;
+  * instead the pairs sink through [[EventStreams.upsertSink]]'s insert-only
+  * merge keyed on (new_doc, index_doc), which collapses multi-band
+  * duplicates AND replayed batches into exactly-once table contents.
+  */
+object DocStreams {
+
+  /** Raw parquet schema of the documents table (streaming reads need an
+    * explicit schema). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of document parquet part-files. */
+  def readDocStream(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path)
+  }
+
+  /** k-permutation MinHash signature column for a documents relation. */
+  private def signature(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      TF.minhashes(TF.shingles(TF.tokens(col("text")), 3), k).as("mhs"))
+
+  /** Static band index over an already-deduped corpus: one (band, sig,
+    * doc_id, mhs) row per permutation band, hot buckets above `maxBucket`
+    * dropped (t24's cap — the index side is where structural mass lives).
+    * In production this table is persisted once per dedup run and read
+    * back here; the signature array rides along so the probe can estimate
+    * Jaccard without re-joining a signature table. */
+  def bandIndex(docs: DataFrame, k: Int = 8,
+                maxBucket: Int = graft.analytics.TextQueries.MaxBandBucket)
+      : DataFrame = {
+    val exploded = signature(docs, k)
+      .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
+      .toDF("doc_id", "mhs", "band", "sig")
+      .filter(col("sig").isNotNull)
+    val ok = exploded.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") <= maxBucket)
+      .select("band", "sig")
+    exploded.join(ok, Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("doc_id"), col("mhs"))
+  }
+
+  /** Stream-static LSH probe: arriving docs → signatures → band explode →
+    * join the index on (band, sig). Emits (new_doc, index_doc,
+    * est_jaccard) with the t5/t24 signature-agreement estimate; one row
+    * per colliding band (see object doc for why pair-dedup lives in the
+    * sink, not in stream state). */
+  def nearDupProbe(docStream: DataFrame, index: DataFrame,
+                   k: Int = 8): DataFrame = {
+    val probes = signature(docStream, k)
+      .select(col("doc_id").as("new_doc"), col("mhs").as("mha"),
+        posexplode(col("mhs")))
+      .toDF("new_doc", "mha", "band", "sig")
+      .filter(col("sig").isNotNull)
+    val est = aggregate(
+      zip_with(col("mha"), col("mhb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, b) => a + b) / lit(k).cast("double")
+    probes.join(
+        index.toDF("band", "sig", "index_doc", "mhb"), Seq("band", "sig"))
+      .filter(col("new_doc") =!= col("index_doc"))
+      .select(col("new_doc"), col("index_doc"),
+        round(est, 6).as("est_jaccard"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dedup: arriving docs probe the static band index; the
+  * insert-only sink converges to exactly-once pair contents across
+  * multi-band collisions and replayed batches.
+  */
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]) =
+    rows.map { case (id, text) =>
+      (id, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val corpus = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    1L -> "spark shuffles data between stages when keys must be colocated now",
+    2L -> "a completely different document about window functions and joins")
+
+  test("stream probe finds the planted near-dups, sink stays exactly-once") {
+    val index = DocStreams.bandIndex(docsDF(corpus))
+    val dir = tmpDir("doc-stream") + "/data"
+    // batch 1: one exact copy of doc 0 (every band collides, est 1.0) and
+    // one unrelated doc (no collision)
+    docsDF(Seq(
+      100L -> corpus.head._2,
+      101L -> "nothing in common with anything stored in the index at all ok"))
+      .coalesce(1).write.parquet(dir)
+    val q = EventStreams.upsertSink(spark,
+      DocStreams.nearDupProbe(DocStreams.readDocStream(spark, dir), index),
+      "near_dups", Seq("new_doc", "index_doc"))
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("near_dups").collect()
+      // multi-band collisions collapsed by the insert-only merge
+      assert(got1.length === 1)
+      assert(got1.head.getLong(0) === 100L)
+      assert(got1.head.getLong(1) === 0L)
+      assert(got1.head.getDouble(2) === 1.0)
+      // batch 2 REPLAYS the same file content and adds a copy of doc 1:
+      // the replayed pair must not duplicate, the new pair must appear
+      docsDF(Seq(
+        100L -> corpus.head._2,
+        102L -> corpus(1)._2))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got2 = spark.table("near_dups")
+        .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted
+      assert(got2.toSeq === Seq((100L, 0L), (102L, 1L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS near_dups")
+      spark.sql("DROP TABLE IF EXISTS near_dups__staging")
+    }
+  }
+
+  test("probe estimate agrees with the batch t24 formulation on the corpus") {
+    // identical inputs through the streaming operators in BATCH mode (the
+    // transformations are mode-agnostic DataFrame programs): bandIndex on
+    // the sf0.001 corpus minus the t11 sample, probed by the sample —
+    // exactly t24's split — must reproduce t24's pair set
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val isNew = pmod(graft.functions.TextFunctions.polyHash(
+      concat(lit("smpl|"), col("doc_id").cast("string"))), lit(100L)) < 10
+    val index = DocStreams.bandIndex(docs.filter(!isNew))
+    val probed = DocStreams.nearDupProbe(docs.filter(isNew), index)
+      .groupBy(col("new_doc"), col("index_doc"))
+      .agg(first("est_jaccard").as("est_jaccard"))
+    val t24 = graft.SparkEntry.queries("t24_incremental_dedup")(spark, dir)
+    graft.analytics.Caches.release()
+    val a = probed.select("new_doc", "index_doc").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val b = t24.select("new_doc", "index_doc").as[(Long, Long)]
+      .collect().sorted.toSeq
+    graft.analytics.Caches.release()
+    assert(a === b)
+  }
+}
