@@ -44,6 +44,13 @@ object TextQueries {
     * is lost only when every band the two docs share is hot. */
   val MaxBandBucket = 100
 
+  /** t31 closed-vocab size. The harness corpus holds only ~31 distinct
+    * terms, so the cutoff sits mid-vocabulary to make the OOV signal
+    * non-vacuous; a real corpus sets this to the tokenizer budget (e.g.
+    * 50k) — the plan shape (vocab-cardinality rank window, broadcast
+    * anti join) is unchanged. */
+  val OovVocabSize = 16
+
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
@@ -490,6 +497,53 @@ object TextQueries {
         .agg(q(0.25, "p25"), q(0.50, "p50"), q(0.75, "p75"),
           max("n_tokens").as("p100"), count(lit(1)).as("n_docs"))
         .orderBy("source")
+    },
+
+    // ----- out-of-vocabulary rate vs the corpus's own top-K vocabulary:
+    // per document, the share of token OCCURRENCES outside the K most
+    // frequent terms — the tokenizer-fit signal that decides whether a
+    // closed vocab (or a BPE merge budget, t19) covers a corpus slice.
+    // The vocab derives from one token aggregate (t17's formulation, K
+    // deeper); its rank window is over the VOCAB-cardinality aggregate,
+    // never token occurrences. Plan: one persisted token explode feeds
+    // the vocab build, the per-doc totals, and the anti-join OOV count;
+    // the vocab broadcasts (K rows); everything shuffles at doc or term
+    // cardinality only.
+    Q("t31_oov_rate", "TXT-oov,A1,A10", {
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+         |v AS (SELECT term FROM (
+         |        SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rk
+         |        FROM c) WHERE rk <= $OovVocabSize),
+         |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok
+         |        GROUP BY doc_id),
+         |oov AS (SELECT doc_id, count(*) AS n_oov
+         |        FROM tok ANTI JOIN v USING (term) GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_tokens,
+         |  COALESCE(oov.n_oov, 0) AS n_oov,
+         |  CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) / tot.n_tokens
+         |    AS oov_rate
+         |FROM tot LEFT JOIN oov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val tok = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term")))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("n"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("n"), col("term"))))
+        .filter(col("rk") <= OovVocabSize)
+        .select("term")
+      val tot = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val oov = tok.join(broadcast(vocab), Seq("term"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+      tot.join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("oov_rate"))
+        .orderBy("doc_id")
     },
 
     // ----- cross-source duplication leakage: for every ordered source

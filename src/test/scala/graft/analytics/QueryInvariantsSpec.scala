@@ -281,6 +281,30 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t31 OOV rate: occurrence counts reconcile with the vocab split") {
+    val (cols, rows) = q("t31_oov_rate")
+    val nTok = cols.indexOf("n_tokens")
+    val nOov = cols.indexOf("n_oov")
+    val rate = cols.indexOf("oov_rate")
+    assert(rows.length ==
+      Tables.documents(spark, dir).count(), "one row per document")
+    assert(rows.exists(_.getLong(nOov) > 0), "vocab cutoff never binds")
+    rows.foreach { r =>
+      assert(r.getLong(nOov) <= r.getLong(nTok))
+      assert(r.getDouble(rate) >= 0.0 && r.getDouble(rate) <= 1.0)
+    }
+    // totals: OOV occurrences corpus-wide = occurrences of all terms
+    // OUTSIDE the top-K by (count desc, term) — recomputed independently
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val vocab = freqs.sortBy { case (t, n) => (-n, t) }
+      .take(TextQueries.OovVocabSize).map(_._1).toSet
+    val expectedOov = freqs.filterNot(f => vocab(f._1)).map(_._2).sum
+    assert(rows.map(_.getLong(nOov)).sum == expectedOov)
+  }
+
   test("t30 source overlap: symmetric counts, shares bounded by 1") {
     val (cols, rows) = q("t30_source_overlap")
     val a = cols.indexOf("source_a")

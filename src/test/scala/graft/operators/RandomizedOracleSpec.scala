@@ -60,4 +60,35 @@ class RandomizedOracleSpec extends SparkSpec {
       assert(got === expected, s"trial $trial: keys=$nKeys")
     }
   }
+
+  test("fused minhashes matches an in-memory oracle on random shingle sets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    def refHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    for (trial <- 1 to 3) {
+      val k = 1 + rnd.nextInt(15) // crosses the 1-digit/2-digit prefix edge
+      val rows = Seq.fill(60)(
+        Seq.fill(rnd.nextInt(8))( // includes empty shingle arrays
+          Seq.fill(1 + rnd.nextInt(3))(s"tk${rnd.nextInt(30)}").mkString(" ")))
+      val expected = rows.map { shingles =>
+        (0 until k).map { p =>
+          if (shingles.isEmpty) None
+          else Some(shingles.map(s => refHash(s"$p|$s")).min)
+        }
+      }
+      val got = rows.toDF("sh")
+        .select(graft.functions.TextFunctions.minhashes(col("sh"), k))
+        .collect()
+        .map(_.getSeq[Any](0).map(Option(_).map(_.asInstanceOf[Long])))
+      // per-row multisets: DataFrame order is preserved for a local seq
+      assert(got.toSeq === expected, s"trial $trial: k=$k")
+      // sanity: the expression's own prefix table agrees with the fold
+      assert(graft.plans.MinHashExpr.prefixHashes(k).toSeq ===
+        (0 until k).map(p => refHash(s"$p|")))
+      assert(graft.plans.PolyHashExpr.hash(
+        UTF8String.fromString("zz")) === refHash("zz"))
+    }
+  }
 }
