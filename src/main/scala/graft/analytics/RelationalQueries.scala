@@ -1238,6 +1238,62 @@ object RelationalQueries {
         .orderBy("g_status", "g_priority", "status", "priority")
     },
 
+    // ----- CUBE: all 2² grouping combinations in one pass — the
+    // completion of the subtotal family (a12 ROLLUP: hierarchical
+    // prefixes; a15 GROUPING SETS: explicit margins; CUBE: the full
+    // lattice). Same Expand-based plan: the fact is read ONCE and each
+    // row fans to its 4 grouping combinations map-side, partial-agg
+    // before the one shuffle — never 4 scans.
+    Q("a17_cube", "A1,A7,A-cube",
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         |       COUNT(*) AS n,
+         |       ${Exact.sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_priority, status, priority""".stripMargin) {
+      (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("total"))
+        .orderBy("g_status", "g_priority", "status", "priority")
+    },
+
+    // ----- correlated scalar subquery, written AS SQL and left to
+    // Catalyst's decorrelation: each urgent order compared against ITS
+    // customer's average spend. The optimizer rewrites the correlated
+    // aggregate into one grouped subplan + an equi-join — the plan a
+    // hand-decorrelated DataFrame program would build — instead of
+    // re-executing the subquery per row; `.explain` shows no nested
+    // subplan, just HashAggregate + join. The one-shuffle-per-key-op
+    // rule survives the rewrite.
+    Q("o2_correlated_subquery", "O-subquery,J5,A4",
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST(o_totalprice AS DOUBLE) AS price,
+         |  (SELECT ${Exact.sqlAvg("o2.o_totalprice")}
+         |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+         |FROM orders o
+         |WHERE o_orderpriority = '1-URGENT'
+         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |  CAST(o_totalprice AS DOUBLE) AS price,
+           |  (SELECT ${Exact.sqlAvg("o2.o_totalprice")}
+           |   FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+           |FROM orders_v o
+           |WHERE o_orderpriority = '1-URGENT'
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ----- fixed-width histogram: floor-division bucketing (vs j13's
     // irregular interval containment — different operator, different plan:
     // no join at all here). bucket = floor(x / w) is one narrow map fused

@@ -281,6 +281,42 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("a17 cube: every grouping combination present, margins re-sum") {
+    val (cols, rows) = q("a17_cube")
+    val gs = cols.indexOf("g_status")
+    val gp = cols.indexOf("g_priority")
+    val n = cols.indexOf("n")
+    val combos = rows.map(r => (r.getInt(gs), r.getInt(gp))).distinct.sorted
+    assert(combos.toSeq == Seq((0, 0), (0, 1), (1, 0), (1, 1)),
+      "CUBE must produce the full grouping lattice")
+    val grand = rows.filter(r => r.getInt(gs) == 1 && r.getInt(gp) == 1)
+    assert(grand.length == 1)
+    val total = grand.head.getLong(n)
+    // each margin level re-sums to the grand total
+    for ((a, b) <- Seq((0, 0), (0, 1), (1, 0))) {
+      val s = rows.filter(r => r.getInt(gs) == a && r.getInt(gp) == b)
+        .map(_.getLong(n)).sum
+      assert(s == total, s"margin ($a,$b) sums to $s, expected $total")
+    }
+  }
+
+  test("o2 correlated subquery: scalar equals the independent group average") {
+    val (cols, rows) = q("o2_correlated_subquery")
+    val cust = cols.indexOf("o_custkey")
+    val avg_ = cols.indexOf("cust_avg")
+    val expected = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg((sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+        / count(lit(1))).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(avg_) == expected(r.getLong(cust)),
+        s"cust ${r.getLong(cust)}: correlated scalar diverges")
+    }
+  }
+
   test("t31 OOV rate: occurrence counts reconcile with the vocab split") {
     val (cols, rows) = q("t31_oov_rate")
     val nTok = cols.indexOf("n_tokens")
