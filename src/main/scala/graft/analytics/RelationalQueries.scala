@@ -1469,6 +1469,95 @@ object RelationalQueries {
         .orderBy("day")
     },
 
+    // ----- gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    // days (the retention streak metric e7's cohort grid can't see). The
+    // classic day − row_number() trick: within a user's ordered distinct
+    // active days, consecutive days share (epoch_day − rn), so the island
+    // id needs ONE user-partitioned window — no iterative gap chasing.
+    // Everything is integer arithmetic on exact counts. Plan: distinct to
+    // user×day grain (one shuffle), one user-key window, user-grain
+    // aggregate — never event-grain windows.
+    Q("w15_islands", "W-islands,W3,A2",
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |        CAST(day - DATE '1970-01-01' AS BIGINT)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS grp
+        |      FROM a),
+        |runs AS (SELECT user_id, grp, count(*) AS run_len
+        |         FROM g GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  CAST(sum(run_len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks,
+        |  CAST(max(run_len) AS BIGINT) AS max_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+      val a = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val runs = a
+        .withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy("user_id")
+        .agg(sum("run_len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("run_len").as("max_streak"))
+        .orderBy("user_id")
+    },
+
+    // ----- event-type lift (market-basket over user baskets): for every
+    // unordered type pair, support and lift from exact user counts —
+    // lift > 1 flags types that co-occur in the same users beyond chance.
+    // The pair fan-out is per-user (#types choose 2) with #types a domain
+    // constant, so the self-join is structurally bounded — the same
+    // argument as t30's source matrix, at basket grain. All ratios divide
+    // exact counts in one spelled-out operation order.
+    Q("e10_type_lift", "EVT-basket,A5,A10,J-self",
+      """WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |t AS (SELECT event_type, count(*) AS n_t FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_ab
+        |  FROM p a JOIN p b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_ab,
+        |  CAST(pr.n_ab AS DOUBLE) / n.n_users AS support,
+        |  (CAST(pr.n_ab AS DOUBLE) * n.n_users)
+        |    / (CAST(ta.n_t AS DOUBLE) * tb.n_t) AS lift
+        |FROM pairs pr
+        |JOIN t ta ON pr.type_a = ta.event_type
+        |JOIN t tb ON pr.type_b = tb.event_type
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      val p = Caches.persistTracked(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct())
+      val nUsers = Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val t = p.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = p.toDF("user_id", "type_a")
+        .join(p.toDF("user_id", "type_b"), Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(t.toDF("type_a", "n_a")), Seq("type_a"))
+        .join(broadcast(t.toDF("type_b", "n_b")), Seq("type_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n_users")).as("support"),
+          ((col("n_ab").cast("double") * col("n_users"))
+            / (col("n_a").cast("double") * col("n_b"))).as("lift"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ----- deliberate cross join: the (priority × status) scaffold grid a
     // report densifies against — the one join type where NO key exists by
     // construction. Both sides are value-domain aggregates (≤ a few rows

@@ -281,6 +281,60 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("w15 islands: streaks reconcile with a per-user day walk") {
+    val (cols, rows) = q("w15_islands")
+    val user = cols.indexOf("user_id")
+    val nDays = cols.indexOf("n_active_days")
+    val nStreaks = cols.indexOf("n_streaks")
+    val maxStreak = cols.indexOf("max_streak")
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDate(1).toLocalDate.toEpochDay).sorted)
+      .toMap
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      // independent walk over the sorted day list: a streak starts at
+      // every day not preceded by its calendar predecessor
+      val days = byUser(r.getLong(user))
+      val streaks = days.indices.count(i =>
+        i == 0 || days(i) != days(i - 1) + 1)
+      val longest = {
+        var best = 0; var cur = 0
+        days.indices.foreach { i =>
+          if (i == 0 || days(i) != days(i - 1) + 1) cur = 1 else cur += 1
+          best = math.max(best, cur)
+        }
+        best
+      }
+      assert(r.getLong(nDays) == days.length)
+      assert(r.getLong(nStreaks) == streaks)
+      assert(r.getLong(maxStreak) == longest)
+    }
+  }
+
+  test("e10 type lift: pair counts bounded by both margins, support exact") {
+    val (cols, rows) = q("e10_type_lift")
+    val nAb = cols.indexOf("n_ab")
+    val support = cols.indexOf("support")
+    val lift = cols.indexOf("lift")
+    val p = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    val perType = p.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUsers = p.select("user_id").distinct().count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getString(cols.indexOf("type_a"))
+      val b = r.getString(cols.indexOf("type_b"))
+      assert(a < b, "pairs must be unordered-canonical")
+      assert(r.getLong(nAb) <= math.min(perType(a), perType(b)))
+      assert(r.getDouble(support) ==
+        r.getLong(nAb).toDouble / nUsers)
+      assert(r.getDouble(lift) > 0.0)
+    }
+  }
+
   test("a17 cube: every grouping combination present, margins re-sum") {
     val (cols, rows) = q("a17_cube")
     val gs = cols.indexOf("g_status")
