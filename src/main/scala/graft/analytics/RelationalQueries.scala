@@ -1469,6 +1469,60 @@ object RelationalQueries {
         .orderBy("day")
     },
 
+    // ----- regex group extraction: parse the trailing integer out of the
+    // source tag ("src17" → 17) with a captured group — the typed-field
+    // recovery every semi-structured ingest does. The pattern is
+    // deliberately RE2∩Java-portable (char classes + groups only — no
+    // lookarounds, whose support differs between engines). Per-row map,
+    // fused into the scan.
+    Q("f14_regex_extract", "F-regex,F3",
+      """SELECT doc_id, source,
+        |  CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INT)
+        |    AS src_num,
+        |  regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_stem
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          regexp_extract(col("source"), "([a-z]+)([0-9]+)", 2)
+            .cast(IntegerType).as("src_num"),
+          regexp_extract(col("source"), "([a-z]+)([0-9]+)", 1)
+            .as("src_stem"))
+        .orderBy("doc_id")
+    },
+
+    // ----- schema-evolution union (UNION BY NAME): two snapshots of the
+    // same feed whose schemas drifted — the older one lacks a column the
+    // newer one added, and column ORDER differs. Positional UNION would
+    // silently misalign; name-based union aligns by column and nulls the
+    // missing field — `unionByName(allowMissingColumns)` / DuckDB
+    // `UNION ALL BY NAME`, the operation every long-lived ingest performs
+    // across schema versions. Map-side only: no shuffle beyond the
+    // oracle sort.
+    Q("s17_union_by_name", "SET-union-byname,S4",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS priority
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |new AS (
+        |  SELECT o_totalprice AS price, o_orderpriority AS priority,
+        |         o_orderkey AS k
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT k, priority, CAST(price AS DOUBLE) AS price
+        |FROM (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val old = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("priority"))
+      val newer = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_totalprice").as("price"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderkey").as("k"))
+      old.unionByName(newer, allowMissingColumns = true)
+        .select(col("k"), col("priority"),
+          col("price").cast("double").as("price"))
+        .orderBy("k")
+    },
+
     // ----- gaps-and-islands: per user, maximal runs of CONSECUTIVE active
     // days (the retention streak metric e7's cohort grid can't see). The
     // classic day − row_number() trick: within a user's ordered distinct
