@@ -59,4 +59,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<p_retailprice:double>"),
       s"expected single-column ReadSchema:\n$p")
   }
+
+  test("map-only curation queries stay shuffle-free before the oracle sort") {
+    // t25 chunking and t27 scrubbing are per-row maps: their ONLY exchange
+    // may be the rangepartitioning for the deterministic oracle ordering.
+    // A second exchange means a shuffle crept into a map-only pipeline.
+    for (name <- Seq("t25_window_chunks", "t27_blocklist_scrub",
+        "f14_regex_extract")) {
+      val p = plan(name)
+      val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r
+        .findAllIn(p).length
+      assert(exchanges <= 1,
+        s"$name: expected at most the sort exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("v11 calibration collapses to a broadcast, never a shuffled join") {
+    // the per-dim calibration is 64 rows wrapped to ONE row of arrays: if
+    // it ever joins the corpus through a shuffle instead of a broadcast,
+    // the encode pass inherits a corpus-wide exchange it doesn't need
+    val p = plan("v11_quant_encode")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"expected broadcast calibration join:\n$p")
+  }
 }
