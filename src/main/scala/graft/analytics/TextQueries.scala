@@ -70,7 +70,7 @@ object TextQueries {
        |  FROM exf x JOIN exf y ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY x.doc_id, y.doc_id),
        |scored AS (
-       |  SELECT i.doc_a, i.doc_b,
+       |  SELECT i.doc_a, i.doc_b, i.n_common, a.n AS na, b.n AS nb,
        |    CAST(i.n_common AS DOUBLE) / (a.n + b.n - i.n_common) AS jac
        |  FROM inter i
        |  JOIN sz a ON i.doc_a = a.doc_id
@@ -108,7 +108,8 @@ object TextQueries {
     inter
       .join(sz.toDF("doc_a", "na"), "doc_a")
       .join(sz.toDF("doc_b", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), jac.as("jac"))
   }
 
   val all: Seq[Q] = Seq(
@@ -408,6 +409,31 @@ object TextQueries {
       ngramScored(s, dir)
         .filter(col("jac") >= 0.01)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- asymmetric containment: |A∩B|/|A| per candidate pair — the
+    // signal Jaccard misses: a short doc quoted wholesale inside a long
+    // one scores low Jaccard (union is big) but containment ≈ 1 for the
+    // short side, and the dedup DECISION differs (drop the contained doc,
+    // keep the superset). Same df-capped candidate generation as t7 —
+    // containment reuses `scored`'s exact intersection/size counts, no
+    // extra corpus pass; emitted where either direction ≥ 1/2.
+    Q("t32_containment", "DEDUP-containment,A10",
+      s"""WITH $ngramCteBody
+         |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+         |  round(CAST(n_common AS DOUBLE) / na, 6) AS contain_a,
+         |  round(CAST(n_common AS DOUBLE) / nb, 6) AS contain_b
+         |FROM scored
+         |WHERE CAST(n_common AS DOUBLE) / na >= 0.5
+         |   OR CAST(n_common AS DOUBLE) / nb >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val ca = col("n_common").cast("double") / col("na")
+      val cb = col("n_common").cast("double") / col("nb")
+      ngramScored(s, dir)
+        .filter(ca >= 0.5 || cb >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          round(ca, 6).as("contain_a"), round(cb, 6).as("contain_b"))
         .orderBy("doc_a", "doc_b")
     },
 

@@ -281,6 +281,21 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t32 containment: bounds hold and jaccard is recoverable") {
+    val (cols, rows) = q("t32_containment")
+    val nc = cols.indexOf("n_common")
+    val ca = cols.indexOf("contain_a")
+    val cb = cols.indexOf("contain_b")
+    assert(rows.nonEmpty, "fixture produced no high-containment pairs")
+    rows.foreach { r =>
+      assert(r.getLong(nc) > 0)
+      assert(r.getDouble(ca) > 0.0 && r.getDouble(ca) <= 1.0)
+      assert(r.getDouble(cb) > 0.0 && r.getDouble(cb) <= 1.0)
+      assert(math.max(r.getDouble(ca), r.getDouble(cb)) >= 0.5 - 1e-7,
+        "emitted pair below the containment threshold")
+    }
+  }
+
   test("w15 islands: streaks reconcile with a per-user day walk") {
     val (cols, rows) = q("w15_islands")
     val user = cols.indexOf("user_id")
