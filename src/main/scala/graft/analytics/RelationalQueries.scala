@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.IntegerType
 import graft.sources.Tables
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{TextFunctions => TF, TextSql => TS}
 
 /** SURVEY.md §2 relational operator inventory, demonstrated on the harness
   * tables with DuckDB oracle twins. Each query is the idiomatic Spark
@@ -21,6 +21,36 @@ object RelationalQueries {
   /** qa3 privacy floor: cells identifying fewer distinct users than this
     * are flagged for suppression (one definition site for Spark + oracle). */
   val KAnonThreshold = 5
+
+  /** Shared CTE (no WITH): per-user consecutive-day activity runs with
+    * their date bounds — the day − row_number islands trick. Consumed by
+    * w15 (streak stats) and j18 (interval-overlap join). */
+  private val islandsCte: String =
+    """a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |        CAST(day - DATE '1970-01-01' AS BIGINT)
+      |          - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |          AS grp
+      |      FROM a),
+      |runs AS (SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+      |                count(*) AS run_len
+      |         FROM g GROUP BY user_id, grp)""".stripMargin
+
+  /** Spark twin of [[islandsCte]]: (user_id, start_day, end_day, run_len)
+    * per activity streak. */
+  private def islandRuns(s: org.apache.spark.sql.SparkSession,
+                         dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("run_len"))
+  }
 
   /** Price-band intervals for the j13 range join — single definition site
     * consumed by both the Spark frame and the emitted oracle VALUES list.
@@ -1469,6 +1499,60 @@ object RelationalQueries {
         .orderBy("day")
     },
 
+    // ----- snapshot diff (CDC between table versions): classify every key
+    // across two snapshots as added / removed / changed / unchanged — the
+    // change-data-capture pass a warehouse runs when upstream can't emit a
+    // changelog. Snapshots are simulated deterministically from one table
+    // (v1 = hash<90, v2 = hash≥5 with prices bumped on hash∈[50,60)), so
+    // both engines derive identical versions; the diff itself is ONE full
+    // outer join on the key + null/value classification — at 100 TB both
+    // sides shuffle once on the key, the unavoidable minimum, and the
+    // value compare rides the join row. Emits non-unchanged rows only
+    // (the changelog, not the table).
+    Q("s18_snapshot_diff", "S-cdc-diff,J15,F10", {
+      val h = s"${TS.hash("'diff|' || o_orderkey")} % 100"
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+         |  FROM orders WHERE $h < 90),
+         |v2 AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN $h >= 50 AND $h < 60
+         |         THEN CAST(o_totalprice AS DOUBLE) + 1.0
+         |         ELSE CAST(o_totalprice AS DOUBLE) END AS price
+         |  FROM orders WHERE $h >= 5)
+         |SELECT COALESCE(v1.k, v2.k) AS k,
+         |  CASE WHEN v1.k IS NULL THEN 'added'
+         |       WHEN v2.k IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change_type,
+         |  v1.price AS old_price, v2.price AS new_price
+         |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+         |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.price <> v2.price
+         |ORDER BY k""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val h = pmod(TF.polyHash(
+        concat(lit("diff|"), col("o_orderkey").cast("string"))), lit(100L))
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"), h.as("h"))
+      val v1 = base.filter(col("h") < 90).select(col("k"), col("price"))
+      val v2 = base.filter(col("h") >= 5)
+        .select(col("k"),
+          when(col("h") >= 50 && col("h") < 60, col("price") + 1.0)
+            .otherwise(col("price")).as("price"))
+      v1.toDF("k1", "old_price")
+        .join(v2.toDF("k2", "new_price"), col("k1") === col("k2"),
+          "full_outer")
+        .filter(col("k1").isNull || col("k2").isNull
+          || col("old_price") =!= col("new_price"))
+        .select(coalesce(col("k1"), col("k2")).as("k"),
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .otherwise("changed").as("change_type"),
+          col("old_price"), col("new_price"))
+        .orderBy("k")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is
@@ -1530,38 +1614,67 @@ object RelationalQueries {
     // id needs ONE user-partitioned window — no iterative gap chasing.
     // Everything is integer arithmetic on exact counts. Plan: distinct to
     // user×day grain (one shuffle), one user-key window, user-grain
-    // aggregate — never event-grain windows.
+    // aggregate — never event-grain windows. (Island derivation shared
+    // with j18's interval-overlap join: [[islandRuns]].)
     Q("w15_islands", "W-islands,W3,A2",
-      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-        |           FROM events),
-        |g AS (SELECT user_id, day,
-        |        CAST(day - DATE '1970-01-01' AS BIGINT)
-        |          - row_number() OVER (PARTITION BY user_id ORDER BY day)
-        |          AS grp
-        |      FROM a),
-        |runs AS (SELECT user_id, grp, count(*) AS run_len
-        |         FROM g GROUP BY user_id, grp)
-        |SELECT user_id,
-        |  CAST(sum(run_len) AS BIGINT) AS n_active_days,
-        |  count(*) AS n_streaks,
-        |  CAST(max(run_len) AS BIGINT) AS max_streak
-        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      s"""WITH $islandsCte
+         |SELECT user_id,
+         |  CAST(sum(run_len) AS BIGINT) AS n_active_days,
+         |  count(*) AS n_streaks,
+         |  CAST(max(run_len) AS BIGINT) AS max_streak
+         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) {
       (s, dir) =>
-      val a = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-      val w = Window.partitionBy("user_id").orderBy("day")
-      val runs = a
-        .withColumn("grp",
-          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
-            - row_number().over(w))
-        .groupBy("user_id", "grp")
-        .agg(count(lit(1)).as("run_len"))
-      runs.groupBy("user_id")
+      islandRuns(s, dir)
+        .groupBy("user_id")
         .agg(sum("run_len").as("n_active_days"),
           count(lit(1)).as("n_streaks"),
           max("run_len").as("max_streak"))
         .orderBy("user_id")
+    },
+
+    // ----- interval-overlap join (interval × interval theta join, made
+    // scale-safe): each user's activity streak against the calendar's
+    // weekly campaign windows it overlaps. The oracle states the natural
+    // theta join (start ≤ w_end AND end ≥ w_start); the Spark plan uses
+    // the distributed-safe formulation — explode each streak into the
+    // week-start buckets it covers and EQUI-join on the bucket (provably
+    // the same pair set for aligned windows: a streak overlaps week w iff
+    // w ∈ [trunc(start), trunc(end)]). At 100 TB the theta join has no
+    // partitioning key; the bucket join shuffles on week like any equi
+    // key, fan-out per streak = its week span. Overlap length is pure
+    // date arithmetic.
+    Q("j18_interval_overlap", "J-interval,W-islands,F12",
+      s"""WITH $islandsCte,
+         |b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+         |             max(CAST(ts AS DATE)) AS hi FROM events),
+         |weeks AS (SELECT CAST(unnest(generate_series(
+         |    date_trunc('week', lo), date_trunc('week', hi),
+         |    INTERVAL 7 DAY)) AS DATE) AS week_start FROM b)
+         |SELECT r.user_id, r.start_day, w.week_start,
+         |  CAST(least(r.end_day, w.week_start + 6)
+         |       - greatest(r.start_day, w.week_start) + 1 AS INT)
+         |    AS overlap_days
+         |FROM runs r JOIN weeks w
+         |  ON r.start_day <= w.week_start + 6 AND r.end_day >= w.week_start
+         |ORDER BY user_id, start_day, week_start""".stripMargin) {
+      (s, dir) =>
+      val runs = islandRuns(s, dir)
+      val weeks = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(sequence(trunc(col("lo"), "week"),
+          trunc(col("hi"), "week"), expr("interval 7 days")))
+          .as("week_start"))
+      val covered = runs.select(col("user_id"), col("start_day"),
+        col("end_day"),
+        explode(sequence(trunc(col("start_day"), "week"),
+          trunc(col("end_day"), "week"), expr("interval 7 days")))
+          .as("week_start"))
+      covered.join(broadcast(weeks), Seq("week_start"))
+        .select(col("user_id"), col("start_day"), col("week_start"),
+          (datediff(least(col("end_day"), date_add(col("week_start"), 6)),
+            greatest(col("start_day"), col("week_start"))) + 1)
+            .cast(IntegerType).as("overlap_days"))
+        .orderBy("user_id", "start_day", "week_start")
     },
 
     // ----- event-type lift (market-basket over user baskets): for every

@@ -525,6 +525,53 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // ----- one-row corpus card: the release-note summary a dataset ships
+    // with — doc/token/vocab/domain counts, exact-duplicate rate, average
+    // length — assembled from three single-row aggregates broadcast
+    // cross-joined (each a one-pass map-side-partial scan; nothing wider
+    // than one row ever joins). Exact-dup counting goes through md5, not
+    // raw text, so the distinct shuffles 16-byte keys at 100 TB, with
+    // identical digests in both engines.
+    Q("qa4_corpus_card", "QA-card,A1,A6", {
+      """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+        |             string_split(text, ' ') AS l FROM documents),
+        |base AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(l)) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM d),
+        |tx AS (SELECT count(DISTINCT md5(text)) AS n_distinct_texts FROM d),
+        |vocab AS (SELECT count(DISTINCT term) AS n_vocab
+        |          FROM (SELECT unnest(l) AS term FROM d))
+        |SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources,
+        |  b.n_chars_total, v.n_vocab,
+        |  b.n_docs - t.n_distinct_texts AS n_exact_dupes,
+        |  CAST(b.n_docs - t.n_distinct_texts AS DOUBLE) / b.n_docs
+        |    AS dup_rate,
+        |  CAST(b.n_tokens AS DOUBLE) / b.n_docs AS avg_tokens
+        |FROM base b CROSS JOIN tx t CROSS JOIN vocab v""".stripMargin
+    }) { (s, dir) =>
+      val toks = TF.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("n_chars_total"))
+      val tx = docs.agg(countDistinct(md5(col("text")))
+        .as("n_distinct_texts"))
+      val vocab = docs.select(explode(toks).as("term"))
+        .agg(countDistinct(col("term")).as("n_vocab"))
+      base.crossJoin(broadcast(tx)).crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"), col("n_chars_total"), col("n_vocab"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_exact_dupes"),
+          ((col("n_docs") - col("n_distinct_texts")).cast("double")
+            / col("n_docs")).as("dup_rate"),
+          (col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+    },
+
     // ----- out-of-vocabulary rate vs the corpus's own top-K vocabulary:
     // per document, the share of token OCCURRENCES outside the K most
     // frequent terms — the tokenizer-fit signal that decides whether a

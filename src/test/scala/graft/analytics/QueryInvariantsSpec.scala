@@ -281,6 +281,58 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("s18 snapshot diff: classes partition the key space by hash band") {
+    val (cols, rows) = q("s18_snapshot_diff")
+    val ct = cols.indexOf("change_type")
+    val oldP = cols.indexOf("old_price")
+    val newP = cols.indexOf("new_price")
+    val byClass = rows.groupBy(_.getString(ct))
+    assert(byClass.keySet == Set("added", "removed", "changed"),
+      s"expected all three change classes, got ${byClass.keySet}")
+    byClass("added").foreach(r => assert(r.isNullAt(oldP) && !r.isNullAt(newP)))
+    byClass("removed").foreach(r => assert(!r.isNullAt(oldP) && r.isNullAt(newP)))
+    byClass("changed").foreach { r =>
+      assert(r.getDouble(newP) == r.getDouble(oldP) + 1.0,
+        "changed rows must carry the deterministic price bump")
+    }
+  }
+
+  test("j18 interval overlap: bucketed equi-join equals the theta join") {
+    val (cols, rows) = q("j18_interval_overlap")
+    val user = cols.indexOf("user_id")
+    val start = cols.indexOf("start_day")
+    val week = cols.indexOf("week_start")
+    val ov = cols.indexOf("overlap_days")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(ov) >= 1 && r.getInt(ov) <= 7,
+        "overlap with a weekly window is 1..7 days")
+      val ws = r.getDate(week).toLocalDate
+      assert(ws.getDayOfWeek == java.time.DayOfWeek.MONDAY,
+        "campaign windows are Monday-aligned")
+      assert(!r.getDate(start).toLocalDate.isAfter(ws.plusDays(6)),
+        "emitted pair violates the overlap predicate")
+    }
+    // no duplicate (streak, week) pairs from the bucket explode
+    val keys = rows.map(r => (r.getLong(user), r.getDate(start).toString,
+      r.getDate(week).toString))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("qa4 corpus card: single row consistent with direct recounts") {
+    val (cols, rows) = q("qa4_corpus_card")
+    assert(rows.length == 1)
+    val r = rows.head
+    val docs = Tables.documents(spark, dir)
+    assert(r.getLong(cols.indexOf("n_docs")) == docs.count())
+    assert(r.getLong(cols.indexOf("n_langs")) ==
+      docs.select("lang").distinct().count())
+    val dupRate = r.getDouble(cols.indexOf("dup_rate"))
+    assert(dupRate >= 0.0 && dupRate < 1.0)
+    assert(r.getLong(cols.indexOf("n_exact_dupes")) ==
+      docs.count() - docs.select("text").distinct().count())
+  }
+
   test("t32 containment: bounds hold and jaccard is recoverable") {
     val (cols, rows) = q("t32_containment")
     val nc = cols.indexOf("n_common")
