@@ -614,6 +614,78 @@ object VectorQueries {
             .cast("double") / count(lit(1))).as("avg_err"),
           max(col("e")).as("max_err"))
         .orderBy("label")
+    },
+
+    // ----- product quantization (PQ) encode: the 64-dim vector splits
+    // into 4 blocks of 16, each block assigned to its nearest sub-centroid
+    // — the compression behind billion-scale ANN indexes (4 bytes/vector
+    // here vs 256 uncompressed). The codebook is the per-(label, block)
+    // DECIMAL-exact sub-mean (v7's centroid build restricted per block);
+    // assignment is squared-L2 argmin with a (dist, centroid) tiebreak.
+    // Plan: codebook aggregates map-side to labels×64 rows → ONE broadcast
+    // of labels×4 sub-centroid arrays; the encode is a broadcast join
+    // whose argmin collapses in the partial aggregate (v9's max_by trick,
+    // min side) — 4 rows per vector cross the shuffle, never N·K. The
+    // fixed-order 16-term distance fold is IEEE-identical cross-engine.
+    Q("v12_pq_encode", "ANN-pq,A4,W4", {
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT label, unnest(v) AS ev, unnest(range(len(v))) AS i
+        |      FROM e),
+        |cb AS (SELECT label, CAST(i // 16 AS INT) AS block, i,
+        |         round(CAST(SUM(CAST(ev AS DECIMAL(28,10))) AS DOUBLE)
+        |               / COUNT(*), 6) AS c
+        |       FROM m GROUP BY label, i),
+        |cbl AS (SELECT label AS cent, block, list(c ORDER BY i) AS cv
+        |        FROM cb GROUP BY label, block),
+        |blocks AS (SELECT vec_id, CAST(b AS INT) AS block,
+        |             list_slice(v, b*16 + 1, b*16 + 16) AS sv
+        |           FROM e, (SELECT unnest(range(4)) AS b)),
+        |scored AS (SELECT s.vec_id, s.block, c.cent,
+        |    list_reduce(list_transform(range(1, 17), i ->
+        |      (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM blocks s JOIN cbl c ON s.block = c.block),
+        |best AS (SELECT vec_id, block, cent, dist,
+        |    row_number() OVER (PARTITION BY vec_id, block
+        |                       ORDER BY dist, cent) AS rn
+        |  FROM scored)
+        |SELECT vec_id, block, CAST(cent AS INT) AS code, dist
+        |FROM best WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
+    }) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          VF.toDoubleArr(col("embedding")).as("v"))
+      val cb = e.select(col("label"), posexplode(col("v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("col").cast(dec)).cast("double")
+          / count(lit(1)), 6).as("c"))
+      val cbl = cb
+        .groupBy(col("label").as("cent"),
+          expr("CAST(pos div 16 AS INT)").as("block"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val blocks = e
+        .select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(3))).as("block"))
+        .select(col("vec_id"), col("block"),
+          slice(col("v"), col("block") * 16 + 1, lit(16)).as("sv"))
+      val dist = aggregate(
+        transform(sequence(lit(1), lit(16)), i => {
+          val d = element_at(col("sv"), i) - element_at(col("cv"), i)
+          d * d
+        }),
+        lit(0.0), (a, b) => a + b)
+      blocks.join(broadcast(cbl), Seq("block"))
+        .withColumn("dist", dist)
+        .groupBy("vec_id", "block")
+        .agg(min_by(struct(col("cent"), col("dist")),
+          struct(col("dist"), col("cent"))).as("b"))
+        .select(col("vec_id"), col("block"),
+          col("b.cent").cast(IntegerType).as("code"),
+          col("b.dist").as("dist"))
+        .orderBy("vec_id", "block")
     }
   )
 }

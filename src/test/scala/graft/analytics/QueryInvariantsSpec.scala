@@ -281,6 +281,42 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("v12 PQ encode: full block coverage and argmin optimality") {
+    val (cols, rows) = q("v12_pq_encode")
+    val vec = cols.indexOf("vec_id")
+    val block = cols.indexOf("block")
+    val code = cols.indexOf("code")
+    val dist = cols.indexOf("dist")
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(rows.length == nVec * 4, "4 block codes per vector")
+    rows.groupBy(_.getLong(vec)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(block)).sorted.toSeq == Seq(0, 1, 2, 3))
+    }
+    assert(rows.forall(_.getDouble(dist) >= 0.0))
+    // argmin optimality: recompute the codebook independently and check
+    // the emitted code beats every other centroid for a sample of rows
+    val embs = Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val codebook = embs.groupBy(_._3).view.mapValues { vs =>
+      Array.tabulate(64) { i =>
+        BigDecimal(vs.map(_._2(i)).sum / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val byId = embs.map(e => e._1 -> e._2).toMap
+    rows.take(200).foreach { r =>
+      val v = byId(r.getLong(vec)); val b = r.getInt(block)
+      def d2(cent: Int): Double = (0 until 16).map { i =>
+        val d = v(b * 16 + i) - codebook(cent)(b * 16 + i); d * d
+      }.sum
+      val got = r.getInt(code)
+      codebook.keys.foreach(c =>
+        assert(d2(got) <= d2(c) + 1e-9,
+          s"vec ${r.getLong(vec)} block $b: code $got not optimal vs $c"))
+    }
+  }
+
   test("s18 snapshot diff: classes partition the key space by hash band") {
     val (cols, rows) = q("s18_snapshot_diff")
     val ct = cols.indexOf("change_type")
