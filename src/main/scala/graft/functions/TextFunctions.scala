@@ -87,8 +87,17 @@ object TextFunctions {
   def simhash(tokenHashes: Column): Column = simhashBits(tokenHashes, 32)
 
   /** Winnowing-style document fingerprint: min hash over n-token shingles
-    * (single permutation). Equal fingerprints → near-dup candidates. */
+    * (single permutation). Equal fingerprints → near-dup candidates.
+    * Backed by the one-pass codegen [[graft.plans.ShingleMinHash]]
+    * (no shingle strings materialized); [[fingerprintHof]] is the
+    * built-in formulation kept for cross-validation. */
   def fingerprint(toks: Column, n: Int = 4): Column =
+    call_function(graft.plans.ShingleMinHashExpr.FnName, toks, lit(n))
+
+  /** Reference formulation via shingle strings + array HOFs — identical
+    * values (array_min ignores the distinct step); pins the custom
+    * expression's semantics in FunctionsSpec. */
+  def fingerprintHof(toks: Column, n: Int = 4): Column =
     array_min(transform(shingles(toks, n), s => polyHash(s)))
 }
 

@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhashes(shingles, k) - k-permutation MinHash signature in one pass"),
       (exprs: Seq[Expression]) => MinHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((
+      FunctionIdentifier(ShingleMinHashExpr.FnName),
+      info(ShingleMinHashExpr.FnName,
+        "shingle_minhash(toks, n) - min n-token-window hash, one pass"),
+      (exprs: Seq[Expression]) => ShingleMinHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
   }
 }

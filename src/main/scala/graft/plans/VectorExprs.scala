@@ -62,6 +62,12 @@ object GraftFunctions {
       exprs => MinHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue),
       "built-in")
+    // shingle_minhash(toks, n): n must be a foldable literal
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleMinHashExpr.FnName,
+      exprs => ShingleMinHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue),
+      "built-in")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)

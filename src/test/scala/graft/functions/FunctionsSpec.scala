@@ -51,6 +51,23 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.exists(_.getSeq[Any](0).forall(_ == null)))
   }
 
+  test("one-pass shingle_minhash equals the string-materializing formulation") {
+    // random-ish token arrays incl. the short-doc edge (< n tokens -> null)
+    val docs = (1 to 150).map(i =>
+      (1 to (i % 9)).map(j => s"w${(i * 17 + j * 5) % 40}").mkString(" "))
+    val df = docs.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("l"))
+      .select(
+        TextFunctions.fingerprint(col("l")).as("fast"),
+        TextFunctions.fingerprintHof(col("l")).as("ref"))
+    val rows = df.collect()
+    assert(rows.exists(_.isNullAt(0)), "short docs must fingerprint to null")
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
   test("minhash is permutation-dependent and deterministic") {
     val df = Seq("x y z w").toDF("text")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2).as("sh"))
