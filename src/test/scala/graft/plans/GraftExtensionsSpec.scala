@@ -44,6 +44,13 @@ class GraftExtensionsSpec extends SparkSpec {
             |    s -> poly_hash(concat('1|', s)))))""".stripMargin)
           .head().getSeq[Long](0)
         assert(mh == ref)
+        val shmh = s2.sql(
+          "SELECT shingle_minhash(array('a', 'b', 'c'), 2)")
+          .head().getLong(0)
+        val shmhRef = s2.sql(
+          "SELECT least(poly_hash('a b'), poly_hash('b c'))")
+          .head().getLong(0)
+        assert(shmh == shmhRef)
         // newSession() keeps injected builders (temp functions would not
         // survive this — the reason extensions are the cluster-wide route)
         val s3 = s2.newSession()
