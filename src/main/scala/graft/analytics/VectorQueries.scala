@@ -71,6 +71,33 @@ object VectorQueries {
        |           FROM embeddings),
        |n AS (SELECT vec_id, label, v, ${VS.norm("v")} AS nrm FROM e)""".stripMargin
 
+  /** Shared oracle CTE (no WITH) for the PQ family: vectors → exact
+    * round-6 codebook → per-(vector, block) scored centroids → `bestpq`
+    * (rn = 1 is the assignment). */
+  private val pqCte: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings),
+      |m AS (SELECT label, unnest(v) AS ev, unnest(range(len(v))) AS i
+      |      FROM e),
+      |cb AS (SELECT label, CAST(i // 16 AS INT) AS block, i,
+      |         round(CAST(SUM(CAST(ev AS DECIMAL(28,10))) AS DOUBLE)
+      |               / COUNT(*), 6) AS c
+      |       FROM m GROUP BY label, i),
+      |cbl AS (SELECT label AS cent, block, list(c ORDER BY i) AS cv
+      |        FROM cb GROUP BY label, block),
+      |blocks AS (SELECT vec_id, CAST(b AS INT) AS block,
+      |             list_slice(v, b*16 + 1, b*16 + 16) AS sv
+      |           FROM e, (SELECT unnest(range(4)) AS b)),
+      |scoredpq AS (SELECT s.vec_id, s.block, c.cent,
+      |    list_reduce(list_transform(range(1, 17), i ->
+      |      (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+      |      (a, b) -> a + b) AS dist
+      |  FROM blocks s JOIN cbl c ON s.block = c.block),
+      |bestpq AS (SELECT vec_id, block, cent, dist,
+      |    row_number() OVER (PARTITION BY vec_id, block
+      |                       ORDER BY dist, cent) AS rn
+      |  FROM scoredpq)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- brute-force cosine top-k (k=5) for the first 10 vectors as the
@@ -628,64 +655,170 @@ object VectorQueries {
     // min side) — 4 rows per vector cross the shuffle, never N·K. The
     // fixed-order 16-term distance fold is IEEE-identical cross-engine.
     Q("v12_pq_encode", "ANN-pq,A4,W4", {
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |m AS (SELECT label, unnest(v) AS ev, unnest(range(len(v))) AS i
-        |      FROM e),
-        |cb AS (SELECT label, CAST(i // 16 AS INT) AS block, i,
-        |         round(CAST(SUM(CAST(ev AS DECIMAL(28,10))) AS DOUBLE)
-        |               / COUNT(*), 6) AS c
-        |       FROM m GROUP BY label, i),
-        |cbl AS (SELECT label AS cent, block, list(c ORDER BY i) AS cv
-        |        FROM cb GROUP BY label, block),
-        |blocks AS (SELECT vec_id, CAST(b AS INT) AS block,
-        |             list_slice(v, b*16 + 1, b*16 + 16) AS sv
-        |           FROM e, (SELECT unnest(range(4)) AS b)),
-        |scored AS (SELECT s.vec_id, s.block, c.cent,
-        |    list_reduce(list_transform(range(1, 17), i ->
-        |      (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
-        |      (a, b) -> a + b) AS dist
-        |  FROM blocks s JOIN cbl c ON s.block = c.block),
-        |best AS (SELECT vec_id, block, cent, dist,
-        |    row_number() OVER (PARTITION BY vec_id, block
-        |                       ORDER BY dist, cent) AS rn
-        |  FROM scored)
-        |SELECT vec_id, block, CAST(cent AS INT) AS code, dist
-        |FROM best WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
+      s"""WITH $pqCte
+         |SELECT vec_id, block, CAST(cent AS INT) AS code, dist
+         |FROM bestpq WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
     }) { (s, dir) =>
-      val dec = org.apache.spark.sql.types.DecimalType(28, 10)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          VF.toDoubleArr(col("embedding")).as("v"))
-      val cb = e.select(col("label"), posexplode(col("v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(sum(col("col").cast(dec)).cast("double")
-          / count(lit(1)), 6).as("c"))
-      val cbl = cb
-        .groupBy(col("label").as("cent"),
-          expr("CAST(pos div 16 AS INT)").as("block"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
-      val blocks = e
-        .select(col("vec_id"), col("v"),
-          explode(sequence(lit(0), lit(3))).as("block"))
+      val e = pqVectors(s, dir)
+      pqCodes(e, pqCodebook(e))
         .select(col("vec_id"), col("block"),
-          slice(col("v"), col("block") * 16 + 1, lit(16)).as("sv"))
-      val dist = aggregate(
+          col("cent").cast(IntegerType).as("code"), col("dist"))
+        .orderBy("vec_id", "block")
+    },
+
+    // ----- PQ-approximate search + recall evaluation (ADC): rank
+    // candidates by ASYMMETRIC distance — the query keeps its exact
+    // sub-vectors, each candidate is represented ONLY by its 4 PQ codes —
+    // and measure recall@3 against exact squared-L2 ground truth: the
+    // accuracy/compression trade a PQ index build signs off on. The ADC
+    // trick is what makes PQ search cheap: per query, distances to all
+    // (block, centroid) cells precompute into a query-local table
+    // (Q·4·K rows, broadcast), and each candidate's approximate distance
+    // is 4 TABLE LOOKUPS (join on block, code) + a fixed-order 4-term sum
+    // — the candidate vectors themselves are never touched. Ground truth
+    // is query-sample × corpus, the exact-baseline cost an evaluation
+    // accepts (v10's argument). Fixed parenthesization (d0+d1)+(d2+d3)
+    // keeps the sum bit-stable; per-block pivots come off one partial
+    // aggregate, not four scans.
+    Q("v13_pq_recall", "ANN-pq-adc,ANN-recall,A5", {
+      val exd =
+        "list_reduce(list_transform(range(1, 65), i -> " +
+          "(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])), (a, b) -> a + b)"
+      val adcD =
+        "list_reduce(list_transform(range(1, 17), i -> " +
+          "(q.v[c.block*16 + i] - c.cv[i]) * (q.v[c.block*16 + i] - c.cv[i])" +
+          "), (a, b) -> a + b)"
+      s"""WITH $pqCte,
+         |codes AS (SELECT vec_id, block, cent AS code FROM bestpq
+         |          WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+         |adc AS (SELECT q.query_id, c.block, c.cent AS code, $adcD AS d
+         |        FROM q CROSS JOIN cbl c),
+         |pqd AS (
+         |  SELECT a.query_id, s.vec_id AS cand,
+         |    max(CASE WHEN s.block = 0 THEN a.d END) AS d0,
+         |    max(CASE WHEN s.block = 1 THEN a.d END) AS d1,
+         |    max(CASE WHEN s.block = 2 THEN a.d END) AS d2,
+         |    max(CASE WHEN s.block = 3 THEN a.d END) AS d3
+         |  FROM codes s JOIN adc a ON s.block = a.block AND s.code = a.code
+         |  WHERE s.vec_id <> a.query_id
+         |  GROUP BY a.query_id, s.vec_id),
+         |pqrank AS (
+         |  SELECT query_id, cand,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (d0 + d1) + (d2 + d3), cand) AS rn
+         |  FROM pqd),
+         |ann AS (SELECT query_id, cand FROM pqrank WHERE rn <= 3),
+         |exact AS (
+         |  SELECT q.query_id, c.vec_id AS cand,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $exd, c.vec_id) AS rn
+         |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+         |gt AS (SELECT query_id, cand FROM exact WHERE rn <= 3),
+         |hits AS (
+         |  SELECT g.query_id, count(a.cand) AS n_hits
+         |  FROM gt g LEFT JOIN ann a
+         |    ON g.query_id = a.query_id AND g.cand = a.cand
+         |  GROUP BY g.query_id)
+         |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |       round(n_hits / 3.0, 6) AS recall_at_3
+         |FROM hits ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val e = pqVectors(s, dir)
+      val cbl = pqCodebook(e)
+      val codes = pqCodes(e, cbl)
+        .select(col("vec_id"), col("block"), col("cent").as("code"))
+      val q = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val adcD = aggregate(
         transform(sequence(lit(1), lit(16)), i => {
-          val d = element_at(col("sv"), i) - element_at(col("cv"), i)
+          val d = element_at(col("qv"), col("block") * 16 + i) -
+            element_at(col("cv"), i)
           d * d
         }),
         lit(0.0), (a, b) => a + b)
-      blocks.join(broadcast(cbl), Seq("block"))
-        .withColumn("dist", dist)
-        .groupBy("vec_id", "block")
-        .agg(min_by(struct(col("cent"), col("dist")),
-          struct(col("dist"), col("cent"))).as("b"))
-        .select(col("vec_id"), col("block"),
-          col("b.cent").cast(IntegerType).as("code"),
-          col("b.dist").as("dist"))
-        .orderBy("vec_id", "block")
+      val adc = broadcast(cbl.withColumnRenamed("cent", "code")
+        .crossJoin(q)
+        .select(col("query_id"), col("block"), col("code"), adcD.as("d")))
+      val pqd = codes.join(adc, Seq("block", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("cand"))
+        .agg(
+          max(when(col("block") === 0, col("d"))).as("d0"),
+          max(when(col("block") === 1, col("d"))).as("d1"),
+          max(when(col("block") === 2, col("d"))).as("d2"),
+          max(when(col("block") === 3, col("d"))).as("d3"))
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(((col("d0") + col("d1")) + (col("d2") + col("d3"))).asc,
+          col("cand").asc)
+      val ann = pqd.withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 3).select("query_id", "cand")
+      val exd = aggregate(
+        transform(sequence(lit(1), lit(64)), i => {
+          val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+          d * d
+        }),
+        lit(0.0), (a, b) => a + b)
+      val gt = e.select(col("vec_id").as("cand"), col("v").as("cv"))
+        .join(q)
+        .filter(col("cand") =!= col("query_id"))
+        .withColumn("xd", exd)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("xd").asc, col("cand").asc)))
+        .filter(col("rn") <= 3).select("query_id", "cand")
+      gt.join(ann.withColumn("hit", lit(1)), Seq("query_id", "cand"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          round(col("n_hits") / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
     }
   )
+
+  /** Embeddings as (vec_id, label, DOUBLE[] v) — the PQ family's base. */
+  private def pqVectors(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
+
+  /** PQ codebook: per (centroid=label, block) 16-dim sub-centroid array,
+    * DECIMAL-exact means rounded to 6 (the v7/v9 determinism pattern —
+    * unrounded decimal→double means differ cross-engine in the last
+    * decimal ulp). Broadcast-sized: labels × 4 rows. */
+  private def pqCodebook(e: org.apache.spark.sql.DataFrame) = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("col").cast(dec)).cast("double")
+        / count(lit(1)), 6).as("c"))
+      .groupBy(col("label").as("cent"),
+        expr("CAST(pos div 16 AS INT)").as("block"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+  }
+
+  /** PQ encode: (vec_id, block, cent, dist) — nearest sub-centroid per
+    * block, argmin collapsing in the partial aggregate (4 rows per vector
+    * cross the shuffle, never N·K). */
+  private def pqCodes(e: org.apache.spark.sql.DataFrame,
+                      cbl: org.apache.spark.sql.DataFrame) = {
+    val blocks = e
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(3))).as("block"))
+      .select(col("vec_id"), col("block"),
+        slice(col("v"), col("block") * 16 + 1, lit(16)).as("sv"))
+    val dist = aggregate(
+      transform(sequence(lit(1), lit(16)), i => {
+        val d = element_at(col("sv"), i) - element_at(col("cv"), i)
+        d * d
+      }),
+      lit(0.0), (a, b) => a + b)
+    blocks.join(broadcast(cbl), Seq("block"))
+      .withColumn("dist", dist)
+      .groupBy("vec_id", "block")
+      .agg(min_by(struct(col("cent"), col("dist")),
+        struct(col("dist"), col("cent"))).as("b"))
+      .select(col("vec_id"), col("block"), col("b.cent").as("cent"),
+        col("b.dist").as("dist"))
+  }
+
 }

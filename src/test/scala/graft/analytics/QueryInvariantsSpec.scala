@@ -317,6 +317,22 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("v13 PQ recall: per-query bounds, compression visibly lossy") {
+    val (cols, rows) = q("v13_pq_recall")
+    val nHits = cols.indexOf("n_hits")
+    val recall = cols.indexOf("recall_at_3")
+    assert(rows.length == 20, "one row per query vector")
+    rows.foreach { r =>
+      assert(r.getLong(nHits) >= 0 && r.getLong(nHits) <= 3)
+      assert(r.getDouble(recall) == math.round(
+        r.getLong(nHits) / 3.0 * 1e6) / 1e6)
+    }
+    val mean = rows.map(_.getLong(nHits)).sum / (3.0 * rows.length)
+    // 4-byte codes lose information: recall must be nontrivial but < 1.0
+    // would not be guaranteed a priori — assert only the sanity band
+    assert(mean > 0.0, "PQ ranking never recovers a true neighbor")
+  }
+
   test("s18 snapshot diff: classes partition the key space by hash band") {
     val (cols, rows) = q("s18_snapshot_diff")
     val ct = cols.indexOf("change_type")
