@@ -401,11 +401,15 @@ object CurationQueries {
       // are distinct per doc so the join-back would count each exactly
       // once) joined doc-to-doc — the shingle table is read twice from
       // cache but never joined at shingle grain
+      // hash INSIDE the persisted projection, explode the cached arrays:
+      // an expensive HOF expression as a generator child re-evaluates per
+      // generated row (the ProfileT5 landmine ngramScored documents)
       val sh = Caches.persistTracked(
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
-          .select(col("doc_id"), TF.polyHash(col("sh")).as("h")))
+            transform(TF.shingles(TF.tokens(col("text")), 3),
+              x => TF.polyHash(x)).as("hs")))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
       val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val novel = sh.groupBy("h").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
