@@ -36,6 +36,40 @@ object RelationalQueries {
       |                count(*) AS run_len
       |         FROM g GROUP BY user_id, grp)""".stripMargin
 
+  /** Deterministic snapshot pair for the CDC family (s18 diff, s19 apply):
+    * v1 = keys with hash < 90, v2 = keys with hash ≥ 5 and prices bumped
+    * on hash ∈ [50, 60) — both derived from one orders scan so the oracle
+    * reproduces them exactly. Returns (v1, v2) as (k, price). */
+  private def cdcSnapshots(s: org.apache.spark.sql.SparkSession,
+                           dir: String) = {
+    val h = pmod(TF.polyHash(
+      concat(lit("diff|"), col("o_orderkey").cast("string"))), lit(100L))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("double").as("price"), h.as("h"))
+    val v1 = base.filter(col("h") < 90).select(col("k"), col("price"))
+    val v2 = base.filter(col("h") >= 5)
+      .select(col("k"),
+        when(col("h") >= 50 && col("h") < 60, col("price") + 1.0)
+          .otherwise(col("price")).as("price"))
+    (v1, v2)
+  }
+
+  /** Spark twin of s18's changelog: added/removed/changed rows between the
+    * [[cdcSnapshots]] pair, with old and new payloads. */
+  private def cdcChangelog(v1: org.apache.spark.sql.DataFrame,
+                           v2: org.apache.spark.sql.DataFrame) =
+    v1.toDF("k1", "old_price")
+      .join(v2.toDF("k2", "new_price"), col("k1") === col("k2"),
+        "full_outer")
+      .filter(col("k1").isNull || col("k2").isNull
+        || col("old_price") =!= col("new_price"))
+      .select(coalesce(col("k1"), col("k2")).as("k"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .otherwise("changed").as("change_type"),
+        col("old_price"), col("new_price"))
+
   /** Spark twin of [[islandsCte]]: (user_id, start_day, end_day, run_len)
     * per activity streak. */
   private def islandRuns(s: org.apache.spark.sql.SparkSession,
@@ -1530,26 +1564,31 @@ object RelationalQueries {
          |ORDER BY k""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
-      val h = pmod(TF.polyHash(
-        concat(lit("diff|"), col("o_orderkey").cast("string"))), lit(100L))
-      val base = Tables.orders(s, dir)
-        .select(col("o_orderkey").as("k"),
-          col("o_totalprice").cast("double").as("price"), h.as("h"))
-      val v1 = base.filter(col("h") < 90).select(col("k"), col("price"))
-      val v2 = base.filter(col("h") >= 5)
-        .select(col("k"),
-          when(col("h") >= 50 && col("h") < 60, col("price") + 1.0)
-            .otherwise(col("price")).as("price"))
-      v1.toDF("k1", "old_price")
-        .join(v2.toDF("k2", "new_price"), col("k1") === col("k2"),
-          "full_outer")
-        .filter(col("k1").isNull || col("k2").isNull
-          || col("old_price") =!= col("new_price"))
-        .select(coalesce(col("k1"), col("k2")).as("k"),
-          when(col("k1").isNull, "added")
-            .when(col("k2").isNull, "removed")
-            .otherwise("changed").as("change_type"),
-          col("old_price"), col("new_price"))
+      val (v1, v2) = cdcSnapshots(s, dir)
+      cdcChangelog(v1, v2).orderBy("k")
+    },
+
+    // ----- full CRUD merge (changelog apply): the s18 diff applied back
+    // onto v1 through [[graft.operators.MergeApply]] — insert + update +
+    // delete in one operator (s11 covers only the insert-only flavor).
+    // The ORACLE states v2 directly, so a green row PROVES the CDC round
+    // trip apply(v1, diff(v1, v2)) ≡ v2 — the algebraic contract a
+    // change-feed consumer rests on. Plan: the changelog is delta-sized,
+    // so the anti join broadcasts it; one union; no extra shuffle beyond
+    // the diff's own key join.
+    Q("s19_merge_full_apply", "S-merge-full,S11,J8", {
+      val h = s"${TS.hash("'diff|' || o_orderkey")} % 100"
+      s"""SELECT o_orderkey AS k,
+         |  CASE WHEN $h >= 50 AND $h < 60
+         |       THEN CAST(o_totalprice AS DOUBLE) + 1.0
+         |       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+         |FROM orders WHERE $h >= 5 ORDER BY k""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val (v1, v2) = cdcSnapshots(s, dir)
+      val changes = cdcChangelog(v1, v2)
+        .select(col("k"), col("new_price").as("price"), col("change_type"))
+      graft.operators.MergeApply(v1, changes, Seq("k"))
         .orderBy("k")
     },
 

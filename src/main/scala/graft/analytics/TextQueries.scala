@@ -51,6 +51,10 @@ object TextQueries {
     * anti join) is unchanged. */
   val OovVocabSize = 16
 
+  /** t33 winnowing window (in shingle-hash positions): guarantees any
+    * shared token run of ≥ WinnowW+2 tokens yields a shared fingerprint. */
+  val WinnowW = 4
+
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
@@ -617,6 +621,57 @@ object TextQueries {
           (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"))
             .as("oov_rate"))
         .orderBy("doc_id")
+    },
+
+    // ----- positional winnowing (MOSS): every window of WinnowW
+    // consecutive shingle hashes contributes its minimum, distinct minima
+    // are the document's fingerprint SET — unlike t8's single global min,
+    // this guarantees any shared run of ≥ WinnowW+2 tokens produces a
+    // shared fingerprint (the winnowing match guarantee), at density
+    // ~2/(WinnowW+1). Shingle hashes here are POSITIONAL (no distinct —
+    // winnowing windows are over the token stream), and everything stays
+    // a narrow per-row array program until the final explode; no shuffle
+    // before the oracle sort.
+    Q("t33_winnow_fingerprints", "TXT-winnow,DEDUP-fingerprint", {
+      val w = WinnowW
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+         |           FROM documents),
+         |hs AS (SELECT doc_id,
+         |    CASE WHEN len(l) >= 3 THEN list_transform(range(len(l) - 2),
+         |      i -> ${TS.hash("l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]")})
+         |    ELSE [] END AS hs
+         |  FROM t),
+         |fp AS (SELECT doc_id,
+         |    CASE WHEN len(hs) >= $w THEN
+         |      list_distinct(list_transform(range(len(hs) - ${w - 1}),
+         |        j -> list_min(list_slice(hs, j + 1, j + $w))))
+         |    WHEN len(hs) > 0 THEN [list_min(hs)]
+         |    ELSE [] END AS fps
+         |  FROM hs)
+         |SELECT doc_id, unnest(fps) AS fp
+         |FROM fp ORDER BY doc_id, fp""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val toks = TF.tokens(col("text"))
+      // positional 3-gram hashes: NO array_distinct (windows are stream
+      // positions), built with the same join-by-space formula as TS.hash
+      val hs = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => TF.polyHash(concat(
+            element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2), lit(" "),
+            element_at(toks, i + 3)))))
+        .otherwise(array().cast("array<bigint>"))
+      val w = WinnowW
+      val fps = when(size(col("hs")) >= w,
+        array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+          j => array_min(slice(col("hs"), j + 1, lit(w))))))
+        .when(size(col("hs")) > 0, array(array_min(col("hs"))))
+        .otherwise(array().cast("array<bigint>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"), explode(fps).as("fp"))
+        .orderBy("doc_id", "fp")
     },
 
     // ----- cross-source duplication leakage: for every ordered source

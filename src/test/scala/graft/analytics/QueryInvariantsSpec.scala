@@ -317,6 +317,54 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("s19 merge apply: CDC round trip reproduces snapshot v2 in Spark") {
+    val (cols, rows) = q("s19_merge_full_apply")
+    val k = cols.indexOf("k")
+    // s18's changelog classes must reconcile with the applied table size:
+    // |v2| = |v1| - removed + added (changed is size-neutral)
+    val (dCols, diff) = q("s18_snapshot_diff")
+    val ct = dCols.indexOf("change_type")
+    val byClass = diff.groupBy(_.getString(ct)).view.mapValues(_.length)
+    val v1Size = Tables.orders(spark, dir).count() -
+      byClass.getOrElse("added", 0) // v1 misses exactly the 'added' band
+    assert(rows.length ==
+      v1Size - byClass.getOrElse("removed", 0) + byClass.getOrElse("added", 0))
+    assert(rows.map(_.getLong(k)).distinct.length == rows.length,
+      "applied table must stay key-unique")
+  }
+
+  test("t33 winnowing: match guarantee and density hold") {
+    val (cols, rows) = q("t33_winnow_fingerprints")
+    val doc = cols.indexOf("doc_id")
+    val fp = cols.indexOf("fp")
+    val byDoc = rows.groupBy(_.getLong(doc))
+      .view.mapValues(_.map(_.getLong(fp)).toSet).toMap
+    assert(byDoc.size == Tables.documents(spark, dir).count())
+    // density: winnowing emits ≥ 1 and ≤ (#windows) fingerprints per doc
+    byDoc.values.foreach(s => assert(s.nonEmpty))
+    // match guarantee: a shared run of ≥ WinnowW+2 tokens yields WinnowW
+    // consecutive shared shingle hashes, i.e. one full shared window —
+    // its min is selected in BOTH docs, so their fingerprint sets must
+    // intersect. Find such pairs via a 6-gram inverted index.
+    val runLen = TextQueries.WinnowW + 2
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val grams = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    texts.foreach { case (id, toks) =>
+      toks.sliding(runLen).foreach { g =>
+        if (g.length == runLen) grams(g.toSeq) = grams.getOrElse(g.toSeq, Set()) + id
+      }
+    }
+    val pairs = grams.values.filter(_.size > 1)
+      .flatMap(s => s.toSeq.combinations(2)).toSet
+    assert(pairs.nonEmpty, "fixture has no shared 6-token runs")
+    pairs.foreach { case Seq(a, b) =>
+      assert(byDoc(a).intersect(byDoc(b)).nonEmpty,
+        s"docs $a and $b share a $runLen-token run but no fingerprint")
+    }
+  }
+
   test("v13 PQ recall: per-query bounds, compression visibly lossy") {
     val (cols, rows) = q("v13_pq_recall")
     val nHits = cols.indexOf("n_hits")

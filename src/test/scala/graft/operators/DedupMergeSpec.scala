@@ -36,6 +36,26 @@ class DedupMergeSpec extends SparkSpec {
     assert(again.except(merged).count() === 0)
   }
 
+  test("full merge apply: insert + update + delete in one pass, idempotent") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2, "B", "changed"),   // update
+      (3, null, "removed"),  // delete
+      (4, "d", "added"))     // insert
+      .toDF("id", "v", "change_type")
+    val applied = MergeApply(target, changes, Seq("id"))
+    val rows = applied.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "a"), (2, "B"), (4, "d")))
+    // idempotent for a fixed changelog
+    val again = MergeApply(applied, changes, Seq("id"))
+    assert(again.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === rows)
+    // empty changelog is the identity
+    val empty = changes.filter(col("id") < 0)
+    assert(MergeApply(target, empty, Seq("id")).except(target).count() === 0)
+  }
+
   test("merge property: key set of result = keys(target) ∪ keys(source)") {
     for (seed <- 1 to 5) {
       val rng = new scala.util.Random(seed)
