@@ -1764,6 +1764,75 @@ object RelationalQueries {
         .orderBy("type_a", "type_b")
     },
 
+    // ----- funnel step latency: how long users take to move signup →
+    // click → purchase (first qualifying event after the previous step),
+    // summarized as exact rank-selected median and p90 seconds per stage —
+    // the latency half of e6's conversion-count funnel. Timestamps
+    // difference in exact integer µs → seconds by integer division;
+    // quantiles by the t12 rank-ceil pattern (never an interpolating
+    // percentile), so every value is engine-exact. Plan: three
+    // min-aggregates at user grain + user-key joins, then a
+    // 2-partition rank window over user-cardinality latencies.
+    Q("e11_funnel_latency", "EVT-funnel-latency,W4,A2",
+      """WITH s AS (SELECT user_id, min(ts) AS ts0 FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ts1
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.ts0
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS ts2
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.ts1
+        |      GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT 'signup_to_click' AS stage,
+        |         (epoch_us(c.ts1) - epoch_us(s.ts0)) // 1000000 AS sec
+        |  FROM s JOIN c ON s.user_id = c.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |         (epoch_us(p.ts2) - epoch_us(c.ts1)) // 1000000
+        |  FROM c JOIN p ON c.user_id = p.user_id),
+        |r AS (SELECT stage, sec,
+        |        row_number() OVER (PARTITION BY stage ORDER BY sec) AS rn,
+        |        count(*) OVER (PARTITION BY stage) AS cnt
+        |      FROM lat)
+        |SELECT stage, CAST(max(cnt) AS BIGINT) AS n_users,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |       THEN sec END) AS BIGINT) AS median_s,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+        |       THEN sec END) AS BIGINT) AS p90_s
+        |FROM r GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def firstAfter(tpe: String, prev: org.apache.spark.sql.DataFrame,
+                     prevTs: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") >= col(prevTs))
+          .groupBy("user_id").agg(min("ts").as(out))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("ts0"))
+      val c1 = firstAfter("click", s0, "ts0", "ts1")
+      val p2 = firstAfter("purchase", c1, "ts1", "ts2")
+      val lat = s0.join(c1, Seq("user_id"))
+        .select(lit("signup_to_click").as("stage"),
+          ((unix_micros(col("ts1")) - unix_micros(col("ts0")))
+            .cast("long")).as("us"))
+        .unionByName(c1.join(p2, Seq("user_id"))
+          .select(lit("click_to_purchase").as("stage"),
+            (unix_micros(col("ts2")) - unix_micros(col("ts1"))).as("us")))
+        .select(col("stage"), expr("us div 1000000").as("sec"))
+      val w = Window.partitionBy("stage").orderBy("sec")
+      val r = lat
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("stage")))
+      def q(p: Double, name: String) =
+        max(when(col("rn") === ceil(lit(p) * col("cnt")).cast("long"),
+          col("sec"))).as(name)
+      r.groupBy("stage")
+        .agg(max("cnt").as("n_users"), q(0.5, "median_s"), q(0.9, "p90_s"))
+        .orderBy("stage")
+    },
+
     // ----- deliberate cross join: the (priority × status) scaffold grid a
     // report densifies against — the one join type where NO key exists by
     // construction. Both sides are value-domain aggregates (≤ a few rows

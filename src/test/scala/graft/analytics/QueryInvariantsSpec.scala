@@ -317,6 +317,24 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("e11 funnel latency: ordered stages, quantiles from real users") {
+    val (cols, rows) = q("e11_funnel_latency")
+    val stage = cols.indexOf("stage")
+    val n = cols.indexOf("n_users")
+    val med = cols.indexOf("median_s")
+    val p90 = cols.indexOf("p90_s")
+    assert(rows.map(_.getString(stage)).sorted.toSeq ==
+      Seq("click_to_purchase", "signup_to_click"))
+    rows.foreach { r =>
+      assert(r.getLong(n) > 0, "stage with no converting users")
+      assert(r.getLong(med) >= 0)
+      assert(r.getLong(p90) >= r.getLong(med), "p90 below the median")
+    }
+    // funnel monotonicity: each later step can only lose users
+    val byStage = rows.map(r => r.getString(stage) -> r.getLong(n)).toMap
+    assert(byStage("click_to_purchase") <= byStage("signup_to_click"))
+  }
+
   test("s19 merge apply: CDC round trip reproduces snapshot v2 in Spark") {
     val (cols, rows) = q("s19_merge_full_apply")
     val k = cols.indexOf("k")
