@@ -83,4 +83,20 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastExchange"),
       s"expected broadcast calibration join:\n$p")
   }
+
+  test("a partition filter reaches the scan as PartitionFilters") {
+    // the bronze layout's whole point: a state/year predicate must prune
+    // directories, not scan-and-filter 100 TB
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("plan-prune")
+    val bronze = graft.model.Fixtures.bronze(spark)
+      .withColumn("year", year(col("date_local")))
+      .withColumn("month", month(col("date_local")))
+    graft.operators.Writers.partitionedAppend(
+      bronze, dir, Seq("year", "month", "state_code"))
+    val df = spark.read.parquet(dir).filter(col("state_code") === "06")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(state_code"),
+      s"expected the state predicate in PartitionFilters:\n$p")
+  }
 }

@@ -57,6 +57,20 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("band index drops hot buckets so a degenerate feed cannot fan out") {
+    // 30 boilerplate copies of one text: every band bucket they share
+    // holds 30 > maxBucket docs and must vanish from the index
+    val boiler = (0L until 30L).map(i => i -> corpus.head._2)
+    val idx = DocStreams.bandIndex(docsDF(boiler ++ Seq(100L -> corpus(1)._2)),
+      maxBucket = 10)
+    val byDoc = idx.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.keys.exists(_ < 30L),
+      "boilerplate docs must be dropped from every (shared, hot) bucket")
+    assert(byDoc.get(100L).exists(_ > 0),
+      "the unique doc keeps its (cold) buckets")
+  }
+
   test("probe estimate agrees with the batch t24 formulation on the corpus") {
     // identical inputs through the streaming operators in BATCH mode (the
     // transformations are mode-agnostic DataFrame programs): bandIndex on
