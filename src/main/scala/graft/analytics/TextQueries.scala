@@ -652,25 +652,13 @@ object TextQueries {
          |FROM fp ORDER BY doc_id, fp""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
-      val toks = TF.tokens(col("text"))
-      // positional 3-gram hashes: NO array_distinct (windows are stream
-      // positions), built with the same join-by-space formula as TS.hash
-      val hs = when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          i => TF.polyHash(concat(
-            element_at(toks, i + 1), lit(" "),
-            element_at(toks, i + 2), lit(" "),
-            element_at(toks, i + 3)))))
-        .otherwise(array().cast("array<bigint>"))
-      val w = WinnowW
-      val fps = when(size(col("hs")) >= w,
-        array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
-          j => array_min(slice(col("hs"), j + 1, lit(w))))))
-        .when(size(col("hs")) > 0, array(array_min(col("hs"))))
-        .otherwise(array().cast("array<bigint>"))
+      // the codegen-native one-pass winnow (monotonic-deque sliding min
+      // over compositional shingle hashes — no per-window slice allocs);
+      // FunctionsSpec pins it against the HOF formulation the oracle
+      // states
       Tables.documents(s, dir)
-        .select(col("doc_id"), hs.as("hs"))
-        .select(col("doc_id"), explode(fps).as("fp"))
+        .select(col("doc_id"),
+          explode(TF.winnow(TF.tokens(col("text")), 3, WinnowW)).as("fp"))
         .orderBy("doc_id", "fp")
     },
 

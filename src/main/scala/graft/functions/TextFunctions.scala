@@ -99,6 +99,29 @@ object TextFunctions {
     * expression's semantics in FunctionsSpec. */
   def fingerprintHof(toks: Column, n: Int = 4): Column =
     array_min(transform(shingles(toks, n), s => polyHash(s)))
+
+  /** Positional winnowing: distinct minima of every w-window of n-token
+    * shingle hashes (ascending) — the MOSS fingerprint set. Backed by the
+    * one-pass codegen [[graft.plans.Winnow]] (monotonic-deque sliding
+    * min); [[winnowHof]] is the built-in formulation kept for
+    * cross-validation. */
+  def winnow(toks: Column, n: Int, w: Int): Column =
+    call_function(graft.plans.WinnowExpr.FnName, toks, lit(n), lit(w))
+
+  /** Reference formulation: positional shingle hashes (no distinct) →
+    * per-window `array_min(slice(...))` → `array_distinct`; compared as a
+    * SET in FunctionsSpec (the native twin returns ascending order). */
+  def winnowHof(toks: Column, n: Int, w: Int): Column = {
+    val hs = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => polyHash(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w),
+        j => array_min(slice(hs, j + 1, lit(w))))))
+      .when(size(hs) > 0, array(array_min(hs)))
+      .otherwise(array().cast("array<bigint>"))
+  }
 }
 
 /** DuckDB-SQL twins of [[TextFunctions]] — string templates emitting the

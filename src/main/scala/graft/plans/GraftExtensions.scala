@@ -53,5 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "shingle_minhash(toks, n) - min n-token-window hash, one pass"),
       (exprs: Seq[Expression]) => ShingleMinHash(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((
+      FunctionIdentifier(WinnowExpr.FnName),
+      info(WinnowExpr.FnName,
+        "winnow_fingerprints(toks, n, w) - distinct w-window shingle-hash minima"),
+      (exprs: Seq[Expression]) => Winnow(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)))
   }
 }

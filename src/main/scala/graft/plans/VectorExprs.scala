@@ -68,6 +68,13 @@ object GraftFunctions {
       exprs => ShingleMinHash(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue),
       "built-in")
+    // winnow_fingerprints(toks, n, w): n, w must be foldable literals
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WinnowExpr.FnName,
+      exprs => Winnow(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue),
+      "built-in")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)

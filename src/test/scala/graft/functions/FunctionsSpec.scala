@@ -68,6 +68,27 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("one-pass winnow equals the HOF formulation as a fingerprint set") {
+    // token arrays crossing every edge: < n tokens (empty), n..n+w-2
+    // shingles (single global min), and long docs (true sliding windows)
+    val docs = (1 to 150).map(i =>
+      (1 to (i % 12)).map(j => s"w${(i * 13 + j * 7) % 25}").mkString(" "))
+    val rows = docs.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("l"))
+      .select(
+        TextFunctions.winnow(col("l"), 3, 4).as("fast"),
+        TextFunctions.winnowHof(col("l"), 3, 4).as("ref"))
+      .collect()
+    assert(rows.exists(_.getSeq[Long](0).isEmpty), "no short-doc edge hit")
+    assert(rows.exists(_.getSeq[Long](0).size > 1), "no multi-window doc")
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet)
+      // and the native twin is sorted ascending (deterministic layout)
+      val f = r.getSeq[Long](0)
+      assert(f == f.sorted)
+    }
+  }
+
   test("minhash is permutation-dependent and deterministic") {
     val df = Seq("x y z w").toDF("text")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2).as("sh"))

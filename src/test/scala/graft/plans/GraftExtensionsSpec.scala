@@ -51,6 +51,15 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT least(poly_hash('a b'), poly_hash('b c'))")
           .head().getLong(0)
         assert(shmh == shmhRef)
+        // 3 shingles of 2 tokens, window 2 → minima of 2 windows
+        val win = s2.sql(
+          "SELECT winnow_fingerprints(array('a', 'b', 'c', 'd'), 2, 2)")
+          .head().getSeq[Long](0).toSet
+        val winRef = s2.sql(
+          """SELECT array(least(poly_hash('a b'), poly_hash('b c')),
+            |             least(poly_hash('b c'), poly_hash('c d')))""".stripMargin)
+          .head().getSeq[Long](0).toSet
+        assert(win == winRef)
         // newSession() keeps injected builders (temp functions would not
         // survive this — the reason extensions are the cluster-wide route)
         val s3 = s2.newSession()
