@@ -140,6 +140,45 @@ object MultimodalQueries {
         Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
       Multimodal.chunkPlan(Multimodal.decodeMeta(s, media))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ----- asset-store dedup: exact duplicate BINARY payloads per
+    // modality, keyed on the md5 digest of the bytes — the
+    // storage-reclaim pass a multimodal corpus runs before re-encoding
+    // anything (dup images/clips are byte-identical far more often than
+    // text is). Per modality: asset count, distinct digests, duplicate
+    // count and reclaimable bytes (every byte beyond each digest's first
+    // copy). The digest shuffles as a 16-byte key — the payloads
+    // themselves never cross the wire; at 100 TB the shuffle carries
+    // digests + lengths only.
+    Q("m4_asset_dedup", "MM-dedup,D1,A7",
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    md5(text) AS digest, strlen(text) AS bytes
+        |  FROM documents),
+        |g AS (SELECT modality, digest, count(*) AS copies,
+        |             CAST(min(bytes) AS BIGINT) AS sz
+        |      FROM m GROUP BY modality, digest)
+        |SELECT modality, CAST(sum(copies) AS BIGINT) AS n_assets,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(copies - 1) AS BIGINT) AS n_dupes,
+        |  CAST(sum((copies - 1) * sz) AS BIGINT) AS bytes_reclaimable
+        |FROM g GROUP BY modality ORDER BY modality""".stripMargin) {
+      (s, dir) =>
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir), "doc_id", "text")
+      val g = media
+        .select(col("modality"), md5(col("payload")).as("digest"),
+          length(col("payload")).cast("long").as("bytes"))
+        .groupBy("modality", "digest")
+        .agg(count(lit(1)).as("copies"), min("bytes").as("sz"))
+      g.groupBy("modality")
+        .agg(sum("copies").as("n_assets"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("copies") - 1).as("n_dupes"),
+          sum((col("copies") - 1) * col("sz")).as("bytes_reclaimable"))
+        .orderBy("modality")
     }
   )
 }

@@ -317,6 +317,21 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("m4 asset dedup: modality totals partition the store, bytes add up") {
+    val (cols, rows) = q("m4_asset_dedup")
+    val nAssets = cols.indexOf("n_assets")
+    val nDistinct = cols.indexOf("n_distinct")
+    val nDupes = cols.indexOf("n_dupes")
+    val bytes = cols.indexOf("bytes_reclaimable")
+    assert(rows.length == 3, "image/audio/video rows")
+    assert(rows.map(_.getLong(nAssets)).sum ==
+      Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(nDupes) == r.getLong(nAssets) - r.getLong(nDistinct))
+      assert((r.getLong(nDupes) == 0) == (r.getLong(bytes) == 0))
+    }
+  }
+
   test("e11 funnel latency: ordered stages, quantiles from real users") {
     val (cols, rows) = q("e11_funnel_latency")
     val stage = cols.indexOf("stage")

@@ -61,6 +61,31 @@ class RandomizedOracleSpec extends SparkSpec {
     }
   }
 
+  test("deque winnowing matches a brute-force oracle on random token arrays") {
+    import org.apache.spark.sql.functions._
+    def refHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 2 + rnd.nextInt(3) // shingle size 2..4
+      val w = 2 + rnd.nextInt(4) // window 2..5
+      val rows = Seq.fill(80)(
+        Seq.fill(rnd.nextInt(14))(s"t${rnd.nextInt(12)}"))
+      val expected = rows.map { toks =>
+        if (toks.length < n) Set.empty[Long]
+        else {
+          val hs = toks.sliding(n).map(g => refHash(g.mkString(" "))).toSeq
+          if (hs.length < w) Set(hs.min)
+          else hs.sliding(w).map(_.min).toSet
+        }
+      }
+      val got = rows.toDF("l")
+        .select(graft.functions.TextFunctions.winnow(col("l"), n, w))
+        .collect().map(_.getSeq[Long](0).toSet)
+      assert(got.toSeq === expected, s"trial $trial: n=$n w=$w")
+    }
+  }
+
   test("fused minhashes matches an in-memory oracle on random shingle sets") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.unsafe.types.UTF8String
