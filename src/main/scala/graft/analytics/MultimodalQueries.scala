@@ -179,6 +179,45 @@ object MultimodalQueries {
           sum(col("copies") - 1).as("n_dupes"),
           sum((col("copies") - 1) * col("sz")).as("bytes_reclaimable"))
         .orderBy("modality")
+    },
+
+    // ----- cross-modal coverage QA: does every document have an
+    // embedding, and every embedding a document? The alignment gate a
+    // paired text+vector corpus runs before training (an orphan on either
+    // side means the pairing upstream broke). Both directions are one
+    // anti-join count each; output is a single summary row with exact
+    // coverage ratios. At 100 TB the anti joins shuffle the 8-byte ids
+    // only — both tables project to their key column before joining.
+    Q("qa5_modal_coverage", "QA-alignment,J8,A10",
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (SELECT vec_id FROM embeddings),
+        |od AS (SELECT count(*) AS docs_without_vec
+        |       FROM d ANTI JOIN e ON d.doc_id = e.vec_id),
+        |oe AS (SELECT count(*) AS vecs_without_doc
+        |       FROM e ANTI JOIN d ON e.vec_id = d.doc_id),
+        |n AS (SELECT (SELECT count(*) FROM d) AS n_docs,
+        |             (SELECT count(*) FROM e) AS n_vecs)
+        |SELECT n.n_docs, n.n_vecs,
+        |  od.docs_without_vec, oe.vecs_without_doc,
+        |  CAST(n.n_docs - od.docs_without_vec AS DOUBLE) / n.n_docs
+        |    AS doc_coverage,
+        |  od.docs_without_vec = 0 AND oe.vecs_without_doc = 0 AS aligned
+        |FROM n CROSS JOIN od CROSS JOIN oe""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"))
+      val od = d.join(e, col("doc_id") === col("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("docs_without_vec"))
+      val oe = e.join(d, col("vec_id") === col("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("vecs_without_doc"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(e.agg(count(lit(1)).as("n_vecs")))
+      n.crossJoin(broadcast(od)).crossJoin(broadcast(oe))
+        .select(col("n_docs"), col("n_vecs"),
+          col("docs_without_vec"), col("vecs_without_doc"),
+          ((col("n_docs") - col("docs_without_vec")).cast("double")
+            / col("n_docs")).as("doc_coverage"),
+          (col("docs_without_vec") === 0 && col("vecs_without_doc") === 0)
+            .as("aligned"))
     }
   )
 }

@@ -317,6 +317,20 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("qa5 modal coverage: counts reconcile and the flag is honest") {
+    val (cols, rows) = q("qa5_modal_coverage")
+    assert(rows.length == 1)
+    val r = rows.head
+    val nDocs = r.getLong(cols.indexOf("n_docs"))
+    val noVec = r.getLong(cols.indexOf("docs_without_vec"))
+    val noDoc = r.getLong(cols.indexOf("vecs_without_doc"))
+    assert(nDocs == Tables.documents(spark, dir).count())
+    assert(r.getDouble(cols.indexOf("doc_coverage")) ==
+      (nDocs - noVec).toDouble / nDocs)
+    assert(r.getBoolean(cols.indexOf("aligned")) ==
+      (noVec == 0 && noDoc == 0))
+  }
+
   test("m4 asset dedup: modality totals partition the store, bytes add up") {
     val (cols, rows) = q("m4_asset_dedup")
     val nAssets = cols.indexOf("n_assets")
