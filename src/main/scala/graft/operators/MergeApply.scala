@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Full CRUD MERGE: apply a typed changelog (insert + update + delete) to
   * a keyed table — the complement of [[MergeInsertOnly]] for sources that
@@ -26,10 +26,22 @@ import org.apache.spark.sql.functions.col
   * the same payloads re-enter).
   */
 object MergeApply {
+  val KnownTypes: Seq[String] = Seq("added", "changed", "removed")
+
   def apply(target: DataFrame, changes: DataFrame, key: Seq[String],
             typeCol: String = "change_type"): DataFrame = {
-    val mentioned = changes.select(key.head, key.tail: _*)
-    val upserts = changes
+    // Fail loudly on unknown change types (a typo like 'add' would
+    // otherwise silently DELETE its key: it leaves via the anti join but
+    // never re-enters). The check rides the existing changelog scan as a
+    // plan-level raise_error — no extra job, fails at first malformed row.
+    val validated = changes.withColumn(typeCol,
+      when(col(typeCol).isin(KnownTypes: _*), col(typeCol))
+        .otherwise(raise_error(concat(
+          lit(s"MergeApply: unknown $typeCol value '"),
+          coalesce(col(typeCol), lit("NULL")),
+          lit("' — expected one of " + KnownTypes.mkString(", "))))))
+    val mentioned = validated.select(key.head, key.tail: _*)
+    val upserts = validated
       .filter(col(typeCol) === "added" || col(typeCol) === "changed")
       .drop(typeCol)
     target.join(mentioned, key, "left_anti").unionByName(upserts)

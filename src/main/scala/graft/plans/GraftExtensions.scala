@@ -39,26 +39,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.TopKName,
         "topk(col, k) - k largest doubles per group, descending"),
       (exprs: Seq[Expression]) => TopKDoubles(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)
+        GraftFunctions.litInt(GraftFunctions.TopKName, exprs, 1, "k"))
         .toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier(MinHashExpr.FnName),
       info(MinHashExpr.FnName,
         "minhashes(shingles, k) - k-permutation MinHash signature in one pass"),
       (exprs: Seq[Expression]) => MinHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        GraftFunctions.litInt(MinHashExpr.FnName, exprs, 1, "k"))))
     ext.injectFunction((
       FunctionIdentifier(ShingleMinHashExpr.FnName),
       info(ShingleMinHashExpr.FnName,
         "shingle_minhash(toks, n) - min n-token-window hash, one pass"),
       (exprs: Seq[Expression]) => ShingleMinHash(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        GraftFunctions.litInt(ShingleMinHashExpr.FnName, exprs, 1, "n"))))
     ext.injectFunction((
       FunctionIdentifier(WinnowExpr.FnName),
       info(WinnowExpr.FnName,
         "winnow_fingerprints(toks, n, w) - distinct w-window shingle-hash minima"),
       (exprs: Seq[Expression]) => Winnow(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)))
+        GraftFunctions.litInt(WinnowExpr.FnName, exprs, 1, "n"),
+        GraftFunctions.litInt(WinnowExpr.FnName, exprs, 2, "w"))))
   }
 }

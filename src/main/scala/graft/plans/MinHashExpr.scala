@@ -44,14 +44,20 @@ object MinHashExpr {
   def prefixHashes(k: Int): Array[Long] =
     Array.tabulate(k)(p => PolyHashExpr.hash(UTF8String.fromString(s"$p|")))
 
-  /** Static hot loop — referenced by both eval and generated code. */
+  /** Static hot loop — referenced by both eval and generated code.
+    * NULL elements are skipped, matching `array_min` over `transform`
+    * (poly_hash(NULL) = NULL, which array_min ignores); an array with no
+    * non-null element yields k NULLs like an empty one. */
   def minhashes(arr: ArrayData, prefH: Array[Long]): ArrayData = {
     val k = prefH.length
     val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](k))
     val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
+      seen = true
       val bytes = arr.getUTF8String(i).getBytes
       var h = 0L
       var pw = 1L
@@ -68,8 +74,10 @@ object MinHashExpr {
         p += 1
       }
       i += 1
+      }
     }
-    UnsafeArrayData.fromPrimitiveArray(mins)
+    if (!seen) new GenericArrayData(new Array[Any](k))
+    else UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }
 

@@ -34,15 +34,21 @@ object ShingleMinHashExpr {
 
   /** Static hot loop — referenced by both eval and generated code.
     * Returns null (boxed) for arrays with fewer than n tokens, matching
-    * `array_min` over an empty shingle array. */
+    * `array_min` over an empty shingle array. NULL tokens follow the HOF
+    * formulation's null algebra: a window containing a NULL token hashes
+    * to NULL (concat propagates it), which `array_min` ignores — so such
+    * windows are skipped, and null is returned if no window survives. */
   def minShingleHash(arr: ArrayData, n: Int): java.lang.Long = {
     val cnt = arr.numElements()
     if (cnt < n) return null
     // per-token partials: h(i) = H(tok_i), p(i) = 31^len(tok_i) mod M
     val h = new Array[Long](cnt)
     val p = new Array[Long](cnt)
+    var anyNull = false
     var i = 0
     while (i < cnt) {
+      if (arr.isNullAt(i)) { anyNull = true; i += 1 }
+      else {
       val bytes = arr.getUTF8String(i).getBytes
       var hh = 0L
       var pp = 1L
@@ -55,22 +61,37 @@ object ShingleMinHashExpr {
       h(i) = hh
       p(i) = pp
       i += 1
+      }
     }
     var min = Long.MaxValue
     var s = 0
     while (s <= cnt - n) {
-      // fold tokens s..s+n-1 with a single space (byte 32) between each
-      var acc = h(s)
-      var k = s + 1
-      while (k < s + n) {
-        acc = (acc * 31 + 32) % Mod          // append ' '
-        acc = (acc * p(k) + h(k)) % Mod      // append tok_k
-        k += 1
+      // fold tokens s..s+n-1 with a single space (byte 32) between each,
+      // skipping windows that contain a null token
+      if (!anyNull || lastNullBefore(arr, s, n) < 0) {
+        var acc = h(s)
+        var k = s + 1
+        while (k < s + n) {
+          acc = (acc * 31 + 32) % Mod          // append ' '
+          acc = (acc * p(k) + h(k)) % Mod      // append tok_k
+          k += 1
+        }
+        if (acc < min) min = acc
       }
-      if (acc < min) min = acc
       s += 1
     }
-    java.lang.Long.valueOf(min)
+    if (min == Long.MaxValue) null else java.lang.Long.valueOf(min)
+  }
+
+  /** Index of a null token inside window [s, s+n), or -1 (rare path —
+    * only consulted when the array has at least one null element). */
+  private def lastNullBefore(arr: ArrayData, s: Int, n: Int): Int = {
+    var k = s
+    while (k < s + n) {
+      if (arr.isNullAt(k)) return k
+      k += 1
+    }
+    -1
   }
 }
 

@@ -44,6 +44,26 @@ object GraftFunctions {
   val DotName = "vec_dot"
   val TopKName = "topk"
 
+  /** Plan-time extraction of a size parameter (k/n/w) that must be a
+    * foldable non-null integer literal — it sizes static structures the
+    * expression builds once at planning. A clear AnalysisException naming
+    * the function beats the opaque ClassCastException/NPE a bare
+    * `exprs(i).eval()` raises on `minhashes(sh, c)` or a NULL literal. */
+  def litInt(fn: String, exprs: Seq[Expression], idx: Int, what: String): Int = {
+    def fail(got: String) = throw new org.apache.spark.sql.AnalysisException(
+      s"$fn: argument ${idx + 1} ($what) must be a foldable non-null " +
+        s"integer literal, got $got",
+      None, None, None, None, Map.empty, Array.empty)
+    if (exprs.size <= idx) fail(s"${exprs.size} arguments")
+    val e = exprs(idx)
+    if (!e.foldable) fail(e.sql)
+    e.eval() match {
+      case n: Number => n.intValue
+      case null => fail("NULL")
+      case other => fail(s"${e.sql} (${other.getClass.getSimpleName})")
+    }
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     PolyHashExpr.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -51,29 +71,27 @@ object GraftFunctions {
     // topk(col, k): k must be a foldable literal — it sizes the agg buffer
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName,
-      exprs => TopKDoubles(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)
+      exprs => TopKDoubles(exprs.head, litInt(TopKName, exprs, 1, "k"))
         .toAggregateExpression(),
       "built-in")
     // minhashes(arr, k): k must be a foldable literal — it sizes the
     // prefix-hash table
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinHashExpr.FnName,
-      exprs => MinHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue),
+      exprs => MinHashes(exprs.head, litInt(MinHashExpr.FnName, exprs, 1, "k")),
       "built-in")
     // shingle_minhash(toks, n): n must be a foldable literal
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShingleMinHashExpr.FnName,
       exprs => ShingleMinHash(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue),
+        litInt(ShingleMinHashExpr.FnName, exprs, 1, "n")),
       "built-in")
     // winnow_fingerprints(toks, n, w): n, w must be foldable literals
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       WinnowExpr.FnName,
       exprs => Winnow(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue),
+        litInt(WinnowExpr.FnName, exprs, 1, "n"),
+        litInt(WinnowExpr.FnName, exprs, 2, "w")),
       "built-in")
   }
 

@@ -25,15 +25,22 @@ object WinnowExpr {
 
   val FnName = "winnow_fingerprints"
 
-  /** Static hot loop — referenced by both eval and generated code. */
+  /** Static hot loop — referenced by both eval and generated code.
+    * NULL tokens (rare, SQL-route only — in-repo tokenizers never emit
+    * them) follow the HOF null algebra: a shingle containing a NULL token
+    * hashes to NULL and is dropped before windowing; winnowing then runs
+    * over the surviving shingle-hash sequence. */
   def winnow(arr: ArrayData, n: Int, w: Int): ArrayData = {
     val cnt = arr.numElements()
     if (cnt < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     // per-token partials, then positional shingle hashes (no distinct)
     val h = new Array[Long](cnt)
     val p = new Array[Long](cnt)
+    var anyNull = false
     var i = 0
     while (i < cnt) {
+      if (arr.isNullAt(i)) { anyNull = true; i += 1 }
+      else {
       val bytes = arr.getUTF8String(i).getBytes
       var hh = 0L; var pp = 1L; var j = 0
       while (j < bytes.length) {
@@ -42,20 +49,32 @@ object WinnowExpr {
         j += 1
       }
       h(i) = hh; p(i) = pp; i += 1
+      }
     }
-    val nh = cnt - n + 1
-    val hs = new Array[Long](nh)
+    var nh = cnt - n + 1
+    var hs = new Array[Long](nh)
+    var valid = 0
     var s = 0
     while (s < nh) {
-      var acc = h(s)
-      var k = s + 1
-      while (k < s + n) {
-        acc = (acc * 31 + 32) % Mod
-        acc = (acc * p(k) + h(k)) % Mod
-        k += 1
+      var hasNull = false
+      if (anyNull) {
+        var q = s
+        while (q < s + n && !hasNull) { hasNull = arr.isNullAt(q); q += 1 }
       }
-      hs(s) = acc; s += 1
+      if (!hasNull) {
+        var acc = h(s)
+        var k = s + 1
+        while (k < s + n) {
+          acc = (acc * 31 + 32) % Mod
+          acc = (acc * p(k) + h(k)) % Mod
+          k += 1
+        }
+        hs(valid) = acc; valid += 1
+      }
+      s += 1
     }
+    nh = valid
+    if (nh == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val out = new java.util.TreeSet[java.lang.Long]()
     if (nh < w) {
       var min = Long.MaxValue

@@ -71,7 +71,12 @@ object DocStreams {
     * join the index on (band, sig). Emits (new_doc, index_doc,
     * est_jaccard) with the t5/t24 signature-agreement estimate; one row
     * per colliding band (see object doc for why pair-dedup lives in the
-    * sink, not in stream state). */
+    * sink, not in stream state).
+    *
+    * The Jaccard divisor is the INDEX signature's length, and a probe
+    * signature of a different length fails fast with `raise_error` —
+    * a probe k that silently disagrees with the k the index was built
+    * with would deflate every estimate via zip_with's null padding. */
   def nearDupProbe(docStream: DataFrame, index: DataFrame,
                    k: Int = 8): DataFrame = {
     val probes = signature(docStream, k)
@@ -79,10 +84,17 @@ object DocStreams {
         posexplode(col("mhs")))
       .toDF("new_doc", "mha", "band", "sig")
       .filter(col("sig").isNotNull)
-    val est = aggregate(
+    val agree = aggregate(
       zip_with(col("mha"), col("mhb"),
         (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (a, b) => a + b) / lit(k).cast("double")
+      lit(0), (a, b) => a + b)
+    val est = when(size(col("mha")) =!= size(col("mhb")),
+      raise_error(concat(lit("nearDupProbe: probe signature length "),
+        size(col("mha")).cast("string"),
+        lit(" != index signature length "),
+        size(col("mhb")).cast("string"),
+        lit(" — build the probe with the index's k"))))
+      .otherwise(agree / size(col("mhb")).cast("double"))
     probes.join(
         index.toDF("band", "sig", "index_doc", "mhb"), Seq("band", "sig"))
       .filter(col("new_doc") =!= col("index_doc"))

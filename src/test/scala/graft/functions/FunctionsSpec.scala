@@ -156,6 +156,56 @@ class FunctionsSpec extends SparkSpec {
     assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("null array elements follow the HOF null algebra (no NPE)") {
+    // minhashes: NULL elements skipped, like array_min over transform
+    // (poly_hash(NULL) = NULL, which array_min ignores)
+    val r = spark.sql(
+      """SELECT minhashes(array('a b', NULL, 'b c'), 2) AS got,
+        |  array(
+        |    array_min(transform(array('a b', 'b c'),
+        |      s -> poly_hash(concat('0|', s)))),
+        |    array_min(transform(array('a b', 'b c'),
+        |      s -> poly_hash(concat('1|', s))))) AS ref""".stripMargin).head()
+    assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+    // all elements NULL -> k NULLs, same as empty
+    val allNull = spark.sql("SELECT minhashes(array(CAST(NULL AS STRING)), 3)")
+      .head().getSeq[Any](0)
+    assert(allNull === Seq(null, null, null))
+    // shingle_minhash: windows containing a NULL token hash to NULL
+    // (concat propagates) and drop; min over the survivors
+    val s1 = spark.sql("SELECT shingle_minhash(array('a', NULL, 'b', 'c'), 2)")
+      .head().getLong(0)
+    val bc = spark.sql("SELECT poly_hash('b c')").head().getLong(0)
+    assert(s1 === bc)
+    // no surviving window -> NULL
+    assert(spark.sql("SELECT shingle_minhash(array('a', NULL), 2)")
+      .head().isNullAt(0))
+    // winnow: NULL-containing shingles dropped before windowing
+    val wn = spark.sql(
+      "SELECT winnow_fingerprints(array('a', NULL, 'b', 'c'), 2, 2)")
+      .head().getSeq[Long](0)
+    assert(wn === Seq(bc))
+    assert(spark.sql("SELECT winnow_fingerprints(array(NULL, 'a'), 2, 2)")
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("size parameters must be foldable non-null integer literals") {
+    import org.apache.spark.sql.AnalysisException
+    val eNull = intercept[AnalysisException](
+      spark.sql("SELECT minhashes(array('a'), CAST(NULL AS INT))"))
+    assert(eNull.getMessage.contains("minhashes"))
+    assert(eNull.getMessage.contains("foldable"))
+    val eCol = intercept[AnalysisException](
+      spark.sql("SELECT shingle_minhash(array('a','b'), x) FROM VALUES (2) AS t(x)"))
+    assert(eCol.getMessage.contains("shingle_minhash"))
+    val eTopk = intercept[AnalysisException](
+      spark.sql("SELECT topk(x, CAST(NULL AS INT)) FROM VALUES (1.0d) AS t(x)"))
+    assert(eTopk.getMessage.contains("topk"))
+    val eWin = intercept[AnalysisException](
+      spark.sql("SELECT winnow_fingerprints(array('a','b'), 2, x) FROM VALUES (2) AS t(x)"))
+    assert(eWin.getMessage.contains("winnow_fingerprints"))
+  }
+
   test("cosine: self-similarity 1.0, orthogonality 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),

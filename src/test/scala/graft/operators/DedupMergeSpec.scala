@@ -56,6 +56,18 @@ class DedupMergeSpec extends SparkSpec {
     assert(MergeApply(target, empty, Seq("id")).except(target).count() === 0)
   }
 
+  test("full merge apply fails on unknown change_type, never silent-deletes") {
+    val target = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val typo = Seq((2, "B", "add")).toDF("id", "v", "change_type") // not 'added'
+    val e = intercept[Exception] {
+      MergeApply(target, typo, Seq("id")).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("unknown change_type"))
+  }
+
   test("merge property: key set of result = keys(target) ∪ keys(source)") {
     for (seed <- 1 to 5) {
       val rng = new scala.util.Random(seed)

@@ -71,6 +71,17 @@ class DocStreamsSpec extends SparkSpec {
       "the unique doc keeps its (cold) buckets")
   }
 
+  test("probe with a k different from the index's fails fast, not deflated") {
+    val index = DocStreams.bandIndex(docsDF(corpus), k = 8)
+    val probe = DocStreams.nearDupProbe(
+      docsDF(Seq(100L -> corpus.head._2)), index, k = 4)
+    val e = intercept[Exception](probe.collect())
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("signature length"))
+  }
+
   test("probe estimate agrees with the batch t24 formulation on the corpus") {
     // identical inputs through the streaming operators in BATCH mode (the
     // transformations are mode-agnostic DataFrame programs): bandIndex on
