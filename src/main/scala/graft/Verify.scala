@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run: managed-table queries (s23/s24) must not
+      // trip over LOCATION_ALREADY_EXISTS from a previous JVM's leftovers
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.registerAll(spark)

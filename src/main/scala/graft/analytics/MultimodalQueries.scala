@@ -7,12 +7,24 @@ import graft.multimodal.Multimodal
 import graft.functions.{TextSql => TS}
 
 /** Driver-verifiable slice of the multimodal plumbing: documents wrapped as
-  * binary payloads, decoded partition-locally by the stub decoder; the
-  * oracle recomputes the stub's deterministic metadata arithmetic in SQL
-  * (payload = UTF-8 bytes of ASCII text, so the byte-polynomial hash equals
-  * the char-polynomial hash).
+  * binary payloads, decoded partition-locally. AUDIO payloads are real PCM
+  * WAV containers and decode through the real RIFF parser
+  * ([[graft.plans.WavHeaderExpr]]); image/video use the stub decoder. The
+  * oracle recomputes both deterministically in SQL: the stub's polynomial
+  * hash (payload = UTF-8 bytes of ASCII text, so the byte-polynomial hash
+  * equals the char-polynomial hash) and the WAV builder's encoding rules
+  * (rate/channels keyed on doc_id, data = text bytes, 44-byte header +
+  * odd-length pad) — a green row proves builder ∘ parser = identity
+  * through the whole distributed decode path.
   */
 object MultimodalQueries {
+
+  /** Audio encoding rules as SQL (one definition site with
+    * [[Multimodal.audioRate]]/[[Multimodal.audioChannels]]). */
+  private val chSql = "CAST(1 + (doc_id // 9) % 2 AS INT)"
+  private val rateSql =
+    """CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
+      |     WHEN 1 THEN 16000 ELSE 44100 END AS INT)""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("m1_multimodal_meta", "MM-decode", {
@@ -21,14 +33,20 @@ object MultimodalQueries {
          |  SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |    strlen(text) AS byte_len, $h AS h
+         |    strlen(text) AS raw_len, $h AS h,
+         |    $chSql AS ch, $rateSql AS rate
          |  FROM documents)
-         |SELECT doc_id, modality, byte_len,
-         |  CAST(64 + h % 512 AS INT) AS width,
-         |  CAST(64 + (h // 512) % 512 AS INT) AS height,
-         |  CAST(CASE WHEN modality = 'audio' THEN 16000 ELSE 0 END AS INT)
+         |SELECT doc_id, modality,
+         |  CASE WHEN modality = 'audio' THEN 44 + raw_len + raw_len % 2
+         |       ELSE raw_len END AS byte_len,
+         |  CAST(CASE WHEN modality = 'audio' THEN 0
+         |       ELSE 64 + h % 512 END AS INT) AS width,
+         |  CAST(CASE WHEN modality = 'audio' THEN 0
+         |       ELSE 64 + (h // 512) % 512 END AS INT) AS height,
+         |  CAST(CASE WHEN modality = 'audio' THEN rate ELSE 0 END AS INT)
          |    AS sample_rate,
-         |  CAST(CASE WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
+         |  CAST(CASE WHEN modality = 'audio' THEN raw_len // (ch * 2)
+         |       WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
          |    AS n_frames
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
@@ -62,8 +80,10 @@ object MultimodalQueries {
          |  FROM documents),
          |d AS (
          |  SELECT doc_id, modality,
-         |    CAST(64 + h % 512 AS INT) AS width,
-         |    CAST(64 + (h // 512) % 512 AS INT) AS height,
+         |    CAST(CASE WHEN modality = 'audio' THEN 0
+         |         ELSE 64 + h % 512 END AS INT) AS width,
+         |    CAST(CASE WHEN modality = 'audio' THEN 0
+         |         ELSE 64 + (h // 512) % 512 END AS INT) AS height,
          |    CAST(CASE WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
          |      AS n_frames
          |  FROM m),
@@ -112,15 +132,15 @@ object MultimodalQueries {
          |  SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |    strlen(text) AS byte_len, $h AS h
+         |    strlen(text) AS raw_len, $h AS h, $chSql AS ch
          |  FROM documents),
          |u AS (
          |  SELECT doc_id, modality,
-         |    CASE modality WHEN 'audio' THEN byte_len
+         |    CASE modality WHEN 'audio' THEN raw_len // (ch * 2)
          |         WHEN 'video' THEN 1 + h % 300 ELSE 1 END AS n_units,
-         |    CASE modality WHEN 'audio' THEN 4000
+         |    CASE modality WHEN 'audio' THEN 256
          |         WHEN 'video' THEN 30 ELSE 1 END AS chunk,
-         |    CASE modality WHEN 'audio' THEN 3000
+         |    CASE modality WHEN 'audio' THEN 192
          |         WHEN 'video' THEN 30 ELSE 1 END AS stride
          |  FROM m),
          |n AS (
@@ -138,8 +158,48 @@ object MultimodalQueries {
     }) { (s, dir) =>
       val media = Multimodal.attachPayload(
         Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
-      Multimodal.chunkPlan(Multimodal.decodeMeta(s, media))
+      // audio windows in SAMPLE FRAMES (recovered by the real WAV parse):
+      // 256-frame chunks with 64-frame overlap
+      Multimodal.chunkPlan(Multimodal.decodeMeta(s, media),
+          audioChunk = 256, audioStride = 192)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ----- direct SQL-route WAV decode: `wav_meta(payload)` — the codegen
+    // RIFF parser over the binary asset column, no mapPartitions boundary
+    // at all (header-only metadata extraction fuses into the scan's
+    // codegen span; the payload never leaves the row). The oracle restates
+    // the fixture builder's encoding rules, so a green row proves the
+    // parser recovers exactly what the 44-byte PCM header encodes —
+    // channels, rate, bit depth, data size, frame count and duration.
+    Q("m5_wav_probe", "MM-wav-decode,F3", {
+      s"""WITH a AS (
+         |  SELECT doc_id, strlen(text) AS raw_len,
+         |    $chSql AS ch, $rateSql AS rate
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 1)
+         |SELECT doc_id, ch AS channels, rate AS sample_rate,
+         |  CAST(16 AS INT) AS bits,
+         |  CAST(raw_len AS BIGINT) AS data_bytes,
+         |  CAST(raw_len // (ch * 2) AS BIGINT) AS n_frames,
+         |  round(CAST(raw_len // (ch * 2) AS DOUBLE) / rate, 6)
+         |    AS duration_sec
+         |FROM a ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
+      media.filter(col("modality") === "audio")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.wavMeta(col("payload")).as("w"))
+        .select(col("doc_id"),
+          col("w.channels").as("channels"),
+          col("w.sample_rate").as("sample_rate"),
+          col("w.bits").as("bits"),
+          col("w.data_bytes").as("data_bytes"),
+          col("w.n_frames").as("n_frames"),
+          round(col("w.n_frames").cast("double") / col("w.sample_rate"), 6)
+            .as("duration_sec"))
+        .orderBy("doc_id")
     },
 
     // ----- asset-store dedup: exact duplicate BINARY payloads per
@@ -166,7 +226,7 @@ object MultimodalQueries {
         |  CAST(sum((copies - 1) * sz) AS BIGINT) AS bytes_reclaimable
         |FROM g GROUP BY modality ORDER BY modality""".stripMargin) {
       (s, dir) =>
-      val media = Multimodal.attachPayload(
+      val media = Multimodal.attachRawPayload(
         Tables.documents(s, dir), "doc_id", "text")
       val g = media
         .select(col("modality"), md5(col("payload")).as("digest"),

@@ -1592,6 +1592,43 @@ object RelationalQueries {
         .orderBy("k")
     },
 
+    // ----- SQL-route MERGE: the same CDC contract as s19, but the Spark
+    // side is LITERAL `MERGE INTO` SQL against a [[graft.sources
+    // .GraftCatalog]] DataSource-v2 table (the reference's upsert is a SQL
+    // MERGE, AS2G notebook-content.py:271-349 — this is the one surface a
+    // SQL user couldn't reach through the operator route). Spark's
+    // RewriteMergeIntoTable plans it as a group-based copy-on-write
+    // against the table's RowLevelOperation; the oracle states v2
+    // directly, so a green row proves MERGE INTO(v1, diff(v1,v2)) ≡ v2
+    // end-to-end through the analyzer/planner SQL path.
+    Q("s20_merge_sql", "S-merge-sql,S11,J9", {
+      val h = s"${TS.hash("'diff|' || o_orderkey")} % 100"
+      s"""SELECT o_orderkey AS k,
+         |  CASE WHEN $h >= 50 AND $h < 60
+         |       THEN CAST(o_totalprice AS DOUBLE) + 1.0
+         |       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+         |FROM orders WHERE $h >= 5 ORDER BY k""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val (v1, v2) = cdcSnapshots(s, dir)
+      val changes = cdcChangelog(v1, v2)
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.s20_target")
+      v1.writeTo("graft_cat.ns.s20_target").create()
+      changes.createOrReplaceTempView("s20_changes")
+      s.sql(
+        """MERGE INTO graft_cat.ns.s20_target t
+          |USING s20_changes c
+          |ON t.k = c.k
+          |WHEN MATCHED AND c.change_type = 'removed' THEN DELETE
+          |WHEN MATCHED AND c.change_type = 'changed'
+          |  THEN UPDATE SET t.price = c.new_price
+          |WHEN NOT MATCHED AND c.change_type = 'added'
+          |  THEN INSERT (k, price) VALUES (c.k, c.new_price)""".stripMargin)
+      s.table("graft_cat.ns.s20_target").orderBy("k")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is
@@ -1982,6 +2019,142 @@ object RelationalQueries {
           (col("pos") + 1).cast(IntegerType).as("rank"),
           col("col").as("bal"))
         .orderBy("c_mktsegment", "rank")
+    },
+
+    // ----- W1/W2 scale mode: xxhash64 surrogate keys under oracle. The
+    // parity-mode w1 proves the reference's dense row_number keys; this
+    // proves the 100 TB path — keys derived per-row with no global sort,
+    // unique over a fact-sized natural key, and STABLE under reprocessing
+    // (the same rows re-keyed from a differently partitioned, differently
+    // ordered copy must re-derive identical keys; a row_number-style
+    // assignment would fail that). The oracle can't reproduce xxhash64
+    // values, so it verifies the CONTRACT: key cardinality equals natural
+    // cardinality (no collisions) and zero layout-dependent keys.
+    Q("w16_scale_keys", "W1,W2,D1",
+      """SELECT CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT)
+        |    AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT)
+        |    AS n_natural,
+        |  CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT)
+        |    AS n_keys,
+        |  CAST(0 AS BIGINT) AS n_unstable
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import graft.operators.DimBuild
+      // surrogate keys are assigned over the DISTINCT natural-key rows
+      // (DimBuild contract) — the harness lineitem has duplicate
+      // (orderkey, linenumber) pairs, so dedup is part of the operator
+      val nat = Seq("l_orderkey", "l_linenumber")
+      val li = Tables.lineitem(s, dir).select(nat.head, nat.tail: _*)
+        .distinct()
+      val keyed = DimBuild.surrogateKey(li, nat, "sk", DimBuild.HashKeys)
+      val rekeyed = DimBuild.surrogateKey(
+        li.repartition(7, col("l_linenumber"))
+          .sortWithinPartitions(col("l_orderkey").desc),
+        nat, "sk2", DimBuild.HashKeys)
+        .withColumnRenamed("l_orderkey", "k2")
+        .withColumnRenamed("l_linenumber", "n2")
+      keyed.join(rekeyed,
+          col("l_orderkey") === col("k2") && col("l_linenumber") === col("n2"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))
+            .as("n_natural"),
+          countDistinct(col("sk")).as("n_keys"),
+          sum(when(col("sk") =!= col("sk2"), 1L).otherwise(0L))
+            .as("n_unstable"))
+    },
+
+    // ----- S8 round trip: the partitioned bronze sink, driver-verified.
+    // Write the partitioned layout to a scratch dir, read it back through
+    // partition discovery, and prove per-partition counts and exact sums
+    // against the oracle's direct scan of the source — a lost row, a
+    // partition-column type corruption, or a double-write all break the
+    // hash.
+    Q("s21_sink_roundtrip", "S8,S5",
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+         |  ${Exact.sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
+      val dest = java.nio.file.Files.createTempDirectory("graft-s21")
+        .toString + "/t"
+      graft.operators.Writers.partitionedAppend(
+        Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate"))),
+        dest, Seq("yr"))
+      s.read.parquet(dest)
+        .groupBy(col("yr").cast(IntegerType).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr")
+    },
+
+    // ----- S9 round trip: idempotent re-ingestion. Append the full
+    // table, then dynamically overwrite EXACTLY the 1995 partition with
+    // corrected prices — every other year must come back untouched (a
+    // static overwrite would erase them; a second append would double
+    // 1995's count).
+    Q("s22_dynamic_overwrite", "S9,S8",
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+         |  ${Exact.sqlSum(
+             "CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice + 1.0 " +
+             "ELSE o_totalprice END")} AS total
+         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
+      val dest = java.nio.file.Files.createTempDirectory("graft-s22")
+        .toString + "/t"
+      val orders = Tables.orders(s, dir)
+        .withColumn("yr", year(col("o_orderdate")))
+      graft.operators.Writers.partitionedAppend(orders, dest, Seq("yr"))
+      graft.operators.Writers.partitionedDynamicOverwrite(
+        orders.filter(col("yr") === 1995)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+        dest, Seq("yr"))
+      s.read.parquet(dest)
+        .groupBy(col("yr").cast(IntegerType).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr")
+    },
+
+    // ----- S10 round trip: atomic stage+swap table overwrite. Publish a
+    // deliberately stale copy first, then overwrite with the real table —
+    // the read-back must see ONLY the final swap (a non-atomic overwrite
+    // that unioned or half-applied would change counts).
+    Q("s23_table_overwrite", "S10,S6",
+      """SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+        |  count(*) AS n_nations
+        |FROM nation GROUP BY 1 ORDER BY region_key""".stripMargin) { (s, dir) =>
+      val stale = Tables.nation(s, dir).limit(3)
+      graft.pipeline.Catalog.overwriteTable(s, stale, "s23_rt_nation")
+      graft.pipeline.Catalog.overwriteTable(
+        s, Tables.nation(s, dir), "s23_rt_nation")
+      s.table("s23_rt_nation")
+        .groupBy(col("n_regionkey").cast("bigint").as("region_key"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("region_key")
+    },
+
+    // ----- S12 round trip: warehouse publication. Publish a dim/fact set
+    // into the `wh_` namespace through the stage+swap path, then answer a
+    // star query FROM THE PUBLISHED TABLES — the oracle answers it from
+    // the source parquet, so any publication loss or duplication breaks
+    // the compare.
+    Q("s24_warehouse_publish", "S12,S10,J1",
+      s"""SELECT r.r_name AS region, count(*) AS n_customers,
+         |  ${Exact.sqlAvg("c_acctbal")} AS avg_bal
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1 ORDER BY region""".stripMargin) { (s, dir) =>
+      graft.pipeline.Catalog.publishWarehouse(s, Map(
+        "dim_nation_s24" -> Tables.nation(s, dir),
+        "dim_region_s24" -> Tables.region(s, dir),
+        "fact_customer_s24" -> Tables.customer(s, dir)))
+      val c = s.table("wh_fact_customer_s24")
+      val n = s.table("wh_dim_nation_s24")
+      val r = s.table("wh_dim_region_s24")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy("region")
     }
   )
 }

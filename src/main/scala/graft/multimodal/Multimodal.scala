@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batches: no shuffle, no driver round-trip, codec state
   * amortized per partition.
   *
-  * The actual byte decoding is STUBBED (no image/audio codecs in this
+  * AUDIO decode is REAL: audio payloads are PCM WAV containers and
+  * [[graft.plans.WavHeaderExpr]] parses the RIFF header natively (also
+  * SQL-exposed as `wav_meta`, bit-parity-tested on crafted headers).
+  * Image/video decoding stays STUBBED (no image codecs in this
   * environment): [[StubDecoder.decode]] derives deterministic fake
-  * dimensions from the payload bytes. Everything around it — schema,
-  * partitioning, batch shape, typed Dataset plumbing — is real and tested;
-  * swapping in a codec is a one-function change.
+  * dimensions from the payload bytes. Everything around both — schema,
+  * partitioning, batch shape, typed Dataset plumbing — is real and
+  * tested; swapping a real image codec in is a one-function change.
   */
 object Multimodal {
 
@@ -26,18 +29,55 @@ object Multimodal {
   final case class DecodedRow(doc_id: Long, meta: MediaMeta)
   final case class FeatureRow(doc_id: Long, features: Array[Float])
 
-  /** Wrap a text column as an opaque binary payload with a modality tag —
-    * the fixture stand-in for real media bytes. */
-  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Deterministic audio encoding parameters for the fixture WAVs, keyed
+    * on doc id (mirrored in every m-query oracle): sample rate cycles
+    * through the common PCM rates, channel count alternates mono/stereo. */
+  val AudioRates: Seq[Int] = Seq(8000, 16000, 44100)
+  def audioRate(docId: Long): Int = AudioRates(((docId / 3) % 3).toInt)
+  def audioChannels(docId: Long): Int = (1 + (docId / 9) % 2).toInt
+
+  /** Raw-bytes variant: the text's UTF-8 bytes as the payload, no
+    * container — for byte-level ops (digest dedup) where the payload is
+    * opaque by definition. Pure column math, no JVM boundary. */
+  def attachRawPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"))
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would hand `payload` to an image/audio codec
-    * here — same signature, same batch shape. */
+  /** Wrap a text column as a binary payload with a modality tag — the
+    * fixture stand-in for real media bytes. Audio rows get a REAL PCM WAV
+    * container (the raw text bytes as sample data), so the decode path
+    * exercises an actual header parse; image/video rows stay raw bytes
+    * for the stub decoder. Payload synthesis is fixture plumbing, so the
+    * partition-local map here is the WRITE-side twin of the decode
+    * boundary, not an operator shortcut. */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, raw, modality) =>
+        val payload =
+          if (modality == "audio")
+            graft.plans.WavHeaderExpr.wavBytes(raw,
+              sampleRate = audioRate(id), channels = audioChannels(id))
+          else raw
+        (id, payload, modality)
+      })
+      .toDF("doc_id", "payload", "modality")
+  }
+
+  /** STUB decoder for image/video: deterministic pseudo-metadata from the
+    * payload bytes. A real implementation would hand `payload` to an
+    * image codec here — same signature, same batch shape. (Audio does NOT
+    * come through here — [[decodeMeta]] routes it to the real WAV
+    * parser.) */
   object StubDecoder {
     def decode(modality: String, payload: Array[Byte]): MediaMeta = {
       var h = 0L
@@ -47,7 +87,7 @@ object Multimodal {
         byteLen = payload.length.toLong,
         width = 64 + (h % 512).toInt,
         height = 64 + ((h / 512) % 512).toInt,
-        sampleRate = if (modality == "audio") 16000 else 0,
+        sampleRate = 0,
         nFrames = if (modality == "video") 1 + (h % 300).toInt else 1)
     }
 
@@ -65,7 +105,12 @@ object Multimodal {
   }
 
   /** Decode payloads partition-locally (mapPartitions = the batch loop a
-    * Pandas UDF would run; one decoder instance per partition). */
+    * Pandas UDF would run; one decoder instance per partition). Audio
+    * rows go through the REAL RIFF/WAVE parse
+    * ([[graft.plans.WavHeaderExpr.parse]] — the same static parser the
+    * `wav_meta` codegen expression inlines); a malformed audio container
+    * decodes to an all-zero meta (the quarantine marker a production
+    * pipeline would route to a reject sink). Image/video use the stub. */
   def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val withMod = media.select(
@@ -74,7 +119,15 @@ object Multimodal {
     withMod.mapPartitions { it =>
       // per-partition setup (codec init would go here, once per partition)
       it.map { case (id, payload, modality) =>
-        DecodedRow(id, StubDecoder.decode(modality, payload))
+        if (modality == "audio") {
+          val parsed = graft.plans.WavHeaderExpr.parse(payload)
+          val meta =
+            if (parsed == null) MediaMeta("audio", payload.length.toLong, 0, 0, 0, 0)
+            else MediaMeta("audio", payload.length.toLong, 0, 0,
+              sampleRate = parsed.getInt(1),
+              nFrames = parsed.getLong(4).toInt)
+          DecodedRow(id, meta)
+        } else DecodedRow(id, StubDecoder.decode(modality, payload))
       }
     }.toDF()
   }
@@ -123,8 +176,10 @@ object Multimodal {
   def chunkPlan(decoded: DataFrame, audioChunk: Int = 4000,
                 audioStride: Int = 3000, videoChunk: Int = 30): DataFrame = {
     val m = col("meta.modality")
+    // audio windows over SAMPLE FRAMES (the real temporal axis the WAV
+    // parse recovers), video over frames, images are one whole chunk
     val base = decoded.select(col("doc_id"), m.as("modality"),
-      when(m === "audio", col("meta.byteLen"))
+      when(m === "audio", col("meta.nFrames").cast("long"))
         .when(m === "video", col("meta.nFrames").cast("long"))
         .otherwise(lit(1L)).as("n_units"),
       when(m === "audio", lit(audioChunk.toLong))

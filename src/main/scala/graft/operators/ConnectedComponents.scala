@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * components turn pairs into dedup clusters (keeper = min doc id of the
   * component).
   *
-  * Algorithm: iterative min-label propagation. Each round every node
-  * adopts the minimum label among itself and its neighbors — converges in
-  * O(component diameter) rounds; near-dup clusters are shallow (stars /
-  * short chains), so 3-6 rounds suffice in practice. Each round is one
-  * join + one aggregate, both hash-partitioned on the node id — no driver
-  * state, no global structures. The convergence check is folded into the
-  * same round (a `changed` flag computed with the new labels and read off
-  * the materialized result), not a separate join.
+  * Algorithm: iterative min-label propagation with pointer-doubling.
+  * Each round every node adopts the minimum label among itself and its
+  * neighbors; from round [[ConnectedComponents.JumpFrom]] on, a
+  * pointer-jump (label ← label(label), one label-table self-join) is
+  * appended, so total rounds are O(log diameter) — near-dup clusters are
+  * shallow (stars / short chains) and converge in 2-4 plain rounds, while
+  * an adversarial chain of length n needs only ~log₂ n jumping rounds
+  * instead of n. Each round is one join + one aggregate (plus the jump's
+  * self-join when active), all hash-partitioned on the node id — no
+  * driver state, no global structures. The convergence check is folded
+  * into the same round (a `changed` flag computed with the new labels and
+  * read off the materialized result), not a separate join.
   *
   * Materializing each round cuts the lineage so plans don't grow across
   * iterations: `localCheckpoint` (executor-local blocks) for
@@ -38,6 +42,13 @@ import org.apache.spark.sql.functions._
   * still-referenced result, reclaimed at exit.
   */
 object ConnectedComponents {
+
+  /** First round that appends a pointer-jump to the propagation step:
+    * rounds 1..JumpFrom-1 are pure min-propagation (shallow components —
+    * the near-dup norm — converge there with no extra join); deeper
+    * structures then go pointer-doubling, reaching the component min in
+    * O(log diameter) further rounds. */
+  val JumpFrom = 3
 
   /** @param edges    two-column frame (src, dst) of undirected edges.
     * @param maxIter  bound on label-CHANGING propagation rounds: a
@@ -96,19 +107,48 @@ object ConnectedComponents {
     // neighbors. One pass computes both the new label and whether it
     // moved; the convergence probe is then a scan of the materialized
     // result — no second join, no recomputation.
-    def round(cur: DataFrame): (DataFrame, Boolean) = {
+    //
+    // From round `JumpFrom` on, each propagation is followed by a
+    // POINTER-JUMP: component ← component(component) — the label-table
+    // self-join of pointer-doubling CC (the star-contraction idea of the
+    // MapReduce-CC literature). Labels are always node ids of the same
+    // component (invariant below), so composing the mapping with itself
+    // is sound, and min-label information DOUBLES in reach per round: a
+    // diameter-d chain converges in O(log d) jumping rounds instead of
+    // d. Shallow components (the near-dup norm: stars, short chains)
+    // have converged before round JumpFrom and never pay the extra join.
+    //
+    // Invariant both steps maintain: component(v) is the id of a node IN
+    // v's component with component(v) ≤ v — propagation mins over
+    // neighbors' labels (same component; reachability is transitive),
+    // the jump takes component(component(v)), which is ≤ component(v)
+    // and still in-component.
+    def round(cur: DataFrame, jump: Boolean): (DataFrame, Boolean) = {
       val neighborMin = sym
         .join(cur.withColumnRenamed("node", "b")
           .withColumnRenamed("component", "nbr_component"),
           Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min("nbr_component").as("nbr_component"))
-      val next = saveLabels(cur.join(neighborMin, Seq("node"), "left")
+      val prop = saveLabels(cur.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"),
           (coalesce(col("nbr_component"), col("component")) < col("component"))
             .as("changed")))
+      val next = if (!jump) prop else {
+        // every component value is a node id with a row in this same
+        // table, so the inner mapping is total; left + coalesce only
+        // guards the (impossible by invariant) miss
+        val parent = prop.select(col("node").as("p_node"),
+          col("component").as("p_comp"))
+        saveLabels(prop.join(parent, col("component") === col("p_node"), "left")
+          .select(col("node"),
+            coalesce(col("p_comp"), col("component")).as("component"),
+            (col("changed") ||
+              coalesce(col("p_comp"), col("component")) < col("component"))
+              .as("changed")))
+      }
       val quiet = next.filter(col("changed")).isEmpty
       (next.drop("changed"), quiet)
     }
@@ -127,7 +167,7 @@ object ConnectedComponents {
         least(col("nbr_min"), col("a")).as("component")))
     try {
       while (!converged && iter < maxIter) {
-        val (next, quiet) = round(labels)
+        val (next, quiet) = round(labels, jump = iter + 1 >= JumpFrom)
         labels = next
         converged = quiet
         iter += 1
@@ -137,7 +177,7 @@ object ConnectedComponents {
         // already BE the fixpoint (a diameter-d component converges in round
         // d and proves it in round d+1). One probe round settles it without
         // charging the caller an extra diameter unit.
-        val (next, quiet) = round(labels)
+        val (next, quiet) = round(labels, jump = true)
         if (!quiet) {
           runDir.foreach(fs.delete(_, true)) // failed run keeps nothing
           throw new IllegalStateException(

@@ -20,13 +20,21 @@ object Catalog {
     spark.sql(s"ALTER TABLE $staging RENAME TO $name")
   }
 
-  /** Publish the gold star into a warehouse namespace (`wh_` prefix), the
-    * TRUNCATE-then-copy ≡ overwrite equivalence noted in SURVEY §2.1 S12. */
-  def publishWarehouse(spark: SparkSession, gold: SilverToGold.Gold): Unit = {
-    overwriteTable(spark, gold.dimDate, "wh_dim_date")
-    overwriteTable(spark, gold.dimLocation, "wh_dim_location")
-    overwriteTable(spark, gold.dimParameter, "wh_dim_parameter")
-    overwriteTable(spark, gold.dimMethod, "wh_dim_method")
-    overwriteTable(spark, gold.fact, "wh_fact_daily_air_quality")
-  }
+  /** Publish a set of tables into a warehouse namespace (`wh_` prefix),
+    * the TRUNCATE-then-copy ≡ overwrite equivalence noted in SURVEY §2.1
+    * S12 — each table goes through the atomic stage+swap. */
+  def publishWarehouse(spark: SparkSession,
+                       tables: Map[String, DataFrame]): Unit =
+    tables.foreach { case (name, df) =>
+      overwriteTable(spark, df, "wh_" + name)
+    }
+
+  /** The reference's concrete publication set: the gold star schema. */
+  def publishWarehouse(spark: SparkSession, gold: SilverToGold.Gold): Unit =
+    publishWarehouse(spark, Map(
+      "dim_date" -> gold.dimDate,
+      "dim_location" -> gold.dimLocation,
+      "dim_parameter" -> gold.dimParameter,
+      "dim_method" -> gold.dimMethod,
+      "fact_daily_air_quality" -> gold.fact))
 }

@@ -60,5 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Winnow(exprs.head,
         GraftFunctions.litInt(WinnowExpr.FnName, exprs, 1, "n"),
         GraftFunctions.litInt(WinnowExpr.FnName, exprs, 2, "w"))))
+    ext.injectFunction((
+      FunctionIdentifier(WavHeaderExpr.FnName),
+      info(WavHeaderExpr.FnName,
+        "wav_meta(bytes) - RIFF/WAVE header parse to a metadata struct"),
+      (exprs: Seq[Expression]) => WavMeta(exprs.head)))
   }
 }

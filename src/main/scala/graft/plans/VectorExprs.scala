@@ -93,7 +93,12 @@ object GraftFunctions {
         litInt(WinnowExpr.FnName, exprs, 1, "n"),
         litInt(WinnowExpr.FnName, exprs, 2, "w")),
       "built-in")
+    // wav_meta(binary): RIFF/WAVE header parse
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WavHeaderExpr.FnName, exprs => WavMeta(exprs.head), "built-in")
   }
+
+  def wavMeta(c: Column): Column = call_function(WavHeaderExpr.FnName, c)
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)
 

@@ -101,4 +101,65 @@ object DocStreams {
       .select(col("new_doc"), col("index_doc"),
         round(est, 6).as("est_jaccard"))
   }
+
+  /** Schema of the persisted band index ([[bandIndex]]'s output). */
+  val indexSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType), StructField("sig", LongType),
+    StructField("doc_id", LongType),
+    StructField("mhs", ArrayType(LongType, containsNull = true))))
+
+  /** Self-MAINTAINING streaming near-dedup: closes the probe → index-update
+    * cycle the static-index probe leaves open. Each micro-batch
+    *
+    *  1. probes the index AS OF the batch's start and upserts candidate
+    *     pairs into `pairsTable` (insert-only merge keyed on
+    *     (new_doc, index_doc) — multi-band and replayed duplicates
+    *     collapse exactly as in the static probe);
+    *  2. MERGEs the batch's own band rows into `indexTable` — the
+    *     insert-only s11 operator keyed on (band, sig, doc_id) — so a doc
+    *     arriving in batch N is findable as a duplicate from batch N+1 on,
+    *     and a REPLAYED batch re-inserts nothing.
+    *
+    * Within-batch duplicate pairs are deliberately not emitted here — a
+    * batch is one corpus snapshot and in-snapshot dedup is the batch
+    * operators' job (t5); this sink owns the cross-arrival axis.
+    *
+    * Scale posture: per batch, one probe join against only the colliding
+    * index buckets plus one delta-sized anti join for the index merge —
+    * the index grows with the corpus but the per-batch work tracks the
+    * BATCH size. The per-batch hot-bucket cap (`maxBucket`) bounds fan-out
+    * within each arriving batch; at warehouse scale the table swap becomes
+    * a MERGE INTO on a real table format ([[graft.sources.GraftCatalog]]
+    * is the SQL route) rather than a full rewrite. */
+  def dedupWithIndexMaintenance(spark: SparkSession, docStream: DataFrame,
+      pairsTable: String = "near_dups", indexTable: String = "doc_band_index",
+      k: Int = 8,
+      maxBucket: Int = graft.analytics.TextQueries.MaxBandBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val index =
+          if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
+        // 1. probe the pre-batch index; exactly-once pairs via insert-only
+        val pairs = nearDupProbe(batch, index, k)
+        val pairsTarget =
+          if (spark.catalog.tableExists(pairsTable)) spark.table(pairsTable)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), pairs.schema)
+        graft.pipeline.Catalog.overwriteTable(spark,
+          graft.operators.MergeInsertOnly(pairsTarget,
+            pairs.dropDuplicates("new_doc", "index_doc"),
+            Seq("new_doc", "index_doc")),
+          pairsTable)
+        // 2. fold the batch's signatures into the index (replay-safe)
+        graft.pipeline.Catalog.overwriteTable(spark,
+          graft.operators.MergeInsertOnly(index,
+            bandIndex(batch, k, maxBucket), Seq("band", "sig", "doc_id")),
+          indexTable)
+        ()
+      }
+      .start()
 }

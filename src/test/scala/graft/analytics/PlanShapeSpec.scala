@@ -84,6 +84,38 @@ class PlanShapeSpec extends SparkSpec {
       s"expected broadcast calibration join:\n$p")
   }
 
+  test("rank-limit pushdown holds in the top-k queries") {
+    // The rank()<=k / LIMIT filters must reach the shuffle as
+    // WindowGroupLimit (per-partition bounded heaps, only k rows/group
+    // cross the wire) or TakeOrderedAndProject (global top-k without a
+    // full sort). A Spark upgrade or refactor that drops the pushdown
+    // would silently turn these into full sorts of the corpus.
+    val v1 = plan("v1_knn_bruteforce")
+    assert(v1.contains("WindowGroupLimit"),
+      s"v1: expected WindowGroupLimit under the rank filter:\n$v1")
+    val w4 = plan("w4_top1_per_group")
+    assert(w4.contains("WindowGroupLimit"),
+      s"w4: expected WindowGroupLimit under the rank filter:\n$w4")
+    val t17 = plan("t17_top_tokens")
+    assert(t17.contains("TakeOrderedAndProject") ||
+      t17.contains("WindowGroupLimit"),
+      s"t17: expected top-k pushdown, not a full sort:\n$t17")
+  }
+
+  test("w12's three rank stats share one Window node and one shuffle") {
+    // percent_rank + cume_dist + ntile over the same partition/order spec
+    // must collapse into a single Window (one hash exchange) plus only
+    // the rangepartitioning for the oracle sort — a second Window or
+    // third Exchange means the specs diverged and the frame shuffles
+    // per-function.
+    val p = plan("w12_rank_stats")
+    val windows = "(?m)^\\s*\\+?-?\\s*Window\\b".r.findAllIn(p).length
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).length
+    assert(windows == 1, s"w12: expected ONE Window node, got $windows:\n$p")
+    assert(exchanges <= 2,
+      s"w12: expected window + sort exchanges only, got $exchanges:\n$p")
+  }
+
   test("a partition filter reaches the scan as PartitionFilters") {
     // the bronze layout's whole point: a state/year predicate must prune
     // directories, not scan-and-filter 100 TB

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // doc 1 (audio): 10 data bytes → mono 16-bit WAV → 5 sample frames
   lazy val docs = Seq(
-    (0L, "spark window agg"), (1L, "short"), (2L, "a much longer media-ish text payload"))
+    (0L, "spark window agg"), (1L, "abcdefghij"), (2L, "a much longer media-ish text payload"))
     .toDF("doc_id", "text")
   lazy val media = Multimodal.attachPayload(docs, "doc_id", "text").cache()
 
@@ -15,16 +16,24 @@ class MultimodalSpec extends SparkSpec {
     val rows = media.orderBy("doc_id").collect()
     assert(new String(rows(0).getAs[Array[Byte]]("payload"), "UTF-8") === "spark window agg")
     assert(rows.map(_.getAs[String]("modality")).toSeq === Seq("image", "audio", "video"))
+    // the audio payload is a REAL WAV container: header + data + pad
+    val wav = rows(1).getAs[Array[Byte]]("payload")
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(wav.length === 44 + 10)
+    assert(new String(wav.slice(44, 54), "UTF-8") === "abcdefghij")
   }
 
-  test("stub decode is deterministic and schema-typed") {
+  test("decode is deterministic and schema-typed; audio parses the real WAV header") {
     val decoded = Multimodal.decodeMeta(spark, media).cache()
     assert(decoded.schema("meta").dataType.typeName === "struct")
     val audio = decoded.filter(col("doc_id") === 1).head()
       .getStruct(1)
     assert(audio.getAs[String]("modality") === "audio")
-    assert(audio.getAs[Int]("sampleRate") === 16000)
-    assert(audio.getAs[Long]("byteLen") === "short".length)
+    // doc 1: rate rule (1/3)%3 = 0 → 8000 Hz, channels (1/9)%2 → mono
+    assert(audio.getAs[Int]("sampleRate") === 8000)
+    assert(audio.getAs[Long]("byteLen") === 44 + 10)
+    assert(audio.getAs[Int]("width") === 0)
+    assert(audio.getAs[Int]("nFrames") === 5) // 10 bytes / (1 ch × 2 B)
     // deterministic: second run equals first
     val again = Multimodal.decodeMeta(spark, media)
     assert(decoded.except(again).count() === 0)

@@ -76,6 +76,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("path graph (diameter 999) converges in O(log n) pointer-jump rounds") {
+    // plain min-propagation needs ~999 rounds on a 1000-node chain; with
+    // the pointer-jump active from round JumpFrom, reach doubles per
+    // round — maxIter=14 (≈ 2 plain + log₂(1000) jumping + slack) must
+    // suffice, and every node must land in component 0
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = ConnectedComponents(edges, maxIter = 14)
+    assert(labels.count() === 1000)
+    assert(labels.filter(col("component") =!= 0L).count() === 0)
+  }
+
   test("rolling ingest window computes T-110..T-100") {
     val (from, to) = Ingest.rollingWindow(java.time.LocalDate.of(2026, 8, 12))
     assert(from.toString === "2026-04-24" && to.toString === "2026-05-04")

@@ -82,6 +82,42 @@ class DocStreamsSpec extends SparkSpec {
     assert(messages(e).contains("signature length"))
   }
 
+  test("index maintenance: a doc arriving in batch N is found by batch N+1") {
+    val dir = tmpDir("doc-idx") + "/data"
+    // batch 1: the seed corpus — index is empty, so no pairs yet
+    docsDF(corpus).coalesce(1).write.parquet(dir)
+    val q = DocStreams.dedupWithIndexMaintenance(spark,
+      DocStreams.readDocStream(spark, dir, maxFilesPerTrigger = Some(1)),
+      pairsTable = "nd_pairs", indexTable = "nd_index")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("nd_pairs").isEmpty)
+      assert(spark.table("nd_index").count() > 0)
+      // batch 2: a copy of doc 0 — found via the index batch 1 built
+      docsDF(Seq(100L -> corpus.head._2))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got2 = spark.table("nd_pairs")
+        .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted
+      assert(got2.toSeq === Seq((100L, 0L)))
+      // batch 3: a copy of doc 100 — 100 itself arrived ON THE STREAM in
+      // batch 2 and must now be probe-able (the cycle under test); doc 0
+      // also matches, and the batch-2 pair must not duplicate
+      docsDF(Seq(200L -> corpus.head._2))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got3 = spark.table("nd_pairs")
+        .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted
+      assert(got3.toSeq === Seq((100L, 0L), (200L, 0L), (200L, 100L)))
+    } finally {
+      q.stop()
+      for (t <- Seq("nd_pairs", "nd_index"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      for (t <- Seq("nd_pairs__staging", "nd_index__staging"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("probe estimate agrees with the batch t24 formulation on the corpus") {
     // identical inputs through the streaming operators in BATCH mode (the
     // transformations are mode-agnostic DataFrame programs): bandIndex on
