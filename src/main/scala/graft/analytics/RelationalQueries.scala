@@ -2075,8 +2075,12 @@ object RelationalQueries {
          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
       val dest = java.nio.file.Files.createTempDirectory("graft-s21")
         .toString + "/t"
+      // project before the sink: the round-trip contract needs only the
+      // aggregated columns, and a sink that writes 9 columns to prove 2
+      // is the 100 TB read-amplification mistake inverted
       graft.operators.Writers.partitionedAppend(
-        Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate"))),
+        Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+          .select("o_orderkey", "o_totalprice", "yr"),
         dest, Seq("yr"))
       s.read.parquet(dest)
         .groupBy(col("yr").cast(IntegerType).as("yr"))
@@ -2100,6 +2104,7 @@ object RelationalQueries {
         .toString + "/t"
       val orders = Tables.orders(s, dir)
         .withColumn("yr", year(col("o_orderdate")))
+        .select("o_orderkey", "o_totalprice", "yr")
       graft.operators.Writers.partitionedAppend(orders, dest, Seq("yr"))
       graft.operators.Writers.partitionedDynamicOverwrite(
         orders.filter(col("yr") === 1995)
@@ -2128,6 +2133,34 @@ object RelationalQueries {
         .groupBy(col("n_regionkey").cast("bigint").as("region_key"))
         .agg(count(lit(1)).as("n_nations"))
         .orderBy("region_key")
+    },
+
+    // ----- bucketed co-located join, driver-verified: both join sides
+    // persisted bucketed+sorted on the key, so the equi-join runs with
+    // ZERO exchanges (both sides arrive pre-partitioned and pre-sorted —
+    // the "reuse a partitioning across stages, at rest" strategy that
+    // turns a repeated fact-fact join at 100 TB from two full shuffles
+    // into none; ScaleJoinsSpec pins the no-Exchange plan). The oracle
+    // states the plain join aggregate, so the row also proves bucketing
+    // changes nothing semantically.
+    Q("s25_bucketed_join", "J5,S10,BUCKET",
+      s"""SELECT o.o_orderstatus AS status, count(*) AS n,
+         |  ${Exact.sqlSum("l.l_extendedprice")} AS revenue
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      graft.operators.ScaleJoins.saveBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+        "s25_orders_b", Seq("o_orderkey"), buckets = 8)
+      graft.operators.ScaleJoins.saveBucketed(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+        "s25_lineitem_b", Seq("o_orderkey"), buckets = 8)
+      graft.operators.ScaleJoins
+        .bucketedJoin(s, "s25_orders_b", "s25_lineitem_b", Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("status")
     },
 
     // ----- S12 round trip: warehouse publication. Publish a dim/fact set
