@@ -1629,6 +1629,34 @@ object RelationalQueries {
       s.table("graft_cat.ns.s20_target").orderBy("k")
     },
 
+    // ----- SQL-route UPDATE + DELETE: the other two row-level statements
+    // through the same DSv2 route as s20 — literal UPDATE/DELETE SQL
+    // planned as group-based copy-on-write. The oracle restates both
+    // statements declaratively (CASE for the update, WHERE NOT for the
+    // delete), so a green row proves statement ≡ relational semantics
+    // through the analyzer path.
+    Q("s26_sql_update_delete", "S-update-sql,S-delete-sql,P4", {
+      val h = s"${TS.hash("'upd|' || o_orderkey")} % 100"
+      s"""SELECT o_orderkey AS k,
+         |  CASE WHEN $h < 20 THEN CAST(o_totalprice AS DOUBLE) * 1.1
+         |       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+         |FROM orders WHERE NOT ($h >= 80) ORDER BY k""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val h = pmod(TF.polyHash(
+        concat(lit("upd|"), col("o_orderkey").cast("string"))), lit(100L))
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.s26_target")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"), h.as("h"))
+        .writeTo("graft_cat.ns.s26_target").create()
+      s.sql("UPDATE graft_cat.ns.s26_target SET price = price * 1.1 WHERE h < 20")
+      s.sql("DELETE FROM graft_cat.ns.s26_target WHERE h >= 80")
+      s.table("graft_cat.ns.s26_target").select("k", "price").orderBy("k")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is
