@@ -432,6 +432,71 @@ object VectorQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    // ----- SemDeDup-style semantic pruning VERDICTS: within each coarse
+    // cluster, any vector cosine-close (≥ τ) to a lower-id cluster-mate
+    // is REMOVED (keep-first — the deterministic stand-in for the
+    // published keep-one-per-semantic-group rule); output is the
+    // per-cluster pruning summary a curation run records. Same bounded
+    // pair generator as v3 (cluster equi-join + sign-bit sub-split of
+    // oversized clusters, cap mirrored in the oracle) — the published
+    // method keeps clusters small (K ≈ 100k at web scale) precisely so
+    // this intra-cluster pairing stays feasible; the removal join-back is
+    // removed-set-sized, so AQE broadcasts it and the corpus never
+    // reshuffles.
+    Q("v14_semdedup", "DEDUP-semantic,A10", {
+      val cos = s"${VS.dot("a.v", "b.v")} / (a.nrm * b.nrm)"
+      val t = SubBucketThreshold
+      s"""$baseCte,
+         |n2 AS (SELECT vec_id, label, v, nrm,
+         |         count(*) OVER (PARTITION BY label) AS cnt FROM n),
+         |n3 AS (SELECT vec_id, label, v, nrm,
+         |         CASE WHEN cnt <= $t THEN 0
+         |              ELSE list_sum(list_transform(
+         |                     range(0, least(8, CAST(ceil(log2(
+         |                       CAST(cnt AS DOUBLE) / $t)) AS BIGINT))),
+         |                     j -> CASE WHEN v[CAST(j AS INT) + 1] >= 0
+         |                               THEN CAST(pow(2, j) AS BIGINT)
+         |                               ELSE CAST(0 AS BIGINT) END))
+         |         END AS sub
+         |       FROM n2),
+         |removedv AS (
+         |  SELECT DISTINCT b.vec_id AS r
+         |  FROM n3 a JOIN n3 b
+         |    ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.25)
+         |SELECT n.label, CAST(count(*) AS BIGINT) AS members,
+         |  CAST(count(p.r) AS BIGINT) AS removed,
+         |  CAST(count(*) - count(p.r) AS BIGINT) AS kept,
+         |  round(CAST(count(p.r) AS DOUBLE) / count(*), 6) AS removal_rate
+         |FROM n LEFT JOIN removedv p ON n.vec_id = p.r
+         |GROUP BY n.label ORDER BY n.label""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), VF.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VF.norm(col("v")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+        .withColumn("sub", subBucket(col("cnt"), col("v")))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("sub"),
+        col("v").as("av"), col("nrm").as("an"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("sub"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val removed = a.join(b, Seq("label", "sub"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(VF.dot(col("av"), col("bv")) / (col("an") * col("bn")) >= 0.25)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("r", lit(1))
+      e.select(col("vec_id"), col("label"))
+        .join(removed, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("members"),
+          count(col("r")).as("removed"),
+          (count(lit(1)) - count(col("r"))).as("kept"),
+          round(count(col("r")).cast("double") / count(lit(1)), 6)
+            .as("removal_rate"))
+        .orderBy("label")
+    },
+
     // ----- per-cluster centroids: the element-wise mean vector of each
     // label group — the M-step of distributed k-means and the refresh op
     // any IVF index needs as the corpus drifts. Plan shape: posexplode

@@ -113,7 +113,7 @@ class GraftTable(tableName: String, tableSchema: StructType)
 
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftScan(tableSchema, rows)
+    new GraftScanBuilder(tableSchema, () => rows)
 
   // ---- plain write path (INSERT INTO / CTAS append) ------------------
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -134,6 +134,7 @@ class GraftTable(tableName: String, tableSchema: StructType)
       override def command(): RowLevelOperation.Command = info.command()
 
       // the operation's scan defines the rewritten group: the whole table
+      // (no column pruning here — the rewrite re-writes complete rows)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         () => new GraftScan(tableSchema, rows)
 
@@ -154,6 +155,37 @@ class GraftTable(tableName: String, tableSchema: StructType)
       override def requiredMetadataAttributes(): Array[NamedReference] =
         Array.empty
     }
+}
+
+/** Scan builder with column pruning: a query projecting 2 of 30 columns
+  * reads 2-column rows (the DSv2 contract every real format honors —
+  * kept here so plans over catalog tables show the pruned ReadSchema and
+  * downstream operators never carry dead columns). `rows` is passed as a
+  * thunk so the scan binds the table's CURRENT contents at build time,
+  * after any earlier statement in the same query plan committed. */
+class GraftScanBuilder(tableSchema: StructType, rows: () => Array[InternalRow])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve table column order; an empty projection (count(*)) is legal
+    required = StructType(
+      tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val all = rows()
+    if (required.length == tableSchema.length) new GraftScan(tableSchema, all)
+    else {
+      val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(idx.toIndexedSeq.map { i =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, tableSchema.fields(i).dataType, tableSchema.fields(i).nullable)
+        })
+      new GraftScan(required, all.map(r => proj(r).copy(): InternalRow))
+    }
+  }
 }
 
 /** Full-table scan over the stored rows, split into a handful of input

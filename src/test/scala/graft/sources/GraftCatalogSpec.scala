@@ -62,6 +62,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got === Seq((2L, 21.0), (3L, 31.0)))
   }
 
+  test("column pruning reaches the catalog scan") {
+    val t = freshTable("t_prune")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x")
+      .writeTo(t).create()
+    val df = spark.table(t).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan itself must carry only the projected column — the payload
+    // columns never materialize
+    assert(!plan.contains("v#") && !plan.contains("x#"),
+      s"expected pruned scan, got:\n$plan")
+    assert(df.orderBy("id").as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
   test("MERGE source matching multiple target rows still applies cleanly") {
     // duplicate TARGET keys are legal (the table is not key-constrained);
     // each matched row takes the clause action independently
