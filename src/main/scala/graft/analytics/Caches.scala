@@ -23,14 +23,31 @@ import org.apache.spark.sql.DataFrame
 object Caches {
   private val reg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` and remember it for the next [[release]]. */
+  /** Session conf key selecting the materialization mode for tracked
+    * stages: "persist" (default — in-memory/disk blocks, right for
+    * harness SFs) or "checkpoint" (`localCheckpoint(eager=false)`) — the
+    * 100 TB setting: a multi-consumer stage whose blocks would not fit
+    * storage memory is cut to executor-local shuffle files instead, and
+    * the lineage truncation also keeps re-planning cost flat when the
+    * cached stage feeds many consumers. One conf flip, no query changes. */
+  val ModeKey = "spark.graft.cache.mode"
+
+  /** Persist `df` (or checkpoint, per [[ModeKey]]) and remember it for
+    * the next [[release]]. */
   def persistTracked(df: DataFrame): DataFrame = synchronized {
-    df.persist()
-    reg += df
-    df
+    val mode = df.sparkSession.conf.get(ModeKey, "persist")
+    val out = mode match {
+      case "checkpoint" => df.localCheckpoint(eager = false)
+      case _ => { df.persist(); df }
+    }
+    reg += out
+    out
   }
 
-  /** Unpersist every tracked frame. */
+  /** Unpersist every tracked frame. Checkpointed frames don't expose an
+    * unpersist hook — dropping the reference here hands their blocks to
+    * the ContextCleaner, which reclaims them on GC (the standard
+    * lifecycle for localCheckpoint storage). */
   def release(): Unit = synchronized {
     reg.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     reg.clear()

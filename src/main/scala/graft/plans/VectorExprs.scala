@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -16,7 +17,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * and bucketed similarity search.
   */
 object VectorOps {
-  /** Static hot loop — referenced by both eval and generated code. */
+  /** Static hot loop — referenced by both eval and generated code.
+    * Precondition (checked by the caller, not here): equal lengths, no
+    * null elements. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -24,15 +27,83 @@ object VectorOps {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Null-algebra variant for inputs whose element type may contain
+    * nulls per schema (parquet array elements usually do, even when no
+    * null ever occurs): any null element (or a length mismatch — zip_with
+    * pads the shorter side with nulls) makes the whole product NULL,
+    * exactly like `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`.
+    * Single fused pass — the null test is two bitset probes per element,
+    * so the no-null common case stays near the unguarded loop's cost. */
+  def dotNullable(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.dot($a, $b)")
+  override def nullable: Boolean = true
+
+  /** Schema-level proof that no element can be null — the in-repo path
+    * (toDoubleArr casts of the embeddings column): primitive codegen with
+    * only the cheap length guard. SQL-route inputs without the proof go
+    * through the boxed null-checking loop. */
+  private def provedNullFree: Boolean = Seq(left, right).forall(_.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (provedNullFree) {
+      if (aa.numElements() != bb.numElements()) null
+      else VectorOps.dot(aa, bb)
+    } else VectorOps.dotNullable(aa, bb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = left.genCode(ctx)
+    val rb = right.genCode(ctx)
+    if (provedNullFree) {
+      val code =
+        code"""
+          ${la.code}
+          ${rb.code}
+          boolean ${ev.isNull} = ${la.isNull} || ${rb.isNull} ||
+            ${la.value}.numElements() != ${rb.value}.numElements();
+          double ${ev.value} = ${ev.isNull}
+            ? -1.0 : graft.plans.VectorOps.dot(${la.value}, ${rb.value});
+        """
+      ev.copy(code = code)
+    } else {
+      val boxed = ctx.freshName("dotBoxed")
+      val code =
+        code"""
+          ${la.code}
+          ${rb.code}
+          boolean ${ev.isNull} = ${la.isNull} || ${rb.isNull};
+          double ${ev.value} = -1.0;
+          if (!${ev.isNull}) {
+            java.lang.Double $boxed =
+              graft.plans.VectorOps.dotNullable(${la.value}, ${rb.value});
+            if ($boxed == null) { ${ev.isNull} = true; }
+            else { ${ev.value} = $boxed.doubleValue(); }
+          }
+        """
+      ev.copy(code = code)
+    }
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

@@ -112,4 +112,23 @@ class ScaleCapsSpec extends SparkSpec {
       .agg(countDistinct("component")).head().getLong(0)
     assert(ok === 1L)
   }
+
+  test("checkpoint cache mode yields identical t5 results to persist mode") {
+    // the 100 TB materialization switch: multi-consumer stages cut to
+    // executor-local shuffle files instead of storage-memory blocks —
+    // must be a pure performance choice, never a semantic one
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.SparkEntry.queries("t5_minhash_lsh")(spark, dir)
+      .collect().toSeq
+    Caches.release()
+    spark.conf.set(Caches.ModeKey, "checkpoint")
+    try {
+      val ck = graft.SparkEntry.queries("t5_minhash_lsh")(spark, dir)
+        .collect().toSeq
+      assert(ck === base)
+    } finally {
+      spark.conf.unset(Caches.ModeKey)
+      Caches.release()
+    }
+  }
 }

@@ -206,6 +206,19 @@ class FunctionsSpec extends SparkSpec {
     assert(eWin.getMessage.contains("winnow_fingerprints"))
   }
 
+  test("vec_dot null elements and length mismatch yield NULL like the HOF") {
+    // null element -> NULL (zip_with product null -> sum null)
+    assert(spark.sql(
+      "SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d))")
+      .head().isNullAt(0))
+    // length mismatch -> NULL (zip_with pads the shorter side with nulls)
+    assert(spark.sql("SELECT vec_dot(array(1.0d), array(2.0d, 3.0d))")
+      .head().isNullAt(0))
+    // clean inputs still compute
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) === 11.0)
+  }
+
   test("cosine: self-similarity 1.0, orthogonality 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
