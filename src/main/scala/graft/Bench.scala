@@ -92,12 +92,16 @@ object Bench {
     val regJson = regressions.map { case (k, (p, b)) =>
       "\"" + k + ":" + f3(p) + "->" + f3(b) + "\""
     }.mkString("[", ",", "]")
-    // persist this run as the next baseline (successful queries only —
-    // a 9999 failure sentinel must not become a baseline that makes the
-    // eventual fix look like a 'regression'-free huge win)
-    Files.writeString(histFile, sfDir + "\n" +
-      jmap(results.toSeq.collect { case (k, (b, _)) if b < 9000 => k -> f3(b) })
-      + "\n")
+    // persist this run as the next baseline. Successful queries record
+    // their new timing; a FAILED query (9999 sentinel) keeps its previous
+    // good baseline instead of being dropped — otherwise the run that
+    // fixes it would have nothing to compare against and a
+    // fixed-but-now-slow query could never land in "regressions".
+    val nextBaseline = results.toSeq.map { case (k, (b, _)) =>
+      if (b < 9000) k -> f3(b)
+      else k -> f3(prev.getOrElse(k, 9999.0))
+    }.filter(_._2 != f3(9999.0))
+    Files.writeString(histFile, sfDir + "\n" + jmap(nextBaseline) + "\n")
     // Two JSON lines, diagnostics FIRST and the contract line LAST: the
     // driver archives only the final ~2000 chars of output, so the line the
     // judge must see (metric/value/queries) has to sit closest to the end

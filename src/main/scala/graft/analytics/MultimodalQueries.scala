@@ -181,8 +181,8 @@ object MultimodalQueries {
          |  CAST(16 AS INT) AS bits,
          |  CAST(raw_len AS BIGINT) AS data_bytes,
          |  CAST(raw_len // (ch * 2) AS BIGINT) AS n_frames,
-         |  round(CAST(raw_len // (ch * 2) AS DOUBLE) / rate, 6)
-         |    AS duration_sec
+         |  CAST((raw_len // (ch * 2)) * 1000000 // rate AS BIGINT)
+         |    AS duration_us
          |FROM a ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
@@ -197,8 +197,11 @@ object MultimodalQueries {
           col("w.bits").as("bits"),
           col("w.data_bytes").as("data_bytes"),
           col("w.n_frames").as("n_frames"),
-          round(col("w.n_frames").cast("double") / col("w.sample_rate"), 6)
-            .as("duration_sec"))
+          // exact integer microseconds (DIV, not /: Spark's / is always
+          // fractional) — a rounded double duration sits on round-half
+          // ties the two engines can resolve differently
+          expr("CAST(w.n_frames * 1000000 DIV w.sample_rate AS BIGINT)")
+            .as("duration_us"))
         .orderBy("doc_id")
     },
 

@@ -60,7 +60,9 @@ object Schedule {
       while (true) {
         try return body()
         catch {
-          case e: Throwable if attempt < maxAttempts =>
+          // NonFatal only: an OOM/interrupt must propagate immediately,
+          // not be retried with backoff in a broken JVM
+          case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
             sleeper(backoffBefore(attempt))
             attempt += 1
         }
@@ -136,7 +138,7 @@ object Schedule {
                   s"${a.name} exceeded ${a.timeout} (took $elapsed)"))
               else Succeeded
           } catch {
-            case e: Throwable => status(a.name) = Failed(e)
+            case scala.util.control.NonFatal(e) => status(a.name) = Failed(e)
           }
         }
       }

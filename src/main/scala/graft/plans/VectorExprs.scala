@@ -57,11 +57,13 @@ case class DotProduct(left: Expression, right: Expression)
   /** Schema-level proof that no element can be null — the in-repo path
     * (toDoubleArr casts of the embeddings column): primitive codegen with
     * only the cheap length guard. SQL-route inputs without the proof go
-    * through the boxed null-checking loop. */
-  private def provedNullFree: Boolean = Seq(left, right).forall(_.dataType match {
-    case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull
-    case _ => false
-  })
+    * through the boxed null-checking loop. Plan-time constant — lazy val
+    * so the interpreted eval path doesn't re-derive it per row. */
+  @transient private lazy val provedNullFree: Boolean =
+    Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -49,13 +49,14 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def key(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  // typed (namespace, name) keys — a flattened dotted string cannot
+  // round-trip nested namespaces or distinguish the default namespace
+  private def key(ident: Identifier): (Seq[String], String) =
+    (ident.namespace().toSeq, ident.name())
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftTableStore.tables.keys.toArray.collect {
-      case k if k.startsWith(namespace.mkString(".") + ".") =>
-        Identifier.of(namespace, k.substring(namespace.mkString(".").length + 1))
+      case (ns, n) if ns == namespace.toSeq => Identifier.of(namespace, n)
     }
 
   override def loadTable(ident: Identifier): Table =
@@ -67,10 +68,18 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (GraftTableStore.tables.contains(key(ident)))
+    // unsupported clauses must fail, not silently drop: a table created
+    // "PARTITIONED BY" that isn't partitioned lies to its creator
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"GraftCatalog tables do not support partition transforms " +
+          s"(got ${partitions.mkString(", ")})")
+    val t = new GraftTable(
+      (ident.namespace() :+ ident.name()).mkString("."), schema)
+    // atomic: two concurrent CREATEs must not both succeed (the loser's
+    // table object could already be receiving a CTAS write)
+    if (GraftTableStore.tables.putIfAbsent(key(ident), t).isDefined)
       throw new TableAlreadyExistsException(ident)
-    val t = new GraftTable(key(ident), schema)
-    GraftTableStore.tables.put(key(ident), t)
     t
   }
 
@@ -81,18 +90,26 @@ class GraftCatalog extends TableCatalog {
     GraftTableStore.tables.remove(key(ident)).isDefined
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (GraftTableStore.tables.contains(key(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
     val t = GraftTableStore.tables.remove(key(oldIdent))
       .getOrElse(throw new NoSuchTableException(oldIdent))
-    GraftTableStore.tables.put(key(newIdent), t)
+    // re-home under the new name so Table.name() matches the catalog entry
+    val renamed = t.renamed(
+      (newIdent.namespace() :+ newIdent.name()).mkString("."))
+    if (GraftTableStore.tables.putIfAbsent(key(newIdent), renamed).isDefined) {
+      GraftTableStore.tables.putIfAbsent(key(oldIdent), t) // restore
+      throw new TableAlreadyExistsException(newIdent)
+    }
   }
 }
 
-/** JVM-global backing store: table name → [[GraftTable]] (whose rows live
-  * inside the table object). Global so every session/catalog instance in
-  * the JVM sees one table universe — the local-mode analog of a shared
-  * metastore. */
+/** JVM-global backing store: (namespace, table) → [[GraftTable]] (whose
+  * rows live inside the table object). Global so every session/catalog
+  * instance in the JVM sees one table universe — the local-mode analog of
+  * a shared metastore. */
 object GraftTableStore {
-  val tables: TrieMap[String, GraftTable] = TrieMap.empty
+  val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
 }
 
 /** One in-JVM table: readable, appendable, truncatable, and MERGE-able via
@@ -104,6 +121,14 @@ class GraftTable(tableName: String, tableSchema: StructType)
   @volatile private var rows: Array[InternalRow] = Array.empty
 
   def currentRows: Array[InternalRow] = rows
+
+  /** Same table contents under a new name (catalog RENAME support) —
+    * shares the row array reference at the moment of rename. */
+  private[sources] def renamed(newName: String): GraftTable = {
+    val t = new GraftTable(newName, tableSchema)
+    t.rows = rows
+    t
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema

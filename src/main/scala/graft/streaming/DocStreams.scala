@@ -141,6 +141,15 @@ object DocStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val index =
           if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+          else if (spark.catalog.tableExists(indexTable + "__staging"))
+            // a leftover staging table means the stage+swap died between
+            // DROP and RENAME — the index EXISTS but is orphaned; starting
+            // over with an empty one would silently forget every indexed
+            // doc and miss all their future duplicates. Fail loudly.
+            throw new IllegalStateException(
+              s"$indexTable is missing but ${indexTable}__staging exists — " +
+                "interrupted swap; recover the staging table (rename it to " +
+                s"$indexTable) before restarting the stream")
           else spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
         // 1. probe the pre-batch index; exactly-once pairs via insert-only
