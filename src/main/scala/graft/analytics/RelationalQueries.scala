@@ -1629,6 +1629,51 @@ object RelationalQueries {
       s.table("graft_cat.ns.s20_target").orderBy("k")
     },
 
+    // ----- S7 write-side twin: CSV sink + header/schema read-back round
+    // trip. CSV is the reference's dummy-gold interchange format (S7 reads
+    // it with header promotion + explicit typing); this proves the WRITE
+    // side and the schema-enforced re-read reproduce the source exactly.
+    // quoteAll + explicit escape pins the dialect so the round trip stays
+    // engine-independent even for values with delimiters or quotes.
+    Q("s27_csv_roundtrip", "S7,S5",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val dest = java.nio.file.Files.createTempDirectory("graft-s27")
+        .toString + "/t"
+      Tables.nation(s, dir).write
+        .option("header", true)
+        // quote everything: comments contain commas/newlines; explicit
+        // quoting keeps the escape dialect engine-independent
+        .option("quoteAll", true).option("escape", "\"")
+        .csv(dest)
+      s.read.option("header", true).option("escape", "\"")
+        .option("multiLine", true)
+        .schema(Tables.nation(s, dir).schema)
+        .csv(dest)
+        .orderBy("n_nationkey")
+    },
+
+    // ----- JSON-lines sink + scan round trip: the interchange format of
+    // every doc-corpus exchange. Writes the typed rows as JSONL, reads
+    // them back schema-enforced, re-aggregates — type preservation
+    // (BIGINT vs DOUBLE vs STRING) through the text format is the
+    // contract under test.
+    Q("s28_json_roundtrip", "S1,S4,S5",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${Exact.sqlSum("value", 2)} AS total
+         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dest = java.nio.file.Files.createTempDirectory("graft-s28")
+        .toString + "/t"
+      val src = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      src.write.json(dest)
+      s.read.schema(src.schema).json(dest)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    },
+
     // ----- SQL-route UPDATE + DELETE: the other two row-level statements
     // through the same DSv2 route as s20 — literal UPDATE/DELETE SQL
     // planned as group-based copy-on-write. The oracle restates both
