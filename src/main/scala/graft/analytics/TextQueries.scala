@@ -55,6 +55,11 @@ object TextQueries {
     * shared token run of ≥ WinnowW+2 tokens yields a shared fingerprint. */
   val WinnowW = 4
 
+  /** t34 integer-PageRank unit mass per node: large enough that three
+    * rounds of integer division keep ~9 significant digits, small enough
+    * that 85·Σ never approaches Long range even at corpus scale. */
+  val CentralityBase = 1000000000000L
+
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
@@ -1144,6 +1149,64 @@ object TextQueries {
             .cast("double") / count(lit(1))).as("lm_score"),
           min(col("p")).as("min_p"))
         .orderBy("doc_id")
+    },
+
+    // ----- duplication-graph centrality: 3 rounds of PageRank over the
+    // t7 candidate-pair graph. A doc's centrality in the who-shares-
+    // shingles-with-whom graph is the TEMPLATE/boilerplate signal —
+    // a hub that near-matches many otherwise-unrelated docs is a form
+    // letter, not an original, and curation wants it ranked for review
+    // before any keeper policy runs. ALL-INTEGER arithmetic: rank mass
+    // starts at 10^12 per node, each round is
+    // pr' = 0.15·base + (85 · Σ_in (pr DIV deg)) DIV 100 — integer
+    // division loses mass identically in both engines, so the oracle
+    // hash-matches where float PageRank never could (cross-engine double
+    // summation order). Plan: per round one join + one key-shuffle agg,
+    // the CC cost envelope; degree table broadcast-sized per AQE.
+    Q("t34_dup_centrality", "GRAPH-pagerank,W3,A1", {
+      val b = CentralityBase
+      s"""WITH $ngramCteBody,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM scored
+         |          UNION ALL SELECT doc_b, doc_a FROM scored),
+         |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+         |pr0 AS (SELECT u, CAST($b AS BIGINT) AS pr FROM deg),
+         |c1 AS (SELECT e.v, (p.pr // g.d) AS c FROM edges e
+         |       JOIN pr0 p ON e.u = p.u JOIN deg g ON e.u = g.u),
+         |pr1 AS (SELECT v AS u, ${b * 15 / 100} + (85 * SUM(c)) // 100 AS pr
+         |        FROM c1 GROUP BY v),
+         |c2 AS (SELECT e.v, (p.pr // g.d) AS c FROM edges e
+         |       JOIN pr1 p ON e.u = p.u JOIN deg g ON e.u = g.u),
+         |pr2 AS (SELECT v AS u, ${b * 15 / 100} + (85 * SUM(c)) // 100 AS pr
+         |        FROM c2 GROUP BY v),
+         |c3 AS (SELECT e.v, (p.pr // g.d) AS c FROM edges e
+         |       JOIN pr2 p ON e.u = p.u JOIN deg g ON e.u = g.u),
+         |pr3 AS (SELECT v AS u, ${b * 15 / 100} + (85 * SUM(c)) // 100 AS pr
+         |        FROM c3 GROUP BY v)
+         |SELECT p.u AS doc_id, CAST(g.d AS BIGINT) AS degree,
+         |       CAST(p.pr AS BIGINT) AS pr
+         |FROM pr3 p JOIN deg g ON p.u = g.u
+         |ORDER BY pr DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      val scored = ngramScored(s, dir).select("doc_a", "doc_b")
+      val edges = Caches.persistTracked(
+        scored.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionByName(scored.select(col("doc_b").as("u"),
+            col("doc_a").as("v"))))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      var pr = deg.select(col("u"), lit(CentralityBase).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr, "u").join(deg, "u")
+          .select(col("v"), expr("pr DIV d").as("c"))
+        pr = contrib.groupBy(col("v").as("u"))
+          .agg(expr(s"CAST(${CentralityBase * 15 / 100} AS BIGINT) " +
+            "+ (85 * sum(c)) DIV 100").as("pr"))
+      }
+      pr.join(deg, "u")
+        .select(col("u").as("doc_id"), col("d").cast("bigint").as("degree"),
+          col("pr").cast("bigint").as("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }
