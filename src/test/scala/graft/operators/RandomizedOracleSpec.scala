@@ -116,4 +116,71 @@ class RandomizedOracleSpec extends SparkSpec {
         UTF8String.fromString("zz")) === refHash("zz"))
     }
   }
+
+  test("null-element algebra holds on random null-mixed inputs") {
+    import org.apache.spark.sql.functions._
+    def refHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val rnd = new scala.util.Random(31)
+
+    // minhashes: null elements skipped; no survivor → k nulls
+    val mhRows = Seq.fill(60)(Seq.fill(rnd.nextInt(6))(
+      if (rnd.nextInt(100) < 20) null
+      else s"s${rnd.nextInt(20)} s${rnd.nextInt(20)}"))
+    val k = 5
+    val mhExpected = mhRows.map { sh =>
+      val live = sh.filter(_ != null)
+      (0 until k).map(p =>
+        if (live.isEmpty) None else Some(live.map(s => refHash(s"$p|$s")).min))
+    }
+    val mhGot = mhRows.toDF("sh")
+      .select(graft.functions.TextFunctions.minhashes(col("sh"), k))
+      .collect().map(_.getSeq[Any](0).map(Option(_).map(_.asInstanceOf[Long])))
+    assert(mhGot.toSeq === mhExpected)
+
+    // shingle_minhash + winnow: windows containing a null token drop
+    val tkRows = Seq.fill(60)(Seq.fill(rnd.nextInt(12))(
+      if (rnd.nextInt(100) < 15) null else s"t${rnd.nextInt(10)}"))
+    val n = 2; val w = 3
+    def validWindows(toks: Seq[String]): Seq[Long] =
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).filter(_.forall(_ != null))
+        .map(g => refHash(g.mkString(" "))).toSeq
+    val shExpected = tkRows.map { toks =>
+      val hs = validWindows(toks)
+      if (hs.isEmpty) None else Some(hs.min)
+    }
+    val shGot = tkRows.toDF("l")
+      .select(graft.functions.TextFunctions.fingerprint(col("l"), n))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(shGot.toSeq === shExpected)
+    val wnExpected = tkRows.map { toks =>
+      val hs = validWindows(toks)
+      if (hs.isEmpty) Set.empty[Long]
+      else if (hs.length < w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val wnGot = tkRows.toDF("l")
+      .select(graft.functions.TextFunctions.winnow(col("l"), n, w))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(wnGot.toSeq === wnExpected)
+
+    // vec_dot: any null element or a length mismatch → NULL
+    val vRows = Seq.fill(60) {
+      val la = 1 + rnd.nextInt(5)
+      val lb = if (rnd.nextInt(100) < 20) 1 + rnd.nextInt(5) else la
+      (Seq.fill(la)(if (rnd.nextInt(100) < 15) null
+        else java.lang.Double.valueOf(rnd.nextInt(10).toDouble)),
+        Seq.fill(lb)(if (rnd.nextInt(100) < 15) null
+          else java.lang.Double.valueOf(rnd.nextInt(10).toDouble)))
+    }
+    val vExpected = vRows.map { case (a, b) =>
+      if (a.length != b.length || a.contains(null) || b.contains(null)) None
+      else Some(a.zip(b).map(p => p._1.doubleValue * p._2.doubleValue).sum)
+    }
+    val vGot = vRows.toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dot(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(vGot.toSeq === vExpected)
+  }
 }
