@@ -1192,15 +1192,23 @@ object TextQueries {
         scored.select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionByName(scored.select(col("doc_b").as("u"),
             col("doc_a").as("v"))))
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      val deg = Caches.persistTracked(
+        edges.groupBy("u").agg(count(lit(1)).as("d")))
       var pr = deg.select(col("u"), lit(CentralityBase).as("pr"))
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(pr, "u").join(deg, "u")
-          .select(col("v"), expr("pr DIV d").as("c"))
-        pr = contrib.groupBy(col("v").as("u"))
+        // per-round state (pr ⋈ deg, with the per-edge contribution
+        // precomputed) is NODE-sized — broadcast it so the edge list
+        // never shuffles; the only exchange per round is the map-side-
+        // combined aggregate on the destination key. Materialize each
+        // round: an unpersisted pr would re-execute every earlier round
+        // inside the next one's lineage (1+2+3 = 6x cost).
+        val state = pr.join(deg, "u")
+          .select(col("u"), expr("pr DIV d").as("c"))
+        val contrib = edges.join(broadcast(state), "u")
+          .select(col("v"), col("c"))
+        pr = Caches.persistTracked(contrib.groupBy(col("v").as("u"))
           .agg(expr(s"CAST(${CentralityBase * 15 / 100} AS BIGINT) " +
-            "+ (85 * sum(c)) DIV 100").as("pr"))
+            "+ (85 * sum(c)) DIV 100").as("pr")))
       }
       pr.join(deg, "u")
         .select(col("u").as("doc_id"), col("d").cast("bigint").as("degree"),
