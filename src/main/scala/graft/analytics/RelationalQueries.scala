@@ -1638,8 +1638,7 @@ object RelationalQueries {
     Q("s27_csv_roundtrip", "S7,S5",
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
-      val dest = java.nio.file.Files.createTempDirectory("graft-s27")
-        .toString + "/t"
+      val dest = TempDirs.scratch("graft-s27") + "/t"
       Tables.nation(s, dir).write
         .option("header", true)
         // quote everything: comments contain commas/newlines; explicit
@@ -1662,8 +1661,7 @@ object RelationalQueries {
       s"""SELECT event_type, count(*) AS n,
          |  ${Exact.sqlSum("value", 2)} AS total
          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val dest = java.nio.file.Files.createTempDirectory("graft-s28")
-        .toString + "/t"
+      val dest = TempDirs.scratch("graft-s28") + "/t"
       val src = Tables.events(s, dir)
         .select("event_id", "event_type", "value")
       src.write.json(dest)
@@ -2146,8 +2144,7 @@ object RelationalQueries {
       s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
          |  ${Exact.sqlSum("o_totalprice")} AS total
          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
-      val dest = java.nio.file.Files.createTempDirectory("graft-s21")
-        .toString + "/t"
+      val dest = TempDirs.scratch("graft-s21") + "/t"
       // project before the sink: the round-trip contract needs only the
       // aggregated columns, and a sink that writes 9 columns to prove 2
       // is the 100 TB read-amplification mistake inverted
@@ -2173,8 +2170,7 @@ object RelationalQueries {
              "CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice + 1.0 " +
              "ELSE o_totalprice END")} AS total
          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { (s, dir) =>
-      val dest = java.nio.file.Files.createTempDirectory("graft-s22")
-        .toString + "/t"
+      val dest = TempDirs.scratch("graft-s22") + "/t"
       val orders = Tables.orders(s, dir)
         .withColumn("yr", year(col("o_orderdate")))
         .select("o_orderkey", "o_totalprice", "yr")
