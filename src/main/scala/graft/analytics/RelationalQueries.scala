@@ -1641,12 +1641,14 @@ object RelationalQueries {
       val dest = TempDirs.scratch("graft-s27") + "/t"
       Tables.nation(s, dir).write
         .option("header", true)
-        // quote everything: comments contain commas/newlines; explicit
-        // quoting keeps the escape dialect engine-independent
+        // quoteAll + explicit escape pin the dialect up front, so the
+        // same writer config stays correct when a column DOES carry
+        // delimiters or quotes (nation's columns happen not to)
         .option("quoteAll", true).option("escape", "\"")
         .csv(dest)
+      // no multiLine: these values carry no embedded newlines, and
+      // multiLine would force each file onto a single unsplittable task
       s.read.option("header", true).option("escape", "\"")
-        .option("multiLine", true)
         .schema(Tables.nation(s, dir).schema)
         .csv(dest)
         .orderBy("n_nationkey")

@@ -56,8 +56,13 @@ object TextQueries {
   val WinnowW = 4
 
   /** t34 integer-PageRank unit mass per node: large enough that three
-    * rounds of integer division keep ~9 significant digits, small enough
-    * that 85·Σ never approaches Long range even at corpus scale. */
+    * rounds of integer division keep ~9 significant digits. Overflow
+    * bound: every intermediate is ≤ 85 × (a node's rank), and a node's
+    * rank is ≤ the component's total mass N·base — exact in a Long for
+    * components up to ~10^5 nodes at base 10^12 (the candidate-pair
+    * graph's components are near-dup clusters, orders of magnitude
+    * smaller). Larger components: shrink the base or move the
+    * accumulator to DECIMAL; both engines shift identically. */
   val CentralityBase = 1000000000000L
 
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
@@ -1158,7 +1163,7 @@ object TextQueries {
     // letter, not an original, and curation wants it ranked for review
     // before any keeper policy runs. ALL-INTEGER arithmetic: rank mass
     // starts at 10^12 per node, each round is
-    // pr' = 0.15·base + (85 · Σ_in (pr DIV deg)) DIV 100 — integer
+    // pr' = 0.15·base + Σ_in ((85·(pr DIV deg)) DIV 100) — integer
     // division loses mass identically in both engines, so the oracle
     // hash-matches where float PageRank never could (cross-engine double
     // summation order). Plan: per round one join + one key-shuffle agg,
@@ -1170,17 +1175,17 @@ object TextQueries {
          |          UNION ALL SELECT doc_b, doc_a FROM scored),
          |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
          |pr0 AS (SELECT u, CAST($b AS BIGINT) AS pr FROM deg),
-         |c1 AS (SELECT e.v, (p.pr // g.d) AS c FROM edges e
+         |c1 AS (SELECT e.v, (85 * (p.pr // g.d)) // 100 AS c FROM edges e
          |       JOIN pr0 p ON e.u = p.u JOIN deg g ON e.u = g.u),
-         |pr1 AS (SELECT v AS u, ${b * 15 / 100} + (85 * SUM(c)) // 100 AS pr
+         |pr1 AS (SELECT v AS u, ${b * 15 / 100} + SUM(c) AS pr
          |        FROM c1 GROUP BY v),
-         |c2 AS (SELECT e.v, (p.pr // g.d) AS c FROM edges e
+         |c2 AS (SELECT e.v, (85 * (p.pr // g.d)) // 100 AS c FROM edges e
          |       JOIN pr1 p ON e.u = p.u JOIN deg g ON e.u = g.u),
-         |pr2 AS (SELECT v AS u, ${b * 15 / 100} + (85 * SUM(c)) // 100 AS pr
+         |pr2 AS (SELECT v AS u, ${b * 15 / 100} + SUM(c) AS pr
          |        FROM c2 GROUP BY v),
-         |c3 AS (SELECT e.v, (p.pr // g.d) AS c FROM edges e
+         |c3 AS (SELECT e.v, (85 * (p.pr // g.d)) // 100 AS c FROM edges e
          |       JOIN pr2 p ON e.u = p.u JOIN deg g ON e.u = g.u),
-         |pr3 AS (SELECT v AS u, ${b * 15 / 100} + (85 * SUM(c)) // 100 AS pr
+         |pr3 AS (SELECT v AS u, ${b * 15 / 100} + SUM(c) AS pr
          |        FROM c3 GROUP BY v)
          |SELECT p.u AS doc_id, CAST(g.d AS BIGINT) AS degree,
          |       CAST(p.pr AS BIGINT) AS pr
@@ -1203,12 +1208,12 @@ object TextQueries {
         // round: an unpersisted pr would re-execute every earlier round
         // inside the next one's lineage (1+2+3 = 6x cost).
         val state = pr.join(deg, "u")
-          .select(col("u"), expr("pr DIV d").as("c"))
+          .select(col("u"), expr("(85 * (pr DIV d)) DIV 100").as("c"))
         val contrib = edges.join(broadcast(state), "u")
           .select(col("v"), col("c"))
         pr = Caches.persistTracked(contrib.groupBy(col("v").as("u"))
           .agg(expr(s"CAST(${CentralityBase * 15 / 100} AS BIGINT) " +
-            "+ (85 * sum(c)) DIV 100").as("pr")))
+            "+ sum(c)").as("pr")))
       }
       pr.join(deg, "u")
         .select(col("u").as("doc_id"), col("d").cast("bigint").as("degree"),

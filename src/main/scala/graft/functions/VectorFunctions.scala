@@ -34,7 +34,13 @@ object VectorFunctions {
 }
 
 /** DuckDB twins (same index order, same fold order). Expressions expect a
-  * DOUBLE[]-typed column name. */
+  * DOUBLE[]-typed column name.
+  *
+  * Edge-case caveat: this `dot` iterates `a`'s indices, so a LONGER `b`
+  * yields a partial dot where the Spark `vec_dot` (zip_with-pad null
+  * algebra) yields NULL. Every oracle-gated query dots equal-length
+  * vectors, where the twins agree exactly; a future query mixing lengths
+  * must align them first (or the compare will catch it). */
 object VectorSql {
   def dot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x, y) -> x + y)"

@@ -50,15 +50,26 @@ object VectorOps {
 }
 
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** Schema-level proof that no element can be null — the in-repo path
-    * (toDoubleArr casts of the embeddings column): primitive codegen with
-    * only the cheap length guard. SQL-route inputs without the proof go
-    * through the boxed null-checking loop. Plan-time constant — lazy val
-    * so the interpreted eval path doesn't re-derive it per row. */
+  /** Declared input types: int/float arrays coerce to double arrays at
+    * analysis instead of getDouble() silently misreading 4-byte element
+    * data at runtime. (Type left inferred — AbstractDataType is
+    * private[sql].) */
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
+
+  /** Schema-level proof that no element can be null: primitive codegen
+    * with only the length guard. Parquet array elements are declared
+    * nullable, so PRODUCTION inputs take the guarded single-pass loop
+    * (two bitset probes per element + one box per call — measured in the
+    * same envelope as the unguarded loop); this fast path fires for
+    * proven-non-null schemas only. Plan-time constant — lazy val so the
+    * interpreted eval path doesn't re-derive it per row. */
   @transient private lazy val provedNullFree: Boolean =
     Seq(left, right).forall(_.dataType match {
       case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull

@@ -90,17 +90,15 @@ class GraftCatalog extends TableCatalog {
     GraftTableStore.tables.remove(key(ident)).isDefined
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (GraftTableStore.tables.contains(key(newIdent)))
+    val t = GraftTableStore.tables.getOrElse(key(oldIdent),
+      throw new NoSuchTableException(oldIdent))
+    // move the SAME object (a copy would detach in-flight writes whose
+    // commit closure mutates this instance) and only then retire the old
+    // key; losing the putIfAbsent race leaves the store untouched
+    if (GraftTableStore.tables.putIfAbsent(key(newIdent), t).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    val t = GraftTableStore.tables.remove(key(oldIdent))
-      .getOrElse(throw new NoSuchTableException(oldIdent))
-    // re-home under the new name so Table.name() matches the catalog entry
-    val renamed = t.renamed(
-      (newIdent.namespace() :+ newIdent.name()).mkString("."))
-    if (GraftTableStore.tables.putIfAbsent(key(newIdent), renamed).isDefined) {
-      GraftTableStore.tables.putIfAbsent(key(oldIdent), t) // restore
-      throw new TableAlreadyExistsException(newIdent)
-    }
+    t.rename((newIdent.namespace() :+ newIdent.name()).mkString("."))
+    GraftTableStore.tables.remove(key(oldIdent))
   }
 }
 
@@ -114,21 +112,18 @@ object GraftTableStore {
 
 /** One in-JVM table: readable, appendable, truncatable, and MERGE-able via
   * [[SupportsRowLevelOperations]]. Rows are stored as copied InternalRows. */
-class GraftTable(tableName: String, tableSchema: StructType)
+class GraftTable(initialName: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
 
+  @volatile private var tableName: String = initialName
   @volatile private var rows: Array[InternalRow] = Array.empty
 
   def currentRows: Array[InternalRow] = rows
 
-  /** Same table contents under a new name (catalog RENAME support) —
-    * shares the row array reference at the moment of rename. */
-  private[sources] def renamed(newName: String): GraftTable = {
-    val t = new GraftTable(newName, tableSchema)
-    t.rows = rows
-    t
-  }
+  /** Catalog RENAME support: the same object keeps its rows and in-flight
+    * writes; only the reported name moves. */
+  private[sources] def rename(newName: String): Unit = tableName = newName
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema

@@ -139,25 +139,24 @@ object DocStreams {
     docStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val index =
-          if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
-          else if (spark.catalog.tableExists(indexTable + "__staging"))
-            // a leftover staging table means the stage+swap died between
-            // DROP and RENAME — the index EXISTS but is orphaned; starting
-            // over with an empty one would silently forget every indexed
-            // doc and miss all their future duplicates. Fail loudly.
+        // missing table + surviving __staging = the stage+swap died
+        // between DROP and RENAME: the data EXISTS but is orphaned;
+        // silently starting over empty would forget every indexed doc
+        // (index) or every recorded pair (pairs). Fail loudly instead.
+        def tableOrEmpty(table: String, schema: StructType)
+            : org.apache.spark.sql.DataFrame =
+          if (spark.catalog.tableExists(table)) spark.table(table)
+          else if (spark.catalog.tableExists(table + "__staging"))
             throw new IllegalStateException(
-              s"$indexTable is missing but ${indexTable}__staging exists — " +
-                "interrupted swap; recover the staging table (rename it to " +
-                s"$indexTable) before restarting the stream")
+              s"$table is missing but ${table}__staging exists — " +
+                "interrupted swap; recover the staging table (rename it " +
+                s"to $table) before restarting the stream")
           else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        val index = tableOrEmpty(indexTable, indexSchema)
         // 1. probe the pre-batch index; exactly-once pairs via insert-only
         val pairs = nearDupProbe(batch, index, k)
-        val pairsTarget =
-          if (spark.catalog.tableExists(pairsTable)) spark.table(pairsTable)
-          else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), pairs.schema)
+        val pairsTarget = tableOrEmpty(pairsTable, pairs.schema)
         graft.pipeline.Catalog.overwriteTable(spark,
           graft.operators.MergeInsertOnly(pairsTarget,
             pairs.dropDuplicates("new_doc", "index_doc"),
