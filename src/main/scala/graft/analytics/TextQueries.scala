@@ -65,6 +65,13 @@ object TextQueries {
     * accumulator to DECIMAL; both engines shift identically. */
   val CentralityBase = 1000000000000L
 
+  /** t35 count-min sketch geometry: d hash rows × w counters. 4×1024
+    * longs = a 32 KB summary regardless of corpus size; with the harness
+    * vocab (~tens of terms) collisions are rare, at web-scale vocab the
+    * overcount follows the standard ε = e/w bound per row. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
@@ -904,6 +911,72 @@ object TextQueries {
           Window.orderBy(col("n").desc, col("term"))).cast(IntegerType))
         .filter(col("rank") <= 20)
         .orderBy("rank")
+    },
+
+    // ----- count-min sketch frequency estimation, exactly cross-engine:
+    // the streaming-friendly frequency summary (d=4 hash rows × w=1024
+    // counters instead of a vocab-sized exact table). CMS is normally
+    // "approximate", but given FIXED hash functions it is a deterministic
+    // function of the counts — poly_hash(r|term) mod w buckets both
+    // engines identically, so est = min over rows of the term's bucket
+    // sum hash-matches the oracle bit-for-bit, and the CMS guarantee
+    // est ≥ true count is driver-checked on every probe row (the t17
+    // top-20 terms). Scale: one token shuffle to vocab-sized counts, then
+    // d×w-sized bucket aggregates — the sketch summary is 4 KB regardless
+    // of corpus size, which is the entire point at 100 TB.
+    Q("t35_cms_estimate", "SKETCH-countmin,A1,W3", {
+      val w = CmsWidth
+      def bucket(r: Int, term: String) =
+        s"${TS.hash(s"'$r|' || $term")} % $w"
+      val rowSums = (0 until CmsDepth).map(r =>
+        s"""b$r AS (SELECT ${bucket(r, "term")} AS bkt, SUM(n) AS s
+           |       FROM c GROUP BY 1)""".stripMargin).mkString(",\n")
+      val minExpr = (0 until CmsDepth).map(r => s"e$r.s").reduce((a, b) =>
+        s"least($a, $b)")
+      val joins = (0 until CmsDepth).map(r =>
+        s"JOIN b$r e$r ON e$r.bkt = ${bucket(r, "p.term")}").mkString("\n")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+         |$rowSums,
+         |p AS (SELECT term, n,
+         |        row_number() OVER (ORDER BY n DESC, term) AS rank
+         |      FROM c QUALIFY rank <= 20)
+         |SELECT p.term, p.n AS true_n, CAST($minExpr AS BIGINT) AS cms_est,
+         |  CAST($minExpr - p.n AS BIGINT) AS overcount,
+         |  $minExpr >= p.n AS sound
+         |FROM p
+         |$joins
+         |ORDER BY true_n DESC, term""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val counts = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(explode(TF.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n")))
+      def bucket(r: Int, term: org.apache.spark.sql.Column) =
+        pmod(TF.polyHash(concat(lit(s"$r|"), term)), lit(CmsWidth.toLong))
+      // d bucket-sum tables — each is ≤ w rows (the sketch itself)
+      val rows = (0 until CmsDepth).map(r =>
+        counts.groupBy(bucket(r, col("term")).as("bkt"))
+          .agg(sum("n").as(s"s$r")))
+      val probes = counts
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("term"))))
+        .filter(col("rank") <= 20)
+        .select(col("term"), col("n").as("true_n"))
+      // probe side joins each w-sized sketch row — all broadcast
+      val est = (0 until CmsDepth).foldLeft(probes) { (df, r) =>
+        df.join(broadcast(rows(r)),
+          bucket(r, col("term")) === rows(r)("bkt")).drop("bkt")
+      }
+      val minEst = (0 until CmsDepth).map(r => col(s"s$r"))
+        .reduce((a, b) => least(a, b))
+      est.select(col("term"), col("true_n"),
+          minEst.cast("bigint").as("cms_est"),
+          (minEst - col("true_n")).cast("bigint").as("overcount"),
+          (minEst >= col("true_n")).as("sound"))
+        .orderBy(col("true_n").desc, col("term"))
     },
 
     // ----- benchmark decontamination: corpus docs sharing any 4-gram
