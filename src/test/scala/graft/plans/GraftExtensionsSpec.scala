@@ -60,6 +60,14 @@ class GraftExtensionsSpec extends SparkSpec {
             |             least(poly_hash('b c'), poly_hash('c d')))""".stripMargin)
           .head().getSeq[Long](0).toSet
         assert(win == winRef)
+        // wav_meta resolves through the extensions route too
+        val wav = WavHeaderExpr.wavBytes(
+          Array.tabulate(8)(_.toByte), sampleRate = 16000, channels = 2)
+        val hex = wav.map(b => f"$b%02x").mkString
+        val wm = s2.sql(
+          s"SELECT wav_meta(unhex('$hex')) AS w").selectExpr(
+          "w.channels", "w.sample_rate", "w.n_frames").head()
+        assert((wm.getInt(0), wm.getInt(1), wm.getLong(2)) === ((2, 16000, 2L)))
         // newSession() keeps injected builders (temp functions would not
         // survive this — the reason extensions are the cluster-wide route)
         val s3 = s2.newSession()
