@@ -12,9 +12,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // fresh warehouse per run (see Verify): the write-path round-trip
-      // queries create managed tables
+      // queries create managed tables. Routed through TempDirs so the
+      // managed-table copies are reclaimed at JVM exit.
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
+        graft.analytics.TempDirs.scratch("graft-bench-wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.registerAll(spark)
@@ -41,14 +42,25 @@ object Bench {
     val warmup = SparkEntry.queries.map { case (name, fn) =>
       name -> timeOne("warmup", name, fn)
     }
-    // Timed pass: best of 2 — this host shows sporadic multi-second stalls
-    // unrelated to the workload; the minimum is the reproducible cost.
-    // A query that fails in ANY run (flaky counts) bills the 9999 s
-    // sentinel (finite, so the JSON stays parseable) and lands in
-    // "failed" — a transient failure can't hide behind the other run's
+    // Timed passes are INTERLEAVED: pass 1 runs the whole registry, then
+    // pass 2 does, then pass 3 — so a query's samples are separated by a
+    // full sweep (minutes of wall clock) and a single host stall cannot
+    // inflate every sample of the same query, which is exactly what
+    // poisoned the r5 artifact when best-of-2 ran back-to-back. The
+    // minimum across temporally separated samples is the reproducible
+    // cost. A query that fails in ANY pass (flaky counts) bills the
+    // 9999 s sentinel (finite, so the JSON stays parseable) and lands in
+    // "failed" — a transient failure can't hide behind another pass's
     // min, and failures are machine-visible, not stderr-only.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to 2).map(_ => timeOne("timed", name, fn))
+    val timedPasses = 3
+    val passResults: Seq[Map[String, (Double, Boolean)]] =
+      (1 to timedPasses).map { p =>
+        SparkEntry.queries.map { case (name, fn) =>
+          name -> timeOne(s"timed$p", name, fn)
+        }
+      }
+    val results = SparkEntry.queries.map { case (name, _) =>
+      val runs = passResults.map(_(name))
       val billed = if (runs.forall(_._2)) runs.map(_._1).min else 9999.0
       name -> (billed, runs)
     }
@@ -74,15 +86,49 @@ object Bench {
     // absolute lands in the contract line's "regressions" field — the
     // round-over-round diff the judge otherwise recomputes by hand from
     // truncated tails, machine-visible and unaffected by tail truncation.
+    // Minimal parser for the jmap format contract this file itself writes
+    // ({"key":number,...} with backslash escapes honored in keys) — a
+    // regex over the line would silently mis-split if a key ever carried
+    // a quote or the format changed. Any malformed input yields an empty
+    // map (no comparison) rather than a crashed bench.
+    def parseBaseline(line: String): Map[String, Double] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      var i = 0
+      def fail(): Nothing = throw new IllegalArgumentException(
+        s"bench_history baseline: unexpected char at $i")
+      def expect(c: Char): Unit = { if (i >= line.length || line(i) != c) fail(); i += 1 }
+      def key(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (i < line.length && line(i) != '"') {
+          if (line(i) == '\\' && i + 1 < line.length) { sb += line(i + 1); i += 2 }
+          else { sb += line(i); i += 1 }
+        }
+        expect('"'); sb.toString
+      }
+      def num(): Double = {
+        val start = i
+        while (i < line.length && "0123456789.+-eE".contains(line(i))) i += 1
+        if (i == start) fail()
+        line.substring(start, i).toDouble
+      }
+      expect('{')
+      if (i < line.length && line(i) == '}') return Map.empty
+      var done = false
+      while (!done) {
+        val k = key(); expect(':'); out(k) = num()
+        if (i < line.length && line(i) == ',') i += 1 else done = true
+      }
+      expect('}')
+      out.toMap
+    }
     val histFile = Paths.get("bench_history.json")
     val prev: Map[String, Double] =
       if (Files.exists(histFile)) {
         val lines = Files.readAllLines(histFile)
-        if (lines.size >= 2 && lines.get(0) == sfDir) {
-          val entry = """"([^"]+)":([0-9.]+)""".r
-          entry.findAllMatchIn(lines.get(1))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } else Map.empty // different SF (or malformed) — no comparison
+        if (lines.size >= 2 && lines.get(0) == sfDir)
+          try parseBaseline(lines.get(1)) catch { case _: Exception => Map.empty }
+        else Map.empty // different SF (or malformed) — no comparison
       } else Map.empty
     val regressions = results.toSeq.collect {
       case (k, (b, _)) if b < 9000 && prev.get(k).exists(p =>
@@ -92,22 +138,33 @@ object Bench {
     val regJson = regressions.map { case (k, (p, b)) =>
       "\"" + k + ":" + f3(p) + "->" + f3(b) + "\""
     }.mkString("[", ",", "]")
-    // persist this run as the next baseline. Successful queries record
-    // their new timing; a FAILED query (9999 sentinel) keeps its previous
-    // good baseline instead of being dropped — otherwise the run that
-    // fixes it would have nothing to compare against and a
-    // fixed-but-now-slow query could never land in "regressions".
-    val nextBaseline = results.toSeq.map { case (k, (b, _)) =>
-      if (b < 9000) k -> f3(b)
-      else k -> f3(prev.getOrElse(k, 9999.0))
-    }.filter(_._2 != f3(9999.0))
+    // persist the next baseline as min(previous, this run) per query: the
+    // baseline is the best reproducible cost ever observed, so one
+    // stall-contaminated run can never become the yardstick that hides a
+    // real regression in the round after. A FAILED query (9999 sentinel)
+    // keeps its previous good baseline instead of being dropped —
+    // otherwise the run that fixes it would have nothing to compare
+    // against and a fixed-but-now-slow query could never land in
+    // "regressions". Queries absent from this run (renamed, or a subset
+    // execution) carry their baseline forward rather than losing it.
+    val nextBaseline = {
+      val updated = results.toSeq.flatMap { case (k, (b, _)) =>
+        val best = math.min(if (b < 9000) b else Double.MaxValue,
+          prev.getOrElse(k, Double.MaxValue))
+        if (best < 9000) Some(k -> best) else None
+      }
+      val carried = prev.toSeq.collect {
+        case (k, v) if !results.contains(k) && v < 9000 => k -> v
+      }
+      (updated ++ carried).sortBy(_._1).map { case (k, v) => k -> f3(v) }
+    }
     Files.writeString(histFile, sfDir + "\n" + jmap(nextBaseline) + "\n")
     // Two JSON lines, diagnostics FIRST and the contract line LAST: the
     // driver archives only the final ~2000 chars of output, so the line the
     // judge must see (metric/value/queries) has to sit closest to the end
     // and stay compact — per-run + warmup timings ride on their own line
     // where truncation only costs diagnostics.
-    println(s"""{"diag":"per-run timings (2 timed runs/query; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}""")
+    println(s"""{"diag":"per-run timings ($timedPasses interleaved timed passes; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}""")
     // Keep the contract line inside the archive window even as the registry
     // grows: if it would overflow, drop the FASTEST per-query entries (the
     // slow ones are the informative ones; failures bill the 9999 sentinel

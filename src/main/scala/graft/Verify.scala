@@ -14,9 +14,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // fresh warehouse per run: managed-table queries (s23/s24) must not
-      // trip over LOCATION_ALREADY_EXISTS from a previous JVM's leftovers
+      // trip over LOCATION_ALREADY_EXISTS from a previous JVM's leftovers;
+      // TempDirs reclaims the table copies at JVM exit
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-verify-wh").toString)
+        graft.analytics.TempDirs.scratch("graft-verify-wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.registerAll(spark)

@@ -17,7 +17,7 @@ object PipelineDemo {
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-demo-wh").toString)
+        graft.analytics.TempDirs.scratch("graft-demo-wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
