@@ -81,8 +81,13 @@ object WavHeaderExpr {
         if (body + size > b.length) return null
         dataBytes = size
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      off = body + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry one pad byte. Advance in
+      // Long: body + size can exceed Int.MaxValue for ~GB payloads, and a
+      // wrapped-negative offset would index out of bounds instead of
+      // honoring the NULL-for-malformed contract. Clamping to b.length
+      // exits the loop, where the completeness check below decides.
+      val next = body.toLong + size + (size & 1L)
+      off = if (next > b.length) b.length else next.toInt
     }
     if (channels <= 0 || sampleRate <= 0 || bits <= 0 || blockAlign <= 0 ||
       dataBytes < 0) return null

@@ -121,9 +121,22 @@ class GraftTable(initialName: String, tableSchema: StructType)
 
   def currentRows: Array[InternalRow] = rows
 
+  // Commit callbacks run driver-side but possibly from concurrent query
+  // threads; `rows = rows ++ delivered` is a read-modify-write, so two
+  // concurrent INSERTs into the same table could lose one batch without
+  // the lock. Synchronizing on the table instance makes the documented
+  // "atomic swap" hold under concurrent writers; readers stay lock-free
+  // (volatile read of an immutable array).
+  private[sources] def installAppend(delivered: Array[InternalRow]): Unit =
+    synchronized { rows = rows ++ delivered }
+  private[sources] def installReplace(delivered: Array[InternalRow]): Unit =
+    synchronized { rows = delivered }
+
   /** Catalog RENAME support: the same object keeps its rows and in-flight
-    * writes; only the reported name moves. */
-  private[sources] def rename(newName: String): Unit = tableName = newName
+    * writes; only the reported name moves. Locked with the install
+    * callbacks so a rename never interleaves a commit's read-modify-write. */
+  private[sources] def rename(newName: String): Unit =
+    synchronized { tableName = newName }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -142,8 +155,8 @@ class GraftTable(initialName: String, tableSchema: StructType)
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftBatchWrite(delivered =>
-          if (replace) rows = delivered
-          else rows = rows ++ delivered)
+          if (replace) installReplace(delivered)
+          else installAppend(delivered))
       }
     }
 
@@ -167,8 +180,7 @@ class GraftTable(initialName: String, tableSchema: StructType)
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite =
-              new GraftRowLevelBatchWrite(tableSchema,
-                delivered => rows = delivered)
+              new GraftRowLevelBatchWrite(tableSchema, installReplace)
           }
         }
 
