@@ -26,6 +26,16 @@ object MultimodalQueries {
     """CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
       |     WHEN 1 THEN 16000 ELSE 44100 END AS INT)""".stripMargin
 
+  /** Image (PNG fixture) encoding rules as SQL (one definition site with
+    * [[Multimodal.imageWidth]]/[[Multimodal.imageHeight]] etc.). */
+  private val imgWSql = "CAST(64 + (doc_id * 13) % 512 AS INT)"
+  private val imgHSql = "CAST(64 + (doc_id * 29) % 512 AS INT)"
+  /** IDAT chunk count at the fixture's 256-byte chunking (≥1: an empty
+    * payload still writes one empty IDAT). */
+  private val nIdatSql = "greatest(1, (raw_len + 255) // 256)"
+  /** container size: sig(8) + IHDR(25) + IEND(12) + 12/IDAT + payload */
+  private val pngLenSql = s"45 + raw_len + 12 * $nIdatSql"
+
   val all: Seq[Q] = Seq(
     Q("m1_multimodal_meta", "MM-decode", {
       val h = TS.hash("text")
@@ -38,11 +48,14 @@ object MultimodalQueries {
          |  FROM documents)
          |SELECT doc_id, modality,
          |  CASE WHEN modality = 'audio' THEN 44 + raw_len + raw_len % 2
+         |       WHEN modality = 'image' THEN $pngLenSql
          |       ELSE raw_len END AS byte_len,
-         |  CAST(CASE WHEN modality = 'audio' THEN 0
-         |       ELSE 64 + h % 512 END AS INT) AS width,
-         |  CAST(CASE WHEN modality = 'audio' THEN 0
-         |       ELSE 64 + (h // 512) % 512 END AS INT) AS height,
+         |  CAST(CASE WHEN modality = 'image' THEN $imgWSql
+         |       WHEN modality = 'video' THEN 64 + h % 512
+         |       ELSE 0 END AS INT) AS width,
+         |  CAST(CASE WHEN modality = 'image' THEN $imgHSql
+         |       WHEN modality = 'video' THEN 64 + (h // 512) % 512
+         |       ELSE 0 END AS INT) AS height,
          |  CAST(CASE WHEN modality = 'audio' THEN rate ELSE 0 END AS INT)
          |    AS sample_rate,
          |  CAST(CASE WHEN modality = 'audio' THEN raw_len // (ch * 2)
@@ -80,10 +93,12 @@ object MultimodalQueries {
          |  FROM documents),
          |d AS (
          |  SELECT doc_id, modality,
-         |    CAST(CASE WHEN modality = 'audio' THEN 0
-         |         ELSE 64 + h % 512 END AS INT) AS width,
-         |    CAST(CASE WHEN modality = 'audio' THEN 0
-         |         ELSE 64 + (h // 512) % 512 END AS INT) AS height,
+         |    CAST(CASE WHEN modality = 'image' THEN $imgWSql
+         |         WHEN modality = 'video' THEN 64 + h % 512
+         |         ELSE 0 END AS INT) AS width,
+         |    CAST(CASE WHEN modality = 'image' THEN $imgHSql
+         |         WHEN modality = 'video' THEN 64 + (h // 512) % 512
+         |         ELSE 0 END AS INT) AS height,
          |    CAST(CASE WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
          |      AS n_frames
          |  FROM m),
@@ -202,6 +217,47 @@ object MultimodalQueries {
           // ties the two engines can resolve differently
           expr("CAST(w.n_frames * 1000000 DIV w.sample_rate AS BIGINT)")
             .as("duration_us"))
+        .orderBy("doc_id")
+    },
+
+    // ----- direct SQL-route PNG decode: `png_meta(payload)` — the codegen
+    // container parser over the binary asset column (signature + CRC-valid
+    // IHDR + full chunk walk), the image twin of m5's wav probe. The
+    // oracle restates the fixture builder's encoding rules, so a green row
+    // proves builder ∘ parser = identity across every IHDR field, the
+    // IDAT chunking (256-byte chunks → chunk count and summed stream
+    // bytes) and the terminal IEND — through the distributed codegen path.
+    Q("m6_png_probe", "MM-png-decode,F3", {
+      s"""WITH i AS (
+         |  SELECT doc_id, strlen(text) AS raw_len
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)
+         |SELECT doc_id, $imgWSql AS width, $imgHSql AS height,
+         |  CAST(8 AS INT) AS bit_depth,
+         |  CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 0
+         |       WHEN 1 THEN 2 ELSE 6 END AS INT) AS color_type,
+         |  CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 1
+         |       WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
+         |  CAST(doc_id % 2 AS INT) AS interlace,
+         |  CAST(raw_len AS BIGINT) AS idat_bytes,
+         |  CAST(2 + $nIdatSql AS INT) AS n_chunks,
+         |  CAST($imgWSql AS BIGINT) * $imgHSql AS n_pixels
+         |FROM i ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
+      media.filter(col("modality") === "image")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.pngMeta(col("payload")).as("p"))
+        .select(col("doc_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.bit_depth").as("bit_depth"),
+          col("p.color_type").as("color_type"),
+          col("p.channels").as("channels"),
+          col("p.interlace").as("interlace"),
+          col("p.idat_bytes").as("idat_bytes"),
+          col("p.n_chunks").as("n_chunks"),
+          (col("p.width").cast("long") * col("p.height")).as("n_pixels"))
         .orderBy("doc_id")
     },
 

@@ -36,6 +36,19 @@ object Multimodal {
   def audioRate(docId: Long): Int = AudioRates(((docId / 3) % 3).toInt)
   def audioChannels(docId: Long): Int = (1 + (docId / 9) % 2).toInt
 
+  /** Deterministic image encoding parameters for the fixture PNGs, keyed
+    * on doc id (mirrored in the m-query oracles): dimensions sweep
+    * 64..575 on coprime strides, color type cycles gray/truecolor/RGBA,
+    * interlace alternates none/Adam7. */
+  def imageWidth(docId: Long): Int = (64 + (docId * 13) % 512).toInt
+  def imageHeight(docId: Long): Int = (64 + (docId * 29) % 512).toInt
+  val ImageColorTypes: Seq[Int] = Seq(0, 2, 6)
+  def imageColorType(docId: Long): Int = ImageColorTypes(((docId / 3) % 3).toInt)
+  def imageInterlace(docId: Long): Int = (docId % 2).toInt
+  /** Small IDAT chunk size so fixture payloads span several chunks and
+    * the parser's chunk walk is actually exercised. */
+  val ImageIdatChunk = 256
+
   /** Raw-bytes variant: the text's UTF-8 bytes as the payload, no
     * container — for byte-level ops (digest dedup) where the payload is
     * opaque by definition. Pure column math, no JVM boundary. */
@@ -48,10 +61,11 @@ object Multimodal {
 
   /** Wrap a text column as a binary payload with a modality tag — the
     * fixture stand-in for real media bytes. Audio rows get a REAL PCM WAV
-    * container (the raw text bytes as sample data), so the decode path
-    * exercises an actual header parse; image/video rows stay raw bytes
-    * for the stub decoder. Payload synthesis is fixture plumbing, so the
-    * partition-local map here is the WRITE-side twin of the decode
+    * container (the raw text bytes as sample data) and image rows a REAL
+    * PNG container (the raw text bytes as the IDAT stream), so both
+    * decode paths exercise an actual header parse; video rows stay raw
+    * bytes for the stub decoder. Payload synthesis is fixture plumbing,
+    * so the partition-local map here is the WRITE-side twin of the decode
     * boundary, not an operator shortcut. */
   def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -63,21 +77,27 @@ object Multimodal {
           (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, raw, modality) =>
-        val payload =
-          if (modality == "audio")
+        val payload = modality match {
+          case "audio" =>
             graft.plans.WavHeaderExpr.wavBytes(raw,
               sampleRate = audioRate(id), channels = audioChannels(id))
-          else raw
+          case "image" =>
+            graft.plans.PngHeaderExpr.pngBytes(raw,
+              width = imageWidth(id), height = imageHeight(id),
+              colorType = imageColorType(id), interlace = imageInterlace(id),
+              idatChunk = ImageIdatChunk)
+          case _ => raw
+        }
         (id, payload, modality)
       })
       .toDF("doc_id", "payload", "modality")
   }
 
-  /** STUB decoder for image/video: deterministic pseudo-metadata from the
-    * payload bytes. A real implementation would hand `payload` to an
-    * image codec here — same signature, same batch shape. (Audio does NOT
-    * come through here — [[decodeMeta]] routes it to the real WAV
-    * parser.) */
+  /** STUB decoder for video: deterministic pseudo-metadata from the
+    * payload bytes. A real implementation would hand `payload` to a
+    * video demuxer here — same signature, same batch shape. (Audio and
+    * image do NOT come through here — [[decodeMeta]] routes them to the
+    * real WAV/PNG parsers.) */
   object StubDecoder {
     def decode(modality: String, payload: Array[Byte]): MediaMeta = {
       var h = 0L
@@ -107,10 +127,12 @@ object Multimodal {
   /** Decode payloads partition-locally (mapPartitions = the batch loop a
     * Pandas UDF would run; one decoder instance per partition). Audio
     * rows go through the REAL RIFF/WAVE parse
-    * ([[graft.plans.WavHeaderExpr.parse]] — the same static parser the
-    * `wav_meta` codegen expression inlines); a malformed audio container
-    * decodes to an all-zero meta (the quarantine marker a production
-    * pipeline would route to a reject sink). Image/video use the stub. */
+    * ([[graft.plans.WavHeaderExpr.parse]]) and image rows the REAL PNG
+    * container parse ([[graft.plans.PngHeaderExpr.parse]]) — the same
+    * static parsers the `wav_meta`/`png_meta` codegen expressions
+    * inline; a malformed container decodes to an all-zero meta (the
+    * quarantine marker a production pipeline would route to a reject
+    * sink). Video uses the stub. */
   def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val withMod = media.select(
@@ -119,15 +141,25 @@ object Multimodal {
     withMod.mapPartitions { it =>
       // per-partition setup (codec init would go here, once per partition)
       it.map { case (id, payload, modality) =>
-        if (modality == "audio") {
-          val parsed = graft.plans.WavHeaderExpr.parse(payload)
-          val meta =
-            if (parsed == null) MediaMeta("audio", payload.length.toLong, 0, 0, 0, 0)
-            else MediaMeta("audio", payload.length.toLong, 0, 0,
-              sampleRate = parsed.getInt(1),
-              nFrames = parsed.getLong(4).toInt)
-          DecodedRow(id, meta)
-        } else DecodedRow(id, StubDecoder.decode(modality, payload))
+        modality match {
+          case "audio" =>
+            val parsed = graft.plans.WavHeaderExpr.parse(payload)
+            val meta =
+              if (parsed == null) MediaMeta("audio", payload.length.toLong, 0, 0, 0, 0)
+              else MediaMeta("audio", payload.length.toLong, 0, 0,
+                sampleRate = parsed.getInt(1),
+                nFrames = parsed.getLong(4).toInt)
+            DecodedRow(id, meta)
+          case "image" =>
+            val parsed = graft.plans.PngHeaderExpr.parse(payload)
+            val meta =
+              if (parsed == null) MediaMeta("image", payload.length.toLong, 0, 0, 0, 0)
+              else MediaMeta("image", payload.length.toLong,
+                width = parsed.getInt(0), height = parsed.getInt(1),
+                sampleRate = 0, nFrames = 1)
+            DecodedRow(id, meta)
+          case _ => DecodedRow(id, StubDecoder.decode(modality, payload))
+        }
       }
     }.toDF()
   }

@@ -65,5 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(WavHeaderExpr.FnName,
         "wav_meta(bytes) - RIFF/WAVE header parse to a metadata struct"),
       (exprs: Seq[Expression]) => WavMeta(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(PngHeaderExpr.FnName),
+      info(PngHeaderExpr.FnName,
+        "png_meta(bytes) - PNG container parse to a metadata struct"),
+      (exprs: Seq[Expression]) => PngMeta(exprs.head)))
   }
 }

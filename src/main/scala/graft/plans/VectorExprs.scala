@@ -180,9 +180,14 @@ object GraftFunctions {
     // wav_meta(binary): RIFF/WAVE header parse
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       WavHeaderExpr.FnName, exprs => WavMeta(exprs.head), "built-in")
+    // png_meta(binary): PNG container parse
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PngHeaderExpr.FnName, exprs => PngMeta(exprs.head), "built-in")
   }
 
   def wavMeta(c: Column): Column = call_function(WavHeaderExpr.FnName, c)
+
+  def pngMeta(c: Column): Column = call_function(PngHeaderExpr.FnName, c)
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)
 

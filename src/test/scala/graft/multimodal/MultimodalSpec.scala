@@ -14,13 +14,23 @@ class MultimodalSpec extends SparkSpec {
 
   test("payload round-trips the source bytes; modality cycles by id") {
     val rows = media.orderBy("doc_id").collect()
-    assert(new String(rows(0).getAs[Array[Byte]]("payload"), "UTF-8") === "spark window agg")
     assert(rows.map(_.getAs[String]("modality")).toSeq === Seq("image", "audio", "video"))
+    // the image payload is a REAL PNG container: sig + IHDR + one IDAT
+    // carrying the 16 source bytes + IEND = 73 bytes
+    val png = rows(0).getAs[Array[Byte]]("payload")
+    assert((png(0) & 0xff) === 0x89 &&
+      new String(png.slice(1, 4), "US-ASCII") === "PNG")
+    assert(png.length === 8 + 25 + 12 + 16 + 12)
+    // IDAT payload sits after sig(8) + IHDR(25) + IDAT len+type(8)
+    assert(new String(png.slice(41, 57), "UTF-8") === "spark window agg")
     // the audio payload is a REAL WAV container: header + data + pad
     val wav = rows(1).getAs[Array[Byte]]("payload")
     assert(new String(wav.take(4), "US-ASCII") === "RIFF")
     assert(wav.length === 44 + 10)
     assert(new String(wav.slice(44, 54), "UTF-8") === "abcdefghij")
+    // video stays raw bytes for the stub decoder
+    assert(new String(rows(2).getAs[Array[Byte]]("payload"), "UTF-8")
+      .startsWith("a much longer"))
   }
 
   test("decode is deterministic and schema-typed; audio parses the real WAV header") {
@@ -34,6 +44,14 @@ class MultimodalSpec extends SparkSpec {
     assert(audio.getAs[Long]("byteLen") === 44 + 10)
     assert(audio.getAs[Int]("width") === 0)
     assert(audio.getAs[Int]("nFrames") === 5) // 10 bytes / (1 ch × 2 B)
+    // doc 0 (image): real PNG parse — width/height from the builder rules
+    // (64 + id*13 % 512 = 64 × 64), byteLen is the whole container
+    val image = decoded.filter(col("doc_id") === 0).head().getStruct(1)
+    assert(image.getAs[String]("modality") === "image")
+    assert(image.getAs[Int]("width") === 64)
+    assert(image.getAs[Int]("height") === 64)
+    assert(image.getAs[Long]("byteLen") === 8 + 25 + 12 + 16 + 12)
+    assert(image.getAs[Int]("nFrames") === 1)
     // deterministic: second run equals first
     val again = Multimodal.decodeMeta(spark, media)
     assert(decoded.except(again).count() === 0)
