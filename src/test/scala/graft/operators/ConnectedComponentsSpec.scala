@@ -87,6 +87,57 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.filter(col("component") =!= 0L).count() === 0)
   }
 
+  test("stress: ~1e5 edges with skewed stars + deep chain, round bound holds, one labels file") {
+    // The 100 TB posture's local witness: a skewed graph at ~10^5 edges —
+    //   star A: 50k spokes on one hub (the hot-key shape LSH dedup emits
+    //           when a boilerplate cluster collapses onto one doc),
+    //   star B: 30k spokes,
+    //   chain:  4097 nodes (diameter 4096 — the adversarial depth),
+    //   8k disjoint pairs (the long tail of 2-doc dups).
+    // maxIter is set EXACTLY at the pointer-doubling bound
+    //   JumpFrom + ceil(log2(diameter)) + 2 = 4 + 12 + 2 = 18
+    // so mere convergence AT this bound is the round-count assertion: one
+    // more changing round than the bound and apply() throws instead.
+    val starA = (1L to 50000L).map(i => (1000000L, 1000000L + i))
+    val starB = (1L to 30000L).map(i => (2000000L, 2000000L + i))
+    val chain = (0L until 4096L).map(i => (i, i + 1))
+    val pairs = (0L until 8000L).map(i => (3000000L + 2 * i, 3000001L + 2 * i))
+    val edges = (starA ++ starB ++ chain ++ pairs).toDF("src", "dst")
+      .repartition(16)
+    val bound = ConnectedComponents.JumpFrom +
+      (64 - java.lang.Long.numberOfLeadingZeros(4096L - 1)) + 2
+    assert(bound === 18)
+    val ckpt = tmpDir("cc-stress-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val labels = ConnectedComponents(edges, maxIter = bound).cache()
+      // every node present, component = min id of its structure
+      assert(labels.count() === 50001 + 30001 + 4097 + 16000)
+      assert(labels.select(countDistinct(col("component"))).head().getLong(0)
+        === 1 + 1 + 1 + 8000)
+      assert(labels.filter(col("node") >= 1000000L && col("node") <= 1050000L)
+        .filter(col("component") =!= 1000000L).count() === 0)
+      assert(labels.filter(col("node") < 1000000L)
+        .filter(col("component") =!= 0L).count() === 0)
+      // reliable-mode retention at stress scale: exactly the final labels
+      // round survives (superseded rounds were deleted eagerly)
+      val rounds = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => p.getFileName.toString.startsWith("round-"))
+        .toArray.toSeq
+      assert(rounds.size === 1,
+        s"exactly the final labels round should remain on disk, got $rounds")
+      labels.unpersist()
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+    // the same chain with a bound below its pointer-doubling depth must
+    // throw, not silently return split components
+    val tooLow = intercept[IllegalStateException](
+      ConnectedComponents(chain.toDF("src", "dst"), maxIter = 3,
+        reliable = Some(false)).count())
+    assert(tooLow.getMessage.contains("did not converge"))
+  }
+
   test("rolling ingest window computes T-110..T-100") {
     val (from, to) = Ingest.rollingWindow(java.time.LocalDate.of(2026, 8, 12))
     assert(from.toString === "2026-04-24" && to.toString === "2026-05-04")
