@@ -134,10 +134,16 @@ object DocStreams {
   def dedupWithIndexMaintenance(spark: SparkSession, docStream: DataFrame,
       pairsTable: String = "near_dups", indexTable: String = "doc_band_index",
       k: Int = 8,
-      maxBucket: Int = graft.analytics.TextQueries.MaxBandBucket)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docStream.writeStream
+      maxBucket: Int = graft.analytics.TextQueries.MaxBandBucket,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+    // a durable checkpoint makes the cycle restartable: a batch whose side
+    // effects landed but whose commit marker didn't (crash mid-batch)
+    // REPLAYS on restart, and both merges below absorb the replay
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // missing table + surviving __staging = the stage+swap died
         // between DROP and RENAME: the data EXISTS but is orphaned;
@@ -170,4 +176,5 @@ object DocStreams {
         ()
       }
       .start()
+  }
 }

@@ -118,6 +118,68 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("kill mid-batch: checkpoint replay keeps pairs and index exactly-once") {
+    // The adversarial restart case: a crash AFTER foreachBatch's side
+    // effects (both table merges) but BEFORE the streaming commit marker
+    // lands. Simulated exactly: process a batch, then delete its entry
+    // from <checkpoint>/commits — on restart the engine re-runs the batch
+    // with the SAME offsets (same files) against tables that already
+    // absorbed it. Exactly-once table contents must survive the replay,
+    // and the stream must keep moving afterwards.
+    val dir = tmpDir("doc-kill") + "/data"
+    val ck = tmpDir("doc-kill-ck")
+    def start() = DocStreams.dedupWithIndexMaintenance(spark,
+      DocStreams.readDocStream(spark, dir, maxFilesPerTrigger = Some(1)),
+      pairsTable = "k_pairs", indexTable = "k_index",
+      checkpointLocation = Some(ck))
+    docsDF(corpus).coalesce(1).write.parquet(dir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 (new query instance, same checkpoint): the pair under test
+    docsDF(Seq(100L -> corpus.head._2))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    try {
+      assert(spark.table("k_pairs")
+        .select("new_doc", "index_doc").as[(Long, Long)].collect().toSeq
+        === Seq((100L, 0L)))
+      val idxRows = spark.table("k_index").count()
+      assert(spark.table("k_index").distinct().count() === idxRows)
+      // kill mid-batch: drop the LAST commit marker, offsets stay
+      val commits = new java.io.File(ck, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      val last = commits.maxBy(_.getName.toLong)
+      assert(last.getName.toLong === 1L, "expected two committed batches")
+      assert(last.delete())
+      // the local FS keeps a checksum sibling; left behind it would make
+      // the replay's rename-based rewrite of the commit file collide
+      new java.io.File(last.getParentFile, "." + last.getName + ".crc").delete()
+      val q3 = start()
+      try {
+        q3.processAllAvailable() // replays batch 1
+        assert(spark.table("k_pairs")
+          .select("new_doc", "index_doc").as[(Long, Long)].collect().toSeq
+          === Seq((100L, 0L)), "replayed batch must not duplicate pairs")
+        assert(spark.table("k_index").count() === idxRows,
+          "replayed batch must re-insert nothing into the index")
+        assert(spark.table("k_index").distinct().count() === idxRows)
+        // the recovered stream still advances: a new dup arrives and both
+        // the new pair and its index rows land exactly once
+        docsDF(Seq(102L -> corpus(1)._2))
+          .coalesce(1).write.mode("append").parquet(dir)
+        q3.processAllAvailable()
+        assert(spark.table("k_pairs")
+          .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted.toSeq
+          === Seq((100L, 0L), (102L, 1L)))
+        assert(spark.table("k_index").count() > idxRows)
+      } finally q3.stop()
+    } finally {
+      for (t <- Seq("k_pairs", "k_index", "k_pairs__staging", "k_index__staging"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("probe estimate agrees with the batch t24 formulation on the corpus") {
     // identical inputs through the streaming operators in BATCH mode (the
     // transformations are mode-agnostic DataFrame programs): bandIndex on
