@@ -1096,8 +1096,14 @@ object TextQueries {
       val drops = graft.operators.ConnectedComponents(edges)
         .filter(col("node") =!= col("component"))
         .select(col("node"), lit(1).as("dropped"))
+      // the drop list is candidate-pair-sized (docs that lost a near-dup
+      // vote), orders of magnitude below the corpus; broadcast it so the
+      // documents scan feeds the rollup WITHOUT a corpus-wide shuffle —
+      // without the hint the planner can only see an unknown-size leaf
+      // and sort-merge-joins, shuffling every document row
+      // (plan pinned in PlanShapeSpec)
       Tables.documents(s, dir)
-        .join(drops, col("doc_id") === col("node"), "left")
+        .join(broadcast(drops), col("doc_id") === col("node"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count(col("dropped")).as("n_removed"),
@@ -1241,6 +1247,29 @@ object TextQueries {
     // hash-matches where float PageRank never could (cross-engine double
     // summation order). Plan: per round one join + one key-shuffle agg,
     // the CC cost envelope; degree table broadcast-sized per AQE.
+    t34Query
+  )
+
+  /** One duplication-centrality (PageRank-style, exact integer) round:
+    * per-round state (pr ⋈ deg, with the per-edge contribution
+    * precomputed) is NODE-sized — broadcast it so the EDGE list never
+    * shuffles; the only exchange per round is the map-side-combined
+    * aggregate on the destination key. Extracted so the plan-shape spec
+    * can pin exactly this contract (PlanShapeSpec: BroadcastHashJoin
+    * survives AQE, no Exchange on the edge side). */
+  private[graft] def centralityRound(edges: org.apache.spark.sql.DataFrame,
+      deg: org.apache.spark.sql.DataFrame,
+      pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val state = pr.join(deg, "u")
+      .select(col("u"), expr("(85 * (pr DIV d)) DIV 100").as("c"))
+    val contrib = edges.join(broadcast(state), "u")
+      .select(col("v"), col("c"))
+    contrib.groupBy(col("v").as("u"))
+      .agg(expr(s"CAST(${CentralityBase * 15 / 100} AS BIGINT) " +
+        "+ sum(c)").as("pr"))
+  }
+
+  private lazy val t34Query: Q =
     Q("t34_dup_centrality", "GRAPH-pagerank,W3,A1", {
       val b = CentralityBase
       s"""WITH $ngramCteBody,
@@ -1274,19 +1303,11 @@ object TextQueries {
         edges.groupBy("u").agg(count(lit(1)).as("d")))
       var pr = deg.select(col("u"), lit(CentralityBase).as("pr"))
       for (_ <- 1 to 3) {
-        // per-round state (pr ⋈ deg, with the per-edge contribution
-        // precomputed) is NODE-sized — broadcast it so the edge list
-        // never shuffles; the only exchange per round is the map-side-
-        // combined aggregate on the destination key. Materialize each
-        // round: an unpersisted pr would re-execute every earlier round
-        // inside the next one's lineage (1+2+3 = 6x cost).
-        val state = pr.join(deg, "u")
-          .select(col("u"), expr("(85 * (pr DIV d)) DIV 100").as("c"))
-        val contrib = edges.join(broadcast(state), "u")
-          .select(col("v"), col("c"))
-        pr = Caches.persistTracked(contrib.groupBy(col("v").as("u"))
-          .agg(expr(s"CAST(${CentralityBase * 15 / 100} AS BIGINT) " +
-            "+ sum(c)").as("pr")))
+        // one round = centralityRound (see its doc for the broadcast
+        // shape). Materialize each round: an unpersisted pr would
+        // re-execute every earlier round inside the next one's lineage
+        // (1+2+3 = 6x cost).
+        pr = Caches.persistTracked(centralityRound(edges, deg, pr))
       }
       pr.join(deg, "u")
         .select(col("u").as("doc_id"), col("d").cast("bigint").as("degree"),
@@ -1294,5 +1315,4 @@ object TextQueries {
         .orderBy(col("pr").desc, col("doc_id"))
         .limit(50)
     }
-  )
 }

@@ -125,31 +125,8 @@ object ConnectedComponents {
     // the jump takes component(component(v)), which is ≤ component(v)
     // and still in-component.
     def round(cur: DataFrame, jump: Boolean): (DataFrame, Boolean) = {
-      val neighborMin = sym
-        .join(cur.withColumnRenamed("node", "b")
-          .withColumnRenamed("component", "nbr_component"),
-          Seq("b"))
-        .groupBy(col("a").as("node"))
-        .agg(min("nbr_component").as("nbr_component"))
-      val prop = saveLabels(cur.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr_component"), col("component")) < col("component"))
-            .as("changed")))
-      val next = if (!jump) prop else {
-        // every component value is a node id with a row in this same
-        // table, so the inner mapping is total; left + coalesce only
-        // guards the (impossible by invariant) miss
-        val parent = prop.select(col("node").as("p_node"),
-          col("component").as("p_comp"))
-        saveLabels(prop.join(parent, col("component") === col("p_node"), "left")
-          .select(col("node"),
-            coalesce(col("p_comp"), col("component")).as("component"),
-            (col("changed") ||
-              coalesce(col("p_comp"), col("component")) < col("component"))
-              .as("changed")))
-      }
+      val prop = saveLabels(propagateRound(sym, cur))
+      val next = if (!jump) prop else saveLabels(jumpRound(prop))
       val quiet = next.filter(col("changed")).isEmpty
       (next.drop("changed"), quiet)
     }
@@ -200,6 +177,44 @@ object ConnectedComponents {
       }
     }
     labels
+  }
+
+  /** One min-label propagation step (un-materialized): every node adopts
+    * the min label among itself and its neighbors, with a `changed` flag
+    * computed in the same pass. Both join sides key on the node id and
+    * the aggregate runs map-side-partial — per round, the only exchanges
+    * are the key hash-shuffles; nothing broadcasts, nothing nest-loops.
+    * Extracted from [[apply]]'s loop so the plan-shape spec can pin that
+    * contract (PlanShapeSpec). */
+  private[operators] def propagateRound(sym: DataFrame, cur: DataFrame): DataFrame = {
+    val neighborMin = sym
+      .join(cur.withColumnRenamed("node", "b")
+        .withColumnRenamed("component", "nbr_component"),
+        Seq("b"))
+      .groupBy(col("a").as("node"))
+      .agg(min("nbr_component").as("nbr_component"))
+    cur.join(neighborMin, Seq("node"), "left")
+      .select(col("node"),
+        least(col("component"), coalesce(col("nbr_component"), col("component")))
+          .as("component"),
+        (coalesce(col("nbr_component"), col("component")) < col("component"))
+          .as("changed"))
+  }
+
+  /** The pointer-jump step (un-materialized): component ← component(
+    * component) as a label-table self-join. Every component value is a
+    * node id with a row in this same table, so the inner mapping is
+    * total; left + coalesce only guards the (impossible by invariant)
+    * miss. */
+  private[operators] def jumpRound(prop: DataFrame): DataFrame = {
+    val parent = prop.select(col("node").as("p_node"),
+      col("component").as("p_comp"))
+    prop.join(parent, col("component") === col("p_node"), "left")
+      .select(col("node"),
+        coalesce(col("p_comp"), col("component")).as("component"),
+        (col("changed") ||
+          coalesce(col("p_comp"), col("component")) < col("component"))
+          .as("changed"))
   }
 
   /** Dedup verdicts from an edge list: every node mapped to its cluster's
