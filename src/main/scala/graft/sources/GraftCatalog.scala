@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource-v2 catalog whose tables support Spark 4's native
@@ -24,13 +25,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * analyzer rewrites it through [[GraftTable]]'s row-level-operation
   * support.
   *
-  * Execution model: GROUP-BASED copy-on-write with the whole table as one
-  * group — Spark's `RewriteMergeIntoTable` joins the target scan with the
-  * source, applies the WHEN clauses, and hands the operation's write the
-  * complete post-merge contents of the scanned group, which commit() swaps
-  * in atomically. That is exactly the reference's semantics (Delta MERGE is
-  * also a COW file rewrite); the whole-table group mirrors its
-  * non-partitioned gold dims.
+  * Execution model: GROUP-BASED copy-on-write — Spark's
+  * `RewriteMergeIntoTable` joins the target scan with the source, applies
+  * the WHEN clauses, and hands the operation's write the complete
+  * post-merge contents of the scanned groups, which commit() swaps in
+  * atomically. For an UNPARTITIONED table the whole table is one group
+  * (mirroring the reference's non-partitioned gold dims); a table created
+  * `PARTITIONED BY` identity columns gets PER-PARTITION groups — the
+  * row-level scan supports runtime filtering on the partition columns, so
+  * Spark's group-filter subquery narrows the rewrite to the partitions
+  * that actually contain matched rows, exactly like Delta/Iceberg's
+  * file-level COW. That is the reference's semantics (Delta MERGE is also
+  * a COW file rewrite) at both granularities.
   *
   * Storage is an in-JVM row store: this catalog is the SQL-route ADAPTER,
   * sized for the dim/changelog tables MERGE targets in this pipeline —
@@ -68,14 +74,23 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    // unsupported clauses must fail, not silently drop: a table created
-    // "PARTITIONED BY" that isn't partitioned lies to its creator
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"GraftCatalog tables do not support partition transforms " +
-          s"(got ${partitions.mkString(", ")})")
+    // identity partitioning is supported (it defines the COW rewrite
+    // groups — see GraftTable's row-level path); any other transform must
+    // fail, not silently drop: a table created "PARTITIONED BY" something
+    // it doesn't honor lies to its creator
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val name = t.references.head.fieldNames.mkString(".")
+        if (!schema.fieldNames.contains(name))
+          throw new IllegalArgumentException(
+            s"partition column $name is not in the table schema")
+        name
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog tables support only identity partition transforms " +
+          s"(got $other)")
+    }
     val t = new GraftTable(
-      (ident.namespace() :+ ident.name()).mkString("."), schema)
+      (ident.namespace() :+ ident.name()).mkString("."), schema, partCols)
     // atomic: two concurrent CREATEs must not both succeed (the loser's
     // table object could already be receiving a CTAS write)
     if (GraftTableStore.tables.putIfAbsent(key(ident), t).isDefined)
@@ -111,10 +126,31 @@ object GraftTableStore {
 }
 
 /** One in-JVM table: readable, appendable, truncatable, and MERGE-able via
-  * [[SupportsRowLevelOperations]]. Rows are stored as copied InternalRows. */
-class GraftTable(initialName: String, tableSchema: StructType)
+  * [[SupportsRowLevelOperations]]. Rows are stored as copied InternalRows.
+  *
+  * With identity `partitionCols`, the row-level path becomes
+  * PER-PARTITION copy-on-write instead of whole-table: the operation's
+  * scan implements [[SupportsRuntimeV2Filtering]] on the partition
+  * columns, Spark's runtime group filter (the DPP-style subquery its
+  * rewrite rules plan against the source join) narrows the scan to the
+  * partitions that actually contain matched rows, and commit replaces
+  * exactly the scanned groups — untouched partitions' stored rows are
+  * carried over by reference, never rewritten. That is the delta-sized
+  * rewrite a real COW table format does per file/partition. */
+class GraftTable(initialName: String, tableSchema: StructType,
+                 val partitionCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
+
+  private val partOrdinals: Seq[Int] =
+    partitionCols.map(tableSchema.fieldIndex)
+  private val partTypes: Seq[DataType] =
+    partOrdinals.map(tableSchema.fields(_).dataType)
+
+  /** Partition-group key of a stored row (values of the identity
+    * partition columns, in declaration order). */
+  private[sources] def groupKeyOf(r: InternalRow): Seq[Any] =
+    partOrdinals.lazyZip(partTypes).map((i, dt) => r.get(i, dt))
 
   @volatile private var tableName: String = initialName
   @volatile private var rows: Array[InternalRow] = Array.empty
@@ -131,6 +167,20 @@ class GraftTable(initialName: String, tableSchema: StructType)
     synchronized { rows = rows ++ delivered }
   private[sources] def installReplace(delivered: Array[InternalRow]): Unit =
     synchronized { rows = delivered }
+
+  /** Row-level (COW) commit: replace exactly the `touched` partition
+    * groups with the delivered post-operation contents; rows of untouched
+    * groups carry over BY REFERENCE. `None` = the runtime group filter
+    * never ran (unpartitioned table, or an unrecognized predicate shape)
+    * — the scanned group was the whole table, so the whole table swaps. */
+  private[sources] def installReplaceGroups(delivered: Array[InternalRow],
+      touched: Option[Set[Seq[Any]]]): Unit = synchronized {
+    rows = touched match {
+      case None => delivered
+      case Some(groups) =>
+        rows.filterNot(r => groups.contains(groupKeyOf(r))) ++ delivered
+    }
+  }
 
   /** Catalog RENAME support: the same object keeps its rows and in-flight
     * writes; only the reported name moves. Locked with the install
@@ -166,26 +216,135 @@ class GraftTable(initialName: String, tableSchema: StructType)
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 
-      // the operation's scan defines the rewritten group: the whole table
-      // (no column pruning here — the rewrite re-writes complete rows)
+      // the operation's scan defines the rewritten group set: for a
+      // partitioned table a runtime-filterable scan (Spark's group-filter
+      // subquery narrows it to the partitions with matched rows); for an
+      // unpartitioned table the whole table. No column pruning in either —
+      // the rewrite re-writes complete rows.
+      @volatile private var rlScan: GraftRowLevelScan = _
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new GraftScan(tableSchema, rows)
+        () =>
+          if (partitionCols.isEmpty) new GraftScan(tableSchema, rows)
+          else {
+            rlScan = new GraftRowLevelScan(tableSchema, rows, partitionCols,
+              groupKeyOf)
+            rlScan
+          }
 
       // group-based COW: the write receives the COMPLETE post-operation
-      // contents of the scanned group (here: the table) — commit swaps it
-      // in. Physical rows arrive prefixed with Spark's __row_operation
-      // column (WRITE / WRITE_WITH_METADATA; deleted rows simply don't
-      // arrive) — [[GraftRowLevelBatchWrite]] strips it.
+      // contents of the scanned groups — commit swaps exactly those in
+      // (plus inserted rows, which ride along in the delivery regardless
+      // of group). Physical rows arrive prefixed with Spark's
+      // __row_operation column (WRITE / WRITE_WITH_METADATA; deleted rows
+      // simply don't arrive) — [[GraftRowLevelBatchWrite]] strips it.
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite =
-              new GraftRowLevelBatchWrite(tableSchema, installReplace)
+              new GraftRowLevelBatchWrite(tableSchema,
+                delivered => installReplaceGroups(delivered,
+                  Option(rlScan).flatMap(_.scannedGroups)))
           }
         }
 
       override def requiredMetadataAttributes(): Array[NamedReference] =
         Array.empty
+    }
+}
+
+/** The row-level operation's scan over a PARTITIONED [[GraftTable]]:
+  * advertises the identity partition columns as runtime-filter
+  * attributes, so Spark's row-level group-filtering rule plans a
+  * DPP-style subquery (target ⋈ source on the operation condition,
+  * projected to the partition columns) and calls [[filter]] with the
+  * partition values that actually contain matched rows. The scan then
+  * returns only those groups' rows, records the group set, and the
+  * table's commit replaces exactly that set. An unrecognized predicate
+  * shape degrades to no pruning — a whole-table rewrite is correct,
+  * just not delta-sized. */
+class GraftRowLevelScan(schema: StructType, allRows: Array[InternalRow],
+                        partCols: Seq[String],
+                        groupKeyOf: InternalRow => Seq[Any])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var kept: Array[InternalRow] = allRows
+  /** Groups the rewrite must replace; None = all (no runtime filter). */
+  @volatile private[sources] var scannedGroups: Option[Set[Seq[Any]]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    partCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    GroupPredicates.allowedKeys(predicates, partCols).foreach { keys =>
+      kept = allRows.filter(r => keys.contains(groupKeyOf(r)))
+      // the touched set is what the filter SELECTED (not just non-empty
+      // groups): a selected group whose rows all get deleted must still
+      // be replaced (with nothing)
+      scannedGroups = Some(keys)
+    }
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    new GraftScan(schema, kept).planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftScan(schema, kept).createReaderFactory()
+}
+
+/** Conservative evaluator for the runtime-filter predicates Spark hands a
+  * [[SupportsRuntimeV2Filtering]] scan: IN / = over a single identity
+  * partition column (the shape the row-level group filter emits), plus
+  * AND/OR composition. Returns None for anything else — the caller then
+  * skips pruning, which is always correct. */
+private[sources] object GroupPredicates {
+
+  // the public v2 literal interface (LiteralValue itself is private[sql])
+  private type Lit = org.apache.spark.sql.connector.expressions.Literal[_]
+
+  /** Some(set of allowed single-column group keys) when every predicate
+    * is a recognized shape on the one partition column (multiple
+    * predicates AND together); None otherwise. */
+  def allowedKeys(predicates: Array[Predicate],
+                  partCols: Seq[String]): Option[Set[Seq[Any]]] = {
+    if (partCols.length != 1 || predicates.isEmpty) return None
+    val col = partCols.head
+    val sets = predicates.toSeq.map(p => eval(p, col))
+    if (sets.contains(None)) None
+    else Some(sets.flatten.reduce(_ intersect _).map(Seq(_)))
+  }
+
+  private def refIs(e: org.apache.spark.sql.connector.expressions.Expression,
+                    col: String): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase(col)
+    case _ => false
+  }
+
+  private def eval(p: Predicate, col: String): Option[Set[Any]] =
+    p.name() match {
+      case "IN" =>
+        val ch = p.children()
+        if (ch.length >= 2 && refIs(ch.head, col) &&
+          ch.tail.forall(_.isInstanceOf[Lit]))
+          Some(ch.tail.map(_.asInstanceOf[Lit].value: Any).toSet)
+        else None
+      case "=" | "<=>" =>
+        p.children() match {
+          case Array(r, l: Lit) if refIs(r, col) => Some(Set(l.value: Any))
+          case Array(l: Lit, r) if refIs(r, col) => Some(Set(l.value: Any))
+          case _ => None
+        }
+      case "AND" =>
+        val ch = p.children().collect { case q: Predicate => q }
+        if (ch.length != 2) None
+        else for (a <- eval(ch(0), col); b <- eval(ch(1), col))
+          yield a intersect b
+      case "OR" =>
+        val ch = p.children().collect { case q: Predicate => q }
+        if (ch.length != 2) None
+        else for (a <- eval(ch(0), col); b <- eval(ch(1), col))
+          yield a union b
+      case _ => None
     }
 }
 

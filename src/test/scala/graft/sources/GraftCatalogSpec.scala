@@ -75,6 +75,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(df.orderBy("id").as[Long].collect().toSeq === Seq(1L, 2L))
   }
 
+  test("partitioned MERGE rewrites only the touched partition groups") {
+    // the delta-sized COW contract: with identity partitioning, the
+    // row-level scan's runtime group filter must narrow the rewrite to
+    // the partitions containing matched rows, and commit must carry the
+    // other partitions' stored rows over BY REFERENCE (physically not
+    // rewritten), like a real table format's file-level copy-on-write
+    val t = freshTable("t_part")
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, part INT, v STRING) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a'), (2, 1, 'b'), " +
+      "(3, 2, 'c'), (4, 2, 'd'), (5, 3, 'e')")
+    val table = GraftTableStore.tables((Seq("ns"), "t_part"))
+    // identity snapshot of the rows physically stored OUTSIDE part 2
+    val untouchedBefore = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    table.currentRows.filter(_.getInt(1) != 2).foreach(untouchedBefore.add)
+    assert(untouchedBefore.size === 3)
+    // source matches ids only in part 2; id 6 is a pure insert
+    Seq((3L, "C"), (6L, "f")).toDF("id", "v")
+      .createOrReplaceTempView("part_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING part_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, part, v) VALUES (s.id, 2, s.v)"""
+        .stripMargin)
+    val got = spark.table(t).orderBy("id").as[(Long, Int, String)]
+      .collect().toSeq
+    assert(got === Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "C"),
+      (4L, 2, "d"), (5L, 3, "e"), (6L, 2, "f")))
+    // parts 1 and 3 were never scanned for rewrite: every one of their
+    // stored rows after the merge is the SAME object as before it
+    val untouchedAfter = table.currentRows.filter(_.getInt(1) != 2)
+    assert(untouchedAfter.length === 3)
+    untouchedAfter.foreach(r => assert(untouchedBefore.contains(r),
+      "a row outside the matched partition was physically rewritten"))
+  }
+
   test("MERGE source matching multiple target rows still applies cleanly") {
     // duplicate TARGET keys are legal (the table is not key-constrained);
     // each matched row takes the clause action independently
