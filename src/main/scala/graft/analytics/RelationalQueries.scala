@@ -1629,6 +1629,74 @@ object RelationalQueries {
       s.table("graft_cat.ns.s20_target").orderBy("k")
     },
 
+    // ----- partitioned SQL-route MERGE: same literal `MERGE INTO` path as
+    // s20, but the DSv2 target is created PARTITIONED BY the priority
+    // column, so the table's row-level scan supports runtime group
+    // filtering and Spark's group-filter subquery narrows the
+    // copy-on-write to the ONE partition the changelog touches — the
+    // delta-sized rewrite a real lakehouse format does per file
+    // (GraftCatalogSpec proves rows outside the touched partition are
+    // physically carried over by reference). The oracle states the
+    // post-merge table directly, so a green row proves the narrowed
+    // rewrite still lands exactly the full MERGE semantics: deletes,
+    // updates and inserts confined to the urgent partition, every other
+    // partition byte-identical.
+    Q("s29_merge_partitioned", "S-merge-partitioned,S11,S9", {
+      val h = s"${TS.hash("'pm|' || o_orderkey")} % 100"
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         |    CAST(o_totalprice AS DOUBLE) AS price, $h AS h
+         |  FROM orders)
+         |SELECT k, pr,
+         |  CASE WHEN pr = '1-URGENT' AND h >= 10 AND h < 30
+         |       THEN price + 1.0 ELSE price END AS price
+         |FROM t WHERE NOT (pr = '1-URGENT' AND h < 10)
+         |UNION ALL
+         |SELECT 10000000 + k, '1-URGENT', CAST(k AS DOUBLE)
+         |FROM t WHERE pr = '1-URGENT' AND h >= 30 AND h < 35
+         |ORDER BY k""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val target = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pr"),
+          col("o_totalprice").cast("double").as("price"))
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.s29_target")
+      target.writeTo("graft_cat.ns.s29_target")
+        .partitionedBy(col("pr")).create()
+      // changelog confined to the urgent partition: h<10 removed,
+      // h∈[10,30) price bump, h∈[30,35) fresh keys (offset past the key
+      // space) inserted with price = the seed key
+      val urgent = target.filter(col("pr") === "1-URGENT")
+        .withColumn("h", pmod(TF.polyHash(
+          concat(lit("pm|"), col("k").cast("string"))), lit(100L)))
+      val changes =
+        urgent.filter(col("h") < 10)
+          .select(col("k"), col("pr"), lit(null).cast("double").as("new_price"),
+            lit("removed").as("change_type"))
+        .unionByName(urgent.filter(col("h") >= 10 && col("h") < 30)
+          .select(col("k"), col("pr"), (col("price") + 1.0).as("new_price"),
+            lit("changed").as("change_type")))
+        .unionByName(urgent.filter(col("h") >= 30 && col("h") < 35)
+          .select((col("k") + 10000000L).as("k"), col("pr"),
+            col("k").cast("double").as("new_price"),
+            lit("added").as("change_type")))
+      changes.createOrReplaceTempView("s29_changes")
+      s.sql(
+        """MERGE INTO graft_cat.ns.s29_target t
+          |USING s29_changes c
+          |ON t.k = c.k
+          |WHEN MATCHED AND c.change_type = 'removed' THEN DELETE
+          |WHEN MATCHED AND c.change_type = 'changed'
+          |  THEN UPDATE SET t.price = c.new_price
+          |WHEN NOT MATCHED AND c.change_type = 'added'
+          |  THEN INSERT (k, pr, price) VALUES (c.k, c.pr, c.new_price)"""
+          .stripMargin)
+      s.table("graft_cat.ns.s29_target").orderBy("k")
+    },
+
     // ----- S7 write-side twin: CSV sink + header/schema read-back round
     // trip. CSV is the reference's dummy-gold interchange format (S7 reads
     // it with header promotion + explicit typing); this proves the WRITE
