@@ -130,9 +130,22 @@ object Bench {
           try parseBaseline(lines.get(1)) catch { case _: Exception => Map.empty }
         else Map.empty // different SF (or malformed) — no comparison
       } else Map.empty
+    // Host-speed normalization: the baseline keeps per-query minima, so a
+    // uniformly slower host (observed 1.4-1.6x in noisy windows) would
+    // flag most of the registry as "regressed" when nothing changed. The
+    // median billed/baseline ratio measures that uniform factor — a real
+    // regression is a query that is slow RELATIVE TO the rest of this
+    // run, so the gate scales its thresholds by the median (clamped ≥1:
+    // a fast host must not shrink the thresholds). The factor is emitted
+    // so a reader can separate "host was slow" from "query got slow".
+    val ratios = results.toSeq.flatMap { case (k, (b, _)) =>
+      prev.get(k).collect { case p if b < 9000 && p < 9000 && p > 0 => b / p }
+    }.sorted
+    val hostFactor =
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
     val regressions = results.toSeq.collect {
       case (k, (b, _)) if b < 9000 && prev.get(k).exists(p =>
-        p < 9000 && b > p * 1.5 && b - p > 0.3) =>
+        p < 9000 && b > p * hostFactor * 1.5 && b - p * hostFactor > 0.3) =>
         k -> (prev(k), b)
     }.sortBy { case (_, (p, b)) => p - b } // worst (largest slowdown) first
     val regJson = regressions.map { case (k, (p, b)) =>
@@ -172,7 +185,7 @@ object Bench {
     // always over ALL queries.
     def contractLine(qmap: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"regressions":$regJson,"host_factor":${f3(hostFactor)},"sf":"$sfDir"}"""
     }
     val bySlowest = results.toSeq.map { case (k, (b, _)) => (k, b) }.sortBy(-_._2)
     var keep = bySlowest.length

@@ -68,6 +68,15 @@ class GraftExtensionsSpec extends SparkSpec {
           s"SELECT wav_meta(unhex('$hex')) AS w").selectExpr(
           "w.channels", "w.sample_rate", "w.n_frames").head()
         assert((wm.getInt(0), wm.getInt(1), wm.getLong(2)) === ((2, 16000, 2L)))
+        // png_meta resolves through the extensions route too
+        val png = PngHeaderExpr.pngBytes(Array.tabulate(6)(_.toByte),
+          width = 320, height = 200, colorType = 6)
+        val phex = png.map(b => f"$b%02x").mkString
+        val pm = s2.sql(
+          s"SELECT png_meta(unhex('$phex')) AS p").selectExpr(
+          "p.width", "p.height", "p.channels", "p.idat_bytes").head()
+        assert((pm.getInt(0), pm.getInt(1), pm.getInt(2), pm.getLong(3))
+          === ((320, 200, 4, 6L)))
         // newSession() keeps injected builders (temp functions would not
         // survive this — the reason extensions are the cluster-wide route)
         val s3 = s2.newSession()

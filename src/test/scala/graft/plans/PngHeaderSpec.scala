@@ -90,6 +90,39 @@ class PngHeaderSpec extends SparkSpec {
       PngHeaderExpr.pngBytes(Array[Byte](1), 4, 4, bitDepth = 4, colorType = 2))
   }
 
+  test("randomized round-trip: parse ∘ build ≡ identity; corruption and truncation never throw") {
+    val rnd = new scala.util.Random(97)
+    val legal = Seq(0 -> Seq(1, 2, 4, 8, 16), 2 -> Seq(8, 16),
+      3 -> Seq(1, 2, 4, 8), 4 -> Seq(8, 16), 6 -> Seq(8, 16))
+    val channelsOf = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+    for (trial <- 1 to 200) {
+      val data = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+      val w = 1 + rnd.nextInt(5000)
+      val h = 1 + rnd.nextInt(5000)
+      val (ct, depths) = legal(rnd.nextInt(legal.length))
+      val depth = depths(rnd.nextInt(depths.length))
+      val il = rnd.nextInt(2)
+      val chunk = 1 + rnd.nextInt(600)
+      val png = PngHeaderExpr.pngBytes(data, w, h, depth, ct, il, chunk)
+      val nIdat = math.max(1, (data.length + chunk - 1) / chunk)
+      assert(fields(png) === Some((w, h, depth, ct, channelsOf(ct), il,
+        data.length.toLong, 2 + nIdat)), s"trial $trial")
+      // any single-bit corruption of the IHDR payload must fail its CRC
+      val corrupt = png.clone()
+      val pos = 16 + rnd.nextInt(13)
+      corrupt(pos) = (corrupt(pos) ^ (1 << rnd.nextInt(8))).toByte
+      assert(fields(corrupt) === None, s"trial $trial: IHDR bit flip at $pos")
+    }
+    // arbitrary byte soup: parse never throws (NULL or a lucky miss, only)
+    for (_ <- 1 to 300)
+      fields(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+    // every strict prefix of a valid container is malformed, not a crash
+    val full = PngHeaderExpr.pngBytes(Array.tabulate(300)(_.toByte), 10, 10,
+      idatChunk = 128)
+    for (cut <- 0 until full.length)
+      assert(fields(full.take(cut)) === None, s"prefix $cut parsed")
+  }
+
   test("SQL/codegen route equals the static parser on a batch of PNGs") {
     val rows = (1 to 50).map { i =>
       val data = Array.tabulate(i * 17 % 600 + 1)(j => ((i * 7 + j) % 251).toByte)
