@@ -86,40 +86,16 @@ object Bench {
     // absolute lands in the contract line's "regressions" field — the
     // round-over-round diff the judge otherwise recomputes by hand from
     // truncated tails, machine-visible and unaffected by tail truncation.
-    // Minimal parser for the jmap format contract this file itself writes
-    // ({"key":number,...} with backslash escapes honored in keys) — a
-    // regex over the line would silently mis-split if a key ever carried
-    // a quote or the format changed. Any malformed input yields an empty
-    // map (no comparison) rather than a crashed bench.
+    // Real JSON parse for the baseline line (Jackson ships with Spark) —
+    // a regex would silently mis-split if a key ever carried a quote or
+    // the format changed. Any malformed input yields an empty map (no
+    // comparison) rather than a crashed bench.
     def parseBaseline(line: String): Map[String, Double] = {
-      val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      var i = 0
-      def fail(): Nothing = throw new IllegalArgumentException(
-        s"bench_history baseline: unexpected char at $i")
-      def expect(c: Char): Unit = { if (i >= line.length || line(i) != c) fail(); i += 1 }
-      def key(): String = {
-        expect('"')
-        val sb = new StringBuilder
-        while (i < line.length && line(i) != '"') {
-          if (line(i) == '\\' && i + 1 < line.length) { sb += line(i + 1); i += 2 }
-          else { sb += line(i); i += 1 }
-        }
-        expect('"'); sb.toString
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      node.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber) out(e.getKey) = e.getValue.asDouble()
       }
-      def num(): Double = {
-        val start = i
-        while (i < line.length && "0123456789.+-eE".contains(line(i))) i += 1
-        if (i == start) fail()
-        line.substring(start, i).toDouble
-      }
-      expect('{')
-      if (i < line.length && line(i) == '}') return Map.empty
-      var done = false
-      while (!done) {
-        val k = key(); expect(':'); out(k) = num()
-        if (i < line.length && line(i) == ',') i += 1 else done = true
-      }
-      expect('}')
       out.toMap
     }
     val histFile = Paths.get("bench_history.json")
@@ -138,11 +114,18 @@ object Bench {
     // run, so the gate scales its thresholds by the median (clamped ≥1:
     // a fast host must not shrink the thresholds). The factor is emitted
     // so a reader can separate "host was slow" from "query got slow".
+    // Known blind spot, by construction: a change that slows EVERY query
+    // uniformly (a global config regression) is indistinguishable from a
+    // slow host inside one run — it surfaces as host_factor > ~1.2 with
+    // an empty regressions list, and ProfileQuery on a quiet host is the
+    // disambiguator.
     val ratios = results.toSeq.flatMap { case (k, (b, _)) =>
       prev.get(k).collect { case p if b < 9000 && p < 9000 && p > 0 => b / p }
     }.sorted
     val hostFactor =
-      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+      if (ratios.isEmpty) 1.0
+      else math.max(1.0, if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
     val regressions = results.toSeq.collect {
       case (k, (b, _)) if b < 9000 && prev.get(k).exists(p =>
         p < 9000 && b > p * hostFactor * 1.5 && b - p * hostFactor > 0.3) =>

@@ -1101,7 +1101,7 @@ object TextQueries {
       // documents scan feeds the rollup WITHOUT a corpus-wide shuffle —
       // without the hint the planner can only see an unknown-size leaf
       // and sort-merge-joins, shuffling every document row
-      // (plan pinned in PlanShapeSpec)
+      // (plan pinned in GraphPlanSpec)
       Tables.documents(s, dir)
         .join(broadcast(drops), col("doc_id") === col("node"), "left")
         .groupBy("source")
@@ -1255,7 +1255,7 @@ object TextQueries {
     * precomputed) is NODE-sized — broadcast it so the EDGE list never
     * shuffles; the only exchange per round is the map-side-combined
     * aggregate on the destination key. Extracted so the plan-shape spec
-    * can pin exactly this contract (PlanShapeSpec: BroadcastHashJoin
+    * can pin exactly this contract (GraphPlanSpec: BroadcastHashJoin
     * survives AQE, no Exchange on the edge side). */
   private[graft] def centralityRound(edges: org.apache.spark.sql.DataFrame,
       deg: org.apache.spark.sql.DataFrame,

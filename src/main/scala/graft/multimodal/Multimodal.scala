@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batches: no shuffle, no driver round-trip, codec state
   * amortized per partition.
   *
-  * AUDIO decode is REAL: audio payloads are PCM WAV containers and
-  * [[graft.plans.WavHeaderExpr]] parses the RIFF header natively (also
-  * SQL-exposed as `wav_meta`, bit-parity-tested on crafted headers).
-  * Image/video decoding stays STUBBED (no image codecs in this
+  * AUDIO and IMAGE decode are REAL: audio payloads are PCM WAV containers
+  * parsed by [[graft.plans.WavHeaderExpr]] (SQL: `wav_meta`) and image
+  * payloads are PNG containers parsed by [[graft.plans.PngHeaderExpr]]
+  * (SQL: `png_meta`) — both native chunk walkers, bit-parity-tested on
+  * crafted headers. VIDEO decoding stays STUBBED (no demuxers in this
   * environment): [[StubDecoder.decode]] derives deterministic fake
-  * dimensions from the payload bytes. Everything around both — schema,
-  * partitioning, batch shape, typed Dataset plumbing — is real and
-  * tested; swapping a real image codec in is a one-function change.
+  * frame counts from the payload bytes. Everything around all three —
+  * schema, partitioning, batch shape, typed Dataset plumbing — is real
+  * and tested; swapping a real video demuxer in is a one-function change.
   */
 object Multimodal {
 

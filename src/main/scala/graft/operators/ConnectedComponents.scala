@@ -185,7 +185,7 @@ object ConnectedComponents {
     * the aggregate runs map-side-partial — per round, the only exchanges
     * are the key hash-shuffles; nothing broadcasts, nothing nest-loops.
     * Extracted from [[apply]]'s loop so the plan-shape spec can pin that
-    * contract (PlanShapeSpec). */
+    * contract (GraphPlanSpec). */
   private[operators] def propagateRound(sym: DataFrame, cur: DataFrame): DataFrame = {
     val neighborMin = sym
       .join(cur.withColumnRenamed("node", "b")

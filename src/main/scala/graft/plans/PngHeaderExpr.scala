@@ -147,6 +147,8 @@ object PngHeaderExpr {
     require(width > 0 && height > 0, "png dims must be positive")
     require(channelsOf(colorType) > 0 && depthLegal(colorType, bitDepth),
       s"illegal PNG color type $colorType / bit depth $bitDepth")
+    require(interlace == 0 || interlace == 1,
+      s"illegal PNG interlace method $interlace")
     val nIdat = math.max(1, (data.length + idatChunk - 1) / idatChunk)
     val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 * nIdat + data.length + 12)
     out.put(Signature)

@@ -190,6 +190,11 @@ class GraftTable(initialName: String, tableSchema: StructType,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // a table created PARTITIONED BY must also REPORT its partitioning —
+  // DESCRIBE/SHOW CREATE and any planner path keying off partitioning()
+  // would otherwise see an unpartitioned table
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava

@@ -160,8 +160,21 @@ object DocStreams {
           else spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         val index = tableOrEmpty(indexTable, indexSchema)
-        // 1. probe the pre-batch index; exactly-once pairs via insert-only
-        val pairs = nearDupProbe(batch, index, k)
+        // 1. probe the PRE-BATCH index; exactly-once pairs via insert-only.
+        // The pre-batch state is RECONSTRUCTED by excluding this batch's
+        // own docs from the index side: after a crash between step 2's
+        // index merge and the streaming commit marker, the replayed batch
+        // would otherwise find its own rows in the index and emit
+        // within-batch pairs a crash-free run never produces — table
+        // contents must not depend on where a crash landed. The exclusion
+        // is an anti join against the batch's (broadcast-sized) id set,
+        // so the index never shuffles for it.
+        val batchIds = batch.select(col("doc_id")).distinct()
+        // re-pin column order: a USING-column join moves the key first,
+        // and the probe renames its index input positionally
+        val preBatchIndex = index.join(broadcast(batchIds), Seq("doc_id"),
+          "left_anti").select("band", "sig", "doc_id", "mhs")
+        val pairs = nearDupProbe(batch, preBatchIndex, k)
         val pairsTarget = tableOrEmpty(pairsTable, pairs.schema)
         graft.pipeline.Catalog.overwriteTable(spark,
           graft.operators.MergeInsertOnly(pairsTarget,

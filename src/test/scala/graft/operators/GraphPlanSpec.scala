@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * relations and only the hint (or its absence) decides whether the big
   * side shuffles.
   */
-class PlanShapeSpec extends SparkSpec {
+class GraphPlanSpec extends SparkSpec {
   import spark.implicits._
 
   /** The adaptive plan's final physical tree (what actually ran). */

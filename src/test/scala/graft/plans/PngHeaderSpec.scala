@@ -88,6 +88,8 @@ class PngHeaderSpec extends SparkSpec {
       PngHeaderExpr.pngBytes(Array[Byte](1), 0, 4))
     intercept[IllegalArgumentException](
       PngHeaderExpr.pngBytes(Array[Byte](1), 4, 4, bitDepth = 4, colorType = 2))
+    intercept[IllegalArgumentException](
+      PngHeaderExpr.pngBytes(Array[Byte](1), 4, 4, interlace = 2))
   }
 
   test("randomized round-trip: parse ∘ build ≡ identity; corruption and truncation never throw") {

@@ -87,6 +87,8 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a'), (2, 1, 'b'), " +
       "(3, 2, 'c'), (4, 2, 'd'), (5, 3, 'e')")
     val table = GraftTableStore.tables((Seq("ns"), "t_part"))
+    // the table must REPORT its partitioning, not just honor it
+    assert(table.partitioning().map(_.toString).toSeq === Seq("identity(part)"))
     // identity snapshot of the rows physically stored OUTSIDE part 2
     val untouchedBefore = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())

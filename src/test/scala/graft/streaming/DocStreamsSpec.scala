@@ -135,15 +135,19 @@ class DocStreamsSpec extends SparkSpec {
     docsDF(corpus).coalesce(1).write.parquet(dir)
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
-    // batch 2 (new query instance, same checkpoint): the pair under test
-    docsDF(Seq(100L -> corpus.head._2))
+    // batch 2 (new query instance, same checkpoint): TWO docs that are
+    // near-dups of doc 0 AND of each other — the within-batch pair
+    // (100,101) must never surface, crash or no crash: on replay the
+    // batch's own rows are already in the index, and only the
+    // pre-batch-state reconstruction keeps them out of the probe
+    docsDF(Seq(100L -> corpus.head._2, 101L -> corpus.head._2))
       .coalesce(1).write.mode("append").parquet(dir)
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     try {
       assert(spark.table("k_pairs")
-        .select("new_doc", "index_doc").as[(Long, Long)].collect().toSeq
-        === Seq((100L, 0L)))
+        .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted.toSeq
+        === Seq((100L, 0L), (101L, 0L)))
       val idxRows = spark.table("k_index").count()
       assert(spark.table("k_index").distinct().count() === idxRows)
       // kill mid-batch: drop the LAST commit marker, offsets stay
@@ -159,8 +163,9 @@ class DocStreamsSpec extends SparkSpec {
       try {
         q3.processAllAvailable() // replays batch 1
         assert(spark.table("k_pairs")
-          .select("new_doc", "index_doc").as[(Long, Long)].collect().toSeq
-          === Seq((100L, 0L)), "replayed batch must not duplicate pairs")
+          .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted.toSeq
+          === Seq((100L, 0L), (101L, 0L)),
+          "replay must neither duplicate pairs nor emit within-batch pairs")
         assert(spark.table("k_index").count() === idxRows,
           "replayed batch must re-insert nothing into the index")
         assert(spark.table("k_index").distinct().count() === idxRows)
@@ -171,7 +176,7 @@ class DocStreamsSpec extends SparkSpec {
         q3.processAllAvailable()
         assert(spark.table("k_pairs")
           .select("new_doc", "index_doc").as[(Long, Long)].collect().sorted.toSeq
-          === Seq((100L, 0L), (102L, 1L)))
+          === Seq((100L, 0L), (101L, 0L), (102L, 1L)))
         assert(spark.table("k_index").count() > idxRows)
       } finally q3.stop()
     } finally {
