@@ -140,7 +140,7 @@ object GraftTableStore {
 class GraftTable(initialName: String, tableSchema: StructType,
                  val partitionCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsDeleteV2 {
 
   private val partOrdinals: Seq[Int] =
     partitionCols.map(tableSchema.fieldIndex)
@@ -182,6 +182,50 @@ class GraftTable(initialName: String, tableSchema: StructType,
     }
   }
 
+  /** INSERT OVERWRITE of specific partition groups (static mode with a
+    * partition predicate): delete the matching groups, then append. */
+  private[sources] def installOverwriteGroups(delivered: Array[InternalRow],
+      keys: Set[Seq[Any]]): Unit = synchronized {
+    rows = rows.filterNot(r => keys.contains(groupKeyOf(r))) ++ delivered
+  }
+
+  /** Dynamic-partition INSERT OVERWRITE: replace exactly the groups the
+    * delivered rows land in; every other partition is untouched (the
+    * same contract as the parquet-side s22 path, and Hive/Delta's
+    * `partitionOverwriteMode=dynamic`). */
+  private[sources] def installDynamicOverwrite(
+      delivered: Array[InternalRow]): Unit = synchronized {
+    val touched = delivered.map(groupKeyOf).toSet
+    rows = rows.filterNot(r => touched.contains(groupKeyOf(r))) ++ delivered
+  }
+
+  // ---- metadata-only DELETE ------------------------------------------
+  // A DELETE whose condition is expressible over the identity partition
+  // columns needs no rewrite at all: it is a partition drop — the 100 TB
+  // operation a real table format serves from the transaction log without
+  // touching a data file. Spark's metadata-delete rule consults
+  // canDeleteWhere BEFORE planning the row-level fallback, so an
+  // inexpressible condition (non-partition columns, unrecognized shape)
+  // degrades to the COW route automatically.
+  private def alwaysTrueOnly(filters: Array[Predicate]): Boolean =
+    filters.isEmpty || filters.forall(_.name == "ALWAYS_TRUE")
+
+  override def canDeleteWhere(filters: Array[Predicate]): Boolean =
+    alwaysTrueOnly(filters) ||
+      GroupPredicates.allowedKeys(filters, partitionCols).isDefined
+
+  override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
+    if (alwaysTrueOnly(filters)) rows = Array.empty
+    else {
+      val keys = GroupPredicates.allowedKeys(filters, partitionCols)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"deleteWhere called with inexpressible filters " +
+            s"${filters.mkString(", ")} — canDeleteWhere should have " +
+            "routed this to the row-level rewrite"))
+      rows = rows.filterNot(r => keys.contains(groupKeyOf(r)))
+    }
+  }
+
   /** Catalog RENAME support: the same object keeps its rows and in-flight
     * writes; only the reported name moves. Locked with the install
     * callbacks so a rename never interleaves a commit's read-modify-write. */
@@ -197,21 +241,52 @@ class GraftTable(initialName: String, tableSchema: StructType,
     partitionCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, () => rows)
 
-  // ---- plain write path (INSERT INTO / CTAS append) ------------------
+  // ---- plain write path (INSERT INTO/OVERWRITE / CTAS) ---------------
+  // Four commit modes: append (INSERT INTO), full replace (truncate /
+  // INSERT OVERWRITE in static mode with no partition predicate),
+  // group overwrite (static INSERT OVERWRITE restricted to partition
+  // predicates), and dynamic-partition overwrite (replace exactly the
+  // groups the new rows land in). canOverwrite routes an inexpressible
+  // predicate back to Spark's delete-and-append fallback instead of
+  // silently overwriting the wrong rows.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var replace = false
-      override def truncate(): WriteBuilder = { replace = true; this }
+    new WriteBuilder with SupportsTruncate with SupportsOverwriteV2
+      with SupportsDynamicOverwrite {
+      private var install: Array[InternalRow] => Unit = installAppend
+
+      override def truncate(): WriteBuilder = { install = installReplace; this }
+
+      override def canOverwrite(filters: Array[Predicate]): Boolean =
+        filters.forall(_.name == "ALWAYS_TRUE") ||
+          GroupPredicates.allowedKeys(filters, partitionCols).isDefined
+
+      override def overwrite(filters: Array[Predicate]): WriteBuilder = {
+        if (filters.forall(_.name == "ALWAYS_TRUE")) install = installReplace
+        else {
+          val keys = GroupPredicates.allowedKeys(filters, partitionCols)
+            .getOrElse(throw new UnsupportedOperationException(
+              s"overwrite called with inexpressible filters " +
+                s"${filters.mkString(", ")} — canOverwrite should have " +
+                "routed this to delete-and-append"))
+          install = installOverwriteGroups(_, keys)
+        }
+        this
+      }
+
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        install = installDynamicOverwrite
+        this
+      }
+
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftBatchWrite(delivered =>
-          if (replace) installReplace(delivered)
-          else installAppend(delivered))
+        override def toBatch: BatchWrite = new GraftBatchWrite(install)
       }
     }
 

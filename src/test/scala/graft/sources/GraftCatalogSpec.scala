@@ -114,6 +114,66 @@ class GraftCatalogSpec extends SparkSpec {
       "a row outside the matched partition was physically rewritten"))
   }
 
+  private def identitySet(rows: Iterable[AnyRef]) = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    rows.foreach(s.add)
+    s
+  }
+
+  test("metadata-only DELETE drops a partition without rewriting the rest") {
+    // a partition-predicate DELETE is a partition DROP: served from
+    // metadata (canDeleteWhere/deleteWhere), no copy-on-write, no scan —
+    // at 100 TB this is the difference between a log entry and a rewrite
+    val t = freshTable("t_pdel")
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, part INT, v STRING) PARTITIONED BY (part)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 1, 'a'), (2, 2, 'b'), (3, 3, 'c'), (4, 2, 'd')")
+    val table = GraftTableStore.tables((Seq("ns"), "t_pdel"))
+    val survivorsBefore = identitySet(table.currentRows.filter(_.getInt(1) != 2))
+    spark.sql(s"DELETE FROM $t WHERE part = 2")
+    assert(spark.table(t).orderBy("id").as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (3L, 3, "c")))
+    // every surviving row is the SAME object: nothing was rewritten
+    assert(table.currentRows.length === 2)
+    table.currentRows.foreach(r => assert(survivorsBefore.contains(r),
+      "metadata delete must not rewrite surviving rows"))
+    // a non-partition predicate cannot be metadata-only: it falls back to
+    // the row-level rewrite and still lands the right contents
+    spark.sql(s"DELETE FROM $t WHERE v = 'c'")
+    assert(spark.table(t).as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a")))
+  }
+
+  test("INSERT OVERWRITE: dynamic replaces only landed partitions, static the table") {
+    val t = freshTable("t_povr")
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, part INT, v STRING) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a'), (2, 2, 'b'), (3, 3, 'c')")
+    val table = GraftTableStore.tables((Seq("ns"), "t_povr"))
+    val mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      // dynamic: the incoming rows land only in part 2 → parts 1 and 3
+      // keep their stored rows BY REFERENCE
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val untouched = identitySet(table.currentRows.filter(_.getInt(1) != 2))
+      spark.sql(s"INSERT OVERWRITE $t VALUES (20, 2, 'B2'), (21, 2, 'B3')")
+      assert(spark.table(t).orderBy("id").as[(Long, Int, String)].collect().toSeq
+        === Seq((1L, 1, "a"), (3L, 3, "c"), (20L, 2, "B2"), (21L, 2, "B3")))
+      val after = table.currentRows.filter(_.getInt(1) != 2)
+      assert(after.length === 2)
+      after.foreach(r => assert(untouched.contains(r),
+        "dynamic overwrite must not rewrite partitions it doesn't land in"))
+      // static without a partition clause: the whole table is replaced
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql(s"INSERT OVERWRITE $t VALUES (9, 9, 'z')")
+      assert(spark.table(t).as[(Long, Int, String)].collect().toSeq
+        === Seq((9L, 9, "z")))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+  }
+
   test("MERGE source matching multiple target rows still applies cleanly") {
     // duplicate TARGET keys are legal (the table is not key-constrained);
     // each matched row takes the clause action independently
