@@ -1894,6 +1894,68 @@ object RelationalQueries {
         .orderBy("user_id", "start_day", "week_start")
     },
 
+    // ----- Bloom-filter join pruning (ScaleJoins.bloomPrune): the
+    // runtime-filter pattern at 100 TB — a KB-sized deterministic bit set
+    // built from the build side's keys drops probe rows that cannot match
+    // BEFORE any shuffle touches the big side. The filter hashes are the
+    // shared polynomial hash, so the EXACT surviving set (true matches +
+    // the bounded false positives) reproduces in DuckDB — the summary
+    // row's n_true == n_member is the no-false-negative guarantee, and
+    // n_false_pos is the measured cost of the m/k choice. Plan: build
+    // collapses to ≤ m positions, broadcasts as one array row; the probe
+    // side filters in place (no join, no shuffle; plan pinned in
+    // ScaleJoinsSpec).
+    Q("j20_bloom_prune", "J-bloom-prune,A5,F10", {
+      // Kirsch-Mitzenmacher positions, same arithmetic as
+      // ScaleJoins.bloomBitPositions: pos_s = (h%m + s*(2*(h//m % m)+1)) % m
+      def posSql(s: Int) =
+        s"((h % 65536) + $s * (2 * ((h // 65536) % 65536) + 1)) % 65536"
+      val posUnion = (0 until 3)
+        .map(s => s"SELECT DISTINCT ${posSql(s)} AS p FROM hvh")
+        .mkString(" UNION ")
+      s"""WITH hv AS (SELECT DISTINCT o_orderkey AS k FROM orders
+         |            WHERE o_totalprice > 400000),
+         |hvh AS (SELECT k, ${TS.hash("'bf|' || k")} AS h FROM hv),
+         |pos AS ($posUnion),
+         |mk AS (SELECT k,
+         |    ${(0 until 3).map(s => s"${posSql(s)} IN (SELECT p FROM pos) AS h$s")
+        .mkString(", ")},
+         |    k IN (SELECT k FROM hv) AS member
+         |  FROM (SELECT l_orderkey AS k, ${TS.hash("'bf|' || l_orderkey")} AS h
+         |        FROM lineitem))
+         |SELECT (SELECT count(*) FROM hv) AS n_build_keys,
+         |  (SELECT count(*) FROM pos) AS bits_set,
+         |  count(*) AS n_probe,
+         |  count(*) FILTER (WHERE member) AS n_member,
+         |  count(*) FILTER (WHERE h0 AND h1 AND h2) AS n_passed,
+         |  count(*) FILTER (WHERE h0 AND h1 AND h2 AND member) AS n_true,
+         |  count(*) FILTER (WHERE h0 AND h1 AND h2 AND NOT member)
+         |    AS n_false_pos
+         |FROM mk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ScaleJoins
+      val hv = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k")).distinct()
+      val probe = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      val pruned = ScaleJoins.bloomPrune(hv, probe, "k", m = 65536, k = 3)
+      val member = hv.withColumn("member", lit(1))
+      val probeStats = probe.join(broadcast(member), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_probe"), count(col("member")).as("n_member"))
+      val prunedStats = pruned.join(broadcast(member), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_passed"),
+          count(col("member")).as("n_true"),
+          count(when(col("member").isNull, lit(1))).as("n_false_pos"))
+      val bits = hv.select(explode(array(
+          ScaleJoins.bloomBitPositions(col("k"), 65536, 3): _*)).as("p"))
+        .distinct().agg(count(lit(1)).as("bits_set"))
+      hv.agg(count(lit(1)).as("n_build_keys"))
+        .crossJoin(broadcast(bits))
+        .crossJoin(broadcast(probeStats))
+        .crossJoin(broadcast(prunedStats))
+        .select(col("n_build_keys"), col("bits_set"), col("n_probe"),
+          col("n_member"), col("n_passed"), col("n_true"), col("n_false_pos"))
+    },
+
     // ----- event-type lift (market-basket over user baskets): for every
     // unordered type pair, support and lift from exact user counts —
     // lift > 1 flags types that co-occur in the same users beyond chance.

@@ -64,4 +64,63 @@ object ScaleJoins {
     facts.join(broadcast(bands),
       facts(valueCol) >= bands(loCol) && facts(valueCol) < bands(hiCol),
       "left")
+
+  /** Deterministic Bloom-filter position array for a key column, via
+    * Kirsch–Mitzenmacher double hashing: pos_s = (h1 + s·h2) mod m with
+    * h1 = H mod m and h2 = an ODD stride derived from H's upper bits
+    * (odd ⇒ coprime to a power-of-two m ⇒ full-period strides). One
+    * polynomial hash per key; the k positions decorrelate the way
+    * independent hashes would. Prefix-seeded polynomial hashes do NOT
+    * work here: the hash is affine in the key, so same-length keys that
+    * collide under one prefix collide under every prefix and k filters
+    * degrade to one. One definition site for build and probe (and
+    * mirrored in SQL by the j20 oracle). */
+  def bloomBitPositions(key: org.apache.spark.sql.Column, m: Int,
+                        k: Int): Seq[org.apache.spark.sql.Column] = {
+    val h = graft.functions.TextFunctions.polyHash(
+      concat(lit("bf|"), key.cast("string")))
+    val h1 = pmod(h, lit(m.toLong))
+    // floor-div via double is exact here: h < 2^31 ≪ 2^53
+    val h2 = pmod(floor(h / lit(m.toLong)).cast("long"), lit(m.toLong)) * 2 + 1
+    (0 until k).map(s => pmod(h1 + lit(s.toLong) * h2, lit(m.toLong)))
+  }
+
+  /** Bloom-filter join pruning — the runtime-filter pattern at 100 TB:
+    * instead of shuffling the probe side into a join to discover that
+    * most rows match nothing, build a KB-sized bit set from the build
+    * side's keys and drop probe rows that cannot match BEFORE any
+    * shuffle. The filter is deterministic (seeded polynomial hashes), so
+    * the exact surviving set — true matches plus the bounded false
+    * positives — is reproducible cross-engine, unlike Spark's own
+    * `bloom_filter_agg` whose layout is an implementation detail.
+    *
+    * Plan shape: the build side collapses to ≤ m distinct bit positions
+    * (one tiny aggregate), rides to every probe task as a broadcast
+    * single-row array, and the probe side filters IN PLACE — zero
+    * shuffle, zero join on the big side; `array_contains` over a
+    * sorted ≤ m-element array inside whole-stage codegen. False
+    * positives are the classic (1 - e^{-kn/m})^k fraction — callers
+    * follow with the real join, which now touches only survivors.
+    *
+    * @param build  relation holding the reference keys
+    * @param probe  relation to prune
+    * @param keyCol key column name present in both
+    * @param m      filter size in bits (keep ≤ a few million: the position
+    *               array broadcasts)
+    * @param k      hash count
+    * @return probe rows whose key passes the filter (all true matches
+    *         survive — no false negatives, ever) */
+  def bloomPrune(build: DataFrame, probe: DataFrame, keyCol: String,
+                 m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(m > 0 && k > 0)
+    val bits = build
+      .select(explode(array(bloomBitPositions(col(keyCol), m, k): _*)).as("p"))
+      .distinct()
+      .agg(sort_array(collect_list(col("p"))).as("__bloom_bits"))
+    probe.crossJoin(broadcast(bits))
+      .filter(bloomBitPositions(col(keyCol), m, k)
+        .map(p => array_contains(col("__bloom_bits"), p))
+        .reduce(_ && _))
+      .drop("__bloom_bits")
+  }
 }

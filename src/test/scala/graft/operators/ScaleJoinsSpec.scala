@@ -37,6 +37,23 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("bloom prune keeps every true match, bounds extras, never shuffles the probe") {
+    val build = (1 to 200 by 2).map(i => i.toLong).toDF("k") // odd keys
+    val probe = (1 to 2000).map(i => (i % 400).toLong).toDF("k")
+    val pruned = ScaleJoins.bloomPrune(build, probe, "k", m = 4096, k = 3)
+    val truth = probe.join(build.distinct(), Seq("k"), "left_semi")
+    // no false negatives, ever: the pruned set is a superset of the semi
+    // join, and restricted to true members it is exactly the semi join
+    assert(pruned.join(build.distinct(), Seq("k"), "left_semi").count()
+      === truth.count())
+    assert(pruned.count() >= truth.count())
+    // probe-side plan shape: a filter, not a join — the big side must not
+    // shuffle or sort-merge against anything
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom prune must not join the probe side:\n$plan")
+  }
+
   test("band join classifies by interval, leaves gaps null, streams broadcast") {
     val bands = Seq(("low", 0.0, 10.0), ("high", 20.0, 30.0)).toDF("band", "lo", "hi")
     val facts = Seq(0.0, 5.0, 9.999, 10.0, 15.0, 20.0, 29.9, 42.0).toDF("v")
