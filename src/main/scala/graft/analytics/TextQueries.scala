@@ -1247,6 +1247,67 @@ object TextQueries {
     // hash-matches where float PageRank never could (cross-engine double
     // summation order). Plan: per round one join + one key-shuffle agg,
     // the CC cost envelope; degree table broadcast-sized per AQE.
+    // ----- LSH candidate-quality census: the evaluation a dedup pipeline
+    // runs BEFORE trusting its banding parameters — how many of the exact
+    // n-gram-Jaccard pairs (the t7/t18 ground truth at the 0.2 dedup
+    // threshold) does the 8-band MinHash candidate set (t5 semantics,
+    // caps included) actually recover, and at what candidate overhead.
+    // Both pair sets reuse their oracle-proven definitions verbatim, so
+    // the recall/precision this reports is EXACT cross-engine, not an
+    // estimate — one row: pair counts, misses, recall, precision. At
+    // 100 TB this census runs on a sample shard; the arithmetic is two
+    // pair-key semi-join counts over already-bucketed joins.
+    Q("qa6_lsh_recall", "QA-lsh-eval,A5,A10", {
+      val sig = (0 until 8).map(p => s"${TS.minhash("s2", p)} AS mh$p")
+        .mkString(",\n    ")
+      val bands = (0 until 8)
+        .map(p => s"SELECT doc_id, $p AS band, mh$p AS sig FROM lsig")
+        .mkString("\n    UNION ALL ")
+      s"""WITH $ngramCteBody,
+         |exact AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
+         |lsh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s2 FROM t),
+         |lsig AS (SELECT doc_id,
+         |    $sig
+         |  FROM lsh),
+         |bands AS (
+         |    $bands),
+         |bands2 AS (SELECT doc_id, band, sig,
+         |             count(*) OVER (PARTITION BY band, sig) AS bcnt
+         |           FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands2 x JOIN bands2 y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket),
+         |hit AS (SELECT e.doc_a FROM exact e JOIN cand c
+         |        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  (SELECT count(*) FROM exact) - (SELECT count(*) FROM hit)
+         |    AS n_missed,
+         |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |    / (SELECT count(*) FROM exact) AS recall,
+         |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |    / (SELECT count(*) FROM cand) AS prec""".stripMargin
+    }) { (s, dir) =>
+      val exact = ngramScored(s, dir).filter(col("jac") >= 0.2)
+        .select("doc_a", "doc_b")
+      // the candidate set IS the t5 query's result (same code path the
+      // t5 oracle proves) — registry reuse, as the streaming parity
+      // specs do
+      val cand = graft.SparkEntry.queries("t5_minhash_lsh")(s, dir)
+        .select("doc_a", "doc_b")
+      val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+          (col("n_exact") - col("n_hit")).as("n_missed"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"),
+          (col("n_hit").cast("double") / col("n_candidates")).as("prec"))
+    },
+
     t34Query
   )
 
