@@ -1907,9 +1907,9 @@ object RelationalQueries {
     // ScaleJoinsSpec).
     Q("j20_bloom_prune", "J-bloom-prune,A5,F10", {
       // Kirsch-Mitzenmacher positions, same arithmetic as
-      // ScaleJoins.bloomBitPositions: pos_s = (h%m + s*(2*(h//m % m)+1)) % m
+      // ScaleJoins.bloomBitPositions: pos_s = (h%m + s*(2*(h//m % m)+1)) % m, m = 2^20
       def posSql(s: Int) =
-        s"((h % 65536) + $s * (2 * ((h // 65536) % 65536) + 1)) % 65536"
+        s"((h % 1048576) + $s * (2 * ((h // 1048576) % 1048576) + 1)) % 1048576"
       val posUnion = (0 until 3)
         .map(s => s"SELECT DISTINCT ${posSql(s)} AS p FROM hvh")
         .mkString(" UNION ")
@@ -1937,7 +1937,7 @@ object RelationalQueries {
       val hv = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey").as("k")).distinct()
       val probe = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
-      val pruned = ScaleJoins.bloomPrune(hv, probe, "k", m = 65536, k = 3)
+      val pruned = ScaleJoins.bloomPrune(hv, probe, "k", m = 1 << 20, k = 3)
       val member = hv.withColumn("member", lit(1))
       val probeStats = probe.join(broadcast(member), Seq("k"), "left")
         .agg(count(lit(1)).as("n_probe"), count(col("member")).as("n_member"))
@@ -1946,7 +1946,7 @@ object RelationalQueries {
           count(col("member")).as("n_true"),
           count(when(col("member").isNull, lit(1))).as("n_false_pos"))
       val bits = hv.select(explode(array(
-          ScaleJoins.bloomBitPositions(col("k"), 65536, 3): _*)).as("p"))
+          ScaleJoins.bloomBitPositions(col("k"), 1 << 20, 3): _*)).as("p"))
         .distinct().agg(count(lit(1)).as("bits_set"))
       hv.agg(count(lit(1)).as("n_build_keys"))
         .crossJoin(broadcast(bits))
