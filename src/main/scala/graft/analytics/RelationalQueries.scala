@@ -1907,9 +1907,11 @@ object RelationalQueries {
     // ScaleJoinsSpec).
     Q("j20_bloom_prune", "J-bloom-prune,A5,F10", {
       // Kirsch-Mitzenmacher positions, same arithmetic as
-      // ScaleJoins.bloomBitPositions: pos_s = (h%m + s*(2*(h//m % m)+1)) % m, m = 2^20
+      // ScaleJoins.bloomBitPositions (m = 2^20; stride from the squared
+      // hash — see that method's doc for why squaring is load-bearing):
+      // pos_s = (h%m + s*(2*((h*h % p) % (m/2))+1)) % m
       def posSql(s: Int) =
-        s"((h % 1048576) + $s * (2 * ((h // 1048576) % 1048576) + 1)) % 1048576"
+        s"((h % 1048576) + $s * (2 * (((h * h) % 1000000007) % 524288) + 1)) % 1048576"
       val posUnion = (0 until 3)
         .map(s => s"SELECT DISTINCT ${posSql(s)} AS p FROM hvh")
         .mkString(" UNION ")

@@ -97,6 +97,35 @@ object TextQueries {
        |  JOIN sz a ON i.doc_a = a.doc_id
        |  JOIN sz b ON i.doc_b = b.doc_id)""".stripMargin
 
+  /** Shared SQL CTE chain for the 8-band MinHash LSH candidate pairs
+    * (signatures → band explode → hot-bucket cap → banding self-join):
+    * `lsh`/`lsig`/`bands`/`bands2`/`cand(doc_a, doc_b)`. Expects a CTE
+    * `t(doc_id, l)` (tokenized documents) in scope. ONE definition site
+    * for the t5 oracle (which appends the signature-agreement estimate
+    * off `lsig`) and the qa6 census — a parameter change to the banding
+    * cannot drift between them. */
+  private def lshCandCtes: String = {
+    val sig = (0 until 8).map(p => s"${TS.minhash("s", p)} AS mh$p")
+      .mkString(",\n    ")
+    val bands = (0 until 8)
+      .map(p => s"SELECT doc_id, $p AS band, mh$p AS sig FROM lsig")
+      .mkString("\n    UNION ALL ")
+    s"""lsh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
+       |lsig AS (SELECT doc_id,
+       |    $sig
+       |  FROM lsh),
+       |bands AS (
+       |    $bands),
+       |bands2 AS (SELECT doc_id, band, sig,
+       |             count(*) OVER (PARTITION BY band, sig) AS bcnt
+       |           FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands2 x JOIN bands2 y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket)""".stripMargin
+  }
+
   /** Spark twin of [[ngramCteBody]]: (doc_a, doc_b, jac) for all pairs
     * sharing ≥1 df-capped shingle. One shuffle on the shingle hash, one on
     * the pair key; the df cap bounds any single key's pair fan-out by
@@ -265,29 +294,14 @@ object TextQueries {
     // MaxBandBucket are dropped before the join (see the constant's doc) —
     // a hot minhash value never fans out quadratically.
     Q("t5_minhash_lsh", "DEDUP-minhash-lsh", {
-      val sig = (0 until 8).map(p => s"${TS.minhash("s", p)} AS mh$p").mkString(",\n    ")
-      val bands = (0 until 8).map(p => s"SELECT doc_id, $p AS band, mh$p AS sig FROM sig")
-        .mkString("\n    UNION ALL ")
       val est = (0 until 8).map(p => s"(CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
-         |sig AS (SELECT doc_id,
-         |    $sig
-         |  FROM sh),
-         |bands AS (
-         |    $bands),
-         |bands2 AS (SELECT doc_id, band, sig,
-         |             count(*) OVER (PARTITION BY band, sig) AS bcnt FROM bands),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands2 x JOIN bands2 y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-         |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket)
+         |$lshCandCtes
          |SELECT c.doc_a, c.doc_b, round(($est) / 8.0, 6) AS est_jaccard
          |FROM cand c
-         |JOIN sig a ON c.doc_a = a.doc_id
-         |JOIN sig b ON c.doc_b = b.doc_id
+         |JOIN lsig a ON c.doc_a = a.doc_id
+         |JOIN lsig b ON c.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
@@ -1258,27 +1272,9 @@ object TextQueries {
     // 100 TB this census runs on a sample shard; the arithmetic is two
     // pair-key semi-join counts over already-bucketed joins.
     Q("qa6_lsh_recall", "QA-lsh-eval,A5,A10", {
-      val sig = (0 until 8).map(p => s"${TS.minhash("s2", p)} AS mh$p")
-        .mkString(",\n    ")
-      val bands = (0 until 8)
-        .map(p => s"SELECT doc_id, $p AS band, mh$p AS sig FROM lsig")
-        .mkString("\n    UNION ALL ")
       s"""WITH $ngramCteBody,
          |exact AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
-         |lsh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s2 FROM t),
-         |lsig AS (SELECT doc_id,
-         |    $sig
-         |  FROM lsh),
-         |bands AS (
-         |    $bands),
-         |bands2 AS (SELECT doc_id, band, sig,
-         |             count(*) OVER (PARTITION BY band, sig) AS bcnt
-         |           FROM bands),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands2 x JOIN bands2 y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-         |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket),
+         |$lshCandCtes,
          |hit AS (SELECT e.doc_a FROM exact e JOIN cand c
          |        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
          |SELECT (SELECT count(*) FROM exact) AS n_exact,
@@ -1291,13 +1287,18 @@ object TextQueries {
          |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
          |    / (SELECT count(*) FROM cand) AS prec""".stripMargin
     }) { (s, dir) =>
-      val exact = ngramScored(s, dir).filter(col("jac") >= 0.2)
-        .select("doc_a", "doc_b")
+      // persist both pair frames: each feeds its own count AND the hit
+      // join — unpersisted, the expensive upstream self-joins would
+      // execute twice (measured ~2x the t7+t5 sum)
+      val exact = Caches.persistTracked(
+        ngramScored(s, dir).filter(col("jac") >= 0.2)
+          .select("doc_a", "doc_b"))
       // the candidate set IS the t5 query's result (same code path the
       // t5 oracle proves) — registry reuse, as the streaming parity
       // specs do
-      val cand = graft.SparkEntry.queries("t5_minhash_lsh")(s, dir)
-        .select("doc_a", "doc_b")
+      val cand = Caches.persistTracked(
+        graft.SparkEntry.queries("t5_minhash_lsh")(s, dir)
+          .select("doc_a", "doc_b"))
       val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))

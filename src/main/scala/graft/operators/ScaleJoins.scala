@@ -67,21 +67,22 @@ object ScaleJoins {
 
   /** Deterministic Bloom-filter position array for a key column, via
     * Kirsch–Mitzenmacher double hashing: pos_s = (h1 + s·h2) mod m with
-    * h1 = H mod m and h2 = an ODD stride derived from H's upper bits
-    * (odd ⇒ coprime to a power-of-two m ⇒ full-period strides). One
-    * polynomial hash per key; the k positions decorrelate the way
-    * independent hashes would. Prefix-seeded polynomial hashes do NOT
-    * work here: the hash is affine in the key, so same-length keys that
-    * collide under one prefix collide under every prefix and k filters
-    * degrade to one. One definition site for build and probe (and
-    * mirrored in SQL by the j20 oracle). */
+    * h1 = H mod m and h2 an ODD stride (odd ⇒ coprime to a power-of-two
+    * m ⇒ full-period strides) derived from H² mod p. The SQUARING is
+    * load-bearing: every value derived affinely from one polynomial hash
+    * (prefix-seeded variants, upper bits) repeats its collisions — two
+    * same-length keys agreeing in h1 would agree in an affine stride too,
+    * degrading k filters to one — while H² is nonlinear in the key, so
+    * colliding keys get independent strides with the full m/2 range.
+    * One polynomial hash per key; H < 2^30 so H² fits a Long exactly in
+    * both engines. One definition site for build and probe (mirrored in
+    * SQL by the j20 oracle). */
   def bloomBitPositions(key: org.apache.spark.sql.Column, m: Int,
                         k: Int): Seq[org.apache.spark.sql.Column] = {
     val h = graft.functions.TextFunctions.polyHash(
       concat(lit("bf|"), key.cast("string")))
     val h1 = pmod(h, lit(m.toLong))
-    // floor-div via double is exact here: h < 2^31 ≪ 2^53
-    val h2 = pmod(floor(h / lit(m.toLong)).cast("long"), lit(m.toLong)) * 2 + 1
+    val h2 = pmod(pmod(h * h, lit(1000000007L)), lit((m / 2).toLong)) * 2 + 1
     (0 until k).map(s => pmod(h1 + lit(s.toLong) * h2, lit(m.toLong)))
   }
 
@@ -113,6 +114,11 @@ object ScaleJoins {
   def bloomPrune(build: DataFrame, probe: DataFrame, keyCol: String,
                  m: Int = 1 << 20, k: Int = 3): DataFrame = {
     require(m > 0 && k > 0 && m % 64 == 0)
+    // NULL keys: a join never matches them, so the filter must mirror
+    // that — dropped from the build side (a NULL position would NPE the
+    // packed-word collect), and probe rows with NULL keys fail the
+    // three-way AND naturally (NULL is not true)
+    val buildKeys = build.filter(col(keyCol).isNotNull)
     // Dense bit-packed words, not a position list: membership must be an
     // O(1) element_at + bit test per hash — array_contains over a
     // position array is a linear scan and turns the probe filter into
@@ -135,7 +141,7 @@ object ScaleJoins {
     // the array as a single data row is wrong: the join concatenates the
     // 128 KB array onto every probe row — measured 16 s vs sub-second on
     // the j20 census at sf0.1.)
-    val wordRows = build
+    val wordRows = buildKeys
       .select(explode(array(bloomBitPositions(col(keyCol), m, k): _*)).as("p"))
       .distinct()
       .select(floor(col("p") / 64).cast("int").as("w"), mask(col("p")).as("b"))

@@ -253,9 +253,13 @@ class GraftTable(initialName: String, tableSchema: StructType,
   // INSERT OVERWRITE in static mode with no partition predicate),
   // group overwrite (static INSERT OVERWRITE restricted to partition
   // predicates), and dynamic-partition overwrite (replace exactly the
-  // groups the new rows land in). canOverwrite routes an inexpressible
-  // predicate back to Spark's delete-and-append fallback instead of
-  // silently overwriting the wrong rows.
+  // groups the new rows land in). canOverwrite = false makes Spark's
+  // V2Writes raise an analysis error — for OVERWRITE there is NO
+  // rewrite fallback (unlike DELETE), so an inexpressible predicate
+  // (e.g. a static PARTITION spec on a multi-column-partitioned table,
+  // which GroupPredicates doesn't evaluate) fails loudly instead of
+  // silently overwriting the wrong rows; truncate and dynamic modes
+  // remain available for such tables.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsOverwriteV2
       with SupportsDynamicOverwrite {

@@ -52,6 +52,14 @@ class ScaleJoinsSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       s"bloom prune must not join the probe side:\n$plan")
+    // NULL keys mirror join semantics: dropped on both sides, no crash
+    val buildN = Seq(Some(1L), None, Some(3L)).toDF("k")
+    val probeN = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val got = ScaleJoins.bloomPrune(buildN, probeN, "k", m = 4096, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L) && !got.contains(0L))
+    assert(ScaleJoins.bloomPrune(buildN, probeN, "k", m = 4096, k = 3)
+      .filter(col("k").isNull).count() === 0)
   }
 
   test("band join classifies by interval, leaves gaps null, streams broadcast") {

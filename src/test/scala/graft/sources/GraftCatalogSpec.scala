@@ -165,8 +165,18 @@ class GraftCatalogSpec extends SparkSpec {
       assert(after.length === 2)
       after.foreach(r => assert(untouched.contains(r),
         "dynamic overwrite must not rewrite partitions it doesn't land in"))
-      // static without a partition clause: the whole table is replaced
+      // static WITH a partition spec: only that partition is replaced
+      // (SupportsOverwriteV2 group overwrite), others stay by reference
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      val untouched2 = identitySet(table.currentRows.filter(_.getInt(1) != 2))
+      spark.sql(s"INSERT OVERWRITE $t PARTITION (part = 2) VALUES (30, 'x')")
+      assert(spark.table(t).orderBy("id").as[(Long, Int, String)].collect().toSeq
+        === Seq((1L, 1, "a"), (3L, 3, "c"), (30L, 2, "x")))
+      val after2 = table.currentRows.filter(_.getInt(1) != 2)
+      assert(after2.length === 2)
+      after2.foreach(r => assert(untouched2.contains(r),
+        "static partition overwrite must not rewrite other partitions"))
+      // static without a partition clause: the whole table is replaced
       spark.sql(s"INSERT OVERWRITE $t VALUES (9, 9, 'z')")
       assert(spark.table(t).as[(Long, Int, String)].collect().toSeq
         === Seq((9L, 9, "z")))
