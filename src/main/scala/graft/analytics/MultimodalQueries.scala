@@ -4,18 +4,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.sources.Tables
 import graft.multimodal.Multimodal
-import graft.functions.{TextSql => TS}
 
 /** Driver-verifiable slice of the multimodal plumbing: documents wrapped as
-  * binary payloads, decoded partition-locally. AUDIO payloads are real PCM
-  * WAV containers and decode through the real RIFF parser
-  * ([[graft.plans.WavHeaderExpr]]); image/video use the stub decoder. The
-  * oracle recomputes both deterministically in SQL: the stub's polynomial
-  * hash (payload = UTF-8 bytes of ASCII text, so the byte-polynomial hash
-  * equals the char-polynomial hash) and the WAV builder's encoding rules
-  * (rate/channels keyed on doc_id, data = text bytes, 44-byte header +
-  * odd-length pad) — a green row proves builder ∘ parser = identity
-  * through the whole distributed decode path.
+  * binary payloads, decoded partition-locally. All three modalities carry
+  * REAL containers — PCM WAV (audio, [[graft.plans.WavHeaderExpr]]), PNG
+  * (image, [[graft.plans.PngHeaderExpr]]), RIFF/AVI (video,
+  * [[graft.plans.AviHeaderExpr]]) — and decode through the real chunk
+  * walkers. The oracles recompute each builder's deterministic encoding
+  * rules in SQL (rate/channels/dims/frame-period keyed on doc_id, data =
+  * text bytes, exact container-size arithmetic), so a green row proves
+  * builder ∘ parser = identity through the whole distributed decode path.
   */
 object MultimodalQueries {
 
@@ -36,30 +34,44 @@ object MultimodalQueries {
   /** container size: sig(8) + IHDR(25) + IEND(12) + 12/IDAT + payload */
   private val pngLenSql = s"45 + raw_len + 12 * $nIdatSql"
 
+  /** Video (AVI fixture) encoding rules as SQL (one definition site with
+    * [[Multimodal.videoWidth]]/[[Multimodal.videoUsPerFrame]] etc.). */
+  private val vidWSql = "CAST(128 + (doc_id * 17) % 1024 AS INT)"
+  private val vidHSql = "CAST(96 + (doc_id * 23) % 1024 AS INT)"
+  private val vidUsSql =
+    """CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 33333
+      |     WHEN 1 THEN 40000 ELSE 41667 END AS INT)""".stripMargin
+  /** '00dc' frame-chunk count at the fixture's 512-byte chunking (≥1: an
+    * empty payload still writes one empty frame chunk). */
+  private val nFrameSql = "greatest(1, (raw_len + 511) // 512)"
+  /** container size: RIFF(12) + LIST hdrl(8+4+8+56=76) + LIST movi hdr(12)
+    * + 8/frame chunk + payload + final pad byte when the payload is odd
+    * (512-byte chunks are even, so only the last chunk can be odd). */
+  private val aviLenSql = s"100 + raw_len + raw_len % 2 + 8 * $nFrameSql"
+
   val all: Seq[Q] = Seq(
     Q("m1_multimodal_meta", "MM-decode", {
-      val h = TS.hash("text")
       s"""WITH m AS (
          |  SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |    strlen(text) AS raw_len, $h AS h,
+         |    strlen(text) AS raw_len,
          |    $chSql AS ch, $rateSql AS rate
          |  FROM documents)
          |SELECT doc_id, modality,
          |  CASE WHEN modality = 'audio' THEN 44 + raw_len + raw_len % 2
          |       WHEN modality = 'image' THEN $pngLenSql
-         |       ELSE raw_len END AS byte_len,
+         |       ELSE $aviLenSql END AS byte_len,
          |  CAST(CASE WHEN modality = 'image' THEN $imgWSql
-         |       WHEN modality = 'video' THEN 64 + h % 512
+         |       WHEN modality = 'video' THEN $vidWSql
          |       ELSE 0 END AS INT) AS width,
          |  CAST(CASE WHEN modality = 'image' THEN $imgHSql
-         |       WHEN modality = 'video' THEN 64 + (h // 512) % 512
+         |       WHEN modality = 'video' THEN $vidHSql
          |       ELSE 0 END AS INT) AS height,
          |  CAST(CASE WHEN modality = 'audio' THEN rate ELSE 0 END AS INT)
          |    AS sample_rate,
          |  CAST(CASE WHEN modality = 'audio' THEN raw_len // (ch * 2)
-         |       WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
+         |       WHEN modality = 'video' THEN $nFrameSql ELSE 1 END AS INT)
          |    AS n_frames
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
@@ -84,22 +96,21 @@ object MultimodalQueries {
     // while DuckDB's rounds, so the floor is explicit in both engines
     // (values are non-negative: truncation ≡ floor).
     Q("m2_resize_plan", "MM-resize-framesample", {
-      val h = TS.hash("text")
       s"""WITH m AS (
          |  SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |    $h AS h
+         |    strlen(text) AS raw_len
          |  FROM documents),
          |d AS (
          |  SELECT doc_id, modality,
          |    CAST(CASE WHEN modality = 'image' THEN $imgWSql
-         |         WHEN modality = 'video' THEN 64 + h % 512
+         |         WHEN modality = 'video' THEN $vidWSql
          |         ELSE 0 END AS INT) AS width,
          |    CAST(CASE WHEN modality = 'image' THEN $imgHSql
-         |         WHEN modality = 'video' THEN 64 + (h // 512) % 512
+         |         WHEN modality = 'video' THEN $vidHSql
          |         ELSE 0 END AS INT) AS height,
-         |    CAST(CASE WHEN modality = 'video' THEN 1 + h % 300 ELSE 1 END AS INT)
+         |    CAST(CASE WHEN modality = 'video' THEN $nFrameSql ELSE 1 END AS INT)
          |      AS n_frames
          |  FROM m),
          |p AS (
@@ -142,17 +153,16 @@ object MultimodalQueries {
     // count proportional to total asset length (the encoder-batch
     // cardinality, unavoidable by definition).
     Q("m3_chunk_plan", "MM-chunking", {
-      val h = TS.hash("text")
       s"""WITH m AS (
          |  SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |    strlen(text) AS raw_len, $h AS h, $chSql AS ch
+         |    strlen(text) AS raw_len, $chSql AS ch
          |  FROM documents),
          |u AS (
          |  SELECT doc_id, modality,
          |    CASE modality WHEN 'audio' THEN raw_len // (ch * 2)
-         |         WHEN 'video' THEN 1 + h % 300 ELSE 1 END AS n_units,
+         |         WHEN 'video' THEN $nFrameSql ELSE 1 END AS n_units,
          |    CASE modality WHEN 'audio' THEN 256
          |         WHEN 'video' THEN 30 ELSE 1 END AS chunk,
          |    CASE modality WHEN 'audio' THEN 192
@@ -258,6 +268,46 @@ object MultimodalQueries {
           col("p.idat_bytes").as("idat_bytes"),
           col("p.n_chunks").as("n_chunks"),
           (col("p.width").cast("long") * col("p.height")).as("n_pixels"))
+        .orderBy("doc_id")
+    },
+
+    // ----- direct SQL-route AVI decode: `avi_meta(payload)` — the codegen
+    // RIFF/AVI container parser over the binary asset column (signature +
+    // declared-size check + hdrl/avih walk + movi data-chunk census), the
+    // video twin of m5's wav probe and m6's png probe. The oracle restates
+    // the fixture builder's encoding rules, so a green row proves
+    // builder ∘ parser = identity across the avih header fields, the movi
+    // chunking (512-byte '00dc' frames → chunk count and summed stream
+    // bytes), and the duration arithmetic — through the distributed
+    // codegen path.
+    Q("m7_video_probe", "MM-avi-decode,F3", {
+      s"""WITH v AS (
+         |  SELECT doc_id, strlen(text) AS raw_len
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2)
+         |SELECT doc_id, $vidWSql AS width, $vidHSql AS height,
+         |  $vidUsSql AS us_per_frame,
+         |  CAST($nFrameSql AS INT) AS n_frames,
+         |  CAST(1 AS INT) AS n_streams,
+         |  CAST(raw_len AS BIGINT) AS movi_bytes,
+         |  CAST($nFrameSql AS INT) AS n_frame_chunks,
+         |  CAST($nFrameSql AS BIGINT) * $vidUsSql AS duration_us
+         |FROM v ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text")
+      media.filter(col("modality") === "video")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.aviMeta(col("payload")).as("v"))
+        .select(col("doc_id"),
+          col("v.width").as("width"), col("v.height").as("height"),
+          col("v.us_per_frame").as("us_per_frame"),
+          col("v.n_frames").as("n_frames"),
+          col("v.n_streams").as("n_streams"),
+          col("v.movi_bytes").as("movi_bytes"),
+          col("v.n_frame_chunks").as("n_frame_chunks"),
+          (col("v.n_frames").cast("long") * col("v.us_per_frame"))
+            .as("duration_us"))
         .orderBy("doc_id")
     },
 

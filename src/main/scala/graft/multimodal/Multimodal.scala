@@ -10,15 +10,17 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batches: no shuffle, no driver round-trip, codec state
   * amortized per partition.
   *
-  * AUDIO and IMAGE decode are REAL: audio payloads are PCM WAV containers
-  * parsed by [[graft.plans.WavHeaderExpr]] (SQL: `wav_meta`) and image
-  * payloads are PNG containers parsed by [[graft.plans.PngHeaderExpr]]
-  * (SQL: `png_meta`) — both native chunk walkers, bit-parity-tested on
-  * crafted headers. VIDEO decoding stays STUBBED (no demuxers in this
-  * environment): [[StubDecoder.decode]] derives deterministic fake
-  * frame counts from the payload bytes. Everything around all three —
-  * schema, partitioning, batch shape, typed Dataset plumbing — is real
-  * and tested; swapping a real video demuxer in is a one-function change.
+  * ALL THREE modalities decode through REAL container parsers: audio
+  * payloads are PCM WAV containers parsed by
+  * [[graft.plans.WavHeaderExpr]] (SQL: `wav_meta`), image payloads are
+  * PNG containers parsed by [[graft.plans.PngHeaderExpr]] (SQL:
+  * `png_meta`), and video payloads are RIFF/AVI containers parsed by
+  * [[graft.plans.AviHeaderExpr]] (SQL: `avi_meta`) — native chunk
+  * walkers, bit-parity-tested on crafted headers. Codec-level pixel /
+  * sample / bitstream decode is out of scope by design (this is the
+  * container/metadata boundary; the payload inside the container stays
+  * opaque) — [[StubDecoder]] remains only as the fallback for unknown
+  * modalities and as the fixture feature-extractor.
   */
 object Multimodal {
 
@@ -50,6 +52,18 @@ object Multimodal {
     * the parser's chunk walk is actually exercised. */
   val ImageIdatChunk = 256
 
+  /** Deterministic video encoding parameters for the fixture AVIs, keyed
+    * on doc id (mirrored in the m-query oracles): frame period cycles the
+    * common rates (30 / 25 / 24 fps), dimensions sweep on coprime
+    * strides. Frames are 512-byte movi chunks so fixture payloads span
+    * several frame chunks and the movi census is actually exercised. */
+  val VideoUsPerFrames: Seq[Int] = Seq(33333, 40000, 41667)
+  def videoUsPerFrame(docId: Long): Int =
+    VideoUsPerFrames(((docId / 3) % 3).toInt)
+  def videoWidth(docId: Long): Int = (128 + (docId * 17) % 1024).toInt
+  def videoHeight(docId: Long): Int = (96 + (docId * 23) % 1024).toInt
+  val VideoFrameChunk = 512
+
   /** Raw-bytes variant: the text's UTF-8 bytes as the payload, no
     * container — for byte-level ops (digest dedup) where the payload is
     * opaque by definition. Pure column math, no JVM boundary. */
@@ -62,12 +76,13 @@ object Multimodal {
 
   /** Wrap a text column as a binary payload with a modality tag — the
     * fixture stand-in for real media bytes. Audio rows get a REAL PCM WAV
-    * container (the raw text bytes as sample data) and image rows a REAL
-    * PNG container (the raw text bytes as the IDAT stream), so both
-    * decode paths exercise an actual header parse; video rows stay raw
-    * bytes for the stub decoder. Payload synthesis is fixture plumbing,
-    * so the partition-local map here is the WRITE-side twin of the decode
-    * boundary, not an operator shortcut. */
+    * container (the raw text bytes as sample data), image rows a REAL PNG
+    * container (the raw text bytes as the IDAT stream), and video rows a
+    * REAL RIFF/AVI container (the raw text bytes as 512-byte '00dc' frame
+    * chunks), so all three decode paths exercise an actual header parse.
+    * Payload synthesis is fixture plumbing, so the partition-local map
+    * here is the WRITE-side twin of the decode boundary, not an operator
+    * shortcut. */
   def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -87,6 +102,10 @@ object Multimodal {
               width = imageWidth(id), height = imageHeight(id),
               colorType = imageColorType(id), interlace = imageInterlace(id),
               idatChunk = ImageIdatChunk)
+          case "video" =>
+            graft.plans.AviHeaderExpr.aviBytes(raw,
+              width = videoWidth(id), height = videoHeight(id),
+              usPerFrame = videoUsPerFrame(id), frameChunk = VideoFrameChunk)
           case _ => raw
         }
         (id, payload, modality)
@@ -94,11 +113,11 @@ object Multimodal {
       .toDF("doc_id", "payload", "modality")
   }
 
-  /** STUB decoder for video: deterministic pseudo-metadata from the
-    * payload bytes. A real implementation would hand `payload` to a
-    * video demuxer here — same signature, same batch shape. (Audio and
-    * image do NOT come through here — [[decodeMeta]] routes them to the
-    * real WAV/PNG parsers.) */
+  /** STUB decoder for UNKNOWN modalities only (audio/image/video all
+    * route to the real WAV/PNG/AVI parsers in [[decodeMeta]]):
+    * deterministic pseudo-metadata from the payload bytes, plus the
+    * fixture feature-extractor standing in for a model's embedding
+    * tower. */
   object StubDecoder {
     def decode(modality: String, payload: Array[Byte]): MediaMeta = {
       var h = 0L
@@ -128,12 +147,13 @@ object Multimodal {
   /** Decode payloads partition-locally (mapPartitions = the batch loop a
     * Pandas UDF would run; one decoder instance per partition). Audio
     * rows go through the REAL RIFF/WAVE parse
-    * ([[graft.plans.WavHeaderExpr.parse]]) and image rows the REAL PNG
-    * container parse ([[graft.plans.PngHeaderExpr.parse]]) — the same
-    * static parsers the `wav_meta`/`png_meta` codegen expressions
-    * inline; a malformed container decodes to an all-zero meta (the
-    * quarantine marker a production pipeline would route to a reject
-    * sink). Video uses the stub. */
+    * ([[graft.plans.WavHeaderExpr.parse]]), image rows the REAL PNG
+    * container parse ([[graft.plans.PngHeaderExpr.parse]]), and video
+    * rows the REAL RIFF/AVI container parse
+    * ([[graft.plans.AviHeaderExpr.parse]]) — the same static parsers the
+    * `wav_meta`/`png_meta`/`avi_meta` codegen expressions inline; a
+    * malformed container decodes to an all-zero meta (the quarantine
+    * marker a production pipeline would route to a reject sink). */
   def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val withMod = media.select(
@@ -158,6 +178,14 @@ object Multimodal {
               else MediaMeta("image", payload.length.toLong,
                 width = parsed.getInt(0), height = parsed.getInt(1),
                 sampleRate = 0, nFrames = 1)
+            DecodedRow(id, meta)
+          case "video" =>
+            val parsed = graft.plans.AviHeaderExpr.parse(payload)
+            val meta =
+              if (parsed == null) MediaMeta("video", payload.length.toLong, 0, 0, 0, 0)
+              else MediaMeta("video", payload.length.toLong,
+                width = parsed.getInt(0), height = parsed.getInt(1),
+                sampleRate = 0, nFrames = parsed.getInt(3))
             DecodedRow(id, meta)
           case _ => DecodedRow(id, StubDecoder.decode(modality, payload))
         }

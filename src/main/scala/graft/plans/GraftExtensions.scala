@@ -70,5 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(PngHeaderExpr.FnName,
         "png_meta(bytes) - PNG container parse to a metadata struct"),
       (exprs: Seq[Expression]) => PngMeta(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(AviHeaderExpr.FnName),
+      info(AviHeaderExpr.FnName,
+        "avi_meta(bytes) - RIFF/AVI container parse to a metadata struct"),
+      (exprs: Seq[Expression]) => AviMeta(exprs.head)))
   }
 }

@@ -183,11 +183,16 @@ object GraftFunctions {
     // png_meta(binary): PNG container parse
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       PngHeaderExpr.FnName, exprs => PngMeta(exprs.head), "built-in")
+    // avi_meta(binary): RIFF/AVI container parse
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AviHeaderExpr.FnName, exprs => AviMeta(exprs.head), "built-in")
   }
 
   def wavMeta(c: Column): Column = call_function(WavHeaderExpr.FnName, c)
 
   def pngMeta(c: Column): Column = call_function(PngHeaderExpr.FnName, c)
+
+  def aviMeta(c: Column): Column = call_function(AviHeaderExpr.FnName, c)
 
   def vecDot(a: Column, b: Column): Column = call_function(DotName, a, b)
 

@@ -28,9 +28,15 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(wav.take(4), "US-ASCII") === "RIFF")
     assert(wav.length === 44 + 10)
     assert(new String(wav.slice(44, 54), "UTF-8") === "abcdefghij")
-    // video stays raw bytes for the stub decoder
-    assert(new String(rows(2).getAs[Array[Byte]]("payload"), "UTF-8")
-      .startsWith("a much longer"))
+    // the video payload is a REAL AVI container: RIFF/'AVI ' + hdrl/avih
+    // + movi with one 36-byte '00dc' frame chunk = 144 bytes
+    val avi = rows(2).getAs[Array[Byte]]("payload")
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    assert(avi.length === 100 + 36 + 8)
+    // frame payload sits after RIFF(12) + LIST hdrl(76) + movi hdr(12) +
+    // chunk hdr(8)
+    assert(new String(avi.slice(108, 121), "UTF-8") === "a much longer")
   }
 
   test("decode is deterministic and schema-typed; audio parses the real WAV header") {
@@ -52,6 +58,14 @@ class MultimodalSpec extends SparkSpec {
     assert(image.getAs[Int]("height") === 64)
     assert(image.getAs[Long]("byteLen") === 8 + 25 + 12 + 16 + 12)
     assert(image.getAs[Int]("nFrames") === 1)
+    // doc 2 (video): real AVI parse — dims from the builder rules
+    // (128 + 2·17 = 162 × 96 + 2·23 = 142), one 36-byte frame chunk
+    val video = decoded.filter(col("doc_id") === 2).head().getStruct(1)
+    assert(video.getAs[String]("modality") === "video")
+    assert(video.getAs[Int]("width") === 162)
+    assert(video.getAs[Int]("height") === 142)
+    assert(video.getAs[Long]("byteLen") === 144)
+    assert(video.getAs[Int]("nFrames") === 1)
     // deterministic: second run equals first
     val again = Multimodal.decodeMeta(spark, media)
     assert(decoded.except(again).count() === 0)
