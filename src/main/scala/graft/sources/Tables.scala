@@ -22,17 +22,25 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = apply(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = apply(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench/Sessions) it arrives as a long of epoch-nanos, which we
-    * convert to a microsecond TimestampType — the same µs values DuckDB
-    * produces when it reads the file. */
+  /** `events.ts` normalization: the harness has shipped the column as
+    * TIMESTAMP(NANOS) (which Spark can only read via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as a long of
+    * epoch-nanos) and as a plain µs TIMESTAMP with isAdjustedToUTC=false
+    * (arriving as TIMESTAMP_NTZ). Both normalize to the session-zone µs
+    * TimestampType every downstream query and the streaming twins use —
+    * sessions run in UTC, so the NTZ→LTZ cast reproduces exactly the µs
+    * instants DuckDB reads from the same file. */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = apply(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")

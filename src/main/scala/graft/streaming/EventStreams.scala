@@ -25,25 +25,31 @@ object EventStreams {
 
   final case class OpenSession(start: Long, end: Long, n: Long, v: Double)
 
-  /** Raw parquet schema of events after nanos-as-long. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream over events parquet data (schema must be explicit
-    * for streaming reads), with the ns→µs timestamp conversion.
+  /** File-source stream over events parquet data. A streaming read needs
+    * an explicit schema, so the files' actual schema is probed with a
+    * metadata-only batch read — the harness has shipped `events.ts` both
+    * as TIMESTAMP(NANOS) (which `nanosAsLong` surfaces as a LongType of
+    * epoch-nanos) and as a plain µs TIMESTAMP, and the stream adapts
+    * exactly like the batch-side `Tables.events` does: convert only when
+    * the column arrives as a long.
     *
     * `path` must point at event part-files only — a single file, a glob, or
     * a directory containing nothing but event parquet. Globbing a mixed
     * table directory would resolve every non-event file's columns to NULL
-    * under this schema. For the harness layout use [[readEventTable]]. */
+    * under one schema. For the harness layout use [[readEventTable]]. */
   def readEventStream(spark: SparkSession, path: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(rawSchema)
+    val fileSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(path)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming twin of `Tables.events`: streams `$dir/events.parquet` from
