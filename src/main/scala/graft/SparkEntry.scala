@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CurationQueries, MultimodalQueries, Q, RelationalQueries, TextQueries, VectorQueries}
+import graft.analytics.{CurationQueries, MultimodalQueries, PipelineQueries, Q, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,7 +9,7 @@ object SparkEntry {
   /** Every registered query (SURVEY §2 inventory + training-data ops). */
   def registry: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      CurationQueries.all ++ MultimodalQueries.all
+      CurationQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join measure — scan, 4 joins (broadcast dims), agg, sort. */

@@ -1,0 +1,269 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.DimBuild
+import graft.pipeline.{BronzeToSilver, SilverToGold}
+import graft.sources.Tables
+
+/** The COMPOSED E1 lifecycle under the cross-engine oracle: one query that
+  * drives a bronze-shaped feed through the real operator chain —
+  * `Cleaning → Dedup → BronzeToSilver entity extracts →
+  * DimBuild.surrogateKey(HashKeys) → SilverToGold.fact` — and proves the
+  * resulting gold fact against a DuckDB restatement of the ENTIRE
+  * derivation (reference: Notebooks/Automated_Silver_to_Gold.Notebook/
+  * notebook-content.py:202-227 composed with Batch_Bronze_to_Silver
+  * notebook-content.py:55-104). Every piece is individually oracle-proven
+  * elsewhere (p4/d1/f4/f7/f8/f9/w1/j10); this row proves the COMPOSITION:
+  * a mis-wiring between any two stages (dedup before cleaning, dims from
+  * the cleaned instead of raw feed, a surrogate-key drift) breaks the
+  * hash.
+  *
+  * Bronze synthesis: the harness has no AQS feed, so a bronze-shaped
+  * projection is derived from `lineitem` with every column a
+  * DETERMINISTIC function of either the lineitem row (for the
+  * cleaning-gate columns, which act before dedup) or the measurement's
+  * natural key + tiebreak (for every column the dedup KEEPS — so
+  * tiebreak ties are harmless: tied rows are identical in all surviving
+  * columns, and both engines' arbitrary tie winner yields the same
+  * output). The projection deliberately manufactures the reference
+  * feed's dirt: untrimmed/off-list pollutant standards, invalid rows,
+  * NULL metrics, and exact natural-key duplicates.
+  *
+  * Scale shape: the fact is assembled in ONE pass over the measurement
+  * table — the dedup's key shuffle is the only wide exchange; all four
+  * dims broadcast (SilverToGold.fact), the surrogate keys are the
+  * layout-independent xxhash64 mode (no global window anywhere), and the
+  * key-joined dim re-resolution at the end is four more broadcast joins.
+  * The oracle verifies the surrogate-key route by CONSEQUENCE: fact rows
+  * reach their dim attributes only through the hash keys, so a key
+  * collision or drift changes group counts and breaks the hash compare
+  * (w16 proves key stability directly; this proves it composed).
+  */
+object PipelineQueries {
+
+  /** Pollutant standard per parameter code (all on the silver keep-list,
+    * model/Schemas.keptStandards — one definition site for Spark + SQL). */
+  private val paramStd: Seq[(String, String, String, String)] = Seq(
+    // (code, name, unit, standard)
+    ("88101", "PM2.5 - Local Conditions", "Micrograms/cubic meter (LC)", "PM25 24-hour 2024"),
+    ("44201", "Ozone", "Parts per million", "Ozone 8-hour 2015"),
+    ("42602", "Nitrogen dioxide (NO2)", "Parts per billion", "NO2 1-hour 2010"),
+    ("81102", "PM10 Total 0-10um STP", "Micrograms/cubic meter (25 C)", "PM10 24-hour 2006"),
+    ("42401", "Sulfur dioxide", "Parts per billion", "SO2 1-hour 2010"))
+
+  /** Bronze-shaped projection of lineitem (see object doc). Spark side of
+    * the one-definition-site pair with [[bronzeSql]]. */
+  def bronzeFromLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val base = li.select(
+      lpad((lit(1) + col("l_suppkey") % 50).cast("string"), 2, "0").as("state_code"),
+      lpad((lit(1) + col("l_partkey") % 9).cast("string"), 3, "0").as("county_code"),
+      lpad((lit(1) + col("l_partkey") % 4).cast("string"), 4, "0").as("site_number"),
+      element_at(array(paramStd.map(p => lit(p._1)): _*),
+        (col("l_linenumber") % 5).cast("int") + 1).as("parameter_code"),
+      (lit(1) + col("l_linenumber") % 2).cast("int").as("poc"),
+      col("l_shipdate").cast("date").as("date_local"),
+      date_add(col("l_shipdate").cast("date"),
+        (col("l_orderkey") % 7).cast("int")).as("date_of_last_change"),
+      (lit(1) + col("l_orderkey") % 24).cast("int").as("observation_count"),
+      col("l_orderkey"))
+    // k: a mixing value over the natural key + tiebreak — every column the
+    // dedup keeps derives from k, so any tiebreak-tied rows are identical
+    val withK = base.withColumn("k",
+      col("state_code").cast("int") * 31 + col("county_code").cast("int") * 17 +
+        col("site_number").cast("int") * 13 + col("parameter_code").cast("int") % 1000 +
+        col("poc") * 7 + dayofmonth(col("date_local")) * 3 +
+        month(col("date_local")) * 5 + year(col("date_local")) +
+        col("observation_count") * 11 + dayofmonth(col("date_of_last_change")))
+    val std = element_at(array(paramStd.map(p => lit(p._4)): _*),
+      when(col("parameter_code") === "88101", 1)
+        .when(col("parameter_code") === "44201", 2)
+        .when(col("parameter_code") === "42602", 3)
+        .when(col("parameter_code") === "81102", 4).otherwise(5))
+    withK.select(
+      col("state_code"), col("county_code"), col("site_number"),
+      col("parameter_code"), col("poc"), col("date_local"),
+      col("date_of_last_change"), col("observation_count"),
+      // cleaning-gate columns: functions of the raw lineitem row (they
+      // act BEFORE dedup, so key-dependence is not required)
+      when(col("l_orderkey") % 25 === 0, concat(lit(" "), std, lit(" ")))
+        .when(col("l_orderkey") % 25 === 1, lit("Obsolete 1987 std"))
+        .otherwise(std).as("pollutant_standard"),
+      when(col("l_orderkey") % 20 === 0, "N").otherwise("Y")
+        .as("validity_indicator"),
+      // kept columns: functions of k (key + tiebreak)
+      when(col("k") % 30 === 0, lit(null).cast("int"))
+        .otherwise((col("k") * 37 % 350).cast("int")).as("aqi"),
+      when(col("k") % 23 === 0, lit(null).cast("double"))
+        .otherwise((col("k") * 53 % 8000).cast("double") / 100)
+        .as("arithmetic_mean"),
+      ((col("k") * 29 % 10000).cast("double") / 100).as("first_max_value"),
+      (col("k") % 24).cast("int").as("first_max_hour"),
+      (lit(50) + col("k") % 51).cast("double").as("observation_percent"),
+      element_at(array(lit("118"), lit("087"), lit("074")),
+        (col("k") % 3).cast("int") + 1).as("method_code"),
+      lit("None").as("event_type"),
+      lit("24 HOUR").as("sample_duration"),
+      // dim attributes: functions of their own dim's natural key, so the
+      // entity-extract dedups are winner-independent
+      element_at(array(paramStd.map(p => lit(p._2)): _*),
+        when(col("parameter_code") === "88101", 1)
+          .when(col("parameter_code") === "44201", 2)
+          .when(col("parameter_code") === "42602", 3)
+          .when(col("parameter_code") === "81102", 4).otherwise(5))
+        .as("parameter"),
+      element_at(array(paramStd.map(p => lit(p._3)): _*),
+        when(col("parameter_code") === "88101", 1)
+          .when(col("parameter_code") === "44201", 2)
+          .when(col("parameter_code") === "42602", 3)
+          .when(col("parameter_code") === "81102", 4).otherwise(5))
+        .as("units_of_measure"),
+      element_at(array(lit("R & P Model 2025"), lit("INSTRUMENTAL - UV"),
+        lit("INSTRUMENTAL - CHEM")), (col("k") % 3).cast("int") + 1)
+        .as("method"),
+      concat(lit("Site "), col("site_number")).as("local_site_name"),
+      concat(col("county_code"), lit(" Main St")).as("site_address"),
+      concat(lit("City"), col("county_code")).as("city"),
+      concat(lit("County "), col("county_code")).as("county"),
+      concat(lit("State "), col("state_code")).as("state"),
+      (col("state_code").cast("int").cast("double") + 0.5).as("latitude"),
+      (col("county_code").cast("int").cast("double") - 100.25).as("longitude"),
+      when((col("county_code").cast("int") + col("site_number").cast("int")) % 5 === 0,
+        lit(null).cast("string"))
+        .otherwise(concat(lit("1"), col("state_code"), lit("20"))).as("cbsa_code"),
+      when((col("county_code").cast("int") + col("site_number").cast("int")) % 5 === 0,
+        lit(null).cast("string"))
+        .otherwise(concat(lit("Metro "), col("state_code"))).as("cbsa"),
+      lit("WGS84").as("datum"))
+  }
+
+  /** Oracle twin of [[bronzeFromLineitem]] ∘ cleaning ∘ dedup, as DuckDB
+    * CTEs (only the columns the gold aggregate consumes). */
+  private def measSql: String = {
+    val stdCase = paramStd.map(p => s"WHEN '${p._1}' THEN '${p._4}'")
+      .mkString("CASE parameter_code ", " ", " END")
+    val nameCase = paramStd.map(p => s"WHEN '${p._1}' THEN '${p._2}'")
+      .mkString("CASE parameter_code ", " ", " END")
+    s"""bronze AS (
+       |  SELECT
+       |    lpad(CAST(1 + l_suppkey % 50 AS VARCHAR), 2, '0') AS state_code,
+       |    lpad(CAST(1 + l_partkey % 9 AS VARCHAR), 3, '0') AS county_code,
+       |    lpad(CAST(1 + l_partkey % 4 AS VARCHAR), 4, '0') AS site_number,
+       |    CASE CAST(l_linenumber % 5 AS INT)
+       |      WHEN 0 THEN '88101' WHEN 1 THEN '44201' WHEN 2 THEN '42602'
+       |      WHEN 3 THEN '81102' ELSE '42401' END AS parameter_code,
+       |    CAST(1 + l_linenumber % 2 AS INT) AS poc,
+       |    CAST(l_shipdate AS DATE) AS date_local,
+       |    CAST(l_shipdate AS DATE) + CAST(l_orderkey % 7 AS INT)
+       |      AS date_of_last_change,
+       |    CAST(1 + l_orderkey % 24 AS INT) AS observation_count,
+       |    l_orderkey
+       |  FROM lineitem),
+       |b2 AS (
+       |  SELECT *,
+       |    CAST(state_code AS INT)*31 + CAST(county_code AS INT)*17 +
+       |    CAST(site_number AS INT)*13 + CAST(parameter_code AS INT) % 1000 +
+       |    poc*7 + day(date_local)*3 + month(date_local)*5 + year(date_local) +
+       |    observation_count*11 + day(date_of_last_change) AS k,
+       |    $stdCase AS std
+       |  FROM bronze),
+       |b3 AS (
+       |  SELECT state_code, county_code, site_number, parameter_code, poc,
+       |    date_local, date_of_last_change, observation_count,
+       |    CASE WHEN l_orderkey % 25 = 0 THEN ' ' || std || ' '
+       |         WHEN l_orderkey % 25 = 1 THEN 'Obsolete 1987 std'
+       |         ELSE std END AS pollutant_standard,
+       |    CASE WHEN l_orderkey % 20 = 0 THEN 'N' ELSE 'Y' END
+       |      AS validity_indicator,
+       |    CASE WHEN k % 30 = 0 THEN NULL
+       |         ELSE CAST((k*37) % 350 AS INT) END AS aqi,
+       |    CASE WHEN k % 23 = 0 THEN NULL
+       |         ELSE CAST((k*53) % 8000 AS DOUBLE) / 100 END AS arithmetic_mean,
+       |    CASE CAST(k % 3 AS INT) WHEN 0 THEN '118' WHEN 1 THEN '087'
+       |         ELSE '074' END AS method_code,
+       |    $nameCase AS parameter_name
+       |  FROM b2),
+       |cleaned AS (
+       |  SELECT * FROM b3
+       |  WHERE trim(pollutant_standard) IN
+       |      (${graft.model.Schemas.keptStandards.map(s => s"'$s'").mkString(", ")})
+       |    AND validity_indicator = 'Y'
+       |    AND arithmetic_mean IS NOT NULL AND aqi IS NOT NULL),
+       |meas AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY state_code, county_code, site_number,
+       |                   parameter_code, poc, date_local
+       |      ORDER BY date_of_last_change, observation_count) AS rn
+       |    FROM cleaned) WHERE rn = 1)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("g1_gold_fact",
+      "E1,P4-P6,F1-F10,D1,W1,W2,J1-J7,J10,A1-A8", {
+      def inList(cs: Seq[String]) = cs.map(c => s"'$c'").mkString(", ")
+      s"""WITH $measSql
+         |SELECT CAST(year(date_local) AS INT) AS year,
+         |  CASE WHEN state_code IN (${inList(DimBuild.northeast)}) THEN 'Northeast'
+         |       WHEN state_code IN (${inList(DimBuild.midwest)}) THEN 'Midwest'
+         |       WHEN state_code IN (${inList(DimBuild.south)}) THEN 'South'
+         |       WHEN state_code IN (${inList(DimBuild.west)}) THEN 'West'
+         |       ELSE 'Unknown' END AS region,
+         |  parameter_name,
+         |  CASE WHEN parameter_code IN
+         |      (${inList(graft.model.Schemas.particulateCodes)})
+         |    THEN 'Particulate Matter' ELSE 'Gas' END AS category,
+         |  CASE WHEN aqi <= 50 THEN 'Good'
+         |       WHEN aqi <= 100 THEN 'Moderate'
+         |       WHEN aqi <= 150 THEN 'Unhealthy for Sensitive Groups'
+         |       WHEN aqi <= 200 THEN 'Unhealthy'
+         |       WHEN aqi <= 300 THEN 'Very Unhealthy'
+         |       ELSE 'Hazardous' END AS aqi_category,
+         |  count(*) AS n_meas,
+         |  count(DISTINCT state_code || '|' || county_code || '|' || site_number)
+         |    AS n_sites,
+         |  count(DISTINCT method_code) AS n_methods,
+         |  CAST(sum(CASE WHEN aqi > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exceed,
+         |  ${Exact.sqlSum("arithmetic_mean")} AS mean_sum,
+         |  max(aqi) AS max_aqi,
+         |  CAST(sum(observation_count) AS BIGINT) AS n_obs,
+         |  max(CAST(state_code AS INT) * 100000 + 7) AS max_pop
+         |FROM meas
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    }) { (s, dir) =>
+      val bronze = bronzeFromLineitem(s, dir)
+      val silver = BronzeToSilver(bronze)
+      val population = bronze.select(col("state_code")).distinct()
+        .withColumn("population",
+          (col("state_code").cast("int") * 100000 + 7).cast("int"))
+      val gold = SilverToGold(silver, population, DimBuild.HashKeys)
+      // re-resolve every dim attribute THROUGH the surrogate keys: the
+      // only path from a fact row to `year`/`region`/`parameter_name` is
+      // its hash key, so a key collision or drift breaks the hash compare
+      gold.fact
+        .join(broadcast(gold.dimDate.select(col("date_key"), col("year"))),
+          Seq("date_key"))
+        .join(broadcast(gold.dimLocation.select(
+          col("location_key"), col("region"), col("population"))),
+          Seq("location_key"))
+        .join(broadcast(gold.dimParameter.select(
+          col("parameter_key"), col("parameter_name"), col("category"))),
+          Seq("parameter_key"))
+        .join(broadcast(gold.dimMethod.select(col("method_key"))),
+          Seq("method_key"))
+        .groupBy("year", "region", "parameter_name", "category", "aqi_category")
+        .agg(
+          count(lit(1)).as("n_meas"),
+          countDistinct(col("location_key")).as("n_sites"),
+          countDistinct(col("method_key")).as("n_methods"),
+          sum(when(col("exceeds_standard"), 1L).otherwise(0L)).as("n_exceed"),
+          Exact.dsum(col("arithmetic_mean")).as("mean_sum"),
+          max(col("aqi")).as("max_aqi"),
+          sum(col("observation_count").cast("long")).as("n_obs"),
+          max(col("population")).as("max_pop"))
+        .orderBy("year", "region", "parameter_name", "category", "aqi_category")
+    })
+}
