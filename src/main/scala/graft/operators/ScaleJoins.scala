@@ -111,6 +111,53 @@ object ScaleJoins {
     * @param k      hash count
     * @return probe rows whose key passes the filter (all true matches
     *         survive — no false negatives, ever) */
+  /** Standard Bloom sizing from a build-side cardinality and a
+    * false-positive budget: ideal bits m* = -n·ln p / ln²2 rounded UP to a
+    * power of two (the Kirsch–Mitzenmacher stride is odd, so full-period
+    * coverage needs m coprime to every odd stride — guaranteed by 2^j),
+    * k = round(m/n · ln 2) clamped to [1, 8]. Rounding m up to 2^j only
+    * LOWERS the realized FP rate below the budget; the cap keeps the
+    * broadcast bitmap ≤ maxBits/8 bytes (2 MB at the 2^24 default) — past
+    * the cap the realized rate degrades above budget, which the caller
+    * accepts by capping (the filter stays correct: zero false negatives
+    * at ANY size). Driver-side sizing math, so ln is fine here (the
+    * no-ln rule guards cross-engine row values, not plan constants). */
+  def bloomAutoParams(n: Long, fpBudget: Double,
+                      maxBits: Int = 1 << 24): (Int, Int) = {
+    require(fpBudget > 0 && fpBudget < 1, "fpBudget must be in (0, 1)")
+    require(maxBits >= 64 && (maxBits & (maxBits - 1)) == 0,
+      "maxBits must be a power of two >= 64")
+    val nn = math.max(1L, n)
+    val ideal = -nn * math.log(fpBudget) / (math.log(2) * math.log(2))
+    var m = 64
+    while (m < ideal && m < maxBits) m <<= 1
+    val k = math.max(1, math.min(8,
+      math.round(m.toDouble / nn * math.log(2)).toInt))
+    (m, k)
+  }
+
+  /** Realized false-positive rate of an (m, k) filter holding n keys:
+    * (1 - e^{-kn/m})^k — the classic approximation, exposed so specs and
+    * capacity planners can budget-check a census against theory. */
+  def bloomTheoreticalFp(n: Long, m: Int, k: Int): Double =
+    math.pow(1 - math.exp(-k.toDouble * n / m), k.toDouble)
+
+  /** [[bloomPrune]] with (m, k) derived from the ACTUAL build-side
+    * distinct-key count against an FP budget, instead of a caller's
+    * guess. The count is one extra pass over the build side's key column
+    * — the build side is the SMALL side of a pruning join by definition,
+    * and the count's plan is a column-pruned scan + partial-agg collapse,
+    * so at 100 TB this costs one metadata-cheap pass over the dimension,
+    * not the fact. */
+  def bloomPruneAuto(build: DataFrame, probe: DataFrame, keyCol: String,
+                     fpBudget: Double = 0.01,
+                     maxBits: Int = 1 << 24): DataFrame = {
+    val n = build.filter(col(keyCol).isNotNull)
+      .select(keyCol).distinct().count()
+    val (m, k) = bloomAutoParams(n, fpBudget, maxBits)
+    bloomPrune(build, probe, keyCol, m, k)
+  }
+
   def bloomPrune(build: DataFrame, probe: DataFrame, keyCol: String,
                  m: Int = 1 << 20, k: Int = 3): DataFrame = {
     require(m > 0 && k > 0 && m % 64 == 0)

@@ -62,6 +62,45 @@ class ScaleJoinsSpec extends SparkSpec {
       .filter(col("k").isNull).count() === 0)
   }
 
+  test("auto-sized bloom meets its FP budget within 2x of theory") {
+    // sizing math: power-of-two m, budget-consistent k
+    val (m1, k1) = ScaleJoins.bloomAutoParams(1000, 0.01)
+    assert((m1 & (m1 - 1)) === 0 && m1 >= 64)
+    assert(ScaleJoins.bloomTheoreticalFp(1000, m1, k1) <= 0.01)
+    // the cap binds for huge n — degraded rate, never an over-sized bitmap
+    val (m2, _) = ScaleJoins.bloomAutoParams(100000000L, 0.01, maxBits = 1 << 20)
+    assert(m2 === (1 << 20))
+    // n = 0 still yields a legal filter
+    val (m0, k0) = ScaleJoins.bloomAutoParams(0, 0.01)
+    assert(m0 >= 64 && k0 >= 1)
+
+    // exact FP census: 2k member keys, 50k-key probe domain. The measured
+    // false-positive rate over ~50k distinct non-members must sit within
+    // 2x of (1 - e^{-kn/m})^k — at these sizes that is ~25 expected FPs
+    // with a 2x margin ≈ 5 sigma: a real distribution check on the
+    // double-hashing scheme, not a smoke test.
+    val n = 2000
+    val build = (0 until n).map(i => (i * 7919L) % 1000003L).toDF("k")
+    val members = build.collect().map(_.getLong(0)).toSet
+    val probeKeys = (0 until 50000).map(_.toLong * 13L % 1000003L).distinct
+    val probe = probeKeys.toDF("k")
+    val fpBudget = 0.01
+    val pruned = ScaleJoins.bloomPruneAuto(build, probe, "k", fpBudget)
+      .collect().map(_.getLong(0))
+    // zero false negatives: every member in the probe domain survives
+    val trueMatches = probeKeys.filter(members.contains)
+    assert(pruned.count(members.contains) === trueMatches.length)
+    val nonMembers = probeKeys.count(!members.contains(_))
+    val falsePos = pruned.count(!members.contains(_))
+    val (m, k) = ScaleJoins.bloomAutoParams(n.toLong, fpBudget)
+    val theory = ScaleJoins.bloomTheoreticalFp(n.toLong, m, k)
+    assert(theory <= fpBudget)
+    val measured = falsePos.toDouble / nonMembers
+    assert(measured <= 2 * theory,
+      s"measured FP rate $measured vs theoretical $theory (m=$m k=$k, " +
+        s"$falsePos/$nonMembers)")
+  }
+
   test("band join classifies by interval, leaves gaps null, streams broadcast") {
     val bands = Seq(("low", 0.0, 10.0), ("high", 20.0, 30.0)).toDF("band", "lo", "hi")
     val facts = Seq(0.0, 5.0, 9.999, 10.0, 15.0, 20.0, 29.9, 42.0).toDF("v")
