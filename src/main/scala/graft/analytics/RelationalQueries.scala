@@ -1697,6 +1697,43 @@ object RelationalQueries {
       s.table("graft_cat.ns.s29_target").orderBy("k")
     },
 
+    // ----- SQL schema evolution on the DSv2 catalog: the reference's
+    // Delta `overwriteSchema` (Batch_Bronze_to_Silver
+    // notebook-content.py:200) as a real `ALTER TABLE ADD COLUMNS` —
+    // create from the pre-1995 snapshot (two columns), evolve the schema,
+    // append post-1995 rows carrying the new column. The evolved-schema
+    // scan must read every pre-evolution row with NULL in the added
+    // column; the oracle restates the whole history as a UNION-BY-NAME of
+    // the two snapshot shapes. A lost pad, a positional misalignment, or
+    // an eager default would all break the hash.
+    Q("s30_schema_evolution", "S-schema-evolution,S4,S5",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        |    CAST(NULL AS VARCHAR) AS priority
+        |  FROM orders WHERE year(o_orderdate) < 1995),
+        |new AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        |    o_orderpriority AS priority
+        |  FROM orders WHERE year(o_orderdate) >= 1995)
+        |SELECT * FROM old UNION ALL SELECT * FROM new
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.s30_target")
+      val orders = Tables.orders(s, dir)
+      orders.filter(year(col("o_orderdate")) < 1995)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+        .writeTo("graft_cat.ns.s30_target").create()
+      s.sql("ALTER TABLE graft_cat.ns.s30_target ADD COLUMNS (priority STRING)")
+      orders.filter(year(col("o_orderdate")) >= 1995)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          col("o_orderpriority").as("priority"))
+        .writeTo("graft_cat.ns.s30_target").append()
+      s.table("graft_cat.ns.s30_target").orderBy("k")
+    },
+
     // ----- S7 write-side twin: CSV sink + header/schema read-back round
     // trip. CSV is the reference's dummy-gold interchange format (S7 reads
     // it with header promotion + explicit typing); this proves the WRITE

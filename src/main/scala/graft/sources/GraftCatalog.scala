@@ -98,8 +98,17 @@ class GraftCatalog extends TableCatalog {
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** `ALTER TABLE ... ADD COLUMNS` — the schema-evolution route the
+    * reference reaches via Delta's `overwriteSchema`
+    * (Notebooks/Batch_Bronze_to_Silver.Notebook/notebook-content.py:200):
+    * new nullable columns append to the schema and every pre-evolution
+    * row reads NULL in them. Other change kinds are rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTableStore.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    t.applyChanges(changes)
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftTableStore.tables.remove(key(ident)).isDefined
@@ -137,15 +146,62 @@ object GraftTableStore {
   * exactly the scanned groups — untouched partitions' stored rows are
   * carried over by reference, never rewritten. That is the delta-sized
   * rewrite a real COW table format does per file/partition. */
-class GraftTable(initialName: String, tableSchema: StructType,
+class GraftTable(initialName: String, initialSchema: StructType,
                  val partitionCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2 {
 
+  // evolves under ADD COLUMNS (append-only, so the partition ordinals
+  // below stay valid for the table's whole life)
+  @volatile private var tableSchema: StructType = initialSchema
+
   private val partOrdinals: Seq[Int] =
-    partitionCols.map(tableSchema.fieldIndex)
+    partitionCols.map(initialSchema.fieldIndex)
   private val partTypes: Seq[DataType] =
-    partOrdinals.map(tableSchema.fields(_).dataType)
+    partOrdinals.map(initialSchema.fields(_).dataType)
+
+  /** Schema evolution: nullable columns APPENDED to the schema; stored
+    * pre-evolution rows are padded with NULLs under the same lock the
+    * commit callbacks take (a real table format serves the fill at read
+    * time from its transaction log — an in-JVM row store materializes it
+    * once at alter time, same observable semantics). Append-only keeps
+    * every partition ordinal and in-flight writer's row width valid;
+    * anything else (drops, renames, type changes, positioned adds) is
+    * rejected loudly rather than silently corrupting stored rows. */
+  private[sources] def applyChanges(changes: Seq[TableChange]): Unit =
+    synchronized {
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              "only top-level ADD COLUMNS is supported")
+          val name = add.fieldNames.head
+          if (tableSchema.fieldNames.exists(_.equalsIgnoreCase(name)))
+            throw new IllegalArgumentException(s"column $name already exists")
+          if (!add.isNullable)
+            throw new UnsupportedOperationException(
+              s"added column $name must be nullable: existing rows read NULL")
+          if (add.position != null)
+            throw new UnsupportedOperationException(
+              "added columns append at the end (no FIRST/AFTER)")
+          val oldFields = tableSchema.fields
+          tableSchema = StructType(oldFields :+
+            org.apache.spark.sql.types.StructField(name, add.dataType,
+              nullable = true))
+          rows = rows.map { r =>
+            val vals = new Array[Any](oldFields.length + 1)
+            var i = 0
+            while (i < oldFields.length) {
+              vals(i) = r.get(i, oldFields(i).dataType); i += 1
+            }
+            // vals(old length) stays null: pre-evolution rows read NULL
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              vals): InternalRow
+          }
+        case other => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
+    }
 
   /** Partition-group key of a stored row (values of the identity
     * partition columns, in declaration order). */

@@ -197,4 +197,57 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().toSeq
     assert(got === Seq((1L, "A"), (1L, "A"), (2L, "b")))
   }
+
+  test("ALTER TABLE ADD COLUMNS: old rows read NULL, new rows carry values") {
+    val t = freshTable("t_evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)")
+    // evolved schema visible immediately; pre-evolution rows pad NULL
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 1.5)")
+    val got = spark.table(t).orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(1.5))))
+    // the evolved column participates in row-level ops like any other
+    spark.sql(s"UPDATE $t SET score = 9.0 WHERE id = 1")
+    assert(spark.table(t).filter($"id" === 1).as[(Long, String, Option[Double])]
+      .head()._3 === Some(9.0))
+    // multiple adds in one statement append in order
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING, rank INT)")
+    assert(spark.table(t).schema.fieldNames.toSeq ===
+      Seq("id", "v", "score", "tag", "rank"))
+    assert(spark.table(t).filter($"tag".isNotNull || $"rank".isNotNull)
+      .count() === 0)
+  }
+
+  test("ALTER TABLE on a partitioned table keeps partition ops intact") {
+    val t = freshTable("t_evolve_part")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, pr STRING) PARTITIONED BY (pr)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'a', 'n3')")
+    // metadata-only partition delete still sees the right groups
+    spark.sql(s"DELETE FROM $t WHERE pr = 'b'")
+    val got = spark.table(t).orderBy("id")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (3L, "a", Some("n3"))))
+  }
+
+  test("ALTER TABLE rejects what the store cannot honor") {
+    val t = freshTable("t_evolve_bad")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    // non-nullable add: existing rows cannot read NULL in it
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (must STRING NOT NULL)"))
+    // positioned add: only appends are supported
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (early STRING FIRST)"))
+    // duplicate name
+    intercept[Exception](spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)"))
+    // unsupported change kind
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN v"))
+    // the failed statements must not have corrupted the table
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(spark.table(t).count() === 1)
+  }
 }
