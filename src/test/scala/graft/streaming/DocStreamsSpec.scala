@@ -185,6 +185,87 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming recall census: a replayed feed recovers exactly the cross-batch LSH candidates") {
+    // qa6's exact-census methodology applied to the STREAMING probe path:
+    // replay the whole sf0.001 corpus through the self-maintaining cycle
+    // in 4 arrival batches, then compare the accumulated pair table
+    // against the batch t5 candidate set and the exact (jaccard ≥ 0.2)
+    // ground truth. The streaming cycle probes each batch against the
+    // pre-batch index, so its reachable pair universe is exactly the
+    // CROSS-batch candidates — equality there, plus an exact recall
+    // number against the cross-batch slice of the ground truth, is the
+    // evaluation a production stream runs before trusting its banding.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // guard: no band bucket in this corpus exceeds the hot cap — under
+    // it, neither the batch formulation's global cap nor the stream's
+    // per-batch cap ever drops a bucket, so the two pair universes are
+    // comparable EXACTLY (a capped bucket would make equality depend on
+    // cap timing, batch-local vs global)
+    import graft.functions.{TextFunctions => TF}
+    val maxBucket = docs
+      .select(posexplode(TF.minhashes(TF.shingles(TF.tokens(col("text")), 3), 8)))
+      .filter(col("col").isNotNull)
+      .groupBy("pos", "col").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(maxBucket <= graft.analytics.TextQueries.MaxBandBucket,
+      s"corpus grew a hot bucket ($maxBucket) — census equality needs the cap-free regime")
+
+    val feedDir = tmpDir("census-feed") + "/data"
+    val nBatches = 4
+    val batchOf = pmod(col("doc_id"), lit(nBatches))
+    // the file source needs the path to exist: land batch 0 before start
+    docs.filter(batchOf === 0).coalesce(1).write.parquet(feedDir)
+    val q = DocStreams.dedupWithIndexMaintenance(spark,
+      DocStreams.readDocStream(spark, feedDir),
+      pairsTable = "census_pairs", indexTable = "census_index")
+    try {
+      q.processAllAvailable()
+      for (b <- 1 until nBatches) {
+        docs.filter(batchOf === b).coalesce(1)
+          .write.mode("append").parquet(feedDir)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("census_pairs")
+        .select(least(col("new_doc"), col("index_doc")).as("doc_a"),
+          greatest(col("new_doc"), col("index_doc")).as("doc_b"))
+        .distinct().as[(Long, Long)].collect().sorted.toSeq
+      // batch candidates (t5's oracle-proven set), restricted cross-batch
+      val cand = graft.SparkEntry.queries("t5_minhash_lsh")(spark, dir)
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSeq
+      graft.analytics.Caches.release()
+      val crossCand = cand.filter { case (a, b) =>
+        a % nBatches != b % nBatches }.sorted
+      assert(streamed === crossCand,
+        "streamed pair set must equal the cross-batch slice of the batch candidates")
+      // exact ground truth at the 0.2 dedup threshold (t7 semantics)
+      val exact = graft.SparkEntry.queries("t7_ngram_jaccard")(spark, dir)
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+      graft.analytics.Caches.release()
+      val exactCross = exact.filter { case (a, b) =>
+        a % nBatches != b % nBatches }
+      assert(exactCross.nonEmpty, "census needs cross-batch true pairs")
+      val streamedSet = streamed.toSet
+      val hit = exactCross.count(streamedSet.contains)
+      val recall = hit.toDouble / exactCross.size
+      info(f"streaming census: ${exactCross.size} cross-batch exact pairs, " +
+        f"${streamed.size} streamed candidates, $hit hit, recall $recall%.3f")
+      // the stream must recover exactly what the batch banding recovers
+      // on its reachable (cross-batch) universe — no streaming-side loss
+      val candSet = cand.toSet
+      assert(hit === exactCross.count(candSet.contains),
+        "streaming recall must equal batch banding recall on cross-batch pairs")
+      assert(recall > 0.0)
+    } finally {
+      q.stop()
+      for (t <- Seq("census_pairs", "census_index",
+        "census_pairs__staging", "census_index__staging"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("probe estimate agrees with the batch t24 formulation on the corpus") {
     // identical inputs through the streaming operators in BATCH mode (the
     // transformations are mode-agnostic DataFrame programs): bandIndex on
