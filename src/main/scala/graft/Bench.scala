@@ -1,6 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** The bench regression gate's pure math, extracted so the
+  * canary-vs-uniform-regression separation is SPEC-TESTABLE without an
+  * 8-minute bench run (BenchGateSpec): a run whose queries all slowed
+  * uniformly while the canary stayed flat must flag regressions; the
+  * same run with the canary slowed alongside reads as a slow host and
+  * must not. */
+object BenchGate {
+  /** Host factor: canary billed/baseline when a canary baseline exists
+    * (the registry-independent signal), else the median billed/baseline
+    * ratio; clamped ≥ 1 so a fast host never shrinks the thresholds. */
+  def hostFactor(canaryBilled: Double, prevCanary: Option[Double],
+                 ratioMedian: Double): Double = prevCanary match {
+    case Some(cb) if cb > 0 => math.max(1.0, canaryBilled / cb)
+    case _ => math.max(1.0, ratioMedian)
+  }
+
+  /** Median billed/baseline ratio over queries present in both runs
+    * (9999-sentinel failures excluded), clamped ≥ 1. */
+  def ratioMedian(billed: Map[String, Double],
+                  prev: Map[String, Double]): Double = {
+    val ratios = billed.toSeq.flatMap { case (k, b) =>
+      prev.get(k).collect { case p if b < 9000 && p < 9000 && p > 0 => b / p }
+    }.sorted
+    if (ratios.isEmpty) 1.0
+    else math.max(1.0, if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+    else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+  }
+
+  /** Queries >1.5× their host-scaled baseline AND >0.3 s absolute over
+    * it — worst slowdown first. */
+  def regressions(billed: Map[String, Double], prev: Map[String, Double],
+                  hostFactor: Double): Seq[(String, (Double, Double))] =
+    billed.toSeq.collect {
+      case (k, b) if b < 9000 && prev.get(k).exists(p =>
+        p < 9000 && b > p * hostFactor * 1.5 && b - p * hostFactor > 0.3) =>
+        k -> (prev(k), b)
+    }.sortBy { case (_, (p, b)) => p - b }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,6 +59,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.registerAll(spark)
+    // Registry-independent host-speed canary: fixed CPU+shuffle work with
+    // EXPLICIT partitioning at the RDD layer — deliberately outside Spark
+    // SQL, so no conf (shuffle.partitions, AQE, codegen flags) and no
+    // registry change can move it: only the host can. 32M hash+mixes fan
+    // into a 16→16 reduceByKey — ~0.5 s steady-state, enough work to
+    // dominate scheduling jitter while costing ~1% of a bench pass.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(0L until 32000000L, 16)
+        .map(i => ((i * 2654435761L) & 1023L, i * 31L + (i >>> 7)))
+        .reduceByKey(_ + _, 16)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
     def timeOne(tag: String, name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
@@ -39,6 +93,7 @@ object Bench {
     // then measures steady-state execution, as a long-lived cluster would
     // see. Warmup timings ARE emitted (see below) so a host stall during
     // the driver's run is diagnosable from the artifact alone.
+    canaryOnce() // JIT warmup for the canary path too
     val warmup = SparkEntry.queries.map { case (name, fn) =>
       name -> timeOne("warmup", name, fn)
     }
@@ -53,12 +108,15 @@ object Bench {
     // "failed" — a transient failure can't hide behind another pass's
     // min, and failures are machine-visible, not stderr-only.
     val timedPasses = 3
+    val canaries = Array.fill(timedPasses)(0.0)
     val passResults: Seq[Map[String, (Double, Boolean)]] =
       (1 to timedPasses).map { p =>
+        canaries(p - 1) = canaryOnce() // one host sample per pass
         SparkEntry.queries.map { case (name, fn) =>
           name -> timeOne(s"timed$p", name, fn)
         }
       }
+    val canaryBilled = canaries.min
     val results = SparkEntry.queries.map { case (name, _) =>
       val runs = passResults.map(_(name))
       val billed = if (runs.forall(_._2)) runs.map(_._1).min else 9999.0
@@ -108,29 +166,24 @@ object Bench {
       } else Map.empty
     // Host-speed normalization: the baseline keeps per-query minima, so a
     // uniformly slower host (observed 1.4-1.6x in noisy windows) would
-    // flag most of the registry as "regressed" when nothing changed. The
-    // median billed/baseline ratio measures that uniform factor — a real
-    // regression is a query that is slow RELATIVE TO the rest of this
-    // run, so the gate scales its thresholds by the median (clamped ≥1:
-    // a fast host must not shrink the thresholds). The factor is emitted
-    // so a reader can separate "host was slow" from "query got slow".
-    // Known blind spot, by construction: a change that slows EVERY query
-    // uniformly (a global config regression) is indistinguishable from a
-    // slow host inside one run — it surfaces as host_factor > ~1.2 with
-    // an empty regressions list, and ProfileQuery on a quiet host is the
-    // disambiguator.
-    val ratios = results.toSeq.flatMap { case (k, (b, _)) =>
-      prev.get(k).collect { case p if b < 9000 && p < 9000 && p > 0 => b / p }
-    }.sorted
+    // flag most of the registry as "regressed" when nothing changed.
+    // PRIMARY signal: the canary — fixed work outside Spark SQL, so its
+    // billed/baseline ratio moves ONLY with host speed; a config or code
+    // regression that slows every query uniformly leaves the canary flat
+    // and now DOES surface as regressions (this closes the blind spot the
+    // median-ratio gate had: median-of-ratios cannot distinguish "host
+    // slow" from "everything got slower"). The median billed/baseline
+    // ratio is still computed and emitted (ratio_median) as a
+    // cross-check — canary ≈ 1 with median ≫ 1 reads "uniform
+    // regression", both ≫ 1 reads "slow host". Fallback to the median
+    // when no canary baseline exists yet (first run after this change).
+    // Clamped ≥1: a fast host must not shrink the thresholds.
+    val billedMap = results.map { case (k, (b, _)) => k -> b }
+    val ratioMedian = BenchGate.ratioMedian(billedMap, prev)
+    val canaryKey = "__canary"
     val hostFactor =
-      if (ratios.isEmpty) 1.0
-      else math.max(1.0, if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
-    val regressions = results.toSeq.collect {
-      case (k, (b, _)) if b < 9000 && prev.get(k).exists(p =>
-        p < 9000 && b > p * hostFactor * 1.5 && b - p * hostFactor > 0.3) =>
-        k -> (prev(k), b)
-    }.sortBy { case (_, (p, b)) => p - b } // worst (largest slowdown) first
+      BenchGate.hostFactor(canaryBilled, prev.get(canaryKey), ratioMedian)
+    val regressions = BenchGate.regressions(billedMap, prev, hostFactor)
     val regJson = regressions.map { case (k, (p, b)) =>
       "\"" + k + ":" + f3(p) + "->" + f3(b) + "\""
     }.mkString("[", ",", "]")
@@ -150,9 +203,14 @@ object Bench {
         if (best < 9000) Some(k -> best) else None
       }
       val carried = prev.toSeq.collect {
-        case (k, v) if !results.contains(k) && v < 9000 => k -> v
+        case (k, v) if !results.contains(k) && k != canaryKey && v < 9000 =>
+          k -> v
       }
-      (updated ++ carried).sortBy(_._1).map { case (k, v) => k -> f3(v) }
+      // the canary baseline min-merges like any query's
+      val canaryBest = canaryKey ->
+        math.min(canaryBilled, prev.getOrElse(canaryKey, Double.MaxValue))
+      (updated ++ carried :+ canaryBest).sortBy(_._1)
+        .map { case (k, v) => k -> f3(v) }
     }
     Files.writeString(histFile, sfDir + "\n" + jmap(nextBaseline) + "\n")
     // Two JSON lines, diagnostics FIRST and the contract line LAST: the
@@ -168,7 +226,7 @@ object Bench {
     // always over ALL queries.
     def contractLine(qmap: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"regressions":$regJson,"host_factor":${f3(hostFactor)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"regressions":$regJson,"host_factor":${f3(hostFactor)},"canary":${f3(canaryBilled)},"ratio_median":${f3(ratioMedian)},"sf":"$sfDir"}"""
     }
     val bySlowest = results.toSeq.map { case (k, (b, _)) => (k, b) }.sortBy(-_._2)
     var keep = bySlowest.length
