@@ -52,6 +52,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("g1's composed gold build broadcasts every dim and never sort-merges") {
+    // the one-pass fact-assembly contract: the measurement table reaches
+    // the fact through broadcast dim joins only — a dim that decayed to a
+    // SortMergeJoin would shuffle the fact five times at 100 TB
+    val p = plan("g1_gold_fact")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins in the gold fact plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join decayed to sort-merge in the gold fact plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("column pruning reaches the scan for a narrow projection") {
     // j13 reads exactly one column of part; a scan fetching more columns
     // than the projection needs would read 100 TB to use 2 TB
