@@ -22,15 +22,26 @@ object BronzeToSilver {
       measurement: DataFrame, site: DataFrame, adminArea: DataFrame,
       parameter: DataFrame, method: DataFrame, cbsa: DataFrame)
 
+  /** Columns the silver measurement keeps (reference's select list). */
+  private val measurementCols = Seq(
+    "state_code", "county_code", "site_number", "parameter_code",
+    "poc", "date_local", "arithmetic_mean", "first_max_value",
+    "first_max_hour", "aqi", "observation_count", "observation_percent",
+    "method_code", "event_type", "sample_duration")
+
   def measurement(bronze: DataFrame): DataFrame = {
     val cleaned = Cleaning.validityFilter(
       Cleaning.typeConform(Cleaning.cleanStandard(bronze)))
-    Dedup.deterministic(cleaned, Schemas.measurementKey,
+    // project to kept + tiebreak columns BEFORE the dedup: the window's
+    // exchange otherwise drags every bronze column (site names,
+    // addresses, unit strings — over half the feed's bytes) through the
+    // shuffle and sort just to drop them on the far side. Same rows,
+    // same columns out; at 100 TB this halves the dominant exchange.
+    val narrowed = cleaned.select(
+      (measurementCols :+ "date_of_last_change").map(col): _*)
+    Dedup.deterministic(narrowed, Schemas.measurementKey,
       tiebreak = Seq("date_of_last_change", "observation_count"))
-      .select("state_code", "county_code", "site_number", "parameter_code",
-        "poc", "date_local", "arithmetic_mean", "first_max_value",
-        "first_max_hour", "aqi", "observation_count", "observation_percent",
-        "method_code", "event_type", "sample_duration")
+      .select(measurementCols.head, measurementCols.tail: _*)
   }
 
   def site(bronze: DataFrame): DataFrame =
