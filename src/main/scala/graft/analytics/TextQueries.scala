@@ -72,6 +72,32 @@ object TextQueries {
   val CmsDepth = 4
   val CmsWidth = 1024
 
+  /** t36 HyperLogLog geometry: 256 registers over an 8-bit bucket split
+    * of the 30-bit poly hash (22 remaining bits → register values 1..23,
+    * empty bucket = 0 ≙ harmonic term 2^23). Nominal error 1.04/√256 ≈
+    * 6.5%. `HllAlpha` is α₂₅₆ = 0.7213/(1 + 1.079/256) rounded to one
+    * shared literal — BOTH engines multiply the identical exact-integer
+    * quotient by the identical constant, so the estimate hash-matches.
+    * `HllPow39` = 256² · 2^23 (the scaled m² numerator), exact in a
+    * double. Both are strings: interpolated verbatim into the oracle SQL
+    * and parsed to the identical double on the Spark side. */
+  val HllBuckets = 256
+  val HllAlpha = "0.718272"
+  val HllPow39 = "549755813888.0"
+
+  /** Small-range (linear counting) correction table: m·ln(m/V) for every
+    * possible empty-register count V ∈ 1..256, as 4-decimal literals. The
+    * standard HLL algorithm needs ln here — banned per-row cross-engine
+    * (engines disagree in ln's last ulp), but V is a bounded INTEGER, so
+    * the ln runs once at plan build on the driver (a plan constant, like
+    * the bloom sizing math) and both engines look up the IDENTICAL
+    * literal. Index 0 is a never-used placeholder (the correction only
+    * applies when V > 0). */
+  val HllLcTable: IndexedSeq[String] = (0 to HllBuckets).map { v =>
+    if (v == 0) "0.0"
+    else f"${HllBuckets * math.log(HllBuckets.toDouble / v)}%.4f"
+  }
+
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
@@ -991,6 +1017,97 @@ object TextQueries {
           (minEst - col("true_n")).cast("bigint").as("overcount"),
           (minEst >= col("true_n")).as("sound"))
         .orderBy(col("true_n").desc, col("term"))
+    },
+
+    // ----- HyperLogLog distinct-count sketch, exactly cross-engine: the
+    // cardinality member of the sketch trio (t35 count-min = frequency,
+    // w14 top-k = heavy hitters). HLL is normally "approximate", but with
+    // a FIXED hash it is a deterministic function of the input: bucket =
+    // poly_hash('hll|'‖term) mod 256, register = leading-zero rank of the
+    // remaining 22 hash bits via an integer CASE ladder (no log2 — floats
+    // diverge cross-engine, integers never), and the harmonic sum is kept
+    // EXACT by scaling: Σ 2^(23−r) over all 256 registers is a BIGINT
+    // (≤ 2^31), so both engines divide the identical integers and the
+    // single float op (× α₂₅₆, one shared literal) lands on the identical
+    // double. The standard small-range correction (V empty registers →
+    // linear counting m·ln(m/V)) applies through a 257-entry literal
+    // table (see HllLcTable: ln runs once at plan build, never per row).
+    // Per source: exact distinct count (the expensive thing the sketch
+    // replaces — at 100 TB it runs only as this census), the
+    // 256-register estimate, its regime, and the relative error. Scale
+    // shape: the
+    // register table is a map-side-combinable MAX over raw token
+    // occurrences — no distinct shuffle at all on the sketch path; what
+    // crosses the wire is ≤ sources × 256 rows, and sketches merge by
+    // register-wise max (union-able across shards by construction).
+    Q("t36_hll_distinct", "SKETCH-hll,A6,A10", {
+      val regCase = (21 to 0 by -1)
+        .map(b => s"WHEN rem >= ${1L << b} THEN ${22 - b}")
+        .mkString("CASE ", " ", " ELSE 23 END")
+      val lcList = HllLcTable.mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |h AS (SELECT source, ${TS.hash("'hll|' || term")} AS hv FROM tok),
+         |rb AS (SELECT source, hv % $HllBuckets AS bucket,
+         |         hv // $HllBuckets AS rem FROM h),
+         |rr AS (SELECT source, bucket, max($regCase) AS r
+         |       FROM rb GROUP BY 1, 2),
+         |s AS (SELECT source, count(*) AS n_hit,
+         |        CAST($HllBuckets - count(*) AS INT) AS v,
+         |        SUM(1::BIGINT << (23 - r))
+         |          + ($HllBuckets - count(*)) * (1::BIGINT << 23) AS ss
+         |      FROM rr GROUP BY source),
+         |e AS (SELECT source, n_hit, v,
+         |        round($HllAlpha * ($HllPow39 / ss), 4) AS raw_est
+         |      FROM s),
+         |f AS (SELECT source, n_hit,
+         |        CASE WHEN v > 0 AND raw_est <= ${5 * HllBuckets / 2}
+         |             THEN 'linear' ELSE 'raw' END AS regime,
+         |        CASE WHEN v > 0 AND raw_est <= ${5 * HllBuckets / 2}
+         |             THEN $lcList[v + 1] ELSE raw_est END AS hll_est
+         |      FROM e),
+         |x AS (SELECT source, count(DISTINCT term) AS n_exact
+         |      FROM tok GROUP BY source)
+         |SELECT x.source, x.n_exact, f.n_hit, f.regime, f.hll_est,
+         |  round(f.hll_est / x.n_exact - 1, 4) AS rel_err
+         |FROM x JOIN f USING (source) ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      // one token explode feeds both the register build and the exact
+      // yardstick — persist it (unpersisted, the explode runs twice)
+      val toks = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("source"), explode(TF.tokens(col("text"))).as("term")))
+      val rb = toks.select(col("source"),
+          TF.polyHash(concat(lit("hll|"), col("term"))).as("hv"))
+        .select(col("source"),
+          (col("hv") % HllBuckets).cast("int").as("bucket"),
+          expr(s"hv DIV $HllBuckets").as("rem"))
+      // integer leading-zero ladder — the Spark twin of the oracle's CASE
+      val reg = (20 to 0 by -1).foldLeft(
+          when(col("rem") >= (1L << 21), 1)) { (c, b) =>
+          c.when(col("rem") >= (1L << b), 22 - b)
+        }.otherwise(23)
+      val regs = rb.groupBy("source", "bucket").agg(max(reg).as("r"))
+      val sums = regs.groupBy("source").agg(
+        count(lit(1)).as("n_hit"),
+        (lit(HllBuckets) - count(lit(1))).cast("int").as("v"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(23 - r AS INT))"))
+          + (lit(HllBuckets) - count(lit(1))) * (1L << 23)).as("ss"))
+      val rawEst = round(
+        lit(HllAlpha.toDouble) * (lit(HllPow39.toDouble) / col("ss")), 4)
+      val inLinear = col("v") > 0 && rawEst <= lit(5 * HllBuckets / 2)
+      val est = when(inLinear,
+        element_at(typedlit(HllLcTable.map(_.toDouble)), col("v") + 1))
+        .otherwise(rawEst)
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("term")).as("n_exact"))
+      exact.join(broadcast(sums), Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_hit"),
+          when(inLinear, "linear").otherwise("raw").as("regime"),
+          est.as("hll_est"),
+          round(est / col("n_exact") - 1, 4).as("rel_err"))
+        .orderBy("source")
     },
 
     // ----- benchmark decontamination: corpus docs sharing any 4-gram
