@@ -1734,6 +1734,94 @@ object RelationalQueries {
       s.table("graft_cat.ns.s30_target").orderBy("k")
     },
 
+    // ----- Z-order clustering + zone-map skip census: the lakehouse
+    // layout optimizer (Delta OPTIMIZE ZORDER, which the reference's
+    // platform runs under the hood) as an explicit, oracle-proven
+    // operator. Rows are quantized to 16 order-preserving bins per
+    // dimension, bits interleaved into a Morton code, and "files" laid
+    // out along the curve; each file's min/max zone map then prunes a
+    // 2-D box query. The census compares z-order against an x-sorted
+    // linear layout over the SAME rows: the linear layout's files span
+    // the full y range (its y zone maps are useless), the z-order
+    // layout's files cover rectangles — fewer files scanned for the same
+    // exact answer. All bins/codes/zone maps are exact integer
+    // arithmetic, so layout and census hash-match cross-engine; the
+    // physical-layout twin (real partitioned files whose per-file stats
+    // equal this zone map, skipped reads losing no rows) is pinned in
+    // ZOrderSpec. At 100 TB this decides whether a selective scan reads
+    // 2 files or 2000.
+    Q("s31_zorder_skipping", "S-zorder,S8,A5", {
+      import graft.operators.ZOrder
+      val bx = ZOrder.bin16Sql("x", "minx", "maxx")
+      val byy = ZOrder.bin16Sql("y", "miny", "maxy")
+      s"""WITH pts AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+         |mm AS (SELECT min(x) AS minx, max(x) AS maxx,
+         |              min(y) AS miny, max(y) AS maxy FROM pts),
+         |b AS (SELECT $bx AS bx, $byy AS byy FROM pts, mm),
+         |z AS (SELECT bx, byy, ${ZOrder.mortonSql("bx", "byy")} // 16 AS fz,
+         |        bx AS fl,
+         |        CASE WHEN bx BETWEEN 4 AND 5 AND byy BETWEEN 4 AND 5
+         |             THEN 1 ELSE 0 END AS m
+         |      FROM b),
+         |u AS (SELECT 'zorder' AS layout, fz AS f, count(*) AS nr,
+         |        min(bx) AS minbx, max(bx) AS maxbx,
+         |        min(byy) AS minby, max(byy) AS maxby, sum(m) AS mt
+         |      FROM z GROUP BY 2
+         |      UNION ALL
+         |      SELECT 'linear', fl, count(*), min(bx), max(bx),
+         |        min(byy), max(byy), sum(m)
+         |      FROM z GROUP BY 2),
+         |c AS (SELECT layout, nr, mt,
+         |        NOT (maxbx < 4 OR minbx > 5 OR maxby < 4 OR minby > 5)
+         |          AS scanned
+         |      FROM u)
+         |SELECT layout, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS files_scanned,
+         |  CAST(sum(CASE WHEN scanned THEN nr ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned,
+         |  CAST(sum(mt) AS BIGINT) AS n_match,
+         |  round(CAST(sum(CASE WHEN scanned THEN nr ELSE 0 END) AS DOUBLE)
+         |    / sum(nr), 6) AS scan_fraction
+         |FROM c GROUP BY layout ORDER BY layout""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.ZOrder
+      val pts = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val mm = pts.agg(min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"))
+      val z = pts.crossJoin(broadcast(mm))
+        .select(ZOrder.bin16(col("x"), col("minx"), col("maxx")).as("bx"),
+          ZOrder.bin16(col("y"), col("miny"), col("maxy")).as("byy"))
+        .select(col("bx"), col("byy"),
+          ZOrder.morton(col("bx"), col("byy")).as("zv"))
+        .select(col("bx"), col("byy"),
+          expr("zv DIV 16").as("fz"), col("bx").as("fl"),
+          when(col("bx").between(4, 5) && col("byy").between(4, 5), 1L)
+            .otherwise(0L).as("m"))
+      def census(fileCol: String, label: String) =
+        z.groupBy(col(fileCol).as("f"))
+          .agg(count(lit(1)).as("nr"),
+            min("bx").as("minbx"), max("bx").as("maxbx"),
+            min("byy").as("minby"), max("byy").as("maxby"),
+            sum("m").as("mt"))
+          .withColumn("scanned",
+            !(col("maxbx") < 4 || col("minbx") > 5 ||
+              col("maxby") < 4 || col("minby") > 5))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+            sum(when(col("scanned"), col("nr")).otherwise(0L))
+              .as("rows_scanned"),
+            sum(col("mt")).as("n_match"),
+            round(sum(when(col("scanned"), col("nr")).otherwise(0L))
+              .cast("double") / sum(col("nr")), 6).as("scan_fraction"))
+          .select(lit(label).as("layout"), col("n_files"),
+            col("files_scanned"), col("rows_scanned"), col("n_match"),
+            col("scan_fraction"))
+      census("fz", "zorder").unionByName(census("fl", "linear"))
+        .orderBy("layout")
+    },
+
     // ----- S7 write-side twin: CSV sink + header/schema read-back round
     // trip. CSV is the reference's dummy-gold interchange format (S7 reads
     // it with header promotion + explicit typing); this proves the WRITE
