@@ -71,6 +71,23 @@ class GraftCatalog extends TableCatalog {
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** Time travel (`SELECT ... FROM t VERSION AS OF n`): version n is the
+    * table state after its n-th commit (0 = the empty just-created
+    * table) — the Delta transaction-log read path the reference gets
+    * from its platform, served from the table's own snapshot history.
+    * Snapshots are O(1) to retain: every commit already replaces the row
+    * array wholesale (copy-on-write), so history holds references, never
+    * copies. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = GraftTableStore.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"version must be an integer commit number, got '$version'")
+    }
+    t.snapshotAt(v, ident)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -201,6 +218,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
+      snap() // schema evolution is a commit too
     }
 
   /** Partition-group key of a stored row (values of the identity
@@ -211,6 +229,25 @@ class GraftTable(initialName: String, initialSchema: StructType,
   @volatile private var tableName: String = initialName
   @volatile private var rows: Array[InternalRow] = Array.empty
 
+  /** Commit history for time travel: (schema, rows) AFTER each commit,
+    * index 0 = the empty just-created table. Row arrays are copy-on-write
+    * everywhere (every install builds a new array), so entries hold
+    * references — a snapshot costs one Vector cell, not a data copy. */
+  @volatile private var history: Vector[(StructType, Array[InternalRow])] =
+    Vector((initialSchema, Array.empty))
+  private def snap(): Unit = history = history :+ ((tableSchema, rows))
+
+  /** Read-only view of commit `v` (see GraftCatalog.loadTable(_, version)). */
+  private[sources] def snapshotAt(
+      v: Int, ident: Identifier): GraftSnapshotTable = {
+    val h = history
+    if (v < 0 || v >= h.length)
+      throw new IllegalArgumentException(
+        s"$ident has no version $v (versions 0..${h.length - 1})")
+    val (schema, rs) = h(v)
+    new GraftSnapshotTable(s"$tableName@v$v", schema, rs)
+  }
+
   def currentRows: Array[InternalRow] = rows
 
   // Commit callbacks run driver-side but possibly from concurrent query
@@ -220,9 +257,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
   // "atomic swap" hold under concurrent writers; readers stay lock-free
   // (volatile read of an immutable array).
   private[sources] def installAppend(delivered: Array[InternalRow]): Unit =
-    synchronized { rows = rows ++ delivered }
+    synchronized { rows = rows ++ delivered; snap() }
   private[sources] def installReplace(delivered: Array[InternalRow]): Unit =
-    synchronized { rows = delivered }
+    synchronized { rows = delivered; snap() }
 
   /** Row-level (COW) commit: replace exactly the `touched` partition
     * groups with the delivered post-operation contents; rows of untouched
@@ -236,6 +273,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       case Some(groups) =>
         rows.filterNot(r => groups.contains(groupKeyOf(r))) ++ delivered
     }
+    snap()
   }
 
   /** INSERT OVERWRITE of specific partition groups (static mode with a
@@ -243,6 +281,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installOverwriteGroups(delivered: Array[InternalRow],
       keys: Set[Seq[Any]]): Unit = synchronized {
     rows = rows.filterNot(r => keys.contains(groupKeyOf(r))) ++ delivered
+    snap()
   }
 
   /** Dynamic-partition INSERT OVERWRITE: replace exactly the groups the
@@ -253,6 +292,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       delivered: Array[InternalRow]): Unit = synchronized {
     val touched = delivered.map(groupKeyOf).toSet
     rows = rows.filterNot(r => touched.contains(groupKeyOf(r))) ++ delivered
+    snap()
   }
 
   // ---- metadata-only DELETE ------------------------------------------
@@ -280,6 +320,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
             "routed this to the row-level rewrite"))
       rows = rows.filterNot(r => keys.contains(groupKeyOf(r)))
     }
+    snap()
   }
 
   /** Catalog RENAME support: the same object keeps its rows and in-flight
@@ -614,3 +655,18 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType])
 
 case class GraftRowsMessage(rows: Array[InternalRow])
     extends WriterCommitMessage
+
+/** Frozen read-only view of one commit in a [[GraftTable]]'s history —
+  * what `VERSION AS OF n` resolves to. Pruned reads reuse the live
+  * table's scan builder; there is no write surface at all, so a DML
+  * statement against a snapshot fails at analysis. */
+class GraftSnapshotTable(snapName: String, snapSchema: StructType,
+                         snapRows: Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = snapName
+  override def schema(): StructType = snapSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(snapSchema, () => snapRows)
+}

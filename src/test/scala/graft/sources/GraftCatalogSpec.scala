@@ -233,6 +233,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got === Seq((1L, "a", None), (3L, "a", Some("n3"))))
   }
 
+  test("VERSION AS OF serves every commit's snapshot, old schema included") {
+    val t = freshTable("t_tt")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()       // v1 (v0 empty)
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")             // v2
+    spark.sql(s"UPDATE $t SET v = 'A' WHERE id = 1")         // v3
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)")  // v4
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 1.5)")        // v5
+    def at(v: Int) = spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
+    assert(at(0).count() === 0)
+    assert(at(1).as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    assert(at(2).orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(at(3).orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "A"), (2L, "b")))
+    // pre-evolution versions keep the OLD schema; post-evolution pads
+    assert(at(3).schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(at(4).schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(at(5).orderBy("id").as[(Long, String, Option[Double])]
+      .collect().toSeq ===
+      Seq((1L, "A", None), (2L, "b", None), (3L, "c", Some(1.5))))
+    // current read ≡ latest version; out-of-range fails loudly
+    assert(spark.table(t).orderBy("id").collect().toSeq ===
+      at(5).orderBy("id").collect().toSeq)
+    intercept[Exception](at(6).collect())
+    // history survives further writes unchanged (snapshots are frozen)
+    spark.sql(s"DELETE FROM $t WHERE id = 1")                // v6
+    assert(at(1).as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+
   test("ALTER TABLE rejects what the store cannot honor") {
     val t = freshTable("t_evolve_bad")
     Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
