@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -38,14 +39,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * file-level COW. That is the reference's semantics (Delta MERGE is also
   * a COW file rewrite) at both granularities.
   *
-  * Storage is an in-JVM row store: this catalog is the SQL-route ADAPTER,
-  * sized for the dim/changelog tables MERGE targets in this pipeline —
-  * data-plane writes stream through per-task [[DataWriter]]s and only the
-  * commit messages carry rows to the driver (the same shape Spark's own
-  * in-memory test catalog uses). A production deployment backs the same
-  * Table/RowLevelOperation surface with a real file format; the scale path
-  * for fact-sized merges remains the operator route, whose plans are
-  * oracle- and shape-verified (s11/s19).
+  * Storage is an in-JVM row store organized as DATA FILES: every writer
+  * task's commit message becomes one [[GraftDataFile]] (split per
+  * partition group when the table is partitioned), each carrying per-
+  * column min/max/null-count ZONE MAPS computed at commit time. The scan
+  * ([[GraftScanBuilder]]) implements `SupportsPushDownFilters` and prunes
+  * whole files against those zone maps before a row is read — the Delta
+  * data-skipping path the reference's platform provides
+  * (Notebooks/Batch_Bronze_to_Silver.Notebook/notebook-content.py:200
+  * writes Delta), served natively. The scan also reports statistics
+  * (`SupportsReportStatistics`), so Catalyst auto-broadcasts dim-sized
+  * catalog tables without hints. This catalog is the SQL-route ADAPTER,
+  * sized for the dim/changelog tables MERGE targets in this pipeline;
+  * a production deployment backs the same Table/Scan surface with a real
+  * file format; the scale path for fact-sized merges remains the operator
+  * route, whose plans are oracle- and shape-verified (s11/s19).
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -75,9 +83,12 @@ class GraftCatalog extends TableCatalog {
     * table state after its n-th commit (0 = the empty just-created
     * table) — the Delta transaction-log read path the reference gets
     * from its platform, served from the table's own snapshot history.
-    * Snapshots are O(1) to retain: every commit already replaces the row
-    * array wholesale (copy-on-write), so history holds references, never
-    * copies. */
+    * Snapshots hold file references, never copies (every commit already
+    * replaces the file vector wholesale — copy-on-write); retention is
+    * bounded by [[GraftTable.historyRetention]] so long-running writers
+    * (e.g. one commit per streaming micro-batch) cannot leak the
+    * superseded arrays forever — reads of retired versions fail loudly,
+    * mirroring Delta's log retention. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = GraftTableStore.tables.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
@@ -86,6 +97,17 @@ class GraftCatalog extends TableCatalog {
         s"version must be an integer commit number, got '$version'")
     }
     t.snapshotAt(v, ident)
+  }
+
+  /** Time travel by wall clock (`TIMESTAMP AS OF ts`): resolves to the
+    * LATEST commit whose timestamp is <= the requested instant (Delta's
+    * contract — "the state the table had at that moment"), in
+    * microseconds since the epoch as Spark's resolver hands it over.
+    * A timestamp before the earliest retained commit fails loudly. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = GraftTableStore.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    t.snapshotAsOf(timestamp, ident)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -151,8 +173,127 @@ object GraftTableStore {
   val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
 }
 
+/** Commit-timestamp source for time travel, replaceable in tests so
+  * TIMESTAMP AS OF resolution is deterministic under spec control.
+  * Production default: wall clock in microseconds (the unit Spark's
+  * time-travel resolver uses). [[GraftTable]] additionally enforces
+  * strictly increasing commit timestamps per table, so two commits in
+  * the same microsecond still resolve unambiguously. */
+object GraftClock {
+  @volatile var nowMicros: () => Long = () => System.currentTimeMillis() * 1000L
+}
+
+/** Per-column zone-map entry of one data file: min/max over the file's
+  * non-null values (both null when every value is null) plus the null
+  * count. min/max hold CATALYST-internal values (UTF8String, Int days,
+  * Long micros, Decimal ...), all of which are Comparable — the same
+  * representation the rows store, so zone tests never convert per row. */
+final case class ColZone(min: Any, max: Any, nullCount: Long)
+
+/** One immutable data file of a [[GraftTable]]: the rows one writer task
+  * delivered in one commit (split per partition group on partitioned
+  * tables), plus the file-level statistics a real table format keeps in
+  * its transaction log — per-column zone maps for data skipping, a byte
+  * size for `SupportsReportStatistics`, and the partition-group key when
+  * the whole file belongs to a single identity partition (which lets
+  * partition deletes/overwrites drop whole files by reference). */
+final class GraftDataFile(
+    val rows: Array[InternalRow],
+    val zones: Array[ColZone], // index = schema ordinal; null = no stats
+    val sizeBytes: Long,
+    val groupKey: Option[Seq[Any]]) {
+  def rowCount: Int = rows.length
+}
+
+object GraftDataFile {
+
+  /** Types whose internal values are Comparable and whose pushed-filter
+    * literals convert losslessly — the zone-map-eligible set. Binary,
+    * arrays, maps and structs get no zones (files always scan). */
+  def statsSupported(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Build a file over `rows`, computing zone maps + size in one pass.
+    * `keyOf` (partitioned tables) detects a uniform partition-group key,
+    * enabling file-level partition drops. */
+  def build(rows: Array[InternalRow], schema: StructType,
+            keyOf: Option[InternalRow => Seq[Any]]): GraftDataFile = {
+    val n = schema.length
+    val mins = new Array[Any](n)
+    val maxs = new Array[Any](n)
+    val nulls = new Array[Long](n)
+    val supported = schema.fields.map(f => statsSupported(f.dataType))
+    val dts = schema.fields.map(_.dataType)
+    var size = 0L
+    val defaultRowSize = schema.defaultSize.toLong
+    var ri = 0
+    while (ri < rows.length) {
+      val r = rows(ri)
+      r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          size += u.getSizeInBytes.toLong
+        case _ => size += defaultRowSize
+      }
+      var i = 0
+      while (i < n) {
+        if (supported(i)) {
+          // rows may be WIDER than the captured schema mid-evolution
+          // (files publish before the widened schema) — never narrower
+          if (r.isNullAt(i)) nulls(i) += 1
+          else {
+            val v = r.get(i, dts(i))
+            if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+            if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+          }
+        }
+        i += 1
+      }
+      ri += 1
+    }
+    val zones = Array.tabulate(n) { i =>
+      if (supported(i)) ColZone(mins(i), maxs(i), nulls(i)) else null
+    }
+    val gk = keyOf.flatMap { f =>
+      if (rows.isEmpty) None
+      else {
+        val k = f(rows.head)
+        if (rows.forall(r => f(r) == k)) Some(k) else None
+      }
+    }
+    new GraftDataFile(rows, zones, size, gk)
+  }
+}
+
+/** One commit in a [[GraftTable]]'s history: the complete post-commit
+  * state plus the commit's wall-clock timestamp (micros) for
+  * TIMESTAMP AS OF resolution. */
+private[sources] final case class CommitEntry(version: Int,
+    schema: StructType, files: Vector[GraftDataFile], tsMicros: Long)
+
+/** What one scan build observed: the data-skipping census. `filesRead` /
+  * `rowsRead` count files/rows that SURVIVED zone-map pruning under the
+  * pushed filters — the numbers a selective 100 TB query lives or dies
+  * by, exposed so specs (and operators) can assert skipping without
+  * instrumenting Spark internals. */
+final case class ScanCensus(filesTotal: Int, filesRead: Int,
+                            rowsTotal: Long, rowsRead: Long,
+                            pushed: Seq[String])
+
 /** One in-JVM table: readable, appendable, truncatable, and MERGE-able via
-  * [[SupportsRowLevelOperations]]. Rows are stored as copied InternalRows.
+  * [[SupportsRowLevelOperations]]. Rows are stored as copied InternalRows
+  * inside [[GraftDataFile]]s (one per writer-task commit message, split
+  * per partition group), each carrying commit-time zone maps.
   *
   * With identity `partitionCols`, the row-level path becomes
   * PER-PARTITION copy-on-write instead of whole-table: the operation's
@@ -177,6 +318,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private val partTypes: Seq[DataType] =
     partOrdinals.map(initialSchema.fields(_).dataType)
 
+  private def keyOfOpt: Option[InternalRow => Seq[Any]] =
+    if (partitionCols.isEmpty) None else Some(groupKeyOf)
+
   /** Schema evolution: nullable columns APPENDED to the schema; stored
     * pre-evolution rows are padded with NULLs under the same lock the
     * commit callbacks take (a real table format serves the fill at read
@@ -184,7 +328,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * once at alter time, same observable semantics). Append-only keeps
     * every partition ordinal and in-flight writer's row width valid;
     * anything else (drops, renames, type changes, positioned adds) is
-    * rejected loudly rather than silently corrupting stored rows. */
+    * rejected loudly rather than silently corrupting stored rows.
+    *
+    * Publish order matters for the lock-free readers: the padded FILES
+    * install first, the widened schema second. A concurrent scan then
+    * sees either the old state, or wide rows under the old schema (safe:
+    * append-only means the old ordinals still resolve), never the new
+    * 3-wide schema over un-padded 2-wide rows. */
   private[sources] def applyChanges(changes: Seq[TableChange]): Unit =
     synchronized {
       changes.foreach {
@@ -202,19 +352,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
             throw new UnsupportedOperationException(
               "added columns append at the end (no FIRST/AFTER)")
           val oldFields = tableSchema.fields
-          tableSchema = StructType(oldFields :+
+          val newSchema = StructType(oldFields :+
             org.apache.spark.sql.types.StructField(name, add.dataType,
               nullable = true))
-          rows = rows.map { r =>
-            val vals = new Array[Any](oldFields.length + 1)
-            var i = 0
-            while (i < oldFields.length) {
-              vals(i) = r.get(i, oldFields(i).dataType); i += 1
+          val newFiles = files.map { f =>
+            val padded = f.rows.map { r =>
+              val vals = new Array[Any](oldFields.length + 1)
+              var i = 0
+              while (i < oldFields.length) {
+                vals(i) = r.get(i, oldFields(i).dataType); i += 1
+              }
+              // vals(old length) stays null: pre-evolution rows read NULL
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                vals): InternalRow
             }
-            // vals(old length) stays null: pre-evolution rows read NULL
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              vals): InternalRow
+            // zones recomputed under the widened schema (the new column's
+            // zone is trivially all-null for pre-evolution files)
+            GraftDataFile.build(padded, newSchema, keyOfOpt)
           }
+          files = newFiles       // 1st: wide rows under the old schema — safe
+          tableSchema = newSchema // 2nd: schema only widens over padded rows
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
@@ -227,60 +384,145 @@ class GraftTable(initialName: String, initialSchema: StructType,
     partOrdinals.lazyZip(partTypes).map((i, dt) => r.get(i, dt))
 
   @volatile private var tableName: String = initialName
-  @volatile private var rows: Array[InternalRow] = Array.empty
+  @volatile private var files: Vector[GraftDataFile] = Vector.empty
 
-  /** Commit history for time travel: (schema, rows) AFTER each commit,
-    * index 0 = the empty just-created table. Row arrays are copy-on-write
-    * everywhere (every install builds a new array), so entries hold
-    * references — a snapshot costs one Vector cell, not a data copy. */
-  @volatile private var history: Vector[(StructType, Array[InternalRow])] =
-    Vector((initialSchema, Array.empty))
-  private def snap(): Unit = history = history :+ ((tableSchema, rows))
+  /** Data-skipping census of the most recent scan BUILD against this
+    * table (set even when no filters pushed — then filesRead ==
+    * filesTotal). Diagnostic surface for specs and capacity planning. */
+  @volatile var lastScanCensus: Option[ScanCensus] = None
+
+  /** Commit history for time travel, index-aligned neither to versions
+    * nor timestamps — each entry carries its own version number, so
+    * RETENTION can drop old entries without renumbering. Entry 0 of a
+    * fresh table = the empty just-created state. File vectors are
+    * copy-on-write everywhere (every install builds a new vector), so
+    * entries hold references — a snapshot costs one Vector cell plus the
+    * file handles, never a data copy. Bounded: once the history exceeds
+    * [[GraftTable.historyRetention]] commits, the oldest entries retire
+    * (their file references drop, so superseded row arrays become
+    * collectable) and reads of those versions fail loudly — Delta's log
+    * retention, not an unbounded leak. */
+  @volatile private var history: Vector[CommitEntry] =
+    Vector(CommitEntry(0, initialSchema, Vector.empty,
+      GraftClock.nowMicros()))
+
+  private def snap(): Unit = {
+    val last = history.last
+    // strictly increasing per table: commits in the same microsecond
+    // (or a test clock standing still) must still resolve unambiguously
+    val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
+    history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts)
+    val over = history.length - math.max(2, GraftTable.historyRetention)
+    if (over > 0) history = history.drop(over)
+  }
 
   /** Read-only view of commit `v` (see GraftCatalog.loadTable(_, version)). */
   private[sources] def snapshotAt(
       v: Int, ident: Identifier): GraftSnapshotTable = {
     val h = history
-    if (v < 0 || v >= h.length)
+    val latest = h.last.version
+    if (v < 0 || v > latest)
       throw new IllegalArgumentException(
-        s"$ident has no version $v (versions 0..${h.length - 1})")
-    val (schema, rs) = h(v)
-    new GraftSnapshotTable(s"$tableName@v$v", schema, rs)
+        s"$ident has no version $v (versions 0..$latest)")
+    val base = h.head.version
+    if (v < base)
+      throw new IllegalArgumentException(
+        s"$ident version $v has been retired by history retention " +
+          s"(oldest retained: $base)")
+    val e = h(v - base)
+    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files)
   }
 
-  def currentRows: Array[InternalRow] = rows
+  /** Read-only view as of a wall-clock instant: the latest commit with
+    * tsMicros <= the requested timestamp (Delta's TIMESTAMP AS OF
+    * contract). Between-commit instants resolve to the EARLIER version;
+    * instants before the earliest retained commit fail loudly. */
+  private[sources] def snapshotAsOf(
+      tsMicros: Long, ident: Identifier): GraftSnapshotTable = {
+    val h = history
+    val idx = h.lastIndexWhere(_.tsMicros <= tsMicros)
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"$ident has no commit at or before timestamp $tsMicros " +
+          s"(earliest retained commit: ${h.head.tsMicros})")
+    val e = h(idx)
+    new GraftSnapshotTable(s"$tableName@v${e.version}", e.schema, e.files)
+  }
 
+  /** Commit log view: (version, timestampMicros) per retained commit —
+    * the DESCRIBE HISTORY surface, also what specs pin retention with. */
+  def commitHistory: Seq[(Int, Long)] =
+    history.map(e => (e.version, e.tsMicros))
+
+  def currentRows: Array[InternalRow] = files.toArray.flatMap(_.rows)
+
+  /** Current data files (file census surface for specs/maintenance). */
+  private[graft] def dataFiles: Vector[GraftDataFile] = files
+
+  // ---- commit paths ---------------------------------------------------
   // Commit callbacks run driver-side but possibly from concurrent query
-  // threads; `rows = rows ++ delivered` is a read-modify-write, so two
+  // threads; every install is a read-modify-write of `files`, so two
   // concurrent INSERTs into the same table could lose one batch without
   // the lock. Synchronizing on the table instance makes the documented
   // "atomic swap" hold under concurrent writers; readers stay lock-free
-  // (volatile read of an immutable array).
-  private[sources] def installAppend(delivered: Array[InternalRow]): Unit =
-    synchronized { rows = rows ++ delivered; snap() }
-  private[sources] def installReplace(delivered: Array[InternalRow]): Unit =
-    synchronized { rows = delivered; snap() }
+  // (volatile read of an immutable vector).
+
+  /** Per-task delivered batches → data files: one file per non-empty
+    * task batch, split per partition group on partitioned tables (a real
+    * format's writer does exactly this), zone maps computed here — the
+    * "stats at commit time" half of data skipping. */
+  private def buildFiles(batches: Array[Array[InternalRow]]): Vector[GraftDataFile] =
+    batches.iterator.filter(_.nonEmpty).flatMap { batch =>
+      if (partitionCols.isEmpty)
+        Iterator.single(GraftDataFile.build(batch, tableSchema, None))
+      else
+        batch.groupBy(groupKeyOf).toSeq
+          .sortBy(_._1.mkString(" ")) // deterministic file order
+          .iterator.map { case (_, rs) =>
+            GraftDataFile.build(rs, tableSchema, keyOfOpt)
+          }
+    }.toVector
+
+  /** Remove all rows of the given partition groups. Files wholly owned by
+    * a dropped group (the common, writer-aligned case) drop BY REFERENCE;
+    * files spanning groups (post-compaction) rebuild from survivors. */
+  private def dropGroupRows(fs: Vector[GraftDataFile],
+                            keys: Set[Seq[Any]]): Vector[GraftDataFile] =
+    fs.flatMap { f =>
+      f.groupKey match {
+        case Some(k) => if (keys.contains(k)) None else Some(f)
+        case None =>
+          val kept = f.rows.filterNot(r => keys.contains(groupKeyOf(r)))
+          if (kept.length == f.rows.length) Some(f)
+          else if (kept.isEmpty) None
+          else Some(GraftDataFile.build(kept, tableSchema, keyOfOpt))
+      }
+    }
+
+  private[sources] def installAppend(batches: Array[Array[InternalRow]]): Unit =
+    synchronized { files = files ++ buildFiles(batches); snap() }
+  private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
+    synchronized { files = buildFiles(batches); snap() }
 
   /** Row-level (COW) commit: replace exactly the `touched` partition
     * groups with the delivered post-operation contents; rows of untouched
     * groups carry over BY REFERENCE. `None` = the runtime group filter
     * never ran (unpartitioned table, or an unrecognized predicate shape)
     * — the scanned group was the whole table, so the whole table swaps. */
-  private[sources] def installReplaceGroups(delivered: Array[InternalRow],
+  private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
       touched: Option[Set[Seq[Any]]]): Unit = synchronized {
-    rows = touched match {
-      case None => delivered
-      case Some(groups) =>
-        rows.filterNot(r => groups.contains(groupKeyOf(r))) ++ delivered
+    files = touched match {
+      case None => buildFiles(batches)
+      case Some(groups) => dropGroupRows(files, groups) ++ buildFiles(batches)
     }
     snap()
   }
 
   /** INSERT OVERWRITE of specific partition groups (static mode with a
     * partition predicate): delete the matching groups, then append. */
-  private[sources] def installOverwriteGroups(delivered: Array[InternalRow],
+  private[sources] def installOverwriteGroups(batches: Array[Array[InternalRow]],
       keys: Set[Seq[Any]]): Unit = synchronized {
-    rows = rows.filterNot(r => keys.contains(groupKeyOf(r))) ++ delivered
+    files = dropGroupRows(files, keys) ++ buildFiles(batches)
     snap()
   }
 
@@ -289,11 +531,51 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * same contract as the parquet-side s22 path, and Hive/Delta's
     * `partitionOverwriteMode=dynamic`). */
   private[sources] def installDynamicOverwrite(
-      delivered: Array[InternalRow]): Unit = synchronized {
-    val touched = delivered.map(groupKeyOf).toSet
-    rows = rows.filterNot(r => touched.contains(groupKeyOf(r))) ++ delivered
+      batches: Array[Array[InternalRow]]): Unit = synchronized {
+    val touched = batches.iterator.flatten.map(groupKeyOf).toSet
+    files = dropGroupRows(files, touched) ++ buildFiles(batches)
     snap()
   }
+
+  /** `OPTIMIZE` (bin-packing compaction), the Delta/Iceberg small-file
+    * maintenance op: files below `targetRows` merge greedily (per
+    * partition group — a packed file never spans partitions it didn't
+    * already span) until bins reach the target; files at or above the
+    * target carry over BY REFERENCE. The row multiset is UNCHANGED — the
+    * merged files hold the same row objects — and the rewrite is recorded
+    * as a commit, so time travel serves the pre- and post-compaction
+    * layouts with identical data. Returns (filesBefore, filesAfter). */
+  private[sources] def optimizeCompact(targetRows: Int): (Int, Int) =
+    synchronized {
+      require(targetRows > 0, "targetRows must be positive")
+      val before = files
+      val out = Vector.newBuilder[GraftDataFile]
+      // accumulate small files per partition-group bucket (None = files
+      // already spanning groups; merging those together is equally safe)
+      val bins = scala.collection.mutable.LinkedHashMap
+        .empty[Option[Seq[Any]], scala.collection.mutable.ArrayBuffer[GraftDataFile]]
+      def flush(key: Option[Seq[Any]]): Unit =
+        bins.remove(key).filter(_.nonEmpty).foreach { fs =>
+          if (fs.length == 1) out += fs.head // nothing to merge with
+          else out += GraftDataFile.build(fs.iterator.flatMap(_.rows).toArray,
+            tableSchema, keyOfOpt)
+        }
+      before.foreach { f =>
+        if (f.rowCount >= targetRows) out += f
+        else {
+          val buf = bins.getOrElseUpdate(f.groupKey,
+            scala.collection.mutable.ArrayBuffer.empty)
+          if (buf.iterator.map(_.rowCount).sum + f.rowCount > targetRows)
+            flush(f.groupKey)
+          bins.getOrElseUpdate(f.groupKey,
+            scala.collection.mutable.ArrayBuffer.empty) += f
+        }
+      }
+      bins.keys.toSeq.foreach(flush)
+      files = out.result()
+      snap()
+      (before.length, files.length)
+    }
 
   // ---- metadata-only DELETE ------------------------------------------
   // A DELETE whose condition is expressible over the identity partition
@@ -311,14 +593,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
       GroupPredicates.allowedKeys(filters, partitionCols).isDefined
 
   override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
-    if (alwaysTrueOnly(filters)) rows = Array.empty
+    if (alwaysTrueOnly(filters)) files = Vector.empty
     else {
       val keys = GroupPredicates.allowedKeys(filters, partitionCols)
         .getOrElse(throw new UnsupportedOperationException(
           s"deleteWhere called with inexpressible filters " +
             s"${filters.mkString(", ")} — canDeleteWhere should have " +
             "routed this to the row-level rewrite"))
-      rows = rows.filterNot(r => keys.contains(groupKeyOf(r)))
+      files = dropGroupRows(files, keys)
     }
     snap()
   }
@@ -343,7 +625,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, () => rows)
+    new GraftScanBuilder(tableSchema, () => files,
+      c => lastScanCensus = Some(c))
 
   // ---- plain write path (INSERT INTO/OVERWRITE / CTAS) ---------------
   // Four commit modes: append (INSERT INTO), full replace (truncate /
@@ -360,7 +643,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsOverwriteV2
       with SupportsDynamicOverwrite {
-      private var install: Array[InternalRow] => Unit = installAppend
+      private var install: Array[Array[InternalRow]] => Unit = installAppend
 
       override def truncate(): WriteBuilder = { install = installReplace; this }
 
@@ -405,10 +688,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       @volatile private var rlScan: GraftRowLevelScan = _
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         () =>
-          if (partitionCols.isEmpty) new GraftScan(tableSchema, rows)
+          if (partitionCols.isEmpty) GraftScan.of(tableSchema, currentRows)
           else {
-            rlScan = new GraftRowLevelScan(tableSchema, rows, partitionCols,
-              groupKeyOf)
+            rlScan = new GraftRowLevelScan(tableSchema, currentRows,
+              partitionCols, groupKeyOf)
             rlScan
           }
 
@@ -431,6 +714,34 @@ class GraftTable(initialName: String, initialSchema: StructType,
       override def requiredMetadataAttributes(): Array[NamedReference] =
         Array.empty
     }
+}
+
+object GraftTable {
+  /** Max commits retained per table for time travel (ADVICE r7: snap()
+    * pinned every superseded row array forever — a streaming writer
+    * committing per micro-batch leaked O(commits × table size)). Beyond
+    * this depth the oldest snapshots retire and their arrays become
+    * collectable; VERSION AS OF on a retired version fails loudly,
+    * mirroring Delta's log retention. Floor of 2 (current + previous)
+    * regardless of the setting. */
+  @volatile var historyRetention: Int = 128
+}
+
+/** `OPTIMIZE` entry point — the table-maintenance surface (Delta
+  * `OPTIMIZE t`, Iceberg `rewrite_data_files`) for [[GraftTable]]s:
+  * bin-packs small data files, preserves the row multiset exactly, and
+  * records the rewrite as a commit so time travel sees both layouts. */
+object GraftMaintenance {
+  final case class OptimizeResult(filesBefore: Int, filesAfter: Int)
+
+  def optimize(namespace: Seq[String], table: String,
+               targetRows: Int = 1 << 20): OptimizeResult = {
+    val t = GraftTableStore.tables.getOrElse((namespace, table),
+      throw new NoSuchTableException(
+        Identifier.of(namespace.toArray, table)))
+    val (b, a) = t.optimizeCompact(targetRows)
+    OptimizeResult(b, a)
+  }
 }
 
 /** The row-level operation's scan over a PARTITIONED [[GraftTable]]:
@@ -467,9 +778,9 @@ class GraftRowLevelScan(schema: StructType, allRows: Array[InternalRow],
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    new GraftScan(schema, kept).planInputPartitions()
+    GraftScan.of(schema, kept).planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftScan(schema, kept).createReaderFactory()
+    GraftScan.of(schema, kept).createReaderFactory()
 }
 
 /** Conservative evaluator for the runtime-filter predicates Spark hands a
@@ -529,25 +840,174 @@ private[sources] object GroupPredicates {
     }
 }
 
-/** Scan builder with column pruning: a query projecting 2 of 30 columns
-  * reads 2-column rows (the DSv2 contract every real format honors —
-  * kept here so plans over catalog tables show the pruned ReadSchema and
-  * downstream operators never carry dead columns). `rows` is passed as a
-  * thunk so the scan binds the table's CURRENT contents at build time,
-  * after any earlier statement in the same query plan committed. */
-class GraftScanBuilder(tableSchema: StructType, rows: () => Array[InternalRow])
+/** Zone-map may-match tests for the v1 pushdown [[Filter]]s: compiles a
+  * filter into a per-file predicate that returns FALSE only when NO row
+  * in the file can satisfy it — the data-skipping decision. Everything
+  * unsupported compiles to None and is simply not used for skipping
+  * (the scan returns every filter as a residual anyway, so skipping is
+  * purely an I/O optimization and can never change results). */
+private[sources] object ZonePredicates {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Compile `filter` against `schema` into a file-level may-match test;
+    * None when the filter shape/type can't drive skipping. */
+  def compile(filter: Filter,
+              schema: StructType): Option[GraftDataFile => Boolean] = {
+
+    def ord(name: String): Option[Int] =
+      schema.fields.indexWhere(_.name == name) match {
+        case -1 => None
+        case i if GraftDataFile.statsSupported(schema.fields(i).dataType) =>
+          Some(i)
+        case _ => None
+      }
+
+    // pushed-filter literals arrive as EXTERNAL values (String,
+    // java.sql.Date, BigDecimal ...); convert once per filter to the
+    // internal representation the zones hold
+    def internal(name: String, v: Any): Option[(Int, Any)] =
+      for {
+        i <- ord(name)
+        iv <- if (v == null) None
+        else try Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(schema.fields(i).dataType)(v))
+        catch { case scala.util.control.NonFatal(_) => None }
+      } yield (i, iv)
+
+    // zone lookup with the defensive cases: a file written mid-evolution
+    // may carry fewer zones than the current schema (treat as unknown);
+    // a null zone entry = unsupported type
+    def zone(f: GraftDataFile, i: Int): Option[ColZone] =
+      if (i < f.zones.length) Option(f.zones(i)) else None
+
+    def rangeTest(name: String, v: Any)(
+        test: (ColZone, Any) => Boolean): Option[GraftDataFile => Boolean] =
+      internal(name, v).map { case (i, iv) =>
+        f => zone(f, i) match {
+          case Some(z) if z.min != null => test(z, iv)
+          case Some(z) => false // all-null column: no value comparison matches
+          case None => true
+        }
+      }
+
+    filter match {
+      case EqualTo(c, v) =>
+        rangeTest(c, v)((z, iv) => cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0)
+      case EqualNullSafe(c, null) =>
+        ord(c).map(i => f => zone(f, i).forall(_.nullCount > 0))
+      case EqualNullSafe(c, v) =>
+        rangeTest(c, v)((z, iv) => cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0)
+      case GreaterThan(c, v) => rangeTest(c, v)((z, iv) => cmp(z.max, iv) > 0)
+      case GreaterThanOrEqual(c, v) =>
+        rangeTest(c, v)((z, iv) => cmp(z.max, iv) >= 0)
+      case LessThan(c, v) => rangeTest(c, v)((z, iv) => cmp(z.min, iv) < 0)
+      case LessThanOrEqual(c, v) =>
+        rangeTest(c, v)((z, iv) => cmp(z.min, iv) <= 0)
+      case In(c, vs) =>
+        val converted = vs.filter(_ != null).flatMap(v => internal(c, v))
+        if (converted.isEmpty) None
+        else ord(c).map { i =>
+          f => zone(f, i) match {
+            case Some(z) if z.min != null => converted.exists { case (_, iv) =>
+              cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0
+            }
+            case Some(_) => false
+            case None => true
+          }
+        }
+      case IsNull(c) =>
+        ord(c).map(i => f => zone(f, i).forall(_.nullCount > 0))
+      case IsNotNull(c) =>
+        ord(c).map(i => f => zone(f, i).forall(_.nullCount < f.rowCount))
+      case StringStartsWith(c, prefix) if prefix != null =>
+        ord(c).map { i =>
+          val p = UTF8String.fromString(prefix)
+          f => zone(f, i) match {
+            case Some(z) if z.min != null =>
+              val minS = z.min.asInstanceOf[UTF8String]
+              val maxS = z.max.asInstanceOf[UTF8String]
+              // strings with prefix p all sort >= p; skip when max < p,
+              // or when even min's own prefix already sorts past p
+              maxS.compareTo(p) >= 0 && {
+                if (minS.numChars() <= p.numChars()) true
+                else minS.substring(0, p.numChars()).compareTo(p) <= 0
+              }
+            case Some(_) => false
+            case None => true
+          }
+        }
+      case And(l, r) =>
+        (compile(l, schema), compile(r, schema)) match {
+          case (None, None) => None
+          case (a, b) =>
+            Some(f => a.forall(_(f)) && b.forall(_(f)))
+        }
+      case Or(l, r) =>
+        // both arms must be decidable: an unsupported arm could match
+        for (a <- compile(l, schema); b <- compile(r, schema))
+          yield (f: GraftDataFile) => a(f) || b(f)
+      case _ => None
+    }
+  }
+}
+
+/** Scan builder with column pruning, FILTER PUSHDOWN (zone-map data
+  * skipping) and statistics. A query projecting 2 of 30 columns reads
+  * 2-column rows, and a query whose predicate excludes a file's min/max
+  * envelope never reads that file — the two DSv2 contracts every real
+  * format honors, here over the in-JVM file store. All pushed filters
+  * are ALSO returned as residuals, so Spark re-applies them row-level:
+  * skipping is an I/O optimization, provably unable to change results.
+  * `files` is passed as a thunk so the scan binds the table's CURRENT
+  * contents at build time, after any earlier statement in the same query
+  * plan committed; `census` reports what was skipped. */
+class GraftScanBuilder(tableSchema: StructType,
+                       files: () => Vector[GraftDataFile],
+                       census: ScanCensus => Unit = _ => ())
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var tests: Array[GraftDataFile => Boolean] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve table column order; an empty projection (count(*)) is legal
     required = StructType(
       tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val compiled = filters.flatMap(f =>
+      ZonePredicates.compile(f, tableSchema).map(t => (f, t)))
+    pushed = compiled.map(_._1)
+    tests = compiled.map(_._2)
+    filters // everything stays a residual: Spark re-applies row-level
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
-    val all = rows()
-    if (required.length == tableSchema.length) new GraftScan(tableSchema, all)
+    val all = files()
+    val surviving =
+      if (tests.isEmpty) all
+      else all.filter(f => tests.forall(_(f)))
+    census(ScanCensus(all.length, surviving.length,
+      all.iterator.map(_.rowCount.toLong).sum,
+      surviving.iterator.map(_.rowCount.toLong).sum,
+      pushed.map(_.toString).toSeq))
+    // column-fraction size scaling: a pruned read costs proportionally
+    // less, and the reported stats should say so (auto-broadcast sizing)
+    val colFrac =
+      if (tableSchema.isEmpty) 1.0
+      else required.length.toDouble / tableSchema.length
+    val bytes = math.max(1L,
+      (surviving.iterator.map(_.sizeBytes).sum * colFrac).toLong)
+    if (required.length == tableSchema.length)
+      new GraftScan(tableSchema, surviving.map(_.rows).toArray, bytes)
     else {
       val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -555,23 +1015,48 @@ class GraftScanBuilder(tableSchema: StructType, rows: () => Array[InternalRow])
           org.apache.spark.sql.catalyst.expressions.BoundReference(
             i, tableSchema.fields(i).dataType, tableSchema.fields(i).nullable)
         })
-      new GraftScan(required, all.map(r => proj(r).copy(): InternalRow))
+      new GraftScan(required,
+        surviving.map(_.rows.map(r => proj(r).copy(): InternalRow)).toArray,
+        bytes)
     }
   }
 }
 
-/** Full-table scan over the stored rows, split into a handful of input
-  * partitions so downstream operators parallelize. */
-class GraftScan(schema: StructType, rows: Array[InternalRow])
-    extends Scan with Batch {
+/** Scan over the surviving data files (one chunk per file), split into
+  * enough input partitions that downstream operators parallelize even
+  * over a single large file. Reports `SupportsReportStatistics` — size
+  * AFTER zone pruning and column pruning, so Catalyst's join planning
+  * sees the real read cost and auto-broadcasts dim-sized tables without
+  * hints (the path a real format's stats serve). */
+class GraftScan(schema: StructType, chunks: Array[Array[InternalRow]],
+                sizeBytes: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val totalRows: Long = chunks.iterator.map(_.length.toLong).sum
+
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(sizeBytes)
+    override def numRows(): util.OptionalLong =
+      util.OptionalLong.of(totalRows)
+  }
+
+  override def description(): String =
+    s"GraftScan(files=${chunks.length}, rows=$totalRows, " +
+      s"sizeBytes=$sizeBytes)"
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val slices = math.max(1, math.min(8, rows.length))
-    if (rows.isEmpty) Array(GraftInputPartition(Array.empty))
-    else rows.grouped(math.ceil(rows.length.toDouble / slices).toInt)
-      .map(GraftInputPartition.apply).toArray
+    if (totalRows == 0) return Array(GraftInputPartition(Array.empty))
+    // one partition per file; few big files additionally split so the
+    // local-mode parallelism survives compaction
+    val slicesPerChunk = math.max(1, 8 / math.max(1, chunks.length))
+    chunks.iterator.filter(_.nonEmpty).flatMap { rows =>
+      val slices = math.max(1, math.min(slicesPerChunk, rows.length))
+      rows.grouped(math.ceil(rows.length.toDouble / slices).toInt)
+        .map(GraftInputPartition.apply)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -588,20 +1073,30 @@ class GraftScan(schema: StructType, rows: Array[InternalRow])
     }
 }
 
+object GraftScan {
+  /** Single-chunk scan over loose rows (row-level operation path). */
+  def of(schema: StructType, rows: Array[InternalRow]): GraftScan =
+    new GraftScan(schema, Array(rows),
+      math.max(1L, rows.length.toLong * math.max(1, schema.defaultSize)))
+}
+
 /** Rows ride inside the partition (driver → executor); UnsafeRow is
   * Externalizable, so this serializes in cluster mode too. */
 case class GraftInputPartition(rows: Array[InternalRow]) extends InputPartition
 
 /** Per-task writers buffer copies; commit messages carry them back and the
-  * driver-side `install` callback swaps/extends the table's row array.
-  * The factory is a standalone serializable value — the `install` closure
-  * (which holds the non-serializable table) stays driver-side in commit. */
-class GraftBatchWrite(install: Array[InternalRow] => Unit) extends BatchWrite {
+  * driver-side `install` callback swaps/extends the table's file vector —
+  * EACH TASK'S BATCH BECOMES ONE DATA FILE (with commit-time zone maps),
+  * the same file-per-writer layout a real format produces. The factory is
+  * a standalone serializable value — the `install` closure (which holds
+  * the non-serializable table) stays driver-side in commit. */
+class GraftBatchWrite(install: Array[Array[InternalRow]] => Unit)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftWriterFactory(None)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    install(messages.flatMap(_.asInstanceOf[GraftRowsMessage].rows))
+    install(messages.map(_.asInstanceOf[GraftRowsMessage].rows))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -612,13 +1107,13 @@ class GraftBatchWrite(install: Array[InternalRow] => Unit) extends BatchWrite {
   * contents; deleted rows never arrive). The writer keeps surviving rows,
   * projected back to the table schema as compact UnsafeRows. */
 class GraftRowLevelBatchWrite(schema: StructType,
-                              install: Array[InternalRow] => Unit)
+                              install: Array[Array[InternalRow]] => Unit)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftWriterFactory(Some(schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    install(messages.flatMap(_.asInstanceOf[GraftRowsMessage].rows))
+    install(messages.map(_.asInstanceOf[GraftRowsMessage].rows))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -657,16 +1152,17 @@ case class GraftRowsMessage(rows: Array[InternalRow])
     extends WriterCommitMessage
 
 /** Frozen read-only view of one commit in a [[GraftTable]]'s history —
-  * what `VERSION AS OF n` resolves to. Pruned reads reuse the live
-  * table's scan builder; there is no write surface at all, so a DML
-  * statement against a snapshot fails at analysis. */
+  * what `VERSION AS OF n` / `TIMESTAMP AS OF ts` resolve to. Pruned,
+  * zone-skipped reads reuse the live table's scan builder; there is no
+  * write surface at all, so a DML statement against a snapshot fails at
+  * analysis. */
 class GraftSnapshotTable(snapName: String, snapSchema: StructType,
-                         snapRows: Array[InternalRow])
+                         snapFiles: Vector[GraftDataFile])
     extends Table with SupportsRead {
   override def name(): String = snapName
   override def schema(): StructType = snapSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapSchema, () => snapRows)
+    new GraftScanBuilder(snapSchema, () => snapFiles)
 }

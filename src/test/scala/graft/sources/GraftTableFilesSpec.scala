@@ -1,0 +1,336 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** The file-store half of [[GraftTable]] — commit-time zone maps +
+  * data skipping through the real DSv2 read path, reported statistics
+  * (auto-broadcast without hints), TIMESTAMP AS OF resolution, bounded
+  * history retention, and OPTIMIZE bin-packing. These are the r7-verdict
+  * round-8 tasks: the mechanisms s31/s32 proved as relational censuses,
+  * now wired into the engine's actual read/write path. */
+class GraftTableFilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    val fq = s"graft_cat.ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $fq")
+    fq
+  }
+
+  private def store(name: String): GraftTable =
+    GraftTableStore.tables((Seq("ns"), name))
+
+  /** Four appends, each repartition(1) → exactly one data file each,
+    * with disjoint id ranges [1,10], [11,20], [21,30], [31,40]. */
+  private def fourFileTable(name: String): (String, GraftTable) = {
+    val t = freshTable(name)
+    Seq.tabulate(10)(i => (i + 1L, s"v${i + 1}")).toDF("id", "v")
+      .repartition(1).writeTo(t).create()
+    for (base <- Seq(10, 20, 30))
+      Seq.tabulate(10)(i => (base + i + 1L, s"v${base + i + 1}"))
+        .toDF("id", "v").repartition(1).writeTo(t).append()
+    (t, store(name))
+  }
+
+  test("zone maps skip files the predicate excludes — results exact") {
+    val (t, table) = fourFileTable("t_zskip")
+    assert(table.dataFiles.length === 4)
+
+    // range predicate inside one file's envelope
+    val got = spark.table(t).filter($"id" >= 12 && $"id" <= 18)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got === (12L to 18L).map(i => (i, s"v$i")))
+    val c1 = table.lastScanCensus.get
+    assert(c1.filesTotal === 4 && c1.filesRead === 1,
+      s"expected 1/4 files read, got $c1")
+    assert(c1.rowsTotal === 40 && c1.rowsRead === 10)
+
+    // point predicate
+    assert(spark.table(t).filter($"id" === 35).count() === 1)
+    assert(table.lastScanCensus.get.filesRead === 1)
+
+    // nothing matches: zero files read, empty exact result
+    assert(spark.table(t).filter($"id" > 1000).count() === 0)
+    assert(table.lastScanCensus.get.filesRead === 0)
+
+    // OR of two disjoint ranges: exactly the two covering files
+    assert(spark.table(t).filter($"id" < 5 || $"id" > 35).count() === 9)
+    assert(table.lastScanCensus.get.filesRead === 2)
+
+    // IN list spanning two files
+    assert(spark.table(t).filter($"id".isin(7L, 23L)).count() === 2)
+    assert(table.lastScanCensus.get.filesRead === 2)
+
+    // IsNull on a never-null column: all files skip
+    assert(spark.table(t).filter($"v".isNull).count() === 0)
+    assert(table.lastScanCensus.get.filesRead === 0)
+
+    // string range: every v in file 1 starts with "v" then digit — a
+    // prefix past the whole range skips everything
+    assert(spark.table(t).filter($"v".startsWith("w")).count() === 0)
+    assert(table.lastScanCensus.get.filesRead === 0)
+    assert(spark.table(t).filter($"v".startsWith("v1")).count() > 0)
+
+    // no predicate: census still reported, nothing skipped
+    assert(spark.table(t).count() === 40)
+    val cAll = table.lastScanCensus.get
+    assert(cAll.filesRead === 4 && cAll.rowsRead === 40)
+  }
+
+  test("skipping never loses rows: filtered read ≡ post-scan filter") {
+    val (t, table) = fourFileTable("t_zsafe")
+    // boundary-heavy predicates, including ones straddling file edges
+    val preds = Seq($"id" >= 10 && $"id" <= 11, $"id" === 20,
+      $"id" =!= 25, $"id" <= 1, $"id" >= 40, $"v" >= "v2" && $"v" < "v30")
+    for (p <- preds) {
+      val viaScan = spark.table(t).filter(p).as[(Long, String)]
+        .collect().toSet
+      // ground truth: evaluate the same predicate with skipping blinded
+      // (predicate applied AFTER a full materialization)
+      val full = spark.table(t).as[(Long, String)].collect().toSet
+      val truth = spark.createDataset(full.toSeq).toDF("id", "v")
+        .filter(p).as[(Long, String)].collect().toSet
+      assert(viaScan === truth, s"predicate $p lost or invented rows")
+    }
+    // nulls: a file with NULL ids must survive IsNull and not break ranges
+    spark.sql(s"INSERT INTO $t VALUES (NULL, 'nullrow')")
+    assert(spark.table(t).filter($"id".isNull).count() === 1)
+    assert(table.lastScanCensus.get.filesRead === 1)
+    assert(spark.table(t).filter($"id" <= 5).count() === 5)
+    assert(spark.table(t).filter($"id".isNotNull).count() === 40)
+  }
+
+  test("pushed filters reach the scan and show in the plan") {
+    val (t, _) = fourFileTable("t_zplan")
+    val df = spark.table(t).filter($"id" > 30)
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters") ||
+      explained.contains("GraftScan"),
+      s"expected pushdown evidence in plan:\n$explained")
+    assert(df.count() === 10)
+  }
+
+  // ---- SupportsReportStatistics → hint-free auto-broadcast -----------
+
+  private def executedFinal(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(walk)
+  }
+
+  test("catalog tables report statistics; dim-sized tables auto-broadcast") {
+    val t = freshTable("t_stats_dim")
+    Seq.tabulate(50)(i => (i.toLong, s"name$i")).toDF("k", "nm")
+      .writeTo(t).create()
+    // the optimized plan must carry a REAL size (not the
+    // defaultSizeInBytes = Long.Max sentinel of a stats-less V2 relation)
+    val sz = spark.table(t).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < 10L * 1024 * 1024,
+      s"dim table reported sizeInBytes=$sz — stats not wired")
+
+    // star-shaped join with NO broadcast hint: Catalyst must pick
+    // BroadcastHashJoin purely from the reported size
+    val fact = spark.range(0, 20000)
+      .select(pmod($"id", lit(50)).as("k"), $"id".as("payload"))
+    val joined = fact.join(spark.table(t), "k")
+    joined.count() // materialize so AQE finalizes
+    val bhj = walk(executedFinal(joined))
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"expected hint-free auto-broadcast, got:\n${executedFinal(joined)}")
+  }
+
+  test("a table reported above the threshold does not auto-broadcast") {
+    val t = freshTable("t_stats_big")
+    Seq.tabulate(2000)(i => (i.toLong, "x" * 100)).toDF("k", "nm")
+      .writeTo(t).create()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the threshold below the reported size: the planner must
+      // now SMJ — proving the decision tracks the reported statistics
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+      val sz = spark.table(t).queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sz > 10240, s"test setup: table too small ($sz bytes)")
+      val fact = spark.range(0, 20000)
+        .select(pmod($"id", lit(2000)).as("k"), $"id".as("payload"))
+      val joined = fact.join(spark.table(t), "k")
+      joined.count()
+      val plans = walk(executedFinal(joined))
+      assert(plans.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+        !plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"expected SMJ above threshold, got:\n${executedFinal(joined)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("column pruning scales the reported size down") {
+    val t = freshTable("t_stats_prune")
+    Seq.tabulate(500)(i => (i.toLong, "x" * 200, "y" * 200))
+      .toDF("k", "a", "b").writeTo(t).create()
+    val full = spark.table(t).queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = spark.table(t).select("k")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full,
+      s"pruned projection must report less than full scan ($pruned vs $full)")
+  }
+
+  // ---- TIMESTAMP AS OF ------------------------------------------------
+
+  test("TIMESTAMP AS OF resolves to the latest commit at or before") {
+    val saved = GraftClock.nowMicros
+    try {
+      var now = 1_000_000_000L * 1_000_000L // deterministic test clock
+      GraftClock.nowMicros = () => now
+      val t = freshTable("t_ts")
+      Seq((1L, "a")).toDF("id", "v").writeTo(t).create() // v1
+      now += 60L * 1_000_000L
+      spark.sql(s"INSERT INTO $t VALUES (2, 'b')")       // v2
+      now += 60L * 1_000_000L
+      spark.sql(s"UPDATE $t SET v = 'A' WHERE id = 1")   // v3
+      val hist = store("t_ts").commitHistory
+      assert(hist.map(_._1) === Seq(0, 1, 2, 3))
+      val Seq(ts0, ts1, ts2, ts3) = hist.map(_._2)
+      // strictly increasing even when the clock stands still
+      assert(ts0 < ts1 && ts1 < ts2 && ts2 < ts3)
+
+      def at(micros: Long) = {
+        // the SQL literal is interpreted in the session TZ (UTC here)
+        val secs = micros / 1_000_000L
+        val frac = micros % 1_000_000L
+        val inst = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(secs))
+        val lit = if (frac == 0) inst else f"$inst.$frac%06d"
+        spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$lit'")
+      }
+      // exactly at a commit → that commit
+      assert(at(ts1).as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+      // between commits → the EARLIER version
+      assert(at(ts2 + 30L * 1_000_000L).orderBy("id")
+        .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+      // after the last commit → current state
+      assert(at(ts3 + 3600L * 1_000_000L).orderBy("id")
+        .as[(Long, String)].collect().toSeq === Seq((1L, "A"), (2L, "b")))
+      // before the first commit → loud failure
+      intercept[Exception](at(ts0 - 1_000_000L).collect())
+      // version and timestamp routes agree
+      assert(at(ts2).orderBy("id").collect().toSeq ===
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 2").orderBy("id")
+          .collect().toSeq)
+    } finally GraftClock.nowMicros = saved
+  }
+
+  test("history retention bounds snapshots; retired versions fail loudly") {
+    val savedRetention = GraftTable.historyRetention
+    try {
+      GraftTable.historyRetention = 4
+      val t = freshTable("t_retain")
+      Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+      for (i <- 2 to 10) spark.sql(s"INSERT INTO $t VALUES ($i, 'x')")
+      val table = store("t_retain")
+      assert(table.commitHistory.length === 4, "retention must bound history")
+      assert(table.commitHistory.map(_._1) === Seq(7, 8, 9, 10))
+      // latest versions still serve
+      assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 10").count() === 10)
+      assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 7").count() === 7)
+      // retired version: loud, specific failure
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 2").collect())
+      assert(e.getMessage.contains("retired"), e.getMessage)
+      // never-existed version keeps the out-of-range message
+      intercept[Exception](
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 99").collect())
+    } finally GraftTable.historyRetention = savedRetention
+  }
+
+  // ---- OPTIMIZE (bin-packing compaction) ------------------------------
+
+  test("OPTIMIZE bin-packs small files; rows identical, history sees both") {
+    val t = freshTable("t_opt")
+    Seq((1L, "a")).toDF("id", "v").repartition(1).writeTo(t).create()
+    for (i <- 2 to 6)
+      Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+        .writeTo(t).append()
+    val table = store("t_opt")
+    assert(table.dataFiles.length === 6)
+    val before = spark.table(t).orderBy("id").collect().toSeq
+    val beforeRows = table.currentRows
+    val preVersion = table.commitHistory.last._1
+
+    val res = GraftMaintenance.optimize(Seq("ns"), "t_opt", targetRows = 1000)
+    assert(res.filesBefore === 6 && res.filesAfter === 1, res.toString)
+    assert(table.dataFiles.length === 1)
+
+    // row multiset unchanged — and the SAME row objects (no data copy)
+    val after = spark.table(t).orderBy("id").collect().toSeq
+    assert(after === before)
+    val ids = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    beforeRows.foreach(ids.add)
+    table.currentRows.foreach(r =>
+      assert(ids.contains(r), "compaction must not copy row data"))
+
+    // compaction is a commit: time travel serves both layouts, same data
+    val postVersion = table.commitHistory.last._1
+    assert(postVersion === preVersion + 1)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $preVersion")
+      .orderBy("id").collect().toSeq === before)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $postVersion")
+      .orderBy("id").collect().toSeq === before)
+
+    // zone maps recomputed over the packed file: skipping still exact
+    assert(spark.table(t).filter($"id" === 3).count() === 1)
+  }
+
+  test("OPTIMIZE respects partition groups and the target bin size") {
+    val t = freshTable("t_opt_part")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
+    // 3 small files in part 1, 2 in part 2 (each insert = 1 task file
+    // per landed partition)
+    for (i <- 1 to 3) spark.sql(s"INSERT INTO $t VALUES ($i, 1)")
+    for (i <- 4 to 5) spark.sql(s"INSERT INTO $t VALUES ($i, 2)")
+    val table = store("t_opt_part")
+    assert(table.dataFiles.length === 5)
+    GraftMaintenance.optimize(Seq("ns"), "t_opt_part", targetRows = 1000)
+    // packed per group: one file per partition, never spanning both
+    assert(table.dataFiles.length === 2)
+    assert(table.dataFiles.forall(_.groupKey.isDefined),
+      "packed files must stay partition-aligned")
+    // partition ops still file-level after compaction
+    spark.sql(s"DELETE FROM $t WHERE part = 1")
+    assert(spark.table(t).orderBy("id").as[(Long, Int)].collect().toSeq ===
+      Seq((4L, 2), (5L, 2)))
+
+    // bin size respected: files >= target carry over untouched
+    val t2 = freshTable("t_opt_target")
+    Seq.tabulate(100)(i => (i.toLong, "big")).toDF("id", "v")
+      .repartition(1).writeTo(t2).create()
+    for (i <- 0 until 4)
+      Seq((1000L + i, "small")).toDF("id", "v").repartition(1)
+        .writeTo(t2).append()
+    val big = store("t_opt_target").dataFiles.head
+    GraftMaintenance.optimize(Seq("ns"), "t_opt_target", targetRows = 50)
+    val after = store("t_opt_target").dataFiles
+    // the 100-row file is untouched BY REFERENCE; the 4 singletons pack
+    assert(after.exists(_ eq big), "large file must not be rewritten")
+    assert(after.length === 2, after.map(_.rowCount).toString)
+  }
+}
