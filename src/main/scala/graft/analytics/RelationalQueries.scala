@@ -2575,6 +2575,195 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"),
           Exact.davg(col("c_acctbal")).as("avg_bal"))
         .orderBy("region")
+    },
+
+    // ----- Zone-map data skipping through the REAL DSv2 read path: s31
+    // proved the layout+skip mechanism as a relational census; this runs
+    // it. The lineitem points are z-ordered (16-bin Morton code, 16
+    // curve segments → 16 writer tasks → 16 data files with commit-time
+    // min/max zone maps), then a 2-D box predicate — plain range filters,
+    // pushed to the scan — prunes whole files before a row is read
+    // (GraftTableFilesSpec asserts the census: files/rows actually
+    // skipped). The oracle knows nothing about files: it restates the
+    // same box over the raw table, so the row proves skipping loses and
+    // invents NOTHING. The box bounds derive from min/max by exact
+    // integer arithmetic on both sides (ceil/floor division), making the
+    // predicate literal-identical cross-engine. This is the Delta
+    // data-skipping read the reference's platform serves
+    // (Batch_Bronze_to_Silver notebook-content.py:200 writes Delta).
+    Q("s33_zonemap_scan", "S-zorder,S5,A7",
+      """WITH pts AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+        |               CAST(l_suppkey AS BIGINT) AS y,
+        |               CAST(l_extendedprice AS DOUBLE) AS price
+        |             FROM lineitem),
+        |mm AS (SELECT min(x) AS minx, max(x) AS maxx,
+        |              min(y) AS miny, max(y) AS maxy FROM pts),
+        |b AS (SELECT minx + (4*(maxx-minx+1) + 15) // 16 AS xlo,
+        |             minx + (6*(maxx-minx+1) - 1) // 16 AS xhi,
+        |             miny + (4*(maxy-miny+1) + 15) // 16 AS ylo,
+        |             miny + (6*(maxy-miny+1) - 1) // 16 AS yhi FROM mm)
+        |SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM pts, b
+        |WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi"""
+        .stripMargin) { (s, dir) =>
+      import graft.operators.ZOrder
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s33_pts"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val pts = Tables.lineitem(s, dir).select(
+        col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"),
+        col("l_extendedprice").cast("double").as("price"))
+      // bounds collected once driver-side (one tiny partial-agg pass, the
+      // same plan-literal shape as the bloom filter) — they parameterize
+      // BOTH the layout and the literal box predicate below
+      val r0 = pts.agg(min("x"), max("x"), min("y"), max("y")).head()
+      val (minx, maxx, miny, maxy) =
+        (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3))
+      // z-order layout: Morton code over 16×16 bins, 16 curve segments,
+      // one writer task per segment → 16 files whose zone maps cover
+      // RECTANGLES in (x, y) space
+      pts
+        .withColumn("bx", ZOrder.bin16(col("x"), lit(minx), lit(maxx)))
+        .withColumn("byy", ZOrder.bin16(col("y"), lit(miny), lit(maxy)))
+        .withColumn("zv", ZOrder.morton(col("bx"), col("byy")))
+        .repartition(16, expr("zv DIV 16"))
+        .drop("bx", "byy", "zv")
+        .writeTo(t).create()
+      // bin box [4,5]² as literal value ranges: bx>=4 ⟺ x ≥ minx +
+      // ceil(4R/16); bx<=5 ⟺ x ≤ minx + floor((6R-1)/16) — exact integer
+      // derivation, mirrored by the oracle's // arithmetic
+      val (rx, ry) = (maxx - minx + 1, maxy - miny + 1)
+      val (xLo, xHi) = (minx + (4 * rx + 15) / 16, minx + (6 * rx - 1) / 16)
+      val (yLo, yHi) = (miny + (4 * ry + 15) / 16, miny + (6 * ry - 1) / 16)
+      s.table(t)
+        .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          Exact.dsum(col("price"), 2).as("total"))
+    },
+
+    // ----- TIMESTAMP AS OF time travel: the wall-clock half of the
+    // transaction-log read path (s32 covers VERSION AS OF). The table
+    // walks three commits at CONTROLLED timestamps (test-injectable
+    // clock, restored after), then four probes read it AS OF: exactly at
+    // commit 1, BETWEEN commits 1 and 2 (must resolve to the EARLIER
+    // version — Delta's contract), exactly at commit 2, and long after
+    // the last commit. The oracle restates each probe's expected state
+    // from the source; a resolver that rounds the between-commit probe
+    // forward, or drifts a boundary by one microsecond, breaks the hash.
+    Q("s34_timestamp_travel", "S-time-travel,S10,A7", {
+      val h = s"${TS.hash("'ts|' || o_orderkey")} % 10"
+      s"""WITH v1 AS (SELECT o_orderkey AS k,
+         |              CAST(o_totalprice AS DOUBLE) AS price
+         |            FROM orders WHERE year(o_orderdate) < 1995),
+         |v2 AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+         |       FROM orders),
+         |v3 AS (SELECT o_orderkey AS k,
+         |         CASE WHEN $h = 0 THEN CAST(o_totalprice AS DOUBLE) * 1.1
+         |              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+         |       FROM orders)
+         |SELECT 1 AS probe, count(*) AS n, ${Exact.sqlSum("price", 3)} AS total
+         |FROM v1
+         |UNION ALL
+         |SELECT 2, count(*), ${Exact.sqlSum("price", 3)} FROM v1
+         |UNION ALL
+         |SELECT 3, count(*), ${Exact.sqlSum("price", 3)} FROM v2
+         |UNION ALL
+         |SELECT 4, count(*), ${Exact.sqlSum("price", 3)} FROM v3
+         |ORDER BY probe""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s34_target"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      import graft.sources.GraftClock
+      val saved = GraftClock.nowMicros
+      try {
+        // deterministic commit instants: 2024-01-01 00:00:00 UTC + 1h/commit
+        val base = 1704067200L * 1000000L
+        var now = base
+        GraftClock.nowMicros = () => now
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("double").as("price"),
+            pmod(TF.polyHash(
+              concat(lit("ts|"), col("o_orderkey").cast("string"))), lit(10L))
+              .as("h"),
+            year(col("o_orderdate")).as("yr"))
+        src.filter(col("yr") < 1995).drop("yr").writeTo(t).create() // commit@base
+        now = base + 3600L * 1000000L
+        src.filter(col("yr") >= 1995).drop("yr").writeTo(t).append() // @+1h
+        now = base + 7200L * 1000000L
+        s.sql(s"UPDATE $t SET price = price * 1.1 WHERE h = 0")      // @+2h
+        // four probes; the strictly-increasing guard put the CTAS data
+        // commit at base+1µs (table creation itself took base)
+        def asOf(ts: String) = s.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$ts'")
+        Seq(
+          1 -> asOf("2024-01-01 00:00:00.000001"), // exactly at commit 1
+          2 -> asOf("2024-01-01 00:30:00"),        // between 1 and 2 → v1
+          3 -> asOf("2024-01-01 01:00:00"),        // exactly at commit 2
+          4 -> asOf("2024-06-01 00:00:00"))        // far after → current
+          .map { case (p, df) =>
+            df.agg(count(lit(1)).as("n"),
+              // scale 3: updated prices are 2-decimal values × 1.1
+              Exact.dsum(col("price"), 3).as("total"))
+              .select(lit(p).as("probe"), col("n"), col("total"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("probe")
+      } finally GraftClock.nowMicros = saved
+    },
+
+    // ----- OPTIMIZE (bin-packing compaction) as a catalog maintenance
+    // commit: eight single-task appends leave eight small data files;
+    // OPTIMIZE packs them and records the rewrite in the snapshot
+    // history. The query reads the table BOTH ways — pre-compaction via
+    // VERSION AS OF, post-compaction live — and the oracle restates the
+    // two identical states straight from the source: a compaction that
+    // lost, duplicated, or mutated one row breaks the hash on the 'post'
+    // row, a history that mislabeled the rewrite breaks 'pre'.
+    // (GraftTableFilesSpec pins the file counts and row identity.)
+    Q("s35_optimize_compact", "S-optimize,S8,A7", {
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price
+         |             FROM orders)
+         |SELECT 'post' AS state, count(*) AS n,
+         |  ${Exact.sqlSum("price", 2)} AS total FROM src
+         |UNION ALL
+         |SELECT 'pre', count(*), ${Exact.sqlSum("price", 2)} FROM src
+         |ORDER BY state""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s35_target"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("oc|"), col("o_orderkey").cast("string"))), lit(8L))
+            .as("h"))
+      // 8 hash slices, each a single-task append → 8 small files
+      for (i <- 0 until 8) {
+        val slice = src.filter(col("h") === i).drop("h").repartition(1)
+        if (i == 0) slice.writeTo(t).create() else slice.writeTo(t).append()
+      }
+      val preVersion = graft.sources.GraftTableStore
+        .tables((Seq("ns"), "s35_target")).commitHistory.last._1
+      graft.sources.GraftMaintenance.optimize(Seq("ns"), "s35_target",
+        targetRows = 1 << 20)
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n"), Exact.dsum(col("price"), 2).as("total"))
+          .select(lit(label).as("state"), col("n"), col("total"))
+      agg(s.table(t), "post")
+        .unionByName(
+          agg(s.sql(s"SELECT * FROM $t VERSION AS OF $preVersion"), "pre"))
+        .orderBy("state")
     }
   )
 }

@@ -261,6 +261,37 @@ class GraftTableFilesSpec extends SparkSpec {
     } finally GraftTable.historyRetention = savedRetention
   }
 
+  test("s33 registry query: the real scan skips files under the box predicate") {
+    // the s31 census numbers, now served by the actual DSv2 read path —
+    // run the registered query end-to-end and read the table's own
+    // skip census for the final (selective) scan
+    val fn = graft.SparkEntry.queries("s33_zonemap_scan")
+    val out = fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1 && out.head.getLong(0) > 0,
+      "box query must match rows")
+    val census = store("s33_pts").lastScanCensus.get
+    assert(census.filesRead < census.filesTotal,
+      s"z-ordered scan must skip files: $census")
+    // sf0.001's supplier key range is only ~10 wide, so the y bins are
+    // coarse and the skipped fraction is data-limited — assert a real
+    // (not marginal) skip, not the sf0.01+ asymptote
+    assert(census.rowsRead.toDouble < census.rowsTotal * 0.75,
+      s"a [4,5]² box over 16×16 bins must skip a real row fraction: $census")
+    assert(census.pushed.nonEmpty, "box predicate must reach the scan")
+  }
+
+  test("s35 registry query: OPTIMIZE leaves one packed file") {
+    val fn = graft.SparkEntry.queries("s35_optimize_compact")
+    val out = fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 2)
+    assert(out(0)._1 === "post" && out(1)._1 === "pre")
+    assert(out(0)._2 === out(1)._2 && out(0)._3 === out(1)._3,
+      s"pre/post compaction states must agree: ${out.toSeq}")
+    assert(store("s35_target").dataFiles.length === 1,
+      "eight small appends must pack into one file")
+  }
+
   // ---- OPTIMIZE (bin-packing compaction) ------------------------------
 
   test("OPTIMIZE bin-packs small files; rows identical, history sees both") {
