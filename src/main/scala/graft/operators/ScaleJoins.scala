@@ -142,18 +142,26 @@ object ScaleJoins {
   def bloomTheoreticalFp(n: Long, m: Int, k: Int): Double =
     math.pow(1 - math.exp(-k.toDouble * n / m), k.toDouble)
 
-  /** [[bloomPrune]] with (m, k) derived from the ACTUAL build-side
-    * distinct-key count against an FP budget, instead of a caller's
-    * guess. The count is one extra pass over the build side's key column
-    * — the build side is the SMALL side of a pruning join by definition,
-    * and the count's plan is a column-pruned scan + partial-agg collapse,
-    * so at 100 TB this costs one metadata-cheap pass over the dimension,
-    * not the fact. */
+  /** [[bloomPrune]] with (m, k) derived from the build side's distinct-
+    * key cardinality against an FP budget, instead of a caller's guess.
+    * The cardinality comes from `approx_count_distinct` (Spark's HLL++ —
+    * the same register-merge mechanism as the t36 sketch): a column-
+    * pruned scan whose partial aggregates collapse map-side to KB-sized
+    * sketch buffers, so sizing costs ONE cheap pass with NO distinct
+    * shuffle — at a 100 TB build side the difference between a metadata-
+    * sized pass and a full exchange of the key column (the r7 verdict's
+    * refinement #5). The 5% rsd estimate is inflated 10% before sizing:
+    * m only ever rounds UP to its power of two, and the inflated n keeps
+    * k budget-consistent even when the sketch under-counts, so the
+    * realized FP rate stays inside the same 2× envelope the spec pins.
+    * Filter correctness never depends on the estimate: zero false
+    * negatives at ANY (m, k). */
   def bloomPruneAuto(build: DataFrame, probe: DataFrame, keyCol: String,
                      fpBudget: Double = 0.01,
                      maxBits: Int = 1 << 24): DataFrame = {
-    val n = build.filter(col(keyCol).isNotNull)
-      .select(keyCol).distinct().count()
+    val est = build.filter(col(keyCol).isNotNull)
+      .agg(approx_count_distinct(col(keyCol), 0.05)).head().getLong(0)
+    val n = math.max(1L, math.ceil(est * 1.1).toLong)
     val (m, k) = bloomAutoParams(n, fpBudget, maxBits)
     bloomPrune(build, probe, keyCol, m, k)
   }
