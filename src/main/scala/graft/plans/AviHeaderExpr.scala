@@ -77,17 +77,25 @@ object AviHeaderExpr {
     ((id >>> 16) & 0xff) == 'w' && ((id >>> 24) & 0xff) == 'b'
 
   /** Static parse — referenced by both eval and generated code. Returns
-    * null unless the bytes carry a complete RIFF/'AVI ' container whose
-    * declared size matches the buffer, with a `LIST 'hdrl'` leading with a
-    * ≥56-byte `'avih'` and a `LIST 'movi'`; all chunk walks bounds-checked
-    * in Long. */
+    * null unless the bytes carry a complete RIFF/'AVI ' container with a
+    * `LIST 'hdrl'` holding a ≥56-byte `'avih'` (leading non-avih
+    * subchunks — JUNK padding, vendor headers — are skipped, as real
+    * muxers emit them) and a `LIST 'movi'`; all chunk walks
+    * bounds-checked in Long. TRUNCATION (declared size past the buffer)
+    * is still null, but bytes BEYOND the declared RIFF extent are
+    * tolerated and ignored — trailing JUNK outside the RIFF size and
+    * OpenDML 'AVIX' continuation segments live there, and a probe reads
+    * the first (standard) segment exactly like real tooling does. */
   def parse(b: Array[Byte]): InternalRow = {
     // minimum: RIFF(12) + LIST hdrl(12 + avih 8+56) + LIST movi(12)
     if (b == null || b.length < 100) return null
     if (tag(b, 0) != RIFF || tag(b, 8) != AVI) return null
     // the declared RIFF size covers everything after the 8-byte header;
-    // a mismatch is truncation or trailing garbage — not an AVI
-    if (le32(b, 4) + 8L != b.length.toLong) return null
+    // declaring MORE than the buffer holds is truncation — not an AVI.
+    // The walk below is bounded by the declared extent, so trailing
+    // bytes past it never participate.
+    val riffEnd = le32(b, 4) + 8L
+    if (riffEnd > b.length.toLong || riffEnd < 100L) return null
     var off = 12L
     var usPerFrame = -1L
     var totalFrames = -1L
@@ -97,27 +105,39 @@ object AviHeaderExpr {
     var sawMovi = false
     var moviBytes = 0L
     var frameChunks = 0
-    while (off + 8 <= b.length) {
+    while (off + 8 <= riffEnd) {
       val id = tag(b, off.toInt)
       val size = le32(b, off.toInt + 4)
       val body = off + 8
-      if (body + size > b.length) return null // chunk overruns the buffer
+      if (body + size > riffEnd) return null // chunk overruns the extent
       if (id == LIST) {
         if (size < 4) return null // a LIST must at least carry its type
         val listType = tag(b, body.toInt)
         if (listType == HDRL) {
-          // avih must be the FIRST subchunk (VFW spec) with a ≥56-byte
-          // payload (exactly 56 in-spec; tolerate extensions)
-          if (size < 4 + 8 + 56) return null
-          val sub = body + 4
-          if (tag(b, sub.toInt) != AVIH || le32(b, sub.toInt + 4) < 56)
-            return null
-          val p = sub.toInt + 8
-          usPerFrame = le32(b, p)
-          totalFrames = le32(b, p + 16)
-          streams = le32(b, p + 24)
-          width = le32(b, p + 32)
-          height = le32(b, p + 36)
+          // the VFW spec puts avih first, but real muxers pad hdrl with
+          // JUNK or vendor chunks ahead of it — walk the subchunks and
+          // take the FIRST avih (≥56-byte payload; exactly 56 in-spec,
+          // tolerate extensions); a hdrl with none fails the field
+          // validation below
+          var sub = body + 4
+          val end = body + size
+          var found = false
+          while (!found && sub + 8 <= end) {
+            val sid = tag(b, sub.toInt)
+            val ssize = le32(b, sub.toInt + 4)
+            if (sub + 8 + ssize > end) return null // ragged hdrl subchunk
+            if (sid == AVIH) {
+              if (ssize < 56) return null
+              val p = sub.toInt + 8
+              usPerFrame = le32(b, p)
+              totalFrames = le32(b, p + 16)
+              streams = le32(b, p + 24)
+              width = le32(b, p + 32)
+              height = le32(b, p + 36)
+              found = true
+            }
+            sub += 8 + ssize + (ssize & 1L)
+          }
         } else if (listType == MOVI) {
           sawMovi = true
           // census the data chunks: count frames, sum ALL data-chunk
@@ -139,7 +159,7 @@ object AviHeaderExpr {
       }
       off = body + size + (size & 1L)
     }
-    if (off != b.length.toLong) return null // ragged top-level tail
+    if (off != riffEnd && off != riffEnd + 1) return null // ragged tail
     if (usPerFrame < 1 || totalFrames < 0 || streams < 1 || width < 1 ||
       height < 1 || !sawMovi) return null
     // header dwords are unsigned 32-bit; anything beyond Int.MaxValue in

@@ -94,7 +94,6 @@ class AviHeaderSpec extends SparkSpec {
       Array.fill(80)(0.toByte)) === None)
     assert(fields(good.take(60)) === None)            // truncated mid-hdrl
     assert(fields(good.dropRight(1)) === None)        // declared size lies
-    assert(fields(good ++ Array[Byte](0)) === None)   // trailing garbage
     val badSig = good.clone(); badSig(0) = 'X'.toByte
     assert(fields(badSig) === None)                   // not RIFF
     val badForm = good.clone(); badForm(8) = 'W'.toByte
@@ -111,6 +110,57 @@ class AviHeaderSpec extends SparkSpec {
     val lying = good.clone()
     lying(104) = 0x7f.toByte; lying(105) = 0x7f.toByte
     assert(fields(lying) === None)
+  }
+
+  test("real-world tolerances: trailing bytes and hdrl padding parse") {
+    // the r7-advice leniencies: strictness is scoped to the DECLARED RIFF
+    // extent, matching what real muxers emit and probes accept
+    val good = AviHeaderExpr.aviBytes(Array.tabulate(30)(_.toByte), 10, 10,
+      usPerFrame = 5000)
+    val expect = fields(good)
+    assert(expect.isDefined)
+    // trailing JUNK outside the declared RIFF size: ignored, same parse
+    assert(fields(good ++ Array.fill(16)(0x4a.toByte)) === expect)
+    // an OpenDML-style 'AVIX' continuation segment after the first RIFF:
+    // the probe reads the first segment (its movi census), like tooling
+    val avix = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avix.put("RIFF".getBytes("US-ASCII")); avix.putInt(16)
+    avix.put("AVIX".getBytes("US-ASCII"))
+    avix.put("LIST".getBytes("US-ASCII")); avix.putInt(4)
+    avix.put("movi".getBytes("US-ASCII"))
+    assert(fields(good ++ avix.array()) === expect)
+    // hdrl whose avih sits BEHIND a JUNK pad subchunk (padded muxer
+    // layout): the parser must walk to it, not demand it first
+    val hdrlSize = 4 + (8 + 4) + (8 + 56)
+    val moviSize = 4 + (8 + 2)
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(total - 8)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(hdrlSize)
+    bb.put("hdrl".getBytes("US-ASCII"))
+    bb.put("JUNK".getBytes("US-ASCII")); bb.putInt(4); bb.putInt(0)
+    bb.put("avih".getBytes("US-ASCII")); bb.putInt(56)
+    bb.putInt(20000)                    // dwMicroSecPerFrame
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1)                        // dwTotalFrames
+    bb.putInt(0)
+    bb.putInt(1)                        // dwStreams
+    bb.putInt(0)
+    bb.putInt(64); bb.putInt(48)        // dwWidth, dwHeight
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(moviSize)
+    bb.put("movi".getBytes("US-ASCII"))
+    bb.put("00dc".getBytes("US-ASCII")); bb.putInt(2)
+    bb.put(Array[Byte](7, 8))
+    assert(fields(bb.array()) === Some((64, 48, 20000, 1, 1, 2L, 1)))
+    // but a hdrl with NO avih anywhere is still not an AVI
+    val noAvih = bb.array().clone()
+    // overwrite the avih tag (it sits after RIFF(12)+LIST hdr(8)+type(4)+JUNK(12))
+    System.arraycopy("JUNX".getBytes("US-ASCII"), 0, noAvih, 36, 4)
+    assert(fields(noAvih) === None)
   }
 
   test("builder rejects params the parser would refuse") {
