@@ -218,7 +218,9 @@ object Bench {
     // judge must see (metric/value/queries) has to sit closest to the end
     // and stay compact — per-run + warmup timings ride on their own line
     // where truncation only costs diagnostics.
-    println(s"""{"diag":"per-run timings ($timedPasses interleaved timed passes; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}""")
+    val diagLine =
+      s"""{"diag":"per-run timings ($timedPasses interleaved timed passes; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}"""
+    println(diagLine)
     // Keep the contract line inside the archive window even as the registry
     // grows: if it would overflow, drop the FASTEST per-query entries (the
     // slow ones are the informative ones; failures bill the 9999 sentinel
@@ -237,6 +239,13 @@ object Bench {
         bySlowest.length - keep)
     }
     println(line)
+    // Standalone machine-readable artifact (r7 verdict "what's wrong" #1:
+    // the driver's BENCH json carried "parsed": null because its own parse
+    // scraped the archived log tail). The file holds the UNTRUNCATED
+    // contract object plus the per-run diagnostics — no log scraping, no
+    // archive-window truncation, survives even if stdout is garbled.
+    Files.writeString(Paths.get("bench_summary.json"),
+      s"""{"contract":${contractLine(qs, 0)},"detail":$diagLine}""" + "\n")
     spark.stop()
   }
 }
