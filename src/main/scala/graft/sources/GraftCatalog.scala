@@ -477,22 +477,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
         Iterator.single(GraftDataFile.build(batch, tableSchema, None))
       else
         batch.groupBy(groupKeyOf).toSeq
-          .sortBy(_._1.mkString(" ")) // deterministic file order
+          .sortBy(_._1.mkString("|")) // deterministic file order
           .iterator.map { case (_, rs) =>
             GraftDataFile.build(rs, tableSchema, keyOfOpt)
           }
     }.toVector
 
-  /** Remove all rows of the given partition groups. Files wholly owned by
-    * a dropped group (the common, writer-aligned case) drop BY REFERENCE;
-    * files spanning groups (post-compaction) rebuild from survivors. */
+  /** Remove all rows of the partition groups matching `touched`. Files
+    * wholly owned by a dropped group (the common, writer-aligned case)
+    * drop BY REFERENCE; files spanning groups (post-compaction) rebuild
+    * from survivors. */
   private def dropGroupRows(fs: Vector[GraftDataFile],
-                            keys: Set[Seq[Any]]): Vector[GraftDataFile] =
+                            touched: Seq[Any] => Boolean): Vector[GraftDataFile] =
     fs.flatMap { f =>
       f.groupKey match {
-        case Some(k) => if (keys.contains(k)) None else Some(f)
+        case Some(k) => if (touched(k)) None else Some(f)
         case None =>
-          val kept = f.rows.filterNot(r => keys.contains(groupKeyOf(r)))
+          val kept = f.rows.filterNot(r => touched(groupKeyOf(r)))
           if (kept.length == f.rows.length) Some(f)
           else if (kept.isEmpty) None
           else Some(GraftDataFile.build(kept, tableSchema, keyOfOpt))
@@ -510,10 +511,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * never ran (unpartitioned table, or an unrecognized predicate shape)
     * — the scanned group was the whole table, so the whole table swaps. */
   private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
-      touched: Option[Set[Seq[Any]]]): Unit = synchronized {
+      touched: Option[Seq[Any] => Boolean]): Unit = synchronized {
     files = touched match {
       case None => buildFiles(batches)
-      case Some(groups) => dropGroupRows(files, groups) ++ buildFiles(batches)
+      case Some(pred) => dropGroupRows(files, pred) ++ buildFiles(batches)
     }
     snap()
   }
@@ -521,8 +522,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** INSERT OVERWRITE of specific partition groups (static mode with a
     * partition predicate): delete the matching groups, then append. */
   private[sources] def installOverwriteGroups(batches: Array[Array[InternalRow]],
-      keys: Set[Seq[Any]]): Unit = synchronized {
-    files = dropGroupRows(files, keys) ++ buildFiles(batches)
+      touched: Seq[Any] => Boolean): Unit = synchronized {
+    files = dropGroupRows(files, touched) ++ buildFiles(batches)
     snap()
   }
 
@@ -533,7 +534,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installDynamicOverwrite(
       batches: Array[Array[InternalRow]]): Unit = synchronized {
     val touched = batches.iterator.flatten.map(groupKeyOf).toSet
-    files = dropGroupRows(files, touched) ++ buildFiles(batches)
+    files = dropGroupRows(files, touched.contains) ++ buildFiles(batches)
     snap()
   }
 
@@ -590,17 +591,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   override def canDeleteWhere(filters: Array[Predicate]): Boolean =
     alwaysTrueOnly(filters) ||
-      GroupPredicates.allowedKeys(filters, partitionCols).isDefined
+      GroupPredicates.keyPredicate(filters, partitionCols).isDefined
 
   override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
     if (alwaysTrueOnly(filters)) files = Vector.empty
     else {
-      val keys = GroupPredicates.allowedKeys(filters, partitionCols)
+      val pred = GroupPredicates.keyPredicate(filters, partitionCols)
         .getOrElse(throw new UnsupportedOperationException(
           s"deleteWhere called with inexpressible filters " +
             s"${filters.mkString(", ")} — canDeleteWhere should have " +
             "routed this to the row-level rewrite"))
-      files = dropGroupRows(files, keys)
+      files = dropGroupRows(files, pred)
     }
     snap()
   }
@@ -649,17 +650,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
       override def canOverwrite(filters: Array[Predicate]): Boolean =
         filters.forall(_.name == "ALWAYS_TRUE") ||
-          GroupPredicates.allowedKeys(filters, partitionCols).isDefined
+          GroupPredicates.keyPredicate(filters, partitionCols).isDefined
 
       override def overwrite(filters: Array[Predicate]): WriteBuilder = {
         if (filters.forall(_.name == "ALWAYS_TRUE")) install = installReplace
         else {
-          val keys = GroupPredicates.allowedKeys(filters, partitionCols)
+          val pred = GroupPredicates.keyPredicate(filters, partitionCols)
             .getOrElse(throw new UnsupportedOperationException(
               s"overwrite called with inexpressible filters " +
                 s"${filters.mkString(", ")} — canOverwrite should have " +
                 "routed this to delete-and-append"))
-          install = installOverwriteGroups(_, keys)
+          install = installOverwriteGroups(_, pred)
         }
         this
       }
@@ -690,8 +691,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         () =>
           if (partitionCols.isEmpty) GraftScan.of(tableSchema, currentRows)
           else {
-            rlScan = new GraftRowLevelScan(tableSchema, currentRows,
-              partitionCols, groupKeyOf)
+            rlScan = new GraftRowLevelScan(tableSchema, partitionCols,
+              currentRows, groupKeyOf)
             rlScan
           }
 
@@ -754,25 +755,35 @@ object GraftMaintenance {
   * table's commit replaces exactly that set. An unrecognized predicate
   * shape degrades to no pruning — a whole-table rewrite is correct,
   * just not delta-sized. */
-class GraftRowLevelScan(schema: StructType, allRows: Array[InternalRow],
-                        partCols: Seq[String],
+class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
+                        allRows: Array[InternalRow],
                         groupKeyOf: InternalRow => Seq[Any])
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private var kept: Array[InternalRow] = allRows
   /** Groups the rewrite must replace; None = all (no runtime filter). */
-  @volatile private[sources] var scannedGroups: Option[Set[Seq[Any]]] = None
+  @volatile private[sources] var scannedGroups: Option[Seq[Any] => Boolean] =
+    None
 
+  /** Only the LEADING partition column: Spark's group-filter rule builds
+    * ONE InSubquery over every advertised attribute, and the runtime
+    * V2-predicate translation (`translateRuntimeFilterV2`) only converts
+    * a single-column InSubqueryExec — a multi-attribute subquery's
+    * struct child fails `PushableColumnAndNestedColumn` and the filter
+    * silently drops. Advertising the prefix keeps the narrowing that CAN
+    * translate; over-selected groups (right year, wrong state) rewrite
+    * to identical contents, so prefix narrowing is always correct —
+    * exactly leading-prefix partition pruning. */
   override def filterAttributes(): Array[NamedReference] =
-    partCols.map(Expressions.column).toArray
+    Array(Expressions.column(partCols.head))
 
   override def filter(predicates: Array[Predicate]): Unit =
-    GroupPredicates.allowedKeys(predicates, partCols).foreach { keys =>
-      kept = allRows.filter(r => keys.contains(groupKeyOf(r)))
+    GroupPredicates.keyPredicate(predicates, partCols).foreach { pred =>
+      kept = allRows.filter(r => pred(groupKeyOf(r)))
       // the touched set is what the filter SELECTED (not just non-empty
       // groups): a selected group whose rows all get deleted must still
       // be replaced (with nothing)
-      scannedGroups = Some(keys)
+      scannedGroups = Some(pred)
     }
 
   override def readSchema(): StructType = schema
@@ -783,59 +794,74 @@ class GraftRowLevelScan(schema: StructType, allRows: Array[InternalRow],
     GraftScan.of(schema, kept).createReaderFactory()
 }
 
-/** Conservative evaluator for the runtime-filter predicates Spark hands a
-  * [[SupportsRuntimeV2Filtering]] scan: IN / = over a single identity
-  * partition column (the shape the row-level group filter emits), plus
-  * AND/OR composition. Returns None for anything else — the caller then
-  * skips pruning, which is always correct. */
+/** Conservative evaluator for the partition predicates Spark hands the
+  * metadata-delete / partition-overwrite / runtime-group-filter paths:
+  * compiles IN / = / <=> over identity partition columns plus AND/OR
+  * composition into a GROUP-KEY PREDICATE (`Seq[Any] => Boolean` over
+  * the partition-column values in declaration order). Returns None for
+  * any unrecognized shape — the caller then falls back to the row-level
+  * rewrite, which is always correct.
+  *
+  * Compiling to a predicate rather than enumerating a key set supports
+  * MULTI-COLUMN identity partitioning and PARTIAL constraints: on a
+  * (year, state) table, `DELETE WHERE year = 2023` is metadata-only
+  * (every (2023, *) group drops) even though the matching key set is
+  * not enumerable up front — the Delta/Hive partition-predicate
+  * semantics, not just single-value partition specs. */
 private[sources] object GroupPredicates {
 
   // the public v2 literal interface (LiteralValue itself is private[sql])
   private type Lit = org.apache.spark.sql.connector.expressions.Literal[_]
 
-  /** Some(set of allowed single-column group keys) when every predicate
-    * is a recognized shape on the one partition column (multiple
-    * predicates AND together); None otherwise. */
-  def allowedKeys(predicates: Array[Predicate],
-                  partCols: Seq[String]): Option[Set[Seq[Any]]] = {
-    if (partCols.length != 1 || predicates.isEmpty) return None
-    val col = partCols.head
-    val sets = predicates.toSeq.map(p => eval(p, col))
-    if (sets.contains(None)) None
-    else Some(sets.flatten.reduce(_ intersect _).map(Seq(_)))
+  /** Some(group-key predicate) when EVERY predicate compiles (multiple
+    * predicates AND together — Spark splits conjunctions before handing
+    * them over); None otherwise. */
+  def keyPredicate(predicates: Array[Predicate],
+                   partCols: Seq[String]): Option[Seq[Any] => Boolean] = {
+    if (partCols.isEmpty || predicates.isEmpty) return None
+    val compiled = predicates.toSeq.map(p => eval(p, partCols))
+    if (compiled.contains(None)) None
+    else Some(key => compiled.forall(_.get(key)))
   }
 
-  private def refIs(e: org.apache.spark.sql.connector.expressions.Expression,
-                    col: String): Boolean = e match {
-    case r: NamedReference =>
-      r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase(col)
-    case _ => false
+  private def ordOf(e: org.apache.spark.sql.connector.expressions.Expression,
+                    partCols: Seq[String]): Option[Int] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      partCols.indexWhere(_.equalsIgnoreCase(r.fieldNames.head)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    case _ => None
   }
 
-  private def eval(p: Predicate, col: String): Option[Set[Any]] =
+  private def eval(p: Predicate,
+                   partCols: Seq[String]): Option[Seq[Any] => Boolean] =
     p.name() match {
       case "IN" =>
         val ch = p.children()
-        if (ch.length >= 2 && refIs(ch.head, col) &&
-          ch.tail.forall(_.isInstanceOf[Lit]))
-          Some(ch.tail.map(_.asInstanceOf[Lit].value: Any).toSet)
-        else None
-      case "=" | "<=>" =>
-        p.children() match {
-          case Array(r, l: Lit) if refIs(r, col) => Some(Set(l.value: Any))
-          case Array(l: Lit, r) if refIs(r, col) => Some(Set(l.value: Any))
-          case _ => None
+        for {
+          i <- if (ch.length >= 2) ordOf(ch.head, partCols) else None
+          if ch.tail.forall(_.isInstanceOf[Lit])
+        } yield {
+          val set = ch.tail.map(_.asInstanceOf[Lit].value: Any).toSet
+          (key: Seq[Any]) => set.contains(key(i))
         }
+      case "=" | "<=>" =>
+        (p.children() match {
+          case Array(r, l: Lit) => ordOf(r, partCols).map((_, l.value: Any))
+          case Array(l: Lit, r) => ordOf(r, partCols).map((_, l.value: Any))
+          case _ => None
+        }).map { case (i, v) => (key: Seq[Any]) => key(i) == v }
       case "AND" =>
         val ch = p.children().collect { case q: Predicate => q }
         if (ch.length != 2) None
-        else for (a <- eval(ch(0), col); b <- eval(ch(1), col))
-          yield a intersect b
+        else for (a <- eval(ch(0), partCols); b <- eval(ch(1), partCols))
+          yield (key: Seq[Any]) => a(key) && b(key)
       case "OR" =>
         val ch = p.children().collect { case q: Predicate => q }
         if (ch.length != 2) None
-        else for (a <- eval(ch(0), col); b <- eval(ch(1), col))
-          yield a union b
+        else for (a <- eval(ch(0), partCols); b <- eval(ch(1), partCols))
+          yield (key: Seq[Any]) => a(key) || b(key)
       case _ => None
     }
 }

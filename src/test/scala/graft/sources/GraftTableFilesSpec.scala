@@ -292,6 +292,92 @@ class GraftTableFilesSpec extends SparkSpec {
       "eight small appends must pack into one file")
   }
 
+  // ---- multi-column identity partitioning -----------------------------
+
+  private def identitySet(rows: Iterable[AnyRef]) = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    rows.foreach(s.add)
+    s
+  }
+
+  test("multi-column partitions: full and PARTIAL predicates are metadata-only") {
+    val t = freshTable("t_mc")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, yr INT, st STRING) " +
+      "PARTITIONED BY (yr, st)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2022, 'CA'), (2, 2022, 'NY'), " +
+      "(3, 2023, 'CA'), (4, 2023, 'NY'), (5, 2023, 'TX')")
+    val table = store("t_mc")
+    // files are split per (yr, st) group at commit
+    assert(table.dataFiles.length === 5)
+    assert(table.dataFiles.forall(_.groupKey.isDefined))
+
+    // FULL key: one group drops, every other stored row carries by
+    // reference (no rewrite)
+    val before1 = identitySet(
+      table.currentRows.filterNot(r => r.getInt(1) == 2022 &&
+        r.getUTF8String(2).toString == "NY"))
+    spark.sql(s"DELETE FROM $t WHERE yr = 2022 AND st = 'NY'")
+    assert(spark.table(t).orderBy("id").as[(Long, Int, String)]
+      .collect().map(_._1).toSeq === Seq(1L, 3L, 4L, 5L))
+    table.currentRows.foreach(r => assert(before1.contains(r),
+      "full-key partition delete must not rewrite surviving rows"))
+
+    // PARTIAL key (yr only): (2023, *) all drop — metadata-only even
+    // though the key set was never enumerated; the 2022 row survives
+    // by reference
+    val before2 = identitySet(table.currentRows.filter(_.getInt(1) != 2023))
+    spark.sql(s"DELETE FROM $t WHERE yr = 2023")
+    assert(spark.table(t).as[(Long, Int, String)].collect().toSeq ===
+      Seq((1L, 2022, "CA")))
+    table.currentRows.foreach(r => assert(before2.contains(r),
+      "partial partition delete must not rewrite surviving rows"))
+
+    // a non-partition predicate still routes through the COW rewrite
+    // and lands the right contents
+    spark.sql(s"INSERT INTO $t VALUES (6, 2024, 'CA'), (7, 2024, 'NY')")
+    spark.sql(s"DELETE FROM $t WHERE id = 6")
+    assert(spark.table(t).orderBy("id").as[(Long, Int, String)]
+      .collect().map(_._1).toSeq === Seq(1L, 7L))
+  }
+
+  test("multi-column partitions: static overwrite and MERGE narrow correctly") {
+    val t = freshTable("t_mc_ow")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, yr INT, st STRING) " +
+      "PARTITIONED BY (yr, st)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2022, 'CA'), (2, 2022, 'NY'), " +
+      "(3, 2023, 'CA')")
+    val table = store("t_mc_ow")
+
+    // static INSERT OVERWRITE with a full multi-column partition spec:
+    // exactly that group is replaced, the rest carry by reference
+    val untouched = identitySet(
+      table.currentRows.filterNot(r => r.getInt(1) == 2022 &&
+        r.getUTF8String(2).toString == "CA"))
+    spark.sql(
+      s"INSERT OVERWRITE $t PARTITION (yr = 2022, st = 'CA') VALUES (10)")
+    assert(spark.table(t).orderBy("id").as[(Long, Int, String)]
+      .collect().toSeq ===
+      Seq((2L, 2022, "NY"), (3L, 2023, "CA"), (10L, 2022, "CA")))
+    val after = table.currentRows.filterNot(r => r.getInt(1) == 2022 &&
+      r.getUTF8String(2).toString == "CA")
+    after.foreach(r => assert(untouched.contains(r),
+      "static multi-column overwrite must not rewrite other partitions"))
+
+    // MERGE matching rows only in (2023, CA): the runtime group filter
+    // narrows the COW to that partition; others carry by reference
+    val preMerge = identitySet(table.currentRows.filter(_.getInt(1) != 2023))
+    Seq((3L, "updated")).toDF("id", "v").createOrReplaceTempView("mc_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING mc_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.id = t.id + 100""".stripMargin)
+    assert(spark.table(t).orderBy("id").as[(Long, Int, String)]
+      .collect().map(_._1).toSeq === Seq(2L, 10L, 103L))
+    val post = table.currentRows.filter(_.getInt(1) != 2023)
+    post.foreach(r => assert(preMerge.contains(r),
+      "multi-column COW merge must not rewrite unmatched partitions"))
+  }
+
   // ---- OPTIMIZE (bin-packing compaction) ------------------------------
 
   test("OPTIMIZE bin-packs small files; rows identical, history sees both") {
