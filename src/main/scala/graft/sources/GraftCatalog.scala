@@ -1032,8 +1032,17 @@ class GraftScanBuilder(tableSchema: StructType,
       else required.length.toDouble / tableSchema.length
     val bytes = math.max(1L,
       (surviving.iterator.map(_.sizeBytes).sum * colFrac).toLong)
+    // per-chunk zones keyed by COLUMN NAME: names survive column pruning
+    // (runtime filters reference output columns), ordinals do not
+    def zonesByName(f: GraftDataFile): Map[String, ColZone] =
+      tableSchema.fields.iterator.zipWithIndex.flatMap { case (fl, i) =>
+        if (i < f.zones.length && f.zones(i) != null) Some(fl.name -> f.zones(i))
+        else None
+      }.toMap
     if (required.length == tableSchema.length)
-      new GraftScan(tableSchema, surviving.map(_.rows).toArray, bytes)
+      new GraftScan(tableSchema,
+        surviving.map(f => ScanChunk(f.rows, zonesByName(f))).toArray,
+        bytes, census, pushed.map(_.toString).toSeq)
     else {
       val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -1042,9 +1051,78 @@ class GraftScanBuilder(tableSchema: StructType,
             i, tableSchema.fields(i).dataType, tableSchema.fields(i).nullable)
         })
       new GraftScan(required,
-        surviving.map(_.rows.map(r => proj(r).copy(): InternalRow)).toArray,
-        bytes)
+        surviving.map(f => ScanChunk(
+          f.rows.map(r => proj(r).copy(): InternalRow), zonesByName(f))).toArray,
+        bytes, census, pushed.map(_.toString).toSeq)
     }
+  }
+}
+
+/** One surviving data file inside a [[GraftScan]]: its (possibly
+  * column-pruned) rows plus its zone maps keyed by column name — kept on
+  * the scan so RUNTIME filters (DPP subquery results) can skip whole
+  * chunks after planning, not just the static pushdown at build time. */
+private[sources] final case class ScanChunk(rows: Array[InternalRow],
+                                            zones: Map[String, ColZone]) {
+  def rowCount: Int = rows.length
+}
+
+/** Zone-map may-match tests for the V2 [[Predicate]]s a runtime filter
+  * delivers (`col IN (v...)` / `col = v` from an executed DPP subquery,
+  * AND/OR composition). Values arrive in Catalyst-internal form, the same
+  * representation the zones hold. Conservative: compiles to None (no
+  * pruning) for unrecognized shapes, returns false only when NO row in
+  * the chunk can satisfy the predicate; a type mismatch (cast-wrapped
+  * join key) falls back to may-match instead of mis-pruning. */
+private[sources] object ZonePredicatesV2 {
+  private type Lit = org.apache.spark.sql.connector.expressions.Literal[_]
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  private def nameOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  private def inTest(name: String, vs: Seq[Any]): ScanChunk => Boolean =
+    c => c.zones.get(name) match {
+      case Some(z) if z.min != null =>
+        try vs.exists(v => v != null && cmp(z.min, v) <= 0 && cmp(z.max, v) >= 0)
+        catch { case _: ClassCastException => true } // cast-wrapped key
+      case Some(_) => false // all-null column never equi-matches
+      case None => true
+    }
+
+  def compile(p: Predicate): Option[ScanChunk => Boolean] = p.name() match {
+    case "IN" =>
+      val ch = p.children()
+      for {
+        n <- if (ch.length >= 2) nameOf(ch.head) else None
+        if ch.tail.forall(_.isInstanceOf[Lit])
+      } yield inTest(n, ch.tail.toSeq.map(_.asInstanceOf[Lit].value: Any))
+    case "=" | "<=>" =>
+      (p.children() match {
+        case Array(r, l: Lit) => nameOf(r).map((_, l.value: Any))
+        case Array(l: Lit, r) => nameOf(r).map((_, l.value: Any))
+        case _ => None
+      }).map { case (n, v) => inTest(n, Seq(v)) }
+    case "AND" =>
+      val ch = p.children().collect { case q: Predicate => q }
+      if (ch.length != 2) None
+      else (compile(ch(0)), compile(ch(1))) match {
+        case (None, None) => None
+        case (a, b) => Some(c => a.forall(_(c)) && b.forall(_(c)))
+      }
+    case "OR" =>
+      val ch = p.children().collect { case q: Predicate => q }
+      if (ch.length != 2) None
+      else for (a <- compile(ch(0)); b <- compile(ch(1)))
+        yield (c: ScanChunk) => a(c) || b(c)
+    case _ => None
   }
 }
 
@@ -1053,14 +1131,43 @@ class GraftScanBuilder(tableSchema: StructType,
   * over a single large file. Reports `SupportsReportStatistics` — size
   * AFTER zone pruning and column pruning, so Catalyst's join planning
   * sees the real read cost and auto-broadcasts dim-sized tables without
-  * hints (the path a real format's stats serve). */
-class GraftScan(schema: StructType, chunks: Array[Array[InternalRow]],
-                sizeBytes: Long)
-    extends Scan with Batch with SupportsReportStatistics {
-  private val totalRows: Long = chunks.iterator.map(_.length.toLong).sum
+  * hints (the path a real format's stats serve).
+  *
+  * Also implements [[SupportsRuntimeV2Filtering]] over every zone-backed
+  * column: when this table is the BIG side of a join whose other side
+  * broadcasts, Spark plans a DPP-style subquery over the join key and
+  * hands the realized key set to [[filter]] — chunks whose zone envelope
+  * excludes every key drop BEFORE any row is read. That is dynamic file
+  * skipping (the Iceberg/Delta runtime-filter read path): the static
+  * half (predicate literals) prunes at build, this half prunes from
+  * runtime join keys. Always safe: the join re-applies its condition, so
+  * over-retention costs only I/O, and the zone test is conservative. */
+class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
+                sizeBytes: Long, census: ScanCensus => Unit = _ => (),
+                staticPushed: Seq[String] = Nil)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+  @volatile private var chunks: Array[ScanChunk] = chunks0
+  private val totalRows: Long = chunks0.iterator.map(_.rowCount.toLong).sum
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    schema.fields.collect {
+      case f if GraftDataFile.statsSupported(f.dataType) =>
+        Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val tests = predicates.flatMap(ZonePredicatesV2.compile)
+    if (tests.nonEmpty) {
+      chunks = chunks.filter(c => tests.forall(_(c)))
+      census(ScanCensus(chunks0.length, chunks.length, totalRows,
+        chunks.iterator.map(_.rowCount.toLong).sum,
+        staticPushed ++ predicates.map(p => s"runtime:$p")))
+    }
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
@@ -1070,15 +1177,17 @@ class GraftScan(schema: StructType, chunks: Array[Array[InternalRow]],
   }
 
   override def description(): String =
-    s"GraftScan(files=${chunks.length}, rows=$totalRows, " +
+    s"GraftScan(files=${chunks.length}/${chunks0.length}, rows=$totalRows, " +
       s"sizeBytes=$sizeBytes)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (totalRows == 0) return Array(GraftInputPartition(Array.empty))
+    val cs = chunks
+    if (cs.iterator.map(_.rowCount).sum == 0)
+      return Array(GraftInputPartition(Array.empty))
     // one partition per file; few big files additionally split so the
     // local-mode parallelism survives compaction
-    val slicesPerChunk = math.max(1, 8 / math.max(1, chunks.length))
-    chunks.iterator.filter(_.nonEmpty).flatMap { rows =>
+    val slicesPerChunk = math.max(1, 8 / math.max(1, cs.length))
+    cs.iterator.map(_.rows).filter(_.nonEmpty).flatMap { rows =>
       val slices = math.max(1, math.min(slicesPerChunk, rows.length))
       rows.grouped(math.ceil(rows.length.toDouble / slices).toInt)
         .map(GraftInputPartition.apply)
@@ -1100,9 +1209,9 @@ class GraftScan(schema: StructType, chunks: Array[Array[InternalRow]],
 }
 
 object GraftScan {
-  /** Single-chunk scan over loose rows (row-level operation path). */
+  /** Single-chunk, zone-less scan over loose rows (row-level path). */
   def of(schema: StructType, rows: Array[InternalRow]): GraftScan =
-    new GraftScan(schema, Array(rows),
+    new GraftScan(schema, Array(ScanChunk(rows, Map.empty)),
       math.max(1L, rows.length.toLong * math.max(1, schema.defaultSize)))
 }
 

@@ -292,6 +292,40 @@ class GraftTableFilesSpec extends SparkSpec {
       "eight small appends must pack into one file")
   }
 
+  test("runtime join filters (DPP) skip files the key set excludes") {
+    // the dynamic half of data skipping: the fact is the big side of a
+    // broadcast join; Spark's runtime filter hands the realized key set
+    // to the scan, which drops whole files by zone map BEFORE reading.
+    // The fact must be genuinely bigger than the dim (the scan's honest
+    // statistics otherwise make the FACT the broadcast side and there is
+    // no dim broadcast to reuse), and the dim's selectivity must live in
+    // its DATA behind a non-join-column filter on a real source —
+    // constraint propagation would turn an expression-derived filter
+    // into static pushdown, and ConvertToLocalRelation folds a filtered
+    // literal relation into bare rows with no selective predicate left.
+    val t = freshTable("t_dpp")
+    Seq.tabulate(2500)(i => (i + 1L, "payload" * 8 + i)).toDF("id", "v")
+      .repartition(1).writeTo(t).create()
+    for (base <- Seq(2500, 5000, 7500))
+      Seq.tabulate(2500)(i => (base + i + 1L, "payload" * 8 + i))
+        .toDF("id", "v").repartition(1).writeTo(t).append()
+    val table = store("t_dpp")
+    assert(table.dataFiles.length === 4)
+    val dimDir = tmpDir("dpp-dim") + "/dim"
+    Seq((8501L, "keep"), (8502L, "keep"), (7L, "drop"), (4999L, "drop"))
+      .toDF("k", "tag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val joined = spark.table(t).join(dim, $"id" === $"k")
+    val got = joined.select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(8501L, 8502L))
+    val census = table.lastScanCensus.get
+    assert(census.pushed.exists(_.startsWith("runtime:")),
+      s"expected a runtime filter to reach the scan: $census")
+    assert(census.filesRead === 1 && census.filesTotal === 4,
+      s"runtime key set must prune to the last file alone: $census")
+    assert(census.rowsRead === 2500 && census.rowsTotal === 10000)
+  }
+
   // ---- multi-column identity partitioning -----------------------------
 
   private def identitySet(rows: Iterable[AnyRef]) = {
