@@ -670,9 +670,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         this
       }
 
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftBatchWrite(install)
-      }
+      override def build(): Write = new GraftWrite(partitionCols,
+        () => new GraftBatchWrite(install))
     }
 
   // ---- row-level operations (MERGE / UPDATE / DELETE SQL) ------------
@@ -704,12 +703,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // simply don't arrive) — [[GraftRowLevelBatchWrite]] strips it.
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
-          override def build(): Write = new Write {
-            override def toBatch: BatchWrite =
-              new GraftRowLevelBatchWrite(tableSchema,
-                delivered => installReplaceGroups(delivered,
-                  Option(rlScan).flatMap(_.scannedGroups)))
-          }
+          override def build(): Write = new GraftWrite(partitionCols,
+            () => new GraftRowLevelBatchWrite(tableSchema,
+              delivered => installReplaceGroups(delivered,
+                Option(rlScan).flatMap(_.scannedGroups))))
         }
 
       override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -726,6 +723,36 @@ object GraftTable {
     * mirroring Delta's log retention. Floor of 2 (current + previous)
     * regardless of the setting. */
   @volatile var historyRetention: Int = 128
+}
+
+/** Write of a [[GraftTable]]: on PARTITIONED tables it REQUESTS a
+  * clustered distribution on the partition columns
+  * ([[RequiresDistributionAndOrdering]]), so Spark shuffles incoming
+  * rows by partition key before the writers run and every partition
+  * group lands in ONE task → ONE data file — the Iceberg/Delta write
+  * contract that prevents the small-files explosion (without it, an
+  * insert arriving in T tasks scatters each group across up to T files;
+  * at 100 TB that is the difference between file counts tracking
+  * partitions and tracking partitions × tasks). Unpartitioned tables
+  * leave the distribution unspecified — the caller's layout (e.g. the
+  * s33 z-order repartition) passes through untouched. */
+class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+  override def requiredDistribution(): Distribution =
+    if (partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionCols.map(c => Expressions.identity(c):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  // no within-task order requirement: buildFiles splits per group anyway
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: BatchWrite = batchWrite()
 }
 
 /** `OPTIMIZE` entry point — the table-maintenance surface (Delta

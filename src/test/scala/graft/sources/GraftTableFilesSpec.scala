@@ -326,6 +326,29 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(census.rowsRead === 2500 && census.rowsTotal === 10000)
   }
 
+  test("partitioned writes request clustering: one file per partition group") {
+    // RequiresDistributionAndOrdering: a partitioned insert arriving in
+    // many tasks must NOT scatter each group across task files — Spark
+    // shuffles by partition key first, so file count tracks GROUPS
+    val t = freshTable("t_wdist")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
+    // 300 rows over 3 groups, deliberately spread across 8 input tasks
+    spark.range(0, 300).select($"id", ($"id" % 3).cast("int").as("part"))
+      .repartition(8).writeTo(t).append()
+    val table = store("t_wdist")
+    assert(spark.table(t).count() === 300)
+    assert(table.dataFiles.length === 3,
+      s"expected one file per group, got ${table.dataFiles.map(f =>
+        (f.groupKey, f.rowCount)).mkString(", ")}")
+    assert(table.dataFiles.forall(_.rowCount === 100))
+    // unpartitioned tables keep the caller's layout (no forced shuffle)
+    val t2 = freshTable("t_wdist_none")
+    spark.range(0, 40).select($"id", lit("x").as("v"))
+      .repartition(4).writeTo(t2).create()
+    assert(store("t_wdist_none").dataFiles.length === 4,
+      "unpartitioned write must not re-shuffle the caller's layout")
+  }
+
   // ---- multi-column identity partitioning -----------------------------
 
   private def identitySet(rows: Iterable[AnyRef]) = {
