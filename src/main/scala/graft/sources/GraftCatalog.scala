@@ -73,11 +73,28 @@ class GraftCatalog extends TableCatalog {
       case (ns, n) if ns == namespace.toSeq => Identifier.of(namespace, n)
     }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    val n = ident.name()
+    // Iceberg-style metadata tables: `t$files` / `t$history` resolve to
+    // read-only relations over the base table's file census and commit
+    // log — the introspection surface (DESCRIBE HISTORY, files audit)
+    // served through the ordinary SQL read path
+    val dollar = n.indexOf('$')
+    if (dollar > 0) {
+      val base = GraftTableStore.tables.getOrElse(
+        (ident.namespace().toSeq, n.substring(0, dollar)),
+        throw new NoSuchTableException(ident))
+      return n.substring(dollar + 1) match {
+        case "files" => base.filesMetaTable
+        case "history" => base.historyMetaTable
+        case other => throw new NoSuchTableException(ident)
+      }
+    }
     GraftTableStore.tables.get(key(ident)) match {
       case Some(t) => t
       case None => throw new NoSuchTableException(ident)
     }
+  }
 
   /** Time travel (`SELECT ... FROM t VERSION AS OF n`): version n is the
     * table state after its n-th commit (0 = the empty just-created
@@ -454,6 +471,92 @@ class GraftTable(initialName: String, initialSchema: StructType,
   def commitHistory: Seq[(Int, Long)] =
     history.map(e => (e.version, e.tsMicros))
 
+  /** (schema, files) of the current state or a retained version —
+    * the clone source. */
+  private[sources] def stateAt(version: Option[Int],
+      ident: Identifier): (StructType, Vector[GraftDataFile]) =
+    version match {
+      case None => (tableSchema, files)
+      case Some(v) =>
+        val h = history
+        val base = h.head.version
+        if (v < base || v > h.last.version)
+          throw new IllegalArgumentException(
+            s"$ident has no retained version $v " +
+              s"(retained: $base..${h.last.version})")
+        val e = h(v - base)
+        (e.schema, e.files)
+    }
+
+  /** Clone bootstrap: adopt shared file references as commit 1. */
+  private[sources] def adoptFiles(fs: Vector[GraftDataFile]): Unit =
+    synchronized { files = fs; snap() }
+
+  /** Early history truncation (`VACUUM`): retire all but the last
+    * `keepLast` snapshots NOW instead of waiting for the retention
+    * window to slide — the superseded row arrays become collectable.
+    * Returns the number of snapshots retired. Data files referenced by
+    * the retained snapshots (including clones') are untouched. */
+  private[sources] def vacuumHistory(keepLast: Int): Int = synchronized {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val over = history.length - keepLast
+    if (over > 0) history = history.drop(over)
+    math.max(0, over)
+  }
+
+  // ---- metadata tables (`t$files`, `t$history`) -----------------------
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** `SELECT * FROM t$files`: one row per current data file — row count,
+    * byte size, partition-group key, and the zone-map envelope rendered
+    * per column. The files audit a real format serves from its manifest. */
+  private[sources] def filesMetaTable: GraftSnapshotTable = {
+    val schema = StructType(Seq(
+      StructField("file_id", IntegerType, nullable = false),
+      StructField("row_count", IntegerType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("group_key", StringType, nullable = true),
+      StructField("zones", StringType, nullable = true)))
+    val snap = files
+    val s = tableSchema
+    val rows = snap.iterator.zipWithIndex.map { case (f, i) =>
+      val zones = s.fields.iterator.zipWithIndex.flatMap { case (fl, j) =>
+        if (j < f.zones.length && f.zones(j) != null) {
+          val z = f.zones(j)
+          Some(s"${fl.name}:[${z.min}..${z.max}] nulls=${z.nullCount}")
+        } else None
+      }.mkString("; ")
+      new GenericInternalRow(Array[Any](i, f.rowCount, f.sizeBytes,
+        utf8(f.groupKey.map(_.mkString("/")).orNull),
+        utf8(zones))): InternalRow
+    }.toArray
+    new GraftSnapshotTable(s"$tableName$$files", schema,
+      Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
+  /** `SELECT * FROM t$history`: the retained commit log — version,
+    * commit timestamp, and the post-commit file/row census (DESCRIBE
+    * HISTORY as an ordinary relation). */
+  private[sources] def historyMetaTable: GraftSnapshotTable = {
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("timestamp_micros", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+    val rows = history.iterator.map { e =>
+      new GenericInternalRow(Array[Any](e.version, e.tsMicros,
+        e.files.length,
+        e.files.iterator.map(_.rowCount.toLong).sum)): InternalRow
+    }.toArray
+    new GraftSnapshotTable(s"$tableName$$history", schema,
+      Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
   def currentRows: Array[InternalRow] = files.toArray.flatMap(_.rows)
 
   /** Current data files (file census surface for specs/maintenance). */
@@ -762,14 +865,43 @@ class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite)
 object GraftMaintenance {
   final case class OptimizeResult(filesBefore: Int, filesAfter: Int)
 
-  def optimize(namespace: Seq[String], table: String,
-               targetRows: Int = 1 << 20): OptimizeResult = {
-    val t = GraftTableStore.tables.getOrElse((namespace, table),
+  private def resolve(namespace: Seq[String], table: String): GraftTable =
+    GraftTableStore.tables.getOrElse((namespace, table),
       throw new NoSuchTableException(
         Identifier.of(namespace.toArray, table)))
-    val (b, a) = t.optimizeCompact(targetRows)
+
+  def optimize(namespace: Seq[String], table: String,
+               targetRows: Int = 1 << 20): OptimizeResult = {
+    val (b, a) = resolve(namespace, table).optimizeCompact(targetRows)
     OptimizeResult(b, a)
   }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src
+    * [VERSION AS OF v]`): a new table whose first commit adopts the
+    * source snapshot's data files BY REFERENCE — zero data copy, O(files)
+    * metadata. Copy-on-write everywhere means subsequent writes to
+    * either table never touch the shared arrays, so the two histories
+    * diverge safely from the shared root. */
+  def cloneTable(srcNamespace: Seq[String], src: String,
+                 dstNamespace: Seq[String], dst: String,
+                 version: Option[Int] = None): Unit = {
+    val s = resolve(srcNamespace, src)
+    val (schema, fs) = s.stateAt(version,
+      Identifier.of(srcNamespace.toArray, src))
+    val clone = new GraftTable(
+      (dstNamespace :+ dst).mkString("."), schema, s.partitionCols)
+    if (GraftTableStore.tables
+        .putIfAbsent((dstNamespace, dst), clone).isDefined)
+      throw new TableAlreadyExistsException(
+        Identifier.of(dstNamespace.toArray, dst))
+    clone.adoptFiles(fs)
+  }
+
+  /** `VACUUM`: retire all but the last `keepLast` snapshots immediately
+    * (history retention is the sliding backstop; this is the explicit
+    * reclaim). Returns the number of snapshots retired. */
+  def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1): Int =
+    resolve(namespace, table).vacuumHistory(keepLast)
 }
 
 /** The row-level operation's scan over a PARTITIONED [[GraftTable]]:

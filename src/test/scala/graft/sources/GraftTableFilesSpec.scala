@@ -349,6 +349,97 @@ class GraftTableFilesSpec extends SparkSpec {
       "unpartitioned write must not re-shuffle the caller's layout")
   }
 
+  test("metadata tables: t$files and t$history serve the census over SQL") {
+    val t = freshTable("t_meta")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1), (2, 1), (3, 2)")
+    spark.sql(s"INSERT INTO $t VALUES (4, 2)")
+    val filesDf = spark.table(s"graft_cat.ns.`t_meta$$files`")
+    val files = filesDf.orderBy("file_id")
+      .select("row_count", "group_key").as[(Int, String)].collect().toSeq
+    assert(files.sortBy(r => (r._2, r._1)) ===
+      Seq((2, "1"), (1, "2"), (1, "2")).sortBy(r => (r._2, r._1)))
+    // zone envelope rendered per column
+    val zones = filesDf.select("zones").as[String].collect()
+    assert(zones.forall(z => z.contains("id:[") && z.contains("part:[")),
+      zones.mkString("|"))
+    val hist = spark.table(s"graft_cat.ns.`t_meta$$history`")
+      .orderBy("version").select("version", "n_files", "n_rows")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(hist === Seq((0, 0, 0L), (1, 2, 3L), (2, 3, 4L)))
+    // history timestamps strictly increase and match the table's log
+    val ts = spark.table(s"graft_cat.ns.`t_meta$$history`")
+      .orderBy("version").select("timestamp_micros").as[Long].collect().toSeq
+    assert(ts === store("t_meta").commitHistory.map(_._2))
+    assert(ts.sliding(2).forall(p => p(0) < p(1)))
+    // unknown suffix and missing base both fail loudly
+    intercept[Exception](spark.table(s"graft_cat.ns.`t_meta$$bogus`").collect())
+    intercept[Exception](spark.table(s"graft_cat.ns.`nope$$files`").collect())
+  }
+
+  test("SHALLOW CLONE shares files by reference; histories diverge safely") {
+    val t = freshTable("t_clone_src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create()   // v1
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")                     // v2
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.ns.t_clone_dst")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.ns.t_clone_old")
+
+    GraftMaintenance.cloneTable(Seq("ns"), "t_clone_src",
+      Seq("ns"), "t_clone_dst")
+    val src = store("t_clone_src"); val dst = store("t_clone_dst")
+    assert(spark.table("graft_cat.ns.t_clone_dst").orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // zero copy: the clone's rows ARE the source's row objects
+    val srcRows = identitySet(src.currentRows)
+    dst.currentRows.foreach(r => assert(srcRows.contains(r),
+      "shallow clone must share row data by reference"))
+
+    // divergence: writes to one never show in the other
+    spark.sql(s"INSERT INTO graft_cat.ns.t_clone_dst VALUES (4, 'd')")
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(spark.table(t).orderBy("id").as[(Long, String)]
+      .collect().map(_._1).toSeq === Seq(2L, 3L))
+    assert(spark.table("graft_cat.ns.t_clone_dst").orderBy("id")
+      .as[(Long, String)].collect().map(_._1).toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+
+    // clone AT an old version: the snapshot contents, independent after
+    GraftMaintenance.cloneTable(Seq("ns"), "t_clone_src",
+      Seq("ns"), "t_clone_old", version = Some(1))
+    assert(spark.table("graft_cat.ns.t_clone_old").orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // clone onto an existing name fails loudly
+    intercept[Exception](GraftMaintenance.cloneTable(Seq("ns"),
+      "t_clone_src", Seq("ns"), "t_clone_dst"))
+  }
+
+  test("VACUUM retires old snapshots now; current state unaffected") {
+    val t = freshTable("t_vac")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    for (i <- 2 to 5) spark.sql(s"INSERT INTO $t VALUES ($i, 'x')")
+    val table = store("t_vac")
+    assert(table.commitHistory.length === 6) // v0..v5
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2").count() === 2)
+
+    val retired = GraftMaintenance.vacuum(Seq("ns"), "t_vac", keepLast = 2)
+    assert(retired === 4)
+    assert(table.commitHistory.map(_._1) === Seq(4, 5))
+    // current reads and recent time travel still serve
+    assert(spark.table(t).count() === 5)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 4").count() === 4)
+    // vacuumed version: loud, names the retention boundary
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 2").collect())
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    // keepLast floor
+    intercept[IllegalArgumentException](
+      GraftMaintenance.vacuum(Seq("ns"), "t_vac", keepLast = 0))
+    // the table keeps working after vacuum
+    spark.sql(s"INSERT INTO $t VALUES (6, 'y')")
+    assert(spark.table(t).count() === 6)
+  }
+
   // ---- multi-column identity partitioning -----------------------------
 
   private def identitySet(rows: Iterable[AnyRef]) = {
