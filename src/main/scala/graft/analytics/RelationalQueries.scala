@@ -2764,6 +2764,58 @@ object RelationalQueries {
         .unionByName(
           agg(s.sql(s"SELECT * FROM $t VERSION AS OF $preVersion"), "pre"))
         .orderBy("state")
+    },
+
+    // ----- SHALLOW CLONE + divergence: Delta's zero-copy CLONE as a
+    // catalog maintenance op, proven by CONSEQUENCE — the clone is taken
+    // at VERSION 1 (the pre-1995 snapshot), then BOTH tables diverge
+    // (the source appends the rest of history, the clone bumps a hash
+    // slice of its prices) and the query reads both final states. The
+    // oracle restates each lineage independently from the source table;
+    // a clone that copied the wrong snapshot, or whose shared-by-
+    // reference files leaked a later write from either side, breaks one
+    // of the two hashes.
+    Q("s36_shallow_clone", "S-clone,S10,A7", {
+      val h = s"${TS.hash("'cl|' || o_orderkey")} % 10"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price
+         |             FROM orders),
+         |clone AS (SELECT o_orderkey AS k,
+         |            CASE WHEN $h = 0 THEN CAST(o_totalprice AS DOUBLE) * 2
+         |                 ELSE CAST(o_totalprice AS DOUBLE) END AS price
+         |          FROM orders WHERE year(o_orderdate) < 1995)
+         |SELECT 'clone' AS side, count(*) AS n,
+         |  ${Exact.sqlSum("price", 2)} AS total FROM clone
+         |UNION ALL
+         |SELECT 'src', count(*), ${Exact.sqlSum("price", 2)} FROM src
+         |ORDER BY side""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s36_src"
+      val c = "graft_cat.ns.s36_clone"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $c")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("cl|"), col("o_orderkey").cast("string"))), lit(10L))
+            .as("h"),
+          year(col("o_orderdate")).as("yr"))
+      base.filter(col("yr") < 1995).drop("yr").writeTo(t).create() // v1
+      base.filter(col("yr") >= 1995).drop("yr").writeTo(t).append() // v2
+      // zero-copy clone of the PRE-append snapshot, then divergence on
+      // both sides (the source already diverged via the append)
+      graft.sources.GraftMaintenance.cloneTable(Seq("ns"), "s36_src",
+        Seq("ns"), "s36_clone", version = Some(1))
+      s.sql(s"UPDATE $c SET price = price * 2 WHERE h = 0")
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n"), Exact.dsum(col("price"), 2).as("total"))
+          .select(lit(label).as("side"), col("n"), col("total"))
+      agg(s.table(c), "clone").unionByName(agg(s.table(t), "src"))
+        .orderBy("side")
     }
   )
 }

@@ -440,6 +440,25 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(spark.table(t).count() === 6)
   }
 
+  test("concurrent INSERTs never lose a batch (documented atomic-swap contract)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = freshTable("t_conc")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, src INT)")
+    val writers = (0 until 8).map { w =>
+      Future {
+        for (i <- 0 until 5)
+          spark.sql(s"INSERT INTO $t VALUES (${w * 100 + i}, $w)")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(spark.table(t).count() === 40)
+    assert(spark.table(t).select("id").distinct().count() === 40)
+    // every commit snapshotted exactly once: 40 inserts + create
+    assert(store("t_conc").commitHistory.length === 41)
+  }
+
   // ---- multi-column identity partitioning -----------------------------
 
   private def identitySet(rows: Iterable[AnyRef]) = {
