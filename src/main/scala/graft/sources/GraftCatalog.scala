@@ -681,6 +681,99 @@ class GraftTable(initialName: String, initialSchema: StructType,
       (before.length, files.length)
     }
 
+  /** `OPTIMIZE ZORDER BY (cols...)`: rewrite the file LAYOUT along the
+    * Morton curve — 16-bin order-preserving quantization per clustering
+    * column (from the current global min/max), bits interleaved, rows
+    * sorted by curve position and re-packed into `targetRows`-sized
+    * files. Each file then covers a RECTANGLE in clustering space, so
+    * its zone maps prune multi-dimensional selective scans (the
+    * s31-census effect, now served by the real read path on demand).
+    * Partitioned tables cluster WITHIN each partition group (the Delta
+    * semantics — ZORDER never mixes partitions). Row multiset unchanged
+    * (same row objects); recorded as a commit. Clustering columns must
+    * be integral-valued (int/long/short/byte/date/timestamp). */
+  private[sources] def zorderCompact(cols: Seq[String],
+                                     targetRows: Int): (Int, Int) =
+    synchronized {
+      require(cols.nonEmpty, "ZORDER BY needs at least one column")
+      require(targetRows > 0, "targetRows must be positive")
+      val schema = tableSchema
+      val ords = cols.map { c =>
+        val i = schema.fieldIndex(c)
+        import org.apache.spark.sql.types._
+        schema.fields(i).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType => i
+          case dt => throw new IllegalArgumentException(
+            s"ZORDER BY $c: unsupported type $dt (integral required)")
+        }
+      }
+      val dts = ords.map(schema.fields(_).dataType)
+      def longOf(r: InternalRow, j: Int): Option[Long] =
+        Option(r.get(ords(j), dts(j))).map {
+          case b: java.lang.Byte => b.toLong
+          case s: java.lang.Short => s.toLong
+          case i: java.lang.Integer => i.toLong
+          case l: java.lang.Long => l.longValue()
+        }
+      val before = files
+      def curveKey(rows: Array[InternalRow]): InternalRow => Long = {
+        // per-column [min, max] over this clustering scope's NON-NULL
+        // values; nulls take bin 0 (cluster together at the curve front)
+        val mins = Array.fill(cols.length)(Long.MaxValue)
+        val maxs = Array.fill(cols.length)(Long.MinValue)
+        rows.foreach { r =>
+          var j = 0
+          while (j < cols.length) {
+            longOf(r, j).foreach { v =>
+              if (v < mins(j)) mins(j) = v
+              if (v > maxs(j)) maxs(j) = v
+            }
+            j += 1
+          }
+        }
+        // bin width per column: (range/16)+1 — order-preserving pure
+        // integer quantization with no overflow-prone multiplication;
+        // a degenerate (empty / single-value / Long-spanning) column
+        // collapses to one bin, which only coarsens the curve
+        val steps = Array.tabulate(cols.length) { j =>
+          val range = maxs(j) - mins(j)
+          if (maxs(j) < mins(j) || range < 0) 0L else range / 16 + 1
+        }
+        r => {
+          var code = 0L
+          var j = 0
+          while (j < cols.length) {
+            val bin = if (steps(j) <= 0) 0L else longOf(r, j) match {
+              case Some(v) => math.min(15L, (v - mins(j)) / steps(j))
+              case None => 0L
+            }
+            // interleave: bit b of column j lands at position b*k + j
+            var b = 0
+            while (b < 4) {
+              code |= ((bin >> b) & 1L) << (b * cols.length + j)
+              b += 1
+            }
+            j += 1
+          }
+          code
+        }
+      }
+      def pack(rows: Array[InternalRow]): Iterator[GraftDataFile] = {
+        if (rows.isEmpty) return Iterator.empty
+        val key = curveKey(rows)
+        rows.sortBy(key).grouped(targetRows)
+          .map(chunk => GraftDataFile.build(chunk, schema, keyOfOpt))
+      }
+      files =
+        if (partitionCols.isEmpty) pack(before.toArray.flatMap(_.rows)).toVector
+        else before.toArray.flatMap(_.rows).groupBy(groupKeyOf).toSeq
+          .sortBy(_._1.mkString("|"))
+          .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
+      snap()
+      (before.length, files.length)
+    }
+
   // ---- metadata-only DELETE ------------------------------------------
   // A DELETE whose condition is expressible over the identity partition
   // columns needs no rewrite at all: it is a partition drop — the 100 TB
@@ -902,6 +995,16 @@ object GraftMaintenance {
     * reclaim). Returns the number of snapshots retired. */
   def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1): Int =
     resolve(namespace, table).vacuumHistory(keepLast)
+
+  /** `OPTIMIZE ZORDER BY`: re-layout the table's files along the Morton
+    * curve of `cols` (within each partition group), so multi-dimensional
+    * selective scans prune files by zone map — see
+    * [[GraftTable.zorderCompact]]. */
+  def zorderBy(namespace: Seq[String], table: String, cols: Seq[String],
+               targetRows: Int = 1 << 20): OptimizeResult = {
+    val (b, a) = resolve(namespace, table).zorderCompact(cols, targetRows)
+    OptimizeResult(b, a)
+  }
 }
 
 /** The row-level operation's scan over a PARTITIONED [[GraftTable]]:

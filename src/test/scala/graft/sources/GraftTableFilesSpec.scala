@@ -459,6 +459,70 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(store("t_conc").commitHistory.length === 41)
   }
 
+  test("OPTIMIZE ZORDER BY re-lays files so 2-D box scans skip most files") {
+    val t = freshTable("t_zo")
+    // 1024 points on a 32×32 grid, inserted in ROW-MAJOR order: every
+    // x-stripe file spans the full y range, so a 2-D box prunes poorly
+    spark.range(0, 1024)
+      .select(($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"))
+      .repartition(8, $"x").writeTo(t).create()
+    val table = store("t_zo")
+    val filesBefore = table.dataFiles.length
+    assert(filesBefore > 1)
+    def boxCount(): Long =
+      spark.table(t)
+        .filter($"x".between(8, 15) && $"y".between(8, 15)).count()
+    val before = boxCount()
+    assert(before === 64)
+    val censusBefore = table.lastScanCensus.get
+    val rowsBefore = table.currentRows
+    val preVersion = table.commitHistory.last._1
+
+    val res = graft.sources.GraftMaintenance.zorderBy(
+      Seq("ns"), "t_zo", Seq("x", "y"), targetRows = 64)
+    assert(res.filesAfter === 16, res.toString) // 1024 rows / 64-row files
+
+    // same rows, SAME row objects (layout-only rewrite), one new commit
+    assert(boxCount() === 64)
+    val ids = identitySet(rowsBefore)
+    table.currentRows.foreach(r => assert(ids.contains(r),
+      "zorder rewrite must not copy row data"))
+    assert(table.commitHistory.last._1 === preVersion + 1)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $preVersion")
+      .head().getLong(0) === 1024)
+
+    // the point of the exercise: the same box query now skips most files
+    boxCount()
+    val censusAfter = table.lastScanCensus.get
+    assert(censusAfter.rowsRead < censusAfter.rowsTotal / 2,
+      s"z-ordered layout must skip most rows: $censusAfter (was $censusBefore)")
+    assert(censusAfter.rowsRead.toDouble / censusAfter.rowsTotal <
+      censusBefore.rowsRead.toDouble / censusBefore.rowsTotal,
+      s"z-order must improve on the row-major layout: " +
+        s"$censusBefore -> $censusAfter")
+
+    // ZORDER on a partitioned table clusters within groups only
+    val tp = freshTable("t_zo_part")
+    spark.sql(s"CREATE TABLE $tp (x BIGINT, y BIGINT, p INT) " +
+      "PARTITIONED BY (p)")
+    spark.range(0, 512).select(($"id" % 16).as("x"),
+      (($"id" / 16) % 16).cast("long").as("y"),
+      ($"id" % 2).cast("int").as("p"))
+      .repartition(4).writeTo(tp).append()
+    graft.sources.GraftMaintenance.zorderBy(
+      Seq("ns"), "t_zo_part", Seq("x", "y"), targetRows = 64)
+    assert(store("t_zo_part").dataFiles.forall(_.groupKey.isDefined),
+      "zorder must not mix partition groups")
+    assert(spark.table(tp).count() === 512)
+
+    // non-integral clustering column is rejected loudly
+    val ts = freshTable("t_zo_bad")
+    Seq((1L, "a")).toDF("id", "v").writeTo(ts).create()
+    intercept[IllegalArgumentException](
+      graft.sources.GraftMaintenance.zorderBy(Seq("ns"), "t_zo_bad",
+        Seq("v")))
+  }
+
   // ---- multi-column identity partitioning -----------------------------
 
   private def identitySet(rows: Iterable[AnyRef]) = {
