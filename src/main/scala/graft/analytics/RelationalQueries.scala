@@ -2816,6 +2816,51 @@ object RelationalQueries {
           .select(lit(label).as("side"), col("n"), col("total"))
       agg(s.table(c), "clone").unionByName(agg(s.table(t), "src"))
         .orderBy("side")
+    },
+
+    // ----- Aggregate pushdown (metadata-only query): an unfiltered
+    // MIN/MAX/COUNT over a partitioned catalog table — grouped by the
+    // partition column AND globally — is answered ENTIRELY from the
+    // commit-time file statistics: the scan delivers zero data rows
+    // (GraftTableFilesSpec pins the census; the registry spec re-asserts
+    // it for THIS query). Delta serves `count(*)` from its transaction
+    // log and parquet serves min/max from footers the same way; here the
+    // stats layer is the catalog's own zone maps. count(clerk1) exercises
+    // the null-count stat (nc < n), min/max the value envelope. The
+    // oracle recomputes everything the hard way from the raw rows — a
+    // stats layer that drifted one row or one null breaks the hash.
+    Q("s37_agg_pushdown", "S-agg-pushdown,S5,A1,A2", {
+      """WITH src AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |               o_orderkey AS k,
+        |               CASE WHEN o_orderpriority = '1-URGENT'
+        |                    THEN o_orderstatus END AS clerk1
+        |             FROM orders)
+        |SELECT yr, count(*) AS n, count(clerk1) AS nc,
+        |       min(k) AS lo, max(k) AS hi
+        |FROM src GROUP BY yr
+        |UNION ALL
+        |SELECT -1, count(*), count(clerk1), min(k), max(k) FROM src
+        |ORDER BY yr""".stripMargin
+    }) { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s37_orders"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"),
+          col("o_orderkey").as("k"),
+          when(col("o_orderpriority") === "1-URGENT", col("o_orderstatus"))
+            .as("clerk1"))
+        .writeTo(t).partitionedBy(col("yr")).create()
+      // both reads are metadata-only: the grouped one serves per-partition
+      // stats (files are group-keyed by the clustered write), the global
+      // one folds them — neither reads a data row
+      s.sql(s"SELECT yr, count(*) AS n, count(clerk1) AS nc, " +
+          s"min(k) AS lo, max(k) AS hi FROM $t GROUP BY yr")
+        .unionByName(
+          s.sql(s"SELECT -1 AS yr, count(*) AS n, count(clerk1) AS nc, " +
+            s"min(k) AS lo, max(k) AS hi FROM $t"))
+        .orderBy("yr")
     }
   )
 }

@@ -447,7 +447,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$ident version $v has been retired by history retention " +
           s"(oldest retained: $base)")
     val e = h(v - base)
-    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files)
+    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files, partitionCols)
   }
 
   /** Read-only view as of a wall-clock instant: the latest commit with
@@ -463,7 +463,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$ident has no commit at or before timestamp $tsMicros " +
           s"(earliest retained commit: ${h.head.tsMicros})")
     val e = h(idx)
-    new GraftSnapshotTable(s"$tableName@v${e.version}", e.schema, e.files)
+    new GraftSnapshotTable(s"$tableName@v${e.version}", e.schema, e.files,
+      partitionCols)
   }
 
   /** Commit log view: (version, timestampMicros) per retained commit —
@@ -823,7 +824,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, () => files,
-      c => lastScanCensus = Some(c))
+      c => lastScanCensus = Some(c), partitionCols)
 
   // ---- plain write path (INSERT INTO/OVERWRITE / CTAS) ---------------
   // Four commit modes: append (INSERT INTO), full replace (truncate /
@@ -1244,7 +1245,8 @@ private[sources] object ZonePredicates {
 }
 
 /** Scan builder with column pruning, FILTER PUSHDOWN (zone-map data
-  * skipping) and statistics. A query projecting 2 of 30 columns reads
+  * skipping), AGGREGATE PUSHDOWN (metadata-only MIN/MAX/COUNT), LIMIT
+  * pushdown, and statistics. A query projecting 2 of 30 columns reads
   * 2-column rows, and a query whose predicate excludes a file's min/max
   * envelope never reads that file — the two DSv2 contracts every real
   * format honors, here over the in-JVM file store. All pushed filters
@@ -1252,21 +1254,42 @@ private[sources] object ZonePredicates {
   * skipping is an I/O optimization, provably unable to change results.
   * `files` is passed as a thunk so the scan binds the table's CURRENT
   * contents at build time, after any earlier statement in the same query
-  * plan committed; `census` reports what was skipped. */
+  * plan committed; `census` reports what was skipped.
+  *
+  * Aggregate pushdown is the METADATA-ONLY QUERY path (Delta serves
+  * `SELECT count(*) FROM t` from the transaction log; parquet footers
+  * serve min/max): an unfiltered global — or partition-grouped —
+  * MIN/MAX/COUNT is answered entirely from the commit-time file stats,
+  * reading ZERO data rows. Complete pushdown only (the answer is final,
+  * never partial), and only for shapes the stats answer EXACTLY:
+  * Spark's rule guarantees no residual filters remain when it offers an
+  * aggregate, group-by columns must be identity partition columns with
+  * every file group-keyed, COUNT(DISTINCT) and SUM never qualify, and a
+  * mid-evolution file missing a zone disqualifies its column. */
 class GraftScanBuilder(tableSchema: StructType,
                        files: () => Vector[GraftDataFile],
-                       census: ScanCensus => Unit = _ => ())
+                       census: ScanCensus => Unit = _ => (),
+                       partitionCols: Seq[String] = Nil)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var tests: Array[GraftDataFile => Boolean] = Array.empty
+  // (agg output schema, final rows, file snapshot the answer derives from)
+  private var aggResult: Option[(StructType, Array[InternalRow], Int, Long)] =
+    None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve table column order; an empty projection (count(*)) is legal
-    required = StructType(
-      tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    // preserve table column order; an empty projection (count(*)) is
+    // legal. After an aggregate pushdown the scan output IS the agg
+    // schema — ignore pruning there (Spark projects above the scan).
+    if (aggResult.isEmpty)
+      required = StructType(
+        tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = filters.flatMap(f =>
@@ -1278,15 +1301,135 @@ class GraftScanBuilder(tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- LIMIT pushdown: partial (Spark re-applies the limit), so the
+  // scan may stop delivering rows past the mark — composed with zone
+  // pruning it caps the I/O of `SELECT ... LIMIT n` probes. Spark only
+  // offers a limit when no post-scan filters remain, so truncation can
+  // never starve a residual filter of matching rows.
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  // ---- aggregate pushdown -------------------------------------------
+  import org.apache.spark.sql.connector.expressions.aggregate.{
+    Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  private def singleName(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  /** None when the stats cannot answer `agg` exactly; otherwise the
+    * final (schema, rows) over a consistent snapshot of the files. */
+  private def planAgg(agg: Aggregation)
+      : Option[(StructType, Array[InternalRow], Int, Long)] = {
+    if (pushed.nonEmpty) return None // residual rows would overcount
+    val fs = files()
+    // group-by columns must be identity partition columns, and grouping
+    // requires every file to carry its group key (a post-compaction file
+    // spanning groups cannot attribute its stats)
+    val gNames = agg.groupByExpressions.toSeq.map(singleName)
+    if (gNames.exists(_.isEmpty)) return None
+    val gIdx = gNames.map(_.get).map(n =>
+      partitionCols.indexWhere(_.equalsIgnoreCase(n)))
+    if (gIdx.exists(_ < 0)) return None
+    if (gIdx.nonEmpty && !fs.forall(_.groupKey.isDefined)) return None
+    val gFields = gNames.map(_.get).map { n =>
+      val f = tableSchema.fields(
+        tableSchema.fields.indexWhere(_.name.equalsIgnoreCase(n)))
+      StructField(f.name, f.dataType, f.nullable)
+    }
+
+    def colOrd(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] =
+      singleName(e).map(n =>
+        tableSchema.fields.indexWhere(_.name.equalsIgnoreCase(n)))
+        .filter(_ >= 0)
+        // every file must carry a zone for the column (mid-evolution
+        // files may be narrower; unsupported types have null zones)
+        .filter(i => fs.forall(f => i < f.zones.length && f.zones(i) != null))
+
+    val aggFns: Seq[Option[(StructField, Seq[GraftDataFile] => Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((
+          StructField("pushed_count_star", LongType, nullable = false),
+          (g: Seq[GraftDataFile]) =>
+            java.lang.Long.valueOf(g.iterator.map(_.rowCount.toLong).sum)))
+        case c: Count if !c.isDistinct => colOrd(c.column()).map(i => (
+          StructField(s"pushed_count_$i", LongType, nullable = false),
+          (g: Seq[GraftDataFile]) => java.lang.Long.valueOf(
+            g.iterator.map(f => f.rowCount.toLong - f.zones(i).nullCount).sum)))
+        case m: Min => colOrd(m.column()).map(i => (
+          StructField(s"pushed_min_$i",
+            tableSchema.fields(i).dataType, nullable = true),
+          (g: Seq[GraftDataFile]) => g.iterator.map(_.zones(i).min)
+            .filter(_ != null)
+            .reduceOption((a, b) => if (cmpAny(a, b) <= 0) a else b).orNull))
+        case m: Max => colOrd(m.column()).map(i => (
+          StructField(s"pushed_max_$i",
+            tableSchema.fields(i).dataType, nullable = true),
+          (g: Seq[GraftDataFile]) => g.iterator.map(_.zones(i).max)
+            .filter(_ != null)
+            .reduceOption((a, b) => if (cmpAny(a, b) >= 0) a else b).orNull))
+        case _ => None // SUM/AVG/DISTINCT: stats cannot answer exactly
+      }
+    if (aggFns.exists(_.isEmpty)) return None
+    val fns = aggFns.map(_.get)
+
+    val schema = StructType(gFields ++ fns.map(_._1))
+    def rowOf(keyVals: Seq[Any], g: Seq[GraftDataFile]): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        (keyVals ++ fns.map(_._2(g))).toArray)
+    val rows: Array[InternalRow] =
+      if (gIdx.isEmpty) Array(rowOf(Nil, fs)) // global agg: one row, even empty
+      else fs.groupBy(f => gIdx.map(f.groupKey.get(_))).toSeq
+        .sortBy(_._1.mkString("|"))
+        .map { case (k, g) => rowOf(k, g) }.toArray
+    Some((schema, rows, fs.length, fs.iterator.map(_.rowCount.toLong).sum))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planAgg(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+
   override def build(): Scan = {
+    aggResult.foreach { case (schema, rows, nFiles, nRows) =>
+      // metadata-only answer: zero data rows read
+      census(ScanCensus(nFiles, 0, nRows, 0, Seq("aggregate: pushed")))
+      return new GraftScan(schema, Array(ScanChunk(rows, Map.empty)),
+        math.max(1L, rows.length.toLong * math.max(1, schema.defaultSize)))
+    }
     val all = files()
-    val surviving =
+    val zoneSurviving =
       if (tests.isEmpty) all
       else all.filter(f => tests.forall(_(f)))
+    // partial limit: stop delivering files once `limit` rows are reached
+    // (Spark re-applies the limit; fewer whole files read is pure I/O win)
+    val surviving = limit match {
+      case Some(l) =>
+        var seen = 0L
+        zoneSurviving.takeWhile { f =>
+          val take = seen < l
+          seen += f.rowCount
+          take
+        }
+      case None => zoneSurviving
+    }
     census(ScanCensus(all.length, surviving.length,
       all.iterator.map(_.rowCount.toLong).sum,
       surviving.iterator.map(_.rowCount.toLong).sum,
-      pushed.map(_.toString).toSeq))
+      pushed.map(_.toString).toSeq ++ limit.map(l => s"limit: $l")))
     // column-fraction size scaling: a pruned read costs proportionally
     // less, and the reported stats should say so (auto-broadcast sizing)
     val colFrac =
@@ -1554,12 +1697,14 @@ case class GraftRowsMessage(rows: Array[InternalRow])
   * write surface at all, so a DML statement against a snapshot fails at
   * analysis. */
 class GraftSnapshotTable(snapName: String, snapSchema: StructType,
-                         snapFiles: Vector[GraftDataFile])
+                         snapFiles: Vector[GraftDataFile],
+                         snapPartitionCols: Seq[String] = Nil)
     extends Table with SupportsRead {
   override def name(): String = snapName
   override def schema(): StructType = snapSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapSchema, () => snapFiles)
+    new GraftScanBuilder(snapSchema, () => snapFiles,
+      partitionCols = snapPartitionCols)
 }

@@ -79,10 +79,15 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(table.lastScanCensus.get.filesRead === 0)
     assert(spark.table(t).filter($"v".startsWith("v1")).count() > 0)
 
-    // no predicate: census still reported, nothing skipped
+    // unfiltered count(*) is now METADATA-ONLY (aggregate pushdown):
+    // exact answer, zero data rows read
     assert(spark.table(t).count() === 40)
     val cAll = table.lastScanCensus.get
-    assert(cAll.filesRead === 4 && cAll.rowsRead === 40)
+    assert(cAll.filesRead === 0 && cAll.rowsRead === 0)
+    // a plain unfiltered row read still scans everything
+    assert(spark.table(t).collect().length === 40)
+    val cRows = table.lastScanCensus.get
+    assert(cRows.filesRead === 4 && cRows.rowsRead === 40)
   }
 
   test("skipping never loses rows: filtered read ≡ post-scan filter") {
@@ -680,5 +685,92 @@ class GraftTableFilesSpec extends SparkSpec {
     // the 100-row file is untouched BY REFERENCE; the 4 singletons pack
     assert(after.exists(_ eq big), "large file must not be rewritten")
     assert(after.length === 2, after.map(_.rowCount).toString)
+  }
+
+  test("aggregate pushdown: global MIN/MAX/COUNT answered from file stats") {
+    val (t, table) = fourFileTable("t_aggpush")
+    // a null in one file so count(col) != count(*)
+    spark.sql(s"INSERT INTO $t VALUES (NULL, 'nullrow')")
+
+    val df = spark.sql(
+      s"SELECT count(*) AS n, count(id) AS nid, min(id) AS lo, " +
+        s"max(id) AS hi, min(v) AS vlo, max(v) AS vhi FROM $t")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5)) === ((41L, 40L, 1L, 40L, "nullrow", "v9")))
+    // the answer came from commit-time stats: ZERO data rows read
+    val c = table.lastScanCensus.get
+    assert(c.rowsRead === 0 && c.filesRead === 0,
+      s"expected metadata-only answer, got $c")
+    assert(c.pushed.exists(_.contains("aggregate")))
+    // and the plan carries no wide table scan under the aggregate
+    val explained = df.queryExecution.executedPlan.toString
+    assert(!explained.contains("Exchange"),
+      s"metadata-only agg must not shuffle:\n$explained")
+  }
+
+  test("aggregate pushdown: grouped by partition column, zero rows read") {
+    val t = freshTable("t_aggpush_grp")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
+    for (p <- 1 to 3; batch <- 0 until 2)
+      spark.range(p * 100 + batch * 10, p * 100 + batch * 10 + 5)
+        .selectExpr("id", s"$p AS part").coalesce(1)
+        .writeTo(t).append()
+    val table = store("t_aggpush_grp")
+    assert(table.dataFiles.length === 6)
+
+    val got = spark.sql(
+      s"SELECT part, count(*) AS n, min(id) AS lo, max(id) AS hi " +
+        s"FROM $t GROUP BY part ORDER BY part")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, 10L, 100L, 114L), (2, 10L, 200L, 214L), (3, 10L, 300L, 314L)))
+    val c = table.lastScanCensus.get
+    assert(c.rowsRead === 0, s"expected metadata-only grouped agg, got $c")
+  }
+
+  test("aggregate pushdown declines shapes the stats cannot answer") {
+    val (t, table) = fourFileTable("t_aggdecline")
+    // SUM has no file stat — normal scan, still correct
+    assert(spark.sql(s"SELECT sum(id) FROM $t").head().getLong(0) === 820L)
+    assert(table.lastScanCensus.get.rowsRead === 40)
+    // a residual WHERE disqualifies stats (they would overcount)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id > 35").head()
+      .getLong(0) === 5L)
+    assert(table.lastScanCensus.get.rowsRead > 0)
+    // COUNT(DISTINCT) needs the rows
+    assert(spark.sql(s"SELECT count(DISTINCT v) FROM $t").head()
+      .getLong(0) === 40L)
+    // GROUP BY a non-partition column needs the rows
+    assert(spark.sql(s"SELECT v, count(*) FROM $t GROUP BY v").count() === 40L)
+    // results above all exact — the decline path lost nothing
+  }
+
+  test("s37 registry query: both reads are metadata-only on real data") {
+    val fn = graft.SparkEntry.queries("s37_agg_pushdown")
+    val out = fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length >= 2, "expected per-year rows plus the global row")
+    // the global row (-1) must equal the sum of the per-year rows
+    val perYear = out.filter(_.getInt(0) >= 0)
+    val global = out.filter(_.getInt(0) === -1).head
+    assert(perYear.map(_.getLong(1)).sum === global.getLong(1))
+    assert(perYear.map(_.getLong(2)).sum === global.getLong(2))
+    val census = store("s37_orders").lastScanCensus.get
+    assert(census.rowsRead === 0 && census.filesRead === 0,
+      s"s37 must be answered from file stats alone: $census")
+    assert(census.pushed.exists(_.contains("aggregate")))
+  }
+
+  test("limit pushdown stops delivering files past the mark") {
+    val (t, table) = fourFileTable("t_limit")
+    val got = spark.table(t).limit(15).collect()
+    assert(got.length === 15)
+    val c = table.lastScanCensus.get
+    // 15 rows are covered by the first two 10-row files
+    assert(c.filesRead === 2 && c.rowsRead === 20,
+      s"expected 2/4 files delivered under LIMIT 15, got $c")
+    assert(c.pushed.exists(_.contains("limit")))
+    // limit larger than the table: everything reads, nothing lost
+    assert(spark.table(t).limit(1000).collect().length === 40)
   }
 }
