@@ -2861,6 +2861,63 @@ object RelationalQueries {
           s.sql(s"SELECT -1 AS yr, count(*) AS n, count(clerk1) AS nc, " +
             s"min(k) AS lo, max(k) AS hi FROM $t"))
         .orderBy("yr")
+    },
+
+    // ----- Storage-partitioned join: customer and supplier land in the
+    // catalog PARTITIONED BY nation key, and the join runs under
+    // `spark.sql.sources.v2.bucketing.enabled` with broadcast disabled —
+    // the scans report their key-grouped layout
+    // (SupportsReportPartitioning) and Spark aligns the two sides
+    // WITHOUT shuffling either (GraftTableFilesSpec pins the
+    // zero-shuffle plan; this row pins the results). At 100 TB this is
+    // the co-located fact-fact join bucketing exists for. The join
+    // executes eagerly inside the conf scope (confs restore after), so
+    // the row's values come from the storage-partitioned plan itself.
+    Q("s38_spj_join", "S-spj,J5,A1,A7", {
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |             CAST(c_custkey AS BIGINT) AS ck FROM customer),
+        |     sp AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+        |              CAST(s_suppkey AS BIGINT) AS sk FROM supplier)
+        |SELECT c.nk AS nk, count(*) AS n,
+        |       CAST(sum(ck) AS BIGINT) AS sck,
+        |       CAST(sum(sk) AS BIGINT) AS ssk
+        |FROM c JOIN sp ON c.nk = sp.nk
+        |GROUP BY c.nk ORDER BY nk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val ta = "graft_cat.ns.s38_cust"
+      val tb = "graft_cat.ns.s38_supp"
+      s.sql(s"DROP TABLE IF EXISTS $ta")
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_custkey").cast("long").as("ck"))
+        .writeTo(ta).partitionedBy(col("nk")).create()
+      Tables.supplier(s, dir)
+        .select(col("s_nationkey").cast("long").as("nk"),
+          col("s_suppkey").cast("long").as("sk"))
+        .writeTo(tb).partitionedBy(col("nk")).create()
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      val rows =
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          s.table(ta).join(s.table(tb), "nk")
+            .groupBy(col("nk"))
+            .agg(count(lit(1)).as("n"), sum("ck").as("sck"),
+              sum("sk").as("ssk"))
+            .orderBy("nk")
+            .as[(Long, Long, Long, Long)].collect().toSeq
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      rows.toDF("nk", "n", "sck", "ssk")
     }
   )
 }

@@ -1444,10 +1444,17 @@ class GraftScanBuilder(tableSchema: StructType,
         if (i < f.zones.length && f.zones(i) != null) Some(fl.name -> f.zones(i))
         else None
       }.toMap
+    // storage-partitioned-join eligibility: the scan can report a
+    // key-grouped layout only when the partition columns survive into
+    // the output (join keys must resolve against it)
+    val spjCols =
+      if (partitionCols.nonEmpty && partitionCols.forall(c =>
+        required.fieldNames.exists(_.equalsIgnoreCase(c)))) partitionCols
+      else Nil
     if (required.length == tableSchema.length)
       new GraftScan(tableSchema,
-        surviving.map(f => ScanChunk(f.rows, zonesByName(f))).toArray,
-        bytes, census, pushed.map(_.toString).toSeq)
+        surviving.map(f => ScanChunk(f.rows, zonesByName(f), f.groupKey)).toArray,
+        bytes, census, pushed.map(_.toString).toSeq, spjCols)
     else {
       val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -1457,8 +1464,9 @@ class GraftScanBuilder(tableSchema: StructType,
         })
       new GraftScan(required,
         surviving.map(f => ScanChunk(
-          f.rows.map(r => proj(r).copy(): InternalRow), zonesByName(f))).toArray,
-        bytes, census, pushed.map(_.toString).toSeq)
+          f.rows.map(r => proj(r).copy(): InternalRow), zonesByName(f),
+          f.groupKey)).toArray,
+        bytes, census, pushed.map(_.toString).toSeq, spjCols)
     }
   }
 }
@@ -1466,9 +1474,12 @@ class GraftScanBuilder(tableSchema: StructType,
 /** One surviving data file inside a [[GraftScan]]: its (possibly
   * column-pruned) rows plus its zone maps keyed by column name — kept on
   * the scan so RUNTIME filters (DPP subquery results) can skip whole
-  * chunks after planning, not just the static pushdown at build time. */
+  * chunks after planning, not just the static pushdown at build time.
+  * `groupKey` (partition-column values, when the file is wholly owned by
+  * one identity partition) feeds storage-partitioned join reporting. */
 private[sources] final case class ScanChunk(rows: Array[InternalRow],
-                                            zones: Map[String, ColZone]) {
+                                            zones: Map[String, ColZone],
+                                            groupKey: Option[Seq[Any]] = None) {
   def rowCount: Int = rows.length
 }
 
@@ -1549,14 +1560,43 @@ private[sources] object ZonePredicatesV2 {
   * over-retention costs only I/O, and the zone test is conservative. */
 class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                 sizeBytes: Long, census: ScanCensus => Unit = _ => (),
-                staticPushed: Seq[String] = Nil)
+                staticPushed: Seq[String] = Nil,
+                partitionCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   @volatile private var chunks: Array[ScanChunk] = chunks0
   private val totalRows: Long = chunks0.iterator.map(_.rowCount.toLong).sum
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  // ---- storage-partitioned join reporting ---------------------------
+  // When every chunk is wholly owned by one identity partition and the
+  // user opted into v2 bucketing, report the key-grouped layout: a join
+  // of two such tables on the partition key plans WITHOUT a shuffle on
+  // either side (Spark's storage-partitioned join, the Iceberg/Delta
+  // bucketing path) — at 100 TB the difference between a co-located
+  // merge and re-shuffling both fact tables. Opt-in by conf because
+  // key-grouping caps scan parallelism at the partition count.
+  private def spjActive: Boolean =
+    partitionCols.nonEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      chunks.forall(_.groupKey.isDefined)
+
+  /** Chunks per distinct partition key, deterministic order. */
+  private def keyedGroups: Seq[(Seq[Any], Array[ScanChunk])] =
+    chunks.groupBy(_.groupKey.get).toSeq.sortBy(_._1.mkString("|"))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partitionCols.map(c => Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression).toArray,
+        keyedGroups.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def filterAttributes(): Array[NamedReference] =
     schema.fields.collect {
@@ -1567,8 +1607,17 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
   override def filter(predicates: Array[Predicate]): Unit = {
     val tests = predicates.flatMap(ZonePredicatesV2.compile)
     if (tests.nonEmpty) {
-      chunks = chunks.filter(c => tests.forall(_(c)))
-      census(ScanCensus(chunks0.length, chunks.length, totalRows,
+      // under key-grouped reporting the partition-value set must be
+      // PRESERVED (Spark asserts the runtime filter kept the layout):
+      // excluded chunks empty out instead of dropping — same I/O win,
+      // stable partitioning
+      chunks =
+        if (spjActive)
+          chunks.map(c =>
+            if (tests.forall(_(c))) c else c.copy(rows = Array.empty))
+        else chunks.filter(c => tests.forall(_(c)))
+      val live = chunks.count(_.rowCount > 0)
+      census(ScanCensus(chunks0.length, live, totalRows,
         chunks.iterator.map(_.rowCount.toLong).sum,
         staticPushed ++ predicates.map(p => s"runtime:$p")))
     }
@@ -1586,6 +1635,16 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
       s"sizeBytes=$sizeBytes)"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (spjActive) {
+      // key-grouped layout: exactly ONE partition per distinct partition
+      // key (HasPartitionKey), never sliced — the contract Spark's
+      // storage-partitioned join aligns both sides by
+      return keyedGroups.map { case (k, g) =>
+        GraftKeyedInputPartition(g.flatMap(_.rows),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            k.toArray)): InputPartition
+      }.toArray
+    }
     val cs = chunks
     if (cs.iterator.map(_.rowCount).sum == 0)
       return Array(GraftInputPartition(Array.empty))
@@ -1603,7 +1662,10 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val it = p.asInstanceOf[GraftInputPartition].rows.iterator
+          private val it = (p match {
+            case g: GraftInputPartition => g.rows
+            case k: GraftKeyedInputPartition => k.rows
+          }).iterator
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (it.hasNext) { cur = it.next(); true } else false
@@ -1623,6 +1685,16 @@ object GraftScan {
 /** Rows ride inside the partition (driver → executor); UnsafeRow is
   * Externalizable, so this serializes in cluster mode too. */
 case class GraftInputPartition(rows: Array[InternalRow]) extends InputPartition
+
+/** Key-grouped variant for storage-partitioned joins: all rows of one
+  * identity-partition key, reporting that key so Spark can align the
+  * two sides of a join without shuffling either. */
+case class GraftKeyedInputPartition(rows: Array[InternalRow],
+                                    key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** Per-task writers buffer copies; commit messages carry them back and the
   * driver-side `install` callback swaps/extends the table's file vector —

@@ -761,6 +761,85 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(census.pushed.exists(_.contains("aggregate")))
   }
 
+  test("storage-partitioned join: co-partitioned tables join with NO shuffle") {
+    val ta = freshTable("t_spj_a")
+    val tb = freshTable("t_spj_b")
+    spark.sql(s"CREATE TABLE $ta (k INT, a BIGINT) PARTITIONED BY (k)")
+    spark.sql(s"CREATE TABLE $tb (k INT, b STRING) PARTITIONED BY (k)")
+    spark.range(0, 400).selectExpr("CAST(id % 8 AS INT) AS k", "id AS a")
+      .writeTo(ta).append()
+    spark.range(0, 80).selectExpr("CAST(id % 8 AS INT) AS k",
+        "concat('b', id) AS b")
+      .writeTo(tb).append()
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a real join
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = spark.table(ta).join(spark.table(tb), "k")
+      val n = joined.count()
+      assert(n === 400L * 80 / 8, s"join result wrong: $n")
+      val plan = executedFinal(joined)
+      val shuffles = walk(plan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"co-partitioned catalog tables must storage-partition join:\n$plan")
+      assert(walk(plan).exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected a shuffle-free sort-merge join:\n$plan")
+
+      // correctness-on-content: the aligned join sees every pair
+      val got = spark.table(ta).join(spark.table(tb), "k")
+        .selectExpr("k", "a", "b").orderBy("k", "a", "b")
+        .as[(Int, Long, String)].collect()
+      assert(got.length === 4000)
+      assert(got.forall { case (k, a, b) =>
+        a % 8 == k && b.drop(1).toLong % 8 == k })
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // with bucketing OFF the same join shuffles both sides — the
+    // reporting is strictly opt-in (parallelism stays file-sliced)
+    val joinedOff = spark.table(ta).join(spark.table(tb), "k")
+    joinedOff.count()
+    assert(walk(executedFinal(joinedOff)).exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _: BroadcastHashJoinExec => true
+      case _ => false
+    }, "opt-out path must plan a conventional join")
+  }
+
+  test("storage-partitioned join survives runtime filtering (keys preserved)") {
+    val ta = freshTable("t_spj_rf_a")
+    val tb = freshTable("t_spj_rf_b")
+    spark.sql(s"CREATE TABLE $ta (k INT, a BIGINT) PARTITIONED BY (k)")
+    spark.sql(s"CREATE TABLE $tb (k INT, b BIGINT) PARTITIONED BY (k)")
+    spark.range(0, 100).selectExpr("CAST(id % 10 AS INT) AS k", "id AS a")
+      .writeTo(ta).append()
+    spark.range(0, 20).selectExpr("CAST(id % 10 AS INT) AS k", "id AS b")
+      .writeTo(tb).append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // a selective filter on one side: results stay exact
+      val j = spark.table(ta).filter($"a" < 40)
+        .join(spark.table(tb), "k")
+      assert(j.count() === 80L) // 40 a-rows × 2 b-rows per key
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("limit pushdown stops delivering files past the mark") {
     val (t, table) = fourFileTable("t_limit")
     val got = spark.table(t).limit(15).collect()
