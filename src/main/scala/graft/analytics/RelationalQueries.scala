@@ -2918,6 +2918,166 @@ object RelationalQueries {
           case (k, None) => s.conf.unset(k)
         }
       rows.toDF("nk", "n", "sck", "ssk")
+    },
+
+    // ----- Streaming source over a catalog table: readStream.table tails
+    // the commit log (the Delta streaming-source path — GraftStreamCdcSpec
+    // pins offsets, restarts, change-commit handling). Here the whole
+    // contract runs under ONE oracle row: the source table is built in
+    // THREE append commits, an AvailableNow pass drains them into an
+    // accumulator table, a FOURTH commit lands, and a second pass on the
+    // SAME checkpoint must deliver exactly that commit — the oracle
+    // counts both rows and DISTINCT keys over the full source, so a
+    // re-delivered (at-least-once) or skipped batch breaks n as well as
+    // the sum.
+    Q("s39_stream_source", "S-stream-source,§2.10,S5,A1,A7", {
+      """WITH src AS (SELECT o_orderkey AS k,
+        |              CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+        |SELECT count(*) AS n, count(DISTINCT k) AS nk,
+        |""".stripMargin +
+        s"  ${Exact.sqlSum("price", 2)} AS total FROM src"
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val src = "graft_cat.ns.s39_src"
+      val acc = "graft_cat.ns.s39_acc"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $acc")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("ss|"), col("o_orderkey").cast("string"))), lit(4L))
+            .as("h"))
+      orders.filter(col("h") === 0).drop("h").writeTo(src).create()
+      for (i <- 1 to 2)
+        orders.filter(col("h") === i).drop("h").writeTo(src).append()
+      s.sql(s"CREATE TABLE $acc (k BIGINT, price DOUBLE)")
+      val ckpt = TempDirs.scratch("s39-ckpt")
+      def drain(): Unit = {
+        val q = s.readStream.table(src)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.writeTo(acc).append()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial snapshot: commits 1-3
+      orders.filter(col("h") === 3).drop("h").writeTo(src).append()
+      drain() // checkpointed tail: exactly commit 4
+      s.table(acc).agg(count(lit(1)).as("n"),
+        countDistinct(col("k")).as("nk"),
+        Exact.dsum(col("price"), 2).as("total"))
+    },
+
+    // ----- Change data feed: write-time CDC served as the t$changes
+    // relation (Delta's table_changes). The table walks CTAS → partial-
+    // group UPDATE → metadata partition DELETE; the feed must hold the
+    // MINIMAL row delta — the COW rewrite carries every h=0 row, but
+    // unchanged rows multiset-cancel, so the update contributes exactly
+    // its preimage deletes + postimage inserts. The oracle restates all
+    // three commits' expected deltas from the source by change type; a
+    // feed that leaked a carried-along row, lost a delete, or mislabeled
+    // a change breaks the (n, total) of its type.
+    Q("s40_change_feed", "S-cdf,S10,A7", {
+      val h = s"${TS.hash("'cf|' || o_orderkey")} % 4"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price,
+         |               $h AS h, year(o_orderdate) AS yr
+         |             FROM orders),
+         |ins AS (SELECT price FROM src
+         |        UNION ALL
+         |        SELECT price * 1.1 FROM src WHERE h = 0 AND yr < 1995),
+         |del AS (SELECT price FROM src WHERE h = 0 AND yr < 1995
+         |        UNION ALL
+         |        SELECT price FROM src WHERE h = 3)
+         |SELECT 'delete' AS change_type, count(*) AS n,
+         |  ${Exact.sqlSum("price", 3)} AS total FROM del
+         |UNION ALL
+         |SELECT 'insert', count(*), ${Exact.sqlSum("price", 3)} FROM ins
+         |ORDER BY change_type""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s40_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("cf|"), col("o_orderkey").cast("string"))), lit(4L))
+            .cast("int").as("h"),
+          year(col("o_orderdate")).as("yr"))
+        .writeTo(t).partitionedBy(col("h")).create()            // v1: inserts
+      s.sql(s"UPDATE $t SET price = price * 1.1 WHERE h = 0 AND yr < 1995")
+      s.sql(s"DELETE FROM $t WHERE h = 3")                      // v3: deletes
+      s.table("graft_cat.ns.`s40_t$changes`")
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          // scale 3: updated prices are 2-decimal values × 1.1
+          Exact.dsum(col("price"), 3).as("total"))
+        .orderBy("change_type")
+    },
+
+    // ----- RESTORE TO VERSION AS OF: the undo half of time travel —
+    // data reverts to the target snapshot, but history moves FORWARD
+    // (the undone commit stays readable, the restore lands in the log
+    // as its own operation). Probes: current state equals the pre-
+    // update snapshot, the undone update is still served by VERSION AS
+    // OF, and the commit log holds exactly one RESTORE among the
+    // expected operations. The oracle restates both states from the
+    // source and pins the log census as derived constants.
+    Q("s41_restore", "S-restore,S10,A7", {
+      val h = s"${TS.hash("'rs|' || o_orderkey")} % 4"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price, $h AS h
+         |             FROM orders),
+         |upd AS (SELECT CASE WHEN h = 0 THEN price * 1.1 ELSE price END
+         |          AS price FROM src)
+         |SELECT 'cur' AS probe, count(*) AS n,
+         |  ${Exact.sqlSum("price", 3)} AS total FROM src
+         |UNION ALL
+         |SELECT 'hist', 5, 1.0
+         |UNION ALL
+         |SELECT 'undone', count(*), ${Exact.sqlSum("price", 3)} FROM upd
+         |ORDER BY probe""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s41_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("rs|"), col("o_orderkey").cast("string"))), lit(4L))
+            .as("h"))
+      src.writeTo(t).create()                                    // v1
+      s.sql(s"INSERT INTO $t VALUES (-1, 0.0, -1)")              // v2
+      s.sql(s"UPDATE $t SET price = price * 1.1 WHERE h = 0")    // v3
+      graft.sources.GraftMaintenance.restore(Seq("ns"), "s41_t", 1) // v4
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n"), Exact.dsum(col("price"), 3).as("total"))
+          .select(lit(label).as("probe"), col("n"), col("total"))
+      val hist = s.table("graft_cat.ns.`s41_t$history`")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("operation") === "RESTORE", 1.0).otherwise(0.0))
+            .as("total"))
+        .select(lit("hist").as("probe"), col("n"), col("total"))
+      agg(s.table(t), "cur")
+        .unionByName(hist)
+        // the undone v3 state, minus the v2 marker row the oracle's CTE
+        // does not model — VERSION AS OF still serving it is the point
+        .unionByName(agg(
+          s.sql(s"SELECT * FROM $t VERSION AS OF 3").filter(col("k") =!= -1),
+          "undone"))
+        .orderBy("probe")
     }
   )
 }

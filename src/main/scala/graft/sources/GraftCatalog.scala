@@ -87,6 +87,7 @@ class GraftCatalog extends TableCatalog {
       return n.substring(dollar + 1) match {
         case "files" => base.filesMetaTable
         case "history" => base.historyMetaTable
+        case "changes" => base.changesMetaTable
         case other => throw new NoSuchTableException(ident)
       }
     }
@@ -294,9 +295,20 @@ object GraftDataFile {
 
 /** One commit in a [[GraftTable]]'s history: the complete post-commit
   * state plus the commit's wall-clock timestamp (micros) for
-  * TIMESTAMP AS OF resolution. */
+  * TIMESTAMP AS OF resolution, the operation kind (DESCRIBE HISTORY
+  * surface), and the commit's CHANGE-DATA record — the data files this
+  * commit added and the files (or partial-file row sets) it removed,
+  * captured AT WRITE TIME. References only, never copies: the same
+  * file objects the state vectors hold, so CDC retention rides the
+  * history retention that already bounds snapshots. Write-time capture
+  * (Delta's CDC-file approach) rather than state diffing means layout
+  * commits (OPTIMIZE / ZORDER / ALTER padding) correctly record ZERO
+  * row changes even though their file sets differ. */
 private[sources] final case class CommitEntry(version: Int,
-    schema: StructType, files: Vector[GraftDataFile], tsMicros: Long)
+    schema: StructType, files: Vector[GraftDataFile], tsMicros: Long,
+    operation: String = "UNKNOWN",
+    added: Vector[GraftDataFile] = Vector.empty,
+    removed: Vector[GraftDataFile] = Vector.empty)
 
 /** What one scan build observed: the data-skipping census. `filesRead` /
   * `rowsRead` count files/rows that SURVIVED zone-map pruning under the
@@ -392,7 +404,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
-      snap() // schema evolution is a commit too
+      // a commit, but NOT a data change: the padded rebuild holds the
+      // same logical rows, so CDC and streaming tails deliver nothing
+      snap("ALTER TABLE")
     }
 
   /** Partition-group key of a stored row (values of the identity
@@ -423,12 +437,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     Vector(CommitEntry(0, initialSchema, Vector.empty,
       GraftClock.nowMicros()))
 
-  private def snap(): Unit = {
+  private def snap(op: String,
+                   added: Vector[GraftDataFile] = Vector.empty,
+                   removed: Vector[GraftDataFile] = Vector.empty): Unit = {
     val last = history.last
     // strictly increasing per table: commits in the same microsecond
     // (or a test clock standing still) must still resolve unambiguously
     val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
-    history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts)
+    history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts,
+      op, added, removed)
     val over = history.length - math.max(2, GraftTable.historyRetention)
     if (over > 0) history = history.drop(over)
   }
@@ -491,7 +508,32 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   /** Clone bootstrap: adopt shared file references as commit 1. */
   private[sources] def adoptFiles(fs: Vector[GraftDataFile]): Unit =
-    synchronized { files = fs; snap() }
+    synchronized { files = fs; snap("CLONE", added = fs) }
+
+  /** `RESTORE TABLE ... TO VERSION AS OF v`: reset the current state to a
+    * retained snapshot, recorded as a NEW commit (Delta's contract —
+    * restore moves the table forward in history to an old state, it never
+    * rewinds the log). The CDC record diffs by file REFERENCE first, so
+    * files shared between the two states contribute nothing. */
+  private[sources] def restoreTo(v: Int, ident: Identifier): Unit =
+    synchronized {
+      val (schema, target) = stateAt(Some(v), ident)
+      if (schema != tableSchema)
+        throw new UnsupportedOperationException(
+          s"$ident: cannot RESTORE across a schema change " +
+            s"(version $v has a different schema)")
+      val cur = files
+      val curSet = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+      cur.foreach(curSet.add)
+      val tgtSet = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+      target.foreach(tgtSet.add)
+      files = target
+      snap("RESTORE",
+        added = target.filterNot(curSet.contains),
+        removed = cur.filterNot(tgtSet.contains))
+    }
 
   /** Early history truncation (`VACUUM`): retire all but the last
     * `keepLast` snapshots NOW instead of waiting for the retention
@@ -541,21 +583,96 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   /** `SELECT * FROM t$history`: the retained commit log — version,
-    * commit timestamp, and the post-commit file/row census (DESCRIBE
-    * HISTORY as an ordinary relation). */
+    * commit timestamp, operation kind, and the post-commit file/row
+    * census (DESCRIBE HISTORY as an ordinary relation). */
   private[sources] def historyMetaTable: GraftSnapshotTable = {
     val schema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("timestamp_micros", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
       StructField("n_files", IntegerType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
     val rows = history.iterator.map { e =>
       new GenericInternalRow(Array[Any](e.version, e.tsMicros,
-        e.files.length,
+        utf8(e.operation), e.files.length,
         e.files.iterator.map(_.rowCount.toLong).sum)): InternalRow
     }.toArray
     new GraftSnapshotTable(s"$tableName$$history", schema,
       Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
+  /** `SELECT * FROM t$changes`: the CHANGE DATA FEED — per retained
+    * commit, the MINIMAL row-level delta as `_change_type`
+    * ('insert'/'delete') + `_commit_version` + `_commit_timestamp` +
+    * the data columns (Delta's `table_changes`, served as an ordinary
+    * relation; version-range reads are `WHERE _commit_version BETWEEN`,
+    * which the zone maps turn into file skipping because each commit's
+    * changes land in their own file). The delta is minimal because the
+    * write-time CDC record (added/removed files) is MULTISET-CANCELLED
+    * row-level at read: a COW rewrite's carried-along unchanged rows
+    * cancel out, leaving an UPDATE as exactly its preimage deletes +
+    * postimage inserts. Layout commits (OPTIMIZE/ZORDER/ALTER) record
+    * no changes at all. Rows of pre-evolution commits project to the
+    * CURRENT schema with NULL in the added columns. */
+  private[sources] def changesMetaTable: GraftSnapshotTable = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
+    val dataSchema = tableSchema
+    val schema = StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+      StructField("_commit_version", IntegerType, nullable = false) +:
+      StructField("_commit_timestamp", LongType, nullable = false) +:
+      dataSchema.fields.toSeq)
+    val outFiles = history.iterator.flatMap { e =>
+      if (e.added.isEmpty && e.removed.isEmpty) None
+      else {
+        // canonicalize both sides to UnsafeRows of the CURRENT data
+        // schema (append-only evolution: match columns by name, pad
+        // missing with NULL) so the multiset diff compares bytes
+        val toCanonical = UnsafeProjection.create(
+          dataSchema.fields.toIndexedSeq.map { f =>
+            e.schema.fields.indexWhere(_.name == f.name) match {
+              case -1 => Literal.create(null, f.dataType)
+                  : org.apache.spark.sql.catalyst.expressions.Expression
+              case i => BoundReference(i, f.dataType, nullable = true)
+            }
+          })
+        // signed multiset: +1 per added row, −1 per removed; what
+        // cancels was carried through the rewrite unchanged
+        val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
+        def bump(rows: Iterator[InternalRow], d: Int): Unit =
+          rows.foreach { r =>
+            val k = toCanonical(r).copy()
+            counts.merge(k, d, (a, b) => a + b)
+          }
+        bump(e.added.iterator.flatMap(_.rows), 1)
+        bump(e.removed.iterator.flatMap(_.rows), -1)
+        def emit(ct: String) = UnsafeProjection.create(
+          (Literal(utf8(ct), StringType)
+              : org.apache.spark.sql.catalyst.expressions.Expression) +:
+          (Literal(e.version, IntegerType)
+              : org.apache.spark.sql.catalyst.expressions.Expression) +:
+          (Literal(e.tsMicros, LongType)
+              : org.apache.spark.sql.catalyst.expressions.Expression) +:
+          dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, nullable = true)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          })
+        val ins = emit("insert")
+        val del = emit("delete")
+        val rows = Vector.newBuilder[InternalRow]
+        counts.forEach { (row, c) =>
+          val (proj, n) = if (c > 0) (ins, c) else (del, -c)
+          var i = 0
+          while (i < n) { rows += proj(row).copy(); i += 1 }
+        }
+        val out = rows.result()
+        // one file per commit: _commit_version zones make version-range
+        // reads skip every other commit's file
+        if (out.isEmpty) None
+        else Some(GraftDataFile.build(out.toArray, schema, None))
+      }
+    }.toVector
+    new GraftSnapshotTable(s"$tableName$$changes", schema, outFiles)
   }
 
   def currentRows: Array[InternalRow] = files.toArray.flatMap(_.rows)
@@ -590,45 +707,73 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** Remove all rows of the partition groups matching `touched`. Files
     * wholly owned by a dropped group (the common, writer-aligned case)
     * drop BY REFERENCE; files spanning groups (post-compaction) rebuild
-    * from survivors. */
+    * from survivors. Returns (kept files, removed row sets): the second
+    * component feeds the commit's CDC record — whole dropped files ride
+    * by reference, a partially-dropped file contributes a pseudo-file
+    * holding exactly its dropped rows. */
   private def dropGroupRows(fs: Vector[GraftDataFile],
-                            touched: Seq[Any] => Boolean): Vector[GraftDataFile] =
-    fs.flatMap { f =>
+      touched: Seq[Any] => Boolean)
+      : (Vector[GraftDataFile], Vector[GraftDataFile]) = {
+    val kept = Vector.newBuilder[GraftDataFile]
+    val removed = Vector.newBuilder[GraftDataFile]
+    fs.foreach { f =>
       f.groupKey match {
-        case Some(k) => if (touched(k)) None else Some(f)
+        case Some(k) => if (touched(k)) removed += f else kept += f
         case None =>
-          val kept = f.rows.filterNot(r => touched(groupKeyOf(r)))
-          if (kept.length == f.rows.length) Some(f)
-          else if (kept.isEmpty) None
-          else Some(GraftDataFile.build(kept, tableSchema, keyOfOpt))
+          val (gone, stay) = f.rows.partition(r => touched(groupKeyOf(r)))
+          if (gone.isEmpty) kept += f
+          else {
+            removed += GraftDataFile.build(gone, tableSchema, keyOfOpt)
+            if (stay.nonEmpty)
+              kept += GraftDataFile.build(stay, tableSchema, keyOfOpt)
+          }
       }
     }
+    (kept.result(), removed.result())
+  }
 
   private[sources] def installAppend(batches: Array[Array[InternalRow]]): Unit =
-    synchronized { files = files ++ buildFiles(batches); snap() }
+    synchronized {
+      val nf = buildFiles(batches)
+      files = files ++ nf
+      snap("APPEND", added = nf)
+    }
   private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
-    synchronized { files = buildFiles(batches); snap() }
+    synchronized {
+      val old = files
+      val nf = buildFiles(batches)
+      files = nf
+      snap("OVERWRITE", added = nf, removed = old)
+    }
 
   /** Row-level (COW) commit: replace exactly the `touched` partition
     * groups with the delivered post-operation contents; rows of untouched
     * groups carry over BY REFERENCE. `None` = the runtime group filter
     * never ran (unpartitioned table, or an unrecognized predicate shape)
-    * — the scanned group was the whole table, so the whole table swaps. */
+    * — the scanned group was the whole table, so the whole table swaps.
+    * `op` labels the commit (MERGE / UPDATE / DELETE). */
   private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
-      touched: Option[Seq[Any] => Boolean]): Unit = synchronized {
-    files = touched match {
-      case None => buildFiles(batches)
-      case Some(pred) => dropGroupRows(files, pred) ++ buildFiles(batches)
+      touched: Option[Seq[Any] => Boolean],
+      op: String = "MERGE"): Unit = synchronized {
+    val nf = buildFiles(batches)
+    val dropped = touched match {
+      case None => val old = files; files = nf; old
+      case Some(pred) =>
+        val (kept, gone) = dropGroupRows(files, pred)
+        files = kept ++ nf
+        gone
     }
-    snap()
+    snap(op, added = nf, removed = dropped)
   }
 
   /** INSERT OVERWRITE of specific partition groups (static mode with a
     * partition predicate): delete the matching groups, then append. */
   private[sources] def installOverwriteGroups(batches: Array[Array[InternalRow]],
       touched: Seq[Any] => Boolean): Unit = synchronized {
-    files = dropGroupRows(files, touched) ++ buildFiles(batches)
-    snap()
+    val (kept, gone) = dropGroupRows(files, touched)
+    val nf = buildFiles(batches)
+    files = kept ++ nf
+    snap("OVERWRITE", added = nf, removed = gone)
   }
 
   /** Dynamic-partition INSERT OVERWRITE: replace exactly the groups the
@@ -638,8 +783,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installDynamicOverwrite(
       batches: Array[Array[InternalRow]]): Unit = synchronized {
     val touched = batches.iterator.flatten.map(groupKeyOf).toSet
-    files = dropGroupRows(files, touched.contains) ++ buildFiles(batches)
-    snap()
+    val (kept, gone) = dropGroupRows(files, touched.contains)
+    val nf = buildFiles(batches)
+    files = kept ++ nf
+    snap("OVERWRITE", added = nf, removed = gone)
   }
 
   /** `OPTIMIZE` (bin-packing compaction), the Delta/Iceberg small-file
@@ -678,7 +825,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
       bins.keys.toSeq.foreach(flush)
       files = out.result()
-      snap()
+      snap("OPTIMIZE") // layout-only: zero logical row changes
       (before.length, files.length)
     }
 
@@ -771,7 +918,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         else before.toArray.flatMap(_.rows).groupBy(groupKeyOf).toSeq
           .sortBy(_._1.mkString("|"))
           .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
-      snap()
+      snap("ZORDER") // layout-only: zero logical row changes
       (before.length, files.length)
     }
 
@@ -791,16 +938,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
       GroupPredicates.keyPredicate(filters, partitionCols).isDefined
 
   override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
-    if (alwaysTrueOnly(filters)) files = Vector.empty
-    else {
-      val pred = GroupPredicates.keyPredicate(filters, partitionCols)
-        .getOrElse(throw new UnsupportedOperationException(
-          s"deleteWhere called with inexpressible filters " +
-            s"${filters.mkString(", ")} — canDeleteWhere should have " +
-            "routed this to the row-level rewrite"))
-      files = dropGroupRows(files, pred)
-    }
-    snap()
+    val gone =
+      if (alwaysTrueOnly(filters)) { val old = files; files = Vector.empty; old }
+      else {
+        val pred = GroupPredicates.keyPredicate(filters, partitionCols)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"deleteWhere called with inexpressible filters " +
+              s"${filters.mkString(", ")} — canDeleteWhere should have " +
+              "routed this to the row-level rewrite"))
+        val (kept, dropped) = dropGroupRows(files, pred)
+        files = kept
+        dropped
+      }
+    snap("DELETE", removed = gone)
   }
 
   /** Catalog RENAME support: the same object keeps its rows and in-flight
@@ -818,13 +968,31 @@ class GraftTable(initialName: String, initialSchema: StructType,
     partitionCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  // ---- streaming-source surface (package-private, used by the stream) --
+  private[sources] def currentVersion: Int = history.last.version
+  /** Commit entries with start < version <= end; fails loudly when any
+    * of them has been retired by history retention (the Delta behavior —
+    * a stream cannot silently skip log it can no longer see). */
+  private[sources] def entriesBetween(start: Int, end: Int): Seq[CommitEntry] = {
+    val h = history
+    val base = h.head.version
+    if (start + 1 < base)
+      throw new IllegalStateException(
+        s"$tableName: streaming offset $start has been retired by history " +
+          s"retention (oldest retained commit: $base); restart the stream " +
+          "from a fresh checkpoint")
+    h.filter(e => e.version > start && e.version <= end)
+  }
 
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, () => files,
-      c => lastScanCensus = Some(c), partitionCols)
+      c => lastScanCensus = Some(c), partitionCols,
+      streamSource = Some(this), streamOptions = options)
 
   // ---- plain write path (INSERT INTO/OVERWRITE / CTAS) ---------------
   // Four commit modes: append (INSERT INTO), full replace (truncate /
@@ -903,7 +1071,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
           override def build(): Write = new GraftWrite(partitionCols,
             () => new GraftRowLevelBatchWrite(tableSchema,
               delivered => installReplaceGroups(delivered,
-                Option(rlScan).flatMap(_.scannedGroups))))
+                Option(rlScan).flatMap(_.scannedGroups),
+                op = command().toString)))
         }
 
       override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -996,6 +1165,15 @@ object GraftMaintenance {
     * reclaim). Returns the number of snapshots retired. */
   def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1): Int =
     resolve(namespace, table).vacuumHistory(keepLast)
+
+  /** `RESTORE TABLE t TO VERSION AS OF v` (Delta's restore): reset the
+    * current state to a retained snapshot, AS A NEW COMMIT — history
+    * moves forward, time travel still sees the undone commits, and the
+    * change data feed records the restore's row-level delta. File
+    * references are adopted, never copied. */
+  def restore(namespace: Seq[String], table: String, version: Int): Unit =
+    resolve(namespace, table).restoreTo(version,
+      Identifier.of(namespace.toArray, table))
 
   /** `OPTIMIZE ZORDER BY`: re-layout the table's files along the Morton
     * curve of `cols` (within each partition group), so multi-dimensional
@@ -1269,7 +1447,10 @@ private[sources] object ZonePredicates {
 class GraftScanBuilder(tableSchema: StructType,
                        files: () => Vector[GraftDataFile],
                        census: ScanCensus => Unit = _ => (),
-                       partitionCols: Seq[String] = Nil)
+                       partitionCols: Seq[String] = Nil,
+                       streamSource: Option[GraftTable] = None,
+                       streamOptions: CaseInsensitiveStringMap =
+                         CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -1451,10 +1632,16 @@ class GraftScanBuilder(tableSchema: StructType,
       if (partitionCols.nonEmpty && partitionCols.forall(c =>
         required.fieldNames.exists(_.equalsIgnoreCase(c)))) partitionCols
       else Nil
+    // streaming read (readStream on a live catalog table): the scan's
+    // micro-batch surface tails the commit log from the same builder
+    // state — pruned schema and zone tests apply per delivered commit
+    val mb = streamSource.map(t =>
+      () => new GraftMicroBatchStream(t, required, tests, streamOptions)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
     if (required.length == tableSchema.length)
       new GraftScan(tableSchema,
         surviving.map(f => ScanChunk(f.rows, zonesByName(f), f.groupKey)).toArray,
-        bytes, census, pushed.map(_.toString).toSeq, spjCols)
+        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
     else {
       val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -1466,7 +1653,7 @@ class GraftScanBuilder(tableSchema: StructType,
         surviving.map(f => ScanChunk(
           f.rows.map(r => proj(r).copy(): InternalRow), zonesByName(f),
           f.groupKey)).toArray,
-        bytes, census, pushed.map(_.toString).toSeq, spjCols)
+        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
     }
   }
 }
@@ -1561,7 +1748,10 @@ private[sources] object ZonePredicatesV2 {
 class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                 sizeBytes: Long, census: ScanCensus => Unit = _ => (),
                 staticPushed: Seq[String] = Nil,
-                partitionCols: Seq[String] = Nil)
+                partitionCols: Seq[String] = Nil,
+                mbStream: Option[
+                  () => org.apache.spark.sql.connector.read.streaming
+                    .MicroBatchStream] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1570,6 +1760,11 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    mbStream.map(_())
+      .getOrElse(super.toMicroBatchStream(checkpointLocation))
 
   // ---- storage-partitioned join reporting ---------------------------
   // When every chunk is wholly owned by one identity partition and the
@@ -1680,6 +1875,128 @@ object GraftScan {
   def of(schema: StructType, rows: Array[InternalRow]): GraftScan =
     new GraftScan(schema, Array(ScanChunk(rows, Map.empty)),
       math.max(1L, rows.length.toLong * math.max(1, schema.defaultSize)))
+}
+
+/** Streaming offset of a [[GraftTable]] tail: the last commit version
+  * this stream has fully delivered. -1 = nothing yet (initial-snapshot
+  * mode delivers the whole table as the first batch, then tails). */
+case class GraftStreamOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch streaming source over a live [[GraftTable]] — the Delta
+  * streaming-source read path (`spark.readStream.table(...)`), served
+  * from the table's own commit log. Offsets are commit versions; batch
+  * (start, end] delivers exactly the data files the commits in that
+  * range APPENDED, by reference — per-batch cost tracks the new data,
+  * never the table size, which is what makes a 100 TB table tailable.
+  *
+  * Contract (Delta's): the default initial offset delivers the CURRENT
+  * snapshot as the first batch, then tails — retention-proof, since it
+  * needs no retired log. `startingVersion` (an integer, or `latest` for
+  * only-new-data) opts into replay from a retained commit. A commit
+  * that REMOVED rows (OVERWRITE / DELETE / MERGE / UPDATE / RESTORE) is
+  * a CHANGE COMMIT: the stream fails loudly unless
+  * `skipChangeCommits=true`, in which case the whole commit is skipped
+  * (Delta's `skipChangeCommits`). Layout commits (OPTIMIZE / ZORDER /
+  * ALTER TABLE padding) record zero row changes and deliver nothing.
+  * Zone tests from pushed filters prune appended files per batch;
+  * delivered rows project to the stream's (possibly pruned) schema by
+  * name, pre-evolution commits padding NULL for later-added columns. */
+class GraftMicroBatchStream(table: GraftTable, required: StructType,
+                            tests: Array[GraftDataFile => Boolean],
+                            options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+
+  private val skipChangeCommits: Boolean =
+    options.getBoolean("skipChangeCommits", false)
+
+  override def initialOffset(): Offset =
+    Option(options.get("startingVersion")) match {
+      case None => GraftStreamOffset(-1) // initial snapshot, then tail
+      case Some("latest") => GraftStreamOffset(table.currentVersion)
+      case Some(v) =>
+        val sv = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be an integer or 'latest', got '$v'")
+        }
+        require(sv >= 0, s"startingVersion must be >= 0, got $sv")
+        GraftStreamOffset(sv - 1) // deliver commit sv onward
+    }
+
+  override def latestOffset(): Offset = GraftStreamOffset(table.currentVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def versionOf(o: Offset): Int = o match {
+    case GraftStreamOffset(v) => v
+    case other => other.json().trim.toInt
+  }
+
+  /** Project one commit's rows (laid out by `from`) to the stream's
+    * schema by NAME; columns added after the commit read NULL. */
+  private def projectTo(from: StructType, rows: Array[InternalRow])
+      : Array[InternalRow] =
+    if (from == required) rows
+    else {
+      val proj = UnsafeProjection.create(
+        required.fields.toIndexedSeq.map { f =>
+          from.fields.indexWhere(_.name == f.name) match {
+            case -1 => Literal.create(null, f.dataType)
+                : org.apache.spark.sql.catalyst.expressions.Expression
+            case i => BoundReference(i, f.dataType, nullable = true)
+          }
+        })
+      rows.map(r => proj(r).copy(): InternalRow)
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = versionOf(start)
+    val e = versionOf(end)
+    val batchFiles: Seq[(StructType, GraftDataFile)] =
+      if (s < 0) {
+        // initial snapshot: the complete table state at `e`
+        val (schema, fs) = table.stateAt(Some(e),
+          Identifier.of(Array.empty[String], table.name()))
+        fs.map(schema -> _)
+      } else table.entriesBetween(s, e).flatMap { entry =>
+        if (entry.removed.nonEmpty) {
+          if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"${table.name()}: commit ${entry.version} " +
+              s"(${entry.operation}) removed or rewrote rows; a streaming " +
+              "read tails appends only. Set skipChangeCommits=true to " +
+              "skip such commits, or process changes via the t$changes " +
+              "change data feed")
+        } else entry.added.map(entry.schema -> _)
+      }
+    batchFiles
+      .filter { case (_, f) => tests.forall(_(f)) } // zone-skip per batch
+      .map { case (schema, f) =>
+        GraftInputPartition(projectTo(schema, f.rows)): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[GraftInputPartition].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
 }
 
 /** Rows ride inside the partition (driver → executor); UnsafeRow is
