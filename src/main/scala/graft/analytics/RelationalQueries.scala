@@ -3078,6 +3078,55 @@ object RelationalQueries {
           s.sql(s"SELECT * FROM $t VERSION AS OF 3").filter(col("k") =!= -1),
           "undone"))
         .orderBy("probe")
+    },
+
+    // ----- Streaming sink: the catalog-to-catalog PIPE with no
+    // foreachBatch glue — readStream.table tails the source's commit log
+    // and writeStream.toTable lands each epoch through the DSv2
+    // streaming write, (queryId, epoch)-deduplicated in the sink table's
+    // ledger (GraftStreamSinkSpec pins replay). Three source commits
+    // drain in pass one, a fourth in a checkpointed pass two; the oracle
+    // counts rows AND distinct keys over the full source, so a re-run
+    // epoch or a lost batch breaks n as well as the sum.
+    Q("s42_stream_sink", "S-stream-sink,§2.10,S8,A1,A7", {
+      """WITH src AS (SELECT o_orderkey AS k,
+        |              CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+        |SELECT count(*) AS n, count(DISTINCT k) AS nk,
+        |""".stripMargin +
+        s"  ${Exact.sqlSum("price", 2)} AS total FROM src"
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val src = "graft_cat.ns.s42_src"
+      val dst = "graft_cat.ns.s42_dst"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("sk|"), col("o_orderkey").cast("string"))), lit(4L))
+            .as("h"))
+      orders.filter(col("h") === 0).drop("h").writeTo(src).create()
+      for (i <- 1 to 2)
+        orders.filter(col("h") === i).drop("h").writeTo(src).append()
+      s.sql(s"CREATE TABLE $dst (k BIGINT, price DOUBLE)")
+      val ckpt = TempDirs.scratch("s42-ckpt")
+      def pipe(): Unit = {
+        val q = s.readStream.table(src)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(dst)
+        q.awaitTermination()
+      }
+      pipe() // initial snapshot: commits 1-3
+      orders.filter(col("h") === 3).drop("h").writeTo(src).append()
+      pipe() // checkpointed tail: exactly commit 4
+      s.table(dst).agg(count(lit(1)).as("n"),
+        countDistinct(col("k")).as("nk"),
+        Exact.dsum(col("price"), 2).as("total"))
     }
   )
 }

@@ -968,9 +968,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
     partitionCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  /** Streaming-sink exactly-once ledger: highest epoch committed per
+    * streaming QUERY (the id Spark persists in the checkpoint, stable
+    * across restarts). A replayed epoch — the sink committed but the
+    * failure hit before the offset log recorded it, so restart re-runs
+    * the batch — is recognized and skipped INSIDE the table lock, which
+    * is what makes `writeStream.toTable` exactly-once on this store
+    * (Delta's txn-version dedup, in-JVM scope). */
+  private val streamEpochs = TrieMap.empty[String, Long]
+  private[sources] def installStreamingEpoch(queryId: String, epochId: Long,
+      batches: Array[Array[InternalRow]],
+      install: Array[Array[InternalRow]] => Unit): Unit = synchronized {
+    if (!streamEpochs.get(queryId).exists(_ >= epochId)) {
+      install(batches)
+      streamEpochs.put(queryId, epochId)
+    }
+  }
 
   // ---- streaming-source surface (package-private, used by the stream) --
   private[sources] def currentVersion: Int = history.last.version
@@ -1036,7 +1053,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
 
       override def build(): Write = new GraftWrite(partitionCols,
-        () => new GraftBatchWrite(install))
+        () => new GraftBatchWrite(install),
+        // streaming sink (writeStream.toTable): same install modes —
+        // append per epoch, or replace per epoch under Complete output
+        // (Spark calls truncate() once at build time for that mode)
+        Some(() => new GraftStreamingWrite(GraftTable.this,
+          info.queryId(), install)))
     }
 
   // ---- row-level operations (MERGE / UPDATE / DELETE SQL) ------------
@@ -1102,7 +1124,10 @@ object GraftTable {
   * partitions and tracking partitions × tasks). Unpartitioned tables
   * leave the distribution unspecified — the caller's layout (e.g. the
   * s33 z-order repartition) passes through untouched. */
-class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite)
+class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite,
+                 streamingWrite: Option[
+                   () => org.apache.spark.sql.connector.write.streaming
+                     .StreamingWrite] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1119,6 +1144,42 @@ class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite)
     Array.empty
 
   override def toBatch: BatchWrite = batchWrite()
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    streamingWrite.map(_()).getOrElse(super.toStreaming)
+}
+
+/** Streaming sink of a [[GraftTable]] (`writeStream.toTable` — the Delta
+  * streaming-sink path): each epoch's delivered rows install through the
+  * write builder's chosen mode (append per epoch; replace per epoch under
+  * Complete output), deduplicated by (queryId, epochId) in the table's
+  * epoch ledger so a post-commit failure's replayed batch lands exactly
+  * once. */
+class GraftStreamingWrite(table: GraftTable, queryId: String,
+                          install: Array[Array[InternalRow]] => Unit)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftStreamingWriterFactory()
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    table.installStreamingEpoch(queryId, epochId,
+      messages.map(_.asInstanceOf[GraftRowsMessage].rows), install)
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Executor-side streaming writer factory: same buffering writer as the
+  * batch path (epoch identity lives in the commit, not the writer). */
+case class GraftStreamingWriterFactory()
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    GraftWriterFactory(None).createWriter(partitionId, taskId)
 }
 
 /** `OPTIMIZE` entry point — the table-maintenance surface (Delta
