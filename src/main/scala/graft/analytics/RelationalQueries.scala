@@ -3127,6 +3127,40 @@ object RelationalQueries {
       s.table(dst).agg(count(lit(1)).as("n"),
         countDistinct(col("k")).as("nk"),
         Exact.dsum(col("price"), 2).as("total"))
+    },
+
+    // ----- DSv2 FunctionCatalog: the codegen kernels as CATALOG-
+    // qualified SQL functions — `graft_cat.ns.poly_hash` /
+    // `graft_cat.ns.vec_dot` resolve for any session that can see the
+    // catalog, with NO per-session registration (the governed shared-
+    // cluster route; the magic-invoke binding keeps them inside
+    // whole-stage codegen). The oracle restates the polynomial hash
+    // char-wise and the dot product as plain arithmetic — a resolution
+    // mix-up, hash drift, or null-algebra change breaks the grouping
+    // itself, not just a sum.
+    Q("s43_catalog_functions", "S-fn-catalog,F11,A1,A4,A7", {
+      val h = s"${TS.hash("'fc|' || o_orderkey")} % 16"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price, $h AS h
+         |             FROM orders)
+         |SELECT h, count(*) AS n,
+         |  ${Exact.sqlSum("2*price + 3", 2)} AS total
+         |FROM src GROUP BY h ORDER BY h""".stripMargin
+    }) { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("s43_src")
+      s.sql(
+        """SELECT pmod(graft_cat.ns.poly_hash(
+          |         concat('fc|', CAST(k AS STRING))), 16) AS h,
+          |       graft_cat.ns.vec_dot(array(price, 1d), array(2d, 3d)) AS d
+          |FROM s43_src""".stripMargin)
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("d"), 2).as("total"))
+        .orderBy("h")
     }
   )
 }

@@ -55,7 +55,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * file format; the scale path for fact-sized merges remains the operator
   * route, whose plans are oracle- and shape-verified (s11/s19).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -169,6 +169,19 @@ class GraftCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean =
     GraftTableStore.tables.remove(key(ident)).isDefined
+
+  // ---- FunctionCatalog: the engine's codegen kernels as catalog-
+  // qualified SQL functions (`graft_cat.<ns>.poly_hash(...)`) — resolve
+  // for any session that can see the catalog, no per-session
+  // registration. Namespace-independent (like Spark's built-ins).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctionsV2.all.keys.map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctionsV2.all.getOrElse(ident.name(),
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val t = GraftTableStore.tables.getOrElse(key(oldIdent),
