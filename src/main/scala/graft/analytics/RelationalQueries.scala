@@ -3161,6 +3161,66 @@ object RelationalQueries {
         .groupBy("h")
         .agg(count(lit(1)).as("n"), Exact.dsum(col("d"), 2).as("total"))
         .orderBy("h")
+    },
+
+    // ----- Streaming change data feed → incremental materialization:
+    // the composition UPDATE/DELETE-bearing tables need at 100 TB — a
+    // downstream aggregate kept in sync by TAILING `t$changes` (change
+    // commits arrive as minimal row deltas, not stream-breakers) and
+    // applying inserts positively / deletes negatively, instead of
+    // re-reading the table. The source walks CTAS → partial UPDATE →
+    // drain → partition DELETE → checkpointed drain; the accumulated
+    // signed ledger's NET state must equal the table's final state,
+    // which the oracle restates directly from orders — one lost,
+    // duplicated, or mislabeled delta and the net count or sum breaks.
+    Q("s44_stream_cdf", "S-stream-cdf,S10,A1,A7", {
+      val h = s"${TS.hash("'cd|' || o_orderkey")} % 4"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price,
+         |               $h AS h, year(o_orderdate) AS yr
+         |             FROM orders),
+         |fin AS (SELECT CASE WHEN h = 0 AND yr < 1995 THEN price * 1.1
+         |                    ELSE price END AS price
+         |        FROM src WHERE h <> 3)
+         |SELECT count(*) AS n, ${Exact.sqlSum("price", 3)} AS total
+         |FROM fin""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s44_t"
+      val acc = "graft_cat.ns.s44_acc"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $acc")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("cd|"), col("o_orderkey").cast("string"))), lit(4L))
+            .cast("int").as("h"),
+          year(col("o_orderdate")).as("yr"))
+        .writeTo(t).partitionedBy(col("h")).create()            // v1
+      s.sql(s"UPDATE $t SET price = price * 1.1 WHERE h = 0 AND yr < 1995")
+      s.sql(s"CREATE TABLE $acc (sign INT, price DOUBLE)")
+      val ckpt = TempDirs.scratch("s44-ckpt")
+      def drain(): Unit = {
+        val q = s.readStream.table(s"graft_cat.ns.`s44_t$$changes`")
+          .select(
+            when(col("_change_type") === "insert", 1).otherwise(-1)
+              .as("sign"),
+            col("price"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(acc)
+        q.awaitTermination()
+      }
+      drain() // CTAS inserts + the update's delete/insert deltas
+      s.sql(s"DELETE FROM $t WHERE h = 3")
+      drain() // checkpointed tail: exactly the delete commit's deltas
+      s.table(acc).agg(
+        sum(col("sign")).cast("long").as("n"),
+        Exact.dsum(col("sign") * col("price"), 3).as("total"))
     }
   )
 }

@@ -627,66 +627,80 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * postimage inserts. Layout commits (OPTIMIZE/ZORDER/ALTER) record
     * no changes at all. Rows of pre-evolution commits project to the
     * CURRENT schema with NULL in the added columns. */
-  private[sources] def changesMetaTable: GraftSnapshotTable = {
+  private[sources] def changesSchema: StructType = StructType(
+    StructField("_change_type", StringType, nullable = false) +:
+    StructField("_commit_version", IntegerType, nullable = false) +:
+    StructField("_commit_timestamp", LongType, nullable = false) +:
+    tableSchema.fields.toSeq)
+
+  /** One commit's minimal row delta in [[changesSchema]] layout. */
+  private[sources] def changeRowsOf(e: CommitEntry): Array[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
+    if (e.added.isEmpty && e.removed.isEmpty)
+      return Array.empty[InternalRow]
     val dataSchema = tableSchema
-    val schema = StructType(
-      StructField("_change_type", StringType, nullable = false) +:
-      StructField("_commit_version", IntegerType, nullable = false) +:
-      StructField("_commit_timestamp", LongType, nullable = false) +:
-      dataSchema.fields.toSeq)
-    val outFiles = history.iterator.flatMap { e =>
-      if (e.added.isEmpty && e.removed.isEmpty) None
-      else {
-        // canonicalize both sides to UnsafeRows of the CURRENT data
-        // schema (append-only evolution: match columns by name, pad
-        // missing with NULL) so the multiset diff compares bytes
-        val toCanonical = UnsafeProjection.create(
-          dataSchema.fields.toIndexedSeq.map { f =>
-            e.schema.fields.indexWhere(_.name == f.name) match {
-              case -1 => Literal.create(null, f.dataType)
-                  : org.apache.spark.sql.catalyst.expressions.Expression
-              case i => BoundReference(i, f.dataType, nullable = true)
-            }
-          })
-        // signed multiset: +1 per added row, −1 per removed; what
-        // cancels was carried through the rewrite unchanged
-        val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
-        def bump(rows: Iterator[InternalRow], d: Int): Unit =
-          rows.foreach { r =>
-            val k = toCanonical(r).copy()
-            counts.merge(k, d, (a, b) => a + b)
-          }
-        bump(e.added.iterator.flatMap(_.rows), 1)
-        bump(e.removed.iterator.flatMap(_.rows), -1)
-        def emit(ct: String) = UnsafeProjection.create(
-          (Literal(utf8(ct), StringType)
-              : org.apache.spark.sql.catalyst.expressions.Expression) +:
-          (Literal(e.version, IntegerType)
-              : org.apache.spark.sql.catalyst.expressions.Expression) +:
-          (Literal(e.tsMicros, LongType)
-              : org.apache.spark.sql.catalyst.expressions.Expression) +:
-          dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-            BoundReference(i, f.dataType, nullable = true)
+    // canonicalize both sides to UnsafeRows of the CURRENT data schema
+    // (append-only evolution: match columns by name, pad missing with
+    // NULL) so the multiset diff compares bytes
+    val toCanonical = UnsafeProjection.create(
+      dataSchema.fields.toIndexedSeq.map { f =>
+        e.schema.fields.indexWhere(_.name == f.name) match {
+          case -1 => Literal.create(null, f.dataType)
               : org.apache.spark.sql.catalyst.expressions.Expression
-          })
-        val ins = emit("insert")
-        val del = emit("delete")
-        val rows = Vector.newBuilder[InternalRow]
-        counts.forEach { (row, c) =>
-          val (proj, n) = if (c > 0) (ins, c) else (del, -c)
-          var i = 0
-          while (i < n) { rows += proj(row).copy(); i += 1 }
+          case i => BoundReference(i, f.dataType, nullable = true)
         }
-        val out = rows.result()
-        // one file per commit: _commit_version zones make version-range
-        // reads skip every other commit's file
-        if (out.isEmpty) None
-        else Some(GraftDataFile.build(out.toArray, schema, None))
+      })
+    // signed multiset: +1 per added row, −1 per removed; what cancels
+    // was carried through the rewrite unchanged
+    val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
+    def bump(rows: Iterator[InternalRow], d: Int): Unit =
+      rows.foreach { r =>
+        val k = toCanonical(r).copy()
+        counts.merge(k, d, (a, b) => a + b)
       }
-    }.toVector
-    new GraftSnapshotTable(s"$tableName$$changes", schema, outFiles)
+    bump(e.added.iterator.flatMap(_.rows), 1)
+    bump(e.removed.iterator.flatMap(_.rows), -1)
+    def emit(ct: String) = UnsafeProjection.create(
+      (Literal(utf8(ct), StringType)
+          : org.apache.spark.sql.catalyst.expressions.Expression) +:
+      (Literal(e.version, IntegerType)
+          : org.apache.spark.sql.catalyst.expressions.Expression) +:
+      (Literal(e.tsMicros, LongType)
+          : org.apache.spark.sql.catalyst.expressions.Expression) +:
+      dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      })
+    val ins = emit("insert")
+    val del = emit("delete")
+    val rows = Vector.newBuilder[InternalRow]
+    counts.forEach { (row, c) =>
+      val (proj, n) = if (c > 0) (ins, c) else (del, -c)
+      var i = 0
+      while (i < n) { rows += proj(row).copy(); i += 1 }
+    }
+    rows.result().toArray
   }
+
+  /** Current CDC files: one per change-carrying retained commit (the
+    * `_commit_version` zones make version-range reads skip every other
+    * commit's file). */
+  private[sources] def changesFiles: Vector[GraftDataFile] = {
+    val schema = changesSchema
+    history.iterator.flatMap { e =>
+      val rows = changeRowsOf(e)
+      if (rows.isEmpty) None
+      else Some(GraftDataFile.build(rows, schema, None))
+    }.toVector
+  }
+
+  /** Retained commit entries with version <= end (the CDF initial
+    * replay). */
+  private[sources] def entriesUpTo(end: Int): Seq[CommitEntry] =
+    history.filter(_.version <= end)
+
+  private[sources] def changesMetaTable: GraftChangesTable =
+    new GraftChangesTable(this)
 
   def currentRows: Array[InternalRow] = files.toArray.flatMap(_.rows)
 
@@ -1524,7 +1538,8 @@ class GraftScanBuilder(tableSchema: StructType,
                        partitionCols: Seq[String] = Nil,
                        streamSource: Option[GraftTable] = None,
                        streamOptions: CaseInsensitiveStringMap =
-                         CaseInsensitiveStringMap.empty())
+                         CaseInsensitiveStringMap.empty(),
+                       streamChangeFeed: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -1710,7 +1725,8 @@ class GraftScanBuilder(tableSchema: StructType,
     // micro-batch surface tails the commit log from the same builder
     // state — pruned schema and zone tests apply per delivered commit
     val mb = streamSource.map(t =>
-      () => new GraftMicroBatchStream(t, required, tests, streamOptions)
+      () => new GraftMicroBatchStream(t, required, tests, streamOptions,
+        streamChangeFeed)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
     if (required.length == tableSchema.length)
       new GraftScan(tableSchema,
@@ -1980,7 +1996,8 @@ case class GraftStreamOffset(version: Int)
   * name, pre-evolution commits padding NULL for later-added columns. */
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
                             tests: Array[GraftDataFile => Boolean],
-                            options: CaseInsensitiveStringMap)
+                            options: CaseInsensitiveStringMap,
+                            changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
@@ -2035,6 +2052,20 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       : Array[InputPartition] = {
     val s = versionOf(start)
     val e = versionOf(end)
+    if (changeFeed) {
+      // change-data-feed tail: each commit's MINIMAL row delta is the
+      // batch — change commits are consumable deltas here, never errors;
+      // layout commits yield nothing. Initial position replays every
+      // RETAINED commit's changes (bounded by history retention).
+      val entries =
+        if (s < 0) table.entriesUpTo(e) else table.entriesBetween(s, e)
+      return entries.flatMap { entry =>
+        val rows = table.changeRowsOf(entry)
+        if (rows.isEmpty) None
+        else Some(GraftInputPartition(
+          projectTo(table.changesSchema, rows)): InputPartition)
+      }.toArray
+    }
     val batchFiles: Seq[(StructType, GraftDataFile)] =
       if (s < 0) {
         // initial snapshot: the complete table state at `e`
@@ -2153,6 +2184,27 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType])
 
 case class GraftRowsMessage(rows: Array[InternalRow])
     extends WriterCommitMessage
+
+/** The `t$changes` relation as a live TABLE: batch reads serve the
+  * retained change data feed (one zone-mapped file per change-carrying
+  * commit, so `WHERE _commit_version BETWEEN` skips files), and
+  * STREAMING reads (`spark.readStream.table("cat.ns.`t$changes`")`)
+  * tail the feed itself — each commit's minimal row delta arrives as a
+  * micro-batch, so change commits become consumable deltas instead of
+  * stream-breakers (Delta's `readChangeFeed` streaming mode). The
+  * downstream pattern this enables: incremental materialization that
+  * stays correct under UPDATE/DELETE, by applying inserts positively
+  * and deletes negatively. */
+class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
+  override def name(): String = base.name() + "$changes"
+  override def schema(): StructType = base.changesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(base.changesSchema, () => base.changesFiles,
+      streamSource = Some(base), streamOptions = options,
+      streamChangeFeed = true)
+}
 
 /** Frozen read-only view of one commit in a [[GraftTable]]'s history —
   * what `VERSION AS OF n` / `TIMESTAMP AS OF ts` resolve to. Pruned,

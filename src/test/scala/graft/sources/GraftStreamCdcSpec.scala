@@ -188,6 +188,48 @@ class GraftStreamCdcSpec extends SparkSpec {
     assert(ops === Seq("UNKNOWN", "APPEND", "OPTIMIZE", "ALTER TABLE"))
   }
 
+  test("streaming change data feed: t$changes is tailable — change " +
+      "commits arrive as consumable deltas, exactly once") {
+    val t = freshTable("t_cdf_stream")
+    val ckpt = tmpDir("ckpt-cdf")
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, h INT, v STRING) PARTITIONED BY (h)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 0, 'a'), (2, 0, 'b'), (3, 1, 'c')")
+    spark.sql(s"UPDATE $t SET v = 'B' WHERE h = 0 AND id = 2")
+
+    def drain(): Seq[(String, Int, Long, String)] = {
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Int, Long, String)]())
+      val q = spark.readStream
+        .table(s"graft_cat.ns.`t_cdf_stream$$changes`")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_change_type", "_commit_version", "id", "v")
+            .as[(String, Int, Long, String)].collect().foreach(got.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+
+    // initial replay: every retained commit's minimal delta — including
+    // the UPDATE, which a plain streaming read would refuse
+    val p1 = drain()
+    assert(p1.toSet === Set(
+      ("insert", 1, 1L, "a"), ("insert", 1, 2L, "b"), ("insert", 1, 3L, "c"),
+      ("delete", 2, 2L, "b"), ("insert", 2, 2L, "B")))
+
+    // caught up → nothing
+    assert(drain().isEmpty)
+
+    // a delete commit arrives as its deltas on the checkpointed tail
+    spark.sql(s"DELETE FROM $t WHERE h = 1")
+    assert(drain().toSet === Set(("delete", 3, 3L, "c")))
+  }
+
   test("RESTORE resets state as a forward commit: data reverts, history " +
       "advances, CDC records the delta") {
     val t = freshTable("t_restore")
