@@ -3221,6 +3221,54 @@ object RelationalQueries {
       s.table(acc).agg(
         sum(col("sign")).cast("long").as("n"),
         Exact.dsum(col("sign") * col("price"), 3).as("total"))
+    },
+
+    // ----- Merge-on-read row-level operations: the table opts into
+    // `write.rowlevel.mode = merge-on-read`, so UPDATE and DELETE run
+    // through Spark's delta-based rewrite (SupportsDelta) — deletes fold
+    // into per-file DELETE VECTORS addressed by the _file_id/_row_pos
+    // metadata columns, update postimages append as new files, and the
+    // touched files are NEVER rewritten (GraftMorSpec pins file
+    // identity; at 100 TB this is "update = a bitmap + the new rows").
+    // The oracle restates the final DV-merged state and the pre-op
+    // snapshot — a vector that dropped the wrong position, resurrected
+    // a dead row, or leaked into time travel breaks a probe.
+    Q("s45_mor_rowlevel", "S-mor,S10,S11,A7", {
+      val h = s"${TS.hash("'mr|' || o_orderkey")} % 4"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price, $h AS h
+         |             FROM orders),
+         |cur AS (SELECT CASE WHEN h = 0 THEN price * 1.1 ELSE price END
+         |          AS price FROM src WHERE h <> 3)
+         |SELECT 'cur' AS probe, count(*) AS n,
+         |  ${Exact.sqlSum("price", 3)} AS total FROM cur
+         |UNION ALL
+         |SELECT 'v1', count(*), ${Exact.sqlSum("price", 3)} FROM src
+         |ORDER BY probe""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s45_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, price DOUBLE, h BIGINT) " +
+        "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("mr|"), col("o_orderkey").cast("string"))), lit(4L))
+            .as("h"))
+        .createOrReplaceTempView("s45_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM s45_src")          // v1
+      s.sql(s"UPDATE $t SET price = price * 1.1 WHERE h = 0") // v2: DV+append
+      s.sql(s"DELETE FROM $t WHERE h = 3")                    // v3: DV only
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n"), Exact.dsum(col("price"), 3).as("total"))
+          .select(lit(label).as("probe"), col("n"), col("total"))
+      agg(s.table(t), "cur")
+        .unionByName(agg(s.sql(s"SELECT * FROM $t VERSION AS OF 1"), "v1"))
+        .orderBy("probe")
     }
   )
 }

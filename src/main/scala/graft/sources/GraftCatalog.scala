@@ -146,8 +146,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         s"GraftCatalog tables support only identity partition transforms " +
           s"(got $other)")
     }
+    // row-level write mode (TBLPROPERTIES): copy-on-write rewrites the
+    // matched groups (default), merge-on-read records delete vectors —
+    // at 100 TB, the difference between "update = rewrite a partition"
+    // and "update = a bitmap plus the new rows"
+    val mode = Option(properties.get(GraftTable.RowLevelModeProp))
+      .getOrElse(GraftTable.CopyOnWrite)
+    if (mode != GraftTable.CopyOnWrite && mode != GraftTable.MergeOnRead)
+      throw new IllegalArgumentException(
+        s"${GraftTable.RowLevelModeProp} must be " +
+          s"'${GraftTable.CopyOnWrite}' or '${GraftTable.MergeOnRead}', " +
+          s"got '$mode'")
     val t = new GraftTable(
-      (ident.namespace() :+ ident.name()).mkString("."), schema, partCols)
+      (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
+      mode)
     // atomic: two concurrent CREATEs must not both succeed (the loser's
     // table object could already be receiving a CTAS write)
     if (GraftTableStore.tables.putIfAbsent(key(ident), t).isDefined)
@@ -321,7 +333,8 @@ private[sources] final case class CommitEntry(version: Int,
     schema: StructType, files: Vector[GraftDataFile], tsMicros: Long,
     operation: String = "UNKNOWN",
     added: Vector[GraftDataFile] = Vector.empty,
-    removed: Vector[GraftDataFile] = Vector.empty)
+    removed: Vector[GraftDataFile] = Vector.empty,
+    dvs: Map[GraftDataFile, scala.collection.immutable.BitSet] = Map.empty)
 
 /** What one scan build observed: the data-skipping census. `filesRead` /
   * `rowsRead` count files/rows that SURVIVED zone-map pruning under the
@@ -347,9 +360,25 @@ final case class ScanCensus(filesTotal: Int, filesRead: Int,
   * carried over by reference, never rewritten. That is the delta-sized
   * rewrite a real COW table format does per file/partition. */
 class GraftTable(initialName: String, initialSchema: StructType,
-                 val partitionCols: Seq[String] = Nil)
+                 val partitionCols: Seq[String] = Nil,
+                 val rowLevelMode: String = GraftTable.CopyOnWrite)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsDeleteV2 {
+    with SupportsRowLevelOperations with SupportsDeleteV2
+    with SupportsMetadataColumns {
+
+  /** Metadata columns (Delta's `_metadata`, Iceberg's `_file`/`_pos`):
+    * `_file_id` = ordinal of the row's data file in the current file
+    * vector, `_row_pos` = the row's position within that file — the
+    * file-level audit surface (joinable against `t$files`) and the
+    * stable row address a merge-on-read delete vector needs. Served by
+    * the scan only when the query references them; never materialized
+    * otherwise. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(
+      GraftMetaCol("_file_id", org.apache.spark.sql.types.IntegerType,
+        "ordinal of the row's data file (see t$files)"),
+      GraftMetaCol("_row_pos", org.apache.spark.sql.types.IntegerType,
+        "row position within its data file"))
 
   // evolves under ADD COLUMNS (append-only, so the partition ordinals
   // below stay valid for the table's whole life)
@@ -397,7 +426,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val newSchema = StructType(oldFields :+
             org.apache.spark.sql.types.StructField(name, add.dataType,
               nullable = true))
-          val newFiles = files.map { f =>
+          val pairs = files.map { f =>
             val padded = f.rows.map { r =>
               val vals = new Array[Any](oldFields.length + 1)
               var i = 0
@@ -410,9 +439,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
             }
             // zones recomputed under the widened schema (the new column's
             // zone is trivially all-null for pre-evolution files)
-            GraftDataFile.build(padded, newSchema, keyOfOpt)
+            f -> GraftDataFile.build(padded, newSchema, keyOfOpt)
           }
-          files = newFiles       // 1st: wide rows under the old schema — safe
+          // delete vectors follow their file through the rebuild (row
+          // positions are preserved by the padding)
+          dvs = dvs.flatMap { case (of, bs) =>
+            pairs.find(_._1 eq of).map(_._2 -> bs)
+          }
+          files = pairs.map(_._2) // 1st: wide rows under the old schema — safe
           tableSchema = newSchema // 2nd: schema only widens over padded rows
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
@@ -429,6 +463,60 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   @volatile private var tableName: String = initialName
   @volatile private var files: Vector[GraftDataFile] = Vector.empty
+
+  /** DELETE VECTORS (merge-on-read): per data file, the positions a MOR
+    * row-level operation has deleted WITHOUT rewriting the file — the
+    * Delta/Iceberg-v2 deletion-vector mechanism: at 100 TB, deleting a
+    * thousand rows costs a thousand bits, not a file rewrite. Keyed by
+    * file IDENTITY (files are immutable), swapped immutably per commit
+    * and captured in the history, so time travel and clones see the
+    * right positions. Always empty on copy-on-write tables. */
+  @volatile private var dvs: Map[GraftDataFile, scala.collection.immutable.BitSet] =
+    Map.empty
+
+  /** A file's LIVE rows (delete vector applied). */
+  private def effRows(f: GraftDataFile): Array[InternalRow] =
+    dvs.get(f) match {
+      case None => f.rows
+      case Some(bs) =>
+        val out = Array.newBuilder[InternalRow]
+        var i = 0
+        while (i < f.rows.length) {
+          if (!bs.contains(i)) out += f.rows(i)
+          i += 1
+        }
+        out.result()
+    }
+
+  /** Pseudo-file holding the given POSITIONS of `f` (CDC/diff helper). */
+  private def pseudoOf(f: GraftDataFile,
+      positions: Iterable[Int]): Option[GraftDataFile] = {
+    val rows = positions.toArray.sorted.map(f.rows(_))
+    if (rows.isEmpty) None
+    else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+  }
+
+  /** CDC view of a removed file: its EFFECTIVE rows (a DV'd file's dead
+    * positions were already reported deleted by the MOR commit). */
+  private def cdcRemoved(fs: Vector[GraftDataFile]): Vector[GraftDataFile] =
+    fs.flatMap { f =>
+      dvs.get(f) match {
+        case None => Some(f)
+        case Some(_) =>
+          val rows = effRows(f)
+          if (rows.isEmpty) None
+          else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+      }
+    }
+
+  /** Drop DV entries whose file left the current file vector. */
+  private def pruneDvs(): Unit =
+    if (dvs.nonEmpty) {
+      val live = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+      files.foreach(live.add)
+      dvs = dvs.filter { case (f, _) => live.contains(f) }
+    }
 
   /** Data-skipping census of the most recent scan BUILD against this
     * table (set even when no filters pushed — then filesRead ==
@@ -450,6 +538,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     Vector(CommitEntry(0, initialSchema, Vector.empty,
       GraftClock.nowMicros()))
 
+  /** (files, delete vectors) as ONE volatile cell, republished at the
+    * end of every commit: lock-free readers must never observe commit
+    * N's file vector with commit N+1's delete vectors (a mix that could
+    * show deletes applied but the same commit's inserts missing). Scans
+    * bind to this pair. */
+  @volatile private var readState: (Vector[GraftDataFile],
+      Map[GraftDataFile, scala.collection.immutable.BitSet]) =
+    (Vector.empty, Map.empty)
+
   private def snap(op: String,
                    added: Vector[GraftDataFile] = Vector.empty,
                    removed: Vector[GraftDataFile] = Vector.empty): Unit = {
@@ -458,9 +555,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // (or a test clock standing still) must still resolve unambiguously
     val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
     history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts,
-      op, added, removed)
+      op, added, removed, dvs)
     val over = history.length - math.max(2, GraftTable.historyRetention)
     if (over > 0) history = history.drop(over)
+    readState = (files, dvs)
   }
 
   /** Read-only view of commit `v` (see GraftCatalog.loadTable(_, version)). */
@@ -477,7 +575,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$ident version $v has been retired by history retention " +
           s"(oldest retained: $base)")
     val e = h(v - base)
-    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files, partitionCols)
+    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files, partitionCols,
+      e.dvs)
   }
 
   /** Read-only view as of a wall-clock instant: the latest commit with
@@ -494,7 +593,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           s"(earliest retained commit: ${h.head.tsMicros})")
     val e = h(idx)
     new GraftSnapshotTable(s"$tableName@v${e.version}", e.schema, e.files,
-      partitionCols)
+      partitionCols, e.dvs)
   }
 
   /** Commit log view: (version, timestampMicros) per retained commit —
@@ -502,12 +601,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
   def commitHistory: Seq[(Int, Long)] =
     history.map(e => (e.version, e.tsMicros))
 
-  /** (schema, files) of the current state or a retained version —
-    * the clone source. */
-  private[sources] def stateAt(version: Option[Int],
-      ident: Identifier): (StructType, Vector[GraftDataFile]) =
+  /** (schema, files, delete vectors) of the current state or a retained
+    * version — the clone source. */
+  private[sources] def stateAt(version: Option[Int], ident: Identifier)
+      : (StructType, Vector[GraftDataFile],
+         Map[GraftDataFile, scala.collection.immutable.BitSet]) =
     version match {
-      case None => (tableSchema, files)
+      case None => (tableSchema, files, dvs)
       case Some(v) =>
         val h = history
         val base = h.head.version
@@ -516,36 +616,60 @@ class GraftTable(initialName: String, initialSchema: StructType,
             s"$ident has no retained version $v " +
               s"(retained: $base..${h.last.version})")
         val e = h(v - base)
-        (e.schema, e.files)
+        (e.schema, e.files, e.dvs)
     }
 
-  /** Clone bootstrap: adopt shared file references as commit 1. */
-  private[sources] def adoptFiles(fs: Vector[GraftDataFile]): Unit =
-    synchronized { files = fs; snap("CLONE", added = fs) }
+  /** Clone bootstrap: adopt shared file references (and their delete
+    * vectors) as commit 1. */
+  private[sources] def adoptFiles(fs: Vector[GraftDataFile],
+      fsDvs: Map[GraftDataFile, scala.collection.immutable.BitSet]): Unit =
+    synchronized { files = fs; dvs = fsDvs; snap("CLONE", added = fs) }
 
   /** `RESTORE TABLE ... TO VERSION AS OF v`: reset the current state to a
     * retained snapshot, recorded as a NEW commit (Delta's contract —
     * restore moves the table forward in history to an old state, it never
     * rewinds the log). The CDC record diffs by file REFERENCE first, so
-    * files shared between the two states contribute nothing. */
+    * files shared between the two states contribute nothing; a shared
+    * file whose DELETE VECTOR differs contributes exactly the positions
+    * whose liveness flipped. */
   private[sources] def restoreTo(v: Int, ident: Identifier): Unit =
     synchronized {
-      val (schema, target) = stateAt(Some(v), ident)
+      val (schema, target, targetDvs) = stateAt(Some(v), ident)
       if (schema != tableSchema)
         throw new UnsupportedOperationException(
           s"$ident: cannot RESTORE across a schema change " +
             s"(version $v has a different schema)")
       val cur = files
+      val curDvs = dvs
       val curSet = java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
       cur.foreach(curSet.add)
       val tgtSet = java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
       target.foreach(tgtSet.add)
+      val empty = scala.collection.immutable.BitSet.empty
+      def live(f: GraftDataFile,
+               m: Map[GraftDataFile, scala.collection.immutable.BitSet]) = {
+        val dead = m.getOrElse(f, empty)
+        (0 until f.rows.length).filterNot(dead.contains)
+      }
+      val added = Vector.newBuilder[GraftDataFile]
+      val removed = Vector.newBuilder[GraftDataFile]
+      // files only in one state: their live rows appear/disappear whole
+      target.filterNot(curSet.contains)
+        .foreach(f => pseudoOf(f, live(f, targetDvs)).foreach(added += _))
+      cur.filterNot(tgtSet.contains)
+        .foreach(f => pseudoOf(f, live(f, curDvs)).foreach(removed += _))
+      // shared files: only DV differences matter
+      target.filter(curSet.contains).foreach { f =>
+        val dCur = curDvs.getOrElse(f, empty)
+        val dTgt = targetDvs.getOrElse(f, empty)
+        pseudoOf(f, (dCur diff dTgt).toSeq).foreach(added += _)   // revived
+        pseudoOf(f, (dTgt diff dCur).toSeq).foreach(removed += _) // re-dead
+      }
       files = target
-      snap("RESTORE",
-        added = target.filterNot(curSet.contains),
-        removed = cur.filterNot(tgtSet.contains))
+      dvs = targetDvs
+      snap("RESTORE", added = added.result(), removed = removed.result())
     }
 
   /** Early history truncation (`VACUUM`): retire all but the last
@@ -702,10 +826,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def changesMetaTable: GraftChangesTable =
     new GraftChangesTable(this)
 
-  def currentRows: Array[InternalRow] = files.toArray.flatMap(_.rows)
+  def currentRows: Array[InternalRow] = files.toArray.flatMap(effRows)
 
   /** Current data files (file census surface for specs/maintenance). */
   private[graft] def dataFiles: Vector[GraftDataFile] = files
+
+  /** Delete-vector census: (file ordinal, deleted-position count) for
+    * every file carrying a DV — the MOR audit surface. */
+  private[graft] def dvCensus: Seq[(Int, Int)] =
+    files.zipWithIndex.collect {
+      case (f, i) if dvs.contains(f) => (i, dvs(f).size)
+    }
 
   // ---- commit paths ---------------------------------------------------
   // Commit callbacks run driver-side but possibly from concurrent query
@@ -745,12 +876,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val removed = Vector.newBuilder[GraftDataFile]
     fs.foreach { f =>
       f.groupKey match {
-        case Some(k) => if (touched(k)) removed += f else kept += f
+        case Some(k) =>
+          // `removed` feeds ONLY the CDC record, so a DV'd file reports
+          // its live rows; a kept file keeps its identity (and its DV)
+          if (touched(k)) removed ++= cdcRemoved(Vector(f)) else kept += f
         case None =>
-          val (gone, stay) = f.rows.partition(r => touched(groupKeyOf(r)))
+          val (gone, stay) = effRows(f).partition(r => touched(groupKeyOf(r)))
           if (gone.isEmpty) kept += f
           else {
             removed += GraftDataFile.build(gone, tableSchema, keyOfOpt)
+            // rebuilt from live rows → the new file needs no DV
             if (stay.nonEmpty)
               kept += GraftDataFile.build(stay, tableSchema, keyOfOpt)
           }
@@ -767,9 +902,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
   private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
     synchronized {
-      val old = files
+      val old = cdcRemoved(files)
       val nf = buildFiles(batches)
       files = nf
+      pruneDvs()
       snap("OVERWRITE", added = nf, removed = old)
     }
 
@@ -784,12 +920,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
       op: String = "MERGE"): Unit = synchronized {
     val nf = buildFiles(batches)
     val dropped = touched match {
-      case None => val old = files; files = nf; old
+      case None => val old = cdcRemoved(files); files = nf; old
       case Some(pred) =>
         val (kept, gone) = dropGroupRows(files, pred)
         files = kept ++ nf
         gone
     }
+    pruneDvs()
     snap(op, added = nf, removed = dropped)
   }
 
@@ -800,6 +937,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val (kept, gone) = dropGroupRows(files, touched)
     val nf = buildFiles(batches)
     files = kept ++ nf
+    pruneDvs()
     snap("OVERWRITE", added = nf, removed = gone)
   }
 
@@ -813,6 +951,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val (kept, gone) = dropGroupRows(files, touched.contains)
     val nf = buildFiles(batches)
     files = kept ++ nf
+    pruneDvs()
     snap("OVERWRITE", added = nf, removed = gone)
   }
 
@@ -835,9 +974,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
         .empty[Option[Seq[Any]], scala.collection.mutable.ArrayBuffer[GraftDataFile]]
       def flush(key: Option[Seq[Any]]): Unit =
         bins.remove(key).filter(_.nonEmpty).foreach { fs =>
-          if (fs.length == 1) out += fs.head // nothing to merge with
-          else out += GraftDataFile.build(fs.iterator.flatMap(_.rows).toArray,
-            tableSchema, keyOfOpt)
+          // a lone file with no delete vector has nothing to gain from a
+          // rewrite; anything else rebuilds from LIVE rows — compaction
+          // purges the delete vectors of the small files it touches
+          // (Delta's OPTIMIZE + REORG PURGE behavior)
+          if (fs.length == 1 && !dvs.contains(fs.head)) out += fs.head
+          else out += GraftDataFile.build(
+            fs.iterator.flatMap(effRows).toArray, tableSchema, keyOfOpt)
         }
       before.foreach { f =>
         if (f.rowCount >= targetRows) out += f
@@ -852,6 +995,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
       bins.keys.toSeq.foreach(flush)
       files = out.result()
+      pruneDvs()
       snap("OPTIMIZE") // layout-only: zero logical row changes
       (before.length, files.length)
     }
@@ -940,11 +1084,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
         rows.sortBy(key).grouped(targetRows)
           .map(chunk => GraftDataFile.build(chunk, schema, keyOfOpt))
       }
+      // live rows only: the re-layout purges delete vectors
       files =
-        if (partitionCols.isEmpty) pack(before.toArray.flatMap(_.rows)).toVector
-        else before.toArray.flatMap(_.rows).groupBy(groupKeyOf).toSeq
+        if (partitionCols.isEmpty) pack(before.toArray.flatMap(effRows)).toVector
+        else before.toArray.flatMap(effRows).groupBy(groupKeyOf).toSeq
           .sortBy(_._1.mkString("|"))
           .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
+      pruneDvs()
       snap("ZORDER") // layout-only: zero logical row changes
       (before.length, files.length)
     }
@@ -966,7 +1112,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
     val gone =
-      if (alwaysTrueOnly(filters)) { val old = files; files = Vector.empty; old }
+      if (alwaysTrueOnly(filters)) {
+        val old = cdcRemoved(files); files = Vector.empty; old
+      }
       else {
         val pred = GroupPredicates.keyPredicate(filters, partitionCols)
           .getOrElse(throw new UnsupportedOperationException(
@@ -977,6 +1125,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         files = kept
         dropped
       }
+    pruneDvs()
     snap("DELETE", removed = gone)
   }
 
@@ -988,6 +1137,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] =
+    java.util.Collections.singletonMap(
+      GraftTable.RowLevelModeProp, rowLevelMode)
   // a table created PARTITIONED BY must also REPORT its partitioning —
   // DESCRIBE/SHOW CREATE and any planner path keying off partitioning()
   // would otherwise see an unpartitioned table
@@ -1034,7 +1186,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, () => files,
+    new GraftScanBuilder(tableSchema, () => readState,
       c => lastScanCensus = Some(c), partitionCols,
       streamSource = Some(this), streamOptions = options)
 
@@ -1088,10 +1240,69 @@ class GraftTable(initialName: String, initialSchema: StructType,
           info.queryId(), install)))
     }
 
+  // ---- MOR delta commit (SupportsDelta write path) -------------------
+  /** Delta-based row-level commit: deletes arrive as (file, position)
+    * ADDRESSES and fold into the delete vectors — the touched files are
+    * never rewritten; inserts (including update postimages) append as
+    * new files. CDC records the deleted positions' rows as preimages.
+    * Idempotent per position (a doubly-delivered address folds once). */
+  private[sources] def installDelta(deletes: Array[(Int, Int)],
+      inserts: Array[Array[InternalRow]], op: String): Unit = synchronized {
+    val fsnap = files
+    val removed = Vector.newBuilder[GraftDataFile]
+    var newDvs = dvs
+    deletes.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (fid, ps) =>
+      if (fid < 0 || fid >= fsnap.length)
+        throw new IllegalStateException(
+          s"$tableName: delta delete addresses unknown file $fid " +
+            s"(${fsnap.length} files) — the operation's scan and commit " +
+            "must bind the same snapshot")
+      val f = fsnap(fid)
+      val old = newDvs.getOrElse(f, scala.collection.immutable.BitSet.empty)
+      val fresh = ps.iterator.map(_._2).filterNot(old.contains).toSeq.distinct
+      if (fresh.nonEmpty) {
+        removed ++= pseudoOf(f, fresh)
+        newDvs = newDvs.updated(f, old ++ fresh)
+      }
+    }
+    val nf = buildFiles(inserts)
+    dvs = newDvs
+    files = fsnap ++ nf
+    snap(op, added = nf, removed = removed.result())
+  }
+
   // ---- row-level operations (MERGE / UPDATE / DELETE SQL) ------------
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
+    if (rowLevelMode == GraftTable.MergeOnRead)
+      () => new RowLevelOperation with SupportsDelta {
+        override def command(): RowLevelOperation.Command = info.command()
+
+        // MOR needs no group narrowing: only matched rows produce delta
+        // actions, so the write is delta-sized by construction. The scan
+        // is the table's REAL scan — zone skipping, runtime filtering,
+        // and the metadata columns the row IDs resolve against.
+        override def newScanBuilder(options: CaseInsensitiveStringMap)
+            : ScanBuilder =
+          new GraftScanBuilder(tableSchema, () => readState,
+            partitionCols = partitionCols)
+
+        override def rowId(): Array[NamedReference] =
+          Array(Expressions.column("_file_id"), Expressions.column("_row_pos"))
+
+        override def requiredMetadataAttributes(): Array[NamedReference] =
+          Array.empty
+
+        override def newWriteBuilder(wInfo: LogicalWriteInfo)
+            : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+          new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+            override def build()
+                : org.apache.spark.sql.connector.write.DeltaWrite =
+              new GraftDeltaWrite((dels, ins) =>
+                installDelta(dels, ins, command().toString))
+          }
+      }
+    else () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 
       // the operation's scan defines the rewritten group set: for a
@@ -1129,7 +1340,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
 }
 
+/** One metadata column of a [[GraftTable]]. */
+final case class GraftMetaCol(colName: String, colType: DataType,
+                              colComment: String) extends MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): DataType = colType
+  override def isNullable: Boolean = false
+  override def comment(): String = colComment
+}
+
 object GraftTable {
+  val RowLevelModeProp = "write.rowlevel.mode"
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+
   /** Max commits retained per table for time travel (ADVICE r7: snap()
     * pinned every superseded row array forever — a streaming writer
     * committing per micro-batch leaked O(commits × table size)). Beyond
@@ -1209,6 +1433,57 @@ case class GraftStreamingWriterFactory()
     GraftWriterFactory(None).createWriter(partitionId, taskId)
 }
 
+/** Merge-on-read row-level write ([[org.apache.spark.sql.connector.write.DeltaWrite]]):
+  * Spark's delta-based rewrite delivers per-row ACTIONS — delete(id),
+  * update(id, row), insert(row) — where id = (_file_id, _row_pos), the
+  * metadata-column row address. Writers buffer addresses + new rows;
+  * commit folds them into the table's delete vectors and appends the
+  * inserts. An update is a delete of the old address plus an insert of
+  * the new row (same file-level effect Delta's MOR write has). */
+class GraftDeltaWrite(
+    commitFn: (Array[(Int, Int)], Array[Array[InternalRow]]) => Unit)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWriterFactory}
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DeltaWriterFactory =
+      GraftDeltaWriterFactory()
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
+      commitFn(ms.flatMap(_.deletes), ms.map(_.inserts))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class GraftDeltaWriterFactory()
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      private val ins = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += ((id.getInt(0), id.getInt(1)))
+      override def update(meta: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit = {
+        delete(meta, id); insert(row)
+      }
+      override def insert(row: InternalRow): Unit = ins += row.copy()
+      override def commit(): WriterCommitMessage =
+        GraftDeltaMessage(dels.toArray, ins.toArray)
+      override def abort(): Unit = { dels.clear(); ins.clear() }
+      override def close(): Unit = ()
+    }
+}
+
+case class GraftDeltaMessage(deletes: Array[(Int, Int)],
+                             inserts: Array[InternalRow])
+    extends WriterCommitMessage
+
 /** `OPTIMIZE` entry point — the table-maintenance surface (Delta
   * `OPTIMIZE t`, Iceberg `rewrite_data_files`) for [[GraftTable]]s:
   * bin-packs small data files, preserves the row multiset exactly, and
@@ -1237,15 +1512,16 @@ object GraftMaintenance {
                  dstNamespace: Seq[String], dst: String,
                  version: Option[Int] = None): Unit = {
     val s = resolve(srcNamespace, src)
-    val (schema, fs) = s.stateAt(version,
+    val (schema, fs, fsDvs) = s.stateAt(version,
       Identifier.of(srcNamespace.toArray, src))
     val clone = new GraftTable(
-      (dstNamespace :+ dst).mkString("."), schema, s.partitionCols)
+      (dstNamespace :+ dst).mkString("."), schema, s.partitionCols,
+      s.rowLevelMode)
     if (GraftTableStore.tables
         .putIfAbsent((dstNamespace, dst), clone).isDefined)
       throw new TableAlreadyExistsException(
         Identifier.of(dstNamespace.toArray, dst))
-    clone.adoptFiles(fs)
+    clone.adoptFiles(fs, fsDvs)
   }
 
   /** `VACUUM`: retire all but the last `keepLast` snapshots immediately
@@ -1533,7 +1809,8 @@ private[sources] object ZonePredicates {
   * every file group-keyed, COUNT(DISTINCT) and SUM never qualify, and a
   * mid-evolution file missing a zone disqualifies its column. */
 class GraftScanBuilder(tableSchema: StructType,
-                       files: () => Vector[GraftDataFile],
+                       state: () => (Vector[GraftDataFile],
+                         Map[GraftDataFile, scala.collection.immutable.BitSet]),
                        census: ScanCensus => Unit = _ => (),
                        partitionCols: Seq[String] = Nil,
                        streamSource: Option[GraftTable] = None,
@@ -1553,13 +1830,19 @@ class GraftScanBuilder(tableSchema: StructType,
     None
   private var limit: Option[Int] = None
 
+  // metadata columns the query referenced (suffix of the scan output)
+  private var metaCols: Seq[String] = Nil
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve table column order; an empty projection (count(*)) is
     // legal. After an aggregate pushdown the scan output IS the agg
     // schema — ignore pruning there (Spark projects above the scan).
-    if (aggResult.isEmpty)
+    if (aggResult.isEmpty) {
+      metaCols = requiredSchema.fieldNames.toSeq
+        .filter(n => n == "_file_id" || n == "_row_pos")
       required = StructType(
         tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = filters.flatMap(f =>
@@ -1600,7 +1883,11 @@ class GraftScanBuilder(tableSchema: StructType,
   private def planAgg(agg: Aggregation)
       : Option[(StructType, Array[InternalRow], Int, Long)] = {
     if (pushed.nonEmpty) return None // residual rows would overcount
-    val fs = files()
+    val (fs, dvm) = state()
+    // a delete vector invalidates raw file stats (counts overcount the
+    // dead positions; min/max may sit on a deleted row) — never answer
+    // from stats on a DV'd table
+    if (fs.exists(dvm.contains)) return None
     // group-by columns must be identity partition columns, and grouping
     // requires every file to carry its group key (a post-compaction file
     // spanning groups cannot attribute its stats)
@@ -1680,25 +1967,32 @@ class GraftScanBuilder(tableSchema: StructType,
       return new GraftScan(schema, Array(ScanChunk(rows, Map.empty)),
         math.max(1L, rows.length.toLong * math.max(1, schema.defaultSize)))
     }
-    val all = files()
+    val (all, dvm) = state()
+    // delete-vector view: live row count and live positions per file —
+    // identical to the raw arrays on COW tables (dvm empty)
+    val emptyBs = scala.collection.immutable.BitSet.empty
+    def dvOf(f: GraftDataFile) = dvm.getOrElse(f, emptyBs)
+    def liveCount(f: GraftDataFile): Long = f.rowCount.toLong - dvOf(f).size
+    // file ordinals ride along: they are the `_file_id` metadata value
+    // and must survive zone/limit pruning (t$files numbers the SAME way)
     val zoneSurviving =
-      if (tests.isEmpty) all
-      else all.filter(f => tests.forall(_(f)))
+      if (tests.isEmpty) all.zipWithIndex
+      else all.zipWithIndex.filter { case (f, _) => tests.forall(_(f)) }
     // partial limit: stop delivering files once `limit` rows are reached
     // (Spark re-applies the limit; fewer whole files read is pure I/O win)
     val surviving = limit match {
       case Some(l) =>
         var seen = 0L
-        zoneSurviving.takeWhile { f =>
+        zoneSurviving.takeWhile { case (f, _) =>
           val take = seen < l
-          seen += f.rowCount
+          seen += liveCount(f)
           take
         }
       case None => zoneSurviving
     }
     census(ScanCensus(all.length, surviving.length,
-      all.iterator.map(_.rowCount.toLong).sum,
-      surviving.iterator.map(_.rowCount.toLong).sum,
+      all.iterator.map(liveCount).sum,
+      surviving.iterator.map(p => liveCount(p._1)).sum,
       pushed.map(_.toString).toSeq ++ limit.map(l => s"limit: $l")))
     // column-fraction size scaling: a pruned read costs proportionally
     // less, and the reported stats should say so (auto-broadcast sizing)
@@ -1706,7 +2000,7 @@ class GraftScanBuilder(tableSchema: StructType,
       if (tableSchema.isEmpty) 1.0
       else required.length.toDouble / tableSchema.length
     val bytes = math.max(1L,
-      (surviving.iterator.map(_.sizeBytes).sum * colFrac).toLong)
+      (surviving.iterator.map(_._1.sizeBytes).sum * colFrac).toLong)
     // per-chunk zones keyed by COLUMN NAME: names survive column pruning
     // (runtime filters reference output columns), ordinals do not
     def zonesByName(f: GraftDataFile): Map[String, ColZone] =
@@ -1728,22 +2022,81 @@ class GraftScanBuilder(tableSchema: StructType,
       () => new GraftMicroBatchStream(t, required, tests, streamOptions,
         streamChangeFeed)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
-    if (required.length == tableSchema.length)
-      new GraftScan(tableSchema,
-        surviving.map(f => ScanChunk(f.rows, zonesByName(f), f.groupKey)).toArray,
-        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
-    else {
-      val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
-      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(idx.toIndexedSeq.map { i =>
-          org.apache.spark.sql.catalyst.expressions.BoundReference(
-            i, tableSchema.fields(i).dataType, tableSchema.fields(i).nullable)
-        })
-      new GraftScan(required,
-        surviving.map(f => ScanChunk(
-          f.rows.map(r => proj(r).copy(): InternalRow), zonesByName(f),
-          f.groupKey)).toArray,
-        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
+    if (metaCols.nonEmpty) {
+      // metadata-column read: rows augment with (_file_id, _row_pos) —
+      // the file ordinal survives pruning above, the position is the
+      // row's index within its file (the stable row address)
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+      import org.apache.spark.sql.types.{IntegerType, StructField}
+      val outSchema = StructType(required.fields ++
+        metaCols.map(n => StructField(n, IntegerType, nullable = false)))
+      val dataRefs = required.fields.toIndexedSeq.map { f =>
+        val i = tableSchema.fieldIndex(f.name)
+        BoundReference(i, f.dataType, f.nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }
+      val metaRefs = metaCols.zipWithIndex.map { case (_, j) =>
+        BoundReference(tableSchema.length + j, IntegerType, nullable = false)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }
+      val proj = UnsafeProjection.create(dataRefs ++ metaRefs)
+      val joined = new JoinedRow
+      val chunks = surviving.map { case (f, fid) =>
+        // `_row_pos` is the ORIGINAL position — the stable row address a
+        // delete vector targets — so DV'd positions are skipped, never
+        // renumbered
+        val dead = dvOf(f)
+        val rows = Array.newBuilder[InternalRow]
+        var p = 0
+        while (p < f.rows.length) {
+          if (!dead.contains(p)) {
+            val meta = new GenericInternalRow(metaCols.map {
+              case "_file_id" => fid: Any
+              case "_row_pos" => p: Any
+            }.toArray)
+            rows += proj(joined.apply(f.rows(p), meta)).copy()
+          }
+          p += 1
+        }
+        ScanChunk(rows.result(), zonesByName(f), f.groupKey)
+      }.toArray
+      new GraftScan(outSchema, chunks, bytes, census,
+        pushed.map(_.toString).toSeq, spjCols, mb)
+    } else {
+      // live rows of one file (delete vector applied; no-op on COW)
+      def live(f: GraftDataFile): Array[InternalRow] = {
+        val dead = dvOf(f)
+        if (dead.isEmpty) f.rows
+        else {
+          val out = Array.newBuilder[InternalRow]
+          var p = 0
+          while (p < f.rows.length) {
+            if (!dead.contains(p)) out += f.rows(p)
+            p += 1
+          }
+          out.result()
+        }
+      }
+      if (required.length == tableSchema.length)
+        new GraftScan(tableSchema,
+          surviving.map { case (f, _) =>
+            ScanChunk(live(f), zonesByName(f), f.groupKey)
+          }.toArray,
+          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
+      else {
+        val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(idx.toIndexedSeq.map { i =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, tableSchema.fields(i).dataType, tableSchema.fields(i).nullable)
+          })
+        new GraftScan(required,
+          surviving.map { case (f, _) => ScanChunk(
+            live(f).map(r => proj(r).copy(): InternalRow), zonesByName(f),
+            f.groupKey)
+          }.toArray,
+          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
+      }
     }
   }
 }
@@ -1844,7 +2197,8 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                     .MicroBatchStream] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   @volatile private var chunks: Array[ScanChunk] = chunks0
   private val totalRows: Long = chunks0.iterator.map(_.rowCount.toLong).sum
 
@@ -1882,6 +2236,21 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
         keyedGroups.length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** Under key-grouped reporting, every row in an input partition holds
+    * the SAME identity-partition key values — trivially sorted by them.
+    * Reporting that order lets EnsureRequirements drop the per-partition
+    * sorts a sort-merge join would otherwise add, so a storage-
+    * partitioned join of two such tables runs with NO shuffle AND no
+    * sort on either side (the full Iceberg bucketed-join contract). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (spjActive)
+      partitionCols.map(c =>
+        Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+          : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+    else Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
     schema.fields.collect {
@@ -2066,12 +2435,16 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
           projectTo(table.changesSchema, rows)): InputPartition)
       }.toArray
     }
-    val batchFiles: Seq[(StructType, GraftDataFile)] =
+    // (commit schema, file, delete vector at that state) per batch file
+    val batchFiles: Seq[(StructType, GraftDataFile,
+        scala.collection.immutable.BitSet)] =
       if (s < 0) {
-        // initial snapshot: the complete table state at `e`
-        val (schema, fs) = table.stateAt(Some(e),
+        // initial snapshot: the complete table state at `e` — a MOR
+        // table's delete vectors apply (live rows only)
+        val (schema, fs, sdvs) = table.stateAt(Some(e),
           Identifier.of(Array.empty[String], table.name()))
-        fs.map(schema -> _)
+        fs.map(f => (schema, f,
+          sdvs.getOrElse(f, scala.collection.immutable.BitSet.empty)))
       } else table.entriesBetween(s, e).flatMap { entry =>
         if (entry.removed.nonEmpty) {
           if (skipChangeCommits) Nil
@@ -2081,12 +2454,16 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
               "read tails appends only. Set skipChangeCommits=true to " +
               "skip such commits, or process changes via the t$changes " +
               "change data feed")
-        } else entry.added.map(entry.schema -> _)
+        } else entry.added.map(f => (entry.schema, f,
+          scala.collection.immutable.BitSet.empty)) // appended files are whole
       }
     batchFiles
-      .filter { case (_, f) => tests.forall(_(f)) } // zone-skip per batch
-      .map { case (schema, f) =>
-        GraftInputPartition(projectTo(schema, f.rows)): InputPartition
+      .filter { case (_, f, _) => tests.forall(_(f)) } // zone-skip per batch
+      .map { case (schema, f, dead) =>
+        val rows =
+          if (dead.isEmpty) f.rows
+          else f.rows.indices.filterNot(dead.contains).map(f.rows).toArray
+        GraftInputPartition(projectTo(schema, rows)): InputPartition
       }.toArray
   }
 
@@ -2201,7 +2578,8 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(base.changesSchema, () => base.changesFiles,
+    new GraftScanBuilder(base.changesSchema,
+      () => (base.changesFiles, Map.empty),
       streamSource = Some(base), streamOptions = options,
       streamChangeFeed = true)
 }
@@ -2213,13 +2591,15 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
   * analysis. */
 class GraftSnapshotTable(snapName: String, snapSchema: StructType,
                          snapFiles: Vector[GraftDataFile],
-                         snapPartitionCols: Seq[String] = Nil)
+                         snapPartitionCols: Seq[String] = Nil,
+                         snapDvs: Map[GraftDataFile,
+                           scala.collection.immutable.BitSet] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = snapName
   override def schema(): StructType = snapSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapSchema, () => snapFiles,
+    new GraftScanBuilder(snapSchema, () => (snapFiles, snapDvs),
       partitionCols = snapPartitionCols)
 }

@@ -354,6 +354,41 @@ class GraftTableFilesSpec extends SparkSpec {
       "unpartitioned write must not re-shuffle the caller's layout")
   }
 
+  test("metadata columns _file_id/_row_pos address rows; census joins " +
+      "against t$files; absent unless referenced") {
+    val (t, table) = fourFileTable("t_metacols")
+    // per-file row counts through the metadata column equal the t$files
+    // census (same ordinal space)
+    val byFile = spark.sql(
+      s"SELECT _file_id, count(*) AS n, count(DISTINCT _row_pos) AS np " +
+        s"FROM $t GROUP BY _file_id ORDER BY _file_id")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(byFile === Seq((0, 10L, 10L), (1, 10L, 10L), (2, 10L, 10L),
+      (3, 10L, 10L)))
+    val fromMeta = spark.table(s"graft_cat.ns.`t_metacols$$files`")
+      .orderBy("file_id").select("file_id", "row_count")
+      .as[(Int, Int)].collect().toSeq
+    assert(fromMeta === byFile.map(r => (r._1, r._2.toInt)))
+
+    // the (file, pos) address is stable and usable with data columns
+    val addressed = spark.sql(
+      s"SELECT id, _file_id, _row_pos FROM $t WHERE id IN (1, 40)")
+      .as[(Long, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(addressed.map(_._2) === Seq(0, 3),
+      s"ids 1 and 40 live in the first and last file: $addressed")
+
+    // zone skipping composes: the box predicate reads only file 1, and
+    // the metadata column says so
+    val hit = spark.sql(
+      s"SELECT DISTINCT _file_id FROM $t WHERE id BETWEEN 12 AND 18")
+      .as[Int].collect().toSeq
+    assert(hit === Seq(1))
+    assert(table.lastScanCensus.get.filesRead === 1)
+
+    // not referenced → not served (SELECT * stays the declared schema)
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
   test("metadata tables: t$files and t$history serve the census over SQL") {
     val t = freshTable("t_meta")
     spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
@@ -790,6 +825,15 @@ class GraftTableFilesSpec extends SparkSpec {
         s"co-partitioned catalog tables must storage-partition join:\n$plan")
       assert(walk(plan).exists(_.isInstanceOf[SortMergeJoinExec]),
         s"expected a shuffle-free sort-merge join:\n$plan")
+      // reported per-partition ordering (every row in a key-grouped
+      // partition shares the key values, so they are trivially sorted
+      // by them) removes the merge join's per-partition sorts too:
+      // zero shuffle AND zero sort on either side
+      val sorts = walk(plan).collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"key-grouped scans must report their ordering (no SortExec):\n$plan")
 
       // correctness-on-content: the aligned join sees every pair
       val got = spark.table(ta).join(spark.table(tb), "k")
