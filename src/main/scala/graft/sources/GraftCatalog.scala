@@ -1285,7 +1285,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         override def newScanBuilder(options: CaseInsensitiveStringMap)
             : ScanBuilder =
           new GraftScanBuilder(tableSchema, () => readState,
-            partitionCols = partitionCols)
+            c => lastScanCensus = Some(c), partitionCols)
 
         override def rowId(): Array[NamedReference] =
           Array(Expressions.column("_file_id"), Expressions.column("_row_pos"))

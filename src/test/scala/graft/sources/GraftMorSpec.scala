@@ -153,6 +153,26 @@ class GraftMorSpec extends SparkSpec {
       "post-purge count should be metadata-only again")
   }
 
+  test("the MOR rewrite's own scan zone-skips: a selective DELETE reads " +
+      "only the covering files") {
+    val t = createMor("t_mor_skip")
+    // four single-task appends with disjoint id ranges -> four files
+    for (base <- Seq(0, 10, 20, 30))
+      Seq.tabulate(10)(i => (base + i.toLong, s"v${base + i}")).toDF("id", "v")
+        .repartition(1).writeTo(t).append()
+    val table = store("t_mor_skip")
+    assert(table.dataFiles.length === 4)
+
+    // the DELETE condition pushes into the delta rewrite's scan, so only
+    // the file whose zone envelope covers [12, 18] is read at all
+    spark.sql(s"DELETE FROM $t WHERE id BETWEEN 12 AND 18")
+    val census = table.lastScanCensus.get
+    assert(census.filesRead === 1,
+      s"the rewrite scan must zone-skip the other three files: $census")
+    assert(spark.table(t).count() === 33)
+    assert(table.dvCensus === Seq((1, 7)))
+  }
+
   test("MOR deletes are change commits to a plain stream but consumable " +
       "deltas on the CDF stream") {
     val t = createMor("t_mor_stream")
