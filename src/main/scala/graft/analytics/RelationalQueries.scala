@@ -3269,6 +3269,63 @@ object RelationalQueries {
       agg(s.table(t), "cur")
         .unionByName(agg(s.sql(s"SELECT * FROM $t VERSION AS OF 1"), "v1"))
         .orderBy("probe")
+    },
+
+    // ----- Bucketed storage-partitioned join: customer and orders land
+    // in the catalog PARTITIONED BY bucket(16, custkey) — hash
+    // co-location with NO enumerable partition values, the Iceberg
+    // bucketed fact-fact join. Writes cluster through the catalog's own
+    // `bucket` V2 function (one file per bucket), scans report the
+    // bucket-transform key grouping, and under disabled broadcast the
+    // join plans WITHOUT shuffling either side (GraftBucketSpec pins the
+    // zero-shuffle plan; this row pins the results — a bucket kernel
+    // that disagreed between write and read would misroute rows and
+    // break the join content itself).
+    Q("s46_bucket_join", "S-bucket,J5,A1,A7", {
+      """WITH c AS (SELECT c_custkey AS ck, c_acctbal FROM customer),
+        |     o AS (SELECT o_custkey AS ck,
+        |             CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+        |SELECT count(*) AS n, CAST(sum(c.ck) AS BIGINT) AS sck,
+        |""".stripMargin +
+        s"  ${Exact.sqlSum("o.price", 2)} AS total\n" +
+        "FROM c JOIN o ON c.ck = o.ck"
+    }) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tc = "graft_cat.ns.s46_cust"
+      val to = "graft_cat.ns.s46_ord"
+      s.sql(s"DROP TABLE IF EXISTS $tc")
+      s.sql(s"DROP TABLE IF EXISTS $to")
+      s.sql(s"CREATE TABLE $tc (ck BIGINT, bal DOUBLE) " +
+        "PARTITIONED BY (bucket(16, ck))")
+      s.sql(s"CREATE TABLE $to (ck BIGINT, price DOUBLE) " +
+        "PARTITIONED BY (bucket(16, ck))")
+      Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_acctbal").cast("double").as("bal"))
+        .writeTo(tc).append()
+      Tables.orders(s, dir)
+        .select(col("o_custkey").cast("long").as("ck"),
+          col("o_totalprice").cast("double").as("price"))
+        .writeTo(to).append()
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      val row =
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          s.table(tc).join(s.table(to), "ck")
+            .agg(count(lit(1)).as("n"), sum("ck").as("sck"),
+              Exact.dsum(col("price"), 2).as("total"))
+            .as[(Long, Long, Double)].collect().toSeq
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      row.toDF("n", "sck", "total")
     }
   )
 }

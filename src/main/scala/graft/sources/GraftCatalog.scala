@@ -131,21 +131,47 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    // identity partitioning is supported (it defines the COW rewrite
-    // groups — see GraftTable's row-level path); any other transform must
-    // fail, not silently drop: a table created "PARTITIONED BY" something
-    // it doesn't honor lies to its creator
-    val partCols = partitions.toSeq.map {
+    // identity partitioning (defines the COW rewrite groups) and ONE
+    // bucket(n, col) transform (hash co-location for storage-partitioned
+    // joins) are supported; any other transform must fail, not silently
+    // drop: a table created "PARTITIONED BY" something it doesn't honor
+    // lies to its creator
+    var bucketSpec: Option[(Int, String)] = None
+    val partCols = partitions.toSeq.flatMap {
       case t if t.name == "identity" && t.references.length == 1 =>
         val name = t.references.head.fieldNames.mkString(".")
         if (!schema.fieldNames.contains(name))
           throw new IllegalArgumentException(
             s"partition column $name is not in the table schema")
-        name
+        Some(name)
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        if (bucketSpec.isDefined)
+          throw new UnsupportedOperationException(
+            "at most one bucket transform per table")
+        val name = t.references.head.fieldNames.mkString(".")
+        val idx = schema.fieldNames.indexOf(name)
+        if (idx < 0)
+          throw new IllegalArgumentException(
+            s"bucket column $name is not in the table schema")
+        if (!GraftFunctionsV2.bucketSupported(schema.fields(idx).dataType))
+          throw new UnsupportedOperationException(
+            s"bucket column $name: unsupported type " +
+              s"${schema.fields(idx).dataType} (integral or string)")
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs an integer bucket count: $t"))
+        require(n > 0, s"bucket count must be positive, got $n")
+        bucketSpec = Some((n, name))
+        None
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog tables support only identity partition transforms " +
-          s"(got $other)")
+        s"GraftCatalog tables support identity and bucket partition " +
+          s"transforms only (got $other)")
     }
+    if (bucketSpec.isDefined && partCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        "identity partitioning and bucketing cannot combine on one table")
     // row-level write mode (TBLPROPERTIES): copy-on-write rewrites the
     // matched groups (default), merge-on-read records delete vectors —
     // at 100 TB, the difference between "update = rewrite a partition"
@@ -159,7 +185,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           s"got '$mode'")
     val t = new GraftTable(
       (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
-      mode)
+      mode, bucketSpec)
     // atomic: two concurrent CREATEs must not both succeed (the loser's
     // table object could already be receiving a CTAS write)
     if (GraftTableStore.tables.putIfAbsent(key(ident), t).isDefined)
@@ -361,7 +387,8 @@ final case class ScanCensus(filesTotal: Int, filesRead: Int,
   * rewrite a real COW table format does per file/partition. */
 class GraftTable(initialName: String, initialSchema: StructType,
                  val partitionCols: Seq[String] = Nil,
-                 val rowLevelMode: String = GraftTable.CopyOnWrite)
+                 val rowLevelMode: String = GraftTable.CopyOnWrite,
+                 val bucketSpec: Option[(Int, String)] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -389,8 +416,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private val partTypes: Seq[DataType] =
     partOrdinals.map(initialSchema.fields(_).dataType)
 
+  // bucket transform: (numBuckets, source ordinal, source type)
+  private val bucketBinding: Option[(Int, Int, DataType)] =
+    bucketSpec.map { case (n, c) =>
+      val i = initialSchema.fieldIndex(c)
+      (n, i, initialSchema.fields(i).dataType)
+    }
+
   private def keyOfOpt: Option[InternalRow => Seq[Any]] =
-    if (partitionCols.isEmpty) None else Some(groupKeyOf)
+    if (partitionCols.isEmpty && bucketSpec.isEmpty) None
+    else Some(groupKeyOf)
 
   /** Schema evolution: nullable columns APPENDED to the schema; stored
     * pre-evolution rows are padded with NULLs under the same lock the
@@ -456,10 +491,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
       snap("ALTER TABLE")
     }
 
-  /** Partition-group key of a stored row (values of the identity
-    * partition columns, in declaration order). */
+  /** Partition-group key of a stored row: the identity partition
+    * columns' values in declaration order, or — on a bucketed table —
+    * the row's bucket id (through the SAME kernel the catalog `bucket`
+    * function and the write-side clustering use). */
   private[sources] def groupKeyOf(r: InternalRow): Seq[Any] =
-    partOrdinals.lazyZip(partTypes).map((i, dt) => r.get(i, dt))
+    bucketBinding match {
+      case Some((n, i, dt)) =>
+        Seq(GraftFunctionsV2.bucketOf(n,
+          if (r.isNullAt(i)) null else r.get(i, dt)))
+      case None =>
+        partOrdinals.lazyZip(partTypes).map((i, dt) => r.get(i, dt))
+    }
 
   @volatile private var tableName: String = initialName
   @volatile private var files: Vector[GraftDataFile] = Vector.empty
@@ -852,14 +895,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * "stats at commit time" half of data skipping. */
   private def buildFiles(batches: Array[Array[InternalRow]]): Vector[GraftDataFile] =
     batches.iterator.filter(_.nonEmpty).flatMap { batch =>
-      if (partitionCols.isEmpty)
-        Iterator.single(GraftDataFile.build(batch, tableSchema, None))
-      else
-        batch.groupBy(groupKeyOf).toSeq
-          .sortBy(_._1.mkString("|")) // deterministic file order
-          .iterator.map { case (_, rs) =>
-            GraftDataFile.build(rs, tableSchema, keyOfOpt)
-          }
+      keyOfOpt match {
+        case None =>
+          Iterator.single(GraftDataFile.build(batch, tableSchema, None))
+        case Some(keyOf) =>
+          batch.groupBy(keyOf).toSeq
+            .sortBy(_._1.mkString("|")) // deterministic file order
+            .iterator.map { case (_, rs) =>
+              GraftDataFile.build(rs, tableSchema, keyOfOpt)
+            }
+      }
     }.toVector
 
   /** Remove all rows of the partition groups matching `touched`. Files
@@ -1140,11 +1185,27 @@ class GraftTable(initialName: String, initialSchema: StructType,
   override def properties(): util.Map[String, String] =
     java.util.Collections.singletonMap(
       GraftTable.RowLevelModeProp, rowLevelMode)
+
+  /** Transforms incoming writes cluster by (one task per group → one
+    * file per group): the identity partition columns, or the bucket
+    * transform — which Spark's distribution planner evaluates through
+    * the catalog's own `bucket` function, the same kernel
+    * [[groupKeyOf]] uses. */
+  private def clusterTransforms
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    bucketSpec match {
+      case Some((n, c)) => Array(Expressions.bucket(n, c))
+      case None => partitionCols.map(c => Expressions.identity(c):
+        org.apache.spark.sql.connector.expressions.Expression).toArray
+    }
   // a table created PARTITIONED BY must also REPORT its partitioning —
   // DESCRIBE/SHOW CREATE and any planner path keying off partitioning()
   // would otherwise see an unpartitioned table
   override def partitioning(): Array[Transform] =
-    partitionCols.map(c => Expressions.identity(c)).toArray
+    bucketSpec match {
+      case Some((n, c)) => Array(Expressions.bucket(n, c))
+      case None => partitionCols.map(c => Expressions.identity(c)).toArray
+    }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
@@ -1188,7 +1249,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, () => readState,
       c => lastScanCensus = Some(c), partitionCols,
-      streamSource = Some(this), streamOptions = options)
+      streamSource = Some(this), streamOptions = options,
+      bucketSpec = bucketSpec)
 
   // ---- plain write path (INSERT INTO/OVERWRITE / CTAS) ---------------
   // Four commit modes: append (INSERT INTO), full replace (truncate /
@@ -1227,11 +1289,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
 
       override def overwriteDynamicPartitions(): WriteBuilder = {
+        // a bucket holds many values — "overwrite the buckets the new
+        // rows land in" would silently drop unrelated rows sharing them
+        if (bucketSpec.isDefined)
+          throw new UnsupportedOperationException(
+            "dynamic-partition overwrite is not defined for bucketed " +
+              "tables (a hash bucket is not a value partition)")
         install = installDynamicOverwrite
         this
       }
 
-      override def build(): Write = new GraftWrite(partitionCols,
+      override def build(): Write = new GraftWrite(clusterTransforms,
         () => new GraftBatchWrite(install),
         // streaming sink (writeStream.toTable): same install modes —
         // append per epoch, or replace per epoch under Complete output
@@ -1328,7 +1396,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // simply don't arrive) — [[GraftRowLevelBatchWrite]] strips it.
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
-          override def build(): Write = new GraftWrite(partitionCols,
+          override def build(): Write = new GraftWrite(clusterTransforms,
             () => new GraftRowLevelBatchWrite(tableSchema,
               delivered => installReplaceGroups(delivered,
                 Option(rlScan).flatMap(_.scannedGroups),
@@ -1375,7 +1443,9 @@ object GraftTable {
   * partitions and tracking partitions × tasks). Unpartitioned tables
   * leave the distribution unspecified — the caller's layout (e.g. the
   * s33 z-order repartition) passes through untouched. */
-class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite,
+class GraftWrite(clusterExprs: Array[
+                   org.apache.spark.sql.connector.expressions.Expression],
+                 batchWrite: () => BatchWrite,
                  streamingWrite: Option[
                    () => org.apache.spark.sql.connector.write.streaming
                      .StreamingWrite] = None)
@@ -1384,10 +1454,8 @@ class GraftWrite(partitionCols: Seq[String], batchWrite: () => BatchWrite,
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 
   override def requiredDistribution(): Distribution =
-    if (partitionCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(
-      partitionCols.map(c => Expressions.identity(c):
-        org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (clusterExprs.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(clusterExprs)
 
   // no within-task order requirement: buildFiles splits per group anyway
   override def requiredOrdering()
@@ -1816,7 +1884,8 @@ class GraftScanBuilder(tableSchema: StructType,
                        streamSource: Option[GraftTable] = None,
                        streamOptions: CaseInsensitiveStringMap =
                          CaseInsensitiveStringMap.empty(),
-                       streamChangeFeed: Boolean = false)
+                       streamChangeFeed: Boolean = false,
+                       bucketSpec: Option[(Int, String)] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -2009,12 +2078,15 @@ class GraftScanBuilder(tableSchema: StructType,
         else None
       }.toMap
     // storage-partitioned-join eligibility: the scan can report a
-    // key-grouped layout only when the partition columns survive into
-    // the output (join keys must resolve against it)
+    // key-grouped layout only when the partition (or bucket-source)
+    // columns survive into the output (join keys must resolve against it)
     val spjCols =
       if (partitionCols.nonEmpty && partitionCols.forall(c =>
         required.fieldNames.exists(_.equalsIgnoreCase(c)))) partitionCols
       else Nil
+    val spjBucket = bucketSpec.filter { case (_, c) =>
+      required.fieldNames.exists(_.equalsIgnoreCase(c))
+    }
     // streaming read (readStream on a live catalog table): the scan's
     // micro-batch surface tails the commit log from the same builder
     // state — pruned schema and zone tests apply per delivered commit
@@ -2061,7 +2133,7 @@ class GraftScanBuilder(tableSchema: StructType,
         ScanChunk(rows.result(), zonesByName(f), f.groupKey)
       }.toArray
       new GraftScan(outSchema, chunks, bytes, census,
-        pushed.map(_.toString).toSeq, spjCols, mb)
+        pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
     } else {
       // live rows of one file (delete vector applied; no-op on COW)
       def live(f: GraftDataFile): Array[InternalRow] = {
@@ -2082,7 +2154,7 @@ class GraftScanBuilder(tableSchema: StructType,
           surviving.map { case (f, _) =>
             ScanChunk(live(f), zonesByName(f), f.groupKey)
           }.toArray,
-          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
+          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
       else {
         val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
         val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -2095,7 +2167,7 @@ class GraftScanBuilder(tableSchema: StructType,
             live(f).map(r => proj(r).copy(): InternalRow), zonesByName(f),
             f.groupKey)
           }.toArray,
-          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb)
+          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
       }
     }
   }
@@ -2194,7 +2266,8 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                 partitionCols: Seq[String] = Nil,
                 mbStream: Option[
                   () => org.apache.spark.sql.connector.read.streaming
-                    .MicroBatchStream] = None)
+                    .MicroBatchStream] = None,
+                bucketSpec: Option[(Int, String)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2219,9 +2292,20 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
   // merge and re-shuffling both fact tables. Opt-in by conf because
   // key-grouping caps scan parallelism at the partition count.
   private def spjActive: Boolean =
-    partitionCols.nonEmpty &&
+    (partitionCols.nonEmpty || bucketSpec.isDefined) &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
       chunks.forall(_.groupKey.isDefined)
+
+  /** The grouping expressions a co-partitioned join aligns on: the
+    * identity columns, or the bucket transform (whose function Spark
+    * resolves through this catalog's FunctionCatalog). */
+  private def keyExprs
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    bucketSpec match {
+      case Some((n, c)) => Array(Expressions.bucket(n, c))
+      case None => partitionCols.map(c => Expressions.identity(c):
+        org.apache.spark.sql.connector.expressions.Expression).toArray
+    }
 
   /** Chunks per distinct partition key, deterministic order. */
   private def keyedGroups: Seq[(Seq[Any], Array[ScanChunk])] =
@@ -2231,9 +2315,7 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (spjActive)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partitionCols.map(c => Expressions.identity(c):
-          org.apache.spark.sql.connector.expressions.Expression).toArray,
-        keyedGroups.length)
+        keyExprs, keyedGroups.length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
@@ -2245,7 +2327,9 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
     * sort on either side (the full Iceberg bucketed-join contract). */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (spjActive)
+    // identity only: a bucket's rows share the BUCKET, not the value,
+    // so a bucketed partition is not sorted by the source column
+    if (spjActive && bucketSpec.isEmpty)
       partitionCols.map(c =>
         Expressions.sort(Expressions.column(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)

@@ -26,7 +26,65 @@ private[sources] object GraftFunctionsV2 {
 
   val all: Map[String, UnboundFunction] = Map(
     "poly_hash" -> PolyHashUnbound,
-    "vec_dot" -> VecDotUnbound)
+    "vec_dot" -> VecDotUnbound,
+    "bucket" -> BucketUnbound)
+
+  /** The ONE bucket kernel: write-side routing (clustered distribution),
+    * group-key assignment, and the catalog `bucket` function all call
+    * this, so a row's bucket is the same number everywhere — the
+    * property storage-partitioned joins stand on. Content-stable hashes
+    * (java.lang.Long spec'd; UTF8String's murmur-style bytes hash),
+    * floor-mod into [0, n). */
+  def bucketOf(n: Int, value: Any): Int = value match {
+    case null => 0 // nulls cluster in bucket 0
+    case l: java.lang.Long => java.lang.Math.floorMod(l.hashCode, n)
+    case i: java.lang.Integer => java.lang.Math.floorMod(
+      java.lang.Long.valueOf(i.longValue()).hashCode, n)
+    case s: java.lang.Short => java.lang.Math.floorMod(
+      java.lang.Long.valueOf(s.longValue()).hashCode, n)
+    case b: java.lang.Byte => java.lang.Math.floorMod(
+      java.lang.Long.valueOf(b.longValue()).hashCode, n)
+    case u: UTF8String => java.lang.Math.floorMod(u.hashCode, n)
+    case other => throw new UnsupportedOperationException(
+      s"bucket: unsupported value type ${other.getClass.getName}")
+  }
+
+  /** Types [[bucketOf]] accepts — integral + string (all hashed through
+    * a stable content hash). */
+  def bucketSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case _ => false
+  }
+
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col) - stable hash bucket in [0, n); the transform " +
+        "function behind PARTITIONED BY bucket(n, col)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 2 ||
+          inputType.fields(0).dataType != IntegerType ||
+          !bucketSupported(inputType.fields(1).dataType))
+        throw new UnsupportedOperationException(
+          s"bucket expects (int, integral-or-string column), got " +
+            inputType.simpleString)
+      new BucketBound(inputType.fields(1).dataType)
+    }
+  }
+
+  class BucketBound(colType: DataType)
+      extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Integer = {
+      val n = input.getInt(0)
+      val v = if (input.isNullAt(1)) null else input.get(1, colType)
+      java.lang.Integer.valueOf(bucketOf(n, v))
+    }
+  }
 
   object PolyHashUnbound extends UnboundFunction {
     override def name(): String = "poly_hash"

@@ -66,8 +66,8 @@ class GraftFunctionCatalogSpec extends SparkSpec {
       spark.sql("SELECT graft_cat.ns.vec_dot(array(1d), 'x')").collect())
     intercept[Exception](
       spark.sql("SELECT graft_cat.ns.no_such_fn(1)").collect())
-    // discovery surface
+    // discovery surface (bucket is the partition-transform function)
     assert(new GraftCatalog().listFunctions(Array("ns")).map(_.name()).toSet
-      === Set("poly_hash", "vec_dot"))
+      === Set("poly_hash", "vec_dot", "bucket"))
   }
 }
