@@ -3326,6 +3326,56 @@ object RelationalQueries {
           case (k, None) => s.conf.unset(k)
         }
       row.toDF("n", "sck", "total")
+    },
+
+    // ----- Column-mapping schema evolution: RENAME COLUMN (metadata-
+    // only; an Iceberg-style FIELD ID travels with the column) and DROP
+    // COLUMN (positional row rebuild), composed over a populated table.
+    // Probes: the final state under the NEW name, the pre-evolution
+    // snapshot under the OLD shape (time travel serves the old schema),
+    // and the change data feed ACROSS the rename — the v1 inserts'
+    // values must surface under the renamed column via field-id
+    // matching; name-only matching would read them as NULL and zero the
+    // cdf sum. The oracle restates all three from the source.
+    Q("s47_column_mapping", "S-colmap,S10,F2,A7", {
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price,
+         |               year(o_orderdate) AS yr
+         |             FROM orders),
+         |v1 AS (SELECT k, price FROM src WHERE yr < 1995)
+         |SELECT 'cdf' AS probe, count(*) AS n,
+         |  ${Exact.sqlSum("price", 2)} AS total FROM src
+         |UNION ALL
+         |SELECT 'cur', count(*), ${Exact.sqlSum("price", 2)} FROM src
+         |UNION ALL
+         |SELECT 'v1', count(*), ${Exact.sqlSum("price", 2)} FROM v1
+         |ORDER BY probe""".stripMargin
+    }) { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s47_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("junk"),
+          col("o_totalprice").cast("double").as("price"),
+          year(col("o_orderdate")).as("yr"))
+      src.filter(col("yr") < 1995).drop("yr").writeTo(t).create() // v1
+      s.sql(s"ALTER TABLE $t RENAME COLUMN price TO amount")      // v2
+      s.sql(s"ALTER TABLE $t DROP COLUMN junk")                   // v3
+      src.filter(col("yr") >= 1995).drop("yr", "junk")
+        .withColumnRenamed("price", "amount")
+        .writeTo(t).append()                                      // v4
+      def agg(df: org.apache.spark.sql.DataFrame, c: String, label: String) =
+        df.agg(count(lit(1)).as("n"), Exact.dsum(col(c), 2).as("total"))
+          .select(lit(label).as("probe"), col("n"), col("total"))
+      agg(s.table(t), "amount", "cur")
+        .unionByName(agg(
+          s.sql(s"SELECT * FROM $t VERSION AS OF 1"), "price", "v1"))
+        .unionByName(agg(
+          s.table("graft_cat.ns.`s47_t$changes`")
+            .filter(col("_change_type") === "insert"), "amount", "cdf"))
+        .orderBy("probe")
     }
   )
 }

@@ -252,6 +252,54 @@ object GraftClock {
   @volatile var nowMicros: () => Long = () => System.currentTimeMillis() * 1000L
 }
 
+/** Iceberg-style FIELD IDS (column mapping): every table column carries
+  * a stable numeric id in its StructField metadata, assigned at create /
+  * ADD COLUMN and PRESERVED by RENAME — so the change data feed, stream
+  * projections, and any cross-schema-version matching resolve columns by
+  * IDENTITY. Matching by name alone would turn a rename into
+  * "the old commits' values vanished". */
+private[sources] object FieldIds {
+  import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
+  val Key = "graft.field.id"
+
+  def idOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(Key)) Some(f.metadata.getLong(Key)) else None
+
+  def withId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(Key, id).build())
+
+  /** Assign fresh ids to any field missing one. Existing ids are kept
+    * UNLESS duplicated (a CTAS whose projection carries another graft
+    * table's id metadata could clash) — duplicates reassign. */
+  def assign(schema: StructType): StructType = {
+    var next = schema.fields.iterator.flatMap(idOf).foldLeft(-1L)(math.max) + 1
+    val seen = scala.collection.mutable.Set.empty[Long]
+    StructType(schema.fields.map { f =>
+      idOf(f) match {
+        case Some(id) if !seen.contains(id) => seen += id; f
+        case _ =>
+          while (seen.contains(next)) next += 1
+          val g = withId(f, next); seen += next; next += 1; g
+      }
+    })
+  }
+
+  def nextId(schema: StructType): Long =
+    schema.fields.iterator.flatMap(idOf).foldLeft(-1L)(math.max) + 1
+
+  /** Ordinal of `target` in `source`: by field id when both sides carry
+    * one, by name otherwise; -1 when absent. */
+  def ordinalOf(target: StructField, source: StructType): Int =
+    idOf(target) match {
+      case Some(id) =>
+        val byId = source.fields.indexWhere(f => idOf(f).contains(id))
+        if (byId >= 0) byId
+        else source.fields.indexWhere(_.name == target.name)
+      case None => source.fields.indexWhere(_.name == target.name)
+    }
+}
+
 /** Per-column zone-map entry of one data file: min/max over the file's
   * non-null values (both null when every value is null) plus the null
   * count. min/max hold CATALYST-internal values (UTF8String, Int days,
@@ -409,38 +457,62 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   // evolves under ADD COLUMNS (append-only, so the partition ordinals
   // below stay valid for the table's whole life)
-  @volatile private var tableSchema: StructType = initialSchema
+  // every field carries a FIELD ID (Iceberg's column mapping): renames
+  // keep the id, so projections and the change data feed match columns
+  // across schema versions by identity, not by name
+  @volatile private var tableSchema: StructType = FieldIds.assign(initialSchema)
 
-  private val partOrdinals: Seq[Int] =
-    partitionCols.map(initialSchema.fieldIndex)
-  private val partTypes: Seq[DataType] =
-    partOrdinals.map(initialSchema.fields(_).dataType)
+  // defs, not vals: DROP COLUMN shifts ordinals, so the partition/bucket
+  // bindings recompute against the CURRENT schema (dropping a partition
+  // or bucket-source column itself is rejected)
+  private def partOrdinals: Seq[Int] =
+    partitionCols.map(tableSchema.fieldIndex)
+  private def partTypes: Seq[DataType] = {
+    val s = tableSchema
+    partitionCols.map(c => s.fields(s.fieldIndex(c)).dataType)
+  }
 
   // bucket transform: (numBuckets, source ordinal, source type)
-  private val bucketBinding: Option[(Int, Int, DataType)] =
+  private def bucketBinding: Option[(Int, Int, DataType)] =
     bucketSpec.map { case (n, c) =>
-      val i = initialSchema.fieldIndex(c)
-      (n, i, initialSchema.fields(i).dataType)
+      val s = tableSchema
+      val i = s.fieldIndex(c)
+      (n, i, s.fields(i).dataType)
     }
 
   private def keyOfOpt: Option[InternalRow => Seq[Any]] =
     if (partitionCols.isEmpty && bucketSpec.isEmpty) None
-    else Some(groupKeyOf)
+    else Some(boundGroupKey())
 
-  /** Schema evolution: nullable columns APPENDED to the schema; stored
-    * pre-evolution rows are padded with NULLs under the same lock the
-    * commit callbacks take (a real table format serves the fill at read
-    * time from its transaction log — an in-JVM row store materializes it
-    * once at alter time, same observable semantics). Append-only keeps
-    * every partition ordinal and in-flight writer's row width valid;
-    * anything else (drops, renames, type changes, positioned adds) is
-    * rejected loudly rather than silently corrupting stored rows.
+  /** Rebuild every file through `rewrite` (a positional row transform
+    * that PRESERVES row order and count) under `newSchema`; delete
+    * vectors follow their file (positions preserved). */
+  private def rebuildFiles(newSchema: StructType,
+      rewrite: InternalRow => InternalRow): Unit = {
+    val pairs = files.map { f =>
+      f -> GraftDataFile.build(f.rows.map(rewrite), newSchema, keyOfOpt)
+    }
+    dvs = dvs.flatMap { case (of, bs) =>
+      pairs.find(_._1 eq of).map(_._2 -> bs)
+    }
+    files = pairs.map(_._2)
+  }
+
+  /** Schema evolution under the commit lock: ADD COLUMNS (nullable,
+    * appended; stored rows pad with NULL), RENAME COLUMN (metadata-only —
+    * the FIELD ID travels with the column, so cross-version matching in
+    * the change data feed and stream projections survives the rename),
+    * and DROP COLUMN (rows rebuild without the ordinal; partition /
+    * bucket-source columns are protected). Type changes and positioned
+    * adds are rejected loudly rather than silently corrupting stored
+    * rows.
     *
-    * Publish order matters for the lock-free readers: the padded FILES
-    * install first, the widened schema second. A concurrent scan then
-    * sees either the old state, or wide rows under the old schema (safe:
-    * append-only means the old ordinals still resolve), never the new
-    * 3-wide schema over un-padded 2-wide rows. */
+    * Publish order for the lock-free readers: rebuilt FILES install
+    * first, the new schema second. For adds a concurrent old-schema scan
+    * over wide rows is safe (old ordinals resolve); for drops the worst
+    * case is a LOUD out-of-bounds on a racing scan, never a silent
+    * wrong-column read (schema-first would shift ordinals under the old
+    * rows). */
   private[sources] def applyChanges(changes: Seq[TableChange]): Unit =
     synchronized {
       changes.foreach {
@@ -459,50 +531,101 @@ class GraftTable(initialName: String, initialSchema: StructType,
               "added columns append at the end (no FIRST/AFTER)")
           val oldFields = tableSchema.fields
           val newSchema = StructType(oldFields :+
-            org.apache.spark.sql.types.StructField(name, add.dataType,
-              nullable = true))
-          val pairs = files.map { f =>
-            val padded = f.rows.map { r =>
-              val vals = new Array[Any](oldFields.length + 1)
-              var i = 0
-              while (i < oldFields.length) {
-                vals(i) = r.get(i, oldFields(i).dataType); i += 1
-              }
-              // vals(old length) stays null: pre-evolution rows read NULL
-              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                vals): InternalRow
+            FieldIds.withId(org.apache.spark.sql.types.StructField(
+              name, add.dataType, nullable = true),
+              FieldIds.nextId(tableSchema)))
+          val width = oldFields.length
+          val dts = oldFields.map(_.dataType)
+          rebuildFiles(newSchema, { r =>
+            val vals = new Array[Any](width + 1)
+            var i = 0
+            while (i < width) { vals(i) = r.get(i, dts(i)); i += 1 }
+            // vals(width) stays null: pre-evolution rows read NULL
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              vals): InternalRow
+          })
+          tableSchema = newSchema // widens over padded rows — safe
+
+        case ren: TableChange.RenameColumn =>
+          if (ren.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              "only top-level RENAME COLUMN is supported")
+          val from = ren.fieldNames.head
+          val idx = tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+          if (idx < 0)
+            throw new IllegalArgumentException(s"no such column: $from")
+          if (tableSchema.fieldNames.exists(_.equalsIgnoreCase(ren.newName)))
+            throw new IllegalArgumentException(
+              s"column ${ren.newName} already exists")
+          if (partitionCols.exists(_.equalsIgnoreCase(from)) ||
+              bucketSpec.exists(_._2.equalsIgnoreCase(from)))
+            throw new UnsupportedOperationException(
+              s"cannot rename partition/bucket column $from " +
+                "(the table's transforms reference it by name)")
+          // metadata-only: rows and files untouched, the field id rides
+          tableSchema = StructType(tableSchema.fields.zipWithIndex.map {
+            case (f, i) => if (i == idx) f.copy(name = ren.newName) else f
+          })
+
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              "only top-level DROP COLUMN is supported")
+          val name = del.fieldNames.head
+          val idx = tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (idx < 0)
+            throw new IllegalArgumentException(s"no such column: $name")
+          if (tableSchema.length == 1)
+            throw new UnsupportedOperationException(
+              "cannot drop the only column")
+          if (partitionCols.exists(_.equalsIgnoreCase(name)) ||
+              bucketSpec.exists(_._2.equalsIgnoreCase(name)))
+            throw new UnsupportedOperationException(
+              s"cannot drop partition/bucket column $name")
+          val oldFields = tableSchema.fields
+          val newSchema = StructType(
+            oldFields.zipWithIndex.filter(_._2 != idx).map(_._1))
+          val dts = oldFields.map(_.dataType)
+          rebuildFiles(newSchema, { r =>
+            val vals = new Array[Any](oldFields.length - 1)
+            var i = 0
+            var o = 0
+            while (i < oldFields.length) {
+              if (i != idx) { vals(o) = r.get(i, dts(i)); o += 1 }
+              i += 1
             }
-            // zones recomputed under the widened schema (the new column's
-            // zone is trivially all-null for pre-evolution files)
-            f -> GraftDataFile.build(padded, newSchema, keyOfOpt)
-          }
-          // delete vectors follow their file through the rebuild (row
-          // positions are preserved by the padding)
-          dvs = dvs.flatMap { case (of, bs) =>
-            pairs.find(_._1 eq of).map(_._2 -> bs)
-          }
-          files = pairs.map(_._2) // 1st: wide rows under the old schema — safe
-          tableSchema = newSchema // 2nd: schema only widens over padded rows
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              vals): InternalRow
+          })
+          tableSchema = newSchema // after the narrow rows — loud, not wrong
+
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
-      // a commit, but NOT a data change: the padded rebuild holds the
-      // same logical rows, so CDC and streaming tails deliver nothing
+      // a commit, but NOT a data change: the rebuilt files hold the same
+      // logical rows, so CDC and streaming tails deliver nothing
       snap("ALTER TABLE")
     }
 
   /** Partition-group key of a stored row: the identity partition
     * columns' values in declaration order, or — on a bucketed table —
     * the row's bucket id (through the SAME kernel the catalog `bucket`
-    * function and the write-side clustering use). */
-  private[sources] def groupKeyOf(r: InternalRow): Seq[Any] =
+    * function and the write-side clustering use). [[boundGroupKey]]
+    * binds the ordinals ONCE against the current schema — per-row loops
+    * must use it rather than re-resolving per row. */
+  private[sources] def boundGroupKey(): InternalRow => Seq[Any] =
     bucketBinding match {
       case Some((n, i, dt)) =>
-        Seq(GraftFunctionsV2.bucketOf(n,
+        r => Seq(GraftFunctionsV2.bucketOf(n,
           if (r.isNullAt(i)) null else r.get(i, dt)))
       case None =>
-        partOrdinals.lazyZip(partTypes).map((i, dt) => r.get(i, dt))
+        val ords = partOrdinals
+        val dts = partTypes
+        r => ords.lazyZip(dts).map((i, dt) => r.get(i, dt))
     }
+
+  private[sources] def groupKeyOf(r: InternalRow): Seq[Any] =
+    boundGroupKey()(r)
 
   @volatile private var tableName: String = initialName
   @volatile private var files: Vector[GraftDataFile] = Vector.empty
@@ -811,7 +934,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // NULL) so the multiset diff compares bytes
     val toCanonical = UnsafeProjection.create(
       dataSchema.fields.toIndexedSeq.map { f =>
-        e.schema.fields.indexWhere(_.name == f.name) match {
+        FieldIds.ordinalOf(f, e.schema) match {
           case -1 => Literal.create(null, f.dataType)
               : org.apache.spark.sql.catalyst.expressions.Expression
           case i => BoundReference(i, f.dataType, nullable = true)
@@ -926,7 +1049,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
           // its live rows; a kept file keeps its identity (and its DV)
           if (touched(k)) removed ++= cdcRemoved(Vector(f)) else kept += f
         case None =>
-          val (gone, stay) = effRows(f).partition(r => touched(groupKeyOf(r)))
+          val keyOf = boundGroupKey()
+          val (gone, stay) = effRows(f).partition(r => touched(keyOf(r)))
           if (gone.isEmpty) kept += f
           else {
             removed += GraftDataFile.build(gone, tableSchema, keyOfOpt)
@@ -992,7 +1116,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * `partitionOverwriteMode=dynamic`). */
   private[sources] def installDynamicOverwrite(
       batches: Array[Array[InternalRow]]): Unit = synchronized {
-    val touched = batches.iterator.flatten.map(groupKeyOf).toSet
+    val keyOf = boundGroupKey()
+    val touched = batches.iterator.flatten.map(keyOf).toSet
     val (kept, gone) = dropGroupRows(files, touched.contains)
     val nf = buildFiles(batches)
     files = kept ++ nf
@@ -1132,7 +1257,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // live rows only: the re-layout purges delete vectors
       files =
         if (partitionCols.isEmpty) pack(before.toArray.flatMap(effRows)).toVector
-        else before.toArray.flatMap(effRows).groupBy(groupKeyOf).toSeq
+        else before.toArray.flatMap(effRows).groupBy(boundGroupKey()).toSeq
           .sortBy(_._1.mkString("|"))
           .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
       pruneDvs()
@@ -1384,7 +1509,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (partitionCols.isEmpty) GraftScan.of(tableSchema, currentRows)
           else {
             rlScan = new GraftRowLevelScan(tableSchema, partitionCols,
-              currentRows, groupKeyOf)
+              currentRows, boundGroupKey())
             rlScan
           }
 
@@ -2492,7 +2617,7 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     else {
       val proj = UnsafeProjection.create(
         required.fields.toIndexedSeq.map { f =>
-          from.fields.indexWhere(_.name == f.name) match {
+          FieldIds.ordinalOf(f, from) match {
             case -1 => Literal.create(null, f.dataType)
                 : org.apache.spark.sql.catalyst.expressions.Expression
             case i => BoundReference(i, f.dataType, nullable = true)

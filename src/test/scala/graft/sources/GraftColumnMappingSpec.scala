@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** RENAME/DROP COLUMN schema evolution with Iceberg-style FIELD IDS:
+  * a rename is metadata-only (the id travels, so cross-schema-version
+  * matching — the change data feed, stream projections — keeps serving
+  * the column's values); a drop rebuilds rows positionally with
+  * partition/bucket columns protected. */
+class GraftColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    val fq = s"graft_cat.ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $fq")
+    fq
+  }
+
+  private def store(name: String): GraftTable =
+    GraftTableStore.tables((Seq("ns"), name))
+
+  test("RENAME COLUMN is metadata-only; the field id keeps the change " +
+      "data feed whole across the rename") {
+    val t = freshTable("t_ren")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1).writeTo(t).create()                       // v1
+    val table = store("t_ren")
+    val fileBefore = table.dataFiles.head
+
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")       // v2
+    // data intact under the new name; files untouched by identity
+    assert(spark.table(t).orderBy("id").select("id", "label")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(table.dataFiles.head eq fileBefore,
+      "rename must not rebuild data files")
+
+    // the PRE-rename commit's CDC rows still carry the values — matched
+    // through the field id, not the (changed) name
+    val ch = spark.table(s"graft_cat.ns.`t_ren$$changes`")
+      .filter($"_commit_version" === 1)
+      .select("id", "label").as[(Long, String)].collect().toSeq.sorted
+    assert(ch === Seq((1L, "a"), (2L, "b")),
+      "field-id matching must survive the rename in the CDF")
+
+    // time travel serves the pre-rename SCHEMA
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").columns.toSeq
+      === Seq("id", "v"))
+
+    // writes after the rename address the new name
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    assert(spark.table(t).filter($"label" === "c").count() === 1)
+
+    // guarded renames
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO label"))
+    val tp = freshTable("t_ren_part")
+    spark.sql(s"CREATE TABLE $tp (id BIGINT, p INT) PARTITIONED BY (p)")
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $tp RENAME COLUMN p TO q"))
+  }
+
+  test("DROP COLUMN rebuilds rows positionally; partition and last " +
+      "columns protected; delete vectors survive") {
+    val t = freshTable("t_drop")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, junk STRING, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "c"))
+      .toDF("id", "junk", "v").repartition(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id = 2") // MOR: DV on position 1
+    assert(store("t_drop").dvCensus.nonEmpty)
+
+    spark.sql(s"ALTER TABLE $t DROP COLUMN junk")
+    // narrower schema, same live rows, DV still applied (positions kept)
+    assert(spark.table(t).columns.toSeq === Seq("id", "v"))
+    assert(spark.table(t).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (3L, "c")))
+    assert(store("t_drop").dvCensus.nonEmpty,
+      "delete vectors must follow the rebuilt files")
+
+    // drops of load-bearing columns are rejected
+    val tp = freshTable("t_drop_part")
+    spark.sql(s"CREATE TABLE $tp (id BIGINT, p INT) PARTITIONED BY (p)")
+    intercept[Exception](spark.sql(s"ALTER TABLE $tp DROP COLUMN p"))
+    val t1 = freshTable("t_drop_only")
+    spark.sql(s"CREATE TABLE $t1 (id BIGINT)")
+    intercept[Exception](spark.sql(s"ALTER TABLE $t1 DROP COLUMN id"))
+  }
+
+  test("rename + add + drop compose; ids stay unique and stable") {
+    val t = freshTable("t_evolve")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w STRING)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO v2")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN w")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (x BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 7)")
+    assert(spark.table(t).orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+      === Seq((1L, "a", None), (2L, "b", Some(7L))))
+    // ids unique across the whole evolution
+    val ids = store("t_evolve").schema().fields
+      .flatMap(f => FieldIds.idOf(f))
+    assert(ids.length === 3 && ids.distinct.length === 3, ids.toSeq)
+  }
+}
