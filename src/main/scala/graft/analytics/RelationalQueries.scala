@@ -3376,6 +3376,52 @@ object RelationalQueries {
           s.table("graft_cat.ns.`s47_t$changes`")
             .filter(col("_change_type") === "insert"), "amount", "cdf"))
         .orderBy("probe")
+    },
+
+    // ----- CHECK constraints: the table declares `price >= 0` at
+    // create; two valid commits land, and a mixed batch containing
+    // negated prices is REFUSED WHOLE before the state swaps (the
+    // atomicity half — a partial land would leave the batch's valid
+    // rows behind). The oracle restates the two valid commits only; a
+    // gate that let the bad batch through (or dropped just its bad
+    // rows) changes the count and the sum. GraftConstraintsSpec pins
+    // the ALTER/NULL/dialect semantics.
+    Q("s48_check_constraint", "S-check,S8,A7", {
+      val h = s"${TS.hash("'ck|' || o_orderkey")} % 4"
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |               CAST(o_totalprice AS DOUBLE) AS price, $h AS h
+         |             FROM orders)
+         |SELECT count(*) AS n, ${Exact.sqlSum("price", 2)} AS total,
+         |  CAST(min(price) >= 0 AS INT) AS all_valid
+         |FROM src""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s48_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, price DOUBLE, h BIGINT) " +
+        "TBLPROPERTIES ('constraints.pos_price' = 'price >= 0')")
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(TF.polyHash(
+            concat(lit("ck|"), col("o_orderkey").cast("string"))), lit(4L))
+            .as("h"))
+      src.filter(col("h") < 2).writeTo(t).append()  // valid commit 1
+      // a mixed batch: h=2 rows valid, h=3 rows NEGATED — the whole
+      // commit must be refused
+      val refused = scala.util.Try {
+        src.filter(col("h") >= 2)
+          .withColumn("price",
+            when(col("h") === 3, -col("price")).otherwise(col("price")))
+          .writeTo(t).append()
+      }
+      require(refused.isFailure, "the violating commit must be refused")
+      src.filter(col("h") >= 2).writeTo(t).append() // valid commit 2
+      s.table(t).agg(count(lit(1)).as("n"),
+        Exact.dsum(col("price"), 2).as("total"),
+        (min(col("price")) >= 0).cast("int").as("all_valid"))
     }
   )
 }

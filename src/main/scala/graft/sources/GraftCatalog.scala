@@ -183,9 +183,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         s"${GraftTable.RowLevelModeProp} must be " +
           s"'${GraftTable.CopyOnWrite}' or '${GraftTable.MergeOnRead}', " +
           s"got '$mode'")
+    // CHECK constraints declared at create (`constraints.<name>` table
+    // properties) compile against the creation schema up front — a
+    // mis-spelled expression fails the CREATE, never a later write
+    val checks = properties.asScala.toMap.collect {
+      case (k, v) if k.startsWith(GraftConstraints.Prefix) =>
+        k.stripPrefix(GraftConstraints.Prefix) ->
+          GraftConstraints.compile(v, schema)
+    }
     val t = new GraftTable(
       (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
-      mode, bucketSpec)
+      mode, bucketSpec, checks)
     // atomic: two concurrent CREATEs must not both succeed (the loser's
     // table object could already be receiving a CTAS write)
     if (GraftTableStore.tables.putIfAbsent(key(ident), t).isDefined)
@@ -436,7 +444,9 @@ final case class ScanCensus(filesTotal: Int, filesRead: Int,
 class GraftTable(initialName: String, initialSchema: StructType,
                  val partitionCols: Seq[String] = Nil,
                  val rowLevelMode: String = GraftTable.CopyOnWrite,
-                 val bucketSpec: Option[(Int, String)] = None)
+                 val bucketSpec: Option[(Int, String)] = None,
+                 initialChecks: Map[String, GraftConstraints.Check] =
+                   Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -599,6 +609,24 @@ class GraftTable(initialName: String, initialSchema: StructType,
           })
           tableSchema = newSchema // after the narrow rows — loud, not wrong
 
+        case sp: TableChange.SetProperty
+            if sp.property.startsWith(GraftConstraints.Prefix) =>
+          val cname = sp.property.stripPrefix(GraftConstraints.Prefix)
+          val chk = GraftConstraints.compile(sp.value, tableSchema)
+          // Delta semantics: adding a constraint validates EXISTING rows
+          val live = files.iterator.flatMap(effRows)
+          live.foreach { r =>
+            if (chk.violates(r))
+              throw new IllegalStateException(
+                s"$tableName: cannot add CHECK constraint '$cname' (" +
+                  s"${chk.text}): an existing row violates it")
+          }
+          checks = checks.updated(cname, chk)
+
+        case rp: TableChange.RemoveProperty
+            if rp.property.startsWith(GraftConstraints.Prefix) =>
+          checks = checks - rp.property.stripPrefix(GraftConstraints.Prefix)
+
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
@@ -639,6 +667,28 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * right positions. Always empty on copy-on-write tables. */
   @volatile private var dvs: Map[GraftDataFile, scala.collection.immutable.BitSet] =
     Map.empty
+
+  /** CHECK constraints (name -> compiled check); every commit's
+    * incoming rows validate against ALL of them BEFORE the state swaps,
+    * and adding one validates the existing rows first — the table can
+    * never hold a violating row. */
+  @volatile private var checks: Map[String, GraftConstraints.Check] =
+    initialChecks
+
+  private[sources] def currentChecks: Map[String, GraftConstraints.Check] =
+    checks
+
+  private def validateChecks(rows: Iterator[InternalRow]): Unit = {
+    val cs = checks
+    if (cs.nonEmpty) rows.foreach { r =>
+      cs.foreach { case (cname, chk) =>
+        if (chk.violates(r))
+          throw new IllegalStateException(
+            s"$tableName: CHECK constraint '$cname' (" +
+              s"${chk.text}) violated by an incoming row — commit refused")
+      }
+    }
+  }
 
   /** A file's LIVE rows (delete vector applied). */
   private def effRows(f: GraftDataFile): Array[InternalRow] =
@@ -1065,12 +1115,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   private[sources] def installAppend(batches: Array[Array[InternalRow]]): Unit =
     synchronized {
+      validateChecks(batches.iterator.flatten)
       val nf = buildFiles(batches)
       files = files ++ nf
       snap("APPEND", added = nf)
     }
   private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
     synchronized {
+      validateChecks(batches.iterator.flatten)
       val old = cdcRemoved(files)
       val nf = buildFiles(batches)
       files = nf
@@ -1087,6 +1139,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
       touched: Option[Seq[Any] => Boolean],
       op: String = "MERGE"): Unit = synchronized {
+    validateChecks(batches.iterator.flatten)
     val nf = buildFiles(batches)
     val dropped = touched match {
       case None => val old = cdcRemoved(files); files = nf; old
@@ -1103,6 +1156,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * partition predicate): delete the matching groups, then append. */
   private[sources] def installOverwriteGroups(batches: Array[Array[InternalRow]],
       touched: Seq[Any] => Boolean): Unit = synchronized {
+    validateChecks(batches.iterator.flatten)
     val (kept, gone) = dropGroupRows(files, touched)
     val nf = buildFiles(batches)
     files = kept ++ nf
@@ -1116,6 +1170,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * `partitionOverwriteMode=dynamic`). */
   private[sources] def installDynamicOverwrite(
       batches: Array[Array[InternalRow]]): Unit = synchronized {
+    validateChecks(batches.iterator.flatten)
     val keyOf = boundGroupKey()
     val touched = batches.iterator.flatten.map(keyOf).toSet
     val (kept, gone) = dropGroupRows(files, touched.contains)
@@ -1307,9 +1362,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
-  override def properties(): util.Map[String, String] =
-    java.util.Collections.singletonMap(
-      GraftTable.RowLevelModeProp, rowLevelMode)
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put(GraftTable.RowLevelModeProp, rowLevelMode)
+    checks.foreach { case (n, c) =>
+      m.put(GraftConstraints.Prefix + n, c.text)
+    }
+    m
+  }
 
   /** Transforms incoming writes cluster by (one task per group → one
     * file per group): the identity partition columns, or the bucket
@@ -1441,6 +1501,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * Idempotent per position (a doubly-delivered address folds once). */
   private[sources] def installDelta(deletes: Array[(Int, Int)],
       inserts: Array[Array[InternalRow]], op: String): Unit = synchronized {
+    validateChecks(inserts.iterator.flatten)
     val fsnap = files
     val removed = Vector.newBuilder[GraftDataFile]
     var newDvs = dvs
@@ -1709,7 +1770,7 @@ object GraftMaintenance {
       Identifier.of(srcNamespace.toArray, src))
     val clone = new GraftTable(
       (dstNamespace :+ dst).mkString("."), schema, s.partitionCols,
-      s.rowLevelMode)
+      s.rowLevelMode, s.bucketSpec, s.currentChecks)
     if (GraftTableStore.tables
         .putIfAbsent((dstNamespace, dst), clone).isDefined)
       throw new TableAlreadyExistsException(

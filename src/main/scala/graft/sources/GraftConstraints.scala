@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** CHECK constraints for [[GraftTable]] (Delta's `ADD CONSTRAINT`,
+  * spelled as table properties: `constraints.<name> = '<boolean expr>'`
+  * at CREATE or via `ALTER TABLE ... SET TBLPROPERTIES`). The expression
+  * compiles ONCE against the table schema into an interpreted predicate;
+  * every commit validates its incoming rows BEFORE the state swaps, and
+  * adding a constraint validates the existing rows first — so the table
+  * can never hold a violating row. SQL CHECK semantics: only a result of
+  * literal FALSE violates (NULL/unknown passes).
+  *
+  * Deliberately small expression language — column refs, literals,
+  * comparisons, arithmetic, AND/OR/NOT, IS [NOT] NULL, IN — resolved
+  * here without the full analyzer (a write path must not depend on
+  * per-session analysis state); numeric operands widen automatically.
+  * Unsupported shapes are rejected AT DEFINITION time, never silently
+  * unenforced. */
+private[sources] object GraftConstraints {
+
+  val Prefix = "constraints."
+
+  /** A compiled constraint: original text + bound checker. */
+  final case class Check(text: String, expr: Expression) {
+    /** True when `row` VIOLATES the constraint (evaluates to FALSE). */
+    def violates(row: InternalRow): Boolean =
+      expr.eval(row) == java.lang.Boolean.FALSE
+  }
+
+  private def numRank(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case FloatType => 5
+    case DoubleType => 6
+    case _ => -1
+  }
+
+  private def widen(l: Expression, r: Expression): (Expression, Expression) = {
+    val (lr, rr) = (numRank(l.dataType), numRank(r.dataType))
+    if (lr < 0 || rr < 0 || lr == rr) (l, r)
+    else if (lr < rr) (Cast(l, r.dataType, Some("UTC")), r)
+    else (l, Cast(r, l.dataType, Some("UTC")))
+  }
+
+  /** Compile `text` against `schema`; throws IllegalArgumentException on
+    * anything the checker cannot enforce exactly. */
+  def compile(text: String, schema: StructType): Check = {
+    val parsed =
+      try SparkSession.active.sessionState.sqlParser.parseExpression(text)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"cannot parse constraint expression '$text': ${e.getMessage}")
+      }
+    // bind column references
+    val bound = parsed.transformUp {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length != 1)
+          throw new IllegalArgumentException(
+            s"constraint '$text': only top-level columns (got $a)")
+        val i = schema.fieldNames.indexWhere(
+          _.equalsIgnoreCase(a.nameParts.head))
+        if (i < 0) throw new IllegalArgumentException(
+          s"constraint '$text': no such column ${a.nameParts.head}")
+        BoundReference(i, schema.fields(i).dataType,
+          schema.fields(i).nullable)
+    }
+    // numeric widening for mixed-type comparisons/arithmetic (the only
+    // implicit coercion this dialect performs)
+    val coerced = bound.transformUp {
+      case b: BinaryComparison if b.left.dataType != b.right.dataType =>
+        val (l, r) = widen(b.left, b.right)
+        if (l.dataType != r.dataType)
+          throw new IllegalArgumentException(
+            s"constraint '$text': cannot compare ${b.left.dataType} " +
+              s"with ${b.right.dataType}")
+        b.withNewChildren(Seq(l, r))
+      case b: BinaryArithmetic if b.left.dataType != b.right.dataType =>
+        val (l, r) = widen(b.left, b.right)
+        if (l.dataType != r.dataType)
+          throw new IllegalArgumentException(
+            s"constraint '$text': cannot combine ${b.left.dataType} " +
+              s"with ${b.right.dataType}")
+        b.withNewChildren(Seq(l, r))
+      case in: In =>
+        val widened = in.list.map { e =>
+          if (e.dataType == in.value.dataType) e
+          else {
+            val (_, r) = widen(in.value, e)
+            if (r.dataType != in.value.dataType)
+              throw new IllegalArgumentException(
+                s"constraint '$text': IN list type mismatch")
+            r
+          }
+        }
+        In(in.value, widened)
+    }
+    // everything must be resolved (no functions, no subqueries) and
+    // boolean-typed — reject rather than under-enforce
+    coerced.foreach { e =>
+      if (!e.resolved)
+        throw new IllegalArgumentException(
+          s"constraint '$text': unsupported expression ${e.getClass
+            .getSimpleName} (columns, literals, comparisons, arithmetic, " +
+            "AND/OR/NOT, IS NULL, IN only)")
+    }
+    if (coerced.dataType != BooleanType)
+      throw new IllegalArgumentException(
+        s"constraint '$text': must be boolean, is ${coerced.dataType}")
+    Check(text, coerced)
+  }
+}
