@@ -55,8 +55,74 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * file format; the scale path for fact-sized merges remains the operator
   * route, whose plans are oracle- and shape-verified (s11/s19).
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with SupportsNamespaces {
   private var catalogName: String = _
+
+  // ---- namespaces (SHOW/CREATE/DROP NAMESPACE) ------------------------
+  // A namespace EXISTS when declared (CREATE NAMESPACE) or implied by a
+  // table living under it — table creation into an undeclared namespace
+  // stays permissive (the store's historical behavior), declaration just
+  // makes the namespace listable/drop-checkable like a real metastore.
+  private def allNamespaces: Set[Seq[String]] =
+    GraftTableStore.namespaces.keySet.toSet ++
+      GraftTableStore.tables.keys.map(_._1)
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces.map(ns => ns.take(1)).filter(_.nonEmpty)
+      .toArray.sortBy(_.mkString(".")).map(_.toArray)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    val p = namespace.toSeq
+    allNamespaces.filter(ns => ns.length > p.length && ns.startsWith(p))
+      .map(ns => ns.take(p.length + 1))
+      .toArray.sortBy(_.mkString(".")).map(_.toArray)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = namespace.toSeq
+    allNamespaces.exists(ns => ns == p || ns.startsWith(p))
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    GraftTableStore.namespaces.getOrElse(namespace.toSeq,
+      java.util.Collections.emptyMap[String, String]())
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    GraftTableStore.namespaces.put(namespace.toSeq,
+      new java.util.HashMap[String, String](metadata))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace metadata is immutable in this catalog")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = namespace.toSeq
+    if (!namespaceExists(namespace)) return false
+    val owned = GraftTableStore.tables.keys.filter(_._1.startsWith(p)).toSeq
+    if (owned.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${p.mkString(".")} holds ${owned.length} table(s); " +
+          "use CASCADE")
+    owned.foreach(GraftTableStore.tables.remove)
+    GraftTableStore.namespaces.remove(p)
+    true
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -248,6 +314,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   * a shared metastore. */
 object GraftTableStore {
   val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
+  /** Declared namespaces (CREATE NAMESPACE) with their metadata;
+    * namespaces implied by table keys need no entry here. */
+  val namespaces: TrieMap[Seq[String], util.Map[String, String]] =
+    TrieMap.empty
 }
 
 /** Commit-timestamp source for time travel, replaceable in tests so
@@ -2637,12 +2707,68 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
                             tests: Array[GraftDataFile => Boolean],
                             options: CaseInsensitiveStringMap,
                             changeFeed: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+
+  // Trigger.AvailableNow: pin the end of the backlog at prepare time and
+  // drain TO IT in read-limit-sized batches. Implemented natively
+  // because Spark's compatibility wrapper for sources without this trait
+  // ignores read limits (everything lands in one batch).
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.currentVersion)
 
   private val skipChangeCommits: Boolean =
     options.getBoolean("skipChangeCommits", false)
+
+  /** `maxFilesPerTrigger`: cap each micro-batch's file intake (Delta's
+    * option) — backlog drains in bounded batches instead of one giant
+    * catch-up batch. Offsets stay commit versions, so the cap advances
+    * WHOLE commits: a batch takes commits until the next one would break
+    * the budget, always at least one (progress guarantee). The initial
+    * snapshot is one batch regardless (it has no sub-version offsets). */
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = versionOf(start)
+    val cur = availableNowTarget.getOrElse(table.currentVersion)
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+          if s >= 0 =>
+        var v = s
+        var budget = mf.maxFiles()
+        var stopped = false // offsets are a PREFIX: stop at the first
+                            // commit that breaks the budget
+        table.entriesBetween(s, cur).foreach { e =>
+          if (!stopped) {
+            val cost =
+              if (changeFeed) { if (table.changeRowsOf(e).isEmpty) 0 else 1 }
+              else e.added.length
+            if (v == s || cost <= budget) { v = e.version; budget -= cost }
+            else stopped = true
+          }
+        }
+        GraftStreamOffset(v)
+      case _ => GraftStreamOffset(cur)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(table.currentVersion)
 
   override def initialOffset(): Offset =
     Option(options.get("startingVersion")) match {

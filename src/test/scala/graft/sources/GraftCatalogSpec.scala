@@ -281,4 +281,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v"))
     assert(spark.table(t).count() === 1)
   }
+
+  test("MERGE with NOT MATCHED BY SOURCE: the three-way merge through " +
+      "both row-level routes") {
+    def run(name: String, props: String): Unit = {
+      val t = freshTable(name)
+      spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)$props")
+      spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      Seq((2L, "B"), (9L, "Z")).toDF("id", "v")
+        .createOrReplaceTempView("nmbs_src")
+      spark.sql(
+        s"""MERGE INTO $t g USING nmbs_src s ON g.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE
+           |""".stripMargin)
+      assert(spark.table(t).orderBy("id").as[(Long, String)].collect().toSeq
+        === Seq((2L, "B"), (9L, "Z")), s"route: $name")
+    }
+    run("t_nmbs_cow", "")
+    run("t_nmbs_mor",
+      " TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+  }
 }

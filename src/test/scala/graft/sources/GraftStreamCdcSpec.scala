@@ -132,6 +132,39 @@ class GraftStreamCdcSpec extends SparkSpec {
     } finally GraftTable.historyRetention = saved
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch to whole commits; " +
+      "the backlog drains in order, exactly once") {
+    val t = freshTable("t_stream_rate")
+    val ckpt = tmpDir("ckpt-rate")
+    Seq((1L, "a")).toDF("id", "v").repartition(1).writeTo(t).create() // v1
+    for (i <- 2 to 5)
+      spark.sql(s"INSERT INTO $t VALUES ($i, 'x$i')") // v2..v5, 1 file each
+
+    // tail from the log start, one file per trigger → one commit per
+    // batch; AvailableNow drains the whole backlog through the cap
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Seq[Long]]())
+    val q = spark.readStream
+      .option("startingVersion", "1")
+      .option("maxFilesPerTrigger", "1")
+      .table(t)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").as[Long].collect().toSeq.sorted
+        if (ids.nonEmpty) { batches.add(ids); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    assert(got.flatten === Seq(1L, 2L, 3L, 4L, 5L),
+      s"backlog must drain in order exactly once: $got")
+    assert(got.length === 5 && got.forall(_.length === 1),
+      s"one single-file commit per batch under the cap: $got")
+  }
+
   test("t$changes: write-time CDC, multiset-cancelled to the minimal " +
       "row delta; version-range reads skip other commits' files") {
     val t = freshTable("t_cdc")
