@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // maintenance DDL (OPTIMIZE / VACUUM / RESTORE) as first-class SQL —
+    // a delegating parser that only intercepts the three verbs
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier(PolyHashExpr.FnName),
       info(PolyHashExpr.FnName,

@@ -154,6 +154,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         case "files" => base.filesMetaTable
         case "history" => base.historyMetaTable
         case "changes" => base.changesMetaTable
+        case "detail" => base.detailMetaTable
         case other => throw new NoSuchTableException(ident)
       }
     }
@@ -1112,6 +1113,41 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def changesMetaTable: GraftChangesTable =
     new GraftChangesTable(this)
 
+  /** `SELECT * FROM t$detail` (Delta's DESCRIBE DETAIL): one row of
+    * table-level facts — write mode, partitioning, file/row/byte census,
+    * delete-vector census, constraints, retained history extent. */
+  private[sources] def detailMetaTable: GraftSnapshotTable = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("row_level_mode", StringType, nullable = false),
+      StructField("partitioning", StringType, nullable = false),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("num_dv_files", IntegerType, nullable = false),
+      StructField("num_dv_deleted_rows", LongType, nullable = false),
+      StructField("constraints", StringType, nullable = false),
+      StructField("retained_versions", StringType, nullable = false)))
+    val fs = files
+    val dvm = dvs
+    val h = history
+    val row = new GenericInternalRow(Array[Any](
+      utf8(tableName),
+      utf8(rowLevelMode),
+      utf8(partitioning().map(_.toString).mkString(", ")),
+      fs.length,
+      fs.iterator.map(_.rowCount.toLong).sum -
+        dvm.valuesIterator.map(_.size.toLong).sum,
+      fs.iterator.map(_.sizeBytes).sum,
+      dvm.size,
+      dvm.valuesIterator.map(_.size.toLong).sum,
+      utf8(checks.toSeq.sortBy(_._1)
+        .map { case (n, c) => s"$n: ${c.text}" }.mkString("; ")),
+      utf8(s"${h.head.version}..${h.last.version}"))): InternalRow
+    new GraftSnapshotTable(s"$tableName$$detail", schema,
+      Vector(GraftDataFile.build(Array(row), schema, None)))
+  }
+
   def currentRows: Array[InternalRow] = files.toArray.flatMap(effRows)
 
   /** Current data files (file census surface for specs/maintenance). */
@@ -1486,6 +1522,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   // ---- streaming-source surface (package-private, used by the stream) --
   private[sources] def currentVersion: Int = history.last.version
+
+  /** Earliest retained commit version with tsMicros >= the instant;
+    * current version + 1 when the instant is after every commit (the
+    * stream then starts with only-new-data). Used by the stream's
+    * `startingTimestamp`. */
+  private[sources] def versionAtOrAfter(tsMicros: Long): Int = {
+    val h = history
+    h.find(_.tsMicros >= tsMicros) match {
+      case Some(e) => e.version
+      case None => h.last.version + 1
+    }
+  }
   /** Commit entries with start < version <= end; fails loudly when any
     * of them has been retired by history retention (the Delta behavior —
     * a stream cannot silently skip log it can no longer see). */
@@ -1853,6 +1901,26 @@ object GraftMaintenance {
     * reclaim). Returns the number of snapshots retired. */
   def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1): Int =
     resolve(namespace, table).vacuumHistory(keepLast)
+
+  /** SQL gateway for sessions built WITHOUT the parser extension:
+    * maintenance statements (see [[GraftSqlParser]]) execute here, any
+    * other SQL falls through to `spark.sql`. With
+    * `spark.sql.extensions=graft.plans.GraftExtensions` set, plain
+    * `spark.sql("OPTIMIZE …")` works directly and this helper is just
+    * a uniform entry point. */
+  def sql(spark: org.apache.spark.sql.SparkSession,
+          sqlText: String): org.apache.spark.sql.DataFrame =
+    GraftSqlParser.parseMaintenance(sqlText) match {
+      case Some(cmd: GraftMaintenanceCommand) =>
+        val rows = cmd.run(spark)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(cmd.output.map(a =>
+            org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable))))
+      case _ => spark.sql(sqlText)
+    }
 
   /** `RESTORE TABLE t TO VERSION AS OF v` (Delta's restore): reset the
     * current state to a retained snapshot, AS A NEW COMMIT — history
@@ -2771,16 +2839,27 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     GraftStreamOffset(table.currentVersion)
 
   override def initialOffset(): Offset =
-    Option(options.get("startingVersion")) match {
-      case None => GraftStreamOffset(-1) // initial snapshot, then tail
-      case Some("latest") => GraftStreamOffset(table.currentVersion)
-      case Some(v) =>
+    (Option(options.get("startingVersion")),
+      Option(options.get("startingTimestamp"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "set either startingVersion or startingTimestamp, not both")
+      case (None, None) => GraftStreamOffset(-1) // initial snapshot, tail
+      case (Some("latest"), _) => GraftStreamOffset(table.currentVersion)
+      case (Some(v), _) =>
         val sv = try v.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"startingVersion must be an integer or 'latest', got '$v'")
         }
         require(sv >= 0, s"startingVersion must be >= 0, got $sv")
         GraftStreamOffset(sv - 1) // deliver commit sv onward
+      case (None, Some(ts)) =>
+        // Delta's contract: replay from the EARLIEST commit at or after
+        // the instant; a future instant means only-new-data. Parsed as
+        // UTC — commit timestamps are epoch-based, never JVM-local
+        val micros = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        val v = table.versionAtOrAfter(micros)
+        GraftStreamOffset(v - 1)
     }
 
   override def latestOffset(): Offset = GraftStreamOffset(table.currentVersion)

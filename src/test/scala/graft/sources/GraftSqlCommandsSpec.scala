@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Maintenance DDL as SQL: OPTIMIZE [ZORDER BY] / VACUUM / RESTORE
+  * through the delegating parser ([[GraftSqlParser]], installed by the
+  * `spark.sql.extensions` route) and its extension-less gateway
+  * [[GraftMaintenance.sql]]. Everything that is not one of the three
+  * verbs must reach Spark's own parser untouched. */
+class GraftSqlCommandsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    val fq = s"graft_cat.ns.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $fq")
+    fq
+  }
+
+  private def store(name: String): GraftTable =
+    GraftTableStore.tables((Seq("ns"), name))
+
+  test("OPTIMIZE compacts via SQL and reports the file census") {
+    val t = freshTable("t_sqlopt")
+    for (i <- 0 until 4) {
+      val df = Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+      if (i == 0) df.writeTo(t).create() else df.writeTo(t).append()
+    }
+    assert(store("t_sqlopt").dataFiles.length === 4)
+    val res = GraftMaintenance.sql(spark, s"OPTIMIZE $t")
+      .as[(Int, Int)].head()
+    assert(res === ((4, 1)))
+    assert(store("t_sqlopt").dataFiles.length === 1)
+    assert(spark.table(t).count() === 4)
+  }
+
+  test("OPTIMIZE ZORDER BY via SQL re-lays the files along the curve") {
+    val t = freshTable("t_sqlz")
+    spark.range(0, 1024)
+      .selectExpr("id % 32 AS x", "id DIV 32 AS y", "id AS payload")
+      .writeTo(t).create()
+    val res = GraftMaintenance.sql(spark,
+      s"OPTIMIZE $t ZORDER BY (x, y) TARGET 64 ROWS")
+      .as[(Int, Int)].head()
+    assert(res._2 === 16, s"1024 rows at 64/file: $res")
+    assert(spark.table(t).count() === 1024)
+    // the layout actually helps: a 2-D box scan skips most files
+    spark.table(t).filter($"x" < 8 && $"y" < 8).count()
+    val census = store("t_sqlz").lastScanCensus.get
+    assert(census.filesRead < census.filesTotal / 2,
+      s"z-order layout must prune the box scan: $census")
+  }
+
+  test("VACUUM and RESTORE via SQL") {
+    val t = freshTable("t_sqlvac")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()      // v1
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")            // v2
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")            // v3
+
+    val restored = GraftMaintenance.sql(spark,
+      s"RESTORE TABLE $t TO VERSION AS OF 2").as[Int].head()
+    assert(restored === 2)
+    assert(spark.table(t).count() === 2)
+    assert(store("t_sqlvac").commitHistory.map(_._1) === Seq(0, 1, 2, 3, 4))
+
+    val retired = GraftMaintenance.sql(spark,
+      s"VACUUM $t RETAIN 2 SNAPSHOTS").as[Int].head()
+    assert(retired === 3)
+    assert(store("t_sqlvac").commitHistory.map(_._1) === Seq(3, 4))
+  }
+
+  test("t$detail serves the DESCRIBE DETAIL facts") {
+    val t = freshTable("t_detail")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read', " +
+      "'constraints.idpos'='id > 0')")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id = 2") // MOR: one DV'd file
+    val d = spark.table(s"graft_cat.ns.`t_detail$$detail`")
+      .select("row_level_mode", "num_files", "num_rows", "num_dv_files",
+        "num_dv_deleted_rows", "constraints", "retained_versions")
+      .as[(String, Int, Long, Int, Long, String, String)].head()
+    assert(d === (("merge-on-read", 1, 2L, 1, 1L, "idpos: id > 0", "0..2")))
+  }
+
+  test("the parser intercepts exactly the three verbs and delegates the " +
+      "rest") {
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    assert(p.parsePlan("OPTIMIZE graft_cat.ns.x")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("optimize graft_cat.ns.x zorder by (a, b)")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("VACUUM graft_cat.ns.x RETAIN 3 SNAPSHOTS")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("RESTORE TABLE graft_cat.ns.x TO VERSION AS OF 7")
+      .isInstanceOf[GraftMaintenanceCommand])
+    // everything else delegates to Spark's parser
+    assert(!p.parsePlan("SELECT 1").isInstanceOf[GraftMaintenanceCommand])
+    assert(!p.parsePlan("SELECT 'OPTIMIZE graft_cat.ns.x'")
+      .isInstanceOf[GraftMaintenanceCommand])
+    // unqualified names fail loudly at parse
+    intercept[Exception](p.parsePlan("OPTIMIZE bare_name"))
+    // the gateway passes ordinary SQL through to spark.sql
+    assert(GraftMaintenance.sql(spark, "SELECT 41 + 1")
+      .as[Int].head() === 42)
+  }
+}

@@ -119,6 +119,27 @@ class GraftStreamCdcSpec extends SparkSpec {
     assert(drainOnce(t, ckpt,
       Map("startingVersion" -> "latest")).sorted === Seq((4L, "d")))
 
+    // startingTimestamp: replay from the earliest commit at or after the
+    // instant (commit timestamps pinned through the test clock)
+    val savedClock = GraftClock.nowMicros
+    try {
+      val base = 1719792000L * 1000000L // 2024-07-01 00:00:00 UTC
+      var now = base
+      GraftClock.nowMicros = () => now
+      val tt = freshTable("t_stream_ts")
+      Seq((1L, "a")).toDF("id", "v").writeTo(tt).create()   // @base
+      now = base + 3600L * 1000000L
+      spark.sql(s"INSERT INTO $tt VALUES (2, 'b')")          // @+1h
+      now = base + 7200L * 1000000L
+      spark.sql(s"INSERT INTO $tt VALUES (3, 'c')")          // @+2h
+      assert(drainOnce(tt, tmpDir("ckpt-ts"),
+        Map("startingTimestamp" -> "2024-07-01 00:30:00")).sorted
+        === Seq((2L, "b"), (3L, "c")))
+      // a future instant = only-new-data
+      assert(drainOnce(tt, tmpDir("ckpt-ts2"),
+        Map("startingTimestamp" -> "2030-01-01 00:00:00")).isEmpty)
+    } finally GraftClock.nowMicros = savedClock
+
     // a retired offset fails loudly instead of silently skipping log
     val saved = GraftTable.historyRetention
     try {
