@@ -1353,9 +1353,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
         import org.apache.spark.sql.types._
         schema.fields(i).dataType match {
           case ByteType | ShortType | IntegerType | LongType | DateType |
-               TimestampType | TimestampNTZType => i
+               TimestampType | TimestampNTZType | StringType => i
           case dt => throw new IllegalArgumentException(
-            s"ZORDER BY $c: unsupported type $dt (integral required)")
+            s"ZORDER BY $c: unsupported type $dt (integral or string)")
         }
       }
       val dts = ords.map(schema.fields(_).dataType)
@@ -1365,6 +1365,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
           case s: java.lang.Short => s.toLong
           case i: java.lang.Integer => i.toLong
           case l: java.lang.Long => l.longValue()
+          // strings quantize by their first 7 bytes, big-endian: a
+          // non-negative Long whose < order equals the binary (UTF-8
+          // bytewise) string order — exactly the order the zone maps'
+          // UTF8String min/max compare by, so the curve and the skipping
+          // stats agree. 7 bytes keep the sign bit clear.
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            val bytes = u.getBytes
+            var acc = 0L
+            var k = 0
+            while (k < 7) {
+              acc = (acc << 8) | (if (k < bytes.length) bytes(k) & 0xffL else 0L)
+              k += 1
+            }
+            acc
         }
       val before = files
       def curveKey(rows: Array[InternalRow]): InternalRow => Long = {

@@ -70,6 +70,28 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(store("t_sqlvac").commitHistory.map(_._1) === Seq(3, 4))
   }
 
+  test("ZORDER BY accepts string columns: 7-byte-prefix curve agrees " +
+      "with the zone maps' binary string order") {
+    val t = freshTable("t_sqlz_str")
+    // 26×16 grid over (letter-prefixed key, numeric bucket)
+    spark.range(0, 416)
+      .selectExpr(
+        "concat(char(97 + id % 26), 'suffix') AS word",
+        "CAST(id DIV 26 AS BIGINT) AS grp",
+        "id AS payload")
+      .writeTo(t).create()
+    GraftMaintenance.sql(spark,
+      s"OPTIMIZE $t ZORDER BY (word, grp) TARGET 26 ROWS")
+    assert(spark.table(t).count() === 416)
+    // a narrow word-range scan touches a minority of the 16 files
+    val n = spark.table(t)
+      .filter($"word" >= "a" && $"word" <= "c~").count()
+    assert(n === 48)
+    val census = store("t_sqlz_str").lastScanCensus.get
+    assert(census.filesRead < census.filesTotal / 2,
+      s"string z-order must prune the range scan: $census")
+  }
+
   test("t$detail serves the DESCRIBE DETAIL facts") {
     val t = freshTable("t_detail")
     spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) " +
