@@ -555,12 +555,13 @@ class GraftTableFilesSpec extends SparkSpec {
       "zorder must not mix partition groups")
     assert(spark.table(tp).count() === 512)
 
-    // non-integral clustering column is rejected loudly
+    // an unsupported clustering type (floating point) is rejected
+    // loudly; strings quantize via their byte prefix (GraftSqlCommandsSpec)
     val ts = freshTable("t_zo_bad")
-    Seq((1L, "a")).toDF("id", "v").writeTo(ts).create()
+    Seq((1L, 0.5)).toDF("id", "d").writeTo(ts).create()
     intercept[IllegalArgumentException](
       graft.sources.GraftMaintenance.zorderBy(Seq("ns"), "t_zo_bad",
-        Seq("v")))
+        Seq("d")))
   }
 
   // ---- multi-column identity partitioning -----------------------------
