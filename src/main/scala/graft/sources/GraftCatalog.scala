@@ -968,6 +968,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     require(keepLast >= 1, "must keep at least the current snapshot")
     val over = history.length - keepLast
     if (over > 0) history = history.drop(over)
+    // vacuum truncates WITHOUT a version bump — the memoized CDC files
+    // would otherwise keep serving (and pinning) the retired commits
+    changesCache = None
     math.max(0, over)
   }
 
@@ -1093,16 +1096,31 @@ class GraftTable(initialName: String, initialSchema: StructType,
     rows.result().toArray
   }
 
+  // (last version, schema identity) -> materialized CDC files; the feed
+  // is read far more often than it changes (every t$changes scan and
+  // every CDF micro-batch planner builds against it)
+  @volatile private var changesCache
+      : Option[(Int, StructType, Vector[GraftDataFile])] = None
+
   /** Current CDC files: one per change-carrying retained commit (the
     * `_commit_version` zones make version-range reads skip every other
-    * commit's file). */
+    * commit's file). Memoized per (version, schema) — retention dropping
+    * OLD entries between same-version reads cannot occur (retention only
+    * moves when a commit bumps the version). */
   private[sources] def changesFiles: Vector[GraftDataFile] = {
+    val v = history.last.version
     val schema = changesSchema
-    history.iterator.flatMap { e =>
-      val rows = changeRowsOf(e)
-      if (rows.isEmpty) None
-      else Some(GraftDataFile.build(rows, schema, None))
-    }.toVector
+    changesCache match {
+      case Some((cv, cs, fs)) if cv == v && cs == schema => fs
+      case _ =>
+        val fs = history.iterator.flatMap { e =>
+          val rows = changeRowsOf(e)
+          if (rows.isEmpty) None
+          else Some(GraftDataFile.build(rows, schema, None))
+        }.toVector
+        changesCache = Some((v, schema, fs))
+        fs
+    }
   }
 
   /** Retained commit entries with version <= end (the CDF initial
@@ -1630,22 +1648,43 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * ADDRESSES and fold into the delete vectors — the touched files are
     * never rewritten; inserts (including update postimages) append as
     * new files. CDC records the deleted positions' rows as preimages.
-    * Idempotent per position (a doubly-delivered address folds once). */
+    *
+    * OPTIMISTIC CONCURRENCY (the Delta/Iceberg commit-conflict check):
+    * the addresses were minted against `expectedBase`, so the commit
+    * verifies that vector is still an identity-PREFIX of the current
+    * files — concurrent APPENDS only extend the suffix and pass, but a
+    * rewrite (OPTIMIZE / overwrite / COW) between scan and commit
+    * shifted the ordinals and MUST abort rather than delete the wrong
+    * rows. A position already dead: benign for DELETE (idempotent
+    * replay/duplicate target), a LOST UPDATE for UPDATE/MERGE — the
+    * preimage this commit read no longer exists — so those abort. */
   private[sources] def installDelta(deletes: Array[(Int, Int)],
-      inserts: Array[Array[InternalRow]], op: String): Unit = synchronized {
+      inserts: Array[Array[InternalRow]], op: String,
+      expectedBase: Vector[GraftDataFile]): Unit = synchronized {
     validateChecks(inserts.iterator.flatten)
     val fsnap = files
+    if (fsnap.length < expectedBase.length ||
+        !expectedBase.indices.forall(i => fsnap(i) eq expectedBase(i)))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: data files were rewritten between this $op's scan " +
+          "and its commit (concurrent OPTIMIZE/overwrite/rewrite); " +
+          "row addresses no longer bind — retry the statement")
+    val strictPositions = op != "DELETE"
     val removed = Vector.newBuilder[GraftDataFile]
     var newDvs = dvs
     deletes.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (fid, ps) =>
-      if (fid < 0 || fid >= fsnap.length)
+      if (fid < 0 || fid >= expectedBase.length)
         throw new IllegalStateException(
           s"$tableName: delta delete addresses unknown file $fid " +
-            s"(${fsnap.length} files) — the operation's scan and commit " +
-            "must bind the same snapshot")
+            s"(${expectedBase.length} files in the scanned snapshot)")
       val f = fsnap(fid)
       val old = newDvs.getOrElse(f, scala.collection.immutable.BitSet.empty)
-      val fresh = ps.iterator.map(_._2).filterNot(old.contains).toSeq.distinct
+      val (dead, fresh) =
+        ps.iterator.map(_._2).toSeq.distinct.partition(old.contains)
+      if (dead.nonEmpty && strictPositions)
+        throw new java.util.ConcurrentModificationException(
+          s"$tableName: a row this $op read was deleted concurrently " +
+            s"(file $fid, position ${dead.head}) — retry the statement")
       if (fresh.nonEmpty) {
         removed ++= pseudoOf(f, fresh)
         newDvs = newDvs.updated(f, old ++ fresh)
@@ -1664,14 +1703,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
       () => new RowLevelOperation with SupportsDelta {
         override def command(): RowLevelOperation.Command = info.command()
 
+        // the whole operation binds ONE snapshot: the scan reads it, the
+        // row addresses index into it, and the commit verifies it is
+        // still an identity-prefix of the table (optimistic concurrency)
+        @volatile private var scannedState
+            : (Vector[GraftDataFile],
+               Map[GraftDataFile, scala.collection.immutable.BitSet]) = _
+
         // MOR needs no group narrowing: only matched rows produce delta
         // actions, so the write is delta-sized by construction. The scan
         // is the table's REAL scan — zone skipping, runtime filtering,
         // and the metadata columns the row IDs resolve against.
         override def newScanBuilder(options: CaseInsensitiveStringMap)
-            : ScanBuilder =
-          new GraftScanBuilder(tableSchema, () => readState,
+            : ScanBuilder = {
+          scannedState = readState
+          new GraftScanBuilder(tableSchema, () => scannedState,
             c => lastScanCensus = Some(c), partitionCols)
+        }
 
         override def rowId(): Array[NamedReference] =
           Array(Expressions.column("_file_id"), Expressions.column("_row_pos"))
@@ -1685,7 +1733,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
             override def build()
                 : org.apache.spark.sql.connector.write.DeltaWrite =
               new GraftDeltaWrite((dels, ins) =>
-                installDelta(dels, ins, command().toString))
+                installDelta(dels, ins, command().toString,
+                  scannedState._1))
           }
       }
     else () => new RowLevelOperation {

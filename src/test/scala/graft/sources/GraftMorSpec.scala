@@ -208,6 +208,37 @@ class GraftMorSpec extends SparkSpec {
       ("delete", 1L)))
   }
 
+  test("optimistic concurrency: a rewrite between scan and commit " +
+      "aborts; a lost update aborts; a duplicate delete folds") {
+    val t = createMor("t_mor_occ")
+    for (i <- 0 until 2)
+      Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+        .writeTo(t).append() // two small files → OPTIMIZE rewrites them
+    val table = store("t_mor_occ")
+    val staleBase = table.dataFiles
+
+    // a concurrent OPTIMIZE rebuilds the files: addresses minted against
+    // the old vector must abort, not delete whatever now sits there
+    GraftMaintenance.optimize(Seq("ns"), "t_mor_occ", targetRows = 1 << 20)
+    intercept[java.util.ConcurrentModificationException] {
+      table.installDelta(Array((0, 0)), Array.empty, "DELETE", staleBase)
+    }
+    assert(spark.table(t).count() === 2, "the aborted delete must not land")
+
+    // lost update: the position an UPDATE read gets deleted concurrently
+    val base2 = table.dataFiles
+    val pos = spark.sql(s"SELECT _row_pos FROM $t WHERE id = 0")
+      .as[Int].head()
+    table.installDelta(Array((0, pos)), Array.empty, "DELETE", base2)
+    assert(spark.table(t).count() === 1)
+    intercept[java.util.ConcurrentModificationException] {
+      table.installDelta(Array((0, pos)), Array.empty, "UPDATE", base2)
+    }
+    // ... but the same re-delivered DELETE folds idempotently
+    table.installDelta(Array((0, pos)), Array.empty, "DELETE", base2)
+    assert(spark.table(t).count() === 1)
+  }
+
   test("mode surfaces: property reported, bad mode rejected, clone " +
       "preserves vectors and mode") {
     val t = createMor("t_mor_meta")
