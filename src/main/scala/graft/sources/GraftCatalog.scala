@@ -120,7 +120,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"namespace ${p.mkString(".")} holds ${owned.length} table(s); " +
           "use CASCADE")
     owned.foreach(GraftTableStore.tables.remove)
-    GraftTableStore.namespaces.remove(p)
+    // declared DESCENDANT namespaces go with the parent, or a phantom
+    // prefix would keep namespaceExists true after the drop
+    GraftTableStore.namespaces.keys
+      .filter(ns => ns == p || ns.startsWith(p))
+      .foreach(GraftTableStore.namespaces.remove)
     true
   }
 
@@ -403,6 +407,22 @@ final class GraftDataFile(
 
 object GraftDataFile {
 
+  /** `rows` minus the DEAD positions, original order preserved — THE
+    * delete-vector application, shared by every read path so the
+    * semantics (skip, never renumber) cannot drift between copies. */
+  def liveRows(rows: Array[InternalRow],
+               dead: scala.collection.immutable.BitSet): Array[InternalRow] =
+    if (dead.isEmpty) rows
+    else {
+      val out = Array.newBuilder[InternalRow]
+      var i = 0
+      while (i < rows.length) {
+        if (!dead.contains(i)) out += rows(i)
+        i += 1
+      }
+      out.result()
+    }
+
   /** Types whose internal values are Comparable and whose pushed-filter
     * literals convert losslessly — the zone-map-eligible set. Binary,
     * arrays, maps and structs get no zones (files always scan). */
@@ -543,35 +563,25 @@ class GraftTable(initialName: String, initialSchema: StructType,
   // across schema versions by identity, not by name
   @volatile private var tableSchema: StructType = FieldIds.assign(initialSchema)
 
-  // defs, not vals: DROP COLUMN shifts ordinals, so the partition/bucket
-  // bindings recompute against the CURRENT schema (dropping a partition
-  // or bucket-source column itself is rejected)
-  private def partOrdinals: Seq[Int] =
-    partitionCols.map(tableSchema.fieldIndex)
-  private def partTypes: Seq[DataType] = {
-    val s = tableSchema
-    partitionCols.map(c => s.fields(s.fieldIndex(c)).dataType)
-  }
-
-  // bucket transform: (numBuckets, source ordinal, source type)
-  private def bucketBinding: Option[(Int, Int, DataType)] =
-    bucketSpec.map { case (n, c) =>
-      val s = tableSchema
-      val i = s.fieldIndex(c)
-      (n, i, s.fields(i).dataType)
-    }
+  // partition/bucket bindings resolve by NAME against whichever schema
+  // a caller binds ([[boundGroupKeyFor]]) — DROP COLUMN shifts ordinals,
+  // so nothing caches them (dropping a partition or bucket-source column
+  // itself is rejected)
 
   private def keyOfOpt: Option[InternalRow => Seq[Any]] =
-    if (partitionCols.isEmpty && bucketSpec.isEmpty) None
-    else Some(boundGroupKey())
+    boundGroupKeyFor(tableSchema)
 
   /** Rebuild every file through `rewrite` (a positional row transform
     * that PRESERVES row order and count) under `newSchema`; delete
-    * vectors follow their file (positions preserved). */
+    * vectors follow their file (positions preserved). The group key
+    * binds against the NEW schema — the rewritten rows' layout — never
+    * the table's current one (a DROP COLUMN before the partition column
+    * would otherwise read the key from a shifted ordinal). */
   private def rebuildFiles(newSchema: StructType,
       rewrite: InternalRow => InternalRow): Unit = {
+    val keyOf = boundGroupKeyFor(newSchema)
     val pairs = files.map { f =>
-      f -> GraftDataFile.build(f.rows.map(rewrite), newSchema, keyOfOpt)
+      f -> GraftDataFile.build(f.rows.map(rewrite), newSchema, keyOf)
     }
     dvs = dvs.flatMap { case (of, bs) =>
       pairs.find(_._1 eq of).map(_._2 -> bs)
@@ -663,6 +673,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
               bucketSpec.exists(_._2.equalsIgnoreCase(name)))
             throw new UnsupportedOperationException(
               s"cannot drop partition/bucket column $name")
+          // CHECK constraints: one referencing the dropped column blocks
+          // the drop (drop the constraint first — Delta's rule); the
+          // rest re-bind their ordinals to the narrowed layout
+          checks.foreach { case (cname, c) =>
+            c.expr.foreach {
+              case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                  if b.ordinal == idx =>
+                throw new UnsupportedOperationException(
+                  s"cannot drop column $name: CHECK constraint '$cname' " +
+                    s"(${c.text}) references it — drop the constraint first")
+              case _ => ()
+            }
+          }
+          checks = checks.map { case (cname, c) =>
+            cname -> c.copy(expr = c.expr.transform {
+              case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                  if b.ordinal > idx =>
+                b.copy(ordinal = b.ordinal - 1)
+            })
+          }
           val oldFields = tableSchema.fields
           val newSchema = StructType(
             oldFields.zipWithIndex.filter(_._2 != idx).map(_._1))
@@ -713,14 +743,24 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * binds the ordinals ONCE against the current schema — per-row loops
     * must use it rather than re-resolving per row. */
   private[sources] def boundGroupKey(): InternalRow => Seq[Any] =
-    bucketBinding match {
-      case Some((n, i, dt)) =>
-        r => Seq(GraftFunctionsV2.bucketOf(n,
-          if (r.isNullAt(i)) null else r.get(i, dt)))
-      case None =>
-        val ords = partOrdinals
-        val dts = partTypes
-        r => ords.lazyZip(dts).map((i, dt) => r.get(i, dt))
+    boundGroupKeyFor(tableSchema).getOrElse(_ => Nil)
+
+  /** [[boundGroupKey]] bound against an EXPLICIT schema (schema-
+    * evolution rebuilds pass the post-evolution layout). None when the
+    * table has no grouping. */
+  private def boundGroupKeyFor(schema: StructType)
+      : Option[InternalRow => Seq[Any]] =
+    bucketSpec match {
+      case Some((n, c)) =>
+        val i = schema.fieldIndex(c)
+        val dt = schema.fields(i).dataType
+        Some(r => Seq(GraftFunctionsV2.bucketOf(n,
+          if (r.isNullAt(i)) null else r.get(i, dt))))
+      case None if partitionCols.nonEmpty =>
+        val ords = partitionCols.map(schema.fieldIndex)
+        val dts = ords.map(schema.fields(_).dataType)
+        Some(r => ords.lazyZip(dts).map((i, dt) => r.get(i, dt)))
+      case None => None
     }
 
   private[sources] def groupKeyOf(r: InternalRow): Seq[Any] =
@@ -763,17 +803,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   /** A file's LIVE rows (delete vector applied). */
   private def effRows(f: GraftDataFile): Array[InternalRow] =
-    dvs.get(f) match {
-      case None => f.rows
-      case Some(bs) =>
-        val out = Array.newBuilder[InternalRow]
-        var i = 0
-        while (i < f.rows.length) {
-          if (!bs.contains(i)) out += f.rows(i)
-          i += 1
-        }
-        out.result()
-    }
+    GraftDataFile.liveRows(f.rows,
+      dvs.getOrElse(f, scala.collection.immutable.BitSet.empty))
 
   /** Pseudo-file holding the given POSITIONS of `f` (CDC/diff helper). */
   private def pseudoOf(f: GraftDataFile,
@@ -783,9 +814,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
   }
 
-  /** CDC view of a removed file: its EFFECTIVE rows (a DV'd file's dead
-    * positions were already reported deleted by the MOR commit). */
-  private def cdcRemoved(fs: Vector[GraftDataFile]): Vector[GraftDataFile] =
+  /** CDC view of a file set: EFFECTIVE rows only (a DV'd file's dead
+    * positions were already reported deleted by the MOR commit that
+    * killed them, so neither a removal nor an adoption may re-report
+    * them). Files without a vector ride by reference. */
+  private def cdcLiveView(fs: Vector[GraftDataFile]): Vector[GraftDataFile] =
     fs.flatMap { f =>
       dvs.get(f) match {
         case None => Some(f)
@@ -907,10 +940,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
 
   /** Clone bootstrap: adopt shared file references (and their delete
-    * vectors) as commit 1. */
+    * vectors) as commit 1. The CDC/stream record of the adoption is the
+    * LIVE-ROW view — a cloned MOR table's dead positions must not
+    * resurface as inserts in the clone's change feed. */
   private[sources] def adoptFiles(fs: Vector[GraftDataFile],
       fsDvs: Map[GraftDataFile, scala.collection.immutable.BitSet]): Unit =
-    synchronized { files = fs; dvs = fsDvs; snap("CLONE", added = fs) }
+    synchronized {
+      files = fs; dvs = fsDvs
+      snap("CLONE", added = cdcLiveView(fs))
+    }
 
   /** `RESTORE TABLE ... TO VERSION AS OF v`: reset the current state to a
     * retained snapshot, recorded as a NEW commit (Delta's contract —
@@ -1221,7 +1259,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         case Some(k) =>
           // `removed` feeds ONLY the CDC record, so a DV'd file reports
           // its live rows; a kept file keeps its identity (and its DV)
-          if (touched(k)) removed ++= cdcRemoved(Vector(f)) else kept += f
+          if (touched(k)) removed ++= cdcLiveView(Vector(f)) else kept += f
         case None =>
           val keyOf = boundGroupKey()
           val (gone, stay) = effRows(f).partition(r => touched(keyOf(r)))
@@ -1247,7 +1285,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
     synchronized {
       validateChecks(batches.iterator.flatten)
-      val old = cdcRemoved(files)
+      val old = cdcLiveView(files)
       val nf = buildFiles(batches)
       files = nf
       pruneDvs()
@@ -1266,7 +1304,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     validateChecks(batches.iterator.flatten)
     val nf = buildFiles(batches)
     val dropped = touched match {
-      case None => val old = cdcRemoved(files); files = nf; old
+      case None => val old = cdcLiveView(files); files = nf; old
       case Some(pred) =>
         val (kept, gone) = dropGroupRows(files, pred)
         files = kept ++ nf
@@ -1476,7 +1514,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
     val gone =
       if (alwaysTrueOnly(filters)) {
-        val old = cdcRemoved(files); files = Vector.empty; old
+        val old = cdcLiveView(files); files = Vector.empty; old
       }
       else {
         val pred = GroupPredicates.keyPredicate(filters, partitionCols)
@@ -1561,6 +1599,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * `startingTimestamp`. */
   private[sources] def versionAtOrAfter(tsMicros: Long): Int = {
     val h = history
+    // history truncated before the requested instant: fail loudly like
+    // a retired startingVersion would — a stream must never silently
+    // skip log it can no longer see
+    if (h.head.version > 0 && tsMicros < h.head.tsMicros)
+      throw new IllegalStateException(
+        s"$tableName: commits at or after the requested timestamp have " +
+          s"been retired by history retention (earliest retained: " +
+          s"${h.head.tsMicros}); restart from a snapshot instead")
     h.find(_.tsMicros >= tsMicros) match {
       case Some(e) => e.version
       case None => h.last.version + 1
@@ -2523,19 +2569,8 @@ class GraftScanBuilder(tableSchema: StructType,
         pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
     } else {
       // live rows of one file (delete vector applied; no-op on COW)
-      def live(f: GraftDataFile): Array[InternalRow] = {
-        val dead = dvOf(f)
-        if (dead.isEmpty) f.rows
-        else {
-          val out = Array.newBuilder[InternalRow]
-          var p = 0
-          while (p < f.rows.length) {
-            if (!dead.contains(p)) out += f.rows(p)
-            p += 1
-          }
-          out.result()
-        }
-      }
+      def live(f: GraftDataFile): Array[InternalRow] =
+        GraftDataFile.liveRows(f.rows, dvOf(f))
       if (required.length == tableSchema.length)
         new GraftScan(tableSchema,
           surviving.map { case (f, _) =>
@@ -2887,8 +2922,11 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         table.entriesBetween(s, cur).foreach { e =>
           if (!stopped) {
             val cost =
-              if (changeFeed) { if (table.changeRowsOf(e).isEmpty) 0 else 1 }
-              else e.added.length
+              // raw-CDC emptiness is O(1); a rewrite whose delta happens
+              // to fully cancel counts 1 and only shrinks the batch
+              if (changeFeed) {
+                if (e.added.isEmpty && e.removed.isEmpty) 0 else 1
+              } else e.added.length
             if (v == s || cost <= budget) { v = e.version; budget -= cost }
             else stopped = true
           }
@@ -2919,10 +2957,17 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         // Delta's contract: replay from the EARLIEST commit at or after
         // the instant; a future instant means only-new-data. Parsed as
         // UTC — commit timestamps are epoch-based, never JVM-local
-        val micros = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-        val v = table.versionAtOrAfter(micros)
-        GraftStreamOffset(v - 1)
+        val t = ts.trim
+        val ldt =
+          if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+            java.time.LocalDate.parse(t).atStartOfDay
+          else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        val micros =
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        // REPLAY semantics (like startingVersion), never the -1
+        // initial-snapshot sentinel: version 0 holds no data, so the
+        // earliest meaningful replay point is offset 0
+        GraftStreamOffset(math.max(0, table.versionAtOrAfter(micros) - 1))
     }
 
   override def latestOffset(): Offset = GraftStreamOffset(table.currentVersion)
@@ -2998,10 +3043,9 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     batchFiles
       .filter { case (_, f, _) => tests.forall(_(f)) } // zone-skip per batch
       .map { case (schema, f, dead) =>
-        val rows =
-          if (dead.isEmpty) f.rows
-          else f.rows.indices.filterNot(dead.contains).map(f.rows).toArray
-        GraftInputPartition(projectTo(schema, rows)): InputPartition
+        GraftInputPartition(
+          projectTo(schema, GraftDataFile.liveRows(f.rows, dead)))
+          : InputPartition
       }.toArray
   }
 

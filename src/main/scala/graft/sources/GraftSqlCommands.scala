@@ -53,46 +53,63 @@ object GraftSqlParser {
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
-  /** (namespace, table) from a dotted identifier; a leading catalog part
-    * (3+ parts) is accepted and dropped — the JVM-global store is the
-    * same table universe under every registered graft catalog name. */
-  private def split(ident: String): (Seq[String], String) = {
+  /** Identifier parts, or None for an unqualified single-part name —
+    * those DELEGATE to Spark's parser (another extension may own the
+    * statement; this one never hijacks what it cannot resolve). */
+  private def split(ident: String): Option[Seq[String]] = {
     val parts = ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
-    require(parts.length >= 2,
-      s"maintenance statements need a qualified table name, got '$ident'")
-    val core = if (parts.length >= 3) parts.tail else parts
-    (core.dropRight(1), core.last)
+    if (parts.length >= 2) Some(parts) else None
+  }
+
+  /** Resolve parts to a store key AT RUN TIME: a 3+-part name tries the
+    * catalog-stripped key first, then the full parts as a nested
+    * namespace — the JVM-global store is the same table universe under
+    * every registered graft catalog name, so existence disambiguates. */
+  private def resolve(parts: Seq[String]): (Seq[String], String) = {
+    val cands =
+      (if (parts.length >= 3)
+        Seq((parts.tail.dropRight(1), parts.last)) else Nil) :+
+      ((parts.dropRight(1), parts.last))
+    cands.find(GraftTableStore.tables.contains).getOrElse(cands.head)
   }
 
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, IntegerType, nullable = false)())
 
-  /** Some(command plan) when `sqlText` is a maintenance statement. */
+  /** Some(command plan) when `sqlText` is a maintenance statement over a
+    * qualified table name. */
   def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Optimize(ident, zcols, target) =>
-        val (ns, t) = split(ident)
-        val rows = Option(target).map(_.toInt).getOrElse(1 << 20)
-        Some(GraftMaintenanceCommand(
-          out("files_before", "files_after"), _ => {
-            val r =
-              if (zcols == null) GraftMaintenance.optimize(ns, t, rows)
-              else GraftMaintenance.zorderBy(ns, t,
-                zcols.split(',').toSeq.map(_.trim.stripPrefix("`")
-                  .stripSuffix("`")).filter(_.nonEmpty), rows)
-            Seq(Row(r.filesBefore, r.filesAfter))
-          }))
+        split(ident).map { parts =>
+          val rows = Option(target).map(_.toInt).getOrElse(1 << 20)
+          GraftMaintenanceCommand(
+            out("files_before", "files_after"), _ => {
+              val (ns, t) = resolve(parts)
+              val r =
+                if (zcols == null) GraftMaintenance.optimize(ns, t, rows)
+                else GraftMaintenance.zorderBy(ns, t,
+                  zcols.split(',').toSeq.map(_.trim.stripPrefix("`")
+                    .stripSuffix("`")).filter(_.nonEmpty), rows)
+              Seq(Row(r.filesBefore, r.filesAfter))
+            })
+        }
       case Vacuum(ident, keep) =>
-        val (ns, t) = split(ident)
-        val keepLast = Option(keep).map(_.toInt).getOrElse(1)
-        Some(GraftMaintenanceCommand(out("snapshots_retired"),
-          _ => Seq(Row(GraftMaintenance.vacuum(ns, t, keepLast)))))
+        split(ident).map { parts =>
+          val keepLast = Option(keep).map(_.toInt).getOrElse(1)
+          GraftMaintenanceCommand(out("snapshots_retired"), _ => {
+            val (ns, t) = resolve(parts)
+            Seq(Row(GraftMaintenance.vacuum(ns, t, keepLast)))
+          })
+        }
       case Restore(ident, v) =>
-        val (ns, t) = split(ident)
-        Some(GraftMaintenanceCommand(out("restored_to_version"), _ => {
-          GraftMaintenance.restore(ns, t, v.toInt)
-          Seq(Row(v.toInt))
-        }))
+        split(ident).map { parts =>
+          GraftMaintenanceCommand(out("restored_to_version"), _ => {
+            val (ns, t) = resolve(parts)
+            GraftMaintenance.restore(ns, t, v.toInt)
+            Seq(Row(v.toInt))
+          })
+        }
       case _ => None
     }
 }

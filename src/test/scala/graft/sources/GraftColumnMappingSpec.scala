@@ -88,6 +88,42 @@ class GraftColumnMappingSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"ALTER TABLE $t1 DROP COLUMN id"))
   }
 
+  test("DROP COLUMN before the partition column keeps group keys bound " +
+      "to the right ordinal") {
+    val t = freshTable("t_drop_shift")
+    spark.sql(s"CREATE TABLE $t (junk STRING, p INT, id BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t VALUES ('x', 1, 10), ('y', 1, 11), " +
+      "('z', 2, 20)")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN junk") // p shifts 1 -> 0
+    // rebuilt files carry the TRUE partition key, so a metadata delete
+    // drops exactly partition 1 (a stale ordinal would key on id/junk)
+    assert(store("t_drop_shift").dataFiles.forall(_.groupKey.isDefined))
+    spark.sql(s"DELETE FROM $t WHERE p = 1")
+    assert(spark.table(t).orderBy("id").as[(Int, Long)].collect().toSeq
+      === Seq((2, 20L)))
+    // post-drop inserts land in the right groups too
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")
+    spark.sql(s"DELETE FROM $t WHERE p = 3")
+    assert(spark.table(t).as[(Int, Long)].collect().toSeq === Seq((2, 20L)))
+  }
+
+  test("DROP COLUMN re-binds CHECK constraints; dropping a constrained " +
+      "column is refused") {
+    val t = freshTable("t_drop_chk")
+    spark.sql(s"CREATE TABLE $t (junk STRING, price DOUBLE) " +
+      "TBLPROPERTIES ('constraints.pos' = 'price >= 0')")
+    spark.sql(s"INSERT INTO $t VALUES ('a', 1.0)")
+    // the constrained column itself is protected
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN price"))
+    // dropping the OTHER column shifts price's ordinal; the check must
+    // follow it — a stale binding would validate nothing (or crash)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN junk")
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-5.0)"))
+    spark.sql(s"INSERT INTO $t VALUES (2.0)")
+    assert(spark.table(t).as[Double].collect().toSeq.sorted === Seq(1.0, 2.0))
+  }
+
   test("rename + add + drop compose; ids stay unique and stable") {
     val t = freshTable("t_evolve")
     Seq((1L, "a")).toDF("id", "v").writeTo(t).create()

@@ -208,6 +208,35 @@ class GraftMorSpec extends SparkSpec {
       ("delete", 1L)))
   }
 
+  test("cloning a MOR table records the LIVE rows in the clone's change " +
+      "feed — dead positions never resurface as inserts") {
+    val t = createMor("t_mor_clonecdc")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.t_mor_clonecdc2")
+    GraftMaintenance.cloneTable(Seq("ns"), "t_mor_clonecdc",
+      Seq("ns"), "t_mor_clonecdc2")
+    val ch = spark.table(s"graft_cat.ns.`t_mor_clonecdc2$$changes`")
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq
+    assert(ch.toSet === Set(("insert", 1L), ("insert", 3L)),
+      s"the clone's feed must hold only live rows: $ch")
+    // a plain stream replaying the clone's log sees the same live view
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = spark.readStream.option("startingVersion", "1")
+      .table("graft_cat.ns.t_mor_clonecdc2")
+      .writeStream
+      .option("checkpointLocation", tmpDir("ckpt-clonecdc"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").as[Long].collect().foreach(got.add)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted === Seq(1L, 3L))
+  }
+
   test("optimistic concurrency: a rewrite between scan and commit " +
       "aborts; a lost update aborts; a duplicate delete folds") {
     val t = createMor("t_mor_occ")
