@@ -222,9 +222,10 @@ object PipelineQueries {
        |    FROM cleaned) WHERE rn = 1)""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(
-    Q("g1_gold_fact",
-      "E1,P4-P6,F1-F10,D1,W1,W2,J1-J7,J10,A1-A8", {
+  /** The gold-aggregate oracle, shared by g1 (in-memory composition) and
+    * g2 (the same derivation carried by catalog tables) — the two routes
+    * must land the IDENTICAL result. */
+  private def goldOracle: String = {
       def inList(cs: Seq[String]) = cs.map(c => s"'$c'").mkString(", ")
       s"""WITH $measSql
          |SELECT CAST(year(date_local) AS INT) AS year,
@@ -256,7 +257,12 @@ object PipelineQueries {
          |FROM meas
          |GROUP BY 1, 2, 3, 4, 5
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
-    }) { (s, dir) =>
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("g1_gold_fact",
+      "E1,P4-P6,F1-F10,D1,W1,W2,J1-J7,J10,A1-A8",
+      goldOracle) { (s, dir) =>
       // bronze feeds eight consumers (measurement, five entity extracts,
       // population, and the dirt columns) — persist it so the synthetic
       // column projection evaluates once; every downstream stage reads
@@ -301,6 +307,86 @@ object PipelineQueries {
           Seq("parameter_key"))
         .join(broadcast(dm.select(col("method_key"))),
           Seq("method_key"))
+        .groupBy("year", "region", "parameter_name", "category", "aqi_category")
+        .agg(
+          count(lit(1)).as("n_meas"),
+          countDistinct(col("location_key")).as("n_sites"),
+          countDistinct(col("method_key")).as("n_methods"),
+          sum(when(col("exceeds_standard"), 1L).otherwise(0L)).as("n_exceed"),
+          Exact.dsum(col("arithmetic_mean")).as("mean_sum"),
+          max(col("aqi")).as("max_aqi"),
+          sum(col("observation_count").cast("long")).as("n_obs"),
+          max(col("population")).as("max_pop"))
+        .orderBy("year", "region", "parameter_name", "category", "aqi_category")
+    },
+
+    // ----- The SAME composed lifecycle carried by the LAKEHOUSE: silver
+    // lands in a state-partitioned catalog table through the reference's
+    // weekly-increment contract (two date-cut increments, each cleaned +
+    // deduped within itself — the natural key contains date_local, so a
+    // date cut keeps every key's duplicates in one increment — MERGEd
+    // insert-only by natural key, exactly the Automated_Silver_to_Gold
+    // Delta MERGE); the four dims PUBLISH as catalog tables; the fact
+    // and the key re-resolution read everything back THROUGH the catalog
+    // with NO broadcast hints — the scans' reported statistics drive the
+    // auto-broadcasts. One oracle row, identical to g1's: the in-memory
+    // and lakehouse routes must land the same gold, so an increment that
+    // dropped/duplicated a key, a MERGE that mis-joined, or a stats
+    // mis-report that flipped a join side breaks the hash.
+    Q("g2_gold_lakehouse",
+      "E1,S6,S8,S10,S11,W2,J10,A1-A8", goldOracle) { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      Seq("g2_silver", "g2_dim_date", "g2_dim_parameter", "g2_dim_method",
+        "g2_dim_location")
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS graft_cat.ns.$n"))
+      val sv = "graft_cat.ns.g2_silver"
+      val bronze = Caches.persistTracked(bronzeFromLineitem(s, dir))
+      val cut = "1995-06-30"
+      val halves = Seq(bronze.filter(col("date_local") <= lit(cut)),
+        bronze.filter(col("date_local") > lit(cut)))
+      halves.zipWithIndex.foreach { case (half, i) =>
+        val m = BronzeToSilver(half).measurement
+        if (i == 0) m.writeTo(sv).partitionedBy(col("state_code")).create()
+        else {
+          m.createOrReplaceTempView("g2_incr")
+          val cond = graft.model.Schemas.measurementKey
+            .map(c => s"t.$c = s.$c").mkString(" AND ")
+          s.sql(s"MERGE INTO $sv t USING g2_incr s ON $cond " +
+            "WHEN NOT MATCHED THEN INSERT *")
+        }
+      }
+      val silverM = s.table(sv)
+      val silver0 = BronzeToSilver(bronze) // entity frames for the dims
+      val population = bronze.select(col("state_code")).distinct()
+        .withColumn("population",
+          (col("state_code").cast("int") * 100000 + 7).cast("int"))
+      def publish(name: String,
+          df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        df.writeTo(s"graft_cat.ns.$name").create()
+        s.table(s"graft_cat.ns.$name")
+      }
+      val dd = publish("g2_dim_date",
+        SilverToGold.dimDate(silverM, DimBuild.HashKeys))
+      val dp = publish("g2_dim_parameter",
+        SilverToGold.dimParameter(silver0.parameter, DimBuild.HashKeys))
+      val dm = publish("g2_dim_method",
+        SilverToGold.dimMethod(silver0.method, DimBuild.HashKeys))
+      val dl = publish("g2_dim_location",
+        SilverToGold.dimLocation(silver0.site, silver0.adminArea,
+          silver0.cbsa, population, DimBuild.HashKeys))
+      val fact = SilverToGold.fact(silverM, dd, dl, dp, dm)
+      // hint-free: the catalog scans report dim-sized stats, Catalyst
+      // broadcasts on its own (the s-stats surface carrying g1's plan)
+      fact
+        .join(dd.select(col("date_key"), col("year")), Seq("date_key"))
+        .join(dl.select(
+          col("location_key"), col("region"), col("population")),
+          Seq("location_key"))
+        .join(dp.select(
+          col("parameter_key"), col("parameter_name"), col("category")),
+          Seq("parameter_key"))
+        .join(dm.select(col("method_key")), Seq("method_key"))
         .groupBy("year", "region", "parameter_name", "category", "aqi_category")
         .agg(
           count(lit(1)).as("n_meas"),
