@@ -26,8 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // maintenance DDL (OPTIMIZE / VACUUM / RESTORE) as first-class SQL —
     // a delegating parser that only intercepts the three verbs
-    ext.injectParser((_, delegate) =>
-      new graft.sources.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(delegate, Some(session)))
     ext.injectFunction((
       FunctionIdentifier(PolyHashExpr.FnName),
       info(PolyHashExpr.FnName,

@@ -115,16 +115,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val p = namespace.toSeq
     if (!namespaceExists(namespace)) return false
     val owned = GraftTableStore.tables.keys.filter(_._1.startsWith(p)).toSeq
-    if (owned.nonEmpty && !cascade)
+    val children = GraftTableStore.namespaces.keys
+      .filter(ns => ns.startsWith(p) && ns != p).toSeq
+    // RESTRICT refuses ANY content — tables or declared child namespaces
+    if ((owned.nonEmpty || children.nonEmpty) && !cascade)
       throw new IllegalStateException(
-        s"namespace ${p.mkString(".")} holds ${owned.length} table(s); " +
-          "use CASCADE")
+        s"namespace ${p.mkString(".")} holds ${owned.length} table(s) and " +
+          s"${children.length} child namespace(s); use CASCADE")
     owned.foreach(GraftTableStore.tables.remove)
-    // declared DESCENDANT namespaces go with the parent, or a phantom
-    // prefix would keep namespaceExists true after the drop
-    GraftTableStore.namespaces.keys
-      .filter(ns => ns == p || ns.startsWith(p))
-      .foreach(GraftTableStore.namespaces.remove)
+    // declared descendants go with the parent under CASCADE, or a
+    // phantom prefix would keep namespaceExists true after the drop
+    (children :+ p).foreach(GraftTableStore.namespaces.remove)
     true
   }
 
@@ -822,8 +823,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     fs.flatMap { f =>
       dvs.get(f) match {
         case None => Some(f)
-        case Some(_) =>
-          val rows = effRows(f)
+        case Some(bs) =>
+          val rows = GraftDataFile.liveRows(f.rows, bs)
           if (rows.isEmpty) None
           else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
       }
@@ -2019,7 +2020,7 @@ object GraftMaintenance {
     * a uniform entry point. */
   def sql(spark: org.apache.spark.sql.SparkSession,
           sqlText: String): org.apache.spark.sql.DataFrame =
-    GraftSqlParser.parseMaintenance(sqlText) match {
+    GraftSqlParser.parseMaintenance(sqlText, Some(spark)) match {
       case Some(cmd: GraftMaintenanceCommand) =>
         val rows = cmd.run(spark)
         spark.createDataFrame(

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   VACUUM t [RETAIN n SNAPSHOTS]
   *   RESTORE TABLE t TO VERSION AS OF v
   * }}} */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+                     session: Option[SparkSession] = None)
+    extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseMaintenance(sqlText).getOrElse(
+    GraftSqlParser.parseMaintenance(sqlText, session).getOrElse(
       delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -61,31 +63,62 @@ object GraftSqlParser {
     if (parts.length >= 2) Some(parts) else None
   }
 
-  /** Resolve parts to a store key AT RUN TIME: a 3+-part name tries the
-    * catalog-stripped key first, then the full parts as a nested
-    * namespace — the JVM-global store is the same table universe under
-    * every registered graft catalog name, so existence disambiguates. */
-  private def resolve(parts: Seq[String]): (Seq[String], String) = {
-    val cands =
-      (if (parts.length >= 3)
-        Seq((parts.tail.dropRight(1), parts.last)) else Nil) :+
-      ((parts.dropRight(1), parts.last))
-    cands.find(GraftTableStore.tables.contains).getOrElse(cands.head)
+  /** True when `name` is a registered catalog backed by [[GraftCatalog]]
+    * in the session (the signal that a leading identifier part is a
+    * catalog reference rather than a nested-namespace segment). */
+  private def isGraftCatalog(session: Option[SparkSession],
+                             name: String): Boolean =
+    session.exists { s =>
+      try s.sessionState.catalogManager.isCatalogRegistered(name) &&
+        s.sessionState.catalogManager.catalog(name).isInstanceOf[GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  /** Resolve parts to a store key AT RUN TIME: when the leading part is
+    * a registered graft catalog, it is a catalog reference and strips;
+    * otherwise the full parts are a nested namespace, with a
+    * catalog-stripped fallback only when the full key does not exist
+    * (sessions without a bound SparkSession — the gateway — keep the
+    * permissive historical behavior). */
+  private def resolve(parts: Seq[String],
+                      session: Option[SparkSession]): (Seq[String], String) = {
+    val stripped = (parts.tail.dropRight(1), parts.last)
+    val full = (parts.dropRight(1), parts.last)
+    if (parts.length >= 3 && isGraftCatalog(session, parts.head)) stripped
+    else if (GraftTableStore.tables.contains(full)) full
+    else if (parts.length >= 3 &&
+        GraftTableStore.tables.contains(stripped)) stripped
+    else full
   }
 
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, IntegerType, nullable = false)())
 
+  /** True when this parser should CLAIM the statement: the name
+    * resolves in the graft store, or its leading part names a graft
+    * catalog (then a missing table is OUR loud error, not someone
+    * else's statement). Without a bound session (direct parser use,
+    * the gateway's parse step) claims are permissive. */
+  private def claims(parts: Seq[String],
+                     session: Option[SparkSession]): Boolean =
+    session.isEmpty ||
+      GraftTableStore.tables.contains((parts.dropRight(1), parts.last)) ||
+      (parts.length >= 3 &&
+        (GraftTableStore.tables.contains(
+          (parts.tail.dropRight(1), parts.last)) ||
+          isGraftCatalog(session, parts.head)))
+
   /** Some(command plan) when `sqlText` is a maintenance statement over a
-    * qualified table name. */
-  def parseMaintenance(sqlText: String): Option[LogicalPlan] =
+    * qualified table name this parser claims. */
+  def parseMaintenance(sqlText: String,
+      session: Option[SparkSession] = None): Option[LogicalPlan] =
     sqlText match {
       case Optimize(ident, zcols, target) =>
-        split(ident).map { parts =>
+        split(ident).filter(claims(_, session)).map { parts =>
           val rows = Option(target).map(_.toInt).getOrElse(1 << 20)
           GraftMaintenanceCommand(
             out("files_before", "files_after"), _ => {
-              val (ns, t) = resolve(parts)
+              val (ns, t) = resolve(parts, session)
               val r =
                 if (zcols == null) GraftMaintenance.optimize(ns, t, rows)
                 else GraftMaintenance.zorderBy(ns, t,
@@ -95,17 +128,17 @@ object GraftSqlParser {
             })
         }
       case Vacuum(ident, keep) =>
-        split(ident).map { parts =>
+        split(ident).filter(claims(_, session)).map { parts =>
           val keepLast = Option(keep).map(_.toInt).getOrElse(1)
           GraftMaintenanceCommand(out("snapshots_retired"), _ => {
-            val (ns, t) = resolve(parts)
+            val (ns, t) = resolve(parts, session)
             Seq(Row(GraftMaintenance.vacuum(ns, t, keepLast)))
           })
         }
       case Restore(ident, v) =>
-        split(ident).map { parts =>
+        split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(out("restored_to_version"), _ => {
-            val (ns, t) = resolve(parts)
+            val (ns, t) = resolve(parts, session)
             GraftMaintenance.restore(ns, t, v.toInt)
             Seq(Row(v.toInt))
           })

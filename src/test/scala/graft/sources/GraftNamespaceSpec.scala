@@ -43,5 +43,15 @@ class GraftNamespaceSpec extends SparkSpec {
     intercept[Exception](spark.table("graft_cat.nsdrop.t1").collect())
     assert(!spark.sql("SHOW NAMESPACES IN graft_cat")
       .as[String].collect().toSet.contains("nsdrop"))
+
+    // RESTRICT also refuses a namespace holding declared CHILDREN, and
+    // the children survive the refusal
+    spark.sql("DROP NAMESPACE IF EXISTS graft_cat.nsparent CASCADE")
+    spark.sql("CREATE NAMESPACE graft_cat.nsparent")
+    spark.sql("CREATE NAMESPACE graft_cat.nsparent.child")
+    intercept[Exception](spark.sql("DROP NAMESPACE graft_cat.nsparent"))
+    assert(new GraftCatalog().namespaceExists(Array("nsparent", "child")))
+    spark.sql("DROP NAMESPACE graft_cat.nsparent CASCADE")
+    assert(!new GraftCatalog().namespaceExists(Array("nsparent")))
   }
 }
