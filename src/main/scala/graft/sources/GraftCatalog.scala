@@ -263,6 +263,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         k.stripPrefix(GraftConstraints.Prefix) ->
           GraftConstraints.compile(v, schema)
     }
+    if (ident.name().contains('$'))
+      throw new IllegalArgumentException(
+        s"table name ${ident.name()} may not contain '$$' (reserved for " +
+          "metadata-table suffixes — such a table could never be loaded)")
     val t = new GraftTable(
       (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
       mode, bucketSpec, checks)
@@ -564,6 +568,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
   // across schema versions by identity, not by name
   @volatile private var tableSchema: StructType = FieldIds.assign(initialSchema)
 
+  // MONOTONIC field-id counter (never reused, like Iceberg's
+  // max-column-id): an ADD after a DROP must not inherit the dropped
+  // column's id, or identity matching would hand the old column's
+  // historical values to the new one
+  private var nextFieldId: Long = FieldIds.nextId(tableSchema)
+
   // partition/bucket bindings resolve by NAME against whichever schema
   // a caller binds ([[boundGroupKeyFor]]) — DROP COLUMN shifts ordinals,
   // so nothing caches them (dropping a partition or bucket-source column
@@ -624,8 +634,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val oldFields = tableSchema.fields
           val newSchema = StructType(oldFields :+
             FieldIds.withId(org.apache.spark.sql.types.StructField(
-              name, add.dataType, nullable = true),
-              FieldIds.nextId(tableSchema)))
+              name, add.dataType, nullable = true), nextFieldId))
+          nextFieldId += 1
           val width = oldFields.length
           val dts = oldFields.map(_.dataType)
           rebuildFiles(newSchema, { r =>
@@ -855,8 +865,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * (their file references drop, so superseded row arrays become
     * collectable) and reads of those versions fail loudly — Delta's log
     * retention, not an unbounded leak. */
+  // seeded with the ID-ASSIGNED schema (not the raw initialSchema):
+  // entry 0 must compare equal to the running schema, or RESTORE TO
+  // VERSION AS OF 0 would spuriously read as a cross-schema restore
   @volatile private var history: Vector[CommitEntry] =
-    Vector(CommitEntry(0, initialSchema, Vector.empty,
+    Vector(CommitEntry(0, tableSchema, Vector.empty,
       GraftClock.nowMicros()))
 
   /** (files, delete vectors) as ONE volatile cell, republished at the
@@ -1147,12 +1160,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * OLD entries between same-version reads cannot occur (retention only
     * moves when a commit bumps the version). */
   private[sources] def changesFiles: Vector[GraftDataFile] = {
-    val v = history.last.version
+    val h = history // ONE volatile read: tag and build from the same log
+    val v = h.last.version
     val schema = changesSchema
     changesCache match {
       case Some((cv, cs, fs)) if cv == v && cs == schema => fs
       case _ =>
-        val fs = history.iterator.flatMap { e =>
+        val fs = h.iterator.flatMap { e =>
           val rows = changeRowsOf(e)
           if (rows.isEmpty) None
           else Some(GraftDataFile.build(rows, schema, None))
@@ -1298,16 +1312,44 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * groups carry over BY REFERENCE. `None` = the runtime group filter
     * never ran (unpartitioned table, or an unrecognized predicate shape)
     * — the scanned group was the whole table, so the whole table swaps.
-    * `op` labels the commit (MERGE / UPDATE / DELETE). */
+    * `op` labels the commit (MERGE / UPDATE / DELETE).
+    *
+    * OPTIMISTIC CONCURRENCY: the delivered contents derive from
+    * `expectedBase` (the scan's snapshot), so the commit verifies it is
+    * still an identity-prefix of the table and that no concurrent
+    * append landed IN a rewritten scope — a whole-table swap conflicts
+    * with any append, a group swap only with appends into a touched
+    * group (appends elsewhere carry over untouched). Without this check
+    * a concurrent INSERT's committed rows would silently vanish in the
+    * swap (Delta's ConcurrentAppendException, not a lost update). */
   private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
       touched: Option[Seq[Any] => Boolean],
-      op: String = "MERGE"): Unit = synchronized {
+      op: String = "MERGE",
+      expectedBase: Vector[GraftDataFile]): Unit = synchronized {
     validateChecks(batches.iterator.flatten)
+    val fsnap = files
+    if (fsnap.length < expectedBase.length ||
+        !expectedBase.indices.forall(i => fsnap(i) eq expectedBase(i)))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: data files were rewritten between this $op's scan " +
+          "and its commit; retry the statement")
+    val suffix = fsnap.drop(expectedBase.length) // concurrent appends
+    val conflicting = touched match {
+      case None => suffix.nonEmpty
+      case Some(pred) =>
+        val keyOf = boundGroupKey()
+        suffix.exists(f => f.groupKey.map(pred).getOrElse(
+          f.rows.exists(r => pred(keyOf(r)))))
+    }
+    if (conflicting)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: a concurrent append landed in a scope this $op " +
+          "rewrites; committing would discard it — retry the statement")
     val nf = buildFiles(batches)
     val dropped = touched match {
-      case None => val old = cdcLiveView(files); files = nf; old
+      case None => val old = cdcLiveView(fsnap); files = nf; old
       case Some(pred) =>
-        val (kept, gone) = dropGroupRows(files, pred)
+        val (kept, gone) = dropGroupRows(fsnap, pred)
         files = kept ++ nf
         gone
     }
@@ -1555,11 +1597,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * [[groupKeyOf]] uses. */
   private def clusterTransforms
       : Array[org.apache.spark.sql.connector.expressions.Expression] =
-    bucketSpec match {
-      case Some((n, c)) => Array(Expressions.bucket(n, c))
-      case None => partitionCols.map(c => Expressions.identity(c):
-        org.apache.spark.sql.connector.expressions.Expression).toArray
-    }
+    partitioning().map(t =>
+      t: org.apache.spark.sql.connector.expressions.Expression)
   // a table created PARTITIONED BY must also REPORT its partitioning —
   // DESCRIBE/SHOW CREATE and any planner path keying off partitioning()
   // would otherwise see an unpartitioned table
@@ -1791,16 +1830,22 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // partitioned table a runtime-filterable scan (Spark's group-filter
       // subquery narrows it to the partitions with matched rows); for an
       // unpartitioned table the whole table. No column pruning in either —
-      // the rewrite re-writes complete rows.
+      // the rewrite re-writes complete rows. The scanned FILE VECTOR is
+      // captured for the commit's write-conflict check.
       @volatile private var rlScan: GraftRowLevelScan = _
+      @volatile private var scannedFiles: Vector[GraftDataFile] = _
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () =>
-          if (partitionCols.isEmpty) GraftScan.of(tableSchema, currentRows)
+        () => {
+          val st = readState
+          scannedFiles = st._1
+          val rows = st._1.toArray.flatMap(_.rows) // COW tables carry no DVs
+          if (partitionCols.isEmpty) GraftScan.of(tableSchema, rows)
           else {
             rlScan = new GraftRowLevelScan(tableSchema, partitionCols,
-              currentRows, boundGroupKey())
+              rows, boundGroupKey())
             rlScan
           }
+        }
 
       // group-based COW: the write receives the COMPLETE post-operation
       // contents of the scanned groups — commit swaps exactly those in
@@ -1814,7 +1859,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
             () => new GraftRowLevelBatchWrite(tableSchema,
               delivered => installReplaceGroups(delivered,
                 Option(rlScan).flatMap(_.scannedGroups),
-                op = command().toString)))
+                op = command().toString,
+                expectedBase = scannedFiles)))
         }
 
       override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -1996,9 +2042,16 @@ object GraftMaintenance {
     val s = resolve(srcNamespace, src)
     val (schema, fs, fsDvs) = s.stateAt(version,
       Identifier.of(srcNamespace.toArray, src))
+    // CHECK constraints are compiled against the source's CURRENT
+    // schema; a version-pinned clone with a different schema cannot
+    // adopt them (their ordinals would mis-bind) — Delta requires
+    // re-adding constraints after such a clone too
+    val cloneChecks =
+      if (schema == s.schema()) s.currentChecks
+      else Map.empty[String, GraftConstraints.Check]
     val clone = new GraftTable(
       (dstNamespace :+ dst).mkString("."), schema, s.partitionCols,
-      s.rowLevelMode, s.bucketSpec, s.currentChecks)
+      s.rowLevelMode, s.bucketSpec, cloneChecks)
     if (GraftTableStore.tables
         .putIfAbsent((dstNamespace, dst), clone).isDefined)
       throw new TableAlreadyExistsException(
@@ -2241,8 +2294,13 @@ private[sources] object ZonePredicates {
       case LessThanOrEqual(c, v) =>
         rangeTest(c, v)((z, iv) => cmp(z.min, iv) <= 0)
       case In(c, vs) =>
-        val converted = vs.filter(_ != null).flatMap(v => internal(c, v))
-        if (converted.isEmpty) None
+        val nonNull = vs.filter(_ != null)
+        val converted = nonNull.flatMap(v => internal(c, v))
+        // EVERY value must convert, or skipping is not conservative: a
+        // dropped unconvertible value could match rows inside a file the
+        // remaining values' envelopes exclude — and a pruned file is
+        // gone for good (no residual re-check can read it)
+        if (converted.isEmpty || converted.length != nonNull.length) None
         else ord(c).map { i =>
           f => zone(f, i) match {
             case Some(z) if z.min != null => converted.exists { case (_, iv) =>
@@ -2526,7 +2584,7 @@ class GraftScanBuilder(tableSchema: StructType,
     // state — pruned schema and zone tests apply per delivered commit
     val mb = streamSource.map(t =>
       () => new GraftMicroBatchStream(t, required, tests, streamOptions,
-        streamChangeFeed)
+        streamChangeFeed, tableSchema)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
     if (metaCols.nonEmpty) {
       // metadata-column read: rows augment with (_file_id, _row_pos) —
@@ -2873,7 +2931,8 @@ case class GraftStreamOffset(version: Int)
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
                             tests: Array[GraftDataFile => Boolean],
                             options: CaseInsensitiveStringMap,
-                            changeFeed: Boolean = false)
+                            changeFeed: Boolean = false,
+                            testsSchema: StructType = new StructType())
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl
@@ -3041,8 +3100,19 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         } else entry.added.map(f => (entry.schema, f,
           scala.collection.immutable.BitSet.empty)) // appended files are whole
       }
+    // zone tests were compiled against testsSchema's ordinals; a
+    // historical file laid out under a DIFFERENT column order (a later
+    // DROP COLUMN shifted ordinals) must not be tested against the
+    // wrong column's zones — misaligned files are simply read (skipping
+    // is an optimization; not skipping is always correct)
+    def aligned(entrySchema: StructType): Boolean =
+      entrySchema.fields.indices.forall(i =>
+        i < testsSchema.length &&
+          testsSchema.fields(i).name == entrySchema.fields(i).name)
     batchFiles
-      .filter { case (_, f, _) => tests.forall(_(f)) } // zone-skip per batch
+      .filter { case (schema, f, _) =>
+        tests.isEmpty || !aligned(schema) || tests.forall(_(f))
+      }
       .map { case (schema, f, dead) =>
         GraftInputPartition(
           projectTo(schema, GraftDataFile.liveRows(f.rows, dead)))

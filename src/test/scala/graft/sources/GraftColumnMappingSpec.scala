@@ -124,6 +124,47 @@ class GraftColumnMappingSpec extends SparkSpec {
     assert(spark.table(t).as[Double].collect().toSeq.sorted === Seq(1.0, 2.0))
   }
 
+  test("a column added after a drop never inherits the dropped column's " +
+      "field id — history stays attributed to the dead column") {
+    val t = freshTable("t_id_reuse")
+    Seq((1L, "bee")).toDF("a", "b").writeTo(t).create()  // b holds 'bee'
+    spark.sql(s"ALTER TABLE $t DROP COLUMN b")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (c STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'cee')")
+    // the v1 insert's CDC row must NOT hand b's historical value to c
+    val ch = spark.table(s"graft_cat.ns.`t_id_reuse$$changes`")
+      .orderBy("_commit_version").select("a", "c")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(ch === Seq((1L, None), (2L, Some("cee"))),
+      s"dropped column's history leaked into the new column: $ch")
+  }
+
+  test("COW commits abort when a concurrent write landed in the " +
+      "rewritten scope") {
+    val t = freshTable("t_cow_occ")
+    Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
+    val table = store("t_cow_occ")
+    val staleBase = table.dataFiles
+    // a concurrent append between scan and commit
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+    def row(id: Long, v: String) =
+      org.apache.spark.sql.catalyst.InternalRow(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    intercept[java.util.ConcurrentModificationException] {
+      table.installReplaceGroups(Array(Array(row(1L, "A"))), None,
+        "UPDATE", staleBase)
+    }
+    // the committed insert survived; the stale rewrite did not land
+    assert(spark.table(t).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    // a FRESH rewrite against the current base commits fine
+    table.installReplaceGroups(
+      Array(Array(row(1L, "A"), row(2L, "b"))), None, "UPDATE",
+      table.dataFiles)
+    assert(spark.table(t).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "A"), (2L, "b")))
+  }
+
   test("rename + add + drop compose; ids stay unique and stable") {
     val t = freshTable("t_evolve")
     Seq((1L, "a")).toDF("id", "v").writeTo(t).create()
