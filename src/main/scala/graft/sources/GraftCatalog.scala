@@ -664,6 +664,21 @@ class GraftTable(initialName: String, initialSchema: StructType,
             throw new UnsupportedOperationException(
               s"cannot rename partition/bucket column $from " +
                 "(the table's transforms reference it by name)")
+          // a CHECK constraint's stored TEXT references the column by
+          // name; renaming under it would keep enforcement correct (the
+          // binding is ordinal) but advertise a constraint no recompile
+          // could honor — drop the constraint first (Delta's rule)
+          checks.foreach { case (cname, c) =>
+            c.expr.foreach {
+              case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                  if b.ordinal == idx =>
+                throw new UnsupportedOperationException(
+                  s"cannot rename column $from: CHECK constraint " +
+                    s"'$cname' (${c.text}) references it — drop the " +
+                    "constraint first")
+              case _ => ()
+            }
+          }
           // metadata-only: rows and files untouched, the field id rides
           tableSchema = StructType(tableSchema.fields.zipWithIndex.map {
             case (f, i) => if (i == idx) f.copy(name = ren.newName) else f

@@ -37,14 +37,27 @@ private[sources] object GraftConstraints {
     case ShortType => 2
     case IntegerType => 3
     case LongType => 4
-    case FloatType => 5
-    case DoubleType => 6
+    // fractional literals parse as DECIMAL ('price > 0.5'); rank them
+    // below the binary floats so mixed comparisons widen toward double
+    case _: DecimalType => 5
+    case FloatType => 6
+    case DoubleType => 7
     case _ => -1
   }
 
+  private def isDec(dt: DataType): Boolean = dt.isInstanceOf[DecimalType]
+
+  private def toDouble(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType, Some("UTC"))
+
   private def widen(l: Expression, r: Expression): (Expression, Expression) = {
     val (lr, rr) = (numRank(l.dataType), numRank(r.dataType))
-    if (lr < 0 || rr < 0 || lr == rr) (l, r)
+    if (lr < 0 || rr < 0 || l.dataType == r.dataType) (l, r)
+    // a DECIMAL mixed with anything resolves in DOUBLE — casting the
+    // other side to the literal's narrow precision would overflow to
+    // NULL and silently pass the check
+    else if (isDec(l.dataType) || isDec(r.dataType))
+      (toDouble(l), toDouble(r))
     else if (lr < rr) (Cast(l, r.dataType, Some("UTC")), r)
     else (l, Cast(r, l.dataType, Some("UTC")))
   }
@@ -71,6 +84,26 @@ private[sources] object GraftConstraints {
         BoundReference(i, schema.fields(i).dataType,
           schema.fields(i).nullable)
     }
+    // reject UNRESOLVED NODE CLASSES (functions, subqueries, stars)
+    // BEFORE the coercion pass touches children's .dataType — an
+    // UnresolvedFunction inside a comparison would otherwise throw
+    // Catalyst's UnresolvedException instead of the dialect error.
+    // (A merely type-mismatched comparison is also "unresolved" at this
+    // point; coercion fixes those, so the full check runs after it.)
+    def dialectError(e: Expression): Nothing =
+      throw new IllegalArgumentException(
+        s"constraint '$text': unsupported expression ${e.getClass
+          .getSimpleName} (columns, literals, comparisons, arithmetic, " +
+          "AND/OR/NOT, IS NULL, IN only)")
+    bound.foreach {
+      case e: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        dialectError(e)
+      case e: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        dialectError(e)
+      case e if e.getClass.getSimpleName.startsWith("Unresolved") =>
+        dialectError(e)
+      case _ => ()
+    }
     // numeric widening for mixed-type comparisons/arithmetic (the only
     // implicit coercion this dialect performs)
     val coerced = bound.transformUp {
@@ -89,27 +122,30 @@ private[sources] object GraftConstraints {
               s"with ${b.right.dataType}")
         b.withNewChildren(Seq(l, r))
       case in: In =>
-        val widened = in.list.map { e =>
-          if (e.dataType == in.value.dataType) e
-          else {
-            val (_, r) = widen(in.value, e)
-            if (r.dataType != in.value.dataType)
-              throw new IllegalArgumentException(
-                s"constraint '$text': IN list type mismatch")
-            r
-          }
+        val all = in.value +: in.list
+        if (all.map(_.dataType).distinct.length == 1) in
+        else {
+          // widen EVERY side (the probed value included) to the widest
+          // numeric type present — 'smallint_col IN (1, 2)' is as valid
+          // as the reverse
+          val ranks = all.map(e => numRank(e.dataType))
+          if (ranks.exists(_ < 0))
+            throw new IllegalArgumentException(
+              s"constraint '$text': IN list type mismatch")
+          // decimal mixes resolve in double (see widen); otherwise the
+          // widest rank wins
+          val target =
+            if (all.exists(e => isDec(e.dataType))) DoubleType
+            else all(ranks.indexOf(ranks.max)).dataType
+          val cast = all.map(e =>
+            if (e.dataType == target) e else Cast(e, target, Some("UTC")))
+          In(cast.head, cast.tail)
         }
-        In(in.value, widened)
     }
-    // everything must be resolved (no functions, no subqueries) and
-    // boolean-typed — reject rather than under-enforce
-    coerced.foreach { e =>
-      if (!e.resolved)
-        throw new IllegalArgumentException(
-          s"constraint '$text': unsupported expression ${e.getClass
-            .getSimpleName} (columns, literals, comparisons, arithmetic, " +
-            "AND/OR/NOT, IS NULL, IN only)")
-    }
+    // full resolution AFTER coercion: anything still unresolved (an
+    // uncoercible shape the guards missed) rejects rather than
+    // under-enforcing
+    coerced.foreach(e => if (!e.resolved) dialectError(e))
     if (coerced.dataType != BooleanType)
       throw new IllegalArgumentException(
         s"constraint '$text': must be boolean, is ${coerced.dataType}")

@@ -78,12 +78,36 @@ private[sources] object GraftFunctionsV2 {
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket"
-    override def isResultNullable: Boolean = false
-    override def produceResult(input: InternalRow): java.lang.Integer = {
-      val n = input.getInt(0)
-      val v = if (input.isNullAt(1)) null else input.get(1, colType)
-      java.lang.Integer.valueOf(bucketOf(n, v))
+    // a NULL bucket count yields NULL (there is no bucket to name)
+    override def isResultNullable: Boolean = true
+
+    private def checked(n: Int): Int = {
+      if (n <= 0) throw new IllegalArgumentException(
+        s"bucket count must be positive, got $n")
+      n
     }
+
+    // magic invoke overloads per supported column type — codegen calls
+    // these directly (no row boxing on the write-clustering hot path);
+    // a null value lands in bucket 0, matching bucketOf's contract
+    // (primitive slots read 0 on null, and hash(0) floor-mods to 0 too)
+    def invoke(n: Int, v: Long): Int =
+      bucketOf(checked(n), java.lang.Long.valueOf(v))
+    def invoke(n: Int, v: Int): Int =
+      bucketOf(checked(n), java.lang.Integer.valueOf(v))
+    def invoke(n: Int, v: Short): Int =
+      bucketOf(checked(n), java.lang.Short.valueOf(v))
+    def invoke(n: Int, v: Byte): Int =
+      bucketOf(checked(n), java.lang.Byte.valueOf(v))
+    def invoke(n: Int, v: UTF8String): Int = bucketOf(checked(n), v)
+
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(0)) null
+      else {
+        val n = checked(input.getInt(0))
+        val v = if (input.isNullAt(1)) null else input.get(1, colType)
+        java.lang.Integer.valueOf(bucketOf(n, v))
+      }
   }
 
   object PolyHashUnbound extends UnboundFunction {

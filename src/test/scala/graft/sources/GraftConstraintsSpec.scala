@@ -78,6 +78,22 @@ class GraftConstraintsSpec extends SparkSpec {
     assert(spark.table(t).count() === 3)
   }
 
+  test("fractional literals and narrow-column IN widen correctly; " +
+      "decimal mixes resolve in double") {
+    val t = freshTable("t_chk_widen")
+    spark.sql(s"CREATE TABLE $t (price DOUBLE, n BIGINT) TBLPROPERTIES " +
+      "('constraints.frac' = 'price > 0.5', " +
+      "'constraints.pick' = 'n IN (1, 2, 3000000000)')")
+    spark.sql(s"INSERT INTO $t VALUES (0.6, 1), (0.7, 3000000000)")
+    // 0.5 parses as DECIMAL(1,1): the comparison must resolve in DOUBLE,
+    // not cast the column into the literal's 1-digit precision (which
+    // would overflow to NULL and pass everything)
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (0.4, 2)"))
+    // int literals widened up to the BIGINT column, not vice versa
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (0.9, 7)"))
+    assert(spark.table(t).count() === 2)
+  }
+
   test("unsupported or malformed expressions are rejected at definition " +
       "time") {
     val t = freshTable("t_chk_bad")
