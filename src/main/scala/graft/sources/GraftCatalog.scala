@@ -101,8 +101,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(namespace)
-    GraftTableStore.namespaces.put(namespace.toSeq,
-      new java.util.HashMap[String, String](metadata))
+    // putIfAbsent, not put: the exists-check above cannot see a racing
+    // declaration — two concurrent CREATE NAMESPACE calls must not both
+    // succeed (the second would silently overwrite the first's metadata)
+    if (GraftTableStore.namespaces.putIfAbsent(namespace.toSeq,
+        new java.util.HashMap[String, String](metadata)).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -376,14 +381,17 @@ private[sources] object FieldIds {
   def nextId(schema: StructType): Long =
     schema.fields.iterator.flatMap(idOf).foldLeft(-1L)(math.max) + 1
 
-  /** Ordinal of `target` in `source`: by field id when both sides carry
-    * one, by name otherwise; -1 when absent. */
+  /** Ordinal of `target` in `source`: by FIELD ID when the target
+    * carries one, by name only for id-less fields (the `_change_type` /
+    * `_commit_*` meta columns); -1 when absent. An id-carrying target
+    * whose id is missing from the source NEVER falls back to name:
+    * after RENAME a→b + ADD COLUMN a (new id), historical schemas still
+    * hold 'a' under the OLD id, and a name match would hand the old
+    * column's values to the new, unrelated column — the mis-attribution
+    * field ids exist to prevent. Absent means NULL, by design. */
   def ordinalOf(target: StructField, source: StructType): Int =
     idOf(target) match {
-      case Some(id) =>
-        val byId = source.fields.indexWhere(f => idOf(f).contains(id))
-        if (byId >= 0) byId
-        else source.fields.indexWhere(_.name == target.name)
+      case Some(id) => source.fields.indexWhere(f => idOf(f).contains(id))
       case None => source.fields.indexWhere(_.name == target.name)
     }
 }
@@ -598,6 +606,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
       pairs.find(_._1 eq of).map(_._2 -> bs)
     }
     files = pairs.map(_._2)
+    // publish the rebuilt state BEFORE the caller swaps the schema: a
+    // scan builder created in the window between the two assignments
+    // must pair the new files with the OLD schema (safe for adds — old
+    // ordinals resolve against wider rows; loud for drops — out of
+    // bounds), never the NEW (narrower) schema with the old files,
+    // which would silently read shifted ordinals. snap() republishes
+    // at the end of the change as before.
+    readState = (files, dvs)
   }
 
   /** Schema evolution under the commit lock: ADD COLUMNS (nullable,
@@ -3027,7 +3043,11 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
             s"startingVersion must be an integer or 'latest', got '$v'")
         }
         require(sv >= 0, s"startingVersion must be >= 0, got $sv")
-        GraftStreamOffset(sv - 1) // deliver commit sv onward
+        // deliver commit sv onward. Clamped at 0: offset -1 is the
+        // initial-SNAPSHOT sentinel, and startingVersion=0 must REPLAY
+        // the log, not deliver the current snapshot — commit 0 holds no
+        // data, so replay from offset 0 ≡ replay from 0
+        GraftStreamOffset(math.max(0, sv - 1))
       case (None, Some(ts)) =>
         // Delta's contract: replay from the EARLIEST commit at or after
         // the instant; a future instant means only-new-data. Parsed as

@@ -57,10 +57,32 @@ object GraftSqlParser {
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
-    * statement; this one never hijacks what it cannot resolve). */
+    * statement; this one never hijacks what it cannot resolve).
+    * Backtick-quoted segments tokenize BEFORE dot-splitting, so
+    * `OPTIMIZE cat.ns.`my.table`` resolves to the right three parts
+    * (a raw split('.') would cut the quoted name apart). Unbalanced
+    * backticks also delegate — Spark's parser owns the error. */
   private def split(ident: String): Option[Seq[String]] = {
-    val parts = ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
-    if (parts.length >= 2) Some(parts) else None
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var balanced = true
+    while (i < ident.length && balanced) {
+      ident.charAt(i) match {
+        case '`' =>
+          val close = ident.indexOf('`', i + 1)
+          if (close < 0) balanced = false
+          else { cur.append(ident.substring(i + 1, close)); i = close + 1 }
+        case '.' => parts += cur.result(); cur.clear(); i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    if (!balanced) None
+    else {
+      parts += cur.result()
+      if (parts.length >= 2 && parts.forall(_.nonEmpty)) Some(parts.toSeq)
+      else None
+    }
   }
 
   /** True when `name` is a registered catalog backed by [[GraftCatalog]]
