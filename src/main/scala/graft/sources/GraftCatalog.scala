@@ -59,14 +59,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     with SupportsNamespaces {
   private var catalogName: String = _
 
+  /** Backing universe: the in-JVM global store by default; a durable
+    * warehouse store when initialized with a `warehouse` option
+    * (`spark.sql.catalog.<name>.warehouse=/path`) — then every table
+    * persists as parquet segments + a JSON commit log under that path
+    * and survives the JVM. Package-visible setter: specs inject an
+    * ISOLATED store over the same path to simulate a second process. */
+  private[sources] var store: GraftStoreState = GraftTableStore.global
+
   // ---- namespaces (SHOW/CREATE/DROP NAMESPACE) ------------------------
   // A namespace EXISTS when declared (CREATE NAMESPACE) or implied by a
   // table living under it — table creation into an undeclared namespace
   // stays permissive (the store's historical behavior), declaration just
   // makes the namespace listable/drop-checkable like a real metastore.
   private def allNamespaces: Set[Seq[String]] =
-    GraftTableStore.namespaces.keySet.toSet ++
-      GraftTableStore.tables.keys.map(_._1)
+    store.namespaces.keySet.toSet ++
+      store.tables.keys.map(_._1)
 
   override def listNamespaces(): Array[Array[String]] =
     allNamespaces.map(ns => ns.take(1)).filter(_.nonEmpty)
@@ -92,7 +100,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(namespace)
-    GraftTableStore.namespaces.getOrElse(namespace.toSeq,
+    store.namespaces.getOrElse(namespace.toSeq,
       java.util.Collections.emptyMap[String, String]())
   }
 
@@ -104,10 +112,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // putIfAbsent, not put: the exists-check above cannot see a racing
     // declaration — two concurrent CREATE NAMESPACE calls must not both
     // succeed (the second would silently overwrite the first's metadata)
-    if (GraftTableStore.namespaces.putIfAbsent(namespace.toSeq,
+    if (store.namespaces.putIfAbsent(namespace.toSeq,
         new java.util.HashMap[String, String](metadata)).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(namespace)
+    store.warehouse.foreach { wh =>
+      val nsDir = wh.resolve("_ns")
+      java.nio.file.Files.createDirectories(nsDir)
+      java.nio.file.Files.write(
+        nsDir.resolve(namespace.toSeq.map(
+          GraftDurableLoader.encodePart).mkString("_") + ".json"),
+        GraftLogCodec.encodeNamespaceMeta(namespace.toSeq, metadata)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -119,23 +136,43 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       cascade: Boolean): Boolean = {
     val p = namespace.toSeq
     if (!namespaceExists(namespace)) return false
-    val owned = GraftTableStore.tables.keys.filter(_._1.startsWith(p)).toSeq
-    val children = GraftTableStore.namespaces.keys
+    val owned = store.tables.keys.filter(_._1.startsWith(p)).toSeq
+    val children = store.namespaces.keys
       .filter(ns => ns.startsWith(p) && ns != p).toSeq
     // RESTRICT refuses ANY content — tables or declared child namespaces
     if ((owned.nonEmpty || children.nonEmpty) && !cascade)
       throw new IllegalStateException(
         s"namespace ${p.mkString(".")} holds ${owned.length} table(s) and " +
           s"${children.length} child namespace(s); use CASCADE")
-    owned.foreach(GraftTableStore.tables.remove)
+    owned.foreach(k => store.tables.remove(k).foreach(_.dropDurable()))
     // declared descendants go with the parent under CASCADE, or a
     // phantom prefix would keep namespaceExists true after the drop
-    (children :+ p).foreach(GraftTableStore.namespaces.remove)
+    (children :+ p).foreach { ns =>
+      store.namespaces.remove(ns)
+      store.warehouse.foreach { wh =>
+        java.nio.file.Files.deleteIfExists(wh.resolve("_ns").resolve(
+          ns.map(GraftDurableLoader.encodePart).mkString("_") + ".json"))
+      }
+    }
     true
   }
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // `warehouse` opts into durability: tables persist under the path
+    // (parquet segments + JSON commit log) and an existing warehouse's
+    // tables load here — restart recovery is just initialization
+    store = Option(options.get("warehouse")) match {
+      // `warehouse.isolated=true`: bypass the per-path store cache and
+      // replay the log into a PRIVATE store — the in-JVM simulation of
+      // a second process over the same warehouse (restart and commit-
+      // protocol specs drive the full SQL surface through this)
+      case Some(path) if options.getBoolean("warehouse.isolated", false) =>
+        GraftTableStore.openIsolated(path)
+      case Some(path) => GraftTableStore.forWarehouse(path)
+      case None => GraftTableStore.global
+    }
+  }
 
   override def name(): String = catalogName
 
@@ -145,7 +182,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     (ident.namespace().toSeq, ident.name())
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    GraftTableStore.tables.keys.toArray.collect {
+    store.tables.keys.toArray.collect {
       case (ns, n) if ns == namespace.toSeq => Identifier.of(namespace, n)
     }
 
@@ -157,7 +194,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // served through the ordinary SQL read path
     val dollar = n.indexOf('$')
     if (dollar > 0) {
-      val base = GraftTableStore.tables.getOrElse(
+      val base = store.tables.getOrElse(
         (ident.namespace().toSeq, n.substring(0, dollar)),
         throw new NoSuchTableException(ident))
       return n.substring(dollar + 1) match {
@@ -168,7 +205,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         case other => throw new NoSuchTableException(ident)
       }
     }
-    GraftTableStore.tables.get(key(ident)) match {
+    store.tables.get(key(ident)) match {
       case Some(t) => t
       case None => throw new NoSuchTableException(ident)
     }
@@ -185,7 +222,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * superseded arrays forever — reads of retired versions fail loudly,
     * mirroring Delta's log retention. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val t = GraftTableStore.tables.getOrElse(key(ident),
+    val t = store.tables.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
@@ -200,7 +237,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * microseconds since the epoch as Spark's resolver hands it over.
     * A timestamp before the earliest retained commit fails loudly. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val t = GraftTableStore.tables.getOrElse(key(ident),
+    val t = store.tables.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
     t.snapshotAsOf(timestamp, ident)
   }
@@ -277,8 +314,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       mode, bucketSpec, checks)
     // atomic: two concurrent CREATEs must not both succeed (the loser's
     // table object could already be receiving a CTAS write)
-    if (GraftTableStore.tables.putIfAbsent(key(ident), t).isDefined)
+    if (store.tables.putIfAbsent(key(ident), t).isDefined)
       throw new TableAlreadyExistsException(ident)
+    store.warehouse.foreach { wh =>
+      // durable store: allocate the table dir and persist the creation
+      // commit BEFORE the table is visible to writers; a failed attach
+      // rolls the registration back rather than leaving a phantom
+      try {
+        val dir = GraftDurableLoader.allocateTableDir(
+          wh, ident.namespace().toSeq, ident.name())
+        t.attachDurable(new GraftTableDurability(new GraftTableLog(dir)),
+          ident.namespace().toSeq, ident.name())
+      } catch {
+        case e: Throwable => store.tables.remove(key(ident)); throw e
+      }
+    }
     t
   }
 
@@ -288,14 +338,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * new nullable columns append to the schema and every pre-evolution
     * row reads NULL in them. Other change kinds are rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = GraftTableStore.tables.getOrElse(key(ident),
+    val t = store.tables.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
     t.applyChanges(changes)
     t
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    GraftTableStore.tables.remove(key(ident)).isDefined
+    store.tables.remove(key(ident)) match {
+      case Some(t) =>
+        // managed durable table: DROP removes the data too (Delta's
+        // managed-table semantics — the reference's tables are managed)
+        t.dropDurable()
+        true
+      case None => false
+    }
 
   // ---- FunctionCatalog: the engine's codegen kernels as catalog-
   // qualified SQL functions (`graft_cat.<ns>.poly_hash(...)`) — resolve
@@ -311,28 +368,69 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         .NoSuchFunctionException(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val t = GraftTableStore.tables.getOrElse(key(oldIdent),
+    val t = store.tables.getOrElse(key(oldIdent),
       throw new NoSuchTableException(oldIdent))
     // move the SAME object (a copy would detach in-flight writes whose
     // commit closure mutates this instance) and only then retire the old
     // key; losing the putIfAbsent race leaves the store untouched
-    if (GraftTableStore.tables.putIfAbsent(key(newIdent), t).isDefined)
+    if (store.tables.putIfAbsent(key(newIdent), t).isDefined)
       throw new TableAlreadyExistsException(newIdent)
     t.rename((newIdent.namespace() :+ newIdent.name()).mkString("."))
-    GraftTableStore.tables.remove(key(oldIdent))
+    t.renameDurable(newIdent.namespace().toSeq, newIdent.name())
+    store.tables.remove(key(oldIdent))
   }
 }
 
-/** JVM-global backing store: (namespace, table) → [[GraftTable]] (whose
-  * rows live inside the table object). Global so every session/catalog
-  * instance in the JVM sees one table universe — the local-mode analog of
-  * a shared metastore. */
-object GraftTableStore {
+/** One table universe: (namespace, table) → [[GraftTable]] plus the
+  * declared namespaces. `warehouse = None` is the in-JVM store (tables
+  * die with the process — the test-double mode); `Some(path)` backs
+  * every table durably under that directory (parquet segments + JSON
+  * commit log — tables survive restart and exceed heap). */
+final class GraftStoreState(val warehouse: Option[java.nio.file.Path]) {
   val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
-  /** Declared namespaces (CREATE NAMESPACE) with their metadata;
-    * namespaces implied by table keys need no entry here. */
   val namespaces: TrieMap[Seq[String], util.Map[String, String]] =
     TrieMap.empty
+}
+
+/** JVM-global store registry. The default (in-JVM, non-durable) store is
+  * `global`, shared by every catalog instance without a `warehouse`
+  * option — the local-mode analog of a shared metastore. Durable stores
+  * cache per canonical warehouse path, so two catalog instances over the
+  * same warehouse IN ONE JVM share a universe; [[openIsolated]] skips
+  * the cache to simulate a SECOND PROCESS over the same path (the
+  * cross-process commit-protocol spec surface). */
+object GraftTableStore {
+  val global = new GraftStoreState(None)
+  /** Compatibility aliases: the in-JVM store's maps (the historical
+    * public surface — specs and the maintenance SQL resolve keep
+    * working unchanged). */
+  val tables: TrieMap[(Seq[String], String), GraftTable] = global.tables
+  val namespaces: TrieMap[Seq[String], util.Map[String, String]] =
+    global.namespaces
+
+  private val byWarehouse = TrieMap.empty[String, GraftStoreState]
+
+  private def canonical(path: String): String =
+    java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+
+  def forWarehouse(path: String): GraftStoreState =
+    byWarehouse.getOrElseUpdate(canonical(path), GraftDurableLoader.open(path))
+
+  /** A FRESH store over the warehouse, bypassing the cache — each call
+    * replays the on-disk log into independent table objects, exactly what a
+    * second process would see. Test/maintenance surface. */
+  def openIsolated(path: String): GraftStoreState =
+    GraftDurableLoader.open(path)
+
+  /** All stores this JVM knows (global first) — the search space for
+    * store-agnostic resolution (maintenance SQL). */
+  def allStores: Seq[GraftStoreState] = global +: byWarehouse.values.toSeq
+
+  def lookup(namespace: Seq[String], table: String): Option[GraftTable] =
+    allStores.iterator.flatMap(_.tables.get((namespace, table))).nextOption()
+
+  def keyExists(key: (Seq[String], String)): Boolean =
+    allStores.exists(_.tables.contains(key))
 }
 
 /** Commit-timestamp source for time travel, replaceable in tests so
@@ -409,16 +507,70 @@ final case class ColZone(min: Any, max: Any, nullCount: Long)
   * its transaction log — per-column zone maps for data skipping, a byte
   * size for `SupportsReportStatistics`, and the partition-group key when
   * the whole file belongs to a single identity partition (which lets
-  * partition deletes/overwrites drop whole files by reference). */
-final class GraftDataFile(
-    val rows: Array[InternalRow],
+  * partition deletes/overwrites drop whole files by reference).
+  *
+  * ROW STORAGE is tiered: a freshly-written file holds its rows on heap;
+  * once a durable commit persists the rows to a parquet segment
+  * ([[spill]]) the strong reference drops — the heap copy becomes a
+  * SoftReference cache the GC reclaims under pressure, and later reads
+  * stream the segment back from disk. A table's resident set is its
+  * WORKING set, not its size: the heap wall the in-memory store had is
+  * gone. Metadata (zones, size, group key, row count) always stays
+  * resident — pruning and planning never touch a segment. */
+final class GraftDataFile private (
+    rows0: Array[InternalRow],
     val zones: Array[ColZone], // index = schema ordinal; null = no stats
     val sizeBytes: Long,
-    val groupKey: Option[Seq[Any]]) {
-  def rowCount: Int = rows.length
+    val groupKey: Option[Seq[Any]],
+    val rowCount: Int,
+    seg0: GraftSegmentHandle) {
+
+  def this(rows: Array[InternalRow], zones: Array[ColZone], sizeBytes: Long,
+           groupKey: Option[Seq[Any]]) =
+    this(rows, zones, sizeBytes, groupKey, rows.length, null)
+
+  @volatile private var strong: Array[InternalRow] = rows0
+  @volatile private[sources] var segment: GraftSegmentHandle = seg0
+  @volatile private var soft
+      : java.lang.ref.SoftReference[Array[InternalRow]] = null
+
+  def rows: Array[InternalRow] = {
+    val s = strong
+    if (s != null) return s
+    val sr = soft
+    if (sr != null) {
+      val cached = sr.get()
+      if (cached != null) return cached
+    }
+    val loaded = segment.load()
+    soft = new java.lang.ref.SoftReference(loaded)
+    loaded
+  }
+
+  private[sources] def persisted: Boolean = segment != null
+
+  /** Test hook: drop the soft row cache so the next read must hit the
+    * parquet segment (what GC memory pressure does). No-op while the
+    * file is heap-only. */
+  private[sources] def evict(): Unit = if (segment != null) soft = null
+
+  /** The durable segment is written: release the strong reference so
+    * the heap copy is GC-reclaimable (kept soft for warm re-reads). */
+  private[sources] def spill(h: GraftSegmentHandle): Unit = {
+    segment = h
+    soft = new java.lang.ref.SoftReference(strong)
+    strong = null
+  }
 }
 
 object GraftDataFile {
+
+  /** A file resurrected from the durable log: rows load lazily from the
+    * parquet segment; all metadata comes from the log entry. */
+  def fromSegment(h: GraftSegmentHandle, zones: Array[ColZone],
+                  sizeBytes: Long, groupKey: Option[Seq[Any]],
+                  rowCount: Int): GraftDataFile =
+    new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h)
 
   /** `rows` minus the DEAD positions, original order preserved — THE
     * delete-vector application, shared by every read path so the
@@ -632,7 +784,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * wrong-column read (schema-first would shift ordinals under the old
     * rows). */
   private[sources] def applyChanges(changes: Seq[TableChange]): Unit =
-    synchronized {
+    mutate {
       changes.foreach {
         case add: TableChange.AddColumn =>
           if (add.fieldNames.length != 1)
@@ -912,6 +1064,146 @@ class GraftTable(initialName: String, initialSchema: StructType,
       Map[GraftDataFile, scala.collection.immutable.BitSet]) =
     (Vector.empty, Map.empty)
 
+  // ---- durable backing ------------------------------------------------
+  /** None = in-JVM table (the historical mode); Some = every commit
+    * persists parquet segments + a JSON log entry under the table dir
+    * (see [[GraftTableDurability]]) and the table survives the JVM. */
+  @volatile private[sources] var durable: Option[GraftTableDurability] = None
+
+  /** Every mutating operation runs through here: the table monitor (in-
+    * process), then — durable only — the cross-process commit lease plus
+    * a replay of any log entries another writer landed since we last
+    * looked. The replay is what makes the existing optimistic conflict
+    * checks (identity-prefix, lost-update) fire correctly for a SECOND
+    * PROCESS: its appends surface as new suffix files (appends both
+    * land), its rewrites replace objects (prefix identity breaks → the
+    * racing COW/MOR aborts). Lock order everywhere: table monitor →
+    * per-dir JVM monitor → OS file lock. */
+  private def mutate[T](body: => T): T = synchronized {
+    durable match {
+      case None => body
+      case Some(d) => d.log.withCommitLock { syncFromLog(d); body }
+    }
+  }
+
+  /** Cheap staleness probe for READS on a durable table: one
+    * Files.exists on the next log entry; replay only when a foreign
+    * commit actually exists. No-op on in-JVM tables. */
+  private def refreshIfStale(): Unit = durable.foreach { d =>
+    if (d.log.hasEntry(history.last.version + 1)) mutate(())
+  }
+
+  /** Replay foreign log entries (version > ours) into this table. */
+  private def syncFromLog(d: GraftTableDurability): Unit = {
+    val cur = history.last.version
+    if (d.log.hasEntry(cur + 1))
+      d.log.readEntriesFrom(cur + 1).foreach { case (_, json) =>
+        applyDecoded(GraftLogCodec.decodeEntry(json, partitionCols,
+          bucketSpec, d.log.dir, d.registry))
+      }
+  }
+
+  /** Install one decoded log entry as the current state + a history
+    * entry — the shared replay step of restart load and foreign-commit
+    * sync. */
+  private def applyDecoded(dec: GraftLogCodec.DecodedEntry): Unit = {
+    val e = dec.entry
+    files = e.files
+    dvs = e.dvs
+    if (tableSchema != e.schema) tableSchema = e.schema
+    nextFieldId = math.max(nextFieldId, dec.nextFieldId)
+    checks = dec.checksText.map { case (nm, txt) =>
+      nm -> GraftConstraints.compile(txt, e.schema)
+    }
+    history = history :+ e
+    val over = history.length - math.max(2, GraftTable.historyRetention)
+    if (over > 0) history = history.drop(over)
+    changesCache = None
+    readState = (files, dvs)
+  }
+
+  /** Restart bootstrap: adopt the durable backing and replay the whole
+    * retained log (called by the loader on a FRESH table object — data,
+    * time travel and the change feed all reconstruct from the log). */
+  private[sources] def bootstrapDurable(d: GraftTableDurability,
+      decoded: Seq[GraftLogCodec.DecodedEntry]): Unit = synchronized {
+    durable = Some(d)
+    history = Vector.empty // the log IS the history; drop the synthetic v0
+    decoded.foreach(applyDecoded)
+  }
+
+  /** CREATE-time attach: write table.json + the creation entry (v0). */
+  private[sources] def attachDurable(d: GraftTableDurability,
+      namespace: Seq[String], name: String): Unit = synchronized {
+    d.log.init()
+    d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(namespace, name,
+      tableName, partitionCols, rowLevelMode, bucketSpec))
+    val e = history.head
+    if (!d.log.writeEntry(e.version, GraftLogCodec.encodeEntry(e,
+        partitionCols, bucketSpec, d.log.dir,
+        checks.map { case (k, c) => k -> c.text }, nextFieldId)))
+      throw new IllegalStateException(
+        s"$tableName: table dir ${d.log.dir} already holds a commit log")
+    durable = Some(d)
+  }
+
+  /** Durable rename: only table.json moves (the dir name is physical
+    * identity, decoupled from the logical name — segments keep their
+    * paths, in-flight writes keep their handles). */
+  private[sources] def renameDurable(namespace: Seq[String],
+      name: String): Unit =
+    durable.foreach(d => d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(
+      namespace, name, tableName, partitionCols, rowLevelMode, bucketSpec)))
+
+  /** DROP TABLE on a durable (managed) table removes its directory. */
+  private[sources] def dropDurable(): Unit =
+    durable.foreach(_.log.destroy())
+
+  /** Persist one commit: write every not-yet-persisted file (state
+    * segments AND change-record pseudo-files) as parquet, spill their
+    * heap rows, then CAS the log entry. Files carried by reference
+    * through COW/OPTIMIZE are already persisted and pay NOTHING here —
+    * only genuinely new files cost a write. */
+  private def persistCommit(d: GraftTableDurability, e: CommitEntry): Unit = {
+    var n = 0
+    def persist(f: GraftDataFile, kind: String): Unit = if (!f.persisted) {
+      val rel = s"data/$kind-${e.version}-$n.parquet"
+      n += 1
+      val abs = d.log.dir.resolve(rel)
+      GraftSegmentIO.write(abs, e.schema, f.rows)
+      f.spill(new GraftSegmentHandle(abs, e.schema))
+      d.registry.put(rel, f)
+    }
+    e.files.foreach(persist(_, "seg"))
+    e.added.foreach(persist(_, "cdc"))
+    e.removed.foreach(persist(_, "cdc"))
+    val json = GraftLogCodec.encodeEntry(e, partitionCols, bucketSpec,
+      d.log.dir, checks.map { case (k, c) => k -> c.text }, nextFieldId)
+    if (!d.log.writeEntry(e.version, json))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: commit ${e.version} already exists in the log — " +
+          "a writer outside the commit lease raced this commit; retry")
+  }
+
+  /** Delete log entries below the retained base and segments no
+    * retained entry references (the bytes-reclaiming half of VACUUM /
+    * retention). Foreign (clone-shared, absolute-ref) segments are
+    * never touched; reads of reclaimed history fail loudly. */
+  private def reclaimDurable(d: GraftTableDurability): Unit = {
+    val live = scala.collection.mutable.Set.empty[String]
+    def add(f: GraftDataFile): Unit =
+      if (f.persisted && f.segment.path.startsWith(d.log.dir))
+        live += "data/" + f.segment.path.getFileName.toString
+    history.foreach { e =>
+      e.files.foreach(add); e.added.foreach(add); e.removed.foreach(add)
+      e.dvs.keys.foreach(add)
+    }
+    files.foreach(add)
+    d.log.reclaim(history.head.version, live.toSet)
+    d.registry.filterInPlace((ref, _) =>
+      live.contains(ref) || java.nio.file.Paths.get(ref).isAbsolute)
+  }
+
   private def snap(op: String,
                    added: Vector[GraftDataFile] = Vector.empty,
                    removed: Vector[GraftDataFile] = Vector.empty): Unit = {
@@ -924,11 +1216,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val over = history.length - math.max(2, GraftTable.historyRetention)
     if (over > 0) history = history.drop(over)
     readState = (files, dvs)
+    durable.foreach { d =>
+      persistCommit(d, history.last)
+      if (over > 0) reclaimDurable(d)
+    }
   }
 
   /** Read-only view of commit `v` (see GraftCatalog.loadTable(_, version)). */
   private[sources] def snapshotAt(
       v: Int, ident: Identifier): GraftSnapshotTable = {
+    refreshIfStale()
     val h = history
     val latest = h.last.version
     if (v < 0 || v > latest)
@@ -950,6 +1247,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * instants before the earliest retained commit fail loudly. */
   private[sources] def snapshotAsOf(
       tsMicros: Long, ident: Identifier): GraftSnapshotTable = {
+    refreshIfStale()
     val h = history
     val idx = h.lastIndexWhere(_.tsMicros <= tsMicros)
     if (idx < 0)
@@ -990,7 +1288,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * resurface as inserts in the clone's change feed. */
   private[sources] def adoptFiles(fs: Vector[GraftDataFile],
       fsDvs: Map[GraftDataFile, scala.collection.immutable.BitSet]): Unit =
-    synchronized {
+    mutate {
       files = fs; dvs = fsDvs
       snap("CLONE", added = cdcLiveView(fs))
     }
@@ -1003,7 +1301,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * file whose DELETE VECTOR differs contributes exactly the positions
     * whose liveness flipped. */
   private[sources] def restoreTo(v: Int, ident: Identifier): Unit =
-    synchronized {
+    mutate {
       val (schema, target, targetDvs) = stateAt(Some(v), ident)
       if (schema != tableSchema)
         throw new UnsupportedOperationException(
@@ -1047,13 +1345,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * window to slide — the superseded row arrays become collectable.
     * Returns the number of snapshots retired. Data files referenced by
     * the retained snapshots (including clones') are untouched. */
-  private[sources] def vacuumHistory(keepLast: Int): Int = synchronized {
+  private[sources] def vacuumHistory(keepLast: Int): Int = mutate {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val over = history.length - keepLast
     if (over > 0) history = history.drop(over)
     // vacuum truncates WITHOUT a version bump — the memoized CDC files
     // would otherwise keep serving (and pinning) the retired commits
     changesCache = None
+    // durable: the truncation also reclaims BYTES — retired log entries
+    // delete, and segments no retained entry references delete with
+    // them (Delta's VACUUM contract; reads of retired versions already
+    // fail loudly above)
+    if (over > 0) durable.foreach(reclaimDurable)
     math.max(0, over)
   }
 
@@ -1322,14 +1625,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   private[sources] def installAppend(batches: Array[Array[InternalRow]]): Unit =
-    synchronized {
+    mutate {
       validateChecks(batches.iterator.flatten)
       val nf = buildFiles(batches)
       files = files ++ nf
       snap("APPEND", added = nf)
     }
   private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
-    synchronized {
+    mutate {
       validateChecks(batches.iterator.flatten)
       val old = cdcLiveView(files)
       val nf = buildFiles(batches)
@@ -1356,7 +1659,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
       touched: Option[Seq[Any] => Boolean],
       op: String = "MERGE",
-      expectedBase: Vector[GraftDataFile]): Unit = synchronized {
+      expectedBase: Vector[GraftDataFile]): Unit = mutate {
     validateChecks(batches.iterator.flatten)
     val fsnap = files
     if (fsnap.length < expectedBase.length ||
@@ -1391,7 +1694,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** INSERT OVERWRITE of specific partition groups (static mode with a
     * partition predicate): delete the matching groups, then append. */
   private[sources] def installOverwriteGroups(batches: Array[Array[InternalRow]],
-      touched: Seq[Any] => Boolean): Unit = synchronized {
+      touched: Seq[Any] => Boolean): Unit = mutate {
     validateChecks(batches.iterator.flatten)
     val (kept, gone) = dropGroupRows(files, touched)
     val nf = buildFiles(batches)
@@ -1405,7 +1708,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * same contract as the parquet-side s22 path, and Hive/Delta's
     * `partitionOverwriteMode=dynamic`). */
   private[sources] def installDynamicOverwrite(
-      batches: Array[Array[InternalRow]]): Unit = synchronized {
+      batches: Array[Array[InternalRow]]): Unit = mutate {
     validateChecks(batches.iterator.flatten)
     val keyOf = boundGroupKey()
     val touched = batches.iterator.flatten.map(keyOf).toSet
@@ -1425,7 +1728,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * as a commit, so time travel serves the pre- and post-compaction
     * layouts with identical data. Returns (filesBefore, filesAfter). */
   private[sources] def optimizeCompact(targetRows: Int): (Int, Int) =
-    synchronized {
+    mutate {
       require(targetRows > 0, "targetRows must be positive")
       val before = files
       val out = Vector.newBuilder[GraftDataFile]
@@ -1474,7 +1777,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * be integral-valued (int/long/short/byte/date/timestamp). */
   private[sources] def zorderCompact(cols: Seq[String],
                                      targetRows: Int): (Int, Int) =
-    synchronized {
+    mutate {
       require(cols.nonEmpty, "ZORDER BY needs at least one column")
       require(targetRows > 0, "targetRows must be positive")
       val schema = tableSchema
@@ -1585,7 +1888,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     alwaysTrueOnly(filters) ||
       GroupPredicates.keyPredicate(filters, partitionCols).isDefined
 
-  override def deleteWhere(filters: Array[Predicate]): Unit = synchronized {
+  override def deleteWhere(filters: Array[Predicate]): Unit = mutate {
     val gone =
       if (alwaysTrueOnly(filters)) {
         val old = cdcLiveView(files); files = Vector.empty; old
@@ -1654,7 +1957,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private val streamEpochs = TrieMap.empty[String, Long]
   private[sources] def installStreamingEpoch(queryId: String, epochId: Long,
       batches: Array[Array[InternalRow]],
-      install: Array[Array[InternalRow]] => Unit): Unit = synchronized {
+      install: Array[Array[InternalRow]] => Unit): Unit = mutate {
     if (!streamEpochs.get(queryId).exists(_ >= epochId)) {
       install(batches)
       streamEpochs.put(queryId, epochId)
@@ -1662,7 +1965,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   // ---- streaming-source surface (package-private, used by the stream) --
-  private[sources] def currentVersion: Int = history.last.version
+  private[sources] def currentVersion: Int = {
+    refreshIfStale() // a durable table tails foreign writers' commits too
+    history.last.version
+  }
 
   /** Earliest retained commit version with tsMicros >= the instant;
     * current version + 1 when the instant is after every commit (the
@@ -1698,11 +2004,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   // ---- read path -----------------------------------------------------
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    refreshIfStale() // bind foreign writers' committed state, if any
     new GraftScanBuilder(tableSchema, () => readState,
       c => lastScanCensus = Some(c), partitionCols,
       streamSource = Some(this), streamOptions = options,
       bucketSpec = bucketSpec)
+  }
 
   // ---- plain write path (INSERT INTO/OVERWRITE / CTAS) ---------------
   // Four commit modes: append (INSERT INTO), full replace (truncate /
@@ -1777,7 +2085,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * preimage this commit read no longer exists — so those abort. */
   private[sources] def installDelta(deletes: Array[(Int, Int)],
       inserts: Array[Array[InternalRow]], op: String,
-      expectedBase: Vector[GraftDataFile]): Unit = synchronized {
+      expectedBase: Vector[GraftDataFile]): Unit = mutate {
     validateChecks(inserts.iterator.flatten)
     val fsnap = files
     if (fsnap.length < expectedBase.length ||
@@ -1867,13 +2175,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
       @volatile private var scannedFiles: Vector[GraftDataFile] = _
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         () => {
+          refreshIfStale()
           val st = readState
           scannedFiles = st._1
-          val rows = st._1.toArray.flatMap(_.rows) // COW tables carry no DVs
-          if (partitionCols.isEmpty) GraftScan.of(tableSchema, rows)
+          if (partitionCols.isEmpty)
+            // unpartitioned: the whole table is ONE group — the rewrite
+            // reads everything by definition (COW tables carry no DVs)
+            GraftScan.of(tableSchema, st._1.toArray.flatMap(_.rows))
           else {
+            // partitioned: hand the scan FILES, not rows — the runtime
+            // group filter drops untouched partitions' files before a
+            // row (or, durable, a segment byte) is ever read
             rlScan = new GraftRowLevelScan(tableSchema, partitionCols,
-              rows, boundGroupKey())
+              st._1, boundGroupKey())
             rlScan
           }
         }
@@ -2050,8 +2364,10 @@ case class GraftDeltaMessage(deletes: Array[(Int, Int)],
 object GraftMaintenance {
   final case class OptimizeResult(filesBefore: Int, filesAfter: Int)
 
+  // store-agnostic: maintenance statements address tables in the global
+  // in-JVM store AND any opened durable warehouse store
   private def resolve(namespace: Seq[String], table: String): GraftTable =
-    GraftTableStore.tables.getOrElse((namespace, table),
+    GraftTableStore.lookup(namespace, table).getOrElse(
       throw new NoSuchTableException(
         Identifier.of(namespace.toArray, table)))
 
@@ -2147,11 +2463,19 @@ object GraftMaintenance {
   * shape degrades to no pruning — a whole-table rewrite is correct,
   * just not delta-sized. */
 class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
-                        allRows: Array[InternalRow],
+                        allFiles: Vector[GraftDataFile],
                         groupKeyOf: InternalRow => Seq[Any])
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
-  @volatile private var kept: Array[InternalRow] = allRows
+  /** Files surviving the runtime group filter. FILE-level narrowing:
+    * a file wholly owned by an untouched partition group drops here
+    * without its rows ever materializing — on a durable table its
+    * parquet segment is never opened, so an UPDATE touching one
+    * partition costs I/O proportional to that partition, not the
+    * table (the heap-independence half of group-based COW). Files
+    * spanning groups (post-compaction) row-filter at read. */
+  @volatile private var kept: Vector[GraftDataFile] = allFiles
+  @volatile private var rowPred: Option[InternalRow => Boolean] = None
   /** Groups the rewrite must replace; None = all (no runtime filter). */
   @volatile private[sources] var scannedGroups: Option[Seq[Any] => Boolean] =
     None
@@ -2168,21 +2492,84 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(partCols.head))
 
-  override def filter(predicates: Array[Predicate]): Unit =
+  override def filter(predicates: Array[Predicate]): Unit = {
     GroupPredicates.keyPredicate(predicates, partCols).foreach { pred =>
-      kept = allRows.filter(r => pred(groupKeyOf(r)))
+      kept = allFiles.filter(f => f.groupKey match {
+        case Some(k) => pred(k) // file-level: untouched groups never read
+        case None => true // group-spanning: row-filtered in rowsOf
+      })
+      rowPred = Some(r => pred(groupKeyOf(r)))
       // the touched set is what the filter SELECTED (not just non-empty
       // groups): a selected group whose rows all get deleted must still
       // be replaced (with nothing)
       scannedGroups = Some(pred)
     }
+  }
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftScan.of(schema, kept).planInputPartitions()
+
+  /** LAZY partitions: Spark calls planInputPartitions once BEFORE the
+    * runtime group filter arrives (outputPartitioning needs a partition
+    * count) — materializing rows there would read every group and
+    * defeat the file-level skip. A persisted file therefore ships only
+    * its segment PATH; the partition reader streams the parquet at
+    * execution (also the real cluster shape: data moves executor-side,
+    * not through the driver). Heap-only files (in-JVM tables, rows not
+    * yet spilled) ship their rows, as every other scan here does. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val needRowFilter = rowPred
+    val parts = kept.iterator.flatMap { f =>
+      // wholly-owned file: every row belongs to a kept group; spanning
+      // file: rows re-filter at read
+      val pred = if (f.groupKey.isDefined) None else needRowFilter
+      if (f.persisted)
+        Iterator.single(GraftSegmentPartition(f.segment.path.toString,
+          f.segment.schema.json, pred): InputPartition)
+      else {
+        val rows = pred match {
+          case Some(p) => f.rows.filter(p)
+          case None => f.rows
+        }
+        if (rows.isEmpty) Iterator.empty
+        else Iterator.single(GraftInputPartition(rows): InputPartition)
+      }
+    }.toArray
+    if (parts.isEmpty) Array(GraftInputPartition(Array.empty)) else parts
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftScan.of(schema, kept).createReaderFactory()
+    GraftLazyReaderFactory()
+}
+
+/** A partition that carries a parquet segment REFERENCE instead of
+  * rows: the reader opens the file at execution. `rowFilter` re-filters
+  * a group-spanning file's rows to the scanned groups. */
+case class GraftSegmentPartition(ref: String, schemaJson: String,
+    rowFilter: Option[InternalRow => Boolean]) extends InputPartition
+
+/** Reader over both row-carrying and segment-reference partitions. */
+case class GraftLazyReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[InternalRow] = p match {
+        case g: GraftInputPartition => g.rows.iterator
+        case s: GraftSegmentPartition =>
+          val schema = DataType.fromJson(s.schemaJson)
+            .asInstanceOf[StructType]
+          val rows = GraftSegmentIO.read(
+            java.nio.file.Paths.get(s.ref), schema)
+          s.rowFilter match {
+            case Some(f) => rows.iterator.filter(f)
+            case None => rows.iterator
+          }
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
 }
 
 /** Conservative evaluator for the partition predicates Spark hands the

@@ -1,0 +1,490 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Durable backing of a [[GraftTable]]: parquet segment files plus a
+  * JSON commit log on local disk — the transaction-log layout (Delta's
+  * `_delta_log` + data files) that makes a table OUTLIVE the JVM and
+  * exceed its heap. Everything the in-memory log carries persists:
+  * per-commit schema (with field ids), the complete post-commit file
+  * census with zone maps / sizes / group keys, the commit's CDC record
+  * (added/removed files), delete vectors, CHECK constraints, and the
+  * monotonic field-id counter. A fresh catalog instance pointed at the
+  * same warehouse serves the table — data, time travel, CDF — written
+  * before it.
+  *
+  * COMMIT PROTOCOL (multi-writer): each log entry lands by atomic
+  * hard-link CAS (`Files.createLink` fails loudly when the version
+  * already exists), under a per-table commit lease — an OS file lock
+  * (cross-process) nested in a JVM-wide monitor (file locks are
+  * per-process). A writer entering a commit first REPLAYS any log
+  * entries it has not seen, so the existing optimistic conflict checks
+  * (identity-prefix / lost-update, GraftMorSpec) fire exactly as they
+  * do for in-JVM concurrency: concurrent appends both land; a COW/MOR
+  * rewrite racing another writer aborts with
+  * ConcurrentModificationException. That is the Delta commit protocol
+  * (mutual exclusion on the log tail + optimistic semantic checks),
+  * with rename-CAS standing in for the object store's
+  * put-if-absent. */
+private[sources] final class GraftTableDurability(val log: GraftTableLog) {
+  /** ref string (as written in log entries) → the ONE file object per
+    * segment, so identity-based structures (delete vectors, the
+    * prefix-identity conflict check, CDC file sharing) survive decode. */
+  val registry: TrieMap[String, GraftDataFile] = TrieMap.empty
+}
+
+/** One lazily-loadable parquet segment: the durable body of a
+  * [[GraftDataFile]]. `reads` reports the JVM-global load census for
+  * this segment's path — the surface specs use to prove untouched data
+  * is never read (executor-side partition readers count too). */
+final class GraftSegmentHandle(val path: Path, val schema: StructType) {
+  def reads: Long = GraftSegmentIO.readsOf(path)
+  def load(): Array[InternalRow] = GraftSegmentIO.read(path, schema)
+}
+
+/** Filesystem surface of one durable table:
+  * {{{
+  *   <tableDir>/table.json            // identity + layout metadata
+  *   <tableDir>/log/00000000001.json  // one entry per commit (CAS'd)
+  *   <tableDir>/data/seg-<v>-<n>.parquet  // state segments
+  *   <tableDir>/data/cdc-<v>-<n>.parquet  // change-record-only segments
+  * }}} */
+private[sources] final class GraftTableLog(val dir: Path) {
+  val logDir: Path = dir.resolve("log")
+  val dataDir: Path = dir.resolve("data")
+  private val metaPath = dir.resolve("table.json")
+  private val lockPath = dir.resolve("_commit.lock")
+
+  def init(): Unit = {
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+  }
+
+  def entryPath(v: Int): Path = logDir.resolve(f"$v%011d.json")
+  def hasEntry(v: Int): Boolean = Files.exists(entryPath(v))
+
+  /** CAS-install entry `v`: true when this writer won the version. */
+  def writeEntry(v: Int, json: String): Boolean = {
+    val target = entryPath(v)
+    val tmp = logDir.resolve(
+      f"$v%011d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, json.getBytes(UTF_8))
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** (version, json) of every retained entry with version >= from,
+    * ascending. */
+  def readEntriesFrom(from: Int): Seq[(Int, String)] = {
+    if (!Files.isDirectory(logDir)) return Nil
+    val s = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.length == 16)
+        .map(n => n.stripSuffix(".json").toInt)
+        .filter(_ >= from)
+        .toSeq.sorted
+        .map(v => (v, new String(Files.readAllBytes(entryPath(v)), UTF_8)))
+    } finally s.close()
+  }
+
+  def writeTableMeta(json: String): Unit = {
+    val tmp = dir.resolve("table.json.tmp")
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readTableMeta(): String =
+    new String(Files.readAllBytes(metaPath), UTF_8)
+
+  /** Cross-process commit lease. Reentrant per thread (a streaming-epoch
+    * install calls a locked install mode inside its own lease); the JVM
+    * monitor serializes same-process writers (OS file locks are held
+    * per-process — a second lock attempt from this JVM would throw
+    * OverlappingFileLockException, not block). */
+  def withCommitLock[T](body: => T): T = {
+    val key = dir.toAbsolutePath.normalize.toString
+    val held = GraftTableLog.heldLocks.get()
+    if (held.contains(key)) body
+    else {
+      val mon = GraftTableLog.monitors
+        .computeIfAbsent(key, _ => new Object)
+      mon.synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock()
+          held += key
+          try body finally { held -= key; l.release() }
+        } finally ch.close()
+      }
+    }
+  }
+
+  /** Physically reclaim: drop log entries below `oldestRetained` and
+    * delete every data segment not in `liveRefs` (refs relative to this
+    * table's dir; foreign absolute refs — shared clone segments — are
+    * never touched here). Crash-safe order: log entries first, so a
+    * crash mid-reclaim can only leave unreferenced segments behind,
+    * never a log entry pointing at a deleted segment. */
+  def reclaim(oldestRetained: Int, liveRefs: Set[String]): Unit = {
+    readEntriesFrom(0).foreach { case (v, _) =>
+      if (v < oldestRetained) Files.deleteIfExists(entryPath(v))
+    }
+    if (Files.isDirectory(dataDir)) {
+      val s = Files.list(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.endsWith(".parquet") && !liveRefs.contains(s"data/$name"))
+            Files.deleteIfExists(p)
+        }
+      } finally s.close()
+    }
+  }
+
+  /** Recursive delete of the whole table dir (DROP TABLE on a managed
+    * durable table — Delta's managed-table drop removes data). */
+  def destroy(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      val all = Files.walk(dir)
+      try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally all.close()
+    }
+  }
+}
+
+private[sources] object GraftTableLog {
+  val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  val heldLocks: ThreadLocal[scala.collection.mutable.Set[String]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Set.empty[String])
+}
+
+/** JSON codecs for the commit log. Values serialize in their CATALYST
+  * representation typed by the entry's schema (ints/longs as numbers,
+  * strings/decimals/floats as strings — float text round-trips exactly
+  * and dodges JSON's NaN hole), so decode needs no per-row conversion
+  * machinery. */
+private[sources] object GraftLogCodec {
+
+  private def num(j: JValue): BigInt = j match {
+    case JInt(b) => b
+    case JLong(l) => BigInt(l)
+    case JDouble(d) => BigInt(d.toLong)
+    case JDecimal(d) => d.toBigInt
+    case other => throw new IllegalStateException(s"expected number, got $other")
+  }
+
+  def encodeValue(dt: DataType, v: Any): JValue =
+    if (v == null) JNull
+    else dt match {
+      case ByteType => JLong(v.asInstanceOf[Byte].toLong)
+      case ShortType => JLong(v.asInstanceOf[Short].toLong)
+      case IntegerType | DateType => JLong(v.asInstanceOf[Int].toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        JLong(v.asInstanceOf[Long])
+      case FloatType | DoubleType => JString(v.toString)
+      case BooleanType => JBool(v.asInstanceOf[Boolean])
+      case StringType => JString(v.toString)
+      case _: DecimalType =>
+        JString(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
+      case other => throw new UnsupportedOperationException(
+        s"durable log cannot encode values of type $other")
+    }
+
+  def decodeValue(dt: DataType, j: JValue): Any = j match {
+    case JNull => null
+    case _ => dt match {
+      case ByteType => num(j).toByte
+      case ShortType => num(j).toShort
+      case IntegerType | DateType => num(j).toInt
+      case LongType | TimestampType | TimestampNTZType => num(j).toLong
+      case FloatType => j.asInstanceOf[JString].s.toFloat
+      case DoubleType => j.asInstanceOf[JString].s.toDouble
+      case BooleanType => j.asInstanceOf[JBool].value
+      case StringType => org.apache.spark.unsafe.types.UTF8String
+        .fromString(j.asInstanceOf[JString].s)
+      case d: DecimalType =>
+        Decimal(BigDecimal(j.asInstanceOf[JString].s), d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"durable log cannot decode values of type $other")
+    }
+  }
+
+  /** Group-key element types under `schema`: the identity partition
+    * columns' types, or Int for a bucket id. */
+  def keyTypes(schema: StructType, partitionCols: Seq[String],
+               bucketSpec: Option[(Int, String)]): Seq[DataType] =
+    bucketSpec match {
+      case Some(_) => Seq(IntegerType)
+      case None => partitionCols.map(c => schema(schema.fieldIndex(c)).dataType)
+    }
+
+  /** The ref string a file serializes as: relative when its segment
+    * lives under `dir`, absolute otherwise (clone-shared segments). */
+  def refOf(f: GraftDataFile, dir: Path): String = {
+    val h = f.segment
+    require(h != null, "file must be persisted before it is referenced")
+    if (h.path.startsWith(dir)) dir.relativize(h.path).toString
+    else h.path.toString
+  }
+
+  def resolveRef(ref: String, dir: Path): Path = {
+    val p = Paths.get(ref)
+    if (p.isAbsolute) p else dir.resolve(p)
+  }
+
+  private def encodeFile(f: GraftDataFile, schema: StructType,
+                         kts: Seq[DataType], dir: Path): JValue =
+    JObject(
+      "path" -> JString(refOf(f, dir)),
+      "rows" -> JLong(f.rowCount.toLong),
+      "bytes" -> JLong(f.sizeBytes),
+      "group" -> f.groupKey.map(k => JArray(
+        k.lazyZip(kts).map((v, t) => encodeValue(t, v)).toList))
+        .getOrElse(JNull),
+      "zones" -> JArray(schema.fields.toList.zipWithIndex.map { case (fl, i) =>
+        if (i < f.zones.length && f.zones(i) != null) {
+          val z = f.zones(i)
+          JArray(List(encodeValue(fl.dataType, z.min),
+            encodeValue(fl.dataType, z.max), JLong(z.nullCount)))
+        } else JNull
+      }))
+
+  private def decodeFile(j: JValue, schema: StructType, kts: Seq[DataType],
+      dir: Path, registry: TrieMap[String, GraftDataFile]): GraftDataFile = {
+    val o = j.asInstanceOf[JObject].obj.toMap
+    val ref = o("path").asInstanceOf[JString].s
+    registry.getOrElseUpdate(ref, {
+      val zones = o("zones").asInstanceOf[JArray].arr.toArray.zipWithIndex
+        .map {
+          case (JNull, _) => null
+          case (JArray(List(mn, mx, nc)), i) =>
+            val dt = schema.fields(i).dataType
+            ColZone(decodeValue(dt, mn), decodeValue(dt, mx), num(nc).toLong)
+          case (other, i) =>
+            throw new IllegalStateException(s"bad zone at $i: $other")
+        }
+      val group = o("group") match {
+        case JNull => None
+        case JArray(vs) => Some(vs.lazyZip(kts).map((v, t) => decodeValue(t, v)))
+        case other => throw new IllegalStateException(s"bad group: $other")
+      }
+      GraftDataFile.fromSegment(
+        new GraftSegmentHandle(resolveRef(ref, dir), schema),
+        zones, num(o("bytes")).toLong, group, num(o("rows")).toInt)
+    })
+  }
+
+  /** Serialize one commit entry (plus the table's current constraint
+    * texts and field-id counter — restart state the entry carries). */
+  def encodeEntry(e: CommitEntry, partitionCols: Seq[String],
+      bucketSpec: Option[(Int, String)], dir: Path,
+      checksText: Map[String, String], nextFieldId: Long): String = {
+    val kts = keyTypes(e.schema, partitionCols, bucketSpec)
+    val dvsJ = e.dvs.toList.map { case (f, bs) =>
+      JArray(List(JString(refOf(f, dir)),
+        JArray(bs.toList.map(p => JLong(p.toLong)))))
+    }
+    val json = JObject(
+      "version" -> JLong(e.version.toLong),
+      "ts" -> JLong(e.tsMicros),
+      "op" -> JString(e.operation),
+      "schema" -> JString(e.schema.json),
+      "nextFieldId" -> JLong(nextFieldId),
+      "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))),
+      "added" -> JArray(e.added.toList.map(encodeFile(_, e.schema, kts, dir))),
+      "removed" -> JArray(
+        e.removed.toList.map(encodeFile(_, e.schema, kts, dir))),
+      "dvs" -> JArray(dvsJ),
+      "checks" -> JArray(checksText.toList.sortBy(_._1).map { case (n, t) =>
+        JArray(List(JString(n), JString(t)))
+      }))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** One decoded entry: the CommitEntry plus (checks texts, field-id
+    * counter) the entry carried. */
+  final case class DecodedEntry(entry: CommitEntry,
+      checksText: Map[String, String], nextFieldId: Long)
+
+  def decodeEntry(json: String, partitionCols: Seq[String],
+      bucketSpec: Option[(Int, String)], dir: Path,
+      registry: TrieMap[String, GraftDataFile]): DecodedEntry = {
+    val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    val schema = DataType.fromJson(o("schema").asInstanceOf[JString].s)
+      .asInstanceOf[StructType]
+    val kts = keyTypes(schema, partitionCols, bucketSpec)
+    def filesOf(key: String): Vector[GraftDataFile] =
+      o(key).asInstanceOf[JArray].arr.toVector
+        .map(decodeFile(_, schema, kts, dir, registry))
+    val files = filesOf("files")
+    val added = filesOf("added")
+    val removed = filesOf("removed")
+    val dvs = o("dvs").asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(ref), JArray(ps))) =>
+        val f = registry.getOrElse(ref, throw new IllegalStateException(
+          s"delete vector references unknown segment $ref"))
+        f -> scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
+      case other => throw new IllegalStateException(s"bad dv: $other")
+    }.toMap
+    val checks = o("checks").asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(n), JString(t))) => n -> t
+      case other => throw new IllegalStateException(s"bad check: $other")
+    }.toMap
+    DecodedEntry(
+      CommitEntry(num(o("version")).toInt, schema, files,
+        num(o("ts")).toLong, o("op").asInstanceOf[JString].s,
+        added, removed, dvs),
+      checks, num(o("nextFieldId")).toLong)
+  }
+
+  // ---- table.json -----------------------------------------------------
+  def encodeTableMeta(namespace: Seq[String], name: String,
+      displayName: String, partitionCols: Seq[String],
+      rowLevelMode: String, bucketSpec: Option[(Int, String)]): String = {
+    val json = JObject(
+      "namespace" -> JArray(namespace.toList.map(JString(_))),
+      "name" -> JString(name),
+      "displayName" -> JString(displayName),
+      "partitionCols" -> JArray(partitionCols.toList.map(JString(_))),
+      "rowLevelMode" -> JString(rowLevelMode),
+      "bucketSpec" -> bucketSpec.map { case (n, c) =>
+        JArray(List(JLong(n.toLong), JString(c)))
+      }.getOrElse(JNull))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  final case class TableMeta(namespace: Seq[String], name: String,
+      displayName: String, partitionCols: Seq[String],
+      rowLevelMode: String, bucketSpec: Option[(Int, String)])
+
+  def decodeTableMeta(json: String): TableMeta = {
+    val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    TableMeta(
+      o("namespace").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s),
+      o("name").asInstanceOf[JString].s,
+      o("displayName").asInstanceOf[JString].s,
+      o("partitionCols").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s),
+      o("rowLevelMode").asInstanceOf[JString].s,
+      o("bucketSpec") match {
+        case JNull => None
+        case JArray(List(n, JString(c))) => Some((num(n).toInt, c))
+        case other => throw new IllegalStateException(s"bad bucketSpec: $other")
+      })
+  }
+
+  def encodeNamespaceMeta(parts: Seq[String],
+      metadata: java.util.Map[String, String]): String = {
+    import scala.jdk.CollectionConverters._
+    val json = JObject(
+      "namespace" -> JArray(parts.toList.map(JString(_))),
+      "metadata" -> JObject(metadata.asScala.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  def decodeNamespaceMeta(json: String)
+      : (Seq[String], java.util.Map[String, String]) = {
+    val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    val parts = o("namespace").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s)
+    val m = new java.util.HashMap[String, String]()
+    o("metadata").asInstanceOf[JObject].obj.foreach { case (k, v) =>
+      m.put(k, v.asInstanceOf[JString].s)
+    }
+    (parts, m)
+  }
+}
+
+/** Warehouse open/create: discovers durable tables (any child dir with a
+  * `table.json`) and declared namespaces (JSONs under `_ns`), replays each
+  * table's retained commit log into a live [[GraftTable]]. Segment
+  * payloads are NOT read here — only log JSONs — so opening a warehouse
+  * of N tables costs O(total retained commits), never O(data). */
+private[sources] object GraftDurableLoader {
+
+  /** Path-safe encoding of one identifier part (alnum, dash, underscore
+    * and dot pass through; everything else %-escapes). */
+  def encodePart(s: String): String =
+    s.map {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' =>
+        c.toString
+      case c => f"%%${c.toInt}%04x"
+    }.mkString
+
+  def open(warehouse: String): GraftStoreState = {
+    val wh = Paths.get(warehouse).toAbsolutePath.normalize
+    Files.createDirectories(wh)
+    val store = new GraftStoreState(Some(wh))
+    import scala.jdk.CollectionConverters._
+    val nsDir = wh.resolve("_ns")
+    if (Files.isDirectory(nsDir)) {
+      val s = Files.list(nsDir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".json"))
+        .foreach { p =>
+          val (parts, meta) = GraftLogCodec.decodeNamespaceMeta(
+            new String(Files.readAllBytes(p), UTF_8))
+          store.namespaces.put(parts, meta)
+        }
+      finally s.close()
+    }
+    val s = Files.list(wh)
+    try s.iterator().asScala.toSeq
+      .filter(d => Files.isRegularFile(d.resolve("table.json")))
+      .foreach { dir =>
+        val t = loadTable(dir)
+        val meta = GraftLogCodec.decodeTableMeta(
+          new GraftTableLog(dir).readTableMeta())
+        store.tables.put((meta.namespace, meta.name), t)
+      }
+    finally s.close()
+    store
+  }
+
+  /** Replay one table dir's log into a live table. */
+  def loadTable(dir: Path): GraftTable = {
+    val log = new GraftTableLog(dir)
+    val meta = GraftLogCodec.decodeTableMeta(log.readTableMeta())
+    val d = new GraftTableDurability(log)
+    val decoded = log.readEntriesFrom(0).map { case (_, json) =>
+      GraftLogCodec.decodeEntry(json, meta.partitionCols, meta.bucketSpec,
+        dir, d.registry)
+    }
+    require(decoded.nonEmpty, s"durable table at $dir has an empty log")
+    val t = new GraftTable(meta.displayName, decoded.last.entry.schema,
+      meta.partitionCols, meta.rowLevelMode, meta.bucketSpec)
+    t.bootstrapDurable(d, decoded)
+    t
+  }
+
+  /** Allocate a fresh table dir under the warehouse (encoded name;
+    * suffixed when a renamed predecessor still owns the plain name). */
+  def allocateTableDir(wh: Path, namespace: Seq[String],
+                       name: String): Path = {
+    val base = (namespace :+ name).map(encodePart).mkString("_")
+    var candidate = wh.resolve(base)
+    var i = 1
+    while (Files.exists(candidate)) {
+      candidate = wh.resolve(s"$base-$i")
+      i += 1
+    }
+    candidate
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+
+/** Driver-side parquet segment IO for the durable catalog store: writes
+  * one [[GraftDataFile]]'s rows to a real parquet file and streams them
+  * back, WITHOUT launching a Spark job — commits happen on the driver
+  * inside query execution, where a nested job per segment would bill a
+  * scheduler round-trip for what is a single-file write. Uses Spark's
+  * own parquet WriteSupport/ReadSupport (the exact record codecs the
+  * executor-side parquet source uses), so a segment written here is a
+  * PLAIN parquet file any engine can read — the durability contract the
+  * reference's Delta tables get from their platform
+  * (Notebooks/Batch_Bronze_to_Silver.Notebook/notebook-content.py:200
+  * `saveAsTable` persists parquet + log; this is the same layout).
+  *
+  * Timestamps write as TIMESTAMP_MICROS with CORRECTED rebase on both
+  * sides — the proleptic-Gregorian representation Catalyst holds
+  * internally, so values round-trip bit-exact. */
+private[sources] object GraftSegmentIO {
+
+  /** JVM-global read census: absolute segment path → number of times
+    * the parquet file was actually opened, regardless of which object
+    * (driver-side lazy handle, executor-side partition reader)
+    * triggered the load. Specs prove "untouched data is never read"
+    * against this. */
+  private val readCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def readsOf(file: java.nio.file.Path): Long =
+    Option(readCounts.get(file.toAbsolutePath.normalize.toString))
+      .map(_.longValue()).getOrElse(0L)
+
+  /** Column mapping down to the physical files: the catalog's
+    * Iceberg-style field ids annotate as PARQUET field ids on both the
+    * written and the requested schema, and the reader matches columns
+    * BY ID. A segment carried by reference across RENAME COLUMN
+    * (metadata-only, files untouched) still resolves its columns under
+    * the renamed schema — name matching would read the column as
+    * missing. */
+  private def withParquetIds(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      FieldIds.idOf(f) match {
+        case Some(id) if id >= 0 && id <= Int.MaxValue =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id).build())
+        case _ => f
+      }
+    })
+
+  private def writeConf(schema: StructType): Configuration = {
+    val conf = new Configuration(false)
+    // local-filesystem only: segment paths are java.nio paths on the
+    // warehouse volume; a cluster deployment swaps in its Hadoop conf
+    conf.set("fs.defaultFS", "file:///")
+    ParquetWriteSupport.setSchema(withParquetIds(schema), conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    // the schema converter reads these with conf.get(...).toBoolean —
+    // no defaults, so every key must be present explicitly
+    conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+    conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    conf
+  }
+
+  private def readConf(schema: StructType): Configuration = {
+    val conf = new Configuration(false)
+    conf.set("fs.defaultFS", "file:///")
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      withParquetIds(schema).json)
+    conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+    conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+    conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    conf
+  }
+
+  /** Write `rows` (layout = `schema`) as one parquet file at `file`.
+    * Returns the file's size in bytes. Writes to a temp sibling first
+    * and renames into place, so a crashed writer never leaves a
+    * truncated segment behind a name the log could reference. */
+  def write(file: java.nio.file.Path, schema: StructType,
+            rows: Array[InternalRow]): Long = {
+    java.nio.file.Files.createDirectories(file.getParent)
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+    java.nio.file.Files.deleteIfExists(tmp)
+    val writer = new ParquetWriter[InternalRow](
+      new Path(tmp.toUri),
+      new ParquetWriteSupport().asInstanceOf[WriteSupport[InternalRow]],
+      CompressionCodecName.SNAPPY,
+      ParquetWriter.DEFAULT_BLOCK_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE,
+      ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
+      false, // validating
+      ParquetWriter.DEFAULT_WRITER_VERSION,
+      writeConf(schema))
+    try rows.foreach(writer.write) finally writer.close()
+    java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.size(file)
+  }
+
+  /** Read a whole segment back as compact UnsafeRows in file order. */
+  def read(file: java.nio.file.Path, schema: StructType)
+      : Array[InternalRow] = {
+    readCounts.merge(file.toAbsolutePath.normalize.toString, 1L, _ + _)
+    if (!java.nio.file.Files.exists(file))
+      throw new java.io.FileNotFoundException(
+        s"segment $file is gone — VACUUM reclaimed it, or a shallow " +
+          "clone's source was vacuumed (clones share segments by " +
+          "reference; vacuuming the source invalidates them)")
+    val reader = ParquetReader
+      .builder[InternalRow](new ParquetReadSupport(), new Path(file.toUri))
+      .withConf(readConf(schema))
+      .build()
+    val out = Array.newBuilder[InternalRow]
+    // the materializer reuses its row buffer; project to fresh UnsafeRows
+    val toUnsafe = UnsafeProjection.create(schema)
+    try {
+      var r = reader.read()
+      while (r != null) {
+        out += toUnsafe(r).copy()
+        r = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+}

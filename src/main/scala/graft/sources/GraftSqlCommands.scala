@@ -107,9 +107,9 @@ object GraftSqlParser {
     val stripped = (parts.tail.dropRight(1), parts.last)
     val full = (parts.dropRight(1), parts.last)
     if (parts.length >= 3 && isGraftCatalog(session, parts.head)) stripped
-    else if (GraftTableStore.tables.contains(full)) full
+    else if (GraftTableStore.keyExists(full)) full
     else if (parts.length >= 3 &&
-        GraftTableStore.tables.contains(stripped)) stripped
+        GraftTableStore.keyExists(stripped)) stripped
     else full
   }
 
@@ -124,9 +124,9 @@ object GraftSqlParser {
   private def claims(parts: Seq[String],
                      session: Option[SparkSession]): Boolean =
     session.isEmpty ||
-      GraftTableStore.tables.contains((parts.dropRight(1), parts.last)) ||
+      GraftTableStore.keyExists((parts.dropRight(1), parts.last)) ||
       (parts.length >= 3 &&
-        (GraftTableStore.tables.contains(
+        (GraftTableStore.keyExists(
           (parts.tail.dropRight(1), parts.last)) ||
           isGraftCatalog(session, parts.head)))
 
