@@ -1954,6 +1954,53 @@ object RelationalQueries {
       s.table("graft_cat.ns.s26_target").select("k", "price").orderBy("k")
     },
 
+    // ----- DURABLE lakehouse round trip: the same row-level statements
+    // against a WAREHOUSE-backed catalog table (parquet segments + JSON
+    // commit log on disk), read back through a SECOND catalog instance
+    // with a private store — the in-JVM restart: everything it serves
+    // comes exclusively from replaying the on-disk log. The UPDATE is a
+    // partition-scoped COW (untouched partitions' segments are never
+    // opened — GraftDurableSpec pins the census), the DELETE is a
+    // metadata-only partition drop, and the green hash proves the
+    // persisted bytes round-trip bit-exact through write → log → replay
+    // → scan. The reference's silver/gold tables are exactly this
+    // (Delta data files + log, Batch_Bronze_to_Silver
+    // notebook-content.py:200 saveAsTable).
+    Q("s49_durable_restart", "S8,S10,S-update-sql,S-delete-sql,E-durable", {
+      val h = s"(${TS.hash("'dur|' || o_orderkey")} % 100) % 4"
+      s"""SELECT CAST($h AS INT) AS p, count(*) AS n,
+         |  ${Exact.sqlSum(s"CASE WHEN $h = 1 THEN CAST(o_totalprice AS DOUBLE) * 2" +
+        s" ELSE CAST(o_totalprice AS DOUBLE) END")} AS total
+         |FROM orders WHERE $h <> 3
+         |GROUP BY 1 ORDER BY p""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-s49").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gdw_$tag" // writer "process"
+      val r = s"gdr_$tag" // reader "process" (isolated store = restart)
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val h = pmod(TF.polyHash(
+        concat(lit("dur|"), col("o_orderkey").cast("string"))), lit(100L))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"),
+          (h % 4).cast("int").as("p"))
+        .writeTo(s"$w.ns.t").partitionedBy(col("p")).create()
+      s.sql(s"UPDATE $w.ns.t SET price = price * 2 WHERE p = 1")
+      s.sql(s"DELETE FROM $w.ns.t WHERE p = 3")
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.t")
+        .groupBy("p")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("price")).as("total"))
+        .orderBy("p")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is

@@ -607,9 +607,17 @@ object GraftDataFile {
 
   /** Build a file over `rows`, computing zone maps + size in one pass.
     * `keyOf` (partitioned tables) detects a uniform partition-group key,
-    * enabling file-level partition drops. */
+    * enabling file-level partition drops.
+    *
+    * The stats kernel is COLUMN-MAJOR with type-specialized primitive
+    * loops (one dispatch per column, not per cell): this pass runs at
+    * every commit over every genuinely new file, so at scale it is the
+    * write path's per-row cost — boxed Comparable dispatch per cell
+    * would tax every insert for the benefit of the few columns that are
+    * actually strings/decimals. */
   def build(rows: Array[InternalRow], schema: StructType,
             keyOf: Option[InternalRow => Seq[Any]]): GraftDataFile = {
+    import org.apache.spark.sql.types._
     val n = schema.length
     val mins = new Array[Any](n)
     val maxs = new Array[Any](n)
@@ -620,27 +628,84 @@ object GraftDataFile {
     val defaultRowSize = schema.defaultSize.toLong
     var ri = 0
     while (ri < rows.length) {
-      val r = rows(ri)
-      r match {
+      rows(ri) match {
         case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
           size += u.getSizeInBytes.toLong
         case _ => size += defaultRowSize
       }
-      var i = 0
-      while (i < n) {
-        if (supported(i)) {
-          // rows may be WIDER than the captured schema mid-evolution
-          // (files publish before the widened schema) — never narrower
-          if (r.isNullAt(i)) nulls(i) += 1
-          else {
-            val v = r.get(i, dts(i))
-            if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
-            if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
-          }
-        }
-        i += 1
-      }
       ri += 1
+    }
+    var i = 0
+    while (i < n) {
+      if (supported(i)) {
+        // rows may be WIDER than the captured schema mid-evolution
+        // (files publish before the widened schema) — never narrower
+        var nullCount = 0L
+        dts(i) match {
+          case IntegerType | DateType =>
+            var lo = Int.MaxValue; var hi = Int.MinValue; var seen = false
+            var j = 0
+            while (j < rows.length) {
+              val r = rows(j)
+              if (r.isNullAt(i)) nullCount += 1
+              else {
+                val v = r.getInt(i)
+                if (!seen || v < lo) lo = v
+                if (!seen || v > hi) hi = v
+                seen = true
+              }
+              j += 1
+            }
+            if (seen) { mins(i) = lo; maxs(i) = hi }
+          case LongType | TimestampType | TimestampNTZType =>
+            var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+            var j = 0
+            while (j < rows.length) {
+              val r = rows(j)
+              if (r.isNullAt(i)) nullCount += 1
+              else {
+                val v = r.getLong(i)
+                if (!seen || v < lo) lo = v
+                if (!seen || v > hi) hi = v
+                seen = true
+              }
+              j += 1
+            }
+            if (seen) { mins(i) = lo; maxs(i) = hi }
+          case DoubleType =>
+            var lo = 0.0; var hi = 0.0; var seen = false
+            var j = 0
+            while (j < rows.length) {
+              val r = rows(j)
+              if (r.isNullAt(i)) nullCount += 1
+              else {
+                val v = r.getDouble(i)
+                if (!seen || v < lo) lo = v
+                if (!seen || v > hi) hi = v
+                seen = true
+              }
+              j += 1
+            }
+            if (seen) { mins(i) = lo; maxs(i) = hi }
+          case dt =>
+            // strings, decimals, the narrow integrals, booleans:
+            // object/boxed compare (these columns are the minority of a
+            // fact schema's width)
+            var j = 0
+            while (j < rows.length) {
+              val r = rows(j)
+              if (r.isNullAt(i)) nullCount += 1
+              else {
+                val v = r.get(i, dt)
+                if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+                if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+              }
+              j += 1
+            }
+        }
+        nulls(i) = nullCount
+      }
+      i += 1
     }
     val zones = Array.tabulate(n) { i =>
       if (supported(i)) ColZone(mins(i), maxs(i), nulls(i)) else null
@@ -1512,8 +1577,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   /** Retained commit entries with version <= end (the CDF initial
     * replay). */
-  private[sources] def entriesUpTo(end: Int): Seq[CommitEntry] =
-    history.filter(_.version <= end)
+  private[sources] def entriesUpTo(end: Int): Seq[CommitEntry] = {
+    val h = history
+    val until = end + 1 - h.head.version
+    if (until <= 0) Nil else h.slice(0, math.min(h.length, until))
+  }
 
   private[sources] def changesMetaTable: GraftChangesTable =
     new GraftChangesTable(this)
@@ -1989,10 +2057,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
       case None => h.last.version + 1
     }
   }
-  /** Commit entries with start < version <= end; fails loudly when any
-    * of them has been retired by history retention (the Delta behavior —
-    * a stream cannot silently skip log it can no longer see). */
-  private[sources] def entriesBetween(start: Int, end: Int): Seq[CommitEntry] = {
+  /** Commit entries with start < version <= end (at most `cap` of
+    * them); fails loudly when any has been retired by history retention
+    * (the Delta behavior — a stream cannot silently skip log it can no
+    * longer see). SLICED, not filtered: history versions are contiguous
+    * (every commit appends +1; retention drops a prefix), so the window
+    * indexes directly — the admission planner's cost per micro-batch is
+    * O(entries admitted), never O(backlog), which is what keeps a
+    * catch-up over thousands of commits from paying quadratic planning. */
+  private def sliceBetween(start: Int, end: Int,
+                           cap: Int = Int.MaxValue): Seq[CommitEntry] = {
     val h = history
     val base = h.head.version
     if (start + 1 < base)
@@ -2000,8 +2074,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$tableName: streaming offset $start has been retired by history " +
           s"retention (oldest retained commit: $base); restart the stream " +
           "from a fresh checkpoint")
-    h.filter(e => e.version > start && e.version <= end)
+    val from = math.max(0, start + 1 - base)
+    val until = math.min(h.length.toLong,
+      math.min((end + 1 - base).toLong, from.toLong + cap)).toInt
+    if (until <= from) Nil else h.slice(from, until)
   }
+
+  private[sources] def entriesBetween(start: Int, end: Int): Seq[CommitEntry] =
+    sliceBetween(start, end)
+
+  private[sources] def entriesBetweenLimited(start: Int, end: Int,
+      cap: Int): Seq[CommitEntry] = sliceBetween(start, end, cap)
+
+  /** Diagnostic: commit entries EXAMINED by streaming admission control
+    * (latestOffset) — the spec surface pinning O(1)-per-commit
+    * amortized planner cost across a deep catch-up. */
+  private[sources] val admissionVisits =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   // ---- read path -----------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -3397,16 +3486,30 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         var budget = mf.maxFiles()
         var stopped = false // offsets are a PREFIX: stop at the first
                             // commit that breaks the budget
-        table.entriesBetween(s, cur).foreach { e =>
-          if (!stopped) {
-            val cost =
-              // raw-CDC emptiness is O(1); a rewrite whose delta happens
-              // to fully cancel counts 1 and only shrinks the batch
-              if (changeFeed) {
-                if (e.added.isEmpty && e.removed.isEmpty) 0 else 1
-              } else e.added.length
-            if (v == s || cost <= budget) { v = e.version; budget -= cost }
-            else stopped = true
+        while (!stopped) {
+          // windowed fetch: the planner touches O(admitted) entries per
+          // batch, never the remaining backlog — at catch-up depth the
+          // whole drain costs O(backlog) TOTAL, amortized O(1) per
+          // commit (pinned by GraftStreamBacklogSpec via admissionVisits)
+          val chunk = table.entriesBetweenLimited(v, cur,
+            math.max(budget + 1, 16))
+          if (chunk.isEmpty) stopped = true
+          else {
+            var i = 0
+            while (i < chunk.length && !stopped) {
+              val e = chunk(i)
+              table.admissionVisits.incrementAndGet()
+              val cost =
+                // raw-CDC emptiness is O(1); a rewrite whose delta
+                // happens to fully cancel counts 1, only shrinking the
+                // batch
+                if (changeFeed) {
+                  if (e.added.isEmpty && e.removed.isEmpty) 0 else 1
+                } else e.added.length
+              if (v == s || cost <= budget) { v = e.version; budget -= cost }
+              else stopped = true
+              i += 1
+            }
           }
         }
         GraftStreamOffset(v)
