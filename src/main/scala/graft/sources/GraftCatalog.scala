@@ -312,22 +312,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val t = new GraftTable(
       (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
       mode, bucketSpec, checks)
-    // atomic: two concurrent CREATEs must not both succeed (the loser's
-    // table object could already be receiving a CTAS write)
-    if (store.tables.putIfAbsent(key(ident), t).isDefined)
-      throw new TableAlreadyExistsException(ident)
+    // durable store: attach BEFORE the table becomes visible in the
+    // store — registering first would open a window where a concurrent
+    // writer commits v1 into a not-yet-durable table and the commit
+    // never reaches the log (silently lost on restart). Two processes
+    // racing one CREATE decide at the entry-0 hard-link CAS.
     store.warehouse.foreach { wh =>
-      // durable store: allocate the table dir and persist the creation
-      // commit BEFORE the table is visible to writers; a failed attach
-      // rolls the registration back rather than leaving a phantom
-      try {
-        val dir = GraftDurableLoader.allocateTableDir(
-          wh, ident.namespace().toSeq, ident.name())
-        t.attachDurable(new GraftTableDurability(new GraftTableLog(dir)),
-          ident.namespace().toSeq, ident.name())
-      } catch {
-        case e: Throwable => store.tables.remove(key(ident)); throw e
-      }
+      val dir = GraftDurableLoader.allocateTableDir(
+        wh, ident.namespace().toSeq, ident.name())
+      t.attachDurable(new GraftTableDurability(new GraftTableLog(dir)),
+        ident.namespace().toSeq, ident.name())
+    }
+    // atomic: two concurrent CREATEs must not both succeed (the loser's
+    // table object could already be receiving a CTAS write); a losing
+    // durable create removes its just-created directory
+    if (store.tables.putIfAbsent(key(ident), t).isDefined) {
+      t.dropDurable()
+      throw new TableAlreadyExistsException(ident)
     }
     t
   }
@@ -1177,6 +1178,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     dvs = e.dvs
     if (tableSchema != e.schema) tableSchema = e.schema
     nextFieldId = math.max(nextFieldId, dec.nextFieldId)
+    restoreEpochs(dec.epochs)
     checks = dec.checksText.map { case (nm, txt) =>
       nm -> GraftConstraints.compile(txt, e.schema)
     }
@@ -1243,7 +1245,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     e.added.foreach(persist(_, "cdc"))
     e.removed.foreach(persist(_, "cdc"))
     val json = GraftLogCodec.encodeEntry(e, partitionCols, bucketSpec,
-      d.log.dir, checks.map { case (k, c) => k -> c.text }, nextFieldId)
+      d.log.dir, checks.map { case (k, c) => k -> c.text }, nextFieldId,
+      epochLedger)
     if (!d.log.writeEntry(e.version, json))
       throw new java.util.ConcurrentModificationException(
         s"$tableName: commit ${e.version} already exists in the log — " +
@@ -1437,6 +1440,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * byte size, partition-group key, and the zone-map envelope rendered
     * per column. The files audit a real format serves from its manifest. */
   private[sources] def filesMetaTable: GraftSnapshotTable = {
+    refreshIfStale() // the audit must cover foreign writers' commits
     val schema = StructType(Seq(
       StructField("file_id", IntegerType, nullable = false),
       StructField("row_count", IntegerType, nullable = false),
@@ -1464,6 +1468,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * commit timestamp, operation kind, and the post-commit file/row
     * census (DESCRIBE HISTORY as an ordinary relation). */
   private[sources] def historyMetaTable: GraftSnapshotTable = {
+    refreshIfStale()
     val schema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("timestamp_micros", LongType, nullable = false),
@@ -1559,6 +1564,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * OLD entries between same-version reads cannot occur (retention only
     * moves when a commit bumps the version). */
   private[sources] def changesFiles: Vector[GraftDataFile] = {
+    refreshIfStale() // the CDF tails foreign writers' commits too
     val h = history // ONE volatile read: tag and build from the same log
     val v = h.last.version
     val schema = changesSchema
@@ -1590,6 +1596,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * table-level facts — write mode, partitioning, file/row/byte census,
     * delete-vector census, constraints, retained history extent. */
   private[sources] def detailMetaTable: GraftSnapshotTable = {
+    refreshIfStale()
     val schema = StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("row_level_mode", StringType, nullable = false),
@@ -2027,10 +2034,30 @@ class GraftTable(initialName: String, initialSchema: StructType,
       batches: Array[Array[InternalRow]],
       install: Array[Array[InternalRow]] => Unit): Unit = mutate {
     if (!streamEpochs.get(queryId).exists(_ >= epochId)) {
-      install(batches)
+      // ledger advances BEFORE the install so the commit's log entry
+      // carries the post-epoch ledger (the durable exactly-once state a
+      // restarted process replays — Delta's txn-version dedup); a
+      // refused install (CHECK violation) rolls the ledger back so the
+      // epoch stays retryable
+      val prev = streamEpochs.get(queryId)
       streamEpochs.put(queryId, epochId)
+      try install(batches)
+      catch {
+        case t: Throwable =>
+          prev match {
+            case Some(p) => streamEpochs.put(queryId, p)
+            case None => streamEpochs.remove(queryId)
+          }
+          throw t
+      }
     }
   }
+
+  private[sources] def epochLedger: Map[String, Long] = streamEpochs.toMap
+  private[sources] def restoreEpochs(m: Map[String, Long]): Unit =
+    m.foreach { case (q, e) =>
+      if (!streamEpochs.get(q).exists(_ >= e)) streamEpochs.put(q, e)
+    }
 
   // ---- streaming-source surface (package-private, used by the stream) --
   private[sources] def currentVersion: Int = {
@@ -2628,7 +2655,7 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftLazyReaderFactory()
+    GraftPartitionReaderFactory()
 }
 
 /** A partition that carries a parquet segment REFERENCE instead of
@@ -2636,30 +2663,6 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
   * a group-spanning file's rows to the scanned groups. */
 case class GraftSegmentPartition(ref: String, schemaJson: String,
     rowFilter: Option[InternalRow => Boolean]) extends InputPartition
-
-/** Reader over both row-carrying and segment-reference partitions. */
-case class GraftLazyReaderFactory() extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private val it: Iterator[InternalRow] = p match {
-        case g: GraftInputPartition => g.rows.iterator
-        case s: GraftSegmentPartition =>
-          val schema = DataType.fromJson(s.schemaJson)
-            .asInstanceOf[StructType]
-          val rows = GraftSegmentIO.read(
-            java.nio.file.Paths.get(s.ref), schema)
-          s.rowFilter match {
-            case Some(f) => rows.iterator.filter(f)
-            case None => rows.iterator
-          }
-      }
-      private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): InternalRow = cur
-      override def close(): Unit = ()
-    }
-}
 
 /** Conservative evaluator for the partition predicates Spark hands the
   * metadata-delete / partition-overwrite / runtime-group-filter paths:
@@ -3137,26 +3140,37 @@ class GraftScanBuilder(tableSchema: StructType,
       // live rows of one file (delete vector applied; no-op on COW)
       def live(f: GraftDataFile): Array[InternalRow] =
         GraftDataFile.liveRows(f.rows, dvOf(f))
-      if (required.length == tableSchema.length)
-        new GraftScan(tableSchema,
-          surviving.map { case (f, _) =>
-            ScanChunk(live(f), zonesByName(f), f.groupKey)
-          }.toArray,
-          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
-      else {
-        val idx = required.fields.map(f => tableSchema.fieldIndex(f.name))
-        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-          .create(idx.toIndexedSeq.map { i =>
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              i, tableSchema.fields(i).dataType, tableSchema.fields(i).nullable)
-          })
-        new GraftScan(required,
-          surviving.map { case (f, _) => ScanChunk(
-            live(f).map(r => proj(r).copy(): InternalRow), zonesByName(f),
-            f.groupKey)
-          }.toArray,
-          bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
-      }
+      val identityProj = required.length == tableSchema.length
+      val idx: Array[Int] =
+        if (identityProj) Array.tabulate(tableSchema.length)(identity)
+        else required.fields.map(f => tableSchema.fieldIndex(f.name))
+      // driver-side materializer (heap files; SPJ/metadata paths)
+      def materialize(f: GraftDataFile): Array[InternalRow] =
+        if (identityProj) live(f)
+        else {
+          val proj = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(idx.toIndexedSeq.map { i =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, tableSchema.fields(i).dataType,
+                tableSchema.fields(i).nullable)
+            })
+          live(f).map(r => proj(r).copy(): InternalRow)
+        }
+      // persisted files plan LAZY segment partitions: the parquet
+      // streams executor-side at execution; a zone/limit/runtime-pruned
+      // file costs zero I/O anywhere (metadata decided its fate)
+      def chunkOf(f: GraftDataFile): ScanChunk =
+        if (f.persisted) {
+          val dead = dvOf(f)
+          ScanChunk.lazily(
+            GraftSegmentScanPartition(f.segment.path.toString,
+              f.segment.schema.json, idx, dead.toArray),
+            zonesByName(f), f.groupKey, f.rowCount - dead.size,
+            () => materialize(f))
+        } else ScanChunk(materialize(f), zonesByName(f), f.groupKey)
+      new GraftScan(if (identityProj) tableSchema else required,
+        surviving.map { case (f, _) => chunkOf(f) }.toArray,
+        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
     }
   }
 }
@@ -3166,12 +3180,47 @@ class GraftScanBuilder(tableSchema: StructType,
   * the scan so RUNTIME filters (DPP subquery results) can skip whole
   * chunks after planning, not just the static pushdown at build time.
   * `groupKey` (partition-column values, when the file is wholly owned by
-  * one identity partition) feeds storage-partitioned join reporting. */
-private[sources] final case class ScanChunk(rows: Array[InternalRow],
-                                            zones: Map[String, ColZone],
-                                            groupKey: Option[Seq[Any]] = None) {
-  def rowCount: Int = rows.length
+  * one identity partition) feeds storage-partitioned join reporting.
+  *
+  * Rows are LAZY: `lazySeg` (persisted files) carries a self-contained
+  * segment-read partition — the scan plans it without materializing a
+  * row, and the partition reader streams the parquet EXECUTOR-side at
+  * execution. Zone/limit/runtime pruning all work off the resident
+  * metadata (`zones`, `rowCount`, `groupKey`), so a pruned durable file
+  * never costs a byte of I/O anywhere. Heap-only files and paths that
+  * need driver-side rows (SPJ key grouping, metadata columns) use the
+  * `rows` materializer. */
+private[sources] final class ScanChunk(
+    rowsFn: () => Array[InternalRow],
+    val zones: Map[String, ColZone],
+    val groupKey: Option[Seq[Any]],
+    val rowCount: Int,
+    val lazySeg: Option[GraftSegmentScanPartition]) {
+  lazy val rows: Array[InternalRow] = rowsFn()
+  /** Runtime-filter exclusion under key-grouped reporting: same
+    * partition value, zero rows, zero I/O. */
+  def emptied: ScanChunk =
+    new ScanChunk(() => Array.empty, zones, groupKey, 0, None)
 }
+
+private[sources] object ScanChunk {
+  def apply(rows: Array[InternalRow], zones: Map[String, ColZone],
+            groupKey: Option[Seq[Any]] = None): ScanChunk =
+    new ScanChunk(() => rows, zones, groupKey, rows.length, None)
+
+  def lazily(seg: GraftSegmentScanPartition, zones: Map[String, ColZone],
+             groupKey: Option[Seq[Any]], rowCount: Int,
+             loader: () => Array[InternalRow]): ScanChunk =
+    new ScanChunk(loader, zones, groupKey, rowCount, Some(seg))
+}
+
+/** A plain-scan partition that carries a parquet segment REFERENCE plus
+  * its read recipe (delete-vector positions to skip, column-pruning
+  * ordinals into the file layout): the reader streams the file at
+  * execution, executor-side. Everything is plain serializable data —
+  * the partition ships to a real cluster's executors unchanged. */
+case class GraftSegmentScanPartition(ref: String, schemaJson: String,
+    project: Array[Int], dead: Array[Int]) extends InputPartition
 
 /** Zone-map may-match tests for the V2 [[Predicate]]s a runtime filter
   * delivers (`col IN (v...)` / `col = v` from an executed DPP subquery,
@@ -3339,8 +3388,7 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
       // stable partitioning
       chunks =
         if (spjActive)
-          chunks.map(c =>
-            if (tests.forall(_(c))) c else c.copy(rows = Array.empty))
+          chunks.map(c => if (tests.forall(_(c))) c else c.emptied)
         else chunks.filter(c => tests.forall(_(c)))
       val live = chunks.count(_.rowCount > 0)
       census(ScanCensus(chunks0.length, live, totalRows,
@@ -3372,32 +3420,82 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
       }.toArray
     }
     val cs = chunks
-    if (cs.iterator.map(_.rowCount).sum == 0)
+    if (cs.iterator.map(_.rowCount.toLong).sum == 0L)
       return Array(GraftInputPartition(Array.empty))
-    // one partition per file; few big files additionally split so the
-    // local-mode parallelism survives compaction
+    // one partition per file; few big eager files additionally split so
+    // the local-mode parallelism survives compaction. Lazy (persisted)
+    // chunks plan as ONE segment partition each, materializing nothing
+    // here — the reader streams the parquet executor-side.
     val slicesPerChunk = math.max(1, 8 / math.max(1, cs.length))
-    cs.iterator.map(_.rows).filter(_.nonEmpty).flatMap { rows =>
-      val slices = math.max(1, math.min(slicesPerChunk, rows.length))
-      rows.grouped(math.ceil(rows.length.toDouble / slices).toInt)
-        .map(GraftInputPartition.apply)
+    cs.iterator.flatMap { c =>
+      c.lazySeg match {
+        case Some(seg) if c.rowCount > 0 =>
+          Iterator.single(seg: InputPartition)
+        case Some(_) => Iterator.empty
+        case None =>
+          val rows = c.rows
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val slices = math.max(1, math.min(slicesPerChunk, rows.length))
+            rows.grouped(math.ceil(rows.length.toDouble / slices).toInt)
+              .map(GraftInputPartition.apply(_): InputPartition)
+          }
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val it = (p match {
-            case g: GraftInputPartition => g.rows
-            case k: GraftKeyedInputPartition => k.rows
-          }).iterator
-          private var cur: InternalRow = _
-          override def next(): Boolean =
-            if (it.hasNext) { cur = it.next(); true } else false
-          override def get(): InternalRow = cur
-          override def close(): Unit = ()
-        }
+    GraftPartitionReaderFactory()
+}
+
+/** The ONE reader factory for every partition kind this store plans:
+  * row-carrying (heap files, key-grouped SPJ groups), segment-reference
+  * scan partitions (executor-side parquet streaming with DV skip +
+  * column pruning), and the row-level rewrite's group-filtered segment
+  * partitions. */
+case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[InternalRow] = p match {
+        case g: GraftInputPartition => g.rows.iterator
+        case k: GraftKeyedInputPartition => k.rows.iterator
+        case s: GraftSegmentPartition =>
+          val schema = DataType.fromJson(s.schemaJson)
+            .asInstanceOf[StructType]
+          val rows = GraftSegmentIO.read(
+            java.nio.file.Paths.get(s.ref), schema)
+          s.rowFilter match {
+            case Some(f) => rows.iterator.filter(f)
+            case None => rows.iterator
+          }
+        case s: GraftSegmentScanPartition =>
+          val fileSchema = DataType.fromJson(s.schemaJson)
+            .asInstanceOf[StructType]
+          var rows = GraftSegmentIO.read(
+            java.nio.file.Paths.get(s.ref), fileSchema)
+          if (s.dead.nonEmpty)
+            rows = GraftDataFile.liveRows(rows,
+              scala.collection.immutable.BitSet(s.dead: _*))
+          val isIdentity = s.project.length == fileSchema.length &&
+            s.project.indices.forall(i => s.project(i) == i)
+          if (isIdentity) rows.iterator
+          else {
+            // per-reader projection; the reader contract allows the
+            // returned row buffer to be reused between next() calls
+            val proj = UnsafeProjection.create(
+              s.project.toIndexedSeq.map(i => BoundReference(i,
+                fileSchema.fields(i).dataType,
+                fileSchema.fields(i).nullable)))
+            rows.iterator.map(proj(_))
+          }
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
 }
 

@@ -294,7 +294,8 @@ private[sources] object GraftLogCodec {
     * texts and field-id counter — restart state the entry carries). */
   def encodeEntry(e: CommitEntry, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
-      checksText: Map[String, String], nextFieldId: Long): String = {
+      checksText: Map[String, String], nextFieldId: Long,
+      epochs: Map[String, Long] = Map.empty): String = {
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     val dvsJ = e.dvs.toList.map { case (f, bs) =>
       JArray(List(JString(refOf(f, dir)),
@@ -313,14 +314,20 @@ private[sources] object GraftLogCodec {
       "dvs" -> JArray(dvsJ),
       "checks" -> JArray(checksText.toList.sortBy(_._1).map { case (n, t) =>
         JArray(List(JString(n), JString(t)))
+      }),
+      // streaming-sink exactly-once ledger (Delta's txn versions): a
+      // restarted process must recognize an already-committed epoch
+      "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
+        JArray(List(JString(q), JLong(ep)))
       }))
     JsonMethods.compact(JsonMethods.render(json))
   }
 
   /** One decoded entry: the CommitEntry plus (checks texts, field-id
-    * counter) the entry carried. */
+    * counter, streaming-epoch ledger) the entry carried. */
   final case class DecodedEntry(entry: CommitEntry,
-      checksText: Map[String, String], nextFieldId: Long)
+      checksText: Map[String, String], nextFieldId: Long,
+      epochs: Map[String, Long])
 
   def decodeEntry(json: String, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
@@ -346,11 +353,15 @@ private[sources] object GraftLogCodec {
       case JArray(List(JString(n), JString(t))) => n -> t
       case other => throw new IllegalStateException(s"bad check: $other")
     }.toMap
+    val epochs = o.get("epochs").map(_.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(q), ep)) => q -> num(ep).toLong
+      case other => throw new IllegalStateException(s"bad epoch: $other")
+    }.toMap).getOrElse(Map.empty[String, Long])
     DecodedEntry(
       CommitEntry(num(o("version")).toInt, schema, files,
         num(o("ts")).toLong, o("op").asInstanceOf[JString].s,
         added, removed, dvs),
-      checks, num(o("nextFieldId")).toLong)
+      checks, num(o("nextFieldId")).toLong, epochs)
   }
 
   // ---- table.json -----------------------------------------------------
