@@ -2001,6 +2001,42 @@ object RelationalQueries {
         .orderBy("p")
     },
 
+    // ----- durable CTAS at the benchmark's largest table: write
+    // LINEITEM (6M rows/GB of SF) into a partitioned warehouse table —
+    // every segment parquet-encoded INSIDE a writer task, commit
+    // messages carrying only file refs + stats (GraftExecWriteSpec pins
+    // the census) — then read it back COLD through an isolated second
+    // catalog instance (pure log replay + segment streaming). This row
+    // exists to keep the executor-side write path ON the bench
+    // contract: a regression that funnels data through the driver shows
+    // up here first. 100 TB shape: write cost scales with writer-task
+    // count, driver cost with file COUNT only.
+    Q("s50_durable_ctas", "S8,S5,E-durable,E-exec-write",
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s50").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gcw_$tag"
+      val r = s"gcr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_returnflag").as("rf"))
+        .writeTo(s"$w.ns.li").partitionedBy(col("rf")).create()
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.li")
+        .groupBy("rf")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty"))
+        .orderBy("rf")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is

@@ -674,6 +674,11 @@ object GraftDataFile {
             }
             if (seen) { mins(i) = lo; maxs(i) = hi }
           case DoubleType =>
+            // java.lang.Double.compare, NOT primitive </>: zone pruning
+            // orders with compareTo (NaN = largest double), and primitive
+            // comparisons make NaN sticky-or-invisible — a file holding
+            // [NaN, 3.0] must publish min=3.0/max=NaN or EqualTo(col,3.0)
+            // prunes it and silently drops matching rows
             var lo = 0.0; var hi = 0.0; var seen = false
             var j = 0
             while (j < rows.length) {
@@ -681,8 +686,8 @@ object GraftDataFile {
               if (r.isNullAt(i)) nullCount += 1
               else {
                 val v = r.getDouble(i)
-                if (!seen || v < lo) lo = v
-                if (!seen || v > hi) hi = v
+                if (!seen || java.lang.Double.compare(v, lo) < 0) lo = v
+                if (!seen || java.lang.Double.compare(v, hi) > 0) hi = v
                 seen = true
               }
               j += 1
@@ -1010,18 +1015,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * table has no grouping. */
   private def boundGroupKeyFor(schema: StructType)
       : Option[InternalRow => Seq[Any]] =
-    bucketSpec match {
-      case Some((n, c)) =>
-        val i = schema.fieldIndex(c)
-        val dt = schema.fields(i).dataType
-        Some(r => Seq(GraftFunctionsV2.bucketOf(n,
-          if (r.isNullAt(i)) null else r.get(i, dt))))
-      case None if partitionCols.nonEmpty =>
-        val ords = partitionCols.map(schema.fieldIndex)
-        val dts = ords.map(schema.fields(_).dataType)
-        Some(r => ords.lazyZip(dts).map((i, dt) => r.get(i, dt)))
-      case None => None
-    }
+    GraftGroupKeys.keyOf(schema, partitionCols, bucketSpec)
 
   private[sources] def groupKeyOf(r: InternalRow): Seq[Any] =
     boundGroupKey()(r)
@@ -1257,7 +1251,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * retained entry references (the bytes-reclaiming half of VACUUM /
     * retention). Foreign (clone-shared, absolute-ref) segments are
     * never touched; reads of reclaimed history fail loudly. */
-  private def reclaimDurable(d: GraftTableDurability): Unit = {
+  private def reclaimDurable(d: GraftTableDurability,
+                             minAgeMillis: Long = 0L): Unit = {
     val live = scala.collection.mutable.Set.empty[String]
     def add(f: GraftDataFile): Unit =
       if (f.persisted && f.segment.path.startsWith(d.log.dir))
@@ -1267,7 +1262,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       e.dvs.keys.foreach(add)
     }
     files.foreach(add)
-    d.log.reclaim(history.head.version, live.toSet)
+    d.log.reclaim(history.head.version, live.toSet, minAgeMillis)
     d.registry.filterInPlace((ref, _) =>
       live.contains(ref) || java.nio.file.Paths.get(ref).isAbsolute)
   }
@@ -1286,7 +1281,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
     readState = (files, dvs)
     durable.foreach { d =>
       persistCommit(d, history.last)
-      if (over > 0) reclaimDurable(d)
+      // automatic retention slide: spare young unreferenced segments —
+      // a concurrent write's tasks may have landed them ahead of its
+      // commit (see GraftTableLog.reclaim)
+      if (over > 0) reclaimDurable(d, GraftTable.orphanGraceMillis)
     }
   }
 
@@ -1361,6 +1359,57 @@ class GraftTable(initialName: String, initialSchema: StructType,
       snap("CLONE", added = cdcLiveView(fs))
     }
 
+  /** CLONE REPLACE (the deep-copy re-point): take ownership of every
+    * FOREIGN segment this table still serves by reference — a shallow
+    * clone's shared files — so vacuuming the clone SOURCE no longer
+    * invalidates this table. Durable tables BYTE-COPY the segment files
+    * into their own data dir (no parquet decode, no heap transit);
+    * in-JVM tables materialize the rows on heap. Delete vectors carry
+    * over keyed by the new file identity; recorded as a commit with a
+    * ZERO row delta (the row multiset is unchanged — CDC and streaming
+    * tails deliver nothing). Returns the number of files re-pointed.
+    * Time travel to pre-replace versions still references the shared
+    * segments and dies with the source's retention, exactly Delta's
+    * deep-CLONE contract. */
+  private[sources] def deepenClone(): Int = mutate {
+    var copied = 0
+    val newDvs = scala.collection.mutable.Map
+      .empty[GraftDataFile, scala.collection.immutable.BitSet]
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = files.map { f =>
+      val owned = durable match {
+        case Some(d) => !f.persisted || f.segment.path.startsWith(d.log.dir)
+        case None => !f.persisted
+      }
+      if (owned) { dvs.get(f).foreach(newDvs(f) = _); f }
+      else {
+        copied += 1
+        val nf = durable match {
+          case Some(d) =>
+            val rel = s"data/adopt-$tag-$copied.parquet"
+            val abs = d.log.dir.resolve(rel)
+            java.nio.file.Files.createDirectories(abs.getParent)
+            java.nio.file.Files.copy(f.segment.path, abs)
+            val g = GraftDataFile.fromSegment(
+              new GraftSegmentHandle(abs, f.segment.schema),
+              f.zones, f.sizeBytes, f.groupKey, f.rowCount)
+            d.registry.put(rel, g)
+            g
+          case None =>
+            // strong heap copy: the new file owns the array outright
+            new GraftDataFile(f.rows, f.zones, f.sizeBytes, f.groupKey)
+        }
+        dvs.get(f).foreach(newDvs(nf) = _)
+        nf
+      }
+    }
+    files = fresh
+    dvs = newDvs.toMap
+    readState = (files, dvs)
+    snap("CLONE REPLACE")
+    copied
+  }
+
   /** `RESTORE TABLE ... TO VERSION AS OF v`: reset the current state to a
     * retained snapshot, recorded as a NEW commit (Delta's contract —
     * restore moves the table forward in history to an old state, it never
@@ -1423,8 +1472,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // durable: the truncation also reclaims BYTES — retired log entries
     // delete, and segments no retained entry references delete with
     // them (Delta's VACUUM contract; reads of retired versions already
-    // fail loudly above)
-    if (over > 0) durable.foreach(reclaimDurable)
+    // fail loudly above). Runs even when no snapshot retired: an
+    // aborted write whose committed task's message raced the job abort
+    // leaves ORPHANED segments no log entry references — VACUUM is the
+    // sweep that reclaims them (Delta's uncommitted-file cleanup).
+    durable.foreach(reclaimDurable(_, 0L))
     math.max(0, over)
   }
 
@@ -1653,18 +1705,114 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * format's writer does exactly this), zone maps computed here — the
     * "stats at commit time" half of data skipping. */
   private def buildFiles(batches: Array[Array[InternalRow]]): Vector[GraftDataFile] =
-    batches.iterator.filter(_.nonEmpty).flatMap { batch =>
-      keyOfOpt match {
-        case None =>
-          Iterator.single(GraftDataFile.build(batch, tableSchema, None))
-        case Some(keyOf) =>
-          batch.groupBy(keyOf).toSeq
-            .sortBy(_._1.mkString("|")) // deterministic file order
-            .iterator.map { case (_, rs) =>
-              GraftDataFile.build(rs, tableSchema, keyOfOpt)
-            }
-      }
+    buildFiles(GraftDeliveries.rows(batches))
+
+  /** Delivery-based twin: rows deliveries build files here (heap mode);
+    * file deliveries are ALREADY split/stat'd/persisted by their writer
+    * task and adopt by reference — the driver never touches their
+    * rows. */
+  private def buildFiles(ds: Array[GraftDelivery]): Vector[GraftDataFile] =
+    ds.iterator.flatMap {
+      case GraftFilesDelivery(fs) => fs.iterator
+      case GraftRowsDelivery(batch) if batch.isEmpty => Iterator.empty
+      case GraftRowsDelivery(batch) =>
+        keyOfOpt match {
+          case None =>
+            Iterator.single(GraftDataFile.build(batch, tableSchema, None))
+          case Some(keyOf) =>
+            batch.groupBy(keyOf).toSeq
+              .sortBy(_._1.mkString("|")) // deterministic file order
+              .iterator.map { case (_, rs) =>
+                GraftDataFile.build(rs, tableSchema, keyOfOpt)
+              }
+        }
     }.toVector
+
+  /** Rows of the deliveries that still need DRIVER-side CHECK
+    * validation: file deliveries validated task-side (fail-fast in
+    * [[GraftSegmentDataWriter.write]]) and never re-read here. */
+  private def validateDeliveries(ds: Array[GraftDelivery]): Unit =
+    validateChecks(ds.iterator.collect {
+      case GraftRowsDelivery(rows) => rows
+    }.flatten)
+
+  // ---- executor-side segment writes (durable tables) -----------------
+  /** Fresh per-write recipe for executor-side segment writes; None on
+    * in-JVM tables, whose rows ride back in the commit message (the
+    * test fast-path). A new writeId per call keeps concurrent writes'
+    * segment names disjoint. */
+  private[sources] def durableWriteSpec(): Option[GraftDurableWriteSpec] =
+    durable.map { d =>
+      GraftDurableWriteSpec(d.log.dir.toString, tableSchema.json,
+        partitionCols, bucketSpec,
+        checks.map { case (k, c) => k -> c.text },
+        java.util.UUID.randomUUID().toString.take(12))
+    }
+
+  /** Driver-side adoption of commit messages: rows messages pass
+    * through; segment messages become lazily-loadable files referencing
+    * the parquet their TASK already wrote (registered in the durable
+    * registry so the log's encode/decode shares object identity). The
+    * commit that follows is a log entry — data never crosses here. */
+  private[sources] def adoptDeliveries(
+      messages: Array[WriterCommitMessage]): Array[GraftDelivery] =
+    messages.map {
+      case GraftRowsMessage(rows) => GraftRowsDelivery(rows)
+      case m: GraftSegmentsMessage =>
+        val d = durable.getOrElse(throw new IllegalStateException(
+          s"$tableName: segment commit message on a non-durable table"))
+        val segSchema = DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType]
+        GraftFilesDelivery(m.segs.iterator.map { s =>
+          val f = GraftDataFile.fromSegment(
+            new GraftSegmentHandle(d.log.dir.resolve(s.rel), segSchema),
+            s.zones, s.bytes, s.groupKey, s.rowCount)
+          d.registry.put(s.rel, f)
+          f
+        }.toVector)
+      case other => throw new IllegalStateException(
+        s"$tableName: unexpected commit message $other")
+    }
+
+  /** Abort/replay cleanup: delete the segments an uncommitted write's
+    * tasks landed (a skipped streaming-epoch replay, or a job abort
+    * after task commits). Only files absent from every retained commit
+    * are touched — an install that already succeeded is never undone
+    * here. */
+  private[sources] def discardDeliveries(
+      messages: Array[WriterCommitMessage]): Unit =
+    discardSegments(messages.iterator.collect {
+      case m: GraftSegmentsMessage => m.segs.iterator.map(_.rel)
+    }.flatten)
+
+  /** Deliveries-based twin (post-adoption — a skipped streaming-epoch
+    * replay holds adopted file objects, not raw messages). */
+  private def discardDeliveriesD(ds: Array[GraftDelivery]): Unit =
+    durable.foreach { d =>
+      discardSegments(ds.iterator.collect {
+        case GraftFilesDelivery(fs) => fs.iterator
+          .filter(f => f.persisted && f.segment.path.startsWith(d.log.dir))
+          .map(f => d.log.dir.relativize(f.segment.path).toString)
+      }.flatten)
+    }
+
+  private def discardSegments(rels: Iterator[String]): Unit =
+    durable.foreach { d =>
+      val pending = rels.toSeq
+      if (pending.nonEmpty) {
+        val live: Set[String] = history.iterator.flatMap(e =>
+          e.files.iterator ++ e.added.iterator ++ e.removed.iterator)
+          .filter(_.persisted)
+          .map(f => f.segment.path.toString).toSet
+        pending.foreach { rel =>
+          val abs = d.log.dir.resolve(rel)
+          if (!live.contains(abs.toString)) {
+            d.registry.remove(rel)
+            java.nio.file.Files.deleteIfExists(abs)
+          }
+        }
+      }
+    }
 
   /** Remove all rows of the partition groups matching `touched`. Files
     * wholly owned by a dropped group (the common, writer-aligned case)
@@ -1700,17 +1848,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   private[sources] def installAppend(batches: Array[Array[InternalRow]]): Unit =
+    installAppend(GraftDeliveries.rows(batches))
+  private[sources] def installAppend(ds: Array[GraftDelivery]): Unit =
     mutate {
-      validateChecks(batches.iterator.flatten)
-      val nf = buildFiles(batches)
+      validateDeliveries(ds)
+      val nf = buildFiles(ds)
       files = files ++ nf
       snap("APPEND", added = nf)
     }
-  private[sources] def installReplace(batches: Array[Array[InternalRow]]): Unit =
+  private[sources] def installReplace(ds: Array[GraftDelivery]): Unit =
     mutate {
-      validateChecks(batches.iterator.flatten)
+      validateDeliveries(ds)
       val old = cdcLiveView(files)
-      val nf = buildFiles(batches)
+      val nf = buildFiles(ds)
       files = nf
       pruneDvs()
       snap("OVERWRITE", added = nf, removed = old)
@@ -1733,9 +1883,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * swap (Delta's ConcurrentAppendException, not a lost update). */
   private[sources] def installReplaceGroups(batches: Array[Array[InternalRow]],
       touched: Option[Seq[Any] => Boolean],
+      op: String,
+      expectedBase: Vector[GraftDataFile]): Unit =
+    installReplaceGroups(GraftDeliveries.rows(batches), touched, op,
+      expectedBase)
+  private[sources] def installReplaceGroups(ds: Array[GraftDelivery],
+      touched: Option[Seq[Any] => Boolean],
       op: String = "MERGE",
       expectedBase: Vector[GraftDataFile]): Unit = mutate {
-    validateChecks(batches.iterator.flatten)
+    validateDeliveries(ds)
     val fsnap = files
     if (fsnap.length < expectedBase.length ||
         !expectedBase.indices.forall(i => fsnap(i) eq expectedBase(i)))
@@ -1754,7 +1910,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new java.util.ConcurrentModificationException(
         s"$tableName: a concurrent append landed in a scope this $op " +
           "rewrites; committing would discard it — retry the statement")
-    val nf = buildFiles(batches)
+    val nf = buildFiles(ds)
     val dropped = touched match {
       case None => val old = cdcLiveView(fsnap); files = nf; old
       case Some(pred) =>
@@ -1768,11 +1924,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   /** INSERT OVERWRITE of specific partition groups (static mode with a
     * partition predicate): delete the matching groups, then append. */
-  private[sources] def installOverwriteGroups(batches: Array[Array[InternalRow]],
+  private[sources] def installOverwriteGroups(ds: Array[GraftDelivery],
       touched: Seq[Any] => Boolean): Unit = mutate {
-    validateChecks(batches.iterator.flatten)
+    validateDeliveries(ds)
     val (kept, gone) = dropGroupRows(files, touched)
-    val nf = buildFiles(batches)
+    val nf = buildFiles(ds)
     files = kept ++ nf
     pruneDvs()
     snap("OVERWRITE", added = nf, removed = gone)
@@ -1783,12 +1939,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * same contract as the parquet-side s22 path, and Hive/Delta's
     * `partitionOverwriteMode=dynamic`). */
   private[sources] def installDynamicOverwrite(
-      batches: Array[Array[InternalRow]]): Unit = mutate {
-    validateChecks(batches.iterator.flatten)
+      ds: Array[GraftDelivery]): Unit = mutate {
+    validateDeliveries(ds)
     val keyOf = boundGroupKey()
-    val touched = batches.iterator.flatten.map(keyOf).toSet
+    // a task-written file's key comes from its metadata — the touched
+    // set never needs the segment's rows
+    val touched = ds.iterator.flatMap {
+      case GraftRowsDelivery(rows) => rows.iterator.map(keyOf)
+      case GraftFilesDelivery(fs) =>
+        fs.iterator.map(_.groupKey.getOrElse(Nil))
+    }.toSet
     val (kept, gone) = dropGroupRows(files, touched.contains)
-    val nf = buildFiles(batches)
+    val nf = buildFiles(ds)
     files = kept ++ nf
     pruneDvs()
     snap("OVERWRITE", added = nf, removed = gone)
@@ -2031,9 +2193,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * (Delta's txn-version dedup, in-JVM scope). */
   private val streamEpochs = TrieMap.empty[String, Long]
   private[sources] def installStreamingEpoch(queryId: String, epochId: Long,
-      batches: Array[Array[InternalRow]],
-      install: Array[Array[InternalRow]] => Unit): Unit = mutate {
-    if (!streamEpochs.get(queryId).exists(_ >= epochId)) {
+      batches: Array[GraftDelivery],
+      install: Array[GraftDelivery] => Unit): Unit = mutate {
+    if (streamEpochs.get(queryId).exists(_ >= epochId)) {
+      // replayed epoch on a durable table: its tasks re-wrote fresh
+      // segments that will never be referenced — reclaim them now
+      // rather than waiting for retention to sweep orphans
+      discardDeliveriesD(batches)
+    } else {
       // ledger advances BEFORE the install so the commit's log entry
       // carries the post-epoch ledger (the durable exactly-once state a
       // restarted process replays — Delta's txn-version dedup); a
@@ -2143,7 +2310,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsOverwriteV2
       with SupportsDynamicOverwrite {
-      private var install: Array[Array[InternalRow]] => Unit = installAppend
+      private var install: Array[GraftDelivery] => Unit = installAppend
 
       override def truncate(): WriteBuilder = { install = installReplace; this }
 
@@ -2176,7 +2343,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
 
       override def build(): Write = new GraftWrite(clusterTransforms,
-        () => new GraftBatchWrite(install),
+        () => new GraftBatchWrite(GraftTable.this, install),
         // streaming sink (writeStream.toTable): same install modes —
         // append per epoch, or replace per epoch under Complete output
         // (Spark calls truncate() once at build time for that mode)
@@ -2201,8 +2368,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * preimage this commit read no longer exists — so those abort. */
   private[sources] def installDelta(deletes: Array[(Int, Int)],
       inserts: Array[Array[InternalRow]], op: String,
+      expectedBase: Vector[GraftDataFile]): Unit =
+    installDelta(deletes, GraftDeliveries.rows(inserts), op, expectedBase)
+  private[sources] def installDelta(deletes: Array[(Int, Int)],
+      inserts: Array[GraftDelivery], op: String,
       expectedBase: Vector[GraftDataFile]): Unit = mutate {
-    validateChecks(inserts.iterator.flatten)
+    validateDeliveries(inserts)
     val fsnap = files
     if (fsnap.length < expectedBase.length ||
         !expectedBase.indices.forall(i => fsnap(i) eq expectedBase(i)))
@@ -2273,7 +2444,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
             override def build()
                 : org.apache.spark.sql.connector.write.DeltaWrite =
-              new GraftDeltaWrite((dels, ins) =>
+              new GraftDeltaWrite(GraftTable.this, (dels, ins) =>
                 installDelta(dels, ins, command().toString,
                   scannedState._1))
           }
@@ -2317,7 +2488,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new GraftWrite(clusterTransforms,
-            () => new GraftRowLevelBatchWrite(tableSchema,
+            () => new GraftRowLevelBatchWrite(GraftTable.this, tableSchema,
               delivered => installReplaceGroups(delivered,
                 Option(rlScan).flatMap(_.scannedGroups),
                 op = command().toString,
@@ -2351,6 +2522,11 @@ object GraftTable {
     * mirroring Delta's log retention. Floor of 2 (current + previous)
     * regardless of the setting. */
   @volatile var historyRetention: Int = 128
+
+  /** How long the AUTOMATIC reclaim spares an unreferenced segment:
+    * long enough for any in-flight write's tasks to reach their commit
+    * (explicit VACUUM ignores this — the RETAIN-0 sweep). */
+  @volatile var orphanGraceMillis: Long = 10L * 60 * 1000
 }
 
 /** Write of a [[GraftTable]]: on PARTITIONED tables it REQUESTS a
@@ -2397,29 +2573,34 @@ class GraftWrite(clusterExprs: Array[
   * epoch ledger so a post-commit failure's replayed batch lands exactly
   * once. */
 class GraftStreamingWrite(table: GraftTable, queryId: String,
-                          install: Array[Array[InternalRow]] => Unit)
+                          install: Array[GraftDelivery] => Unit)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftStreamingWriterFactory()
+    GraftStreamingWriterFactory(table.durableWriteSpec())
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit =
     table.installStreamingEpoch(queryId, epochId,
-      messages.map(_.asInstanceOf[GraftRowsMessage].rows), install)
+      table.adoptDeliveries(messages), install)
 
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit = ()
+                     messages: Array[WriterCommitMessage]): Unit =
+    table.discardDeliveries(messages)
 }
 
-/** Executor-side streaming writer factory: same buffering writer as the
-  * batch path (epoch identity lives in the commit, not the writer). */
-case class GraftStreamingWriterFactory()
+/** Executor-side streaming writer factory: same writers as the batch
+  * path (epoch identity lives in the commit, not the writer); on a
+  * durable table the epoch id joins the segment name so every epoch's
+  * files stay disjoint. */
+case class GraftStreamingWriterFactory(
+    durableSpec: Option[GraftDurableWriteSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    GraftWriterFactory(None).createWriter(partitionId, taskId)
+    GraftWriterFactory(None, durableSpec)
+      .createWriter(partitionId, taskId, epochId)
 }
 
 /** Merge-on-read row-level write ([[org.apache.spark.sql.connector.write.DeltaWrite]]):
@@ -2429,48 +2610,61 @@ case class GraftStreamingWriterFactory()
   * commit folds them into the table's delete vectors and appends the
   * inserts. An update is a delete of the old address plus an insert of
   * the new row (same file-level effect Delta's MOR write has). */
-class GraftDeltaWrite(
-    commitFn: (Array[(Int, Int)], Array[Array[InternalRow]]) => Unit)
+class GraftDeltaWrite(table: GraftTable,
+    commitFn: (Array[(Int, Int)], Array[GraftDelivery]) => Unit)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWriterFactory}
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DeltaWriterFactory =
-      GraftDeltaWriterFactory()
+      GraftDeltaWriterFactory(table.durableWriteSpec())
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
-      commitFn(ms.flatMap(_.deletes), ms.map(_.inserts))
+      commitFn(ms.flatMap(_.deletes),
+        table.adoptDeliveries(ms.map(_.inserts)))
     }
 
-    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      table.discardDeliveries(messages.collect {
+        case m: GraftDeltaMessage => m.inserts
+      })
   }
 }
 
-case class GraftDeltaWriterFactory()
+/** MOR delta writer: delete/update addresses buffer (tiny — two ints per
+  * action) and fold into delete vectors at commit; INSERT rows route
+  * through the same path as appends — on a durable table a nested
+  * [[GraftSegmentDataWriter]] writes them as task-side segments, so MOR
+  * insert data never crosses to the driver either. */
+case class GraftDeltaWriterFactory(
+    durableSpec: Option[GraftDurableWriteSpec] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val dels = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      private val ins = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      private val insWriter: DataWriter[InternalRow] =
+        GraftWriterFactory(None, durableSpec).createWriter(partitionId, taskId)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += ((id.getInt(0), id.getInt(1)))
       override def update(meta: InternalRow, id: InternalRow,
                           row: InternalRow): Unit = {
         delete(meta, id); insert(row)
       }
-      override def insert(row: InternalRow): Unit = ins += row.copy()
+      override def insert(row: InternalRow): Unit = insWriter.write(row)
       override def commit(): WriterCommitMessage =
-        GraftDeltaMessage(dels.toArray, ins.toArray)
-      override def abort(): Unit = { dels.clear(); ins.clear() }
-      override def close(): Unit = ()
+        GraftDeltaMessage(dels.toArray, insWriter.commit())
+      override def abort(): Unit = { dels.clear(); insWriter.abort() }
+      override def close(): Unit = insWriter.close()
     }
 }
 
+/** `inserts` is the nested payload message — [[GraftRowsMessage]] (in-
+  * JVM) or [[GraftSegmentsMessage]] (durable, file refs only). */
 case class GraftDeltaMessage(deletes: Array[(Int, Int)],
-                             inserts: Array[InternalRow])
+                             inserts: WriterCommitMessage)
     extends WriterCommitMessage
 
 /** `OPTIMIZE` entry point — the table-maintenance surface (Delta
@@ -2527,6 +2721,13 @@ object GraftMaintenance {
     * reclaim). Returns the number of snapshots retired. */
   def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1): Int =
     resolve(namespace, table).vacuumHistory(keepLast)
+
+  /** CLONE REPLACE: deep-copy a shallow clone's shared segments into
+    * the clone's own storage so the source can be vacuumed without
+    * invalidating it (see [[GraftTable.deepenClone]]). Returns the
+    * number of files re-pointed. */
+  def deepenClone(namespace: Seq[String], table: String): Int =
+    resolve(namespace, table).deepenClone()
 
   /** SQL gateway for sessions built WITHOUT the parser extension:
     * maintenance statements (see [[GraftSqlParser]]) execute here, any
@@ -2635,14 +2836,27 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
     * yet spilled) ship their rows, as every other scan here does. */
   override def planInputPartitions(): Array[InputPartition] = {
     val needRowFilter = rowPred
+    val needKeyPred = scannedGroups
     val parts = kept.iterator.flatMap { f =>
       // wholly-owned file: every row belongs to a kept group; spanning
       // file: rows re-filter at read
-      val pred = if (f.groupKey.isDefined) None else needRowFilter
-      if (f.persisted)
+      if (f.persisted) {
+        // ship the filter as DATA (partition-column ordinals in the
+        // SEGMENT's schema + the literal-only key predicate), never a
+        // closure over this scan — an InputPartition serializes to real
+        // executors, and a scan-capturing lambda would drag every heap
+        // row with it (or fail to serialize at all)
+        val keyPred = if (f.groupKey.isDefined) None else needKeyPred
+        val ords: Array[Int] =
+          if (keyPred.isDefined) {
+            val segSchema = f.segment.schema
+            partCols.map(c =>
+              segSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))).toArray
+          } else Array.emptyIntArray
         Iterator.single(GraftSegmentPartition(f.segment.path.toString,
-          f.segment.schema.json, pred): InputPartition)
-      else {
+          f.segment.schema.json, ords, keyPred): InputPartition)
+      } else {
+        val pred = if (f.groupKey.isDefined) None else needRowFilter
         val rows = pred match {
           case Some(p) => f.rows.filter(p)
           case None => f.rows
@@ -2659,10 +2873,14 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
 }
 
 /** A partition that carries a parquet segment REFERENCE instead of
-  * rows: the reader opens the file at execution. `rowFilter` re-filters
-  * a group-spanning file's rows to the scanned groups. */
+  * rows: the reader opens the file at execution. For a group-spanning
+  * file under a runtime group filter, `keyOrds` (partition-column
+  * ordinals in THIS segment's schema) + `keyPred` (a literal-capturing
+  * group-key predicate from [[GroupPredicates]]) encode the re-filter
+  * as serializable data; the reader rebuilds the row predicate. */
 case class GraftSegmentPartition(ref: String, schemaJson: String,
-    rowFilter: Option[InternalRow => Boolean]) extends InputPartition
+    keyOrds: Array[Int],
+    keyPred: Option[Seq[Any] => Boolean]) extends InputPartition
 
 /** Conservative evaluator for the partition predicates Spark hands the
   * metadata-delete / partition-overwrite / runtime-group-filter paths:
@@ -3466,8 +3684,15 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
             .asInstanceOf[StructType]
           val rows = GraftSegmentIO.read(
             java.nio.file.Paths.get(s.ref), schema)
-          s.rowFilter match {
-            case Some(f) => rows.iterator.filter(f)
+          s.keyPred match {
+            case Some(p) =>
+              val dts = s.keyOrds.map(i =>
+                if (i >= 0) schema.fields(i).dataType
+                else org.apache.spark.sql.types.NullType)
+              rows.iterator.filter { r =>
+                p(s.keyOrds.toSeq.lazyZip(dts).map((i, dt) =>
+                  if (i < 0 || r.isNullAt(i)) null else r.get(i, dt)))
+              }
             case None => rows.iterator
           }
         case s: GraftSegmentScanPartition =>
@@ -3771,38 +3996,50 @@ case class GraftKeyedInputPartition(rows: Array[InternalRow],
   override def partitionKey(): InternalRow = key
 }
 
-/** Per-task writers buffer copies; commit messages carry them back and the
-  * driver-side `install` callback swaps/extends the table's file vector —
-  * EACH TASK'S BATCH BECOMES ONE DATA FILE (with commit-time zone maps),
-  * the same file-per-writer layout a real format produces. The factory is
-  * a standalone serializable value — the `install` closure (which holds
-  * the non-serializable table) stays driver-side in commit. */
-class GraftBatchWrite(install: Array[Array[InternalRow]] => Unit)
+/** In-JVM tables: per-task writers buffer copies and commit messages
+  * carry them back — EACH TASK'S BATCH BECOMES ONE DATA FILE (with
+  * commit-time zone maps). DURABLE tables: the factory carries a
+  * [[GraftDurableWriteSpec]] and tasks write their own parquet segments
+  * ([[GraftSegmentDataWriter]]) — commit messages carry file refs +
+  * stats, never rows, and the driver-side commit is a log entry. The
+  * factory is a standalone serializable value; the table stays
+  * driver-side. */
+class GraftBatchWrite(table: GraftTable,
+                      install: Array[GraftDelivery] => Unit)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(None)
+    GraftWriterFactory(None, table.durableWriteSpec())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    install(messages.map(_.asInstanceOf[GraftRowsMessage].rows))
+    install(table.adoptDeliveries(messages))
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** A failed job (or a commit whose install refused — CHECK violation,
+    * write conflict) leaves only task-written segments behind; delete
+    * them so aborts reclaim immediately instead of waiting for the
+    * retention sweep. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    table.discardDeliveries(messages)
 }
 
 /** The replace-data variant: group-based row-level writes deliver rows as
   * `[__row_operation:int] ++ tableColumns` (RowDeltaUtils contract —
   * WRITE(5) / WRITE_WITH_METADATA(6) rows are the group's surviving
   * contents; deleted rows never arrive). The writer keeps surviving rows,
-  * projected back to the table schema as compact UnsafeRows. */
-class GraftRowLevelBatchWrite(schema: StructType,
-                              install: Array[Array[InternalRow]] => Unit)
+  * projected back to the table schema as compact UnsafeRows — on durable
+  * tables straight into task-written parquet segments, so a COW group
+  * rewrite streams through the tasks instead of materializing the
+  * post-merge groups on the driver. */
+class GraftRowLevelBatchWrite(table: GraftTable, schema: StructType,
+                              install: Array[GraftDelivery] => Unit)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(Some(schema))
+    GraftWriterFactory(Some(schema), table.durableWriteSpec())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    install(messages.map(_.asInstanceOf[GraftRowsMessage].rows))
+    install(table.adoptDeliveries(messages))
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    table.discardDeliveries(messages)
 }
 
 /** Executor-side writer factory. `opPrefixedSchema` = Some(tableSchema)
@@ -3810,10 +4047,20 @@ class GraftRowLevelBatchWrite(schema: StructType,
   * __row_operation prefix; None for plain appends. A row-level row that
   * arrives un-prefixed (numFields == schema size) passes through
   * unchanged, guarding against rewrite-rule variants that pre-project. */
-case class GraftWriterFactory(opPrefixedSchema: Option[StructType])
+case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
+                              durableSpec: Option[GraftDurableWriteSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
+    createWriter(partitionId, taskId, epochId = -1L)
+
+  def createWriter(partitionId: Int, taskId: Long,
+                   epochId: Long): DataWriter[InternalRow] = durableSpec match {
+    case Some(spec) =>
+      // durable table: the task writes its own segments; rows never
+      // ride a commit message
+      new GraftSegmentDataWriter(spec, opPrefixedSchema.isDefined,
+        partitionId, taskId, epochId)
+    case None => new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       import org.apache.spark.sql.catalyst.util.RowDeltaUtils
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -3833,6 +4080,7 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType])
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
     }
+  }
 }
 
 case class GraftRowsMessage(rows: Array[InternalRow])

@@ -138,18 +138,29 @@ private[sources] final class GraftTableLog(val dir: Path) {
     * table's dir; foreign absolute refs — shared clone segments — are
     * never touched here). Crash-safe order: log entries first, so a
     * crash mid-reclaim can only leave unreferenced segments behind,
-    * never a log entry pointing at a deleted segment. */
-  def reclaim(oldestRetained: Int, liveRefs: Set[String]): Unit = {
+    * never a log entry pointing at a deleted segment.
+    *
+    * `minAgeMillis` spares unreferenced segments YOUNGER than the
+    * window: executor-side writer tasks land segments BEFORE their
+    * commit takes the lease, so the automatic (snap-time) reclaim must
+    * not eat a concurrent in-flight write's files. Explicit VACUUM
+    * passes 0 — the immediate orphan sweep, with Delta's RETAIN-0 sharp
+    * edge (don't run it while a write is in flight). */
+  def reclaim(oldestRetained: Int, liveRefs: Set[String],
+              minAgeMillis: Long = 0L): Unit = {
     readEntriesFrom(0).foreach { case (v, _) =>
       if (v < oldestRetained) Files.deleteIfExists(entryPath(v))
     }
     if (Files.isDirectory(dataDir)) {
+      val cutoff = System.currentTimeMillis() - minAgeMillis
       val s = Files.list(dataDir)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toSeq.foreach { p =>
           val name = p.getFileName.toString
-          if (name.endsWith(".parquet") && !liveRefs.contains(s"data/$name"))
+          if (name.endsWith(".parquet") && !liveRefs.contains(s"data/$name")
+              && (minAgeMillis <= 0L ||
+                Files.getLastModifiedTime(p).toMillis <= cutoff))
             Files.deleteIfExists(p)
         }
       } finally s.close()
@@ -431,11 +442,14 @@ private[sources] object GraftLogCodec {
   * of N tables costs O(total retained commits), never O(data). */
 private[sources] object GraftDurableLoader {
 
-  /** Path-safe encoding of one identifier part (alnum, dash, underscore
-    * and dot pass through; everything else %-escapes). */
+  /** Path-safe encoding of one identifier part (alnum, dash and dot pass
+    * through; everything else %-escapes). '_' escapes too — it is the
+    * JOIN character for multi-part names, so it must be absent from
+    * encoded output or Seq("a_b") and Seq("a","b") would collide on the
+    * same durable path and silently overwrite each other's records. */
   def encodePart(s: String): String =
     s.map {
-      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' =>
+      case c if c.isLetterOrDigit || c == '-' || c == '.' =>
         c.toString
       case c => f"%%${c.toInt}%04x"
     }.mkString
@@ -460,10 +474,18 @@ private[sources] object GraftDurableLoader {
     try s.iterator().asScala.toSeq
       .filter(d => Files.isRegularFile(d.resolve("table.json")))
       .foreach { dir =>
-        val t = loadTable(dir)
-        val meta = GraftLogCodec.decodeTableMeta(
-          new GraftTableLog(dir).readTableMeta())
-        store.tables.put((meta.namespace, meta.name), t)
+        // A dir with table.json but zero log entries is an ABORTED
+        // CREATE (crash between writeTableMeta and the v0 CAS). Skip it
+        // rather than failing the whole warehouse — one half-created
+        // table must never make every healthy table inaccessible. Not
+        // deleted here: a concurrent creator may be mid-commit between
+        // the two writes right now.
+        if (new GraftTableLog(dir).readEntriesFrom(0).nonEmpty) {
+          val t = loadTable(dir)
+          val meta = GraftLogCodec.decodeTableMeta(
+            new GraftTableLog(dir).readTableMeta())
+          store.tables.put((meta.namespace, meta.name), t)
+        }
       }
     finally s.close()
     store

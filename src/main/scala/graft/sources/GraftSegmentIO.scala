@@ -11,11 +11,13 @@ import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, P
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 
-/** Driver-side parquet segment IO for the durable catalog store: writes
-  * one [[GraftDataFile]]'s rows to a real parquet file and streams them
-  * back, WITHOUT launching a Spark job — commits happen on the driver
-  * inside query execution, where a nested job per segment would bill a
-  * scheduler round-trip for what is a single-file write. Uses Spark's
+/** Parquet segment IO for the durable catalog store: writes one
+  * [[GraftDataFile]]'s rows to a real parquet file and streams them
+  * back, WITHOUT launching a nested Spark job. TABLE DATA writes run
+  * executor-side inside writer tasks ([[GraftSegmentDataWriter]] — the
+  * 100 TB path); only driver-born metadata-sized row sets (CDC
+  * pseudo-files, compaction of already-resident rows) encode on the
+  * driver. Uses Spark's
   * own parquet WriteSupport/ReadSupport (the exact record codecs the
   * executor-side parquet source uses), so a segment written here is a
   * PLAIN parquet file any engine can read — the durability contract the
@@ -38,6 +40,22 @@ private[sources] object GraftSegmentIO {
 
   def readsOf(file: java.nio.file.Path): Long =
     Option(readCounts.get(file.toAbsolutePath.normalize.toString))
+      .map(_.longValue()).getOrElse(0L)
+
+  /** JVM-global WRITE census, split by where the encode ran: inside a
+    * Spark task (executor-side — the 100 TB shape) or not (driver-side).
+    * Specs prove "table data never funnels through the driver" against
+    * the driver count staying zero. */
+  private val taskWriteCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val driverWriteCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def taskWritesOf(file: java.nio.file.Path): Long =
+    Option(taskWriteCounts.get(file.toAbsolutePath.normalize.toString))
+      .map(_.longValue()).getOrElse(0L)
+  def driverWritesOf(file: java.nio.file.Path): Long =
+    Option(driverWriteCounts.get(file.toAbsolutePath.normalize.toString))
       .map(_.longValue()).getOrElse(0L)
 
   /** Column mapping down to the physical files: the catalog's
@@ -99,6 +117,9 @@ private[sources] object GraftSegmentIO {
     * truncated segment behind a name the log could reference. */
   def write(file: java.nio.file.Path, schema: StructType,
             rows: Array[InternalRow]): Long = {
+    val counts = if (org.apache.spark.TaskContext.get() != null)
+      taskWriteCounts else driverWriteCounts
+    counts.merge(file.toAbsolutePath.normalize.toString, 1L, _ + _)
     java.nio.file.Files.createDirectories(file.getParent)
     val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
     java.nio.file.Files.deleteIfExists(tmp)

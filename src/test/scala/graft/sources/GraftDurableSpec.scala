@@ -182,4 +182,74 @@ class GraftDurableSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length,
       s"field ids must stay unique after restart: ${ids.toSeq}")
   }
+
+  test("introspection parity: t$files / t$history / t$detail serve " +
+      "identical output before and after restart") {
+    val wh = tmpDir("graft-dur-meta")
+    durableCatalog("dmw", wh)
+    spark.sql("CREATE TABLE dmw.ns.t (id BIGINT, p INT, v STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO dmw.ns.t VALUES (1, 0, 'a'), (2, 1, 'b')")
+    spark.sql("INSERT INTO dmw.ns.t VALUES (3, 0, 'c')")
+    spark.sql("UPDATE dmw.ns.t SET v = 'B' WHERE id = 2")
+
+    def dump(cat: String): Seq[Seq[String]] =
+      Seq("files", "history", "detail").map { m =>
+        spark.table(s"$cat.ns.`t$$$m`")
+          .collect().map(_.toString).sorted.toSeq
+      }
+    val before = dump("dmw")
+    assert(before.forall(_.nonEmpty))
+
+    durableCatalog("dmr", wh, isolated = true)
+    val after = dump("dmr")
+    assert(after === before,
+      "the replayed log must reconstruct the metadata surface exactly")
+  }
+
+  test("CLONE REPLACE re-points a shallow clone; vacuuming the source " +
+      "no longer invalidates it") {
+    val wh = tmpDir("graft-dur-clone")
+    durableCatalog("dcl", wh)
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    spark.sql("CREATE TABLE dcl.ns.src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dcl.ns.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    // two shallow clones of the same snapshot: both serve by reference
+    GraftMaintenance.cloneTable(Seq("ns"), "src", Seq("ns"), "cl_deep")
+    GraftMaintenance.cloneTable(Seq("ns"), "src", Seq("ns"), "cl_shallow")
+    assert(spark.table("graft_cat.ns.cl_deep").count() === 3)
+
+    // the source moves on; after the FOLLOW-UP commit retires the
+    // overwrite's CDC record from the retained window, its old segments
+    // are live only via the clones' references
+    spark.sql("INSERT OVERWRITE dcl.ns.src VALUES (9, 'z')")
+    spark.sql("INSERT INTO dcl.ns.src VALUES (10, 'y')")
+
+    // re-point ONE clone (deep copy), then reclaim the source
+    val repointed = GraftMaintenance.deepenClone(Seq("ns"), "cl_deep")
+    assert(repointed >= 1, "the clone should have held foreign segments")
+    GraftMaintenance.vacuum(Seq("ns"), "src")
+
+    // the re-pointed clone keeps serving the original snapshot...
+    assert(spark.table("graft_cat.ns.cl_deep").orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // ...and again after ITS caches drop (forces a segment re-read)
+    val deepTable = GraftTableStore.tables((Seq("ns"), "cl_deep"))
+    deepTable.dataFiles.foreach(_.evict())
+    assert(spark.table("graft_cat.ns.cl_deep").count() === 3)
+
+    // the un-re-pointed clone dies LOUDLY, not silently empty (a real
+    // row read — count() alone is answered from file stats)
+    val shallow = GraftTableStore.tables((Seq("ns"), "cl_shallow"))
+    shallow.dataFiles.foreach(_.evict())
+    val e = intercept[Exception](
+      spark.table("graft_cat.ns.cl_shallow").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("VACUUM") || m.contains("gone")),
+      s"a vacuumed-away clone source must fail loudly: ${msgs(e)}")
+  }
 }

@@ -1,0 +1,229 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-10 (VERDICT task 1+2): the durable write path is EXECUTOR-
+  * SHAPED. Writer tasks persist their own parquet segments into the
+  * warehouse; commit messages carry file references + stats, never
+  * rows; the driver's commit is a log entry. These specs pin:
+  *   - every data segment an INSERT/COW/MOR/streaming write produces
+  *     is encoded INSIDE a Spark task (write census), with zero
+  *     driver-side encodes,
+  *   - a commit message holds no row payload and Java-serializes small,
+  *   - aborts and replayed streaming epochs delete their orphaned
+  *     segments,
+  *   - CHECK constraints enforce task-side (fail fast, nothing lands),
+  *   - the runtime-group-filter partition ships its re-filter as DATA
+  *     (serializable), never a scan-capturing closure (ADVICE r9). */
+class GraftExecWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def durableCatalog(name: String, dir: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
+  }
+
+  private def dataSegments(wh: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val whPath = java.nio.file.Paths.get(wh)
+    val tables = java.nio.file.Files.list(whPath).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p.resolve("table.json")))
+      .toSeq
+    tables.flatMap { t =>
+      val dd = t.resolve("data")
+      if (java.nio.file.Files.isDirectory(dd))
+        java.nio.file.Files.list(dd).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      else Nil
+    }
+  }
+
+  /** Every STATE segment (`seg-*`) must be task-encoded. `cdc-*`
+    * change-record pseudo-files may encode driver-side: they hold one
+    * commit's row DELTA (MOR delete preimages), bounded by the
+    * operation's matched rows, never table-sized. */
+  private def assertAllTaskWritten(wh: String): Unit = {
+    val segs = dataSegments(wh)
+      .filter(_.getFileName.toString.startsWith("seg-"))
+    assert(segs.nonEmpty, "expected state segments on disk")
+    segs.foreach { p =>
+      assert(GraftSegmentIO.driverWritesOf(p) === 0L,
+        s"segment $p was parquet-encoded on the DRIVER — table data " +
+          "must stream through writer tasks")
+      assert(GraftSegmentIO.taskWritesOf(p) === 1L,
+        s"segment $p should have been written exactly once by a task")
+    }
+  }
+
+  test("INSERT / COW UPDATE / dynamic overwrite write every segment " +
+      "task-side; the driver never encodes table data") {
+    val wh = tmpDir("graft-exec-ins")
+    durableCatalog("xw", wh)
+    spark.sql("CREATE TABLE xw.ns.t (id BIGINT, state STRING, aqi INT) " +
+      "PARTITIONED BY (state)")
+    spark.sql("INSERT INTO xw.ns.t VALUES (1, 'CA', 40), (2, 'TX', 55), " +
+      "(3, 'CA', 61), (4, 'NY', 12)")
+    spark.sql("UPDATE xw.ns.t SET aqi = 70 WHERE id = 2")
+    spark.sql("INSERT OVERWRITE xw.ns.t PARTITION (state='NY') " +
+      "(SELECT 9 AS id, 99 AS aqi)")
+    assert(spark.sql("SELECT id, aqi FROM xw.ns.t ORDER BY id")
+      .as[(Long, Int)].collect().toSeq ===
+      Seq((1L, 40), (2L, 70), (3L, 61), (9L, 99)))
+    assertAllTaskWritten(wh)
+  }
+
+  test("MOR MERGE inserts write task-side segments too") {
+    val wh = tmpDir("graft-exec-mor")
+    durableCatalog("xm", wh)
+    spark.sql("CREATE TABLE xm.ns.m (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql("INSERT INTO xm.ns.m VALUES (1, 'a'), (2, 'b')")
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").createOrReplaceTempView("src")
+    spark.sql("MERGE INTO xm.ns.m t USING src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT v FROM xm.ns.m ORDER BY id")
+      .as[String].collect().toSeq === Seq("a", "B", "c"))
+    assertAllTaskWritten(wh)
+  }
+
+  test("streaming toTable epochs land task-side and replayed epochs " +
+      "reclaim their re-written segments") {
+    val wh = tmpDir("graft-exec-stream")
+    durableCatalog("xs", wh)
+    spark.sql("CREATE TABLE xs.ns.s (id BIGINT)")
+    val table = spark.sessionState.catalogManager.catalog("xs")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "s"))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    in.addData(1L, 2L, 3L)
+    val q = in.toDF().toDF("id").writeStream
+      .option("checkpointLocation", tmpDir("graft-exec-stream-ckpt"))
+      .toTable("xs.ns.s")
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(*) FROM xs.ns.s").as[Long].head() === 3L)
+    assertAllTaskWritten(wh)
+
+    // replayed epoch: its tasks wrote fresh segments that will never be
+    // referenced — the skip must delete them, not leak them
+    val segsBefore = dataSegments(wh).size
+    val spec = table.durableWriteSpec().get
+    val w = GraftWriterFactory(None, Some(spec)).createWriter(0, 99L)
+    w.write(new GenericInternalRow(Array[Any](42L)))
+    val msg = w.commit()
+    assert(dataSegments(wh).size === segsBefore + 1)
+    // same epoch id as one already committed for this query → replay
+    val committedEpoch = table.epochLedger.values.max
+    val queryId = table.epochLedger.keys.head
+    table.installStreamingEpoch(queryId, committedEpoch,
+      table.adoptDeliveries(Array(msg)), table.installAppend)
+    assert(dataSegments(wh).size === segsBefore,
+      "a skipped replay must delete the segments its tasks re-wrote")
+    assert(spark.sql("SELECT count(*) FROM xs.ns.s").as[Long].head() === 3L)
+  }
+
+  test("a commit message carries zero rows and serializes small") {
+    val wh = tmpDir("graft-exec-msg")
+    durableCatalog("xc", wh)
+    spark.sql("CREATE TABLE xc.ns.c (id BIGINT, v STRING) " +
+      "PARTITIONED BY (v)")
+    val table = spark.sessionState.catalogManager.catalog("xc")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "c"))
+    val spec = table.durableWriteSpec().get
+    val w = GraftWriterFactory(None, Some(spec)).createWriter(3, 17L)
+    (1L to 10000L).foreach { i =>
+      w.write(new GenericInternalRow(Array[Any](i,
+        UTF8String.fromString(s"g${i % 3}"))))
+    }
+    val msg = w.commit()
+    val segs = msg match {
+      case m: GraftSegmentsMessage => m
+      case other => fail(s"expected GraftSegmentsMessage, got $other")
+    }
+    assert(segs.segs.length === 3, "one segment per partition group")
+    assert(segs.segs.map(_.rowCount).sum === 10000)
+
+    // the real executor→driver hop: Java serialization round-trip —
+    // and the 10k-row write's message is METADATA-sized
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(msg); oos.close()
+    assert(bos.size() < 64 * 1024,
+      s"commit message serialized to ${bos.size()} bytes — rows are " +
+        "riding the message")
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[GraftSegmentsMessage]
+    assert(back.segs.map(_.rel).toSeq === segs.segs.map(_.rel).toSeq)
+    assert(back.segs.map(_.rowCount).sum === 10000)
+
+    // adoption installs by reference; the table serves the rows
+    table.installAppend(table.adoptDeliveries(Array(msg)))
+    assert(spark.sql("SELECT count(*) FROM xc.ns.c").as[Long].head()
+      === 10000L)
+  }
+
+  test("abort deletes a task's segments; nothing lands") {
+    val wh = tmpDir("graft-exec-abort")
+    durableCatalog("xa", wh)
+    spark.sql("CREATE TABLE xa.ns.a (id BIGINT)")
+    val table = spark.sessionState.catalogManager.catalog("xa")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "a"))
+    val spec = table.durableWriteSpec().get
+    val w = GraftWriterFactory(None, Some(spec)).createWriter(0, 1L)
+    w.write(new GenericInternalRow(Array[Any](1L)))
+    val msg = w.commit()
+    assert(dataSegments(wh).nonEmpty)
+    table.discardDeliveries(Array(msg))
+    assert(dataSegments(wh).isEmpty,
+      "an aborted write's segments must be reclaimed immediately")
+  }
+
+  test("CHECK constraints enforce task-side: the violating write fails " +
+      "and leaves no segments behind") {
+    val wh = tmpDir("graft-exec-check")
+    durableCatalog("xk", wh)
+    spark.sql("CREATE TABLE xk.ns.k (id BIGINT, aqi INT) " +
+      "TBLPROPERTIES ('constraints.aqi_pos'='aqi >= 0')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO xk.ns.k VALUES (1, 5), (2, -3)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("aqi_pos")),
+      s"constraint name must surface: ${msgs(e)}")
+    assert(spark.sql("SELECT count(*) FROM xk.ns.k").as[Long].head() === 0L)
+    // a task that committed before the job aborted may leave an
+    // ORPHANED segment (its commit message raced the abort — the same
+    // window real formats have); it is never referenced by the log, and
+    // VACUUM's reclaim sweeps it
+    GraftMaintenance.sql(spark, "VACUUM xk.ns.k").collect()
+    assert(dataSegments(wh).isEmpty,
+      "a refused write must leave nothing after reclaim")
+  }
+
+  test("the runtime-group-filter partition ships its re-filter as " +
+      "serializable DATA, not a scan closure (ADVICE r9)") {
+    val keyPred: Seq[Any] => Boolean = k => k.headOption.contains(7)
+    val part = GraftSegmentPartition("/x/data/seg-0.parquet",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.IntegerType))).json,
+      Array(0), Some(keyPred))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(part); oos.close()
+    assert(bos.size() < 16 * 1024,
+      s"partition serialized to ${bos.size()} bytes — it is dragging " +
+        "captured state")
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[GraftSegmentPartition]
+    assert(back.keyPred.get(Seq(7)) && !back.keyPred.get(Seq(8)),
+      "the deserialized predicate must still evaluate")
+  }
+}

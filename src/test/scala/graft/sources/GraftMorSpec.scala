@@ -250,7 +250,7 @@ class GraftMorSpec extends SparkSpec {
     // the old vector must abort, not delete whatever now sits there
     GraftMaintenance.optimize(Seq("ns"), "t_mor_occ", targetRows = 1 << 20)
     intercept[java.util.ConcurrentModificationException] {
-      table.installDelta(Array((0, 0)), Array.empty, "DELETE", staleBase)
+      table.installDelta(Array((0, 0)), Array.empty[Array[org.apache.spark.sql.catalyst.InternalRow]], "DELETE", staleBase)
     }
     assert(spark.table(t).count() === 2, "the aborted delete must not land")
 
@@ -258,13 +258,13 @@ class GraftMorSpec extends SparkSpec {
     val base2 = table.dataFiles
     val pos = spark.sql(s"SELECT _row_pos FROM $t WHERE id = 0")
       .as[Int].head()
-    table.installDelta(Array((0, pos)), Array.empty, "DELETE", base2)
+    table.installDelta(Array((0, pos)), Array.empty[Array[org.apache.spark.sql.catalyst.InternalRow]], "DELETE", base2)
     assert(spark.table(t).count() === 1)
     intercept[java.util.ConcurrentModificationException] {
-      table.installDelta(Array((0, pos)), Array.empty, "UPDATE", base2)
+      table.installDelta(Array((0, pos)), Array.empty[Array[org.apache.spark.sql.catalyst.InternalRow]], "UPDATE", base2)
     }
     // ... but the same re-delivered DELETE folds idempotently
-    table.installDelta(Array((0, pos)), Array.empty, "DELETE", base2)
+    table.installDelta(Array((0, pos)), Array.empty[Array[org.apache.spark.sql.catalyst.InternalRow]], "DELETE", base2)
     assert(spark.table(t).count() === 1)
   }
 

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Round-10 (VERDICT task 4): the commit protocol under REAL process
+  * isolation — forked JVMs, separate file-lock domains, nothing shared
+  * but the warehouse directory. GraftCommitProtocolSpec interleaves two
+  * stores in one JVM; these tests fork actual `java` children running
+  * [[ForkedWriterMain]] against the same warehouse. */
+class GraftMultiProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def durableCatalog(name: String, dir: String,
+                             isolated: Boolean = false): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
+    if (isolated)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+  }
+
+  /** Same module flags build.sbt gives the test JVM — Spark 4 on JDK 17
+    * needs them in the child too. */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def fork(mode: String, wh: String, cat: String, tbl: String,
+                   from: Long, to: Long): (Process, java.io.File) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val log = java.io.File.createTempFile(s"forked-$cat-", ".log")
+    val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.sources.ForkedWriterMain",
+      mode, wh, cat, tbl, from.toString, to.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(log))
+    (pb.start(), log)
+  }
+
+  private def awaitExit(p: Process, log: java.io.File,
+                        expected: Int): Unit = {
+    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), {
+      p.destroyForcibly()
+      s"child did not finish; log tail:\n${tailOf(log)}"
+    })
+    assert(p.exitValue() === expected,
+      s"child exit ${p.exitValue()} != $expected; log tail:\n${tailOf(log)}")
+  }
+
+  private def tailOf(f: java.io.File): String = {
+    val lines = scala.io.Source.fromFile(f)
+    try lines.getLines().toSeq.takeRight(30).mkString("\n")
+    finally lines.close()
+  }
+
+  test("two forked JVMs appending concurrently: every row lands, the " +
+      "log is contiguous, a fresh process sees all of it") {
+    val wh = tmpDir("graft-mp-append")
+    durableCatalog("mpp", wh)
+    spark.sql("CREATE TABLE mpp.ns.mpa (id BIGINT, v STRING)")
+
+    val (p1, l1) = fork("append", wh, "w1", "mpa", 1L, 25L)
+    val (p2, l2) = fork("append", wh, "w2", "mpa", 26L, 50L)
+    awaitExit(p1, l1, 0)
+    awaitExit(p2, l2, 0)
+
+    // a THIRD process (fresh isolated catalog in this JVM) replays the
+    // log the two children wrote
+    durableCatalog("mpr", wh, isolated = true)
+    val ids = spark.sql("SELECT id FROM mpr.ns.mpa ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(ids === (1L to 50L),
+      "all 50 cross-process appends must land exactly once")
+
+    // log versions are CONTIGUOUS — the CAS never skipped or duplicated
+    val tableDir = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      .filter(p => java.nio.file.Files.isRegularFile(p.resolve("table.json")))
+      .findFirst().orElseThrow()
+    import scala.jdk.CollectionConverters._
+    val versions = java.nio.file.Files.list(tableDir.resolve("log"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toInt)
+      .toSeq.sorted
+    assert(versions === (versions.min to versions.max),
+      s"commit versions must be gapless: $versions")
+    assert(versions.max >= 50, "50 inserts = at least 50 commits")
+  }
+
+  test("a child killed after landing segments but before commit leaves " +
+      "only unreferenced files; the warehouse stays healthy") {
+    val wh = tmpDir("graft-mp-crash")
+    durableCatalog("mpc", wh)
+    spark.sql("CREATE TABLE mpc.ns.mpx (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mpc.ns.mpx VALUES (1, 'a'), (2, 'b')")
+
+    val (p, l) = fork("crash", wh, "wc", "mpx", 0L, 0L)
+    awaitExit(p, l, 137)
+
+    // a brand-new process opens the warehouse without complaint and
+    // serves exactly the committed rows — the orphan is invisible
+    durableCatalog("mpv", wh, isolated = true)
+    assert(spark.sql("SELECT id FROM mpv.ns.mpx ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+
+    // the crash left the orphaned segment on disk...
+    val tableDir = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      .filter(q => java.nio.file.Files.isRegularFile(q.resolve("table.json")))
+      .findFirst().orElseThrow()
+    import scala.jdk.CollectionConverters._
+    def segCount: Long = java.nio.file.Files.list(tableDir.resolve("data"))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val withOrphan = segCount
+
+    // ...and VACUUM's sweep reclaims it without touching live data
+    GraftMaintenance.sql(spark, "VACUUM mpv.ns.mpx").collect()
+    assert(segCount < withOrphan,
+      "the orphaned segment must be reclaimed by the sweep")
+    assert(spark.sql("SELECT count(*) FROM mpv.ns.mpx").as[Long].head()
+      === 2L)
+  }
+}

@@ -64,16 +64,16 @@ class GraftStreamSinkSpec extends SparkSpec {
       Array(ids.toArray.map(i =>
         org.apache.spark.sql.catalyst.InternalRow(i)))
 
-    table.installStreamingEpoch("q1", 0, batch(1L), table.installAppend)
-    table.installStreamingEpoch("q1", 0, batch(1L), table.installAppend) // replay
+    table.installStreamingEpoch("q1", 0, GraftDeliveries.rows(batch(1L)), table.installAppend)
+    table.installStreamingEpoch("q1", 0, GraftDeliveries.rows(batch(1L)), table.installAppend) // replay
     assert(spark.table(t).count() === 1, "replayed epoch must not re-install")
-    table.installStreamingEpoch("q1", 1, batch(2L), table.installAppend)
+    table.installStreamingEpoch("q1", 1, GraftDeliveries.rows(batch(2L)), table.installAppend)
     assert(spark.table(t).count() === 2)
     // an OLD epoch arriving late (post-restart replay) is also skipped
-    table.installStreamingEpoch("q1", 0, batch(9L), table.installAppend)
+    table.installStreamingEpoch("q1", 0, GraftDeliveries.rows(batch(9L)), table.installAppend)
     assert(spark.table(t).count() === 2)
     // a different query's epoch 0 is its own ledger entry
-    table.installStreamingEpoch("q2", 0, batch(3L), table.installAppend)
+    table.installStreamingEpoch("q2", 0, GraftDeliveries.rows(batch(3L)), table.installAppend)
     assert(spark.table(t).count() === 3)
   }
 
