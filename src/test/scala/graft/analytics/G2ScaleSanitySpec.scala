@@ -50,4 +50,39 @@ class G2ScaleSanitySpec extends SparkSpec {
       s"no dim join may decay to sort-merge ($smj) or cartesian ($cp)")
     assert(shj === 0, s"no shuffled-hash dim joins expected, got $shj")
   }
+
+  /** sf1 leg (round 10, VERDICT task 6): another 10x on top of sf0.1.
+    * The driver ships no sf1 data, so this test DERIVES one: lineitem
+    * replicated 10x with per-copy day-shifted ship dates — the natural
+    * key contains date_local, so every copy contributes genuinely NEW
+    * silver keys (a plain copy would dedup back to sf0.1 row counts).
+    * Only lineitem is materialized (g2's sole input). Non-gating on
+    * wall time; the operator-census equality at 6M input rows is the
+    * gate. */
+  test("g2's plan shape holds at sf1 (derived 10x lineitem): dims " +
+      "still broadcast at 6M input rows") {
+    val sf1Dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-sf1-derived")
+    val liOut = sf1Dir.resolve("lineitem.parquet")
+    if (!java.nio.file.Files.exists(liOut)) {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val tenX = (0 until 10).map { i =>
+        li.withColumn("l_shipdate",
+            date_add(col("l_shipdate").cast("date"), i * 11))
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+      }.reduce(_ unionAll _)
+      tenX.write.mode("overwrite").parquet(liOut.toString)
+    }
+    val (fpBig, tBig) = runAt("/root/testdata/sf0.1")
+    val (fpHuge, tHuge) = runAt(sf1Dir.toString)
+    info(f"g2@sf0.1: $tBig%.2fs fingerprint=$fpBig")
+    info(f"g2@sf1:   $tHuge%.2fs fingerprint=$fpHuge")
+    assert(fpHuge === fpBig,
+      s"the plan shape must not change with another 10x: " +
+        s"sf0.1=$fpBig vs sf1=$fpHuge")
+    val (bhj, smj, _, cp, _) = fpHuge
+    assert(bhj >= 4 && smj === 0 && cp === 0,
+      s"dims must broadcast at sf1 too: bhj=$bhj smj=$smj cp=$cp")
+  }
 }
