@@ -524,11 +524,24 @@ final class GraftDataFile private (
     val sizeBytes: Long,
     val groupKey: Option[Seq[Any]],
     val rowCount: Int,
-    seg0: GraftSegmentHandle) {
+    seg0: GraftSegmentHandle,
+    sel0: scala.collection.immutable.BitSet = null,
+    selExclude0: Boolean = false) {
 
   def this(rows: Array[InternalRow], zones: Array[ColZone], sizeBytes: Long,
            groupKey: Option[Seq[Any]]) =
     this(rows, zones, sizeBytes, groupKey, rows.length, null)
+
+  /** Non-null ⇒ this file is a POSITION VIEW of its segment: the rows
+    * at (`selExclude` = false) or excluding (`selExclude` = true) these
+    * positions. Views are how CDC records reference preimages without
+    * copying them — the log stores positions, never rows, and the base
+    * segment stays alive while the view is retained. */
+  private val sel: scala.collection.immutable.BitSet = sel0
+  private val selExclude: Boolean = selExclude0
+  private[sources] def viewSel
+      : Option[(scala.collection.immutable.BitSet, Boolean)] =
+    Option(sel).map((_, selExclude))
 
   @volatile private var strong: Array[InternalRow] = rows0
   @volatile private[sources] var segment: GraftSegmentHandle = seg0
@@ -543,7 +556,11 @@ final class GraftDataFile private (
       val cached = sr.get()
       if (cached != null) return cached
     }
-    val loaded = segment.load()
+    val all = segment.load()
+    val loaded =
+      if (sel == null) all
+      else if (selExclude) GraftDataFile.liveRows(all, sel)
+      else sel.iterator.map(all(_)).toArray
     soft = new java.lang.ref.SoftReference(loaded)
     loaded
   }
@@ -572,6 +589,29 @@ object GraftDataFile {
                   sizeBytes: Long, groupKey: Option[Seq[Any]],
                   rowCount: Int): GraftDataFile =
     new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h)
+
+  /** Position view over a PERSISTED base file (see `viewSel`): the CDC
+    * record of a row-level delete/restore costs O(positions) in the
+    * log and ZERO new bytes — no driver row load, no cdc segment
+    * encode. Zones are the base's (a superset envelope — conservative
+    * for skipping). */
+  def viewOf(base: GraftDataFile, sel: scala.collection.immutable.BitSet,
+             exclude: Boolean): GraftDataFile = {
+    require(base.persisted, "position views require a persisted base")
+    val n = if (exclude) base.rowCount - sel.size else sel.size
+    val bytes = math.max(1L,
+      base.sizeBytes * math.max(n, 1) / math.max(base.rowCount, 1))
+    new GraftDataFile(null, base.zones, bytes, base.groupKey, n,
+      base.segment, sel, exclude)
+  }
+
+  /** A view decoded from the log (all metadata from the entry). */
+  def fromSegmentView(h: GraftSegmentHandle, zones: Array[ColZone],
+      sizeBytes: Long, groupKey: Option[Seq[Any]], rowCount: Int,
+      sel: scala.collection.immutable.BitSet,
+      exclude: Boolean): GraftDataFile =
+    new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h,
+      sel, exclude)
 
   /** `rows` minus the DEAD positions, original order preserved — THE
     * delete-vector application, shared by every read path so the
@@ -1060,12 +1100,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
     GraftDataFile.liveRows(f.rows,
       dvs.getOrElse(f, scala.collection.immutable.BitSet.empty))
 
-  /** Pseudo-file holding the given POSITIONS of `f` (CDC/diff helper). */
+  /** Pseudo-file holding the given POSITIONS of `f` (CDC/diff helper).
+    * Persisted base ⇒ a position VIEW: the commit records positions,
+    * never loads or re-encodes the rows (the driver does O(positions)
+    * work for a 100 TB table's delete, not O(deleted bytes)). Heap-only
+    * base ⇒ the rows are already resident; copy as before. */
   private def pseudoOf(f: GraftDataFile,
       positions: Iterable[Int]): Option[GraftDataFile] = {
-    val rows = positions.toArray.sorted.map(f.rows(_))
-    if (rows.isEmpty) None
-    else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+    val ps = positions.toArray.sorted
+    if (ps.isEmpty) None
+    else if (f.persisted)
+      Some(GraftDataFile.viewOf(f,
+        scala.collection.immutable.BitSet.fromSpecific(ps), exclude = false))
+    else Some(GraftDataFile.build(ps.map(f.rows(_)), tableSchema, keyOfOpt))
   }
 
   /** CDC view of a file set: EFFECTIVE rows only (a DV'd file's dead
@@ -1076,10 +1123,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
     fs.flatMap { f =>
       dvs.get(f) match {
         case None => Some(f)
+        case Some(bs) if f.rowCount - bs.size <= 0 => None
         case Some(bs) =>
-          val rows = GraftDataFile.liveRows(f.rows, bs)
-          if (rows.isEmpty) None
-          else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+          // persisted base: an EXCLUDE view (DV positions) — the CDC
+          // record costs the DV, never a row load/re-encode
+          if (f.persisted)
+            Some(GraftDataFile.viewOf(f, bs, exclude = true))
+          else {
+            val rows = GraftDataFile.liveRows(f.rows, bs)
+            if (rows.isEmpty) None
+            else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+          }
       }
     }
 
@@ -1800,8 +1854,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     durable.foreach { d =>
       val pending = rels.toSeq
       if (pending.nonEmpty) {
-        val live: Set[String] = history.iterator.flatMap(e =>
+        // live = every segment any retained commit OR the current
+        // in-memory state references (the two can briefly diverge if a
+        // commit's log CAS failed after the state swap) — an installed
+        // file is never deleted here
+        val live: Set[String] = (history.iterator.flatMap(e =>
           e.files.iterator ++ e.added.iterator ++ e.removed.iterator)
+          ++ files.iterator)
           .filter(_.persisted)
           .map(f => f.segment.path.toString).toSet
         pending.foreach { rel =>

@@ -260,27 +260,35 @@ private[sources] object GraftLogCodec {
   }
 
   private def encodeFile(f: GraftDataFile, schema: StructType,
-                         kts: Seq[DataType], dir: Path): JValue =
-    JObject(
-      "path" -> JString(refOf(f, dir)),
-      "rows" -> JLong(f.rowCount.toLong),
-      "bytes" -> JLong(f.sizeBytes),
+                         kts: Seq[DataType], dir: Path): JValue = {
+    val base = List(
+      "path" -> (JString(refOf(f, dir)): JValue),
+      "rows" -> (JLong(f.rowCount.toLong): JValue),
+      "bytes" -> (JLong(f.sizeBytes): JValue),
       "group" -> f.groupKey.map(k => JArray(
-        k.lazyZip(kts).map((v, t) => encodeValue(t, v)).toList))
-        .getOrElse(JNull),
-      "zones" -> JArray(schema.fields.toList.zipWithIndex.map { case (fl, i) =>
+        k.lazyZip(kts).map((v, t) => encodeValue(t, v)).toList): JValue)
+        .getOrElse(JNull: JValue),
+      "zones" -> (JArray(schema.fields.toList.zipWithIndex.map { case (fl, i) =>
         if (i < f.zones.length && f.zones(i) != null) {
           val z = f.zones(i)
           JArray(List(encodeValue(fl.dataType, z.min),
             encodeValue(fl.dataType, z.max), JLong(z.nullCount)))
         } else JNull
-      }))
+      }): JValue))
+    // position views (CDC records): positions, never rows — "sel" =
+    // included positions, "xsel" = excluded (a DV's live complement)
+    val selJ = f.viewSel.toList.map { case (bs, exclude) =>
+      (if (exclude) "xsel" else "sel") ->
+        (JArray(bs.toList.map(p => JLong(p.toLong))): JValue)
+    }
+    JObject(base ++ selJ)
+  }
 
   private def decodeFile(j: JValue, schema: StructType, kts: Seq[DataType],
       dir: Path, registry: TrieMap[String, GraftDataFile]): GraftDataFile = {
     val o = j.asInstanceOf[JObject].obj.toMap
     val ref = o("path").asInstanceOf[JString].s
-    registry.getOrElseUpdate(ref, {
+    def build(): GraftDataFile = {
       val zones = o("zones").asInstanceOf[JArray].arr.toArray.zipWithIndex
         .map {
           case (JNull, _) => null
@@ -295,10 +303,26 @@ private[sources] object GraftLogCodec {
         case JArray(vs) => Some(vs.lazyZip(kts).map((v, t) => decodeValue(t, v)))
         case other => throw new IllegalStateException(s"bad group: $other")
       }
-      GraftDataFile.fromSegment(
-        new GraftSegmentHandle(resolveRef(ref, dir), schema),
-        zones, num(o("bytes")).toLong, group, num(o("rows")).toInt)
-    })
+      val h = new GraftSegmentHandle(resolveRef(ref, dir), schema)
+      val sel = o.get("sel").orElse(o.get("xsel")).map {
+        case JArray(ps) =>
+          scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
+        case other => throw new IllegalStateException(s"bad sel: $other")
+      }
+      sel match {
+        case Some(bs) => GraftDataFile.fromSegmentView(h, zones,
+          num(o("bytes")).toLong, group, num(o("rows")).toInt, bs,
+          exclude = o.contains("xsel"))
+        case None => GraftDataFile.fromSegment(h, zones,
+          num(o("bytes")).toLong, group, num(o("rows")).toInt)
+      }
+    }
+    // views NEVER registry-share by ref: the bare ref names the BASE
+    // file, and aliasing a view under it would hand the base's callers
+    // a position-filtered impostor (and vice versa). View identity is
+    // per-entry; nothing (DVs, prefix checks) requires sharing it.
+    if (o.contains("sel") || o.contains("xsel")) build()
+    else registry.getOrElseUpdate(ref, build())
   }
 
   /** Serialize one commit entry (plus the table's current constraint

@@ -87,6 +87,29 @@ class GraftExecWriteSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM xm.ns.m ORDER BY id")
       .as[String].collect().toSeq === Seq("a", "B", "c"))
     assertAllTaskWritten(wh)
+
+    // CDC preimages are POSITION VIEWS over the base segments: no
+    // cdc-*.parquet is ever written — the log records positions, the
+    // driver neither loads nor re-encodes the deleted rows
+    assert(dataSegments(wh)
+      .count(_.getFileName.toString.startsWith("cdc-")) === 0,
+      "MOR CDC must not materialize change segments")
+
+    // ...and the preimages still serve, including across restart
+    val changes = spark.sql(
+      "SELECT _change_type, id, v FROM xm.ns.`m$changes` " +
+        "WHERE _change_type = 'delete' ORDER BY id")
+      .as[(String, Long, String)].collect().toSeq
+    assert(changes === Seq(("delete", 2L, "b")),
+      s"the UPDATE's preimage must serve from the view: $changes")
+    spark.conf.set("spark.sql.catalog.xm2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xm2.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.xm2.warehouse.isolated", "true")
+    assert(spark.sql(
+      "SELECT _change_type, id, v FROM xm2.ns.`m$changes` " +
+        "WHERE _change_type = 'delete' ORDER BY id")
+      .as[(String, Long, String)].collect().toSeq === changes,
+      "position-view CDC records must replay from the log")
   }
 
   test("streaming toTable epochs land task-side and replayed epochs " +
