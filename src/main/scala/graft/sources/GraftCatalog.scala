@@ -2027,9 +2027,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     mutate {
       require(targetRows > 0, "targetRows must be positive")
       val before = files
-      val out = Vector.newBuilder[GraftDataFile]
-      // accumulate small files per partition-group bucket (None = files
-      // already spanning groups; merging those together is equally safe)
+      // the PLAN is metadata-only (row counts / group keys — no row
+      // loads): files carry over or join a merge bin, in encounter order
+      val plan = Vector.newBuilder[Either[GraftDataFile, Seq[GraftDataFile]]]
       val bins = scala.collection.mutable.LinkedHashMap
         .empty[Option[Seq[Any]], scala.collection.mutable.ArrayBuffer[GraftDataFile]]
       def flush(key: Option[Seq[Any]]): Unit =
@@ -2038,12 +2038,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
           // rewrite; anything else rebuilds from LIVE rows — compaction
           // purges the delete vectors of the small files it touches
           // (Delta's OPTIMIZE + REORG PURGE behavior)
-          if (fs.length == 1 && !dvs.contains(fs.head)) out += fs.head
-          else out += GraftDataFile.build(
-            fs.iterator.flatMap(effRows).toArray, tableSchema, keyOfOpt)
+          if (fs.length == 1 && !dvs.contains(fs.head))
+            plan += Left(fs.head)
+          else plan += Right(fs.toSeq)
         }
       before.foreach { f =>
-        if (f.rowCount >= targetRows) out += f
+        if (f.rowCount >= targetRows) plan += Left(f)
         else {
           val buf = bins.getOrElseUpdate(f.groupKey,
             scala.collection.mutable.ArrayBuffer.empty)
@@ -2054,11 +2054,79 @@ class GraftTable(initialName: String, initialSchema: StructType,
         }
       }
       bins.keys.toSeq.foreach(flush)
-      files = out.result()
+      val planned = plan.result()
+      val mergeBins = planned.collect { case Right(fs) => fs }
+      files = runCompaction(planned, mergeBins, Nil, targetRows)
       pruneDvs()
       snap("OPTIMIZE") // layout-only: zero logical row changes
       (before.length, files.length)
     }
+
+  /** Execute a compaction plan. Durable tables with an active session
+    * rebuild EXECUTOR-SIDE — one Spark task per merge bin reads its
+    * segments, applies delete vectors, (optionally z-orders,) writes
+    * merged segment(s), and reports file refs + stats; the driver
+    * splices references (the Delta distributed-OPTIMIZE shape — at
+    * 100 TB, rebuild cost spreads across the cluster and the driver
+    * never holds rows). In-JVM tables (and heap-resident files) keep
+    * the driver rebuild. */
+  private def runCompaction(
+      planned: Vector[Either[GraftDataFile, Seq[GraftDataFile]]],
+      mergeBins: Vector[Seq[GraftDataFile]],
+      zorderCols: Seq[String], targetRows: Int): Vector[GraftDataFile] = {
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    val distributable = durable.isDefined && sparkOpt.isDefined &&
+      mergeBins.nonEmpty && mergeBins.forall(_.forall(_.persisted))
+    val merged: Map[Int, Seq[GraftDataFile]] =
+      if (distributable) {
+        val d = durable.get
+        val writeId = java.util.UUID.randomUUID().toString.take(12)
+        val schemaJson = tableSchema.json
+        val jobs = mergeBins.zipWithIndex.map { case (fs, i) =>
+          GraftCompactJob(
+            fs.map { f =>
+              (f.segment.path.toString, f.segment.schema.json,
+                dvs.getOrElse(f, scala.collection.immutable.BitSet.empty)
+                  .toArray)
+            },
+            d.log.dir.toString, writeId, i, schemaJson,
+            partitionCols, bucketSpec, zorderCols, targetRows)
+        }
+        val metas = sparkOpt.get.sparkContext
+          .parallelize(jobs, jobs.length)
+          .map(GraftCompaction.run)
+          .collect()
+        val schema = tableSchema
+        metas.zipWithIndex.map { case (ms, i) =>
+          i -> ms.toSeq.map { m =>
+            val f = GraftDataFile.fromSegment(
+              new GraftSegmentHandle(d.log.dir.resolve(m.rel), schema),
+              m.zones, m.bytes, m.groupKey, m.rowCount)
+            d.registry.put(m.rel, f)
+            f
+          }
+        }.toMap
+      } else {
+        mergeBins.zipWithIndex.map { case (fs, i) =>
+          val rows = fs.iterator.flatMap(effRows).toArray
+          val built: Seq[GraftDataFile] =
+            if (zorderCols.isEmpty)
+              Seq(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+            else {
+              val key = GraftZCurve.keyFn(tableSchema, zorderCols, rows)
+              rows.sortBy(key).grouped(targetRows)
+                .map(c => GraftDataFile.build(c, tableSchema, keyOfOpt))
+                .toSeq
+            }
+          i -> built
+        }.toMap
+      }
+    var binIdx = -1
+    planned.flatMap {
+      case Left(f) => Vector(f)
+      case Right(_) => binIdx += 1; merged(binIdx)
+    }
+  }
 
   /** `OPTIMIZE ZORDER BY (cols...)`: rewrite the file LAYOUT along the
     * Morton curve — 16-bin order-preserving quantization per clustering
@@ -2077,93 +2145,39 @@ class GraftTable(initialName: String, initialSchema: StructType,
       require(cols.nonEmpty, "ZORDER BY needs at least one column")
       require(targetRows > 0, "targetRows must be positive")
       val schema = tableSchema
-      val ords = cols.map { c =>
-        val i = schema.fieldIndex(c)
-        import org.apache.spark.sql.types._
-        schema.fields(i).dataType match {
-          case ByteType | ShortType | IntegerType | LongType | DateType |
-               TimestampType | TimestampNTZType | StringType => i
-          case dt => throw new IllegalArgumentException(
-            s"ZORDER BY $c: unsupported type $dt (integral or string)")
-        }
-      }
-      val dts = ords.map(schema.fields(_).dataType)
-      def longOf(r: InternalRow, j: Int): Option[Long] =
-        Option(r.get(ords(j), dts(j))).map {
-          case b: java.lang.Byte => b.toLong
-          case s: java.lang.Short => s.toLong
-          case i: java.lang.Integer => i.toLong
-          case l: java.lang.Long => l.longValue()
-          // strings quantize by their first 7 bytes, big-endian: a
-          // non-negative Long whose < order equals the binary (UTF-8
-          // bytewise) string order — exactly the order the zone maps'
-          // UTF8String min/max compare by, so the curve and the skipping
-          // stats agree. 7 bytes keep the sign bit clear.
-          case u: org.apache.spark.unsafe.types.UTF8String =>
-            val bytes = u.getBytes
-            var acc = 0L
-            var k = 0
-            while (k < 7) {
-              acc = (acc << 8) | (if (k < bytes.length) bytes(k) & 0xffL else 0L)
-              k += 1
-            }
-            acc
-        }
+      GraftZCurve.checkCols(schema, cols) // validate before any work
       val before = files
-      def curveKey(rows: Array[InternalRow]): InternalRow => Long = {
-        // per-column [min, max] over this clustering scope's NON-NULL
-        // values; nulls take bin 0 (cluster together at the curve front)
-        val mins = Array.fill(cols.length)(Long.MaxValue)
-        val maxs = Array.fill(cols.length)(Long.MinValue)
-        rows.foreach { r =>
-          var j = 0
-          while (j < cols.length) {
-            longOf(r, j).foreach { v =>
-              if (v < mins(j)) mins(j) = v
-              if (v > maxs(j)) maxs(j) = v
-            }
-            j += 1
-          }
+      // clustering scopes: whole table (unpartitioned), or one scope
+      // per partition group. Files wholly owned by a group form the
+      // scope directly (metadata-only planning — the executor path can
+      // take them); group-SPANNING files (post-compaction of the None
+      // bin) force the row-level driver split for their groups.
+      val allGrouped = partitionCols.isEmpty ||
+        before.forall(_.groupKey.isDefined)
+      if (allGrouped) {
+        val scopes: Vector[Seq[GraftDataFile]] =
+          if (partitionCols.isEmpty) {
+            if (before.isEmpty) Vector.empty else Vector(before)
+          } else
+            before.groupBy(_.groupKey).toVector
+              .sortBy(_._1.map(_.mkString("|")).getOrElse(""))
+              .map(_._2.toSeq)
+        val planned: Vector[Either[GraftDataFile, Seq[GraftDataFile]]] =
+          scopes.map(Right(_))
+        files = runCompaction(planned, scopes, cols, targetRows)
+      } else {
+        // row-level scope split (driver): rare spanning-file layout
+        def pack(rows: Array[InternalRow]): Iterator[GraftDataFile] = {
+          if (rows.isEmpty) return Iterator.empty
+          val key = GraftZCurve.keyFn(schema, cols, rows)
+          rows.sortBy(key).grouped(targetRows)
+            .map(chunk => GraftDataFile.build(chunk, schema, keyOfOpt))
         }
-        // bin width per column: (range/16)+1 — order-preserving pure
-        // integer quantization with no overflow-prone multiplication;
-        // a degenerate (empty / single-value / Long-spanning) column
-        // collapses to one bin, which only coarsens the curve
-        val steps = Array.tabulate(cols.length) { j =>
-          val range = maxs(j) - mins(j)
-          if (maxs(j) < mins(j) || range < 0) 0L else range / 16 + 1
-        }
-        r => {
-          var code = 0L
-          var j = 0
-          while (j < cols.length) {
-            val bin = if (steps(j) <= 0) 0L else longOf(r, j) match {
-              case Some(v) => math.min(15L, (v - mins(j)) / steps(j))
-              case None => 0L
-            }
-            // interleave: bit b of column j lands at position b*k + j
-            var b = 0
-            while (b < 4) {
-              code |= ((bin >> b) & 1L) << (b * cols.length + j)
-              b += 1
-            }
-            j += 1
-          }
-          code
-        }
-      }
-      def pack(rows: Array[InternalRow]): Iterator[GraftDataFile] = {
-        if (rows.isEmpty) return Iterator.empty
-        val key = curveKey(rows)
-        rows.sortBy(key).grouped(targetRows)
-          .map(chunk => GraftDataFile.build(chunk, schema, keyOfOpt))
-      }
-      // live rows only: the re-layout purges delete vectors
-      files =
-        if (partitionCols.isEmpty) pack(before.toArray.flatMap(effRows)).toVector
-        else before.toArray.flatMap(effRows).groupBy(boundGroupKey()).toSeq
+        // live rows only: the re-layout purges delete vectors
+        files = before.toArray.flatMap(effRows).groupBy(boundGroupKey()).toSeq
           .sortBy(_._1.mkString("|"))
           .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
+      }
       pruneDvs()
       snap("ZORDER") // layout-only: zero logical row changes
       (before.length, files.length)

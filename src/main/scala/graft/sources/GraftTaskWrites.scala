@@ -169,3 +169,130 @@ private[sources] object GraftDeliveries {
   def rows(batches: Array[Array[InternalRow]]): Array[GraftDelivery] =
     batches.map(GraftRowsDelivery(_): GraftDelivery)
 }
+
+/** The Morton-curve key kernel (`OPTIMIZE ZORDER BY`): 16-bin
+  * order-preserving quantization per clustering column from the
+  * SCOPE's min/max, bits interleaved. ONE implementation shared by the
+  * driver-side compaction (in-JVM tables) and the executor-side
+  * compaction tasks (durable tables), so both layouts are
+  * bit-identical. Strings quantize by their first 7 bytes big-endian —
+  * the order the zone maps' UTF8String min/max compare by. */
+private[sources] object GraftZCurve {
+  import org.apache.spark.sql.types._
+
+  /** Ordinals of `cols` in `schema`, validated curve-eligible. */
+  def checkCols(schema: StructType, cols: Seq[String]): Seq[Int] =
+    cols.map { c =>
+      val i = schema.fieldIndex(c)
+      schema.fields(i).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType | StringType => i
+        case dt => throw new IllegalArgumentException(
+          s"ZORDER BY $c: unsupported type $dt (integral or string)")
+      }
+    }
+
+  /** Curve key over `rows` (the clustering scope — a partition group,
+    * or the whole table). Nulls take bin 0. */
+  def keyFn(schema: StructType, cols: Seq[String],
+            rows: Array[InternalRow]): InternalRow => Long = {
+    val ords = checkCols(schema, cols)
+    val dts = ords.map(schema.fields(_).dataType)
+    def longOf(r: InternalRow, j: Int): Option[Long] =
+      Option(r.get(ords(j), dts(j))).map {
+        case b: java.lang.Byte => b.toLong
+        case s: java.lang.Short => s.toLong
+        case i: java.lang.Integer => i.toLong
+        case l: java.lang.Long => l.longValue()
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          val bytes = u.getBytes
+          var acc = 0L
+          var k = 0
+          while (k < 7) {
+            acc = (acc << 8) | (if (k < bytes.length) bytes(k) & 0xffL else 0L)
+            k += 1
+          }
+          acc
+      }
+    // per-column [min, max] over this scope's NON-NULL values
+    val mins = Array.fill(cols.length)(Long.MaxValue)
+    val maxs = Array.fill(cols.length)(Long.MinValue)
+    rows.foreach { r =>
+      var j = 0
+      while (j < cols.length) {
+        longOf(r, j).foreach { v =>
+          if (v < mins(j)) mins(j) = v
+          if (v > maxs(j)) maxs(j) = v
+        }
+        j += 1
+      }
+    }
+    // bin width: (range/16)+1 — order-preserving integer quantization;
+    // a degenerate column collapses to one bin (only coarsens the curve)
+    val steps = Array.tabulate(cols.length) { j =>
+      val range = maxs(j) - mins(j)
+      if (maxs(j) < mins(j) || range < 0) 0L else range / 16 + 1
+    }
+    r => {
+      var code = 0L
+      var j = 0
+      while (j < cols.length) {
+        val bin = if (steps(j) <= 0) 0L else longOf(r, j) match {
+          case Some(v) => math.min(15L, (v - mins(j)) / steps(j))
+          case None => 0L
+        }
+        var b = 0
+        while (b < 4) {
+          code |= ((bin >> b) & 1L) << (b * cols.length + j)
+          b += 1
+        }
+        j += 1
+      }
+      code
+    }
+  }
+}
+
+/** One executor-side compaction job: read the listed segments in order,
+  * drop dead (delete-vector) positions, optionally z-order the scope,
+  * chunk, write merged segment(s) into the warehouse, report metas.
+  * Everything is serializable DATA — the task never sees the table. */
+private[sources] final case class GraftCompactJob(
+    segs: Seq[(String, String, Array[Int])], // (absPath, schemaJson, dead)
+    outDir: String, writeId: String, binId: Int,
+    schemaJson: String,
+    partitionCols: Seq[String], bucketSpec: Option[(Int, String)],
+    zorderCols: Seq[String], targetRows: Int)
+
+/** Runs [[GraftCompactJob]]s inside Spark tasks: the 100 TB OPTIMIZE /
+  * ZORDER shape — rebuild cost spreads across the cluster and the
+  * driver handles only file references, like Delta's distributed
+  * OPTIMIZE. Reuses the stats kernel and the shared z-curve. */
+private[sources] object GraftCompaction {
+  def run(job: GraftCompactJob): Array[GraftSegmentMeta] = {
+    val schema = DataType.fromJson(job.schemaJson).asInstanceOf[StructType]
+    val keyOf =
+      GraftGroupKeys.keyOf(schema, job.partitionCols, job.bucketSpec)
+    val rows: Array[InternalRow] = job.segs.iterator.flatMap {
+      case (p, sj, dead) =>
+        val segSchema = DataType.fromJson(sj).asInstanceOf[StructType]
+        val all = GraftSegmentIO.read(java.nio.file.Paths.get(p), segSchema)
+        (if (dead.isEmpty) all
+         else GraftDataFile.liveRows(all,
+           scala.collection.immutable.BitSet.fromSpecific(dead))).iterator
+    }.toArray
+    val chunks: Iterator[Array[InternalRow]] =
+      if (job.zorderCols.isEmpty) Iterator.single(rows)
+      else {
+        val key = GraftZCurve.keyFn(schema, job.zorderCols, rows)
+        rows.sortBy(key).grouped(job.targetRows)
+      }
+    chunks.filter(_.nonEmpty).zipWithIndex.map { case (chunk, n) =>
+      val f = GraftDataFile.build(chunk, schema, keyOf)
+      val rel = s"data/opt-${job.writeId}-b${job.binId}-$n.parquet"
+      val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
+      val bytes = GraftSegmentIO.write(abs, schema, chunk)
+      GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey)
+    }.toArray
+  }
+}

@@ -149,6 +149,41 @@ class GraftExecWriteSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM xs.ns.s").as[Long].head() === 3L)
   }
 
+  test("OPTIMIZE and ZORDER rebuild durable tables executor-side: " +
+      "merged segments are task-written, data identical") {
+    val wh = tmpDir("graft-exec-opt")
+    durableCatalog("xo", wh)
+    spark.sql("CREATE TABLE xo.ns.o (id BIGINT, p INT, v STRING) " +
+      "PARTITIONED BY (p)")
+    (1L to 6L).foreach(i => spark.sql(
+      s"INSERT INTO xo.ns.o VALUES ($i, ${i % 2}, 'v$i')"))
+    val beforeRows = spark.sql("SELECT id, p, v FROM xo.ns.o ORDER BY id")
+      .as[(Long, Int, String)].collect().toSeq
+
+    val Array(fb, fa) = GraftMaintenance
+      .sql(spark, "OPTIMIZE xo.ns.o").collect()
+      .head.toSeq.map(_.asInstanceOf[Int]).toArray
+    assert(fa < fb, s"compaction must shrink the file count: $fb -> $fa")
+    assert(spark.sql("SELECT id, p, v FROM xo.ns.o ORDER BY id")
+      .as[(Long, Int, String)].collect().toSeq === beforeRows)
+
+    val zr = GraftMaintenance
+      .sql(spark, "OPTIMIZE xo.ns.o ZORDER BY (id, v)").collect()
+    assert(zr.nonEmpty)
+    assert(spark.sql("SELECT id, p, v FROM xo.ns.o ORDER BY id")
+      .as[(Long, Int, String)].collect().toSeq === beforeRows)
+
+    // every compaction output (opt-*) was parquet-encoded in a TASK
+    val opts = dataSegments(wh)
+      .filter(_.getFileName.toString.startsWith("opt-"))
+    assert(opts.nonEmpty, "expected task-written compaction segments")
+    opts.foreach { p =>
+      assert(GraftSegmentIO.driverWritesOf(p) === 0L,
+        s"compaction segment $p was encoded on the driver")
+      assert(GraftSegmentIO.taskWritesOf(p) === 1L)
+    }
+  }
+
   test("a commit message carries zero rows and serializes small") {
     val wh = tmpDir("graft-exec-msg")
     durableCatalog("xc", wh)
