@@ -556,12 +556,16 @@ final class GraftDataFile private (
       val cached = sr.get()
       if (cached != null) return cached
     }
-    val all = segment.load()
+    val h = segment
+    val all = h.load()
     val loaded =
       if (sel == null) all
       else if (selExclude) GraftDataFile.liveRows(all, sel)
       else sel.iterator.map(all(_)).toArray
-    soft = new java.lang.ref.SoftReference(loaded)
+    // cache only if the handle didn't change underfoot (a concurrent
+    // metadata-only ADD COLUMN re-points it — pre-widening rows must
+    // not become the cache of the widened handle)
+    if (h eq segment) soft = new java.lang.ref.SoftReference(loaded)
     loaded
   }
 
@@ -571,6 +575,19 @@ final class GraftDataFile private (
     * parquet segment (what GC memory pressure does). No-op while the
     * file is heap-only. */
   private[sources] def evict(): Unit = if (segment != null) soft = null
+
+  /** Metadata-only ADD COLUMN: re-point the segment handle at the
+    * WIDENED schema. The parquet reader null-pads requested field ids
+    * the file doesn't contain, so the stored bytes serve the new layout
+    * without a rewrite. Cached narrow rows drop; zones stay capture-
+    * width (readers guard, [[colOrd]]-style consumers decline). */
+  private[sources] def resegment(schema: StructType): Unit = {
+    val h = segment
+    if (h != null && h.schema.length < schema.length) {
+      segment = new GraftSegmentHandle(h.path, schema)
+      soft = null
+    }
+  }
 
   /** The durable segment is written: release the strong reference so
     * the heap copy is GC-reclaimable (kept soft for warm re-reads). */
@@ -915,16 +932,32 @@ class GraftTable(initialName: String, initialSchema: StructType,
             FieldIds.withId(org.apache.spark.sql.types.StructField(
               name, add.dataType, nullable = true), nextFieldId))
           nextFieldId += 1
-          val width = oldFields.length
-          val dts = oldFields.map(_.dataType)
-          rebuildFiles(newSchema, { r =>
-            val vals = new Array[Any](width + 1)
-            var i = 0
-            while (i < width) { vals(i) = r.get(i, dts(i)); i += 1 }
-            // vals(width) stays null: pre-evolution rows read NULL
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              vals): InternalRow
-          })
+          if (durable.isDefined && files.forall(_.persisted)) {
+            // METADATA-ONLY on durable tables (the Delta/Iceberg ADD
+            // COLUMN contract): no row is rewritten — each live file's
+            // segment handle re-points at the widened schema, and the
+            // parquet reader null-pads the requested field id the file
+            // doesn't contain. An ADD COLUMN on a 100 TB table costs a
+            // log entry, not a table rewrite. (Restart replays decode
+            // files against their entries' schemas and inherit the same
+            // padding — this just brings the live objects in line.)
+            files.foreach(_.resegment(newSchema))
+            readState = (files, dvs)
+          } else {
+            // in-JVM tables: heap rows carry no capture schema, so the
+            // stored arrays must match the table layout — rebuild (the
+            // test fast-path; data is small by construction)
+            val width = oldFields.length
+            val dts = oldFields.map(_.dataType)
+            rebuildFiles(newSchema, { r =>
+              val vals = new Array[Any](width + 1)
+              var i = 0
+              while (i < width) { vals(i) = r.get(i, dts(i)); i += 1 }
+              // vals(width) stays null: pre-evolution rows read NULL
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                vals): InternalRow
+            })
+          }
           tableSchema = newSchema // widens over padded rows — safe
 
         case ren: TableChange.RenameColumn =>
@@ -1222,6 +1255,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * sync. */
   private def applyDecoded(dec: GraftLogCodec.DecodedEntry): Unit = {
     val e = dec.entry
+    // a file first decoded under an OLDER entry keeps its registry
+    // identity; as newer entries replay, re-point its handle at the
+    // widest schema seen (metadata-only ADD COLUMN — the parquet read
+    // null-pads; older entries reading wider rows is the documented
+    // "rows may be wider, never narrower" tolerance)
+    (e.files.iterator ++ e.added.iterator ++ e.removed.iterator)
+      .foreach(_.resegment(e.schema))
     files = e.files
     dvs = e.dvs
     if (tableSchema != e.schema) tableSchema = e.schema

@@ -58,18 +58,23 @@ private[sources] object GraftSegmentIO {
     Option(driverWriteCounts.get(file.toAbsolutePath.normalize.toString))
       .map(_.longValue()).getOrElse(0L)
 
-  /** Column mapping down to the physical files: the catalog's
-    * Iceberg-style field ids annotate as PARQUET field ids on both the
-    * written and the requested schema, and the reader matches columns
-    * BY ID. A segment carried by reference across RENAME COLUMN
-    * (metadata-only, files untouched) still resolves its columns under
-    * the renamed schema — name matching would read the column as
-    * missing. */
+  /** Column mapping down to the physical files (Delta's column-mapping
+    * `name` mode): an id-carrying field writes and reads under the
+    * CANONICAL physical name `_gc_<id>` plus a PARQUET field id. The
+    * physical namespace is keyed by field id alone, so logical renames
+    * never move data and — crucially — a requested id ABSENT from the
+    * file can only miss (NULL): Spark's reader falls back to NAME
+    * matching for ids it can't find, and under logical names a
+    * RENAME a→b + ADD COLUMN a would hand the OLD column's bytes to
+    * the new, unrelated `a`. Canonical names make that collision
+    * impossible. Id-less fields (internal meta schemas) pass through
+    * unchanged. */
   private def withParquetIds(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
       FieldIds.idOf(f) match {
         case Some(id) if id >= 0 && id <= Int.MaxValue =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          f.copy(name = s"_gc_$id",
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata).putLong("parquet.field.id", id).build())
         case _ => f
       }

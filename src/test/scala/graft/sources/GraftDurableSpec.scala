@@ -183,6 +183,53 @@ class GraftDurableSpec extends SparkSpec {
       s"field ids must stay unique after restart: ${ids.toSeq}")
   }
 
+  test("ADD COLUMN on a durable table is METADATA-ONLY: no segment is " +
+      "rewritten, old rows read NULL, and the layout survives restart") {
+    val wh = tmpDir("graft-dur-addcol")
+    durableCatalog("dac", wh)
+    spark.sql("CREATE TABLE dac.ns.a (id BIGINT, p INT, v STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO dac.ns.a VALUES (1, 0, 'x'), (2, 1, 'y')")
+
+    import scala.jdk.CollectionConverters._
+    val tableDir = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      .filter(q => java.nio.file.Files.isRegularFile(q.resolve("table.json")))
+      .findFirst().orElseThrow()
+    def segCensus: Map[String, java.nio.file.attribute.FileTime] =
+      java.nio.file.Files.list(tableDir.resolve("data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+    val before = segCensus
+
+    spark.sql("ALTER TABLE dac.ns.a ADD COLUMN extra INT")
+
+    // the DDL cost a log entry, never a byte of data: the exact same
+    // segment files, untouched
+    assert(segCensus === before,
+      "metadata-only ADD COLUMN must not write or rewrite any segment")
+
+    // old rows read NULL in the new column; new rows carry values
+    spark.sql("INSERT INTO dac.ns.a VALUES (3, 0, 'z', 7)")
+    assert(spark.sql("SELECT id, extra FROM dac.ns.a ORDER BY id")
+      .as[(Long, Option[Int])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some(7))))
+    // filters over the new column still work (zone-less old files scan)
+    assert(spark.sql(
+      "SELECT id FROM dac.ns.a WHERE extra = 7").as[Long].head() === 3L)
+
+    // restart serves the same widened layout from the log
+    durableCatalog("dac2", wh, isolated = true)
+    assert(spark.sql("SELECT id, extra FROM dac2.ns.a ORDER BY id")
+      .as[(Long, Option[Int])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some(7))))
+    // a COW UPDATE across the mixed-width files stays correct
+    spark.sql("UPDATE dac.ns.a SET extra = 9 WHERE id = 1")
+    assert(spark.sql("SELECT id, extra FROM dac.ns.a ORDER BY id")
+      .as[(Long, Option[Int])].collect().toSeq ===
+      Seq((1L, Some(9)), (2L, None), (3L, Some(7))))
+  }
+
   test("introspection parity: t$files / t$history / t$detail serve " +
       "identical output before and after restart") {
     val wh = tmpDir("graft-dur-meta")
