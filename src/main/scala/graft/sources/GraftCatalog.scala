@@ -896,6 +896,51 @@ class GraftTable(initialName: String, initialSchema: StructType,
     readState = (files, dvs)
   }
 
+  /** Distributed twin of [[rebuildFiles]] for POSITIONAL projections
+    * (DROP COLUMN): one Spark task per file reads its segment, projects
+    * out the dropped ordinal, and writes the rebuilt segment task-side
+    * — a 100 TB drop spreads across the cluster instead of moving every
+    * row through driver heap. Row order and count are preserved, so
+    * delete vectors re-key to the new files by position. Returns false
+    * (caller falls back to the driver rebuild) on in-JVM tables, heap
+    * files, or without an active session. */
+  private def rebuildFilesDistributed(newSchema: StructType,
+                                      keep: Array[Int]): Boolean = {
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    val ok = durable.isDefined && sparkOpt.isDefined &&
+      files.nonEmpty && files.forall(_.persisted)
+    if (!ok) return false
+    val d = durable.get
+    val writeId = java.util.UUID.randomUUID().toString.take(12)
+    val jobs = files.zipWithIndex.map { case (f, i) =>
+      GraftCompactJob(
+        Seq((f.segment.path.toString, f.segment.schema.json,
+          Array.emptyIntArray)),
+        d.log.dir.toString, writeId, i, newSchema.json,
+        partitionCols, bucketSpec, Nil, Int.MaxValue, keep)
+    }
+    val metas = sparkOpt.get.sparkContext
+      .parallelize(jobs, jobs.length)
+      .map(GraftCompaction.run)
+      .collect()
+    val pairs = files.zip(metas.toVector.map { ms =>
+      require(ms.length == 1, s"rebuild job must emit one segment, got " +
+        s"${ms.length}")
+      val m = ms.head
+      val nf = GraftDataFile.fromSegment(
+        new GraftSegmentHandle(d.log.dir.resolve(m.rel), newSchema),
+        m.zones, m.bytes, m.groupKey, m.rowCount)
+      d.registry.put(m.rel, nf)
+      nf
+    })
+    dvs = dvs.flatMap { case (of, bs) =>
+      pairs.find(_._1 eq of).map(_._2 -> bs)
+    }
+    files = pairs.map(_._2)
+    readState = (files, dvs)
+    true
+  }
+
   /** Schema evolution under the commit lock: ADD COLUMNS (nullable,
     * appended; stored rows pad with NULL), RENAME COLUMN (metadata-only —
     * the FIELD ID travels with the column, so cross-version matching in
@@ -1034,18 +1079,21 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val oldFields = tableSchema.fields
           val newSchema = StructType(
             oldFields.zipWithIndex.filter(_._2 != idx).map(_._1))
-          val dts = oldFields.map(_.dataType)
-          rebuildFiles(newSchema, { r =>
-            val vals = new Array[Any](oldFields.length - 1)
-            var i = 0
-            var o = 0
-            while (i < oldFields.length) {
-              if (i != idx) { vals(o) = r.get(i, dts(i)); o += 1 }
-              i += 1
-            }
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              vals): InternalRow
-          })
+          val keep = oldFields.indices.filter(_ != idx).toArray
+          if (!rebuildFilesDistributed(newSchema, keep)) {
+            val dts = oldFields.map(_.dataType)
+            rebuildFiles(newSchema, { r =>
+              val vals = new Array[Any](oldFields.length - 1)
+              var i = 0
+              var o = 0
+              while (i < oldFields.length) {
+                if (i != idx) { vals(o) = r.get(i, dts(i)); o += 1 }
+                i += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                vals): InternalRow
+            })
+          }
           tableSchema = newSchema // after the narrow rows — loud, not wrong
 
         case sp: TableChange.SetProperty
@@ -1861,6 +1909,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val f = GraftDataFile.fromSegment(
             new GraftSegmentHandle(d.log.dir.resolve(s.rel), segSchema),
             s.zones, s.bytes, s.groupKey, s.rowCount)
+          // a metadata-only ADD COLUMN may have widened the table
+          // between the write factory's creation and this commit —
+          // bring the adopted handle in line (no-op otherwise)
+          f.resegment(tableSchema)
           d.registry.put(s.rel, f)
           f
         }.toVector)

@@ -262,7 +262,12 @@ private[sources] final case class GraftCompactJob(
     outDir: String, writeId: String, binId: Int,
     schemaJson: String,
     partitionCols: Seq[String], bucketSpec: Option[(Int, String)],
-    zorderCols: Seq[String], targetRows: Int)
+    zorderCols: Seq[String], targetRows: Int,
+    // non-empty = schema-evolution REBUILD: keep exactly these input
+    // ordinals per row (DROP COLUMN's positional projection), preserve
+    // row order/count (delete vectors re-key by position), and emit
+    // exactly ONE segment (1:1 file pairing)
+    rewriteProject: Array[Int] = Array.emptyIntArray)
 
 /** Runs [[GraftCompactJob]]s inside Spark tasks: the 100 TB OPTIMIZE /
   * ZORDER shape — rebuild cost spreads across the cluster and the
@@ -273,7 +278,7 @@ private[sources] object GraftCompaction {
     val schema = DataType.fromJson(job.schemaJson).asInstanceOf[StructType]
     val keyOf =
       GraftGroupKeys.keyOf(schema, job.partitionCols, job.bucketSpec)
-    val rows: Array[InternalRow] = job.segs.iterator.flatMap {
+    val raw: Array[InternalRow] = job.segs.iterator.flatMap {
       case (p, sj, dead) =>
         val segSchema = DataType.fromJson(sj).asInstanceOf[StructType]
         val all = GraftSegmentIO.read(java.nio.file.Paths.get(p), segSchema)
@@ -281,18 +286,30 @@ private[sources] object GraftCompaction {
          else GraftDataFile.liveRows(all,
            scala.collection.immutable.BitSet.fromSpecific(dead))).iterator
     }.toArray
+    val rows: Array[InternalRow] =
+      if (job.rewriteProject.isEmpty) raw
+      else {
+        val proj = UnsafeProjection.create(
+          job.rewriteProject.toIndexedSeq.zipWithIndex.map { case (in, j) =>
+            BoundReference(in, schema.fields(j).dataType,
+              schema.fields(j).nullable)
+          })
+        raw.map(r => proj(r).copy(): InternalRow)
+      }
     val chunks: Iterator[Array[InternalRow]] =
       if (job.zorderCols.isEmpty) Iterator.single(rows)
       else {
         val key = GraftZCurve.keyFn(schema, job.zorderCols, rows)
         rows.sortBy(key).grouped(job.targetRows)
       }
-    chunks.filter(_.nonEmpty).zipWithIndex.map { case (chunk, n) =>
-      val f = GraftDataFile.build(chunk, schema, keyOf)
-      val rel = s"data/opt-${job.writeId}-b${job.binId}-$n.parquet"
-      val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
-      val bytes = GraftSegmentIO.write(abs, schema, chunk)
-      GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey)
-    }.toArray
+    val keepEmpty = job.rewriteProject.nonEmpty // 1:1 pairing contract
+    chunks.filter(c => keepEmpty || c.nonEmpty).zipWithIndex
+      .map { case (chunk, n) =>
+        val f = GraftDataFile.build(chunk, schema, keyOf)
+        val rel = s"data/opt-${job.writeId}-b${job.binId}-$n.parquet"
+        val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
+        val bytes = GraftSegmentIO.write(abs, schema, chunk)
+        GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey)
+      }.toArray
   }
 }

@@ -184,6 +184,34 @@ class GraftExecWriteSpec extends SparkSpec {
     }
   }
 
+  test("DROP COLUMN rebuilds durable files executor-side; delete " +
+      "vectors survive by position") {
+    val wh = tmpDir("graft-exec-drop")
+    durableCatalog("xd", wh)
+    spark.sql("CREATE TABLE xd.ns.d (id BIGINT, junk STRING, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql("INSERT INTO xd.ns.d VALUES (1, 'j1', 'a'), (2, 'j2', 'b')," +
+      " (3, 'j3', 'c')")
+    spark.sql("DELETE FROM xd.ns.d WHERE id = 2") // MOR: a delete vector
+    spark.sql("ALTER TABLE xd.ns.d DROP COLUMN junk")
+    assert(spark.sql("SELECT id, v FROM xd.ns.d ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (3L, "c")))
+    // the rebuilt segments were task-encoded (opt-* rebuild outputs)
+    val rebuilt = dataSegments(wh)
+      .filter(_.getFileName.toString.startsWith("opt-"))
+    assert(rebuilt.nonEmpty, "expected task-side rebuilt segments")
+    rebuilt.foreach { p =>
+      assert(GraftSegmentIO.driverWritesOf(p) === 0L,
+        s"rebuild segment $p was encoded on the driver")
+    }
+    // restart agrees
+    spark.conf.set("spark.sql.catalog.xd2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xd2.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.xd2.warehouse.isolated", "true")
+    assert(spark.sql("SELECT id, v FROM xd2.ns.d ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (3L, "c")))
+  }
+
   test("a commit message carries zero rows and serializes small") {
     val wh = tmpDir("graft-exec-msg")
     durableCatalog("xc", wh)
