@@ -3498,10 +3498,11 @@ class GraftScanBuilder(tableSchema: StructType,
       }
       val proj = UnsafeProjection.create(dataRefs ++ metaRefs)
       val joined = new JoinedRow
-      val chunks = surviving.map { case (f, fid) =>
-        // `_row_pos` is the ORIGINAL position — the stable row address a
-        // delete vector targets — so DV'd positions are skipped, never
-        // renumbered
+      val dataIdx = required.fields.map(f => tableSchema.fieldIndex(f.name))
+      // `_row_pos` is the ORIGINAL position — the stable row address a
+      // delete vector targets — so DV'd positions are skipped, never
+      // renumbered
+      def eagerMeta(f: GraftDataFile, fid: Int): Array[InternalRow] = {
         val dead = dvOf(f)
         val rows = Array.newBuilder[InternalRow]
         var p = 0
@@ -3515,7 +3516,21 @@ class GraftScanBuilder(tableSchema: StructType,
           }
           p += 1
         }
-        ScanChunk(rows.result(), zonesByName(f), f.groupKey)
+        rows.result()
+      }
+      val chunks = surviving.map { case (f, fid) =>
+        val dead = dvOf(f)
+        if (f.persisted)
+          // LAZY: the metadata-augmented projection runs in the
+          // partition reader, executor-side — a MOR operation's scan
+          // over a durable table streams through tasks, it does not
+          // materialize the matched files on the driver
+          ScanChunk.lazily(
+            GraftSegmentScanPartition(f.segment.path.toString,
+              f.segment.schema.json, dataIdx, dead.toArray, metaCols, fid),
+            zonesByName(f), f.groupKey, f.rowCount - dead.size,
+            () => eagerMeta(f, fid))
+        else ScanChunk(eagerMeta(f, fid), zonesByName(f), f.groupKey)
       }.toArray
       new GraftScan(outSchema, chunks, bytes, census,
         pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
@@ -3599,11 +3614,77 @@ private[sources] object ScanChunk {
 
 /** A plain-scan partition that carries a parquet segment REFERENCE plus
   * its read recipe (delete-vector positions to skip, column-pruning
-  * ordinals into the file layout): the reader streams the file at
-  * execution, executor-side. Everything is plain serializable data —
-  * the partition ships to a real cluster's executors unchanged. */
+  * ordinals into the file layout, and — for metadata-column reads —
+  * the requested meta columns plus this file's ordinal): the reader
+  * streams the file at execution, executor-side. Everything is plain
+  * serializable data — the partition ships to a real cluster's
+  * executors unchanged. */
 case class GraftSegmentScanPartition(ref: String, schemaJson: String,
-    project: Array[Int], dead: Array[Int]) extends InputPartition
+    project: Array[Int], dead: Array[Int],
+    metaCols: Seq[String] = Nil, fid: Int = -1) extends InputPartition
+
+/** Key-grouped variant over segment REFERENCES (durable tables): all
+  * of one identity-partition key's segments, reported with the key so a
+  * storage-partitioned join aligns without shuffling — and without the
+  * driver ever materializing a row. */
+case class GraftKeyedSegmentPartition(segs: Seq[GraftSegmentScanPartition],
+                                      key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Executor-side segment materialization shared by every reader that
+  * consumes a [[GraftSegmentScanPartition]]. */
+private[sources] object GraftSegmentReads {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+  import org.apache.spark.sql.types.IntegerType
+
+  def rowsOf(s: GraftSegmentScanPartition): Iterator[InternalRow] = {
+    val fileSchema = DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    val all = GraftSegmentIO.read(java.nio.file.Paths.get(s.ref), fileSchema)
+    if (s.metaCols.nonEmpty) {
+      // metadata-augmented read: emit live positions with their
+      // ORIGINAL row addresses (_file_id, _row_pos)
+      val dead =
+        if (s.dead.isEmpty) scala.collection.immutable.BitSet.empty
+        else scala.collection.immutable.BitSet(s.dead: _*)
+      val proj = UnsafeProjection.create(
+        s.project.toIndexedSeq.map(i => BoundReference(i,
+          fileSchema.fields(i).dataType, fileSchema.fields(i).nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression) ++
+        s.metaCols.indices.map(j => BoundReference(fileSchema.length + j,
+          IntegerType, nullable = false)
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+      val joined = new JoinedRow
+      Iterator.range(0, all.length).filter(!dead.contains(_)).map { p =>
+        val meta = new GenericInternalRow(s.metaCols.map {
+          case "_file_id" => s.fid: Any
+          case "_row_pos" => p: Any
+        }.toArray)
+        proj(joined.apply(all(p), meta))
+      }
+    } else {
+      val rows =
+        if (s.dead.isEmpty) all
+        else GraftDataFile.liveRows(all,
+          scala.collection.immutable.BitSet(s.dead: _*))
+      val isIdentity = s.project.length == fileSchema.length &&
+        s.project.indices.forall(i => s.project(i) == i)
+      if (isIdentity) rows.iterator
+      else {
+        // per-reader projection; the reader contract allows the
+        // returned row buffer to be reused between next() calls
+        val proj = UnsafeProjection.create(
+          s.project.toIndexedSeq.map(i => BoundReference(i,
+            fileSchema.fields(i).dataType,
+            fileSchema.fields(i).nullable)))
+        rows.iterator.map(proj(_))
+      }
+    }
+  }
+}
 
 /** Zone-map may-match tests for the V2 [[Predicate]]s a runtime filter
   * delivers (`col IN (v...)` / `col = v` from an executed DPP subquery,
@@ -3795,11 +3876,19 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
     if (spjActive) {
       // key-grouped layout: exactly ONE partition per distinct partition
       // key (HasPartitionKey), never sliced — the contract Spark's
-      // storage-partitioned join aligns both sides by
+      // storage-partitioned join aligns both sides by. Durable tables
+      // ship segment REFERENCES per key (rows stream executor-side);
+      // heap chunks ship rows as before
       return keyedGroups.map { case (k, g) =>
-        GraftKeyedInputPartition(g.flatMap(_.rows),
+        val keyRow =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            k.toArray)): InputPartition
+            k.toArray)
+        val live = g.filter(_.rowCount > 0)
+        if (live.nonEmpty && live.forall(_.lazySeg.isDefined))
+          GraftKeyedSegmentPartition(
+            live.map(_.lazySeg.get).toSeq, keyRow): InputPartition
+        else
+          GraftKeyedInputPartition(g.flatMap(_.rows), keyRow): InputPartition
       }.toArray
     }
     val cs = chunks
@@ -3861,25 +3950,9 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
             case None => rows.iterator
           }
         case s: GraftSegmentScanPartition =>
-          val fileSchema = DataType.fromJson(s.schemaJson)
-            .asInstanceOf[StructType]
-          var rows = GraftSegmentIO.read(
-            java.nio.file.Paths.get(s.ref), fileSchema)
-          if (s.dead.nonEmpty)
-            rows = GraftDataFile.liveRows(rows,
-              scala.collection.immutable.BitSet(s.dead: _*))
-          val isIdentity = s.project.length == fileSchema.length &&
-            s.project.indices.forall(i => s.project(i) == i)
-          if (isIdentity) rows.iterator
-          else {
-            // per-reader projection; the reader contract allows the
-            // returned row buffer to be reused between next() calls
-            val proj = UnsafeProjection.create(
-              s.project.toIndexedSeq.map(i => BoundReference(i,
-                fileSchema.fields(i).dataType,
-                fileSchema.fields(i).nullable)))
-            rows.iterator.map(proj(_))
-          }
+          GraftSegmentReads.rowsOf(s)
+        case k: GraftKeyedSegmentPartition =>
+          k.segs.iterator.flatMap(GraftSegmentReads.rowsOf)
       }
       private var cur: InternalRow = _
       override def next(): Boolean =

@@ -42,6 +42,14 @@ private[sources] object GraftSegmentIO {
     Option(readCounts.get(file.toAbsolutePath.normalize.toString))
       .map(_.longValue()).getOrElse(0L)
 
+  /** Reads that ran OUTSIDE a Spark task (driver-side) — specs prove
+    * scan paths stream executor-side by pinning this at zero. */
+  private val driverReadCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def driverReadsOf(file: java.nio.file.Path): Long =
+    Option(driverReadCounts.get(file.toAbsolutePath.normalize.toString))
+      .map(_.longValue()).getOrElse(0L)
+
   /** JVM-global WRITE census, split by where the encode ran: inside a
     * Spark task (executor-side — the 100 TB shape) or not (driver-side).
     * Specs prove "table data never funnels through the driver" against
@@ -150,6 +158,9 @@ private[sources] object GraftSegmentIO {
   def read(file: java.nio.file.Path, schema: StructType)
       : Array[InternalRow] = {
     readCounts.merge(file.toAbsolutePath.normalize.toString, 1L, _ + _)
+    if (org.apache.spark.TaskContext.get() == null)
+      driverReadCounts.merge(
+        file.toAbsolutePath.normalize.toString, 1L, _ + _)
     if (!java.nio.file.Files.exists(file))
       throw new java.io.FileNotFoundException(
         s"segment $file is gone — VACUUM reclaimed it, or a shallow " +

@@ -212,6 +212,51 @@ class GraftExecWriteSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (3L, "c")))
   }
 
+  test("storage-partitioned joins and metadata-column reads over " +
+      "durable tables stream segments executor-side") {
+    val wh = tmpDir("graft-exec-spj")
+    durableCatalog("xj", wh)
+    spark.sql("CREATE TABLE xj.ns.l (k INT, lv STRING) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE xj.ns.r (k INT, rv STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO xj.ns.l VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO xj.ns.r VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        "SELECT l.k, lv, rv FROM xj.ns.l l JOIN xj.ns.r r ON l.k = r.k " +
+          "ORDER BY l.k")
+      assert(joined.as[(Int, String, String)].collect().toSeq ===
+        Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "z")))
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("ShuffleExchange"),
+        "co-partitioned durable tables must join without a shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // metadata-column read (the MOR scan surface): correct addresses
+    assert(spark.sql(
+      "SELECT k, _file_id, _row_pos FROM xj.ns.l ORDER BY k")
+      .as[(Int, Int, Int)].collect().toSeq
+      .map { case (k, _, p) => (k, p) } ===
+      Seq((1, 0), (2, 0), (3, 0))) // one file per partition group
+
+    // every segment byte moved inside a task — zero driver-side reads
+    dataSegments(wh).foreach { p =>
+      assert(GraftSegmentIO.driverReadsOf(p) === 0L,
+        s"segment $p was read on the driver — SPJ/metadata scans must " +
+          "stream executor-side")
+    }
+  }
+
   test("a commit message carries zero rows and serializes small") {
     val wh = tmpDir("graft-exec-msg")
     durableCatalog("xc", wh)
