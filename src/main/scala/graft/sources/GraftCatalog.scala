@@ -4200,9 +4200,26 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         tests.isEmpty || !aligned(schema) || tests.forall(_(f))
       }
       .map { case (schema, f, dead) =>
-        GraftInputPartition(
+        // persisted files ship segment REFERENCES — a streaming tail of
+        // a durable table moves its micro-batch rows executor-side, not
+        // through the driver. Projection ordinals resolve by FIELD ID
+        // against the file's own layout; an unresolvable column (a
+        // column the stream's schema has that this historical file
+        // cannot serve even as null) falls back to the driver path,
+        // whose id-projection nulls it
+        val lazyPart: Option[InputPartition] =
+          if (!f.persisted) None
+          else {
+            val fs = f.segment.schema
+            val ords = required.fields.map(rf => FieldIds.ordinalOf(rf, fs))
+            if (ords.forall(_ >= 0))
+              Some(GraftSegmentScanPartition(f.segment.path.toString,
+                fs.json, ords, dead.toArray))
+            else None
+          }
+        lazyPart.getOrElse(GraftInputPartition(
           projectTo(schema, GraftDataFile.liveRows(f.rows, dead)))
-          : InputPartition
+          : InputPartition)
       }.toArray
   }
 
@@ -4210,7 +4227,10 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val it = p.asInstanceOf[GraftInputPartition].rows.iterator
+          private val it = p match {
+            case g: GraftInputPartition => g.rows.iterator
+            case s: GraftSegmentScanPartition => GraftSegmentReads.rowsOf(s)
+          }
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (it.hasNext) { cur = it.next(); true } else false

@@ -257,6 +257,31 @@ class GraftExecWriteSpec extends SparkSpec {
     }
   }
 
+  test("a streaming tail of a durable table moves micro-batch rows " +
+      "executor-side") {
+    val wh = tmpDir("graft-exec-tail")
+    durableCatalog("xt", wh)
+    spark.sql("CREATE TABLE xt.ns.src (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE xt.ns.dst (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO xt.ns.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO xt.ns.src VALUES (3, 'c')")
+
+    val q = spark.readStream.table("xt.ns.src")
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft-exec-tail-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("xt.ns.dst")
+    q.awaitTermination()
+    assert(spark.sql("SELECT id, v FROM xt.ns.dst ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the tailed source segments were never opened on the driver
+    dataSegments(wh).foreach { p =>
+      assert(GraftSegmentIO.driverReadsOf(p) === 0L,
+        s"segment $p was read driver-side during the streaming tail")
+    }
+  }
+
   test("a commit message carries zero rows and serializes small") {
     val wh = tmpDir("graft-exec-msg")
     durableCatalog("xc", wh)
