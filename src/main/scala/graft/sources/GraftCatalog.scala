@@ -618,7 +618,21 @@ object GraftDataFile {
     val n = if (exclude) base.rowCount - sel.size else sel.size
     val bytes = math.max(1L,
       base.sizeBytes * math.max(n, 1) / math.max(base.rowCount, 1))
-    new GraftDataFile(null, base.zones, bytes, base.groupKey, n,
+    // zones must stay CONSERVATIVE under the reduced row count: min/max
+    // are supersets (fine), but the base's nullCount can exceed the
+    // view's rowCount and wrongly prove "all null" (IsNotNull pruning
+    // would drop live rows) or "has nulls". Exact only at the extremes
+    // (no nulls / all null in the base — the view inherits the fact);
+    // ambiguous columns claim BOTH possibilities (1 <= nc < n), or drop
+    // the zone entirely when n == 1 cannot encode ambiguity.
+    val zones = base.zones.map { z =>
+      if (z == null) null
+      else if (z.nullCount == 0L) ColZone(z.min, z.max, 0L)
+      else if (z.nullCount >= base.rowCount) ColZone(z.min, z.max, n.toLong)
+      else if (n >= 2) ColZone(z.min, z.max, 1L)
+      else null // n == 1, base mixed: "unknown" is the only safe claim
+    }
+    new GraftDataFile(null, zones, bytes, base.groupKey, n,
       base.segment, sel, exclude)
   }
 
@@ -1883,12 +1897,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * in-JVM tables, whose rows ride back in the commit message (the
     * test fast-path). A new writeId per call keeps concurrent writes'
     * segment names disjoint. */
+  /** Stable name of the current constraint set (order-free). */
+  private def checksFingerprint: String =
+    checks.toSeq.sortBy(_._1)
+      .map { case (n, c) => s"$n=${c.text}" }.mkString(";")
+
   private[sources] def durableWriteSpec(): Option[GraftDurableWriteSpec] =
     durable.map { d =>
       GraftDurableWriteSpec(d.log.dir.toString, tableSchema.json,
         partitionCols, bucketSpec,
-        checks.map { case (k, c) => k -> c.text },
-        java.util.UUID.randomUUID().toString.take(12))
+        checks.toSeq.sortBy(_._1),
+        java.util.UUID.randomUUID().toString.take(12),
+        checksFingerprint)
     }
 
   /** Driver-side adoption of commit messages: rows messages pass
@@ -1903,6 +1923,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
       case m: GraftSegmentsMessage =>
         val d = durable.getOrElse(throw new IllegalStateException(
           s"$tableName: segment commit message on a non-durable table"))
+        // task-side CHECK validation bound the constraint set at write
+        // START; if a concurrent ADD CONSTRAINT landed since, these
+        // rows were never validated against it — abort (retry
+        // revalidates), never let them slip in (Delta's
+        // metadata-conflict abort)
+        if (m.checksFingerprint != checksFingerprint)
+          throw new java.util.ConcurrentModificationException(
+            s"$tableName: CHECK constraints changed while this write " +
+              "was in flight; its rows were validated against the old " +
+              "set — retry the statement")
         val segSchema = DataType.fromJson(m.schemaJson)
           .asInstanceOf[StructType]
         GraftFilesDelivery(m.segs.iterator.map { s =>
@@ -4208,7 +4238,12 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         // cannot serve even as null) falls back to the driver path,
         // whose id-projection nulls it
         val lazyPart: Option[InputPartition] =
-          if (!f.persisted) None
+          // position VIEWS (CDC records adopted into a clone/restore
+          // state) must not take this path: the partition carries only
+          // the base segment ref and would stream the FULL base instead
+          // of the view's selected positions — f.rows (driver path)
+          // applies the selection
+          if (!f.persisted || f.viewSel.isDefined) None
           else {
             val fs = f.segment.schema
             val ords = required.fields.map(rf => FieldIds.ordinalOf(rf, fs))

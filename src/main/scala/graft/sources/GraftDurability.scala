@@ -70,6 +70,21 @@ private[sources] final class GraftTableLog(val dir: Path) {
   def entryPath(v: Int): Path = logDir.resolve(f"$v%011d.json")
   def hasEntry(v: Int): Boolean = Files.exists(entryPath(v))
 
+  /** Does ANY committed entry exist? A name listing only — no entry
+    * contents are read (warehouse open uses this to skip aborted
+    * half-created table dirs without paying the log twice). */
+  def hasAnyEntry: Boolean = {
+    if (!Files.isDirectory(logDir)) return false
+    val s = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && n.length == 16
+      }
+    } finally s.close()
+  }
+
   /** CAS-install entry `v`: true when this writer won the version. */
   def writeEntry(v: Int, json: String): Boolean = {
     val target = entryPath(v)
@@ -158,9 +173,15 @@ private[sources] final class GraftTableLog(val dir: Path) {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toSeq.foreach { p =>
           val name = p.getFileName.toString
+          // a listed candidate may be deleted concurrently (another
+          // process's reclaim, a task abort): a vanished file is simply
+          // done — never an error that aborts a commit that already
+          // landed its log entry
+          def youngEnough: Boolean =
+            try Files.getLastModifiedTime(p).toMillis > cutoff
+            catch { case _: java.io.IOException => true }
           if (name.endsWith(".parquet") && !liveRefs.contains(s"data/$name")
-              && (minAgeMillis <= 0L ||
-                Files.getLastModifiedTime(p).toMillis <= cutoff))
+              && (minAgeMillis <= 0L || !youngEnough))
             Files.deleteIfExists(p)
         }
       } finally s.close()
@@ -504,7 +525,7 @@ private[sources] object GraftDurableLoader {
         // table must never make every healthy table inaccessible. Not
         // deleted here: a concurrent creator may be mid-commit between
         // the two writes right now.
-        if (new GraftTableLog(dir).readEntriesFrom(0).nonEmpty) {
+        if (new GraftTableLog(dir).hasAnyEntry) {
           val t = loadTable(dir)
           val meta = GraftLogCodec.decodeTableMeta(
             new GraftTableLog(dir).readTableMeta())

@@ -35,6 +35,17 @@ private[sources] object GraftSegmentIO {
     * (driver-side lazy handle, executor-side partition reader)
     * triggered the load. Specs prove "untouched data is never read"
     * against this. */
+  /** Census maps are spec instrumentation living on the hot paths:
+    * BOUNDED so a long-running service never accumulates unbounded
+    * path strings — beyond the cap, new paths stop being tracked
+    * (existing counters keep updating; specs create few files). */
+  private val censusCap = 100000
+
+  private def bump(m: java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.Long], key: String): Unit =
+    if (m.size < censusCap || m.containsKey(key))
+      m.merge(key, 1L, _ + _)
+
   private val readCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -132,7 +143,7 @@ private[sources] object GraftSegmentIO {
             rows: Array[InternalRow]): Long = {
     val counts = if (org.apache.spark.TaskContext.get() != null)
       taskWriteCounts else driverWriteCounts
-    counts.merge(file.toAbsolutePath.normalize.toString, 1L, _ + _)
+    bump(counts, file.toAbsolutePath.normalize.toString)
     java.nio.file.Files.createDirectories(file.getParent)
     val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
     java.nio.file.Files.deleteIfExists(tmp)
@@ -157,10 +168,9 @@ private[sources] object GraftSegmentIO {
   /** Read a whole segment back as compact UnsafeRows in file order. */
   def read(file: java.nio.file.Path, schema: StructType)
       : Array[InternalRow] = {
-    readCounts.merge(file.toAbsolutePath.normalize.toString, 1L, _ + _)
+    bump(readCounts, file.toAbsolutePath.normalize.toString)
     if (org.apache.spark.TaskContext.get() == null)
-      driverReadCounts.merge(
-        file.toAbsolutePath.normalize.toString, 1L, _ + _)
+      bump(driverReadCounts, file.toAbsolutePath.normalize.toString)
     if (!java.nio.file.Files.exists(file))
       throw new java.io.FileNotFoundException(
         s"segment $file is gone — VACUUM reclaimed it, or a shallow " +

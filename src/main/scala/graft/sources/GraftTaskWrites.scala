@@ -33,8 +33,17 @@ final case class GraftDurableWriteSpec(
     schemaJson: String,
     partitionCols: Seq[String],
     bucketSpec: Option[(Int, String)],
-    checksText: Map[String, String],
-    writeId: String) {
+    // COMPILED checks, not text: compiling needs a SQL parser, and a
+    // real executor JVM has no SparkSession — the bound expression
+    // trees (BoundReference/Literal/arithmetic) are plain serializable
+    // Catalyst nodes and evaluate session-free
+    checks: Seq[(String, GraftConstraints.Check)],
+    writeId: String,
+    // fingerprint of the constraint set this write validates against;
+    // the commit compares it with the table's CURRENT set and aborts on
+    // drift (a concurrent ADD CONSTRAINT between write start and commit
+    // must not let unvalidated rows slip in)
+    checksFingerprint: String) {
   @transient lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
@@ -48,9 +57,12 @@ final case class GraftSegmentMeta(rel: String, rowCount: Int, bytes: Long,
 
 /** Commit message of a segment-writing task: file references + stats.
   * `schemaJson` is the layout the segments were written with (the
-  * driver rebuilds their [[GraftSegmentHandle]]s against it). */
+  * driver rebuilds their [[GraftSegmentHandle]]s against it);
+  * `checksFingerprint` names the constraint set the rows were validated
+  * against (the commit aborts if the table's set drifted). */
 final case class GraftSegmentsMessage(schemaJson: String,
-    segs: Array[GraftSegmentMeta]) extends WriterCommitMessage
+    segs: Array[GraftSegmentMeta],
+    checksFingerprint: String = "") extends WriterCommitMessage
 
 /** The partition-group key kernel, shared by the driver (buildFiles,
   * group predicates) and the executor-side writer — ONE implementation,
@@ -88,9 +100,7 @@ private[sources] final class GraftSegmentDataWriter(
     extends DataWriter[InternalRow] {
 
   private val schema = spec.schema
-  private val checks = spec.checksText.map { case (n, t) =>
-    n -> GraftConstraints.compile(t, schema)
-  }
+  private val checks = spec.checks
   private val keyOfOpt =
     GraftGroupKeys.keyOf(schema, spec.partitionCols, spec.bucketSpec)
   private lazy val stripOp = UnsafeProjection.create(
@@ -144,7 +154,8 @@ private[sources] final class GraftSegmentDataWriter(
       GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey)
     }
     buf.clear()
-    GraftSegmentsMessage(spec.schemaJson, metas.toArray)
+    GraftSegmentsMessage(spec.schemaJson, metas.toArray,
+      spec.checksFingerprint)
   }
 
   override def abort(): Unit = {

@@ -65,8 +65,8 @@ class GraftDurableSpec extends SparkSpec {
       "the UPDATE's minimal row delta must survive the restart")
 
     // zone maps survive too: a selective scan still skips files
-    val table = GraftTableStore.lookup(Seq("ns"), "m")
-      .getOrElse(fail("table missing from the shared store"))
+    val table = spark.sessionState.catalogManager.catalog("dwh")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "m"))
     spark.sql("SELECT * FROM dwh.ns.m WHERE state = 'TX'").collect()
     val census = table.lastScanCensus.get
     assert(census.filesRead < census.filesTotal,
@@ -81,7 +81,8 @@ class GraftDurableSpec extends SparkSpec {
       "PARTITIONED BY (p)")
     spark.sql("INSERT INTO dcow.ns.part VALUES " +
       "(1, 1, 'a'), (2, 1, 'b'), (3, 2, 'c'), (4, 2, 'd'), (5, 3, 'e')")
-    val table = GraftTableStore.lookup(Seq("ns"), "part").get
+    val table = spark.sessionState.catalogManager.catalog("dcow")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "part"))
     // all segments are spilled (strong refs dropped at persist); reset
     // visibility: count reads per group from here on
     val byGroup = table.dataFiles.groupBy(_.groupKey.get.head)
@@ -260,24 +261,24 @@ class GraftDurableSpec extends SparkSpec {
     durableCatalog("dcl", wh)
     spark.conf.set("spark.sql.catalog.graft_cat",
       classOf[GraftCatalog].getName)
-    spark.sql("CREATE TABLE dcl.ns.src (id BIGINT, v STRING)")
-    spark.sql("INSERT INTO dcl.ns.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CREATE TABLE dcl.ns.clsrc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dcl.ns.clsrc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
 
     // two shallow clones of the same snapshot: both serve by reference
-    GraftMaintenance.cloneTable(Seq("ns"), "src", Seq("ns"), "cl_deep")
-    GraftMaintenance.cloneTable(Seq("ns"), "src", Seq("ns"), "cl_shallow")
+    GraftMaintenance.cloneTable(Seq("ns"), "clsrc", Seq("ns"), "cl_deep")
+    GraftMaintenance.cloneTable(Seq("ns"), "clsrc", Seq("ns"), "cl_shallow")
     assert(spark.table("graft_cat.ns.cl_deep").count() === 3)
 
     // the source moves on; after the FOLLOW-UP commit retires the
     // overwrite's CDC record from the retained window, its old segments
     // are live only via the clones' references
-    spark.sql("INSERT OVERWRITE dcl.ns.src VALUES (9, 'z')")
-    spark.sql("INSERT INTO dcl.ns.src VALUES (10, 'y')")
+    spark.sql("INSERT OVERWRITE dcl.ns.clsrc VALUES (9, 'z')")
+    spark.sql("INSERT INTO dcl.ns.clsrc VALUES (10, 'y')")
 
     // re-point ONE clone (deep copy), then reclaim the source
     val repointed = GraftMaintenance.deepenClone(Seq("ns"), "cl_deep")
     assert(repointed >= 1, "the clone should have held foreign segments")
-    GraftMaintenance.vacuum(Seq("ns"), "src")
+    GraftMaintenance.vacuum(Seq("ns"), "clsrc")
 
     // the re-pointed clone keeps serving the original snapshot...
     assert(spark.table("graft_cat.ns.cl_deep").orderBy("id")

@@ -261,18 +261,18 @@ class GraftExecWriteSpec extends SparkSpec {
       "executor-side") {
     val wh = tmpDir("graft-exec-tail")
     durableCatalog("xt", wh)
-    spark.sql("CREATE TABLE xt.ns.src (id BIGINT, v STRING)")
-    spark.sql("CREATE TABLE xt.ns.dst (id BIGINT, v STRING)")
-    spark.sql("INSERT INTO xt.ns.src VALUES (1, 'a'), (2, 'b')")
-    spark.sql("INSERT INTO xt.ns.src VALUES (3, 'c')")
+    spark.sql("CREATE TABLE xt.ns.tailsrc (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE xt.ns.taildst (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO xt.ns.tailsrc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO xt.ns.tailsrc VALUES (3, 'c')")
 
-    val q = spark.readStream.table("xt.ns.src")
+    val q = spark.readStream.table("xt.ns.tailsrc")
       .writeStream
       .option("checkpointLocation", tmpDir("graft-exec-tail-ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .toTable("xt.ns.dst")
+      .toTable("xt.ns.taildst")
     q.awaitTermination()
-    assert(spark.sql("SELECT id, v FROM xt.ns.dst ORDER BY id")
+    assert(spark.sql("SELECT id, v FROM xt.ns.taildst ORDER BY id")
       .as[(Long, String)].collect().toSeq ===
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     // the tailed source segments were never opened on the driver
@@ -280,6 +280,83 @@ class GraftExecWriteSpec extends SparkSpec {
       assert(GraftSegmentIO.driverReadsOf(p) === 0L,
         s"segment $p was read driver-side during the streaming tail")
     }
+  }
+
+  test("a streamed RESTORE revival delivers only the view's positions, " +
+      "never the full base segment (review finding)") {
+    val wh = tmpDir("graft-exec-view")
+    durableCatalog("xv", wh)
+    spark.sql("CREATE TABLE xv.ns.vexw (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql("INSERT INTO xv.ns.vexw VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CREATE TABLE xv.ns.vexwdst (id BIGINT, s STRING)")
+    val ckpt = tmpDir("graft-exec-view-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("skipChangeCommits", "true")
+        .table("xv.ns.vexw")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("xv.ns.vexwdst")
+      q.awaitTermination()
+    }
+    drain() // initial snapshot: 1,2,3
+    val v1 = GraftTableStore.lookup(Seq("ns"), "vexw").get.commitHistory
+      .map(_._1).max
+    spark.sql("DELETE FROM xv.ns.vexw WHERE id = 2") // MOR delete vector
+    GraftMaintenance.restore(Seq("ns"), "vexw", v1)  // revives id=2 (a VIEW)
+    drain() // the delete commit skips; the restore's ADDED view streams
+    assert(spark.sql("SELECT id FROM xv.ns.vexwdst ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 2L, 3L),
+      "the revival batch must be exactly the view's position, not the " +
+        "whole base segment")
+  }
+
+  test("a position view's zones stay conservative under the reduced " +
+      "row count (review finding)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("c", IntegerType)))
+    // base: 10 rows, 6 nulls on c
+    val rows: Array[org.apache.spark.sql.catalyst.InternalRow] =
+      Array.tabulate(10)(i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](if (i < 4) Int.box(i) else null)))
+    val base = GraftDataFile.build(rows, schema, None)
+    base.spill(new GraftSegmentHandle(
+      java.nio.file.Paths.get("/nonexistent"), schema)) // mark persisted
+    val view = GraftDataFile.viewOf(base,
+      scala.collection.immutable.BitSet(0, 1, 2, 3), exclude = false)
+    val z = view.zones(0)
+    assert(z == null || (z.nullCount >= 1 && z.nullCount < view.rowCount),
+      s"a mixed base's view must claim BOTH null and non-null possible " +
+        s"(got nullCount=${Option(z).map(_.nullCount)}, " +
+        s"rows=${view.rowCount})")
+    // the extremes stay exact
+    val allNull = GraftDataFile.viewOf(base,
+      scala.collection.immutable.BitSet(7, 8), exclude = false)
+    assert(allNull.zones(0) == null ||
+      allNull.zones(0).nullCount <= allNull.rowCount)
+  }
+
+  test("a concurrent ADD CONSTRAINT aborts an in-flight durable write " +
+      "at commit (review finding)") {
+    val wh = tmpDir("graft-exec-ckfp")
+    durableCatalog("xf", wh)
+    spark.sql("CREATE TABLE xf.ns.f (id BIGINT, aqi INT)")
+    val table = spark.sessionState.catalogManager.catalog("xf")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "f"))
+    // write starts: factory bound to the constraint-free set
+    val spec = table.durableWriteSpec().get
+    val w = GraftWriterFactory(None, Some(spec)).createWriter(0, 5L)
+    w.write(new GenericInternalRow(Array[Any](1L, -5))) // would violate!
+    val msg = w.commit()
+    // the constraint lands while the write is in flight
+    spark.sql("ALTER TABLE xf.ns.f SET TBLPROPERTIES " +
+      "('constraints.pos' = 'aqi >= 0')")
+    intercept[java.util.ConcurrentModificationException](
+      table.adoptDeliveries(Array(msg)))
+    table.discardDeliveries(Array(msg))
+    assert(spark.sql("SELECT count(*) FROM xf.ns.f").as[Long].head() === 0L)
   }
 
   test("a commit message carries zero rows and serializes small") {
