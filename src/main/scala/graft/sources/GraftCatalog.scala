@@ -1592,7 +1592,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       def live(f: GraftDataFile,
                m: Map[GraftDataFile, scala.collection.immutable.BitSet]) = {
         val dead = m.getOrElse(f, empty)
-        (0 until f.rows.length).filterNot(dead.contains)
+        // rowCount, NEVER f.rows: positions come from metadata — a
+        // RESTORE on a 100 TB durable table must not load a single
+        // segment on the driver (its CDC records are position views)
+        (0 until f.rowCount).filterNot(dead.contains)
       }
       val added = Vector.newBuilder[GraftDataFile]
       val removed = Vector.newBuilder[GraftDataFile]

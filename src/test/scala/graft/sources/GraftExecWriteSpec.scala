@@ -282,6 +282,31 @@ class GraftExecWriteSpec extends SparkSpec {
     }
   }
 
+  test("RESTORE plans its CDC from metadata alone: zero driver-side " +
+      "segment reads on a durable table") {
+    val wh = tmpDir("graft-exec-rst")
+    durableCatalog("xr", wh)
+    spark.sql("CREATE TABLE xr.ns.rstm (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql("INSERT INTO xr.ns.rstm VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val v1 = GraftTableStore.lookup(Seq("ns"), "rstm").get.commitHistory
+      .map(_._1).max
+    // diverge in BOTH diff shapes: a whole new file (file-level diff)
+    // and a flipped delete vector on a shared file (position diff)
+    spark.sql("INSERT INTO xr.ns.rstm VALUES (4, 'd')")
+    spark.sql("DELETE FROM xr.ns.rstm WHERE id = 2")
+    GraftMaintenance.restore(Seq("ns"), "rstm", v1)
+    assert(spark.sql("SELECT id FROM xr.ns.rstm ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // the restore's CDC records are position views over metadata — no
+    // segment may have been opened on the driver at any point
+    dataSegments(wh).foreach { p =>
+      assert(GraftSegmentIO.driverReadsOf(p) === 0L,
+        s"segment $p was read on the driver — RESTORE must plan from " +
+          "row counts and delete vectors, not row loads")
+    }
+  }
+
   test("a streamed RESTORE revival delivers only the view's positions, " +
       "never the full base segment (review finding)") {
     val wh = tmpDir("graft-exec-view")
