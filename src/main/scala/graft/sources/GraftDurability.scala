@@ -38,6 +38,16 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
     * segment, so identity-based structures (delete vectors, the
     * prefix-identity conflict check, CDC file sharing) survive decode. */
   val registry: TrieMap[String, GraftDataFile] = TrieMap.empty
+
+  /** Versions this process knows to hold a FULL state snapshot — the
+    * v0 creation entry plus every checkpoint — i.e. the versions a log
+    * fold can start from. Log-entry reclaim may only delete entries
+    * below the newest anchor ≤ the retained-history base (a delta
+    * entry is unreadable without a preceding anchor). Foreign
+    * processes' checkpoints may be missing from this set — that is
+    * merely conservative (reclaim deletes less). */
+  @volatile var anchors: scala.collection.immutable.SortedSet[Int] =
+    scala.collection.immutable.SortedSet(0)
 }
 
 /** One lazily-loadable parquet segment: the durable body of a
@@ -53,17 +63,27 @@ final class GraftSegmentHandle(val path: Path, val schema: StructType) {
   * {{{
   *   <tableDir>/table.json            // identity + layout metadata
   *   <tableDir>/log/00000000001.json  // one entry per commit (CAS'd)
+  *   <tableDir>/ckpt/00000000010.json // full-state checkpoints
   *   <tableDir>/data/seg-<v>-<n>.parquet  // state segments
   *   <tableDir>/data/cdc-<v>-<n>.parquet  // change-record-only segments
-  * }}} */
+  * }}}
+  * Log entries past v0 are DELTAS (added/removed state files + DV
+  * changes, O(commit) bytes); checkpoints and the v0 creation entry
+  * are FULL snapshots (O(files) bytes) a fold can start from —
+  * Delta's delta-JSON + periodic-checkpoint layout, so a 1-row append
+  * to a million-file table writes a KB-sized entry, and restart
+  * replay reads one checkpoint plus the tail instead of re-paying
+  * O(retained commits × files). */
 private[sources] final class GraftTableLog(val dir: Path) {
   val logDir: Path = dir.resolve("log")
+  val ckptDir: Path = dir.resolve("ckpt")
   val dataDir: Path = dir.resolve("data")
   private val metaPath = dir.resolve("table.json")
   private val lockPath = dir.resolve("_commit.lock")
 
   def init(): Unit = {
     Files.createDirectories(logDir)
+    Files.createDirectories(ckptDir)
     Files.createDirectories(dataDir)
   }
 
@@ -96,22 +116,50 @@ private[sources] final class GraftTableLog(val dir: Path) {
     finally Files.deleteIfExists(tmp)
   }
 
-  /** (version, json) of every retained entry with version >= from,
-    * ascending. */
-  def readEntriesFrom(from: Int): Seq[(Int, String)] = {
-    if (!Files.isDirectory(logDir)) return Nil
-    val s = Files.list(logDir)
+  private def listVersions(d: Path): Seq[Int] = {
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".json") && n.length == 16)
         .map(n => n.stripSuffix(".json").toInt)
-        .filter(_ >= from)
         .toSeq.sorted
-        .map(v => (v, new String(Files.readAllBytes(entryPath(v)), UTF_8)))
     } finally s.close()
   }
+
+  /** Committed entry versions, ascending — a NAME listing, no entry
+    * contents are read. */
+  def listEntryVersions: Seq[Int] = listVersions(logDir)
+
+  /** (version, json) of every retained entry with version >= from,
+    * ascending. */
+  def readEntriesFrom(from: Int): Seq[(Int, String)] =
+    listEntryVersions.filter(_ >= from)
+      .map(v => (v, new String(Files.readAllBytes(entryPath(v)), UTF_8)))
+
+  // ---- checkpoints ----------------------------------------------------
+  def ckptPath(v: Int): Path = ckptDir.resolve(f"$v%011d.json")
+
+  /** Checkpoint versions on disk, ascending (names only). */
+  def listCheckpointVersions: Seq[Int] = listVersions(ckptDir)
+
+  /** CAS-install checkpoint `v` (a FULL-format entry JSON). Losing the
+    * race is fine — the foreign copy is byte-equivalent state. */
+  def writeCheckpoint(v: Int, json: String): Boolean = {
+    Files.createDirectories(ckptDir)
+    val target = ckptPath(v)
+    val tmp = ckptDir.resolve(
+      f"$v%011d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, json.getBytes(UTF_8))
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  def readCheckpoint(v: Int): String =
+    new String(Files.readAllBytes(ckptPath(v)), UTF_8)
 
   def writeTableMeta(json: String): Unit = {
     val tmp = dir.resolve("table.json.tmp")
