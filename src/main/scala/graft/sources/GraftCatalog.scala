@@ -526,11 +526,22 @@ final class GraftDataFile private (
     val rowCount: Int,
     seg0: GraftSegmentHandle,
     sel0: scala.collection.immutable.BitSet = null,
-    selExclude0: Boolean = false) {
+    selExclude0: Boolean = false,
+    derive0: GraftDeriveRecipe = null) {
 
   def this(rows: Array[InternalRow], zones: Array[ColZone], sizeBytes: Long,
            groupKey: Option[Seq[Any]]) =
     this(rows, zones, sizeBytes, groupKey, rows.length, null)
+
+  /** Non-null ⇒ a DERIVED pseudo-file (the CDC feed): rows are COMPUTED
+    * from other files' segments by a serializable partition recipe —
+    * the scan plans the recipe's InputPartition and the computation
+    * (projection to the change schema, multiset cancellation) runs in
+    * the partition reader, EXECUTOR-side. `rowCount`/zones here are
+    * planning metadata; when the recipe's count is inexact (a cancel
+    * recipe's upper bound) [[GraftDeriveRecipe.exactCount]] says so and
+    * limit pruning must not trust it. */
+  private[sources] val derive: Option[GraftDeriveRecipe] = Option(derive0)
 
   /** Non-null ⇒ this file is a POSITION VIEW of its segment: the rows
     * at (`selExclude` = false) or excluding (`selExclude` = true) these
@@ -555,6 +566,14 @@ final class GraftDataFile private (
     if (sr != null) {
       val cached = sr.get()
       if (cached != null) return cached
+    }
+    val d = derive.orNull
+    if (d != null) {
+      // driver-side fallback of a derived file (heap-only consumers);
+      // the scan path never lands here — it plans the recipe's partition
+      val computed = d.driverRows()
+      soft = new java.lang.ref.SoftReference(computed)
+      return computed
     }
     val h = segment
     val all = h.load()
@@ -598,7 +617,27 @@ final class GraftDataFile private (
   }
 }
 
+/** How a DERIVED pseudo-file materializes: `partition` builds the
+  * serializable InputPartition for the scan (given the required
+  * ordinals into the file's logical schema) — the executor-side path;
+  * `driverRows` is the driver fallback for heap-only consumers.
+  * `exactCount` is false when the file's claimed rowCount is an upper
+  * bound (a cancel recipe cannot know the surviving count without
+  * reading) — limit pruning treats such files as contributing nothing
+  * toward the limit, which only ever errs toward reading more. */
+private[sources] final class GraftDeriveRecipe(
+    val exactCount: Boolean,
+    val partition: Array[Int] => org.apache.spark.sql.connector.read.InputPartition,
+    val driverRows: () => Array[InternalRow])
+
 object GraftDataFile {
+
+  /** A DERIVED pseudo-file (see [[GraftDeriveRecipe]]). */
+  private[sources] def derived(recipe: GraftDeriveRecipe,
+      zones: Array[ColZone], sizeBytes: Long,
+      rowCount: Int): GraftDataFile =
+    new GraftDataFile(null, zones, sizeBytes, None, rowCount, null,
+      derive0 = recipe)
 
   /** A file resurrected from the durable log: rows load lazily from the
     * parquet segment; all metadata comes from the log entry. */
@@ -1306,9 +1345,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private def syncFromLog(d: GraftTableDurability): Unit = {
     val cur = history.last.version
     if (d.log.hasEntry(cur + 1))
-      d.log.readEntriesFrom(cur + 1).foreach { case (_, json) =>
+      d.log.readEntriesFrom(cur + 1).foreach { case (v, json) =>
+        // foreign DELTA entries fold on top of OUR materialized state —
+        // sound only while the tail is contiguous from our version. A
+        // foreign VACUUM that retired entries past us means our replay
+        // base is gone: fail loudly rather than fold onto the wrong prev
+        require(v == history.last.version + 1,
+          s"$tableName: commit log gap at v$v (this reader held " +
+            s"v${history.last.version}; the tail between was reclaimed)")
         applyDecoded(GraftLogCodec.decodeEntry(json, partitionCols,
-          bucketSpec, d.log.dir, d.registry))
+          bucketSpec, d.log.dir, d.registry, Some(history.last)))
       }
   }
 
@@ -1394,19 +1440,41 @@ class GraftTable(initialName: String, initialSchema: StructType,
     e.files.foreach(persist(_, "seg"))
     e.added.foreach(persist(_, "cdc"))
     e.removed.foreach(persist(_, "cdc"))
-    val json = GraftLogCodec.encodeEntry(e, partitionCols, bucketSpec,
-      d.log.dir, checks.map { case (k, c) => k -> c.text }, nextFieldId,
-      epochLedger)
+    val checksTxt = checks.map { case (k, c) => k -> c.text }
+    def full: String = GraftLogCodec.encodeEntry(e, partitionCols,
+      bucketSpec, d.log.dir, checksTxt, nextFieldId, epochLedger)
+    // DELTA entry when the commit decomposes against the previous state
+    // (snap() just appended `e`, so the pre-commit census sits one back)
+    // — a 1-row append to an N-file table writes O(1) JSON, not O(N)
+    val json = GraftLogCodec.encodeDelta(e, history(history.length - 2),
+      partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
+      epochLedger).getOrElse(full)
     if (!d.log.writeEntry(e.version, json))
       throw new java.util.ConcurrentModificationException(
         s"$tableName: commit ${e.version} already exists in the log — " +
           "a writer outside the commit lease raced this commit; retry")
+    // periodic anchor: a full-state checkpoint every K commits bounds
+    // restart replay to one checkpoint + a K-to-retention-sized tail,
+    // and is what lets reclaim retire the delta entries below it
+    if (e.version > 0 && e.version % GraftTable.checkpointInterval == 0) {
+      d.log.writeCheckpoint(e.version, full)
+      d.addAnchor(e.version)
+    }
   }
 
   /** Delete log entries below the retained base and segments no
     * retained entry references (the bytes-reclaiming half of VACUUM /
     * retention). Foreign (clone-shared, absolute-ref) segments are
-    * never touched; reads of reclaimed history fail loudly. */
+    * never touched; reads of reclaimed history fail loudly.
+    *
+    * ANCHOR-GATED: delta entries are only readable on top of a full
+    * snapshot, so the deletion floor is the newest anchor (v0 or a
+    * checkpoint — ours or a foreign process's, re-listed from disk) at
+    * or below the retention base. Explicit VACUUM (minAge 0) installs
+    * a checkpoint AT the base first, so it reclaims maximally; the
+    * automatic per-commit slide just rides the periodic checkpoints —
+    * its floor trails the base by < checkpointInterval entries, never
+    * paying an O(files) checkpoint write per commit. */
   private def reclaimDurable(d: GraftTableDurability,
                              minAgeMillis: Long = 0L): Unit = {
     val live = scala.collection.mutable.Set.empty[String]
@@ -1418,7 +1486,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
       e.dvs.keys.foreach(add)
     }
     files.foreach(add)
-    d.log.reclaim(history.head.version, live.toSet, minAgeMillis)
+    val base = history.head.version
+    val anchorsNow = d.anchors ++ d.log.listCheckpointVersions
+    var floor = anchorsNow.rangeTo(base).lastOption.getOrElse(0)
+    if (floor < base && minAgeMillis <= 0L) {
+      val h = history.head
+      // checks text must COMPILE against the entry's own schema at fold
+      // time; current texts are only guaranteed to under the current
+      // schema (a tail entry re-delivers them anyway — and when there is
+      // no tail, h IS the current entry, schemas equal)
+      val checksTxt =
+        if (h.schema == tableSchema)
+          checks.map { case (k, c) => k -> c.text }
+        else Map.empty[String, String]
+      d.log.writeCheckpoint(base, GraftLogCodec.encodeEntry(h,
+        partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
+        epochLedger))
+      d.addAnchor(base)
+      floor = base
+    }
+    d.log.reclaim(floor, live.toSet, minAgeMillis)
     d.registry.filterInPlace((ref, _) =>
       live.contains(ref) || java.nio.file.Paths.get(ref).isAbsolute)
   }
@@ -1714,10 +1801,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     StructField("_commit_timestamp", LongType, nullable = false) +:
     tableSchema.fields.toSeq)
 
-  /** One commit's minimal row delta in [[changesSchema]] layout. */
-  private[sources] def changeRowsOf(e: CommitEntry): Array[InternalRow] = {
+  /** One commit's minimal row delta in [[changesSchema]] layout —
+    * the DRIVER-side materializer (heap tables; derived-file fallback;
+    * the streaming CDF's micro-batch builder). */
+  private[sources] def changeRowsOf(e: CommitEntry): Array[InternalRow] =
+    changeRowsSubset(e.added, e.removed, e)
+
+  private def changeRowsSubset(adds: Seq[GraftDataFile],
+      rems: Seq[GraftDataFile], e: CommitEntry): Array[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
-    if (e.added.isEmpty && e.removed.isEmpty)
+    if (adds.isEmpty && rems.isEmpty)
       return Array.empty[InternalRow]
     val dataSchema = tableSchema
     // canonicalize both sides to UnsafeRows of the CURRENT data schema
@@ -1739,8 +1832,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         val k = toCanonical(r).copy()
         counts.merge(k, d, (a, b) => a + b)
       }
-    bump(e.added.iterator.flatMap(_.rows), 1)
-    bump(e.removed.iterator.flatMap(_.rows), -1)
+    bump(adds.iterator.flatMap(_.rows), 1)
+    bump(rems.iterator.flatMap(_.rows), -1)
     def emit(ct: String) = UnsafeProjection.create(
       (Literal(utf8(ct), StringType)
           : org.apache.spark.sql.catalyst.expressions.Expression) +:
@@ -1769,11 +1862,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
   @volatile private var changesCache
       : Option[(Int, StructType, Vector[GraftDataFile])] = None
 
-  /** Current CDC files: one per change-carrying retained commit (the
-    * `_commit_version` zones make version-range reads skip every other
-    * commit's file). Memoized per (version, schema) — retention dropping
-    * OLD entries between same-version reads cannot occur (retention only
-    * moves when a commit bumps the version). */
+  /** Current CDC files, one or more per change-carrying retained commit
+    * (the `_commit_version` zones make version-range reads skip every
+    * other commit's files). Memoized per (version, schema) — retention
+    * dropping OLD entries between same-version reads cannot occur
+    * (retention only moves when a commit bumps the version). */
   private[sources] def changesFiles: Vector[GraftDataFile] = {
     refreshIfStale() // the CDF tails foreign writers' commits too
     val h = history // ONE volatile read: tag and build from the same log
@@ -1782,14 +1875,174 @@ class GraftTable(initialName: String, initialSchema: StructType,
     changesCache match {
       case Some((cv, cs, fs)) if cv == v && cs == schema => fs
       case _ =>
-        val fs = h.iterator.flatMap { e =>
-          val rows = changeRowsOf(e)
-          if (rows.isEmpty) None
-          else Some(GraftDataFile.build(rows, schema, None))
-        }.toVector
+        val fs = h.iterator.flatMap(changeFilesOf).toVector
         changesCache = Some((v, schema, fs))
         fs
     }
+  }
+
+  private def cmpZ(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** CDC pseudo-files of ONE commit. When every change record is
+    * persisted (durable tables), the plan is METADATA-ONLY: no segment
+    * row is read on the driver. The multiset cancellation the feed's
+    * semantics demand is decomposed by zone metadata —
+    *  1. a file present on BOTH sides cancels whole (identity);
+    *  2. an (added, removed) file pair with a provably DISJOINT zone
+    *     range on any surviving column shares no row, so a file with no
+    *     overlapping partner on the other side emits directly (a pure
+    *     insert/delete DERIVED file, one partition per file);
+    *  3. only genuinely overlapping files group into cancel components,
+    *     whose signed-multiset diff runs in the PARTITION READER.
+    * An overwrite with fresh keys is case 2 throughout: its t$changes
+    * read plans like any other scan and streams executor-side. Heap
+    * tables (and mid-flight unpersisted records) keep the driver
+    * materializer. */
+  private def changeFilesOf(e: CommitEntry): Seq[GraftDataFile] = {
+    if (e.added.isEmpty && e.removed.isEmpty) return Nil
+    val outSchema = changesSchema
+    val dataSchema = tableSchema
+    if (!(e.added.iterator ++ e.removed.iterator).forall(_.persisted)) {
+      val rows = changeRowsOf(e)
+      return if (rows.isEmpty) Nil
+        else Seq(GraftDataFile.build(rows, outSchema, None))
+    }
+    // current-schema ordinal -> commit-schema ordinal (-1 = null-pad)
+    val ordMap = dataSchema.fields.map(f => FieldIds.ordinalOf(f, e.schema))
+    def idSet(fs: Seq[GraftDataFile]) = {
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+      fs.foreach(s.add)
+      s
+    }
+    val remIds = idSet(e.removed)
+    val addIds = idSet(e.added)
+    val adds = e.added.filterNot(remIds.contains)
+    val rems = e.removed.filterNot(addIds.contains)
+    if (adds.isEmpty && rems.isEmpty) return Nil
+    // a row can sit on both sides only if EVERY canonical column's
+    // ranges overlap between the pair — one no-null disjoint-range
+    // column proves the pair shares nothing
+    def disjoint(a: GraftDataFile, b: GraftDataFile): Boolean =
+      ordMap.exists { j =>
+        j >= 0 && j < a.zones.length && j < b.zones.length && {
+          val za = a.zones(j); val zb = b.zones(j)
+          za != null && zb != null &&
+            za.nullCount == 0L && zb.nullCount == 0L &&
+            za.min != null && zb.min != null && {
+              try cmpZ(za.max, zb.min) < 0 || cmpZ(zb.max, za.min) < 0
+              catch { case _: ClassCastException => false }
+            }
+        }
+      }
+    // union-find overlap components (bipartite: edges only add<->rem)
+    val n = adds.length + rems.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def union(x: Int, y: Int): Unit = { parent(find(x)) = find(y) }
+    var ai = 0
+    while (ai < adds.length) {
+      var ri = 0
+      while (ri < rems.length) {
+        if (!disjoint(adds(ai), rems(ri))) union(ai, adds.length + ri)
+        ri += 1
+      }
+      ai += 1
+    }
+    def segOf(f: GraftDataFile): GraftSegmentScanPartition = {
+      val fs = f.segment.schema
+      val (sel, selEx) = f.viewSel match {
+        case Some((bs, ex)) => (bs.toArray, ex)
+        case None => (Array.empty[Int], false)
+      }
+      GraftSegmentScanPartition(f.segment.path.toString, fs.json,
+        Array.tabulate(fs.length)(identity), Array.empty, Nil, -1,
+        sel, selEx)
+    }
+    def zonesFor(tagMin: String, tagMax: String,
+        members: Seq[GraftDataFile], claimed: Int): Array[ColZone] = {
+      val z = new Array[ColZone](outSchema.length)
+      z(0) = ColZone(utf8(tagMin), utf8(tagMax), 0L)
+      z(1) = ColZone(e.version, e.version, 0L)
+      z(2) = ColZone(e.tsMicros, e.tsMicros, 0L)
+      val total = members.iterator.map(_.rowCount.toLong).sum
+      var i = 0
+      while (i < dataSchema.length) {
+        val j = ordMap(i)
+        z(3 + i) =
+          if (j < 0) ColZone(null, null, claimed.toLong) // null-padded col
+          else {
+            val zs = members.map(f =>
+              if (j < f.zones.length) f.zones(j) else null)
+            if (zs.contains(null)) null
+            else if (members.lengthCompare(1) == 0) zs.head // exact
+            else {
+              val mins = zs.flatMap(z0 => Option(z0.min))
+              val maxs = zs.flatMap(z0 => Option(z0.max))
+              val mn = mins.reduceOption((a, b) =>
+                if (cmpZ(a, b) <= 0) a else b).orNull
+              val mx = maxs.reduceOption((a, b) =>
+                if (cmpZ(a, b) >= 0) a else b).orNull
+              val nulls = zs.iterator.map(_.nullCount).sum
+              // CONSERVATIVE null claim under the inexact row count:
+              // certain-none / certain-all are transferable; a mix can
+              // only claim "some but not all" (needs claimed >= 2)
+              if (nulls == 0L) ColZone(mn, mx, 0L)
+              else if (nulls >= total) ColZone(mn, mx, claimed.toLong)
+              else if (claimed >= 2) ColZone(mn, mx, 1L)
+              else null
+            }
+          }
+        i += 1
+      }
+      z
+    }
+    def pureFile(f: GraftDataFile, insert: Boolean): GraftDataFile = {
+      val tag = if (insert) "insert" else "delete"
+      val recipe = new GraftDeriveRecipe(
+        exactCount = true,
+        partition = proj => GraftChangeScanPartition(
+          if (insert) Seq(segOf(f)) else Nil,
+          if (insert) Nil else Seq(segOf(f)),
+          cancel = false, ordMap, dataSchema.json,
+          e.version, e.tsMicros, proj),
+        driverRows = () => changeRowsSubset(
+          if (insert) Seq(f) else Nil, if (insert) Nil else Seq(f), e))
+      GraftDataFile.derived(recipe, zonesFor(tag, tag, Seq(f), f.rowCount),
+        f.sizeBytes, f.rowCount)
+    }
+    def cancelFile(as: Seq[GraftDataFile],
+        rs: Seq[GraftDataFile]): GraftDataFile = {
+      val claimed = (as.iterator ++ rs.iterator).map(_.rowCount).sum
+      val recipe = new GraftDeriveRecipe(
+        exactCount = false, // survivors unknown without reading
+        partition = proj => GraftChangeScanPartition(as.map(segOf),
+          rs.map(segOf), cancel = true, ordMap, dataSchema.json,
+          e.version, e.tsMicros, proj),
+        driverRows = () => changeRowsSubset(as, rs, e))
+      GraftDataFile.derived(recipe,
+        zonesFor("delete", "insert", as ++ rs, claimed),
+        (as.iterator ++ rs.iterator).map(_.sizeBytes).sum, claimed)
+    }
+    val out = Vector.newBuilder[GraftDataFile]
+    val comps = (0 until n).groupBy(find)
+    // deterministic order: components by first member index; inside a
+    // mixed component the reader emits adds then removes
+    comps.toSeq.sortBy(_._2.head).foreach { case (_, members) =>
+      val cAdds = members.filter(_ < adds.length).map(adds(_))
+      val cRems = members.filter(_ >= adds.length)
+        .map(i => rems(i - adds.length))
+      if (cRems.isEmpty) cAdds.foreach(f => out += pureFile(f, insert = true))
+      else if (cAdds.isEmpty)
+        cRems.foreach(f => out += pureFile(f, insert = false))
+      else out += cancelFile(cAdds, cRems)
+    }
+    out.result()
   }
 
   /** Retained commit entries with version <= end (the CDF initial
@@ -2725,6 +2978,13 @@ object GraftTable {
     * long enough for any in-flight write's tasks to reach their commit
     * (explicit VACUUM ignores this — the RETAIN-0 sweep). */
   @volatile var orphanGraceMillis: Long = 10L * 60 * 1000
+
+  /** Every K-th durable commit also writes a FULL-state checkpoint
+    * (Delta's periodic parquet checkpoint, JSON here): the anchor a
+    * restart folds from and the floor log-entry reclaim can retire
+    * delta entries below. Smaller = faster restarts + tighter reclaim,
+    * at an O(files) metadata write each K commits. */
+  @volatile var checkpointInterval: Int = 16
 }
 
 /** Write of a [[GraftTable]]: on PARTITIONED tables it REQUESTS a
@@ -3472,7 +3732,11 @@ class GraftScanBuilder(tableSchema: StructType,
         var seen = 0L
         zoneSurviving.takeWhile { case (f, _) =>
           val take = seen < l
-          seen += liveCount(f)
+          // a derived file with an INEXACT count (cancel recipe upper
+          // bound) must not count toward the limit — overclaiming here
+          // would wrongly drop later files; contributing 0 only errs
+          // toward reading more
+          if (!f.derive.exists(d => !d.exactCount)) seen += liveCount(f)
           take
         }
       case None => zoneSurviving
@@ -3590,15 +3854,21 @@ class GraftScanBuilder(tableSchema: StructType,
       // persisted files plan LAZY segment partitions: the parquet
       // streams executor-side at execution; a zone/limit/runtime-pruned
       // file costs zero I/O anywhere (metadata decided its fate)
-      def chunkOf(f: GraftDataFile): ScanChunk =
-        if (f.persisted) {
+      def chunkOf(f: GraftDataFile): ScanChunk = f.derive match {
+        case Some(rcp) =>
+          // DERIVED pseudo-file (CDC): the recipe's partition computes
+          // the rows executor-side; zones/rowCount drove pruning above
+          ScanChunk.lazily(rcp.partition(idx), zonesByName(f),
+            f.groupKey, f.rowCount, () => materialize(f))
+        case None if f.persisted =>
           val dead = dvOf(f)
           ScanChunk.lazily(
             GraftSegmentScanPartition(f.segment.path.toString,
               f.segment.schema.json, idx, dead.toArray),
             zonesByName(f), f.groupKey, f.rowCount - dead.size,
             () => materialize(f))
-        } else ScanChunk(materialize(f), zonesByName(f), f.groupKey)
+        case None => ScanChunk(materialize(f), zonesByName(f), f.groupKey)
+      }
       new GraftScan(if (identityProj) tableSchema else required,
         surviving.map { case (f, _) => chunkOf(f) }.toArray,
         bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
@@ -3626,7 +3896,7 @@ private[sources] final class ScanChunk(
     val zones: Map[String, ColZone],
     val groupKey: Option[Seq[Any]],
     val rowCount: Int,
-    val lazySeg: Option[GraftSegmentScanPartition]) {
+    val lazySeg: Option[InputPartition]) {
   lazy val rows: Array[InternalRow] = rowsFn()
   /** Runtime-filter exclusion under key-grouped reporting: same
     * partition value, zero rows, zero I/O. */
@@ -3639,7 +3909,7 @@ private[sources] object ScanChunk {
             groupKey: Option[Seq[Any]] = None): ScanChunk =
     new ScanChunk(() => rows, zones, groupKey, rows.length, None)
 
-  def lazily(seg: GraftSegmentScanPartition, zones: Map[String, ColZone],
+  def lazily(seg: InputPartition, zones: Map[String, ColZone],
              groupKey: Option[Seq[Any]], rowCount: Int,
              loader: () => Array[InternalRow]): ScanChunk =
     new ScanChunk(loader, zones, groupKey, rowCount, Some(seg))
@@ -3654,7 +3924,12 @@ private[sources] object ScanChunk {
   * executors unchanged. */
 case class GraftSegmentScanPartition(ref: String, schemaJson: String,
     project: Array[Int], dead: Array[Int],
-    metaCols: Seq[String] = Nil, fid: Int = -1) extends InputPartition
+    metaCols: Seq[String] = Nil, fid: Int = -1,
+    // position-VIEW selection (CDC records): read only these original
+    // positions (`selExclude` = read everything BUT them). Mutually
+    // exclusive with `dead` — a view never carries a delete vector.
+    sel: Array[Int] = Array.empty,
+    selExclude: Boolean = false) extends InputPartition
 
 /** Key-grouped variant over segment REFERENCES (durable tables): all
   * of one identity-partition key's segments, reported with the key so a
@@ -3699,9 +3974,16 @@ private[sources] object GraftSegmentReads {
         proj(joined.apply(all(p), meta))
       }
     } else {
+      val afterSel =
+        if (s.sel.isEmpty && !s.selExclude) all
+        else {
+          val bs = scala.collection.immutable.BitSet(s.sel: _*)
+          if (s.selExclude) GraftDataFile.liveRows(all, bs)
+          else s.sel.map(all(_)) // ascending positions — order preserved
+        }
       val rows =
-        if (s.dead.isEmpty) all
-        else GraftDataFile.liveRows(all,
+        if (s.dead.isEmpty) afterSel
+        else GraftDataFile.liveRows(afterSel,
           scala.collection.immutable.BitSet(s.dead: _*))
       val isIdentity = s.project.length == fileSchema.length &&
         s.project.indices.forall(i => s.project(i) == i)
@@ -3714,6 +3996,89 @@ private[sources] object GraftSegmentReads {
             fileSchema.fields(i).dataType,
             fileSchema.fields(i).nullable)))
         rows.iterator.map(proj(_))
+      }
+    }
+  }
+}
+
+/** CDC partition: one commit's change rows — or one overlap COMPONENT
+  * of them — materialized in the PARTITION READER from segment
+  * references. Added rows emit as inserts, removed as deletes; with
+  * `cancel` set the reader first cancels the signed row multiset (the
+  * rows a COW rewrite carried through unchanged), all executor-side.
+  * The driver plans this from zone metadata alone — a t$changes read
+  * over a durable table never loads a segment on the driver.
+  * `ordMap` canonicalizes file rows to the CURRENT data schema
+  * (append-only evolution: -1 = null-pad); `project` selects the
+  * required ordinals of the changes schema (0 = _change_type,
+  * 1 = _commit_version, 2 = _commit_timestamp, 3+i = data column i). */
+case class GraftChangeScanPartition(
+    addSegs: Seq[GraftSegmentScanPartition],
+    remSegs: Seq[GraftSegmentScanPartition],
+    cancel: Boolean,
+    ordMap: Array[Int],
+    dataSchemaJson: String,
+    version: Int,
+    tsMicros: Long,
+    project: Array[Int]) extends InputPartition
+
+private[sources] object GraftChangeReads {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def rowsOf(p: GraftChangeScanPartition): Iterator[InternalRow] = {
+    val dataSchema = DataType.fromJson(p.dataSchemaJson)
+      .asInstanceOf[StructType]
+    // file row -> current data schema (null-pad columns the commit's
+    // schema did not have)
+    def canonExprs = dataSchema.fields.toIndexedSeq.zipWithIndex.map {
+      case (f, i) => p.ordMap(i) match {
+        case -1 => Literal.create(null, f.dataType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        case j => BoundReference(j, f.dataType, nullable = true)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+      }
+    }
+    def outProj(tag: String, overCanonical: Boolean): UnsafeProjection =
+      UnsafeProjection.create(p.project.toIndexedSeq.map {
+        case 0 => Literal(UTF8String.fromString(tag), StringType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        case 1 => Literal(p.version, IntegerType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        case 2 => Literal(p.tsMicros, LongType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        case r =>
+          val i = r - 3
+          if (overCanonical)
+            BoundReference(i, dataSchema.fields(i).dataType, nullable = true)
+          else canonExprs(i)
+      })
+    if (!p.cancel) {
+      val ins = outProj("insert", overCanonical = false)
+      val del = outProj("delete", overCanonical = false)
+      p.addSegs.iterator.flatMap(GraftSegmentReads.rowsOf).map(ins(_)) ++
+        p.remSegs.iterator.flatMap(GraftSegmentReads.rowsOf).map(del(_))
+    } else {
+      // signed multiset over FULL canonical rows (cancellation is
+      // defined on whole rows regardless of column pruning), then the
+      // pruned projection on the survivors
+      val canon = UnsafeProjection.create(canonExprs)
+      val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
+      def bump(it: Iterator[InternalRow], d: Int): Unit =
+        it.foreach(r => counts.merge(canon(r).copy(), d, (a, b) => a + b))
+      bump(p.addSegs.iterator.flatMap(GraftSegmentReads.rowsOf), 1)
+      bump(p.remSegs.iterator.flatMap(GraftSegmentReads.rowsOf), -1)
+      val ins = outProj("insert", overCanonical = true)
+      val del = outProj("delete", overCanonical = true)
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().iterator().asScala.flatMap { en =>
+        val c = en.getValue.intValue()
+        if (c == 0) Iterator.empty
+        else {
+          val (proj, n) = if (c > 0) (ins, c) else (del, -c)
+          Iterator.fill(n)(proj(en.getKey): InternalRow)
+        }
       }
     }
   }
@@ -3917,9 +4282,11 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             k.toArray)
         val live = g.filter(_.rowCount > 0)
-        if (live.nonEmpty && live.forall(_.lazySeg.isDefined))
+        if (live.nonEmpty && live.forall(
+            _.lazySeg.exists(_.isInstanceOf[GraftSegmentScanPartition])))
           GraftKeyedSegmentPartition(
-            live.map(_.lazySeg.get).toSeq, keyRow): InputPartition
+            live.map(_.lazySeg.get.asInstanceOf[GraftSegmentScanPartition])
+              .toSeq, keyRow): InputPartition
         else
           GraftKeyedInputPartition(g.flatMap(_.rows), keyRow): InputPartition
       }.toArray
@@ -3966,6 +4333,7 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
       private val it: Iterator[InternalRow] = p match {
         case g: GraftInputPartition => g.rows.iterator
         case k: GraftKeyedInputPartition => k.rows.iterator
+        case c: GraftChangeScanPartition => GraftChangeReads.rowsOf(c)
         case s: GraftSegmentPartition =>
           val schema = DataType.fromJson(s.schemaJson)
             .asInstanceOf[StructType]

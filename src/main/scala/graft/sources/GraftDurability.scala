@@ -30,9 +30,9 @@ import org.json4s.jackson.JsonMethods
   * do for in-JVM concurrency: concurrent appends both land; a COW/MOR
   * rewrite racing another writer aborts with
   * ConcurrentModificationException. That is the Delta commit protocol
-  * (mutual exclusion on the log tail + optimistic semantic checks),
-  * with rename-CAS standing in for the object store's
-  * put-if-absent. */
+  * (mutual exclusion on the log tail + optimistic semantic checks).
+  * Both primitives live behind [[GraftLogStore]] — the protocol itself
+  * uses nothing an object store cannot provide. */
 private[sources] final class GraftTableDurability(val log: GraftTableLog) {
   /** ref string (as written in log entries) → the ONE file object per
     * segment, so identity-based structures (delete vectors, the
@@ -45,9 +45,13 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
     * below the newest anchor ≤ the retained-history base (a delta
     * entry is unreadable without a preceding anchor). Foreign
     * processes' checkpoints may be missing from this set — that is
-    * merely conservative (reclaim deletes less). */
+    * merely conservative (reclaim deletes less; reclaim re-reads the
+    * `ckpt/` listing to pick them up). Mutate ONLY via [[addAnchor]]
+    * (read-modify-write on the volatile would lose updates). */
   @volatile var anchors: scala.collection.immutable.SortedSet[Int] =
     scala.collection.immutable.SortedSet(0)
+
+  def addAnchor(v: Int): Unit = synchronized { anchors = anchors + v }
 }
 
 /** One lazily-loadable parquet segment: the durable body of a
@@ -57,6 +61,91 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
 final class GraftSegmentHandle(val path: Path, val schema: StructType) {
   def reads: Long = GraftSegmentIO.readsOf(path)
   def load(): Array[InternalRow] = GraftSegmentIO.read(path, schema)
+}
+
+/** The portability seam of the commit protocol — Delta's `LogStore`.
+  * A durable commit needs exactly TWO primitives beyond plain reads:
+  * an ATOMIC PUT-IF-ABSENT (the version CAS that decides which writer
+  * owns commit N) and a MUTUAL-EXCLUSION LEASE around the
+  * read-check-write window. Everything else in [[GraftTableLog]] is
+  * plain object I/O. On a local filesystem the CAS is a hard link and
+  * the lease an OS file lock; on an object store the same interface is
+  * served by conditional puts (S3 `If-None-Match`, GCS preconditions,
+  * ABFS ETags) and an external lock service — which neither hard links
+  * nor `FileChannel.lock` can express, hence the seam. */
+trait GraftLogStore {
+  /** Atomically create `target` holding `bytes` iff absent. True when
+    * this writer won; false when the name already existed. Losing MUST
+    * leave no partial object behind. */
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean
+
+  /** Run `body` holding the exclusive commit lease for `key`.
+    * Reentrant per thread; mutually exclusive across threads (and,
+    * where the backend can express it, across processes). */
+  def withLease[T](key: Path)(body: => T): T
+}
+
+object GraftLogStore {
+  /** Local-filesystem backend: hard-link CAS (atomic on POSIX; fails
+    * loudly with FileAlreadyExists when the version is taken) + an OS
+    * file lock for the cross-process lease, nested in a JVM-wide
+    * monitor because file locks are held PER-PROCESS (a second lock
+    * attempt from the same JVM throws instead of blocking). */
+  object LocalFs extends GraftLogStore {
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+      val tmp = target.resolveSibling(target.getFileName.toString +
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, bytes)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    }
+
+    override def withLease[T](key: Path)(body: => T): T = {
+      val k = key.toAbsolutePath.normalize.toString
+      val held = GraftTableLog.heldLocks.get()
+      if (held.contains(k)) body
+      else {
+        val mon = GraftTableLog.monitors.computeIfAbsent(k, _ => new Object)
+        mon.synchronized {
+          val ch = java.nio.channels.FileChannel.open(key,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = ch.lock()
+            held += k
+            try body finally { held -= k; l.release() }
+          } finally ch.close()
+        }
+      }
+    }
+  }
+
+  /** Conditional-put fake: the CAS decides in a JVM-shared map — the
+    * shape of an object store's `If-None-Match` put, where no hard
+    * link or OS file lock exists — then materializes the winning bytes
+    * with a plain write (reads stay ordinary object GETs). The lease is
+    * a reentrant in-process lock standing in for an external lock
+    * service. The commit-protocol spec runs against BOTH backends to
+    * pin that the protocol uses nothing a real object store lacks. */
+  final class InMemoryCas extends GraftLogStore {
+    private val names = TrieMap.empty[String, Unit]
+    private val leases =
+      TrieMap.empty[String, java.util.concurrent.locks.ReentrantLock]
+
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+      val k = target.toAbsolutePath.normalize.toString
+      if (names.putIfAbsent(k, ()).isDefined) false
+      else { Files.write(target, bytes); true }
+    }
+
+    override def withLease[T](key: Path)(body: => T): T = {
+      val l = leases.getOrElseUpdate(key.toAbsolutePath.normalize.toString,
+        new java.util.concurrent.locks.ReentrantLock)
+      l.lock()
+      try body finally l.unlock()
+    }
+  }
 }
 
 /** Filesystem surface of one durable table:
@@ -73,8 +162,13 @@ final class GraftSegmentHandle(val path: Path, val schema: StructType) {
   * Delta's delta-JSON + periodic-checkpoint layout, so a 1-row append
   * to a million-file table writes a KB-sized entry, and restart
   * replay reads one checkpoint plus the tail instead of re-paying
-  * O(retained commits × files). */
-private[sources] final class GraftTableLog(val dir: Path) {
+  * O(retained commits × files). A commit that does not decompose as
+  * a delta (RESTORE swapping in an old census) legally writes the
+  * FULL format — decode keys off the entry's own shape. A checkpoint
+  * lands every [[GraftTable.checkpointInterval]] commits (and on
+  * explicit VACUUM, anchoring the new retention base). */
+private[sources] final class GraftTableLog(val dir: Path,
+    val store: GraftLogStore = GraftLogStore.LocalFs) {
   val logDir: Path = dir.resolve("log")
   val ckptDir: Path = dir.resolve("ckpt")
   val dataDir: Path = dir.resolve("data")
@@ -106,15 +200,8 @@ private[sources] final class GraftTableLog(val dir: Path) {
   }
 
   /** CAS-install entry `v`: true when this writer won the version. */
-  def writeEntry(v: Int, json: String): Boolean = {
-    val target = entryPath(v)
-    val tmp = logDir.resolve(
-      f"$v%011d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, json.getBytes(UTF_8))
-    try { Files.createLink(target, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
-  }
+  def writeEntry(v: Int, json: String): Boolean =
+    store.putIfAbsent(entryPath(v), json.getBytes(UTF_8))
 
   private def listVersions(d: Path): Seq[Int] = {
     if (!Files.isDirectory(d)) return Nil
@@ -149,13 +236,7 @@ private[sources] final class GraftTableLog(val dir: Path) {
     * race is fine — the foreign copy is byte-equivalent state. */
   def writeCheckpoint(v: Int, json: String): Boolean = {
     Files.createDirectories(ckptDir)
-    val target = ckptPath(v)
-    val tmp = ckptDir.resolve(
-      f"$v%011d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, json.getBytes(UTF_8))
-    try { Files.createLink(target, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    store.putIfAbsent(ckptPath(v), json.getBytes(UTF_8))
   }
 
   def readCheckpoint(v: Int): String =
@@ -171,35 +252,20 @@ private[sources] final class GraftTableLog(val dir: Path) {
   def readTableMeta(): String =
     new String(Files.readAllBytes(metaPath), UTF_8)
 
-  /** Cross-process commit lease. Reentrant per thread (a streaming-epoch
-    * install calls a locked install mode inside its own lease); the JVM
-    * monitor serializes same-process writers (OS file locks are held
-    * per-process — a second lock attempt from this JVM would throw
-    * OverlappingFileLockException, not block). */
-  def withCommitLock[T](body: => T): T = {
-    val key = dir.toAbsolutePath.normalize.toString
-    val held = GraftTableLog.heldLocks.get()
-    if (held.contains(key)) body
-    else {
-      val mon = GraftTableLog.monitors
-        .computeIfAbsent(key, _ => new Object)
-      mon.synchronized {
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val l = ch.lock()
-          held += key
-          try body finally { held -= key; l.release() }
-        } finally ch.close()
-      }
-    }
-  }
+  /** Cross-process commit lease — delegated to the [[GraftLogStore]]
+    * backend (file lock + JVM monitor on local FS; a lock service on an
+    * object store). Reentrant per thread: a streaming-epoch install
+    * calls a locked install mode inside its own lease. */
+  def withCommitLock[T](body: => T): T = store.withLease(lockPath)(body)
 
-  /** Physically reclaim: drop log entries below `oldestRetained` and
-    * delete every data segment not in `liveRefs` (refs relative to this
-    * table's dir; foreign absolute refs — shared clone segments — are
-    * never touched here). Crash-safe order: log entries first, so a
+  /** Physically reclaim: drop log entries AND checkpoints below
+    * `oldestRetained` and delete every data segment not in `liveRefs`
+    * (refs relative to this table's dir; foreign absolute refs — shared
+    * clone segments — are never touched here). `oldestRetained` MUST be
+    * an anchor (v0 or a checkpointed version): the caller gates it on
+    * the anchor set, because the first surviving entry may be a DELTA
+    * that is only readable on top of a full snapshot at or below it.
+    * Crash-safe order: log entries first, so a
     * crash mid-reclaim can only leave unreferenced segments behind,
     * never a log entry pointing at a deleted segment.
     *
@@ -211,8 +277,13 @@ private[sources] final class GraftTableLog(val dir: Path) {
     * edge (don't run it while a write is in flight). */
   def reclaim(oldestRetained: Int, liveRefs: Set[String],
               minAgeMillis: Long = 0L): Unit = {
-    readEntriesFrom(0).foreach { case (v, _) =>
+    listEntryVersions.foreach { v =>
       if (v < oldestRetained) Files.deleteIfExists(entryPath(v))
+    }
+    // superseded checkpoints: anything below the retained anchor can
+    // never be a fold start again (the anchor AT oldestRetained stays)
+    listCheckpointVersions.foreach { v =>
+      if (v < oldestRetained) Files.deleteIfExists(ckptPath(v))
     }
     if (Files.isDirectory(dataDir)) {
       val cutoff = System.currentTimeMillis() - minAgeMillis
@@ -427,15 +498,105 @@ private[sources] object GraftLogCodec {
     JsonMethods.compact(JsonMethods.render(json))
   }
 
+  /** Serialize one commit as a DELTA against the previous state —
+    * O(commit) bytes, never O(table): removed state files as INDICES
+    * into the previous census (indices are unambiguous where refs are
+    * not — position views share their base's ref), appended state files
+    * as full file objects, and only the delete vectors that changed.
+    * Returns None when the commit does not decompose as
+    * `prev minus removals, plus an appended suffix` (RESTORE installs
+    * an arbitrary old census, for example) — the caller falls back to
+    * the FULL format, which any entry may legally use. */
+  def encodeDelta(e: CommitEntry, prev: CommitEntry,
+      partitionCols: Seq[String], bucketSpec: Option[(Int, String)],
+      dir: Path, checksText: Map[String, String], nextFieldId: Long,
+      epochs: Map[String, Long]): Option[String] = {
+    val kts = keyTypes(e.schema, partitionCols, bucketSpec)
+    val inNew = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+    e.files.foreach(inNew.add)
+    val kept = prev.files.filter(inNew.contains)
+    // exact-reconstruction check: the new census must be the kept
+    // prefix (in prior order) plus a brand-new suffix, element-wise by
+    // identity — anything else (a reorder, a duplicate identity) goes
+    // through the full format
+    if (e.files.length < kept.length) return None
+    var i = 0
+    while (i < kept.length) {
+      if (!(e.files(i) eq kept(i))) return None
+      i += 1
+    }
+    val fadd = e.files.drop(kept.length)
+    val inPrev = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+    prev.files.foreach(inPrev.add)
+    if (fadd.exists(inPrev.contains)) return None
+    val fremIdx = prev.files.zipWithIndex.collect {
+      case (f, idx) if !inNew.contains(f) => idx
+    }
+    // delete-vector delta vs prev (identity-keyed maps, so lookups are
+    // file-object identity)
+    val dvset = e.dvs.toList.filter { case (f, bs) =>
+      !prev.dvs.get(f).contains(bs)
+    }
+    val dvdel = prev.dvs.keysIterator.filterNot(e.dvs.contains).toList
+    if (dvset.nonEmpty || dvdel.nonEmpty) {
+      // DV deltas address files BY REF — bail to the full format if any
+      // referenced ref is ambiguous or targets a file outside the state
+      val ok = try {
+        val newRefs = e.files.map(refOf(_, dir))
+        val dup = newRefs.groupBy(identity).collect {
+          case (r, g) if g.size > 1 => r
+        }.toSet
+        val prevDvRefs = prev.dvs.keysIterator.map(refOf(_, dir)).toList
+        dvset.forall { case (f, _) =>
+          e.files.exists(_ eq f) && !dup.contains(refOf(f, dir))
+        } && prevDvRefs.distinct.length == prevDvRefs.length
+      } catch { case _: RuntimeException => false }
+      if (!ok) return None
+    }
+    val dvsetJ = dvset.map { case (f, bs) =>
+      JArray(List(JString(refOf(f, dir)),
+        JArray(bs.toList.map(p => JLong(p.toLong)))))
+    }
+    val json = JObject(
+      "version" -> JLong(e.version.toLong),
+      "ts" -> JLong(e.tsMicros),
+      "op" -> JString(e.operation),
+      "schema" -> JString(e.schema.json),
+      "nextFieldId" -> JLong(nextFieldId),
+      "frem" -> JArray(fremIdx.toList.map(idx => JLong(idx.toLong))),
+      "fadd" -> JArray(fadd.toList.map(encodeFile(_, e.schema, kts, dir))),
+      "dvset" -> JArray(dvsetJ),
+      "dvdel" -> JArray(dvdel.map(f => JString(refOf(f, dir)): JValue)),
+      "added" -> JArray(e.added.toList.map(encodeFile(_, e.schema, kts, dir))),
+      "removed" -> JArray(
+        e.removed.toList.map(encodeFile(_, e.schema, kts, dir))),
+      "checks" -> JArray(checksText.toList.sortBy(_._1).map { case (n, t) =>
+        JArray(List(JString(n), JString(t)))
+      }),
+      "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
+        JArray(List(JString(q), JLong(ep)))
+      }))
+    Some(JsonMethods.compact(JsonMethods.render(json)))
+  }
+
   /** One decoded entry: the CommitEntry plus (checks texts, field-id
     * counter, streaming-epoch ledger) the entry carried. */
   final case class DecodedEntry(entry: CommitEntry,
       checksText: Map[String, String], nextFieldId: Long,
       epochs: Map[String, Long])
 
+  /** Decode one log entry. FULL entries (a `files` census — v0,
+    * checkpoints, fallbacks) decode standalone; DELTA entries require
+    * `prev`, the materialized previous state, and reconstruct the
+    * census by carrying the prior FILE OBJECTS through — which is what
+    * keeps identity-based structures (DV keys, the prefix-identity
+    * conflict check) stable across a fold. */
   def decodeEntry(json: String, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
-      registry: TrieMap[String, GraftDataFile]): DecodedEntry = {
+      registry: TrieMap[String, GraftDataFile],
+      prev: Option[CommitEntry] = None): DecodedEntry = {
     val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
     val schema = DataType.fromJson(o("schema").asInstanceOf[JString].s)
       .asInstanceOf[StructType]
@@ -443,16 +604,53 @@ private[sources] object GraftLogCodec {
     def filesOf(key: String): Vector[GraftDataFile] =
       o(key).asInstanceOf[JArray].arr.toVector
         .map(decodeFile(_, schema, kts, dir, registry))
-    val files = filesOf("files")
+    val isDelta = !o.contains("files")
+    def prevState: CommitEntry = prev.getOrElse(
+      throw new IllegalStateException(
+        s"delta log entry v${num(o("version"))} requires the preceding " +
+          "state — fold from an anchor (v0 or a checkpoint)"))
+    val files =
+      if (!isDelta) filesOf("files")
+      else {
+        val p = prevState
+        val rem = o("frem").asInstanceOf[JArray].arr
+          .map(num(_).toInt).toSet
+        p.files.zipWithIndex.collect {
+          case (f, idx) if !rem.contains(idx) => f
+        } ++ filesOf("fadd")
+      }
     val added = filesOf("added")
     val removed = filesOf("removed")
-    val dvs = o("dvs").asInstanceOf[JArray].arr.map {
-      case JArray(List(JString(ref), JArray(ps))) =>
-        val f = registry.getOrElse(ref, throw new IllegalStateException(
-          s"delete vector references unknown segment $ref"))
-        f -> scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
-      case other => throw new IllegalStateException(s"bad dv: $other")
-    }.toMap
+    val dvs =
+      if (!isDelta)
+        o("dvs").asInstanceOf[JArray].arr.map {
+          case JArray(List(JString(ref), JArray(ps))) =>
+            val f = registry.getOrElse(ref, throw new IllegalStateException(
+              s"delete vector references unknown segment $ref"))
+            f -> scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
+          case other => throw new IllegalStateException(s"bad dv: $other")
+        }.toMap
+      else {
+        val p = prevState
+        val dels = o("dvdel").asInstanceOf[JArray].arr
+          .map(_.asInstanceOf[JString].s).toSet
+        val sets = o("dvset").asInstanceOf[JArray].arr.map {
+          case JArray(List(JString(ref), JArray(ps))) =>
+            ref -> scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
+          case other => throw new IllegalStateException(s"bad dvset: $other")
+        }
+        val byRef =
+          if (sets.isEmpty) Map.empty[String, GraftDataFile]
+          else files.iterator.map(f => refOf(f, dir) -> f).toMap
+        val base =
+          if (dels.isEmpty) p.dvs
+          else p.dvs.filter { case (k, _) => !dels.contains(refOf(k, dir)) }
+        base ++ sets.map { case (ref, bs) =>
+          byRef.getOrElse(ref, registry.getOrElse(ref,
+            throw new IllegalStateException(
+              s"delete vector references unknown segment $ref"))) -> bs
+        }
+      }
     val checks = o("checks").asInstanceOf[JArray].arr.map {
       case JArray(List(JString(n), JString(t))) => n -> t
       case other => throw new IllegalStateException(s"bad check: $other")
@@ -584,16 +782,51 @@ private[sources] object GraftDurableLoader {
     store
   }
 
-  /** Replay one table dir's log into a live table. */
+  /** Replay one table dir's log into a live table: find the newest
+    * ANCHOR (v0, or a checkpoint) at or below the retention base, seed
+    * state from it, fold the delta tail on top. Restart cost is one
+    * checkpoint plus O(retained tail) delta entries — never O(all
+    * commits × files). */
   def loadTable(dir: Path): GraftTable = {
     val log = new GraftTableLog(dir)
     val meta = GraftLogCodec.decodeTableMeta(log.readTableMeta())
     val d = new GraftTableDurability(log)
-    val decoded = log.readEntriesFrom(0).map { case (_, json) =>
-      GraftLogCodec.decodeEntry(json, meta.partitionCols, meta.bucketSpec,
-        dir, d.registry)
+    val entryVs = log.listEntryVersions
+    require(entryVs.nonEmpty, s"durable table at $dir has an empty log")
+    val latest = entryVs.last
+    val ckpts = log.listCheckpointVersions.filter(_ <= latest)
+    d.anchors = scala.collection.immutable.SortedSet.empty[Int] ++
+      (if (entryVs.head == 0) ckpts :+ 0 else ckpts)
+    // versions below this are unreadable after the in-memory retention
+    // trim anyway, so the fold never starts below it
+    val base = math.max(entryVs.head,
+      latest - math.max(2, GraftTable.historyRetention) + 1)
+    val start = ckpts.filter(_ <= base) match {
+      case Nil =>
+        require(entryVs.head == 0, s"durable table at $dir: log starts " +
+          s"at v${entryVs.head} with no checkpoint at or below it — " +
+          "the delta tail has no anchor to fold from")
+        None
+      case xs => Some(xs.max)
     }
-    require(decoded.nonEmpty, s"durable table at $dir has an empty log")
+    val buf = Vector.newBuilder[GraftLogCodec.DecodedEntry]
+    var prev: Option[CommitEntry] = None
+    start.foreach { c =>
+      val dec = GraftLogCodec.decodeEntry(log.readCheckpoint(c),
+        meta.partitionCols, meta.bucketSpec, dir, d.registry)
+      buf += dec
+      prev = Some(dec.entry)
+    }
+    val from = prev.map(_.version + 1).getOrElse(0)
+    log.readEntriesFrom(from).foreach { case (v, json) =>
+      require(prev.map(_.version + 1).getOrElse(0) == v,
+        s"durable table at $dir: gap in the commit log at v$v")
+      val dec = GraftLogCodec.decodeEntry(json, meta.partitionCols,
+        meta.bucketSpec, dir, d.registry, prev)
+      buf += dec
+      prev = Some(dec.entry)
+    }
+    val decoded = buf.result()
     val t = new GraftTable(meta.displayName, decoded.last.entry.schema,
       meta.partitionCols, meta.rowLevelMode, meta.bucketSpec)
     t.bootstrapDurable(d, decoded)

@@ -91,13 +91,66 @@ class GraftCommitProtocolSpec extends SparkSpec {
       .as[String].collect().toSeq === Seq("A"))
   }
 
-  test("the log CAS refuses a duplicate commit version") {
-    val dir = java.nio.file.Paths.get(tmpDir("graft-cp-cas"))
-    val log = new GraftTableLog(dir.resolve("t"))
-    log.init()
-    assert(log.writeEntry(7, """{"x":1}"""))
-    assert(!log.writeEntry(7, """{"x":2}"""),
-      "the second writer of one version must lose the CAS")
-    assert(log.readEntriesFrom(0) === Seq((7, """{"x":1}""")))
+  // the protocol primitives behind the GraftLogStore seam, exercised
+  // against BOTH backends: the local-FS hard-link/file-lock impl and
+  // the in-memory conditional-put fake (the object-store shape — no
+  // hard links, no OS locks). Identical behavior pins that the commit
+  // protocol uses nothing a real object store lacks.
+  private val backends: Seq[(String, () => GraftLogStore)] = Seq(
+    ("local-fs", () => GraftLogStore.LocalFs),
+    ("conditional-put", () => new GraftLogStore.InMemoryCas))
+
+  for ((name, mk) <- backends) {
+    test(s"[$name] the log CAS refuses a duplicate commit version") {
+      val dir = java.nio.file.Paths.get(tmpDir(s"graft-cp-cas-$name"))
+      val log = new GraftTableLog(dir.resolve("t"), mk())
+      log.init()
+      assert(log.writeEntry(7, """{"x":1}"""))
+      assert(!log.writeEntry(7, """{"x":2}"""),
+        "the second writer of one version must lose the CAS")
+      assert(log.readEntriesFrom(0) === Seq((7, """{"x":1}""")))
+    }
+
+    test(s"[$name] racing writers of one version: exactly one CAS wins") {
+      val dir = java.nio.file.Paths.get(tmpDir(s"graft-cp-race-$name"))
+      val log = new GraftTableLog(dir.resolve("t"), mk())
+      log.init()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val ts = (1 to 8).map { i =>
+        new Thread(() => {
+          gate.await()
+          if (log.writeEntry(3, s"""{"w":$i}""")) wins.incrementAndGet()
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(wins.get() === 1, "exactly one writer owns a version")
+      assert(log.listEntryVersions === Seq(3))
+    }
+
+    test(s"[$name] the commit lease is mutually exclusive and " +
+        "reentrant per thread") {
+      val dir = java.nio.file.Paths.get(tmpDir(s"graft-cp-lease-$name"))
+      val log = new GraftTableLog(dir.resolve("t"), mk())
+      log.init()
+      var inside = 0
+      var maxInside = 0
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 4).map { _ =>
+        new Thread(() => {
+          gate.await()
+          log.withCommitLock {
+            log.withCommitLock { // reentrant: must not deadlock
+              inside += 1
+              maxInside = math.max(maxInside, inside)
+              Thread.sleep(5)
+              inside -= 1
+            }
+          }
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(maxInside === 1, "the lease must serialize writers")
+    }
   }
 }

@@ -307,6 +307,52 @@ class GraftExecWriteSpec extends SparkSpec {
     }
   }
 
+  test("t$changes over durable commits plans from metadata: ZERO " +
+      "driver-side segment reads, rows stream executor-side (r12)") {
+    val wh = tmpDir("graft-exec-cdf")
+    durableCatalog("xc", wh)
+    spark.sql("CREATE TABLE xc.ns.cdfm (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO xc.ns.cdfm VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO xc.ns.cdfm VALUES (3, 'c')")
+    // OVERWRITE: every old file removed + a fresh file added — the
+    // shape whose multiset diff used to funnel the whole table through
+    // the driver; disjoint key zones prove no cancellation is possible
+    spark.sql("INSERT OVERWRITE xc.ns.cdfm VALUES (9, 'nine')")
+    // COW UPDATE: the rewrite CARRIES unchanged rows — a genuine cancel
+    // component (executor-side signed multiset)
+    spark.sql("INSERT INTO xc.ns.cdfm VALUES (10, 'ten'), (11, 'x')")
+    spark.sql("UPDATE xc.ns.cdfm SET v = 'XX' WHERE id = 11")
+    // baseline AFTER the writes: the reads below must add NOTHING
+    // driver-side (the UPDATE's own spanning-file split is a separate,
+    // acknowledged driver path — not the feed's)
+    val before = dataSegments(wh).map(p =>
+      p -> GraftSegmentIO.driverReadsOf(p)).toMap
+    val ch = spark.sql(
+      "SELECT _commit_version, _change_type, id, v FROM xc.ns.`cdfm$changes` " +
+        "ORDER BY _commit_version, _change_type, id")
+      .as[(Int, String, Long, String)].collect().toSeq
+    assert(ch === Seq(
+      (1, "insert", 1L, "a"), (1, "insert", 2L, "b"),
+      (2, "insert", 3L, "c"),
+      (3, "delete", 1L, "a"), (3, "delete", 2L, "b"),
+      (3, "delete", 3L, "c"), (3, "insert", 9L, "nine"),
+      (4, "insert", 10L, "ten"), (4, "insert", 11L, "x"),
+      (5, "delete", 11L, "x"), (5, "insert", 11L, "XX")),
+      "the feed's minimal-delta semantics must survive the move off " +
+        "the driver")
+    // version-range pruning still works off the derived files' zones
+    val one = spark.sql("SELECT count(*) FROM xc.ns.`cdfm$changes` " +
+      "WHERE _commit_version = 2").as[Long].head()
+    assert(one === 1L)
+    // and the feed reads opened NO segment on the driver — the diff
+    // plans from zone metadata and runs in partition readers
+    dataSegments(wh).foreach { p =>
+      assert(GraftSegmentIO.driverReadsOf(p) === before.getOrElse(p, 0L),
+        s"segment $p was read on the driver by the CDF scan — the " +
+          "multiset diff must run executor-side")
+    }
+  }
+
   test("a streamed RESTORE revival delivers only the view's positions, " +
       "never the full base segment (review finding)") {
     val wh = tmpDir("graft-exec-view")
