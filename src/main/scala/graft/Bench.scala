@@ -244,8 +244,38 @@ object Bench {
     // scraped the archived log tail). The file holds the UNTRUNCATED
     // contract object plus the per-run diagnostics — no log scraping, no
     // archive-window truncation, survives even if stdout is garbled.
+    // g2@sf1 diagnostics leg (non-gating): one more 10x on top of the
+    // bench SF, derived the same way G2ScaleSanitySpec does it (lineitem
+    // replicated 10x with day-shifted ship dates — new silver keys per
+    // copy, so gold row counts genuinely scale). Makes round-over-round
+    // sf1 drift machine-visible in the artifact without gating on this
+    // box's timing noise. Derivation caches across runs in tmp.
+    val g2Sf1 = if (!sfDir.contains("sf0.1")) None else try {
+      import org.apache.spark.sql.functions._
+      val sf1Dir = Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-sf1-derived")
+      val liOut = sf1Dir.resolve("lineitem.parquet")
+      if (!Files.exists(liOut)) {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        (0 until 10).map { i =>
+          li.withColumn("l_shipdate",
+              date_add(col("l_shipdate").cast("date"), i * 11))
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(liOut.toString)
+      }
+      val t0 = System.nanoTime()
+      SparkEntry.queries("g2_gold_lakehouse")(spark, sf1Dir.toString).count()
+      graft.analytics.Caches.release()
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench:g2@sf1] FAILED: $e"); None
+    }
+    val g2Sf1Json = g2Sf1.map(s => s""","g2@sf1":${f3(s)}""").getOrElse("")
     Files.writeString(Paths.get("bench_summary.json"),
-      s"""{"contract":${contractLine(qs, 0)},"detail":$diagLine}""" + "\n")
+      s"""{"contract":${contractLine(qs, 0)},"detail":$diagLine$g2Sf1Json}"""
+        + "\n")
     spark.stop()
   }
 }

@@ -1899,7 +1899,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * read plans like any other scan and streams executor-side. Heap
     * tables (and mid-flight unpersisted records) keep the driver
     * materializer. */
-  private def changeFilesOf(e: CommitEntry): Seq[GraftDataFile] = {
+  private[sources] def changeFilesOf(e: CommitEntry): Seq[GraftDataFile] = {
     if (e.added.isEmpty && e.removed.isEmpty) return Nil
     val outSchema = changesSchema
     val dataSchema = tableSchema
@@ -2263,22 +2263,69 @@ class GraftTable(initialName: String, initialSchema: StructType,
       : (Vector[GraftDataFile], Vector[GraftDataFile]) = {
     val kept = Vector.newBuilder[GraftDataFile]
     val removed = Vector.newBuilder[GraftDataFile]
+    // group-SPANNING persisted files (a post-compaction layout) split
+    // EXECUTOR-side: one task per file reads its segment, routes rows
+    // by group key, writes the gone/stay segments — the driver splices
+    // references (like the OPTIMIZE / DROP COLUMN rebuilds; previously
+    // this was the one remaining driver-side row path)
+    val d0 = durable.orNull
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    val spanning = fs.filter(f =>
+      f.groupKey.isEmpty && f.persisted && f.viewSel.isEmpty)
+    val splitResults: Map[GraftDataFile, GraftSplitResult] =
+      if (d0 == null || sparkOpt.isEmpty || spanning.isEmpty)
+        Map.empty
+      else {
+        val writeId = java.util.UUID.randomUUID().toString.take(12)
+        val schemaJson = tableSchema.json
+        val jobs = spanning.zipWithIndex.map { case (f, i) =>
+          GraftSplitJob(
+            (f.segment.path.toString, f.segment.schema.json,
+              dvs.getOrElse(f, scala.collection.immutable.BitSet.empty)
+                .toArray),
+            d0.log.dir.toString, writeId, i, schemaJson,
+            partitionCols, bucketSpec, touched)
+        }
+        val rs = sparkOpt.get.sparkContext
+          .parallelize(jobs, jobs.length)
+          .map(GraftSplit.run)
+          .collect()
+        spanning.zip(rs).toMap // identity-keyed
+      }
+    def decodeMetas(ms: Array[GraftSegmentMeta]): Seq[GraftDataFile] =
+      ms.toSeq.map { m =>
+        val nf = GraftDataFile.fromSegment(
+          new GraftSegmentHandle(d0.log.dir.resolve(m.rel), tableSchema),
+          m.zones, m.bytes, m.groupKey, m.rowCount)
+        d0.registry.put(m.rel, nf)
+        nf
+      }
     fs.foreach { f =>
       f.groupKey match {
         case Some(k) =>
           // `removed` feeds ONLY the CDC record, so a DV'd file reports
           // its live rows; a kept file keeps its identity (and its DV)
           if (touched(k)) removed ++= cdcLiveView(Vector(f)) else kept += f
-        case None =>
-          val keyOf = boundGroupKey()
-          val (gone, stay) = effRows(f).partition(r => touched(keyOf(r)))
-          if (gone.isEmpty) kept += f
-          else {
-            removed += GraftDataFile.build(gone, tableSchema, keyOfOpt)
-            // rebuilt from live rows → the new file needs no DV
-            if (stay.nonEmpty)
-              kept += GraftDataFile.build(stay, tableSchema, keyOfOpt)
-          }
+        case None => splitResults.get(f) match {
+          case Some(res) =>
+            if (res.goneRows == 0) kept += f // untouched: keep identity
+            else if (res.stayRows == 0) removed ++= cdcLiveView(Vector(f))
+            else {
+              removed ++= decodeMetas(res.gone)
+              // rebuilt from live rows → the new file needs no DV
+              kept ++= decodeMetas(res.stay)
+            }
+          case None =>
+            // heap files (and position views) keep the driver split
+            val keyOf = boundGroupKey()
+            val (gone, stay) = effRows(f).partition(r => touched(keyOf(r)))
+            if (gone.isEmpty) kept += f
+            else {
+              removed += GraftDataFile.build(gone, tableSchema, keyOfOpt)
+              if (stay.nonEmpty)
+                kept += GraftDataFile.build(stay, tableSchema, keyOfOpt)
+            }
+        }
       }
     }
     (kept.result(), removed.result())
@@ -2340,8 +2387,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
       case None => suffix.nonEmpty
       case Some(pred) =>
         val keyOf = boundGroupKey()
-        suffix.exists(f => f.groupKey.map(pred).getOrElse(
-          f.rows.exists(r => pred(keyOf(r)))))
+        suffix.exists(f => f.groupKey.map(pred).getOrElse {
+          // a keyless persisted suffix file would need a segment read
+          // ON THE DRIVER to prove non-overlap — conservatively abort
+          // instead (task-written appends on partitioned tables always
+          // carry keys, so this fires only for exotic concurrent
+          // layouts, and a retry is always safe)
+          f.persisted || f.rows.exists(r => pred(keyOf(r)))
+        })
     }
     if (conflicting)
       throw new java.util.ConcurrentModificationException(
@@ -2916,11 +2969,32 @@ class GraftTable(initialName: String, initialSchema: StructType,
           refreshIfStale()
           val st = readState
           scannedFiles = st._1
-          if (partitionCols.isEmpty)
+          if (partitionCols.isEmpty) {
             // unpartitioned: the whole table is ONE group — the rewrite
-            // reads everything by definition (COW tables carry no DVs)
-            GraftScan.of(tableSchema, st._1.toArray.flatMap(_.rows))
-          else {
+            // reads everything by definition (COW tables carry no DVs),
+            // but persisted segments still STREAM through partition
+            // readers; the driver handles references only
+            val idx = Array.tabulate(tableSchema.length)(identity)
+            val chunks = st._1.map { f =>
+              val dead = st._2.getOrElse(f,
+                scala.collection.immutable.BitSet.empty)
+              if (f.persisted) {
+                val (sel, selEx) = f.viewSel match {
+                  case Some((bs, ex)) => (bs.toArray, ex)
+                  case None => (Array.empty[Int], false)
+                }
+                ScanChunk.lazily(
+                  GraftSegmentScanPartition(f.segment.path.toString,
+                    f.segment.schema.json, idx, dead.toArray, Nil, -1,
+                    sel, selEx),
+                  Map.empty, None, f.rowCount - dead.size,
+                  () => GraftDataFile.liveRows(f.rows, dead))
+              } else ScanChunk(GraftDataFile.liveRows(f.rows, dead),
+                Map.empty)
+            }.toArray
+            new GraftScan(tableSchema, chunks,
+              math.max(1L, st._1.iterator.map(_.sizeBytes).sum))
+          } else {
             // partitioned: hand the scan FILES, not rows — the runtime
             // group filter drops untouched partitions' files before a
             // row (or, durable, a segment byte) is ever read
@@ -3635,6 +3709,11 @@ class GraftScanBuilder(tableSchema: StructType,
     // dead positions; min/max may sit on a deleted row) — never answer
     // from stats on a DV'd table
     if (fs.exists(dvm.contains)) return None
+    // a DERIVED file with an INEXACT count (a CDC cancel component)
+    // carries upper-bound stats and superset zone envelopes — its
+    // rowCount overcounts cancelled rows and its min/max may sit on
+    // one; stats cannot answer any aggregate exactly over it
+    if (fs.exists(_.derive.exists(d => !d.exactCount))) return None
     // group-by columns must be identity partition columns, and grouping
     // requires every file to carry its group key (a post-compaction file
     // spanning groups cannot attribute its stats)
@@ -4556,13 +4635,26 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       // batch — change commits are consumable deltas here, never errors;
       // layout commits yield nothing. Initial position replays every
       // RETAINED commit's changes (bounded by history retention).
+      // Durable commits plan DERIVED partitions (the executor-side
+      // multiset diff, same as the batch t$changes scan); heap commits
+      // keep the driver materializer.
       val entries =
         if (s < 0) table.entriesUpTo(e) else table.entriesBetween(s, e)
+      val csch = table.changesSchema
+      val projIdx = required.fields.map(f => FieldIds.ordinalOf(f, csch))
+      val useDerived = projIdx.forall(_ >= 0)
       return entries.flatMap { entry =>
-        val rows = table.changeRowsOf(entry)
-        if (rows.isEmpty) None
-        else Some(GraftInputPartition(
-          projectTo(table.changesSchema, rows)): InputPartition)
+        table.changeFilesOf(entry).flatMap { f =>
+          f.derive match {
+            case Some(rcp) if useDerived =>
+              Some(rcp.partition(projIdx): InputPartition)
+            case _ =>
+              val rows = f.rows
+              if (rows.isEmpty) None
+              else Some(GraftInputPartition(
+                projectTo(csch, rows)): InputPartition)
+          }
+        }
       }.toArray
     }
     // (commit schema, file, delete vector at that state) per batch file
@@ -4635,6 +4727,7 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         new PartitionReader[InternalRow] {
           private val it = p match {
             case g: GraftInputPartition => g.rows.iterator
+            case c: GraftChangeScanPartition => GraftChangeReads.rowsOf(c)
             case s: GraftSegmentScanPartition => GraftSegmentReads.rowsOf(s)
           }
           private var cur: InternalRow = _

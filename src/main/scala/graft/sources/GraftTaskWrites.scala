@@ -280,6 +280,57 @@ private[sources] final case class GraftCompactJob(
     // exactly ONE segment (1:1 file pairing)
     rewriteProject: Array[Int] = Array.emptyIntArray)
 
+/** Executor-side COW split of ONE group-spanning file: read the
+  * segment, apply the delete vector, route each live row's group key
+  * through the partition predicate, and write the touched rows (the
+  * CDC preimage, `gone`) and untouched rows (`stay`) as fresh
+  * segments. Degenerate outcomes write NOTHING — an untouched file
+  * reports zero gone rows (the driver keeps the original by
+  * reference), a wholly-touched file reports zero stay rows (the
+  * driver removes the original by reference). Everything is
+  * serializable data; the task never sees the table. */
+private[sources] final case class GraftSplitJob(
+    seg: (String, String, Array[Int]), // (absPath, schemaJson, dead)
+    outDir: String, writeId: String, binId: Int,
+    schemaJson: String,
+    partitionCols: Seq[String], bucketSpec: Option[(Int, String)],
+    touched: Seq[Any] => Boolean)
+
+private[sources] final case class GraftSplitResult(
+    goneRows: Int, stayRows: Int,
+    gone: Array[GraftSegmentMeta], stay: Array[GraftSegmentMeta])
+
+private[sources] object GraftSplit {
+  def run(job: GraftSplitJob): GraftSplitResult = {
+    val schema = DataType.fromJson(job.schemaJson).asInstanceOf[StructType]
+    val keyOf =
+      GraftGroupKeys.keyOf(schema, job.partitionCols, job.bucketSpec)
+    val keyFn = keyOf.getOrElse((_: InternalRow) => Nil: Seq[Any])
+    val (p, sj, dead) = job.seg
+    val segSchema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val all = GraftSegmentIO.read(java.nio.file.Paths.get(p), segSchema)
+    val live =
+      if (dead.isEmpty) all
+      else GraftDataFile.liveRows(all,
+        scala.collection.immutable.BitSet.fromSpecific(dead))
+    val (gone, stay) = live.partition(r => job.touched(keyFn(r)))
+    if (gone.isEmpty)
+      return GraftSplitResult(0, stay.length, Array.empty, Array.empty)
+    if (stay.isEmpty)
+      return GraftSplitResult(gone.length, 0, Array.empty, Array.empty)
+    def writeSide(rows: Array[InternalRow],
+        side: String): Array[GraftSegmentMeta] = {
+      val f = GraftDataFile.build(rows, schema, keyOf)
+      val rel = s"data/spl-${job.writeId}-b${job.binId}-$side.parquet"
+      val bytes = GraftSegmentIO.write(
+        java.nio.file.Paths.get(job.outDir).resolve(rel), schema, rows)
+      Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones, f.groupKey))
+    }
+    GraftSplitResult(gone.length, stay.length,
+      writeSide(gone, "g"), writeSide(stay, "s"))
+  }
+}
+
 /** Runs [[GraftCompactJob]]s inside Spark tasks: the 100 TB OPTIMIZE /
   * ZORDER shape — rebuild cost spreads across the cluster and the
   * driver handles only file references, like Delta's distributed

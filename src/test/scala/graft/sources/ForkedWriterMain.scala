@@ -11,12 +11,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * Modes:
   *  - `append <wh> <cat> <tbl> <from> <to>`: one INSERT per id, then
   *    clean exit — the concurrent-writers stress.
+  *  - `mixed <wh> <cat> <tbl> <from> <to>`: INSERTs interleaved with
+  *    MOR MERGE updates (every 5th id), MOR DELETEs (every 11th) and
+  *    OPTIMIZE (every 7th) — the cross-process COW/MOR soak. Conflict
+  *    aborts (ConcurrentModificationException under any wrapping) are
+  *    EXPECTED here; the child retries them, which is the documented
+  *    optimistic-concurrency contract.
   *  - `crash <wh> <cat> <tbl> _ _`: land a writer task's segment like an
   *    in-flight write would, then `halt` WITHOUT committing — the
   *    kill-mid-commit probe. The contract under test: a crash leaves at
   *    worst an unreferenced segment/tmp, never a log entry referencing
   *    missing data (GraftDurability's claim). */
 object ForkedWriterMain {
+
+  private def conflict(e: Throwable): Boolean =
+    e != null &&
+      (e.isInstanceOf[java.util.ConcurrentModificationException] ||
+        conflict(e.getCause))
+
+  private def retry[T](attempts: Int)(body: => T): T = {
+    var left = attempts
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: Throwable if conflict(e) && left > 0 =>
+          left -= 1
+          Thread.sleep(50L + scala.util.Random.nextInt(150))
+      }
+    }
+    out.get
+  }
   def main(args: Array[String]): Unit = {
     val Array(mode, wh, cat, tbl, fromS, toS) = args
     val spark = SparkSession.builder()
@@ -29,11 +54,33 @@ object ForkedWriterMain {
       .getOrCreate()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse.isolated", "true")
+    // a forked JVM is process-isolated by construction; `mixed` keeps
+    // the in-JVM store registered so the maintenance SQL (OPTIMIZE)
+    // resolves its table
+    if (mode != "mixed")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse.isolated", "true")
     mode match {
       case "append" =>
         (fromS.toLong to toS.toLong).foreach { i =>
           spark.sql(s"INSERT INTO $cat.ns.$tbl VALUES ($i, 'w-$cat')")
+        }
+        spark.stop()
+        sys.exit(0)
+      case "mixed" =>
+        val t = s"$cat.ns.$tbl"
+        (fromS.toLong to toS.toLong).foreach { i =>
+          retry(60)(spark.sql(s"INSERT INTO $t VALUES ($i, 'w-$cat')"))
+          if (i % 5 == 0)
+            retry(60)(spark.sql(
+              s"""MERGE INTO $t dst USING (SELECT CAST($i AS BIGINT) AS id)
+                 |src ON dst.id = src.id
+                 |WHEN MATCHED THEN UPDATE SET v = 'm-$cat'
+                 |WHEN NOT MATCHED THEN INSERT (id, v)
+                 |VALUES (src.id, 'mi-$cat')""".stripMargin))
+          if (i % 11 == 0)
+            retry(60)(spark.sql(s"DELETE FROM $t WHERE id = $i"))
+          if (i % 7 == 0)
+            retry(60)(GraftMaintenance.sql(spark, s"OPTIMIZE $t").collect())
         }
         spark.stop()
         sys.exit(0)

@@ -307,6 +307,49 @@ class GraftExecWriteSpec extends SparkSpec {
     }
   }
 
+  test("a COW UPDATE touching a GROUP-SPANNING file splits it in a " +
+      "task: zero driver-side segment reads (r12)") {
+    val wh = tmpDir("graft-exec-span")
+    durableCatalog("xs", wh)
+    spark.sql("CREATE TABLE xs.ns.spn (id BIGINT, state STRING, v STRING) " +
+      "PARTITIONED BY (state)")
+    spark.sql("INSERT INTO xs.ns.spn VALUES (1, 'CA', 'a')")
+    // forge a SPANNING file (mixed partition keys in one batch — the
+    // post-compaction layout the SQL write path never produces)
+    val t = spark.sessionState.catalogManager.catalog("xs")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "spn"))
+    def row(id: Long, st: String, v: String) =
+      new GenericInternalRow(Array[Any](id,
+        UTF8String.fromString(st), UTF8String.fromString(v)))
+        : org.apache.spark.sql.catalyst.InternalRow
+    // a FILE delivery with no uniform key — the post-compaction shape
+    // (a rows delivery would be split per group by buildFiles)
+    val spanFile = GraftDataFile.build(
+      Array(row(2, "CA", "b"), row(3, "TX", "c"), row(4, "TX", "d")),
+      t.schema(), None)
+    t.installAppend(Array[GraftDelivery](
+      GraftFilesDelivery(Vector(spanFile))))
+    assert(t.dataFiles.exists(_.groupKey.isEmpty),
+      "setup must produce a group-spanning file")
+    spark.sql("UPDATE xs.ns.spn SET v = 'Z' WHERE state = 'CA'")
+    assert(spark.sql("SELECT id, v FROM xs.ns.spn ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "Z"), (2L, "Z"), (3L, "c"), (4L, "d")))
+    // the CDC reflects exactly the touched group's rows
+    val ch = spark.sql("SELECT _change_type, id FROM xs.ns.`spn$changes` " +
+      "WHERE _commit_version = 3 ORDER BY _change_type, id")
+      .as[(String, Long)].collect().toSeq
+    assert(ch === Seq(("delete", 1L), ("delete", 2L),
+      ("insert", 1L), ("insert", 2L)))
+    // the spanning file's split ran in a task; nothing was read on the
+    // driver at any point in this warehouse's life
+    dataSegments(wh).foreach { p =>
+      assert(GraftSegmentIO.driverReadsOf(p) === 0L,
+        s"segment $p was read on the driver — the spanning-file split " +
+          "must route through the task runner")
+    }
+  }
+
   test("t$changes over durable commits plans from metadata: ZERO " +
       "driver-side segment reads, rows stream executor-side (r12)") {
     val wh = tmpDir("graft-exec-cdf")

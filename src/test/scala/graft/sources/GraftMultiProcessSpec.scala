@@ -95,6 +95,63 @@ class GraftMultiProcessSpec extends SparkSpec {
     assert(versions.max >= 50, "50 inserts = at least 50 commits")
   }
 
+  test("three forked JVMs mixing appends, MOR MERGE/DELETE and " +
+      "OPTIMIZE converge; the orphan sweep leaves zero reclaimable " +
+      "bytes (r12)") {
+    val wh = tmpDir("graft-mp-mixed")
+    durableCatalog("mpm", wh)
+    spark.sql("CREATE TABLE mpm.ns.mpmx (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+
+    val ranges = Seq((1L, 24L), (25L, 48L), (49L, 72L))
+    val procs = ranges.zipWithIndex.map { case ((a, b), i) =>
+      fork("mixed", wh, s"mw$i", "mpmx", a, b)
+    }
+    procs.foreach { case (p, l) => awaitExit(p, l, 0) }
+
+    // deterministic convergence: each child inserts its range, MERGEs
+    // v on every 5th id, DELETEs every 11th — survivors are the ids
+    // not divisible by 11, with the merged label where applicable
+    val expected = (1L to 72L).filter(_ % 11 != 0)
+    durableCatalog("mpmr", wh, isolated = true)
+    val got = spark.sql("SELECT id, v FROM mpmr.ns.mpmx ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) === expected,
+      "every surviving row lands exactly once across three processes")
+    got.foreach { case (id, v) =>
+      val owner = ranges.indexWhere { case (a, b) => id >= a && id <= b }
+      val want = if (id % 5 == 0) s"m-mw$owner" else s"w-mw$owner"
+      assert(v === want, s"row $id must carry its owner's final label")
+    }
+
+    // gapless log from the retained anchor
+    val tableDir = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      .filter(q => java.nio.file.Files.isRegularFile(q.resolve("table.json")))
+      .findFirst().orElseThrow()
+    import scala.jdk.CollectionConverters._
+    def segSet: Set[String] = java.nio.file.Files
+      .list(tableDir.resolve("data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val versions = java.nio.file.Files.list(tableDir.resolve("log"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toInt)
+      .toSeq.sorted
+    assert(versions === (versions.min to versions.max),
+      s"commit versions must be gapless: $versions")
+
+    // orphan sweep: after one VACUUM, a SECOND process's sweep finds
+    // nothing more to reclaim — zero unreferenced bytes remain — and
+    // the data still reads green
+    GraftMaintenance.sql(spark, "VACUUM mpmr.ns.mpmx").collect()
+    val afterFirst = segSet
+    durableCatalog("mpm2", wh, isolated = true)
+    GraftMaintenance.sql(spark, "VACUUM mpm2.ns.mpmx").collect()
+    assert(segSet === afterFirst,
+      "a fresh process's sweep must find zero unreferenced segments")
+    assert(spark.sql("SELECT id FROM mpm2.ns.mpmx ORDER BY id")
+      .as[Long].collect().toSeq === expected)
+  }
+
   test("a child killed after landing segments but before commit leaves " +
       "only unreferenced files; the warehouse stays healthy") {
     val wh = tmpDir("graft-mp-crash")
