@@ -42,6 +42,56 @@ object BenchGate {
 }
 
 object Bench {
+
+  /** Derive the sf1 lineitem — `sfDir`'s replicated 10x with per-copy
+    * day-shifted ship dates, so the natural keys (which contain the
+    * date) genuinely multiply instead of deduping back — into a shared
+    * tmp cache. CRASH-SAFE: the parquet lands under a temp name and
+    * the whole directory renames into place; validity keys on Spark's
+    * `_SUCCESS` marker, so a killed or racing run can never leave a
+    * partial cache that later runs silently measure. Shared by the
+    * bench's g2@sf1 leg and G2ScaleSanitySpec — one derivation, one
+    * definition. */
+  def deriveSf1Lineitem(spark: SparkSession,
+                        sfDir: String): java.nio.file.Path = {
+    import org.apache.spark.sql.functions._
+    val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-sf1-derived")
+    val marker = root.resolve("lineitem.parquet").resolve("_SUCCESS")
+    if (!Files.exists(marker)) {
+      val tmp = root.resolveSibling("graft-sf1-derived.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until 10).map { i =>
+        li.withColumn("l_shipdate",
+            date_add(col("l_shipdate").cast("date"), i * 11))
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("lineitem.parquet").toString)
+      // sweep any partial cache, then move the derived dir in whole;
+      // losing the install race to a concurrent deriver is fine — the
+      // foreign copy is equivalent data
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists)
+        finally walk.close()
+      }
+      try Files.move(tmp, root)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if Files.exists(marker) =>
+          val walk = Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists)
+          finally walk.close()
+      }
+    }
+    root
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -245,25 +295,11 @@ object Bench {
     // contract object plus the per-run diagnostics — no log scraping, no
     // archive-window truncation, survives even if stdout is garbled.
     // g2@sf1 diagnostics leg (non-gating): one more 10x on top of the
-    // bench SF, derived the same way G2ScaleSanitySpec does it (lineitem
-    // replicated 10x with day-shifted ship dates — new silver keys per
-    // copy, so gold row counts genuinely scale). Makes round-over-round
-    // sf1 drift machine-visible in the artifact without gating on this
-    // box's timing noise. Derivation caches across runs in tmp.
+    // bench SF, shared with G2ScaleSanitySpec via deriveSf1Lineitem.
+    // Makes round-over-round sf1 drift machine-visible in the artifact
+    // without gating on this box's timing noise.
     val g2Sf1 = if (!sfDir.contains("sf0.1")) None else try {
-      import org.apache.spark.sql.functions._
-      val sf1Dir = Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-sf1-derived")
-      val liOut = sf1Dir.resolve("lineitem.parquet")
-      if (!Files.exists(liOut)) {
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        (0 until 10).map { i =>
-          li.withColumn("l_shipdate",
-              date_add(col("l_shipdate").cast("date"), i * 11))
-            .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(liOut.toString)
-      }
+      val sf1Dir = deriveSf1Lineitem(spark, sfDir)
       val t0 = System.nanoTime()
       SparkEntry.queries("g2_gold_lakehouse")(spark, sf1Dir.toString).count()
       graft.analytics.Caches.release()

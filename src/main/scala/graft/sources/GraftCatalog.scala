@@ -502,6 +502,15 @@ private[sources] object FieldIds {
   * representation the rows store, so zone tests never convert per row. */
 final case class ColZone(min: Any, max: Any, nullCount: Long)
 
+object ColZone {
+  /** Boxed compare in the zones' Catalyst-internal representation —
+    * THE zone-value ordering, shared by every consumer (aggregate
+    * pushdown, CDC disjointness, envelope building) so the semantics
+    * cannot drift between copies. */
+  def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+}
+
 /** One immutable data file of a [[GraftTable]]: the rows one writer task
   * delivered in one commit (split per partition group on partitioned
   * tables), plus the file-level statistics a real table format keeps in
@@ -628,7 +637,13 @@ final class GraftDataFile private (
 private[sources] final class GraftDeriveRecipe(
     val exactCount: Boolean,
     val partition: Array[Int] => org.apache.spark.sql.connector.read.InputPartition,
-    val driverRows: () => Array[InternalRow])
+    val driverRows: () => Array[InternalRow],
+    // true only when BOTH the row count and every zone (min/max AND
+    // nullCount) describe the emitted rows exactly — what aggregate
+    // pushdown needs. A pure file over a position VIEW keeps the
+    // base's superset envelope (exact count, inexact zones), so
+    // exactCount alone must not admit it to planAgg.
+    val statsExact: Boolean = true)
 
 object GraftDataFile {
 
@@ -1344,12 +1359,21 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** Replay foreign log entries (version > ours) into this table. */
   private def syncFromLog(d: GraftTableDurability): Unit = {
     val cur = history.last.version
+    // a foreign VACUUM that retired the log PAST this writer frees the
+    // very version numbers it would commit next — a stale CAS would
+    // then FORK the log (our entry invisible to every fold, our base
+    // unreachable). Our own last entry's presence is the cheap witness:
+    // reclaim only ever deletes a prefix below its anchor, so entry
+    // `cur` missing ⇔ the anchor moved past us. Checked inside the
+    // commit lease, so it cannot race another process's reclaim.
+    if (!d.log.hasEntry(cur))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: this writer's base v$cur was retired by another " +
+          "process's VACUUM; re-open the table to continue")
     if (d.log.hasEntry(cur + 1))
       d.log.readEntriesFrom(cur + 1).foreach { case (v, json) =>
         // foreign DELTA entries fold on top of OUR materialized state —
-        // sound only while the tail is contiguous from our version. A
-        // foreign VACUUM that retired entries past us means our replay
-        // base is gone: fail loudly rather than fold onto the wrong prev
+        // sound only while the tail is contiguous from our version
         require(v == history.last.version + 1,
           s"$tableName: commit log gap at v$v (this reader held " +
             s"v${history.last.version}; the tail between was reclaimed)")
@@ -1881,9 +1905,6 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
   }
 
-  private def cmpZ(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
-
   /** CDC pseudo-files of ONE commit. When every change record is
     * persisted (durable tables), the plan is METADATA-ONLY: no segment
     * row is read on the driver. The multiset cancellation the feed's
@@ -1931,7 +1952,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
           za != null && zb != null &&
             za.nullCount == 0L && zb.nullCount == 0L &&
             za.min != null && zb.min != null && {
-              try cmpZ(za.max, zb.min) < 0 || cmpZ(zb.max, za.min) < 0
+              try ColZone.cmp(za.max, zb.min) < 0 ||
+                  ColZone.cmp(zb.max, za.min) < 0
               catch { case _: ClassCastException => false }
             }
         }
@@ -1985,9 +2007,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
               val mins = zs.flatMap(z0 => Option(z0.min))
               val maxs = zs.flatMap(z0 => Option(z0.max))
               val mn = mins.reduceOption((a, b) =>
-                if (cmpZ(a, b) <= 0) a else b).orNull
+                if (ColZone.cmp(a, b) <= 0) a else b).orNull
               val mx = maxs.reduceOption((a, b) =>
-                if (cmpZ(a, b) >= 0) a else b).orNull
+                if (ColZone.cmp(a, b) >= 0) a else b).orNull
               val nulls = zs.iterator.map(_.nullCount).sum
               // CONSERVATIVE null claim under the inexact row count:
               // certain-none / certain-all are transferable; a mix can
@@ -2012,22 +2034,55 @@ class GraftTable(initialName: String, initialSchema: StructType,
           cancel = false, ordMap, dataSchema.json,
           e.version, e.tsMicros, proj),
         driverRows = () => changeRowsSubset(
-          if (insert) Seq(f) else Nil, if (insert) Nil else Seq(f), e))
+          if (insert) Seq(f) else Nil, if (insert) Nil else Seq(f), e),
+        // a position view's zones are the base's superset envelope
+        statsExact = f.viewSel.isEmpty)
       GraftDataFile.derived(recipe, zonesFor(tag, tag, Seq(f), f.rowCount),
         f.sizeBytes, f.rowCount)
     }
-    def cancelFile(as: Seq[GraftDataFile],
-        rs: Seq[GraftDataFile]): GraftDataFile = {
-      val claimed = (as.iterator ++ rs.iterator).map(_.rowCount).sum
-      val recipe = new GraftDeriveRecipe(
-        exactCount = false, // survivors unknown without reading
-        partition = proj => GraftChangeScanPartition(as.map(segOf),
-          rs.map(segOf), cancel = true, ordMap, dataSchema.json,
-          e.version, e.tsMicros, proj),
-        driverRows = () => changeRowsSubset(as, rs, e))
-      GraftDataFile.derived(recipe,
-        zonesFor("delete", "insert", as ++ rs, claimed),
-        (as.iterator ++ rs.iterator).map(_.sizeBytes).sum, claimed)
+    def cancelFiles(as: Seq[GraftDataFile],
+        rs: Seq[GraftDataFile]): Seq[GraftDataFile] = {
+      val claimed = (as.iterator ++ rs.iterator).map(_.rowCount.toLong).sum
+      // hash-slice big components so no single task holds a
+      // table-sized multiset: each slice re-reads the component's
+      // segments but counts only its share of the canonical row space
+      val target = math.max(1L, GraftTable.cdcCancelSliceRows.toLong)
+      val nSlices = math.max(1L, math.min(64L,
+        (claimed + target - 1L) / target)).toInt
+      val perSlice = ((claimed + nSlices - 1L) / nSlices).toInt
+      val bytes = (as.iterator ++ rs.iterator).map(_.sizeBytes).sum
+      val zones = zonesFor("delete", "insert", as ++ rs,
+        math.max(2, perSlice)) // ≥2 keeps the null-ambiguity claim legal
+      (0 until nSlices).map { i =>
+        val recipe = new GraftDeriveRecipe(
+          exactCount = false, // survivors unknown without reading
+          partition = proj => GraftChangeScanPartition(as.map(segOf),
+            rs.map(segOf), cancel = true, ordMap, dataSchema.json,
+            e.version, e.tsMicros, proj, slice = i, nSlices = nSlices),
+          driverRows = () => {
+            // driver fallback of one slice: the full subset diff,
+            // filtered to this slice's share (heap consumers only)
+            val all = changeRowsSubset(as, rs, e)
+            if (nSlices <= 1) all
+            else {
+              // slice on the DATA projection of the emitted row — the
+              // same canonical key the reader hashes
+              val dataLen = dataSchema.length
+              val csch = changesSchema
+              val keyProj = org.apache.spark.sql.catalyst.expressions
+                .UnsafeProjection.create((0 until dataLen).toIndexedSeq
+                  .map(j => org.apache.spark.sql.catalyst.expressions
+                    .BoundReference(3 + j, csch.fields(3 + j).dataType,
+                      nullable = true)
+                    : org.apache.spark.sql.catalyst.expressions.Expression))
+              all.filter(r => java.lang.Math.floorMod(
+                keyProj(r).hashCode, nSlices) == i)
+            }
+          },
+          statsExact = false)
+        GraftDataFile.derived(recipe, zones,
+          math.max(1L, bytes / nSlices), math.max(1, perSlice))
+      }
     }
     val out = Vector.newBuilder[GraftDataFile]
     val comps = (0 until n).groupBy(find)
@@ -2040,7 +2095,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       if (cRems.isEmpty) cAdds.foreach(f => out += pureFile(f, insert = true))
       else if (cAdds.isEmpty)
         cRems.foreach(f => out += pureFile(f, insert = false))
-      else out += cancelFile(cAdds, cRems)
+      else out ++= cancelFiles(cAdds, cRems)
     }
     out.result()
   }
@@ -3053,6 +3108,12 @@ object GraftTable {
     * (explicit VACUUM ignores this — the RETAIN-0 sweep). */
   @volatile var orphanGraceMillis: Long = 10L * 60 * 1000
 
+  /** Max canonical rows one CDC cancel task holds: components whose
+    * claimed row count exceeds this hash-slice across ⌈claimed/this⌉
+    * tasks (capped at 64), bounding per-task memory at the price of
+    * re-reading the component's segments per slice. */
+  @volatile var cdcCancelSliceRows: Int = 1 << 22
+
   /** Every K-th durable commit also writes a FULL-state checkpoint
     * (Delta's periodic parquet checkpoint, JSON here): the anchor a
     * restart folds from and the floor log-entry reclaim can retire
@@ -3688,9 +3749,6 @@ class GraftScanBuilder(tableSchema: StructType,
     Aggregation, Count, CountStar, Max, Min}
   import org.apache.spark.sql.types.{LongType, StructField}
 
-  private def cmpAny(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
-
   private def singleName(
       e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
@@ -3709,11 +3767,14 @@ class GraftScanBuilder(tableSchema: StructType,
     // dead positions; min/max may sit on a deleted row) — never answer
     // from stats on a DV'd table
     if (fs.exists(dvm.contains)) return None
-    // a DERIVED file with an INEXACT count (a CDC cancel component)
-    // carries upper-bound stats and superset zone envelopes — its
-    // rowCount overcounts cancelled rows and its min/max may sit on
-    // one; stats cannot answer any aggregate exactly over it
-    if (fs.exists(_.derive.exists(d => !d.exactCount))) return None
+    // inexact stats cannot answer an aggregate: a DERIVED file without
+    // statsExact (a CDC cancel component's upper bound, or a pure file
+    // over a position view) carries envelope zones whose min/max may
+    // sit on a row it never emits — and a position VIEW in the state
+    // itself (a RESTORE revival) keeps its base's superset envelope
+    // and an ambiguity-encoded nullCount for the same reason
+    if (fs.exists(f => f.viewSel.isDefined ||
+        f.derive.exists(d => !d.statsExact))) return None
     // group-by columns must be identity partition columns, and grouping
     // requires every file to carry its group key (a post-compaction file
     // spanning groups cannot attribute its stats)
@@ -3753,13 +3814,13 @@ class GraftScanBuilder(tableSchema: StructType,
             tableSchema.fields(i).dataType, nullable = true),
           (g: Seq[GraftDataFile]) => g.iterator.map(_.zones(i).min)
             .filter(_ != null)
-            .reduceOption((a, b) => if (cmpAny(a, b) <= 0) a else b).orNull))
+            .reduceOption((a, b) => if (ColZone.cmp(a, b) <= 0) a else b).orNull))
         case m: Max => colOrd(m.column()).map(i => (
           StructField(s"pushed_max_$i",
             tableSchema.fields(i).dataType, nullable = true),
           (g: Seq[GraftDataFile]) => g.iterator.map(_.zones(i).max)
             .filter(_ != null)
-            .reduceOption((a, b) => if (cmpAny(a, b) >= 0) a else b).orNull))
+            .reduceOption((a, b) => if (ColZone.cmp(a, b) >= 0) a else b).orNull))
         case _ => None // SUM/AVG/DISTINCT: stats cannot answer exactly
       }
     if (aggFns.exists(_.isEmpty)) return None
@@ -4099,7 +4160,15 @@ case class GraftChangeScanPartition(
     dataSchemaJson: String,
     version: Int,
     tsMicros: Long,
-    project: Array[Int]) extends InputPartition
+    project: Array[Int],
+    // hash-SLICED cancellation: this partition counts only canonical
+    // rows with hash ≡ slice (mod nSlices). Cancellation is per row
+    // VALUE, so slicing the row space partitions the diff exactly —
+    // a whole-table rewrite's multiset spreads over nSlices tasks with
+    // bounded memory each, instead of one table-sized map (the cost is
+    // nSlices re-reads of the component's segments)
+    slice: Int = 0,
+    nSlices: Int = 1) extends InputPartition
 
 private[sources] object GraftChangeReads {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
@@ -4144,8 +4213,13 @@ private[sources] object GraftChangeReads {
       // pruned projection on the survivors
       val canon = UnsafeProjection.create(canonExprs)
       val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
+      def mine(r: UnsafeRow): Boolean = p.nSlices <= 1 ||
+        java.lang.Math.floorMod(r.hashCode, p.nSlices) == p.slice
       def bump(it: Iterator[InternalRow], d: Int): Unit =
-        it.foreach(r => counts.merge(canon(r).copy(), d, (a, b) => a + b))
+        it.foreach { r =>
+          val k = canon(r)
+          if (mine(k)) counts.merge(k.copy(), d, (a, b) => a + b)
+        }
       bump(p.addSegs.iterator.flatMap(GraftSegmentReads.rowsOf), 1)
       bump(p.remSegs.iterator.flatMap(GraftSegmentReads.rowsOf), -1)
       val ins = outProj("insert", overCanonical = true)

@@ -61,19 +61,9 @@ class G2ScaleSanitySpec extends SparkSpec {
     * gate. */
   test("g2's plan shape holds at sf1 (derived 10x lineitem): dims " +
       "still broadcast at 6M input rows") {
-    val sf1Dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-sf1-derived")
-    val liOut = sf1Dir.resolve("lineitem.parquet")
-    if (!java.nio.file.Files.exists(liOut)) {
-      import org.apache.spark.sql.functions._
-      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-      val tenX = (0 until 10).map { i =>
-        li.withColumn("l_shipdate",
-            date_add(col("l_shipdate").cast("date"), i * 11))
-          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
-      }.reduce(_ unionAll _)
-      tenX.write.mode("overwrite").parquet(liOut.toString)
-    }
+    // shared, crash-safe derivation (one definition — Bench's g2@sf1
+    // diagnostics leg uses the same cache)
+    val sf1Dir = graft.Bench.deriveSf1Lineitem(spark, "/root/testdata/sf0.1")
     val (fpBig, tBig) = runAt("/root/testdata/sf0.1")
     val (fpHuge, tHuge) = runAt(sf1Dir.toString)
     info(f"g2@sf0.1: $tBig%.2fs fingerprint=$fpBig")

@@ -146,6 +146,80 @@ class GraftDeltaLogSpec extends SparkSpec {
       Paths.get("/tmp"), Map.empty, 0L, Map.empty).isDefined)
   }
 
+  test("a stale writer whose base was VACUUMed away fails loudly " +
+      "instead of forking the log at a freed version number") {
+    val wh = tmpDir("graft-dlog-stale")
+    durableCatalog("dsb", wh)
+    spark.sql("CREATE TABLE dsb.ns.t_st (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dsb.ns.t_st VALUES (1, 'a')")
+    // writer A: an isolated second "process" pinned at v1
+    durableCatalog("dsa", wh, isolated = true)
+    assert(spark.sql("SELECT count(*) FROM dsa.ns.t_st").as[Long].head()
+      === 1L)
+    // writer B advances the table and vacuums the tail PAST writer A
+    for (i <- 2 to 8)
+      spark.sql(s"INSERT INTO dsb.ns.t_st VALUES ($i, 'x')")
+    GraftMaintenance.sql(spark, "VACUUM dsb.ns.t_st RETAIN 2 SNAPSHOTS")
+      .collect()
+    // A's next commit would CAS into a version number reclaim just
+    // freed — the resulting entry would be invisible to every fold
+    // (a forked log). It must abort loudly instead.
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO dsa.ns.t_st VALUES (99, 'z')"))
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a conflict abort, got: $e")
+    // B's universe is intact and gapless
+    assert(spark.sql("SELECT count(*) FROM dsb.ns.t_st").as[Long].head()
+      === 8L)
+  }
+
+  test("aggregate pushdown declines on view-backed CDC records: MIN " +
+      "over the feed is the emitted rows', not the base envelope") {
+    val wh = tmpDir("graft-dlog-aggcdc")
+    durableCatalog("dag", wh)
+    spark.sql("CREATE TABLE dag.ns.t_ag (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql("INSERT INTO dag.ns.t_ag VALUES (10, 'a'), (20, 'b'), " +
+      "(30, 'c')")
+    spark.sql("DELETE FROM dag.ns.t_ag WHERE id = 20") // preimage = VIEW
+    // retire the insert commit so the feed holds ONLY the delete's
+    // position view, whose zone envelope still spans the whole base
+    GraftMaintenance.sql(spark, "VACUUM dag.ns.t_ag RETAIN 1 SNAPSHOTS")
+      .collect()
+    val mn = spark.sql("SELECT MIN(id) FROM dag.ns.`t_ag$changes`")
+      .as[Long].head()
+    assert(mn === 20L,
+      "stats over a view's superset envelope must not answer MIN " +
+        "(the envelope says 10; the only emitted row is 20)")
+    assert(spark.sql("SELECT count(*) FROM dag.ns.`t_ag$changes`")
+      .as[Long].head() === 1L)
+  }
+
+  test("hash-sliced cancel components reassemble the exact diff " +
+      "across multiple partitions") {
+    val saved = GraftTable.cdcCancelSliceRows
+    try {
+      GraftTable.cdcCancelSliceRows = 2 // force ~4 slices on 8 rows
+      val wh = tmpDir("graft-dlog-slice")
+      durableCatalog("dsl", wh)
+      spark.sql("CREATE TABLE dsl.ns.t_sl (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO dsl.ns.t_sl VALUES " +
+        "(1,'a'),(2,'b'),(3,'c'),(4,'d')")
+      // COW UPDATE carries rows 1-3 through unchanged: a genuine
+      // cancel component (4 removed + 4 added = 8 claimed rows)
+      spark.sql("UPDATE dsl.ns.t_sl SET v = 'Z' WHERE id = 4")
+      val ch = spark.sql(
+        "SELECT _change_type, id, v FROM dsl.ns.`t_sl$changes` " +
+          "WHERE _commit_version = 2 ORDER BY _change_type, id")
+        .as[(String, Long, String)].collect().toSeq
+      assert(ch === Seq(("delete", 4L, "d"), ("insert", 4L, "Z")),
+        "the sliced multisets must reassemble the minimal delta exactly")
+    } finally GraftTable.cdcCancelSliceRows = saved
+  }
+
   test("merge-on-read DELETE rides the delta as a DV change; the DV " +
       "survives a checkpoint-anchored restart") {
     val savedK = GraftTable.checkpointInterval
