@@ -55,6 +55,16 @@ object TextQueries {
     * shared token run of ≥ WinnowW+2 tokens yields a shared fingerprint. */
   val WinnowW = 4
 
+  /** t37 boilerplate document-frequency threshold: a 10-word chunk
+    * recurring in at least this many documents is template/boilerplate.
+    * 3 is non-vacuous on the harness corpus (15 chunks at sf0.01, from
+    * its constructed duplicate clusters); a web corpus typically sets a
+    * df fraction instead — the plan shape is unchanged. */
+  val BoilerDf = 3
+
+  /** t38 per-source keep cap (the "max docs per domain" curation knob). */
+  val SourceCap = 10
+
   /** t34 integer-PageRank unit mass per node: large enough that three
     * rounds of integer division keep ~9 significant digits. Overflow
     * bound: every intermediate is ≤ 85 × (a node's rank), and a node's
@@ -1426,7 +1436,9 @@ object TextQueries {
           (col("n_hit").cast("double") / col("n_candidates")).as("prec"))
     },
 
-    t34Query
+    t34Query,
+    t37Query,
+    t38Query
   )
 
   /** One duplication-centrality (PageRank-style, exact integer) round:
@@ -1493,5 +1505,102 @@ object TextQueries {
           col("pr").cast("bigint").as("pr"))
         .orderBy(col("pr").desc, col("doc_id"))
         .limit(50)
+    }
+
+  /** Boilerplate-segment removal census (CCNet's line-dedup,
+    * re-expressed over whitespace corpora): segment every document
+    * into non-overlapping 10-word chunks, count each distinct chunk's
+    * document frequency, and flag chunks recurring in >= BoilerDf
+    * docs as boilerplate (navigation bars, license headers, template
+    * footers — the highest-yield web-corpus cleaning step after exact
+    * dedup). Chunking is ARRAY-NATIVE (slice over the token array
+    * inside one projection, then explode the finished list — never a
+    * per-output-row recompute), so the only shuffle is the df groupBy
+    * on the chunk key and the instance-df join is 1:1 per instance —
+    * no pair fan-out, no O(n²), at any corpus size. */
+  private lazy val t37Query: Q =
+    Q("t37_boilerplate_chunks", "TXT-boilerplate,DEDUP-line,A1,A6", {
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l
+         |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |n AS (SELECT doc_id, source, l,
+         |        UNNEST(range(0, CAST(ceil(len(l)/10.0) AS BIGINT))) AS i
+         |      FROM t),
+         |c AS (SELECT doc_id, source,
+         |        array_to_string(l[(i*10+1):(i*10+10)], ' ') AS chunk
+         |      FROM n),
+         |d AS (SELECT chunk, count(DISTINCT doc_id) AS df
+         |      FROM c GROUP BY chunk)
+         |SELECT c.source, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.df >= $BoilerDf THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS boiler_chunks,
+         |  CAST(sum(CASE WHEN d.df >= $BoilerDf THEN length(c.chunk)
+         |    ELSE 0 END) AS BIGINT) AS boiler_chars
+         |FROM c JOIN d ON c.chunk = d.chunk
+         |GROUP BY c.source ORDER BY c.source""".stripMargin
+    }) { (s, dir) =>
+      // chunks computed over the persisted token array INSIDE the
+      // projection; explode sees a finished list (generator children
+      // re-evaluate per output row — see SNIPPETS gotcha)
+      val chunks = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("l"))
+          .filter(size(col("l")) > 0)
+          .select(col("doc_id"), col("source"),
+            expr("transform(sequence(0, cast(ceil(size(l)/10.0) AS INT)" +
+              " - 1, 1), i -> array_join(slice(l, i*10+1, 10), ' '))")
+              .as("chunks"))
+          .select(col("doc_id"), col("source"),
+            explode(col("chunks")).as("chunk")))
+      val df = chunks.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("df"))
+      chunks.join(df, "chunk")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= BoilerDf, 1L).otherwise(0L))
+            .cast("long").as("boiler_chunks"),
+          sum(when(col("df") >= BoilerDf, length(col("chunk")))
+            .otherwise(0)).cast("long").as("boiler_chars"))
+        .orderBy("source")
+    }
+
+  /** Per-source document caps (domain caps in web curation: no
+    * single site may dominate the training mix). The keep-set is a
+    * DETERMINISTIC unbiased sample — rank by md5(doc_id) inside each
+    * source, keep the SourceCap lowest — so reruns and engines agree
+    * bit-for-bit with no RNG. Plan: one source-partitioned rank
+    * window. At 100 TB with a skewed hot source, swap the window for
+    * the t14-style two-phase top-K (per-partition heads, then a
+    * cap-sized final select) — same semantics, bounded memory; the
+    * harness keeps the window shape, which is exact at any source
+    * cardinality. */
+  private lazy val t38Query: Q =
+    Q("t38_source_caps", "CURATE-caps,W4,A1,A7", {
+      s"""WITH r AS (SELECT source, doc_id,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |k AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY h, doc_id) AS rk
+         |      FROM r)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rk <= $SourceCap THEN doc_id ELSE 0 END)
+         |    AS BIGINT) AS kept_id_sum
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val ranked = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("h", "doc_id")))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= SourceCap, 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("rk") <= SourceCap, col("doc_id")).otherwise(0L))
+            .cast("long").as("kept_id_sum"))
+        .orderBy("source")
     }
 }

@@ -198,6 +198,43 @@ class GraftDeltaLogSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("schema evolution and constraints survive a checkpoint-anchored " +
+      "restart (the riskiest fold: schema changes mid-tail)") {
+    val savedK = GraftTable.checkpointInterval
+    try {
+      GraftTable.checkpointInterval = 3
+      val wh = tmpDir("graft-dlog-evo")
+      durableCatalog("dev12", wh)
+      spark.sql("CREATE TABLE dev12.ns.t_ev (id BIGINT, v STRING)")
+      for (i <- 1 to 3)
+        spark.sql(s"INSERT INTO dev12.ns.t_ev VALUES ($i, 'r$i')")
+      // evolve AFTER the v3 checkpoint: the tail carries the wider
+      // schema and the new constraint; the checkpoint the restart
+      // folds from knows neither
+      spark.sql("ALTER TABLE dev12.ns.t_ev ADD COLUMN w INT")       // v4
+      spark.sql("ALTER TABLE dev12.ns.t_ev SET TBLPROPERTIES " +
+        "('constraints.pos' = 'id > 0')")                           // v5
+      spark.sql("INSERT INTO dev12.ns.t_ev VALUES (4, 'r4', 44)")   // v6
+      spark.sql("INSERT INTO dev12.ns.t_ev VALUES (5, 'r5', 55)")   // v7
+      GraftMaintenance.sql(spark, "VACUUM dev12.ns.t_ev RETAIN 4 " +
+        "SNAPSHOTS").collect() // base v4: fold = ckpt(3?) — anchor ≤ 4
+      durableCatalog("dev12b", wh, isolated = true)
+      assert(spark.sql(
+        "SELECT id, v, w FROM dev12b.ns.t_ev ORDER BY id")
+        .as[(Long, String, Option[Int])].collect().toSeq ===
+        Seq((1L, "r1", None), (2L, "r2", None), (3L, "r3", None),
+          (4L, "r4", Some(44)), (5L, "r5", Some(55))),
+        "pre-evolution rows must read NULL in the added column after " +
+          "a checkpoint-anchored restart")
+      // the constraint replayed from the tail still enforces
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO dev12b.ns.t_ev VALUES (-1, 'bad', 0)"))
+      assert(e.getMessage != null)
+      assert(spark.sql("SELECT count(*) FROM dev12b.ns.t_ev")
+        .as[Long].head() === 5L, "the violating row must not land")
+    } finally GraftTable.checkpointInterval = savedK
+  }
+
   test("hash-sliced cancel components reassemble the exact diff " +
       "across multiple partitions") {
     val saved = GraftTable.cdcCancelSliceRows
