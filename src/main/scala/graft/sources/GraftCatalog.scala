@@ -168,7 +168,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       // a second process over the same warehouse (restart and commit-
       // protocol specs drive the full SQL surface through this)
       case Some(path) if options.getBoolean("warehouse.isolated", false) =>
-        GraftTableStore.openIsolated(path)
+        GraftTableStore.openIsolated(path,
+          GraftLogStore.byName(options.get("warehouse.logstore")))
+      case Some(path) if options.get("warehouse.logstore") != null =>
+        GraftDurableLoader.open(path,
+          GraftLogStore.byName(options.get("warehouse.logstore")))
       case Some(path) => GraftTableStore.forWarehouse(path)
       case None => GraftTableStore.global
     }
@@ -320,7 +324,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     store.warehouse.foreach { wh =>
       val dir = GraftDurableLoader.allocateTableDir(
         wh, ident.namespace().toSeq, ident.name())
-      t.attachDurable(new GraftTableDurability(new GraftTableLog(dir)),
+      t.attachDurable(new GraftTableDurability(
+          new GraftTableLog(dir, store.logStore)),
         ident.namespace().toSeq, ident.name())
     }
     // atomic: two concurrent CREATEs must not both succeed (the loser's
@@ -387,7 +392,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   * die with the process — the test-double mode); `Some(path)` backs
   * every table durably under that directory (parquet segments + JSON
   * commit log — tables survive restart and exceed heap). */
-final class GraftStoreState(val warehouse: Option[java.nio.file.Path]) {
+final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
+    val logStore: GraftLogStore = GraftLogStore.LocalFs) {
   val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
   val namespaces: TrieMap[Seq[String], util.Map[String, String]] =
     TrieMap.empty
@@ -420,8 +426,9 @@ object GraftTableStore {
   /** A FRESH store over the warehouse, bypassing the cache — each call
     * replays the on-disk log into independent table objects, exactly what a
     * second process would see. Test/maintenance surface. */
-  def openIsolated(path: String): GraftStoreState =
-    GraftDurableLoader.open(path)
+  def openIsolated(path: String,
+      logStore: GraftLogStore = GraftLogStore.LocalFs): GraftStoreState =
+    GraftDurableLoader.open(path, logStore)
 
   /** All stores this JVM knows (global first) — the search space for
     * store-agnostic resolution (maintenance SQL). */

@@ -86,6 +86,23 @@ trait GraftLogStore {
 }
 
 object GraftLogStore {
+
+  /** One JVM-shared conditional-put fake: the "object store service"
+    * every catalog instance configured with
+    * `warehouse.logstore=conditional-put` talks to — shared so a
+    * restart (an isolated second catalog over the same warehouse)
+    * sees the same CAS name-space, exactly as S3 would. Test surface;
+    * production stays on [[LocalFs]]. */
+  lazy val sharedConditionalPut: InMemoryCas = new InMemoryCas
+
+  /** Resolve a catalog's `warehouse.logstore` option (null = default). */
+  def byName(name: String): GraftLogStore = name match {
+    case null | "" | "local-fs" => LocalFs
+    case "conditional-put" => sharedConditionalPut
+    case other => throw new IllegalArgumentException(
+      s"unknown logstore '$other' (expected local-fs | conditional-put)")
+  }
+
   /** Local-filesystem backend: hard-link CAS (atomic on POSIX; fails
     * loudly with FileAlreadyExists when the version is taken) + an OS
     * file lock for the cross-process lease, nested in a JVM-wide
@@ -745,10 +762,11 @@ private[sources] object GraftDurableLoader {
       case c => f"%%${c.toInt}%04x"
     }.mkString
 
-  def open(warehouse: String): GraftStoreState = {
+  def open(warehouse: String,
+      logStore: GraftLogStore = GraftLogStore.LocalFs): GraftStoreState = {
     val wh = Paths.get(warehouse).toAbsolutePath.normalize
     Files.createDirectories(wh)
-    val store = new GraftStoreState(Some(wh))
+    val store = new GraftStoreState(Some(wh), logStore)
     import scala.jdk.CollectionConverters._
     val nsDir = wh.resolve("_ns")
     if (Files.isDirectory(nsDir)) {
@@ -771,10 +789,10 @@ private[sources] object GraftDurableLoader {
         // table must never make every healthy table inaccessible. Not
         // deleted here: a concurrent creator may be mid-commit between
         // the two writes right now.
-        if (new GraftTableLog(dir).hasAnyEntry) {
-          val t = loadTable(dir)
+        if (new GraftTableLog(dir, logStore).hasAnyEntry) {
+          val t = loadTable(dir, logStore)
           val meta = GraftLogCodec.decodeTableMeta(
-            new GraftTableLog(dir).readTableMeta())
+            new GraftTableLog(dir, logStore).readTableMeta())
           store.tables.put((meta.namespace, meta.name), t)
         }
       }
@@ -787,8 +805,9 @@ private[sources] object GraftDurableLoader {
     * state from it, fold the delta tail on top. Restart cost is one
     * checkpoint plus O(retained tail) delta entries — never O(all
     * commits × files). */
-  def loadTable(dir: Path): GraftTable = {
-    val log = new GraftTableLog(dir)
+  def loadTable(dir: Path,
+      logStore: GraftLogStore = GraftLogStore.LocalFs): GraftTable = {
+    val log = new GraftTableLog(dir, logStore)
     val meta = GraftLogCodec.decodeTableMeta(log.readTableMeta())
     val d = new GraftTableDurability(log)
     val entryVs = log.listEntryVersions

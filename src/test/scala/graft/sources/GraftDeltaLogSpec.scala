@@ -198,6 +198,42 @@ class GraftDeltaLogSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("the durable catalog runs END-TO-END on the conditional-put " +
+      "LogStore: DML, time travel, CDF and restart on the object-store " +
+      "shape") {
+    val wh = tmpDir("graft-dlog-cas")
+    def cat(name: String): Unit = {
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.logstore",
+        "conditional-put")
+    }
+    cat("dcp")
+    spark.sql("CREATE TABLE dcp.ns.t_cp (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dcp.ns.t_cp VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO dcp.ns.t_cp VALUES (3, 'c')")
+    spark.sql("UPDATE dcp.ns.t_cp SET v = 'B' WHERE id = 2")
+    spark.sql("DELETE FROM dcp.ns.t_cp WHERE id = 1")
+    assert(spark.sql("SELECT id, v FROM dcp.ns.t_cp ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((2L, "B"), (3L, "c")))
+    // restart: a fresh isolated catalog against the SAME shared fake —
+    // what a second container sees from the object store
+    cat("dcp2")
+    assert(spark.sql("SELECT id, v FROM dcp2.ns.t_cp ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((2L, "B"), (3L, "c")))
+    assert(spark.sql("SELECT id FROM dcp2.ns.t_cp VERSION AS OF 2 " +
+      "ORDER BY id").as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    val ch = spark.sql("SELECT _change_type, id FROM dcp2.ns.`t_cp$changes` " +
+      "WHERE _commit_version = 3 ORDER BY _change_type, id")
+      .as[(String, Long)].collect().toSeq
+    assert(ch === Seq(("delete", 2L), ("insert", 2L)),
+      "the UPDATE's minimal delta must survive the fake-store restart")
+  }
+
   test("schema evolution and constraints survive a checkpoint-anchored " +
       "restart (the riskiest fold: schema changes mid-tail)") {
     val savedK = GraftTable.checkpointInterval
