@@ -234,6 +234,39 @@ class GraftDeltaLogSpec extends SparkSpec {
       "the UPDATE's minimal delta must survive the fake-store restart")
   }
 
+  test("concurrent writers on the conditional-put LogStore: every " +
+      "append lands exactly once through the fake's lease + CAS") {
+    val wh = tmpDir("graft-dlog-casrace")
+    def cat(name: String): Unit = {
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.logstore",
+        "conditional-put")
+    }
+    cat("dcr")
+    spark.sql("CREATE TABLE dcr.ns.t_cr (id BIGINT, v STRING)")
+    cat("dcr2") // second "process", same shared fake
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(("dcr", 1L to 20L), ("dcr2", 21L to 40L)).map {
+      case (c, ids) => new Thread(() => {
+        gate.await()
+        try ids.foreach(i =>
+          spark.sql(s"INSERT INTO $c.ns.t_cr VALUES ($i, 'w')"))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appends must never conflict: ${errs.peek()}")
+    cat("dcr3")
+    assert(spark.sql("SELECT id FROM dcr3.ns.t_cr ORDER BY id")
+      .as[Long].collect().toSeq === (1L to 40L),
+      "all 40 appends land exactly once on the object-store-shaped " +
+        "backend")
+  }
+
   test("schema evolution and constraints survive a checkpoint-anchored " +
       "restart (the riskiest fold: schema changes mid-tail)") {
     val savedK = GraftTable.checkpointInterval
