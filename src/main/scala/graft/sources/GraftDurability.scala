@@ -183,7 +183,14 @@ object GraftLogStore {
   * a delta (RESTORE swapping in an old census) legally writes the
   * FULL format — decode keys off the entry's own shape. A checkpoint
   * lands every [[GraftTable.checkpointInterval]] commits (and on
-  * explicit VACUUM, anchoring the new retention base). */
+  * explicit VACUUM, anchoring the new retention base).
+  *
+  * Production note: at multi-million-file scale the checkpoint itself
+  * becomes the next cost — Delta splits it into multi-part PARQUET
+  * decoded by executors in parallel. The anchor/fold/reclaim contract
+  * here is format-agnostic (a checkpoint is "any full snapshot a fold
+  * can start from"), so that swap changes [[GraftTableLog]]'s
+  * checkpoint I/O only, not the protocol. */
 private[sources] final class GraftTableLog(val dir: Path,
     val store: GraftLogStore = GraftLogStore.LocalFs) {
   val logDir: Path = dir.resolve("log")
