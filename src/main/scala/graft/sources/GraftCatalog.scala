@@ -170,6 +170,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case Some(path) if options.getBoolean("warehouse.isolated", false) =>
         GraftTableStore.openIsolated(path,
           GraftLogStore.byName(options.get("warehouse.logstore")))
+      // an explicit logstore opens UNCACHED: the per-path store cache
+      // is keyed by path alone and must not hand a LocalFs-backed
+      // store to a catalog that asked for another backend (the fake
+      // itself is JVM-shared, so cross-instance CAS state still holds)
       case Some(path) if options.get("warehouse.logstore") != null =>
         GraftDurableLoader.open(path,
           GraftLogStore.byName(options.get("warehouse.logstore")))
@@ -569,6 +573,13 @@ final class GraftDataFile private (
   private[sources] def viewSel
       : Option[(scala.collection.immutable.BitSet, Boolean)] =
     Option(sel).map((_, selExclude))
+
+  /** [[viewSel]] in the serializable shape scan partitions carry:
+    * (ascending positions, exclude flag); (empty, false) = no view. */
+  private[sources] def selArrays: (Array[Int], Boolean) = viewSel match {
+    case Some((bs, ex)) => (bs.toArray, ex)
+    case None => (Array.empty[Int], false)
+  }
 
   @volatile private var strong: Array[InternalRow] = rows0
   @volatile private[sources] var segment: GraftSegmentHandle = seg0
@@ -1985,10 +1996,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
     def segOf(f: GraftDataFile): GraftSegmentScanPartition = {
       val fs = f.segment.schema
-      val (sel, selEx) = f.viewSel match {
-        case Some((bs, ex)) => (bs.toArray, ex)
-        case None => (Array.empty[Int], false)
-      }
+      val (sel, selEx) = f.selArrays
       GraftSegmentScanPartition(f.segment.path.toString, fs.json,
         Array.tabulate(fs.length)(identity), Array.empty, Nil, -1,
         sel, selEx)
@@ -3041,10 +3049,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
               val dead = st._2.getOrElse(f,
                 scala.collection.immutable.BitSet.empty)
               if (f.persisted) {
-                val (sel, selEx) = f.viewSel match {
-                  case Some((bs, ex)) => (bs.toArray, ex)
-                  case None => (Array.empty[Int], false)
-                }
+                val (sel, selEx) = f.selArrays
                 ScanChunk.lazily(
                   GraftSegmentScanPartition(f.segment.path.toString,
                     f.segment.schema.json, idx, dead.toArray, Nil, -1,
