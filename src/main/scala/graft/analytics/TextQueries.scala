@@ -1438,7 +1438,8 @@ object TextQueries {
 
     t34Query,
     t37Query,
-    t38Query
+    t38Query,
+    t39Query
   )
 
   /** One duplication-centrality (PageRank-style, exact integer) round:
@@ -1603,4 +1604,77 @@ object TextQueries {
             .cast("long").as("kept_id_sum"))
         .orderBy("source")
     }
+
+  /** PII detection + redaction census (the pre-release scrub every
+    * training corpus gets): count email- / IPv4- / phone-shaped spans
+    * per source, how many documents carry any, and the exact char
+    * delta a `<PII>` redaction pass would remove. The synthetic corpus
+    * is digit-free, so each doc first gains a DETERMINISTIC contact
+    * line derived from (doc_id, source) — both engines derive the
+    * identical line, so the regex census is exercised on real matches,
+    * not vacuous zeros. Patterns stay in the syntax subset Java regex
+    * (Spark) and RE2 (DuckDB) interpret identically, and counting uses
+    * non-overlapping leftmost `regexp_extract_all` in both. Pure
+    * per-row map + one source-key aggregate: no shuffle beyond the
+    * final group-by, streams at scan speed at any corpus size. */
+  private lazy val t39Query: Q = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+    val ipv4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phone = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+    // deterministic PII injection: ~1/3 of docs gain an email, ~1/5 an
+    // IPv4, ~1/7 a phone — disjoint pattern shapes, so replacement
+    // order never matters
+    def augSql(t: String, d: String, src: String): String =
+      s"""$t
+         | || (CASE WHEN $d % 3 = 0 THEN ' contact user' || CAST($d AS VARCHAR)
+         |       || '@mail-' || $src || '.org' ELSE '' END)
+         | || (CASE WHEN $d % 5 = 0 THEN ' host 10.' || CAST($d % 200 AS VARCHAR)
+         |       || '.0.' || CAST($d % 250 AS VARCHAR) ELSE '' END)
+         | || (CASE WHEN $d % 7 = 0 THEN ' tel 555-' || CAST(100 + $d % 900 AS VARCHAR)
+         |       || '-' || CAST(1000 + $d % 9000 AS VARCHAR) ELSE '' END)"""
+        .stripMargin.replace("\n", "")
+    Q("t39_pii_census", "CURATE-pii,F14,A1,A5", {
+      val aug = augSql("text", "doc_id", "source")
+      s"""WITH a AS (SELECT doc_id, source, $aug AS t FROM documents),
+         |m AS (SELECT source,
+         |        len(regexp_extract_all(t, '$email')) AS e,
+         |        len(regexp_extract_all(t, '$ipv4')) AS i,
+         |        len(regexp_extract_all(t, '$phone')) AS p,
+         |        strlen(t) - strlen(regexp_replace(regexp_replace(
+         |          regexp_replace(t, '$email', '<PII>', 'g'),
+         |          '$ipv4', '<PII>', 'g'),
+         |          '$phone', '<PII>', 'g')) AS gone
+         |      FROM a)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_pii,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(i) AS BIGINT) AS n_ipv4,
+         |  CAST(sum(p) AS BIGINT) AS n_phones,
+         |  CAST(sum(gone) AS BIGINT) AS chars_redacted
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val aug = expr(augSql("text", "doc_id", "source")
+        .replace("AS VARCHAR", "AS STRING"))
+      val red = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        lit(email), lit("<PII>")), lit(ipv4), lit("<PII>")),
+        lit(phone), lit("<PII>"))
+      Tables.documents(s, dir)
+        .select(col("source"), aug.as("t"))
+        .select(col("source"),
+          size(expr(s"regexp_extract_all(t, '$email', 0)")).as("e"),
+          size(expr(s"regexp_extract_all(t, '$ipv4', 0)")).as("i"),
+          size(expr(s"regexp_extract_all(t, '$phone', 0)")).as("p"),
+          (length(col("t")) - length(red)).as("gone"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_pii"),
+          sum(col("e")).cast("long").as("n_emails"),
+          sum(col("i")).cast("long").as("n_ipv4"),
+          sum(col("p")).cast("long").as("n_phones"),
+          sum(col("gone")).cast("long").as("chars_redacted"))
+        .orderBy("source")
+    }
+  }
 }

@@ -1497,9 +1497,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
           "a writer outside the commit lease raced this commit; retry")
     // periodic anchor: a full-state checkpoint every K commits bounds
     // restart replay to one checkpoint + a K-to-retention-sized tail,
-    // and is what lets reclaim retire the delta entries below it
+    // and is what lets reclaim retire the delta entries below it.
+    // Large censuses split into multi-part payloads (manifest CAS'd
+    // last) so the fold decodes them in parallel
     if (e.version > 0 && e.version % GraftTable.checkpointInterval == 0) {
-      d.log.writeCheckpoint(e.version, full)
+      val (manifest, parts) = GraftLogCodec.encodeCheckpoint(e,
+        partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
+        epochLedger, GraftTable.checkpointPartFiles)
+      d.log.installCheckpoint(e.version, manifest, parts)
       d.addAnchor(e.version)
     }
   }
@@ -1541,9 +1546,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
         if (h.schema == tableSchema)
           checks.map { case (k, c) => k -> c.text }
         else Map.empty[String, String]
-      d.log.writeCheckpoint(base, GraftLogCodec.encodeEntry(h,
+      val (manifest, parts) = GraftLogCodec.encodeCheckpoint(h,
         partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
-        epochLedger))
+        epochLedger, GraftTable.checkpointPartFiles)
+      d.log.installCheckpoint(base, manifest, parts)
       d.addAnchor(base)
       floor = base
     }
@@ -3132,6 +3138,13 @@ object GraftTable {
     * delta entries below. Smaller = faster restarts + tighter reclaim,
     * at an O(files) metadata write each K commits. */
   @volatile var checkpointInterval: Int = 16
+
+  /** Max census files one checkpoint payload holds inline: bigger
+    * censuses split into ⌈files/this⌉ sibling PART files plus a
+    * manifest CAS'd last (Delta's multi-part checkpoint shape), so a
+    * restart fold reads and decodes the census in parallel instead of
+    * one O(table) blob on one thread. */
+  @volatile var checkpointPartFiles: Int = 1 << 14
 }
 
 /** Write of a [[GraftTable]]: on PARTITIONED tables it REQUESTS a

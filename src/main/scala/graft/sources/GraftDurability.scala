@@ -185,12 +185,16 @@ object GraftLogStore {
   * lands every [[GraftTable.checkpointInterval]] commits (and on
   * explicit VACUUM, anchoring the new retention base).
   *
-  * Production note: at multi-million-file scale the checkpoint itself
-  * becomes the next cost — Delta splits it into multi-part PARQUET
-  * decoded by executors in parallel. The anchor/fold/reclaim contract
-  * here is format-agnostic (a checkpoint is "any full snapshot a fold
-  * can start from"), so that swap changes [[GraftTableLog]]'s
-  * checkpoint I/O only, not the protocol. */
+  * At multi-million-file scale the checkpoint itself is the next
+  * cost, so censuses past [[GraftTable.checkpointPartFiles]] split
+  * into MULTI-PART checkpoints (Delta's layout): sibling
+  * `<v>.part-<i>-of-<n>.json` slices written first, the manifest
+  * CAS'd last as the atomic visibility flip, and the fold reads +
+  * decodes the parts concurrently. The anchor/fold/reclaim contract is
+  * format-agnostic (a checkpoint is "any full snapshot a fold can
+  * start from"), so swapping the part payloads to parquet for
+  * executor-side decode changes [[GraftTableLog]]'s part I/O only,
+  * not the protocol. */
 private[sources] final class GraftTableLog(val dir: Path,
     val store: GraftLogStore = GraftLogStore.LocalFs) {
   val logDir: Path = dir.resolve("log")
@@ -256,15 +260,34 @@ private[sources] final class GraftTableLog(val dir: Path,
   /** Checkpoint versions on disk, ascending (names only). */
   def listCheckpointVersions: Seq[Int] = listVersions(ckptDir)
 
-  /** CAS-install checkpoint `v` (a FULL-format entry JSON). Losing the
-    * race is fine — the foreign copy is byte-equivalent state. */
-  def writeCheckpoint(v: Int, json: String): Boolean = {
+  /** `ckpt/<v>.part-<i>-of-<n>.json` — one slice of a multi-part
+    * checkpoint's census. The name never matches [[listVersions]]'s
+    * 16-char manifest pattern, so parts are invisible to anchor
+    * discovery: only the manifest CAS flips the checkpoint live. */
+  def ckptPartPath(v: Int, i: Int, n: Int): Path =
+    ckptDir.resolve(f"$v%011d.part-$i-of-$n.json")
+
+  /** CAS-install checkpoint `v`: part payloads FIRST, the manifest
+    * LAST, so [[listCheckpointVersions]] (manifest names only) flips
+    * the whole checkpoint visible atomically — a crash mid-parts
+    * leaves unreadable orphans the next VACUUM sweeps, never a
+    * half-anchor a fold could start from. Losing any CAS race is fine:
+    * checkpoint content is a pure function of the log state at `v`, so
+    * the foreign copy is byte-equivalent. */
+  def installCheckpoint(v: Int, manifest: String,
+      parts: Seq[String] = Nil): Boolean = {
     Files.createDirectories(ckptDir)
-    store.putIfAbsent(ckptPath(v), json.getBytes(UTF_8))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      store.putIfAbsent(ckptPartPath(v, i, parts.length), p.getBytes(UTF_8))
+    }
+    store.putIfAbsent(ckptPath(v), manifest.getBytes(UTF_8))
   }
 
   def readCheckpoint(v: Int): String =
     new String(Files.readAllBytes(ckptPath(v)), UTF_8)
+
+  def readCheckpointPart(v: Int, i: Int, n: Int): String =
+    new String(Files.readAllBytes(ckptPartPath(v, i, n)), UTF_8)
 
   def writeTableMeta(json: String): Unit = {
     val tmp = dir.resolve("table.json.tmp")
@@ -308,6 +331,27 @@ private[sources] final class GraftTableLog(val dir: Path,
     // never be a fold start again (the anchor AT oldestRetained stays)
     listCheckpointVersions.foreach { v =>
       if (v < oldestRetained) Files.deleteIfExists(ckptPath(v))
+    }
+    // part payloads ride their manifest's fate; additionally, a part
+    // whose manifest never landed (a checkpointer crashed mid-parts) is
+    // unreadable by construction — explicit VACUUM (minAge 0, under the
+    // commit lease, so no checkpoint install is concurrently mid-write)
+    // sweeps those orphans at any version
+    if (Files.isDirectory(ckptDir)) {
+      val manifests = listCheckpointVersions.toSet
+      val s = Files.list(ckptDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.length > 16 && name.contains(".part-")) {
+            val v = name.take(11).toInt
+            if (v < oldestRetained ||
+                (minAgeMillis <= 0L && !manifests.contains(v)))
+              Files.deleteIfExists(p)
+          }
+        }
+      } finally s.close()
     }
     if (Files.isDirectory(dataDir)) {
       val cutoff = System.currentTimeMillis() - minAgeMillis
@@ -496,6 +540,43 @@ private[sources] object GraftLogCodec {
       checksText: Map[String, String], nextFieldId: Long,
       epochs: Map[String, Long] = Map.empty): String = {
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
+    fullEntryJson(e, kts, dir, checksText, nextFieldId, epochs,
+      "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))))
+  }
+
+  /** Serialize a full-state CHECKPOINT, splitting the file census into
+    * `ceil(files / partFiles)`-sized part payloads once it exceeds one
+    * part — Delta's multi-part checkpoint, re-expressed over this log's
+    * JSON: the manifest keeps every O(commit)-sized field (schema, CDC
+    * vectors, DVs, checks, epochs) plus `"fparts": n`, and each part is
+    * an independently decodable JSON array holding one in-order slice
+    * of the census, so a restart fold reads and decodes the parts in
+    * parallel instead of paying one O(table) blob on a single thread.
+    * Censuses at or under `partFiles` stay single-file (the manifest IS
+    * the full entry — byte-identical to [[encodeEntry]]). */
+  def encodeCheckpoint(e: CommitEntry, partitionCols: Seq[String],
+      bucketSpec: Option[(Int, String)], dir: Path,
+      checksText: Map[String, String], nextFieldId: Long,
+      epochs: Map[String, Long], partFiles: Int): (String, Seq[String]) = {
+    if (partFiles <= 0 || e.files.length <= partFiles)
+      return (encodeEntry(e, partitionCols, bucketSpec, dir, checksText,
+        nextFieldId, epochs), Nil)
+    val kts = keyTypes(e.schema, partitionCols, bucketSpec)
+    val parts = e.files.grouped(partFiles).map { slice =>
+      JsonMethods.compact(JsonMethods.render(
+        JArray(slice.toList.map(encodeFile(_, e.schema, kts, dir)))))
+    }.toVector
+    val manifest = fullEntryJson(e, kts, dir, checksText, nextFieldId,
+      epochs, "fparts" -> JLong(parts.length.toLong))
+    (manifest, parts)
+  }
+
+  /** The FULL entry layout shared by log entries and checkpoint
+    * manifests; `filesField` is the census — inline (`"files"`) or
+    * sliced out into parts (`"fparts"`). */
+  private def fullEntryJson(e: CommitEntry, kts: Seq[DataType], dir: Path,
+      checksText: Map[String, String], nextFieldId: Long,
+      epochs: Map[String, Long], filesField: (String, JValue)): String = {
     val dvsJ = e.dvs.toList.map { case (f, bs) =>
       JArray(List(JString(refOf(f, dir)),
         JArray(bs.toList.map(p => JLong(p.toLong)))))
@@ -506,7 +587,7 @@ private[sources] object GraftLogCodec {
       "op" -> JString(e.operation),
       "schema" -> JString(e.schema.json),
       "nextFieldId" -> JLong(nextFieldId),
-      "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))),
+      filesField,
       "added" -> JArray(e.added.toList.map(encodeFile(_, e.schema, kts, dir))),
       "removed" -> JArray(
         e.removed.toList.map(encodeFile(_, e.schema, kts, dir))),
@@ -617,10 +698,19 @@ private[sources] object GraftLogCodec {
     * census by carrying the prior FILE OBJECTS through — which is what
     * keeps identity-based structures (DV keys, the prefix-identity
     * conflict check) stable across a fold. */
+  /** Default part reader: FULL and DELTA entries never reference
+    * checkpoint parts, so hitting this means a multi-part manifest was
+    * decoded without handing it the table log's part files. */
+  val noPartReader: (Int, Int) => String = (i, n) =>
+    throw new IllegalStateException(
+      s"entry references checkpoint part $i of $n but no part reader " +
+        "was supplied — multi-part manifests decode only via their log")
+
   def decodeEntry(json: String, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
       registry: TrieMap[String, GraftDataFile],
-      prev: Option[CommitEntry] = None): DecodedEntry = {
+      prev: Option[CommitEntry] = None,
+      partReader: (Int, Int) => String = noPartReader): DecodedEntry = {
     val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
     val schema = DataType.fromJson(o("schema").asInstanceOf[JString].s)
       .asInstanceOf[StructType]
@@ -628,13 +718,29 @@ private[sources] object GraftLogCodec {
     def filesOf(key: String): Vector[GraftDataFile] =
       o(key).asInstanceOf[JArray].arr.toVector
         .map(decodeFile(_, schema, kts, dir, registry))
-    val isDelta = !o.contains("files")
+    // multi-part checkpoint manifest: the census lives in n sibling
+    // part files, each an independent JSON array slice — read AND parse
+    // them concurrently (decodeFile touches only the thread-safe
+    // registry), then splice the slices back in order
+    def filesFromParts(n: Int): Vector[GraftDataFile] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val slices = (0 until n).map(i => Future {
+        JsonMethods.parse(partReader(i, n)).asInstanceOf[JArray]
+          .arr.toVector.map(decodeFile(_, schema, kts, dir, registry))
+      })
+      Await.result(Future.sequence(slices), Duration.Inf)
+        .toVector.flatten
+    }
+    val isDelta = !o.contains("files") && !o.contains("fparts")
     def prevState: CommitEntry = prev.getOrElse(
       throw new IllegalStateException(
         s"delta log entry v${num(o("version"))} requires the preceding " +
           "state — fold from an anchor (v0 or a checkpoint)"))
     val files =
-      if (!isDelta) filesOf("files")
+      if (o.contains("fparts")) filesFromParts(num(o("fparts")).toInt)
+      else if (!isDelta) filesOf("files")
       else {
         val p = prevState
         val rem = o("frem").asInstanceOf[JArray].arr
@@ -839,7 +945,8 @@ private[sources] object GraftDurableLoader {
     var prev: Option[CommitEntry] = None
     start.foreach { c =>
       val dec = GraftLogCodec.decodeEntry(log.readCheckpoint(c),
-        meta.partitionCols, meta.bucketSpec, dir, d.registry)
+        meta.partitionCols, meta.bucketSpec, dir, d.registry,
+        partReader = (i, n) => log.readCheckpointPart(c, i, n))
       buf += dec
       prev = Some(dec.entry)
     }

@@ -326,6 +326,82 @@ class GraftDeltaLogSpec extends SparkSpec {
     } finally GraftTable.cdcCancelSliceRows = saved
   }
 
+  test("a census past the part threshold checkpoints MULTI-PART: the " +
+      "manifest carries no inline files, the fold splices the parts, " +
+      "and restart parity holds from the sliced anchor") {
+    val savedK = GraftTable.checkpointInterval
+    val savedP = GraftTable.checkpointPartFiles
+    try {
+      GraftTable.checkpointInterval = 6
+      GraftTable.checkpointPartFiles = 4
+      val wh = tmpDir("graft-dlog-mpart")
+      durableCatalog("dmp", wh)
+      spark.sql("CREATE TABLE dmp.ns.t_mp (id BIGINT, v STRING)")
+      for (i <- 1 to 12) // 12 single-file commits → census of 12 files
+        spark.sql(s"INSERT INTO dmp.ns.t_mp VALUES ($i, 'r$i')")
+      val td = tableDir(wh)
+      val manifest = new String(Files.readAllBytes(
+        td.resolve("ckpt").resolve(f"${12}%011d.json")), "UTF-8")
+      assert(!manifest.contains("\"files\"") &&
+        manifest.contains("\"fparts\""),
+        "a 12-file census over a 4-file part cap must slice out of the " +
+          "manifest")
+      val parts = (0 until 3).map(i =>
+        td.resolve("ckpt").resolve(f"${12}%011d.part-$i-of-3.json"))
+      assert(parts.forall(Files.isRegularFile(_)),
+        s"expected 3 part payloads, found: ${Files.list(td.resolve("ckpt"))
+          .toArray.mkString(", ")}")
+      // retire everything below the newest anchor: the restart fold has
+      // ONLY the multi-part checkpoint to start from
+      GraftMaintenance.sql(spark, "VACUUM dmp.ns.t_mp RETAIN 1 SNAPSHOTS")
+        .collect()
+      assert(listVersions(td.resolve("log")) === Seq(12))
+      durableCatalog("dmp2", wh, isolated = true)
+      assert(spark.sql("SELECT id FROM dmp2.ns.t_mp ORDER BY id")
+        .as[Long].collect().toSeq === (1L to 12L),
+        "the fold must reassemble the census from the part slices in " +
+          "order")
+      // and the reopened table keeps writing + zone-pruning normally
+      spark.sql("INSERT INTO dmp2.ns.t_mp VALUES (13, 'r13')")
+      assert(spark.sql("SELECT count(*) FROM dmp2.ns.t_mp WHERE id > 11")
+        .as[Long].head() === 2L)
+    } finally {
+      GraftTable.checkpointInterval = savedK
+      GraftTable.checkpointPartFiles = savedP
+    }
+  }
+
+  test("a checkpointer that crashes mid-parts leaves NO readable " +
+      "anchor: the orphan parts are invisible to the fold and swept by " +
+      "the next VACUUM") {
+    val wh = tmpDir("graft-dlog-mpcrash")
+    durableCatalog("dmc", wh)
+    spark.sql("CREATE TABLE dmc.ns.t_mc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dmc.ns.t_mc VALUES (1, 'a')")
+    spark.sql("INSERT INTO dmc.ns.t_mc VALUES (2, 'b')")
+    val td = tableDir(wh)
+    // simulate a foreign checkpointer that died between the part CAS
+    // and the manifest CAS: parts on disk, no <v>.json
+    val orphan0 = td.resolve("ckpt").resolve(f"${2}%011d.part-0-of-2.json")
+    val orphan1 = td.resolve("ckpt").resolve(f"${2}%011d.part-1-of-2.json")
+    Files.createDirectories(td.resolve("ckpt"))
+    Files.write(orphan0, "[]".getBytes("UTF-8"))
+    Files.write(orphan1, "[]".getBytes("UTF-8"))
+    // restart: anchor discovery lists MANIFESTS only — the fold starts
+    // from v0 as if the crashed checkpoint never happened
+    durableCatalog("dmc2", wh, isolated = true)
+    assert(spark.sql("SELECT id FROM dmc2.ns.t_mc ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L),
+      "half-written checkpoint parts must never seed a fold")
+    // explicit VACUUM (under the commit lease, no install in flight)
+    // sweeps the unreadable orphans at ANY version
+    GraftMaintenance.sql(spark, "VACUUM dmc2.ns.t_mc RETAIN 10 SNAPSHOTS")
+      .collect()
+    assert(!Files.exists(orphan0) && !Files.exists(orphan1),
+      "manifest-less part payloads are dead bytes — VACUUM must sweep " +
+        "them")
+  }
+
   test("merge-on-read DELETE rides the delta as a DV change; the DV " +
       "survives a checkpoint-anchored restart") {
     val savedK = GraftTable.checkpointInterval
