@@ -3292,16 +3292,25 @@ case class GraftDeltaMessage(deletes: Array[(Int, Int)],
 object GraftMaintenance {
   final case class OptimizeResult(filesBefore: Int, filesAfter: Int)
 
-  // store-agnostic: maintenance statements address tables in the global
-  // in-JVM store AND any opened durable warehouse store
-  private def resolve(namespace: Seq[String], table: String): GraftTable =
-    GraftTableStore.lookup(namespace, table).getOrElse(
+  // store-agnostic by default: maintenance statements address tables in
+  // the global in-JVM store AND any opened durable warehouse store. A
+  // CATALOG-qualified statement passes that catalog's store as `scope`
+  // instead — two warehouses may both hold an `ns.t`, and
+  // `VACUUM cat_a.ns.t` acting on cat_b's table would be silent
+  // cross-warehouse damage
+  private def resolve(namespace: Seq[String], table: String,
+                      scope: Option[GraftStoreState] = None): GraftTable =
+    (scope match {
+      case Some(st) => st.tables.get((namespace, table))
+      case None => GraftTableStore.lookup(namespace, table)
+    }).getOrElse(
       throw new NoSuchTableException(
         Identifier.of(namespace.toArray, table)))
 
   def optimize(namespace: Seq[String], table: String,
-               targetRows: Int = 1 << 20): OptimizeResult = {
-    val (b, a) = resolve(namespace, table).optimizeCompact(targetRows)
+               targetRows: Int = 1 << 20,
+               scope: Option[GraftStoreState] = None): OptimizeResult = {
+    val (b, a) = resolve(namespace, table, scope).optimizeCompact(targetRows)
     OptimizeResult(b, a)
   }
 
@@ -3337,8 +3346,9 @@ object GraftMaintenance {
   /** `VACUUM`: retire all but the last `keepLast` snapshots immediately
     * (history retention is the sliding backstop; this is the explicit
     * reclaim). Returns the number of snapshots retired. */
-  def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1): Int =
-    resolve(namespace, table).vacuumHistory(keepLast)
+  def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1,
+             scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).vacuumHistory(keepLast)
 
   /** CLONE REPLACE: deep-copy a shallow clone's shared segments into
     * the clone's own storage so the source can be vacuumed without
@@ -3372,8 +3382,9 @@ object GraftMaintenance {
     * moves forward, time travel still sees the undone commits, and the
     * change data feed records the restore's row-level delta. File
     * references are adopted, never copied. */
-  def restore(namespace: Seq[String], table: String, version: Int): Unit =
-    resolve(namespace, table).restoreTo(version,
+  def restore(namespace: Seq[String], table: String, version: Int,
+              scope: Option[GraftStoreState] = None): Unit =
+    resolve(namespace, table, scope).restoreTo(version,
       Identifier.of(namespace.toArray, table))
 
   /** `OPTIMIZE ZORDER BY`: re-layout the table's files along the Morton
@@ -3381,8 +3392,10 @@ object GraftMaintenance {
     * selective scans prune files by zone map — see
     * [[GraftTable.zorderCompact]]. */
   def zorderBy(namespace: Seq[String], table: String, cols: Seq[String],
-               targetRows: Int = 1 << 20): OptimizeResult = {
-    val (b, a) = resolve(namespace, table).zorderCompact(cols, targetRows)
+               targetRows: Int = 1 << 20,
+               scope: Option[GraftStoreState] = None): OptimizeResult = {
+    val (b, a) =
+      resolve(namespace, table, scope).zorderCompact(cols, targetRows)
     OptimizeResult(b, a)
   }
 }

@@ -96,21 +96,38 @@ object GraftSqlParser {
       catch { case scala.util.control.NonFatal(_) => false }
     }
 
+  /** The store behind a registered [[GraftCatalog]], for scoping a
+    * catalog-qualified maintenance statement to exactly that catalog's
+    * warehouse. */
+  private def catalogStore(session: Option[SparkSession],
+                           name: String): Option[GraftStoreState] =
+    session.flatMap { s =>
+      try s.sessionState.catalogManager.catalog(name) match {
+        case g: GraftCatalog => Some(g.store)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Resolve parts to a store key AT RUN TIME: when the leading part is
-    * a registered graft catalog, it is a catalog reference and strips;
-    * otherwise the full parts are a nested namespace, with a
-    * catalog-stripped fallback only when the full key does not exist
-    * (sessions without a bound SparkSession — the gateway — keep the
-    * permissive historical behavior). */
-  private def resolve(parts: Seq[String],
-                      session: Option[SparkSession]): (Seq[String], String) = {
+    * a registered graft catalog, it is a catalog reference — it strips,
+    * and the lookup SCOPES to that catalog's own store (two warehouses
+    * may both hold an `ns.t`; a cross-store match would silently act on
+    * the wrong table). Otherwise the full parts are a nested namespace
+    * resolved across every known store, with a catalog-stripped
+    * fallback only when the full key does not exist (sessions without a
+    * bound SparkSession — the gateway — keep the permissive historical
+    * behavior). */
+  private def resolve(parts: Seq[String], session: Option[SparkSession])
+      : (Seq[String], String, Option[GraftStoreState]) = {
     val stripped = (parts.tail.dropRight(1), parts.last)
     val full = (parts.dropRight(1), parts.last)
-    if (parts.length >= 3 && isGraftCatalog(session, parts.head)) stripped
-    else if (GraftTableStore.keyExists(full)) full
+    if (parts.length >= 3 && isGraftCatalog(session, parts.head))
+      (stripped._1, stripped._2, catalogStore(session, parts.head))
+    else if (GraftTableStore.keyExists(full)) (full._1, full._2, None)
     else if (parts.length >= 3 &&
-        GraftTableStore.keyExists(stripped)) stripped
-    else full
+        GraftTableStore.keyExists(stripped))
+      (stripped._1, stripped._2, None)
+    else (full._1, full._2, None)
   }
 
   private def out(names: String*): Seq[Attribute] =
@@ -140,12 +157,13 @@ object GraftSqlParser {
           val rows = Option(target).map(_.toInt).getOrElse(1 << 20)
           GraftMaintenanceCommand(
             out("files_before", "files_after"), _ => {
-              val (ns, t) = resolve(parts, session)
+              val (ns, t, scope) = resolve(parts, session)
               val r =
-                if (zcols == null) GraftMaintenance.optimize(ns, t, rows)
+                if (zcols == null)
+                  GraftMaintenance.optimize(ns, t, rows, scope)
                 else GraftMaintenance.zorderBy(ns, t,
                   zcols.split(',').toSeq.map(_.trim.stripPrefix("`")
-                    .stripSuffix("`")).filter(_.nonEmpty), rows)
+                    .stripSuffix("`")).filter(_.nonEmpty), rows, scope)
               Seq(Row(r.filesBefore, r.filesAfter))
             })
         }
@@ -153,15 +171,15 @@ object GraftSqlParser {
         split(ident).filter(claims(_, session)).map { parts =>
           val keepLast = Option(keep).map(_.toInt).getOrElse(1)
           GraftMaintenanceCommand(out("snapshots_retired"), _ => {
-            val (ns, t) = resolve(parts, session)
-            Seq(Row(GraftMaintenance.vacuum(ns, t, keepLast)))
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.vacuum(ns, t, keepLast, scope)))
           })
         }
       case Restore(ident, v) =>
         split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(out("restored_to_version"), _ => {
-            val (ns, t) = resolve(parts, session)
-            GraftMaintenance.restore(ns, t, v.toInt)
+            val (ns, t, scope) = resolve(parts, session)
+            GraftMaintenance.restore(ns, t, v.toInt, scope)
             Seq(Row(v.toInt))
           })
         }

@@ -5,17 +5,19 @@ import java.nio.file.{Files, Path, Paths}
 import graft.SparkSpec
 
 /** Model-based randomized soak of the durable catalog: a seeded random
-  * DML/maintenance/restart sequence runs against one durable table
-  * while a plain in-memory map plays the same ops; after every step
-  * the table must read back exactly the model. This is the test shape
-  * that catches format bugs example-based specs miss — an op ORDER the
-  * delta encoder mishandles, a DV landing in the same commit as a
-  * checkpoint, a VACUUM racing the retention floor — because the
-  * sequence space, not the author, picks the interleaving. Seeds are
-  * FIXED so a failure replays deterministically; the knobs are forced
-  * hostile (checkpoint every 3 commits, multi-part at 2 files, history
-  * retention 8) so delta folds, multi-part checkpoints and anchor-gated
-  * reclaim all fire constantly instead of at production cadences. */
+  * DML/MERGE/maintenance/evolution/RESTORE/restart sequence runs
+  * against one durable table while a plain in-memory map plays the
+  * same ops; after every step the table must read back exactly the
+  * model. This is the test shape that catches format bugs
+  * example-based specs miss — an op ORDER the delta encoder
+  * mishandles, a DV landing in the same commit as a checkpoint, a
+  * RESTORE folded through a later VACUUM — because the sequence space,
+  * not the author, picks the interleaving. Seeds are FIXED so a
+  * failure replays deterministically; the knobs are forced hostile
+  * (checkpoint every 3 commits, multi-part at 2 files, history
+  * retention 8) so delta folds, multi-part checkpoints and
+  * anchor-gated reclaim all fire constantly instead of at production
+  * cadences. */
 class GraftRandomSoakSpec extends SparkSpec {
   import spark.implicits._
 
@@ -50,50 +52,124 @@ class GraftRandomSoakSpec extends SparkSpec {
       // stale-reader hazard, not what this soak is probing
       val cat = s"soak_$tag"
       durableCatalog(cat, wh, isolated = false)
-      spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, v STRING) " +
+      spark.sql(s"CREATE TABLE $cat.ns.t_$tag (id BIGINT, v STRING) " +
         s"TBLPROPERTIES ('write.rowlevel.mode'='$mode')")
-      val model = scala.collection.mutable.SortedMap.empty[Long, String]
+      // id -> (v, w); w exists only after the one-shot ADD COLUMN
+      val model =
+        scala.collection.mutable.SortedMap.empty[Long, (String, Option[Long])]
       var nextId = 0L
       var gen = 0
+      var evolved = false
 
-      def check(at: String, via: String = cat): Unit = {
-        val got = spark.sql(s"SELECT id, v FROM $via.ns.t ORDER BY id")
-          .as[(Long, String)].collect().toSeq
-        assert(got === model.toSeq,
-          s"[$mode seed=$seed] divergence after $at: " +
-            s"table=${got.take(12)}… model=${model.toSeq.take(12)}…")
-      }
+      def wLit(id: Long): (String, Option[Long]) =
+        if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
+
+      def check(at: String, via: String = cat): Unit =
+        if (evolved) {
+          val got = spark.sql(s"SELECT id, v, w FROM $via.ns.t_$tag ORDER BY id")
+            .as[(Long, String, Option[Long])].collect().toSeq
+          assert(got === model.toSeq.map { case (id, (v, w)) => (id, v, w) },
+            s"[$mode seed=$seed] divergence after $at: " +
+              s"table=${got.take(12)}… model=${model.toSeq.take(12)}…")
+        } else {
+          val got = spark.sql(s"SELECT id, v FROM $via.ns.t_$tag ORDER BY id")
+            .as[(Long, String)].collect().toSeq
+          assert(got === model.toSeq.map { case (id, (v, _)) => (id, v) },
+            s"[$mode seed=$seed] divergence after $at: " +
+              s"table=${got.take(12)}… model=${model.toSeq.take(12)}…")
+        }
 
       for (step <- 1 to steps) {
         val op = rnd.nextInt(100)
-        if (op < 35 || model.isEmpty) { // INSERT a small batch
+        if (op < 26 || model.isEmpty) { // INSERT a small batch
           val n = 1 + rnd.nextInt(4)
           val rows = (0 until n).map { _ =>
             val id = nextId; nextId += 1
             val v = s"v$gen-$id"
-            model(id) = v
-            s"($id, '$v')"
+            if (evolved) {
+              val (lit, w) = wLit(id)
+              model(id) = (v, w)
+              s"($id, '$v', $lit)"
+            } else { model(id) = (v, None); s"($id, '$v')" }
           }
-          spark.sql(s"INSERT INTO $cat.ns.t VALUES ${rows.mkString(", ")}")
-        } else if (op < 55) { // UPDATE a random residue class
+          spark.sql(s"INSERT INTO $cat.ns.t_$tag VALUES ${rows.mkString(", ")}")
+        } else if (op < 42) { // UPDATE a random residue class (v only)
           gen += 1
           val k = 2 + rnd.nextInt(4)
           val r = rnd.nextInt(k)
-          spark.sql(s"UPDATE $cat.ns.t SET v = concat('u$gen-', id) " +
+          spark.sql(s"UPDATE $cat.ns.t_$tag SET v = concat('u$gen-', id) " +
             s"WHERE id % $k = $r")
           model.keys.toSeq.filter(_ % k == r)
-            .foreach(id => model(id) = s"u$gen-$id")
-        } else if (op < 70) { // DELETE a random residue class
+            .foreach(id => model(id) = (s"u$gen-$id", model(id)._2))
+        } else if (op < 54) { // DELETE a random residue class
           val k = 3 + rnd.nextInt(5)
           val r = rnd.nextInt(k)
-          spark.sql(s"DELETE FROM $cat.ns.t WHERE id % $k = $r")
+          spark.sql(s"DELETE FROM $cat.ns.t_$tag WHERE id % $k = $r")
           model.keys.toSeq.filter(_ % k == r).foreach(model.remove)
-        } else if (op < 78) { // OPTIMIZE: state-preserving rewrite
-          GraftMaintenance.sql(spark, s"OPTIMIZE $cat.ns.t").collect()
-        } else if (op < 86) { // VACUUM: anchor + reclaim, state intact
+        } else if (op < 66) { // MERGE: update some, insert some
+          gen += 1
+          val hit = model.keys.toSeq
+            .filter(_ => rnd.nextInt(3) == 0).take(3)
+          val fresh = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            val id = nextId; nextId += 1; id
+          }
+          val srcRows = (hit ++ fresh).map { id =>
+            if (evolved) s"(CAST($id AS BIGINT), 'm$gen-$id', ${wLit(id)._1})"
+            else s"(CAST($id AS BIGINT), 'm$gen-$id')"
+          }
+          if (evolved) {
+            spark.sql(
+              s"""MERGE INTO $cat.ns.t_$tag t
+                 |USING (SELECT * FROM VALUES ${srcRows.mkString(", ")}
+                 |       AS x(id, v, w)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v, w = s.w
+                 |WHEN NOT MATCHED THEN INSERT (id, v, w)
+                 |  VALUES (s.id, s.v, s.w)""".stripMargin)
+            (hit ++ fresh).foreach(id =>
+              model(id) = (s"m$gen-$id", wLit(id)._2))
+          } else {
+            spark.sql(
+              s"""MERGE INTO $cat.ns.t_$tag t
+                 |USING (SELECT * FROM VALUES ${srcRows.mkString(", ")}
+                 |       AS x(id, v)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED THEN INSERT (id, v)
+                 |  VALUES (s.id, s.v)""".stripMargin)
+            (hit ++ fresh).foreach(id => model(id) = (s"m$gen-$id", None))
+          }
+        } else if (op < 72) { // OPTIMIZE: state-preserving rewrite
+          GraftMaintenance.sql(spark, s"OPTIMIZE $cat.ns.t_$tag").collect()
+        } else if (op < 80) { // VACUUM: anchor + reclaim, state intact
           val keep = 2 + rnd.nextInt(4)
           GraftMaintenance.sql(spark,
-            s"VACUUM $cat.ns.t RETAIN $keep SNAPSHOTS").collect()
+            s"VACUUM $cat.ns.t_$tag RETAIN $keep SNAPSHOTS").collect()
+        } else if (op < 86) { // RESTORE to a random retained version
+          val vs = spark.sql(s"SELECT version FROM $cat.ns.`t_$tag$$history`")
+            .as[Int].collect().sorted
+          if (vs.length > 1) {
+            val v = vs(rnd.nextInt(vs.length))
+            val old = spark.sql(s"SELECT * FROM $cat.ns.t_$tag VERSION AS OF $v")
+            // RESTORE across the ADD COLUMN refuses by contract — only
+            // same-schema targets are legal restore points
+            if (old.columns.length == (if (evolved) 3 else 2)) {
+              val snap =
+                if (evolved)
+                  old.select("id", "v", "w")
+                    .as[(Long, String, Option[Long])].collect()
+                    .map { case (id, vv, w) => id -> (vv, w) }
+                else
+                  old.select("id", "v").as[(Long, String)].collect()
+                    .map { case (id, vv) => id -> (vv, None: Option[Long]) }
+              GraftMaintenance.sql(spark,
+                s"RESTORE TABLE $cat.ns.t_$tag TO VERSION AS OF $v").collect()
+              model.clear(); snap.foreach { case (id, r) => model(id) = r }
+            }
+          }
+        } else if (op < 92 && !evolved && step > 8) { // one-shot evolution
+          spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w BIGINT")
+          evolved = true // existing rows read NULL — model already None
         } else { // RESTART probe: a cold fold must agree RIGHT NOW
           val cold = s"soak_$tag$step"
           durableCatalog(cold, wh, isolated = true)
@@ -103,7 +179,7 @@ class GraftRandomSoakSpec extends SparkSpec {
       }
       // final: maximal reclaim, then a cold fold must still agree and
       // the retained log must be gapless from its anchor
-      GraftMaintenance.sql(spark, s"VACUUM $cat.ns.t RETAIN 2 SNAPSHOTS")
+      GraftMaintenance.sql(spark, s"VACUUM $cat.ns.t_$tag RETAIN 2 SNAPSHOTS")
         .collect()
       val fin = s"soak_${tag}_final"
       durableCatalog(fin, wh, isolated = true)
@@ -126,8 +202,8 @@ class GraftRandomSoakSpec extends SparkSpec {
     }
   }
 
-  test("randomized COW soak: 60 seeded DML/OPTIMIZE/VACUUM/restart " +
-      "steps never diverge from the in-memory model") {
+  test("randomized COW soak: 60 seeded DML/MERGE/OPTIMIZE/VACUUM/" +
+      "RESTORE/evolution/restart steps never diverge from the model") {
     soak("copy-on-write", seed = 0xC0115EEDL, steps = 60)
   }
 

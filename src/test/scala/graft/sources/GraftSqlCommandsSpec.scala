@@ -107,6 +107,40 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(d === (("merge-on-read", 1, 2L, 1, 1L, "idpos: id > 0", "0..2")))
   }
 
+  test("a catalog-qualified maintenance statement scopes to THAT " +
+      "catalog's warehouse when two warehouses share a table name") {
+    def cat(name: String, wh: String): Unit = {
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    }
+    cat("scope_a", tmpDir("graft-scope-a"))
+    cat("scope_b", tmpDir("graft-scope-b"))
+    spark.sql("CREATE TABLE scope_a.ns.t_same (id BIGINT)")
+    spark.sql("CREATE TABLE scope_b.ns.t_same (id BIGINT)")
+    spark.sql("INSERT INTO scope_a.ns.t_same VALUES (1)")
+    spark.sql("INSERT INTO scope_a.ns.t_same VALUES (2)")
+    spark.sql("INSERT INTO scope_b.ns.t_same VALUES (10)")
+    // OPTIMIZE through catalog A must not commit a version on B's table
+    def versions(c: String): Long =
+      spark.sql(s"SELECT count(*) FROM $c.ns.`t_same$$history`")
+        .as[Long].head()
+    val (va0, vb0) = (versions("scope_a"), versions("scope_b"))
+    GraftMaintenance.sql(spark, "OPTIMIZE scope_a.ns.t_same").collect()
+    assert(versions("scope_a") === va0 + 1,
+      "the qualified statement must act on catalog A's table")
+    assert(versions("scope_b") === vb0,
+      "catalog B's same-named table must be untouched — a cross-store " +
+        "match would be silent cross-warehouse damage")
+    // RESTORE through B rolls back ONLY B
+    GraftMaintenance.sql(spark,
+      "RESTORE TABLE scope_b.ns.t_same TO VERSION AS OF 0").collect()
+    assert(spark.sql("SELECT count(*) FROM scope_b.ns.t_same")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT id FROM scope_a.ns.t_same ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L),
+      "A's rows must survive B's restore")
+  }
+
   test("the parser intercepts exactly the three verbs and delegates the " +
       "rest") {
     val p = new GraftSqlParser(spark.sessionState.sqlParser)
