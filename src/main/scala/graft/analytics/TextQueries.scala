@@ -1439,7 +1439,8 @@ object TextQueries {
     t34Query,
     t37Query,
     t38Query,
-    t39Query
+    t39Query,
+    t40Query
   )
 
   /** One duplication-centrality (PageRank-style, exact integer) round:
@@ -1603,6 +1604,70 @@ object TextQueries {
           sum(when(col("rk") <= SourceCap, col("doc_id")).otherwise(0L))
             .cast("long").as("kept_id_sum"))
         .orderBy("source")
+    }
+
+  /** Leakage-safe train/validation split (the dedup-aware split every
+    * eval pipeline needs): a random doc-level split leaks — two near-dup
+    * documents landing on opposite sides of the train/valid line hand
+    * the model its own eval answers. The unit of assignment is
+    * therefore the NEAR-DUP CLUSTER (connected components over the
+    * df-capped n-gram Jaccard pair graph, jac >= 0.2 — the cc_components
+    * contract), hashed deterministically to a 90/10 split; docs in no
+    * cluster are their own singleton component. By construction no
+    * component spans both splits. Plan: the CC rounds (O(log diameter),
+    * key-partitioned) + one join of the corpus against the node-sized
+    * component map + one split aggregate — the corpus shuffles once. */
+  private lazy val t40Query: Q =
+    Q("t40_leakage_split", "CURATE-split,DEDUP-cc,A1,A6", {
+      val h = TS.hash("'split|' || component")
+      s"""WITH RECURSIVE $ngramCteBody,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |walk(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),
+         |cmp AS (SELECT node, min(comp) AS component FROM walk
+         |        GROUP BY node),
+         |asg AS (SELECT d.doc_id, d.n_chars,
+         |          COALESCE(c.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN cmp c ON d.doc_id = c.node),
+         |sp AS (SELECT doc_id, n_chars, component,
+         |         CASE WHEN $h % 100 < 90 THEN 'train' ELSE 'valid' END
+         |           AS split
+         |       FROM asg)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT component) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val edges = ngramScored(s, dir)
+        .filter(col("jac") >= 0.2)
+        .select("doc_a", "doc_b")
+      // node-sized component map: docs-in-clusters only, a small
+      // fraction of any real corpus — broadcast it so the corpus scan
+      // never shuffles for the assignment join
+      val cmp = graft.operators.ConnectedComponents(edges)
+        .select(col("node"), col("component"))
+      val asg = Tables.documents(s, dir)
+        .join(broadcast(cmp), col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val split = when(pmod(TF.polyHash(
+        concat(lit("split|"), col("component").cast("string"))),
+        lit(100L)) < 90, "train").otherwise("valid")
+      asg.select(col("doc_id"), col("n_chars"), col("component"),
+          split.as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("component").as("n_clusters"),
+          sum(col("doc_id")).cast("long").as("id_checksum"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy("split")
     }
 
   /** PII detection + redaction census (the pre-release scrub every

@@ -797,10 +797,23 @@ private[sources] object GraftLogCodec {
   }
 
   // ---- table.json -----------------------------------------------------
+
+  /** On-disk format generation this engine reads AND writes (Delta's
+    * minReader/minWriterVersion, collapsed to one number while every
+    * feature so far is readable by every writer level).
+    * 1 = full-census log entries; 2 = delta entries + (multi-part)
+    * checkpoints. Format 1 tables stay readable (a full entry is a
+    * legal shape at every version); a table stamped ABOVE this refuses
+    * to open — an older engine that half-understood a newer layout
+    * could fold the wrong state or VACUUM segments the newer format
+    * still references, and both failure modes are silent. */
+  val CurrentFormat = 2
+
   def encodeTableMeta(namespace: Seq[String], name: String,
       displayName: String, partitionCols: Seq[String],
       rowLevelMode: String, bucketSpec: Option[(Int, String)]): String = {
     val json = JObject(
+      "format" -> JLong(CurrentFormat.toLong),
       "namespace" -> JArray(namespace.toList.map(JString(_))),
       "name" -> JString(name),
       "displayName" -> JString(displayName),
@@ -814,11 +827,12 @@ private[sources] object GraftLogCodec {
 
   final case class TableMeta(namespace: Seq[String], name: String,
       displayName: String, partitionCols: Seq[String],
-      rowLevelMode: String, bucketSpec: Option[(Int, String)])
+      rowLevelMode: String, bucketSpec: Option[(Int, String)],
+      format: Int = 1)
 
   def decodeTableMeta(json: String): TableMeta = {
     val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
-    TableMeta(
+    val meta = TableMeta(
       o("namespace").asInstanceOf[JArray].arr
         .map(_.asInstanceOf[JString].s),
       o("name").asInstanceOf[JString].s,
@@ -830,7 +844,16 @@ private[sources] object GraftLogCodec {
         case JNull => None
         case JArray(List(n, JString(c))) => Some((num(n).toInt, c))
         case other => throw new IllegalStateException(s"bad bucketSpec: $other")
-      })
+      },
+      // pre-versioning tables carry no field — format 1 by definition
+      format = o.get("format").map(num(_).toInt).getOrElse(1))
+    if (meta.format > CurrentFormat)
+      throw new IllegalStateException(
+        s"table '${meta.displayName}' was written by a NEWER engine " +
+          s"(format ${meta.format}; this engine reads <= $CurrentFormat) " +
+          "— refusing to open: folding or vacuuming a half-understood " +
+          "layout silently corrupts it. Upgrade the engine instead.")
+    meta
   }
 
   def encodeNamespaceMeta(parts: Seq[String],

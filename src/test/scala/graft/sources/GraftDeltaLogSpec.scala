@@ -402,6 +402,36 @@ class GraftDeltaLogSpec extends SparkSpec {
         "them")
   }
 
+  test("format gate: a table stamped by a NEWER engine refuses to open " +
+      "loudly; a pre-versioning (format-1) table.json still opens") {
+    val wh = tmpDir("graft-dlog-fmt")
+    durableCatalog("dfm", wh)
+    spark.sql("CREATE TABLE dfm.ns.t_fm (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dfm.ns.t_fm VALUES (1, 'a')")
+    val td = tableDir(wh)
+    val metaPath = td.resolve("table.json")
+    val orig = new String(Files.readAllBytes(metaPath), "UTF-8")
+    assert(orig.contains("\"format\":2"),
+      "new tables must stamp the current format generation")
+    // forge a future generation: an old engine folding or vacuuming a
+    // layout it half-understands corrupts it silently — refusal is the
+    // only safe behavior
+    Files.write(metaPath,
+      orig.replace("\"format\":2", "\"format\":99").getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      GraftTableStore.openIsolated(wh))
+    assert(e.getMessage.contains("NEWER engine") &&
+      e.getMessage.contains("99"), e.getMessage)
+    // a FORMAT-1 stamp (pre-versioning table.json without the field)
+    // opens fine: every v1 shape is still legal in v2
+    Files.write(metaPath, orig
+      .replace("\"format\":2,", "").getBytes("UTF-8"))
+    val st = GraftTableStore.openIsolated(wh)
+    assert(st.tables.keys.exists(_._2 == "t_fm"),
+      "a pre-versioning table must load as format 1")
+    Files.write(metaPath, orig.getBytes("UTF-8"))
+  }
+
   test("merge-on-read DELETE rides the delta as a DV change; the DV " +
       "survives a checkpoint-anchored restart") {
     val savedK = GraftTable.checkpointInterval
