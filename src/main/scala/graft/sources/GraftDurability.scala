@@ -5,7 +5,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -187,14 +189,14 @@ object GraftLogStore {
   *
   * At multi-million-file scale the checkpoint itself is the next
   * cost, so censuses past [[GraftTable.checkpointPartFiles]] split
-  * into MULTI-PART checkpoints (Delta's layout): sibling
-  * `<v>.part-<i>-of-<n>.json` slices written first, the manifest
-  * CAS'd last as the atomic visibility flip, and the fold reads +
-  * decodes the parts concurrently. The anchor/fold/reclaim contract is
-  * format-agnostic (a checkpoint is "any full snapshot a fold can
-  * start from"), so swapping the part payloads to parquet for
-  * executor-side decode changes [[GraftTableLog]]'s part I/O only,
-  * not the protocol. */
+  * into MULTI-PART PARQUET checkpoints (Delta's layout): sibling
+  * `<v>.part-<i>-of-<n>.parquet` census slices
+  * ([[GraftLogCodec.CheckpointPartSchema]]) written first, the JSON
+  * manifest CAS'd last as the atomic visibility flip, and the fold
+  * reads + decodes the parts concurrently. The anchor/fold/reclaim
+  * contract is format-agnostic (a checkpoint is "any full snapshot a
+  * fold can start from"); on a cluster the same parquet parts are
+  * directly `spark.read`-able for executor-side decode. */
 private[sources] final class GraftTableLog(val dir: Path,
     val store: GraftLogStore = GraftLogStore.LocalFs) {
   val logDir: Path = dir.resolve("log")
@@ -260,12 +262,12 @@ private[sources] final class GraftTableLog(val dir: Path,
   /** Checkpoint versions on disk, ascending (names only). */
   def listCheckpointVersions: Seq[Int] = listVersions(ckptDir)
 
-  /** `ckpt/<v>.part-<i>-of-<n>.json` — one slice of a multi-part
+  /** `ckpt/<v>.part-<i>-of-<n>.parquet` — one slice of a multi-part
     * checkpoint's census. The name never matches [[listVersions]]'s
     * 16-char manifest pattern, so parts are invisible to anchor
     * discovery: only the manifest CAS flips the checkpoint live. */
   def ckptPartPath(v: Int, i: Int, n: Int): Path =
-    ckptDir.resolve(f"$v%011d.part-$i-of-$n.json")
+    ckptDir.resolve(f"$v%011d.part-$i-of-$n.parquet")
 
   /** CAS-install checkpoint `v`: part payloads FIRST, the manifest
     * LAST, so [[listCheckpointVersions]] (manifest names only) flips
@@ -275,19 +277,16 @@ private[sources] final class GraftTableLog(val dir: Path,
     * checkpoint content is a pure function of the log state at `v`, so
     * the foreign copy is byte-equivalent. */
   def installCheckpoint(v: Int, manifest: String,
-      parts: Seq[String] = Nil): Boolean = {
+      parts: Seq[Array[Byte]] = Nil): Boolean = {
     Files.createDirectories(ckptDir)
     parts.zipWithIndex.foreach { case (p, i) =>
-      store.putIfAbsent(ckptPartPath(v, i, parts.length), p.getBytes(UTF_8))
+      store.putIfAbsent(ckptPartPath(v, i, parts.length), p)
     }
     store.putIfAbsent(ckptPath(v), manifest.getBytes(UTF_8))
   }
 
   def readCheckpoint(v: Int): String =
     new String(Files.readAllBytes(ckptPath(v)), UTF_8)
-
-  def readCheckpointPart(v: Int, i: Int, n: Int): String =
-    new String(Files.readAllBytes(ckptPartPath(v, i, n)), UTF_8)
 
   def writeTableMeta(json: String): Unit = {
     val tmp = dir.resolve("table.json.tmp")
@@ -544,27 +543,54 @@ private[sources] object GraftLogCodec {
       "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))))
   }
 
+  /** Column layout of one PARQUET checkpoint part — Delta's checkpoint
+    * shape: typed identity/size columns (so a census scan prunes
+    * columns and never parses JSON it doesn't need), the complete file
+    * object (group key, zone maps, position view) as a JSON `meta`
+    * column — Delta's stats-as-JSON-string pattern. */
+  val CheckpointPartSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("meta", StringType, nullable = false)))
+
   /** Serialize a full-state CHECKPOINT, splitting the file census into
-    * `ceil(files / partFiles)`-sized part payloads once it exceeds one
-    * part — Delta's multi-part checkpoint, re-expressed over this log's
-    * JSON: the manifest keeps every O(commit)-sized field (schema, CDC
-    * vectors, DVs, checks, epochs) plus `"fparts": n`, and each part is
-    * an independently decodable JSON array holding one in-order slice
-    * of the census, so a restart fold reads and decodes the parts in
-    * parallel instead of paying one O(table) blob on a single thread.
-    * Censuses at or under `partFiles` stay single-file (the manifest IS
-    * the full entry — byte-identical to [[encodeEntry]]). */
+    * `ceil(files / partFiles)`-sized PARQUET part payloads once it
+    * exceeds one part — Delta's multi-part parquet checkpoint: the JSON
+    * manifest keeps every O(commit)-sized field (schema, CDC vectors,
+    * DVs, checks, epochs) plus `"fparts": n`, and each part is an
+    * independently decodable parquet file holding one in-order census
+    * slice ([[CheckpointPartSchema]]), so a restart fold reads and
+    * decodes the parts in parallel instead of paying one O(table) blob
+    * on a single thread — and any parquet-reading engine can audit the
+    * census without this codec. Censuses at or under `partFiles` stay
+    * single-file (the manifest IS the full entry — byte-identical to
+    * [[encodeEntry]]). */
   def encodeCheckpoint(e: CommitEntry, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long], partFiles: Int): (String, Seq[String]) = {
+      epochs: Map[String, Long], partFiles: Int)
+      : (String, Seq[Array[Byte]]) = {
     if (partFiles <= 0 || e.files.length <= partFiles)
       return (encodeEntry(e, partitionCols, bucketSpec, dir, checksText,
         nextFieldId, epochs), Nil)
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     val parts = e.files.grouped(partFiles).map { slice =>
-      JsonMethods.compact(JsonMethods.render(
-        JArray(slice.toList.map(encodeFile(_, e.schema, kts, dir)))))
+      val rows = slice.map { f =>
+        val meta = JsonMethods.compact(JsonMethods.render(
+          encodeFile(f, e.schema, kts, dir)))
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(refOf(f, dir)), f.rowCount.toLong,
+          f.sizeBytes, UTF8String.fromString(meta))): InternalRow
+      }.toArray
+      // parquet-encode through the segment writer, hand the BYTES to
+      // the caller: the part still lands through the LogStore's
+      // put-if-absent, so the commit protocol seam stays intact
+      val tmp = Files.createTempFile("graft-ckpt-part", ".parquet")
+      try {
+        GraftSegmentIO.write(tmp, CheckpointPartSchema, rows)
+        Files.readAllBytes(tmp)
+      } finally Files.deleteIfExists(tmp)
     }.toVector
     val manifest = fullEntryJson(e, kts, dir, checksText, nextFieldId,
       epochs, "fparts" -> JLong(parts.length.toLong))
@@ -698,10 +724,10 @@ private[sources] object GraftLogCodec {
     * census by carrying the prior FILE OBJECTS through — which is what
     * keeps identity-based structures (DV keys, the prefix-identity
     * conflict check) stable across a fold. */
-  /** Default part reader: FULL and DELTA entries never reference
+  /** Default part resolver: FULL and DELTA entries never reference
     * checkpoint parts, so hitting this means a multi-part manifest was
     * decoded without handing it the table log's part files. */
-  val noPartReader: (Int, Int) => String = (i, n) =>
+  val noPartReader: (Int, Int) => Path = (i, n) =>
     throw new IllegalStateException(
       s"entry references checkpoint part $i of $n but no part reader " +
         "was supplied — multi-part manifests decode only via their log")
@@ -710,7 +736,7 @@ private[sources] object GraftLogCodec {
       bucketSpec: Option[(Int, String)], dir: Path,
       registry: TrieMap[String, GraftDataFile],
       prev: Option[CommitEntry] = None,
-      partReader: (Int, Int) => String = noPartReader): DecodedEntry = {
+      partReader: (Int, Int) => Path = noPartReader): DecodedEntry = {
     val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
     val schema = DataType.fromJson(o("schema").asInstanceOf[JString].s)
       .asInstanceOf[StructType]
@@ -719,16 +745,20 @@ private[sources] object GraftLogCodec {
       o(key).asInstanceOf[JArray].arr.toVector
         .map(decodeFile(_, schema, kts, dir, registry))
     // multi-part checkpoint manifest: the census lives in n sibling
-    // part files, each an independent JSON array slice — read AND parse
-    // them concurrently (decodeFile touches only the thread-safe
-    // registry), then splice the slices back in order
+    // PARQUET part files, each an independent in-order slice — read AND
+    // decode them concurrently (decodeFile touches only the
+    // thread-safe registry), then splice the slices back in order. The
+    // `meta` column is the file object's JSON (Delta's
+    // stats-as-JSON-string pattern), so decode reuses the one codec.
     def filesFromParts(n: Int): Vector[GraftDataFile] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val slices = (0 until n).map(i => Future {
-        JsonMethods.parse(partReader(i, n)).asInstanceOf[JArray]
-          .arr.toVector.map(decodeFile(_, schema, kts, dir, registry))
+        GraftSegmentIO.read(partReader(i, n), CheckpointPartSchema)
+          .toVector.map(r => decodeFile(
+            JsonMethods.parse(r.getUTF8String(3).toString),
+            schema, kts, dir, registry))
       })
       Await.result(Future.sequence(slices), Duration.Inf)
         .toVector.flatten
@@ -801,8 +831,8 @@ private[sources] object GraftLogCodec {
   /** On-disk format generation this engine reads AND writes (Delta's
     * minReader/minWriterVersion, collapsed to one number while every
     * feature so far is readable by every writer level).
-    * 1 = full-census log entries; 2 = delta entries + (multi-part)
-    * checkpoints. Format 1 tables stay readable (a full entry is a
+    * 1 = full-census log entries; 2 = delta entries + (multi-part
+    * parquet) checkpoints. Format 1 tables stay readable (a full entry is a
     * legal shape at every version); a table stamped ABOVE this refuses
     * to open — an older engine that half-understood a newer layout
     * could fold the wrong state or VACUUM segments the newer format
@@ -969,7 +999,7 @@ private[sources] object GraftDurableLoader {
     start.foreach { c =>
       val dec = GraftLogCodec.decodeEntry(log.readCheckpoint(c),
         meta.partitionCols, meta.bucketSpec, dir, d.registry,
-        partReader = (i, n) => log.readCheckpointPart(c, i, n))
+        partReader = (i, n) => log.ckptPartPath(c, i, n))
       buf += dec
       prev = Some(dec.entry)
     }

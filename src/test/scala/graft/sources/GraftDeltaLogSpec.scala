@@ -347,10 +347,17 @@ class GraftDeltaLogSpec extends SparkSpec {
         "a 12-file census over a 4-file part cap must slice out of the " +
           "manifest")
       val parts = (0 until 3).map(i =>
-        td.resolve("ckpt").resolve(f"${12}%011d.part-$i-of-3.json"))
+        td.resolve("ckpt").resolve(f"${12}%011d.part-$i-of-3.parquet"))
       assert(parts.forall(Files.isRegularFile(_)),
         s"expected 3 part payloads, found: ${Files.list(td.resolve("ckpt"))
           .toArray.mkString(", ")}")
+      // the parts are PLAIN PARQUET (Delta's checkpoint shape): any
+      // engine reads the census without this codec
+      val census = spark.read.parquet(parts.map(_.toString): _*)
+      assert(census.columns.toSeq === Seq("path", "rows", "bytes", "meta"))
+      assert(census.count() === 12L &&
+        census.selectExpr("sum(rows)").head().getLong(0) === 12L,
+        "the sliced census must hold all 12 single-row files")
       // retire everything below the newest anchor: the restart fold has
       // ONLY the multi-part checkpoint to start from
       GraftMaintenance.sql(spark, "VACUUM dmp.ns.t_mp RETAIN 1 SNAPSHOTS")
@@ -382,8 +389,10 @@ class GraftDeltaLogSpec extends SparkSpec {
     val td = tableDir(wh)
     // simulate a foreign checkpointer that died between the part CAS
     // and the manifest CAS: parts on disk, no <v>.json
-    val orphan0 = td.resolve("ckpt").resolve(f"${2}%011d.part-0-of-2.json")
-    val orphan1 = td.resolve("ckpt").resolve(f"${2}%011d.part-1-of-2.json")
+    val orphan0 = td.resolve("ckpt")
+      .resolve(f"${2}%011d.part-0-of-2.parquet")
+    val orphan1 = td.resolve("ckpt")
+      .resolve(f"${2}%011d.part-1-of-2.parquet")
     Files.createDirectories(td.resolve("ckpt"))
     Files.write(orphan0, "[]".getBytes("UTF-8"))
     Files.write(orphan1, "[]".getBytes("UTF-8"))
