@@ -48,12 +48,17 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
     * entry is unreadable without a preceding anchor). Foreign
     * processes' checkpoints may be missing from this set — that is
     * merely conservative (reclaim deletes less; reclaim re-reads the
-    * `ckpt/` listing to pick them up). Mutate ONLY via [[addAnchor]]
-    * (read-modify-write on the volatile would lose updates). */
-  @volatile var anchors: scala.collection.immutable.SortedSet[Int] =
-    scala.collection.immutable.SortedSet(0)
+    * `ckpt/` listing to pick them up). An AtomicReference with CAS
+    * mutation, so no interleaving of adds and the loader's wholesale
+    * seed can ever lose an anchor. */
+  private val anchorSet = new java.util.concurrent.atomic.AtomicReference(
+    scala.collection.immutable.SortedSet(0))
 
-  def addAnchor(v: Int): Unit = synchronized { anchors = anchors + v }
+  def anchors: scala.collection.immutable.SortedSet[Int] = anchorSet.get()
+  def anchors_=(s: scala.collection.immutable.SortedSet[Int]): Unit =
+    anchorSet.set(s)
+
+  def addAnchor(v: Int): Unit = anchorSet.updateAndGet(_ + v)
 }
 
 /** One lazily-loadable parquet segment: the durable body of a

@@ -22,11 +22,14 @@ class GraftRandomSoakSpec extends SparkSpec {
   import spark.implicits._
 
   private def durableCatalog(name: String, dir: String,
-                             isolated: Boolean): Unit = {
+                             isolated: Boolean,
+                             logstore: Option[String] = None): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
     if (isolated)
       spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+    logstore.foreach(ls =>
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.logstore", ls))
   }
 
   private def tableDir(wh: String): Path =
@@ -34,7 +37,8 @@ class GraftRandomSoakSpec extends SparkSpec {
       .filter(p => Files.isRegularFile(p.resolve("table.json")))
       .findFirst().orElseThrow()
 
-  private def soak(mode: String, seed: Long, steps: Int): Unit = {
+  private def soak(mode: String, seed: Long, steps: Int,
+                   logstore: Option[String] = None): Unit = {
     val savedK = GraftTable.checkpointInterval
     val savedP = GraftTable.checkpointPartFiles
     val savedH = GraftTable.historyRetention
@@ -43,15 +47,20 @@ class GraftRandomSoakSpec extends SparkSpec {
       GraftTable.checkpointPartFiles = 2
       GraftTable.historyRetention = 8
       val rnd = new scala.util.Random(seed)
-      val tag = if (mode == GraftTable.MergeOnRead) "mor" else "cow"
+      val tag = (if (mode == GraftTable.MergeOnRead) "mor" else "cow") +
+        (if (logstore.isDefined) "cas" else "")
       val wh = tmpDir(s"graft-soak-$tag")
       // ONE acting catalog for every op (cached store: maintenance SQL
       // resolves it); restart steps cold-fold a throwaway ISOLATED
       // catalog for a one-shot parity read — acting through a stale
       // isolated reader after a foreign VACUUM is the documented
       // stale-reader hazard, not what this soak is probing
+      // on the conditional-put backend every catalog is isolated (the
+      // cached forWarehouse store is LocalFs-only); maintenance SQL
+      // still resolves it because catalog-qualified statements scope to
+      // the named catalog's own store
       val cat = s"soak_$tag"
-      durableCatalog(cat, wh, isolated = false)
+      durableCatalog(cat, wh, isolated = logstore.isDefined, logstore)
       spark.sql(s"CREATE TABLE $cat.ns.t_$tag (id BIGINT, v STRING) " +
         s"TBLPROPERTIES ('write.rowlevel.mode'='$mode')")
       // id -> (v, w); w exists only after the one-shot ADD COLUMN
@@ -172,7 +181,7 @@ class GraftRandomSoakSpec extends SparkSpec {
           evolved = true // existing rows read NULL — model already None
         } else { // RESTART probe: a cold fold must agree RIGHT NOW
           val cold = s"soak_$tag$step"
-          durableCatalog(cold, wh, isolated = true)
+          durableCatalog(cold, wh, isolated = true, logstore)
           check(s"cold fold at step $step", via = cold)
         }
         check(s"step $step (op=$op)")
@@ -182,7 +191,7 @@ class GraftRandomSoakSpec extends SparkSpec {
       GraftMaintenance.sql(spark, s"VACUUM $cat.ns.t_$tag RETAIN 2 SNAPSHOTS")
         .collect()
       val fin = s"soak_${tag}_final"
-      durableCatalog(fin, wh, isolated = true)
+      durableCatalog(fin, wh, isolated = true, logstore)
       check("final vacuum+restart", via = fin)
       val td = tableDir(wh)
       val logVs = {
@@ -210,5 +219,11 @@ class GraftRandomSoakSpec extends SparkSpec {
   test("randomized MOR soak: DV-heavy sequence under constant " +
       "checkpointing and reclaim never diverges from the model") {
     soak("merge-on-read", seed = 0x5EED00B2L, steps = 60)
+  }
+
+  test("randomized MOR soak on the conditional-put LogStore: the same " +
+      "random op space through the object-store-shaped commit protocol") {
+    soak("merge-on-read", seed = 0x5EEDCA5AL, steps = 40,
+      logstore = Some("conditional-put"))
   }
 }
