@@ -1756,6 +1756,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * window to slide — the superseded row arrays become collectable.
     * Returns the number of snapshots retired. Data files referenced by
     * the retained snapshots (including clones') are untouched. */
+  /** Delta's TIME-BASED retention (`VACUUM t RETAIN n HOURS`): retire
+    * every snapshot whose commit timestamp is strictly older than the
+    * cutoff, always keeping the current one. Commit timestamps are
+    * strictly increasing per table, so the kept suffix is contiguous by
+    * construction; the count and the truncation run under ONE commit
+    * lease (the lease is reentrant), so a racing commit can never
+    * shift the cutoff onto a snapshot younger than it. */
+  private[sources] def vacuumRetainHours(hours: Double): Int = mutate {
+    val cutoff = GraftClock.nowMicros() - (hours * 3600d * 1e6).toLong
+    vacuumHistory(math.max(1, history.count(_.tsMicros >= cutoff)))
+  }
+
   private[sources] def vacuumHistory(keepLast: Int): Int = mutate {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val over = history.length - keepLast
@@ -3349,6 +3361,12 @@ object GraftMaintenance {
   def vacuum(namespace: Seq[String], table: String, keepLast: Int = 1,
              scope: Option[GraftStoreState] = None): Int =
     resolve(namespace, table, scope).vacuumHistory(keepLast)
+
+  /** `VACUUM t RETAIN n HOURS` — Delta's time-based retention contract;
+    * see [[GraftTable.vacuumRetainHours]]. */
+  def vacuumHours(namespace: Seq[String], table: String, hours: Double,
+                  scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).vacuumRetainHours(hours)
 
   /** CLONE REPLACE: deep-copy a shallow clone's shared segments into
     * the clone's own storage so the source can be vacuumed without

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * Grammar (case-insensitive; `t` is `catalog.ns….table` or `ns.table`):
   * {{{
   *   OPTIMIZE t [ZORDER BY (col [, col…])] [TARGET n ROWS]
-  *   VACUUM t [RETAIN n SNAPSHOTS]
+  *   VACUUM t [RETAIN n SNAPSHOTS | RETAIN n HOURS]
   *   RESTORE TABLE t TO VERSION AS OF v
   * }}} */
 class GraftSqlParser(delegate: ParserInterface,
@@ -51,7 +51,7 @@ object GraftSqlParser {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
@@ -167,12 +167,16 @@ object GraftSqlParser {
               Seq(Row(r.filesBefore, r.filesAfter))
             })
         }
-      case Vacuum(ident, keep) =>
+      case Vacuum(ident, keep, unit) =>
         split(ident).filter(claims(_, session)).map { parts =>
+          val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
           val keepLast = Option(keep).map(_.toInt).getOrElse(1)
           GraftMaintenanceCommand(out("snapshots_retired"), _ => {
             val (ns, t, scope) = resolve(parts, session)
-            Seq(Row(GraftMaintenance.vacuum(ns, t, keepLast, scope)))
+            Seq(Row(
+              if (hours)
+                GraftMaintenance.vacuumHours(ns, t, keep.toDouble, scope)
+              else GraftMaintenance.vacuum(ns, t, keepLast, scope)))
           })
         }
       case Restore(ident, v) =>

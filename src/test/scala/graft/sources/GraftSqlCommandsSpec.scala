@@ -107,6 +107,37 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(d === (("merge-on-read", 1, 2L, 1, 1L, "idpos: id > 0", "0..2")))
   }
 
+  test("VACUUM RETAIN n HOURS: time-based retention retires snapshots " +
+      "older than the cutoff, never the current one") {
+    val savedClock = GraftClock.nowMicros
+    try {
+      val hourUs = 3600L * 1000000L
+      val t0 = 1000000000000000L
+      var now = t0
+      GraftClock.nowMicros = () => now
+      val t = freshTable("t_sqlvh")
+      spark.sql(s"CREATE TABLE $t (id BIGINT)")          // v0 @ t0
+      now = t0 + 1 * hourUs
+      spark.sql(s"INSERT INTO $t VALUES (1)")            // v1 @ t0+1h
+      now = t0 + 4 * hourUs
+      spark.sql(s"INSERT INTO $t VALUES (2)")            // v2 @ t0+4h
+      now = t0 + 5 * hourUs
+      // cutoff = now - 2h = t0+3h: v0 and v1 are older and retire,
+      // v2 stays — Delta's RETAIN n HOURS contract
+      val retired = GraftMaintenance.sql(spark,
+        s"VACUUM $t RETAIN 2 HOURS").as[Int].head()
+      assert(retired === 2, s"expected v0+v1 retired, got $retired")
+      assert(spark.table(t).as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L), "current state must be untouched")
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect())
+      assert(e.getMessage != null)
+      // everything inside the window: nothing retires, current kept
+      assert(GraftMaintenance.sql(spark,
+        s"VACUUM $t RETAIN 9999 HOURS").as[Int].head() === 0)
+    } finally GraftClock.nowMicros = savedClock
+  }
+
   test("a catalog-qualified maintenance statement scopes to THAT " +
       "catalog's warehouse when two warehouses share a table name") {
     def cat(name: String, wh: String): Unit = {
