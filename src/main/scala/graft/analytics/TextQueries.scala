@@ -1440,7 +1440,8 @@ object TextQueries {
     t37Query,
     t38Query,
     t39Query,
-    t40Query
+    t40Query,
+    t41Query
   )
 
   /** One duplication-centrality (PageRank-style, exact integer) round:
@@ -1668,6 +1669,80 @@ object TextQueries {
           sum(col("doc_id")).cast("long").as("id_checksum"),
           sum(col("n_chars")).cast("long").as("n_chars"))
         .orderBy("split")
+    }
+
+  /** DSIR-style importance filter (hashed n-gram importance resampling,
+    * the data-selection technique behind quality-targeted pretraining
+    * mixes), INTEGER-EXACT variant: tokens hash into 512 buckets; a
+    * token is TARGET-LEANING iff its bucket is relatively more frequent
+    * in the target corpus (src0, the quality proxy) than in the raw
+    * corpus — decided by the cross-multiplied exact comparison
+    * `ct*Traw > cr*Ttarget`, never a log-likelihood float (engines
+    * disagree in ln's last ulp; integers never do). A doc is kept when
+    * at least half its tokens lean target. Plan: one token-explode
+    * shuffle for the bucket censuses, then the corpus re-joins two
+    * 512-row BROADCAST maps — no second corpus shuffle; at 100 TB the
+    * cross-products outgrow BIGINT around 3e9 tokens per side, so the
+    * comparison columns widen to DECIMAL(38,0) — same plan. */
+  private lazy val t41Query: Q =
+    Q("t41_importance_filter", "CURATE-dsir,A1,A5,J5", {
+      val h = TS.hash("term")
+      s"""WITH tok AS (SELECT doc_id, source,
+         |               unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |b AS (SELECT doc_id, source, $h % 512 AS h FROM tok),
+         |t AS (SELECT h, count(*) AS ct FROM b WHERE source = 'src0'
+         |      GROUP BY h),
+         |r AS (SELECT h, count(*) AS cr FROM b GROUP BY h),
+         |tot AS (SELECT
+         |  (SELECT count(*) FROM b WHERE source = 'src0') AS tt,
+         |  (SELECT count(*) FROM b) AS tr),
+         |lean AS (SELECT x.doc_id, x.source,
+         |    CASE WHEN COALESCE(t.ct, 0) * tot.tr > r.cr * tot.tt
+         |         THEN 1 ELSE 0 END AS lean
+         |  FROM b x LEFT JOIN t ON x.h = t.h JOIN r ON x.h = r.h
+         |  CROSS JOIN tot),
+         |d AS (SELECT doc_id, source, sum(lean) AS nlean, count(*) AS nt
+         |      FROM lean GROUP BY doc_id, source)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN 2 * nlean >= nt THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS kept_docs,
+         |  CAST(sum(nlean) AS BIGINT) AS leaning_tokens,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      // hash INSIDE the persisted projection (generator-children
+      // gotcha), one explode shuffle reused by both censuses and the
+      // per-token probe
+      val b = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(TF.tokens(col("text"))).as("term"))
+          .select(col("doc_id"), col("source"),
+            pmod(TF.polyHash(col("term")), lit(512L)).as("h")))
+      val tgt = b.filter(col("source") === "src0")
+        .groupBy("h").agg(count(lit(1)).as("ct"))
+      val raw = b.groupBy("h").agg(count(lit(1)).as("cr"))
+      val tot = b.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tt"),
+        count(lit(1)).as("tr"))
+      val lean = b
+        .join(broadcast(tgt), Seq("h"), "left")
+        .join(broadcast(raw), Seq("h"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          when(coalesce(col("ct"), lit(0L)) * col("tr") >
+            col("cr") * col("tt"), 1L).otherwise(0L).as("lean"))
+      lean.groupBy("doc_id", "source")
+        .agg(sum("lean").as("nlean"), count(lit(1)).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(lit(2) * col("nlean") >= col("nt"), 1L).otherwise(0L))
+            .cast("long").as("kept_docs"),
+          sum(col("nlean")).cast("long").as("leaning_tokens"),
+          sum(col("nt")).cast("long").as("total_tokens"))
+        .orderBy("source")
     }
 
   /** PII detection + redaction census (the pre-release scrub every
