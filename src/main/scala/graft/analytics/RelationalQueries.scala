@@ -2037,6 +2037,40 @@ object RelationalQueries {
         .orderBy("rf")
     },
 
+    // ----- REPLACE TABLE lifecycle on the durable catalog: CREATE a
+    // wide table, CREATE OR REPLACE it with a different (aggregated)
+    // shape, read the result through a FRESH isolated catalog — restart
+    // parity across the replace. A non-staging DSv2 catalog serves
+    // Spark's documented DROP+CREATE fallback (the source of the
+    // replacement must not be the table being replaced); the old
+    // table's dir is destroyed with it, so repeated REPLACE never
+    // accumulates orphan dirs. Delta's atomic variant (StagingTableCatalog)
+    // is the documented upgrade path behind the same surface.
+    Q("s51_replace_table", "S10,E-durable,DDL-replace",
+      """SELECT n_regionkey AS rk, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s51").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"grw_$tag"
+      val r = s"grr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      Tables.nation(s, dir).writeTo(s"$w.ns.nat").create()
+      Tables.nation(s, dir).createOrReplaceTempView(s"nat_src_$tag")
+      s.sql(
+        s"""CREATE OR REPLACE TABLE $w.ns.nat AS
+           |SELECT n_regionkey AS rk, count(*) AS n,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+           |FROM nat_src_$tag GROUP BY n_regionkey""".stripMargin)
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.nat").orderBy("rk")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is
