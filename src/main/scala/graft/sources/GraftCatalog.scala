@@ -401,6 +401,12 @@ final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
   val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
   val namespaces: TrieMap[Seq[String], util.Map[String, String]] =
     TrieMap.empty
+
+  /** Table dirs this engine SKIPPED at warehouse open because a newer
+    * engine stamped them (format above ours): dir name → the refusal.
+    * The warehouse's healthy tables stay served; a direct load of a
+    * skipped table still fails loudly with the recorded message. */
+  val skippedNewerFormat: TrieMap[String, String] = TrieMap.empty
 }
 
 /** JVM-global store registry. The default (in-JVM, non-durable) store is
@@ -3334,8 +3340,9 @@ object GraftMaintenance {
     * diverge safely from the shared root. */
   def cloneTable(srcNamespace: Seq[String], src: String,
                  dstNamespace: Seq[String], dst: String,
-                 version: Option[Int] = None): Unit = {
-    val s = resolve(srcNamespace, src)
+                 version: Option[Int] = None,
+                 scope: Option[GraftStoreState] = None): Unit = {
+    val s = resolve(srcNamespace, src, scope)
     val (schema, fs, fsDvs) = s.stateAt(version,
       Identifier.of(srcNamespace.toArray, src))
     // CHECK constraints are compiled against the source's CURRENT
@@ -3348,7 +3355,9 @@ object GraftMaintenance {
     val clone = new GraftTable(
       (dstNamespace :+ dst).mkString("."), schema, s.partitionCols,
       s.rowLevelMode, s.bucketSpec, cloneChecks)
-    if (GraftTableStore.tables
+    // the clone registers in the SAME universe its source resolved in —
+    // scoped calls must not leak clones into the global store
+    if (scope.getOrElse(GraftTableStore.global).tables
         .putIfAbsent((dstNamespace, dst), clone).isDefined)
       throw new TableAlreadyExistsException(
         Identifier.of(dstNamespace.toArray, dst))
@@ -3372,8 +3381,9 @@ object GraftMaintenance {
     * the clone's own storage so the source can be vacuumed without
     * invalidating it (see [[GraftTable.deepenClone]]). Returns the
     * number of files re-pointed. */
-  def deepenClone(namespace: Seq[String], table: String): Int =
-    resolve(namespace, table).deepenClone()
+  def deepenClone(namespace: Seq[String], table: String,
+                  scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).deepenClone()
 
   /** SQL gateway for sessions built WITHOUT the parser extension:
     * maintenance statements (see [[GraftSqlParser]]) execute here, any

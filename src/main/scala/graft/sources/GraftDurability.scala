@@ -48,17 +48,21 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
     * entry is unreadable without a preceding anchor). Foreign
     * processes' checkpoints may be missing from this set — that is
     * merely conservative (reclaim deletes less; reclaim re-reads the
-    * `ckpt/` listing to pick them up). An AtomicReference with CAS
-    * mutation, so no interleaving of adds and the loader's wholesale
-    * seed can ever lose an anchor. */
+    * `ckpt/` listing to pick them up). An AtomicReference where EVERY
+    * mutation — single adds and the loader's seed alike — is a CAS
+    * MERGE, so no interleaving can ever lose an anchor (a wholesale
+    * `set` racing an add would; merging only ever widens, and a stale
+    * extra anchor is harmless — reclaim's floor takes the NEWEST
+    * anchor at or below the base, never a superseded older one). */
   private val anchorSet = new java.util.concurrent.atomic.AtomicReference(
     scala.collection.immutable.SortedSet(0))
 
   def anchors: scala.collection.immutable.SortedSet[Int] = anchorSet.get()
-  def anchors_=(s: scala.collection.immutable.SortedSet[Int]): Unit =
-    anchorSet.set(s)
+  def anchors_=(s: scala.collection.immutable.SortedSet[Int]): Unit = {
+    anchorSet.updateAndGet(_ ++ s); ()
+  }
 
-  def addAnchor(v: Int): Unit = anchorSet.updateAndGet(_ + v)
+  def addAnchor(v: Int): Unit = { anchorSet.updateAndGet(_ + v); () }
 }
 
 /** One lazily-loadable parquet segment: the durable body of a
@@ -90,6 +94,13 @@ trait GraftLogStore {
     * Reentrant per thread; mutually exclusive across threads (and,
     * where the backend can express it, across processes). */
   def withLease[T](key: Path)(body: => T): T
+
+  /** Delete `target` (reclaim's half of the protocol). MUST free the
+    * name for a future [[putIfAbsent]]: a CAS backend that remembers
+    * deleted names would let a later checkpoint install "win" its
+    * part CAS without rewriting the missing bytes — a live manifest
+    * over absent parts. */
+  def delete(target: Path): Unit = { Files.deleteIfExists(target); () }
 }
 
 object GraftLogStore {
@@ -161,6 +172,14 @@ object GraftLogStore {
       val k = target.toAbsolutePath.normalize.toString
       if (names.putIfAbsent(k, ()).isDefined) false
       else { Files.write(target, bytes); true }
+    }
+
+    override def delete(target: Path): Unit = {
+      // free the CAS name too, or a later install at this name would
+      // "win" without materializing bytes (see the trait contract)
+      names.remove(target.toAbsolutePath.normalize.toString)
+      Files.deleteIfExists(target)
+      ()
     }
 
     override def withLease[T](key: Path)(body: => T): T = {
@@ -328,13 +347,15 @@ private[sources] final class GraftTableLog(val dir: Path,
     * edge (don't run it while a write is in flight). */
   def reclaim(oldestRetained: Int, liveRefs: Set[String],
               minAgeMillis: Long = 0L): Unit = {
+    // CAS'd names (entries, manifests, parts) delete THROUGH the store
+    // so a conditional-put backend frees them for future installs
     listEntryVersions.foreach { v =>
-      if (v < oldestRetained) Files.deleteIfExists(entryPath(v))
+      if (v < oldestRetained) store.delete(entryPath(v))
     }
     // superseded checkpoints: anything below the retained anchor can
     // never be a fold start again (the anchor AT oldestRetained stays)
     listCheckpointVersions.foreach { v =>
-      if (v < oldestRetained) Files.deleteIfExists(ckptPath(v))
+      if (v < oldestRetained) store.delete(ckptPath(v))
     }
     // part payloads ride their manifest's fate; additionally, a part
     // whose manifest never landed (a checkpointer crashed mid-parts) is
@@ -352,7 +373,7 @@ private[sources] final class GraftTableLog(val dir: Path,
             val v = name.take(11).toInt
             if (v < oldestRetained ||
                 (minAgeMillis <= 0L && !manifests.contains(v)))
-              Files.deleteIfExists(p)
+              store.delete(p)
           }
         }
       } finally s.close()
@@ -385,7 +406,10 @@ private[sources] final class GraftTableLog(val dir: Path,
     import scala.jdk.CollectionConverters._
     if (Files.exists(dir)) {
       val all = Files.walk(dir)
-      try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      // every delete goes through the store so a CAS backend frees the
+      // names — else a table re-created at this dir would lose its v0
+      // CAS to a remembered ghost
+      try all.iterator().asScala.toSeq.reverse.foreach(store.delete)
       finally all.close()
     }
   }
@@ -883,13 +907,20 @@ private[sources] object GraftLogCodec {
       // pre-versioning tables carry no field — format 1 by definition
       format = o.get("format").map(num(_).toInt).getOrElse(1))
     if (meta.format > CurrentFormat)
-      throw new IllegalStateException(
+      throw new GraftFormatException(
         s"table '${meta.displayName}' was written by a NEWER engine " +
           s"(format ${meta.format}; this engine reads <= $CurrentFormat) " +
           "— refusing to open: folding or vacuuming a half-understood " +
           "layout silently corrupts it. Upgrade the engine instead.")
     meta
   }
+
+  /** The format gate's refusal — its own type so warehouse open can
+    * SKIP a too-new table (one table stamped by a newer engine must not
+    * make every healthy sibling inaccessible — the same principle as
+    * the aborted-create skip) while a direct load still fails loudly. */
+  final class GraftFormatException(msg: String)
+      extends IllegalStateException(msg)
 
   def encodeNamespaceMeta(parts: Seq[String],
       metadata: java.util.Map[String, String]): String = {
@@ -961,10 +992,19 @@ private[sources] object GraftDurableLoader {
         // deleted here: a concurrent creator may be mid-commit between
         // the two writes right now.
         if (new GraftTableLog(dir, logStore).hasAnyEntry) {
-          val t = loadTable(dir, logStore)
-          val meta = GraftLogCodec.decodeTableMeta(
-            new GraftTableLog(dir, logStore).readTableMeta())
-          store.tables.put((meta.namespace, meta.name), t)
+          try {
+            val t = loadTable(dir, logStore)
+            val meta = GraftLogCodec.decodeTableMeta(
+              new GraftTableLog(dir, logStore).readTableMeta())
+            store.tables.put((meta.namespace, meta.name), t)
+          } catch {
+            // a table stamped by a NEWER engine refuses per TABLE, not
+            // per warehouse: healthy siblings stay served, the skip is
+            // recorded, and any direct load of the dir still throws
+            case e: GraftLogCodec.GraftFormatException =>
+              store.skippedNewerFormat
+                .put(dir.getFileName.toString, e.getMessage)
+          }
         }
       }
     finally s.close()

@@ -449,6 +449,29 @@ class GraftDeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("reclaim frees CAS names: parts swept as orphans can be " +
+      "re-installed with real bytes on the conditional-put backend") {
+    val store = new GraftLogStore.InMemoryCas
+    val dir = Files.createTempDirectory("graft-casdel")
+    val log = new GraftTableLog(dir, store)
+    Files.createDirectories(log.ckptDir)
+    // a checkpointer lands its parts then dies before the manifest
+    assert(store.putIfAbsent(log.ckptPartPath(3, 0, 2), "x".getBytes))
+    assert(store.putIfAbsent(log.ckptPartPath(3, 1, 2), "y".getBytes))
+    // VACUUM's orphan sweep removes them (no manifest at v3)
+    log.reclaim(0, Set.empty, 0L)
+    assert(!Files.exists(log.ckptPartPath(3, 0, 2)))
+    // a LATER checkpoint install at the same version must materialize
+    // real bytes again — a CAS backend remembering deleted names would
+    // "win" the part CAS without writing, leaving a live manifest over
+    // absent parts and an unfoldable anchor
+    assert(log.installCheckpoint(3, "{}",
+      Seq("a".getBytes, "b".getBytes)))
+    assert(Files.exists(log.ckptPartPath(3, 0, 2)) &&
+      Files.exists(log.ckptPartPath(3, 1, 2)),
+      "putIfAbsent after store.delete must rewrite the freed name")
+  }
+
   test("format gate: a table stamped by a NEWER engine refuses to open " +
       "loudly; a pre-versioning (format-1) table.json still opens") {
     val wh = tmpDir("graft-dlog-fmt")
@@ -461,14 +484,22 @@ class GraftDeltaLogSpec extends SparkSpec {
     assert(orig.contains("\"format\":2"),
       "new tables must stamp the current format generation")
     // forge a future generation: an old engine folding or vacuuming a
-    // layout it half-understands corrupts it silently — refusal is the
-    // only safe behavior
+    // layout it half-understands corrupts it silently. The refusal is
+    // PER TABLE: warehouse open SKIPS it (recording why) so healthy
+    // siblings stay served; a direct load still throws
     Files.write(metaPath,
       orig.replace("\"format\":2", "\"format\":99").getBytes("UTF-8"))
+    spark.sql("CREATE TABLE dfm.ns.t_ok (id BIGINT)") // healthy sibling
+    val skippy = GraftTableStore.openIsolated(wh)
+    assert(!skippy.tables.keys.exists(_._2 == "t_fm"),
+      "the newer-format table must be invisible to this engine")
+    assert(skippy.tables.keys.exists(_._2 == "t_ok"),
+      "one newer-format table must not take the warehouse down")
+    val why = skippy.skippedNewerFormat.values.mkString
+    assert(why.contains("NEWER engine") && why.contains("99"), why)
     val e = intercept[IllegalStateException](
-      GraftTableStore.openIsolated(wh))
-    assert(e.getMessage.contains("NEWER engine") &&
-      e.getMessage.contains("99"), e.getMessage)
+      GraftDurableLoader.loadTable(td))
+    assert(e.getMessage.contains("NEWER engine"), e.getMessage)
     // a FORMAT-1 stamp (pre-versioning table.json without the field)
     // opens fine: every v1 shape is still legal in v2
     Files.write(metaPath, orig
