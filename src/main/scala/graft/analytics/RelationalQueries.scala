@@ -2040,12 +2040,16 @@ object RelationalQueries {
     // ----- REPLACE TABLE lifecycle on the durable catalog: CREATE a
     // wide table, CREATE OR REPLACE it with a different (aggregated)
     // shape, read the result through a FRESH isolated catalog — restart
-    // parity across the replace. A non-staging DSv2 catalog serves
-    // Spark's documented DROP+CREATE fallback (the source of the
-    // replacement must not be the table being replaced); the old
-    // table's dir is destroyed with it, so repeated REPLACE never
-    // accumulates orphan dirs. Delta's atomic variant (StagingTableCatalog)
-    // is the documented upgrade path behind the same surface.
+    // parity across the replace. The catalog is a StagingTableCatalog
+    // (round 13): the replacement stages invisibly in a nested
+    // `stage-<uuid>/` dir (writes land executor-side), its field ids
+    // seed DISJOINT from the target's, and the commit is same-volume
+    // segment renames plus ONE schema-swapping entry on the target's
+    // own log under the commit lease — Delta's atomic,
+    // history-preserving replace. A crash at any pre-commit point
+    // leaves the old table serving; time travel to pre-replace
+    // versions still works; the change feed refuses to read across the
+    // swap (GraftReplaceTableSpec pins all of it).
     Q("s51_replace_table", "S10,E-durable,DDL-replace",
       """SELECT n_regionkey AS rk, count(*) AS n,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum

@@ -1567,16 +1567,49 @@ object TextQueries {
         .orderBy("source")
     }
 
+  /** Per-source capped keep-set, TWO-PHASE (the r12 verdict's task 5):
+    * rank docs inside each source by a deterministic hash and keep the
+    * `cap` lowest, WITHOUT a single source-partitioned window — a
+    * dominant source (90% of a web crawl behind one domain) would
+    * serialize through one task. Phase 1 takes the cap-sized head of
+    * each of `shards` hash-shards of every source in parallel (any doc
+    * in the global top-cap is necessarily in its shard's top-cap, so
+    * no survivor is lost); phase 2 re-ranks the ≤ shards·cap survivors
+    * per source — exact same keep-set as the single window, hot source
+    * spread over `shards` tasks (the t14 pattern). The shard key
+    * derives from the ORDERING hash, not the id: any partition is
+    * correct, but id-derived salts collapse when ids share a residue.
+    * Returns (source, doc_id, h, rk) for rk <= cap. */
+  def cappedKeepSet(docs: org.apache.spark.sql.DataFrame, cap: Int,
+      shards: Int = 32): org.apache.spark.sql.DataFrame = {
+    val hashed = docs
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("salt", pmod(crc32(col("h")), lit(shards.toLong)))
+    val local = hashed
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("source", "salt").orderBy("h", "doc_id")))
+      .filter(col("lrn") <= cap)
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("rk") <= cap)
+      .select("source", "doc_id", "h", "rk")
+  }
+
   /** Per-source document caps (domain caps in web curation: no
     * single site may dominate the training mix). The keep-set is a
     * DETERMINISTIC unbiased sample — rank by md5(doc_id) inside each
     * source, keep the SourceCap lowest — so reruns and engines agree
-    * bit-for-bit with no RNG. Plan: one source-partitioned rank
-    * window. At 100 TB with a skewed hot source, swap the window for
-    * the t14-style two-phase top-K (per-partition heads, then a
-    * cap-sized final select) — same semantics, bounded memory; the
-    * harness keeps the window shape, which is exact at any source
-    * cardinality. */
+    * bit-for-bit with no RNG. Plan: the TWO-PHASE top-K
+    * ([[cappedKeepSet]]) — per-(source, shard-of-32) heads in
+    * parallel, then a final rank over the ≤ 32·cap survivors — so a
+    * dominant source never serializes one window partition (the r12
+    * watch item, closed; ScaleCapsSpec pins the hot-source shape). The
+    * per-source totals are a plain aggregate joined against the
+    * keep-set's stats (source-cardinality rows — broadcast side). The
+    * oracle states the semantics as the single window, which is
+    * result-identical. */
   private lazy val t38Query: Q =
     Q("t38_source_caps", "CURATE-caps,W4,A1,A7", {
       s"""WITH r AS (SELECT source, doc_id,
@@ -1593,17 +1626,16 @@ object TextQueries {
          |    AS BIGINT) AS kept_id_sum
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     }) { (s, dir) =>
-      val ranked = Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"),
-          md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy("h", "doc_id")))
-      ranked.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("rk") <= SourceCap, 1L).otherwise(0L))
-            .cast("long").as("n_kept"),
-          sum(when(col("rk") <= SourceCap, col("doc_id")).otherwise(0L))
-            .cast("long").as("kept_id_sum"))
+      val docs = Tables.documents(s, dir)
+      val keptStats = cappedKeepSet(docs, SourceCap)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_id_sum"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(keptStats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
         .orderBy("source")
     }
 

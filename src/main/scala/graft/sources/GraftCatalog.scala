@@ -56,7 +56,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * route, whose plans are oracle- and shape-verified (s11/s19).
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with StagingTableCatalog {
   private var catalogName: String = _
 
   /** Backing universe: the in-JVM global store by default; a durable
@@ -250,9 +250,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     t.snapshotAsOf(timestamp, ident)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+  /** Shared CREATE/stage spec parsing: partition transforms, row-level
+    * mode, CHECK constraints — everything a table builds from besides
+    * its schema. Fails loudly on anything unsupported. */
+  private def parseTableSpec(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : (Seq[String], Option[(Int, String)], String,
+         Map[String, GraftConstraints.Check]) = {
     // identity partitioning (defines the COW rewrite groups) and ONE
     // bucket(n, col) transform (hash co-location for storage-partitioned
     // joins) are supported; any other transform must fail, not silently
@@ -317,6 +321,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new IllegalArgumentException(
         s"table name ${ident.name()} may not contain '$$' (reserved for " +
           "metadata-table suffixes — such a table could never be loaded)")
+    (partCols, bucketSpec, mode, checks)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val (partCols, bucketSpec, mode, checks) =
+      parseTableSpec(ident, schema, partitions, properties)
     val t = new GraftTable(
       (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
       mode, bucketSpec, checks)
@@ -340,6 +352,186 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new TableAlreadyExistsException(ident)
     }
     t
+  }
+
+  // ---- StagingTableCatalog: ATOMIC CTAS / REPLACE TABLE ---------------
+  // With this trait present, Spark plans AtomicCreateTableAsSelect /
+  // AtomicReplaceTableAsSelect against the catalog: the CTAS/RTAS data
+  // writes into an INVISIBLE staged table and only commitStagedChanges()
+  // makes it real — a crash at any earlier point leaves the catalog
+  // exactly as it was (Delta's staged-commit contract; the r12 verdict's
+  // task 2). Durable staging:
+  //   CREATE  — the staged table lives in a top-level `_stage-<uuid>`
+  //     dir the warehouse loader skips; commit atomically RENAMES the
+  //     whole dir to its real name and reloads it.
+  //   REPLACE — the staged table lives in `<targetDir>/stage-<uuid>/`
+  //     (nested dirs are invisible to discovery by construction); its
+  //     field ids seed from the target's monotonic counter so pre- and
+  //     post-replace ids are DISJOINT; commit renames the finished
+  //     segments into the target's `data/` (same volume — zero byte
+  //     copies) and lands ONE schema-swapping entry on the TARGET's own
+  //     log under its commit lease. The predecessor's history stays:
+  //     time travel to pre-replace versions serves, while the change
+  //     feed refuses to read across the swap (disjoint field ids).
+  // Crashed stages sweep by age: VACUUM / automatic reclaim for nested
+  // `stage-*` dirs, warehouse open for top-level `_stage-*` dirs.
+
+  /** One staged (invisible) table plus its commit/abort actions. */
+  private final class GraftStagedTable(staged: GraftTable,
+      doCommit: () => Unit, doAbort: () => Unit)
+      extends StagedTable with SupportsRead with SupportsWrite {
+    override def name(): String = staged.name()
+    override def schema(): StructType = staged.schema()
+    override def partitioning(): Array[Transform] = staged.partitioning()
+    override def properties(): util.Map[String, String] = staged.properties()
+    override def capabilities(): util.Set[TableCapability] =
+      staged.capabilities()
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = staged.newScanBuilder(options)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      staged.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = doCommit()
+    override def abortStagedChanges(): Unit = doAbort()
+  }
+
+  /** Build the invisible staged table: id-seeded schema, the same spec
+    * parsing as CREATE, durably attached under `stageDir` when the
+    * store is a warehouse. Never registered in the store. */
+  private def buildStaged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      seed: Long, stageDir: Option[java.nio.file.Path]): GraftTable = {
+    val seeded = FieldIds.assignFrom(schema, seed)
+    val (partCols, bucketSpec, mode, checks) =
+      parseTableSpec(ident, seeded, partitions, properties)
+    val t = new GraftTable(
+      (ident.namespace() :+ ident.name()).mkString("."), seeded, partCols,
+      mode, bucketSpec, checks)
+    stageDir.foreach { dir =>
+      t.attachDurable(new GraftTableDurability(
+        new GraftTableLog(dir, store.logStore)),
+        ident.namespace().toSeq, ident.name())
+    }
+    t
+  }
+
+  private def stageDirForCreate(ident: Identifier)
+      : Option[java.nio.file.Path] =
+    store.warehouse.map(_.resolve("_stage-" +
+      (ident.namespace().toSeq :+ ident.name())
+        .map(GraftDurableLoader.encodePart).mkString("_") + "-" +
+      java.util.UUID.randomUUID().toString.take(12)))
+
+  private def stageDirForReplace(target: GraftTable)
+      : Option[java.nio.file.Path] =
+    target.durable.map(_.log.dir.resolve(
+      "stage-" + java.util.UUID.randomUUID().toString.take(12)))
+
+  /** CREATE commit: in-JVM registers the staged object; durable
+    * atomically renames the whole stage dir to its real name (same
+    * volume) and reloads — until the rename, discovery cannot see it. */
+  private def commitStagedCreate(ident: Identifier,
+      staged: GraftTable): Unit = store.warehouse match {
+    case None =>
+      if (store.tables.putIfAbsent(key(ident), staged).isDefined)
+        throw new TableAlreadyExistsException(ident)
+    case Some(wh) =>
+      val stageDir = staged.durable.get.log.dir
+      val finalDir = GraftDurableLoader.allocateTableDir(
+        wh, ident.namespace().toSeq, ident.name())
+      java.nio.file.Files.move(stageDir, finalDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // re-root on the moved dir: a fresh fold (2 log entries, zero
+      // segment reads) — the staged object's absolute segment handles
+      // died with the rename
+      val live = GraftDurableLoader.loadTable(finalDir, store.logStore)
+      if (store.tables.putIfAbsent(key(ident), live).isDefined) {
+        live.dropDurable()
+        throw new TableAlreadyExistsException(ident)
+      }
+  }
+
+  /** REPLACE commit: splice the staged state into the target's log as
+    * one swap entry (see [[GraftTable.commitReplace]]) and swap the
+    * store mapping to the re-rooted replacement object. */
+  private def commitStagedReplace(ident: Identifier, staged: GraftTable,
+      seed: Long): Unit = {
+    val target = store.tables.getOrElse(key(ident), {
+      staged.dropDurable()
+      throw new NoSuchTableException(ident)
+    })
+    val replacement = target.commitReplace(staged, seed)
+    if (!store.tables.replace(key(ident), target, replacement))
+      throw new java.util.ConcurrentModificationException(
+        s"${ident.name()}: the table was dropped or replaced while this " +
+          "REPLACE was committing")
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (store.tables.contains(key(ident)))
+      throw new TableAlreadyExistsException(ident)
+    val staged = buildStaged(ident, schema, partitions, properties,
+      seed = 0L, stageDirForCreate(ident))
+    new GraftStagedTable(staged,
+      () => commitStagedCreate(ident, staged),
+      () => staged.dropDurable())
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val target = store.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val seed = target.fieldIdSeed
+    val staged = buildStaged(ident, schema, partitions, properties,
+      seed, stageDirForReplace(target))
+    new GraftStagedTable(staged,
+      () => commitStagedReplace(ident, staged, seed),
+      () => staged.dropDurable())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    store.tables.get(key(ident)) match {
+      case Some(target) =>
+        val seed = target.fieldIdSeed
+        val staged = buildStaged(ident, schema, partitions, properties,
+          seed, stageDirForReplace(target))
+        new GraftStagedTable(staged,
+          // the target may vanish between stage and commit — OR REPLACE
+          // then degrades to a plain create of the staged state
+          () => if (store.tables.contains(key(ident)))
+                  commitStagedReplace(ident, staged, seed)
+                else commitStagedCreateFromReplaceStage(ident, staged),
+          () => staged.dropDurable())
+      case None =>
+        val staged = buildStaged(ident, schema, partitions, properties,
+          seed = 0L, stageDirForCreate(ident))
+        new GraftStagedTable(staged,
+          // a table created meanwhile makes this a replace: refuse with
+          // the optimistic-retry contract rather than clobbering it
+          // with create semantics (the staged ids were not seeded
+          // against it)
+          () => commitStagedCreate(ident, staged),
+          () => staged.dropDurable())
+    }
+
+  /** CREATE-degraded commit of a REPLACE-staged table (its target was
+    * dropped mid-stage): the stage dir nests inside the now-destroyed
+    * target dir, so rename it out to a real top-level name first. */
+  private def commitStagedCreateFromReplaceStage(ident: Identifier,
+      staged: GraftTable): Unit = store.warehouse match {
+    case None => commitStagedCreate(ident, staged)
+    case Some(wh) =>
+      val stageDir = staged.durable.get.log.dir
+      if (!java.nio.file.Files.isDirectory(stageDir))
+        throw new java.util.ConcurrentModificationException(
+          s"${ident.name()}: the REPLACE target was dropped mid-stage " +
+            "and its directory (holding the staged data) went with it — " +
+            "retry the statement")
+      commitStagedCreate(ident, staged)
   }
 
   /** `ALTER TABLE ... ADD COLUMNS` — the schema-evolution route the
@@ -496,6 +688,20 @@ private[sources] object FieldIds {
 
   def nextId(schema: StructType): Long =
     schema.fields.iterator.flatMap(idOf).foldLeft(-1L)(math.max) + 1
+
+  /** Assign fresh ids to EVERY field starting at `start`, ignoring any
+    * carried id metadata (a CTAS projection over another graft table
+    * would otherwise smuggle that table's ids in). The staged-REPLACE
+    * seeding: the replacement's ids must be DISJOINT from every id the
+    * target ever used, so cross-version id-matching (CDF
+    * canonicalization, stream projections) can never attribute a
+    * pre-replace column's values to an unrelated post-replace column. */
+  def assignFrom(schema: StructType, start: Long): StructType = {
+    var next = start
+    StructType(schema.fields.map { f =>
+      val g = withId(f, next); next += 1; g
+    })
+  }
 
   /** Ordinal of `target` in `source`: by FIELD ID when the target
     * carries one, by name only for id-less fields (the `_change_type` /
@@ -1351,6 +1557,58 @@ class GraftTable(initialName: String, initialSchema: StructType,
       Map[GraftDataFile, scala.collection.immutable.BitSet]) =
     (Vector.empty, Map.empty)
 
+  // ---- REPLACE TABLE lineage ------------------------------------------
+  /** Layouts superseded by atomic REPLACEs, ascending by version:
+    * `(untilVersion, partitionCols, bucketSpec)` — retained commits at
+    * or below `untilVersion` were written under that layout. Time
+    * travel / clones of pre-replace versions must bind THAT layout
+    * (their files' group keys were computed under it), not the current
+    * one. Empty on never-replaced tables. */
+  @volatile private[sources] var priorLayouts
+      : List[(Int, Seq[String], Option[(Int, String)])] = Nil
+
+  /** True once this table's log carries a REPLACE swap anywhere in its
+    * life (even if retention dropped it): checkpoints must then embed
+    * their layout, because table.json only records the CREATION layout
+    * and a fold starting from a post-replace checkpoint would otherwise
+    * decode group keys under the wrong columns. */
+  @volatile private[sources] var everReplaced: Boolean = false
+
+  /** The (partitionCols, bucketSpec) in effect at commit `v`. */
+  private[sources] def layoutAt(v: Int): (Seq[String], Option[(Int, String)]) =
+    priorLayouts.find(v <= _._1).map(p => (p._2, p._3))
+      .getOrElse((partitionCols, bucketSpec))
+
+  /** Newest RETAINED REPLACE swap version, if any. Once retention drops
+    * the swap (and with it every pre-replace entry — history is
+    * contiguous), the feed is uniform again and no guard is needed. */
+  private[sources] def lastReplaceVersion: Option[Int] = {
+    val h = history
+    h.reverseIterator.find(_.operation == GraftTable.ReplaceOp)
+      .map(_.version)
+  }
+
+  /** Refuse a change-feed read whose version range is not entirely
+    * ABOVE the newest retained REPLACE swap (Delta's contract: CDF does
+    * not read across a non-additive schema change). The replacement's
+    * field ids are disjoint from the predecessor's BY CONSTRUCTION, so
+    * a pre-replace change row canonicalized to the current schema would
+    * null-pad every column — silently wrong preimages. `lower` is the
+    * read's proven lower bound on `_commit_version` (from pushed
+    * filters / the stream's start offset); None means unbounded. */
+  private[sources] def assertCdfRangeReadable(lower: Option[Int]): Unit =
+    lastReplaceVersion.foreach { r =>
+      if (!lower.exists(_ > r))
+        throw new IllegalStateException(
+          s"$tableName: the change feed crosses REPLACE TABLE at " +
+            s"version $r — pre-replace changes are expressed under a " +
+            "disjoint schema (field ids do not overlap), so they cannot " +
+            "be served as rows of the current schema. Constrain the " +
+            s"read to _commit_version >= ${r + 1} (streaming: " +
+            s"startingVersion >= ${r + 1}), or time-travel to a " +
+            "pre-replace version for the old state.")
+    }
+
   // ---- durable backing ------------------------------------------------
   /** None = in-JVM table (the historical mode); Some = every commit
     * persists parquet segments + a JSON log entry under the table dir
@@ -1408,9 +1666,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   /** Install one decoded log entry as the current state + a history
     * entry — the shared replay step of restart load and foreign-commit
-    * sync. */
-  private def applyDecoded(dec: GraftLogCodec.DecodedEntry): Unit = {
+    * sync. `allowReplace` is true only during the restart FOLD (where
+    * the table object is constructed with the final layout): a live
+    * object can never adopt a foreign REPLACE swap — its immutable
+    * layout (partitionCols / bucketSpec / row-level mode) may differ
+    * from the replacement's — so a sync that meets one refuses loudly
+    * and the caller re-opens the table. */
+  private def applyDecoded(dec: GraftLogCodec.DecodedEntry,
+      allowReplace: Boolean = false): Unit = {
     val e = dec.entry
+    if (e.operation == GraftTable.ReplaceOp && !allowReplace)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: the table was REPLACEd by another writer at " +
+          s"version ${e.version}; this handle's layout is stale — " +
+          "re-open the table to continue")
     // a file first decoded under an OLDER entry keeps its registry
     // identity; as newer entries replay, re-point its handle at the
     // widest schema seen (metadata-only ADD COLUMN — the parquet read
@@ -1440,7 +1709,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       decoded: Seq[GraftLogCodec.DecodedEntry]): Unit = synchronized {
     durable = Some(d)
     history = Vector.empty // the log IS the history; drop the synthetic v0
-    decoded.foreach(applyDecoded)
+    decoded.foreach(applyDecoded(_, allowReplace = true))
   }
 
   /** CREATE-time attach: write table.json + the creation entry (v0). */
@@ -1509,11 +1778,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (e.version > 0 && e.version % GraftTable.checkpointInterval == 0) {
       val (manifest, parts) = GraftLogCodec.encodeCheckpoint(e,
         partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
-        epochLedger, GraftTable.checkpointPartFiles)
+        epochLedger, GraftTable.checkpointPartFiles, checkpointLayout)
       d.log.installCheckpoint(e.version, manifest, parts)
       d.addAnchor(e.version)
     }
   }
+
+  /** Layout to embed in a checkpoint: required once the table has been
+    * REPLACEd (a fold starting from this checkpoint cannot thread the
+    * layout from table.json — that records only the creation layout);
+    * omitted otherwise so never-replaced tables' checkpoint bytes stay
+    * exactly the v2 format. */
+  private def checkpointLayout: Option[GraftLogCodec.Layout] =
+    if (everReplaced) Some((partitionCols, bucketSpec, rowLevelMode))
+    else None
 
   /** Delete log entries below the retained base and segments no
     * retained entry references (the bytes-reclaiming half of VACUUM /
@@ -1552,9 +1830,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
         if (h.schema == tableSchema)
           checks.map { case (k, c) => k -> c.text }
         else Map.empty[String, String]
+      // the anchored entry may predate a REPLACE: its census's group
+      // keys encode (and decode) under the layout in force AT h, and a
+      // replaced table's checkpoint must say which layout that is
+      val (pcH, bsH) = layoutAt(h.version)
+      val ckptLayout =
+        if (everReplaced) Some((pcH, bsH, rowLevelMode)) else None
       val (manifest, parts) = GraftLogCodec.encodeCheckpoint(h,
-        partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
-        epochLedger, GraftTable.checkpointPartFiles)
+        pcH, bsH, d.log.dir, checksTxt, nextFieldId,
+        epochLedger, GraftTable.checkpointPartFiles, ckptLayout)
       d.log.installCheckpoint(base, manifest, parts)
       d.addAnchor(base)
       floor = base
@@ -1600,8 +1884,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$ident version $v has been retired by history retention " +
           s"(oldest retained: $base)")
     val e = h(v - base)
-    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files, partitionCols,
-      e.dvs)
+    // the layout IN EFFECT AT v (a later REPLACE may have changed it;
+    // this snapshot's group keys were computed under the old one)
+    new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files,
+      layoutAt(v)._1, e.dvs)
   }
 
   /** Read-only view as of a wall-clock instant: the latest commit with
@@ -1619,7 +1905,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           s"(earliest retained commit: ${h.head.tsMicros})")
     val e = h(idx)
     new GraftSnapshotTable(s"$tableName@v${e.version}", e.schema, e.files,
-      partitionCols, e.dvs)
+      layoutAt(e.version)._1, e.dvs)
   }
 
   /** Commit log view: (version, timestampMicros) per retained commit —
@@ -1756,6 +2042,143 @@ class GraftTable(initialName: String, initialSchema: StructType,
       dvs = targetDvs
       snap("RESTORE", added = added.result(), removed = removed.result())
     }
+
+  /** Field-id seed for a staged replacement: the target's monotonic
+    * counter, refreshed against the log so a foreign ADD COLUMN that
+    * already landed is included. Ids at or above this are unused by any
+    * retained OR historical schema of this table. */
+  private[sources] def fieldIdSeed: Long = {
+    refreshIfStale()
+    nextFieldId
+  }
+
+  /** ATOMIC staged REPLACE TABLE commit (Delta's history-preserving
+    * replace, the r12 verdict's task 2): under THIS table's commit
+    * lease, splice the staged table's finished state in as ONE
+    * schema-swapping commit on THIS table's log — the predecessor's
+    * history stays retained (time travel to pre-replace versions still
+    * serves), and until the swap entry's CAS lands, every reader and a
+    * crash at any point see the OLD table. Durable staging wrote its
+    * segments executor-side into `<tableDir>/stage-<uuid>/` (invisible
+    * to warehouse discovery — nested dirs are never listed); the commit
+    * is same-volume renames into `data/` plus one log entry, O(files)
+    * metadata and zero byte copies. Returns the REPLACEMENT table
+    * object (the staged object re-rooted onto this table's log + prior
+    * history); the caller swaps it into the store. This object becomes
+    * a stale handle: any later sync that meets the swap entry refuses
+    * loudly (see [[applyDecoded]]).
+    *
+    * `stagedSeed` is the field-id seed captured at stage time: a
+    * foreign schema evolution that advanced past it would break the
+    * id-disjointness the replace depends on, so the commit aborts with
+    * the standard optimistic-retry contract. */
+  private[sources] def commitReplace(staged: GraftTable,
+      stagedSeed: Long): GraftTable = mutate {
+    if (nextFieldId > stagedSeed)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: the schema evolved while the replacement was " +
+          s"staged (field ids reached $nextFieldId, past the staged " +
+          s"seed $stagedSeed) — the replace's id-disjointness no longer " +
+          "holds; retry the REPLACE")
+    val last = history.last
+    val v = last.version + 1
+    val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
+    val layoutChanged = staged.partitionCols != partitionCols ||
+      staged.bucketSpec != bucketSpec
+    val carried =
+      if (layoutChanged) priorLayouts :+ ((v - 1, partitionCols, bucketSpec))
+      else priorLayouts
+    val ledger = epochLedger
+    durable match {
+      case None =>
+        val e = CommitEntry(v, staged.tableSchema, staged.files, ts,
+          GraftTable.ReplaceOp)
+        staged.adoptReplacedHistory(tableName, history, e, None, carried,
+          ledger)
+      case Some(d) =>
+        val stagedD = staged.durable.getOrElse(
+          throw new IllegalStateException(
+            s"$tableName: a durable table's replacement must be staged " +
+              "durably"))
+        java.nio.file.Files.createDirectories(d.log.dataDir)
+        var n = 0
+        val moved = staged.files.map { f =>
+          val rel = s"data/repl-$v-$n.parquet"
+          n += 1
+          val abs = d.log.dir.resolve(rel)
+          if (f.persisted)
+            // same volume (the stage nests inside this table's dir):
+            // a rename, never a byte copy
+            java.nio.file.Files.move(f.segment.path, abs)
+          else
+            // unpersisted staged rows (an empty-log edge; normally the
+            // staged CTAS commit persisted everything): write directly
+            GraftSegmentIO.write(abs, staged.tableSchema, f.rows)
+          val nf = GraftDataFile.fromSegment(
+            new GraftSegmentHandle(abs, staged.tableSchema),
+            f.zones, f.sizeBytes, f.groupKey, f.rowCount)
+          d.registry.put(rel, nf)
+          nf
+        }
+        val e = CommitEntry(v, staged.tableSchema, moved, ts,
+          GraftTable.ReplaceOp)
+        val checksTxt = staged.checks.map { case (k, c) => k -> c.text }
+        val layout = Some((staged.partitionCols, staged.bucketSpec,
+          staged.rowLevelMode))
+        // the swap entry ALWAYS embeds its layout: it is the log's
+        // record of the layout change (table.json keeps the creation
+        // layout — the fold threads layout from entries, Delta's
+        // per-version metaData model)
+        val json = GraftLogCodec.encodeEntry(e, staged.partitionCols,
+          staged.bucketSpec, d.log.dir, checksTxt, staged.nextFieldId,
+          ledger, layout)
+        if (!d.log.writeEntry(v, json))
+          throw new java.util.ConcurrentModificationException(
+            s"$tableName: commit $v already exists in the log — a " +
+              "writer outside the commit lease raced this REPLACE; retry")
+        if (v % GraftTable.checkpointInterval == 0) {
+          val (manifest, parts) = GraftLogCodec.encodeCheckpoint(e,
+            staged.partitionCols, staged.bucketSpec, d.log.dir, checksTxt,
+            staged.nextFieldId, ledger, GraftTable.checkpointPartFiles,
+            layout)
+          d.log.installCheckpoint(v, manifest, parts)
+          d.addAnchor(v)
+        }
+        // stage scaffolding (table.json + its 2-entry log) goes now;
+        // the segments were moved out above, so nothing of value remains
+        stagedD.log.destroy()
+        staged.adoptReplacedHistory(tableName, history, e, Some(d), carried,
+          ledger)
+    }
+  }
+
+  /** Re-root the STAGED table object as the replacement: the target's
+    * retained history plus the swap commit becomes its history, the
+    * target's durability (when any) becomes its backing, and the
+    * target's streaming-epoch ledger carries over (a replayed epoch
+    * from a pre-replace stream must still be recognized, not
+    * double-applied). Called only from [[commitReplace]], under the
+    * target's lease. */
+  private def adoptReplacedHistory(name: String,
+      prior: Vector[CommitEntry], swap: CommitEntry,
+      d: Option[GraftTableDurability],
+      layouts: List[(Int, Seq[String], Option[(Int, String)])],
+      epochs: Map[String, Long]): GraftTable = synchronized {
+    tableName = name
+    files = swap.files
+    dvs = Map.empty
+    var h = prior :+ swap
+    val over = h.length - math.max(2, GraftTable.historyRetention)
+    if (over > 0) h = h.drop(over)
+    history = h
+    priorLayouts = layouts
+    everReplaced = true
+    durable = d
+    restoreEpochs(epochs)
+    changesCache = None
+    readState = (files, dvs)
+    this
+  }
 
   /** Early history truncation (`VACUUM`): retire all but the last
     * `keepLast` snapshots NOW instead of waiting for the retention
@@ -1941,7 +2364,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     changesCache match {
       case Some((cv, cs, fs)) if cv == v && cs == schema => fs
       case _ =>
-        val fs = h.iterator.flatMap(changeFilesOf).toVector
+        // entries at or below a retained REPLACE swap never serve (the
+        // plan-time range guard already refused any read reaching
+        // them); their change records are expressed under disjoint
+        // field ids and would canonicalize to null-padded garbage —
+        // skip the build entirely
+        val floor = h.reverseIterator
+          .find(_.operation == GraftTable.ReplaceOp)
+          .map(_.version).getOrElse(Int.MinValue)
+        val fs = h.iterator.filter(_.version > floor)
+          .flatMap(changeFilesOf).toVector
         changesCache = Some((v, schema, fs))
         fs
     }
@@ -3130,6 +3562,12 @@ object GraftTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
 
+  /** Operation tag of the atomic REPLACE TABLE swap commit. Marked
+    * because it is the ONE commit kind whose pre/post states do not
+    * share field ids — the change feed and streaming tails refuse to
+    * read across it (see [[GraftTable.assertCdfRangeReadable]]). */
+  val ReplaceOp = "REPLACE TABLE"
+
   /** Max commits retained per table for time travel (ADVICE r7: snap()
     * pinned every superseded row array forever — a streaming writer
     * committing per micro-batch leaked O(commits × table size)). Beyond
@@ -3352,9 +3790,14 @@ object GraftMaintenance {
     val cloneChecks =
       if (schema == s.schema()) s.currentChecks
       else Map.empty[String, GraftConstraints.Check]
+    // a version-pinned clone binds the layout IN EFFECT AT that version
+    // (a later REPLACE may have changed it; the adopted files' group
+    // keys were computed under the old layout)
+    val (clonePartCols, cloneBucket) = version
+      .map(s.layoutAt).getOrElse((s.partitionCols, s.bucketSpec))
     val clone = new GraftTable(
-      (dstNamespace :+ dst).mkString("."), schema, s.partitionCols,
-      s.rowLevelMode, s.bucketSpec, cloneChecks)
+      (dstNamespace :+ dst).mkString("."), schema, clonePartCols,
+      s.rowLevelMode, cloneBucket, cloneChecks)
     // the clone registers in the SAME universe its source resolved in —
     // scoped calls must not leak clones into the global store
     if (scope.getOrElse(GraftTableStore.global).tables
@@ -3764,7 +4207,8 @@ class GraftScanBuilder(tableSchema: StructType,
                        streamOptions: CaseInsensitiveStringMap =
                          CaseInsensitiveStringMap.empty(),
                        streamChangeFeed: Boolean = false,
-                       bucketSpec: Option[(Int, String)] = None)
+                       bucketSpec: Option[(Int, String)] = None,
+                       cdfBase: Option[GraftTable] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -3828,6 +4272,9 @@ class GraftScanBuilder(tableSchema: StructType,
   private def planAgg(agg: Aggregation)
       : Option[(StructType, Array[InternalRow], Int, Long)] = {
     if (pushed.nonEmpty) return None // residual rows would overcount
+    // a change feed carrying a retained REPLACE cannot answer from
+    // stats — punt to build(), whose range guard refuses loudly
+    if (cdfBase.exists(_.lastReplaceVersion.isDefined)) return None
     val (fs, dvm) = state()
     // a delete vector invalidates raw file stats (counts overcount the
     // dead positions; min/max may sit on a deleted row) — never answer
@@ -3913,7 +4360,33 @@ class GraftScanBuilder(tableSchema: StructType,
       case None => false
     }
 
+  /** Proven lower bound on `_commit_version` from the pushed filters
+    * (a change-feed read's version range as planning sees it). Only
+    * bounds the pushdown COULD compile count — an uncompiled residual
+    * stays invisible here, which errs toward refusing (loud), never
+    * toward serving a crossing read. */
+  private def cdfLowerBound: Option[Int] = {
+    import org.apache.spark.sql.sources._
+    def boundOf(f: Filter): Option[Int] = f match {
+      case GreaterThan("_commit_version", v: Number) => Some(v.intValue + 1)
+      case GreaterThanOrEqual("_commit_version", v: Number) =>
+        Some(v.intValue)
+      case EqualTo("_commit_version", v: Number) => Some(v.intValue)
+      case In("_commit_version", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        Some(vs.iterator.map(_.asInstanceOf[Number].intValue).min)
+      case And(l, r) => (boundOf(l).toSeq ++ boundOf(r).toSeq).maxOption
+      case _ => None
+    }
+    pushed.flatMap(boundOf).maxOption
+  }
+
   override def build(): Scan = {
+    // change-feed range guard (REPLACE TABLE): deferred to the scan's
+    // BATCH consumption — see GraftScan.toBatch (a streaming read of
+    // the same scan guards per batch in the stream planner instead)
+    val guard: () => Unit =
+      () => cdfBase.foreach(_.assertCdfRangeReadable(cdfLowerBound))
     aggResult.foreach { case (schema, rows, nFiles, nRows) =>
       // metadata-only answer: zero data rows read
       census(ScanCensus(nFiles, 0, nRows, 0, Seq("aggregate: pushed")))
@@ -4036,7 +4509,7 @@ class GraftScanBuilder(tableSchema: StructType,
         else ScanChunk(eagerMeta(f, fid), zonesByName(f), f.groupKey)
       }.toArray
       new GraftScan(outSchema, chunks, bytes, census,
-        pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
+        pushed.map(_.toString).toSeq, spjCols, mb, spjBucket, guard)
     } else {
       // live rows of one file (delete vector applied; no-op on COW)
       def live(f: GraftDataFile): Array[InternalRow] =
@@ -4077,7 +4550,8 @@ class GraftScanBuilder(tableSchema: StructType,
       }
       new GraftScan(if (identityProj) tableSchema else required,
         surviving.map { case (f, _) => chunkOf(f) }.toArray,
-        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket)
+        bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket,
+        guard)
     }
   }
 }
@@ -4385,7 +4859,8 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                 mbStream: Option[
                   () => org.apache.spark.sql.connector.read.streaming
                     .MicroBatchStream] = None,
-                bucketSpec: Option[(Int, String)] = None)
+                bucketSpec: Option[(Int, String)] = None,
+                batchGuard: () => Unit = () => ())
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -4394,7 +4869,12 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
   private val totalRows: Long = chunks0.iterator.map(_.rowCount.toLong).sum
 
   override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
+  // the guard fires only when the scan is consumed as a BATCH: the
+  // same Scan object also serves toMicroBatchStream, whose per-batch
+  // version ranges are guarded in the stream's own planner (a stream
+  // legitimately starting ABOVE a REPLACE swap must not be refused by
+  // the batch rule, which cannot see the stream's offsets)
+  override def toBatch: Batch = { batchGuard(); this }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -4771,6 +5251,13 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     val s = versionOf(start)
     val e = versionOf(end)
     if (changeFeed) {
+      // streaming-CDF REPLACE guard: a batch whose range touches any
+      // version at or below the newest retained swap would serve
+      // pre-replace preimages under disjoint field ids — refuse at
+      // plan time with the startingVersion remedy (Delta's contract)
+      table.lastReplaceVersion.foreach { r =>
+        if (s < r) table.assertCdfRangeReadable(Some(s + 1))
+      }
       // change-data-feed tail: each commit's MINIMAL row delta is the
       // batch — change commits are consumable deltas here, never errors;
       // layout commits yield nothing. Initial position replays every
@@ -4808,6 +5295,17 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         fs.map(f => (schema, f,
           sdvs.getOrElse(f, scala.collection.immutable.BitSet.empty)))
       } else table.entriesBetween(s, e).flatMap { entry =>
+        // a REPLACE swap carries no change vectors (added/removed stay
+        // empty — CDF across it is refused), so the removed-rows check
+        // below cannot catch it; it must still fail the stream — the
+        // stream's schema binds pre-replace field ids, and the new
+        // table's files would silently project to all-NULL
+        if (entry.operation == GraftTable.ReplaceOp)
+          throw new IllegalStateException(
+            s"${table.name()}: commit ${entry.version} REPLACEd the " +
+              "table — the streaming tail's schema no longer matches " +
+              "(field ids are disjoint across a replace). Restart the " +
+              "stream against the replaced table.")
         if (entry.removed.nonEmpty) {
           if (skipChangeCommits) Nil
           else throw new IllegalStateException(
@@ -5002,7 +5500,7 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
     new GraftScanBuilder(base.changesSchema,
       () => (base.changesFiles, Map.empty),
       streamSource = Some(base), streamOptions = options,
-      streamChangeFeed = true)
+      streamChangeFeed = true, cdfBase = Some(base))
 }
 
 /** Frozen read-only view of one commit in a [[GraftTable]]'s history —

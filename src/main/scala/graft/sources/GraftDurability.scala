@@ -117,8 +117,10 @@ object GraftLogStore {
   def byName(name: String): GraftLogStore = name match {
     case null | "" | "local-fs" => LocalFs
     case "conditional-put" => sharedConditionalPut
+    case "file-cas" => FileCas
     case other => throw new IllegalArgumentException(
-      s"unknown logstore '$other' (expected local-fs | conditional-put)")
+      s"unknown logstore '$other' (expected local-fs | conditional-put " +
+        "| file-cas)")
   }
 
   /** Local-filesystem backend: hard-link CAS (atomic on POSIX; fails
@@ -151,6 +153,95 @@ object GraftLogStore {
             held += k
             try body finally { held -= k; l.release() }
           } finally ch.close()
+        }
+      }
+    }
+  }
+
+  /** CROSS-PROCESS conditional-put backend shaped like an object store
+    * — atomic CREATE-NEW semantics ONLY: no hard links, no OS file
+    * locks (the two LocalFs primitives an object store lacks). The
+    * version CAS is `open(O_CREAT|O_EXCL)` — the one atomic
+    * name-claiming primitive every POSIX filesystem shares with a
+    * conditional put — and the lease is a LOCK-SERVICE STAND-IN: a
+    * spin on create-new of `<key>.owner`, released by delete, with an
+    * age-gated crash-recovery takeover. This is the backend the REAL
+    * multi-process soak runs against (ForkedWriterMain), proving the
+    * commit protocol end-to-end across process boundaries on
+    * conditional-put semantics alone.
+    *
+    * Documented gaps vs a real object store (test surface, like
+    * [[InMemoryCas]]): (1) a true conditional put is all-or-nothing,
+    * while here the content write FOLLOWS the atomic name claim — a
+    * crash inside that window leaves a torn object behind a claimed
+    * name (the fold fails LOUDLY on it, never silently); (2) the
+    * stale-lease takeover (rename-to-tombstone, so exactly one
+    * claimant wins the recovery) has a theoretical mis-takeover window
+    * a lock service with fencing tokens closes. Production stays on
+    * [[LocalFs]] locally; a real deployment binds S3/GCS conditional
+    * puts plus a lock service behind this same seam. */
+  object FileCas extends GraftLogStore {
+    /** How long a held lease may sit untouched before a peer presumes
+      * its holder crashed. Spin-held leases refresh nothing — the
+      * window just needs to exceed any legitimate commit. */
+    @volatile var leaseTtlMillis: Long = 5L * 60 * 1000
+
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean =
+      try {
+        Files.write(target, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+
+    override def withLease[T](key: Path)(body: => T): T = {
+      val k = key.toAbsolutePath.normalize.toString
+      val held = GraftTableLog.heldLocks.get()
+      if (held.contains(k)) return body
+      val owner = key.resolveSibling(key.getFileName.toString + ".owner")
+      // in-process threads serialize on a JVM monitor first (cheap);
+      // processes contend on the owner-file create-new
+      val mon = GraftTableLog.monitors.computeIfAbsent(
+        k + "#filecas", _ => new Object)
+      mon.synchronized {
+        var acquired = false
+        while (!acquired) {
+          acquired =
+            try {
+              Files.write(owner,
+                (java.lang.management.ManagementFactory.getRuntimeMXBean
+                  .getName + "\n").getBytes(UTF_8),
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                // crash recovery: a lease older than the TTL is
+                // presumed orphaned; the RENAME to a tombstone is the
+                // atomic claim (exactly one recoverer wins — the
+                // loser's rename throws), then both re-contend on
+                // create-new
+                try {
+                  if (Files.getLastModifiedTime(owner).toMillis <
+                      System.currentTimeMillis() - leaseTtlMillis) {
+                    val tomb = owner.resolveSibling(
+                      owner.getFileName.toString + ".stale-" +
+                        java.util.UUID.randomUUID().toString.take(8))
+                    Files.move(owner, tomb)
+                    Files.deleteIfExists(tomb)
+                  }
+                } catch { case _: java.io.IOException => () }
+                Thread.sleep(5L + scala.util.Random.nextInt(20))
+                false
+            }
+        }
+        held += k
+        try body
+        finally {
+          held -= k
+          Files.deleteIfExists(owner)
         }
       }
     }
@@ -378,6 +469,34 @@ private[sources] final class GraftTableLog(val dir: Path,
         }
       } finally s.close()
     }
+    // crashed REPLACE stages: an abandoned `stage-<uuid>/` subdir means
+    // the staging process died between stage and commit/abort — the old
+    // table kept serving throughout (the stage was invisible), and the
+    // sweep is pure reclaim. Age-gated like data orphans so a LIVE
+    // foreign process's in-flight stage is never eaten; explicit VACUUM
+    // (minAge 0) sweeps immediately, with the same RETAIN-0 sharp edge.
+    // Files delete THROUGH the store: the staged log's entries were
+    // CAS'd under these names and a conditional-put backend must free
+    // them.
+    {
+      val cutoff = System.currentTimeMillis() - minAgeMillis
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.foreach { p =>
+          def oldEnough: Boolean =
+            try Files.getLastModifiedTime(p).toMillis <= cutoff
+            catch { case _: java.io.IOException => false }
+          if (Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("stage-") &&
+              (minAgeMillis <= 0L || oldEnough)) {
+            val walk = Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverse.foreach(store.delete)
+            finally walk.close()
+          }
+        }
+      } finally s.close()
+    }
     if (Files.isDirectory(dataDir)) {
       val cutoff = System.currentTimeMillis() - minAgeMillis
       val s = Files.list(dataDir)
@@ -561,15 +680,44 @@ private[sources] object GraftLogCodec {
     else registry.getOrElseUpdate(ref, build())
   }
 
+  /** A commit's table LAYOUT as carried in the log: partition columns,
+    * bucket spec, row-level mode. Embedded in REPLACE swap entries (the
+    * layout-change record — table.json keeps only the CREATION layout,
+    * Delta's per-version metaData model) and in every checkpoint of a
+    * table that has ever been replaced (a fold starting there has no
+    * earlier entry to thread the layout from). */
+  type Layout = (Seq[String], Option[(Int, String)], String)
+
+  private def layoutJson(l: Layout): JValue = JObject(
+    "partitionCols" -> JArray(l._1.toList.map(JString(_))),
+    "bucketSpec" -> l._2.map { case (n, c) =>
+      JArray(List(JLong(n.toLong), JString(c))): JValue
+    }.getOrElse(JNull),
+    "rowLevelMode" -> JString(l._3))
+
+  private def decodeLayout(j: JValue): Layout = {
+    val o = j.asInstanceOf[JObject].obj.toMap
+    (o("partitionCols").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s),
+      o("bucketSpec") match {
+        case JNull => None
+        case JArray(List(n, JString(c))) => Some((num(n).toInt, c))
+        case other => throw new IllegalStateException(s"bad bucketSpec: $other")
+      },
+      o("rowLevelMode").asInstanceOf[JString].s)
+  }
+
   /** Serialize one commit entry (plus the table's current constraint
     * texts and field-id counter — restart state the entry carries). */
   def encodeEntry(e: CommitEntry, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long] = Map.empty): String = {
+      epochs: Map[String, Long] = Map.empty,
+      layout: Option[Layout] = None): String = {
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     fullEntryJson(e, kts, dir, checksText, nextFieldId, epochs,
-      "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))))
+      "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))),
+      layout)
   }
 
   /** Column layout of one PARQUET checkpoint part — Delta's checkpoint
@@ -598,11 +746,12 @@ private[sources] object GraftLogCodec {
   def encodeCheckpoint(e: CommitEntry, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long], partFiles: Int)
+      epochs: Map[String, Long], partFiles: Int,
+      layout: Option[Layout] = None)
       : (String, Seq[Array[Byte]]) = {
     if (partFiles <= 0 || e.files.length <= partFiles)
       return (encodeEntry(e, partitionCols, bucketSpec, dir, checksText,
-        nextFieldId, epochs), Nil)
+        nextFieldId, epochs, layout), Nil)
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     val parts = e.files.grouped(partFiles).map { slice =>
       val rows = slice.map { f =>
@@ -622,7 +771,7 @@ private[sources] object GraftLogCodec {
       } finally Files.deleteIfExists(tmp)
     }.toVector
     val manifest = fullEntryJson(e, kts, dir, checksText, nextFieldId,
-      epochs, "fparts" -> JLong(parts.length.toLong))
+      epochs, "fparts" -> JLong(parts.length.toLong), layout)
     (manifest, parts)
   }
 
@@ -631,17 +780,21 @@ private[sources] object GraftLogCodec {
     * sliced out into parts (`"fparts"`). */
   private def fullEntryJson(e: CommitEntry, kts: Seq[DataType], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long], filesField: (String, JValue)): String = {
+      epochs: Map[String, Long], filesField: (String, JValue),
+      layout: Option[Layout] = None): String = {
     val dvsJ = e.dvs.toList.map { case (f, bs) =>
       JArray(List(JString(refOf(f, dir)),
         JArray(bs.toList.map(p => JLong(p.toLong)))))
     }
     val json = JObject(
-      "version" -> JLong(e.version.toLong),
-      "ts" -> JLong(e.tsMicros),
-      "op" -> JString(e.operation),
-      "schema" -> JString(e.schema.json),
-      "nextFieldId" -> JLong(nextFieldId),
+      List(
+      "version" -> (JLong(e.version.toLong): JValue),
+      "ts" -> (JLong(e.tsMicros): JValue),
+      "op" -> (JString(e.operation): JValue),
+      "schema" -> (JString(e.schema.json): JValue),
+      "nextFieldId" -> (JLong(nextFieldId): JValue)) ++
+      layout.map(l => "layout" -> layoutJson(l)).toList ++
+      List(
       filesField,
       "added" -> JArray(e.added.toList.map(encodeFile(_, e.schema, kts, dir))),
       "removed" -> JArray(
@@ -654,7 +807,7 @@ private[sources] object GraftLogCodec {
       // restarted process must recognize an already-committed epoch
       "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
         JArray(List(JString(q), JLong(ep)))
-      }))
+      })))
     JsonMethods.compact(JsonMethods.render(json))
   }
 
@@ -742,10 +895,11 @@ private[sources] object GraftLogCodec {
   }
 
   /** One decoded entry: the CommitEntry plus (checks texts, field-id
-    * counter, streaming-epoch ledger) the entry carried. */
+    * counter, streaming-epoch ledger, embedded layout — REPLACE swaps
+    * and post-replace checkpoints carry one) the entry carried. */
   final case class DecodedEntry(entry: CommitEntry,
       checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long])
+      epochs: Map[String, Long], layout: Option[Layout] = None)
 
   /** Decode one log entry. FULL entries (a `files` census — v0,
     * checkpoints, fallbacks) decode standalone; DELTA entries require
@@ -769,28 +923,57 @@ private[sources] object GraftLogCodec {
     val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
     val schema = DataType.fromJson(o("schema").asInstanceOf[JString].s)
       .asInstanceOf[StructType]
-    val kts = keyTypes(schema, partitionCols, bucketSpec)
+    // an entry with an EMBEDDED layout (a REPLACE swap, a post-replace
+    // checkpoint) decodes its group keys under THAT layout — the passed
+    // layout is only the fold's threaded state for ordinary entries
+    val layoutOpt = o.get("layout").map(decodeLayout)
+    val (pcEff, bsEff) = layoutOpt
+      .map(l => (l._1, l._2)).getOrElse((partitionCols, bucketSpec))
+    val kts = keyTypes(schema, pcEff, bsEff)
     def filesOf(key: String): Vector[GraftDataFile] =
       o(key).asInstanceOf[JArray].arr.toVector
         .map(decodeFile(_, schema, kts, dir, registry))
     // multi-part checkpoint manifest: the census lives in n sibling
-    // PARQUET part files, each an independent in-order slice — read AND
-    // decode them concurrently (decodeFile touches only the
-    // thread-safe registry), then splice the slices back in order. The
-    // `meta` column is the file object's JSON (Delta's
-    // stats-as-JSON-string pattern), so decode reuses the one codec.
+    // PARQUET part files, each an independent in-order slice. With an
+    // ACTIVE SparkSession (the normal restart — catalog resolution
+    // runs on a session thread) the parts are read and parquet-decoded
+    // INSIDE Spark tasks, one per part, and only the O(census) meta
+    // JSON strings return to the driver — at million-file scale the
+    // decode spreads across the cluster and the driver's part-read
+    // census stays ZERO (GraftDeltaLogSpec pins it). Without a session
+    // (codec unit tests, non-Spark processes) the parts decode on
+    // concurrent driver threads as before. Either way the slices
+    // splice back IN ORDER — census order is load-bearing (delta
+    // entries' `frem` are indices into it). The `meta` column is the
+    // file object's JSON (Delta's stats-as-JSON-string pattern), so
+    // the final object build reuses the one codec; `decodeFile`
+    // touches the thread-safe registry and stays driver-side.
     def filesFromParts(n: Int): Vector[GraftDataFile] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val slices = (0 until n).map(i => Future {
-        GraftSegmentIO.read(partReader(i, n), CheckpointPartSchema)
-          .toVector.map(r => decodeFile(
-            JsonMethods.parse(r.getUTF8String(3).toString),
-            schema, kts, dir, registry))
-      })
-      Await.result(Future.sequence(slices), Duration.Inf)
-        .toVector.flatten
+      val metas: Vector[String] =
+        org.apache.spark.sql.SparkSession.getActiveSession match {
+          case Some(sp) =>
+            val paths = (0 until n).map(i => partReader(i, n).toString)
+            sp.sparkContext
+              .parallelize(paths.zipWithIndex.toSeq, n)
+              .map { case (p, i) =>
+                (i, GraftSegmentIO.read(java.nio.file.Paths.get(p),
+                  CheckpointPartSchema).map(_.getUTF8String(3).toString))
+              }
+              .collect().sortBy(_._1).iterator
+              .flatMap(_._2).toVector
+          case None =>
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val slices = (0 until n).map(i => Future {
+              GraftSegmentIO.read(partReader(i, n), CheckpointPartSchema)
+                .toVector.map(_.getUTF8String(3).toString)
+            })
+            Await.result(Future.sequence(slices), Duration.Inf)
+              .toVector.flatten
+        }
+      metas.map(m =>
+        decodeFile(JsonMethods.parse(m), schema, kts, dir, registry))
     }
     val isDelta = !o.contains("files") && !o.contains("fparts")
     def prevState: CommitEntry = prev.getOrElse(
@@ -852,7 +1035,7 @@ private[sources] object GraftLogCodec {
       CommitEntry(num(o("version")).toInt, schema, files,
         num(o("ts")).toLong, o("op").asInstanceOf[JString].s,
         added, removed, dvs),
-      checks, num(o("nextFieldId")).toLong, epochs)
+      checks, num(o("nextFieldId")).toLong, epochs, layoutOpt)
   }
 
   // ---- table.json -----------------------------------------------------
@@ -981,9 +1164,30 @@ private[sources] object GraftDurableLoader {
         }
       finally s.close()
     }
+    // crashed staged CREATEs: a top-level `_stage-<uuid>` dir whose
+    // staging JVM died before its commit renamed it live. Never
+    // discovered as a table (filtered below); swept here once old
+    // enough that no live process can still be mid-stage on it.
+    {
+      val cutoff = System.currentTimeMillis() - GraftTable.orphanGraceMillis
+      val s0 = Files.list(wh)
+      try s0.iterator().asScala.toSeq
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("_stage-") &&
+          (try Files.getLastModifiedTime(d).toMillis <= cutoff
+           catch { case _: java.io.IOException => false }))
+        .foreach { d =>
+          val walk = Files.walk(d)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(logStore.delete)
+          finally walk.close()
+        }
+      finally s0.close()
+    }
     val s = Files.list(wh)
     try s.iterator().asScala.toSeq
-      .filter(d => Files.isRegularFile(d.resolve("table.json")))
+      .filter(d => !d.getFileName.toString.startsWith("_stage-") &&
+        Files.isRegularFile(d.resolve("table.json")))
       .foreach { dir =>
         // A dir with table.json but zero log entries is an ABORTED
         // CREATE (crash between writeTableMeta and the v0 CAS). Skip it
@@ -1041,26 +1245,45 @@ private[sources] object GraftDurableLoader {
     }
     val buf = Vector.newBuilder[GraftLogCodec.DecodedEntry]
     var prev: Option[CommitEntry] = None
-    start.foreach { c =>
-      val dec = GraftLogCodec.decodeEntry(log.readCheckpoint(c),
-        meta.partitionCols, meta.bucketSpec, dir, d.registry,
-        partReader = (i, n) => log.ckptPartPath(c, i, n))
+    // the LAYOUT threads through the fold: table.json records only the
+    // CREATION layout; a REPLACE swap (and every checkpoint of a
+    // replaced table) embeds the layout then in force, and ordinary
+    // entries inherit the latest one seen — Delta's per-version
+    // metaData model. Superseded layouts are kept so time travel /
+    // clones of pre-replace versions bind the right group-key columns.
+    var curLayout: GraftLogCodec.Layout =
+      (meta.partitionCols, meta.bucketSpec, meta.rowLevelMode)
+    var layouts = List.empty[(Int, Seq[String], Option[(Int, String)])]
+    var sawReplace = false
+    def absorb(dec: GraftLogCodec.DecodedEntry): Unit = {
+      dec.layout.foreach { l =>
+        if ((l._1, l._2) != (curLayout._1, curLayout._2))
+          layouts = layouts :+
+            ((dec.entry.version - 1, curLayout._1, curLayout._2))
+        curLayout = l
+      }
+      if (dec.entry.operation == GraftTable.ReplaceOp) sawReplace = true
       buf += dec
       prev = Some(dec.entry)
+    }
+    start.foreach { c =>
+      absorb(GraftLogCodec.decodeEntry(log.readCheckpoint(c),
+        meta.partitionCols, meta.bucketSpec, dir, d.registry,
+        partReader = (i, n) => log.ckptPartPath(c, i, n)))
     }
     val from = prev.map(_.version + 1).getOrElse(0)
     log.readEntriesFrom(from).foreach { case (v, json) =>
       require(prev.map(_.version + 1).getOrElse(0) == v,
         s"durable table at $dir: gap in the commit log at v$v")
-      val dec = GraftLogCodec.decodeEntry(json, meta.partitionCols,
-        meta.bucketSpec, dir, d.registry, prev)
-      buf += dec
-      prev = Some(dec.entry)
+      absorb(GraftLogCodec.decodeEntry(json, curLayout._1,
+        curLayout._2, dir, d.registry, prev))
     }
     val decoded = buf.result()
     val t = new GraftTable(meta.displayName, decoded.last.entry.schema,
-      meta.partitionCols, meta.rowLevelMode, meta.bucketSpec)
+      curLayout._1, curLayout._3, curLayout._2)
     t.bootstrapDurable(d, decoded)
+    t.priorLayouts = layouts
+    t.everReplaced = sawReplace || layouts.nonEmpty
     t
   }
 

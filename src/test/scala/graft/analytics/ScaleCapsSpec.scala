@@ -113,6 +113,36 @@ class ScaleCapsSpec extends SparkSpec {
     assert(ok === 1L)
   }
 
+  test("t38 two-phase per-source cap is exact under a dominant hot " +
+      "source and invariant to the shard count") {
+    // one source owns 94% of the corpus — a single source-partitioned
+    // window would funnel it through one task; the two-phase path takes
+    // per-(source, shard) heads first. Exactness pin: the sharded
+    // keep-set must equal the 1-shard (single-window-equivalent) run
+    // bit-for-bit, and the hot source keeps exactly `cap` docs.
+    val hot = (0 until 4700).map(i => (i.toLong, "hotsrc"))
+    val small = (0 until 150).map(i => (100000L + i, "smallsrc")) ++
+      (0 until 7).map(i => (200000L + i, "tinysrc")) // below the cap
+    val docs = (hot ++ small).toDF("doc_id", "source")
+    val cap = 100
+    def keep(shards: Int): Seq[(String, Long, Int)] =
+      TextQueries.cappedKeepSet(docs, cap, shards)
+        .select("source", "doc_id", "rk")
+        .as[(String, Long, Int)].collect().toSeq.sorted
+    val sharded = keep(32)
+    assert(sharded === keep(1),
+      "the sharded keep-set must equal the single-window keep-set")
+    val bySource = sharded.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySource === Map(
+      "hotsrc" -> cap, "smallsrc" -> cap, "tinysrc" -> 7))
+    // ranks are a contiguous 1..kept prefix per source (no survivor
+    // lost to phase 1 — the top-cap property the two-phase relies on)
+    sharded.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size).toSeq,
+        s"$src ranks must be the contiguous prefix")
+    }
+  }
+
   test("checkpoint cache mode yields identical t5 results to persist mode") {
     // the 100 TB materialization switch: multi-consumer stages cut to
     // executor-local shuffle files instead of storage-memory blocks —

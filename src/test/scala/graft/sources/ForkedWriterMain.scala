@@ -43,7 +43,12 @@ object ForkedWriterMain {
     out.get
   }
   def main(args: Array[String]): Unit = {
-    val Array(mode, wh, cat, tbl, fromS, toS) = args
+    val Array(mode, wh, cat, tbl, fromS, toS) = args.take(6)
+    // optional 7th arg: the GraftLogStore backend (local-fs | file-cas)
+    // — `file-cas` runs the whole soak on atomic create-new semantics
+    // alone (no hard links, no OS locks): the object-store-shaped
+    // protocol across REAL process boundaries
+    val logstore = args.lift(6).getOrElse("local-fs")
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-forked-$mode-$cat")
@@ -54,10 +59,14 @@ object ForkedWriterMain {
       .getOrCreate()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (logstore != "local-fs")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse.logstore", logstore)
     // a forked JVM is process-isolated by construction; `mixed` keeps
     // the in-JVM store registered so the maintenance SQL (OPTIMIZE)
-    // resolves its table
-    if (mode != "mixed")
+    // resolves its table (an explicit logstore opens uncached, which
+    // is equivalent isolation — the catalog-scoped maintenance
+    // resolution reaches its store through the session)
+    if (mode != "mixed" && logstore == "local-fs")
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse.isolated", "true")
     mode match {
       case "append" =>

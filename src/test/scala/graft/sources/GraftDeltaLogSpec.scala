@@ -378,6 +378,45 @@ class GraftDeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("the restart fold decodes multi-part checkpoint slices INSIDE " +
+      "Spark tasks when a session is active: zero driver part-decodes") {
+    val savedK = GraftTable.checkpointInterval
+    val savedP = GraftTable.checkpointPartFiles
+    try {
+      GraftTable.checkpointInterval = 6
+      GraftTable.checkpointPartFiles = 4
+      val wh = tmpDir("graft-dlog-xdec")
+      durableCatalog("dxd", wh)
+      spark.sql("CREATE TABLE dxd.ns.t_xd (id BIGINT, v STRING)")
+      for (i <- 1 to 12)
+        spark.sql(s"INSERT INTO dxd.ns.t_xd VALUES ($i, 'r$i')")
+      GraftMaintenance.sql(spark, "VACUUM dxd.ns.t_xd RETAIN 1 SNAPSHOTS")
+        .collect()
+      val td = tableDir(wh)
+      val parts = (0 until 3).map(i =>
+        td.resolve("ckpt").resolve(f"${12}%011d.part-$i-of-3.parquet"))
+      assert(parts.forall(Files.isRegularFile(_)))
+      val readsBefore = parts.map(GraftSegmentIO.readsOf)
+      val driverBefore = parts.map(GraftSegmentIO.driverReadsOf)
+      // the isolated reopen folds from the multi-part anchor; catalog
+      // resolution runs on this session thread, so the parts must
+      // parquet-decode inside Spark TASKS — the 100 TB restart shape
+      // where a million-file census decodes cluster-side
+      durableCatalog("dxd2", wh, isolated = true)
+      assert(spark.sql("SELECT id FROM dxd2.ns.t_xd ORDER BY id")
+        .as[Long].collect().toSeq === (1L to 12L))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        assert(GraftSegmentIO.readsOf(p) > readsBefore(i),
+          s"part $i must have been read by the fold")
+        assert(GraftSegmentIO.driverReadsOf(p) === driverBefore(i),
+          s"part $i must decode inside a task, never on the driver")
+      }
+    } finally {
+      GraftTable.checkpointInterval = savedK
+      GraftTable.checkpointPartFiles = savedP
+    }
+  }
+
   test("a checkpointer that crashes mid-parts leaves NO readable " +
       "anchor: the orphan parts are invisible to the fold and swept by " +
       "the next VACUUM") {

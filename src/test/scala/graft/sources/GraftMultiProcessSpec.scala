@@ -11,9 +11,12 @@ class GraftMultiProcessSpec extends SparkSpec {
   import spark.implicits._
 
   private def durableCatalog(name: String, dir: String,
-                             isolated: Boolean = false): Unit = {
+                             isolated: Boolean = false,
+                             logstore: String = "local-fs"): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
+    if (logstore != "local-fs")
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.logstore", logstore)
     if (isolated)
       spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
   }
@@ -31,7 +34,8 @@ class GraftMultiProcessSpec extends SparkSpec {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private def fork(mode: String, wh: String, cat: String, tbl: String,
-                   from: Long, to: Long): (Process, java.io.File) = {
+                   from: Long, to: Long,
+                   logstore: String = "local-fs"): (Process, java.io.File) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val log = java.io.File.createTempFile(s"forked-$cat-", ".log")
@@ -39,7 +43,7 @@ class GraftMultiProcessSpec extends SparkSpec {
       "-Xmx2g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.sources.ForkedWriterMain",
-      mode, wh, cat, tbl, from.toString, to.toString)
+      mode, wh, cat, tbl, from.toString, to.toString, logstore)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.to(log))
@@ -95,17 +99,20 @@ class GraftMultiProcessSpec extends SparkSpec {
     assert(versions.max >= 50, "50 inserts = at least 50 commits")
   }
 
-  test("three forked JVMs mixing appends, MOR MERGE/DELETE and " +
-      "OPTIMIZE converge; the orphan sweep leaves zero reclaimable " +
-      "bytes (r12)") {
-    val wh = tmpDir("graft-mp-mixed")
-    durableCatalog("mpm", wh)
-    spark.sql("CREATE TABLE mpm.ns.mpmx (id BIGINT, v STRING) " +
+  /** The 3-JVM mixed DML/OPTIMIZE soak, parameterized by the
+    * [[GraftLogStore]] backend: `local-fs` (hard-link CAS + OS file
+    * lock) and `file-cas` (atomic create-new only — the object-store-
+    * shaped protocol) must both converge across REAL process
+    * boundaries. `tag` keeps the two runs' catalog names disjoint. */
+  private def mixedSoak(logstore: String, tag: String): Unit = {
+    val wh = tmpDir(s"graft-mp-mixed-$tag")
+    durableCatalog(s"mpm$tag", wh, logstore = logstore)
+    spark.sql(s"CREATE TABLE mpm$tag.ns.mpmx (id BIGINT, v STRING) " +
       "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
 
     val ranges = Seq((1L, 24L), (25L, 48L), (49L, 72L))
     val procs = ranges.zipWithIndex.map { case ((a, b), i) =>
-      fork("mixed", wh, s"mw$i", "mpmx", a, b)
+      fork("mixed", wh, s"mw$tag$i", "mpmx", a, b, logstore)
     }
     procs.foreach { case (p, l) => awaitExit(p, l, 0) }
 
@@ -113,14 +120,14 @@ class GraftMultiProcessSpec extends SparkSpec {
     // v on every 5th id, DELETEs every 11th — survivors are the ids
     // not divisible by 11, with the merged label where applicable
     val expected = (1L to 72L).filter(_ % 11 != 0)
-    durableCatalog("mpmr", wh, isolated = true)
-    val got = spark.sql("SELECT id, v FROM mpmr.ns.mpmx ORDER BY id")
+    durableCatalog(s"mpmr$tag", wh, isolated = true, logstore = logstore)
+    val got = spark.sql(s"SELECT id, v FROM mpmr$tag.ns.mpmx ORDER BY id")
       .as[(Long, String)].collect().toSeq
     assert(got.map(_._1) === expected,
       "every surviving row lands exactly once across three processes")
     got.foreach { case (id, v) =>
       val owner = ranges.indexWhere { case (a, b) => id >= a && id <= b }
-      val want = if (id % 5 == 0) s"m-mw$owner" else s"w-mw$owner"
+      val want = if (id % 5 == 0) s"m-mw$tag$owner" else s"w-mw$tag$owner"
       assert(v === want, s"row $id must carry its owner's final label")
     }
 
@@ -142,14 +149,26 @@ class GraftMultiProcessSpec extends SparkSpec {
     // orphan sweep: after one VACUUM, a SECOND process's sweep finds
     // nothing more to reclaim — zero unreferenced bytes remain — and
     // the data still reads green
-    GraftMaintenance.sql(spark, "VACUUM mpmr.ns.mpmx").collect()
+    GraftMaintenance.sql(spark, s"VACUUM mpmr$tag.ns.mpmx").collect()
     val afterFirst = segSet
-    durableCatalog("mpm2", wh, isolated = true)
-    GraftMaintenance.sql(spark, "VACUUM mpm2.ns.mpmx").collect()
+    durableCatalog(s"mpm2$tag", wh, isolated = true, logstore = logstore)
+    GraftMaintenance.sql(spark, s"VACUUM mpm2$tag.ns.mpmx").collect()
     assert(segSet === afterFirst,
       "a fresh process's sweep must find zero unreferenced segments")
-    assert(spark.sql("SELECT id FROM mpm2.ns.mpmx ORDER BY id")
+    assert(spark.sql(s"SELECT id FROM mpm2$tag.ns.mpmx ORDER BY id")
       .as[Long].collect().toSeq === expected)
+  }
+
+  test("three forked JVMs mixing appends, MOR MERGE/DELETE and " +
+      "OPTIMIZE converge; the orphan sweep leaves zero reclaimable " +
+      "bytes (r12)") {
+    mixedSoak("local-fs", "lf")
+  }
+
+  test("the same 3-JVM mixed soak converges on the FILE-CAS backend: " +
+      "atomic create-new only — no hard links, no OS locks — across " +
+      "real process boundaries (r13)") {
+    mixedSoak("file-cas", "fc")
   }
 
   test("a child killed after landing segments but before commit leaves " +
