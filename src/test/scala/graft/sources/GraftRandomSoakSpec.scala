@@ -69,6 +69,11 @@ class GraftRandomSoakSpec extends SparkSpec {
       var nextId = 0L
       var gen = 0
       var evolved = false
+      // versions below the newest REPLACE swap are not legal RESTORE
+      // targets (field ids are disjoint across the swap — the restore
+      // refuses by contract, like any cross-schema restore)
+      var minRestoreV = 0
+      var replaces = 0
 
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
@@ -156,7 +161,7 @@ class GraftRandomSoakSpec extends SparkSpec {
             s"VACUUM $cat.ns.t_$tag RETAIN $keep SNAPSHOTS").collect()
         } else if (op < 86) { // RESTORE to a random retained version
           val vs = spark.sql(s"SELECT version FROM $cat.ns.`t_$tag$$history`")
-            .as[Int].collect().sorted
+            .as[Int].collect().sorted.filter(_ >= minRestoreV)
           if (vs.length > 1) {
             val v = vs(rnd.nextInt(vs.length))
             val old = spark.sql(s"SELECT * FROM $cat.ns.t_$tag VERSION AS OF $v")
@@ -179,6 +184,31 @@ class GraftRandomSoakSpec extends SparkSpec {
         } else if (op < 92 && !evolved && step > 8) { // one-shot evolution
           spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w BIGINT")
           evolved = true // existing rows read NULL — model already None
+        } else if (op < 95 && step > 5) { // atomic staged REPLACE (r13):
+          // same logical shape (the model keeps working; RESTORE across
+          // the swap is refused — field ids are disjoint), fresh rows.
+          // Under the hostile knobs the swap entry lands amid constant
+          // checkpointing, retention trims and cold folds — exactly the
+          // layout-threading interleavings the example specs can't cover
+          gen += 1
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1
+            (id, s"r$gen-$id", if (evolved) wLit(id) else ("NULL", None))
+          }
+          val values = rows.map { case (id, v, (lw, _)) =>
+            if (evolved) s"(CAST($id AS BIGINT), '$v', CAST($lw AS BIGINT))"
+            else s"(CAST($id AS BIGINT), '$v')"
+          }.mkString(", ")
+          val colsAs = if (evolved) "x(id, v, w)" else "x(id, v)"
+          spark.sql(s"CREATE OR REPLACE TABLE $cat.ns.t_$tag " +
+            s"TBLPROPERTIES ('write.rowlevel.mode'='$mode') " +
+            s"AS SELECT * FROM VALUES $values AS $colsAs")
+          model.clear()
+          rows.foreach { case (id, v, (_, w)) => model(id) = (v, w) }
+          minRestoreV = spark.sql(
+            s"SELECT max(version) FROM $cat.ns.`t_$tag$$history`")
+            .as[Int].head()
+          replaces += 1
         } else { // RESTART probe: a cold fold must agree RIGHT NOW
           val cold = s"soak_$tag$step"
           durableCatalog(cold, wh, isolated = true, logstore)
@@ -204,6 +234,8 @@ class GraftRandomSoakSpec extends SparkSpec {
       }
       assert(logVs === (logVs.head to logVs.last),
         s"[$mode seed=$seed] retained log must be gapless: $logVs")
+      info(s"[$mode seed=${seed.toHexString}] $steps steps, " +
+        s"$replaces REPLACE swap(s) exercised")
     } finally {
       GraftTable.checkpointInterval = savedK
       GraftTable.checkpointPartFiles = savedP
