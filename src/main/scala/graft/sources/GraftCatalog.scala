@@ -2180,6 +2180,24 @@ class GraftTable(initialName: String, initialSchema: StructType,
     this
   }
 
+  /** `RESTORE ... TO TIMESTAMP AS OF`: Delta's timestamp form —
+    * resolves to the LATEST retained commit at or before the instant
+    * (the snapshotAsOf contract) and restores to it; an instant before
+    * the earliest retained commit fails loudly. Returns the resolved
+    * version. */
+  private[sources] def restoreAsOf(tsMicros: Long,
+      ident: Identifier): Int = mutate {
+    val h = history
+    val idx = h.lastIndexWhere(_.tsMicros <= tsMicros)
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"$ident has no commit at or before timestamp $tsMicros " +
+          s"(earliest retained commit: ${h.head.tsMicros})")
+    val v = h(idx).version
+    restoreTo(v, ident)
+    v
+  }
+
   /** Early history truncation (`VACUUM`): retire all but the last
     * `keepLast` snapshots NOW instead of waiting for the retention
     * window to slide — the superseded row arrays become collectable.
@@ -2196,6 +2214,58 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val cutoff = GraftClock.nowMicros() - (hours * 3600d * 1e6).toLong
     vacuumHistory(math.max(1, history.count(_.tsMicros >= cutoff)))
   }
+
+  /** `VACUUM ... DRY RUN` (Delta's dry run): what the vacuum WOULD
+    * reclaim, with nothing deleted — (snapshots that would retire,
+    * reclaimable segment files, reclaimable bytes). The segment census
+    * lists the data dir and subtracts everything the KEPT history
+    * suffix (plus the current state) still references; stage dirs and
+    * log entries are not counted (metadata-sized). In-JVM tables
+    * reclaim no bytes by construction. */
+  private[sources] def vacuumDryRun(keepLast: Int): (Int, Int, Long) =
+    mutate {
+      require(keepLast >= 1, "must keep at least the current snapshot")
+      val retire = math.max(0, history.length - keepLast)
+      durable match {
+        case None => (retire, 0, 0L)
+        case Some(d) =>
+          val kept = history.drop(retire)
+          val live = scala.collection.mutable.Set.empty[String]
+          def add(f: GraftDataFile): Unit =
+            if (f.persisted && f.segment.path.startsWith(d.log.dir))
+              live += f.segment.path.getFileName.toString
+          kept.foreach { e =>
+            e.files.foreach(add); e.added.foreach(add)
+            e.removed.foreach(add); e.dvs.keys.foreach(add)
+          }
+          files.foreach(add)
+          var nSeg = 0
+          var bytes = 0L
+          if (java.nio.file.Files.isDirectory(d.log.dataDir)) {
+            val s = java.nio.file.Files.list(d.log.dataDir)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.foreach { p =>
+                val name = p.getFileName.toString
+                if (name.endsWith(".parquet") && !live.contains(name)) {
+                  nSeg += 1
+                  bytes += (try java.nio.file.Files.size(p)
+                            catch { case _: java.io.IOException => 0L })
+                }
+              }
+            } finally s.close()
+          }
+          (retire, nSeg, bytes)
+      }
+    }
+
+  /** DRY RUN of the time-based form: same cutoff arithmetic as
+    * [[vacuumRetainHours]], nothing deleted. */
+  private[sources] def vacuumDryRunHours(hours: Double): (Int, Int, Long) =
+    mutate {
+      val cutoff = GraftClock.nowMicros() - (hours * 3600d * 1e6).toLong
+      vacuumDryRun(math.max(1, history.count(_.tsMicros >= cutoff)))
+    }
 
   private[sources] def vacuumHistory(keepLast: Int): Int = mutate {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -3779,7 +3849,7 @@ object GraftMaintenance {
   def cloneTable(srcNamespace: Seq[String], src: String,
                  dstNamespace: Seq[String], dst: String,
                  version: Option[Int] = None,
-                 scope: Option[GraftStoreState] = None): Unit = {
+                 scope: Option[GraftStoreState] = None): Int = {
     val s = resolve(srcNamespace, src, scope)
     val (schema, fs, fsDvs) = s.stateAt(version,
       Identifier.of(srcNamespace.toArray, src))
@@ -3805,6 +3875,7 @@ object GraftMaintenance {
       throw new TableAlreadyExistsException(
         Identifier.of(dstNamespace.toArray, dst))
     clone.adoptFiles(fs, fsDvs)
+    fs.length
   }
 
   /** `VACUUM`: retire all but the last `keepLast` snapshots immediately
@@ -3819,6 +3890,29 @@ object GraftMaintenance {
   def vacuumHours(namespace: Seq[String], table: String, hours: Double,
                   scope: Option[GraftStoreState] = None): Int =
     resolve(namespace, table, scope).vacuumRetainHours(hours)
+
+  /** `VACUUM t ... DRY RUN` — Delta's dry run: the reclaim census with
+    * nothing deleted. Returns (snapshots that would retire,
+    * reclaimable segments, reclaimable bytes). */
+  def vacuumDryRun(namespace: Seq[String], table: String, keepLast: Int = 1,
+                   scope: Option[GraftStoreState] = None): (Int, Int, Long) =
+    resolve(namespace, table, scope).vacuumDryRun(keepLast)
+
+  /** Time-based dry run: `VACUUM t RETAIN n HOURS DRY RUN`. */
+  def vacuumDryRunHours(namespace: Seq[String], table: String,
+                        hours: Double,
+                        scope: Option[GraftStoreState] = None)
+      : (Int, Int, Long) =
+    resolve(namespace, table, scope).vacuumDryRunHours(hours)
+
+  /** `RESTORE TABLE t TO TIMESTAMP AS OF ts` — Delta's timestamp form;
+    * resolves to the latest retained commit at or before the instant.
+    * Returns the resolved version. */
+  def restoreTimestamp(namespace: Seq[String], table: String,
+                       tsMicros: Long,
+                       scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).restoreAsOf(tsMicros,
+      Identifier.of(namespace.toArray, table))
 
   /** CLONE REPLACE: deep-copy a shallow clone's shared segments into
     * the clone's own storage so the source can be vacuumed without

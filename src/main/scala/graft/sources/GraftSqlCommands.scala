@@ -51,9 +51,11 @@ object GraftSqlParser {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -133,6 +135,21 @@ object GraftSqlParser {
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, IntegerType, nullable = false)())
 
+  private def outTyped(cols: (String, DataType)*): Seq[Attribute] =
+    cols.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+
+  /** UTC wall-clock text → epoch micros (the TIMESTAMP AS OF literal;
+    * same parse the streaming `startingTimestamp` option uses — commit
+    * timestamps are epoch-based, never JVM-local). */
+  private def parseTsMicros(text: String): Long = {
+    val t = text.trim
+    val ldt =
+      if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+        java.time.LocalDate.parse(t).atStartOfDay
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  }
+
   /** True when this parser should CLAIM the statement: the name
     * resolves in the graft store, or its leading part names a graft
     * catalog (then a missing table is OUR loud error, not someone
@@ -167,25 +184,84 @@ object GraftSqlParser {
               Seq(Row(r.filesBefore, r.filesAfter))
             })
         }
-      case Vacuum(ident, keep, unit) =>
+      case Vacuum(ident, keep, unit, dry) =>
         split(ident).filter(claims(_, session)).map { parts =>
           val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
           val keepLast = Option(keep).map(_.toInt).getOrElse(1)
-          GraftMaintenanceCommand(out("snapshots_retired"), _ => {
-            val (ns, t, scope) = resolve(parts, session)
-            Seq(Row(
-              if (hours)
-                GraftMaintenance.vacuumHours(ns, t, keep.toDouble, scope)
-              else GraftMaintenance.vacuum(ns, t, keepLast, scope)))
-          })
+          if (dry != null)
+            // Delta's DRY RUN: the reclaim census, nothing deleted
+            GraftMaintenanceCommand(outTyped(
+              ("snapshots_would_retire", IntegerType),
+              ("reclaimable_segments", IntegerType),
+              ("reclaimable_bytes", org.apache.spark.sql.types.LongType)),
+              _ => {
+                val (ns, t, scope) = resolve(parts, session)
+                val (r, s, b) =
+                  if (hours) GraftMaintenance.vacuumDryRunHours(
+                    ns, t, keep.toDouble, scope)
+                  else GraftMaintenance.vacuumDryRun(ns, t, keepLast, scope)
+                Seq(Row(r, s, b))
+              })
+          else
+            GraftMaintenanceCommand(out("snapshots_retired"), _ => {
+              val (ns, t, scope) = resolve(parts, session)
+              Seq(Row(
+                if (hours)
+                  GraftMaintenance.vacuumHours(ns, t, keep.toDouble, scope)
+                else GraftMaintenance.vacuum(ns, t, keepLast, scope)))
+            })
         }
-      case Restore(ident, v) =>
+      case Restore(ident, v, ts) =>
         split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(out("restored_to_version"), _ => {
             val (ns, t, scope) = resolve(parts, session)
-            GraftMaintenance.restore(ns, t, v.toInt, scope)
-            Seq(Row(v.toInt))
+            val restored =
+              if (v != null) {
+                GraftMaintenance.restore(ns, t, v.toInt, scope)
+                v.toInt
+              } else
+                // TIMESTAMP AS OF: resolve to the latest commit at or
+                // before the UTC instant (Delta's timestamp restore)
+                GraftMaintenance.restoreTimestamp(ns, t,
+                  parseTsMicros(ts), scope)
+            Seq(Row(restored))
           })
+        }
+      case Clone(dstIdent, kind, srcIdent, v) =>
+        // `CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n]` —
+        // Delta's clone statement. Claimed off the SOURCE (the dst does
+        // not exist yet); the clone registers in the source's own store
+        // universe, and a dst qualified with a DIFFERENT graft catalog
+        // refuses loudly (cross-warehouse clones would share segment
+        // references across reclaim domains — silent invalidation).
+        (split(srcIdent), split(dstIdent)) match {
+          case (Some(srcParts), Some(dstParts))
+              if claims(srcParts, session) =>
+            Some(GraftMaintenanceCommand(
+              out("files_shared", "files_deepened"), _ => {
+                val (sns, st, sScope) = resolve(srcParts, session)
+                val (dns, dt) =
+                  if (dstParts.length >= 3 &&
+                      isGraftCatalog(session, dstParts.head)) {
+                    val dScope = catalogStore(session, dstParts.head)
+                    if (dScope.isDefined && sScope.isDefined &&
+                        (dScope.get ne sScope.get))
+                      throw new IllegalArgumentException(
+                        s"cannot clone across catalogs: destination " +
+                          s"${dstParts.head} is a different warehouse " +
+                          "than the source's — shared segment " +
+                          "references cannot cross reclaim domains")
+                    (dstParts.tail.dropRight(1), dstParts.last)
+                  } else (dstParts.dropRight(1), dstParts.last)
+                val shared = GraftMaintenance.cloneTable(sns, st, dns, dt,
+                  Option(v).map(_.toInt), sScope)
+                val deepened =
+                  if (kind.equalsIgnoreCase("DEEP"))
+                    GraftMaintenance.deepenClone(dns, dt, sScope)
+                  else 0
+                Seq(Row(shared, deepened))
+              }))
+          case _ => None
         }
       case _ => None
     }

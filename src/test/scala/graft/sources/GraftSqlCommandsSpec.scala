@@ -172,6 +172,122 @@ class GraftSqlCommandsSpec extends SparkSpec {
       "A's rows must survive B's restore")
   }
 
+  test("VACUUM DRY RUN reports the reclaim census without deleting; " +
+      "the real VACUUM then reclaims exactly what it predicted") {
+    val wh = tmpDir("graft-sqldry")
+    spark.conf.set("spark.sql.catalog.sqldry", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqldry.warehouse", wh)
+    val t = "sqldry.ns.t_dry"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    // COW rewrite supersedes the old segments; one more commit moves
+    // the retained head PAST the rewrite's CDC views (which pin the
+    // superseded segments as their position-view bases), so RETAIN 1
+    // makes them genuinely reclaimable
+    spark.sql(s"UPDATE $t SET v = 'x' WHERE id = 1")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'd')")
+    val td = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      .filter(p => java.nio.file.Files.isRegularFile(p.resolve("table.json")))
+      .findFirst().orElseThrow()
+    import scala.jdk.CollectionConverters._
+    def segs: Set[String] = {
+      val s = java.nio.file.Files.list(td.resolve("data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val before = segs
+    val (retire, nSeg, bytes) = GraftMaintenance.sql(spark,
+      s"VACUUM $t RETAIN 1 SNAPSHOTS DRY RUN")
+      .as[(Int, Int, Long)].head()
+    assert(retire === 4, "v0..v3 would retire, v4 stays")
+    assert(nSeg > 0 && bytes > 0L,
+      "the superseded COW segments must be counted reclaimable")
+    assert(segs === before, "DRY RUN must delete NOTHING")
+    assert(spark.sql(s"SELECT count(*) FROM `sqldry`.ns.`t_dry$$history`")
+      .as[Long].head() === 5L, "DRY RUN must retire no snapshots")
+    // the real vacuum reclaims exactly the predicted segment count
+    GraftMaintenance.sql(spark, s"VACUUM $t RETAIN 1 SNAPSHOTS").collect()
+    assert(before.size - segs.size === nSeg,
+      s"real VACUUM must reclaim the predicted $nSeg segments")
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("RESTORE TABLE ... TO TIMESTAMP AS OF resolves to the latest " +
+      "commit at or before the UTC instant") {
+    val savedClock = GraftClock.nowMicros
+    try {
+      // commit timestamps pinned to known UTC instants
+      def us(s: String): Long =
+        java.time.LocalDateTime.parse(s)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      var now = us("2026-03-01T10:00:00")
+      GraftClock.nowMicros = () => now
+      val t = freshTable("t_sqlrts")
+      spark.sql(s"CREATE TABLE $t (id BIGINT)")           // v0 @10:00
+      now = us("2026-03-01T11:00:00")
+      spark.sql(s"INSERT INTO $t VALUES (1)")             // v1 @11:00
+      now = us("2026-03-01T12:00:00")
+      spark.sql(s"INSERT INTO $t VALUES (2)")             // v2 @12:00
+      now = us("2026-03-01T13:00:00")
+      // between-commit instant resolves to the EARLIER version (v1)
+      val restored = GraftMaintenance.sql(spark,
+        s"RESTORE TABLE $t TO TIMESTAMP AS OF '2026-03-01 11:30:00'")
+        .as[Int].head()
+      assert(restored === 1)
+      assert(spark.table(t).as[Long].collect().toSeq === Seq(1L))
+      // an instant before the earliest retained commit fails loudly
+      val e = intercept[Exception](GraftMaintenance.sql(spark,
+        s"RESTORE TABLE $t TO TIMESTAMP AS OF '2026-03-01 09:00:00'")
+        .collect())
+      assert(e.getMessage.contains("no commit at or before"))
+    } finally GraftClock.nowMicros = savedClock
+  }
+
+  test("CREATE TABLE ... SHALLOW|DEEP CLONE via SQL: zero-copy adoption, " +
+      "version pinning, deep re-point surviving a source vacuum") {
+    val wh = tmpDir("graft-sqlcl")
+    spark.conf.set("spark.sql.catalog.sqlcl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqlcl.warehouse", wh)
+    val t = "sqlcl.ns.t_cl"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1)
+      .writeTo(t).create()                                   // v1
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")             // v2
+    // shallow clone of the CURRENT state: both files adopt by reference
+    val (shared, deep) = GraftMaintenance.sql(spark,
+      s"CREATE TABLE sqlcl.ns.t_cl_s SHALLOW CLONE $t")
+      .as[(Int, Int)].head()
+    assert((shared, deep) === ((2, 0)))
+    assert(spark.sql("SELECT id FROM sqlcl.ns.t_cl_s ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // version-pinned clone sees only v1's file
+    GraftMaintenance.sql(spark,
+      s"CREATE TABLE sqlcl.ns.t_cl_v SHALLOW CLONE $t " +
+        "VERSION AS OF 1").collect()
+    assert(spark.sql("SELECT id FROM sqlcl.ns.t_cl_v ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // DEEP CLONE owns its bytes (byte-copies the shared segments into
+    // its own dir) — vacuuming the SOURCE cannot invalidate it
+    val (s2, d2) = GraftMaintenance.sql(spark,
+      s"CREATE TABLE sqlcl.ns.t_cl_d DEEP CLONE $t")
+      .as[(Int, Int)].head()
+    assert(s2 === 2 && d2 === 2,
+      s"deep clone must re-point every shared file: ($s2, $d2)")
+    assert(spark.sql("SELECT id FROM sqlcl.ns.t_cl_d ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // a clone into a DIFFERENT warehouse refuses loudly (shared
+    // segment references cannot cross reclaim domains)
+    spark.conf.set("spark.sql.catalog.clfar", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clfar.warehouse", tmpDir("graft-clfar"))
+    spark.sql("CREATE TABLE clfar.ns.seed (id BIGINT)")
+    val e2 = intercept[Exception](GraftMaintenance.sql(spark,
+      s"CREATE TABLE clfar.ns.t_x SHALLOW CLONE $t").collect())
+    assert(e2.getMessage.contains("cannot clone across catalogs"),
+      e2.getMessage)
+  }
+
   test("the parser intercepts exactly the three verbs and delegates the " +
       "rest") {
     val p = new GraftSqlParser(spark.sessionState.sqlParser)
