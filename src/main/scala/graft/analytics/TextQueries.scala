@@ -1441,8 +1441,160 @@ object TextQueries {
     t38Query,
     t39Query,
     t40Query,
-    t41Query
+    t41Query,
+    t42Query,
+    t43Query
   )
+
+  /** Gopher-style composite QUALITY RULE GATE (the document-filter
+    * rules of Rae et al.'s Gopher / Penedo et al.'s RefinedWeb
+    * pipelines), with a PER-RULE failure census — the knob-tuning
+    * surface a curation run actually needs ("which rule kills how much
+    * of which source"). Four rules, each INTEGER-EXACT (cross-
+    * multiplied bounds — no float mean an engine could round
+    * differently): word count in [20, 90]; mean word length in
+    * [3.3, 4.7] (33·words ≤ 10·sumlen ≤ 47·words); ≥ 2 distinct
+    * stopwords present; most-common-word ratio < 0.15 (20·maxcnt <
+    * 3·words — the Gopher repetition rule). A doc keeps iff all four
+    * pass. Plan: ONE token explode → (doc, term) count → per-doc
+    * aggregate → per-source aggregate — two linear shuffles, no pair
+    * fan-out at any size; the rule evaluation is pure arithmetic over
+    * four per-doc integers. */
+  private lazy val t42Query: Q =
+    Q("t42_quality_gate", "CURATE-gate,F-rules,A1,A5",
+      s"""WITH tok AS (SELECT doc_id, source, n_chars,
+         |               unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |tt AS (SELECT doc_id, source, n_chars, term, count(*) AS cnt
+         |       FROM tok WHERE term <> '' GROUP BY doc_id, source,
+         |         n_chars, term),
+         |d AS (SELECT doc_id, source, n_chars,
+         |        CAST(sum(cnt) AS BIGINT) AS words,
+         |        CAST(sum(cnt * length(term)) AS BIGINT) AS sumlen,
+         |        CAST(max(cnt) AS BIGINT) AS maxcnt,
+         |        CAST(sum(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0
+         |          END) AS BIGINT) AS stops
+         |      FROM tt GROUP BY doc_id, source, n_chars),
+         |g AS (SELECT source, n_chars,
+         |        CASE WHEN words BETWEEN 20 AND 90 THEN 0 ELSE 1 END
+         |          AS f_words,
+         |        CASE WHEN 33 * words <= 10 * sumlen
+         |              AND 10 * sumlen <= 47 * words THEN 0 ELSE 1 END
+         |          AS f_meanlen,
+         |        CASE WHEN stops >= 2 THEN 0 ELSE 1 END AS f_stop,
+         |        CASE WHEN 20 * maxcnt < 3 * words THEN 0 ELSE 1 END
+         |          AS f_rep
+         |      FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(f_words) AS BIGINT) AS f_words,
+         |  CAST(sum(f_meanlen) AS BIGINT) AS f_meanlen,
+         |  CAST(sum(f_stop) AS BIGINT) AS f_stop,
+         |  CAST(sum(f_rep) AS BIGINT) AS f_rep,
+         |  CAST(sum(CASE WHEN f_words + f_meanlen + f_stop + f_rep = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN f_words + f_meanlen + f_stop + f_rep = 0
+         |    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM g GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val tt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(TF.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "source", "n_chars", "term")
+        .agg(count(lit(1)).as("cnt"))
+      val d = tt.groupBy("doc_id", "source", "n_chars")
+        .agg(sum(col("cnt")).as("words"),
+          sum(col("cnt") * length(col("term"))).as("sumlen"),
+          max(col("cnt")).as("maxcnt"),
+          sum(when(col("term").isin("a", "the"), 1L).otherwise(0L))
+            .as("stops"))
+      val g = d.select(col("source"), col("n_chars"),
+        when(col("words").between(20, 90), 0L).otherwise(1L).as("f_words"),
+        when(lit(33) * col("words") <= lit(10) * col("sumlen") &&
+          lit(10) * col("sumlen") <= lit(47) * col("words"), 0L)
+          .otherwise(1L).as("f_meanlen"),
+        when(col("stops") >= 2, 0L).otherwise(1L).as("f_stop"),
+        when(lit(20) * col("maxcnt") < lit(3) * col("words"), 0L)
+          .otherwise(1L).as("f_rep"))
+      val fails = col("f_words") + col("f_meanlen") + col("f_stop") +
+        col("f_rep")
+      g.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_words")).cast("long").as("f_words"),
+          sum(col("f_meanlen")).cast("long").as("f_meanlen"),
+          sum(col("f_stop")).cast("long").as("f_stop"),
+          sum(col("f_rep")).cast("long").as("f_rep"),
+          sum(when(fails === 0, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          sum(when(fails === 0, col("n_chars")).otherwise(0L))
+            .cast("long").as("kept_chars"))
+        .orderBy("source")
+    }
+
+  /** Near-dup CLUSTER SIZE HISTOGRAM — the dedup diagnostics every
+    * curation report carries ("how much of the corpus sits in
+    * clusters, and how big are they"): connected components over the
+    * df-capped n-gram Jaccard pair graph (jac >= 0.2, the
+    * cc_components contract), component sizes bucketed {1 (singleton,
+    * = docs in no cluster), 2, 3-5, 6+}. Plan: the CC rounds over the
+    * PAIR graph (pair-sized, never corpus-sized) + one component-key
+    * aggregate; the singleton row is pure arithmetic over two scalar
+    * aggregates — the corpus itself never shuffles. */
+  private lazy val t43Query: Q =
+    Q("t43_cluster_histogram", "DEDUP-census,DEDUP-cc,A1",
+      s"""WITH RECURSIVE $ngramCteBody,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |walk(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),
+         |comp AS (SELECT node, min(comp) AS component FROM walk
+         |         GROUP BY node),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp
+         |          GROUP BY component),
+         |buckets AS (
+         |  SELECT CASE WHEN sz = 2 THEN '2'
+         |              WHEN sz <= 5 THEN '3-5' ELSE '6+' END AS bucket,
+         |         sz
+         |  FROM sizes),
+         |hist AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(sz) AS BIGINT) AS n_docs
+         |  FROM buckets GROUP BY bucket
+         |  UNION ALL
+         |  SELECT '1',
+         |    CAST((SELECT count(*) FROM documents) -
+         |         (SELECT count(*) FROM comp) AS BIGINT),
+         |    CAST((SELECT count(*) FROM documents) -
+         |         (SELECT count(*) FROM comp) AS BIGINT))
+         |SELECT bucket, n_clusters, n_docs FROM hist
+         |ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val comp = Caches.persistTracked(
+        graft.operators.ConnectedComponents(
+          ngramScored(s, dir).filter(col("jac") >= 0.2)
+            .select("doc_a", "doc_b")))
+      val buckets = comp.groupBy("component")
+        .agg(count(lit(1)).as("sz"))
+        .select(when(col("sz") === 2, "2")
+          .when(col("sz") <= 5, "3-5").otherwise("6+").as("bucket"),
+          col("sz"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(col("sz")).cast("long").as("n_docs"))
+      val singles = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(comp.agg(count(lit(1)).as("nc"))))
+        .select(lit("1").as("bucket"),
+          (col("nd") - col("nc")).cast("long").as("n_clusters"),
+          (col("nd") - col("nc")).cast("long").as("n_docs"))
+      buckets.unionByName(singles).orderBy("bucket")
+    }
 
   /** One duplication-centrality (PageRank-style, exact integer) round:
     * per-round state (pr ⋈ deg, with the per-edge contribution
