@@ -154,6 +154,56 @@ class GraftReplaceTableSpec extends SparkSpec {
     assert(spark.read.parquet(out2).count() === 1L)
   }
 
+  test("a REPLACE that CHANGES the partitioning threads the layout " +
+      "through checkpoints and folds: post-replace partition ops and " +
+      "pre-replace time travel both bind the right group keys") {
+    val savedK = GraftTable.checkpointInterval
+    try {
+      GraftTable.checkpointInterval = 3 // checkpoints fire mid-sequence
+      val wh = tmpDir("graft-rlay")
+      spark.conf.set("spark.sql.catalog.rly", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.rly.warehouse", wh)
+      // predecessor: partitioned by p
+      spark.sql("CREATE TABLE rly.ns.tl (id BIGINT, p STRING) " +
+        "PARTITIONED BY (p)")                                    // v0
+      spark.sql("INSERT INTO rly.ns.tl VALUES (1, 'x'), (2, 'y')") // v1
+      spark.sql("INSERT INTO rly.ns.tl VALUES (3, 'x')")           // v2
+      // replacement: DIFFERENT layout (partitioned by q)
+      spark.sql("CREATE OR REPLACE TABLE rly.ns.tl " +
+        "PARTITIONED BY (q) AS " +
+        "SELECT CAST(10 AS BIGINT) AS id, 'a' AS q UNION ALL " +
+        "SELECT CAST(11 AS BIGINT), 'b'")                          // v3
+      // post-replace commits drive past a checkpoint (v3 swap + these)
+      spark.sql("INSERT INTO rly.ns.tl VALUES (12, 'a')")          // v4
+      spark.sql("INSERT INTO rly.ns.tl VALUES (13, 'b')")          // v5
+      spark.sql("INSERT INTO rly.ns.tl VALUES (14, 'a')")          // v6
+      // partition-scoped COW op under the NEW layout
+      spark.sql("UPDATE rly.ns.tl SET id = id + 100 WHERE q = 'b'") // v7
+      assert(spark.sql("SELECT id FROM rly.ns.tl ORDER BY id")
+        .as[Long].collect().toSeq === Seq(10L, 12L, 14L, 111L, 113L))
+      // pre-replace time travel binds the OLD layout's group keys
+      assert(spark.sql("SELECT id FROM rly.ns.tl VERSION AS OF 2 " +
+        "WHERE p = 'x' ORDER BY id").as[Long].collect().toSeq
+        === Seq(1L, 3L))
+      // a COLD fold (checkpoint + tail, layout threaded from the swap
+      // entry / post-replace checkpoint) agrees on everything
+      spark.conf.set("spark.sql.catalog.rly2", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.rly2.warehouse", wh)
+      spark.conf.set("spark.sql.catalog.rly2.warehouse.isolated", "true")
+      assert(spark.sql("SELECT id FROM rly2.ns.tl ORDER BY id")
+        .as[Long].collect().toSeq === Seq(10L, 12L, 14L, 111L, 113L))
+      assert(spark.sql("SELECT q, count(*) FROM rly2.ns.tl GROUP BY q " +
+        "ORDER BY q").as[(String, Long)].collect().toSeq
+        === Seq(("a", 3L), ("b", 2L)))
+      assert(spark.sql("SELECT id FROM rly2.ns.tl VERSION AS OF 1 " +
+        "ORDER BY id").as[Long].collect().toSeq === Seq(1L, 2L))
+      // the reopened table keeps doing partition-scoped work
+      spark.sql("DELETE FROM rly2.ns.tl WHERE q = 'a'")
+      assert(spark.sql("SELECT id FROM rly2.ns.tl ORDER BY id")
+        .as[Long].collect().toSeq === Seq(111L, 113L))
+    } finally GraftTable.checkpointInterval = savedK
+  }
+
   test("an in-JVM (heap) catalog replaces atomically too, with the " +
       "same preserved history") {
     spark.conf.set("spark.sql.catalog.rmem", classOf[GraftCatalog].getName)
