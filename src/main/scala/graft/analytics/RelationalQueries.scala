@@ -2075,6 +2075,51 @@ object RelationalQueries {
       s.table(s"$r.ns.nat").orderBy("rk")
     },
 
+    // ----- idempotent writer transactions (Delta's txnAppId/txnVersion
+    // write options): a batch retried under the same (app, version)
+    // applies EXACTLY once — the commit consults a persisted per-app
+    // high-water ledger INSIDE the commit lease, so a retried
+    // foreachBatch / re-run ingest job converges instead of
+    // double-appending, across restarts (the ledger rides every log
+    // entry, so the isolated re-reader folds it back) and across writer
+    // apps (independent high-waters). The skipped replay's task-written
+    // segments are reclaimed at recognition. Oracle = each region batch
+    // present once.
+    Q("s52_idempotent_txn", "S8,E-durable,E-exactly-once",
+      """SELECT n_regionkey AS rk, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_regionkey <= 3 GROUP BY n_regionkey
+        |ORDER BY rk""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s52").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gtw_$tag"
+      val r = s"gtr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+      nat.where(lit(false)).writeTo(s"$w.ns.nat").create()
+      def put(app: String, v: Long, rks: Seq[Int]): Unit =
+        nat.where(col("n_regionkey").isin(rks.map(Int.box): _*))
+          .writeTo(s"$w.ns.nat")
+          .option("txnAppId", app).option("txnVersion", v.toString)
+          .append()
+      put("loader", 1, Seq(0, 1))
+      put("loader", 1, Seq(0, 1)) // retried batch: recognized, skipped
+      put("loader", 2, Seq(2))
+      put("loader", 1, Seq(0, 1)) // replay below the high-water: skipped
+      put("backfill", 1, Seq(3))  // separate app: its own v1 applies
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.nat")
+        .groupBy(col("n_regionkey").as("rk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"))
+        .orderBy("rk")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is

@@ -3321,6 +3321,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   private[sources] def epochLedger: Map[String, Long] = streamEpochs.toMap
+
+  /** Latest committed `txnVersion` for a batch writer app (−1 when the
+    * app never committed here) — what a restarted writer consults to
+    * resume exactly after its last applied transaction, Delta's
+    * `txnVersion(appId)`. Reads through to foreign commits first: the
+    * ledger rides every log entry, so another process's transactions
+    * are visible the same way its rows are. */
+  def latestTxnVersion(appId: String): Long = {
+    refreshIfStale()
+    streamEpochs.getOrElse(GraftTable.TxnLedgerPrefix + appId, -1L)
+  }
   private[sources] def restoreEpochs(m: Map[String, Long]): Unit =
     m.foreach { case (q, e) =>
       if (!streamEpochs.get(q).exists(_ >= e)) streamEpochs.put(q, e)
@@ -3412,6 +3423,34 @@ class GraftTable(initialName: String, initialSchema: StructType,
       with SupportsDynamicOverwrite {
       private var install: Array[GraftDelivery] => Unit = installAppend
 
+      /** Delta's idempotent-writer options (`txnAppId`/`txnVersion`,
+        * DataFrameWriterV2 `.option(...)`): the commit routes through
+        * the same persisted exactly-once ledger the streaming sink
+        * uses, namespaced so a writer app can never collide with a
+        * streaming query id. A write whose version is <= the ledger's
+        * recorded high-water for that app is recognized INSIDE the
+        * commit lease and skipped (its task-written segments reclaimed)
+        * — which is what makes a retried foreachBatch / re-run job
+        * converge instead of double-appending, across restarts and
+        * across processes (the ledger rides every log entry). */
+      private val txn: Option[(String, Long)] = {
+        val o = info.options
+        (Option(o.get("txnAppId")), Option(o.get("txnVersion"))) match {
+          case (Some(app), Some(v)) => Some((app, v.toLong))
+          case (None, None) => None
+          case _ => throw new IllegalArgumentException(
+            "txnAppId and txnVersion must be set together — one " +
+              "without the other cannot identify the transaction")
+        }
+      }
+      private def withTxn(base: Array[GraftDelivery] => Unit)
+          : Array[GraftDelivery] => Unit = txn match {
+        case None => base
+        case Some((app, v)) =>
+          ds => installStreamingEpoch(GraftTable.TxnLedgerPrefix + app,
+            v, ds, base)
+      }
+
       override def truncate(): WriteBuilder = { install = installReplace; this }
 
       override def canOverwrite(filters: Array[Predicate]): Boolean =
@@ -3443,7 +3482,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
 
       override def build(): Write = new GraftWrite(clusterTransforms,
-        () => new GraftBatchWrite(GraftTable.this, install),
+        () => new GraftBatchWrite(GraftTable.this, withTxn(install)),
         // streaming sink (writeStream.toTable): same install modes —
         // append per epoch, or replace per epoch under Complete output
         // (Spark calls truncate() once at build time for that mode)
@@ -3637,6 +3676,12 @@ object GraftTable {
     * share field ids — the change feed and streaming tails refuse to
     * read across it (see [[GraftTable.assertCdfRangeReadable]]). */
   val ReplaceOp = "REPLACE TABLE"
+
+  /** Ledger-key namespace of batch `txnAppId` idempotent writes: the
+    * batch and streaming exactly-once high-waters share one persisted
+    * ledger, and the prefix (illegal in a Spark streaming query id,
+    * which is a UUID) keeps an app id from ever colliding with one. */
+  val TxnLedgerPrefix = "txn:"
 
   /** Max commits retained per table for time travel (ADVICE r7: snap()
     * pinned every superseded row array forever — a streaming writer
