@@ -3984,6 +3984,11 @@ object GraftMaintenance {
           org.apache.spark.sql.types.StructType(cmd.output.map(a =>
             org.apache.spark.sql.types.StructField(
               a.name, a.dataType, a.nullable))))
+      case Some(_) =>
+        // a DESCRIBE HISTORY/DETAIL rewrite: a relation plan, not a
+        // command — re-enter through its SQL-text twin (shared regexes)
+        spark.sql(GraftSqlParser.describeRewriteSql(sqlText).getOrElse(
+          sqlText))
       case _ => spark.sql(sqlText)
     }
 

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * Grammar (case-insensitive; `t` is `catalog.ns….table` or `ns.table`):
   * {{{
   *   OPTIMIZE t [ZORDER BY (col [, col…])] [TARGET n ROWS]
-  *   VACUUM t [RETAIN n SNAPSHOTS | RETAIN n HOURS]
-  *   RESTORE TABLE t TO VERSION AS OF v
+  *   VACUUM t [RETAIN n SNAPSHOTS | RETAIN n HOURS] [DRY RUN]
+  *   RESTORE TABLE t TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
+  *   CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
+  *   DESC[RIBE] HISTORY t          — newest-first commit log
+  *   DESC[RIBE] DETAIL t           — the table's physical census
   * }}} */
 class GraftSqlParser(delegate: ParserInterface,
                      session: Option[SparkSession] = None)
@@ -56,6 +59,10 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val DescribeHistory =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
+  private val DescribeDetail =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+?)\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -263,8 +270,46 @@ object GraftSqlParser {
               }))
           case _ => None
         }
+      // Delta's introspection statements, served as REWRITES onto the
+      // `$history` / `$detail` meta tables (already ordinary relations
+      // with zone-mapped files): the statement stays fully declarative —
+      // projections/filters over DESCRIBE HISTORY push into the scan
+      // like any other query, nothing materializes driver-side here.
+      case DescribeHistory(ident) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+          import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+          import org.apache.spark.sql.catalyst.plans.logical.Sort
+          // newest-first, Delta's DESCRIBE HISTORY ordering
+          Sort(Seq(SortOrder(UnresolvedAttribute("version"), Descending)),
+            global = true,
+            UnresolvedRelation(parts.init :+ (parts.last + "$history")))
+        }
+      case DescribeDetail(ident) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+            parts.init :+ (parts.last + "$detail"))
+        }
       case _ => None
     }
+
+  /** The SQL text a DESCRIBE statement rewrites to — the gateway path
+    * ([[GraftMaintenance.sql]] without the parser extension) routes the
+    * rewrite through `spark.sql`, which cannot execute a raw
+    * LogicalPlan from outside Spark's package. Shares the regexes with
+    * [[parseMaintenance]] so the two paths can never drift. */
+  def describeRewriteSql(sqlText: String): Option[String] = {
+    def quoted(parts: Seq[String]): String =
+      parts.map(p => s"`$p`").mkString(".")
+    sqlText match {
+      case DescribeHistory(ident) => split(ident).map(parts =>
+        s"SELECT * FROM ${quoted(parts.init :+ (parts.last + "$history"))} " +
+          "ORDER BY version DESC")
+      case DescribeDetail(ident) => split(ident).map(parts =>
+        s"SELECT * FROM ${quoted(parts.init :+ (parts.last + "$detail"))}")
+      case _ => None
+    }
+  }
 }
 
 /** A parsed maintenance statement: runs driver-side at execution (the

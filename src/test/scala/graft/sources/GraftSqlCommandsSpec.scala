@@ -107,6 +107,29 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(d === (("merge-on-read", 1, 2L, 1, 1L, "idpos: id > 0", "0..2")))
   }
 
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL statements rewrite onto the " +
+      "$history / $detail meta relations") {
+    val t = freshTable("t_desc")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    Seq(1L, 2L).toDF("id").writeTo(t).append()
+    spark.sql(s"UPDATE $t SET id = id + 10 WHERE id = 2")
+    // newest-first, Delta's ordering; both DESCRIBE and DESC forms
+    val h = GraftMaintenance.sql(spark, s"DESCRIBE HISTORY $t")
+      .select("version", "operation").as[(Int, String)].collect().toSeq
+    assert(h.map(_._1) === Seq(2, 1, 0))
+    assert(h.head._2 === "UPDATE")
+    assert(GraftMaintenance.sql(spark, s"DESC HISTORY $t").count() === 3L)
+    val d = GraftMaintenance.sql(spark, s"DESCRIBE DETAIL $t")
+      .select("num_rows").as[Long].head()
+    assert(d === 2L)
+    // the rewrite is a declarative RELATION: filters/projections over
+    // it plan like any query (and the parser claims only graft tables)
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    assert(!p.parsePlan("DESCRIBE HISTORY graft_cat.ns.t_desc")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("DESCRIBE TABLE graft_cat.ns.t_desc") ne null)
+  }
+
   test("VACUUM RETAIN n HOURS: time-based retention retires snapshots " +
       "older than the cutoff, never the current one") {
     val savedClock = GraftClock.nowMicros
