@@ -65,6 +65,15 @@ object TextQueries {
   /** t38 per-source keep cap (the "max docs per domain" curation knob). */
   val SourceCap = 10
 
+  /** t44 repeated-span width in tokens: a token n-gram occurring more
+    * than once ANYWHERE in the corpus (another doc or the same one)
+    * marks its positions as exact-duplicated text — the Spark-shaped
+    * restatement of Lee et al. 2022's suffix-array exact-substring
+    * dedup (their 50-token threshold scaled to this corpus's ~60-token
+    * docs). 8 keeps the census non-vacuous at sf0.01 while staying
+    * far above accidental n-gram collisions. */
+  val DupSpanN = 8
+
   /** t34 integer-PageRank unit mass per node: large enough that three
     * rounds of integer division keep ~9 significant digits. Overflow
     * bound: every intermediate is ≤ 85 × (a node's rank), and a node's
@@ -1443,7 +1452,8 @@ object TextQueries {
     t40Query,
     t41Query,
     t42Query,
-    t43Query
+    t43Query,
+    t44Query
   )
 
   /** Gopher-style composite QUALITY RULE GATE (the document-filter
@@ -1594,6 +1604,91 @@ object TextQueries {
           (col("nd") - col("nc")).cast("long").as("n_clusters"),
           (col("nd") - col("nc")).cast("long").as("n_docs"))
       buckets.unionByName(singles).orderBy("bucket")
+    }
+
+  /** Repeated n-gram SPAN census — the Spark-shaped restatement of
+    * exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove every ≥50-token
+    * span occurring more than once; they build suffix arrays, the
+    * distributed analog is the fixed-width n-gram census C4/RefinedWeb
+    * pipelines run). Every [[DupSpanN]]-token window whose exact text
+    * occurs >1 time corpus-wide (another document OR elsewhere in the
+    * same one) marks its token positions duplicated; the census reports,
+    * per source, how many documents carry such spans and how many tokens
+    * an exact-substring dedup pass would cut.
+    *
+    * Scale posture: two shuffles on the n-gram key (the occurrence
+    * count's map-side-combined aggregate, then the count join back — the
+    * duplicated-gram set is corpus-sized at 100 TB, so it is NOT
+    * broadcast), one doc-key shuffle for the position-distinct union of
+    * overlapping spans, and the final source aggregate. No pair fan-out
+    * anywhere: cost is O(tokens), the same linear shape as t37, never
+    * O(dup²) — which is what lets the census run where the suffix array
+    * would need a 100-TB sort. */
+  private lazy val t44Query: Q =
+    Q("t44_dup_ngram_spans", "DEDUP-substring,TXT-spans,A1,A6", {
+      val n = DupSpanN
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l
+         |           FROM documents),
+         |d AS (SELECT doc_id, source, len(l) AS len, l FROM t
+         |      WHERE len(l) >= $n),
+         |g AS (SELECT doc_id, source, len, l,
+         |        UNNEST(range(0, len - ${n - 1})) AS i
+         |      FROM d),
+         |gg AS (SELECT doc_id, i,
+         |         array_to_string(l[(i+1):(i+$n)], ' ') AS g
+         |       FROM g),
+         |c AS (SELECT g, count(*) AS cnt FROM gg GROUP BY g),
+         |dup AS (SELECT gg.doc_id, gg.i FROM gg
+         |        JOIN c ON gg.g = c.g WHERE c.cnt > 1),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM
+         |          (SELECT doc_id, UNNEST(range(i, i+$n)) AS pos
+         |           FROM dup)),
+         |pd AS (SELECT doc_id, count(*) AS covered FROM cov
+         |       GROUP BY doc_id)
+         |SELECT d.source, count(*) AS docs,
+         |  CAST(sum(CASE WHEN pd.covered IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS dup_docs,
+         |  CAST(sum(d.len) AS BIGINT) AS tokens,
+         |  CAST(COALESCE(sum(pd.covered), 0) AS BIGINT) AS dup_tokens
+         |FROM d LEFT JOIN pd USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }) { (s, dir) =>
+      val n = DupSpanN
+      val docs = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("l"))
+          .filter(size(col("l")) >= n)
+          .select(col("doc_id"), col("source"), size(col("l")).as("len"),
+            col("l")))
+      // n-grams built INSIDE the persisted projection, then the bare
+      // cached attribute explodes (generator children re-evaluate per
+      // output row — the SNIPPETS gotcha t37 documents)
+      val grams = Caches.persistTracked(docs
+        .select(col("doc_id"),
+          expr(s"transform(sequence(0, size(l) - $n), i -> " +
+            s"struct(i AS i, array_join(slice(l, i+1, $n), ' ') AS g))")
+            .as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("e"))
+        .select(col("doc_id"), col("e.i").as("i"), col("e.g").as("g")))
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      val perDoc = grams
+        .join(counts.filter(col("cnt") > 1), "g")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+        .distinct() // overlapping spans union position-exact
+        .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+      docs.select("doc_id", "source", "len")
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("covered").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("dup_docs"),
+          sum(col("len")).cast("long").as("tokens"),
+          coalesce(sum(col("covered")), lit(0L)).cast("long")
+            .as("dup_tokens"))
+        .orderBy("source")
     }
 
   /** One duplication-centrality (PageRank-style, exact integer) round:
