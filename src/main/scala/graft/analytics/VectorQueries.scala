@@ -837,6 +837,92 @@ object VectorQueries {
         .select(col("query_id"), col("n_hits"),
           round(col("n_hits") / 3.0, 6).as("recall_at_3"))
         .orderBy("query_id")
+    },
+
+    // ----- IVFADC, the composed large-scale ANN query (Jégou et al.'s
+    // IVF + PQ with asymmetric distance): the coarse quantizer narrows
+    // the candidate set to the query's inverted list (the v2 cluster
+    // probe), and WITHIN the list each candidate is ranked by ADC — 4
+    // codebook lookups + a fixed-order 4-term sum, never touching the
+    // candidate vector (the v13 trick). This is the shape a billion-
+    // vector index actually serves: per query, cost = |list| code
+    // lookups against a broadcast query-local distance table, with the
+    // inverted-list join co-partitioned on the cluster id — no scan of
+    // the corpus, no cross join, candidate payloads never shuffle.
+    Q("v15_ann_ivfadc", "ANN-ivfadc,ANN-ivf,ANN-pq-adc", {
+      val adcD =
+        "list_reduce(list_transform(range(1, 17), i -> " +
+          "(q.v[c.block*16 + i] - c.cv[i]) * (q.v[c.block*16 + i] - c.cv[i])" +
+          "), (a, b) -> a + b)"
+      s"""WITH $pqCte,
+         |codes AS (SELECT b.vec_id, e.label, b.block, b.cent AS code
+         |          FROM bestpq b JOIN e ON b.vec_id = e.vec_id
+         |          WHERE b.rn = 1),
+         |q AS (SELECT vec_id AS query_id, label, v FROM e
+         |      WHERE vec_id < 20),
+         |adc AS (SELECT q.query_id, q.label, c.block, c.cent AS code,
+         |          $adcD AS d
+         |        FROM q CROSS JOIN cbl c),
+         |pqd AS (
+         |  SELECT a.query_id, s.vec_id AS neighbor_id,
+         |    max(CASE WHEN s.block = 0 THEN a.d END) AS d0,
+         |    max(CASE WHEN s.block = 1 THEN a.d END) AS d1,
+         |    max(CASE WHEN s.block = 2 THEN a.d END) AS d2,
+         |    max(CASE WHEN s.block = 3 THEN a.d END) AS d3
+         |  FROM codes s JOIN adc a
+         |    ON s.label = a.label AND s.block = a.block AND s.code = a.code
+         |  WHERE s.vec_id <> a.query_id
+         |  GROUP BY a.query_id, s.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, (d0 + d1) + (d2 + d3) AS adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (d0 + d1) + (d2 + d3), neighbor_id) AS rank
+         |  FROM pqd)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |       round(adist, 6) AS adc
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val e = pqVectors(s, dir)
+      val cbl = pqCodebook(e)
+      val codes = pqCodes(e, cbl)
+        .select(col("vec_id"), col("block"), col("cent").as("code"))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val q = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("v").as("qv")))
+      val adcD = aggregate(
+        transform(sequence(lit(1), lit(16)), i => {
+          val d = element_at(col("qv"), col("block") * 16 + i) -
+            element_at(col("cv"), i)
+          d * d
+        }),
+        lit(0.0), (a, b) => a + b)
+      // query-local ADC distance table: queries × 4 blocks × K cells —
+      // broadcast-sized by construction, the per-query lookup table an
+      // IVFADC scorer keeps in L1
+      val adc = broadcast(cbl.withColumnRenamed("cent", "code")
+        .crossJoin(q)
+        .select(col("query_id"), col("label"), col("block"), col("code"),
+          adcD.as("d")))
+      // inverted-list probe: label equi-join narrows candidates to the
+      // query's coarse cell BEFORE any distance work
+      val pqd = codes.join(adc, Seq("label", "block", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(
+          max(when(col("block") === 0, col("d"))).as("d0"),
+          max(when(col("block") === 1, col("d"))).as("d1"),
+          max(when(col("block") === 2, col("d"))).as("d2"),
+          max(when(col("block") === 3, col("d"))).as("d3"))
+      val adist = (col("d0") + col("d1")) + (col("d2") + col("d3"))
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(adist.asc, col("neighbor_id").asc)
+      pqd.withColumn("rank", row_number().over(rankW).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(adist, 6).as("adc"))
+        .orderBy("query_id", "rank")
     }
   )
 
