@@ -2120,6 +2120,41 @@ object RelationalQueries {
         .orderBy("rk")
     },
 
+    // ----- Bloom-filter data skipping (Delta's bloom index): point
+    // lookups on a high-cardinality UNCLUSTERED key, where zone maps
+    // are useless — every file's min/max envelope spans the whole key
+    // range (the table is written hash-interleaved below, the layout a
+    // real ingest produces), so envelope pruning admits everything and
+    // only the per-file bloom can prove the exact key absent. The
+    // result is oracle-checked; GraftBloomSpec pins the files-read
+    // census (the I/O claim itself). One equality-keyed scan; the
+    // pushed filters re-apply row-level, so a bloom false positive
+    // costs I/O, never correctness.
+    Q("s53_bloom_skipping", "S-bloom,S5,P4,A1",
+      """SELECT CONCAT('key', CAST(l_orderkey AS VARCHAR)) AS k,
+        |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE CONCAT('key', CAST(l_orderkey AS VARCHAR))
+        |  IN ('key1', 'key7', 'key388')
+        |GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val t = "graft_cat.ns.s53_keys"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k STRING, qty BIGINT) " +
+        "TBLPROPERTIES ('bloom.columns'='k')")
+      Tables.lineitem(s, dir)
+        .select(concat(lit("key"), col("l_orderkey").cast("string"))
+          .as("k"), col("l_quantity").cast("long").as("qty"))
+        .repartition(8) // hash-interleaved: zone envelopes all overlap
+        .writeTo(t).append()
+      s.table(t)
+        .filter(col("k").isin("key1", "key7", "key388"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("long").as("qty"))
+        .orderBy("k")
+    },
+
     // ----- regex group extraction: parse the trailing integer out of the
     // source tag ("src17" → 17) with a captured group — the typed-field
     // recovery every semi-structured ingest does. The pattern is

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-(file, column) Bloom filter — Delta's bloom-filter index, the
+  * data-skipping complement to zone maps: zone maps prune files by
+  * min/max envelope, which only bites when values CLUSTER (sorted,
+  * z-ordered, partition-correlated); a point lookup on a
+  * high-cardinality UNCLUSTERED key (an id, a hash, a uuid) matches
+  * every file's envelope and scans the table. A per-file bloom answers
+  * "might this exact value be in this file" in O(k) word probes with no
+  * false negatives, so `WHERE key = x` touches the handful of files
+  * that can contain x — on a 100 TB table the difference between a
+  * point lookup and a table scan.
+  *
+  * The filter lives in the table's commit log next to the zone maps
+  * (Delta keeps it in a sidecar index file; the shape is the same:
+  * per-file, immutable, rebuilt when the file is rewritten). Sized at
+  * [[GraftBloom.BitsPerKey]] bits per distinct-ish key with
+  * [[GraftBloom.K]] probes → ~1% false positives; a 64k-row file costs
+  * ~80 KB of log metadata per bloom'd column — metadata-budget-sized,
+  * and ONLY for the columns the user opted in via the
+  * `bloom.columns` table property.
+  *
+  * Hashing is engine-stable (XXH64 over the Catalyst-internal value
+  * with a fixed seed) and double-hashed: probe i tests bit
+  * `h1 + i·h2 mod m`. Words serialize little-endian base64 in the log.
+  */
+final case class GraftBloom(words: Array[Long], k: Int)
+    extends Serializable {
+  private def bits: Long = words.length.toLong * 64L
+
+  def mightContain(h: Long): Boolean = {
+    val h1 = h
+    val h2 = (h >>> 32) | 1L // odd ⇒ full-period stride
+    val m = bits
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, m)
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+}
+
+object GraftBloom {
+  /** Table property opting columns into per-file blooms:
+    * `'bloom.columns'='id,key'`. */
+  val BloomProp = "bloom.columns"
+
+  /** StructField metadata flag the property compiles into — the schema
+    * already ships to executor-side writers and persists in the log, so
+    * the flag reaches every stats-building site with zero plumbing. */
+  val MetaKey = "graft.bloom"
+
+  /** ~10 bits/key with 7 probes ≈ 1% false-positive rate — the
+    * standard parquet/Delta bloom sizing. */
+  val BitsPerKey = 10
+  val K = 7
+
+  /** Types whose equality lookups blooms serve: integral-backed values
+    * and strings. Floating point is excluded (equality on doubles is a
+    * bug farm, not a lookup), as are nested types. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Engine-stable 64-bit hash of a Catalyst-internal value. The same
+    * function runs at build (over stored rows) and at scan (over the
+    * pushed literal), so representation is the only contract. */
+  def hashOf(v: Any): Long = v match {
+    case s: UTF8String =>
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    case b: java.lang.Boolean => XXH64.hashLong(if (b) 1L else 0L, 42L)
+    case n: java.lang.Byte => XXH64.hashLong(n.longValue(), 42L)
+    case n: java.lang.Short => XXH64.hashLong(n.longValue(), 42L)
+    case n: java.lang.Integer => XXH64.hashLong(n.longValue(), 42L)
+    case n: java.lang.Long => XXH64.hashLong(n.longValue(), 42L)
+    case other => throw new IllegalArgumentException(
+      s"no stable bloom hash for ${other.getClass.getName}")
+  }
+
+  /** Build a filter over one column's non-null internal values. */
+  def build(values: Iterator[Any], expectedKeys: Int): GraftBloom = {
+    val bits = math.max(64L, expectedKeys.toLong * BitsPerKey)
+    val words = new Array[Long](((bits + 63) / 64).toInt)
+    val m = words.length.toLong * 64L
+    values.foreach { v =>
+      val h1 = hashOf(v)
+      val h2 = (h1 >>> 32) | 1L
+      var i = 0
+      while (i < K) {
+        val bit = java.lang.Math.floorMod(h1 + i * h2, m)
+        words((bit >>> 6).toInt) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    GraftBloom(words, K)
+  }
+
+  /** Stamp the bloom flag into the named fields' metadata; refuses
+    * unknown columns and unsupported types at CREATE time. */
+  def stamp(schema: StructType, colsCsv: String): StructType = {
+    val names = colsCsv.split(',').map(_.trim).filter(_.nonEmpty)
+    names.foreach { c =>
+      val i = schema.fieldIndex(c) // throws on unknown column
+      if (!supported(schema.fields(i).dataType))
+        throw new UnsupportedOperationException(
+          s"$BloomProp column $c: type ${schema.fields(i).dataType} has " +
+            "no stable equality hash (integral/string/date/timestamp only)")
+    }
+    val set = names.toSet
+    StructType(schema.fields.map { f =>
+      if (set.contains(f.name))
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(MetaKey, true).build())
+      else f
+    })
+  }
+
+  /** The bloom'd column names, reconstructed from field metadata (the
+    * inverse of [[stamp]] — used to report the table property back). */
+  def stampedCols(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(MetaKey) &&
+        f.metadata.getBoolean(MetaKey) => f.name
+    }
+
+  def encodeWords(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decodeWords(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+}

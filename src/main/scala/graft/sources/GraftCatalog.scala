@@ -253,10 +253,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   /** Shared CREATE/stage spec parsing: partition transforms, row-level
     * mode, CHECK constraints — everything a table builds from besides
     * its schema. Fails loudly on anything unsupported. */
-  private def parseTableSpec(ident: Identifier, schema: StructType,
+  private def parseTableSpec(ident: Identifier, schema0: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : (Seq[String], Option[(Int, String)], String,
-         Map[String, GraftConstraints.Check]) = {
+         Map[String, GraftConstraints.Check], StructType) = {
+    // `bloom.columns` compiles into StructField metadata: the schema
+    // already ships to executor writers and persists in the log, so
+    // the flag reaches every stats-building site with zero plumbing
+    val schema = Option(properties.get(GraftBloom.BloomProp))
+      .map(GraftBloom.stamp(schema0, _)).getOrElse(schema0)
     // identity partitioning (defines the COW rewrite groups) and ONE
     // bucket(n, col) transform (hash co-location for storage-partitioned
     // joins) are supported; any other transform must fail, not silently
@@ -321,14 +326,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new IllegalArgumentException(
         s"table name ${ident.name()} may not contain '$$' (reserved for " +
           "metadata-table suffixes — such a table could never be loaded)")
-    (partCols, bucketSpec, mode, checks)
+    (partCols, bucketSpec, mode, checks, schema)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  override def createTable(ident: Identifier, schema0: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val (partCols, bucketSpec, mode, checks) =
-      parseTableSpec(ident, schema, partitions, properties)
+    val (partCols, bucketSpec, mode, checks, schema) =
+      parseTableSpec(ident, schema0, partitions, properties)
     val t = new GraftTable(
       (ident.namespace() :+ ident.name()).mkString("."), schema, partCols,
       mode, bucketSpec, checks)
@@ -401,10 +406,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       partitions: Array[Transform], properties: util.Map[String, String],
       seed: Long, stageDir: Option[java.nio.file.Path]): GraftTable = {
     val seeded = FieldIds.assignFrom(schema, seed)
-    val (partCols, bucketSpec, mode, checks) =
+    val (partCols, bucketSpec, mode, checks, stamped) =
       parseTableSpec(ident, seeded, partitions, properties)
     val t = new GraftTable(
-      (ident.namespace() :+ ident.name()).mkString("."), seeded, partCols,
+      (ident.namespace() :+ ident.name()).mkString("."), stamped, partCols,
       mode, bucketSpec, checks)
     stageDir.foreach { dir =>
       t.attachDurable(new GraftTableDurability(
@@ -759,11 +764,21 @@ final class GraftDataFile private (
     seg0: GraftSegmentHandle,
     sel0: scala.collection.immutable.BitSet = null,
     selExclude0: Boolean = false,
-    derive0: GraftDeriveRecipe = null) {
+    derive0: GraftDeriveRecipe = null,
+    blooms0: Array[GraftBloom] = null) {
 
   def this(rows: Array[InternalRow], zones: Array[ColZone], sizeBytes: Long,
            groupKey: Option[Seq[Any]]) =
     this(rows, zones, sizeBytes, groupKey, rows.length, null)
+
+  /** Per-column Bloom filters (index = schema ordinal, null = none) —
+    * built only for `bloom.columns`-flagged fields. A position VIEW
+    * inherits its base's filters (a superset: conservative, like the
+    * zone envelope). Empty array = table has no bloom'd columns. */
+  val blooms: Array[GraftBloom] =
+    if (blooms0 == null) GraftDataFile.NoBlooms else blooms0
+  private[sources] def bloomAt(i: Int): GraftBloom =
+    if (i < blooms.length) blooms(i) else null
 
   /** Non-null ⇒ a DERIVED pseudo-file (the CDC feed): rows are COMPUTED
     * from other files' segments by a serializable partition recipe —
@@ -877,6 +892,8 @@ private[sources] final class GraftDeriveRecipe(
 
 object GraftDataFile {
 
+  private[sources] val NoBlooms: Array[GraftBloom] = Array.empty
+
   /** A DERIVED pseudo-file (see [[GraftDeriveRecipe]]). */
   private[sources] def derived(recipe: GraftDeriveRecipe,
       zones: Array[ColZone], sizeBytes: Long,
@@ -888,8 +905,10 @@ object GraftDataFile {
     * parquet segment; all metadata comes from the log entry. */
   def fromSegment(h: GraftSegmentHandle, zones: Array[ColZone],
                   sizeBytes: Long, groupKey: Option[Seq[Any]],
-                  rowCount: Int): GraftDataFile =
-    new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h)
+                  rowCount: Int,
+                  blooms: Array[GraftBloom] = null): GraftDataFile =
+    new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h,
+      blooms0 = blooms)
 
   /** Position view over a PERSISTED base file (see `viewSel`): the CDC
     * record of a row-level delete/restore costs O(positions) in the
@@ -917,16 +936,17 @@ object GraftDataFile {
       else null // n == 1, base mixed: "unknown" is the only safe claim
     }
     new GraftDataFile(null, zones, bytes, base.groupKey, n,
-      base.segment, sel, exclude)
+      base.segment, sel, exclude, blooms0 = base.blooms)
   }
 
   /** A view decoded from the log (all metadata from the entry). */
   def fromSegmentView(h: GraftSegmentHandle, zones: Array[ColZone],
       sizeBytes: Long, groupKey: Option[Seq[Any]], rowCount: Int,
       sel: scala.collection.immutable.BitSet,
-      exclude: Boolean): GraftDataFile =
+      exclude: Boolean,
+      blooms: Array[GraftBloom] = null): GraftDataFile =
     new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h,
-      sel, exclude)
+      sel, exclude, blooms0 = blooms)
 
   /** `rows` minus the DEAD positions, original order preserved — THE
     * delete-vector application, shared by every read path so the
@@ -1071,6 +1091,22 @@ object GraftDataFile {
     val zones = Array.tabulate(n) { i =>
       if (supported(i)) ColZone(mins(i), maxs(i), nulls(i)) else null
     }
+    // per-file Bloom filters for `bloom.columns`-flagged fields (the
+    // flag rides StructField metadata, so executor-side writers see it
+    // through the shipped schemaJson with zero extra plumbing)
+    val blooms: Array[GraftBloom] = {
+      val flagged = schema.fields.map(f =>
+        f.metadata.contains(GraftBloom.MetaKey) &&
+          f.metadata.getBoolean(GraftBloom.MetaKey) &&
+          GraftBloom.supported(f.dataType))
+      if (!flagged.exists(identity) || rows.isEmpty) null
+      else Array.tabulate(n) { i =>
+        if (!flagged(i)) null
+        else GraftBloom.build(
+          rows.iterator.filterNot(_.isNullAt(i)).map(_.get(i, dts(i))),
+          rows.length)
+      }
+    }
     val gk = keyOf.flatMap { f =>
       if (rows.isEmpty) None
       else {
@@ -1078,7 +1114,8 @@ object GraftDataFile {
         if (rows.forall(r => f(r) == k)) Some(k) else None
       }
     }
-    new GraftDataFile(rows, zones, size, gk)
+    new GraftDataFile(rows, zones, size, gk, rows.length, null,
+      blooms0 = blooms)
   }
 }
 
@@ -1227,7 +1264,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       val m = ms.head
       val nf = GraftDataFile.fromSegment(
         new GraftSegmentHandle(d.log.dir.resolve(m.rel), newSchema),
-        m.zones, m.bytes, m.groupKey, m.rowCount)
+        m.zones, m.bytes, m.groupKey, m.rowCount, m.blooms)
       d.registry.put(m.rel, nf)
       nf
     })
@@ -1441,6 +1478,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   @volatile private var tableName: String = initialName
   @volatile private var files: Vector[GraftDataFile] = Vector.empty
+  /** Test/inspection hook: the current file census (immutable). */
+  private[sources] def filesSnapshot: Vector[GraftDataFile] = files
 
   /** DELETE VECTORS (merge-on-read): per data file, the positions a MOR
     * row-level operation has deleted WITHOUT rewriting the file — the
@@ -1975,7 +2014,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
             java.nio.file.Files.copy(f.segment.path, abs)
             val g = GraftDataFile.fromSegment(
               new GraftSegmentHandle(abs, f.segment.schema),
-              f.zones, f.sizeBytes, f.groupKey, f.rowCount)
+              f.zones, f.sizeBytes, f.groupKey, f.rowCount,
+              if (f.blooms.isEmpty) null else f.blooms)
             d.registry.put(rel, g)
             g
           case None =>
@@ -2116,7 +2156,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
             GraftSegmentIO.write(abs, staged.tableSchema, f.rows)
           val nf = GraftDataFile.fromSegment(
             new GraftSegmentHandle(abs, staged.tableSchema),
-            f.zones, f.sizeBytes, f.groupKey, f.rowCount)
+            f.zones, f.sizeBytes, f.groupKey, f.rowCount,
+            if (f.blooms.isEmpty) null else f.blooms)
           d.registry.put(rel, nf)
           nf
         }
@@ -2790,7 +2831,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         GraftFilesDelivery(m.segs.iterator.map { s =>
           val f = GraftDataFile.fromSegment(
             new GraftSegmentHandle(d.log.dir.resolve(s.rel), segSchema),
-            s.zones, s.bytes, s.groupKey, s.rowCount)
+            s.zones, s.bytes, s.groupKey, s.rowCount, s.blooms)
           // a metadata-only ADD COLUMN may have widened the table
           // between the write factory's creation and this commit —
           // bring the adopted handle in line (no-op otherwise)
@@ -2892,7 +2933,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       ms.toSeq.map { m =>
         val nf = GraftDataFile.fromSegment(
           new GraftSegmentHandle(d0.log.dir.resolve(m.rel), tableSchema),
-          m.zones, m.bytes, m.groupKey, m.rowCount)
+          m.zones, m.bytes, m.groupKey, m.rowCount, m.blooms)
         d0.registry.put(m.rel, nf)
         nf
       }
@@ -3128,7 +3169,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           i -> ms.toSeq.map { m =>
             val f = GraftDataFile.fromSegment(
               new GraftSegmentHandle(d.log.dir.resolve(m.rel), schema),
-              m.zones, m.bytes, m.groupKey, m.rowCount)
+              m.zones, m.bytes, m.groupKey, m.rowCount, m.blooms)
             d.registry.put(m.rel, f)
             f
           }
@@ -3255,6 +3296,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
   override def properties(): util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put(GraftTable.RowLevelModeProp, rowLevelMode)
+    val bloomed = GraftBloom.stampedCols(tableSchema)
+    if (bloomed.nonEmpty)
+      m.put(GraftBloom.BloomProp, bloomed.mkString(","))
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -4254,13 +4298,33 @@ private[sources] object ZonePredicates {
         }
       }
 
+    // point-lookup refinement: after the zone envelope admits the file,
+    // a per-file Bloom filter (bloom.columns) can still prove the exact
+    // value absent — the skip zone maps cannot make on an UNCLUSTERED
+    // high-cardinality key, whose every file spans the whole value
+    // range. No filter ⇒ true (conservative); no false negatives by
+    // construction, and the pushed filters are re-applied row-level, so
+    // a false positive costs I/O, never correctness.
+    def bloomPass(f: GraftDataFile, i: Int, iv: Any): Boolean = {
+      val b = f.bloomAt(i)
+      b == null || !GraftBloom.supported(schema.fields(i).dataType) ||
+        b.mightContain(GraftBloom.hashOf(iv))
+    }
+    def pointTest(name: String, v: Any): Option[GraftDataFile => Boolean] =
+      internal(name, v).map { case (i, iv) =>
+        f => (zone(f, i) match {
+          case Some(z) if z.min != null =>
+            cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0
+          case Some(_) => false
+          case None => true
+        }) && bloomPass(f, i, iv)
+      }
+
     filter match {
-      case EqualTo(c, v) =>
-        rangeTest(c, v)((z, iv) => cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0)
+      case EqualTo(c, v) => pointTest(c, v)
       case EqualNullSafe(c, null) =>
         ord(c).map(i => f => zone(f, i).forall(_.nullCount > 0))
-      case EqualNullSafe(c, v) =>
-        rangeTest(c, v)((z, iv) => cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0)
+      case EqualNullSafe(c, v) => pointTest(c, v)
       case GreaterThan(c, v) => rangeTest(c, v)((z, iv) => cmp(z.max, iv) > 0)
       case GreaterThanOrEqual(c, v) =>
         rangeTest(c, v)((z, iv) => cmp(z.max, iv) >= 0)
@@ -4278,7 +4342,8 @@ private[sources] object ZonePredicates {
         else ord(c).map { i =>
           f => zone(f, i) match {
             case Some(z) if z.min != null => converted.exists { case (_, iv) =>
-              cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0
+              cmp(z.min, iv) <= 0 && cmp(z.max, iv) >= 0 &&
+                bloomPass(f, i, iv)
             }
             case Some(_) => false
             case None => true
@@ -4582,6 +4647,11 @@ class GraftScanBuilder(tableSchema: StructType,
         if (i < f.zones.length && f.zones(i) != null) Some(fl.name -> f.zones(i))
         else None
       }.toMap
+    def bloomsByName(f: GraftDataFile): Map[String, GraftBloom] =
+      if (f.blooms.isEmpty) Map.empty
+      else tableSchema.fields.iterator.zipWithIndex.flatMap { case (fl, i) =>
+        Option(f.bloomAt(i)).map(fl.name -> _)
+      }.toMap
     // storage-partitioned-join eligibility: the scan can report a
     // key-grouped layout only when the partition (or bucket-source)
     // columns survive into the output (join keys must resolve against it)
@@ -4649,8 +4719,9 @@ class GraftScanBuilder(tableSchema: StructType,
             GraftSegmentScanPartition(f.segment.path.toString,
               f.segment.schema.json, dataIdx, dead.toArray, metaCols, fid),
             zonesByName(f), f.groupKey, f.rowCount - dead.size,
-            () => eagerMeta(f, fid))
-        else ScanChunk(eagerMeta(f, fid), zonesByName(f), f.groupKey)
+            () => eagerMeta(f, fid), bloomsByName(f))
+        else ScanChunk(eagerMeta(f, fid), zonesByName(f), f.groupKey,
+          bloomsByName(f))
       }.toArray
       new GraftScan(outSchema, chunks, bytes, census,
         pushed.map(_.toString).toSeq, spjCols, mb, spjBucket, guard)
@@ -4689,8 +4760,9 @@ class GraftScanBuilder(tableSchema: StructType,
             GraftSegmentScanPartition(f.segment.path.toString,
               f.segment.schema.json, idx, dead.toArray),
             zonesByName(f), f.groupKey, f.rowCount - dead.size,
-            () => materialize(f))
-        case None => ScanChunk(materialize(f), zonesByName(f), f.groupKey)
+            () => materialize(f), bloomsByName(f))
+        case None => ScanChunk(materialize(f), zonesByName(f), f.groupKey,
+          bloomsByName(f))
       }
       new GraftScan(if (identityProj) tableSchema else required,
         surviving.map { case (f, _) => chunkOf(f) }.toArray,
@@ -4720,23 +4792,26 @@ private[sources] final class ScanChunk(
     val zones: Map[String, ColZone],
     val groupKey: Option[Seq[Any]],
     val rowCount: Int,
-    val lazySeg: Option[InputPartition]) {
+    val lazySeg: Option[InputPartition],
+    val blooms: Map[String, GraftBloom] = Map.empty) {
   lazy val rows: Array[InternalRow] = rowsFn()
   /** Runtime-filter exclusion under key-grouped reporting: same
     * partition value, zero rows, zero I/O. */
   def emptied: ScanChunk =
-    new ScanChunk(() => Array.empty, zones, groupKey, 0, None)
+    new ScanChunk(() => Array.empty, zones, groupKey, 0, None, blooms)
 }
 
 private[sources] object ScanChunk {
   def apply(rows: Array[InternalRow], zones: Map[String, ColZone],
-            groupKey: Option[Seq[Any]] = None): ScanChunk =
-    new ScanChunk(() => rows, zones, groupKey, rows.length, None)
+            groupKey: Option[Seq[Any]] = None,
+            blooms: Map[String, GraftBloom] = Map.empty): ScanChunk =
+    new ScanChunk(() => rows, zones, groupKey, rows.length, None, blooms)
 
   def lazily(seg: InputPartition, zones: Map[String, ColZone],
              groupKey: Option[Seq[Any]], rowCount: Int,
-             loader: () => Array[InternalRow]): ScanChunk =
-    new ScanChunk(loader, zones, groupKey, rowCount, Some(seg))
+             loader: () => Array[InternalRow],
+             blooms: Map[String, GraftBloom] = Map.empty): ScanChunk =
+    new ScanChunk(loader, zones, groupKey, rowCount, Some(seg), blooms)
 }
 
 /** A plain-scan partition that carries a parquet segment REFERENCE plus
@@ -4945,7 +5020,17 @@ private[sources] object ZonePredicatesV2 {
   private def inTest(name: String, vs: Seq[Any]): ScanChunk => Boolean =
     c => c.zones.get(name) match {
       case Some(z) if z.min != null =>
-        try vs.exists(v => v != null && cmp(z.min, v) <= 0 && cmp(z.max, v) >= 0)
+        try vs.exists { v =>
+          v != null && cmp(z.min, v) <= 0 && cmp(z.max, v) >= 0 &&
+            // bloom refinement of the runtime IN-set (DPP key values):
+            // exact-value absence skips the chunk the envelope admits
+            (c.blooms.get(name) match {
+              case Some(b) =>
+                try b.mightContain(GraftBloom.hashOf(v))
+                catch { case _: IllegalArgumentException => true }
+              case None => true
+            })
+        }
         catch { case _: ClassCastException => true } // cast-wrapped key
       case Some(_) => false // all-null column never equi-matches
       case None => true

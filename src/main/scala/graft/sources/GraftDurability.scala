@@ -636,7 +636,19 @@ private[sources] object GraftLogCodec {
       (if (exclude) "xsel" else "sel") ->
         (JArray(bs.toList.map(p => JLong(p.toLong))): JValue)
     }
-    JObject(base ++ selJ)
+    // per-file Bloom filters (bloom.columns): [ordinal, k, words-b64]
+    // triples, only for columns that carry one — the skip index rides
+    // the log exactly like the zone maps (Delta keeps it in a sidecar;
+    // same per-file immutable shape)
+    val bloomJ =
+      if (f.blooms.isEmpty) Nil
+      else List("bl" -> (JArray(
+        f.blooms.toList.zipWithIndex.collect {
+          case (b, i) if b != null => JArray(List(JLong(i.toLong),
+            JLong(b.k.toLong),
+            JString(GraftBloom.encodeWords(b.words)))): JValue
+        }): JValue))
+    JObject(base ++ selJ ++ bloomJ)
   }
 
   private def decodeFile(j: JValue, schema: StructType, kts: Seq[DataType],
@@ -664,12 +676,27 @@ private[sources] object GraftLogCodec {
           scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
         case other => throw new IllegalStateException(s"bad sel: $other")
       }
+      val blooms: Array[GraftBloom] = o.get("bl") match {
+        case Some(JArray(entries)) =>
+          val arr = new Array[GraftBloom](schema.length)
+          entries.foreach {
+            case JArray(List(i, k, JString(b64))) =>
+              val ord = num(i).toInt
+              if (ord < arr.length)
+                arr(ord) = GraftBloom(GraftBloom.decodeWords(b64),
+                  num(k).toInt)
+            case other =>
+              throw new IllegalStateException(s"bad bloom entry: $other")
+          }
+          arr
+        case _ => null
+      }
       sel match {
         case Some(bs) => GraftDataFile.fromSegmentView(h, zones,
           num(o("bytes")).toLong, group, num(o("rows")).toInt, bs,
-          exclude = o.contains("xsel"))
+          exclude = o.contains("xsel"), blooms = blooms)
         case None => GraftDataFile.fromSegment(h, zones,
-          num(o("bytes")).toLong, group, num(o("rows")).toInt)
+          num(o("bytes")).toLong, group, num(o("rows")).toInt, blooms)
       }
     }
     // views NEVER registry-share by ref: the bare ref names the BASE

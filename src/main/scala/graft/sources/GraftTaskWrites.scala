@@ -53,7 +53,8 @@ final case class GraftDurableWriteSpec(
   * (UTF8String / Decimal / primitives) — all Serializable, so the
   * message crosses a real executor→driver boundary unchanged. */
 final case class GraftSegmentMeta(rel: String, rowCount: Int, bytes: Long,
-    zones: Array[ColZone], groupKey: Option[Seq[Any]])
+    zones: Array[ColZone], groupKey: Option[Seq[Any]],
+    blooms: Array[GraftBloom] = null)
 
 /** Commit message of a segment-writing task: file references + stats.
   * `schemaJson` is the layout the segments were written with (the
@@ -151,7 +152,8 @@ private[sources] final class GraftSegmentDataWriter(
       val abs = java.nio.file.Paths.get(spec.tableDir).resolve(rel)
       val bytes = GraftSegmentIO.write(abs, schema, rs)
       written += abs
-      GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey)
+      GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey,
+        if (f.blooms.isEmpty) null else f.blooms)
     }
     buf.clear()
     GraftSegmentsMessage(spec.schemaJson, metas.toArray,
@@ -324,7 +326,8 @@ private[sources] object GraftSplit {
       val rel = s"data/spl-${job.writeId}-b${job.binId}-$side.parquet"
       val bytes = GraftSegmentIO.write(
         java.nio.file.Paths.get(job.outDir).resolve(rel), schema, rows)
-      Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones, f.groupKey))
+      Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones, f.groupKey,
+        if (f.blooms.isEmpty) null else f.blooms))
     }
     GraftSplitResult(gone.length, stay.length,
       writeSide(gone, "g"), writeSide(stay, "s"))
@@ -371,7 +374,8 @@ private[sources] object GraftCompaction {
         val rel = s"data/opt-${job.writeId}-b${job.binId}-$n.parquet"
         val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
         val bytes = GraftSegmentIO.write(abs, schema, chunk)
-        GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey)
+        GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey,
+          if (f.blooms.isEmpty) null else f.blooms)
       }.toArray
   }
 }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom-filter data skipping (`bloom.columns`, Delta's bloom
+  * index): point lookups on a high-cardinality UNCLUSTERED key skip
+  * files the zone-map envelope cannot — each file below is written
+  * hash-interleaved, so every envelope spans the whole key range and
+  * only the bloom proves exact-value absence. */
+class GraftBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def graftTable(cat: String, ns: String, t: String): GraftTable =
+    spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].store.tables((Seq(ns), t))
+
+  test("a point lookup on an unclustered key skips files via the bloom " +
+      "where zone maps admit everything; the filters survive restart") {
+    val wh = tmpDir("graft-bloom")
+    spark.conf.set("spark.sql.catalog.blm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blm.warehouse", wh)
+    spark.sql("CREATE TABLE blm.ns.t (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k')")
+    // 4 commits of interleaved keys: file i holds keys ≡ i (mod 4), so
+    // every file's (min, max) envelope covers the full range — zone
+    // maps alone cannot skip a single file for any point lookup
+    (0 until 4).foreach { i =>
+      (0 until 200).map(j => (f"key${i + 4 * j}%04d", (i + 4 * j).toLong))
+        .toDF("k", "v").coalesce(1).writeTo("blm.ns.t").append()
+    }
+    val table = graftTable("blm", "ns", "t")
+
+    def lookupCensus(cat: String, key: String): (Long, ScanCensus) = {
+      val t = graftTable(cat, "ns", "t")
+      val n = spark.table(s"$cat.ns.t").filter(col("k") === key).count()
+      (n, t.lastScanCensus.get)
+    }
+    // key 0005 lives only in file 1 (5 mod 4): blooms skip ~3 of 4
+    val (n1, c1) = lookupCensus("blm", "key0005")
+    assert(n1 === 1L)
+    assert(c1.filesTotal === 4)
+    assert(c1.filesRead < 4,
+      s"bloom must skip interleaved files zone maps cannot: $c1")
+    // an absent key skips everything (no envelope can help here)
+    val (n0, c0) = lookupCensus("blm", "nope")
+    assert(n0 === 0L)
+    assert(c0.filesRead === 0, s"absent key must read zero files: $c0")
+    // sanity: the zone envelope really is useless on this layout —
+    // every file spans the full range
+    val zs = table.filesSnapshot.map(_.zones(0))
+    assert(zs.forall(_ != null) && zs.distinct.length <= 4)
+
+    // restart: a cold fold decodes the blooms from the log and the
+    // fresh catalog skips identically
+    spark.conf.set("spark.sql.catalog.blr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blr.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.blr.warehouse.isolated", "true")
+    val (rn, rc) = lookupCensus("blr", "key0005")
+    assert(rn === 1L)
+    assert(rc.filesRead < rc.filesTotal,
+      s"restart must keep the bloom index: $rc")
+    // and the property reports back from the restored schema metadata
+    assert(graftTable("blr", "ns", "t").properties()
+      .get(GraftBloom.BloomProp) === "k")
+  }
+
+  test("OPTIMIZE rebuilds blooms for the compacted files; lookups keep " +
+      "skipping after the rewrite") {
+    val wh = tmpDir("graft-bloomo")
+    spark.conf.set("spark.sql.catalog.blo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blo.warehouse", wh)
+    spark.sql("CREATE TABLE blo.ns.t (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k')")
+    (0 until 8).foreach { i =>
+      (0 until 50).map(j => (f"key${i + 8 * j}%04d", j.toLong))
+        .toDF("k", "v").coalesce(1).writeTo("blo.ns.t").append()
+    }
+    // compact 8 tiny files into 2 (200-row target)
+    GraftMaintenance.sql(spark, "OPTIMIZE blo.ns.t TARGET 200 ROWS")
+      .collect()
+    val t = graftTable("blo", "ns", "t")
+    assert(t.filesSnapshot.length < 8)
+    assert(t.filesSnapshot.forall(_.blooms.exists(_ != null)),
+      "every compacted file must carry a rebuilt bloom")
+    val n = spark.table("blo.ns.t").filter(col("k") === "key0003").count()
+    assert(n === 1L)
+    val c = t.lastScanCensus.get
+    assert(c.filesRead < c.filesTotal || c.filesTotal === 1,
+      s"post-OPTIMIZE lookups must keep skipping: $c")
+  }
+
+  test("bloom.columns refuses unsupported types and unknown columns at " +
+      "CREATE; results never change (false positives cost I/O only)") {
+    spark.conf.set("spark.sql.catalog.blh", classOf[GraftCatalog].getName)
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE blh.ns.bad (x DOUBLE) " +
+        "TBLPROPERTIES ('bloom.columns'='x')"))
+    assert(e1.getMessage.contains("no stable equality hash") ||
+      Option(e1.getCause).exists(
+        _.getMessage.contains("no stable equality hash")))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE blh.ns.bad2 (x BIGINT) " +
+        "TBLPROPERTIES ('bloom.columns'='nope')"))
+    // heap (in-JVM) tables build blooms through the same kernel; an
+    // IN-list lookup returns exactly the matching rows
+    spark.sql("CREATE TABLE blh.ns.t (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k')")
+    (0 until 100).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+      .repartition(4).writeTo("blh.ns.t").append()
+    val got = spark.table("blh.ns.t")
+      .filter(col("k").isin("k3", "k97", "absent"))
+      .orderBy("v").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("k3", 3L), ("k97", 97L)))
+  }
+
+  test("the bloom kernel itself: no false negatives, ~1% false " +
+      "positives, stable encode/decode round-trip") {
+    val keys = (0 until 5000).map(i =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"key-$i"))
+    val b = GraftBloom.build(keys.iterator.map(x => x: Any), keys.length)
+    assert(keys.forall(k => b.mightContain(GraftBloom.hashOf(k))),
+      "a bloom filter must never produce a false negative")
+    val fps = (0 until 10000).count(i => b.mightContain(GraftBloom.hashOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"other-$i"))))
+    assert(fps < 300, s"~1% fpp expected at 10 bits/key, got $fps/10000")
+    val rt = GraftBloom(GraftBloom.decodeWords(
+      GraftBloom.encodeWords(b.words)), b.k)
+    assert(java.util.Arrays.equals(rt.words, b.words))
+  }
+}
