@@ -124,6 +124,16 @@ object GraftBloom {
     })
   }
 
+  /** Strip every bloom flag (ALTER replaces the set wholesale). */
+  def unstamp(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(MetaKey)) {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        mb.remove(MetaKey)
+        f.copy(metadata = mb.build())
+      } else f
+    })
+
   /** The bloom'd column names, reconstructed from field metadata (the
     * inverse of [[stamp]] — used to report the table property back). */
   def stampedCols(schema: StructType): Seq[String] =

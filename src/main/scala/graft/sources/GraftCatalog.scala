@@ -1449,6 +1449,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
             if rp.property.startsWith(GraftConstraints.Prefix) =>
           checks = checks - rp.property.stripPrefix(GraftConstraints.Prefix)
 
+        // bloom-index evolution (Delta: ALTER + a rewrite backfills):
+        // the flag set REPLACES wholesale in the schema metadata.
+        // Existing files keep serving without filters (bloom absence is
+        // conservative by construction); new writes build them, and an
+        // OPTIMIZE backfills the old files through the shared stats
+        // kernel — index creation on a 100 TB table is a property flip
+        // plus an incremental compaction, never a blocking scan.
+        case sp: TableChange.SetProperty
+            if sp.property == GraftBloom.BloomProp =>
+          tableSchema = GraftBloom.stamp(
+            GraftBloom.unstamp(tableSchema), sp.value)
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftBloom.BloomProp =>
+          tableSchema = GraftBloom.unstamp(tableSchema)
+          readState = (files, dvs)
+
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }

@@ -114,6 +114,45 @@ class GraftBloomSpec extends SparkSpec {
     assert(got === Seq(("k3", 3L), ("k97", 97L)))
   }
 
+  test("ALTER TABLE SET ('bloom.columns') flips the index on an " +
+      "existing table; OPTIMIZE backfills the old files") {
+    val wh = tmpDir("graft-blooma")
+    spark.conf.set("spark.sql.catalog.bla", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bla.warehouse", wh)
+    spark.sql("CREATE TABLE bla.ns.t (k STRING, v BIGINT)") // no bloom
+    (0 until 4).foreach { i =>
+      (0 until 100).map(j => (f"key${i + 4 * j}%04d", j.toLong))
+        .toDF("k", "v").coalesce(1).writeTo("bla.ns.t").append()
+    }
+    val t = graftTable("bla", "ns", "t")
+    assert(t.filesSnapshot.forall(_.blooms.isEmpty))
+    spark.sql(
+      "ALTER TABLE bla.ns.t SET TBLPROPERTIES ('bloom.columns'='k')")
+    assert(t.properties().get(GraftBloom.BloomProp) === "k")
+    // pre-ALTER files serve WITHOUT filters (conservative) …
+    spark.table("bla.ns.t").filter(col("k") === "key0005").count()
+    assert(t.lastScanCensus.get.filesRead === 4)
+    // … new writes build them …
+    (0 until 50).map(j => (f"key9${j}%03d", j.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("bla.ns.t").append()
+    assert(t.filesSnapshot.last.blooms.exists(_ != null))
+    // … and OPTIMIZE backfills the rest through the shared kernel
+    GraftMaintenance.sql(spark, "OPTIMIZE bla.ns.t").collect()
+    assert(t.filesSnapshot.forall(_.blooms.exists(_ != null)))
+    // the restored catalog agrees (the flag rides the entry's schema)
+    spark.conf.set("spark.sql.catalog.blar", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blar.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.blar.warehouse.isolated", "true")
+    assert(graftTable("blar", "ns", "t").properties()
+      .get(GraftBloom.BloomProp) === "k")
+    // UNSET drops the flag; stale filters on files remain truth-
+    // preserving and scans stay correct
+    spark.sql("ALTER TABLE bla.ns.t UNSET TBLPROPERTIES ('bloom.columns')")
+    assert(t.properties().get(GraftBloom.BloomProp) === null)
+    assert(spark.table("bla.ns.t").filter(col("k") === "key0005").count()
+      === 1L)
+  }
+
   test("the bloom kernel itself: no false negatives, ~1% false " +
       "positives, stable encode/decode round-trip") {
     val keys = (0 until 5000).map(i =>
