@@ -2120,6 +2120,36 @@ object RelationalQueries {
         .orderBy("rk")
     },
 
+    // ----- column DEFAULT values (TableCatalogCapability
+    // .SUPPORT_COLUMN_DEFAULT_VALUE): CREATE-time defaults fill omitted
+    // columns at INSERT — Spark's analyzer substitutes them, values
+    // materialize at write, the stored rows are ordinary. The isolated
+    // re-read proves the defaults (schema metadata) rode the log.
+    Q("s54_column_defaults", "DDL-default,S4,A1",
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, 'unknown' AS label,
+        |  count(*) AS cnt
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s54").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gdw_$tag"
+      val r = s"gdr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      s.sql(s"CREATE TABLE $w.ns.t (rk BIGINT, " +
+        "label STRING DEFAULT 'unknown', cnt BIGINT)")
+      Tables.nation(s, dir).createOrReplaceTempView(s"nat_def_$tag")
+      s.sql(s"""INSERT INTO $w.ns.t (rk, cnt)
+               |SELECT CAST(n_regionkey AS BIGINT), count(*)
+               |FROM nat_def_$tag GROUP BY n_regionkey""".stripMargin)
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.t").orderBy("rk")
+    },
+
     // ----- Bloom-filter data skipping (Delta's bloom index): point
     // lookups on a high-cardinality UNCLUSTERED key, where zone maps
     // are useless — every file's min/max envelope spans the whole key

@@ -59,6 +59,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     with SupportsNamespaces with StagingTableCatalog {
   private var catalogName: String = _
 
+  /** Column DEFAULT values (`c STRING DEFAULT 'new'`): declaring the
+    * capability lets Spark's own analyzer resolve CREATE-time defaults
+    * into the schema metadata and substitute them for omitted columns /
+    * the DEFAULT keyword at INSERT — values materialize at write, the
+    * stored rows are ordinary (Delta's CURRENT_DEFAULT behavior).
+    * ALTER ADD COLUMN with a default is refused in [[GraftTable
+    * .applyChanges]]: its SQL contract (EXISTS_DEFAULT — existing rows
+    * READ the default) needs reader-side fill this store doesn't do,
+    * and serving NULL instead would silently lie. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Backing universe: the in-JVM global store by default; a durable
     * warehouse store when initialized with a `warehouse` option
     * (`spark.sql.catalog.<name>.warehouse=/path`) — then every table
@@ -1304,6 +1319,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (!add.isNullable)
             throw new UnsupportedOperationException(
               s"added column $name must be nullable: existing rows read NULL")
+          if (add.defaultValue != null)
+            throw new UnsupportedOperationException(
+              s"added column $name may not carry a DEFAULT: the SQL " +
+                "contract backfills existing rows with it at READ " +
+                "(EXISTS_DEFAULT), and this store's metadata-only adds " +
+                "null-pad — serving NULL where the default was promised " +
+                "would silently lie. Declare defaults at CREATE TABLE")
           if (add.position != null)
             throw new UnsupportedOperationException(
               "added columns append at the end (no FIRST/AFTER)")
