@@ -3130,7 +3130,35 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * merged files hold the same row objects — and the rewrite is recorded
     * as a commit, so time travel serves the pre- and post-compaction
     * layouts with identical data. Returns (filesBefore, filesAfter). */
-  private[sources] def optimizeCompact(targetRows: Int): (Int, Int) =
+  /** Compile an `OPTIMIZE … WHERE` / `REORG … WHERE` partition
+    * predicate into a file-scope test. The predicate binds against a
+    * schema of the PARTITION COLUMNS ONLY (Delta's contract — a
+    * non-partition reference fails loudly as "no such column"), and a
+    * file is in scope when its partition-group key satisfies it.
+    * Group-SPANNING files (the post-compaction None bin) are out of
+    * every partition's scope by construction — plain OPTIMIZE covers
+    * them. Null never matches (SQL WHERE semantics). */
+  private[sources] def groupScope(predText: String)
+      : GraftDataFile => Boolean = {
+    if (bucketSpec.isDefined)
+      throw new UnsupportedOperationException(
+        "OPTIMIZE ... WHERE is not defined for bucketed tables (a hash " +
+          "bucket is not a value partition)")
+    if (partitionCols.isEmpty)
+      throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE requires a partitioned table — the " +
+          "predicate scopes partition groups")
+    val pschema = StructType(partitionCols.map(c =>
+      tableSchema.fields(tableSchema.fieldIndex(c))).toArray)
+    val chk = GraftConstraints.compile(predText, pschema)
+    f => f.groupKey.exists { k =>
+      chk.expr.eval(new GenericInternalRow(k.toArray)) ==
+        java.lang.Boolean.TRUE
+    }
+  }
+
+  private[sources] def optimizeCompact(targetRows: Int,
+      inScope: GraftDataFile => Boolean = _ => true): (Int, Int) =
     mutate {
       require(targetRows > 0, "targetRows must be positive")
       val before = files
@@ -3150,7 +3178,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           else plan += Right(fs.toSeq)
         }
       before.foreach { f =>
-        if (f.rowCount >= targetRows) plan += Left(f)
+        if (!inScope(f) || f.rowCount >= targetRows) plan += Left(f)
         else {
           val buf = bins.getOrElseUpdate(f.groupKey,
             scala.collection.mutable.ArrayBuffer.empty)
@@ -3167,6 +3195,31 @@ class GraftTable(initialName: String, initialSchema: StructType,
       pruneDvs()
       snap("OPTIMIZE") // layout-only: zero logical row changes
       (before.length, files.length)
+    }
+
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's reorg): rewrite EXACTLY the
+    * files carrying delete vectors — each rebuilds solo from its live
+    * rows — so soft-deleted data physically leaves the table without a
+    * full compaction; DV-less files carry over by reference, whatever
+    * their size. The follow-up VACUUM then reclaims the old segments:
+    * the two-step GDPR-delete a MOR table owes its users. Returns
+    * (files purged, rows physically removed). */
+  private[sources] def reorgPurge(
+      inScope: GraftDataFile => Boolean = _ => true): (Int, Long) =
+    mutate {
+      val before = files
+      val planned: Vector[Either[GraftDataFile, Seq[GraftDataFile]]] =
+        before.map { f =>
+          if (dvs.contains(f) && inScope(f)) Right(Seq(f))
+          else Left(f)
+        }
+      val mergeBins = planned.collect { case Right(fs) => fs }
+      val purgedRows = mergeBins.iterator
+        .map(fs => dvs.get(fs.head).map(_.size.toLong).getOrElse(0L)).sum
+      files = runCompaction(planned, mergeBins, Nil, Int.MaxValue)
+      pruneDvs()
+      snap("REORG") // layout-only: zero logical row changes
+      (mergeBins.length, purgedRows)
     }
 
   /** Execute a compaction plan. Durable tables with an active session
@@ -3247,13 +3300,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * (same row objects); recorded as a commit. Clustering columns must
     * be integral-valued (int/long/short/byte/date/timestamp). */
   private[sources] def zorderCompact(cols: Seq[String],
-                                     targetRows: Int): (Int, Int) =
+      targetRows: Int,
+      inScope: GraftDataFile => Boolean = _ => true): (Int, Int) =
     mutate {
       require(cols.nonEmpty, "ZORDER BY needs at least one column")
       require(targetRows > 0, "targetRows must be positive")
       val schema = tableSchema
       GraftZCurve.checkCols(schema, cols) // validate before any work
-      val before = files
+      val all = files
+      val carried = all.filterNot(inScope)
+      val before = all.filter(inScope)
       // clustering scopes: whole table (unpartitioned), or one scope
       // per partition group. Files wholly owned by a group form the
       // scope directly (metadata-only planning — the executor path can
@@ -3270,7 +3326,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
               .sortBy(_._1.map(_.mkString("|")).getOrElse(""))
               .map(_._2.toSeq)
         val planned: Vector[Either[GraftDataFile, Seq[GraftDataFile]]] =
-          scopes.map(Right(_))
+          carried.map(Left(_)) ++ scopes.map(Right(_))
         files = runCompaction(planned, scopes, cols, targetRows)
       } else {
         // row-level scope split (driver): rare spanning-file layout
@@ -3281,13 +3337,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
             .map(chunk => GraftDataFile.build(chunk, schema, keyOfOpt))
         }
         // live rows only: the re-layout purges delete vectors
-        files = before.toArray.flatMap(effRows).groupBy(boundGroupKey()).toSeq
-          .sortBy(_._1.mkString("|"))
-          .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
+        files = carried ++
+          before.toArray.flatMap(effRows).groupBy(boundGroupKey()).toSeq
+            .sortBy(_._1.mkString("|"))
+            .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
       }
       pruneDvs()
       snap("ZORDER") // layout-only: zero logical row changes
-      (before.length, files.length)
+      (all.length, files.length)
     }
 
   // ---- metadata-only DELETE ------------------------------------------
@@ -3963,9 +4020,23 @@ object GraftMaintenance {
 
   def optimize(namespace: Seq[String], table: String,
                targetRows: Int = 1 << 20,
-               scope: Option[GraftStoreState] = None): OptimizeResult = {
-    val (b, a) = resolve(namespace, table, scope).optimizeCompact(targetRows)
+               scope: Option[GraftStoreState] = None,
+               where: Option[String] = None): OptimizeResult = {
+    val t = resolve(namespace, table, scope)
+    val (b, a) = t.optimizeCompact(targetRows,
+      where.map(t.groupScope).getOrElse(_ => true))
     OptimizeResult(b, a)
+  }
+
+  /** `REORG TABLE t [WHERE pred] APPLY (PURGE)` — rewrite exactly the
+    * delete-vector-carrying files so soft-deleted rows physically leave
+    * the storage (then VACUUM reclaims the old segments). Returns
+    * (files purged, rows physically removed). */
+  def reorgPurge(namespace: Seq[String], table: String,
+                 scope: Option[GraftStoreState] = None,
+                 where: Option[String] = None): (Int, Long) = {
+    val t = resolve(namespace, table, scope)
+    t.reorgPurge(where.map(t.groupScope).getOrElse(_ => true))
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src
@@ -4091,9 +4162,11 @@ object GraftMaintenance {
     * [[GraftTable.zorderCompact]]. */
   def zorderBy(namespace: Seq[String], table: String, cols: Seq[String],
                targetRows: Int = 1 << 20,
-               scope: Option[GraftStoreState] = None): OptimizeResult = {
-    val (b, a) =
-      resolve(namespace, table, scope).zorderCompact(cols, targetRows)
+               scope: Option[GraftStoreState] = None,
+               where: Option[String] = None): OptimizeResult = {
+    val t = resolve(namespace, table, scope)
+    val (b, a) = t.zorderCompact(cols, targetRows,
+      where.map(t.groupScope).getOrElse(_ => true))
     OptimizeResult(b, a)
   }
 }

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *
   * Grammar (case-insensitive; `t` is `catalog.ns….table` or `ns.table`):
   * {{{
-  *   OPTIMIZE t [ZORDER BY (col [, col…])] [TARGET n ROWS]
+  *   OPTIMIZE t [WHERE part-pred] [ZORDER BY (col [, col…])] [TARGET n ROWS]
+  *   REORG TABLE t [WHERE part-pred] APPLY (PURGE)
   *   VACUUM t [RETAIN n SNAPSHOTS | RETAIN n HOURS] [DRY RUN]
   *   RESTORE TABLE t TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
   *   CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
@@ -52,7 +53,9 @@ class GraftSqlParser(delegate: ParserInterface,
 
 object GraftSqlParser {
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
+  private val Reorg =
+    """(?is)\s*REORG\s+TABLE\s+([\w.`]+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Restore =
@@ -176,20 +179,32 @@ object GraftSqlParser {
   def parseMaintenance(sqlText: String,
       session: Option[SparkSession] = None): Option[LogicalPlan] =
     sqlText match {
-      case Optimize(ident, zcols, target) =>
+      case Optimize(ident, where, zcols, target) =>
         split(ident).filter(claims(_, session)).map { parts =>
           val rows = Option(target).map(_.toInt).getOrElse(1 << 20)
           GraftMaintenanceCommand(
             out("files_before", "files_after"), _ => {
               val (ns, t, scope) = resolve(parts, session)
+              val w = Option(where).map(_.trim).filter(_.nonEmpty)
               val r =
                 if (zcols == null)
-                  GraftMaintenance.optimize(ns, t, rows, scope)
+                  GraftMaintenance.optimize(ns, t, rows, scope, w)
                 else GraftMaintenance.zorderBy(ns, t,
                   zcols.split(',').toSeq.map(_.trim.stripPrefix("`")
-                    .stripSuffix("`")).filter(_.nonEmpty), rows, scope)
+                    .stripSuffix("`")).filter(_.nonEmpty), rows, scope, w)
               Seq(Row(r.filesBefore, r.filesAfter))
             })
+        }
+      case Reorg(ident, where) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(outTyped(
+            ("files_purged", IntegerType),
+            ("rows_purged", org.apache.spark.sql.types.LongType)), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            val (fp, rp) = GraftMaintenance.reorgPurge(ns, t, scope,
+              Option(where).map(_.trim).filter(_.nonEmpty))
+            Seq(Row(fp, rp))
+          })
         }
       case Vacuum(ident, keep, unit, dry) =>
         split(ident).filter(claims(_, session)).map { parts =>

@@ -94,21 +94,21 @@ class GraftBloomSpec extends SparkSpec {
       "CREATE; results never change (false positives cost I/O only)") {
     spark.conf.set("spark.sql.catalog.blh", classOf[GraftCatalog].getName)
     val e1 = intercept[Exception](spark.sql(
-      "CREATE TABLE blh.ns.bad (x DOUBLE) " +
+      "CREATE TABLE blh.ns.blh_bad (x DOUBLE) " +
         "TBLPROPERTIES ('bloom.columns'='x')"))
     assert(e1.getMessage.contains("no stable equality hash") ||
       Option(e1.getCause).exists(
         _.getMessage.contains("no stable equality hash")))
     intercept[Exception](spark.sql(
-      "CREATE TABLE blh.ns.bad2 (x BIGINT) " +
+      "CREATE TABLE blh.ns.blh_bad2 (x BIGINT) " +
         "TBLPROPERTIES ('bloom.columns'='nope')"))
     // heap (in-JVM) tables build blooms through the same kernel; an
     // IN-list lookup returns exactly the matching rows
-    spark.sql("CREATE TABLE blh.ns.t (k STRING, v BIGINT) " +
+    spark.sql("CREATE TABLE blh.ns.blh_t (k STRING, v BIGINT) " +
       "TBLPROPERTIES ('bloom.columns'='k')")
     (0 until 100).map(i => (s"k$i", i.toLong)).toDF("k", "v")
-      .repartition(4).writeTo("blh.ns.t").append()
-    val got = spark.table("blh.ns.t")
+      .repartition(4).writeTo("blh.ns.blh_t").append()
+    val got = spark.table("blh.ns.blh_t")
       .filter(col("k").isin("k3", "k97", "absent"))
       .orderBy("v").as[(String, Long)].collect().toSeq
     assert(got === Seq(("k3", 3L), ("k97", 97L)))

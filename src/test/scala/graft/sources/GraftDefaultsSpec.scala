@@ -38,15 +38,15 @@ class GraftDefaultsSpec extends SparkSpec {
   test("ALTER ADD COLUMN with a DEFAULT refuses loudly (EXISTS_DEFAULT " +
       "would require reader-side backfill)") {
     spark.conf.set("spark.sql.catalog.dfh", classOf[GraftCatalog].getName)
-    spark.sql("CREATE TABLE dfh.ns.t (id BIGINT)")
-    spark.sql("INSERT INTO dfh.ns.t VALUES (1)")
+    spark.sql("CREATE TABLE dfh.ns.dfh_t (id BIGINT)")
+    spark.sql("INSERT INTO dfh.ns.dfh_t VALUES (1)")
     val e = intercept[Exception](spark.sql(
-      "ALTER TABLE dfh.ns.t ADD COLUMN s STRING DEFAULT 'x'"))
+      "ALTER TABLE dfh.ns.dfh_t ADD COLUMN s STRING DEFAULT 'x'"))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("may not carry a DEFAULT")), e)
     // a plain nullable ADD COLUMN still works
-    spark.sql("ALTER TABLE dfh.ns.t ADD COLUMN s STRING")
-    assert(spark.table("dfh.ns.t").columns.toSeq === Seq("id", "s"))
+    spark.sql("ALTER TABLE dfh.ns.dfh_t ADD COLUMN s STRING")
+    assert(spark.table("dfh.ns.dfh_t").columns.toSeq === Seq("id", "s"))
   }
 }

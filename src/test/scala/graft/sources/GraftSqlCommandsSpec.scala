@@ -107,6 +107,61 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(d === (("merge-on-read", 1, 2L, 1, 1L, "idpos: id > 0", "0..2")))
   }
 
+  test("OPTIMIZE ... WHERE scopes compaction to matching partition " +
+      "groups; non-partition references refuse loudly") {
+    val t = freshTable("t_optw")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, "a"), (i.toLong + 100, "b")).toDF("id", "p")
+        .coalesce(1).writeTo(t).append()
+    }
+    val st = store("t_optw")
+    def filesPer(p: String): Int =
+      st.filesSnapshot.count(_.groupKey.exists(_ == Seq(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p))))
+    assert(filesPer("a") === 4 && filesPer("b") === 4)
+    val r = GraftMaintenance.sql(spark, s"OPTIMIZE $t WHERE p = 'a'")
+      .as[(Int, Int)].head()
+    assert(r === ((8, 5)), s"only partition a compacts: $r")
+    assert(filesPer("a") === 1 && filesPer("b") === 4)
+    // the whole-table content is untouched
+    assert(spark.table(t).count() === 8L)
+    // ZORDER scoped the same way: partition b re-lays, a carries over
+    GraftMaintenance.sql(spark,
+      s"OPTIMIZE $t WHERE p = 'b' ZORDER BY (id)").collect()
+    assert(filesPer("a") === 1 && filesPer("b") === 1)
+    // a non-partition reference is refused at the partition schema
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      s"OPTIMIZE $t WHERE id > 2").collect())
+    assert(e.getMessage.contains("no such column"), e.getMessage)
+  }
+
+  test("REORG TABLE ... APPLY (PURGE) rewrites exactly the DV-carrying " +
+      "files; soft-deleted rows physically leave the segments") {
+    val t = freshTable("t_reorg")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    (0 until 3).foreach { i =>
+      (0 until 10).map(j => ((i * 10 + j).toLong, s"v$j")).toDF("id", "v")
+        .coalesce(1).writeTo(t).append()
+    }
+    spark.sql(s"DELETE FROM $t WHERE id IN (3, 4, 17)") // DVs in 2 files
+    val st = store("t_reorg")
+    assert(st.filesSnapshot.length === 3)
+    val (purged, rows) = GraftMaintenance.sql(spark,
+      s"REORG TABLE $t APPLY (PURGE)").as[(Int, Long)].head()
+    assert(purged === 2 && rows === 3L, s"($purged, $rows)")
+    // DVs are gone, content identical, untouched file carried over
+    val d = spark.table(s"graft_cat.ns.`t_reorg$$detail`")
+      .select("num_files", "num_rows", "num_dv_files")
+      .as[(Int, Long, Int)].head()
+    assert(d === ((3, 27L, 0)))
+    assert(spark.table(t).count() === 27L)
+    // idempotent: nothing left to purge
+    assert(GraftMaintenance.sql(spark, s"REORG TABLE $t APPLY (PURGE)")
+      .as[(Int, Long)].head() === ((0, 0L)))
+  }
+
   test("DESCRIBE HISTORY / DESCRIBE DETAIL statements rewrite onto the " +
       "$history / $detail meta relations") {
     val t = freshTable("t_desc")

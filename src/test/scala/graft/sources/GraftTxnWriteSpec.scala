@@ -101,18 +101,18 @@ class GraftTxnWriteSpec extends SparkSpec {
     // heap catalog: no warehouse — the ledger is in-memory only, but a
     // retry inside one process still converges
     spark.conf.set("spark.sql.catalog.txh", classOf[GraftCatalog].getName)
-    spark.sql("CREATE TABLE txh.ns.t (id BIGINT)")
-    put("txh.ns.t", "a", 1, 1L)
-    put("txh.ns.t", "a", 1, 1L)
-    assert(spark.table("txh.ns.t").count() === 1L)
+    spark.sql("CREATE TABLE txh.ns.txh_t (id BIGINT)")
+    put("txh.ns.txh_t", "a", 1, 1L)
+    put("txh.ns.txh_t", "a", 1, 1L)
+    assert(spark.table("txh.ns.txh_t").count() === 1L)
     // idempotent INSERT OVERWRITE: the second truncate-write is skipped
-    Seq(7L, 8L).toDF("id").writeTo("txh.ns.t")
+    Seq(7L, 8L).toDF("id").writeTo("txh.ns.txh_t")
       .option("txnAppId", "a").option("txnVersion", "2")
       .overwritePartitions()
-    Seq(9L).toDF("id").writeTo("txh.ns.t")
+    Seq(9L).toDF("id").writeTo("txh.ns.txh_t")
       .option("txnAppId", "a").option("txnVersion", "2")
       .overwritePartitions() // replayed overwrite: skipped
-    assert(spark.table("txh.ns.t").orderBy("id").as[Long].collect().toSeq
+    assert(spark.table("txh.ns.txh_t").orderBy("id").as[Long].collect().toSeq
       === Seq(7L, 8L))
   }
 }
