@@ -153,8 +153,14 @@ class GraftRandomSoakSpec extends SparkSpec {
                  |  VALUES (s.id, s.v)""".stripMargin)
             (hit ++ fresh).foreach(id => model(id) = (s"m$gen-$id", None))
           }
-        } else if (op < 72) { // OPTIMIZE: state-preserving rewrite
-          GraftMaintenance.sql(spark, s"OPTIMIZE $cat.ns.t_$tag").collect()
+        } else if (op < 72) { // state-preserving rewrite: OPTIMIZE, or
+          // REORG PURGE (r13 — physically drops DV'd rows, MOR's GDPR
+          // path; a no-op census on DV-less tables)
+          if (rnd.nextInt(3) == 0)
+            GraftMaintenance.sql(spark,
+              s"REORG TABLE $cat.ns.t_$tag APPLY (PURGE)").collect()
+          else
+            GraftMaintenance.sql(spark, s"OPTIMIZE $cat.ns.t_$tag").collect()
         } else if (op < 80) { // VACUUM: anchor + reclaim, state intact
           val keep = 2 + rnd.nextInt(4)
           GraftMaintenance.sql(spark,
