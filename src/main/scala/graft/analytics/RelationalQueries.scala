@@ -2150,6 +2150,44 @@ object RelationalQueries {
       s.table(s"$r.ns.t").orderBy("rk")
     },
 
+    // ----- ANALYZE TABLE column statistics: one distributed HLL+length
+    // aggregation pass, persisted in the log, served to CBO via the
+    // scan's columnStats(). The oracle checks the EXACT components
+    // (null counts, max lengths) — ndv is approximate by design (HLL)
+    // and pinned within tolerance in GraftAnalyzeSpec instead.
+    Q("s55_analyze_stats", "DDL-analyze,A5,F-length",
+      """SELECT * FROM (
+        |  SELECT 'lang' AS col_name,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_count,
+        |    CAST(COALESCE(max(length(lang)), 0) AS BIGINT) AS max_len
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source',
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(max(length(source)), 0) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text',
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(max(length(text)), 0) AS BIGINT)
+        |  FROM documents)
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s55").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gaw_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      Tables.documents(s, dir).select("lang", "source", "text")
+        .writeTo(s"$w.ns.docs").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ANALYZE TABLE $w.ns.docs COMPUTE STATISTICS FOR ALL COLUMNS")
+        .select(col("column").as("col_name"), col("null_count"),
+          col("max_len"))
+        .orderBy("col_name")
+    },
+
     // ----- Bloom-filter data skipping (Delta's bloom index): point
     // lookups on a high-cardinality UNCLUSTERED key, where zone maps
     // are useless — every file's min/max envelope spans the whole key

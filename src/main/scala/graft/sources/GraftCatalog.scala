@@ -1520,6 +1520,21 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** Test/inspection hook: the current file census (immutable). */
   private[sources] def filesSnapshot: Vector[GraftDataFile] = files
 
+  /** ANALYZE TABLE's column statistics: per column [ndv, nullCount,
+    * avgLen, maxLen] — served to Catalyst's CBO through the scan's
+    * `Statistics.columnStats()` and persisted in every log entry (like
+    * the checks/epoch state), so restarts and foreign readers plan with
+    * the same inputs. A snapshot as of the ANALYZE: later writes leave
+    * it stale until the next ANALYZE, the standard CBO convention. */
+  @volatile private var colStats: Map[String, Array[Long]] = Map.empty
+  private[sources] def columnStatsSnapshot: Map[String, Array[Long]] =
+    colStats
+  private[sources] def setColStats(m: Map[String, Array[Long]]): Unit =
+    mutate {
+      colStats = m
+      snap("ANALYZE") // stats change, zero logical row changes
+    }
+
   /** DELETE VECTORS (merge-on-read): per data file, the positions a MOR
     * row-level operation has deleted WITHOUT rewriting the file — the
     * Delta/Iceberg-v2 deletion-vector mechanism: at 100 TB, deleting a
@@ -1770,6 +1785,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (tableSchema != e.schema) tableSchema = e.schema
     nextFieldId = math.max(nextFieldId, dec.nextFieldId)
     restoreEpochs(dec.epochs)
+    // wholesale: every writer embeds its CURRENT stats in every entry,
+    // so the fold's last word is the table's latest ANALYZE
+    colStats = dec.colStats
     checks = dec.checksText.map { case (nm, txt) =>
       nm -> GraftConstraints.compile(txt, e.schema)
     }
@@ -1837,13 +1855,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     e.removed.foreach(persist(_, "cdc"))
     val checksTxt = checks.map { case (k, c) => k -> c.text }
     def full: String = GraftLogCodec.encodeEntry(e, partitionCols,
-      bucketSpec, d.log.dir, checksTxt, nextFieldId, epochLedger)
+      bucketSpec, d.log.dir, checksTxt, nextFieldId, epochLedger,
+      colStats = colStats)
     // DELTA entry when the commit decomposes against the previous state
     // (snap() just appended `e`, so the pre-commit census sits one back)
     // — a 1-row append to an N-file table writes O(1) JSON, not O(N)
     val json = GraftLogCodec.encodeDelta(e, history(history.length - 2),
       partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
-      epochLedger).getOrElse(full)
+      epochLedger, colStats).getOrElse(full)
     if (!d.log.writeEntry(e.version, json))
       throw new java.util.ConcurrentModificationException(
         s"$tableName: commit ${e.version} already exists in the log — " +
@@ -1856,7 +1875,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (e.version > 0 && e.version % GraftTable.checkpointInterval == 0) {
       val (manifest, parts) = GraftLogCodec.encodeCheckpoint(e,
         partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
-        epochLedger, GraftTable.checkpointPartFiles, checkpointLayout)
+        epochLedger, GraftTable.checkpointPartFiles, checkpointLayout,
+        colStats)
       d.log.installCheckpoint(e.version, manifest, parts)
       d.addAnchor(e.version)
     }
@@ -1916,7 +1936,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         if (everReplaced) Some((pcH, bsH, rowLevelMode)) else None
       val (manifest, parts) = GraftLogCodec.encodeCheckpoint(h,
         pcH, bsH, d.log.dir, checksTxt, nextFieldId,
-        epochLedger, GraftTable.checkpointPartFiles, ckptLayout)
+        epochLedger, GraftTable.checkpointPartFiles, ckptLayout,
+        colStats)
       d.log.installCheckpoint(base, manifest, parts)
       d.addAnchor(base)
       floor = base
@@ -2255,6 +2276,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     everReplaced = true
     durable = d
     restoreEpochs(epochs)
+    // stats describe the PREDECESSOR's columns (disjoint field ids) —
+    // the replacement starts unanalyzed
+    colStats = Map.empty
     changesCache = None
     readState = (files, dvs)
     this
@@ -4028,6 +4052,20 @@ object GraftMaintenance {
     OptimizeResult(b, a)
   }
 
+  /** Current schema of a resolved table (ANALYZE's validation). */
+  def schemaOf(namespace: Seq[String], table: String,
+               scope: Option[GraftStoreState] = None): StructType =
+    resolve(namespace, table, scope).schema()
+
+  /** Merge-install ANALYZE's column statistics (FOR COLUMNS re-analyzes
+    * the named columns, keeps the rest) as one log-persisted commit. */
+  def setColumnStats(namespace: Seq[String], table: String,
+                     stats: Map[String, Array[Long]],
+                     scope: Option[GraftStoreState] = None): Unit = {
+    val t = resolve(namespace, table, scope)
+    t.setColStats(t.columnStatsSnapshot ++ stats)
+  }
+
   /** `REORG TABLE t [WHERE pred] APPLY (PURGE)` — rewrite exactly the
     * delete-vector-carrying files so soft-deleted rows physically leave
     * the storage (then VACUUM reclaims the old segments). Returns
@@ -4836,7 +4874,8 @@ class GraftScanBuilder(tableSchema: StructType,
           bloomsByName(f))
       }.toArray
       new GraftScan(outSchema, chunks, bytes, census,
-        pushed.map(_.toString).toSeq, spjCols, mb, spjBucket, guard)
+        pushed.map(_.toString).toSeq, spjCols, mb, spjBucket, guard,
+        streamSource.map(_.columnStatsSnapshot).getOrElse(Map.empty))
     } else {
       // live rows of one file (delete vector applied; no-op on COW)
       def live(f: GraftDataFile): Array[InternalRow] =
@@ -4879,7 +4918,7 @@ class GraftScanBuilder(tableSchema: StructType,
       new GraftScan(if (identityProj) tableSchema else required,
         surviving.map { case (f, _) => chunkOf(f) }.toArray,
         bytes, census, pushed.map(_.toString).toSeq, spjCols, mb, spjBucket,
-        guard)
+        guard, streamSource.map(_.columnStatsSnapshot).getOrElse(Map.empty))
     }
   }
 }
@@ -5201,7 +5240,8 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                   () => org.apache.spark.sql.connector.read.streaming
                     .MicroBatchStream] = None,
                 bucketSpec: Option[(Int, String)] = None,
-                batchGuard: () => Unit = () => ())
+                batchGuard: () => Unit = () => (),
+                colStats: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -5304,6 +5344,37 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
       util.OptionalLong.of(sizeBytes)
     override def numRows(): util.OptionalLong =
       util.OptionalLong.of(totalRows)
+    // ANALYZE TABLE's per-column stats (ndv / nulls / lengths), mapped
+    // into Catalyst ColumnStat by DataSourceV2Relation.transformV2Stats
+    // — what CBO's join-cardinality and filter-selectivity estimation
+    // read. Snapshot-stale by convention; only output columns report.
+    override def columnStats(): util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      schema.fields.foreach { f =>
+        colStats.get(f.name).foreach { vs =>
+          val Array(vNdv, vNulls, vAvgLen, vMaxLen) = vs
+          m.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): util.OptionalLong =
+                util.OptionalLong.of(vNdv)
+              override def nullCount(): util.OptionalLong =
+                util.OptionalLong.of(vNulls)
+              override def avgLen(): util.OptionalLong =
+                util.OptionalLong.of(vAvgLen)
+              override def maxLen(): util.OptionalLong =
+                util.OptionalLong.of(vMaxLen)
+            })
+        }
+      }
+      m
+    }
   }
 
   override def description(): String =

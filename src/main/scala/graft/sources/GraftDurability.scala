@@ -734,17 +734,30 @@ private[sources] object GraftLogCodec {
       o("rowLevelMode").asInstanceOf[JString].s)
   }
 
+  /** Table-level COLUMN STATISTICS (ANALYZE TABLE's output: per column
+    * [ndv, nullCount, avgLen, maxLen]) as an optional entry field —
+    * O(columns) bytes riding every entry like the checks/epochs state,
+    * so a restart (or a foreign reader) serves the same CBO inputs. */
+  private def colStatsJson(colStats: Map[String, Array[Long]])
+      : List[(String, JValue)] =
+    if (colStats.isEmpty) Nil
+    else List("colstats" -> JArray(
+      colStats.toList.sortBy(_._1).map { case (c, vs) =>
+        JArray(JString(c) :: vs.toList.map(JLong(_))): JValue
+      }))
+
   /** Serialize one commit entry (plus the table's current constraint
     * texts and field-id counter — restart state the entry carries). */
   def encodeEntry(e: CommitEntry, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
       epochs: Map[String, Long] = Map.empty,
-      layout: Option[Layout] = None): String = {
+      layout: Option[Layout] = None,
+      colStats: Map[String, Array[Long]] = Map.empty): String = {
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     fullEntryJson(e, kts, dir, checksText, nextFieldId, epochs,
       "files" -> JArray(e.files.toList.map(encodeFile(_, e.schema, kts, dir))),
-      layout)
+      layout, colStats)
   }
 
   /** Column layout of one PARQUET checkpoint part — Delta's checkpoint
@@ -774,11 +787,12 @@ private[sources] object GraftLogCodec {
       bucketSpec: Option[(Int, String)], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
       epochs: Map[String, Long], partFiles: Int,
-      layout: Option[Layout] = None)
+      layout: Option[Layout] = None,
+      colStats: Map[String, Array[Long]] = Map.empty)
       : (String, Seq[Array[Byte]]) = {
     if (partFiles <= 0 || e.files.length <= partFiles)
       return (encodeEntry(e, partitionCols, bucketSpec, dir, checksText,
-        nextFieldId, epochs, layout), Nil)
+        nextFieldId, epochs, layout, colStats), Nil)
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     val parts = e.files.grouped(partFiles).map { slice =>
       val rows = slice.map { f =>
@@ -798,7 +812,7 @@ private[sources] object GraftLogCodec {
       } finally Files.deleteIfExists(tmp)
     }.toVector
     val manifest = fullEntryJson(e, kts, dir, checksText, nextFieldId,
-      epochs, "fparts" -> JLong(parts.length.toLong), layout)
+      epochs, "fparts" -> JLong(parts.length.toLong), layout, colStats)
     (manifest, parts)
   }
 
@@ -808,7 +822,8 @@ private[sources] object GraftLogCodec {
   private def fullEntryJson(e: CommitEntry, kts: Seq[DataType], dir: Path,
       checksText: Map[String, String], nextFieldId: Long,
       epochs: Map[String, Long], filesField: (String, JValue),
-      layout: Option[Layout] = None): String = {
+      layout: Option[Layout] = None,
+      colStats: Map[String, Array[Long]] = Map.empty): String = {
     val dvsJ = e.dvs.toList.map { case (f, bs) =>
       JArray(List(JString(refOf(f, dir)),
         JArray(bs.toList.map(p => JLong(p.toLong)))))
@@ -834,7 +849,7 @@ private[sources] object GraftLogCodec {
       // restarted process must recognize an already-committed epoch
       "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
         JArray(List(JString(q), JLong(ep)))
-      })))
+      })) ++ colStatsJson(colStats))
     JsonMethods.compact(JsonMethods.render(json))
   }
 
@@ -850,7 +865,8 @@ private[sources] object GraftLogCodec {
   def encodeDelta(e: CommitEntry, prev: CommitEntry,
       partitionCols: Seq[String], bucketSpec: Option[(Int, String)],
       dir: Path, checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long]): Option[String] = {
+      epochs: Map[String, Long],
+      colStats: Map[String, Array[Long]] = Map.empty): Option[String] = {
     val kts = keyTypes(e.schema, partitionCols, bucketSpec)
     val inNew = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
@@ -899,7 +915,7 @@ private[sources] object GraftLogCodec {
       JArray(List(JString(refOf(f, dir)),
         JArray(bs.toList.map(p => JLong(p.toLong)))))
     }
-    val json = JObject(
+    val json = JObject(List[(String, JValue)](
       "version" -> JLong(e.version.toLong),
       "ts" -> JLong(e.tsMicros),
       "op" -> JString(e.operation),
@@ -917,7 +933,7 @@ private[sources] object GraftLogCodec {
       }),
       "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
         JArray(List(JString(q), JLong(ep)))
-      }))
+      })) ++ colStatsJson(colStats))
     Some(JsonMethods.compact(JsonMethods.render(json)))
   }
 
@@ -926,7 +942,8 @@ private[sources] object GraftLogCodec {
     * and post-replace checkpoints carry one) the entry carried. */
   final case class DecodedEntry(entry: CommitEntry,
       checksText: Map[String, String], nextFieldId: Long,
-      epochs: Map[String, Long], layout: Option[Layout] = None)
+      epochs: Map[String, Long], layout: Option[Layout] = None,
+      colStats: Map[String, Array[Long]] = Map.empty)
 
   /** Decode one log entry. FULL entries (a `files` census — v0,
     * checkpoints, fallbacks) decode standalone; DELTA entries require
@@ -1058,11 +1075,15 @@ private[sources] object GraftLogCodec {
       case JArray(List(JString(q), ep)) => q -> num(ep).toLong
       case other => throw new IllegalStateException(s"bad epoch: $other")
     }.toMap).getOrElse(Map.empty[String, Long])
+    val colStats = o.get("colstats").map(_.asInstanceOf[JArray].arr.map {
+      case JArray(JString(c) :: vals) => c -> vals.map(num(_).toLong).toArray
+      case other => throw new IllegalStateException(s"bad colstat: $other")
+    }.toMap).getOrElse(Map.empty[String, Array[Long]])
     DecodedEntry(
       CommitEntry(num(o("version")).toInt, schema, files,
         num(o("ts")).toLong, o("op").asInstanceOf[JString].s,
         added, removed, dvs),
-      checks, num(o("nextFieldId")).toLong, epochs, layoutOpt)
+      checks, num(o("nextFieldId")).toLong, epochs, layoutOpt, colStats)
   }
 
   // ---- table.json -----------------------------------------------------

@@ -62,6 +62,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w,`\s]+?)|\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
   private val DescribeDetail =
@@ -285,6 +287,70 @@ object GraftSqlParser {
               }))
           case _ => None
         }
+      // ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …|FOR ALL
+      // COLUMNS]: ONE distributed aggregation pass over the table
+      // (HLL ndv + null counts + string lengths, all map-side-combined
+      // — never a per-column scan), persisted into the commit log and
+      // served to Catalyst's CBO through the scan's columnStats().
+      // Spark refuses ANALYZE on v2 tables; this parser owns it for
+      // graft catalogs.
+      case Analyze(ident, colsTxt) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(outTyped(
+            ("column", org.apache.spark.sql.types.StringType),
+            ("ndv", org.apache.spark.sql.types.LongType),
+            ("null_count", org.apache.spark.sql.types.LongType),
+            ("avg_len", org.apache.spark.sql.types.LongType),
+            ("max_len", org.apache.spark.sql.types.LongType)), sp => {
+            import org.apache.spark.sql.functions._
+            val (ns, t, scope) = resolve(parts, session)
+            val schema = GraftMaintenance.schemaOf(ns, t, scope)
+            val targets: Seq[String] = Option(colsTxt) match {
+              case None => schema.fieldNames.toSeq
+              case Some(txt) =>
+                val names = txt.split(',').map(_.trim.stripPrefix("`")
+                  .stripSuffix("`")).filter(_.nonEmpty).toSeq
+                names.foreach { c =>
+                  if (!schema.fieldNames.contains(c))
+                    throw new IllegalArgumentException(
+                      s"ANALYZE: no such column $c")
+                }
+                names
+            }
+            val df = sp.table(parts.map(p => s"`$p`").mkString("."))
+            val aggs = targets.flatMap { c =>
+              val isStr = schema.fields(schema.fieldIndex(c)).dataType ==
+                org.apache.spark.sql.types.StringType
+              Seq(
+                approx_count_distinct(col(c)).as(s"__ndv_$c"),
+                sum(when(col(c).isNull, 1L).otherwise(0L))
+                  .as(s"__nul_$c")) ++
+                (if (isStr) Seq(
+                  ceil(coalesce(avg(length(col(c))), lit(0.0)))
+                    .cast("long").as(s"__avg_$c"),
+                  coalesce(max(length(col(c))), lit(0))
+                    .cast("long").as(s"__max_$c"))
+                 else Nil)
+            }
+            val r = df.agg(aggs.head, aggs.tail: _*).head()
+            val stats = targets.map { c =>
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              val ndv = r.getAs[Long](s"__ndv_$c")
+              val nul = r.getAs[Long](s"__nul_$c")
+              val (al, ml) =
+                if (dt == org.apache.spark.sql.types.StringType)
+                  (r.getAs[Long](s"__avg_$c"), r.getAs[Long](s"__max_$c"))
+                else (dt.defaultSize.toLong, dt.defaultSize.toLong)
+              c -> Array(ndv, nul, al, ml)
+            }.toMap
+            // FOR COLUMNS merges over prior stats; the commit persists
+            GraftMaintenance.setColumnStats(ns, t, stats, scope)
+            stats.toSeq.sortBy(_._1).map { case (c, vs) =>
+              Row(c, vs(0), vs(1), vs(2), vs(3))
+            }
+          })
+        }
+
       // Delta's introspection statements, served as REWRITES onto the
       // `$history` / `$detail` meta tables (already ordinary relations
       // with zone-mapped files): the statement stays fully declarative —

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** ANALYZE TABLE … COMPUTE STATISTICS: one distributed aggregation pass
+  * (HLL ndv + null counts + string lengths), persisted in the commit
+  * log, served to Catalyst's CBO through the scan's columnStats(). */
+class GraftAnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ANALYZE computes ndv/nulls/lengths, feeds CBO attributeStats, " +
+      "and survives restart; REPLACE clears the stale stats") {
+    val wh = tmpDir("graft-anl")
+    spark.conf.set("spark.sql.catalog.anl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.anl.warehouse", wh)
+    spark.sql("CREATE TABLE anl.ns.t (id BIGINT, grp STRING, note STRING)")
+    (0 until 400).map(i =>
+        (i.toLong, s"g${i % 7}", if (i % 5 == 0) null else s"note-$i"))
+      .toDF("id", "grp", "note").writeTo("anl.ns.t").append()
+
+    val out = GraftMaintenance.sql(spark,
+      "ANALYZE TABLE anl.ns.t COMPUTE STATISTICS FOR ALL COLUMNS")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("grp")._2 === 7L, s"grp ndv: ${out("grp")}")
+    assert(out("note")._3 === 80L, s"note nulls: ${out("note")}")
+    assert(math.abs(out("id")._2 - 400L) <= 20L, s"id ndv: ${out("id")}")
+    assert(out("note")._5 >= 8L, "note max_len covers 'note-399'")
+
+    // CBO reads them: the optimized plan's attributeStats carries the
+    // per-column distinct counts the estimator uses
+    val saved = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("anl.ns.t")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.attributeStats.nonEmpty,
+        "DSv2 columnStats must reach the catalyst plan stats")
+      val grpStat = stats.attributeStats.find(_._1.name == "grp").map(_._2)
+      assert(grpStat.exists(_.distinctCount.contains(BigInt(7))),
+        s"grp stat: $grpStat")
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
+
+    // restart: the stats rode the log
+    spark.conf.set("spark.sql.catalog.anr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.anr.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.anr.warehouse.isolated", "true")
+    val rt = spark.sessionState.catalogManager.catalog("anr")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "t"))
+    assert(rt.columnStatsSnapshot.get("grp").map(_(0)) === Some(7L))
+
+    // FOR COLUMNS merges: re-analyzing one column keeps the others
+    GraftMaintenance.sql(spark,
+      "ANALYZE TABLE anl.ns.t COMPUTE STATISTICS FOR COLUMNS id").collect()
+    val t = spark.sessionState.catalogManager.catalog("anl")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "t"))
+    assert(t.columnStatsSnapshot.contains("grp") &&
+      t.columnStatsSnapshot.contains("id"))
+
+    // REPLACE: the successor's columns share nothing with the stats —
+    // they clear rather than mis-describe
+    spark.sql("CREATE OR REPLACE TABLE anl.ns.t AS SELECT 1 AS x")
+    assert(t.columnStatsSnapshot.isEmpty ||
+      spark.sessionState.catalogManager.catalog("anl")
+        .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "t"))
+        .columnStatsSnapshot.isEmpty)
+
+    // unknown column refuses
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "ANALYZE TABLE anl.ns.t COMPUTE STATISTICS FOR COLUMNS nope")
+      .collect())
+    assert(e.getMessage.contains("no such column"), e.getMessage)
+  }
+}
