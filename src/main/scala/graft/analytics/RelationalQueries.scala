@@ -2150,6 +2150,41 @@ object RelationalQueries {
       s.table(s"$r.ns.t").orderBy("rk")
     },
 
+    // ----- identity + generated columns (Delta's GENERATED ALWAYS
+    // surface): values mint INSIDE the writer tasks — identity off a
+    // log-persisted high-water block, generated from the row via the
+    // bounded expression dialect. A single-partition ordered insert
+    // makes the identity sequence deterministic (1..N in row order), so
+    // the oracle can state it as row_number(); multi-task inserts mint
+    // unique gap-ful blocks instead (GraftGeneratedSpec pins those).
+    Q("s56_identity_generated", "DDL-identity,DDL-generated,S4",
+      """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT)
+        |    AS id,
+        |  CAST(n_nationkey AS BIGINT) AS rk,
+        |  CAST(n_nationkey * 2 + 1 AS BIGINT) AS twice
+        |FROM nation ORDER BY id""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s56").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"giw_$tag"
+      val r = s"gir_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      s.sql(s"CREATE TABLE $w.ns.t (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY, rk BIGINT, twice BIGINT GENERATED ALWAYS AS " +
+        "(rk * 2 + 1))")
+      Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("rk"))
+        .orderBy("rk").coalesce(1)
+        .createOrReplaceTempView(s"nat_id_$tag")
+      s.sql(s"INSERT INTO $w.ns.t (rk) SELECT rk FROM nat_id_$tag")
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.t").orderBy("id")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

@@ -71,8 +71,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** Backing universe: the in-JVM global store by default; a durable
     * warehouse store when initialized with a `warehouse` option
@@ -372,6 +377,47 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new TableAlreadyExistsException(ident)
     }
     t
+  }
+
+  /** The Column[]-based CREATE (the shape that carries IDENTITY specs
+    * and GENERATED ALWAYS AS expressions — the StructType fallback
+    * conversion silently drops both): preserve them as field metadata,
+    * validated now (a bad generation expression fails the CREATE), then
+    * delegate. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val schema = GraftFill.schemaFromColumns(columns)
+    GraftFill.generatedCols(schema) // compile now: CREATE fails loudly
+    createTable(ident, schema, partitions, properties)
+  }
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = GraftFill.schemaFromColumns(columns)
+    GraftFill.generatedCols(schema)
+    stageCreate(ident, schema, partitions, properties)
+  }
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = GraftFill.schemaFromColumns(columns)
+    GraftFill.generatedCols(schema)
+    stageReplace(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = GraftFill.schemaFromColumns(columns)
+    GraftFill.generatedCols(schema)
+    stageCreateOrReplace(ident, schema, partitions, properties)
   }
 
   // ---- StagingTableCatalog: ATOMIC CTAS / REPLACE TABLE ---------------
@@ -3486,6 +3532,45 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   private[sources] def epochLedger: Map[String, Long] = streamEpochs.toMap
 
+  /** Commit step of an identity-filling write: INSIDE the lease (so a
+    * foreign commit is synced first), verify no concurrent writer
+    * claimed the value blocks this write's tasks minted from, then
+    * publish the advanced high-waters so they ride this commit's log
+    * entry — Delta's optimistic identity allocation: the loser of a
+    * racing pair aborts with the standard retry contract instead of
+    * silently duplicating ids. */
+  private[sources] def installIdentityReserved(fs: GraftFillSpec,
+      ds: Array[GraftDelivery],
+      install: Array[GraftDelivery] => Unit): Unit = mutate {
+    fs.identities.zip(fs.identityBases).foreach { case (id, b) =>
+      val key = GraftFill.IdentityLedgerPrefix + id.name
+      if (streamEpochs.get(key).exists(_ > b)) {
+        discardDeliveriesD(ds)
+        throw new java.util.ConcurrentModificationException(
+          s"$tableName: identity values for ${id.name} were claimed by " +
+            "a concurrent writer between plan and commit; retry the " +
+            "statement")
+      }
+    }
+    val prev = fs.identities.map { id =>
+      val k = GraftFill.IdentityLedgerPrefix + id.name
+      k -> streamEpochs.get(k)
+    }
+    fs.identities.zip(fs.identityBases).foreach { case (id, b) =>
+      streamEpochs.put(GraftFill.IdentityLedgerPrefix + id.name,
+        b + GraftFill.BlockUnits)
+    }
+    try install(ds)
+    catch {
+      case t: Throwable =>
+        prev.foreach {
+          case (k, Some(v)) => streamEpochs.put(k, v)
+          case (k, None) => streamEpochs.remove(k)
+        }
+        throw t
+    }
+  }
+
   /** Latest committed `txnVersion` for a batch writer app (−1 when the
     * app never committed here) — what a restarted writer consults to
     * resume exactly after its last applied transaction, Delta's
@@ -3615,6 +3700,30 @@ class GraftTable(initialName: String, initialSchema: StructType,
             v, ds, base)
       }
 
+      /** Identity/generated-column fill recipe for THIS write (None on
+        * tables without either): identity value blocks reserve off the
+        * persisted high-water ledger at build time; the commit verifies
+        * the reservation still holds (see [[installIdentityReserved]]). */
+      private lazy val fillSpec: Option[GraftFillSpec] = {
+        val ids = GraftFill.identityCols(tableSchema)
+        val gens = GraftFill.generatedCols(tableSchema)
+        if (ids.isEmpty && gens.isEmpty) None
+        else {
+          refreshIfStale() // reserve off the latest foreign high-water
+          val bases = ids.map { id =>
+            math.max(id.start, epochLedger.getOrElse(
+              GraftFill.IdentityLedgerPrefix + id.name, id.start))
+          }
+          Some(GraftFillSpec(tableSchema.json, ids, bases, gens))
+        }
+      }
+      private def withIdentity(base: Array[GraftDelivery] => Unit)
+          : Array[GraftDelivery] => Unit = fillSpec match {
+        case Some(fs) if fs.identities.nonEmpty =>
+          ds => installIdentityReserved(fs, ds, base)
+        case _ => base
+      }
+
       override def truncate(): WriteBuilder = { install = installReplace; this }
 
       override def canOverwrite(filters: Array[Predicate]): Boolean =
@@ -3646,12 +3755,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
 
       override def build(): Write = new GraftWrite(clusterTransforms,
-        () => new GraftBatchWrite(GraftTable.this, withTxn(install)),
+        () => new GraftBatchWrite(GraftTable.this,
+          withIdentity(withTxn(install)), fillSpec),
         // streaming sink (writeStream.toTable): same install modes —
         // append per epoch, or replace per epoch under Complete output
         // (Spark calls truncate() once at build time for that mode)
-        Some(() => new GraftStreamingWrite(GraftTable.this,
-          info.queryId(), install)))
+        Some(() => {
+          // per-epoch tasks restart partition ids at 0 — one reserved
+          // block cannot keep epochs disjoint; refuse rather than mint
+          // duplicate identity values
+          if (fillSpec.exists(_.identities.nonEmpty))
+            throw new UnsupportedOperationException(
+              s"$tableName: streaming writes into identity-column " +
+                "tables are not supported — identity blocks are " +
+                "reserved per batch write")
+          new GraftStreamingWrite(GraftTable.this,
+            info.queryId(), install, fillSpec)
+        }))
     }
 
   // ---- MOR delta commit (SupportsDelta write path) -------------------
@@ -3926,11 +4046,12 @@ class GraftWrite(clusterExprs: Array[
   * epoch ledger so a post-commit failure's replayed batch lands exactly
   * once. */
 class GraftStreamingWrite(table: GraftTable, queryId: String,
-                          install: Array[GraftDelivery] => Unit)
+                          install: Array[GraftDelivery] => Unit,
+                          fill: Option[GraftFillSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(table.durableWriteSpec())
+    GraftStreamingWriterFactory(table.durableWriteSpec(), fill)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit =
@@ -3947,12 +4068,13 @@ class GraftStreamingWrite(table: GraftTable, queryId: String,
   * durable table the epoch id joins the segment name so every epoch's
   * files stay disjoint. */
 case class GraftStreamingWriterFactory(
-    durableSpec: Option[GraftDurableWriteSpec] = None)
+    durableSpec: Option[GraftDurableWriteSpec] = None,
+    fill: Option[GraftFillSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    GraftWriterFactory(None, durableSpec)
+    GraftWriterFactory(None, durableSpec, fill)
       .createWriter(partitionId, taskId, epochId)
 }
 
@@ -5812,10 +5934,11 @@ case class GraftKeyedInputPartition(rows: Array[InternalRow],
   * factory is a standalone serializable value; the table stays
   * driver-side. */
 class GraftBatchWrite(table: GraftTable,
-                      install: Array[GraftDelivery] => Unit)
+                      install: Array[GraftDelivery] => Unit,
+                      fill: Option[GraftFillSpec] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(None, table.durableWriteSpec())
+    GraftWriterFactory(None, table.durableWriteSpec(), fill)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     install(table.adoptDeliveries(messages))
@@ -5855,7 +5978,8 @@ class GraftRowLevelBatchWrite(table: GraftTable, schema: StructType,
   * arrives un-prefixed (numFields == schema size) passes through
   * unchanged, guarding against rewrite-rule variants that pre-project. */
 case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
-                              durableSpec: Option[GraftDurableWriteSpec] = None)
+                              durableSpec: Option[GraftDurableWriteSpec] = None,
+                              fill: Option[GraftFillSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId, epochId = -1L)
@@ -5866,11 +5990,15 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
       // durable table: the task writes its own segments; rows never
       // ride a commit message
       new GraftSegmentDataWriter(spec, opPrefixedSchema.isDefined,
-        partitionId, taskId, epochId)
+        partitionId, taskId, epochId,
+        // fill only on PLAIN writes — row-level rewrites carry
+        // already-generated values through untouched
+        if (opPrefixedSchema.isEmpty) fill else None)
     case None => new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       import org.apache.spark.sql.catalyst.util.RowDeltaUtils
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      private var filled = 0L
       private lazy val stripOp = UnsafeProjection.create(
         opPrefixedSchema.get.fields.zipWithIndex.map { case (f, i) =>
           BoundReference(i + 1, f.dataType, f.nullable)
@@ -5881,7 +6009,14 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
           if (op == RowDeltaUtils.WRITE_OPERATION ||
             op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
             buf += stripOp(record).copy()
-        case _ => buf += record.copy()
+        case Some(_) => buf += record.copy()
+        case None => fill match {
+          case Some(fs) =>
+            val out = fs.fill(record, partitionId, filled)
+            filled += 1
+            buf += (if (out eq record) record.copy() else out)
+          case None => buf += record.copy()
+        }
       }
       override def commit(): WriterCommitMessage = GraftRowsMessage(buf.toArray)
       override def abort(): Unit = buf.clear()

@@ -65,6 +65,17 @@ private[sources] object GraftConstraints {
   /** Compile `text` against `schema`; throws IllegalArgumentException on
     * anything the checker cannot enforce exactly. */
   def compile(text: String, schema: StructType): Check = {
+    val c = compileExpr(text, schema)
+    if (c.expr.dataType != BooleanType)
+      throw new IllegalArgumentException(
+        s"constraint '$text': must be boolean, is ${c.expr.dataType}")
+    c
+  }
+
+  /** [[compile]] without the boolean requirement — the shared bounded
+    * dialect for VALUE expressions (generated columns, partition-scope
+    * predicates compile through [[compile]] and stay boolean). */
+  def compileExpr(text: String, schema: StructType): Check = {
     val parsed =
       try SparkSession.active.sessionState.sqlParser.parseExpression(text)
       catch {
@@ -146,9 +157,6 @@ private[sources] object GraftConstraints {
     // uncoercible shape the guards missed) rejects rather than
     // under-enforcing
     coerced.foreach(e => if (!e.resolved) dialectError(e))
-    if (coerced.dataType != BooleanType)
-      throw new IllegalArgumentException(
-        s"constraint '$text': must be boolean, is ${coerced.dataType}")
     Check(text, coerced)
   }
 }

@@ -97,8 +97,10 @@ private[sources] object GraftGroupKeys {
   * lands, and abort removes partials). */
 private[sources] final class GraftSegmentDataWriter(
     spec: GraftDurableWriteSpec, opPrefixed: Boolean,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, epochId: Long,
+    fill: Option[GraftFillSpec] = None)
     extends DataWriter[InternalRow] {
+  private var filled = 0L
 
   private val schema = spec.schema
   private val checks = spec.checks
@@ -130,7 +132,15 @@ private[sources] final class GraftSegmentDataWriter(
             op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
           stripOp(record).copy()
         else return
-      } else record.copy()
+      } else fill match {
+        // identity/generated fill, task-side, BEFORE validation — a
+        // CHECK over a generated column sees the generated value
+        case Some(fs) =>
+          val out = fs.fill(record, partitionId, filled)
+          filled += 1
+          if (out eq record) record.copy() else out
+        case None => record.copy()
+      }
     validate(row)
     buf += row
   }
