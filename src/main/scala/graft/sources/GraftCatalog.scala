@@ -1581,6 +1581,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
       snap("ANALYZE") // stats change, zero logical row changes
     }
 
+  /** Row-level-write guard for identity/generated tables: carried rows
+    * pass, a NULL fill target refuses loudly (see [[GraftFillSpec]]). */
+  private[sources] def rowLevelFillGuard: Option[GraftFillSpec] = {
+    val ids = GraftFill.identityCols(tableSchema)
+    val gens = GraftFill.generatedCols(tableSchema)
+    if (ids.isEmpty && gens.isEmpty) None
+    else Some(GraftFillSpec(tableSchema.json, ids, ids.map(_ => 0L), gens,
+      validateOnly = true))
+  }
+
   /** DELETE VECTORS (merge-on-read): per data file, the positions a MOR
     * row-level operation has deleted WITHOUT rewriting the file — the
     * Delta/Iceberg-v2 deletion-vector mechanism: at 100 TB, deleting a
@@ -3933,7 +3943,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
               delivered => installReplaceGroups(delivered,
                 Option(rlScan).flatMap(_.scannedGroups),
                 op = command().toString,
-                expectedBase = scannedFiles)))
+                expectedBase = scannedFiles),
+              rowLevelFillGuard))
         }
 
       override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -4093,7 +4104,8 @@ class GraftDeltaWrite(table: GraftTable,
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DeltaWriterFactory =
-      GraftDeltaWriterFactory(table.durableWriteSpec())
+      GraftDeltaWriterFactory(table.durableWriteSpec(),
+        table.rowLevelFillGuard)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
@@ -4114,14 +4126,16 @@ class GraftDeltaWrite(table: GraftTable,
   * [[GraftSegmentDataWriter]] writes them as task-side segments, so MOR
   * insert data never crosses to the driver either. */
 case class GraftDeltaWriterFactory(
-    durableSpec: Option[GraftDurableWriteSpec] = None)
+    durableSpec: Option[GraftDurableWriteSpec] = None,
+    guard: Option[GraftFillSpec] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val dels = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       private val insWriter: DataWriter[InternalRow] =
-        GraftWriterFactory(None, durableSpec).createWriter(partitionId, taskId)
+        GraftWriterFactory(None, durableSpec, guard)
+          .createWriter(partitionId, taskId)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += ((id.getInt(0), id.getInt(1)))
       override def update(meta: InternalRow, id: InternalRow,
@@ -5960,10 +5974,11 @@ class GraftBatchWrite(table: GraftTable,
   * rewrite streams through the tasks instead of materializing the
   * post-merge groups on the driver. */
 class GraftRowLevelBatchWrite(table: GraftTable, schema: StructType,
-                              install: Array[GraftDelivery] => Unit)
+                              install: Array[GraftDelivery] => Unit,
+                              guard: Option[GraftFillSpec] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(Some(schema), table.durableWriteSpec())
+    GraftWriterFactory(Some(schema), table.durableWriteSpec(), guard)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     install(table.adoptDeliveries(messages))
@@ -5990,10 +6005,7 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
       // durable table: the task writes its own segments; rows never
       // ride a commit message
       new GraftSegmentDataWriter(spec, opPrefixedSchema.isDefined,
-        partitionId, taskId, epochId,
-        // fill only on PLAIN writes — row-level rewrites carry
-        // already-generated values through untouched
-        if (opPrefixedSchema.isEmpty) fill else None)
+        partitionId, taskId, epochId, fill)
     case None => new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       import org.apache.spark.sql.catalyst.util.RowDeltaUtils
@@ -6003,20 +6015,23 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
         opPrefixedSchema.get.fields.zipWithIndex.map { case (f, i) =>
           BoundReference(i + 1, f.dataType, f.nullable)
         }.toIndexedSeq)
+      private def admit(row: InternalRow, copied: Boolean): Unit =
+        fill match {
+          case Some(fs) =>
+            val out = fs.fill(row, partitionId, filled)
+            filled += 1
+            buf += (if (out eq row) (if (copied) row else row.copy())
+                    else out)
+          case None => buf += (if (copied) row else row.copy())
+        }
       override def write(record: InternalRow): Unit = opPrefixedSchema match {
         case Some(schema) if record.numFields != schema.length =>
           val op = record.getInt(0)
           if (op == RowDeltaUtils.WRITE_OPERATION ||
             op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
-            buf += stripOp(record).copy()
-        case Some(_) => buf += record.copy()
-        case None => fill match {
-          case Some(fs) =>
-            val out = fs.fill(record, partitionId, filled)
-            filled += 1
-            buf += (if (out eq record) record.copy() else out)
-          case None => buf += record.copy()
-        }
+            admit(stripOp(record).copy(), copied = true)
+        case Some(_) => admit(record, copied = false)
+        case None => admit(record, copied = false)
       }
       override def commit(): WriterCommitMessage = GraftRowsMessage(buf.toArray)
       override def abort(): Unit = buf.clear()

@@ -118,16 +118,37 @@ final case class GraftFillSpec(
     schemaJson: String,
     identities: Seq[GraftFill.IdentityFill],
     identityBases: Seq[Long],
-    generated: Seq[GraftFill.GeneratedFill]) extends Serializable {
+    generated: Seq[GraftFill.GeneratedFill],
+    validateOnly: Boolean = false) extends Serializable {
 
   @transient lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** Fill one incoming row (task-side). Returns a NEW row when any
-    * column fills; the input row otherwise. */
+    * column fills; the input row otherwise.
+    *
+    * `validateOnly` is the ROW-LEVEL-WRITE guard: MERGE/UPDATE/DELETE
+    * rewrites deliver a mix of carried rows (identity/generated values
+    * already present — pass through untouched, no ALWAYS refusal) and
+    * merge-INSERTED rows (the fill targets arrive NULL). Generating
+    * there would need per-rewrite block reservation and expression
+    * recompute-on-dependency semantics this store doesn't do, and
+    * storing the NULL would silently break the column's contract — so
+    * a NULL fill target refuses loudly instead. */
   def fill(row: InternalRow, partitionId: Int, localIdx: Long)
       : InternalRow = {
     val s = schema
+    if (validateOnly) {
+      (identities.map(i => (i.ord, i.name)) ++
+        generated.map(g => (g.ord, g.name))).foreach { case (ord, nm) =>
+        if (row.isNullAt(ord))
+          throw new IllegalStateException(
+            s"column $nm is identity/generated: row-level writes " +
+              "(MERGE/UPDATE) do not generate values — supply it " +
+              "explicitly in the insert clause (plain INSERT generates)")
+      }
+      return row
+    }
     var out: GenericInternalRow = null
     def materialize(): GenericInternalRow = {
       if (out == null) {

@@ -125,22 +125,26 @@ private[sources] final class GraftSegmentDataWriter(
   override def write(record: InternalRow): Unit = {
     // row-level (replace-data) writes arrive prefixed with Spark's
     // __row_operation column; keep surviving rows, strip the prefix
-    val row: InternalRow =
+    val stripped: InternalRow =
       if (opPrefixed && record.numFields != schema.length) {
         val op = record.getInt(0)
         if (op == RowDeltaUtils.WRITE_OPERATION ||
             op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
           stripOp(record).copy()
         else return
-      } else fill match {
-        // identity/generated fill, task-side, BEFORE validation — a
-        // CHECK over a generated column sees the generated value
-        case Some(fs) =>
-          val out = fs.fill(record, partitionId, filled)
-          filled += 1
-          if (out eq record) record.copy() else out
-        case None => record.copy()
-      }
+      } else record
+    // identity/generated fill (plain writes) or the row-level
+    // validate-only guard (rewrites), task-side, BEFORE validation —
+    // a CHECK over a generated column sees the generated value
+    val row: InternalRow = fill match {
+      case Some(fs) =>
+        val out = fs.fill(stripped, partitionId, filled)
+        filled += 1
+        if (out eq stripped) {
+          if (stripped eq record) record.copy() else stripped
+        } else out
+      case None => if (stripped eq record) record.copy() else stripped
+    }
     validate(row)
     buf += row
   }

@@ -162,6 +162,13 @@ class GraftRandomSoakSpec extends SparkSpec {
           else
             GraftMaintenance.sql(spark, s"OPTIMIZE $cat.ns.t_$tag").collect()
         } else if (op < 80) { // VACUUM: anchor + reclaim, state intact
+          // every other time, first an ANALYZE (r13): its colStats
+          // commit rides entries/checkpoints and must survive the
+          // vacuum's anchor slide and every later cold fold
+          if (rnd.nextInt(2) == 0)
+            GraftMaintenance.sql(spark,
+              s"ANALYZE TABLE $cat.ns.t_$tag COMPUTE STATISTICS " +
+                "FOR COLUMNS v").collect()
           val keep = 2 + rnd.nextInt(4)
           GraftMaintenance.sql(spark,
             s"VACUUM $cat.ns.t_$tag RETAIN $keep SNAPSHOTS").collect()
