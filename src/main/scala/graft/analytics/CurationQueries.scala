@@ -40,6 +40,120 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ----- the COMPOSED curation lifecycle (the flagship of the
+    // training-data surface, as g1/g2 are of the relational one): exact
+    // dedup (t4's keyed keeper) → Gopher-style quality gate (t42's four
+    // integer-exact rules) → per-source cap (t38's deterministic
+    // md5-rank keep-set, the two-phase top-K underneath) — each stage
+    // feeding the next, with a per-source funnel census of what
+    // survived each cut. This is the query a data-curation run IS; the
+    // stages are individually oracled (t4/t42/t38), and the composition
+    // pins that they agree end-to-end. Plan: one dup-key window, one
+    // token explode + two linear aggregates, one two-phase rank — no
+    // pair fan-out, no global window, the same scale posture as the
+    // parts.
+    Q("c1_curation_pipeline", "CURATE-compose,DEDUP-exact,CURATE-gate," +
+      "CURATE-caps,A1,A7",
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+         |      AS dup_key
+         |  FROM documents),
+         |surv AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, n_chars, text,
+         |      min(doc_id) OVER (PARTITION BY dup_key) AS keeper
+         |    FROM keyed) WHERE doc_id = keeper),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM surv),
+         |tt AS (SELECT doc_id, term, count(*) AS cnt FROM tok
+         |       WHERE term <> '' GROUP BY doc_id, term),
+         |m AS (SELECT doc_id, sum(cnt) AS words,
+         |        sum(cnt * length(term)) AS sumlen, max(cnt) AS maxcnt,
+         |        sum(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END)
+         |          AS stops
+         |      FROM tt GROUP BY doc_id),
+         |gated AS (
+         |  SELECT s.doc_id, s.source, s.n_chars FROM surv s JOIN m
+         |    ON s.doc_id = m.doc_id
+         |  WHERE m.words BETWEEN 20 AND 90
+         |    AND 33 * m.words <= 10 * m.sumlen
+         |    AND 10 * m.sumlen <= 47 * m.words
+         |    AND m.stops >= 2 AND 20 * m.maxcnt < 3 * m.words),
+         |capped AS (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM gated)
+         |SELECT k.source,
+         |  CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_dedup,
+         |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_gated,
+         |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_final,
+         |  CAST(COALESCE(sum(CASE WHEN c.doc_id IS NOT NULL
+         |    AND k.doc_id = c.doc_id THEN c.n_chars END), 0) AS BIGINT)
+         |    AS final_chars
+         |FROM keyed k
+         |LEFT JOIN surv s ON k.doc_id = s.doc_id
+         |LEFT JOIN gated g ON k.doc_id = g.doc_id
+         |LEFT JOIN (SELECT * FROM capped WHERE rk <= ${TextQueries.SourceCap})
+         |  c ON k.doc_id = c.doc_id
+         |GROUP BY k.source ORDER BY k.source""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val docs = Tables.documents(s, dir)
+      // stage 1: exact dedup (t4's key, min-doc_id keeper)
+      val keyed = docs.select(col("doc_id"), col("source"),
+        col("n_chars"), col("text"),
+        md5(array_join(slice(TF.tokens(col("text")), 1, 3), " "))
+          .as("dup_key"))
+      val surv = Caches.persistTracked(keyed
+        .withColumn("keeper",
+          min("doc_id").over(Window.partitionBy("dup_key")))
+        .filter(col("doc_id") === col("keeper"))
+        .drop("keeper", "dup_key"))
+      // stage 2: the t42 rule gate over survivors
+      val tt = surv
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val m = tt.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("words"),
+          sum(col("cnt") * length(col("term"))).as("sumlen"),
+          max(col("cnt")).as("maxcnt"),
+          sum(when(col("term").isin("a", "the"), 1L).otherwise(0L))
+            .as("stops"))
+      val gated = Caches.persistTracked(surv.join(m, "doc_id")
+        .filter(col("words").between(20, 90) &&
+          lit(33) * col("words") <= lit(10) * col("sumlen") &&
+          lit(10) * col("sumlen") <= lit(47) * col("words") &&
+          col("stops") >= 2 &&
+          lit(20) * col("maxcnt") < lit(3) * col("words"))
+        .select("doc_id", "source", "n_chars"))
+      // stage 3: the t38 two-phase per-source cap over the gated set
+      val fin = TextQueries.cappedKeepSet(gated, TextQueries.SourceCap)
+        .select(col("doc_id"), col("source"))
+      // funnel census per source
+      val raw = docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_raw"))
+      val nDedup = surv.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_dedup"))
+      val nGated = gated.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_gated"))
+      val nFinal = fin.join(gated, Seq("doc_id", "source"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_final"),
+          sum(col("n_chars")).cast("long").as("final_chars"))
+      raw.join(nDedup, Seq("source"), "left")
+        .join(nGated, Seq("source"), "left")
+        .join(nFinal, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("final_chars"), lit(0L)).as("final_chars"))
+        .orderBy("source")
+    },
+
     // ----- sequence packing (concat-and-chunk): the GPT-style pretraining
     // layout — documents are concatenated in a deterministic per-shard
     // order and the token stream is split every ChunkTokens tokens. Emits
