@@ -93,6 +93,17 @@ object ForkedWriterMain {
         }
         spark.stop()
         sys.exit(0)
+      case "identity" =>
+        // identity-table writer: every INSERT omits the id; the engine
+        // reserves a value block at plan and CONFLICTS at commit when a
+        // sibling process claimed it first — the retry IS the contract
+        // (r13's optimistic identity allocation, across real JVMs)
+        (fromS.toLong to toS.toLong).foreach { i =>
+          retry(60)(spark.sql(
+            s"INSERT INTO $cat.ns.$tbl (v) VALUES ('w-$cat-$i')"))
+        }
+        spark.stop()
+        sys.exit(0)
       case "crash" =>
         val t = spark.sessionState.catalogManager.catalog(cat)
           .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), tbl))
