@@ -2827,7 +2827,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       StructField("num_dv_files", IntegerType, nullable = false),
       StructField("num_dv_deleted_rows", LongType, nullable = false),
       StructField("constraints", StringType, nullable = false),
-      StructField("retained_versions", StringType, nullable = false)))
+      StructField("retained_versions", StringType, nullable = false),
+      StructField("bloom_columns", StringType, nullable = false),
+      StructField("analyzed_columns", StringType, nullable = false)))
     val fs = files
     val dvm = dvs
     val h = history
@@ -2843,7 +2845,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       dvm.valuesIterator.map(_.size.toLong).sum,
       utf8(checks.toSeq.sortBy(_._1)
         .map { case (n, c) => s"$n: ${c.text}" }.mkString("; ")),
-      utf8(s"${h.head.version}..${h.last.version}"))): InternalRow
+      utf8(s"${h.head.version}..${h.last.version}"),
+      utf8(GraftBloom.stampedCols(tableSchema).mkString(", ")),
+      utf8(colStats.keys.toSeq.sorted.mkString(", ")))): InternalRow
     new GraftSnapshotTable(s"$tableName$$detail", schema,
       Vector(GraftDataFile.build(Array(row), schema, None)))
   }

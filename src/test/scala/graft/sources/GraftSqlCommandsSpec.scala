@@ -105,6 +105,13 @@ class GraftSqlCommandsSpec extends SparkSpec {
         "num_dv_deleted_rows", "constraints", "retained_versions")
       .as[(String, Int, Long, Int, Long, String, String)].head()
     assert(d === (("merge-on-read", 1, 2L, 1, 1L, "idpos: id > 0", "0..2")))
+    // r13 introspection: the bloom-index and ANALYZE surfaces report
+    GraftMaintenance.sql(spark,
+      s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS v").collect()
+    val d2 = spark.table(s"graft_cat.ns.`t_detail$$detail`")
+      .select("bloom_columns", "analyzed_columns")
+      .as[(String, String)].head()
+    assert(d2 === (("", "v")))
   }
 
   test("OPTIMIZE ... WHERE scopes compaction to matching partition " +
