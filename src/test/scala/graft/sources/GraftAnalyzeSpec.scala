@@ -71,4 +71,35 @@ class GraftAnalyzeSpec extends SparkSpec {
       .collect())
     assert(e.getMessage.contains("no such column"), e.getMessage)
   }
+
+  test("colStats survive a CHECKPOINT-anchored cold fold after the " +
+      "delta tail below the anchor is retired") {
+    val savedK = GraftTable.checkpointInterval
+    try {
+      GraftTable.checkpointInterval = 3
+      val wh = tmpDir("graft-anlc")
+      spark.conf.set("spark.sql.catalog.anc", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.anc.warehouse", wh)
+      spark.sql("CREATE TABLE anc.ns.t (id BIGINT, g STRING)")
+      (0 until 100).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "g")
+        .writeTo("anc.ns.t").append()
+      GraftMaintenance.sql(spark,
+        "ANALYZE TABLE anc.ns.t COMPUTE STATISTICS FOR COLUMNS g")
+        .collect()
+      // push commits past an anchor, then retire the tail below it
+      (0 until 4).foreach { i =>
+        spark.sql(s"INSERT INTO anc.ns.t VALUES (${1000 + i}, 'gx')")
+      }
+      GraftMaintenance.sql(spark, "VACUUM anc.ns.t RETAIN 2 SNAPSHOTS")
+        .collect()
+      spark.conf.set("spark.sql.catalog.ancr",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.ancr.warehouse", wh)
+      spark.conf.set("spark.sql.catalog.ancr.warehouse.isolated", "true")
+      val t = spark.sessionState.catalogManager.catalog("ancr")
+        .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "t"))
+      assert(t.columnStatsSnapshot.get("g").map(_(0)) === Some(5L),
+        s"stats must fold from the checkpoint: ${t.columnStatsSnapshot}")
+    } finally GraftTable.checkpointInterval = savedK
+  }
 }

@@ -153,6 +153,40 @@ class GraftBloomSpec extends SparkSpec {
       === 1L)
   }
 
+  test("blooms survive a CHECKPOINT-anchored cold fold (not just the " +
+      "delta-entry tail)") {
+    val savedK = GraftTable.checkpointInterval
+    try {
+      GraftTable.checkpointInterval = 3 // force anchors mid-sequence
+      val wh = tmpDir("graft-bloomc")
+      spark.conf.set("spark.sql.catalog.blc", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.blc.warehouse", wh)
+      spark.sql("CREATE TABLE blc.ns.t (k STRING, v BIGINT) " +
+        "TBLPROPERTIES ('bloom.columns'='k')")
+      (0 until 6).foreach { i =>
+        (0 until 50).map(j => (f"key${i + 6 * j}%04d", j.toLong))
+          .toDF("k", "v").coalesce(1).writeTo("blc.ns.t").append()
+      }
+      // retire the pre-checkpoint delta entries: the fold MUST start
+      // from the checkpoint's own census (where blooms ride the part
+      // payloads' file meta)
+      GraftMaintenance.sql(spark, "VACUUM blc.ns.t RETAIN 2 SNAPSHOTS")
+        .collect()
+      spark.conf.set("spark.sql.catalog.blcr", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.blcr.warehouse", wh)
+      spark.conf.set("spark.sql.catalog.blcr.warehouse.isolated", "true")
+      val t = graftTable("blcr", "ns", "t")
+      assert(t.filesSnapshot.forall(_.blooms.exists(_ != null)),
+        "every folded file must carry its bloom")
+      val n = spark.table("blcr.ns.t").filter(col("k") === "key0007")
+        .count()
+      assert(n === 1L)
+      val c = t.lastScanCensus.get
+      assert(c.filesRead < c.filesTotal,
+        s"checkpoint-folded blooms must keep skipping: $c")
+    } finally GraftTable.checkpointInterval = savedK
+  }
+
   test("the bloom kernel itself: no false negatives, ~1% false " +
       "positives, stable encode/decode round-trip") {
     val keys = (0 until 5000).map(i =>
