@@ -52,15 +52,35 @@ object GraftBloom {
     * `'bloom.columns'='id,key'`. */
   val BloomProp = "bloom.columns"
 
+  /** Optional sizing property: `'bloom.fpp'='0.001'` → bits/key =
+    * ceil(-log₂(fpp)/ln 2), probes ≈ 0.69·bits/key — the standard
+    * Bloom optimum. Absent ⇒ the 10-bits/key ≈ 1% default. */
+  val FppProp = "bloom.fpp"
+
   /** StructField metadata flag the property compiles into — the schema
     * already ships to executor-side writers and persists in the log, so
     * the flag reaches every stats-building site with zero plumbing. */
   val MetaKey = "graft.bloom"
 
+  /** Per-field bits/key override (from `bloom.fpp`), beside the flag. */
+  val BitsMetaKey = "graft.bloom.bits"
+
   /** ~10 bits/key with 7 probes ≈ 1% false-positive rate — the
     * standard parquet/Delta bloom sizing. */
   val BitsPerKey = 10
   val K = 7
+
+  /** bits/key for a requested false-positive rate (the Bloom optimum
+    * m/n = -ln p / (ln 2)², clamped to a sane [4, 64] band). */
+  def bitsForFpp(fpp: Double): Int = {
+    require(fpp > 0.0 && fpp < 1.0, s"bloom.fpp must be in (0,1): $fpp")
+    math.min(64, math.max(4,
+      math.ceil(-math.log(fpp) / (math.log(2) * math.log(2))).toInt))
+  }
+
+  /** Optimal probe count for a bits/key budget (k = m/n · ln 2). */
+  def probesFor(bitsPerKey: Int): Int =
+    math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
 
   /** Types whose equality lookups blooms serve: integral-backed values
     * and strings. Floating point is excluded (equality on doubles is a
@@ -87,26 +107,29 @@ object GraftBloom {
   }
 
   /** Build a filter over one column's non-null internal values. */
-  def build(values: Iterator[Any], expectedKeys: Int): GraftBloom = {
-    val bits = math.max(64L, expectedKeys.toLong * BitsPerKey)
+  def build(values: Iterator[Any], expectedKeys: Int,
+            bitsPerKey: Int = BitsPerKey): GraftBloom = {
+    val k = if (bitsPerKey == BitsPerKey) K else probesFor(bitsPerKey)
+    val bits = math.max(64L, expectedKeys.toLong * bitsPerKey)
     val words = new Array[Long](((bits + 63) / 64).toInt)
     val m = words.length.toLong * 64L
     values.foreach { v =>
       val h1 = hashOf(v)
       val h2 = (h1 >>> 32) | 1L
       var i = 0
-      while (i < K) {
+      while (i < k) {
         val bit = java.lang.Math.floorMod(h1 + i * h2, m)
         words((bit >>> 6).toInt) |= 1L << (bit & 63)
         i += 1
       }
     }
-    GraftBloom(words, K)
+    GraftBloom(words, k)
   }
 
   /** Stamp the bloom flag into the named fields' metadata; refuses
     * unknown columns and unsupported types at CREATE time. */
-  def stamp(schema: StructType, colsCsv: String): StructType = {
+  def stamp(schema: StructType, colsCsv: String,
+            fpp: Option[Double] = None): StructType = {
     val names = colsCsv.split(',').map(_.trim).filter(_.nonEmpty)
     names.foreach { c =>
       val i = schema.fieldIndex(c) // throws on unknown column
@@ -117,19 +140,30 @@ object GraftBloom {
     }
     val set = names.toSet
     StructType(schema.fields.map { f =>
-      if (set.contains(f.name))
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putBoolean(MetaKey, true).build())
-      else f
+      if (set.contains(f.name)) {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(MetaKey, true)
+        fpp.foreach(p => mb.putLong(BitsMetaKey, bitsForFpp(p).toLong))
+        f.copy(metadata = mb.build())
+      } else f
     })
   }
+
+  /** The per-field bits/key in force (the `bloom.fpp` override or the
+    * default). */
+  def bitsOf(f: StructField): Int =
+    if (f.metadata.contains(BitsMetaKey))
+      f.metadata.getLong(BitsMetaKey).toInt
+    else BitsPerKey
 
   /** Strip every bloom flag (ALTER replaces the set wholesale). */
   def unstamp(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
-      if (f.metadata.contains(MetaKey)) {
+      if (f.metadata.contains(MetaKey) ||
+          f.metadata.contains(BitsMetaKey)) {
         val mb = new MetadataBuilder().withMetadata(f.metadata)
         mb.remove(MetaKey)
+        mb.remove(BitsMetaKey)
         f.copy(metadata = mb.build())
       } else f
     })

@@ -280,8 +280,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // `bloom.columns` compiles into StructField metadata: the schema
     // already ships to executor writers and persists in the log, so
     // the flag reaches every stats-building site with zero plumbing
+    val fpp = Option(properties.get(GraftBloom.FppProp)).map(_.toDouble)
     val schema = Option(properties.get(GraftBloom.BloomProp))
-      .map(GraftBloom.stamp(schema0, _)).getOrElse(schema0)
+      .map(GraftBloom.stamp(schema0, _, fpp)).getOrElse(schema0)
     // identity partitioning (defines the COW rewrite groups) and ONE
     // bucket(n, col) transform (hash co-location for storage-partitioned
     // joins) are supported; any other transform must fail, not silently
@@ -1165,7 +1166,7 @@ object GraftDataFile {
         if (!flagged(i)) null
         else GraftBloom.build(
           rows.iterator.filterNot(_.isNullAt(i)).map(_.get(i, dts(i))),
-          rows.length)
+          rows.length, GraftBloom.bitsOf(schema.fields(i)))
       }
     }
     val gk = keyOf.flatMap { f =>

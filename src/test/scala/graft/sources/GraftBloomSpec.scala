@@ -187,6 +187,33 @@ class GraftBloomSpec extends SparkSpec {
     } finally GraftTable.checkpointInterval = savedK
   }
 
+  test("bloom.fpp sizes the filter: a 0.001 table's filters are " +
+      "larger and measurably tighter than the 1% default") {
+    val wh = tmpDir("graft-bloomf")
+    spark.conf.set("spark.sql.catalog.blf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blf.warehouse", wh)
+    spark.sql("CREATE TABLE blf.ns.t (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k', 'bloom.fpp'='0.001')")
+    (0 until 500).map(i => (s"key$i", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("blf.ns.t").append()
+    val b = graftTable("blf", "ns", "t").filesSnapshot.head.blooms
+      .find(_ != null).get
+    // 0.001 → 15 bits/key, 10 probes (vs the default 10/7)
+    assert(b.k === GraftBloom.probesFor(GraftBloom.bitsForFpp(0.001)))
+    assert(b.words.length * 64L >= 500L * 15L)
+    val fps = (0 until 20000).count(i => b.mightContain(
+      GraftBloom.hashOf(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s"other-$i"))))
+    assert(fps < 60, s"~0.1% fpp expected at 15 bits/key, got $fps/20000")
+    // kernel sanity at the tighter sizing: still zero false negatives
+    assert((0 until 500).forall(i => b.mightContain(GraftBloom.hashOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"key$i")))))
+    // an out-of-range fpp refuses at CREATE
+    intercept[Exception](spark.sql(
+      "CREATE TABLE blf.ns.bad (k STRING) " +
+        "TBLPROPERTIES ('bloom.columns'='k', 'bloom.fpp'='1.5')"))
+  }
+
   test("the bloom kernel itself: no false negatives, ~1% false " +
       "positives, stable encode/decode round-trip") {
     val keys = (0 until 5000).map(i =>
