@@ -65,6 +65,12 @@ object TextQueries {
   /** t38 per-source keep cap (the "max docs per domain" curation knob). */
   val SourceCap = 10
 
+  /** t45 sampling budget in characters (the token-proxy unit the
+    * corpus card already accounts in): take documents in deterministic
+    * md5 order until the budget fills — "give me a 40k-char ablation
+    * slice, reproducibly". */
+  val SampleBudgetChars = 40000L
+
   /** t44 repeated-span width in tokens: a token n-gram occurring more
     * than once ANYWHERE in the corpus (another doc or the same one)
     * marks its positions as exact-duplicated text — the Spark-shaped
@@ -1453,7 +1459,8 @@ object TextQueries {
     t41Query,
     t42Query,
     t43Query,
-    t44Query
+    t44Query,
+    t45Query
   )
 
   /** Gopher-style composite QUALITY RULE GATE (the document-filter
@@ -1688,6 +1695,67 @@ object TextQueries {
           sum(col("len")).cast("long").as("tokens"),
           coalesce(sum(col("covered")), lit(0L)).cast("long")
             .as("dup_tokens"))
+        .orderBy("source")
+    }
+
+  /** Token-budget sampling — "give me exactly ~N tokens for an
+    * ablation, reproducibly": documents taken in deterministic md5
+    * order until the running total crosses [[SampleBudgetChars]]
+    * (chars as the token proxy the corpus card uses). A doc is IN the
+    * sample iff the total BEFORE it is under budget, so the slice is
+    * stable under corpus growth below any taken hash.
+    *
+    * Scale posture: the running total is a GLOBAL prefix sum, which a
+    * naive window computes on one partition — here it is TWO-PHASE:
+    * the hash's first hex digit splits the order into 16 aligned
+    * buckets (string order of the digit == hash order), per-bucket
+    * running sums window in parallel, and a 16-row broadcast prefix of
+    * bucket totals re-bases them — the classic distributed running
+    * total; no partition ever holds more than 1/16th of the order. */
+  private lazy val t45Query: Q =
+    Q("t45_token_budget_sample", "CURATE-budget,W7,A7", {
+      val b = SampleBudgetChars
+      s"""WITH h AS (SELECT doc_id, source, n_chars,
+         |             md5(CAST(doc_id AS VARCHAR)) AS hk
+         |           FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |        COALESCE(sum(n_chars) OVER (ORDER BY hk, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS before_chars
+         |      FROM h)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN before_chars < $b THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN before_chars < $b THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS sampled_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val h = Caches.persistTracked(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("bucket", substring(col("hk"), 1, 1)))
+      // phase 1: per-bucket running totals (16 parallel partitions)
+      val local = h.withColumn("lb",
+        coalesce(sum(col("n_chars")).over(
+          Window.partitionBy("bucket").orderBy("hk", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // phase 2: re-base by the 16-row broadcast prefix of bucket totals
+      val offsets = h.groupBy("bucket")
+        .agg(sum(col("n_chars")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "off")
+      local.join(broadcast(offsets), "bucket")
+        .withColumn("before_chars", col("lb") + col("off"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("before_chars") < SampleBudgetChars, 1L)
+            .otherwise(0L)).cast("long").as("n_sampled"),
+          sum(when(col("before_chars") < SampleBudgetChars,
+            col("n_chars")).otherwise(0L)).cast("long")
+            .as("sampled_chars"))
         .orderBy("source")
     }
 
