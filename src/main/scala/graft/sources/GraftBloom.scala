@@ -65,6 +65,11 @@ object GraftBloom {
   /** Per-field bits/key override (from `bloom.fpp`), beside the flag. */
   val BitsMetaKey = "graft.bloom.bits"
 
+  /** The user's `bloom.fpp` value itself, preserved beside the derived
+    * bits/key so ALTER re-stamps keep the sizing and `properties()` can
+    * report the knob back exactly as set. */
+  val FppMetaKey = "graft.bloom.fpp"
+
   /** ~10 bits/key with 7 probes ≈ 1% false-positive rate — the
     * standard parquet/Delta bloom sizing. */
   val BitsPerKey = 10
@@ -143,11 +148,22 @@ object GraftBloom {
       if (set.contains(f.name)) {
         val mb = new MetadataBuilder().withMetadata(f.metadata)
           .putBoolean(MetaKey, true)
-        fpp.foreach(p => mb.putLong(BitsMetaKey, bitsForFpp(p).toLong))
+        fpp.foreach { p =>
+          mb.putLong(BitsMetaKey, bitsForFpp(p).toLong)
+          mb.putDouble(FppMetaKey, p)
+        }
         f.copy(metadata = mb.build())
       } else f
     })
   }
+
+  /** The table's `bloom.fpp` in force, read back from field metadata
+    * (table-level at stamp time, so any stamped field carries it). */
+  def fppOf(schema: StructType): Option[Double] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(FppMetaKey) =>
+        f.metadata.getDouble(FppMetaKey)
+    }
 
   /** The per-field bits/key in force (the `bloom.fpp` override or the
     * default). */
@@ -160,10 +176,12 @@ object GraftBloom {
   def unstamp(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
       if (f.metadata.contains(MetaKey) ||
-          f.metadata.contains(BitsMetaKey)) {
+          f.metadata.contains(BitsMetaKey) ||
+          f.metadata.contains(FppMetaKey)) {
         val mb = new MetadataBuilder().withMetadata(f.metadata)
         mb.remove(MetaKey)
         mb.remove(BitsMetaKey)
+        mb.remove(FppMetaKey)
         f.copy(metadata = mb.build())
       } else f
     })

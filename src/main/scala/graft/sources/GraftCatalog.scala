@@ -1527,8 +1527,30 @@ class GraftTable(initialName: String, initialSchema: StructType,
         // plus an incremental compaction, never a blocking scan.
         case sp: TableChange.SetProperty
             if sp.property == GraftBloom.BloomProp =>
+          // re-stamping REPLACES the column set but keeps the table's
+          // bloom.fpp sizing in force (set at CREATE or by a prior
+          // ALTER) — dropping it would silently revert new files to the
+          // 10-bits/key default
           tableSchema = GraftBloom.stamp(
-            GraftBloom.unstamp(tableSchema), sp.value)
+            GraftBloom.unstamp(tableSchema), sp.value,
+            GraftBloom.fppOf(tableSchema))
+          readState = (files, dvs)
+        case sp: TableChange.SetProperty
+            if sp.property == GraftBloom.FppProp =>
+          // re-size: same column set, new fpp; refuses a malformed
+          // value loudly (bitsForFpp's range check). Old files keep
+          // their filters — sizing applies to new builds, OPTIMIZE
+          // re-sizes incrementally (same contract as column flips)
+          val cols = GraftBloom.stampedCols(tableSchema)
+          tableSchema = GraftBloom.stamp(
+            GraftBloom.unstamp(tableSchema), cols.mkString(","),
+            Some(sp.value.toDouble))
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftBloom.FppProp =>
+          val cols = GraftBloom.stampedCols(tableSchema)
+          tableSchema = GraftBloom.stamp(
+            GraftBloom.unstamp(tableSchema), cols.mkString(","), None)
           readState = (files, dvs)
         case rp: TableChange.RemoveProperty
             if rp.property == GraftBloom.BloomProp =>
@@ -3480,6 +3502,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val bloomed = GraftBloom.stampedCols(tableSchema)
     if (bloomed.nonEmpty)
       m.put(GraftBloom.BloomProp, bloomed.mkString(","))
+    GraftBloom.fppOf(tableSchema).foreach(p =>
+      m.put(GraftBloom.FppProp, p.toString))
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -6023,10 +6047,13 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
       private def admit(row: InternalRow, copied: Boolean): Unit =
         fill match {
           case Some(fs) =>
-            val out = fs.fill(row, partitionId, filled)
+            // copy BEFORE filling — fill's materialized row aliases the
+            // input buffer's value-typed contents, and Spark reuses
+            // that buffer across write() calls
+            val base = if (copied) row else row.copy()
+            val out = fs.fill(base, partitionId, filled)
             filled += 1
-            buf += (if (out eq row) (if (copied) row else row.copy())
-                    else out)
+            buf += out
           case None => buf += (if (copied) row else row.copy())
         }
       override def write(record: InternalRow): Unit = opPrefixedSchema match {

@@ -54,10 +54,15 @@ object GraftFill {
       var md = new MetadataBuilder()
       Option(c.comment()).foreach(md.putString("comment", _))
       Option(c.identityColumnSpec()).foreach { spec =>
-        if (!(c.dataType == LongType || c.dataType == IntegerType))
+        // BIGINT only (the Delta rule): each committed write reserves a
+        // 2⁴⁰-unit value block, so an INT column's range is exhausted
+        // by the SECOND write's reservation — accepting INT here would
+        // mean a table that takes exactly one successful insert
+        if (c.dataType != LongType)
           throw new UnsupportedOperationException(
-            s"identity column ${c.name()}: BIGINT/INT only " +
-              s"(got ${c.dataType})")
+            s"identity column ${c.name()}: BIGINT only — the reserved " +
+              s"per-write value blocks (2^40 units) exceed the range of " +
+              s"${c.dataType}")
         // the high-water ledger is max-merged on replay — sound only
         // for ASCENDING sequences
         if (spec.getStep <= 0)
@@ -179,13 +184,7 @@ final case class GraftFillSpec(
               s"value block (partition $partitionId, row $localIdx, " +
               s"step ${id.step}) — split the write")
         val v = base + id.step * offset
-        val m = materialize()
-        if (s.fields(id.ord).dataType == IntegerType) {
-          if (v < Int.MinValue || v > Int.MaxValue)
-            throw new IllegalStateException(
-              s"identity column ${id.name}: value $v overflows INT")
-          m.update(id.ord, v.toInt)
-        } else m.update(id.ord, v)
+        materialize().update(id.ord, v)
       }
     }
     generated.foreach { g =>

@@ -138,11 +138,14 @@ private[sources] final class GraftSegmentDataWriter(
     // a CHECK over a generated column sees the generated value
     val row: InternalRow = fill match {
       case Some(fs) =>
-        val out = fs.fill(stripped, partitionId, filled)
+        // copy BEFORE filling: fill's materialized row holds value
+        // references (UTF8String/arrays) into the input buffer, which
+        // Spark reuses across write() calls — filling the live record
+        // would let later rows overwrite earlier buffered rows' values
+        val base = if (stripped eq record) record.copy() else stripped
+        val out = fs.fill(base, partitionId, filled)
         filled += 1
-        if (out eq stripped) {
-          if (stripped eq record) record.copy() else stripped
-        } else out
+        out
       case None => if (stripped eq record) record.copy() else stripped
     }
     validate(row)

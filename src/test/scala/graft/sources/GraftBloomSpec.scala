@@ -214,6 +214,44 @@ class GraftBloomSpec extends SparkSpec {
         "TBLPROPERTIES ('bloom.columns'='k', 'bloom.fpp'='1.5')"))
   }
 
+  test("bloom.fpp survives an ALTER of bloom.columns, reports back in " +
+      "properties(), and is itself ALTER-able") {
+    val wh = tmpDir("graft-bloomfa")
+    spark.conf.set("spark.sql.catalog.blfa", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blfa.warehouse", wh)
+    spark.sql("CREATE TABLE blfa.ns.t (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k', 'bloom.fpp'='0.001')")
+    val t = graftTable("blfa", "ns", "t")
+    assert(t.properties().get(GraftBloom.FppProp) === "0.001")
+    // re-stamping the column set keeps the CREATE-time sizing in force
+    spark.sql(
+      "ALTER TABLE blfa.ns.t SET TBLPROPERTIES ('bloom.columns'='k,v')")
+    assert(t.properties().get(GraftBloom.BloomProp) === "k,v")
+    assert(t.properties().get(GraftBloom.FppProp) === "0.001",
+      "ALTER of bloom.columns must not discard bloom.fpp")
+    (0 until 400).map(i => (s"key$i", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("blfa.ns.t").append()
+    val b = t.filesSnapshot.last.blooms.find(_ != null).get
+    assert(b.k === GraftBloom.probesFor(GraftBloom.bitsForFpp(0.001)),
+      "new files after the re-stamp must size at the preserved fpp")
+    // the sizing knob itself flips by ALTER; subsequent files re-size
+    spark.sql(
+      "ALTER TABLE blfa.ns.t SET TBLPROPERTIES ('bloom.fpp'='0.1')")
+    assert(t.properties().get(GraftBloom.FppProp) === "0.1")
+    (0 until 400).map(i => (s"new$i", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("blfa.ns.t").append()
+    val b2 = t.filesSnapshot.last.blooms.find(_ != null).get
+    assert(b2.k === GraftBloom.probesFor(GraftBloom.bitsForFpp(0.1)))
+    // UNSET returns to the default sizing without touching the set
+    spark.sql("ALTER TABLE blfa.ns.t UNSET TBLPROPERTIES ('bloom.fpp')")
+    assert(t.properties().get(GraftBloom.FppProp) === null)
+    assert(t.properties().get(GraftBloom.BloomProp) === "k,v")
+    (0 until 400).map(i => (s"dft$i", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("blfa.ns.t").append()
+    assert(t.filesSnapshot.last.blooms.find(_ != null).get.k ===
+      GraftBloom.K)
+  }
+
   test("the bloom kernel itself: no false negatives, ~1% false " +
       "positives, stable encode/decode round-trip") {
     val keys = (0 until 5000).map(i =>
