@@ -1706,12 +1706,14 @@ object TextQueries {
     * stable under corpus growth below any taken hash.
     *
     * Scale posture: the running total is a GLOBAL prefix sum, which a
-    * naive window computes on one partition — here it is TWO-PHASE:
-    * the hash's first hex digit splits the order into 16 aligned
-    * buckets (string order of the digit == hash order), per-bucket
-    * running sums window in parallel, and a 16-row broadcast prefix of
-    * bucket totals re-bases them — the classic distributed running
-    * total; no partition ever holds more than 1/16th of the order. */
+    * naive window computes on one partition — here it is TWO-PHASE
+    * ([[budgetPrefix]]): the hash's first [[SampleBucketDigits]] hex
+    * digits split the order into 16^digits ALIGNED buckets (the digit
+    * string's order == hash order), per-bucket running sums window in
+    * parallel, and a bucket-count-row broadcast prefix of bucket
+    * totals re-bases them — the classic distributed running total; at
+    * the default 2 digits no partition ever holds more than ~1/256 of
+    * the order, and the depth dials up with the corpus (3 → 4096). */
   private lazy val t45Query: Q =
     Q("t45_token_budget_sample", "CURATE-budget,W7,A7", {
       val b = SampleBudgetChars
@@ -1731,24 +1733,7 @@ object TextQueries {
          |    AS BIGINT) AS sampled_chars
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     }) { (s, dir) =>
-      val h = Caches.persistTracked(Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          md5(col("doc_id").cast("string")).as("hk"))
-        .withColumn("bucket", substring(col("hk"), 1, 1)))
-      // phase 1: per-bucket running totals (16 parallel partitions)
-      val local = h.withColumn("lb",
-        coalesce(sum(col("n_chars")).over(
-          Window.partitionBy("bucket").orderBy("hk", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // phase 2: re-base by the 16-row broadcast prefix of bucket totals
-      val offsets = h.groupBy("bucket")
-        .agg(sum(col("n_chars")).as("tot"))
-        .withColumn("off", coalesce(sum(col("tot")).over(
-          Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bucket", "off")
-      local.join(broadcast(offsets), "bucket")
-        .withColumn("before_chars", col("lb") + col("off"))
+      budgetPrefix(Tables.documents(s, dir), SampleBucketDigits)
         .groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(when(col("before_chars") < SampleBudgetChars, 1L)
@@ -1895,6 +1880,44 @@ object TextQueries {
     * derives from the ORDERING hash, not the id: any partition is
     * correct, but id-derived salts collapse when ids share a residue.
     * Returns (source, doc_id, h, rk) for rk <= cap. */
+  /** The two-phase GLOBAL prefix sum behind t45: every doc's
+    * `before_chars` = sum of n_chars over all docs strictly earlier in
+    * (md5(doc_id), doc_id) order. The first `digits` hex digits of the
+    * hash split the order into 16^digits ALIGNED buckets — the digit
+    * prefix's string order equals the hash order, so per-bucket local
+    * running sums re-base exactly by the broadcast prefix of bucket
+    * totals. Phase-1 parallelism is 16^digits (256 at the default 2),
+    * so no window partition holds more than ~1/256 of the order at any
+    * corpus size; deeper corpora pass a larger `digits` — the keep-set
+    * is invariant to the depth (ScaleCapsSpec pins it). */
+  def budgetPrefix(docs: org.apache.spark.sql.DataFrame,
+      digits: Int): org.apache.spark.sql.DataFrame = {
+    require(digits >= 1 && digits <= 8, s"bucket digits in [1,8]: $digits")
+    val h = Caches.persistTracked(docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("bucket", substring(col("hk"), 1, digits)))
+    // phase 1: per-bucket running totals (16^digits parallel partitions)
+    val local = h.withColumn("lb",
+      coalesce(sum(col("n_chars")).over(
+        Window.partitionBy("bucket").orderBy("hk", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // phase 2: re-base by the broadcast prefix of bucket totals — a
+    // bucket-count-sized (≤ 16^digits rows) single-partition window
+    // over an already-aggregated frame, never over the corpus
+    val offsets = h.groupBy("bucket")
+      .agg(sum(col("n_chars")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("before_chars", col("lb") + col("off"))
+  }
+
+  /** Default t45 phase-1 depth: 2 hex digits → 256 aligned buckets. */
+  val SampleBucketDigits = 2
+
   def cappedKeepSet(docs: org.apache.spark.sql.DataFrame, cap: Int,
       shards: Int = 32): org.apache.spark.sql.DataFrame = {
     val hashed = docs

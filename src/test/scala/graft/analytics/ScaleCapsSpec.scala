@@ -143,6 +143,41 @@ class ScaleCapsSpec extends SparkSpec {
     }
   }
 
+  test("t45 two-phase prefix sum is invariant to the bucket depth and " +
+      "no phase-1 partition holds more than its aligned share") {
+    // 20k docs: the global running total must be bit-identical whether
+    // the order splits into 16, 256 or 4096 aligned buckets, and at the
+    // default depth no bucket (= window partition) may hold more than a
+    // small multiple of corpus/256 — the scale-out property that keeps
+    // phase 1 parallel at 100× data.
+    val docs = (0 until 20000).map(i =>
+      (i.toLong, s"src${i % 5}", 10L + (i % 90))).toDF(
+      "doc_id", "source", "n_chars")
+    def prefix(digits: Int): Seq[(Long, Long)] = {
+      val got = TextQueries.budgetPrefix(docs, digits)
+        .select("doc_id", "before_chars")
+        .as[(Long, Long)].collect().toSeq.sorted
+      Caches.release()
+      got
+    }
+    val d2 = prefix(2)
+    assert(d2 === prefix(1), "depth 1 vs 2 must agree bit-for-bit")
+    assert(d2 === prefix(3), "depth 2 vs 3 must agree bit-for-bit")
+    // the deepest doc's before_chars equals the total minus its own
+    val total = (0 until 20000).map(i => 10L + (i % 90)).sum
+    assert(d2.map(_._2).max < total)
+    // aligned-share bound at the default depth: md5 is uniform, so a
+    // bucket of 20k/256 ≈ 78 expected rows stays under 4× the mean
+    val sizes = TextQueries.budgetPrefix(docs,
+        TextQueries.SampleBucketDigits)
+      .groupBy("bucket").count().select("count")
+      .as[Long].collect().toSeq
+    Caches.release()
+    assert(sizes.length > 200, s"~256 buckets expected: ${sizes.length}")
+    assert(sizes.max < 4L * (20000 / 256 + 1),
+      s"no phase-1 partition may hold a hot share: max=${sizes.max}")
+  }
+
   test("checkpoint cache mode yields identical t5 results to persist mode") {
     // the 100 TB materialization switch: multi-consumer stages cut to
     // executor-local shuffle files instead of storage-memory blocks —
