@@ -208,3 +208,120 @@ object GraftBloom {
     Array.fill(bytes.length / 8)(bb.getLong)
   }
 }
+
+/** Compact per-file bloom descriptor the COMMIT LOG carries instead of
+  * the filter words: (schema ordinal, probe count, word count) per
+  * bloom'd column. The words themselves live in a SIDECAR file beside
+  * the segment ([[GraftBloomSidecar]]) — a 1M-row file's ~1.3 MB of
+  * filter bits must not ride every delta entry and every checkpoint
+  * (commit metadata stays O(files), never O(rows); Delta's bloom index
+  * and parquet's footer blooms are sidecar bytes for the same reason). */
+final case class GraftBloomRef(ord: Int, k: Int, words: Int)
+    extends Serializable
+
+/** Bloom-filter SIDECAR io: `<segment>.parquet.bloom` beside the
+  * segment, written by the same task that writes the segment (tmp +
+  * atomic rename, like the segment itself), read lazily the first time
+  * a point lookup consults the file's filters. Self-describing binary:
+  * magic, version, capture-width, then (ord, k, nWords, words…) per
+  * bloom'd column. The sidecar shares the segment's lifecycle: moved/
+  * copied/deleted alongside it, swept by VACUUM when the segment ref
+  * is no longer live. */
+object GraftBloomSidecar {
+  val Suffix = ".bloom"
+  private val Magic = 0x47424C4D // "GBLM"
+
+  def pathFor(segment: java.nio.file.Path): java.nio.file.Path =
+    segment.resolveSibling(segment.getFileName.toString + Suffix)
+
+  /** The log-sized refs of an eager filter array (null when none). */
+  def refsOf(blooms: Array[GraftBloom]): Array[GraftBloomRef] = {
+    if (blooms == null || blooms.isEmpty) return null
+    val rs = blooms.iterator.zipWithIndex.collect {
+      case (b, i) if b != null => GraftBloomRef(i, b.k, b.words.length)
+    }.toArray
+    if (rs.isEmpty) null else rs
+  }
+
+  /** Write the filters beside `segment`; returns the refs the commit
+    * message / log entry carries, or null when no column carries one. */
+  def write(segment: java.nio.file.Path,
+            blooms: Array[GraftBloom]): Array[GraftBloomRef] = {
+    val refs = refsOf(blooms)
+    if (refs == null) return null
+    val target = pathFor(segment)
+    val tmp = target.resolveSibling(target.getFileName.toString +
+      ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(1)
+      out.writeInt(blooms.length) // capture-width of the array
+      out.writeInt(refs.length)
+      refs.foreach { r =>
+        out.writeInt(r.ord); out.writeInt(r.k); out.writeInt(r.words)
+        val ws = blooms(r.ord).words
+        var i = 0
+        while (i < ws.length) { out.writeLong(ws(i)); i += 1 }
+      }
+    } finally out.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    refs
+  }
+
+  /** Read the filters back. LOUD on a missing sidecar: a live file
+    * whose sidecar vanished means the lifecycle contract broke (a
+    * sweep ate bytes a retained ref still needs) — silence here would
+    * be an invisible table-scan regression, not safety. */
+  def read(segment: java.nio.file.Path): Array[GraftBloom] = {
+    val p = pathFor(segment)
+    if (!java.nio.file.Files.exists(p))
+      throw new IllegalStateException(
+        s"bloom sidecar missing for live segment: $p — swept while " +
+          "its segment is still referenced?")
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(p)))
+    try {
+      val magic = in.readInt(); val ver = in.readInt()
+      if (magic != Magic || ver != 1)
+        throw new IllegalStateException(
+          s"bad bloom sidecar $p (magic=$magic version=$ver)")
+      val width = in.readInt()
+      val entries = in.readInt()
+      val arr = new Array[GraftBloom](width)
+      var e = 0
+      while (e < entries) {
+        val ord = in.readInt(); val k = in.readInt(); val w = in.readInt()
+        val words = new Array[Long](w)
+        var i = 0
+        while (i < w) { words(i) = in.readLong(); i += 1 }
+        if (ord < width) arr(ord) = GraftBloom(words, k)
+        e += 1
+      }
+      arr
+    } finally in.close()
+  }
+
+  /** Lifecycle twins of the segment ops (no-ops when absent). */
+  def copyAlongside(src: java.nio.file.Path,
+                    dst: java.nio.file.Path): Unit = {
+    val s = pathFor(src)
+    if (java.nio.file.Files.exists(s))
+      java.nio.file.Files.copy(s, pathFor(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+  def moveAlongside(src: java.nio.file.Path,
+                    dst: java.nio.file.Path): Unit = {
+    val s = pathFor(src)
+    if (java.nio.file.Files.exists(s))
+      java.nio.file.Files.move(s, pathFor(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+  def deleteAlongside(segment: java.nio.file.Path): Unit = {
+    java.nio.file.Files.deleteIfExists(pathFor(segment))
+    ()
+  }
+}

@@ -827,20 +827,44 @@ final class GraftDataFile private (
     sel0: scala.collection.immutable.BitSet = null,
     selExclude0: Boolean = false,
     derive0: GraftDeriveRecipe = null,
-    blooms0: Array[GraftBloom] = null) {
+    blooms0: Array[GraftBloom] = null,
+    bloomRefs0: Array[GraftBloomRef] = null) {
 
   def this(rows: Array[InternalRow], zones: Array[ColZone], sizeBytes: Long,
            groupKey: Option[Seq[Any]]) =
     this(rows, zones, sizeBytes, groupKey, rows.length, null)
 
+  /** Compact bloom descriptors (what the LOG carries — the words live
+    * in the segment's sidecar): non-null iff the file has filters.
+    * Freshly built files derive refs from their eager array; decoded
+    * files carry the entry's refs and load words lazily. */
+  private[sources] val bloomRefs: Array[GraftBloomRef] =
+    if (bloomRefs0 != null) bloomRefs0
+    else GraftBloomSidecar.refsOf(blooms0)
+
+  @volatile private var bloomsCache: Array[GraftBloom] = blooms0
+
   /** Per-column Bloom filters (index = schema ordinal, null = none) —
     * built only for `bloom.columns`-flagged fields. A position VIEW
     * inherits its base's filters (a superset: conservative, like the
-    * zone envelope). Empty array = table has no bloom'd columns. */
-  val blooms: Array[GraftBloom] =
-    if (blooms0 == null) GraftDataFile.NoBlooms else blooms0
-  private[sources] def bloomAt(i: Int): GraftBloom =
-    if (i < blooms.length) blooms(i) else null
+    * zone envelope). Empty array = no bloom'd columns. For a file
+    * decoded from the durable log the words load LAZILY from the
+    * segment's sidecar (`<segment>.bloom`) the first time a point
+    * lookup consults them — the commit log and checkpoints carry only
+    * [[bloomRefs]], so commit metadata stays O(files), never O(rows). */
+  def blooms: Array[GraftBloom] = {
+    val c = bloomsCache
+    if (c != null) return c
+    val loaded =
+      if (bloomRefs == null || segment == null) GraftDataFile.NoBlooms
+      else GraftBloomSidecar.read(segment.path)
+    bloomsCache = loaded
+    loaded
+  }
+  private[sources] def bloomAt(i: Int): GraftBloom = {
+    val b = blooms
+    if (i < b.length) b(i) else null
+  }
 
   /** Non-null ⇒ a DERIVED pseudo-file (the CDC feed): rows are COMPUTED
     * from other files' segments by a serializable partition recipe —
@@ -968,9 +992,10 @@ object GraftDataFile {
   def fromSegment(h: GraftSegmentHandle, zones: Array[ColZone],
                   sizeBytes: Long, groupKey: Option[Seq[Any]],
                   rowCount: Int,
-                  blooms: Array[GraftBloom] = null): GraftDataFile =
+                  blooms: Array[GraftBloom] = null,
+                  bloomRefs: Array[GraftBloomRef] = null): GraftDataFile =
     new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h,
-      blooms0 = blooms)
+      blooms0 = blooms, bloomRefs0 = bloomRefs)
 
   /** Position view over a PERSISTED base file (see `viewSel`): the CDC
     * record of a row-level delete/restore costs O(positions) in the
@@ -997,8 +1022,11 @@ object GraftDataFile {
       else if (n >= 2) ColZone(z.min, z.max, 1L)
       else null // n == 1, base mixed: "unknown" is the only safe claim
     }
+    // bloom metadata passes through WITHOUT forcing the base's lazy
+    // sidecar load: the view shares the base's segment, so its own
+    // lazy load reads the same sidecar on first consult
     new GraftDataFile(null, zones, bytes, base.groupKey, n,
-      base.segment, sel, exclude, blooms0 = base.blooms)
+      base.segment, sel, exclude, bloomRefs0 = base.bloomRefs)
   }
 
   /** A view decoded from the log (all metadata from the entry). */
@@ -1006,9 +1034,10 @@ object GraftDataFile {
       sizeBytes: Long, groupKey: Option[Seq[Any]], rowCount: Int,
       sel: scala.collection.immutable.BitSet,
       exclude: Boolean,
-      blooms: Array[GraftBloom] = null): GraftDataFile =
+      blooms: Array[GraftBloom] = null,
+      bloomRefs: Array[GraftBloomRef] = null): GraftDataFile =
     new GraftDataFile(null, zones, sizeBytes, groupKey, rowCount, h,
-      sel, exclude, blooms0 = blooms)
+      sel, exclude, blooms0 = blooms, bloomRefs0 = bloomRefs)
 
   /** `rows` minus the DEAD positions, original order preserved — THE
     * delete-vector application, shared by every read path so the
@@ -1326,7 +1355,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       val m = ms.head
       val nf = GraftDataFile.fromSegment(
         new GraftSegmentHandle(d.log.dir.resolve(m.rel), newSchema),
-        m.zones, m.bytes, m.groupKey, m.rowCount, m.blooms)
+        m.zones, m.bytes, m.groupKey, m.rowCount, bloomRefs = m.bloomRefs)
       d.registry.put(m.rel, nf)
       nf
     })
@@ -1926,6 +1955,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       n += 1
       val abs = d.log.dir.resolve(rel)
       GraftSegmentIO.write(abs, e.schema, f.rows)
+      // bloomed heap files persist their filter words as the segment's
+      // sidecar — the log entry carries only the refs
+      GraftBloomSidecar.write(abs, f.blooms)
       f.spill(new GraftSegmentHandle(abs, e.schema))
       d.registry.put(rel, f)
     }
@@ -2151,10 +2183,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
             val abs = d.log.dir.resolve(rel)
             java.nio.file.Files.createDirectories(abs.getParent)
             java.nio.file.Files.copy(f.segment.path, abs)
+            // the bloom sidecar is part of the segment's bytes: the
+            // deep-copied clone must keep skipping after its source is
+            // vacuumed
+            GraftBloomSidecar.copyAlongside(f.segment.path, abs)
             val g = GraftDataFile.fromSegment(
               new GraftSegmentHandle(abs, f.segment.schema),
               f.zones, f.sizeBytes, f.groupKey, f.rowCount,
-              if (f.blooms.isEmpty) null else f.blooms)
+              bloomRefs = f.bloomRefs)
             d.registry.put(rel, g)
             g
           case None =>
@@ -2285,18 +2321,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val rel = s"data/repl-$v-$n.parquet"
           n += 1
           val abs = d.log.dir.resolve(rel)
-          if (f.persisted)
+          if (f.persisted) {
             // same volume (the stage nests inside this table's dir):
-            // a rename, never a byte copy
-            java.nio.file.Files.move(f.segment.path, abs)
-          else
+            // a rename, never a byte copy — the bloom sidecar moves
+            // with its segment
+            val src = f.segment.path
+            java.nio.file.Files.move(src, abs)
+            GraftBloomSidecar.moveAlongside(src, abs)
+          } else {
             // unpersisted staged rows (an empty-log edge; normally the
             // staged CTAS commit persisted everything): write directly
             GraftSegmentIO.write(abs, staged.tableSchema, f.rows)
+            GraftBloomSidecar.write(abs, f.blooms)
+          }
           val nf = GraftDataFile.fromSegment(
             new GraftSegmentHandle(abs, staged.tableSchema),
             f.zones, f.sizeBytes, f.groupKey, f.rowCount,
-            if (f.blooms.isEmpty) null else f.blooms)
+            bloomRefs = f.bloomRefs)
           d.registry.put(rel, nf)
           nf
         }
@@ -2977,7 +3018,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         GraftFilesDelivery(m.segs.iterator.map { s =>
           val f = GraftDataFile.fromSegment(
             new GraftSegmentHandle(d.log.dir.resolve(s.rel), segSchema),
-            s.zones, s.bytes, s.groupKey, s.rowCount, s.blooms)
+            s.zones, s.bytes, s.groupKey, s.rowCount, bloomRefs = s.bloomRefs)
           // a metadata-only ADD COLUMN may have widened the table
           // between the write factory's creation and this commit —
           // bring the adopted handle in line (no-op otherwise)
@@ -3029,6 +3070,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (!live.contains(abs.toString)) {
             d.registry.remove(rel)
             java.nio.file.Files.deleteIfExists(abs)
+            GraftBloomSidecar.deleteAlongside(abs)
           }
         }
       }
@@ -3079,7 +3121,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       ms.toSeq.map { m =>
         val nf = GraftDataFile.fromSegment(
           new GraftSegmentHandle(d0.log.dir.resolve(m.rel), tableSchema),
-          m.zones, m.bytes, m.groupKey, m.rowCount, m.blooms)
+          m.zones, m.bytes, m.groupKey, m.rowCount, bloomRefs = m.bloomRefs)
         d0.registry.put(m.rel, nf)
         nf
       }
@@ -3368,7 +3410,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           i -> ms.toSeq.map { m =>
             val f = GraftDataFile.fromSegment(
               new GraftSegmentHandle(d.log.dir.resolve(m.rel), schema),
-              m.zones, m.bytes, m.groupKey, m.rowCount, m.blooms)
+              m.zones, m.bytes, m.groupKey, m.rowCount, bloomRefs = m.bloomRefs)
             d.registry.put(m.rel, f)
             f
           }
@@ -4962,11 +5004,15 @@ class GraftScanBuilder(tableSchema: StructType,
         if (i < f.zones.length && f.zones(i) != null) Some(fl.name -> f.zones(i))
         else None
       }.toMap
-    def bloomsByName(f: GraftDataFile): Map[String, GraftBloom] =
-      if (f.blooms.isEmpty) Map.empty
-      else tableSchema.fields.iterator.zipWithIndex.flatMap { case (fl, i) =>
-        Option(f.bloomAt(i)).map(fl.name -> _)
-      }.toMap
+    // by-name thunk: building the map forces the file's (possibly
+    // sidecar-backed) filter load — only a runtime point/IN refinement
+    // should pay it, so the chunk defers until actually consulted
+    def bloomsByName(f: GraftDataFile): () => Map[String, GraftBloom] =
+      () =>
+        if (f.bloomRefs == null || f.blooms.isEmpty) Map.empty
+        else tableSchema.fields.iterator.zipWithIndex.flatMap {
+          case (fl, i) => Option(f.bloomAt(i)).map(fl.name -> _)
+        }.toMap
     // storage-partitioned-join eligibility: the scan can report a
     // key-grouped layout only when the partition (or bucket-source)
     // columns survive into the output (join keys must resolve against it)
@@ -5109,24 +5155,29 @@ private[sources] final class ScanChunk(
     val groupKey: Option[Seq[Any]],
     val rowCount: Int,
     val lazySeg: Option[InputPartition],
-    val blooms: Map[String, GraftBloom] = Map.empty) {
+    // by-name: forcing it may read a bloom SIDECAR, which only a
+    // runtime point/IN refinement should pay for — never plain planning
+    bloomsFn: () => Map[String, GraftBloom] = () => Map.empty) {
   lazy val rows: Array[InternalRow] = rowsFn()
+  lazy val blooms: Map[String, GraftBloom] = bloomsFn()
   /** Runtime-filter exclusion under key-grouped reporting: same
     * partition value, zero rows, zero I/O. */
   def emptied: ScanChunk =
-    new ScanChunk(() => Array.empty, zones, groupKey, 0, None, blooms)
+    new ScanChunk(() => Array.empty, zones, groupKey, 0, None, bloomsFn)
 }
 
 private[sources] object ScanChunk {
   def apply(rows: Array[InternalRow], zones: Map[String, ColZone],
             groupKey: Option[Seq[Any]] = None,
-            blooms: Map[String, GraftBloom] = Map.empty): ScanChunk =
+            blooms: () => Map[String, GraftBloom] = () => Map.empty)
+      : ScanChunk =
     new ScanChunk(() => rows, zones, groupKey, rows.length, None, blooms)
 
   def lazily(seg: InputPartition, zones: Map[String, ColZone],
              groupKey: Option[Seq[Any]], rowCount: Int,
              loader: () => Array[InternalRow],
-             blooms: Map[String, GraftBloom] = Map.empty): ScanChunk =
+             blooms: () => Map[String, GraftBloom] = () => Map.empty)
+      : ScanChunk =
     new ScanChunk(loader, zones, groupKey, rowCount, Some(seg), blooms)
 }
 

@@ -514,6 +514,18 @@ private[sources] final class GraftTableLog(val dir: Path,
           if (name.endsWith(".parquet") && !liveRefs.contains(s"data/$name")
               && (minAgeMillis <= 0L || !youngEnough))
             Files.deleteIfExists(p)
+          // a bloom SIDECAR lives and dies with its segment: sweep it
+          // when the segment's ref is no longer live (the segment file
+          // itself may already be gone); crashed sidecar temps (never
+          // referenced by anything) sweep age-gated like data orphans
+          else if (name.endsWith(".parquet" + GraftBloomSidecar.Suffix)
+              && !liveRefs.contains(
+                s"data/${name.stripSuffix(GraftBloomSidecar.Suffix)}")
+              && (minAgeMillis <= 0L || !youngEnough))
+            Files.deleteIfExists(p)
+          else if (name.contains(GraftBloomSidecar.Suffix + ".tmp-")
+              && (minAgeMillis <= 0L || !youngEnough))
+            Files.deleteIfExists(p)
         }
       } finally s.close()
     }
@@ -636,18 +648,19 @@ private[sources] object GraftLogCodec {
       (if (exclude) "xsel" else "sel") ->
         (JArray(bs.toList.map(p => JLong(p.toLong))): JValue)
     }
-    // per-file Bloom filters (bloom.columns): [ordinal, k, words-b64]
-    // triples, only for columns that carry one — the skip index rides
-    // the log exactly like the zone maps (Delta keeps it in a sidecar;
-    // same per-file immutable shape)
-    val bloomJ =
-      if (f.blooms.isEmpty) Nil
-      else List("bl" -> (JArray(
-        f.blooms.toList.zipWithIndex.collect {
-          case (b, i) if b != null => JArray(List(JLong(i.toLong),
-            JLong(b.k.toLong),
-            JString(GraftBloom.encodeWords(b.words)))): JValue
-        }): JValue))
+    // per-file Bloom filters (bloom.columns): the log carries only the
+    // COMPACT REFS [ordinal, k, nWords] — the filter words live in the
+    // segment's sidecar (`<segment>.bloom`, GraftBloomSidecar), exactly
+    // as Delta's bloom index and parquet's footer blooms are sidecar
+    // bytes referenced by the metadata. Inlining the words would make a
+    // bloom-indexed append's delta entry O(rows appended) and every
+    // checkpoint re-carry ~1.3 bytes/row of table — data-sized metadata
+    // on the driver and the log store. Refs never force the lazy load.
+    val bloomJ = Option(f.bloomRefs).toList.map { refs =>
+      "blx" -> (JArray(refs.toList.map(r =>
+        JArray(List(JLong(r.ord.toLong), JLong(r.k.toLong),
+          JLong(r.words.toLong))): JValue)): JValue)
+    }
     JObject(base ++ selJ ++ bloomJ)
   }
 
@@ -676,6 +689,19 @@ private[sources] object GraftLogCodec {
           scala.collection.immutable.BitSet(ps.map(num(_).toInt): _*)
         case other => throw new IllegalStateException(s"bad sel: $other")
       }
+      // "blx": sidecar REFS (current format — words load lazily from
+      // the segment's sidecar). "bl": the pre-sidecar inline words, kept
+      // decodable so an old log's filters still serve (eagerly).
+      val bloomRefs: Array[GraftBloomRef] = o.get("blx") match {
+        case Some(JArray(entries)) =>
+          entries.map {
+            case JArray(List(i, k, w)) =>
+              GraftBloomRef(num(i).toInt, num(k).toInt, num(w).toInt)
+            case other =>
+              throw new IllegalStateException(s"bad bloom ref: $other")
+          }.toArray
+        case _ => null
+      }
       val blooms: Array[GraftBloom] = o.get("bl") match {
         case Some(JArray(entries)) =>
           val arr = new Array[GraftBloom](schema.length)
@@ -694,9 +720,11 @@ private[sources] object GraftLogCodec {
       sel match {
         case Some(bs) => GraftDataFile.fromSegmentView(h, zones,
           num(o("bytes")).toLong, group, num(o("rows")).toInt, bs,
-          exclude = o.contains("xsel"), blooms = blooms)
+          exclude = o.contains("xsel"), blooms = blooms,
+          bloomRefs = bloomRefs)
         case None => GraftDataFile.fromSegment(h, zones,
-          num(o("bytes")).toLong, group, num(o("rows")).toInt, blooms)
+          num(o("bytes")).toLong, group, num(o("rows")).toInt, blooms,
+          bloomRefs = bloomRefs)
       }
     }
     // views NEVER registry-share by ref: the bare ref names the BASE

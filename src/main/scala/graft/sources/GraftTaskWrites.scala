@@ -54,7 +54,10 @@ final case class GraftDurableWriteSpec(
   * message crosses a real executor→driver boundary unchanged. */
 final case class GraftSegmentMeta(rel: String, rowCount: Int, bytes: Long,
     zones: Array[ColZone], groupKey: Option[Seq[Any]],
-    blooms: Array[GraftBloom] = null)
+    // bloom REFS only — the filter words were written to the segment's
+    // sidecar by this task (GraftBloomSidecar); shipping them here would
+    // make the commit message O(rows), not O(stats)
+    bloomRefs: Array[GraftBloomRef] = null)
 
 /** Commit message of a segment-writing task: file references + stats.
   * `schemaJson` is the layout the segments were written with (the
@@ -169,8 +172,11 @@ private[sources] final class GraftSegmentDataWriter(
       val abs = java.nio.file.Paths.get(spec.tableDir).resolve(rel)
       val bytes = GraftSegmentIO.write(abs, schema, rs)
       written += abs
-      GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey,
-        if (f.blooms.isEmpty) null else f.blooms)
+      // filter words land task-side beside the segment; only the refs
+      // ride the commit message
+      val refs = GraftBloomSidecar.write(abs, f.blooms)
+      if (refs != null) written += GraftBloomSidecar.pathFor(abs)
+      GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey, refs)
     }
     buf.clear()
     GraftSegmentsMessage(spec.schemaJson, metas.toArray,
@@ -341,10 +347,10 @@ private[sources] object GraftSplit {
         side: String): Array[GraftSegmentMeta] = {
       val f = GraftDataFile.build(rows, schema, keyOf)
       val rel = s"data/spl-${job.writeId}-b${job.binId}-$side.parquet"
-      val bytes = GraftSegmentIO.write(
-        java.nio.file.Paths.get(job.outDir).resolve(rel), schema, rows)
+      val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
+      val bytes = GraftSegmentIO.write(abs, schema, rows)
       Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones, f.groupKey,
-        if (f.blooms.isEmpty) null else f.blooms))
+        GraftBloomSidecar.write(abs, f.blooms)))
     }
     GraftSplitResult(gone.length, stay.length,
       writeSide(gone, "g"), writeSide(stay, "s"))
@@ -392,7 +398,7 @@ private[sources] object GraftCompaction {
         val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
         val bytes = GraftSegmentIO.write(abs, schema, chunk)
         GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey,
-          if (f.blooms.isEmpty) null else f.blooms)
+          GraftBloomSidecar.write(abs, f.blooms))
       }.toArray
   }
 }

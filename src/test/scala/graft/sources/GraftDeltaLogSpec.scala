@@ -62,6 +62,56 @@ class GraftDeltaLogSpec extends SparkSpec {
     assert(entryJson(td, 0).contains("\"files\""))
   }
 
+  test("a bloom-indexed append's log entry stays O(1) in row count: " +
+      "the filter words live in the segment sidecar, not the log") {
+    val wh = tmpDir("graft-dlog-bloom")
+    durableCatalog("dlb", wh)
+    spark.sql("CREATE TABLE dlb.ns.t_bl (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k')")
+    import spark.implicits._
+    (0 until 100).map(i => (f"key$i%06d", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("dlb.ns.t_bl").append()
+    (0 until 20000).map(i => (f"big$i%06d", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("dlb.ns.t_bl").append()
+    val td = tableDir(wh)
+    val small = entryJson(td, 1)
+    val big = entryJson(td, 2)
+    // 20k keys at 10 bits/key would be ~25 KB inlined; the ref form is
+    // three integers per bloom'd column regardless of row count
+    assert(big.contains("\"blx\""), "entries must carry bloom REFS")
+    assert(!big.contains("\"bl\":"), "no inline filter words in the log")
+    assert(big.length < small.length + 256,
+      s"entry bytes must not scale with rows: " +
+        s"100-row=${small.length}B vs 20000-row=${big.length}B")
+    // the words live beside the segment, and the skip still works after
+    // a cold fold (the restart reads the sidecar, not the entry)
+    import scala.jdk.CollectionConverters._
+    val sidecars = Files.list(td.resolve("data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".bloom")).toSeq
+    assert(sidecars.size === 2, s"one sidecar per segment: $sidecars")
+    durableCatalog("dlbr", wh, isolated = true)
+    val n = spark.table("dlbr.ns.t_bl")
+      .filter(org.apache.spark.sql.functions.col("k") === "big000007")
+      .count()
+    assert(n === 1L)
+    val t = spark.sessionState.catalogManager.catalog("dlbr")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "t_bl"))
+    val c = t.lastScanCensus.get
+    assert(c.filesRead === 1,
+      s"cold-fold bloom (from the sidecar) must skip the other file: $c")
+    // OVERWRITE retires both files (they stay as the overwrite entry's
+    // CDC preimages); once that entry itself retires, VACUUM sweeps the
+    // orphaned segments AND their sidecars
+    spark.sql("INSERT OVERWRITE dlb.ns.t_bl VALUES ('only', 1)")
+    spark.sql("INSERT INTO dlb.ns.t_bl VALUES ('more', 2)")
+    GraftMaintenance.sql(spark, "VACUUM dlb.ns.t_bl RETAIN 1 SNAPSHOTS")
+      .collect()
+    val left = Files.list(td.resolve("data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".bloom")).toSeq
+    assert(left.size === 2,
+      s"vacuum must sweep orphaned sidecars with their segments: $left")
+  }
+
   test("a checkpoint lands every K commits; restart folds checkpoint + " +
       "tail after the pre-anchor entries are reclaimed") {
     val savedK = GraftTable.checkpointInterval
