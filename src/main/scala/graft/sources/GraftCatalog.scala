@@ -1633,14 +1633,27 @@ class GraftTable(initialName: String, initialSchema: StructType,
       snap("ANALYZE") // stats change, zero logical row changes
     }
 
-  /** Row-level-write guard for identity/generated tables: carried rows
-    * pass, a NULL fill target refuses loudly (see [[GraftFillSpec]]). */
-  private[sources] def rowLevelFillGuard: Option[GraftFillSpec] = {
+  /** Row-level fill recipe for identity/generated tables (None when the
+    * table has neither): carried identity values pass through,
+    * merge-INSERTED rows mint from THIS rewrite's own reserved value
+    * block (reserved off the persisted high-water here, verified at
+    * commit by [[installIdentityReserved]] — the same optimistic
+    * contract as the plain write path), and generated columns
+    * RECOMPUTE on delivery, so an UPDATE touching a generation source
+    * never leaves the derived column stale (Delta's semantics). */
+  private[sources] def rowLevelFillSpec: Option[GraftFillSpec] = {
     val ids = GraftFill.identityCols(tableSchema)
     val gens = GraftFill.generatedCols(tableSchema)
     if (ids.isEmpty && gens.isEmpty) None
-    else Some(GraftFillSpec(tableSchema.json, ids, ids.map(_ => 0L), gens,
-      validateOnly = true))
+    else {
+      refreshIfStale() // reserve off the latest foreign high-water
+      val bases = ids.map { id =>
+        math.max(id.start, epochLedger.getOrElse(
+          GraftFill.IdentityLedgerPrefix + id.name, id.start))
+      }
+      Some(GraftFillSpec(tableSchema.json, ids, bases, gens,
+        rowLevel = true))
+    }
   }
 
   /** DELETE VECTORS (merge-on-read): per data file, the positions a MOR
@@ -3947,10 +3960,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
             : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
           new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
             override def build()
-                : org.apache.spark.sql.connector.write.DeltaWrite =
-              new GraftDeltaWrite(GraftTable.this, (dels, ins) =>
-                installDelta(dels, ins, command().toString,
-                  scannedState._1))
+                : org.apache.spark.sql.connector.write.DeltaWrite = {
+              val fs = rowLevelFillSpec
+              val base: (Array[(Int, Int)], Array[GraftDelivery]) => Unit =
+                (dels, ins) => installDelta(dels, ins,
+                  command().toString, scannedState._1)
+              val commit = fs match {
+                case Some(f) if f.identities.nonEmpty =>
+                  (dels: Array[(Int, Int)], ins: Array[GraftDelivery]) =>
+                    installIdentityReserved(f, ins,
+                      ds => base(dels, ds))
+                case _ => base
+              }
+              new GraftDeltaWrite(GraftTable.this, commit, fs)
+            }
           }
       }
     else () => new RowLevelOperation {
@@ -4009,13 +4032,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // simply don't arrive) — [[GraftRowLevelBatchWrite]] strips it.
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
-          override def build(): Write = new GraftWrite(clusterTransforms,
-            () => new GraftRowLevelBatchWrite(GraftTable.this, tableSchema,
+          override def build(): Write = {
+            // ONE spec instance: the writers mint from the same reserved
+            // block the commit verifies (plan-time reservation, commit-
+            // time optimistic check — the plain path's contract)
+            val fs = rowLevelFillSpec
+            val base: Array[GraftDelivery] => Unit =
               delivered => installReplaceGroups(delivered,
                 Option(rlScan).flatMap(_.scannedGroups),
                 op = command().toString,
-                expectedBase = scannedFiles),
-              rowLevelFillGuard))
+                expectedBase = scannedFiles)
+            val installAll = fs match {
+              case Some(f) if f.identities.nonEmpty =>
+                (ds: Array[GraftDelivery]) =>
+                  installIdentityReserved(f, ds, base)
+              case _ => base
+            }
+            new GraftWrite(clusterTransforms,
+              () => new GraftRowLevelBatchWrite(GraftTable.this,
+                tableSchema, installAll, fs))
+          }
         }
 
       override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -4168,15 +4204,17 @@ case class GraftStreamingWriterFactory(
   * inserts. An update is a delete of the old address plus an insert of
   * the new row (same file-level effect Delta's MOR write has). */
 class GraftDeltaWrite(table: GraftTable,
-    commitFn: (Array[(Int, Int)], Array[GraftDelivery]) => Unit)
+    commitFn: (Array[(Int, Int)], Array[GraftDelivery]) => Unit,
+    fill: Option[GraftFillSpec] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWriterFactory}
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DeltaWriterFactory =
-      GraftDeltaWriterFactory(table.durableWriteSpec(),
-        table.rowLevelFillGuard)
+      // the SAME spec instance the commit verifies — writers must mint
+      // from the block the reservation check covers
+      GraftDeltaWriterFactory(table.durableWriteSpec(), fill)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])

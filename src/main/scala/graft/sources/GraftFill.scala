@@ -124,7 +124,7 @@ final case class GraftFillSpec(
     identities: Seq[GraftFill.IdentityFill],
     identityBases: Seq[Long],
     generated: Seq[GraftFill.GeneratedFill],
-    validateOnly: Boolean = false) extends Serializable {
+    rowLevel: Boolean = false) extends Serializable {
 
   @transient lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -132,28 +132,21 @@ final case class GraftFillSpec(
   /** Fill one incoming row (task-side). Returns a NEW row when any
     * column fills; the input row otherwise.
     *
-    * `validateOnly` is the ROW-LEVEL-WRITE guard: MERGE/UPDATE/DELETE
-    * rewrites deliver a mix of carried rows (identity/generated values
-    * already present — pass through untouched, no ALWAYS refusal) and
-    * merge-INSERTED rows (the fill targets arrive NULL). Generating
-    * there would need per-rewrite block reservation and expression
-    * recompute-on-dependency semantics this store doesn't do, and
-    * storing the NULL would silently break the column's contract — so
-    * a NULL fill target refuses loudly instead. */
+    * `rowLevel` is the ROW-LEVEL-WRITE mode: MERGE/UPDATE rewrites
+    * deliver a mix of CARRIED rows (identity values already present —
+    * pass through, no ALWAYS refusal: the writer cannot distinguish a
+    * carried value from an explicit one, so the ALWAYS contract is
+    * enforced on the plain insert path) and merge-INSERTED rows (the
+    * identity target arrives NULL — mint from this rewrite's own
+    * reserved block, same math as the plain path). GENERATED columns
+    * RECOMPUTE on delivery for every row — Delta's semantics: an
+    * UPDATE that touches a generation source must not leave the
+    * derived column stale, and recomputing unconditionally (the
+    * expression is deterministic over this row) also keeps the column
+    * contract when a merge clause supplied an inconsistent value. */
   def fill(row: InternalRow, partitionId: Int, localIdx: Long)
       : InternalRow = {
     val s = schema
-    if (validateOnly) {
-      (identities.map(i => (i.ord, i.name)) ++
-        generated.map(g => (g.ord, g.name))).foreach { case (ord, nm) =>
-        if (row.isNullAt(ord))
-          throw new IllegalStateException(
-            s"column $nm is identity/generated: row-level writes " +
-              "(MERGE/UPDATE) do not generate values — supply it " +
-              "explicitly in the insert clause (plain INSERT generates)")
-      }
-      return row
-    }
     var out: GenericInternalRow = null
     def materialize(): GenericInternalRow = {
       if (out == null) {
@@ -170,7 +163,7 @@ final case class GraftFillSpec(
     }
     identities.zip(identityBases).foreach { case (id, base) =>
       if (!row.isNullAt(id.ord)) {
-        if (!id.allowExplicit)
+        if (!id.allowExplicit && !rowLevel)
           throw new IllegalStateException(
             s"identity column ${id.name} is GENERATED ALWAYS — explicit " +
               "values are not accepted (BY DEFAULT allows them)")
@@ -188,7 +181,7 @@ final case class GraftFillSpec(
       }
     }
     generated.foreach { g =>
-      if (!row.isNullAt(g.ord))
+      if (!rowLevel && !row.isNullAt(g.ord))
         throw new IllegalStateException(
           s"column ${g.name} is GENERATED ALWAYS AS (${g.check.text}) — " +
             "explicit values are not accepted")

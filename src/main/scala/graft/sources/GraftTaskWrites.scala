@@ -136,9 +136,10 @@ private[sources] final class GraftSegmentDataWriter(
           stripOp(record).copy()
         else return
       } else record
-    // identity/generated fill (plain writes) or the row-level
-    // validate-only guard (rewrites), task-side, BEFORE validation —
-    // a CHECK over a generated column sees the generated value
+    // identity/generated fill, task-side, BEFORE validation — a CHECK
+    // over a generated column sees the generated value. Row-level
+    // rewrites fill too (rowLevel mode): carried identity values pass,
+    // merge-inserted ones mint, generated columns recompute
     val row: InternalRow = fill match {
       case Some(fs) =>
         // copy BEFORE filling: fill's materialized row holds value
