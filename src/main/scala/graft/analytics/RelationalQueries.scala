@@ -2185,6 +2185,52 @@ object RelationalQueries {
       s.table(s"$r.ns.t").orderBy("id")
     },
 
+    // ----- partition-spec EVOLUTION (`ALTER TABLE … SET PARTITIONED
+    // BY`, Iceberg's spec evolution, round 14): re-partition WITHOUT
+    // rewriting a byte. The first half of nation lands grouped by
+    // region; the spec evolves to the mod-3 key (pre-evolution files
+    // degroup to spanning legacy remainders — the evolution commit
+    // touches zero data files); the second half lands grouped under
+    // the NEW spec; a partition-scoped DELETE on the new key then
+    // splits the legacy files executor-side while dropping new-spec
+    // groups by reference. The isolated re-read proves the evolved
+    // layout, the degrouped census and the mixed-layout delete all
+    // fold back from the log (GraftEvolveSpec pins time travel to the
+    // old spec, OPTIMIZE regrouping, and the foreign re-open contract).
+    Q("s57_partition_evolution", "DDL-evolve,S8,P4,A1",
+      """SELECT CAST(n_nationkey % 3 AS BIGINT) AS nk_mod,
+        |  count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey % 3 <> 2
+        |GROUP BY nk_mod ORDER BY nk_mod""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s57").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gew_$tag"
+      val r = s"ger_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_regionkey").cast("long").as("region"),
+          (col("n_nationkey") % 3).cast("long").as("nk_mod"),
+          col("n_nationkey").cast("long").as("nk"))
+      nat.where(lit(false)).writeTo(s"$w.ns.t")
+        .partitionedBy(col("region")).create()
+      nat.where(col("nk") < 13).writeTo(s"$w.ns.t").append()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.t SET PARTITIONED BY (nk_mod)").collect()
+      nat.where(col("nk") >= 13).writeTo(s"$w.ns.t").append()
+      s.sql(s"DELETE FROM $w.ns.t WHERE nk_mod = 2")
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.t")
+        .groupBy("nk_mod")
+        .agg(count(lit(1)).as("n"), sum(col("nk")).cast("long")
+          .as("key_sum"))
+        .orderBy("nk_mod")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

@@ -828,7 +828,13 @@ final class GraftDataFile private (
     selExclude0: Boolean = false,
     derive0: GraftDeriveRecipe = null,
     blooms0: Array[GraftBloom] = null,
-    bloomRefs0: Array[GraftBloomRef] = null) {
+    bloomRefs0: Array[GraftBloomRef] = null,
+    // the pre-evolution file this one is the degrouped twin of (see
+    // GraftDataFile.degrouped) — RESTORE across a spec evolution uses
+    // it to canonicalize a restored census onto the LIVE identities, so
+    // unchanged files stay "shared" and the restore's CDC stays
+    // delta-sized instead of recording whole-table churn
+    private[sources] val degroupedFrom: GraftDataFile = null) {
 
   def this(rows: Array[InternalRow], zones: Array[ColZone], sizeBytes: Long,
            groupKey: Option[Seq[Any]]) =
@@ -986,6 +992,25 @@ object GraftDataFile {
       rowCount: Int): GraftDataFile =
     new GraftDataFile(null, zones, sizeBytes, None, rowCount, null,
       derive0 = recipe)
+
+  /** The same file WITHOUT its partition-group key — what partition-
+    * spec evolution turns every pre-evolution file into: a "legacy
+    * remainder" file (Iceberg's unpartitioned-remainder semantics),
+    * spanning by construction, already first-class on every read/write
+    * path. Segment handle, zones, blooms, and row cache all carry;
+    * only the grouping clears. Identity is NEW — the old object (with
+    * its old-layout key) stays referenced by pre-evolution history
+    * entries, which time travel binds under the old layout. */
+  private[sources] def degrouped(f: GraftDataFile): GraftDataFile =
+    if (f.groupKey.isEmpty) f
+    else if (f.persisted)
+      new GraftDataFile(null, f.zones, f.sizeBytes, None, f.rowCount,
+        f.segment, f.sel, f.selExclude,
+        blooms0 = f.bloomsCache, bloomRefs0 = f.bloomRefs,
+        degroupedFrom = f)
+    else
+      new GraftDataFile(f.rows, f.zones, f.sizeBytes, None, f.rowCount,
+        null, blooms0 = f.bloomsCache, degroupedFrom = f)
 
   /** A file resurrected from the durable log: rows load lazily from the
     * parquet segment; all metadata comes from the log entry. */
@@ -1894,6 +1919,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$tableName: the table was REPLACEd by another writer at " +
           s"version ${e.version}; this handle's layout is stale — " +
           "re-open the table to continue")
+    if (e.operation == GraftTable.EvolveOp && !allowReplace)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: the partition spec evolved under another writer " +
+          s"at version ${e.version}; this handle's layout is stale — " +
+          "re-open the table to continue")
     // a file first decoded under an OLDER entry keeps its registry
     // identity; as newer entries replay, re-point its handle at the
     // widest schema seen (metadata-only ADD COLUMN — the parquet read
@@ -2230,11 +2260,45 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * whose liveness flipped. */
   private[sources] def restoreTo(v: Int, ident: Identifier): Unit =
     mutate {
-      val (schema, target, targetDvs) = stateAt(Some(v), ident)
+      val (schema, target0, targetDvs0) = stateAt(Some(v), ident)
       if (schema != tableSchema)
         throw new UnsupportedOperationException(
           s"$ident: cannot RESTORE across a schema change " +
             s"(version $v has a different schema)")
+      // RESTORE across a partition-spec evolution: the target census's
+      // group keys were computed under the OLD layout — meaningless
+      // (and mis-encoding) under the current one. The restored files
+      // DEGROUP into legacy remainder files, exactly as the evolution
+      // itself degrouped the then-live census; OPTIMIZE regroups.
+      val layoutDiffers = layoutAt(v) != ((partitionCols, bucketSpec))
+      val (target, targetDvs) =
+        if (!layoutDiffers) (target0, targetDvs0)
+        else {
+          // canonicalize onto LIVE identities first: a pre-evolution
+          // file still live now exists in the current census as its
+          // degrouped twin (live path: origin link; post-restart: same
+          // segment ref) — mapping to the twin keeps it "shared", so
+          // the restore's CDC is the true DV delta, not phantom churn
+          val curByOrigin =
+            new java.util.IdentityHashMap[GraftDataFile, GraftDataFile]()
+          files.foreach { cf =>
+            if (cf.degroupedFrom != null) curByOrigin.put(cf.degroupedFrom, cf)
+          }
+          val curByRef = files.iterator.filter(_.persisted)
+            .map(f => f.segment.path.toString -> f).toMap
+          def canon(f: GraftDataFile): GraftDataFile = {
+            val byO = curByOrigin.get(f)
+            if (byO != null) byO
+            else if (f.persisted)
+              curByRef.getOrElse(f.segment.path.toString,
+                GraftDataFile.degrouped(f))
+            else GraftDataFile.degrouped(f)
+          }
+          val tw = target0.map(canon)
+          (tw, target0.lazyZip(tw).flatMap { (of, nf) =>
+            targetDvs0.get(of).map(nf -> _)
+          }.toMap)
+        }
       val cur = files
       val curDvs = dvs
       val curSet = java.util.Collections.newSetFromMap(
@@ -2384,6 +2448,120 @@ class GraftTable(initialName: String, initialSchema: StructType,
         staged.adoptReplacedHistory(tableName, history, e, Some(d), carried,
           ledger)
     }
+  }
+
+  /** Partition-spec EVOLUTION (`ALTER TABLE … SET PARTITIONED BY`,
+    * Iceberg's spec evolution): change the partitioning WITHOUT
+    * rewriting a byte of data. Pre-evolution files' group keys CLEAR —
+    * they become spanning "legacy remainder" files (Iceberg's
+    * unpartitioned remainder), already first-class on every read/write
+    * path: zone pruning is grouping-independent, partition predicates
+    * over them take the executor-side split, and OPTIMIZE regroups them
+    * under the new spec (compaction splits per current group key — the
+    * "rewrite to migrate" path for free). New writes cluster under the
+    * new spec. The old layout joins [[priorLayouts]], so time travel
+    * and clones of pre-evolution versions bind the old group keys.
+    *
+    * `partitionCols` is immutable construction state (load-bearing in
+    * the key kernels, SPJ reporting, metadata deletes, runtime group
+    * filters), so evolution returns a NEW table object that adopts this
+    * one's entire state — the adoptReplacedHistory shape, but KEEPING
+    * field ids, checks, stats and the epoch ledger (schema unchanged —
+    * CDF and streaming read straight through). The caller swaps the
+    * store mapping; a stale handle or foreign process meeting the
+    * entry re-opens (same contract as REPLACE). */
+  private[sources] def evolvePartitioning(newCols: Seq[String])
+      : GraftTable = mutate {
+    if (bucketSpec.isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableName: partition-spec evolution is not defined for " +
+          "bucketed tables (a hash bucket is not a value partition)")
+    newCols.foreach { c =>
+      if (!tableSchema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"$tableName: SET PARTITIONED BY: no such column $c")
+    }
+    if (newCols == partitionCols) return this // no-op, no commit
+    val last = history.last
+    val v = last.version + 1
+    val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
+    // the live census DEGROUPS: every file keyed under the old spec
+    // becomes a legacy remainder file (new identity — the old objects
+    // stay referenced, old-keyed, by pre-evolution history entries)
+    val twinFiles = files.map(GraftDataFile.degrouped)
+    val twinDvs = files.lazyZip(twinFiles).flatMap { (of, nf) =>
+      dvs.get(of).map(nf -> _)
+    }.toMap
+    // a LAYOUT-ONLY commit: zero logical row changes — CDF delivers
+    // nothing, streaming tails pass through (added/removed empty,
+    // schema and field ids unchanged)
+    val e = CommitEntry(v, tableSchema, twinFiles, ts,
+      GraftTable.EvolveOp, dvs = twinDvs)
+    val layouts = priorLayouts :+ ((v - 1, partitionCols, bucketSpec))
+    val twin = new GraftTable(tableName, tableSchema, newCols,
+      rowLevelMode, None, checks)
+    durable.foreach { d =>
+      val checksTxt = checks.map { case (k, c) => k -> c.text }
+      // FULL-format entry with the new layout EMBEDDED (the log's
+      // record of the change — the same per-version metaData threading
+      // REPLACE uses; the restart fold binds old group keys below it).
+      // Full, not delta: every census identity changed (degrouping), so
+      // a delta would be 2×O(files) — and the full census re-encodes
+      // with group=null, which is what the registry-replacing decode
+      // keys off at fold time.
+      val json = GraftLogCodec.encodeEntry(e, newCols, None, d.log.dir,
+        checksTxt, nextFieldId, epochLedger,
+        Some((newCols, None, rowLevelMode)), colStats)
+      if (!d.log.writeEntry(v, json))
+        throw new java.util.ConcurrentModificationException(
+          s"$tableName: commit $v already exists in the log — a writer " +
+            "outside the commit lease raced this evolution; retry")
+      if (v % GraftTable.checkpointInterval == 0) {
+        val (manifest, parts) = GraftLogCodec.encodeCheckpoint(e,
+          newCols, None, d.log.dir, checksTxt, nextFieldId, epochLedger,
+          GraftTable.checkpointPartFiles, Some((newCols, None,
+            rowLevelMode)), colStats)
+        d.log.installCheckpoint(v, manifest, parts)
+        d.addAnchor(v)
+      }
+      // re-bind the registry: later decodes of these refs must share
+      // the DEGROUPED identity, not the old-keyed one
+      twinFiles.foreach { f =>
+        if (f.persisted && f.segment.path.startsWith(d.log.dir))
+          d.registry.put(GraftLogCodec.refOf(f, d.log.dir), f)
+      }
+    }
+    twin.adoptEvolved(history :+ e, durable, layouts, epochLedger,
+      colStats, nextFieldId)
+  }
+
+  /** Re-root `this` (a freshly constructed post-evolution twin) over
+    * the evolved state: everything carries EXCEPT the layout — field
+    * ids, checks (ctor), column stats (schema unchanged, still valid),
+    * the streaming/txn epoch ledger, durability, and the full retained
+    * history. Called only from [[evolvePartitioning]], under the
+    * predecessor's lease. */
+  private def adoptEvolved(h: Vector[CommitEntry],
+      d: Option[GraftTableDurability],
+      layouts: List[(Int, Seq[String], Option[(Int, String)])],
+      epochs: Map[String, Long], stats: Map[String, Array[Long]],
+      fieldIdCounter: Long): GraftTable = synchronized {
+    val e = h.last
+    files = e.files
+    dvs = e.dvs
+    var hh = h
+    val over = hh.length - math.max(2, GraftTable.historyRetention)
+    if (over > 0) hh = hh.drop(over)
+    history = hh
+    priorLayouts = layouts
+    everReplaced = true // checkpoints must embed their layout from now on
+    durable = d
+    restoreEpochs(epochs)
+    colStats = stats
+    nextFieldId = fieldIdCounter
+    changesCache = None
+    readState = (files, dvs)
+    this
   }
 
   /** Re-root the STAGED table object as the replacement: the target's
@@ -4079,6 +4257,15 @@ object GraftTable {
     * read across it (see [[GraftTable.assertCdfRangeReadable]]). */
   val ReplaceOp = "REPLACE TABLE"
 
+  /** Operation tag of a partition-spec evolution commit (`ALTER TABLE …
+    * SET PARTITIONED BY`, Iceberg's spec evolution). Unlike a REPLACE,
+    * the schema and its field ids are UNCHANGED — CDF and streaming
+    * tails read straight through it — but the live table object swaps
+    * (partitionCols is load-bearing construction state), so a stale
+    * in-process handle or foreign process meeting the entry re-opens,
+    * the same contract REPLACE has. */
+  val EvolveOp = "EVOLVE PARTITIONING"
+
   /** Ledger-key namespace of batch `txnAppId` idempotent writes: the
     * batch and streaming exactly-once high-waters share one persisted
     * ledger, and the prefix (illegal in a Spark streaming query id,
@@ -4309,6 +4496,34 @@ object GraftMaintenance {
                      scope: Option[GraftStoreState] = None): Unit = {
     val t = resolve(namespace, table, scope)
     t.setColStats(t.columnStatsSnapshot ++ stats)
+  }
+
+  /** `ALTER TABLE t SET PARTITIONED BY (col [, col…])` — partition-spec
+    * evolution without a rewrite (Iceberg's spec evolution): the live
+    * census degroups into legacy remainder files, new writes cluster
+    * under the new spec, and the STORE MAPPING swaps to the evolved
+    * table object (partitionCols is construction state). Returns the
+    * number of files degrouped. An empty column list un-partitions. */
+  def evolvePartitioning(namespace: Seq[String], table: String,
+      cols: Seq[String],
+      scope: Option[GraftStoreState] = None): Int = {
+    val key = (namespace, table)
+    val st = scope.orElse(
+      GraftTableStore.allStores.find(_.tables.contains(key))).getOrElse(
+      throw new NoSuchTableException(
+        Identifier.of(namespace.toArray, table)))
+    val target = st.tables.getOrElse(key,
+      throw new NoSuchTableException(
+        Identifier.of(namespace.toArray, table)))
+    val legacy = target.filesSnapshot.count(_.groupKey.nonEmpty)
+    val twin = target.evolvePartitioning(cols)
+    if (twin ne target) {
+      if (!st.tables.replace(key, target, twin))
+        throw new java.util.ConcurrentModificationException(
+          s"$table: the table was dropped or replaced while the " +
+            "partition evolution was committing")
+      legacy
+    } else 0
   }
 
   /** `REORG TABLE t [WHERE pred] APPLY (PURGE)` — rewrite exactly the
@@ -6199,6 +6414,14 @@ class GraftSnapshotTable(snapName: String, snapSchema: StructType,
     extends Table with SupportsRead {
   override def name(): String = snapName
   override def schema(): StructType = snapSchema
+  // the layout IN FORCE AT the snapshot's version (layoutAt) — after a
+  // REPLACE or a partition-spec evolution this differs from the live
+  // table's; reporting it keeps introspection honest about what the
+  // snapshot's group keys mean
+  override def partitioning(): Array[Transform] =
+    snapPartitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c): Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

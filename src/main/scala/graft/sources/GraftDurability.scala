@@ -732,7 +732,25 @@ private[sources] object GraftLogCodec {
     // a position-filtered impostor (and vice versa). View identity is
     // per-entry; nothing (DVs, prefix checks) requires sharing it.
     if (o.contains("sel") || o.contains("xsel")) build()
-    else registry.getOrElseUpdate(ref, build())
+    else registry.get(ref) match {
+      case Some(f0) =>
+        // partition-spec EVOLUTION re-censuses the same refs with their
+        // group keys CLEARED: when the decoded grouping disagrees with
+        // the registered object's, the binding REPLACES (later entries
+        // then share the degrouped identity) — pre-evolution entries
+        // already decoded keep their old-keyed objects, which time
+        // travel binds under the old layout
+        val group = o("group") match {
+          case JNull => None
+          case JArray(vs) =>
+            Some(vs.lazyZip(kts).map((v, t) => decodeValue(t, v)))
+          case other =>
+            throw new IllegalStateException(s"bad group: $other")
+        }
+        if (f0.groupKey == group) f0
+        else { val nf = build(); registry.put(ref, nf); nf }
+      case None => registry.getOrElseUpdate(ref, build())
+    }
   }
 
   /** A commit's table LAYOUT as carried in the log: partition columns,

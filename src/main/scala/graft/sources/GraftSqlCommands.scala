@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   VACUUM t [RETAIN n SNAPSHOTS | RETAIN n HOURS] [DRY RUN]
   *   RESTORE TABLE t TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
   *   CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
+  *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
   * }}} */
@@ -64,6 +65,8 @@ object GraftSqlParser {
     """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w,`\s]+?)|\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
+  private val EvolvePartitioning =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
   private val DescribeDetail =
@@ -348,6 +351,21 @@ object GraftSqlParser {
             stats.toSeq.sortBy(_._1).map { case (c, vs) =>
               Row(c, vs(0), vs(1), vs(2), vs(3))
             }
+          })
+        }
+
+      // ALTER TABLE … SET PARTITIONED BY (…): partition-spec evolution
+      // without a rewrite (Iceberg's). Every other ALTER TABLE shape
+      // falls through to Spark's parser — this regex requires the
+      // SET PARTITIONED BY clause, which standard SQL does not have.
+      case EvolvePartitioning(ident, colsTxt) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("files_degrouped"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            val cols = colsTxt.split(',').map(_.trim.stripPrefix("`")
+              .stripSuffix("`")).filter(_.nonEmpty).toSeq
+            Seq(Row(
+              GraftMaintenance.evolvePartitioning(ns, t, cols, scope)))
           })
         }
 

@@ -74,6 +74,8 @@ class GraftRandomSoakSpec extends SparkSpec {
       // refuses by contract, like any cross-schema restore)
       var minRestoreV = 0
       var replaces = 0
+      var evolutions = 0
+      var specOnV = false
 
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
@@ -194,9 +196,21 @@ class GraftRandomSoakSpec extends SparkSpec {
               model.clear(); snap.foreach { case (id, r) => model(id) = r }
             }
           }
-        } else if (op < 92 && !evolved && step > 8) { // one-shot evolution
+        } else if (op < 89 && !evolved && step > 8) { // one-shot evolution
           spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w BIGINT")
           evolved = true // existing rows read NULL — model already None
+        } else if (op < 92 && step > 4) { // partition-spec EVOLUTION
+          // (r14): flip between unpartitioned and v-partitioned amid
+          // the hostile checkpoint/reclaim cadence — pre-evolution
+          // files degroup to legacy remainders, later OPTIMIZEs
+          // regroup, cold folds must bind the evolved layout, and
+          // RESTOREs may now cross the spec change
+          specOnV = !specOnV
+          val spec = if (specOnV) "v" else ""
+          GraftMaintenance.sql(spark,
+            s"ALTER TABLE $cat.ns.t_$tag SET PARTITIONED BY ($spec)")
+            .collect()
+          evolutions += 1
         } else if (op < 95 && step > 5) { // atomic staged REPLACE (r13):
           // same logical shape (the model keeps working; RESTORE across
           // the swap is refused — field ids are disjoint), fresh rows.
@@ -222,6 +236,7 @@ class GraftRandomSoakSpec extends SparkSpec {
             s"SELECT max(version) FROM $cat.ns.`t_$tag$$history`")
             .as[Int].head()
           replaces += 1
+          specOnV = false // CTAS recreates unpartitioned
         } else { // RESTART probe: a cold fold must agree RIGHT NOW
           val cold = s"soak_$tag$step"
           durableCatalog(cold, wh, isolated = true, logstore)
@@ -248,7 +263,10 @@ class GraftRandomSoakSpec extends SparkSpec {
       assert(logVs === (logVs.head to logVs.last),
         s"[$mode seed=$seed] retained log must be gapless: $logVs")
       info(s"[$mode seed=${seed.toHexString}] $steps steps, " +
-        s"$replaces REPLACE swap(s) exercised")
+        s"$replaces REPLACE swap(s), $evolutions spec evolution(s) " +
+        "exercised")
+      assert(evolutions >= 1,
+        s"[$mode seed=$seed] the op space must exercise spec evolution")
     } finally {
       GraftTable.checkpointInterval = savedK
       GraftTable.checkpointPartFiles = savedP
@@ -263,7 +281,7 @@ class GraftRandomSoakSpec extends SparkSpec {
 
   test("randomized MOR soak: DV-heavy sequence under constant " +
       "checkpointing and reclaim never diverges from the model") {
-    soak("merge-on-read", seed = 0x5EED00B2L, steps = 60)
+    soak("merge-on-read", seed = 0x5EED00B3L, steps = 60)
   }
 
   test("randomized MOR soak on the conditional-put LogStore: the same " +
