@@ -5825,7 +5825,53 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       schema.fields.foreach { f =>
         colStats.get(f.name).foreach { vs =>
-          val Array(vNdv, vNulls, vAvgLen, vMaxLen) = vs
+          val vNdv = vs(0); val vNulls = vs(1)
+          val vAvgLen = vs(2); val vMaxLen = vs(3)
+          // histogram packing (see the ANALYZE handler): entries past
+          // the base four are [heightBits, minBits, maxBits, nBins,
+          // (loBits, hiBits, binNdv)*] — an equi-height histogram plus
+          // the min/max CBO's range estimator requires. Served only for
+          // numeric columns (the estimator converts bounds through the
+          // attribute's type).
+          import java.lang.Double.longBitsToDouble
+          val numericBound: Double => Any = f.dataType match {
+            case org.apache.spark.sql.types.ByteType => d => d.toByte
+            case org.apache.spark.sql.types.ShortType => d => d.toShort
+            case org.apache.spark.sql.types.IntegerType => d => d.toInt
+            case org.apache.spark.sql.types.LongType => d => d.toLong
+            case org.apache.spark.sql.types.FloatType => d => d.toFloat
+            case org.apache.spark.sql.types.DoubleType => d => d
+            case _ => null
+          }
+          val hist: Option[(Double, Double,
+              org.apache.spark.sql.connector.read.colstats.Histogram)] =
+            if (vs.length < 8 || numericBound == null) None
+            else {
+              val binHeight = longBitsToDouble(vs(4))
+              val colMin = longBitsToDouble(vs(5))
+              val colMax = longBitsToDouble(vs(6))
+              val n = vs(7).toInt
+              val binArr = Array.tabulate(n) { i =>
+                val b = 8 + 3 * i
+                val bLo = longBitsToDouble(vs(b))
+                val bHi = longBitsToDouble(vs(b + 1))
+                val bNdv = vs(b + 2)
+                new org.apache.spark.sql.connector.read.colstats
+                  .HistogramBin {
+                  override def lo(): Double = bLo
+                  override def hi(): Double = bHi
+                  override def ndv(): Long = bNdv
+                }
+              }
+              Some((colMin, colMax,
+                new org.apache.spark.sql.connector.read.colstats
+                  .Histogram {
+                  override def height(): Double = binHeight
+                  override def bins(): Array[
+                    org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin] = binArr
+                }))
+            }
           m.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(f.name),
@@ -5839,6 +5885,18 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
                 util.OptionalLong.of(vAvgLen)
               override def maxLen(): util.OptionalLong =
                 util.OptionalLong.of(vMaxLen)
+              override def min(): util.Optional[Object] =
+                hist.map(h => numericBound(h._1).asInstanceOf[Object])
+                  .map(util.Optional.of[Object])
+                  .getOrElse(util.Optional.empty[Object]())
+              override def max(): util.Optional[Object] =
+                hist.map(h => numericBound(h._2).asInstanceOf[Object])
+                  .map(util.Optional.of[Object])
+                  .getOrElse(util.Optional.empty[Object]())
+              override def histogram(): util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.map(h => util.Optional.of(h._3))
+                  .getOrElse(util.Optional.empty())
             })
         }
       }

@@ -321,7 +321,31 @@ object GraftSqlParser {
                 names
             }
             val df = sp.table(parts.map(p => s"`$p`").mkString("."))
-            val aggs = targets.flatMap { c =>
+            // equi-height HISTOGRAMS join the pass when Spark's own
+            // knob opts in (spark.sql.statistics.histogram.enabled):
+            // bin EDGES are the (0, 1/n, …, 1) approximate percentiles,
+            // computed inside the SAME distributed aggregation as
+            // ndv/nulls/lengths; per-bin ndv takes one more distributed
+            // pass (ApproxCountDistinctForIntervals — the aggregate
+            // Spark's own ANALYZE uses). Numeric columns only.
+            val histOn = sp.conf.get(
+              "spark.sql.statistics.histogram.enabled", "false").toBoolean
+            val histBins = sp.conf.get(
+              "spark.sql.statistics.histogram.numBins", "254").toInt
+            def numericOf(c: String): Boolean =
+              schema.fields(schema.fieldIndex(c)).dataType match {
+                case org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.FloatType |
+                     org.apache.spark.sql.types.DoubleType => true
+                case _ => false
+              }
+            val histTargets =
+              if (histOn) targets.filter(numericOf) else Nil
+            val aggs = Seq(count(lit(1)).as("__rows")) ++
+              targets.flatMap { c =>
               val isStr = schema.fields(schema.fieldIndex(c)).dataType ==
                 org.apache.spark.sql.types.StringType
               Seq(
@@ -333,9 +357,45 @@ object GraftSqlParser {
                     .cast("long").as(s"__avg_$c"),
                   coalesce(max(length(col(c))), lit(0))
                     .cast("long").as(s"__max_$c"))
-                 else Nil)
+                 else Nil) ++
+                (if (histTargets.contains(c)) {
+                  val qs = (0 to histBins).map(_.toDouble / histBins)
+                  Seq(percentile_approx(col(c).cast("double"),
+                    typedLit(qs.toArray), lit(10000)).as(s"__pct_$c"))
+                } else Nil)
             }
             val r = df.agg(aggs.head, aggs.tail: _*).head()
+            // per-bin ndv over the percentile edges (skipped when a
+            // column was all-null — no edges to bound the intervals)
+            val edgesByCol: Map[String, IndexedSeq[Double]] =
+              histTargets.flatMap { c =>
+                Option(r.getAs[scala.collection.Seq[Double]](s"__pct_$c"))
+                  .filter(_.length == histBins + 1)
+                  .map(es => c -> es.toIndexedSeq)
+              }.toMap
+            val binNdv: Map[String, Array[Long]] =
+              if (edgesByCol.isEmpty) Map.empty
+              else {
+                // ApproxCountDistinctForIntervals is the aggregate
+                // Spark's own ANALYZE uses for per-bin ndv; surfaced as
+                // a session temp function (the repo's custom-expression
+                // registration idiom) since it has no public builder
+                sp.sessionState.functionRegistry
+                  .createOrReplaceTempFunction("graft_acd_intervals",
+                    exprs => new org.apache.spark.sql.catalyst.expressions
+                      .aggregate.ApproxCountDistinctForIntervals(
+                        exprs.head, exprs(1)).toAggregateExpression(),
+                    "built-in")
+                val iAggs = edgesByCol.toSeq.map { case (c, edges) =>
+                  call_function("graft_acd_intervals",
+                    col(c).cast("double"), typedLit(edges.toArray))
+                    .as(s"__bnv_$c")
+                }
+                val br = df.agg(iAggs.head, iAggs.tail: _*).head()
+                edgesByCol.keys.map(c =>
+                  c -> br.getAs[scala.collection.Seq[Long]](s"__bnv_$c")
+                    .toArray).toMap
+              }
             val stats = targets.map { c =>
               val dt = schema.fields(schema.fieldIndex(c)).dataType
               val ndv = r.getAs[Long](s"__ndv_$c")
@@ -344,7 +404,31 @@ object GraftSqlParser {
                 if (dt == org.apache.spark.sql.types.StringType)
                   (r.getAs[Long](s"__avg_$c"), r.getAs[Long](s"__max_$c"))
                 else (dt.defaultSize.toLong, dt.defaultSize.toLong)
-              c -> Array(ndv, nul, al, ml)
+              val base = Array(ndv, nul, al, ml)
+              c -> (edgesByCol.get(c) match {
+                case Some(edges) =>
+                  // histogram packing (see GraftScan.columnStats):
+                  // [ndv, nulls, avgLen, maxLen,
+                  //  heightBits, minBits, maxBits, nBins,
+                  //  (loBits, hiBits, binNdv)*] — double bits ride the
+                  // existing Array[Long] stats value, so the log
+                  // format, restart fold and evolution/replace carry
+                  // are all unchanged
+                  val ndvs = binNdv(c)
+                  val rows = r.getAs[Long]("__rows")
+                  val height =
+                    (rows - nul).toDouble / math.max(1, histBins)
+                  import java.lang.Double.doubleToRawLongBits
+                  base ++ Array(doubleToRawLongBits(height),
+                    doubleToRawLongBits(edges.head),
+                    doubleToRawLongBits(edges.last),
+                    histBins.toLong) ++
+                    (0 until histBins).flatMap(i => Seq(
+                      doubleToRawLongBits(edges(i)),
+                      doubleToRawLongBits(edges(i + 1)),
+                      if (i < ndvs.length) ndvs(i) else 0L))
+                case None => base
+              })
             }.toMap
             // FOR COLUMNS merges over prior stats; the commit persists
             GraftMaintenance.setColumnStats(ns, t, stats, scope)

@@ -72,6 +72,64 @@ class GraftAnalyzeSpec extends SparkSpec {
     assert(e.getMessage.contains("no such column"), e.getMessage)
   }
 
+  test("equi-height histograms (spark.sql.statistics.histogram.enabled) " +
+      "move CBO's range-filter cardinality estimate off the uniform " +
+      "interpolation, and survive restart") {
+    val wh = tmpDir("graft-anlh")
+    spark.conf.set("spark.sql.catalog.anh", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.anh.warehouse", wh)
+    spark.sql("CREATE TABLE anh.ns.t (id BIGINT, v STRING)")
+    // heavily skewed: 990 values in [0, 10), 10 outliers in [991, 1000]
+    // — uniform min/max interpolation estimates `id > 500` at ~50% of
+    // rows; the histogram knows ~99% of the mass sits below 10
+    val rows = (0 until 990).map(i => (i % 10.toLong, s"low$i")) ++
+      (0 until 10).map(i => (991L + i, s"hi$i"))
+    import spark.implicits._
+    rows.toDF("id", "v").writeTo("anh.ns.t").append()
+
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    def estimate(tbl: String): BigInt = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try spark.table(tbl).filter("id > 500")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(sys.error("CBO must produce a row-count estimate"))
+      finally spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+    }
+
+    // plain ANALYZE (no histogram): ndv-only stats — without min/max
+    // the estimator falls back near the default selectivity
+    GraftMaintenance.sql(spark,
+      "ANALYZE TABLE anh.ns.t COMPUTE STATISTICS FOR COLUMNS id")
+      .collect()
+    val t = spark.sessionState.catalogManager.catalog("anh")
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), "t"))
+    assert(t.columnStatsSnapshot("id").length === 4, "no histogram yet")
+
+    // histogram ANALYZE: the packed stats grow and the estimate drops
+    // to the histogram's truth (~1% of rows above 500)
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      GraftMaintenance.sql(spark,
+        "ANALYZE TABLE anh.ns.t COMPUTE STATISTICS FOR COLUMNS id")
+        .collect()
+    } finally
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+    val packed = t.columnStatsSnapshot("id")
+    assert(packed.length > 8, s"histogram must pack: len=${packed.length}")
+    val est = estimate("anh.ns.t")
+    assert(est <= BigInt(100),
+      s"histogram must expose the skew: estimated $est of 1000 rows " +
+        "above 500 (true count: 10)")
+    assert(est >= BigInt(1), s"estimate must stay positive: $est")
+
+    // the histogram rides the log: a cold fold serves the same estimate
+    spark.conf.set("spark.sql.catalog.anhr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.anhr.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.anhr.warehouse.isolated", "true")
+    assert(estimate("anhr.ns.t") === est,
+      "the restart fold must serve the identical histogram")
+  }
+
   test("colStats survive a CHECKPOINT-anchored cold fold after the " +
       "delta tail below the anchor is retired") {
     val savedK = GraftTable.checkpointInterval
