@@ -154,6 +154,172 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // ----- the curation lifecycle ON THE DURABLE LAKEHOUSE (the g2-move
+    // for the training-data surface): c1's stages plus a MinHash-family
+    // NEAR-DEDUP keeper stage between exact dedup and the quality gate
+    // (the t18 contract — df-capped n-gram Jaccard pair graph at 0.2,
+    // connected components, min-doc keeper per cluster), with EVERY
+    // stage landing as a catalog table in a fresh scratch warehouse —
+    // survivors, near-dedup keepers, gated set and the final capped
+    // corpus are all parquet segments written INSIDE writer tasks and
+    // read back executor-side, so the benched curation pipeline
+    // measures the segment-IO route a 100 TB curation run takes. The
+    // funnel census reads the CATALOG tables, proving each stage's
+    // durable round-trip. Plan: one dup-key window, one df-capped
+    // pair join (pair space structurally bounded, drop list broadcast),
+    // one token explode + two linear aggregates, one two-phase rank —
+    // no pair fan-out beyond the capped graph, no global window, zero
+    // rows on the driver.
+    Q("c2_curation_lakehouse", "CURATE-compose,DEDUP-exact,DEDUP-ngram," +
+      "CURATE-gate,CURATE-caps,E-durable,A1,A7",
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    md5(array_to_string(string_split(text, ' ')[1:3], ' '))
+         |      AS dup_key
+         |  FROM documents),
+         |surv AS (
+         |  SELECT doc_id, source, n_chars, text FROM (
+         |    SELECT doc_id, source, n_chars, text,
+         |      min(doc_id) OVER (PARTITION BY dup_key) AS keeper
+         |    FROM keyed) WHERE doc_id = keeper),
+         |${TextQueries.ngramCteBodyOver("surv")},
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.2),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |walk(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),
+         |comp AS (SELECT node, min(comp) AS component FROM walk
+         |         GROUP BY node),
+         |drops AS (SELECT node FROM comp WHERE node <> component),
+         |near AS (SELECT s.doc_id, s.source, s.n_chars, s.text
+         |         FROM surv s LEFT JOIN drops d ON s.doc_id = d.node
+         |         WHERE d.node IS NULL),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM near),
+         |tt AS (SELECT doc_id, term, count(*) AS cnt FROM tok
+         |       WHERE term <> '' GROUP BY doc_id, term),
+         |m AS (SELECT doc_id, sum(cnt) AS words,
+         |        sum(cnt * length(term)) AS sumlen, max(cnt) AS maxcnt,
+         |        sum(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END)
+         |          AS stops
+         |      FROM tt GROUP BY doc_id),
+         |gated AS (
+         |  SELECT n.doc_id, n.source, n.n_chars FROM near n JOIN m
+         |    ON n.doc_id = m.doc_id
+         |  WHERE m.words BETWEEN 20 AND 90
+         |    AND 33 * m.words <= 10 * m.sumlen
+         |    AND 10 * m.sumlen <= 47 * m.words
+         |    AND m.stops >= 2 AND 20 * m.maxcnt < 3 * m.words),
+         |capped AS (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM gated)
+         |SELECT k.source,
+         |  CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_dedup,
+         |  CAST(count(DISTINCT nn.doc_id) AS BIGINT) AS n_near,
+         |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_gated,
+         |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_final,
+         |  CAST(COALESCE(sum(CASE WHEN c.doc_id IS NOT NULL
+         |    AND k.doc_id = c.doc_id THEN c.n_chars END), 0) AS BIGINT)
+         |    AS final_chars
+         |FROM keyed k
+         |LEFT JOIN surv s ON k.doc_id = s.doc_id
+         |LEFT JOIN near nn ON k.doc_id = nn.doc_id
+         |LEFT JOIN gated g ON k.doc_id = g.doc_id
+         |LEFT JOIN (SELECT * FROM capped WHERE rk <= ${TextQueries.SourceCap})
+         |  c ON k.doc_id = c.doc_id
+         |GROUP BY k.source ORDER BY k.source""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      val cat = s"c2c_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        TempDirs.scratch("graft-c2wh"))
+      val docs = Tables.documents(s, dir)
+      // stage 1: exact dedup (t4's key, min-doc_id keeper) → catalog
+      val keyed = docs.select(col("doc_id"), col("source"),
+        col("n_chars"), col("text"),
+        md5(array_join(slice(TF.tokens(col("text")), 1, 3), " "))
+          .as("dup_key"))
+      keyed
+        .withColumn("keeper",
+          min("doc_id").over(Window.partitionBy("dup_key")))
+        .filter(col("doc_id") === col("keeper"))
+        .select("doc_id", "source", "n_chars", "text")
+        .writeTo(s"$cat.ns.c2_surv").partitionedBy(col("source")).create()
+      val survT = s.table(s"$cat.ns.c2_surv")
+      // stage 2: near-dedup keepers (t18's contract) over the DURABLE
+      // survivors: df-capped Jaccard pairs → CC → drop non-minimal
+      // cluster members; the drop list is pair-sized — broadcast it so
+      // the survivor table never shuffles
+      val edges = TextQueries.ngramScoredOver(survT)
+        .filter(col("jac") >= 0.2)
+        .select("doc_a", "doc_b")
+      val drops = graft.operators.ConnectedComponents(edges)
+        .filter(col("node") =!= col("component"))
+        .select(col("node"), lit(1).as("dropped"))
+      survT.join(broadcast(drops), col("doc_id") === col("node"), "left")
+        .filter(col("dropped").isNull)
+        .select("doc_id", "source", "n_chars", "text")
+        .writeTo(s"$cat.ns.c2_near").partitionedBy(col("source")).create()
+      val nearT = s.table(s"$cat.ns.c2_near")
+      // stage 3: the t42 rule gate over near-dedup keepers → catalog
+      val tt = nearT
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val m = tt.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("words"),
+          sum(col("cnt") * length(col("term"))).as("sumlen"),
+          max(col("cnt")).as("maxcnt"),
+          sum(when(col("term").isin("a", "the"), 1L).otherwise(0L))
+            .as("stops"))
+      nearT.join(m, "doc_id")
+        .filter(col("words").between(20, 90) &&
+          lit(33) * col("words") <= lit(10) * col("sumlen") &&
+          lit(10) * col("sumlen") <= lit(47) * col("words") &&
+          col("stops") >= 2 &&
+          lit(20) * col("maxcnt") < lit(3) * col("words"))
+        .select("doc_id", "source", "n_chars")
+        .writeTo(s"$cat.ns.c2_gated").create()
+      val gatedT = s.table(s"$cat.ns.c2_gated")
+      // stage 4: the t38 two-phase per-source cap → the final corpus
+      TextQueries.cappedKeepSet(gatedT, TextQueries.SourceCap)
+        .select("doc_id", "source")
+        .join(gatedT, Seq("doc_id", "source"))
+        .select("doc_id", "source", "n_chars")
+        .writeTo(s"$cat.ns.c2_final").create()
+      val finalT = s.table(s"$cat.ns.c2_final")
+      // funnel census — every stage read back THROUGH the catalog
+      val raw = docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_raw"))
+      val nDedup = survT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_dedup"))
+      val nNear = nearT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_near"))
+      val nGated = gatedT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_gated"))
+      val nFinal = finalT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_final"),
+          sum(col("n_chars")).cast("long").as("final_chars"))
+      raw.join(nDedup, Seq("source"), "left")
+        .join(nNear, Seq("source"), "left")
+        .join(nGated, Seq("source"), "left")
+        .join(nFinal, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("final_chars"), lit(0L)).as("final_chars"))
+        .orderBy("source")
+    },
+
     // ----- sequence packing (concat-and-chunk): the GPT-style pretraining
     // layout — documents are concatenated in a deterministic per-shard
     // order and the token stream is split every ChunkTokens tokens. Emits

@@ -126,9 +126,11 @@ object TextQueries {
   /** Shared CTE body (no WITH prefix) for the n-gram Jaccard pipeline:
     * tokens → distinct 3-shingles → hashed explode → df-capped self-join →
     * `scored(doc_a, doc_b, jac)` with exact unrounded Jaccard. Reused by
-    * t7 (pairs) and cc_components (cluster closure over the pair graph). */
-  private def ngramCteBody: String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    * t7 (pairs) and cc_components (cluster closure over the pair graph).
+    * `rel` parameterizes the source relation (c2 runs the pipeline over
+    * its exact-dedup survivor CTE instead of the raw corpus). */
+  private[analytics] def ngramCteBodyOver(rel: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS l FROM $rel),
        |sh AS (SELECT doc_id, ${TS.shingles("l", 3)} AS s FROM t),
        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
        |ex AS (SELECT doc_id,
@@ -177,6 +179,8 @@ object TextQueries {
        |  WHERE x.bcnt <= $MaxBandBucket AND y.bcnt <= $MaxBandBucket)""".stripMargin
   }
 
+  private def ngramCteBody: String = ngramCteBodyOver("documents")
+
   /** Spark twin of [[ngramCteBody]]: (doc_a, doc_b, jac) for all pairs
     * sharing ≥1 df-capped shingle. One shuffle on the shingle hash, one on
     * the pair key; the df cap bounds any single key's pair fan-out by
@@ -184,6 +188,14 @@ object TextQueries {
   private def ngramScored(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
     graft.plans.GraftFunctions.registerAll(s)
+    ngramScoredOver(Tables.documents(s, dir))
+  }
+
+  /** [[ngramScored]] over an EXPLICIT document frame (c2 scores the
+    * exact-dedup survivors, not the raw corpus). */
+  private[analytics] def ngramScoredOver(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val toks = TF.tokens(col("text"))
     // persist: the HASHED shingle arrays — the stage feeds the df count,
     // the pair join (twice) and both size lookups. Joining on the hash,
@@ -193,7 +205,7 @@ object TextQueries {
     // generator below is a bare cached attribute — an expensive HOF
     // generator re-evaluates per generated row (see ProfileT5).
     val sh = Caches.persistTracked(
-      Tables.documents(s, dir).repartition(col("doc_id"))
+      docs.repartition(col("doc_id"))
         .select(col("doc_id"),
           transform(TF.shingles(toks, 3), x => TF.polyHash(x)).as("hs")))
     val sz = sh.select(col("doc_id"), size(col("hs")).as("n"))
