@@ -197,6 +197,42 @@ class GraftEvolveSpec extends SparkSpec {
     assert(spark.table("evtr.ns.t").count() === 2L)
   }
 
+  test("a streaming tail survives an evolution ACROSS A RESTART: the " +
+      "live handle refuses at the swap (re-open), and the restarted " +
+      "stream resumes from the same checkpoint exactly once") {
+    // unlike REPLACE (disjoint field ids — the stream must die), an
+    // evolution changes no schema: the contract is restart-the-stream,
+    // same checkpoint — version offsets carry straight across
+    val wh = tmpDir("graft-evs")
+    spark.conf.set("spark.sql.catalog.evs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evs.warehouse", wh)
+    spark.sql("CREATE TABLE evs.ns.t (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO evs.ns.t VALUES (1, 'x'), (2, 'y')")
+    val out = tmpDir("graft-evs-out")
+    val ck = tmpDir("graft-evs-ck")
+    def drain(): Unit = {
+      val q = spark.readStream.table("evs.ns.t")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // v1's rows land
+    assert(spark.read.parquet(out).count() === 2L)
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE evs.ns.t SET PARTITIONED BY ()").collect() // v2
+    spark.sql("INSERT INTO evs.ns.t VALUES (3, 'z')")          // v3
+    // the restarted drain re-resolves the table (the evolved object)
+    // and resumes from the checkpoint: v2 delivers nothing, v3's row
+    // lands exactly once
+    drain()
+    import spark.implicits._
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("evolution refusals: unknown column, bucketed table; same spec " +
       "is a no-op commit-free; in-JVM tables evolve too") {
     spark.conf.set("spark.sql.catalog.evj", classOf[GraftCatalog].getName)
