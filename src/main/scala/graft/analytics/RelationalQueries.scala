@@ -2231,6 +2231,50 @@ object RelationalQueries {
         .orderBy("nk_mod")
     },
 
+    // ----- type WIDENING (ALTER COLUMN ... TYPE, Delta's typeWidening,
+    // round 14): INT -> BIGINT without a rewrite — the first half of
+    // nation lands under the narrow type, the widen commit touches zero
+    // data files (the parquet reader upcasts stored int32 values when
+    // the requested schema says BIGINT), and the second half lands with
+    // values beyond Int range. The isolated re-read proves the widened
+    // schema, the upcast reads of the narrow files and the mixed-width
+    // aggregate all fold back from the log (GraftWidenSpec pins the
+    // metadata-only census, zone/bloom survival, CDF refusal and the
+    // streaming restart contract).
+    Q("s58_type_widening", "DDL-widen,S4,A1,A7",
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN n_nationkey < 13 THEN n_nationkey
+        |           ELSE n_nationkey + 3000000000 END) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s58").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gww_$tag"
+      val r = s"gwr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_regionkey").cast("long").as("rk"),
+          col("n_nationkey").cast("int").as("nk"))
+      nat.where(lit(false)).writeTo(s"$w.ns.t").create()
+      nat.where(col("nk") < 13).writeTo(s"$w.ns.t").append()
+      s.sql(s"ALTER TABLE $w.ns.t ALTER COLUMN nk TYPE BIGINT")
+      nat.where(col("nk") >= 13)
+        .select(col("rk"), (col("nk").cast("long") + 3000000000L).as("nk"))
+        .writeTo(s"$w.ns.t").append()
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.t")
+        .groupBy("rk")
+        .agg(count(lit(1)).as("n"),
+          sum(col("nk")).cast("long").as("key_sum"))
+        .orderBy("rk")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

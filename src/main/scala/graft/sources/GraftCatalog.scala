@@ -1012,6 +1012,61 @@ object GraftDataFile {
       new GraftDataFile(f.rows, f.zones, f.sizeBytes, None, f.rowCount,
         null, blooms0 = f.bloomsCache, degroupedFrom = f)
 
+  /** Lossless type WIDENINGS the parquet reader serves without a
+    * rewrite (requesting the wide type upcasts INT32/FLOAT values at
+    * decode — verified against Spark's ParquetRowConverter): the
+    * Delta-typeWidening / Iceberg-type-promotion families. */
+  private[sources] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+
+  /** The same persisted file under a TYPE-WIDENED schema: the handle
+    * re-points (the parquet reader upcasts the stored narrow values at
+    * decode), the widened ordinal's zone values convert to the wide
+    * representation (exactly — all supported widenings are lossless),
+    * and blooms carry (integral hashes are longValue-based, so a stored
+    * INT's filter answers the widened BIGINT lookup bit-identically).
+    * Identity is NEW — pre-widen history entries keep the old-typed
+    * object, which time travel serves under the old schema. */
+  private[sources] def retyped(f: GraftDataFile, ord: Int,
+      schema: StructType): GraftDataFile = {
+    val to = schema.fields(ord).dataType
+    def up(v: Any): Any = v match {
+      case null => null
+      case n: java.lang.Number => to match {
+        case org.apache.spark.sql.types.LongType =>
+          java.lang.Long.valueOf(n.longValue)
+        case org.apache.spark.sql.types.IntegerType =>
+          java.lang.Integer.valueOf(n.intValue)
+        case org.apache.spark.sql.types.ShortType =>
+          java.lang.Short.valueOf(n.shortValue)
+        case org.apache.spark.sql.types.DoubleType =>
+          java.lang.Double.valueOf(n.doubleValue)
+        case _ => v
+      }
+      case other => other
+    }
+    val zs = f.zones.clone()
+    if (ord < zs.length && zs(ord) != null)
+      zs(ord) = ColZone(up(zs(ord).min), up(zs(ord).max),
+        zs(ord).nullCount)
+    new GraftDataFile(null, zs, f.sizeBytes, f.groupKey, f.rowCount,
+      new GraftSegmentHandle(f.segment.path, schema), f.sel, f.selExclude,
+      blooms0 = f.bloomsCache, bloomRefs0 = f.bloomRefs)
+  }
+
   /** A file resurrected from the durable log: rows load lazily from the
     * parquet segment; all metadata comes from the log entry. */
   def fromSegment(h: GraftSegmentHandle, zones: Array[ColZone],
@@ -1397,9 +1452,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * the FIELD ID travels with the column, so cross-version matching in
     * the change data feed and stream projections survives the rename),
     * and DROP COLUMN (rows rebuild without the ordinal; partition /
-    * bucket-source columns are protected). Type changes and positioned
-    * adds are rejected loudly rather than silently corrupting stored
-    * rows.
+    * bucket-source columns are protected). ALTER COLUMN TYPE serves
+    * LOSSLESS WIDENINGS without a rewrite (the parquet reader upcasts
+    * at decode — Delta's typeWidening); narrowing, other type changes,
+    * and positioned adds are rejected loudly rather than silently
+    * corrupting stored rows.
     *
     * Publish order for the lock-free readers: rebuilt FILES install
     * first, the new schema second. For adds a concurrent old-schema scan
@@ -1409,6 +1466,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * rows). */
   private[sources] def applyChanges(changes: Seq[TableChange]): Unit =
     mutate {
+      var widened = false
       changes.foreach {
         case add: TableChange.AddColumn =>
           if (add.fieldNames.length != 1)
@@ -1611,12 +1669,110 @@ class GraftTable(initialName: String, initialSchema: StructType,
           tableSchema = GraftBloom.unstamp(tableSchema)
           readState = (files, dvs)
 
+        // ALTER COLUMN ... TYPE — lossless type WIDENING without a
+        // rewrite (Delta's typeWidening / Iceberg's type promotion):
+        // the parquet reader upcasts stored narrow values when the
+        // requested schema says the wide type, so a 100 TB widen costs
+        // a log entry. The live census re-types into twins (converted
+        // zone values, re-pointed handles, carried blooms — integral
+        // hashes are longValue-based so they answer wide lookups
+        // bit-identically); history keeps the old-typed objects, which
+        // time travel serves under the old schema.
+        case upd: TableChange.UpdateColumnType =>
+          if (upd.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              "only top-level ALTER COLUMN TYPE is supported")
+          val name = upd.fieldNames.head
+          val idx = tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (idx < 0)
+            throw new IllegalArgumentException(s"no such column: $name")
+          val from = tableSchema.fields(idx).dataType
+          val to = upd.newDataType
+          if (!GraftDataFile.widens(from, to))
+            throw new UnsupportedOperationException(
+              s"cannot change column $name from $from to $to: only " +
+                "lossless widenings serve without a rewrite " +
+                "(TINYINT/SMALLINT/INT to a wider integral, " +
+                "FLOAT to DOUBLE)")
+          if (partitionCols.exists(_.equalsIgnoreCase(name)) ||
+              bucketSpec.exists(_._2.equalsIgnoreCase(name)))
+            throw new UnsupportedOperationException(
+              s"cannot widen partition/bucket column $name: group keys " +
+                "are typed by the layout — evolve the partitioning " +
+                "off the column first")
+          // generation expressions are compiled against the narrow
+          // type; evaluating them into (or from) a widened column would
+          // store the wrong representation — refuse both directions
+          val wf = tableSchema.fields(idx)
+          if (wf.metadata.contains(GraftFill.GeneratedKey) ||
+              wf.metadata.contains(GraftFill.IdentityKey))
+            throw new UnsupportedOperationException(
+              s"cannot widen identity/generated column $name")
+          GraftFill.generatedCols(tableSchema).foreach { g =>
+            g.check.expr.foreach {
+              case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                  if b.ordinal == idx =>
+                throw new UnsupportedOperationException(
+                  s"cannot widen column $name: generated column " +
+                    s"${g.name} computes from it")
+              case _ => ()
+            }
+          }
+          val newSchema = StructType(tableSchema.fields.zipWithIndex.map {
+            case (f, i) => if (i == idx) f.copy(dataType = to) else f
+          })
+          if (durable.isDefined && files.forall(_.persisted)) {
+            val twins = files.map(GraftDataFile.retyped(_, idx, newSchema))
+            dvs = files.lazyZip(twins).flatMap { (of, nf) =>
+              dvs.get(of).map(nf -> _)
+            }.toMap
+            files = twins
+          } else {
+            // in-JVM: heap rows carry no capture schema — rebuild with
+            // the upcast applied (the test fast-path)
+            val oldFields = tableSchema.fields
+            val dts = oldFields.map(_.dataType)
+            rebuildFiles(newSchema, { r =>
+              val vals = new Array[Any](oldFields.length)
+              var i = 0
+              while (i < oldFields.length) {
+                vals(i) = if (r.isNullAt(i)) null else r.get(i, dts(i))
+                i += 1
+              }
+              vals(idx) = (vals(idx), to) match {
+                case (null, _) => null
+                case (n: java.lang.Number,
+                      org.apache.spark.sql.types.LongType) => n.longValue
+                case (n: java.lang.Number,
+                      org.apache.spark.sql.types.IntegerType) => n.intValue
+                case (n: java.lang.Number,
+                      org.apache.spark.sql.types.ShortType) => n.shortValue
+                case (n: java.lang.Number,
+                      org.apache.spark.sql.types.DoubleType) => n.doubleValue
+                case (v, _) => v
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                vals): InternalRow
+            })
+          }
+          // CHECK constraints re-bind against the wide type (their
+          // comparisons upcast; the texts are unchanged)
+          checks = checks.map { case (n, c) =>
+            n -> GraftConstraints.compile(c.text, newSchema)
+          }
+          tableSchema = newSchema
+          readState = (files, dvs)
+          widened = true
+
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
       // a commit, but NOT a data change: the rebuilt files hold the same
-      // logical rows, so CDC and streaming tails deliver nothing
-      snap("ALTER TABLE")
+      // logical rows, so CDC and streaming tails deliver nothing. A
+      // WIDEN gets its own op tag: pre-widen change records carry the
+      // narrow representation, so CDF/streaming reads crossing it must
+      // refuse (see assertCdfRangeReadable) — additive ALTERs need not.
+      snap(if (widened) GraftTable.WidenOp else "ALTER TABLE")
     }
 
   /** Partition-group key of a stored row: the identity partition
@@ -1818,34 +1974,44 @@ class GraftTable(initialName: String, initialSchema: StructType,
     priorLayouts.find(v <= _._1).map(p => (p._2, p._3))
       .getOrElse((partitionCols, bucketSpec))
 
-  /** Newest RETAINED REPLACE swap version, if any. Once retention drops
-    * the swap (and with it every pre-replace entry — history is
-    * contiguous), the feed is uniform again and no guard is needed. */
-  private[sources] def lastReplaceVersion: Option[Int] = {
+  /** Newest RETAINED schema-breaking commit — a REPLACE swap (disjoint
+    * field ids) or a type WIDENING (narrow pre-widen representations) —
+    * as (version, op). Once retention drops it (and with it every
+    * earlier entry — history is contiguous), the feed is uniform again
+    * and no guard is needed. */
+  private[sources] def lastSchemaBreakVersion: Option[(Int, String)] = {
     val h = history
-    h.reverseIterator.find(_.operation == GraftTable.ReplaceOp)
-      .map(_.version)
+    h.reverseIterator.find(e =>
+      e.operation == GraftTable.ReplaceOp ||
+        e.operation == GraftTable.WidenOp)
+      .map(e => (e.version, e.operation))
   }
 
+  private[sources] def lastReplaceVersion: Option[Int] =
+    lastSchemaBreakVersion.map(_._1)
+
   /** Refuse a change-feed read whose version range is not entirely
-    * ABOVE the newest retained REPLACE swap (Delta's contract: CDF does
-    * not read across a non-additive schema change). The replacement's
-    * field ids are disjoint from the predecessor's BY CONSTRUCTION, so
-    * a pre-replace change row canonicalized to the current schema would
-    * null-pad every column — silently wrong preimages. `lower` is the
-    * read's proven lower bound on `_commit_version` (from pushed
-    * filters / the stream's start offset); None means unbounded. */
+    * ABOVE the newest retained schema break (Delta's contract: CDF does
+    * not read across a non-additive schema change). Across a REPLACE
+    * the field ids are disjoint — pre-replace change rows would
+    * null-pad every column; across a WIDEN the ids match but pre-widen
+    * rows carry the NARROW representation of the widened column —
+    * serving them as wide rows would hand Catalyst mistyped values.
+    * `lower` is the read's proven lower bound on `_commit_version`
+    * (from pushed filters / the stream's start offset); None means
+    * unbounded. */
   private[sources] def assertCdfRangeReadable(lower: Option[Int]): Unit =
-    lastReplaceVersion.foreach { r =>
+    lastSchemaBreakVersion.foreach { case (r, op) =>
       if (!lower.exists(_ > r))
         throw new IllegalStateException(
-          s"$tableName: the change feed crosses REPLACE TABLE at " +
-            s"version $r — pre-replace changes are expressed under a " +
-            "disjoint schema (field ids do not overlap), so they cannot " +
-            "be served as rows of the current schema. Constrain the " +
-            s"read to _commit_version >= ${r + 1} (streaming: " +
-            s"startingVersion >= ${r + 1}), or time-travel to a " +
-            "pre-replace version for the old state.")
+          s"$tableName: the change feed crosses $op at " +
+            s"version $r — earlier changes are expressed under an " +
+            "incompatible schema (disjoint field ids across a replace; " +
+            "a narrower column representation across a widen), so they " +
+            "cannot be served as rows of the current schema. Constrain " +
+            s"the read to _commit_version >= ${r + 1} (streaming: " +
+            s"startingVersion >= ${r + 1}), or time-travel to an " +
+            "earlier version for the old state.")
     }
 
   // ---- durable backing ------------------------------------------------
@@ -2849,13 +3015,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     changesCache match {
       case Some((cv, cs, fs)) if cv == v && cs == schema => fs
       case _ =>
-        // entries at or below a retained REPLACE swap never serve (the
-        // plan-time range guard already refused any read reaching
-        // them); their change records are expressed under disjoint
-        // field ids and would canonicalize to null-padded garbage —
-        // skip the build entirely
+        // entries at or below a retained schema break (REPLACE swap or
+        // type WIDEN) never serve (the plan-time range guard already
+        // refused any read reaching them); their change records are
+        // expressed under an incompatible schema — disjoint field ids
+        // (replace) or a narrower column representation (widen) — and
+        // would canonicalize to garbage, so skip the build entirely
         val floor = h.reverseIterator
-          .find(_.operation == GraftTable.ReplaceOp)
+          .find(e => e.operation == GraftTable.ReplaceOp ||
+            e.operation == GraftTable.WidenOp)
           .map(_.version).getOrElse(Int.MinValue)
         val fs = h.iterator.filter(_.version > floor)
           .flatMap(changeFilesOf).toVector
@@ -4265,6 +4433,14 @@ object GraftTable {
     * in-process handle or foreign process meeting the entry re-opens,
     * the same contract REPLACE has. */
   val EvolveOp = "EVOLVE PARTITIONING"
+
+  /** Operation tag of a type-WIDENING commit (`ALTER COLUMN … TYPE`,
+    * Delta's typeWidening). Schema field ids are unchanged, but the
+    * widened column's REPRESENTATION differs across the commit: change
+    * records below it carry narrow values, so CDF and streaming reads
+    * crossing it refuse (restart above it); plain scans, time travel
+    * and appends read straight through. */
+  val WidenOp = "WIDEN COLUMN TYPE"
 
   /** Ledger-key namespace of batch `txnAppId` idempotent writes: the
     * batch and streaming exactly-once high-waters share one persisted
@@ -6179,7 +6355,14 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
           FieldIds.ordinalOf(f, from) match {
             case -1 => Literal.create(null, f.dataType)
                 : org.apache.spark.sql.catalyst.expressions.Expression
-            case i => BoundReference(i, f.dataType, nullable = true)
+            case i =>
+              // a historical row may hold the column's NARROW pre-widen
+              // representation — cast up instead of mis-reading the slot
+              val st = from.fields(i).dataType
+              val ref = BoundReference(i, st, nullable = true)
+              if (st == f.dataType) ref
+              else org.apache.spark.sql.catalyst.expressions.Cast(
+                ref, f.dataType)
           }
         })
       rows.map(r => proj(r).copy(): InternalRow)
@@ -6245,6 +6428,25 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
               "table — the streaming tail's schema no longer matches " +
               "(field ids are disjoint across a replace). Restart the " +
               "stream against the replaced table.")
+        // a type WIDEN likewise carries no change vectors, but a stream
+        // BOUND BEFORE it types the widened column narrow — rows
+        // appended after the widen carry wide values the old binding
+        // cannot hold. Refuse only when this stream's bound output
+        // actually disagrees (by field id) with the widen entry's
+        // type: a restarted stream re-binds the wide schema and passes
+        // (version offsets carry straight across the checkpoint), and a
+        // stream that pruned the widened column away never cared.
+        if (entry.operation == GraftTable.WidenOp) {
+          val mismatch = required.fields.exists { f =>
+            val o = FieldIds.ordinalOf(f, entry.schema)
+            o >= 0 && entry.schema.fields(o).dataType != f.dataType
+          }
+          if (mismatch)
+            throw new IllegalStateException(
+              s"${table.name()}: commit ${entry.version} widened a " +
+                "column's type — this streaming tail's schema binds " +
+                "the narrow type. Restart the stream (same checkpoint).")
+        }
         if (entry.removed.nonEmpty) {
           if (skipChangeCommits) Nil
           else throw new IllegalStateException(
@@ -6285,7 +6487,20 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
           // applies the selection
           if (!f.persisted || f.viewSel.isDefined) None
           else {
-            val fs = f.segment.schema
+            val fs0 = f.segment.schema
+            // a restarted (wide-bound) stream reading a PRE-WIDEN file:
+            // lift the file's narrow stored types to the stream's bound
+            // types (by field id) in the requested schema — the parquet
+            // reader upcasts at decode, so the old segment serves wide
+            // values directly
+            val fs = StructType(fs0.fields.map { ff =>
+              FieldIds.idOf(ff).flatMap(id =>
+                required.fields.find(rf => FieldIds.idOf(rf).contains(id)))
+                .filter(rf =>
+                  GraftDataFile.widens(ff.dataType, rf.dataType))
+                .map(rf => ff.copy(dataType = rf.dataType))
+                .getOrElse(ff)
+            })
             val ords = required.fields.map(rf => FieldIds.ordinalOf(rf, fs))
             if (ords.forall(_ >= 0))
               Some(GraftSegmentScanPartition(f.segment.path.toString,

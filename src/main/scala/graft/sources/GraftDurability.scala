@@ -735,11 +735,15 @@ private[sources] object GraftLogCodec {
     else registry.get(ref) match {
       case Some(f0) =>
         // partition-spec EVOLUTION re-censuses the same refs with their
-        // group keys CLEARED: when the decoded grouping disagrees with
-        // the registered object's, the binding REPLACES (later entries
-        // then share the degrouped identity) — pre-evolution entries
-        // already decoded keep their old-keyed objects, which time
-        // travel binds under the old layout
+        // group keys CLEARED, and a type WIDEN re-censuses them under a
+        // wider column type: when the decoded grouping disagrees with
+        // the registered object's, or the registered handle's column
+        // TYPES disagree with this entry's schema on the shared prefix,
+        // the binding REPLACES (later entries then share the re-typed /
+        // degrouped identity) — earlier entries keep their old objects,
+        // which time travel serves under their own schema. Handle
+        // LENGTH may lag (metadata-only ADD COLUMN re-points via
+        // resegment); only a type flip forces the rebuild.
         val group = o("group") match {
           case JNull => None
           case JArray(vs) =>
@@ -747,7 +751,11 @@ private[sources] object GraftLogCodec {
           case other =>
             throw new IllegalStateException(s"bad group: $other")
         }
-        if (f0.groupKey == group) f0
+        val hs = f0.segment.schema
+        val shared = math.min(hs.length, schema.length)
+        val typesAgree = (0 until shared).forall(i =>
+          hs.fields(i).dataType == schema.fields(i).dataType)
+        if (typesAgree && f0.groupKey == group) f0
         else { val nf = build(); registry.put(ref, nf); nf }
       case None => registry.getOrElseUpdate(ref, build())
     }
