@@ -76,6 +76,8 @@ class GraftRandomSoakSpec extends SparkSpec {
       var replaces = 0
       var evolutions = 0
       var specOnV = false
+      var widenedW = false
+      var widens = 0
 
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
@@ -197,8 +199,24 @@ class GraftRandomSoakSpec extends SparkSpec {
             }
           }
         } else if (op < 89 && !evolved && step > 8) { // one-shot evolution
-          spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w BIGINT")
+          // added NARROW on purpose: a later draw widens it (r14's
+          // ALTER COLUMN TYPE) amid the same hostile cadence
+          spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w INT")
           evolved = true // existing rows read NULL — model already None
+        } else if (op < 89 && evolved && !widenedW && step > 12) {
+          // one-shot TYPE WIDENING (r14): INT -> BIGINT metadata-only;
+          // the encoder upcasts on read either way, so the model is
+          // type-blind — what this probes is the widen entry folding
+          // through checkpoints, reclaim and cold restarts. Restores
+          // below the widen would cross a schema change (refused by
+          // contract), so the restore floor advances.
+          spark.sql(s"ALTER TABLE $cat.ns.t_$tag ALTER COLUMN w " +
+            "TYPE BIGINT")
+          widenedW = true
+          minRestoreV = spark.sql(
+            s"SELECT max(version) FROM $cat.ns.`t_$tag$$history`")
+            .as[Int].head()
+          widens += 1
         } else if (op < 92 && step > 4) { // partition-spec EVOLUTION
           // (r14): flip between unpartitioned and v-partitioned amid
           // the hostile checkpoint/reclaim cadence — pre-evolution
@@ -237,6 +255,7 @@ class GraftRandomSoakSpec extends SparkSpec {
             .as[Int].head()
           replaces += 1
           specOnV = false // CTAS recreates unpartitioned
+          widenedW = true // the CTAS types w BIGINT outright
         } else { // RESTART probe: a cold fold must agree RIGHT NOW
           val cold = s"soak_$tag$step"
           durableCatalog(cold, wh, isolated = true, logstore)
@@ -263,8 +282,8 @@ class GraftRandomSoakSpec extends SparkSpec {
       assert(logVs === (logVs.head to logVs.last),
         s"[$mode seed=$seed] retained log must be gapless: $logVs")
       info(s"[$mode seed=${seed.toHexString}] $steps steps, " +
-        s"$replaces REPLACE swap(s), $evolutions spec evolution(s) " +
-        "exercised")
+        s"$replaces REPLACE swap(s), $evolutions spec evolution(s), " +
+        s"$widens widen(s) exercised")
       assert(evolutions >= 1,
         s"[$mode seed=$seed] the op space must exercise spec evolution")
     } finally {
