@@ -38,6 +38,10 @@ object CurationQueries {
     * oracle IN-list are both emitted from this Seq. */
   val Blocklist = Seq("customer", "stream", "vector")
 
+  /** t46 per-DOMAIN char budget (the flattened-mixture execution knob:
+    * every source contributes at most this many chars to the sample). */
+  val DomainBudgetChars = 2000L
+
   val all: Seq[Q] = Seq(
 
     // ----- the COMPOSED curation lifecycle (the flagship of the
@@ -317,6 +321,67 @@ object CurationQueries {
           coalesce(col("n_gated"), lit(0L)).as("n_gated"),
           coalesce(col("n_final"), lit(0L)).as("n_final"),
           coalesce(col("final_chars"), lit(0L)).as("final_chars"))
+        .orderBy("source")
+    },
+
+    // ----- per-DOMAIN token-budget sampling (mixture EXECUTION — the
+    // op that realizes t23's flattened mixture under a budget): every
+    // source contributes documents in deterministic md5 order until its
+    // own char budget fills (in iff the source-local running total
+    // BEFORE the doc is under budget — the t45 rule, per domain), so no
+    // source can dominate the sample and reruns are bit-stable. Scale
+    // posture: the per-source prefix sum is TWO-PHASE like t45's global
+    // one — phase 1 windows over (source, 2-hex-digit bucket) so a
+    // corpus-dominating source spreads over 256 partitions instead of
+    // serializing one; phase 2 re-bases by the (source-count × 256)-row
+    // broadcast prefix of per-(source, bucket) totals. The oracle
+    // restates it as the single per-source window, result-identical.
+    Q("t46_domain_budget_sample", "CURATE-budget,MIX-weights,W7,A7", {
+      val b = DomainBudgetChars
+      s"""WITH h AS (SELECT doc_id, source, n_chars,
+         |             md5(CAST(doc_id AS VARCHAR)) AS hk
+         |           FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |        COALESCE(sum(n_chars) OVER (PARTITION BY source
+         |          ORDER BY hk, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS before_chars
+         |      FROM h)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN before_chars < $b THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN before_chars < $b THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS sampled_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val h = Caches.persistTracked(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("bucket", substring(col("hk"), 1, 2)))
+      // phase 1: per-(source, bucket) running totals — 256-way parallel
+      // INSIDE each source, so a dominant domain never serializes
+      val local = h.withColumn("lb",
+        coalesce(sum(col("n_chars")).over(
+          Window.partitionBy("source", "bucket").orderBy("hk", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // phase 2: re-base by the per-source prefix of bucket totals
+      // (source-cardinality × 256 rows — broadcast side)
+      val offsets = h.groupBy("source", "bucket")
+        .agg(sum(col("n_chars")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(
+          Window.partitionBy("source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "bucket", "off")
+      local.join(broadcast(offsets), Seq("source", "bucket"))
+        .withColumn("before_chars", col("lb") + col("off"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("before_chars") < DomainBudgetChars, 1L)
+            .otherwise(0L)).cast("long").as("n_sampled"),
+          sum(when(col("before_chars") < DomainBudgetChars,
+            col("n_chars")).otherwise(0L)).cast("long")
+            .as("sampled_chars"))
         .orderBy("source")
     },
 

@@ -1029,6 +1029,12 @@ object GraftDataFile {
             org.apache.spark.sql.types.LongType) => true
       case (org.apache.spark.sql.types.FloatType,
             org.apache.spark.sql.types.DoubleType) => true
+      // int-or-narrower → double is exact (|v| ≤ 2³¹ < 2⁵³); LONG →
+      // double is NOT (lossy above 2⁵³) and stays refused, as Delta's
+      case (org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.DoubleType) => true
       case _ => false
     }
 

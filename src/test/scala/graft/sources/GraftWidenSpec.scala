@@ -140,6 +140,16 @@ class GraftWidenSpec extends SparkSpec {
     spark.sql("INSERT INTO wdj.ns.wdj_t VALUES (70000, 'c')")
     assert(spark.table("wdj.ns.wdj_t").orderBy("k")
       .select("k").as[Int].collect().toSeq === Seq(7, 9, 70000))
+    // INT -> DOUBLE is exact (< 2^53) and metadata-only too; LONG ->
+    // DOUBLE is lossy above 2^53 and stays refused
+    spark.sql("ALTER TABLE wdj.ns.wdj_t ALTER COLUMN k TYPE DOUBLE")
+    assert(spark.table("wdj.ns.wdj_t").orderBy("k")
+      .select("k").as[Double].collect().toSeq === Seq(7d, 9d, 70000d))
+    spark.sql("CREATE TABLE wdj.ns.wdj_l (k BIGINT)")
+    val e5 = intercept[Exception](spark.sql(
+      "ALTER TABLE wdj.ns.wdj_l ALTER COLUMN k TYPE DOUBLE"))
+    assert(msgs(e5).exists(m => m.contains("lossless widenings") ||
+      m.contains("NOT_SUPPORTED_CHANGE_COLUMN")), e5.getMessage)
   }
 
   test("a streaming tail bound BEFORE the widen refuses at the widen " +
