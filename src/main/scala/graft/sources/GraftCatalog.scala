@@ -6023,6 +6023,11 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
             case org.apache.spark.sql.types.LongType => d => d.toLong
             case org.apache.spark.sql.types.FloatType => d => d.toFloat
             case org.apache.spark.sql.types.DoubleType => d => d
+            // histogram domain = catalyst-internal rep: DATE bounds are
+            // epoch DAYS (Int), TIMESTAMP bounds epoch MICROS (Long) —
+            // exactly what FilterEstimation converts literals into
+            case org.apache.spark.sql.types.DateType => d => d.toInt
+            case org.apache.spark.sql.types.TimestampType => d => d.toLong
             case _ => null
           }
           val hist: Option[(Double, Double,

@@ -332,18 +332,29 @@ object GraftSqlParser {
               "spark.sql.statistics.histogram.enabled", "false").toBoolean
             val histBins = sp.conf.get(
               "spark.sql.statistics.histogram.numBins", "254").toInt
-            def numericOf(c: String): Boolean =
+            // the histogram domain is the column's CATALYST-INTERNAL
+            // representation as a double — numbers as themselves, DATE
+            // as epoch days, TIMESTAMP as epoch micros (exact below
+            // 2⁵³) — because that is the domain FilterEstimation
+            // converts range-predicate literals into
+            def histExprOf(c: String): Option[org.apache.spark.sql.Column] =
               schema.fields(schema.fieldIndex(c)).dataType match {
                 case org.apache.spark.sql.types.ByteType |
                      org.apache.spark.sql.types.ShortType |
                      org.apache.spark.sql.types.IntegerType |
                      org.apache.spark.sql.types.LongType |
                      org.apache.spark.sql.types.FloatType |
-                     org.apache.spark.sql.types.DoubleType => true
-                case _ => false
+                     org.apache.spark.sql.types.DoubleType =>
+                  Some(col(c).cast("double"))
+                case org.apache.spark.sql.types.DateType =>
+                  Some(datediff(col(c), to_date(lit("1970-01-01")))
+                    .cast("double"))
+                case org.apache.spark.sql.types.TimestampType =>
+                  Some(unix_micros(col(c)).cast("double"))
+                case _ => None
               }
             val histTargets =
-              if (histOn) targets.filter(numericOf) else Nil
+              if (histOn) targets.filter(histExprOf(_).isDefined) else Nil
             val aggs = Seq(count(lit(1)).as("__rows")) ++
               targets.flatMap { c =>
               val isStr = schema.fields(schema.fieldIndex(c)).dataType ==
@@ -360,7 +371,7 @@ object GraftSqlParser {
                  else Nil) ++
                 (if (histTargets.contains(c)) {
                   val qs = (0 to histBins).map(_.toDouble / histBins)
-                  Seq(percentile_approx(col(c).cast("double"),
+                  Seq(percentile_approx(histExprOf(c).get,
                     typedLit(qs.toArray), lit(10000)).as(s"__pct_$c"))
                 } else Nil)
             }
@@ -388,7 +399,7 @@ object GraftSqlParser {
                     "built-in")
                 val iAggs = edgesByCol.toSeq.map { case (c, edges) =>
                   call_function("graft_acd_intervals",
-                    col(c).cast("double"), typedLit(edges.toArray))
+                    histExprOf(c).get, typedLit(edges.toArray))
                     .as(s"__bnv_$c")
                 }
                 val br = df.agg(iAggs.head, iAggs.tail: _*).head()

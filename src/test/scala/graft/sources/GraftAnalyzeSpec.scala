@@ -130,6 +130,38 @@ class GraftAnalyzeSpec extends SparkSpec {
       "the restart fold must serve the identical histogram")
   }
 
+  test("DATE columns histogram in epoch-days — a skewed date range " +
+      "filter estimates from the histogram, not uniform interpolation") {
+    val wh = tmpDir("graft-anld")
+    spark.conf.set("spark.sql.catalog.and", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.and.warehouse", wh)
+    spark.sql("CREATE TABLE and.ns.t (d DATE, v BIGINT)")
+    // 990 rows in Jan 1995, 10 outliers in 2020: `d > 2000-01-01`
+    // interpolates to ~80% of rows without a histogram, is ~1% with one
+    spark.sql("INSERT INTO and.ns.t SELECT " +
+      "date_add(DATE'1995-01-01', CAST(id % 30 AS INT)), id " +
+      "FROM range(990)")
+    spark.sql("INSERT INTO and.ns.t SELECT " +
+      "date_add(DATE'2020-06-01', CAST(id AS INT)), id FROM range(10)")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      GraftMaintenance.sql(spark,
+        "ANALYZE TABLE and.ns.t COMPUTE STATISTICS FOR COLUMNS d")
+        .collect()
+    } finally
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+    val saved = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val est = spark.table("and.ns.t").filter("d > DATE'2000-01-01'")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(sys.error("CBO must estimate"))
+      assert(est <= BigInt(100),
+        s"date histogram must expose the skew: $est of 1000 " +
+          "(true count: 10)")
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
+  }
+
   test("colStats survive a CHECKPOINT-anchored cold fold after the " +
       "delta tail below the anchor is retired") {
     val savedK = GraftTable.checkpointInterval
