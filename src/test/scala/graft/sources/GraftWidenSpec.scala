@@ -152,6 +152,36 @@ class GraftWidenSpec extends SparkSpec {
       m.contains("NOT_SUPPORTED_CHANGE_COLUMN")), e5.getMessage)
   }
 
+  test("OPTIMIZE after a widen compacts narrow and wide segments into " +
+      "wide ones; MOR delete vectors keyed pre-widen still apply") {
+    val wh = tmpDir("graft-wideno")
+    spark.conf.set("spark.sql.catalog.wdo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wdo.warehouse", wh)
+    spark.sql("CREATE TABLE wdo.ns.t (k INT, v STRING) TBLPROPERTIES " +
+      "('write.rowlevel.mode'='merge-on-read')")
+    (0 until 50).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).writeTo("wdo.ns.t").append()
+    // MOR delete BEFORE the widen: the DV rides the narrow file
+    spark.sql("DELETE FROM wdo.ns.t WHERE k = 7")
+    spark.sql("ALTER TABLE wdo.ns.t ALTER COLUMN k TYPE BIGINT")
+    // the DV re-keyed onto the re-typed twin: the row stays deleted
+    assert(spark.table("wdo.ns.t").filter(col("k") === 7L).count() === 0L)
+    spark.sql("INSERT INTO wdo.ns.t VALUES (3000000000, 'big')")
+    // compaction reads the narrow segment UPCAST and rebuilds wide
+    GraftMaintenance.sql(spark, "OPTIMIZE wdo.ns.t").collect()
+    val t = graftTable("wdo", "ns", "t")
+    assert(t.filesSnapshot.forall(_.segment.schema.fields(0).dataType ===
+      org.apache.spark.sql.types.LongType),
+      "compacted segments must carry the wide layout")
+    assert(spark.table("wdo.ns.t").agg(sum("k")).as[Long].head() ===
+      (0L until 50L).sum - 7L + 3000000000L)
+    // and a cold fold over the compacted state agrees
+    spark.conf.set("spark.sql.catalog.wdor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wdor.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.wdor.warehouse.isolated", "true")
+    assert(spark.table("wdor.ns.t").count() === 50L)
+  }
+
   test("a streaming tail bound BEFORE the widen refuses at the widen " +
       "commit; a restarted (wide-bound) stream resumes from the same " +
       "checkpoint and reads pre-widen files upcast") {
