@@ -1110,9 +1110,12 @@ object GraftDataFile {
     }
     // bloom metadata passes through WITHOUT forcing the base's lazy
     // sidecar load: the view shares the base's segment, so its own
-    // lazy load reads the same sidecar on first consult
+    // lazy load reads the same sidecar on first consult. If the base
+    // already HAS its words (eager build, legacy inline decode, or a
+    // prior consult), share them — same filters, no second read
     new GraftDataFile(null, zones, bytes, base.groupKey, n,
-      base.segment, sel, exclude, bloomRefs0 = base.bloomRefs)
+      base.segment, sel, exclude, blooms0 = base.bloomsCache,
+      bloomRefs0 = base.bloomRefs)
   }
 
   /** A view decoded from the log (all metadata from the entry). */
@@ -2642,16 +2645,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * CDF and streaming read straight through). The caller swaps the
     * store mapping; a stale handle or foreign process meeting the
     * entry re-opens (same contract as REPLACE). */
-  private[sources] def evolvePartitioning(newCols: Seq[String])
+  private[sources] def evolvePartitioning(newCols0: Seq[String])
       : GraftTable = mutate {
     if (bucketSpec.isDefined)
       throw new UnsupportedOperationException(
         s"$tableName: partition-spec evolution is not defined for " +
           "bucketed tables (a hash bucket is not a value partition)")
-    newCols.foreach { c =>
-      if (!tableSchema.fieldNames.contains(c))
+    // resolve case-insensitively (Spark's resolution; the widen and
+    // partition/bucket guards already match this way) and adopt the
+    // SCHEMA's canonical spelling — the group-key kernels index fields
+    // by exact name, so an unnormalized variant would miss
+    val newCols = newCols0.map { c =>
+      tableSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
-          s"$tableName: SET PARTITIONED BY: no such column $c")
+          s"$tableName: SET PARTITIONED BY: no such column $c"))
     }
     if (newCols == partitionCols) return this // no-op, no commit
     val last = history.last
@@ -4005,6 +4012,36 @@ class GraftTable(initialName: String, initialSchema: StructType,
     fs.identities.zip(fs.identityBases).foreach { case (id, b) =>
       streamEpochs.put(GraftFill.IdentityLedgerPrefix + id.name,
         b + GraftFill.BlockUnits)
+    }
+    // delivered identity values that did NOT come from this write's
+    // reserved block — BY DEFAULT explicit inserts, and the carried/
+    // explicit mix a row-level rewrite passes through — must still
+    // advance the high-water, or a future block could re-mint below
+    // them. The delivered maximum is free: it is the identity column's
+    // zone-map max over the committed files (rows for in-JVM tables) —
+    // max-merge it BEFORE install so it rides this commit's log entry.
+    fs.identities.foreach { id =>
+      var mx = Long.MinValue
+      def fold(v: Any): Unit = v match {
+        case n: java.lang.Number => mx = math.max(mx, n.longValue)
+        case _ => ()
+      }
+      ds.foreach {
+        case GraftFilesDelivery(files) => files.foreach { f =>
+          if (id.ord < f.zones.length && f.zones(id.ord) != null)
+            fold(f.zones(id.ord).max)
+        }
+        case GraftRowsDelivery(rows) =>
+          val dt = fs.schema.fields(id.ord).dataType
+          rows.foreach { r =>
+            if (!r.isNullAt(id.ord)) fold(r.get(id.ord, dt))
+          }
+      }
+      if (mx != Long.MinValue) {
+        val k = GraftFill.IdentityLedgerPrefix + id.name
+        if (streamEpochs.get(k).forall(_ <= mx))
+          streamEpochs.put(k, mx + 1)
+      }
     }
     try install(ds)
     catch {

@@ -714,6 +714,24 @@ private[sources] object GraftLogCodec {
             case other =>
               throw new IllegalStateException(s"bad bloom entry: $other")
           }
+          // a pre-sidecar log inlined the words, so NO sidecar exists on
+          // disk — but every downstream carrier (position views, deep
+          // clones, REPLACE moves, checkpoint/full-entry re-encodes)
+          // ships only REFS derived from these words and resolves them
+          // against the sidecar. Materialize it beside the segment now
+          // (idempotent: tmp + atomic rename), or the first view/clone
+          // point-lookup throws "sidecar missing" and retention dropping
+          // this legacy entry loses the filter words for good.
+          if (bloomRefs == null)
+            try {
+              if (!java.nio.file.Files.exists(
+                  GraftBloomSidecar.pathFor(h.path)))
+                GraftBloomSidecar.write(h.path, arr)
+            } catch {
+              case _: java.io.IOException => () // read-only media: the
+                // eager words still serve THIS object; refs from it may
+                // dangle, which the pre-fix state already risked
+            }
           arr
         case _ => null
       }

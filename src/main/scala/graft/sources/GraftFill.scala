@@ -177,7 +177,21 @@ final case class GraftFillSpec(
               s"value block (partition $partitionId, row $localIdx, " +
               s"step ${id.step}) — split the write")
         val v = base + id.step * offset
-        materialize().update(id.ord, v)
+        // CREATE refuses non-BIGINT identity since r14, but a table
+        // created before that rule can carry an INT identity column —
+        // a boxed Long in an IntegerType slot would CCE at segment
+        // write, so keep a guarded downcast with a clear overflow error
+        val slot: Any = s.fields(id.ord).dataType match {
+          case IntegerType =>
+            if (v > Int.MaxValue || v < Int.MinValue)
+              throw new IllegalStateException(
+                s"identity column ${id.name}: minted value $v overflows " +
+                  "its legacy INT type — the per-write value blocks " +
+                  "exhaust an INT's range; migrate the column to BIGINT")
+            java.lang.Integer.valueOf(v.toInt)
+          case _ => java.lang.Long.valueOf(v)
+        }
+        materialize().update(id.ord, slot)
       }
     }
     generated.foreach { g =>

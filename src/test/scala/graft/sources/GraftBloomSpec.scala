@@ -266,4 +266,66 @@ class GraftBloomSpec extends SparkSpec {
       GraftBloom.encodeWords(b.words)), b.k)
     assert(java.util.Arrays.equals(rt.words, b.words))
   }
+
+  test("legacy inline-'bl' log entries materialize their sidecar at " +
+      "decode: refs survive checkpoints and retention dropping the entry") {
+    import java.nio.file.{Files, Paths}
+    val wh = tmpDir("graft-bloom-legacy")
+    spark.conf.set("spark.sql.catalog.blg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blg.warehouse", wh)
+    spark.sql("CREATE TABLE blg.ns.t_lg (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns'='k')")
+    (0 until 500).map(i => (f"key$i%06d", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("blg.ns.t_lg").append()
+    (0 until 500).map(i => (f"big$i%06d", i.toLong)).toDF("k", "v")
+      .coalesce(1).writeTo("blg.ns.t_lg").append()
+    import scala.jdk.CollectionConverters._
+    val td = Files.list(Paths.get(wh))
+      .filter(p => Files.isRegularFile(p.resolve("table.json")))
+      .findFirst().orElseThrow()
+    // rewrite v1/v2 into the pre-sidecar format a round-13 log used:
+    // inline base64 words ("bl"), no refs — and delete the sidecars,
+    // exactly the on-disk state such a log leaves behind
+    val pathRe = """"path":"([^"]+)"""".r
+    val refRe = """"blx":\[\[(\d+),(\d+),(\d+)\]\]""".r
+    for (v <- Seq(1, 2)) {
+      val p = td.resolve("log").resolve(f"$v%011d.json")
+      val json0 = new String(Files.readAllBytes(p), "UTF-8")
+      val seg = td.resolve(pathRe.findFirstMatchIn(json0).get.group(1))
+      val words = GraftBloomSidecar.read(seg)
+      val m = refRe.findFirstMatchIn(json0).get
+      val ord = m.group(1).toInt
+      val json = refRe.replaceFirstIn(json0,
+        s""""bl":[[$ord,${m.group(2)},"${
+          GraftBloom.encodeWords(words(ord).words)}"]]""")
+      assert(json != json0, "rewrite must hit the entry")
+      Files.write(p, json.getBytes("UTF-8"))
+      Files.delete(GraftBloomSidecar.pathFor(seg))
+    }
+    // cold fold: the eager words serve the lookup AND re-materialize
+    // the sidecars beside their segments
+    spark.conf.set("spark.sql.catalog.blg1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blg1.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.blg1.warehouse.isolated", "true")
+    assert(spark.table("blg1.ns.t_lg")
+      .filter(col("k") === "big000007").count() === 1L)
+    val sidecars = Files.list(td.resolve("data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".bloom")).toSeq
+    assert(sidecars.size === 2,
+      s"legacy decode must materialize the missing sidecars: $sidecars")
+    // retention retires the legacy entries (VACUUM anchors a checkpoint
+    // at the base, whose re-encode carries only refs): the next cold
+    // fold has no inline words left — only the materialized sidecars
+    spark.sql("INSERT INTO blg1.ns.t_lg VALUES ('more', 1)")
+    GraftMaintenance.sql(spark, "VACUUM blg1.ns.t_lg RETAIN 1 SNAPSHOTS")
+      .collect()
+    spark.conf.set("spark.sql.catalog.blg2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blg2.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.blg2.warehouse.isolated", "true")
+    assert(spark.table("blg2.ns.t_lg")
+      .filter(col("k") === "big000007").count() === 1L)
+    val t2 = graftTable("blg2", "ns", "t_lg")
+    assert(t2.lastScanCensus.get.filesRead === 1,
+      s"the migrated filters must keep skipping: ${t2.lastScanCensus.get}")
+  }
 }

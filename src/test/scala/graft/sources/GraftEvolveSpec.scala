@@ -264,5 +264,22 @@ class GraftEvolveSpec extends SparkSpec {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
     assert(msgs(e).exists(_.contains("bucketed")), e.getMessage)
+    // case-variant spelling resolves (Spark's case-insensitive
+    // resolution, as the widen/bucket guards already match) and stores
+    // the SCHEMA's canonical name — the group-key kernels index fields
+    // by exact name, so `B` must land as `b`
+    val v1 = graftTable("evj", "ns", "evj_t").currentVersion
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE evj.ns.evj_t SET PARTITIONED BY (B)").collect()
+    assert(graftTable("evj", "ns", "evj_t").currentVersion === v1,
+      "B resolves to the live spec (b): a commit-free no-op")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE evj.ns.evj_t SET PARTITIONED BY (A)").collect()
+    val t2 = graftTable("evj", "ns", "evj_t")
+    assert(t2.partitionCols === Seq("a"),
+      "case-variant columns must store the schema's canonical spelling")
+    assert(spark.table("evj.ns.evj_t").orderBy("v")
+      .as[(String, String, Long)].collect().toSeq ===
+      Seq(("x", "p", 1L), ("y", "q", 2L)))
   }
 }
