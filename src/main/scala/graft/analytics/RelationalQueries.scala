@@ -2275,6 +2275,61 @@ object RelationalQueries {
         .orderBy("rk")
     },
 
+    // ----- MERGE with AUTOMATIC SCHEMA EVOLUTION (round 15, Delta's
+    // autoMerge / Spark's MERGE ... WITH SCHEMA EVOLUTION): the target
+    // is created WITHOUT the region column; the CDC source carries it,
+    // and the statement reconciles — Spark's analyzer computes the
+    // additive TableChange, the catalog's METADATA-ONLY ADD COLUMN
+    // lands it (zero data files rewritten), and the row-level MERGE
+    // proceeds against the widened schema. Pre-merge rows read NULL in
+    // the new column; the oracle is the UNION-BY-NAME restatement. The
+    // reference's own pipeline needed exactly this for drifting
+    // upstream schemas (Automated_Bronze_to_Silver
+    // notebook-content.py:184-189 reaches for overwriteSchema).
+    // GraftMergeEvolveSpec pins COW+MOR routes, the CDF shape, the
+    // lossless-widen drift path and the lossy-drift refusal.
+    Q("s59_merge_schema_evolution", "DDL-evolve,S11,J9,P1",
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  CASE WHEN n_nationkey >= 10 THEN concat('m-', n_name)
+        |       ELSE n_name END AS nname,
+        |  CASE WHEN n_nationkey >= 10 THEN CAST(n_regionkey AS BIGINT)
+        |       END AS rk
+        |FROM nation ORDER BY nk""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s59").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gmw_$tag"
+      val r = s"gmr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_name").as("nname"),
+          col("n_regionkey").cast("long").as("rk"))
+      // v1: the narrow target (no rk) with the first half of nation
+      nat.select("nk", "nname").where(lit(false)).writeTo(s"$w.ns.t")
+        .create()
+      nat.select("nk", "nname").where(col("nk") < 13)
+        .writeTo(s"$w.ns.t").append()
+      // the drifted source: updates 10..12, inserts 13.., carries rk
+      nat.where(col("nk") >= 10)
+        .select(col("nk"), concat(lit("m-"), col("nname")).as("nname"),
+          col("rk"))
+        .createOrReplaceTempView(s"s59_src_$tag")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $w.ns.t t
+           |USING s59_src_$tag s ON t.nk = s.nk
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // isolated restart: the evolution commit + the row-level write
+      // both fold back from the log
+      s.conf.set(s"spark.sql.catalog.$r",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$r.warehouse.isolated", "true")
+      s.table(s"$r.ns.t").select("nk", "nname", "rk").orderBy("nk")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

@@ -3945,7 +3945,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC).asJava
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE … WITH SCHEMA EVOLUTION (Delta's autoMerge): Spark's
+      // ResolveMergeIntoSchemaEvolution computes the additive source−
+      // target TableChanges and routes them through alterTable — the
+      // existing metadata-only ADD COLUMN / lossless type WIDEN — then
+      // the row-level write proceeds against the reconciled schema.
+      // Non-additive drift dies in applyChanges' loud refusals.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** Streaming-sink exactly-once ledger: highest epoch committed per
     * streaming QUERY (the id Spark persists in the checkpoint, stable

@@ -201,7 +201,33 @@ class GraftRandomSoakSpec extends SparkSpec {
         } else if (op < 89 && !evolved && step > 8) { // one-shot evolution
           // added NARROW on purpose: a later draw widens it (r14's
           // ALTER COLUMN TYPE) amid the same hostile cadence
-          spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w INT")
+          if (rnd.nextBoolean()) {
+            spark.sql(s"ALTER TABLE $cat.ns.t_$tag ADD COLUMN w INT")
+          } else {
+            // r15: the ADD COLUMN arrives through MERGE WITH SCHEMA
+            // EVOLUTION — a wider source reconciles the target inside
+            // the statement (the evolution commit + the row-level
+            // write land back to back amid the hostile cadence)
+            gen += 1
+            val hit = model.keys.toSeq
+              .filter(_ => rnd.nextInt(3) == 0).take(2)
+            val fresh = (0 until 1 + rnd.nextInt(2)).map { _ =>
+              val id = nextId; nextId += 1; id
+            }
+            val srcRows = (hit ++ fresh).map { id =>
+              s"(CAST($id AS BIGINT), 'm$gen-$id', " +
+                s"CAST(${wLit(id)._1} AS INT))"
+            }
+            spark.sql(
+              s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.ns.t_$tag t
+                 |USING (SELECT * FROM VALUES ${srcRows.mkString(", ")}
+                 |       AS x(id, v, w)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            (hit ++ fresh).foreach(id =>
+              model(id) = (s"m$gen-$id", wLit(id)._2))
+          }
           evolved = true // existing rows read NULL — model already None
         } else if (op < 89 && evolved && !widenedW && step > 12) {
           // one-shot TYPE WIDENING (r14): INT -> BIGINT metadata-only;
