@@ -1472,7 +1472,8 @@ object TextQueries {
     t42Query,
     t43Query,
     t44Query,
-    t45Query
+    t45Query,
+    t47Query
   )
 
   /** Gopher-style composite QUALITY RULE GATE (the document-filter
@@ -1707,6 +1708,131 @@ object TextQueries {
           sum(col("len")).cast("long").as("tokens"),
           coalesce(sum(col("covered")), lit(0L)).cast("long")
             .as("dup_tokens"))
+        .orderBy("source")
+    }
+
+  /** Span-level exact-substring dedup CUT — the transform t44's census
+    * only audits (Lee et al. 2022's dedup applied, in the fixed-width
+    * n-gram form): every duplicated [[DupSpanN]]-token span occurrence
+    * except the FIRST (global (doc_id, position) order — min-doc
+    * ownership) has its positions REMOVED; the doc re-emits with the
+    * surviving tokens re-joined, plus a per-source funnel census
+    * (tokens before / covered / cut / after, via the re-emitted text).
+    *
+    * Scale posture — the same two n-gram-key shuffles as t44, NO window
+    * over the gram key: ownership needs only the MINIMUM (doc_id, i)
+    * per gram, and `min(struct(...))` is map-side combinable where a
+    * row_number window would sort every occurrence of a hot gram on
+    * one partition. Position removal unions per doc (sorted-set
+    * semantics via DISTINCT on (doc, pos)), the re-emit is an O(len)
+    * per-row array filter — no pair fan-out anywhere, O(tokens) total
+    * where the suffix array needs a corpus sort. */
+  private lazy val t47Query: Q =
+    Q("t47_dup_span_cut", "DEDUP-substring-cut,TXT-spans,A1,A7", {
+      val n = DupSpanN
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l
+         |           FROM documents),
+         |d AS (SELECT doc_id, source, len(l) AS len, l FROM t
+         |      WHERE len(l) >= $n),
+         |g AS (SELECT doc_id, len, l, UNNEST(range(0, len - ${n - 1})) AS i
+         |      FROM d),
+         |gg AS (SELECT doc_id, i, array_to_string(l[(i+1):(i+$n)], ' ') AS g
+         |       FROM g),
+         |st AS (SELECT g, count(*) AS cnt,
+         |         min(struct_pack(d := doc_id, i := i)) AS own
+         |       FROM gg GROUP BY g),
+         |dup AS (SELECT gg.doc_id, gg.i, st.own FROM gg
+         |        JOIN st ON gg.g = st.g WHERE st.cnt > 1),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM
+         |          (SELECT doc_id, UNNEST(range(i, i+$n)) AS pos FROM dup)),
+         |cut AS (SELECT DISTINCT doc_id, pos FROM
+         |          (SELECT doc_id, UNNEST(range(i, i+$n)) AS pos FROM dup
+         |           WHERE NOT (doc_id = own.d AND i = own.i))),
+         |covd AS (SELECT doc_id, count(*) AS cov_n FROM cov GROUP BY doc_id),
+         |cutd AS (SELECT doc_id, count(*) AS cut_n FROM cut GROUP BY doc_id),
+         |alltok AS (SELECT doc_id, UNNEST(range(0, len)) AS i FROM d),
+         |kept AS (SELECT a.doc_id, a.i FROM alltok a
+         |         LEFT JOIN cut c ON a.doc_id = c.doc_id AND a.i = c.pos
+         |         WHERE c.pos IS NULL),
+         |ktext AS (SELECT k.doc_id,
+         |            array_to_string(list(d.l[k.i+1] ORDER BY k.i), ' ')
+         |              AS ntext
+         |          FROM kept k JOIN d ON k.doc_id = d.doc_id
+         |          GROUP BY k.doc_id)
+         |SELECT d.source, count(*) AS docs,
+         |  CAST(sum(d.len) AS BIGINT) AS tokens,
+         |  CAST(COALESCE(sum(covd.cov_n), 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(sum(cutd.cut_n), 0) AS BIGINT) AS cut_tokens,
+         |  CAST(sum(CASE WHEN ktext.ntext IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS kept_docs,
+         |  CAST(COALESCE(sum(len(string_split(ktext.ntext, ' '))), 0)
+         |    AS BIGINT) AS kept_tokens
+         |FROM d LEFT JOIN covd ON d.doc_id = covd.doc_id
+         |       LEFT JOIN cutd ON d.doc_id = cutd.doc_id
+         |       LEFT JOIN ktext ON d.doc_id = ktext.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }) { (s, dir) =>
+      val n = DupSpanN
+      val docs = Caches.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("l"))
+          .filter(size(col("l")) >= n)
+          .select(col("doc_id"), col("source"), size(col("l")).as("len"),
+            col("l")))
+      val grams = Caches.persistTracked(docs
+        .select(col("doc_id"),
+          expr(s"transform(sequence(0, size(l) - $n), i -> " +
+            s"struct(i AS i, array_join(slice(l, i+1, $n), ' ') AS g))")
+            .as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("e"))
+        .select(col("doc_id"), col("e.i").as("i"), col("e.g").as("g")))
+      // one map-side-combined pass: occurrence count AND the owner
+      // (min (doc_id, i)) per gram — the dup set is corpus-sized, so it
+      // JOINS back (never broadcast), t44's exact shuffle shape
+      val stats = grams.groupBy("g")
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("i"))).as("own"))
+      val dup = Caches.persistTracked(
+        grams.join(stats.filter(col("cnt") > 1), "g")
+          .select(col("doc_id"), col("i"),
+            (col("doc_id") === col("own.doc_id") &&
+              col("i") === col("own.i")).as("is_owner")))
+      val covPos = dup
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+        .distinct()
+      val cutPos = dup.filter(!col("is_owner"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+        .distinct()
+      val covAgg = covPos.groupBy("doc_id").agg(count(lit(1)).as("cov_n"))
+      val cutAgg = cutPos.groupBy("doc_id")
+        .agg(count(lit(1)).as("cut_n"), collect_list("pos").as("ps"))
+      // the RE-EMIT: surviving tokens re-join — the deduplicated corpus
+      // itself, from which the census derives (kept_tokens counts the
+      // re-emitted text's tokens, proving the emission, not the plan)
+      val out = docs
+        .join(covAgg, Seq("doc_id"), "left")
+        .join(cutAgg, Seq("doc_id"), "left")
+        .withColumn("ntext",
+          when(col("ps").isNull, array_join(col("l"), " "))
+            .otherwise(array_join(expr(
+              "filter(transform(l, (t, ix) -> " +
+                "IF(array_contains(ps, ix), NULL, t)), " +
+                "x -> x IS NOT NULL)"), " ")))
+      out.groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("len")).cast("long").as("tokens"),
+          coalesce(sum(col("cov_n")), lit(0L)).cast("long")
+            .as("dup_tokens"),
+          coalesce(sum(col("cut_n")), lit(0L)).cast("long")
+            .as("cut_tokens"),
+          sum(when(length(col("ntext")) > 0, 1L).otherwise(0L))
+            .cast("long").as("kept_docs"),
+          sum(when(length(col("ntext")) > 0,
+            size(split(col("ntext"), " ")).cast("long")).otherwise(0L))
+            .cast("long").as("kept_tokens"))
         .orderBy("source")
     }
 

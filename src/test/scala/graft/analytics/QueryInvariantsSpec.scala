@@ -666,4 +666,40 @@ class QueryInvariantsSpec extends SparkSpec {
         assert(r.getBoolean(anom) == (math.abs(r.getDouble(z)) > 3))
     }
   }
+
+  test("t47 span cut reconciles with t44's census: covered positions " +
+      "agree per source, and the re-emitted text accounts every token") {
+    val (cols47, rows47) = q("t47_dup_span_cut")
+    val (cols44, rows44) = q("t44_dup_ngram_spans")
+    val src47 = cols47.indexOf("source")
+    val dup47 = cols47.indexOf("dup_tokens")
+    val cut47 = cols47.indexOf("cut_tokens")
+    val tok47 = cols47.indexOf("tokens")
+    val kept47 = cols47.indexOf("kept_tokens")
+    val byS44 = rows44.map(r => r.getString(cols44.indexOf("source")) ->
+      r.getLong(cols44.indexOf("dup_tokens"))).toMap
+    assert(rows47.nonEmpty)
+    var cutTotal = 0L
+    rows47.foreach { r =>
+      val s = r.getString(src47)
+      // two INDEPENDENT pipelines (t44's count-join vs t47's
+      // min-struct ownership join) must agree on the covered set
+      assert(r.getLong(dup47) === byS44(s),
+        s"$s: t47 covered=${r.getLong(dup47)} vs t44=${byS44(s)}")
+      // the CUT never removes more than the covered set (per source an
+      // owner's positions can ALL be re-covered by other grams' removed
+      // spans, so only <= holds locally)
+      assert(r.getLong(cut47) <= r.getLong(dup47))
+      // the re-emitted corpus accounts every surviving token
+      assert(r.getLong(kept47) === r.getLong(tok47) - r.getLong(cut47),
+        s"$s: re-emit lost tokens")
+      cutTotal += r.getLong(cut47)
+    }
+    assert(cutTotal > 0, "fixture produced no duplicated spans to cut")
+    // globally the ownership must preserve something: at least one
+    // owner position survives un-re-covered somewhere in the corpus
+    val dupTotal = rows47.map(_.getLong(dup47)).sum
+    assert(cutTotal < dupTotal,
+      s"ownership kept nothing: cut=$cutTotal covered=$dupTotal")
+  }
 }
