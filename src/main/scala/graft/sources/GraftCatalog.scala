@@ -281,8 +281,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // already ships to executor writers and persists in the log, so
     // the flag reaches every stats-building site with zero plumbing
     val fpp = Option(properties.get(GraftBloom.FppProp)).map(_.toDouble)
-    val schema = Option(properties.get(GraftBloom.BloomProp))
+    val schemaB = Option(properties.get(GraftBloom.BloomProp))
       .map(GraftBloom.stamp(schema0, _, fpp)).getOrElse(schema0)
+    // `auto.compact` rides field metadata the same way — persists in
+    // the log, reaches restarts and foreign processes with zero plumbing
+    val schema = Option(properties.get(GraftTable.AutoCompactProp))
+      .map(v => GraftTable.stampAutoCompact(schemaB,
+        GraftTable.parseAutoCompact(v))).getOrElse(schemaB)
     // identity partitioning (defines the COW rewrite groups) and ONE
     // bucket(n, col) transform (hash co-location for storage-partitioned
     // joins) are supported; any other transform must fail, not silently
@@ -1676,6 +1681,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
         case rp: TableChange.RemoveProperty
             if rp.property == GraftBloom.BloomProp =>
           tableSchema = GraftBloom.unstamp(tableSchema)
+          readState = (files, dvs)
+
+        // auto-compaction policy flips: metadata-only, next commit's
+        // hook sees the new threshold (or none) — no blocking rewrite
+        case sp: TableChange.SetProperty
+            if sp.property == GraftTable.AutoCompactProp =>
+          tableSchema = GraftTable.stampAutoCompact(
+            GraftTable.unstampAutoCompact(tableSchema),
+            GraftTable.parseAutoCompact(sp.value))
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftTable.AutoCompactProp =>
+          tableSchema = GraftTable.unstampAutoCompact(tableSchema)
           readState = (files, dvs)
 
         // ALTER COLUMN ... TYPE — lossless type WIDENING without a
@@ -3536,6 +3554,34 @@ class GraftTable(initialName: String, initialSchema: StructType,
       val nf = buildFiles(ds)
       files = files ++ nf
       snap("APPEND", added = nf)
+      maybeAutoCompact()
+    }
+
+  /** Post-commit AUTO-COMPACTION hook (`auto.compact`, Delta's
+    * autoCompact): still under the triggering commit's lease, census
+    * the partition groups METADATA-ONLY; any group holding >= minFiles
+    * files below the OPTIMIZE target compacts via the ordinary bounded
+    * [[optimizeCompact]] (its own commit — time travel serves the
+    * pre-compaction layout, the rewrite distributes executor-side).
+    * BEST-EFFORT by contract, like Delta's: the triggering write has
+    * already committed, so a compaction failure must surface as a
+    * missed maintenance pass (the next commit retries), never as a
+    * failed INSERT. */
+  private def maybeAutoCompact(): Unit =
+    GraftTable.autoCompactMinFiles(tableSchema).foreach { minFiles =>
+      val trigger = files.iterator
+        .filter(_.rowCount < GraftTable.AutoCompactTargetRows)
+        .toSeq.groupBy(_.groupKey)
+        .collect { case (k, fs) if fs.lengthCompare(minFiles) >= 0 => k }
+        .toSet
+      if (trigger.nonEmpty)
+        try {
+          optimizeCompact(GraftTable.AutoCompactTargetRows,
+            f => trigger.contains(f.groupKey))
+          ()
+        } catch {
+          case scala.util.control.NonFatal(_) => () // retried next commit
+        }
     }
   private[sources] def installReplace(ds: Array[GraftDelivery]): Unit =
     mutate {
@@ -3607,6 +3653,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
     pruneDvs()
     snap(op, added = nf, removed = dropped)
+    maybeAutoCompact()
   }
 
   /** INSERT OVERWRITE of specific partition groups (static mode with a
@@ -3641,6 +3688,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     files = kept ++ nf
     pruneDvs()
     snap("OVERWRITE", added = nf, removed = gone)
+    maybeAutoCompact()
   }
 
   /** `OPTIMIZE` (bin-packing compaction), the Delta/Iceberg small-file
@@ -3918,6 +3966,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       m.put(GraftBloom.BloomProp, bloomed.mkString(","))
     GraftBloom.fppOf(tableSchema).foreach(p =>
       m.put(GraftBloom.FppProp, p.toString))
+    GraftTable.autoCompactMinFiles(tableSchema).foreach(n =>
+      m.put(GraftTable.AutoCompactProp, n.toString))
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -4319,6 +4369,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     dvs = newDvs
     files = fsnap ++ nf
     snap(op, added = nf, removed = removed.result())
+    // a MOR table's per-statement delta files are the steady small-file
+    // generator auto-compaction exists for
+    maybeAutoCompact()
   }
 
   // ---- row-level operations (MERGE / UPDATE / DELETE SQL) ------------
@@ -4497,6 +4550,63 @@ object GraftTable {
     * ledger, and the prefix (illegal in a Spark streaming query id,
     * which is a UUID) keeps an app id from ever colliding with one. */
   val TxnLedgerPrefix = "txn:"
+
+  /** AUTO-COMPACTION (Delta's autoCompact / Iceberg's commit-triggered
+    * rewrite): `'auto.compact'='true'` (default threshold) or
+    * `'auto.compact'='<minFiles>'`. After a file-adding commit, if any
+    * touched partition group holds at least minFiles files below the
+    * OPTIMIZE target, a bounded OPTIMIZE scoped to the offending
+    * group(s) runs as a post-commit hook UNDER THE SAME LEASE. At
+    * 100 TB streaming ingest the small-files problem is continuous —
+    * per-epoch appends would otherwise grow a partition's file count
+    * without bound between manual OPTIMIZE cadences. The knob rides
+    * schema field metadata (like `bloom.columns`), so it persists in
+    * the log and reaches restarts/foreign processes with zero extra
+    * plumbing. */
+  val AutoCompactProp = "auto.compact"
+  val AutoCompactMeta = "graft.autocompact"
+  val AutoCompactDefaultMinFiles = 16
+  /** The bounded OPTIMIZE's bin target — the SQL OPTIMIZE default. */
+  val AutoCompactTargetRows: Int = 1 << 20
+
+  private[sources] def parseAutoCompact(v: String): Int = v.trim match {
+    case "true" => AutoCompactDefaultMinFiles
+    case s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$AutoCompactProp must be 'true' or a file-count threshold " +
+            s">= 2, got '$v'")
+      }
+      if (n < 2) throw new IllegalArgumentException(
+        s"$AutoCompactProp threshold must be >= 2 (a 1-file group has " +
+          s"nothing to compact), got '$v'")
+      n
+  }
+
+  /** Stamp/strip/read the knob in field metadata. Stamped on EVERY
+    * field so a later DROP COLUMN cannot silently shed it. */
+  private[sources] def stampAutoCompact(schema: StructType,
+      minFiles: Int): StructType =
+    StructType(schema.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(AutoCompactMeta, minFiles.toLong)
+        .build())
+    })
+  private[sources] def unstampAutoCompact(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(AutoCompactMeta)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(AutoCompactMeta)
+        f.copy(metadata = mb.build())
+      }
+    })
+  private[sources] def autoCompactMinFiles(schema: StructType): Option[Int] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(AutoCompactMeta) =>
+        f.metadata.getLong(AutoCompactMeta).toInt
+    }
 
   /** Max commits retained per table for time travel (ADVICE r7: snap()
     * pinned every superseded row array forever — a streaming writer

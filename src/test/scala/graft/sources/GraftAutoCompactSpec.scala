@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** AUTO-COMPACTION (`'auto.compact'='<minFiles>'`, Delta's autoCompact
+  * / Iceberg's commit-triggered rewrite): after a file-adding commit,
+  * any partition group holding >= minFiles sub-target files compacts
+  * via a bounded OPTIMIZE under the same lease. At 100 TB streaming
+  * ingest the small-files problem is continuous — this keeps the file
+  * count flat without a manual maintenance cadence. */
+class GraftAutoCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def durableCatalog(name: String, dir: String,
+                             isolated: Boolean = false): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
+    if (isolated)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+  }
+
+  private def graftTable(cat: String, ns: String, t: String): GraftTable =
+    spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].store.tables((Seq(ns), t))
+
+  test("with the policy on, N small appends keep the file count under " +
+      "the threshold; time travel still serves pre-compaction layouts") {
+    val wh = tmpDir("graft-autoc")
+    durableCatalog("aco", wh)
+    spark.sql("CREATE TABLE aco.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('auto.compact'='4')")
+    val t = graftTable("aco", "ns", "t")
+    for (i <- 1 to 12) {
+      spark.sql(s"INSERT INTO aco.ns.t VALUES ($i, 'r$i')")
+      assert(t.filesSnapshot.length < 4,
+        s"after insert $i the census must stay under the threshold: " +
+          s"${t.filesSnapshot.length} files")
+    }
+    // every row survives the interleaved compactions
+    assert(spark.table("aco.ns.t").select("id").as[Long]
+      .collect().toSeq.sorted === (1L to 12L))
+    // the hook committed real OPTIMIZE entries...
+    val ops = spark.sql("SELECT operation FROM aco.ns.`t$history`")
+      .as[String].collect().toSeq
+    assert(ops.count(_ == "OPTIMIZE") >= 3, s"history: $ops")
+    // ...and time travel below a compaction serves the old layout/data
+    val v3 = spark.table("aco.ns.t").sparkSession
+      .sql("SELECT id FROM aco.ns.t VERSION AS OF 3").as[Long]
+      .collect().toSeq.sorted
+    assert(v3 === (1L to 3L), s"pre-compaction version: $v3")
+    // the knob reports back
+    assert(t.properties().get(GraftTable.AutoCompactProp) === "4")
+  }
+
+  test("with the policy off nothing changes: N appends = N files, " +
+      "zero OPTIMIZE commits") {
+    val wh = tmpDir("graft-autoc-off")
+    durableCatalog("acf", wh)
+    spark.sql("CREATE TABLE acf.ns.t (id BIGINT, v STRING)")
+    for (i <- 1 to 8)
+      spark.sql(s"INSERT INTO acf.ns.t VALUES ($i, 'r$i')")
+    assert(graftTable("acf", "ns", "t").filesSnapshot.length === 8)
+    val ops = spark.sql("SELECT operation FROM acf.ns.`t$history`")
+      .as[String].collect().toSeq
+    assert(!ops.contains("OPTIMIZE"), s"history: $ops")
+  }
+
+  test("partitioned: only the offending group compacts — other groups' " +
+      "files survive by reference") {
+    val wh = tmpDir("graft-autoc-part")
+    durableCatalog("acp", wh)
+    spark.sql("CREATE TABLE acp.ns.t (id BIGINT, part INT, v STRING) " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('auto.compact'='4')")
+    spark.sql("INSERT INTO acp.ns.t VALUES (0, 2, 'keep')")
+    val t = graftTable("acp", "ns", "t")
+    val keeper = t.filesSnapshot
+      .find(_.groupKey.exists(_ == Seq(2))).get
+    for (i <- 1 to 6)
+      spark.sql(s"INSERT INTO acp.ns.t VALUES ($i, 1, 'r$i')")
+    // partition 1 compacted; partition 2's file is the SAME OBJECT
+    val after = t.filesSnapshot
+    assert(after.exists(_ eq keeper),
+      "an untouched partition's file must carry over by reference")
+    assert(after.count(_.groupKey.exists(_ == Seq(1))) < 4,
+      s"partition 1 must have compacted: ${after.map(_.groupKey)}")
+    assert(spark.table("acp.ns.t").count() === 7)
+  }
+
+  test("ALTER SET flips the policy on for a live table, UNSET stops it, " +
+      "malformed thresholds refuse, and a restart folds the knob back") {
+    val wh = tmpDir("graft-autoc-alter")
+    durableCatalog("aca", wh)
+    spark.sql("CREATE TABLE aca.ns.t (id BIGINT, v STRING)")
+    for (i <- 1 to 5)
+      spark.sql(s"INSERT INTO aca.ns.t VALUES ($i, 'r$i')")
+    val t = graftTable("aca", "ns", "t")
+    assert(t.filesSnapshot.length === 5)
+    spark.sql("ALTER TABLE aca.ns.t SET TBLPROPERTIES ('auto.compact'='4')")
+    spark.sql("INSERT INTO aca.ns.t VALUES (6, 'r6')") // 6 smalls -> compact
+    assert(t.filesSnapshot.length === 1,
+      s"the first post-ALTER commit must compact: ${t.filesSnapshot.length}")
+    // UNSET: appends accumulate again
+    spark.sql("ALTER TABLE aca.ns.t UNSET TBLPROPERTIES ('auto.compact')")
+    for (i <- 7 to 12)
+      spark.sql(s"INSERT INTO aca.ns.t VALUES ($i, 'r$i')")
+    assert(t.filesSnapshot.length === 7)
+    assert(t.properties().get(GraftTable.AutoCompactProp) === null)
+    // refusals
+    intercept[Exception](spark.sql(
+      "ALTER TABLE aca.ns.t SET TBLPROPERTIES ('auto.compact'='1')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE aca.ns.t SET TBLPROPERTIES ('auto.compact'='soon')"))
+    // the knob persists in the log: re-set, restart, and the folded
+    // table both reports and ENFORCES it
+    spark.sql("ALTER TABLE aca.ns.t SET TBLPROPERTIES ('auto.compact'='4')")
+    durableCatalog("aca2", wh, isolated = true)
+    val t2 = graftTable("aca2", "ns", "t")
+    assert(t2.properties().get(GraftTable.AutoCompactProp) === "4")
+    spark.sql("INSERT INTO aca2.ns.t VALUES (13, 'r13')")
+    assert(t2.filesSnapshot.length === 1,
+      "the folded knob must enforce on the restarted table's commits")
+    assert(spark.table("aca2.ns.t").count() === 13)
+  }
+
+  test("a MOR table's per-statement delta files trigger the hook too") {
+    val wh = tmpDir("graft-autoc-mor")
+    durableCatalog("acm", wh)
+    spark.sql("CREATE TABLE acm.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read', " +
+      "'auto.compact'='4')")
+    spark.sql("INSERT INTO acm.ns.t SELECT id, concat('r', id) " +
+      "FROM range(0, 100)")
+    val t = graftTable("acm", "ns", "t")
+    for (i <- 0 until 8)
+      spark.sql(s"UPDATE acm.ns.t SET v = 'u$i' WHERE id = $i")
+    assert(t.filesSnapshot.length < 8,
+      s"MOR delta files must compact: ${t.filesSnapshot.length}")
+    assert(spark.table("acm.ns.t").filter(col("v").startsWith("u"))
+      .count() === 8)
+    assert(spark.table("acm.ns.t").count() === 100)
+  }
+}
