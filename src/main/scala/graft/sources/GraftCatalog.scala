@@ -3839,9 +3839,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
         mergeBins.zipWithIndex.map { case (fs, i) =>
           val rows = fs.iterator.flatMap(effRows).toArray
           val built: Seq[GraftDataFile] =
-            if (zorderCols.isEmpty)
-              Seq(GraftDataFile.build(rows, tableSchema, keyOfOpt))
-            else {
+            if (zorderCols.isEmpty) {
+              // split per CURRENT group key (the executor twin does the
+              // same): a mixed legacy-remainder bin REGROUPS under the
+              // live spec instead of re-merging spanning
+              val groups: Seq[Array[InternalRow]] = keyOfOpt match {
+                case Some(k) if rows.nonEmpty =>
+                  rows.groupBy(k).toSeq.sortBy(_._1.mkString("|"))
+                    .map(_._2)
+                case _ => Seq(rows)
+              }
+              groups.map(GraftDataFile.build(_, tableSchema, keyOfOpt))
+            } else {
               val key = GraftZCurve.keyFn(tableSchema, zorderCols, rows)
               rows.sortBy(key).grouped(targetRows)
                 .map(c => GraftDataFile.build(c, tableSchema, keyOfOpt))

@@ -386,10 +386,24 @@ private[sources] object GraftCompaction {
         raw.map(r => proj(r).copy(): InternalRow)
       }
     val chunks: Iterator[Array[InternalRow]] =
-      if (job.zorderCols.isEmpty) Iterator.single(rows)
+      if (job.rewriteProject.nonEmpty) Iterator.single(rows) // 1:1 pairing
       else {
-        val key = GraftZCurve.keyFn(schema, job.zorderCols, rows)
-        rows.sortBy(key).grouped(job.targetRows)
+        // split per CURRENT group key FIRST: compaction is the REGROUP
+        // path for legacy spanning files after a partition-spec
+        // evolution — a packed file must land inside one group of the
+        // live spec (SPJ re-engages only when every chunk is keyed;
+        // without the split a mixed remainder would re-merge spanning).
+        // Ordinary bins are single-group already — the split is a no-op.
+        val groups: Seq[Array[InternalRow]] = keyOf match {
+          case Some(k) if rows.nonEmpty =>
+            rows.groupBy(k).toSeq.sortBy(_._1.mkString("|")).map(_._2)
+          case _ => Seq(rows)
+        }
+        if (job.zorderCols.isEmpty) groups.iterator
+        else groups.iterator.flatMap { g =>
+          val key = GraftZCurve.keyFn(schema, job.zorderCols, g)
+          g.sortBy(key).grouped(job.targetRows)
+        }
       }
     val keepEmpty = job.rewriteProject.nonEmpty // 1:1 pairing contract
     chunks.filter(c => keepEmpty || c.nonEmpty).zipWithIndex

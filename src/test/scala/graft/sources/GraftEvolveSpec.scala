@@ -282,4 +282,76 @@ class GraftEvolveSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq ===
       Seq(("x", "p", 1L), ("y", "q", 2L)))
   }
+
+  test("SPJ across an evolution: the mixed layout shuffles (loudly " +
+      "expected), and OPTIMIZE's regroup RE-ENGAGES the zero-exchange " +
+      "storage-partitioned join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
+      ShuffleExchangeExec}
+    def executedFinal(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val wh = tmpDir("graft-evo-spj")
+    spark.conf.set("spark.sql.catalog.evp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evp.warehouse", wh)
+    // t_a starts UNPARTITIONED (its first write lands keyless), then
+    // evolves to k-partitioning; t_b is k-partitioned from birth
+    spark.sql("CREATE TABLE evp.ns.t_a (k INT, a BIGINT)")
+    spark.sql("CREATE TABLE evp.ns.t_b (k INT, b STRING) " +
+      "PARTITIONED BY (k)")
+    spark.range(0, 200).selectExpr("CAST(id % 8 AS INT) AS k", "id AS a")
+      .writeTo("evp.ns.t_a").append()
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE evp.ns.t_a SET PARTITIONED BY (k)").collect()
+    spark.range(200, 400).selectExpr("CAST(id % 8 AS INT) AS k", "id AS a")
+      .writeTo("evp.ns.t_a").append() // new-spec groups beside the remainder
+    spark.range(0, 80).selectExpr("CAST(id % 8 AS INT) AS k",
+      "concat('b', id) AS b").writeTo("evp.ns.t_b").append()
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      def joined = spark.table("evp.ns.t_a")
+        .join(spark.table("evp.ns.t_b"), "k")
+      // phase 1 — MIXED layout: the legacy remainder file is keyless,
+      // so the scan must report UnknownPartitioning and the join
+      // SHUFFLES. Correct and Iceberg-identical, but degraded.
+      val before = joined
+      assert(before.count() === 400L * 80 / 8)
+      assert(walk(executedFinal(before))
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "a mixed post-evolution layout cannot storage-partition join")
+      // phase 2 — OPTIMIZE regroups the remainder under the new spec
+      // (rewrite-to-migrate); the SAME join now plans zero-exchange
+      GraftMaintenance.sql(spark, "OPTIMIZE evp.ns.t_a").collect()
+      assert(graftTable("evp", "ns", "t_a").filesSnapshot
+        .forall(_.groupKey.isDefined),
+        "the regroup must leave no spanning files")
+      val after = joined
+      assert(after.count() === 400L * 80 / 8)
+      val plan = executedFinal(after)
+      assert(!walk(plan).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"the regrouped table must re-engage SPJ (zero Exchange):\n$plan")
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
 }
