@@ -164,18 +164,20 @@ object CurationQueries {
     // (the t18 contract — df-capped n-gram Jaccard pair graph at 0.2,
     // connected components, min-doc keeper per cluster), with EVERY
     // stage landing as a catalog table in a fresh scratch warehouse —
-    // survivors, near-dedup keepers, gated set and the final capped
-    // corpus are all parquet segments written INSIDE writer tasks and
+    // survivors, near-dedup keepers, gated set, the final capped
+    // corpus AND (round 15) the t46 per-domain BUDGET sample — the
+    // mixture-execution step that closes the curate→mix lifecycle —
+    // are all parquet segments written INSIDE writer tasks and
     // read back executor-side, so the benched curation pipeline
     // measures the segment-IO route a 100 TB curation run takes. The
     // funnel census reads the CATALOG tables, proving each stage's
     // durable round-trip. Plan: one dup-key window, one df-capped
     // pair join (pair space structurally bounded, drop list broadcast),
-    // one token explode + two linear aggregates, one two-phase rank —
-    // no pair fan-out beyond the capped graph, no global window, zero
-    // rows on the driver.
+    // one token explode + two linear aggregates, one two-phase rank,
+    // one two-phase per-domain prefix sum — no pair fan-out beyond the
+    // capped graph, no global window, zero rows on the driver.
     Q("c2_curation_lakehouse", "CURATE-compose,DEDUP-exact,DEDUP-ngram," +
-      "CURATE-gate,CURATE-caps,E-durable,A1,A7",
+      "CURATE-gate,CURATE-caps,CURATE-budget,E-durable,A1,A7",
       s"""WITH RECURSIVE keyed AS (
          |  SELECT doc_id, source, n_chars, text,
          |    md5(array_to_string(string_split(text, ' ')[1:3], ' '))
@@ -221,7 +223,17 @@ object CurationQueries {
          |  SELECT doc_id, source, n_chars,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |  FROM gated)
+         |  FROM gated),
+         |fin AS (SELECT doc_id, source, n_chars FROM capped
+         |        WHERE rk <= ${TextQueries.SourceCap}),
+         |budget AS (
+         |  SELECT doc_id, source, n_chars FROM (
+         |    SELECT doc_id, source, n_chars,
+         |      COALESCE(sum(n_chars) OVER (PARTITION BY source
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS before_chars
+         |    FROM fin) WHERE before_chars < $DomainBudgetChars)
          |SELECT k.source,
          |  CAST(count(*) AS BIGINT) AS n_raw,
          |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_dedup,
@@ -230,13 +242,17 @@ object CurationQueries {
          |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_final,
          |  CAST(COALESCE(sum(CASE WHEN c.doc_id IS NOT NULL
          |    AND k.doc_id = c.doc_id THEN c.n_chars END), 0) AS BIGINT)
-         |    AS final_chars
+         |    AS final_chars,
+         |  CAST(count(DISTINCT bu.doc_id) AS BIGINT) AS n_budget,
+         |  CAST(COALESCE(sum(CASE WHEN bu.doc_id IS NOT NULL
+         |    AND k.doc_id = bu.doc_id THEN bu.n_chars END), 0) AS BIGINT)
+         |    AS budget_chars
          |FROM keyed k
          |LEFT JOIN surv s ON k.doc_id = s.doc_id
          |LEFT JOIN near nn ON k.doc_id = nn.doc_id
          |LEFT JOIN gated g ON k.doc_id = g.doc_id
-         |LEFT JOIN (SELECT * FROM capped WHERE rk <= ${TextQueries.SourceCap})
-         |  c ON k.doc_id = c.doc_id
+         |LEFT JOIN fin c ON k.doc_id = c.doc_id
+         |LEFT JOIN budget bu ON k.doc_id = bu.doc_id
          |GROUP BY k.source ORDER BY k.source""".stripMargin) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
       val cat = s"c2c_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -299,6 +315,30 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars")
         .writeTo(s"$cat.ns.c2_final").create()
       val finalT = s.table(s"$cat.ns.c2_final")
+      // stage 5 (round 15): the t46 per-DOMAIN budget over the curated
+      // corpus — the MIXTURE-EXECUTION step that closes the
+      // curate→mix lifecycle: each source contributes docs in
+      // deterministic md5 order until its char budget fills. Same
+      // two-phase prefix sum as t46 (a dominant domain spreads over
+      // 256 buckets); lands as a catalog table like every other stage
+      val h5 = finalT.select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("bucket", substring(col("hk"), 1, 2))
+      val local5 = h5.withColumn("lb",
+        coalesce(sum(col("n_chars")).over(
+          Window.partitionBy("source", "bucket").orderBy("hk", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val offsets5 = h5.groupBy("source", "bucket")
+        .agg(sum(col("n_chars")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(
+          Window.partitionBy("source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "bucket", "off")
+      local5.join(broadcast(offsets5), Seq("source", "bucket"))
+        .filter(col("lb") + col("off") < DomainBudgetChars)
+        .select("doc_id", "source", "n_chars")
+        .writeTo(s"$cat.ns.c2_budget").create()
+      val budgetT = s.table(s"$cat.ns.c2_budget")
       // funnel census — every stage read back THROUGH the catalog
       val raw = docs.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_raw"))
@@ -311,16 +351,22 @@ object CurationQueries {
       val nFinal = finalT.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_final"),
           sum(col("n_chars")).cast("long").as("final_chars"))
+      val nBudget = budgetT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_budget"),
+          sum(col("n_chars")).cast("long").as("budget_chars"))
       raw.join(nDedup, Seq("source"), "left")
         .join(nNear, Seq("source"), "left")
         .join(nGated, Seq("source"), "left")
         .join(nFinal, Seq("source"), "left")
+        .join(nBudget, Seq("source"), "left")
         .select(col("source"), col("n_raw"),
           coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
           coalesce(col("n_gated"), lit(0L)).as("n_gated"),
           coalesce(col("n_final"), lit(0L)).as("n_final"),
-          coalesce(col("final_chars"), lit(0L)).as("final_chars"))
+          coalesce(col("final_chars"), lit(0L)).as("final_chars"),
+          coalesce(col("n_budget"), lit(0L)).as("n_budget"),
+          coalesce(col("budget_chars"), lit(0L)).as("budget_chars"))
         .orderBy("source")
     },
 
