@@ -92,6 +92,53 @@ object Bench {
     root
   }
 
+  /** Derive the sf1 documents — replicated 10x with per-copy shifted
+    * doc_ids AND a copy-marker PREFIX token. The prefix moves the
+    * exact-dedup key (first 3 tokens), so the copies survive stage 1
+    * and form genuine 10-member NEAR-dup clusters — the hard case the
+    * curation flagship's scale posture claims to handle (a plain copy
+    * would collapse at the exact-dedup window and the later stages
+    * would run at sf0.1). Same crash-safe cache protocol as
+    * [[deriveSf1Lineitem]]. */
+  def deriveSf1Documents(spark: SparkSession,
+                         sfDir: String): java.nio.file.Path = {
+    import org.apache.spark.sql.functions._
+    val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-sf1-docs")
+    val marker = root.resolve("documents.parquet").resolve("_SUCCESS")
+    if (!Files.exists(marker)) {
+      val tmp = root.resolveSibling("graft-sf1-docs.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 10).map { i =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          // ONE marker token: the exact-dedup key is the first 3 tokens,
+          // so a 1-token prefix keeps within-copy key behavior close to
+          // the original corpus while separating the copies
+          .withColumn("text", concat(lit(s"c$i "), col("text")))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists)
+        finally walk.close()
+      }
+      try Files.move(tmp, root)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if Files.exists(marker) =>
+          val walk = Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists)
+          finally walk.close()
+      }
+    }
+    root
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,6 +194,29 @@ object Bench {
     val warmup = SparkEntry.queries.map { case (name, fn) =>
       name -> timeOne("warmup", name, fn)
     }
+    // ---- sf1 diagnostics legs (non-gating): one more 10x on top of
+    // the bench SF, for the two flagships. r14 timed g2@sf1 ONCE, after
+    // the sweep — a host stall made 73 s vs 25 s read as a 3x sf1
+    // regression that wasn't (the registry's min-of-3 exists precisely
+    // to absorb those). Now each leg samples once per timed pass,
+    // interleaved with the registry like any query, bills the MIN, and
+    // min-merges into bench_history under its own key. Derivation
+    // happens HERE (warmup time) so the 10x build never contaminates
+    // sample 1.
+    val sf1Queries = Seq(
+      "g2@sf1" -> "g2_gold_lakehouse",
+      "c2@sf1" -> "c2_curation_lakehouse")
+    val sf1Dirs: Map[String, String] =
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else {
+        def safe(tag: String)(f: => java.nio.file.Path) =
+          try Some(tag -> f.toString) catch {
+            case e: Throwable =>
+              System.err.println(s"[bench:$tag] derive FAILED: $e"); None
+          }
+        (safe("g2@sf1")(deriveSf1Lineitem(spark, sfDir)).toSeq ++
+          safe("c2@sf1")(deriveSf1Documents(spark, sfDir)).toSeq).toMap
+      }
     // Timed passes are INTERLEAVED: pass 1 runs the whole registry, then
     // pass 2 does, then pass 3 — so a query's samples are separated by a
     // full sweep (minutes of wall clock) and a single host stall cannot
@@ -159,14 +229,31 @@ object Bench {
     // min, and failures are machine-visible, not stderr-only.
     val timedPasses = 3
     val canaries = Array.fill(timedPasses)(0.0)
+    val sf1PassResults =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, (Double, Boolean)]]
     val passResults: Seq[Map[String, (Double, Boolean)]] =
       (1 to timedPasses).map { p =>
         canaries(p - 1) = canaryOnce() // one host sample per pass
-        SparkEntry.queries.map { case (name, fn) =>
+        val reg = SparkEntry.queries.map { case (name, fn) =>
           name -> timeOne(s"timed$p", name, fn)
         }
+        // the sf1 legs ride the same pass cadence: samples of one leg
+        // are separated by a full registry sweep, so one host stall
+        // cannot poison every sample
+        sf1PassResults += sf1Queries.collect {
+          case (tag, q) if sf1Dirs.contains(tag) =>
+            tag -> timeOne(s"timed$p", tag,
+              (sp, _) => SparkEntry.queries(q)(sp, sf1Dirs(tag)))
+        }.toMap
+        reg
       }
     val canaryBilled = canaries.min
+    val sf1Results: Seq[(String, (Double, Seq[(Double, Boolean)]))] =
+      sf1Queries.collect { case (tag, _) if sf1Dirs.contains(tag) =>
+        val runs = sf1PassResults.toSeq.map(_(tag))
+        val billed = if (runs.forall(_._2)) runs.map(_._1).min else 9999.0
+        tag -> (billed, runs)
+      }
     val results = SparkEntry.queries.map { case (name, _) =>
       val runs = passResults.map(_(name))
       val billed = if (runs.forall(_._2)) runs.map(_._1).min else 9999.0
@@ -252,14 +339,21 @@ object Bench {
           prev.getOrElse(k, Double.MaxValue))
         if (best < 9000) Some(k -> best) else None
       }
+      // the sf1 legs min-merge under their own keys (non-gating — they
+      // never enter the regression comparison, only the baseline)
+      val sf1Best = sf1Results.flatMap { case (k, (b, _)) =>
+        val best = math.min(if (b < 9000) b else Double.MaxValue,
+          prev.getOrElse(k, Double.MaxValue))
+        if (best < 9000) Some(k -> best) else None
+      }
       val carried = prev.toSeq.collect {
-        case (k, v) if !results.contains(k) && k != canaryKey && v < 9000 =>
-          k -> v
+        case (k, v) if !results.contains(k) && k != canaryKey &&
+          !sf1Best.exists(_._1 == k) && v < 9000 => k -> v
       }
       // the canary baseline min-merges like any query's
       val canaryBest = canaryKey ->
         math.min(canaryBilled, prev.getOrElse(canaryKey, Double.MaxValue))
-      (updated ++ carried :+ canaryBest).sortBy(_._1)
+      (updated ++ sf1Best ++ carried :+ canaryBest).sortBy(_._1)
         .map { case (k, v) => k -> f3(v) }
     }
     Files.writeString(histFile, sfDir + "\n" + jmap(nextBaseline) + "\n")
@@ -268,8 +362,13 @@ object Bench {
     // judge must see (metric/value/queries) has to sit closest to the end
     // and stay compact — per-run + warmup timings ride on their own line
     // where truncation only costs diagnostics.
+    val sf1RunsJson =
+      if (sf1Results.isEmpty) ""
+      else "," + "\"sf1_runs\":" + jmap(sf1Results.map { case (k, (_, runs)) =>
+        k -> runs.map(r => f3(r._1)).mkString("[", ",", "]")
+      })
     val diagLine =
-      s"""{"diag":"per-run timings ($timedPasses interleaved timed passes; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson}"""
+      s"""{"diag":"per-run timings ($timedPasses interleaved timed passes; billed = min) and warmup pass","runs":$runsJson,"warmup":$warmupJson$sf1RunsJson}"""
     println(diagLine)
     // Keep the contract line inside the archive window even as the registry
     // grows: if it would overflow, drop the FASTEST per-query entries (the
@@ -278,7 +377,11 @@ object Bench {
     // always over ALL queries.
     def contractLine(qmap: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"regressions":$regJson,"host_factor":${f3(hostFactor)},"canary":${f3(canaryBilled)},"ratio_median":${f3(ratioMedian)},"sf":"$sfDir"}"""
+      // billed sf1 legs (min over the interleaved samples) — two compact
+      // top-level keys, NON-gating: they never enter "regressions"
+      val sf1 = sf1Results.map { case (k, (b, _)) =>
+        s""","$k":${f3(b)}""" }.mkString
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qmap$om,"failed":$failedJson,"regressions":$regJson,"host_factor":${f3(hostFactor)},"canary":${f3(canaryBilled)},"ratio_median":${f3(ratioMedian)}$sf1,"sf":"$sfDir"}"""
     }
     val bySlowest = results.toSeq.map { case (k, (b, _)) => (k, b) }.sortBy(-_._2)
     var keep = bySlowest.length
@@ -293,24 +396,11 @@ object Bench {
     // the driver's BENCH json carried "parsed": null because its own parse
     // scraped the archived log tail). The file holds the UNTRUNCATED
     // contract object plus the per-run diagnostics — no log scraping, no
-    // archive-window truncation, survives even if stdout is garbled.
-    // g2@sf1 diagnostics leg (non-gating): one more 10x on top of the
-    // bench SF, shared with G2ScaleSanitySpec via deriveSf1Lineitem.
-    // Makes round-over-round sf1 drift machine-visible in the artifact
-    // without gating on this box's timing noise.
-    val g2Sf1 = if (!sfDir.contains("sf0.1")) None else try {
-      val sf1Dir = deriveSf1Lineitem(spark, sfDir)
-      val t0 = System.nanoTime()
-      SparkEntry.queries("g2_gold_lakehouse")(spark, sf1Dir.toString).count()
-      graft.analytics.Caches.release()
-      Some((System.nanoTime() - t0) / 1e9)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench:g2@sf1] FAILED: $e"); None
-    }
-    val g2Sf1Json = g2Sf1.map(s => s""","g2@sf1":${f3(s)}""").getOrElse("")
+    // archive-window truncation, survives even if stdout is garbled. The
+    // sf1 legs (billed keys in the contract, per-sample arrays in the
+    // detail) ride along.
     Files.writeString(Paths.get("bench_summary.json"),
-      s"""{"contract":${contractLine(qs, 0)},"detail":$diagLine$g2Sf1Json}"""
+      s"""{"contract":${contractLine(qs, 0)},"detail":$diagLine}"""
         + "\n")
     spark.stop()
   }

@@ -123,6 +123,33 @@ class GraftAutoCompactSpec extends SparkSpec {
     assert(spark.table("aca2.ns.t").count() === 13)
   }
 
+  test("auto-compaction composes with partition-spec evolution into " +
+      "regroup-on-write: the legacy remainder converges without a " +
+      "manual OPTIMIZE") {
+    val wh = tmpDir("graft-autoc-evo")
+    durableCatalog("ace", wh)
+    spark.sql("CREATE TABLE ace.ns.t (k INT, v BIGINT)")
+    for (i <- 1 to 4) // 4 keyless files (policy still off)
+      spark.sql(s"INSERT INTO ace.ns.t VALUES (${i % 2}, $i)")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE ace.ns.t SET PARTITIONED BY (k)").collect()
+    spark.sql("ALTER TABLE ace.ns.t SET TBLPROPERTIES ('auto.compact'='4')")
+    val t = graftTable("ace", "ns", "t")
+    assert(t.filesSnapshot.forall(_.groupKey.isEmpty),
+      "pre-evolution files degroup to the legacy remainder")
+    // the next ORDINARY write's hook sees the keyless group at the
+    // threshold and compacts it — and the compaction's per-key split
+    // REGROUPS the remainder under the live spec (Iceberg's
+    // rewrite-to-migrate, reached from the write path alone)
+    spark.sql("INSERT INTO ace.ns.t VALUES (0, 100), (1, 101)")
+    assert(t.filesSnapshot.forall(_.groupKey.isDefined),
+      s"the remainder must regroup on write: " +
+        s"${t.filesSnapshot.map(_.groupKey)}")
+    assert(spark.table("ace.ns.t").count() === 6)
+    assert(spark.table("ace.ns.t").filter(col("k") === 1)
+      .as[(Int, Long)].collect().map(_._2).sorted === Seq(1L, 3L, 101L))
+  }
+
   test("a MOR table's per-statement delta files trigger the hook too") {
     val wh = tmpDir("graft-autoc-mor")
     durableCatalog("acm", wh)
