@@ -2330,6 +2330,53 @@ object RelationalQueries {
       s.table(s"$r.ns.t").select("nk", "nname", "rk").orderBy("nk")
     },
 
+    // ----- COPY INTO (round 15, Delta's idempotent bulk-file ingest):
+    // landing-zone parquet files load into the catalog table with
+    // PER-FILE exactly-once marks on the persisted ledger — the first
+    // COPY loads the first batch, a RE-RUN of the same statement loads
+    // NOTHING (all files marked, zero commits), new arrivals load
+    // incrementally in one commit, and the final state is exactly the
+    // union of the distinct files ever landed. The oracle is nation
+    // restated — any double-load breaks the hash. The marks publish
+    // atomically with the append's commit and fold across restarts
+    // (GraftCopyIntoSpec pins the restart, pattern, schema-drift
+    // refusals and the one-commit-per-execution contract).
+    Q("s60_copy_into", "S-copy,S5,S8,A1",
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY rk ORDER BY rk""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s60").toString
+      val src = java.nio.file.Files.createTempDirectory("graft-s60src")
+        .toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gcw_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_regionkey").cast("long").as("rk"))
+      nat.where(lit(false)).writeTo(s"$w.ns.t").create()
+      // landing zone batch 1 (two files), loaded TWICE — the second
+      // run must skip everything or the sums double
+      nat.where(col("nk") < 13).repartition(2)
+        .write.parquet(s"$src/b1")
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src'").collect()
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src'").collect()
+      // batch 2 arrives; the third run loads ONLY it
+      nat.where(col("nk") >= 13).repartition(2)
+        .write.parquet(s"$src/b2")
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src'").collect()
+      s.table(s"$w.ns.t")
+        .groupBy("rk")
+        .agg(count(lit(1)).as("n"), sum(col("nk")).cast("long")
+          .as("key_sum"))
+        .orderBy("rk")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

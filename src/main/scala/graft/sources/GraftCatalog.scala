@@ -4051,6 +4051,41 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   private[sources] def epochLedger: Map[String, Long] = streamEpochs.toMap
 
+  /** Commit step of a COPY INTO batch: publish one ledger mark PER
+    * SOURCE FILE atomically with the append, so a re-run (or a
+    * concurrent copier, or a crash-and-retry) recognizes loaded files
+    * INSIDE the commit lease — Delta's COPY INTO file-level
+    * idempotence, on the same persisted exactly-once ledger the
+    * streaming sink and txn writers ride (marks fold on restart and
+    * read through to foreign commits). All keys already marked ⇒ the
+    * whole batch was loaded by someone else — skip, reclaim the
+    * delivered segments. A PARTIAL overlap aborts with the retry
+    * contract: the deliveries hold every pending file's rows in one
+    * indivisible batch, and committing them would double-load the
+    * overlap (the retry recomputes the pending set and converges). */
+  private[sources] def installCopyMarks(keys: Seq[String],
+      ds: Array[GraftDelivery],
+      install: Array[GraftDelivery] => Unit): Unit = mutate {
+    val marked = keys.count(k => streamEpochs.get(k).exists(_ >= 1L))
+    if (marked == keys.length) {
+      discardDeliveriesD(ds)
+    } else if (marked > 0) {
+      discardDeliveriesD(ds)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: a concurrent COPY INTO loaded $marked of these " +
+          s"${keys.length} files between plan and commit; retry the " +
+          "statement (the pending set re-resolves)")
+    } else {
+      keys.foreach(k => streamEpochs.put(k, 1L))
+      try install(ds)
+      catch {
+        case t: Throwable =>
+          keys.foreach(streamEpochs.remove)
+          throw t
+      }
+    }
+  }
+
   /** Commit step of an identity-filling write: INSIDE the lease (so a
     * foreign commit is synced first), verify no concurrent writer
     * claimed the value blocks this write's tasks minted from, then
@@ -4129,6 +4164,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
   def latestTxnVersion(appId: String): Long = {
     refreshIfStale()
     streamEpochs.getOrElse(GraftTable.TxnLedgerPrefix + appId, -1L)
+  }
+
+  /** COPY INTO's plan-time probe: is the file behind this ledger key
+    * already loaded? Reads through to foreign commits (a file another
+    * process copied is skipped here, not at the commit conflict). */
+  private[sources] def copyMarked(key: String): Boolean = {
+    refreshIfStale()
+    streamEpochs.get(key).exists(_ >= 1L)
   }
   private[sources] def restoreEpochs(m: Map[String, Long]): Unit =
     m.foreach { case (q, e) =>
@@ -4249,6 +4292,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
             v, ds, base)
       }
 
+      /** COPY INTO's per-file idempotence marks (set by the maintenance
+        * command, never by hand): comma-joined ledger keys published
+        * atomically with this append's commit. */
+      private val copyKeys: Option[Seq[String]] =
+        Option(info.options.get(GraftTable.CopyKeysOption))
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .filter(_.nonEmpty)
+      private def withCopy(base: Array[GraftDelivery] => Unit)
+          : Array[GraftDelivery] => Unit = copyKeys match {
+        case None => base
+        case Some(ks) => ds => installCopyMarks(ks, ds, base)
+      }
+
       /** Identity/generated-column fill recipe for THIS write (None on
         * tables without either): identity value blocks reserve off the
         * persisted high-water ledger at build time; the commit verifies
@@ -4305,7 +4361,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
       override def build(): Write = new GraftWrite(clusterTransforms,
         () => new GraftBatchWrite(GraftTable.this,
-          withIdentity(withTxn(install)), fillSpec),
+          withIdentity(withCopy(withTxn(install))), fillSpec),
         // streaming sink (writeStream.toTable): same install modes —
         // append per epoch, or replace per epoch under Complete output
         // (Spark calls truncate() once at build time for that mode)
@@ -4559,6 +4615,21 @@ object GraftTable {
     * ledger, and the prefix (illegal in a Spark streaming query id,
     * which is a UUID) keeps an app id from ever colliding with one. */
   val TxnLedgerPrefix = "txn:"
+
+  /** Ledger-key namespace of COPY INTO's per-file load marks
+    * ("cpy:<md5(absolute path)>" — hashed so the ledger entry stays
+    * fixed-width whatever the path length). */
+  val CopyLedgerPrefix = "cpy:"
+
+  /** Write option the COPY INTO command uses to thread its per-file
+    * marks into the append's commit (comma-joined ledger keys). */
+  val CopyKeysOption = "graft.copy.keys"
+
+  private[sources] def copyKeyOf(absPath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    CopyLedgerPrefix + md.digest(absPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 
   /** AUTO-COMPACTION (Delta's autoCompact / Iceberg's commit-triggered
     * rewrite): `'auto.compact'='true'` (default threshold) or
@@ -4833,6 +4904,18 @@ object GraftMaintenance {
   def schemaOf(namespace: Seq[String], table: String,
                scope: Option[GraftStoreState] = None): StructType =
     resolve(namespace, table, scope).schema()
+
+  /** COPY INTO's plan-time probe: split `files` into (pending with
+    * ledger keys, already-loaded count). Reads through to foreign
+    * commits — a file another process copied is skipped at plan. */
+  def copyPending(namespace: Seq[String], table: String,
+      files: Seq[String], scope: Option[GraftStoreState] = None)
+      : (Seq[(String, String)], Int) = {
+    val t = resolve(namespace, table, scope)
+    val keyed = files.map(f => f -> GraftTable.copyKeyOf(f))
+    val (loaded, pending) = keyed.partition { case (_, k) => t.copyMarked(k) }
+    (pending, loaded.size)
+  }
 
   /** Merge-install ANALYZE's column statistics (FOR COLUMNS re-analyzes
     * the named columns, keeps the rest) as one log-persisted commit. */

@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
+  *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET] [PATTERN = '<glob>']
   * }}} */
 class GraftSqlParser(delegate: ParserInterface,
                      session: Option[SparkSession] = None)
@@ -71,6 +72,8 @@ object GraftSqlParser {
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
   private val DescribeDetail =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+?)\s*;?\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -290,6 +293,94 @@ object GraftSqlParser {
               }))
           case _ => None
         }
+      // COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET]
+      // [PATTERN = '<glob>'] — Delta's idempotent bulk-file ingest:
+      // files already loaded into THIS table are recognized from the
+      // persisted per-file ledger and skipped (plan-time probe reads
+      // through to foreign commits; the marks publish atomically WITH
+      // the append's commit, so a crash-and-retry or a concurrent
+      // copier converges instead of double-loading). One commit per
+      // COPY execution, whatever the file count — the pending files
+      // read as one distributed scan and land as ordinary
+      // executor-written segments.
+      case CopyInto(ident, dir, fmt, pattern) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(outTyped(
+            ("files_loaded", IntegerType),
+            ("files_skipped", IntegerType),
+            ("rows_loaded", org.apache.spark.sql.types.LongType)), sp => {
+            import org.apache.spark.sql.functions.col
+            if (fmt != null && !fmt.trim.equalsIgnoreCase("PARQUET"))
+              throw new UnsupportedOperationException(
+                s"COPY INTO: FILEFORMAT ${fmt.trim.toUpperCase} is not " +
+                  "supported (PARQUET only)")
+            val (ns, t, scope) = resolve(parts, session)
+            val root = java.nio.file.Paths.get(dir)
+            if (!java.nio.file.Files.isDirectory(root))
+              throw new IllegalArgumentException(
+                s"COPY INTO: source '$dir' is not a directory")
+            // PATTERN globs against the path RELATIVE to the source dir
+            // (default: any .parquet anywhere below it); Spark-convention
+            // marker files (_SUCCESS, .crc) never match
+            val matcher = java.nio.file.FileSystems.getDefault
+              .getPathMatcher("glob:" + Option(pattern).getOrElse(
+                "{*.parquet,**/*.parquet}"))
+            val files: Seq[String] = {
+              val w = java.nio.file.Files.walk(root)
+              try {
+                import scala.jdk.CollectionConverters._
+                w.iterator().asScala
+                  .filter(java.nio.file.Files.isRegularFile(_))
+                  .filter { p =>
+                    val n = p.getFileName.toString
+                    !n.startsWith("_") && !n.startsWith(".")
+                  }
+                  .filter(p => matcher.matches(root.relativize(p)))
+                  .map(_.toAbsolutePath.normalize.toString)
+                  .toSeq.sorted
+              } finally w.close()
+            }
+            val (pending, skipped) =
+              GraftMaintenance.copyPending(ns, t, files, scope)
+            if (pending.isEmpty) Seq(Row(0, skipped, 0L))
+            else {
+              val schema = GraftMaintenance.schemaOf(ns, t, scope)
+              val src = sp.read.parquet(pending.map(_._1): _*)
+              // strict by-name conformance, lossless casts only: a
+              // permissive cast would turn a drifted source into silent
+              // NULLs — refuse loudly instead (Delta's COPY contract)
+              val extra = src.columns.filterNot(c =>
+                schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+              if (extra.nonEmpty)
+                throw new IllegalArgumentException(
+                  s"COPY INTO: source carries columns the table lacks: " +
+                    s"${extra.mkString(", ")}")
+              val cols = schema.fields.map { f =>
+                val srcName = src.columns
+                  .find(_.equalsIgnoreCase(f.name)).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"COPY INTO: source is missing column ${f.name}"))
+                val srcType = src.schema(srcName).dataType
+                if (srcType != f.dataType &&
+                    !org.apache.spark.sql.catalyst.expressions.Cast
+                      .canUpCast(srcType, f.dataType))
+                  throw new IllegalArgumentException(
+                    s"COPY INTO: column ${f.name} is $srcType in the " +
+                      s"source but ${f.dataType} in the table — only " +
+                      "lossless upcasts are applied implicitly")
+                col(srcName).cast(f.dataType).as(f.name)
+              }
+              val df = src.select(cols.toSeq: _*)
+              val rows = df.count()
+              df.writeTo(parts.map(p => s"`$p`").mkString("."))
+                .option(GraftTable.CopyKeysOption,
+                  pending.map(_._2).mkString(","))
+                .append()
+              Seq(Row(pending.size, skipped, rows))
+            }
+          })
+        }
+
       // ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …|FOR ALL
       // COLUMNS]: ONE distributed aggregation pass over the table
       // (HLL ndv + null counts + string lengths, all map-side-combined
