@@ -3580,7 +3580,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
             f => trigger.contains(f.groupKey))
           ()
         } catch {
-          case scala.util.control.NonFatal(_) => () // retried next commit
+          case scala.util.control.NonFatal(e) => // retried next commit
+            System.err.println(
+              s"[graft:auto-compact] $tableName: pass skipped: $e")
         }
     }
   private[sources] def installReplace(ds: Array[GraftDelivery]): Unit =

@@ -97,9 +97,10 @@ class GraftRandomSoakSpec extends SparkSpec {
               s"table=${got.take(12)}… model=${model.toSeq.take(12)}…")
         }
 
+      val landing = tmpDir(s"graft-soak-$tag-land")
       for (step <- 1 to steps) {
         val op = rnd.nextInt(100)
-        if (op < 26 || model.isEmpty) { // INSERT a small batch
+        if (op < 20 || model.isEmpty) { // INSERT a small batch
           val n = 1 + rnd.nextInt(4)
           val rows = (0 until n).map { _ =>
             val id = nextId; nextId += 1
@@ -111,6 +112,29 @@ class GraftRandomSoakSpec extends SparkSpec {
             } else { model(id) = (v, None); s"($id, '$v')" }
           }
           spark.sql(s"INSERT INTO $cat.ns.t_$tag VALUES ${rows.mkString(", ")}")
+        } else if (op < 26) { // COPY INTO (r15): idempotent file ingest
+          // a unique landing dir per step; the statement runs TWICE —
+          // the per-file ledger marks must make the re-run a no-op
+          // whatever checkpoint/reclaim/restart cadence surrounds it
+          gen += 1
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1
+            (id, s"cp$gen-$id", if (evolved) wLit(id) else ("NULL", None))
+          }
+          val values = rows.map { case (id, v, (lw, _)) =>
+            if (evolved) s"(CAST($id AS BIGINT), '$v', CAST($lw AS INT))"
+            else s"(CAST($id AS BIGINT), '$v')"
+          }.mkString(", ")
+          val colsAs = if (evolved) "x(id, v, w)" else "x(id, v)"
+          spark.sql(s"SELECT * FROM VALUES $values AS $colsAs")
+            .coalesce(1).write.parquet(s"$landing/step$step")
+          GraftMaintenance.sql(spark,
+            s"COPY INTO $cat.ns.t_$tag FROM '$landing/step$step'").collect()
+          val again = GraftMaintenance.sql(spark,
+            s"COPY INTO $cat.ns.t_$tag FROM '$landing/step$step'").head()
+          assert(again.getInt(0) === 0,
+            s"[$mode seed=$seed] COPY re-run at step $step must skip")
+          rows.foreach { case (id, v, (_, w)) => model(id) = (v, w) }
         } else if (op < 42) { // UPDATE a random residue class (v only)
           gen += 1
           val k = 2 + rnd.nextInt(4)
