@@ -104,6 +104,21 @@ object ForkedWriterMain {
         }
         spark.stop()
         sys.exit(0)
+      case "copyinto" =>
+        // COPY INTO racer: both children ingest the SAME landing dir
+        // (derived `<wh>-landing` — the parent writes it) several times
+        // over; the per-file ledger marks must make the union land
+        // EXACTLY ONCE across processes. A commit-race loser either
+        // plans pending-empty or skips at the full-overlap check; a
+        // partial overlap aborts with the retry contract (retried here)
+        val land = wh + "-landing"
+        val t = s"$cat.ns.$tbl"
+        (fromS.toInt to toS.toInt).foreach { _ =>
+          retry(60)(GraftMaintenance.sql(spark,
+            s"COPY INTO $t FROM '$land'").collect())
+        }
+        spark.stop()
+        sys.exit(0)
       case "crash" =>
         val t = spark.sessionState.catalogManager.catalog(cat)
           .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), tbl))

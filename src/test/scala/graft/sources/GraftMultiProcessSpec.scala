@@ -99,6 +99,34 @@ class GraftMultiProcessSpec extends SparkSpec {
     assert(versions.max >= 50, "50 inserts = at least 50 commits")
   }
 
+  test("two forked JVMs COPY INTO the same landing dir concurrently: " +
+      "every file loads exactly once across processes") {
+    val wh = tmpDir("graft-mp-copy")
+    durableCatalog("mpcy", wh)
+    spark.sql("CREATE TABLE mpcy.ns.mpcp (id BIGINT, v STRING)")
+    val land = wh + "-landing" // the children derive the same path
+    (1L to 200L).map(i => (i, s"f$i")).toDF("id", "v")
+      .repartition(8).write.parquet(s"$land/b1")
+
+    // each child runs the statement 3 times; the racing pair's commit
+    // loser must recognize the winner's per-file marks (skip or the
+    // retry contract), never double-load
+    val (p1, l1) = fork("copyinto", wh, "c1", "mpcp", 1L, 3L)
+    val (p2, l2) = fork("copyinto", wh, "c2", "mpcp", 1L, 3L)
+    awaitExit(p1, l1, 0)
+    awaitExit(p2, l2, 0)
+
+    durableCatalog("mpcr", wh, isolated = true)
+    val ids = spark.sql("SELECT id FROM mpcr.ns.mpcp ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(ids === (1L to 200L),
+      "cross-process COPY INTO must land every file exactly once")
+    // and THIS process's own re-run folds the children's marks: no-op
+    val r = GraftMaintenance.sql(spark,
+      s"COPY INTO mpcr.ns.mpcp FROM '$land'").head()
+    assert(r.getInt(0) === 0 && r.getInt(1) === 8, s"$r")
+  }
+
   /** The 3-JVM mixed DML/OPTIMIZE soak, parameterized by the
     * [[GraftLogStore]] backend: `local-fs` (hard-link CAS + OS file
     * lock) and `file-cas` (atomic create-new only — the object-store-
