@@ -5485,12 +5485,73 @@ class GraftScanBuilder(tableSchema: StructType,
         tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
     }
 
+  // file-skip filters DERIVED through generated columns (census label)
+  private var derivedShown: Seq[String] = Nil
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val compiled = filters.flatMap(f =>
       ZonePredicates.compile(f, tableSchema).map(t => (f, t)))
+    // generated-column partition pruning (Delta's): an equality/IN
+    // filter on a generation SOURCE column derives the generated
+    // column's value by evaluating the generation expression on the
+    // literal — a table partitioned by `GENERATED ALWAYS AS (f(src))`
+    // prunes on `WHERE src = lit` even though src's own zones span
+    // every file. FILE-level only, and sound: GENERATED ALWAYS refuses
+    // explicit values and recomputes on every rewrite, so every stored
+    // row with src = lit has gen = f(lit) exactly — a file whose
+    // gen-zone excludes f(lit) holds no matching row. Any derivation
+    // failure skips silently (pruning lost, rows never).
+    val derived = deriveGenerated(filters)
     pushed = compiled.map(_._1)
-    tests = compiled.map(_._2)
+    tests = compiled.map(_._2) ++
+      derived.flatMap(ZonePredicates.compile(_, tableSchema))
+    derivedShown = derived.map(d => s"derived:$d")
     filters // everything stays a residual: Spark re-applies row-level
+  }
+
+  private def deriveGenerated(filters: Array[Filter]): Seq[Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val gens = try GraftFill.generatedCols(tableSchema) catch {
+      case scala.util.control.NonFatal(_) => Nil
+    }
+    if (gens.isEmpty) return Nil
+    gens.flatMap { g =>
+      // only single-source expressions derive: the literal binds one
+      // ordinal, and every other reference would read an unbound NULL
+      val refs = g.check.expr.collect {
+        case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+          b.ordinal
+      }.distinct
+      if (refs.length != 1) Nil
+      else {
+        val srcField = tableSchema.fields(refs.head)
+        val genField = tableSchema.fields(g.ord)
+        val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(srcField.dataType)
+        val toExternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(genField.dataType)
+        def derive(v: Any): Option[Any] =
+          if (v == null) None
+          else try {
+            val row = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(tableSchema.length)
+            row.update(refs.head, toInternal(v))
+            Option(g.check.expr.eval(row)).map(toExternal)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        filters.toSeq.flatMap {
+          case EqualTo(a, v) if a == srcField.name =>
+            derive(v).map(dv => EqualTo(genField.name, dv): Filter)
+          case In(a, vs) if a == srcField.name && vs != null && vs.nonEmpty =>
+            val dvs = vs.toSeq.map(derive)
+            // one underivable value poisons the set (the row could land
+            // in any file) — derive only when every value maps
+            if (dvs.forall(_.isDefined))
+              Some(In(genField.name, dvs.map(_.get).toArray): Filter)
+            else None
+          case _ => None
+        }
+      }
+    }
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -5672,7 +5733,8 @@ class GraftScanBuilder(tableSchema: StructType,
     census(ScanCensus(all.length, surviving.length,
       all.iterator.map(liveCount).sum,
       surviving.iterator.map(p => liveCount(p._1)).sum,
-      pushed.map(_.toString).toSeq ++ limit.map(l => s"limit: $l")))
+      pushed.map(_.toString).toSeq ++ derivedShown ++
+        limit.map(l => s"limit: $l")))
     // column-fraction size scaling: a pruned read costs proportionally
     // less, and the reported stats should say so (auto-broadcast sizing)
     val colFrac =
