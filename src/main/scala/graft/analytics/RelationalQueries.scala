@@ -2377,6 +2377,107 @@ object RelationalQueries {
         .orderBy("rk")
     },
 
+    // ----- COPY INTO FILEFORMAT = CSV (round 16, the r15 verdict's top
+    // task): landing-zone CSVs — the reference's own ingestion shape
+    // (header promotion + explicit typing, Dummy Data Upload.Dataflow/
+    // mashup.pq:12-14) — load with the same per-file exactly-once
+    // marks as parquet. Header NAMES resolve the columns (the landing
+    // header is deliberately written in a different order than the
+    // table), values parse straight into the table's types under
+    // FAILFAST, and a drifted file (extra column) refuses loudly
+    // loading NOTHING — the oracle is nation restated, so a double
+    // load, a dropped file, or a half-applied refused batch all break
+    // the hash.
+    Q("s61_copy_into_csv", "S-copy,S7,S5,A1",
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY rk ORDER BY rk""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s61").toString
+      val src = java.nio.file.Files.createTempDirectory("graft-s61src")
+        .toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gcc_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_regionkey").cast("long").as("rk"))
+      nat.where(lit(false)).writeTo(s"$w.ns.t").create()
+      // batch 1: header order (rk, nk) differs from the table's —
+      // by-name resolution is load-bearing; loaded TWICE
+      nat.where(col("nk") < 13).select("rk", "nk").coalesce(1)
+        .write.option("header", "true").csv(s"$src/b1")
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = CSV").collect()
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = CSV").collect()
+      // a drifted landing file: refused loudly, loads nothing (were a
+      // partial batch applied, the final hash would break)
+      val bad = java.nio.file.Paths.get(src, "drift.csv")
+      java.nio.file.Files.write(bad,
+        "rk,nk,extra\n0,99,boom\n".getBytes("UTF-8"))
+      try {
+        graft.sources.GraftMaintenance.sql(s,
+          s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = CSV").collect()
+        throw new IllegalStateException(
+          "s61: the drifted CSV must refuse")
+      } catch {
+        case e: Exception
+          if Option(e.getMessage).exists(_.contains("s61:")) => throw e
+        case _: Exception => () // the refusal contract
+      }
+      java.nio.file.Files.delete(bad)
+      // batch 2 arrives; only it loads
+      nat.where(col("nk") >= 13).select("rk", "nk").coalesce(1)
+        .write.option("header", "true").csv(s"$src/b2")
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = CSV").collect()
+      s.table(s"$w.ns.t")
+        .groupBy("rk")
+        .agg(count(lit(1)).as("n"), sum(col("nk")).cast("long")
+          .as("key_sum"))
+        .orderBy("rk")
+    },
+
+    // ----- COPY INTO FILEFORMAT = JSON (round 16): JSON lines land
+    // with the same marks; names resolve off the inferred schema (one
+    // inference pass — the price of loud drift detection, JSON has no
+    // header), the typed FAILFAST read parses matched fields. Same
+    // nation restatement: re-runs skip, arrivals load incrementally.
+    Q("s62_copy_into_json", "S-copy,S1,S5,A1",
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY rk ORDER BY rk""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s62").toString
+      val src = java.nio.file.Files.createTempDirectory("graft-s62src")
+        .toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gcj_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_regionkey").cast("long").as("rk"))
+      nat.where(lit(false)).writeTo(s"$w.ns.t").create()
+      nat.where(col("nk") < 13).coalesce(1)
+        .write.json(s"$src/b1")
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = JSON").collect()
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = JSON").collect()
+      nat.where(col("nk") >= 13).coalesce(1)
+        .write.json(s"$src/b2")
+      graft.sources.GraftMaintenance.sql(s,
+        s"COPY INTO $w.ns.t FROM '$src' FILEFORMAT = JSON").collect()
+      s.table(s"$w.ns.t")
+        .groupBy("rk")
+        .agg(count(lit(1)).as("n"), sum(col("nk")).cast("long")
+          .as("key_sum"))
+        .orderBy("rk")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

@@ -3549,11 +3549,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def installAppend(batches: Array[Array[InternalRow]]): Unit =
     installAppend(GraftDeliveries.rows(batches))
   private[sources] def installAppend(ds: Array[GraftDelivery]): Unit =
+    installAppendAs("APPEND", ds)
+  /** Append commit with an explicit DESCRIBE HISTORY operation tag
+    * (COPY INTO labels its one commit so the log reads like Delta's
+    * history and the command's rows_loaded census can find it). */
+  private[sources] def installAppendAs(op: String,
+      ds: Array[GraftDelivery]): Unit =
     mutate {
       validateDeliveries(ds)
       val nf = buildFiles(ds)
       files = files ++ nf
-      snap("APPEND", added = nf)
+      snap(op, added = nf)
       maybeAutoCompact()
     }
 
@@ -4067,22 +4073,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * overlap (the retry recomputes the pending set and converges). */
   private[sources] def installCopyMarks(keys: Seq[String],
       ds: Array[GraftDelivery],
-      install: Array[GraftDelivery] => Unit): Unit = mutate {
+      install: Array[GraftDelivery] => Unit,
+      force: Boolean = false): Unit = mutate {
     val marked = keys.count(k => streamEpochs.get(k).exists(_ >= 1L))
-    if (marked == keys.length) {
+    if (!force && marked == keys.length) {
       discardDeliveriesD(ds)
-    } else if (marked > 0) {
+    } else if (!force && marked > 0) {
       discardDeliveriesD(ds)
       throw new java.util.ConcurrentModificationException(
         s"$tableName: a concurrent COPY INTO loaded $marked of these " +
           s"${keys.length} files between plan and commit; retry the " +
           "statement (the pending set re-resolves)")
     } else {
-      keys.foreach(k => streamEpochs.put(k, 1L))
+      // FORCE skips the overlap checks by contract (the caller accepts
+      // duplicates); previously-present marks survive a failed install
+      val fresh = keys.filterNot(k => streamEpochs.get(k).exists(_ >= 1L))
+      fresh.foreach(k => streamEpochs.put(k, 1L))
       try install(ds)
       catch {
         case t: Throwable =>
-          keys.foreach(streamEpochs.remove)
+          fresh.foreach(streamEpochs.remove)
           throw t
       }
     }
@@ -4185,6 +4195,20 @@ class GraftTable(initialName: String, initialSchema: StructType,
     refreshIfStale() // a durable table tails foreign writers' commits too
     history.last.version
   }
+
+  /** Rows the newest COPY INTO commit after `sinceVersion` added — the
+    * command's rows_loaded census, read from the commit log entry the
+    * write itself produced (sum of the delivered files' row counts)
+    * instead of a second pre-write count() scan over the landing files
+    * (which would double the ingest cost and could diverge from the
+    * committed rows if a pending file were rewritten between the two
+    * jobs). */
+  private[sources] def copyRowsSince(sinceVersion: Int): Long =
+    history.reverseIterator
+      .find(e => e.version > sinceVersion &&
+        e.operation == GraftTable.CopyOp)
+      .map(_.added.iterator.map(_.rowCount.toLong).sum)
+      .getOrElse(0L)
 
   /** Earliest retained commit version with tsMicros >= the instant;
     * current version + 1 when the instant is after every commit (the
@@ -4296,15 +4320,25 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
       /** COPY INTO's per-file idempotence marks (set by the maintenance
         * command, never by hand): comma-joined ledger keys published
-        * atomically with this append's commit. */
+        * atomically with this append's commit. A COPY is ALWAYS an
+        * append (the command never truncates/overwrites), so the inner
+        * install is pinned to the append path with the "COPY INTO"
+        * history tag — Delta's DESCRIBE HISTORY shows the same, and the
+        * command's rows_loaded census reads that entry back instead of
+        * paying a second pre-write count() scan. */
       private val copyKeys: Option[Seq[String]] =
         Option(info.options.get(GraftTable.CopyKeysOption))
           .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
           .filter(_.nonEmpty)
+      private val copyForce: Boolean =
+        Option(info.options.get(GraftTable.CopyForceOption))
+          .exists(_.toBoolean)
       private def withCopy(base: Array[GraftDelivery] => Unit)
           : Array[GraftDelivery] => Unit = copyKeys match {
         case None => base
-        case Some(ks) => ds => installCopyMarks(ks, ds, base)
+        case Some(ks) =>
+          ds => installCopyMarks(ks, ds,
+            d => installAppendAs(GraftTable.CopyOp, d), copyForce)
       }
 
       /** Identity/generated-column fill recipe for THIS write (None on
@@ -4619,18 +4653,36 @@ object GraftTable {
   val TxnLedgerPrefix = "txn:"
 
   /** Ledger-key namespace of COPY INTO's per-file load marks
-    * ("cpy:<md5(absolute path)>" — hashed so the ledger entry stays
-    * fixed-width whatever the path length). */
+    * ("cpy:<md5(absolute path + size + mtime)>" — hashed so the ledger
+    * entry stays fixed-width whatever the path length). File identity
+    * is (path, size, mtime), not path alone: a landing file re-uploaded
+    * with NEW content under the same name derives a NEW key and loads
+    * again, instead of being silently skipped forever (Delta's COPY
+    * INTO tracks the same triple). Re-loading an UNCHANGED file is the
+    * FORCE escape hatch. */
   val CopyLedgerPrefix = "cpy:"
 
   /** Write option the COPY INTO command uses to thread its per-file
     * marks into the append's commit (comma-joined ledger keys). */
   val CopyKeysOption = "graft.copy.keys"
 
-  private[sources] def copyKeyOf(absPath: String): String = {
+  /** Write option of `COPY INTO … FORCE`: load the matched files
+    * regardless of existing marks (Delta's `'force' = 'true'` — the
+    * caller accepts possible duplicates); marks still install so later
+    * non-FORCE runs skip. */
+  val CopyForceOption = "graft.copy.force"
+
+  /** DESCRIBE HISTORY operation tag of a COPY INTO commit (Delta shows
+    * the same); also the anchor the command's `rows_loaded` census
+    * reads back from the commit log entry. */
+  val CopyOp = "COPY INTO"
+
+  private[sources] def copyKeyOf(absPath: String, sizeBytes: Long,
+                                 mtimeMillis: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    CopyLedgerPrefix + md.digest(absPath.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    CopyLedgerPrefix +
+      md.digest(s"$absPath\n$sizeBytes\n$mtimeMillis".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
   }
 
   /** AUTO-COMPACTION (Delta's autoCompact / Iceberg's commit-triggered
@@ -4907,17 +4959,40 @@ object GraftMaintenance {
                scope: Option[GraftStoreState] = None): StructType =
     resolve(namespace, table, scope).schema()
 
-  /** COPY INTO's plan-time probe: split `files` into (pending with
+  /** COPY INTO's plan-time probe: split `files` (path, size, mtime —
+    * the triple IS the file's ledger identity) into (pending with
     * ledger keys, already-loaded count). Reads through to foreign
-    * commits — a file another process copied is skipped at plan. */
+    * commits — a file another process copied is skipped at plan.
+    * `force` treats every file as pending (Delta's 'force'='true'). */
   def copyPending(namespace: Seq[String], table: String,
-      files: Seq[String], scope: Option[GraftStoreState] = None)
+      files: Seq[(String, Long, Long)],
+      scope: Option[GraftStoreState] = None,
+      force: Boolean = false)
       : (Seq[(String, String)], Int) = {
     val t = resolve(namespace, table, scope)
-    val keyed = files.map(f => f -> GraftTable.copyKeyOf(f))
-    val (loaded, pending) = keyed.partition { case (_, k) => t.copyMarked(k) }
-    (pending, loaded.size)
+    val keyed = files.map { case (f, sz, mt) =>
+      f -> GraftTable.copyKeyOf(f, sz, mt)
+    }
+    if (force) (keyed, 0)
+    else {
+      val (loaded, pending) =
+        keyed.partition { case (_, k) => t.copyMarked(k) }
+      (pending, loaded.size)
+    }
   }
+
+  /** Current commit version of a resolved table (COPY INTO captures it
+    * before the append so rows_loaded can anchor on its own commit). */
+  def tableVersion(namespace: Seq[String], table: String,
+                   scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).currentVersion
+
+  /** Rows the newest COPY INTO commit after `sinceVersion` added (see
+    * [[GraftTable.copyRowsSince]]). */
+  def copyCommitRows(namespace: Seq[String], table: String,
+                     sinceVersion: Int,
+                     scope: Option[GraftStoreState] = None): Long =
+    resolve(namespace, table, scope).copyRowsSince(sinceVersion)
 
   /** Merge-install ANALYZE's column statistics (FOR COLUMNS re-analyzes
     * the named columns, keeps the rest) as one log-persisted commit. */

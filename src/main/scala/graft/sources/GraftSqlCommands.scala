@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
-  *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET] [PATTERN = '<glob>']
+  *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+  *     [PATTERN = '<glob>'] [FORCE]
   * }}} */
 class GraftSqlParser(delegate: ParserInterface,
                      session: Option[SparkSession] = None)
@@ -73,7 +74,7 @@ object GraftSqlParser {
   private val DescribeDetail =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+?)\s*;?\s*""".r
   private val CopyInto =
-    """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -293,89 +294,92 @@ object GraftSqlParser {
               }))
           case _ => None
         }
-      // COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET]
-      // [PATTERN = '<glob>'] — Delta's idempotent bulk-file ingest:
-      // files already loaded into THIS table are recognized from the
-      // persisted per-file ledger and skipped (plan-time probe reads
-      // through to foreign commits; the marks publish atomically WITH
-      // the append's commit, so a crash-and-retry or a concurrent
-      // copier converges instead of double-loading). One commit per
-      // COPY execution, whatever the file count — the pending files
-      // read as one distributed scan and land as ordinary
-      // executor-written segments.
-      case CopyInto(ident, dir, fmt, pattern) =>
+      // COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+      // [PATTERN = '<glob>'] [FORCE] — Delta's idempotent bulk-file
+      // ingest: files already loaded into THIS table are recognized
+      // from the persisted per-file ledger (identity = path+size+mtime,
+      // so a re-uploaded file with new content loads again) and skipped
+      // (plan-time probe reads through to foreign commits; the marks
+      // publish atomically WITH the append's commit, so a
+      // crash-and-retry or a concurrent copier converges instead of
+      // double-loading). FORCE loads the matched files regardless of
+      // marks (duplicates accepted by the caller — Delta's
+      // 'force'='true'). One commit per COPY execution, whatever the
+      // file count — the pending files read as one distributed scan and
+      // land as ordinary executor-written segments; rows_loaded reads
+      // back from that commit's own log entry, never a second scan.
+      case CopyInto(ident, dir, fmt, pattern, forceKw) =>
         split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(outTyped(
             ("files_loaded", IntegerType),
             ("files_skipped", IntegerType),
             ("rows_loaded", org.apache.spark.sql.types.LongType)), sp => {
-            import org.apache.spark.sql.functions.col
-            if (fmt != null && !fmt.trim.equalsIgnoreCase("PARQUET"))
+            val format = Option(fmt).map(_.trim.toUpperCase)
+              .getOrElse("PARQUET")
+            if (!Set("PARQUET", "CSV", "JSON").contains(format))
               throw new UnsupportedOperationException(
-                s"COPY INTO: FILEFORMAT ${fmt.trim.toUpperCase} is not " +
-                  "supported (PARQUET only)")
+                s"COPY INTO: FILEFORMAT $format is not supported " +
+                  "(PARQUET, CSV or JSON)")
+            val force = forceKw != null
             val (ns, t, scope) = resolve(parts, session)
             val root = java.nio.file.Paths.get(dir)
             if (!java.nio.file.Files.isDirectory(root))
               throw new IllegalArgumentException(
                 s"COPY INTO: source '$dir' is not a directory")
             // PATTERN globs against the path RELATIVE to the source dir
-            // (default: any .parquet anywhere below it); Spark-convention
-            // marker files (_SUCCESS, .crc) never match
+            // (default: any file of the format's extension anywhere
+            // below it). A path with ANY component starting with '_' or
+            // '.' never matches — Spark/Delta's FileIndex convention —
+            // so a concurrent writer's in-flight `_temporary/…` task
+            // attempts and `.staging/` dirs are invisible, not ingested
+            // and permanently marked as loaded.
+            val ext = format.toLowerCase
             val matcher = java.nio.file.FileSystems.getDefault
               .getPathMatcher("glob:" + Option(pattern).getOrElse(
-                "{*.parquet,**/*.parquet}"))
-            val files: Seq[String] = {
+                s"{*.$ext,**/*.$ext}"))
+            val files: Seq[(String, Long, Long)] = {
               val w = java.nio.file.Files.walk(root)
               try {
                 import scala.jdk.CollectionConverters._
                 w.iterator().asScala
                   .filter(java.nio.file.Files.isRegularFile(_))
                   .filter { p =>
-                    val n = p.getFileName.toString
-                    !n.startsWith("_") && !n.startsWith(".")
+                    val rel = root.relativize(p)
+                    (0 until rel.getNameCount).forall { i =>
+                      val n = rel.getName(i).toString
+                      !n.startsWith("_") && !n.startsWith(".")
+                    }
                   }
                   .filter(p => matcher.matches(root.relativize(p)))
-                  .map(_.toAbsolutePath.normalize.toString)
-                  .toSeq.sorted
+                  .map { p =>
+                    (p.toAbsolutePath.normalize.toString,
+                      java.nio.file.Files.size(p),
+                      java.nio.file.Files.getLastModifiedTime(p).toMillis)
+                  }
+                  .toSeq.sortBy(_._1)
               } finally w.close()
             }
             val (pending, skipped) =
-              GraftMaintenance.copyPending(ns, t, files, scope)
+              GraftMaintenance.copyPending(ns, t, files, scope, force)
             if (pending.isEmpty) Seq(Row(0, skipped, 0L))
             else {
               val schema = GraftMaintenance.schemaOf(ns, t, scope)
-              val src = sp.read.parquet(pending.map(_._1): _*)
-              // strict by-name conformance, lossless casts only: a
-              // permissive cast would turn a drifted source into silent
-              // NULLs — refuse loudly instead (Delta's COPY contract)
-              val extra = src.columns.filterNot(c =>
-                schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-              if (extra.nonEmpty)
-                throw new IllegalArgumentException(
-                  s"COPY INTO: source carries columns the table lacks: " +
-                    s"${extra.mkString(", ")}")
-              val cols = schema.fields.map { f =>
-                val srcName = src.columns
-                  .find(_.equalsIgnoreCase(f.name)).getOrElse(
-                    throw new IllegalArgumentException(
-                      s"COPY INTO: source is missing column ${f.name}"))
-                val srcType = src.schema(srcName).dataType
-                if (srcType != f.dataType &&
-                    !org.apache.spark.sql.catalyst.expressions.Cast
-                      .canUpCast(srcType, f.dataType))
-                  throw new IllegalArgumentException(
-                    s"COPY INTO: column ${f.name} is $srcType in the " +
-                      s"source but ${f.dataType} in the table — only " +
-                      "lossless upcasts are applied implicitly")
-                col(srcName).cast(f.dataType).as(f.name)
-              }
-              val df = src.select(cols.toSeq: _*)
-              val rows = df.count()
-              df.writeTo(parts.map(p => s"`$p`").mkString("."))
+              val df = GraftCopyReader.conform(
+                sp, format, pending.map(_._1), schema)
+              val versionBefore =
+                GraftMaintenance.tableVersion(ns, t, scope)
+              val w = df.writeTo(parts.map(p => s"`$p`").mkString("."))
                 .option(GraftTable.CopyKeysOption,
                   pending.map(_._2).mkString(","))
-                .append()
+              (if (force) w.option(GraftTable.CopyForceOption, "true")
+               else w).append()
+              // rows_loaded = what the commit actually wrote (sum of
+              // the delivered files' row counts off its log entry) —
+              // a pre-write count() would scan the landing files twice
+              // and could diverge if one were rewritten between jobs
+              val rows =
+                GraftMaintenance.copyCommitRows(ns, t, versionBefore,
+                  scope)
               Seq(Row(pending.size, skipped, rows))
             }
           })
@@ -603,4 +607,144 @@ case class GraftMaintenanceCommand(
     override val output: Seq[Attribute],
     body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+}
+
+/** COPY INTO's format readers: one plan per format that conforms the
+  * landing files to the table schema BY NAME, loudly.
+  *
+  * Shared rules across formats: a source column the table lacks
+  * refuses; a table column the source lacks refuses UNLESS it is
+  * fill-managed (identity / GENERATED ALWAYS — the write's fill recipe
+  * populates it, so it is injected here as a typed NULL for the fill
+  * to replace; requiring it would make such tables un-COPY-able, and
+  * carrying an explicit value is refused by the fill path itself).
+  *
+  * Type conformance is format-shaped: PARQUET is already typed, so
+  * only LOSSLESS upcasts apply (a permissive cast would turn drift
+  * into silent NULLs); CSV carries no types at all — header names
+  * resolve the columns (the reference's own CSV ingestion is header
+  * promotion + explicit typing) and the values parse straight into the
+  * table's types under FAILFAST, so a malformed cell dies loudly;
+  * JSON is self-describing per row — one inference pass over the
+  * pending files (the price of loud drift detection) resolves names
+  * and checks the inferred types are losslessly readable as the
+  * table's, then the typed FAILFAST read parses the matched fields. */
+private[sources] object GraftCopyReader {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.types.{DateType, NullType, StringType, StructField, TimestampType}
+
+  def conform(sp: SparkSession, format: String, paths: Seq[String],
+              schema: StructType): DataFrame = {
+    val fillManaged: Set[String] = schema.fields.iterator.filter { f =>
+      f.metadata.contains(GraftFill.IdentityKey) ||
+        f.metadata.contains(GraftFill.GeneratedKey)
+    }.map(_.name).toSet
+
+    def checkExtra(srcCols: Seq[String]): Unit = {
+      val extra = srcCols.filterNot(c =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      if (extra.nonEmpty)
+        throw new IllegalArgumentException(
+          s"COPY INTO: source carries columns the table lacks: " +
+            s"${extra.mkString(", ")}")
+    }
+
+    /** Table-ordered projection: source spelling in, table names out;
+      * absent fill-managed columns arrive as typed NULLs (identity
+      * mints, GENERATED recomputes — both treat NULL as "fill me"). */
+    def project(src: DataFrame, cast: Boolean): DataFrame = {
+      val cols = schema.fields.map { f =>
+        src.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(srcName) =>
+            (if (cast) col(srcName).cast(f.dataType) else col(srcName))
+              .as(f.name)
+          case None if fillManaged(f.name) =>
+            lit(null).cast(f.dataType).as(f.name)
+          case None =>
+            throw new IllegalArgumentException(
+              s"COPY INTO: source is missing column ${f.name}")
+        }
+      }
+      src.select(cols.toSeq: _*)
+    }
+
+    def targetFieldOf(srcName: String): StructField =
+      schema.fields.find(_.name.equalsIgnoreCase(srcName)).get
+
+    format match {
+      case "PARQUET" =>
+        val src = sp.read.parquet(paths: _*)
+        checkExtra(src.columns.toSeq)
+        schema.fields.foreach { f =>
+          src.columns.find(_.equalsIgnoreCase(f.name)).foreach { srcName =>
+            val srcType = src.schema(srcName).dataType
+            if (srcType != f.dataType && !Cast.canUpCast(srcType, f.dataType))
+              throw new IllegalArgumentException(
+                s"COPY INTO: column ${f.name} is $srcType in the " +
+                  s"source but ${f.dataType} in the table — only " +
+                  "lossless upcasts are applied implicitly")
+          }
+        }
+        project(src, cast = true)
+
+      case "CSV" =>
+        // the header probe parses only the first file's header line
+        // (no inferSchema — every column arrives as its name, typing
+        // comes from the table below)
+        val header = sp.read.option("header", "true")
+          .csv(paths: _*).columns.toSeq
+        checkExtra(header)
+        // read schema in SOURCE header order with TARGET types;
+        // enforceSchema=false validates EVERY file's header against it
+        // (a drifted file hiding in the batch refuses instead of
+        // reading shifted columns), FAILFAST refuses malformed cells
+        val readSchema = StructType(header.map(c =>
+          StructField(c, targetFieldOf(c).dataType, nullable = true)))
+        val src = sp.read
+          .option("header", "true")
+          .option("enforceSchema", "false")
+          .option("mode", "FAILFAST")
+          .schema(readSchema)
+          .csv(paths: _*)
+        project(src, cast = false)
+
+      case "JSON" =>
+        val inferred = sp.read.json(paths: _*).schema
+        if (inferred.fieldNames.contains("_corrupt_record"))
+          throw new IllegalArgumentException(
+            "COPY INTO: the JSON source contains malformed records")
+        checkExtra(inferred.fieldNames.toSeq)
+        // inferred-vs-table type gate: equal, lossless upcast, all-null
+        // (NullType parses into anything), or a string field feeding a
+        // DATE/TIMESTAMP column (the JSON parser parses those literals
+        // under the typed read; FAILFAST catches the unparseable)
+        inferred.fields.foreach { sf =>
+          val f = targetFieldOf(sf.name)
+          val ok = sf.dataType == f.dataType ||
+            sf.dataType == NullType ||
+            Cast.canUpCast(sf.dataType, f.dataType) ||
+            (sf.dataType == StringType &&
+              (f.dataType == DateType || f.dataType == TimestampType))
+          if (!ok)
+            throw new IllegalArgumentException(
+              s"COPY INTO: column ${f.name} is ${sf.dataType} in the " +
+                s"source but ${f.dataType} in the table — only " +
+                "lossless upcasts are applied implicitly")
+        }
+        val readSchema = StructType(inferred.fields.map(sf =>
+          StructField(sf.name, targetFieldOf(sf.name).dataType,
+            nullable = true)).toSeq)
+        val src = sp.read
+          .option("mode", "FAILFAST")
+          .schema(readSchema)
+          .json(paths: _*)
+        project(src, cast = false)
+
+      case other =>
+        throw new UnsupportedOperationException(
+          s"COPY INTO: FILEFORMAT $other is not supported " +
+            "(PARQUET, CSV or JSON)")
+    }
+  }
 }

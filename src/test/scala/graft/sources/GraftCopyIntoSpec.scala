@@ -71,7 +71,7 @@ class GraftCopyIntoSpec extends SparkSpec {
     assert(spark.table("cpi2.ns.t").count() === 60L)
   }
 
-  test("PATTERN scopes the load; FILEFORMAT refuses non-parquet") {
+  test("PATTERN scopes the load; FILEFORMAT refuses unsupported formats") {
     val wh = tmpDir("graft-copy-pat")
     val src = tmpDir("graft-copy-pat-src")
     durableCatalog("cpp", wh)
@@ -89,10 +89,10 @@ class GraftCopyIntoSpec extends SparkSpec {
     assert(l2 === 1 && s2 === 1)
     assert(spark.table("cpp.ns.t").count() === 2L)
     val e = intercept[Exception](copy("cpp", "t", src,
-      " FILEFORMAT = CSV"))
+      " FILEFORMAT = ORC"))
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(e).exists(_.contains("PARQUET only")), e.getMessage)
+    assert(msgs(e).exists(_.contains("PARQUET, CSV or JSON")), e.getMessage)
   }
 
   test("schema conformance is strict: lossless upcasts apply, drifted " +
@@ -125,5 +125,157 @@ class GraftCopyIntoSpec extends SparkSpec {
     assert(msgs(e3).exists(_.contains("lossless")), e3.getMessage)
     assert(spark.table("cps.ns.t").count() === 1L,
       "refused copies must load nothing")
+  }
+
+  private def msgsOf(x: Throwable): Seq[String] =
+    if (x == null) Nil
+    else Option(x.getMessage).toSeq ++ msgsOf(x.getCause)
+
+  test("FILEFORMAT = CSV: header names resolve the columns, values " +
+      "parse into the table's types, malformed cells and drifted " +
+      "headers refuse loudly, marks keep re-runs idempotent") {
+    val wh = tmpDir("graft-copy-csv")
+    val src = tmpDir("graft-copy-csv-src")
+    durableCatalog("ccv", wh)
+    spark.sql("CREATE TABLE ccv.ns.t (id BIGINT, v STRING, d DATE)")
+    // header order differs from the table order — names resolve it
+    Files.write(Paths.get(src, "a.csv"),
+      "v,id,d\nalpha,1,2024-01-02\nbeta,2,2024-02-03\n".getBytes)
+    val (l1, s1, r1) = copy("ccv", "t", src, " FILEFORMAT = CSV")
+    assert((l1, s1, r1) === ((1, 0, 2L)))
+    val got = spark.table("ccv.ns.t").orderBy("id")
+      .selectExpr("id", "v", "CAST(d AS STRING)")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "alpha", "2024-01-02"),
+      (2L, "beta", "2024-02-03")))
+    // idempotent re-run
+    val (l2, s2, _) = copy("ccv", "t", src, " FILEFORMAT = CSV")
+    assert(l2 === 0 && s2 === 1)
+    // malformed cell: FAILFAST, nothing loads
+    Files.write(Paths.get(src, "bad.csv"),
+      "v,id,d\ngamma,not-a-number,2024-03-04\n".getBytes)
+    intercept[Exception](copy("ccv", "t", src, " FILEFORMAT = CSV"))
+    assert(spark.table("ccv.ns.t").count() === 2L)
+    Files.delete(Paths.get(src, "bad.csv"))
+    // a drifted header hiding in the batch: refuse (extra column)
+    Files.write(Paths.get(src, "drift.csv"),
+      "v,id,d,extra\ndelta,9,2024-04-05,x\n".getBytes)
+    val e = intercept[Exception](copy("ccv", "t", src,
+      " FILEFORMAT = CSV"))
+    assert(msgsOf(e).exists(m => m.contains("lacks") ||
+      m.contains("CSV header")), e.getMessage)
+    assert(spark.table("ccv.ns.t").count() === 2L)
+  }
+
+  test("FILEFORMAT = JSON: names resolve off the inferred schema, " +
+      "string dates parse into DATE, lossy numeric drift refuses") {
+    val wh = tmpDir("graft-copy-json")
+    val src = tmpDir("graft-copy-json-src")
+    durableCatalog("cjs", wh)
+    spark.sql("CREATE TABLE cjs.ns.t (id BIGINT, v STRING, d DATE)")
+    Files.write(Paths.get(src, "a.json"),
+      ("""{"id": 1, "v": "alpha", "d": "2024-01-02"}""" + "\n" +
+       """{"id": 2, "v": "beta", "d": "2024-02-03"}""" + "\n").getBytes)
+    val (l1, _, r1) = copy("cjs", "t", src, " FILEFORMAT = JSON")
+    assert((l1, r1) === ((1, 2L)))
+    val got = spark.table("cjs.ns.t").orderBy("id")
+      .selectExpr("id", "v", "CAST(d AS STRING)")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "alpha", "2024-01-02"),
+      (2L, "beta", "2024-02-03")))
+    // extra field: refuse
+    Files.write(Paths.get(src, "extra.json"),
+      ("""{"id": 3, "v": "x", "d": "2024-03-04", "zz": 1}""" + "\n")
+        .getBytes)
+    val e1 = intercept[Exception](copy("cjs", "t", src,
+      " FILEFORMAT = JSON"))
+    assert(msgsOf(e1).exists(_.contains("lacks")), e1.getMessage)
+    Files.delete(Paths.get(src, "extra.json"))
+    // lossy numeric drift (double into BIGINT): refuse
+    Files.write(Paths.get(src, "lossy.json"),
+      ("""{"id": 3.5, "v": "x", "d": "2024-03-04"}""" + "\n").getBytes)
+    val e2 = intercept[Exception](copy("cjs", "t", src,
+      " FILEFORMAT = JSON"))
+    assert(msgsOf(e2).exists(_.contains("lossless")), e2.getMessage)
+    assert(spark.table("cjs.ns.t").count() === 2L)
+  }
+
+  test("file identity is (path, size, mtime): a re-uploaded file with " +
+      "new content loads again; FORCE reloads unchanged files") {
+    val wh = tmpDir("graft-copy-ident")
+    val src = tmpDir("graft-copy-ident-src")
+    durableCatalog("cid", wh)
+    spark.sql("CREATE TABLE cid.ns.t (id BIGINT, v STRING)")
+    val f = Paths.get(src, "a.csv")
+    Files.write(f, "id,v\n1,a\n".getBytes)
+    assert(copy("cid", "t", src, " FILEFORMAT = CSV") === ((1, 0, 1L)))
+    // overwrite IN PLACE with new content (and a guaranteed-new mtime)
+    Files.write(f, "id,v\n2,b\n3,c\n".getBytes)
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(f).toMillis + 2000))
+    val (l2, s2, r2) = copy("cid", "t", src, " FILEFORMAT = CSV")
+    assert((l2, s2, r2) === ((1, 0, 2L)),
+      "a changed file derives a new ledger key and loads again")
+    assert(spark.table("cid.ns.t").select("id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+    // unchanged: skip … unless FORCE
+    assert(copy("cid", "t", src, " FILEFORMAT = CSV") === ((0, 1, 0L)))
+    val (l4, s4, r4) = copy("cid", "t", src, " FILEFORMAT = CSV FORCE")
+    assert((l4, s4, r4) === ((1, 0, 2L)), "FORCE reloads regardless")
+    assert(spark.table("cid.ns.t").count() === 5L,
+      "FORCE duplicates by contract")
+    // FORCE leaves the marks in place: the next plain run still skips
+    assert(copy("cid", "t", src, " FILEFORMAT = CSV") === ((0, 1, 0L)))
+  }
+
+  test("paths with a hidden/marker component never load: a concurrent " +
+      "writer's _temporary task attempts and .staging dirs are " +
+      "invisible to the walk") {
+    val wh = tmpDir("graft-copy-hidden")
+    val src = tmpDir("graft-copy-hidden-src")
+    durableCatalog("chd", wh)
+    spark.sql("CREATE TABLE chd.ns.t (id BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/ok")
+    // uncommitted task-attempt files under hidden COMPONENTS (the leaf
+    // name itself is an ordinary part-*.parquet)
+    Seq((99L, "spec")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/_temporary/0/task_1")
+    Seq((98L, "stage")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/.staging/run")
+    val (l1, s1, _) = copy("chd", "t", src)
+    assert(l1 === 1 && s1 === 0,
+      "only the committed file outside hidden dirs loads")
+    assert(spark.table("chd.ns.t").select("id").as[Long]
+      .collect().toSeq === Seq(1L))
+  }
+
+  test("fill-managed columns are not required of the source: an " +
+      "identity + generated table COPYs, ids mint and the derived " +
+      "column computes; the commit reads COPY INTO in the history") {
+    val wh = tmpDir("graft-copy-fill")
+    val src = tmpDir("graft-copy-fill-src")
+    durableCatalog("cfl", wh)
+    spark.sql(
+      """CREATE TABLE cfl.ns.t (
+        |  sk BIGINT GENERATED ALWAYS AS IDENTITY,
+        |  n BIGINT,
+        |  n2 BIGINT GENERATED ALWAYS AS (n * 2))""".stripMargin)
+    Seq(Tuple1(7L), Tuple1(9L)).toDF("n").coalesce(1)
+      .write.parquet(s"$src/b1")
+    val (l1, _, r1) = copy("cfl", "t", src)
+    assert((l1, r1) === ((1, 2L)))
+    val rows = spark.table("cfl.ns.t")
+      .select("sk", "n", "n2").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(_._2)
+    assert(rows.map(_._2) === Seq(7L, 9L))
+    assert(rows.map(_._3) === Seq(14L, 18L),
+      "the generated column computes through the COPY")
+    assert(rows.map(_._1).distinct.size === 2, "identity values mint")
+    // the one commit is labeled COPY INTO (Delta's history surface)
+    val ops = GraftMaintenance.sql(spark, "DESCRIBE HISTORY cfl.ns.t")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.contains("COPY INTO"), ops.mkString(", "))
   }
 }
