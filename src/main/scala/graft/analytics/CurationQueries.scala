@@ -283,7 +283,10 @@ object CurationQueries {
       val drops = graft.operators.ConnectedComponents(edges)
         .filter(col("node") =!= col("component"))
         .select(col("node"), lit(1).as("dropped"))
-      survT.join(broadcast(drops), col("doc_id") === col("node"), "left")
+      // size-gated like t18's drop list: keyed-shuffle fallback past
+      // the broadcast ceiling (GatedBroadcast counts the CC output)
+      survT.join(graft.operators.GatedBroadcast(drops),
+          col("doc_id") === col("node"), "left")
         .filter(col("dropped").isNull)
         .select("doc_id", "source", "n_chars", "text")
         .writeTo(s"$cat.ns.c2_near").partitionedBy(col("source")).create()

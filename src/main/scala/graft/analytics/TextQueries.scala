@@ -1265,13 +1265,18 @@ object TextQueries {
         .filter(col("node") =!= col("component"))
         .select(col("node"), lit(1).as("dropped"))
       // the drop list is candidate-pair-sized (docs that lost a near-dup
-      // vote), orders of magnitude below the corpus; broadcast it so the
-      // documents scan feeds the rollup WITHOUT a corpus-wide shuffle —
-      // without the hint the planner can only see an unknown-size leaf
-      // and sort-merge-joins, shuffling every document row
-      // (plan pinned in GraphPlanSpec)
+      // vote), orders of magnitude below the corpus at moderate dup
+      // rates; broadcast it so the documents scan feeds the rollup
+      // WITHOUT a corpus-wide shuffle — without the hint the planner
+      // can only see an unknown-size leaf and sort-merge-joins,
+      // shuffling every document row. SIZE-GATED (GatedBroadcast,
+      // counting the materialized CC output): a corpus whose dup rate
+      // puts the list past the broadcast ceiling falls back to one
+      // keyed exchange instead of a failed job. Both regimes pinned in
+      // GraphPlanSpec.
       Tables.documents(s, dir)
-        .join(broadcast(drops), col("doc_id") === col("node"), "left")
+        .join(graft.operators.GatedBroadcast(drops),
+          col("doc_id") === col("node"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count(col("dropped")).as("n_removed"),
@@ -1886,15 +1891,24 @@ object TextQueries {
     * per-round state (pr ⋈ deg, with the per-edge contribution
     * precomputed) is NODE-sized — broadcast it so the EDGE list never
     * shuffles; the only exchange per round is the map-side-combined
-    * aggregate on the destination key. Extracted so the plan-shape spec
-    * can pin exactly this contract (GraphPlanSpec: BroadcastHashJoin
-    * survives AQE, no Exchange on the edge side). */
+    * aggregate on the destination key. The broadcast is SIZE-GATED
+    * ([[graft.operators.GatedBroadcast]]): `nodeRows` is the caller's
+    * one-time node count (deg is persisted; the same count serves
+    * every round), and past the gate the state joins as a keyed
+    * shuffle instead — at a node set that outgrows the driver's
+    * broadcast ceiling the round degrades to one exchange per side,
+    * never to a failed job. Extracted so the plan-shape spec can pin
+    * exactly this contract (GraphPlanSpec: BroadcastHashJoin survives
+    * AQE with no Exchange on the edge side below the gate; keyed
+    * shuffle above it). */
   private[graft] def centralityRound(edges: org.apache.spark.sql.DataFrame,
       deg: org.apache.spark.sql.DataFrame,
-      pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      pr: org.apache.spark.sql.DataFrame,
+      nodeRows: Long): org.apache.spark.sql.DataFrame = {
     val state = pr.join(deg, "u")
       .select(col("u"), expr("(85 * (pr DIV d)) DIV 100").as("c"))
-    val contrib = edges.join(broadcast(state), "u")
+    val contrib = edges
+      .join(graft.operators.GatedBroadcast(state, nodeRows), "u")
       .select(col("v"), col("c"))
     contrib.groupBy(col("v").as("u"))
       .agg(expr(s"CAST(${CentralityBase * 15 / 100} AS BIGINT) " +
@@ -1933,13 +1947,16 @@ object TextQueries {
             col("doc_a").as("v"))))
       val deg = Caches.persistTracked(
         edges.groupBy("u").agg(count(lit(1)).as("d")))
+      // one node count gates every round's state broadcast (deg is
+      // persisted — the count materializes the cache the rounds read)
+      val nNodes = deg.count()
       var pr = deg.select(col("u"), lit(CentralityBase).as("pr"))
       for (_ <- 1 to 3) {
         // one round = centralityRound (see its doc for the broadcast
         // shape). Materialize each round: an unpersisted pr would
         // re-execute every earlier round inside the next one's lineage
         // (1+2+3 = 6x cost).
-        pr = Caches.persistTracked(centralityRound(edges, deg, pr))
+        pr = Caches.persistTracked(centralityRound(edges, deg, pr, nNodes))
       }
       pr.join(deg, "u")
         .select(col("u").as("doc_id"), col("d").cast("bigint").as("degree"),
@@ -2159,11 +2176,14 @@ object TextQueries {
         .select("doc_a", "doc_b")
       // node-sized component map: docs-in-clusters only, a small
       // fraction of any real corpus — broadcast it so the corpus scan
-      // never shuffles for the assignment join
+      // never shuffles for the assignment join. SIZE-GATED like t18's
+      // drop list (the map grows with dup-graph participants): past
+      // the gate the assignment joins as one keyed exchange.
       val cmp = graft.operators.ConnectedComponents(edges)
         .select(col("node"), col("component"))
       val asg = Tables.documents(s, dir)
-        .join(broadcast(cmp), col("doc_id") === col("node"), "left")
+        .join(graft.operators.GatedBroadcast(cmp),
+          col("doc_id") === col("node"), "left")
         .select(col("doc_id"), col("n_chars"),
           coalesce(col("component"), col("doc_id")).as("component"))
       val split = when(pmod(TF.polyHash(

@@ -65,7 +65,8 @@ class GraphPlanSpec extends SparkSpec {
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
         val pr = deg.select(col("u"),
           lit(graft.analytics.TextQueries.CentralityBase).as("pr"))
-        val round = graft.analytics.TextQueries.centralityRound(edges, deg, pr)
+        val round = graft.analytics.TextQueries.centralityRound(
+          edges, deg, pr, nodeRows = 5L)
         round.collect()
         val plan = executedFinal(round)
         val bhj = walk(plan).collect { case j: BroadcastHashJoinExec => j }
@@ -105,6 +106,62 @@ class GraphPlanSpec extends SparkSpec {
             s"the corpus must reach the rollup without a shuffle:\n$plan")
         }
       } finally graft.analytics.Caches.release()
+    }
+  }
+
+  /** Run `f` with the GatedBroadcast threshold forced to `rows`. */
+  private def withGate[A](rows: Long)(f: => A): A = {
+    spark.conf.set(GatedBroadcast.GateConf, rows.toString)
+    try f finally spark.conf.unset(GatedBroadcast.GateConf)
+  }
+
+  test("broadcast size gate: above the threshold the hint is withheld " +
+      "and the derived small side joins as a keyed shuffle — the " +
+      "scale-safe regime a corpus-sized drop list needs") {
+    noAutoBroadcast {
+      // gate forced to zero: every gated site must fall back
+      withGate(0L) {
+        val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+          (4L, 5L), (5L, 4L)).toDF("u", "v").persist()
+        try {
+          edges.count()
+          val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+          val pr = deg.select(col("u"),
+            lit(graft.analytics.TextQueries.CentralityBase).as("pr"))
+          val round = graft.analytics.TextQueries.centralityRound(
+            edges, deg, pr, nodeRows = 5L)
+          round.collect()
+          val plan = executedFinal(round)
+          assert(walk(plan).forall(!_.isInstanceOf[BroadcastHashJoinExec]),
+            s"above the gate no broadcast hint may survive:\n$plan")
+          assert(shuffles(plan).nonEmpty,
+            s"the fallback is a keyed exchange, not a driver-side " +
+              s"collect:\n$plan")
+        } finally edges.unpersist()
+      }
+    }
+  }
+
+  test("broadcast size gate: t18 falls back to a keyed shuffle join " +
+      "above the gate with the SAME oracle result") {
+    noAutoBroadcast {
+      val below = graft.SparkEntry.queries("t18_dedup_survivors")(
+        spark, "/root/testdata/sf0.001").collect().toSeq
+      graft.analytics.Caches.release()
+      withGate(0L) {
+        val df = graft.SparkEntry.queries("t18_dedup_survivors")(
+          spark, "/root/testdata/sf0.001")
+        try {
+          val above = df.collect().toSeq
+          assert(above === below,
+            "both regimes must agree row-for-row")
+          val plan = executedFinal(df)
+          assert(walk(plan).forall(!_.isInstanceOf[BroadcastHashJoinExec]),
+            s"above the gate the drop-list join must not broadcast:\n$plan")
+          assert(shuffles(plan).nonEmpty,
+            s"expected the keyed-exchange fallback:\n$plan")
+        } finally graft.analytics.Caches.release()
+      }
     }
   }
 
