@@ -3563,34 +3563,183 @@ class GraftTable(initialName: String, initialSchema: StructType,
       maybeAutoCompact()
     }
 
+  /** Partition groups whose sub-target files cross the knob: count
+    * mode (enc > 0) fires at enc files; byte mode (enc < 0) fires when
+    * >= 2 sub-target files accumulate -enc bytes. Metadata-only. */
+  private def autoCompactTrigger(enc: Long): Set[Option[Seq[Any]]] = {
+    val small = files.iterator
+      .filter(_.rowCount < GraftTable.AutoCompactTargetRows)
+      .toSeq.groupBy(_.groupKey)
+    if (enc > 0)
+      small.collect {
+        case (k, fs) if fs.lengthCompare(enc.toInt) >= 0 => k
+      }.toSet
+    else
+      small.collect {
+        case (k, fs) if fs.lengthCompare(2) >= 0 &&
+          fs.iterator.map(_.sizeBytes).sum >= -enc => k
+      }.toSet
+  }
+
+  /** Dedup guard: at most one queued pass per table (a pass that finds
+    * more work re-queues nothing — the next commit's hook does). */
+  private val autoCompactQueued =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Post-commit AUTO-COMPACTION hook (`auto.compact`, Delta's
-    * autoCompact): still under the triggering commit's lease, census
-    * the partition groups METADATA-ONLY; any group holding >= minFiles
-    * files below the OPTIMIZE target compacts via the ordinary bounded
-    * [[optimizeCompact]] (its own commit — time travel serves the
-    * pre-compaction layout, the rewrite distributes executor-side).
-    * BEST-EFFORT by contract, like Delta's: the triggering write has
-    * already committed, so a compaction failure must surface as a
-    * missed maintenance pass (the next commit retries), never as a
-    * failed INSERT. */
+    * autoCompact): called INSIDE the committing mutate, but it only
+    * census-checks and ENQUEUES — the rewrite itself runs on the
+    * [[GraftAutoCompact]] daemon, outside this commit's lease, so a
+    * large pending compaction never inflates an INSERT's or a
+    * streaming epoch's commit latency and never blocks concurrent
+    * commits. BEST-EFFORT by contract, like Delta's: the triggering
+    * write has already committed, so a compaction failure (or a
+    * conflict-abort against an intervening commit) surfaces as a
+    * missed maintenance pass — the next commit's hook retries — never
+    * as a failed INSERT. */
   private def maybeAutoCompact(): Unit =
-    GraftTable.autoCompactMinFiles(tableSchema).foreach { minFiles =>
-      val trigger = files.iterator
-        .filter(_.rowCount < GraftTable.AutoCompactTargetRows)
-        .toSeq.groupBy(_.groupKey)
-        .collect { case (k, fs) if fs.lengthCompare(minFiles) >= 0 => k }
-        .toSet
-      if (trigger.nonEmpty)
-        try {
-          optimizeCompact(GraftTable.AutoCompactTargetRows,
-            f => trigger.contains(f.groupKey))
-          ()
-        } catch {
-          case scala.util.control.NonFatal(e) => // retried next commit
-            System.err.println(
-              s"[graft:auto-compact] $tableName: pass skipped: $e")
+    GraftTable.autoCompactEncoded(tableSchema).foreach { enc =>
+      if (autoCompactTrigger(enc).nonEmpty &&
+          autoCompactQueued.compareAndSet(false, true)) {
+        // capture the session HERE: getActiveSession is thread-local
+        // and the daemon thread has none
+        val session = org.apache.spark.sql.SparkSession.getActiveSession
+        GraftAutoCompact.submit { () =>
+          autoCompactQueued.set(false)
+          try autoCompactPass(session)
+          catch {
+            case scala.util.control.NonFatal(e) => // retried next commit
+              System.err.println(
+                s"[graft:auto-compact] $tableName: pass skipped: $e")
+          }
         }
+      }
     }
+
+  /** One background auto-compaction pass — the async OPTIMIZE shape a
+    * production table format runs (Delta's post-commit autoCompact,
+    * Iceberg's maintenance rewrite):
+    *
+    *  1. PLAN under a short fresh lease: re-census the trigger against
+    *     the CURRENT state (the enqueue-time observation may be stale)
+    *     and bin-pack the offending groups' sub-target files,
+    *     snapshotting each input's delete vector.
+    *  2. REWRITE outside any lock or lease: the bins rebuild
+    *     executor-side ([[GraftCompaction.run]] — the same distributed
+    *     kernel OPTIMIZE uses, including the per-live-group-key
+    *     regroup split). Concurrent commits proceed freely.
+    *  3. SPLICE under a second fresh lease, optimistically: if an
+    *     intervening commit rewrote/removed ANY planned input, folded
+    *     new deletes into one (splicing would resurrect rows the
+    *     rewrite never saw deleted), or changed the schema, the
+    *     compaction ABORTS — segments discarded, ingest untouched,
+    *     the next commit's hook re-plans. Otherwise the new files
+    *     swap in by reference as an ordinary OPTIMIZE commit.
+    *
+    * Tables whose files cannot rebuild in tasks (in-JVM heap tables,
+    * or no live session) fall back to the ordinary scoped
+    * [[optimizeCompact]] under one lease — still on the daemon thread,
+    * so the triggering commit remains unaffected. */
+  private def autoCompactPass(
+      session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    final case class Plan(bins: Vector[Seq[GraftDataFile]],
+        dvSnap: Map[GraftDataFile, scala.collection.immutable.BitSet],
+        schema: StructType)
+    val planned: Option[Plan] = mutate {
+      GraftTable.autoCompactEncoded(tableSchema).flatMap { enc =>
+        val trigger = autoCompactTrigger(enc)
+        if (trigger.isEmpty) None
+        else {
+          val bins = Vector.newBuilder[Vector[GraftDataFile]]
+          trigger.foreach { k =>
+            var bin = Vector.empty[GraftDataFile]
+            var rows = 0L
+            files.iterator.filter(f => f.groupKey == k &&
+                f.rowCount < GraftTable.AutoCompactTargetRows)
+              .foreach { f =>
+                if (bin.nonEmpty &&
+                    rows + f.rowCount > GraftTable.AutoCompactTargetRows) {
+                  bins += bin; bin = Vector.empty; rows = 0L
+                }
+                bin :+= f; rows += f.rowCount
+              }
+            if (bin.nonEmpty) bins += bin
+          }
+          // a lone DV-less file gains nothing from a rewrite
+          val bs = bins.result()
+            .filter(b => b.length >= 2 || b.exists(dvs.contains))
+            .map(b => b: Seq[GraftDataFile])
+          if (bs.isEmpty) None
+          else Some(Plan(bs, bs.flatten.map(f =>
+            f -> dvs.getOrElse(f,
+              scala.collection.immutable.BitSet.empty)).toMap,
+            tableSchema))
+        }
+      }
+    }
+    planned.foreach { p =>
+      val d0 = durable
+      val distributable = d0.isDefined && session.isDefined &&
+        p.bins.forall(_.forall(_.persisted))
+      if (!distributable) {
+        val scope = p.bins.flatten
+        optimizeCompact(GraftTable.AutoCompactTargetRows,
+          f => scope.exists(_ eq f))
+        ()
+      } else {
+        val d = d0.get
+        val sp = session.get
+        val writeId = java.util.UUID.randomUUID().toString.take(12)
+        val schemaJson = p.schema.json
+        val jobs = p.bins.zipWithIndex.map { case (fs, i) =>
+          GraftCompactJob(
+            fs.map(f => (f.segment.path.toString, f.segment.schema.json,
+              p.dvSnap(f).toArray)),
+            d.log.dir.toString, writeId, i, schemaJson,
+            partitionCols, bucketSpec, Nil,
+            GraftTable.AutoCompactTargetRows)
+        }
+        val prevSession = org.apache.spark.sql.SparkSession.getActiveSession
+        org.apache.spark.sql.SparkSession.setActiveSession(sp)
+        val metas =
+          try sp.sparkContext.parallelize(jobs, jobs.length)
+            .map(GraftCompaction.run).collect().flatten.toVector
+          finally prevSession match {
+            case Some(x) => org.apache.spark.sql.SparkSession.setActiveSession(x)
+            case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+          }
+        GraftAutoCompact.reachedSplice.foreach(_.countDown())
+        GraftAutoCompact.holdBeforeSplice.foreach(_.await())
+        val committed = mutate {
+          val inputs = p.bins.flatten
+          val schemaOk = tableSchema == p.schema
+          val present = inputs.forall(f => files.exists(_ eq f))
+          val dvsSame = inputs.forall(f =>
+            dvs.getOrElse(f, scala.collection.immutable.BitSet.empty) ==
+              p.dvSnap(f))
+          if (!(schemaOk && present && dvsSame)) false
+          else {
+            val newFiles = metas.map { m =>
+              val nf = GraftDataFile.fromSegment(
+                new GraftSegmentHandle(d.log.dir.resolve(m.rel), p.schema),
+                m.zones, m.bytes, m.groupKey, m.rowCount,
+                bloomRefs = m.bloomRefs)
+              d.registry.put(m.rel, nf)
+              nf
+            }
+            files = files.filterNot(f => inputs.exists(_ eq f)) ++ newFiles
+            pruneDvs()
+            snap("OPTIMIZE")
+            true
+          }
+        }
+        if (!committed) {
+          GraftAutoCompact.aborts.incrementAndGet()
+          discardSegments(metas.iterator.map(_.rel))
+        }
+      }
+    }
+  }
   private[sources] def installReplace(ds: Array[GraftDelivery]): Unit =
     mutate {
       validateDeliveries(ds)
@@ -3983,8 +4132,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       m.put(GraftBloom.BloomProp, bloomed.mkString(","))
     GraftBloom.fppOf(tableSchema).foreach(p =>
       m.put(GraftBloom.FppProp, p.toString))
-    GraftTable.autoCompactMinFiles(tableSchema).foreach(n =>
-      m.put(GraftTable.AutoCompactProp, n.toString))
+    GraftTable.autoCompactEncoded(tableSchema).foreach(enc =>
+      m.put(GraftTable.AutoCompactProp, GraftTable.renderAutoCompact(enc)))
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -4686,44 +4835,78 @@ object GraftTable {
   }
 
   /** AUTO-COMPACTION (Delta's autoCompact / Iceberg's commit-triggered
-    * rewrite): `'auto.compact'='true'` (default threshold) or
-    * `'auto.compact'='<minFiles>'`. After a file-adding commit, if any
-    * touched partition group holds at least minFiles files below the
-    * OPTIMIZE target, a bounded OPTIMIZE scoped to the offending
-    * group(s) runs as a post-commit hook UNDER THE SAME LEASE. At
-    * 100 TB streaming ingest the small-files problem is continuous —
-    * per-epoch appends would otherwise grow a partition's file count
-    * without bound between manual OPTIMIZE cadences. The knob rides
-    * schema field metadata (like `bloom.columns`), so it persists in
-    * the log and reaches restarts/foreign processes with zero extra
-    * plumbing. */
+    * rewrite): `'auto.compact'='true'` (default file-count threshold),
+    * `'auto.compact'='<minFiles>'` (count trigger), or
+    * `'auto.compact'='<n>KB|MB|GB|B'` (BYTE trigger: a partition group
+    * compacts once its sub-target files accumulate that many bytes —
+    * the production knob: at streaming-ingest rates "how many bytes of
+    * small files is a rewrite worth" is the stable quantity, file
+    * counts are an artifact of epoch cadence). After a file-adding
+    * commit the hook only ENQUEUES: the rewrite runs on a background
+    * daemon, OUTSIDE the triggering commit's lease — plan under a
+    * short fresh lease, distributed rewrite under no lock at all,
+    * splice under a second fresh lease with optimistic conflict checks
+    * (an intervening commit aborts the COMPACTION, never the ingest).
+    * At 100 TB streaming ingest the small-files problem is continuous
+    * — per-epoch appends would otherwise grow a partition's file count
+    * without bound between manual OPTIMIZE cadences, and a synchronous
+    * hook would put a multi-GB rewrite inside every unlucky INSERT's
+    * latency. The knob rides schema field metadata (like
+    * `bloom.columns`), so it persists in the log and reaches
+    * restarts/foreign processes with zero extra plumbing. */
   val AutoCompactProp = "auto.compact"
   val AutoCompactMeta = "graft.autocompact"
   val AutoCompactDefaultMinFiles = 16
   /** The bounded OPTIMIZE's bin target — the SQL OPTIMIZE default. */
   val AutoCompactTargetRows: Int = 1 << 20
 
-  private[sources] def parseAutoCompact(v: String): Int = v.trim match {
-    case "true" => AutoCompactDefaultMinFiles
-    case s =>
-      val n = try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$AutoCompactProp must be 'true' or a file-count threshold " +
-            s">= 2, got '$v'")
-      }
-      if (n < 2) throw new IllegalArgumentException(
-        s"$AutoCompactProp threshold must be >= 2 (a 1-file group has " +
-          s"nothing to compact), got '$v'")
-      n
+  /** Parse the knob to its ENCODED form: positive = min sub-target
+    * FILE COUNT per group; negative = -(min accumulated sub-target
+    * BYTES per group). One Long so the schema-metadata stamp (and the
+    * log encoding riding it) is unchanged from the count-only era. */
+  private[sources] def parseAutoCompact(v: String): Long = {
+    val s = v.trim
+    val SizeRe = "(?i)(\\d+)\\s*(B|KB|MB|GB)".r
+    s match {
+      case "true" => AutoCompactDefaultMinFiles.toLong
+      case SizeRe(n, unit) =>
+        val mult = unit.toUpperCase match {
+          case "B" => 1L
+          case "KB" => 1L << 10
+          case "MB" => 1L << 20
+          case "GB" => 1L << 30
+        }
+        val bytes = n.toLong * mult
+        if (bytes < 1) throw new IllegalArgumentException(
+          s"$AutoCompactProp byte threshold must be >= 1, got '$v'")
+        -bytes
+      case _ =>
+        val n = try s.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$AutoCompactProp must be 'true', a file-count threshold " +
+                s">= 2, or a byte size like '256MB', got '$v'")
+        }
+        if (n < 2) throw new IllegalArgumentException(
+          s"$AutoCompactProp threshold must be >= 2 (a 1-file group has " +
+            s"nothing to compact), got '$v'")
+        n
+    }
   }
+
+  /** Render the encoded knob back to its property string (count mode
+    * round-trips as the bare number; byte mode as '<n>B', which
+    * [[parseAutoCompact]] accepts back). */
+  private[sources] def renderAutoCompact(enc: Long): String =
+    if (enc > 0) enc.toString else s"${-enc}B"
 
   /** Stamp/strip/read the knob in field metadata. Stamped on EVERY
     * field so a later DROP COLUMN cannot silently shed it. */
   private[sources] def stampAutoCompact(schema: StructType,
-      minFiles: Int): StructType =
+      encoded: Long): StructType =
     StructType(schema.fields.map { f =>
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putLong(AutoCompactMeta, minFiles.toLong)
+        .withMetadata(f.metadata).putLong(AutoCompactMeta, encoded)
         .build())
     })
   private[sources] def unstampAutoCompact(schema: StructType): StructType =
@@ -4736,10 +4919,10 @@ object GraftTable {
         f.copy(metadata = mb.build())
       }
     })
-  private[sources] def autoCompactMinFiles(schema: StructType): Option[Int] =
+  private[sources] def autoCompactEncoded(schema: StructType): Option[Long] =
     schema.fields.collectFirst {
       case f if f.metadata.contains(AutoCompactMeta) =>
-        f.metadata.getLong(AutoCompactMeta).toInt
+        f.metadata.getLong(AutoCompactMeta)
     }
 
   /** Max commits retained per table for time travel (ADVICE r7: snap()

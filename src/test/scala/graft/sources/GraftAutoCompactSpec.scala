@@ -3,12 +3,15 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** AUTO-COMPACTION (`'auto.compact'='<minFiles>'`, Delta's autoCompact
-  * / Iceberg's commit-triggered rewrite): after a file-adding commit,
-  * any partition group holding >= minFiles sub-target files compacts
-  * via a bounded OPTIMIZE under the same lease. At 100 TB streaming
-  * ingest the small-files problem is continuous — this keeps the file
-  * count flat without a manual maintenance cadence. */
+/** AUTO-COMPACTION (`'auto.compact'='<minFiles>'` or `'<n>MB'`, Delta's
+  * autoCompact / Iceberg's commit-triggered rewrite): after a
+  * file-adding commit, any partition group crossing the trigger
+  * compacts via a bounded OPTIMIZE on the BACKGROUND daemon — outside
+  * the triggering commit's lease, with optimistic conflict-abort
+  * against intervening commits. At 100 TB streaming ingest the
+  * small-files problem is continuous — this keeps the file count flat
+  * without a manual maintenance cadence and without maintenance cost
+  * inside any ingest commit. */
 class GraftAutoCompactSpec extends SparkSpec {
   import spark.implicits._
 
@@ -24,6 +27,10 @@ class GraftAutoCompactSpec extends SparkSpec {
     spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[GraftCatalog].store.tables((Seq(ns), t))
 
+  /** Drain the auto-compaction daemon before asserting a census. */
+  private def quiesce(): Unit =
+    assert(GraftAutoCompact.quiesce(), "auto-compact queue must drain")
+
   test("with the policy on, N small appends keep the file count under " +
       "the threshold; time travel still serves pre-compaction layouts") {
     val wh = tmpDir("graft-autoc")
@@ -33,6 +40,7 @@ class GraftAutoCompactSpec extends SparkSpec {
     val t = graftTable("aco", "ns", "t")
     for (i <- 1 to 12) {
       spark.sql(s"INSERT INTO aco.ns.t VALUES ($i, 'r$i')")
+      quiesce()
       assert(t.filesSnapshot.length < 4,
         s"after insert $i the census must stay under the threshold: " +
           s"${t.filesSnapshot.length} files")
@@ -60,6 +68,7 @@ class GraftAutoCompactSpec extends SparkSpec {
     spark.sql("CREATE TABLE acf.ns.t (id BIGINT, v STRING)")
     for (i <- 1 to 8)
       spark.sql(s"INSERT INTO acf.ns.t VALUES ($i, 'r$i')")
+    quiesce()
     assert(graftTable("acf", "ns", "t").filesSnapshot.length === 8)
     val ops = spark.sql("SELECT operation FROM acf.ns.`t$history`")
       .as[String].collect().toSeq
@@ -78,6 +87,7 @@ class GraftAutoCompactSpec extends SparkSpec {
       .find(_.groupKey.exists(_ == Seq(2))).get
     for (i <- 1 to 6)
       spark.sql(s"INSERT INTO acp.ns.t VALUES ($i, 1, 'r$i')")
+    quiesce()
     // partition 1 compacted; partition 2's file is the SAME OBJECT
     val after = t.filesSnapshot
     assert(after.exists(_ eq keeper),
@@ -98,12 +108,14 @@ class GraftAutoCompactSpec extends SparkSpec {
     assert(t.filesSnapshot.length === 5)
     spark.sql("ALTER TABLE aca.ns.t SET TBLPROPERTIES ('auto.compact'='4')")
     spark.sql("INSERT INTO aca.ns.t VALUES (6, 'r6')") // 6 smalls -> compact
+    quiesce()
     assert(t.filesSnapshot.length === 1,
       s"the first post-ALTER commit must compact: ${t.filesSnapshot.length}")
     // UNSET: appends accumulate again
     spark.sql("ALTER TABLE aca.ns.t UNSET TBLPROPERTIES ('auto.compact')")
     for (i <- 7 to 12)
       spark.sql(s"INSERT INTO aca.ns.t VALUES ($i, 'r$i')")
+    quiesce()
     assert(t.filesSnapshot.length === 7)
     assert(t.properties().get(GraftTable.AutoCompactProp) === null)
     // refusals
@@ -118,6 +130,7 @@ class GraftAutoCompactSpec extends SparkSpec {
     val t2 = graftTable("aca2", "ns", "t")
     assert(t2.properties().get(GraftTable.AutoCompactProp) === "4")
     spark.sql("INSERT INTO aca2.ns.t VALUES (13, 'r13')")
+    quiesce()
     assert(t2.filesSnapshot.length === 1,
       "the folded knob must enforce on the restarted table's commits")
     assert(spark.table("aca2.ns.t").count() === 13)
@@ -142,12 +155,113 @@ class GraftAutoCompactSpec extends SparkSpec {
     // REGROUPS the remainder under the live spec (Iceberg's
     // rewrite-to-migrate, reached from the write path alone)
     spark.sql("INSERT INTO ace.ns.t VALUES (0, 100), (1, 101)")
+    quiesce()
     assert(t.filesSnapshot.forall(_.groupKey.isDefined),
       s"the remainder must regroup on write: " +
         s"${t.filesSnapshot.map(_.groupKey)}")
     assert(spark.table("ace.ns.t").count() === 6)
     assert(spark.table("ace.ns.t").filter(col("k") === 1)
       .as[(Int, Long)].collect().map(_._2).sorted === Seq(1L, 3L, 101L))
+  }
+
+  test("byte trigger ('<n>KB'): groups compact on accumulated " +
+      "sub-target BYTES, not file count — the streaming-ingest knob") {
+    val wh = tmpDir("graft-autoc-bytes")
+    durableCatalog("acb", wh)
+    // a huge byte threshold first: small files accumulate freely
+    spark.sql("CREATE TABLE acb.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('auto.compact'='1GB')")
+    val t = graftTable("acb", "ns", "t")
+    val pad = "x" * 1000
+    for (i <- 1 to 6)
+      spark.sql(s"INSERT INTO acb.ns.t VALUES ($i, '$pad')")
+    quiesce()
+    assert(t.filesSnapshot.length === 6,
+      "under the byte threshold nothing compacts, whatever the count")
+    // drop the threshold below the accumulated bytes: the next commit
+    // triggers on SIZE
+    spark.sql("ALTER TABLE acb.ns.t SET TBLPROPERTIES " +
+      "('auto.compact'='4KB')")
+    assert(t.properties().get(GraftTable.AutoCompactProp) === "4096B",
+      "byte mode round-trips through properties()")
+    spark.sql(s"INSERT INTO acb.ns.t VALUES (7, '$pad')")
+    quiesce()
+    assert(t.filesSnapshot.length < 7,
+      s"accumulated bytes past the trigger must compact: " +
+        s"${t.filesSnapshot.length}")
+    assert(spark.table("acb.ns.t").count() === 7)
+  }
+
+  test("a PENDING compaction blocks nothing: the triggering commit " +
+      "returns, later commits land, and the rewrite folds them in " +
+      "when it finally runs") {
+    val wh = tmpDir("graft-autoc-async")
+    durableCatalog("acy", wh)
+    spark.sql("CREATE TABLE acy.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('auto.compact'='3')")
+    val t = graftTable("acy", "ns", "t")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    GraftAutoCompact.holdBeforePass = Some(gate)
+    try {
+      for (i <- 1 to 3) // the third commit enqueues; the daemon is held
+        spark.sql(s"INSERT INTO acy.ns.t VALUES ($i, 'r$i')")
+      // the triggering INSERT already returned (we are here), and with
+      // the pass still PENDING further commits land freely — the
+      // property a synchronous under-the-lease hook cannot have
+      spark.sql("INSERT INTO acy.ns.t VALUES (4, 'r4')")
+      spark.sql("INSERT INTO acy.ns.t VALUES (5, 'r5')")
+      assert(t.filesSnapshot.length === 5,
+        "commits while a compaction is pending must not block or fold")
+    } finally {
+      GraftAutoCompact.holdBeforePass = None
+      gate.countDown()
+    }
+    quiesce()
+    // the released pass re-censuses the CURRENT state: all five smalls
+    // fold in one rewrite
+    assert(t.filesSnapshot.length <= 2,
+      s"the released pass must compact: ${t.filesSnapshot.length}")
+    assert(spark.table("acy.ns.t").select("id").as[Long]
+      .collect().toSeq.sorted === (1L to 5L))
+  }
+
+  test("conflict-abort: an intervening OVERWRITE between the rewrite " +
+      "and the splice aborts the COMPACTION, never the ingest") {
+    val wh = tmpDir("graft-autoc-conflict")
+    durableCatalog("acc", wh)
+    spark.sql("CREATE TABLE acc.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('auto.compact'='3')")
+    val t = graftTable("acc", "ns", "t")
+    val reached = new java.util.concurrent.CountDownLatch(1)
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    GraftAutoCompact.reachedSplice = Some(reached)
+    GraftAutoCompact.holdBeforeSplice = Some(hold)
+    val abortsBefore = GraftAutoCompact.aborts.get()
+    try {
+      for (i <- 1 to 3)
+        spark.sql(s"INSERT INTO acc.ns.t VALUES ($i, 'r$i')")
+      // the pass has rebuilt its bins and is parked before the splice
+      assert(reached.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the pass must reach its splice point")
+      // intervening commit rewrites the table — every planned input
+      // file vanishes
+      spark.sql("INSERT OVERWRITE acc.ns.t VALUES (100, 'winner')")
+    } finally {
+      GraftAutoCompact.reachedSplice = None
+      GraftAutoCompact.holdBeforeSplice = None
+      hold.countDown()
+    }
+    quiesce()
+    assert(GraftAutoCompact.aborts.get() > abortsBefore,
+      "the compaction must detect the conflict and abort")
+    // the ingest won: exactly the overwrite's state, no resurrected
+    // pre-overwrite rows, no OPTIMIZE commit on top
+    assert(spark.table("acc.ns.t").select("id").as[Long]
+      .collect().toSeq === Seq(100L))
+    val ops = spark.sql("SELECT operation FROM acc.ns.`t$history` " +
+      "ORDER BY version").as[String].collect().toSeq
+    assert(ops.last === "OVERWRITE",
+      s"no commit may land after the winning ingest: $ops")
   }
 
   test("a MOR table's per-statement delta files trigger the hook too") {
@@ -159,8 +273,22 @@ class GraftAutoCompactSpec extends SparkSpec {
     spark.sql("INSERT INTO acm.ns.t SELECT id, concat('r', id) " +
       "FROM range(0, 100)")
     val t = graftTable("acm", "ns", "t")
-    for (i <- 0 until 8)
-      spark.sql(s"UPDATE acm.ns.t SET v = 'u$i' WHERE id = $i")
+    // an async compaction landing between a row-level statement's scan
+    // and its commit aborts the STATEMENT with the standard retry
+    // contract (row addresses re-bind on retry) — the Delta/Iceberg
+    // maintenance-vs-writer conflict shape, so the client loop here is
+    // the documented client behavior, not a workaround
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    def update(i: Int, attempt: Int = 0): Unit =
+      try spark.sql(s"UPDATE acm.ns.t SET v = 'u$i' WHERE id = $i")
+      catch {
+        case e: Exception if attempt < 3 && chain(e).exists(
+            _.isInstanceOf[java.util.ConcurrentModificationException]) =>
+          update(i, attempt + 1)
+      }
+    for (i <- 0 until 8) update(i)
+    quiesce()
     assert(t.filesSnapshot.length < 8,
       s"MOR delta files must compact: ${t.filesSnapshot.length}")
     assert(spark.table("acm.ns.t").filter(col("v").startsWith("u"))

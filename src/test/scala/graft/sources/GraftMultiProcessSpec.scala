@@ -103,7 +103,12 @@ class GraftMultiProcessSpec extends SparkSpec {
       "every file loads exactly once across processes") {
     val wh = tmpDir("graft-mp-copy")
     durableCatalog("mpcy", wh)
-    spark.sql("CREATE TABLE mpcy.ns.mpcp (id BIGINT, v STRING)")
+    // auto-compaction ON: each process's background daemon races the
+    // other's COPY commits — splice conflicts must abort the
+    // compaction harmlessly, never corrupt the exactly-once contract
+    // (the content assertion below is the proof)
+    spark.sql("CREATE TABLE mpcy.ns.mpcp (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('auto.compact'='4')")
     val land = wh + "-landing" // the children derive the same path
     (1L to 200L).map(i => (i, s"f$i")).toDF("id", "v")
       .repartition(8).write.parquet(s"$land/b1")

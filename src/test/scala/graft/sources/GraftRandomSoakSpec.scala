@@ -61,8 +61,15 @@ class GraftRandomSoakSpec extends SparkSpec {
       // the named catalog's own store
       val cat = s"soak_$tag"
       durableCatalog(cat, wh, isolated = logstore.isDefined, logstore)
+      // half the soak runs carry AUTO-COMPACTION (r16, async): the
+      // background daemon's layout commits interleave the whole
+      // hostile cadence — checkpoint folds, VACUUM anchors, RESTORE,
+      // cold restarts — and check() drains the daemon first, so every
+      // async OPTIMIZE is verified against the model like any other
+      // commit
+      val autoc = if (rnd.nextBoolean()) ", 'auto.compact'='4'" else ""
       spark.sql(s"CREATE TABLE $cat.ns.t_$tag (id BIGINT, v STRING) " +
-        s"TBLPROPERTIES ('write.rowlevel.mode'='$mode')")
+        s"TBLPROPERTIES ('write.rowlevel.mode'='$mode'$autoc)")
       // id -> (v, w); w exists only after the one-shot ADD COLUMN
       val model =
         scala.collection.mutable.SortedMap.empty[Long, (String, Option[Long])]
@@ -82,7 +89,11 @@ class GraftRandomSoakSpec extends SparkSpec {
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
 
-      def check(at: String, via: String = cat): Unit =
+      def check(at: String, via: String = cat): Unit = {
+        // drain pending auto-compactions so the parity read (and any
+        // cold fold the caller just built) sees a settled layout
+        assert(GraftAutoCompact.quiesce(),
+          s"[$mode seed=$seed] auto-compact queue must drain at $at")
         if (evolved) {
           val got = spark.sql(s"SELECT id, v, w FROM $via.ns.t_$tag ORDER BY id")
             .as[(Long, String, Option[Long])].collect().toSeq
@@ -96,6 +107,7 @@ class GraftRandomSoakSpec extends SparkSpec {
             s"[$mode seed=$seed] divergence after $at: " +
               s"table=${got.take(12)}… model=${model.toSeq.take(12)}…")
         }
+      }
 
       val landing = tmpDir(s"graft-soak-$tag-land")
       for (step <- 1 to steps) {
