@@ -5767,8 +5767,51 @@ class GraftScanBuilder(tableSchema: StructType,
     filters // everything stays a residual: Spark re-applies row-level
   }
 
+  /** True when the generation expression is provably NON-DECREASING in
+    * its single source — the gate for deriving RANGE filters (equality
+    * and IN never need it: f(lit) is exact whatever f's shape). The
+    * whitelist is deliberately OVERFLOW-SAFE, not merely "monotone on
+    * paper": division by a positive literal only shrinks magnitudes
+    * (and truncation toward zero preserves order), and a lossless
+    * numeric/temporal up-cast is exact — so f can never wrap for ANY
+    * stored value. Add/Multiply are monotone over the reals but wrap
+    * at Long's edges, and a wrapped stored value would make a derived
+    * range filter LOSE ROWS — the one failure mode this path may never
+    * have — so they stay off the list. This is exactly Delta's
+    * timestamp→day-bucket shape (`PARTITIONED BY (ts div 86400)`):
+    * `ts BETWEEN a AND b` derives `day BETWEEN a div 86400 AND
+    * b div 86400` and reads only those days' files. */
+  private def monotoneNonDecreasing(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Divide, IntegralDivide}
+    // foldable, not Literal: the dialect's widening pass wraps an INT
+    // literal in Cast(…, BIGINT) when the source is BIGINT
+    def positiveLit(
+        x: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      x.foldable && (try x.eval(null) match {
+        case v: Number => v.doubleValue > 0
+        case v: org.apache.spark.sql.types.Decimal => v.toDouble > 0
+        case _ => false
+      } catch { case scala.util.control.NonFatal(_) => false })
+    e match {
+      case _: BoundReference => true
+      case d: IntegralDivide =>
+        positiveLit(d.right) && monotoneNonDecreasing(d.left)
+      case d: Divide => positiveLit(d.right) && monotoneNonDecreasing(d.left)
+      case c: Cast =>
+        // lossless numeric/temporal widening is exact hence
+        // order-preserving; string casts order differently — excluded
+        c.child.dataType != org.apache.spark.sql.types.StringType &&
+          c.dataType != org.apache.spark.sql.types.StringType &&
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(c.child.dataType, c.dataType) &&
+          monotoneNonDecreasing(c.child)
+      case _ => false
+    }
+  }
+
   private def deriveGenerated(filters: Array[Filter]): Seq[Filter] = {
-    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
     val gens = try GraftFill.generatedCols(tableSchema) catch {
       case scala.util.control.NonFatal(_) => Nil
     }
@@ -5784,6 +5827,11 @@ class GraftScanBuilder(tableSchema: StructType,
       else {
         val srcField = tableSchema.fields(refs.head)
         val genField = tableSchema.fields(g.ord)
+        // range filters derive only through the monotone whitelist:
+        // src >= L implies gen >= f(L) (and symmetrically above), with
+        // the derived bound always INCLUSIVE — f collapses values, so
+        // a strict source bound still admits gen = f(L)
+        val mono = monotoneNonDecreasing(g.check.expr)
         val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(srcField.dataType)
         val toExternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -5806,6 +5854,16 @@ class GraftScanBuilder(tableSchema: StructType,
             if (dvs.forall(_.isDefined))
               Some(In(genField.name, dvs.map(_.get).toArray): Filter)
             else None
+          case GreaterThan(a, v) if mono && a == srcField.name =>
+            derive(v).map(dv =>
+              GreaterThanOrEqual(genField.name, dv): Filter)
+          case GreaterThanOrEqual(a, v) if mono && a == srcField.name =>
+            derive(v).map(dv =>
+              GreaterThanOrEqual(genField.name, dv): Filter)
+          case LessThan(a, v) if mono && a == srcField.name =>
+            derive(v).map(dv => LessThanOrEqual(genField.name, dv): Filter)
+          case LessThanOrEqual(a, v) if mono && a == srcField.name =>
+            derive(v).map(dv => LessThanOrEqual(genField.name, dv): Filter)
           case _ => None
         }
       }

@@ -88,5 +88,51 @@ class GraftGeneratedPruneSpec extends SparkSpec {
     val c = t.lastScanCensus.get
     assert(c.filesRead === 1 && c.pushed.exists(_.startsWith("derived:")),
       s"the raw-ts lookup must prune to day 2's file: $c")
+
+    // RANGE derivation through the monotone whitelist (r16): div by a
+    // positive literal is order-preserving and overflow-safe, so
+    // `ts BETWEEN a AND b` derives `day BETWEEN a div 86400 AND
+    // b div 86400` — Delta's timestamp→date partitioning shape. The
+    // derived bounds are always INCLUSIVE (f collapses values).
+    val lo = 1L * 86400L + 500L // mid day 1
+    val hi = 2L * 86400L + 80000L // late day 2
+    val got = spark.table("gps.ns.gps_t")
+      .filter(col("ts") >= lo && col("ts") <= hi)
+      .select("v").as[Long].collect().toSeq.sorted
+    assert(got === (6L to 17L), s"BETWEEN rows: $got")
+    val cr = t.lastScanCensus.get
+    assert(cr.filesRead === 2,
+      s"ts BETWEEN must prune to days 1..2's files: $cr")
+    assert(cr.pushed.count(_.startsWith("derived:")) === 2,
+      s"both derived day-bounds must reach the census: $cr")
+    // an UNBOUNDED range derives one inclusive bound and still prunes
+    val n4 = spark.table("gps.ns.gps_t")
+      .filter(col("ts") > 3L * 86400L + 1L).count()
+    val c4 = t.lastScanCensus.get
+    assert(n4 === 6L && c4.filesRead === 1 &&
+      c4.pushed.exists(_.startsWith("derived:GreaterThanOrEqual")),
+      s"one-sided range must derive the inclusive lower day bound: $c4")
+  }
+
+  test("range derivation refuses outside the overflow-safe whitelist: " +
+      "multiply is monotone over the reals but wraps at Long's edges " +
+      "— a wrapped stored value would make a derived range LOSE rows") {
+    spark.conf.set("spark.sql.catalog.gpm", classOf[GraftCatalog].getName)
+    spark.sql("CREATE TABLE gpm.ns.gpm_t (id BIGINT, g BIGINT " +
+      "GENERATED ALWAYS AS (id * 2), v BIGINT) PARTITIONED BY (g)")
+    (0L until 8L).map(i => (i, i)).toDF("id", "v")
+      .createOrReplaceTempView("gpm_src")
+    spark.sql("INSERT INTO gpm.ns.gpm_t (id, v) SELECT id, v FROM gpm_src")
+    val t = table("gpm", "gpm_t")
+    // equality still derives (exact whatever f's shape)…
+    val n = spark.table("gpm.ns.gpm_t").filter(col("id") === 3).count()
+    assert(n === 1L)
+    assert(t.lastScanCensus.get.pushed.exists(_.startsWith("derived:")),
+      s"${t.lastScanCensus.get}")
+    // …but a range filter must NOT derive through multiply
+    spark.table("gpm.ns.gpm_t").filter(col("id") > 5).count()
+    val c = t.lastScanCensus.get
+    assert(!c.pushed.exists(_.startsWith("derived:")),
+      s"multiply is off the overflow-safe whitelist: $c")
   }
 }
