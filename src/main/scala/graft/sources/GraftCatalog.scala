@@ -2934,8 +2934,27 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   /** `SELECT * FROM t$history`: the retained commit log — version,
-    * commit timestamp, operation kind, and the post-commit file/row
-    * census (DESCRIBE HISTORY as an ordinary relation). */
+    * commit timestamp, operation kind, the post-commit file/row census,
+    * and the commit's operationMetrics (Delta's DESCRIBE HISTORY map,
+    * served as typed columns instead of map<string,string> so they
+    * filter/aggregate like any relation).
+    *
+    * Two provenances, each exact for what it measures:
+    *  - `files_*` / `bytes_*` are PHYSICAL: an identity diff of the
+    *    entry's file vector against its predecessor's. Every data path
+    *    carries untouched files by reference (append concatenates, COW
+    *    replaces exactly the rewritten groups, OPTIMIZE/REORG/ZORDER
+    *    splice their bins, MOR only adds delta files — its DV'd bases
+    *    survive, so files_removed is 0 there, same as Delta's), which
+    *    makes the diff the t$files delta itself. Zeros when retention
+    *    already dropped the predecessor, and for the metadata-only
+    *    re-wrap commits (ALTER/WIDEN/EVOLVE/ANALYZE/CLONE REPLACE)
+    *    where object identity would misreport a full rewrite — Delta
+    *    shows an empty metrics map there too.
+    *  - `rows_*` are LOGICAL: the write-time CDC censuses (rows the
+    *    commit wrote / rows it retired, including rows a MOR delete
+    *    vector killed inside a surviving file). Layout rewrites are
+    *    zero logical change by construction. */
   private[sources] def historyMetaTable: GraftSnapshotTable = {
     refreshIfStale()
     val schema = StructType(Seq(
@@ -2943,11 +2962,39 @@ class GraftTable(initialName: String, initialSchema: StructType,
       StructField("timestamp_micros", LongType, nullable = false),
       StructField("operation", StringType, nullable = false),
       StructField("n_files", IntegerType, nullable = false),
-      StructField("n_rows", LongType, nullable = false)))
-    val rows = history.iterator.map { e =>
+      StructField("n_rows", LongType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("rows_added", LongType, nullable = false),
+      StructField("rows_removed", LongType, nullable = false),
+      StructField("bytes_added", LongType, nullable = false),
+      StructField("bytes_removed", LongType, nullable = false)))
+    val metadataOps = Set("ALTER TABLE", GraftTable.WidenOp,
+      GraftTable.EvolveOp, "ANALYZE", "CLONE REPLACE")
+    def identitySet(fs: Vector[GraftDataFile]) = {
+      val m = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+      fs.foreach(m.add); m
+    }
+    val h = history
+    val rows = h.iterator.zipWithIndex.map { case (e, i) =>
+      val (physAdd, physRem): (Vector[GraftDataFile], Vector[GraftDataFile]) =
+        if (i == 0 || metadataOps.contains(e.operation))
+          (Vector.empty, Vector.empty)
+        else {
+          val prev = h(i - 1).files
+          val before = identitySet(prev)
+          val after = identitySet(e.files)
+          (e.files.filterNot(before.contains), prev.filterNot(after.contains))
+        }
       new GenericInternalRow(Array[Any](e.version, e.tsMicros,
         utf8(e.operation), e.files.length,
-        e.files.iterator.map(_.rowCount.toLong).sum)): InternalRow
+        e.files.iterator.map(_.rowCount.toLong).sum,
+        physAdd.length, physRem.length,
+        e.added.iterator.map(_.rowCount.toLong).sum,
+        e.removed.iterator.map(_.rowCount.toLong).sum,
+        physAdd.iterator.map(_.sizeBytes).sum,
+        physRem.iterator.map(_.sizeBytes).sum)): InternalRow
     }.toArray
     new GraftSnapshotTable(s"$tableName$$history", schema,
       Vector(GraftDataFile.build(rows, schema, None)))

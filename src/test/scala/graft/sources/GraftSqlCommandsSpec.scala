@@ -394,4 +394,82 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(GraftMaintenance.sql(spark, "SELECT 41 + 1")
       .as[Int].head() === 42)
   }
+
+  test("t$history operationMetrics: per-commit file/byte deltas equal " +
+      "the t$files census diffs across append/UPDATE/OPTIMIZE") {
+    val t = freshTable("t_opmetrics")
+    def filesCensus(): (Int, Long, Long) = {
+      val r = spark.table(s"graft_cat.ns.`t_opmetrics$$files`")
+        .selectExpr("count(*)", "coalesce(sum(row_count), 0)",
+          "coalesce(sum(size_bytes), 0)")
+        .as[(Long, Long, Long)].head()
+      (r._1.toInt, r._2, r._3)
+    }
+    // capture the census after every commit; (0,0,0) is the empty v0
+    val censuses = scala.collection.mutable.ArrayBuffer((0, 0L, 0L))
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT, v STRING) " +
+      "PARTITIONED BY (part)")
+    for (i <- 0 until 3) {
+      spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 2 AS INT), 'x' " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+      censuses += filesCensus()
+    }
+    // COW rewrite of the part=0 group only: part=1 keeps its three
+    // small append files, so the OPTIMIZE below has real work
+    spark.sql(s"UPDATE $t SET v = 'y' WHERE id % 10 = 0")
+    censuses += filesCensus()
+    GraftMaintenance.sql(spark, s"OPTIMIZE $t").collect()
+    censuses += filesCensus()
+
+    val hist = spark.table(s"graft_cat.ns.`t_opmetrics$$history`")
+      .orderBy("version")
+      .select("version", "operation", "files_added", "files_removed",
+        "rows_added", "rows_removed", "bytes_added", "bytes_removed")
+      .as[(Int, String, Int, Int, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(hist.map(_._1) === censuses.indices.toSeq)
+    // physical metrics ARE the t$files diff, commit by commit
+    hist.drop(1).foreach { case (v, op, fa, fr, _, _, ba, br) =>
+      val (pn, _, pb) = censuses(v - 1)
+      val (cn, _, cb) = censuses(v)
+      assert(fa - fr === cn - pn, s"v$v $op file delta")
+      assert(ba - br === cb - pb, s"v$v $op byte delta")
+    }
+    // logical row metrics: appends add 10 each; the COW UPDATE writes
+    // as many rows as it retires (net zero); OPTIMIZE is zero logical
+    val byOp = hist.drop(1)
+    assert(byOp.take(3).forall { case (_, op, fa, fr, ra, rr, _, _) =>
+      op == "APPEND" && fa > 0 && fr == 0 && ra == 10L && rr == 0L })
+    val upd = byOp(3)
+    assert(upd._2 === "UPDATE" && upd._5 === upd._6 && upd._5 > 0L,
+      s"COW UPDATE rewrites what it removes: $upd")
+    val opt = byOp(4)
+    assert(opt._2 === "OPTIMIZE" && opt._5 === 0L && opt._6 === 0L &&
+      opt._3 > 0 && opt._4 > opt._3,
+      s"OPTIMIZE: zero logical rows, physical compaction census: $opt")
+    // running physical sums re-derive the final census exactly
+    assert(byOp.map(r => r._3 - r._4).sum === censuses.last._1)
+    assert(byOp.map(r => r._7 - r._8).sum === censuses.last._3)
+  }
+
+  test("t$history operationMetrics: a MOR DELETE removes rows, not " +
+      "files; metadata-only ALTER reports zeros") {
+    val t = freshTable("t_opmetrics_mor")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'x' FROM range(0, 20)")
+    val nFiles = store("t_opmetrics_mor").dataFiles.length
+    spark.sql(s"DELETE FROM $t WHERE id < 7")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra INT")
+    val hist = spark.table(s"graft_cat.ns.`t_opmetrics_mor$$history`")
+      .orderBy("version")
+      .select("operation", "files_added", "files_removed",
+        "rows_added", "rows_removed")
+      .as[(String, Int, Int, Long, Long)].collect().toSeq
+    assert(hist(2) === (("DELETE", 0, 0, 0L, 7L)),
+      "a DV delete retires rows inside surviving files")
+    assert(store("t_opmetrics_mor").dataFiles.length === nFiles)
+    assert(hist(3) === (("ALTER TABLE", 0, 0, 0L, 0L)),
+      "metadata-only commits carry an empty metrics census")
+  }
 }
