@@ -162,22 +162,27 @@ object CurationQueries {
     // for the training-data surface): c1's stages plus a MinHash-family
     // NEAR-DEDUP keeper stage between exact dedup and the quality gate
     // (the t18 contract — df-capped n-gram Jaccard pair graph at 0.2,
-    // connected components, min-doc keeper per cluster), with EVERY
+    // connected components, min-doc keeper per cluster), a (round 16)
+    // DECONTAMINATION stage between gate and cap (the t16 contract —
+    // gated docs sharing any 4-gram shingle with the held-out set
+    // leave before the cap spends budget on them), with EVERY
     // stage landing as a catalog table in a fresh scratch warehouse —
-    // survivors, near-dedup keepers, gated set, the final capped
-    // corpus AND (round 15) the t46 per-domain BUDGET sample — the
-    // mixture-execution step that closes the curate→mix lifecycle —
+    // survivors, near-dedup keepers, gated set, decontaminated set,
+    // the final capped corpus AND (round 15) the t46 per-domain
+    // BUDGET sample — the mixture-execution step that closes the
+    // curate→mix lifecycle —
     // are all parquet segments written INSIDE writer tasks and
     // read back executor-side, so the benched curation pipeline
     // measures the segment-IO route a 100 TB curation run takes. The
     // funnel census reads the CATALOG tables, proving each stage's
     // durable round-trip. Plan: one dup-key window, one df-capped
     // pair join (pair space structurally bounded, drop list broadcast),
-    // one token explode + two linear aggregates, one two-phase rank,
-    // one two-phase per-domain prefix sum — no pair fan-out beyond the
-    // capped graph, no global window, zero rows on the driver.
+    // one token explode + two linear aggregates, one eval-broadcast
+    // shingle semi-join, one two-phase rank, one two-phase per-domain
+    // prefix sum — no pair fan-out beyond the capped graph, no global
+    // window, zero rows on the driver.
     Q("c2_curation_lakehouse", "CURATE-compose,DEDUP-exact,DEDUP-ngram," +
-      "CURATE-gate,CURATE-caps,CURATE-budget,E-durable,A1,A7",
+      "CURATE-gate,TXT-decontam,CURATE-caps,CURATE-budget,E-durable,A1,A7",
       s"""WITH RECURSIVE keyed AS (
          |  SELECT doc_id, source, n_chars, text,
          |    md5(array_to_string(string_split(text, ' ')[1:3], ' '))
@@ -219,11 +224,27 @@ object CurationQueries {
          |    AND 33 * m.words <= 10 * m.sumlen
          |    AND 10 * m.sumlen <= 47 * m.words
          |    AND m.stops >= 2 AND 20 * m.maxcnt < 3 * m.words),
+         |et AS (SELECT string_split(text, ' ') AS el FROM documents
+         |       WHERE doc_id % 97 = 0),
+         |esh AS (SELECT DISTINCT
+         |          unnest(list_transform(${TS.shingles("el", 4)},
+         |            x -> ${TS.hash("x")})) AS h
+         |        FROM et),
+         |nt AS (SELECT doc_id, string_split(text, ' ') AS nl FROM near),
+         |nsh AS (SELECT doc_id,
+         |          unnest(list_transform(${TS.shingles("nl", 4)},
+         |            x -> ${TS.hash("x")})) AS h
+         |        FROM nt),
+         |contam AS (SELECT DISTINCT n.doc_id FROM nsh n
+         |           JOIN esh e ON n.h = e.h),
+         |decon AS (SELECT g.doc_id, g.source, g.n_chars FROM gated g
+         |          LEFT JOIN contam x ON g.doc_id = x.doc_id
+         |          WHERE x.doc_id IS NULL),
          |capped AS (
          |  SELECT doc_id, source, n_chars,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |  FROM gated),
+         |  FROM decon),
          |fin AS (SELECT doc_id, source, n_chars FROM capped
          |        WHERE rk <= ${TextQueries.SourceCap}),
          |budget AS (
@@ -239,6 +260,7 @@ object CurationQueries {
          |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_dedup,
          |  CAST(count(DISTINCT nn.doc_id) AS BIGINT) AS n_near,
          |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_gated,
+         |  CAST(count(DISTINCT dd.doc_id) AS BIGINT) AS n_decon,
          |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_final,
          |  CAST(COALESCE(sum(CASE WHEN c.doc_id IS NOT NULL
          |    AND k.doc_id = c.doc_id THEN c.n_chars END), 0) AS BIGINT)
@@ -251,6 +273,7 @@ object CurationQueries {
          |LEFT JOIN surv s ON k.doc_id = s.doc_id
          |LEFT JOIN near nn ON k.doc_id = nn.doc_id
          |LEFT JOIN gated g ON k.doc_id = g.doc_id
+         |LEFT JOIN decon dd ON k.doc_id = dd.doc_id
          |LEFT JOIN fin c ON k.doc_id = c.doc_id
          |LEFT JOIN budget bu ON k.doc_id = bu.doc_id
          |GROUP BY k.source ORDER BY k.source""".stripMargin) { (s, dir) =>
@@ -311,14 +334,46 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars")
         .writeTo(s"$cat.ns.c2_gated").create()
       val gatedT = s.table(s"$cat.ns.c2_gated")
-      // stage 4: the t38 two-phase per-source cap → the final corpus
-      TextQueries.cappedKeepSet(gatedT, TextQueries.SourceCap)
+      // stage 4 (round 16): DECONTAMINATION (t16's contract) between
+      // gate and cap — real pipelines decontaminate before capping so
+      // eval-overlapping docs never consume the corpus budget. Gated
+      // docs sharing ANY 4-gram shingle hash with the held-out set
+      // (doc_id % 97 = 0 over the RAW corpus — the eval set must be
+      // checked even where the funnel already dropped its members)
+      // leave the corpus. Scale shape: the eval shingle set is
+      // eval-set-sized → broadcast (t16's plan); the contaminated id
+      // list scales with the contamination rate → GatedBroadcast, the
+      // same keyed-shuffle fallback as the near-dedup drop list. The
+      // shingle transforms stay INSIDE persisted projections (the
+      // generator re-eval landmine).
+      val evalSh = Caches.persistTracked(docs
+        .filter(col("doc_id") % 97 === 0)
+        .select(transform(TF.shingles(TF.tokens(col("text")), 4),
+          x => TF.polyHash(x)).as("hs")))
+        .select(explode(col("hs")).as("h")).distinct()
+      val nearSh = Caches.persistTracked(nearT
+        .select(col("doc_id"),
+          transform(TF.shingles(TF.tokens(col("text")), 4),
+            x => TF.polyHash(x)).as("hs")))
+      val contaminated = nearSh
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(evalSh), "h")
+        .select(col("doc_id").as("cdoc")).distinct()
+        .withColumn("contam", lit(1))
+      gatedT.join(graft.operators.GatedBroadcast(contaminated),
+          col("doc_id") === col("cdoc"), "left")
+        .filter(col("contam").isNull)
+        .select("doc_id", "source", "n_chars")
+        .writeTo(s"$cat.ns.c2_decon").create()
+      val deconT = s.table(s"$cat.ns.c2_decon")
+      // stage 5: the t38 two-phase per-source cap → the final corpus
+      TextQueries.cappedKeepSet(deconT, TextQueries.SourceCap)
         .select("doc_id", "source")
-        .join(gatedT, Seq("doc_id", "source"))
+        .join(deconT, Seq("doc_id", "source"))
         .select("doc_id", "source", "n_chars")
         .writeTo(s"$cat.ns.c2_final").create()
       val finalT = s.table(s"$cat.ns.c2_final")
-      // stage 5 (round 15): the t46 per-DOMAIN budget over the curated
+      // stage 6 (round 15): the t46 per-DOMAIN budget over the curated
       // corpus — the MIXTURE-EXECUTION step that closes the
       // curate→mix lifecycle: each source contributes docs in
       // deterministic md5 order until its char budget fills. Same
@@ -351,6 +406,8 @@ object CurationQueries {
         .agg(count(lit(1)).cast("long").as("n_near"))
       val nGated = gatedT.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_gated"))
+      val nDecon = deconT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_decon"))
       val nFinal = finalT.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_final"),
           sum(col("n_chars")).cast("long").as("final_chars"))
@@ -360,12 +417,14 @@ object CurationQueries {
       raw.join(nDedup, Seq("source"), "left")
         .join(nNear, Seq("source"), "left")
         .join(nGated, Seq("source"), "left")
+        .join(nDecon, Seq("source"), "left")
         .join(nFinal, Seq("source"), "left")
         .join(nBudget, Seq("source"), "left")
         .select(col("source"), col("n_raw"),
           coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
           coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_decon"), lit(0L)).as("n_decon"),
           coalesce(col("n_final"), lit(0L)).as("n_final"),
           coalesce(col("final_chars"), lit(0L)).as("final_chars"),
           coalesce(col("n_budget"), lit(0L)).as("n_budget"),
