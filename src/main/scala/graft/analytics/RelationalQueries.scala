@@ -2478,6 +2478,64 @@ object RelationalQueries {
         .orderBy("rk")
     },
 
+    // ----- DESCRIBE HISTORY operationMetrics (round 16): t$history's
+    // per-commit rows_added/rows_removed censuses, audited end-to-end
+    // over a create → INSERT → COW DELETE → OPTIMIZE sequence. The
+    // LOGICAL row metrics are deterministic whatever the physical file
+    // counts (task-count-dependent, pinned spec-side instead): the COW
+    // DELETE rewrites the whole unpartitioned live set, so its commit
+    // records removed = every pre-delete row and added = every
+    // survivor; OPTIMIZE is zero logical change; and the signed sum of
+    // all row metrics re-derives the live count. The oracle restates
+    // each census from the nation source.
+    Q("s63_history_metrics", "DDL-history,S-introspect,S6,A1,A7",
+      """WITH src AS (SELECT count(*) AS n FROM nation),
+        |kept AS (SELECT count(*) AS n FROM nation WHERE n_nationkey >= 5)
+        |SELECT 'appends' AS probe,
+        |  CAST((SELECT n FROM src) + 1 AS BIGINT) AS a,
+        |  CAST(0 AS BIGINT) AS b
+        |UNION ALL
+        |SELECT 'delete', CAST((SELECT n FROM kept) + 1 AS BIGINT),
+        |  CAST((SELECT n FROM src) + 1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'net', CAST((SELECT n FROM kept) + 1 AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s63").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"ghm_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+        .repartition(1).writeTo(s"$w.ns.t").create()
+      s.sql(s"INSERT INTO $w.ns.t VALUES (99, 'zz')")
+      s.sql(s"DELETE FROM $w.ns.t WHERE k < 5")
+      graft.sources.GraftMaintenance.sql(s, s"OPTIMIZE $w.ns.t").collect()
+      val h = s.table(s"$w.ns.`t$$history`")
+      val agg = h.agg(
+        sum(when(!col("operation").isin("DELETE", "OPTIMIZE"),
+          col("rows_added")).otherwise(0L)).as("app_a"),
+        sum(when(!col("operation").isin("DELETE", "OPTIMIZE"),
+          col("rows_removed")).otherwise(0L)).as("app_b"),
+        sum(when(col("operation") === "DELETE", col("rows_added"))
+          .otherwise(0L)).as("del_a"),
+        sum(when(col("operation") === "DELETE", col("rows_removed"))
+          .otherwise(0L)).as("del_b"),
+        (sum(col("rows_added")) - sum(col("rows_removed"))).as("net_a"),
+        sum(when(col("operation") === "OPTIMIZE", 1L).otherwise(0L))
+          .as("net_b"))
+      agg.select(lit("appends").as("probe"), col("app_a").as("a"),
+          col("app_b").as("b"))
+        .unionByName(agg.select(lit("delete").as("probe"),
+          col("del_a").as("a"), col("del_b").as("b")))
+        .unionByName(agg.select(lit("net").as("probe"),
+          col("net_a").as("a"), col("net_b").as("b")))
+        .orderBy("probe")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

@@ -1363,11 +1363,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * the scan only when the query references them; never materialized
     * otherwise. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(
-      GraftMetaCol("_file_id", org.apache.spark.sql.types.IntegerType,
-        "ordinal of the row's data file (see t$files)"),
-      GraftMetaCol("_row_pos", org.apache.spark.sql.types.IntegerType,
-        "row position within its data file"))
+    GraftTable.MetaColumns
 
   // evolves under ADD COLUMNS (append-only, so the partition ordinals
   // below stay valid for the table's whole life)
@@ -4819,6 +4815,19 @@ object GraftTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
 
+  /** The `_file_id`/`_row_pos` metadata columns — shared by the live
+    * table AND every snapshot-backed relation (time travel, the
+    * `t$changes` feed), so a 100 TB audit can address rows whichever
+    * reader variant its table state plans. For DERIVED pseudo-files
+    * (CDC recipes, whose rows are synthesized) `_row_pos` enumerates
+    * the derived output — scan-relative, not a durable address. */
+  val MetaColumns: Array[MetadataColumn] =
+    Array(
+      GraftMetaCol("_file_id", org.apache.spark.sql.types.IntegerType,
+        "ordinal of the row's data file (see t$files)"),
+      GraftMetaCol("_row_pos", org.apache.spark.sql.types.IntegerType,
+        "row position within its data file"))
+
   /** Operation tag of the atomic REPLACE TABLE swap commit. Marked
     * because it is the ONE commit kind whose pre/post states do not
     * share field ids — the change feed and streaming tails refuse to
@@ -6160,37 +6169,66 @@ class GraftScanBuilder(tableSchema: StructType,
       val dataIdx = required.fields.map(f => tableSchema.fieldIndex(f.name))
       // `_row_pos` is the ORIGINAL position — the stable row address a
       // delete vector targets — so DV'd positions are skipped, never
-      // renumbered
+      // renumbered. A position VIEW likewise reports its BASE file's
+      // positions (the view and the base agree on every shared row's
+      // address); only DERIVED pseudo-files (CDC recipes — synthesized
+      // rows with no durable address) enumerate their own output.
       def eagerMeta(f: GraftDataFile, fid: Int): Array[InternalRow] = {
         val dead = dvOf(f)
+        def metaOf(p: Int) = new GenericInternalRow(metaCols.map {
+          case "_file_id" => fid: Any
+          case "_row_pos" => p: Any
+        }.toArray)
         val rows = Array.newBuilder[InternalRow]
-        var p = 0
-        while (p < f.rows.length) {
-          if (!dead.contains(p)) {
-            val meta = new GenericInternalRow(metaCols.map {
-              case "_file_id" => fid: Any
-              case "_row_pos" => p: Any
-            }.toArray)
-            rows += proj(joined.apply(f.rows(p), meta)).copy()
-          }
-          p += 1
+        f.viewSel match {
+          case Some((bs, ex)) =>
+            // view: enumerate the BASE, emitting selected originals
+            val base = f.segment.load()
+            var p = 0
+            while (p < base.length) {
+              if (bs.contains(p) != ex)
+                rows += proj(joined.apply(base(p), metaOf(p))).copy()
+              p += 1
+            }
+          case None =>
+            var p = 0
+            while (p < f.rows.length) {
+              if (!dead.contains(p))
+                rows += proj(joined.apply(f.rows(p), metaOf(p))).copy()
+              p += 1
+            }
         }
         rows.result()
       }
       val chunks = surviving.map { case (f, fid) =>
         val dead = dvOf(f)
-        if (f.persisted)
-          // LAZY: the metadata-augmented projection runs in the
-          // partition reader, executor-side — a MOR operation's scan
-          // over a durable table streams through tasks, it does not
-          // materialize the matched files on the driver
-          ScanChunk.lazily(
-            GraftSegmentScanPartition(f.segment.path.toString,
-              f.segment.schema.json, dataIdx, dead.toArray, metaCols, fid),
-            zonesByName(f), f.groupKey, f.rowCount - dead.size,
-            () => eagerMeta(f, fid), bloomsByName(f))
-        else ScanChunk(eagerMeta(f, fid), zonesByName(f), f.groupKey,
-          bloomsByName(f))
+        f.derive match {
+          case Some(rcp) =>
+            // DERIVED pseudo-file (CDC): the recipe's partition computes
+            // the data rows executor-side; the wrapper appends the meta
+            // columns there, so the feed still never lands a row on the
+            // driver
+            ScanChunk.lazily(
+              GraftMetaWrapPartition(rcp.partition(dataIdx),
+                required.json, metaCols, fid),
+              zonesByName(f), f.groupKey, f.rowCount,
+              () => eagerMeta(f, fid), bloomsByName(f))
+          case None if f.persisted =>
+            // LAZY: the metadata-augmented projection runs in the
+            // partition reader, executor-side — a MOR operation's scan
+            // over a durable table streams through tasks, it does not
+            // materialize the matched files on the driver. A position
+            // view's selection rides along (original addresses).
+            val (sel, selEx) = f.selArrays
+            ScanChunk.lazily(
+              GraftSegmentScanPartition(f.segment.path.toString,
+                f.segment.schema.json, dataIdx, dead.toArray, metaCols, fid,
+                sel, selEx),
+              zonesByName(f), f.groupKey, f.rowCount - dead.size,
+              () => eagerMeta(f, fid), bloomsByName(f))
+          case None => ScanChunk(eagerMeta(f, fid), zonesByName(f),
+            f.groupKey, bloomsByName(f))
+        }
       }.toArray
       new GraftScan(outSchema, chunks, bytes, census,
         pushed.map(_.toString).toSeq, spjCols, mb, spjBucket, guard,
@@ -6226,9 +6264,13 @@ class GraftScanBuilder(tableSchema: StructType,
             f.groupKey, f.rowCount, () => materialize(f))
         case None if f.persisted =>
           val dead = dvOf(f)
+          // a position view's selection must ship with the partition —
+          // the segment ref alone names the (larger) base file
+          val (sel, selEx) = f.selArrays
           ScanChunk.lazily(
             GraftSegmentScanPartition(f.segment.path.toString,
-              f.segment.schema.json, idx, dead.toArray),
+              f.segment.schema.json, idx, dead.toArray, Nil, -1,
+              sel, selEx),
             zonesByName(f), f.groupKey, f.rowCount - dead.size,
             () => materialize(f), bloomsByName(f))
         case None => ScanChunk(materialize(f), zonesByName(f), f.groupKey,
@@ -6305,6 +6347,17 @@ case class GraftSegmentScanPartition(ref: String, schemaJson: String,
     sel: Array[Int] = Array.empty,
     selExclude: Boolean = false) extends InputPartition
 
+/** Metadata-column wrapper over any other scan partition: delegates the
+  * data rows to the inner partition's reader and appends the requested
+  * meta columns executor-side — `_file_id` = the wrapped file's scan
+  * ordinal, `_row_pos` = the position in the inner reader's output.
+  * Used for DERIVED pseudo-files (CDC recipes), whose rows are
+  * synthesized: there is no durable address to serve, so the position
+  * is scan-relative by documented contract. `schemaJson` is the inner
+  * reader's (already-projected) data schema. */
+case class GraftMetaWrapPartition(inner: InputPartition, schemaJson: String,
+    metaCols: Seq[String], fid: Int) extends InputPartition
+
 /** Key-grouped variant over segment REFERENCES (durable tables): all
   * of one identity-partition key's segments, reported with the key so a
   * storage-partitioned join aligns without shuffling — and without the
@@ -6328,10 +6381,15 @@ private[sources] object GraftSegmentReads {
     val all = GraftSegmentIO.read(java.nio.file.Paths.get(s.ref), fileSchema)
     if (s.metaCols.nonEmpty) {
       // metadata-augmented read: emit live positions with their
-      // ORIGINAL row addresses (_file_id, _row_pos)
+      // ORIGINAL row addresses (_file_id, _row_pos). A position view's
+      // selection filters WHICH positions emit; the addresses stay the
+      // base file's (the view and the base agree on every shared row)
       val dead =
         if (s.dead.isEmpty) scala.collection.immutable.BitSet.empty
         else scala.collection.immutable.BitSet(s.dead: _*)
+      val selBs =
+        if (s.sel.isEmpty && !s.selExclude) null
+        else scala.collection.immutable.BitSet(s.sel: _*)
       val proj = UnsafeProjection.create(
         s.project.toIndexedSeq.map(i => BoundReference(i,
           fileSchema.fields(i).dataType, fileSchema.fields(i).nullable)
@@ -6340,13 +6398,16 @@ private[sources] object GraftSegmentReads {
           IntegerType, nullable = false)
           : org.apache.spark.sql.catalyst.expressions.Expression))
       val joined = new JoinedRow
-      Iterator.range(0, all.length).filter(!dead.contains(_)).map { p =>
-        val meta = new GenericInternalRow(s.metaCols.map {
-          case "_file_id" => s.fid: Any
-          case "_row_pos" => p: Any
-        }.toArray)
-        proj(joined.apply(all(p), meta))
-      }
+      Iterator.range(0, all.length)
+        .filter(p => !dead.contains(p) &&
+          (selBs == null || selBs.contains(p) != s.selExclude))
+        .map { p =>
+          val meta = new GenericInternalRow(s.metaCols.map {
+            case "_file_id" => s.fid: Any
+            case "_row_pos" => p: Any
+          }.toArray)
+          proj(joined.apply(all(p), meta))
+        }
     } else {
       val afterSel =
         if (s.sel.isEmpty && !s.selExclude) all
@@ -6824,35 +6885,59 @@ class GraftScan(schema: StructType, chunks0: Array[ScanChunk],
   * column pruning), and the row-level rewrite's group-filtered segment
   * partitions. */
 case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
-  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+
+  private def rowsOf(p: InputPartition): Iterator[InternalRow] = p match {
+    case g: GraftInputPartition => g.rows.iterator
+    case k: GraftKeyedInputPartition => k.rows.iterator
+    case c: GraftChangeScanPartition => GraftChangeReads.rowsOf(c)
+    case s: GraftSegmentPartition =>
+      val schema = DataType.fromJson(s.schemaJson)
+        .asInstanceOf[StructType]
+      val rows = GraftSegmentIO.read(
+        java.nio.file.Paths.get(s.ref), schema)
+      s.keyPred match {
+        case Some(p) =>
+          val dts = s.keyOrds.map(i =>
+            if (i >= 0) schema.fields(i).dataType
+            else org.apache.spark.sql.types.NullType)
+          rows.iterator.filter { r =>
+            p(s.keyOrds.toSeq.lazyZip(dts).map((i, dt) =>
+              if (i < 0 || r.isNullAt(i)) null else r.get(i, dt)))
+          }
+        case None => rows.iterator
+      }
+    case s: GraftSegmentScanPartition =>
+      GraftSegmentReads.rowsOf(s)
+    case k: GraftKeyedSegmentPartition =>
+      k.segs.iterator.flatMap(GraftSegmentReads.rowsOf)
+    case w: GraftMetaWrapPartition =>
+      // meta augmentation over the delegate's output (derived files):
+      // position = output ordinal, executor-side like everything else
+      val dataSchema = DataType.fromJson(w.schemaJson)
+        .asInstanceOf[StructType]
+      val proj = UnsafeProjection.create(
+        dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        } ++
+        w.metaCols.indices.map(j =>
+          BoundReference(dataSchema.length + j,
+            org.apache.spark.sql.types.IntegerType, nullable = false)
+            : org.apache.spark.sql.catalyst.expressions.Expression))
+      val joined = new JoinedRow
+      rowsOf(w.inner).zipWithIndex.map { case (r, pos) =>
+        val meta = new GenericInternalRow(w.metaCols.map {
+          case "_file_id" => w.fid: Any
+          case "_row_pos" => pos: Any
+        }.toArray)
+        proj(joined.apply(r, meta))
+      }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it: Iterator[InternalRow] = p match {
-        case g: GraftInputPartition => g.rows.iterator
-        case k: GraftKeyedInputPartition => k.rows.iterator
-        case c: GraftChangeScanPartition => GraftChangeReads.rowsOf(c)
-        case s: GraftSegmentPartition =>
-          val schema = DataType.fromJson(s.schemaJson)
-            .asInstanceOf[StructType]
-          val rows = GraftSegmentIO.read(
-            java.nio.file.Paths.get(s.ref), schema)
-          s.keyPred match {
-            case Some(p) =>
-              val dts = s.keyOrds.map(i =>
-                if (i >= 0) schema.fields(i).dataType
-                else org.apache.spark.sql.types.NullType)
-              rows.iterator.filter { r =>
-                p(s.keyOrds.toSeq.lazyZip(dts).map((i, dt) =>
-                  if (i < 0 || r.isNullAt(i)) null else r.get(i, dt)))
-              }
-            case None => rows.iterator
-          }
-        case s: GraftSegmentScanPartition =>
-          GraftSegmentReads.rowsOf(s)
-        case k: GraftKeyedSegmentPartition =>
-          k.segs.iterator.flatMap(GraftSegmentReads.rowsOf)
-      }
+      private val it: Iterator[InternalRow] = rowsOf(p)
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
@@ -7346,9 +7431,15 @@ case class GraftRowsMessage(rows: Array[InternalRow])
   * downstream pattern this enables: incremental materialization that
   * stays correct under UPDATE/DELETE, by applying inserts positively
   * and deletes negatively. */
-class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
+class GraftChangesTable(base: GraftTable) extends Table with SupportsRead
+    with SupportsMetadataColumns {
   override def name(): String = base.name() + "$changes"
   override def schema(): StructType = base.changesSchema
+  /** The feed serves the shared address columns too — `_file_id` names
+    * the change record (derived pseudo-file) a row came from, `_row_pos`
+    * its scan-relative position there (see [[GraftTable.MetaColumns]]). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    GraftTable.MetaColumns
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -7368,9 +7459,15 @@ class GraftSnapshotTable(snapName: String, snapSchema: StructType,
                          snapPartitionCols: Seq[String] = Nil,
                          snapDvs: Map[GraftDataFile,
                            scala.collection.immutable.BitSet] = Map.empty)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = snapName
   override def schema(): StructType = snapSchema
+  /** Snapshot relations serve the same `_file_id`/`_row_pos` address
+    * surface as the live table: a time-travel audit joins against the
+    * version's own file census, and the CDC feed's rows say which
+    * change record produced them. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    GraftTable.MetaColumns
   // the layout IN FORCE AT the snapshot's version (layoutAt) — after a
   // REPLACE or a partition-spec evolution this differs from the live
   // table's; reporting it keeps introspection honest about what the

@@ -389,6 +389,71 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("metadata columns on time travel: snapshot reads serve the same " +
+      "stable addresses as the live table; absent unless referenced") {
+    val (t, _) = fourFileTable("t_metatt")
+    // v2 = first two files; every row it serves keeps the address the
+    // live read assigns (appends only extend the file vector)
+    val atV2 = spark.sql(
+      s"SELECT id, _file_id, _row_pos FROM $t VERSION AS OF 2")
+      .as[(Long, Int, Int)].collect().iterator.map(r => r._1 -> ((r._2, r._3))).toMap
+    val live = spark.sql(s"SELECT id, _file_id, _row_pos FROM $t")
+      .as[(Long, Int, Int)].collect().iterator.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(atV2.keySet === (1L to 20L).toSet)
+    atV2.foreach { case (id, addr) =>
+      assert(live(id) === addr, s"id $id moved between v2 and live")
+    }
+    // snapshot relations stay the declared schema unless referenced
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
+      .schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
+  test("metadata columns on the durable lakehouse: lazy time travel and " +
+      "the t$changes feed (derived files) serve addresses executor-side") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-metacdc")
+    spark.conf.set("spark.sql.catalog.mcdc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcdc.warehouse", wh.toString)
+    val t = "mcdc.ns.t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS v")
+      .repartition(1).writeTo(t).create()
+    spark.range(10, 20).selectExpr("id", "CAST(id AS STRING) AS v")
+      .repartition(1).writeTo(t).append()
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE id = 3")
+
+    // durable VERSION AS OF plans LAZY segment partitions; the meta
+    // projection must agree with the live read on untouched rows
+    val atV2 = spark.sql(
+      s"SELECT id, _file_id, _row_pos FROM $t VERSION AS OF 2")
+      .as[(Long, Int, Int)].collect().iterator.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(atV2.keySet === (0L until 20L).toSet)
+    assert(atV2.values.map(_._1).toSet.size === 2, "two files at v2")
+    // within each file, positions enumerate the stored order
+    assert(atV2.filter(_._1 < 10).values.map(_._2).toSeq.sorted ===
+      (0 until 10).toSeq)
+
+    // the CDC feed (DERIVED pseudo-files on a durable table) serves
+    // meta addresses too: positions are scan-relative per change file
+    val ch = spark.sql(
+      s"SELECT _change_type, _file_id, _row_pos FROM mcdc.ns.`t$$changes`")
+      .as[(String, Int, Int)].collect().toSeq
+    val plain = spark.sql(
+      s"SELECT _change_type FROM mcdc.ns.`t$$changes`").count()
+    assert(ch.length.toLong === plain, "meta read preserves the row set")
+    // per derived file the positions are distinct and dense from 0
+    ch.groupBy(_._2).foreach { case (fid, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps === ps.indices.toSeq, s"file $fid positions: $ps")
+    }
+    // the UPDATE's preimage delete and postimage insert both address
+    assert(ch.count(_._1 == "delete") === 1)
+    assert(ch.count(_._1 == "insert") === 21) // 10 + 10 + postimage
+    // unreferenced → the feed keeps its declared change schema
+    assert(spark.table(s"mcdc.ns.`t$$changes`").schema.fieldNames.toSeq
+      .take(3) === Seq("_change_type", "_commit_version",
+        "_commit_timestamp"))
+  }
+
   test("metadata tables: t$files and t$history serve the census over SQL") {
     val t = freshTable("t_meta")
     spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
