@@ -250,13 +250,46 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * superseded arrays forever — reads of retired versions fail loudly,
     * mirroring Delta's log retention. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val t = store.tables.getOrElse(key(ident),
-      throw new NoSuchTableException(ident))
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"version must be an integer commit number, got '$version'")
     }
+    metaBaseOf(ident) match {
+      case Some((base, suffix)) =>
+        return versionedMeta(ident, suffix,
+          () => base.entryAt(v, ident), base)
+      case None => ()
+    }
+    val t = store.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
     t.snapshotAt(v, ident)
+  }
+
+  /** `(base table, suffix)` of a `t$<suffix>` metadata-table name. */
+  private def metaBaseOf(ident: Identifier): Option[(GraftTable, String)] = {
+    val n = ident.name()
+    val dollar = n.indexOf('$')
+    if (dollar <= 0) None
+    else store.tables
+      .get((ident.namespace().toSeq, n.substring(0, dollar)))
+      .map(_ -> n.substring(dollar + 1))
+  }
+
+  /** Version-scoped metadata tables (Iceberg's snapshot-scoped `files`):
+    * `t$files VERSION AS OF v` serves the COMMIT's census, numbered the
+    * way that snapshot's `_file_id` numbers it. The other suffixes are
+    * log-shaped (history/changes already carry the whole retained range
+    * as rows; DETAIL describes the live table) — a versioned read there
+    * would be ambiguous, so it refuses with the relational remedy. */
+  private def versionedMeta(ident: Identifier, suffix: String,
+      entry: () => CommitEntry, base: GraftTable): Table = suffix match {
+    case "files" => base.filesMetaTableAt(entry())
+    case "history" | "changes" | "detail" =>
+      throw new UnsupportedOperationException(
+        s"$ident does not support time travel: the $suffix relation " +
+          "already spans the retained log — filter it (e.g. WHERE " +
+          "version <= v / _commit_version <= v) instead")
+    case _ => throw new NoSuchTableException(ident)
   }
 
   /** Time travel by wall clock (`TIMESTAMP AS OF ts`): resolves to the
@@ -265,6 +298,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * microseconds since the epoch as Spark's resolver hands it over.
     * A timestamp before the earliest retained commit fails loudly. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    metaBaseOf(ident) match {
+      case Some((base, suffix)) =>
+        return versionedMeta(ident, suffix,
+          () => base.entryAsOf(timestamp, ident), base)
+      case None => ()
+    }
     val t = store.tables.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
     t.snapshotAsOf(timestamp, ident)
@@ -2314,18 +2353,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** Read-only view of commit `v` (see GraftCatalog.loadTable(_, version)). */
   private[sources] def snapshotAt(
       v: Int, ident: Identifier): GraftSnapshotTable = {
-    refreshIfStale()
-    val h = history
-    val latest = h.last.version
-    if (v < 0 || v > latest)
-      throw new IllegalArgumentException(
-        s"$ident has no version $v (versions 0..$latest)")
-    val base = h.head.version
-    if (v < base)
-      throw new IllegalArgumentException(
-        s"$ident version $v has been retired by history retention " +
-          s"(oldest retained: $base)")
-    val e = h(v - base)
+    val e = entryAt(v, ident)
     // the layout IN EFFECT AT v (a later REPLACE may have changed it;
     // this snapshot's group keys were computed under the old one)
     new GraftSnapshotTable(s"$tableName@v$v", e.schema, e.files,
@@ -2338,14 +2366,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * instants before the earliest retained commit fail loudly. */
   private[sources] def snapshotAsOf(
       tsMicros: Long, ident: Identifier): GraftSnapshotTable = {
-    refreshIfStale()
-    val h = history
-    val idx = h.lastIndexWhere(_.tsMicros <= tsMicros)
-    if (idx < 0)
-      throw new IllegalArgumentException(
-        s"$ident has no commit at or before timestamp $tsMicros " +
-          s"(earliest retained commit: ${h.head.tsMicros})")
-    val e = h(idx)
+    val e = entryAsOf(tsMicros, ident)
     new GraftSnapshotTable(s"$tableName@v${e.version}", e.schema, e.files,
       layoutAt(e.version)._1, e.dvs)
   }
@@ -2903,17 +2924,29 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   /** `SELECT * FROM t$files`: one row per current data file — row count,
     * byte size, partition-group key, and the zone-map envelope rendered
-    * per column. The files audit a real format serves from its manifest. */
+    * per column. The files audit a real format serves from its manifest.
+    * `VERSION AS OF` / `TIMESTAMP AS OF` compose (Iceberg's
+    * snapshot-scoped files table): the census is the requested COMMIT's
+    * file vector, numbered exactly as that snapshot's `_file_id`
+    * metadata column numbers it — a time-travel audit joins a
+    * versioned read against the version's own census. */
   private[sources] def filesMetaTable: GraftSnapshotTable = {
     refreshIfStale() // the audit must cover foreign writers' commits
+    filesCensusTable(files, tableSchema)
+  }
+
+  /** The `t$files` census of one retained commit (see [[filesMetaTable]]). */
+  private[sources] def filesMetaTableAt(e: CommitEntry): GraftSnapshotTable =
+    filesCensusTable(e.files, e.schema, s"@v${e.version}")
+
+  private def filesCensusTable(snap: Vector[GraftDataFile],
+      s: StructType, tag: String = ""): GraftSnapshotTable = {
     val schema = StructType(Seq(
       StructField("file_id", IntegerType, nullable = false),
       StructField("row_count", IntegerType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
       StructField("group_key", StringType, nullable = true),
       StructField("zones", StringType, nullable = true)))
-    val snap = files
-    val s = tableSchema
     val rows = snap.iterator.zipWithIndex.map { case (f, i) =>
       val zones = s.fields.iterator.zipWithIndex.flatMap { case (fl, j) =>
         if (j < f.zones.length && f.zones(j) != null) {
@@ -2925,8 +2958,40 @@ class GraftTable(initialName: String, initialSchema: StructType,
         utf8(f.groupKey.map(_.mkString("/")).orNull),
         utf8(zones))): InternalRow
     }.toArray
-    new GraftSnapshotTable(s"$tableName$$files", schema,
+    new GraftSnapshotTable(s"$tableName$$files$tag", schema,
       Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
+  /** Retained commit entry at version `v` — the shared resolver for
+    * every versioned surface (data snapshots, the versioned `t$files`
+    * census); fails loudly outside the retained range. */
+  private[sources] def entryAt(v: Int, ident: Identifier): CommitEntry = {
+    refreshIfStale()
+    val h = history
+    val latest = h.last.version
+    if (v < 0 || v > latest)
+      throw new IllegalArgumentException(
+        s"$ident has no version $v (versions 0..$latest)")
+    val base = h.head.version
+    if (v < base)
+      throw new IllegalArgumentException(
+        s"$ident version $v has been retired by history retention " +
+          s"(oldest retained: $base)")
+    h(v - base)
+  }
+
+  /** Retained commit entry as of a wall-clock instant (the
+    * TIMESTAMP AS OF contract — latest commit at or before it). */
+  private[sources] def entryAsOf(tsMicros: Long,
+      ident: Identifier): CommitEntry = {
+    refreshIfStale()
+    val h = history
+    val idx = h.lastIndexWhere(_.tsMicros <= tsMicros)
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"$ident has no commit at or before timestamp $tsMicros " +
+          s"(earliest retained commit: ${h.head.tsMicros})")
+    h(idx)
   }
 
   /** `SELECT * FROM t$history`: the retained commit log — version,

@@ -454,6 +454,35 @@ class GraftTableFilesSpec extends SparkSpec {
         "_commit_timestamp"))
   }
 
+  test("t$files composes with time travel: the versioned census is the " +
+      "commit's own file vector, numbered like its _file_id column") {
+    val (t, _) = fourFileTable("t_verfiles")
+    // the v2 census: exactly the first two files, live numbering
+    val atV2 = spark.sql(
+      s"SELECT file_id, row_count FROM graft_cat.ns.`t_verfiles$$files` " +
+        "VERSION AS OF 2 ORDER BY file_id")
+      .as[(Int, Int)].collect().toSeq
+    assert(atV2 === Seq((0, 10), (1, 10)))
+    // agreement with the snapshot's own _file_id numbering: per-file
+    // row counts through the metadata column equal the versioned census
+    val byMeta = spark.sql(
+      s"SELECT _file_id, count(*) FROM $t VERSION AS OF 2 " +
+        "GROUP BY _file_id ORDER BY _file_id")
+      .as[(Int, Long)].collect().toSeq
+    assert(byMeta.map(r => (r._1, r._2.toInt)) === atV2)
+    // the live census has moved on; the versioned one is pinned
+    assert(spark.table(s"graft_cat.ns.`t_verfiles$$files`").count() === 4)
+    // log-shaped relations refuse time travel with the filter remedy
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_cat.ns.`t_verfiles$$history` VERSION AS OF 2")
+      .collect())
+    assert(e.getMessage.contains("filter it"), e.getMessage)
+    // a retired / out-of-range version fails loudly
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_cat.ns.`t_verfiles$$files` VERSION AS OF 99")
+      .collect())
+  }
+
   test("metadata tables: t$files and t$history serve the census over SQL") {
     val t = freshTable("t_meta")
     spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
