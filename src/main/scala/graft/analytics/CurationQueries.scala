@@ -230,7 +230,8 @@ object CurationQueries {
          |          unnest(list_transform(${TS.shingles("el", 4)},
          |            x -> ${TS.hash("x")})) AS h
          |        FROM et),
-         |nt AS (SELECT doc_id, string_split(text, ' ') AS nl FROM near),
+         |nt AS (SELECT g.doc_id, string_split(n.text, ' ') AS nl
+         |       FROM gated g JOIN near n ON g.doc_id = n.doc_id),
          |nsh AS (SELECT doc_id,
          |          unnest(list_transform(${TS.shingles("nl", 4)},
          |            x -> ${TS.hash("x")})) AS h
@@ -325,13 +326,17 @@ object CurationQueries {
           max(col("cnt")).as("maxcnt"),
           sum(when(col("term").isin("a", "the"), 1L).otherwise(0L))
             .as("stops"))
+      // the gated table CARRIES TEXT: the decon stage below shingles
+      // exactly the docs it can drop (gated ⊆ near, and contamination
+      // of an already-dropped doc cannot change the decon result), so
+      // the shingle pass runs over the post-gate corpus, not all of near
       nearT.join(m, "doc_id")
         .filter(col("words").between(20, 90) &&
           lit(33) * col("words") <= lit(10) * col("sumlen") &&
           lit(10) * col("sumlen") <= lit(47) * col("words") &&
           col("stops") >= 2 &&
           lit(20) * col("maxcnt") < lit(3) * col("words"))
-        .select("doc_id", "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "text")
         .writeTo(s"$cat.ns.c2_gated").create()
       val gatedT = s.table(s"$cat.ns.c2_gated")
       // stage 4 (round 16): DECONTAMINATION (t16's contract) between
@@ -341,9 +346,13 @@ object CurationQueries {
       // (doc_id % 97 = 0 over the RAW corpus — the eval set must be
       // checked even where the funnel already dropped its members)
       // leave the corpus. Scale shape: the eval shingle set is
-      // eval-set-sized → broadcast (t16's plan); the contaminated id
-      // list scales with the contamination rate → GatedBroadcast, the
-      // same keyed-shuffle fallback as the near-dedup drop list. The
+      // eval-set-sized → broadcast (t16's plan); the corpus-side
+      // shingle pass runs over the GATED set only (gated ⊆ near, and
+      // contamination of an already-dropped doc cannot change
+      // gated∖contaminated — the post-gate corpus is the smallest
+      // relation the semantics allow); the contaminated id list scales
+      // with the contamination rate → GatedBroadcast, the same
+      // keyed-shuffle fallback as the near-dedup drop list. The
       // shingle transforms stay INSIDE persisted projections (the
       // generator re-eval landmine).
       val evalSh = Caches.persistTracked(docs
@@ -351,15 +360,18 @@ object CurationQueries {
         .select(transform(TF.shingles(TF.tokens(col("text")), 4),
           x => TF.polyHash(x)).as("hs")))
         .select(explode(col("hs")).as("h")).distinct()
-      val nearSh = Caches.persistTracked(nearT
+      val gatedSh = Caches.persistTracked(gatedT
         .select(col("doc_id"),
           transform(TF.shingles(TF.tokens(col("text")), 4),
             x => TF.polyHash(x)).as("hs")))
-      val contaminated = nearSh
+      // MATERIALIZED before the gate: GatedBroadcast counts the side,
+      // and an unpersisted count would recompute the shingle join once
+      // for the count and again for the join itself
+      val contaminated = Caches.persistTracked(gatedSh
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(evalSh), "h")
         .select(col("doc_id").as("cdoc")).distinct()
-        .withColumn("contam", lit(1))
+        .withColumn("contam", lit(1)))
       gatedT.join(graft.operators.GatedBroadcast(contaminated),
           col("doc_id") === col("cdoc"), "left")
         .filter(col("contam").isNull)
