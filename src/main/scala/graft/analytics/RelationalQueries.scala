@@ -2536,6 +2536,38 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- t$partitions (round 16, Iceberg's partitions metadata
+    // table): the per-group census over SQL — stored rows AND live rows
+    // (a merge-on-read DELETE's delete vectors subtract without
+    // rewriting files). The oracle restates both censuses from the
+    // nation source; file counts are physical (task-count-dependent)
+    // and pinned spec-side instead.
+    Q("s64_partitions_meta", "DDL-partitions,S-introspect,S6,A1",
+      """SELECT CAST(n_regionkey AS VARCHAR) AS part_key,
+        |  CAST(count(*) AS BIGINT) AS row_count,
+        |  CAST(sum(CASE WHEN n_nationkey % 3 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS live_rows
+        |FROM nation GROUP BY part_key ORDER BY part_key""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s64").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gpm_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      s.sql(s"CREATE TABLE $w.ns.t (k BIGINT, rk INT) PARTITIONED BY (rk) " +
+        "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+      Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("int").as("rk"))
+        .writeTo(s"$w.ns.t").append()
+      s.sql(s"DELETE FROM $w.ns.t WHERE k % 3 = 0")
+      s.table(s"$w.ns.`t$$partitions`")
+        .select(col("partition").as("part_key"), col("row_count"),
+          col("live_rows"))
+        .orderBy("part_key")
+    },
+
     // ----- ANALYZE TABLE column statistics: one distributed HLL+length
     // aggregation pass, persisted in the log, served to CBO via the
     // scan's columnStats(). The oracle checks the EXACT components

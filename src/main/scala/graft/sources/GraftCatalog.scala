@@ -227,6 +227,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         throw new NoSuchTableException(ident))
       return n.substring(dollar + 1) match {
         case "files" => base.filesMetaTable
+        case "partitions" => base.partitionsMetaTable
         case "history" => base.historyMetaTable
         case "changes" => base.changesMetaTable
         case "detail" => base.detailMetaTable
@@ -284,6 +285,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   private def versionedMeta(ident: Identifier, suffix: String,
       entry: () => CommitEntry, base: GraftTable): Table = suffix match {
     case "files" => base.filesMetaTableAt(entry())
+    case "partitions" => base.partitionsMetaTableAt(entry())
     case "history" | "changes" | "detail" =>
       throw new UnsupportedOperationException(
         s"$ident does not support time travel: the $suffix relation " +
@@ -1359,7 +1361,11 @@ private[sources] final case class CommitEntry(version: Int,
     operation: String = "UNKNOWN",
     added: Vector[GraftDataFile] = Vector.empty,
     removed: Vector[GraftDataFile] = Vector.empty,
-    dvs: Map[GraftDataFile, scala.collection.immutable.BitSet] = Map.empty)
+    dvs: Map[GraftDataFile, scala.collection.immutable.BitSet] = Map.empty,
+    // Delta's operationParameters: what the operation was ASKED to do
+    // (predicate text, target version, source dir…) — audit metadata,
+    // persisted with the entry, surfaced by DESCRIBE HISTORY
+    params: Map[String, String] = Map.empty)
 
 /** What one scan build observed: the data-skipping census. `filesRead` /
   * `rowsRead` count files/rows that SURVIVED zone-map pruning under the
@@ -2331,13 +2337,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   private def snap(op: String,
                    added: Vector[GraftDataFile] = Vector.empty,
-                   removed: Vector[GraftDataFile] = Vector.empty): Unit = {
+                   removed: Vector[GraftDataFile] = Vector.empty,
+                   params: Map[String, String] = Map.empty): Unit = {
     val last = history.last
     // strictly increasing per table: commits in the same microsecond
     // (or a test clock standing still) must still resolve unambiguously
     val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
     history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts,
-      op, added, removed, dvs)
+      op, added, removed, dvs, params)
     val over = history.length - math.max(2, GraftTable.historyRetention)
     if (over > 0) history = history.drop(over)
     readState = (files, dvs)
@@ -2542,7 +2549,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
       files = target
       dvs = targetDvs
-      snap("RESTORE", added = added.result(), removed = removed.result())
+      snap("RESTORE", added = added.result(), removed = removed.result(),
+        params = Map("version" -> v.toString))
     }
 
   /** Field-id seed for a staged replacement: the target's monotonic
@@ -2962,6 +2970,47 @@ class GraftTable(initialName: String, initialSchema: StructType,
       Vector(GraftDataFile.build(rows, schema, None)))
   }
 
+  /** `SELECT * FROM t$partitions` (Iceberg's partitions metadata
+    * table): one row per partition group — file count, stored rows,
+    * LIVE rows (delete vectors applied), bytes. Group-spanning files
+    * (pre-partitioning legacy, compacted None-bins) report under the
+    * NULL partition. Composes with VERSION/TIMESTAMP AS OF like
+    * `t$files` (the commit's own census, its own DV state). */
+  private[sources] def partitionsMetaTable: GraftSnapshotTable = {
+    refreshIfStale()
+    partitionsCensusTable(files, dvs)
+  }
+
+  private[sources] def partitionsMetaTableAt(e: CommitEntry)
+      : GraftSnapshotTable =
+    partitionsCensusTable(e.files, e.dvs, s"@v${e.version}")
+
+  private def partitionsCensusTable(snap: Vector[GraftDataFile],
+      dvm: Map[GraftDataFile, scala.collection.immutable.BitSet],
+      tag: String = ""): GraftSnapshotTable = {
+    val schema = StructType(Seq(
+      StructField("partition", StringType, nullable = true),
+      StructField("file_count", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false)))
+    val rows = snap.groupBy(_.groupKey).toSeq
+      .map { case (k, fs) =>
+        (k.map(_.mkString("/")), fs.length,
+          fs.iterator.map(_.rowCount.toLong).sum,
+          fs.iterator.map(f => f.rowCount.toLong -
+            dvm.get(f).map(_.size.toLong).getOrElse(0L)).sum,
+          fs.iterator.map(_.sizeBytes).sum)
+      }
+      .sortBy(_._1.getOrElse("")) // deterministic relation order
+      .map { case (k, nf, nr, lv, by) =>
+        new GenericInternalRow(Array[Any](
+          utf8(k.orNull), nf, nr, lv, by)): InternalRow
+      }.toArray
+    new GraftSnapshotTable(s"$tableName$$partitions$tag", schema,
+      Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
   /** Retained commit entry at version `v` — the shared resolver for
     * every versioned surface (data snapshots, the versioned `t$files`
     * census); fails loudly outside the retained range. */
@@ -3029,7 +3078,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       StructField("rows_added", LongType, nullable = false),
       StructField("rows_removed", LongType, nullable = false),
       StructField("bytes_added", LongType, nullable = false),
-      StructField("bytes_removed", LongType, nullable = false)))
+      StructField("bytes_removed", LongType, nullable = false),
+      // Delta's operationParameters, rendered "k=v; k2=v2" (sorted) —
+      // what the operation was ASKED to do, beside what it did
+      StructField("parameters", StringType, nullable = false)))
     val metadataOps = Set("ALTER TABLE", GraftTable.WidenOp,
       GraftTable.EvolveOp, "ANALYZE", "CLONE REPLACE")
     def identitySet(fs: Vector[GraftDataFile]) = {
@@ -3055,7 +3107,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
         e.added.iterator.map(_.rowCount.toLong).sum,
         e.removed.iterator.map(_.rowCount.toLong).sum,
         physAdd.iterator.map(_.sizeBytes).sum,
-        physRem.iterator.map(_.sizeBytes).sum)): InternalRow
+        physRem.iterator.map(_.sizeBytes).sum,
+        utf8(e.params.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("; ")))): InternalRow
     }.toArray
     new GraftSnapshotTable(s"$tableName$$history", schema,
       Vector(GraftDataFile.build(rows, schema, None)))
@@ -3662,12 +3716,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * (COPY INTO labels its one commit so the log reads like Delta's
     * history and the command's rows_loaded census can find it). */
   private[sources] def installAppendAs(op: String,
-      ds: Array[GraftDelivery]): Unit =
+      ds: Array[GraftDelivery],
+      params: Map[String, String] = Map.empty): Unit =
     mutate {
       validateDeliveries(ds)
       val nf = buildFiles(ds)
       files = files ++ nf
-      snap(op, added = nf)
+      snap(op, added = nf, params = params)
       maybeAutoCompact()
     }
 
@@ -3792,7 +3847,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       if (!distributable) {
         val scope = p.bins.flatten
         optimizeCompact(GraftTable.AutoCompactTargetRows,
-          f => scope.exists(_ eq f))
+          f => scope.exists(_ eq f), Map("trigger" -> "auto"))
         ()
       } else {
         val d = d0.get
@@ -3837,7 +3892,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
             }
             files = files.filterNot(f => inputs.exists(_ eq f)) ++ newFiles
             pruneDvs()
-            snap("OPTIMIZE")
+            snap("OPTIMIZE", params = Map("trigger" -> "auto"))
             true
           }
         }
@@ -3917,7 +3972,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         gone
     }
     pruneDvs()
-    snap(op, added = nf, removed = dropped)
+    snap(op, added = nf, removed = dropped,
+      params = Map("mode" -> GraftTable.CopyOnWrite))
     maybeAutoCompact()
   }
 
@@ -3992,7 +4048,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
   }
 
   private[sources] def optimizeCompact(targetRows: Int,
-      inScope: GraftDataFile => Boolean = _ => true): (Int, Int) =
+      inScope: GraftDataFile => Boolean = _ => true,
+      params: Map[String, String] = Map.empty): (Int, Int) =
     mutate {
       require(targetRows > 0, "targetRows must be positive")
       val before = files
@@ -4027,7 +4084,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       val mergeBins = planned.collect { case Right(fs) => fs }
       files = runCompaction(planned, mergeBins, Nil, targetRows)
       pruneDvs()
-      snap("OPTIMIZE") // layout-only: zero logical row changes
+      // layout-only: zero logical row changes
+      snap("OPTIMIZE",
+        params = params + ("target_rows" -> targetRows.toString))
       (before.length, files.length)
     }
 
@@ -4052,7 +4111,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         .map(fs => dvs.get(fs.head).map(_.size.toLong).getOrElse(0L)).sum
       files = runCompaction(planned, mergeBins, Nil, Int.MaxValue)
       pruneDvs()
-      snap("REORG") // layout-only: zero logical row changes
+      // layout-only: zero logical row changes
+      snap("REORG", params = Map("apply" -> "PURGE"))
       (mergeBins.length, purgedRows)
     }
 
@@ -4186,7 +4246,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
             .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
       }
       pruneDvs()
-      snap("ZORDER") // layout-only: zero logical row changes
+      // layout-only: zero logical row changes
+      snap("ZORDER", params = Map("zorder_by" -> cols.mkString(","),
+        "target_rows" -> targetRows.toString))
       (all.length, files.length)
     }
 
@@ -4221,7 +4283,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
         dropped
       }
     pruneDvs()
-    snap("DELETE", removed = gone)
+    snap("DELETE", removed = gone,
+      params = Map("predicate" ->
+        (if (alwaysTrueOnly(filters)) "true"
+         else filters.mkString(" AND "))))
   }
 
   /** Catalog RENAME support: the same object keeps its rows and in-flight
@@ -4590,12 +4655,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
       private val copyForce: Boolean =
         Option(info.options.get(GraftTable.CopyForceOption))
           .exists(_.toBoolean)
+      private val copyParams: Map[String, String] =
+        Option(info.options.get(GraftTable.CopyParamsOption))
+          .map(_.split('\n').toSeq.flatMap { kv =>
+            val i = kv.indexOf('=')
+            if (i > 0) Some(kv.take(i) -> kv.drop(i + 1)) else None
+          }.toMap).getOrElse(Map.empty)
       private def withCopy(base: Array[GraftDelivery] => Unit)
           : Array[GraftDelivery] => Unit = copyKeys match {
         case None => base
         case Some(ks) =>
           ds => installCopyMarks(ks, ds,
-            d => installAppendAs(GraftTable.CopyOp, d), copyForce)
+            d => installAppendAs(GraftTable.CopyOp, d, copyParams),
+            copyForce)
       }
 
       /** Identity/generated-column fill recipe for THIS write (None on
@@ -4726,7 +4798,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val nf = buildFiles(inserts)
     dvs = newDvs
     files = fsnap ++ nf
-    snap(op, added = nf, removed = removed.result())
+    snap(op, added = nf, removed = removed.result(),
+      params = Map("mode" -> GraftTable.MergeOnRead))
     // a MOR table's per-statement delta files are the steady small-file
     // generator auto-compaction exists for
     maybeAutoCompact()
@@ -4941,6 +5014,11 @@ object GraftTable {
     * caller accepts possible duplicates); marks still install so later
     * non-FORCE runs skip. */
   val CopyForceOption = "graft.copy.force"
+
+  /** Write option carrying the COPY's operationParameters into the
+    * commit (newline-joined `k=v` pairs — newlines cannot appear in a
+    * path option the SQL layer built, unlike commas). */
+  val CopyParamsOption = "graft.copy.params"
 
   /** DESCRIBE HISTORY operation tag of a COPY INTO commit (Delta shows
     * the same); also the anchor the command's `rows_loaded` census
@@ -5254,7 +5332,8 @@ object GraftMaintenance {
                where: Option[String] = None): OptimizeResult = {
     val t = resolve(namespace, table, scope)
     val (b, a) = t.optimizeCompact(targetRows,
-      where.map(t.groupScope).getOrElse(_ => true))
+      where.map(t.groupScope).getOrElse(_ => true),
+      where.map(w => Map("where" -> w)).getOrElse(Map.empty))
     OptimizeResult(b, a)
   }
 

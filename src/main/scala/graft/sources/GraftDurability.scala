@@ -921,9 +921,18 @@ private[sources] object GraftLogCodec {
       // restarted process must recognize an already-committed epoch
       "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
         JArray(List(JString(q), JLong(ep)))
-      })) ++ colStatsJson(colStats))
+      })) ++ paramsJson(e.params) ++ colStatsJson(colStats))
     JsonMethods.compact(JsonMethods.render(json))
   }
+
+  /** Delta's operationParameters — absent when empty so old logs and
+    * parameter-less commits encode byte-identically to before. */
+  private def paramsJson(params: Map[String, String])
+      : List[(String, JValue)] =
+    if (params.isEmpty) Nil
+    else List("params" -> JArray(params.toList.sortBy(_._1).map {
+      case (k, v) => JArray(List(JString(k), JString(v)))
+    }))
 
   /** Serialize one commit as a DELTA against the previous state —
     * O(commit) bytes, never O(table): removed state files as INDICES
@@ -1005,7 +1014,7 @@ private[sources] object GraftLogCodec {
       }),
       "epochs" -> JArray(epochs.toList.sortBy(_._1).map { case (q, ep) =>
         JArray(List(JString(q), JLong(ep)))
-      })) ++ colStatsJson(colStats))
+      })) ++ paramsJson(e.params) ++ colStatsJson(colStats))
     Some(JsonMethods.compact(JsonMethods.render(json)))
   }
 
@@ -1151,10 +1160,14 @@ private[sources] object GraftLogCodec {
       case JArray(JString(c) :: vals) => c -> vals.map(num(_).toLong).toArray
       case other => throw new IllegalStateException(s"bad colstat: $other")
     }.toMap).getOrElse(Map.empty[String, Array[Long]])
+    val params = o.get("params").map(_.asInstanceOf[JArray].arr.map {
+      case JArray(List(JString(k), JString(v))) => k -> v
+      case other => throw new IllegalStateException(s"bad param: $other")
+    }.toMap).getOrElse(Map.empty[String, String])
     DecodedEntry(
       CommitEntry(num(o("version")).toInt, schema, files,
         num(o("ts")).toLong, o("op").asInstanceOf[JString].s,
-        added, removed, dvs),
+        added, removed, dvs, params),
       checks, num(o("nextFieldId")).toLong, epochs, layoutOpt, colStats)
   }
 

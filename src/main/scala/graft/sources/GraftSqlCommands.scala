@@ -371,6 +371,10 @@ object GraftSqlParser {
               val w = df.writeTo(parts.map(p => s"`$p`").mkString("."))
                 .option(GraftTable.CopyKeysOption,
                   pending.map(_._2).mkString(","))
+                .option(GraftTable.CopyParamsOption,
+                  (Seq(s"source=$dir", s"fileformat=$format",
+                    s"n_files=${pending.size}") ++
+                    Option(pattern).map(p => s"pattern=$p")).mkString("\n"))
               (if (force) w.option(GraftTable.CopyForceOption, "true")
                else w).append()
               // rows_loaded = what the commit actually wrote (sum of

@@ -274,8 +274,13 @@ class GraftCopyIntoSpec extends SparkSpec {
       "the generated column computes through the COPY")
     assert(rows.map(_._1).distinct.size === 2, "identity values mint")
     // the one commit is labeled COPY INTO (Delta's history surface)
-    val ops = GraftMaintenance.sql(spark, "DESCRIBE HISTORY cfl.ns.t")
-      .select("operation").as[String].collect().toSeq
-    assert(ops.contains("COPY INTO"), ops.mkString(", "))
+    // and records its operationParameters (source dir, format, count)
+    val hist = GraftMaintenance.sql(spark, "DESCRIBE HISTORY cfl.ns.t")
+      .select("operation", "parameters").as[(String, String)]
+      .collect().toSeq
+    assert(hist.map(_._1).contains("COPY INTO"), hist.mkString(", "))
+    val cp = hist.find(_._1 == "COPY INTO").get._2
+    assert(cp.contains(s"source=$src") && cp.contains("fileformat=PARQUET")
+      && cp.contains("n_files=1"), cp)
   }
 }

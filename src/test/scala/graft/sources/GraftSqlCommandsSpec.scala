@@ -452,6 +452,43 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(byOp.map(r => r._7 - r._8).sum === censuses.last._3)
   }
 
+  test("t$history parameters: operations record what they were ASKED " +
+      "to do, and the record survives a restart fold") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-opparams")
+    spark.conf.set("spark.sql.catalog.prm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prm.warehouse", wh.toString)
+    val t = "prm.ns.t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 2 AS INT) " +
+      "FROM range(0, 10)")
+    spark.sql(s"UPDATE $t SET id = id + 100 WHERE id = 3") // COW row-level
+    spark.sql(s"DELETE FROM $t WHERE part = 1")            // metadata delete
+    GraftMaintenance.sql(spark, s"OPTIMIZE $t TARGET 64 ROWS").collect()
+    GraftMaintenance.sql(spark,
+      s"RESTORE TABLE $t TO VERSION AS OF 1").collect()
+    def paramsOf(cat: String): Map[String, String] =
+      spark.table(s"$cat.ns.`t$$history`")
+        .selectExpr("operation", "parameters")
+        .as[(String, String)].collect().toMap
+    val p = paramsOf("prm")
+    assert(p("UPDATE") === s"mode=${GraftTable.CopyOnWrite}")
+    assert(p("DELETE").contains("predicate=") && p("DELETE").contains("part"),
+      s"metadata delete records its predicate: ${p("DELETE")}")
+    assert(p("OPTIMIZE") === "target_rows=64")
+    assert(p("RESTORE") === "version=1")
+    assert(p("APPEND") === "", "plain appends carry no parameters")
+    // the params ride the log entries: a fresh fold serves the same
+    spark.conf.set("spark.sql.catalog.prm2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prm2.warehouse", wh.toString)
+    spark.conf.set("spark.sql.catalog.prm2.warehouse.isolated", "true")
+    val p2 = paramsOf("prm2")
+    assert(p2("OPTIMIZE") === "target_rows=64" &&
+      p2("RESTORE") === "version=1" &&
+      p2("UPDATE") === s"mode=${GraftTable.CopyOnWrite}",
+      s"parameters must survive the restart fold: $p2")
+  }
+
   test("t$history operationMetrics: a MOR DELETE removes rows, not " +
       "files; metadata-only ALTER reports zeros") {
     val t = freshTable("t_opmetrics_mor")

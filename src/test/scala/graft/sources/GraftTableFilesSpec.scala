@@ -483,6 +483,39 @@ class GraftTableFilesSpec extends SparkSpec {
       .collect())
   }
 
+  test("t$partitions serves the per-group census: DVs subtract from " +
+      "live_rows, and the relation composes with time travel") {
+    val t = freshTable("t_partmeta")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('write.rowlevel.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 2 AS INT) " +
+      "FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $t WHERE id < 4") // MOR: DVs, files survive
+    val census = spark.sql(
+      s"SELECT partition, row_count, live_rows " +
+        s"FROM graft_cat.ns.`t_partmeta$$partitions` ORDER BY partition")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(census === Seq(("0", 10L, 8L), ("1", 10L, 8L)))
+    // versioned: the pre-delete census has no dead rows
+    val atV1 = spark.sql(
+      s"SELECT partition, row_count, live_rows " +
+        s"FROM graft_cat.ns.`t_partmeta$$partitions` VERSION AS OF 1 " +
+        "ORDER BY partition")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(atV1 === Seq(("0", 10L, 10L), ("1", 10L, 10L)))
+    // file_count/size are physical facts; the partition sums re-derive
+    // the t$files totals
+    val sums = spark.sql(
+      s"SELECT sum(file_count), sum(row_count), sum(size_bytes) " +
+        s"FROM graft_cat.ns.`t_partmeta$$partitions`")
+      .as[(Long, Long, Long)].head()
+    val filesTot = spark.sql(
+      s"SELECT count(*), sum(row_count), sum(size_bytes) " +
+        s"FROM graft_cat.ns.`t_partmeta$$files`")
+      .as[(Long, Long, Long)].head()
+    assert(sums === filesTot)
+  }
+
   test("metadata tables: t$files and t$history serve the census over SQL") {
     val t = freshTable("t_meta")
     spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
