@@ -73,6 +73,8 @@ object GraftSqlParser {
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
   private val DescribeDetail =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+?)\s*;?\s*""".r
+  private val ShowPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+?)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
 
@@ -583,6 +585,19 @@ object GraftSqlParser {
           org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
             parts.init :+ (parts.last + "$detail"))
         }
+      // SHOW PARTITIONS on a graft table: Spark refuses the statement
+      // for v2 tables — rewrite it onto the `$partitions` census
+      // relation instead (declarative, prunable, versioned elsewhere).
+      // Non-graft tables pass through to Spark's own statement.
+      case ShowPartitions(ident) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+          import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+          import org.apache.spark.sql.catalyst.plans.logical.Sort
+          Sort(Seq(SortOrder(UnresolvedAttribute("partition"), Ascending)),
+            global = true,
+            UnresolvedRelation(parts.init :+ (parts.last + "$partitions")))
+        }
       case _ => None
     }
 
@@ -600,6 +615,9 @@ object GraftSqlParser {
           "ORDER BY version DESC")
       case DescribeDetail(ident) => split(ident).map(parts =>
         s"SELECT * FROM ${quoted(parts.init :+ (parts.last + "$detail"))}")
+      case ShowPartitions(ident) => split(ident).map(parts =>
+        s"SELECT * FROM ${quoted(parts.init :+ (parts.last + "$partitions"))} " +
+          "ORDER BY partition")
       case _ => None
     }
   }

@@ -452,6 +452,22 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(byOp.map(r => r._7 - r._8).sum === censuses.last._3)
   }
 
+  test("SHOW PARTITIONS rewrites onto the t$partitions census for " +
+      "graft tables; unqualified names delegate to Spark") {
+    val t = freshTable("t_showpart")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, part INT) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 3 AS INT) " +
+      "FROM range(0, 12)")
+    val rows = GraftMaintenance.sql(spark, s"SHOW PARTITIONS $t")
+      .selectExpr("partition", "row_count")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("0", 4L), ("1", 4L), ("2", 4L)))
+    // an unqualified name is not this extension's to claim
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    assert(!p.parsePlan("SHOW PARTITIONS bare_name")
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort])
+  }
+
   test("t$history parameters: operations record what they were ASKED " +
       "to do, and the record survives a restart fold") {
     val wh = java.nio.file.Files.createTempDirectory("graft-opparams")
