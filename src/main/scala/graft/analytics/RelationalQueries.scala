@@ -2536,6 +2536,62 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- WRITE-AUDIT-PUBLISH (round 16): stage = shallow clone of
+    // prod, audited writes land on the stage in isolation, and
+    // `CREATE OR REPLACE TABLE … CLONE` publishes the whole audited
+    // state back as ONE commit whose CDC record is the reference-diff
+    // row delta — shared files cancel, so the feed shows exactly the
+    // audited changes (inserts of the new rows, deletes of the culled
+    // ones), never carried-through churn. The oracle restates prod's
+    // final census and both delta censuses from the nation source.
+    Q("s65_wap_publish", "S-publish,S10,S6,DDL-history,A1,A7",
+      """SELECT 'delta_del' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(n_nationkey), 0) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey < 20 AND n_nationkey % 7 = 0
+        |UNION ALL
+        |SELECT 'delta_ins', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(n_nationkey), 0) AS BIGINT)
+        |FROM nation WHERE n_nationkey >= 20 AND n_nationkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'prod', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(n_nationkey), 0) AS BIGINT)
+        |FROM nation WHERE n_nationkey % 7 <> 0
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s65").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gwp_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.where(col("k") < 20).writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"CREATE TABLE $w.ns.stage SHALLOW CLONE $w.ns.prod").collect()
+      nat.where(col("k") >= 20).writeTo(s"$w.ns.stage").append()
+      s.sql(s"DELETE FROM $w.ns.stage WHERE k % 7 = 0")
+      val pubV = s.table(s"$w.ns.`prod$$history`")
+        .agg(max(col("version"))).head().getInt(0) + 1
+      graft.sources.GraftMaintenance.sql(s,
+        s"CREATE OR REPLACE TABLE $w.ns.prod SHALLOW CLONE $w.ns.stage")
+        .collect()
+      val delta = s.table(s"$w.ns.`prod$$changes`")
+        .filter(col("_commit_version") === pubV)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("key_sum"))
+        .select(
+          concat(lit("delta_"),
+            substring(col("_change_type"), 1, 3)).as("probe"),
+          col("n"), col("key_sum"))
+      s.table(s"$w.ns.prod")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+        .select(lit("prod").as("probe"), col("n"), col("key_sum"))
+        .unionByName(delta)
+        .orderBy("probe")
+    },
+
     // ----- t$partitions (round 16, Iceberg's partitions metadata
     // table): the per-group census over SQL — stored rows AND live rows
     // (a merge-on-read DELETE's delete vectors subtract without

@@ -754,6 +754,12 @@ object GraftTableStore {
 
   def keyExists(key: (Seq[String], String)): Boolean =
     allStores.exists(_.tables.contains(key))
+
+  /** Existence inside ONE store universe (a scoped maintenance call) —
+    * or the global store when the call is unscoped. */
+  def keyExistsIn(key: (Seq[String], String),
+                  scope: Option[GraftStoreState]): Boolean =
+    scope.getOrElse(global).tables.contains(key)
 }
 
 /** Commit-timestamp source for time travel, replaceable in tests so
@@ -2475,6 +2481,87 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * files shared between the two states contribute nothing; a shared
     * file whose DELETE VECTOR differs contributes exactly the positions
     * whose liveness flipped. */
+  /** The CDC record of a whole-state swap (RESTORE, PUBLISH): the
+    * reference-diff of `target` against the CURRENT state. Shared file
+    * objects contribute nothing; files on one side only appear or
+    * disappear as position views of their LIVE rows; shared files with
+    * differing delete vectors contribute exactly the DV delta.
+    * Metadata-only — row positions come from rowCounts and vectors,
+    * never a segment load (a 100 TB swap reads no data on the driver). */
+  private def stateDiffCdc(target: Vector[GraftDataFile],
+      targetDvs: Map[GraftDataFile, scala.collection.immutable.BitSet])
+      : (Vector[GraftDataFile], Vector[GraftDataFile]) = {
+    val cur = files
+    val curDvs = dvs
+    val curSet = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+    cur.foreach(curSet.add)
+    val tgtSet = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+    target.foreach(tgtSet.add)
+    val empty = scala.collection.immutable.BitSet.empty
+    def live(f: GraftDataFile,
+             m: Map[GraftDataFile, scala.collection.immutable.BitSet]) = {
+      val dead = m.getOrElse(f, empty)
+      (0 until f.rowCount).filterNot(dead.contains)
+    }
+    val added = Vector.newBuilder[GraftDataFile]
+    val removed = Vector.newBuilder[GraftDataFile]
+    // files only in one state: their live rows appear/disappear whole
+    target.filterNot(curSet.contains)
+      .foreach(f => pseudoOf(f, live(f, targetDvs)).foreach(added += _))
+    cur.filterNot(tgtSet.contains)
+      .foreach(f => pseudoOf(f, live(f, curDvs)).foreach(removed += _))
+    // shared files: only DV differences matter
+    target.filter(curSet.contains).foreach { f =>
+      val dCur = curDvs.getOrElse(f, empty)
+      val dTgt = targetDvs.getOrElse(f, empty)
+      pseudoOf(f, (dCur diff dTgt).toSeq).foreach(added += _)   // revived
+      pseudoOf(f, (dTgt diff dCur).toSeq).foreach(removed += _) // re-dead
+    }
+    (added.result(), removed.result())
+  }
+
+  /** WAP PUBLISH (Delta's `CREATE OR REPLACE TABLE … CLONE` onto an
+    * EXISTING table): adopt the source table's current state as ONE
+    * commit on THIS table — the write-audit-publish close. The staging
+    * table is (typically) a shallow clone of this one: audited writes
+    * landed there in isolation, and the publish swaps the whole audited
+    * state in atomically, by reference (no data copies; foreign
+    * segments persist as absolute refs exactly like a shallow clone's).
+    *
+    * Unlike `REPLACE TABLE` — whose staged swap mints DISJOINT field
+    * ids and therefore refuses CDF/streaming reads across it — the
+    * publish requires the schemas to agree BY FIELD ID (the clone
+    * shares them), so the change feed and streaming tails read straight
+    * through: the commit's CDC record is the reference-diff row delta.
+    * Schema or layout drift refuses loudly with the REPLACE remedy. */
+  private[sources] def publishFrom(src: GraftTable,
+      ident: Identifier, version: Option[Int] = None): Int = mutate {
+    val (srcSchema, fs, fsDvs) =
+      src.stateAt(version, Identifier.of(Array.empty[String], src.name()))
+    if (srcSchema != tableSchema ||
+        !srcSchema.fields.toSeq.lazyZip(tableSchema.fields.toSeq).forall {
+          (a, b) => FieldIds.idOf(a) == FieldIds.idOf(b)
+        })
+      throw new UnsupportedOperationException(
+        s"$ident: cannot PUBLISH from ${src.name()} — the schemas (or " +
+          "their field ids) differ. Publish requires a staging table " +
+          "cloned from this one (evolve this table first, or use " +
+          "REPLACE TABLE for an incompatible swap)")
+    if (src.partitionCols != partitionCols || src.bucketSpec != bucketSpec)
+      throw new UnsupportedOperationException(
+        s"$ident: cannot PUBLISH from ${src.name()} — the partition " +
+          "layouts differ (group keys would mis-encode); evolve the " +
+          "layouts to agree first")
+    val (added, removed) = stateDiffCdc(fs, fsDvs)
+    files = fs
+    dvs = fsDvs
+    snap("PUBLISH", added = added, removed = removed,
+      params = Map("source" -> src.name()))
+    fs.length
+  }
+
   private[sources] def restoreTo(v: Int, ident: Identifier): Unit =
     mutate {
       val (schema, target0, targetDvs0) = stateAt(Some(v), ident)
@@ -2516,40 +2603,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
             targetDvs0.get(of).map(nf -> _)
           }.toMap)
         }
-      val cur = files
-      val curDvs = dvs
-      val curSet = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
-      cur.foreach(curSet.add)
-      val tgtSet = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
-      target.foreach(tgtSet.add)
-      val empty = scala.collection.immutable.BitSet.empty
-      def live(f: GraftDataFile,
-               m: Map[GraftDataFile, scala.collection.immutable.BitSet]) = {
-        val dead = m.getOrElse(f, empty)
-        // rowCount, NEVER f.rows: positions come from metadata — a
-        // RESTORE on a 100 TB durable table must not load a single
-        // segment on the driver (its CDC records are position views)
-        (0 until f.rowCount).filterNot(dead.contains)
-      }
-      val added = Vector.newBuilder[GraftDataFile]
-      val removed = Vector.newBuilder[GraftDataFile]
-      // files only in one state: their live rows appear/disappear whole
-      target.filterNot(curSet.contains)
-        .foreach(f => pseudoOf(f, live(f, targetDvs)).foreach(added += _))
-      cur.filterNot(tgtSet.contains)
-        .foreach(f => pseudoOf(f, live(f, curDvs)).foreach(removed += _))
-      // shared files: only DV differences matter
-      target.filter(curSet.contains).foreach { f =>
-        val dCur = curDvs.getOrElse(f, empty)
-        val dTgt = targetDvs.getOrElse(f, empty)
-        pseudoOf(f, (dCur diff dTgt).toSeq).foreach(added += _)   // revived
-        pseudoOf(f, (dTgt diff dCur).toSeq).foreach(removed += _) // re-dead
-      }
+      val (added, removed) = stateDiffCdc(target, targetDvs)
       files = target
       dvs = targetDvs
-      snap("RESTORE", added = added.result(), removed = removed.result(),
+      snap("RESTORE", added = added, removed = removed,
         params = Map("version" -> v.toString))
     }
 
@@ -5461,6 +5518,23 @@ object GraftMaintenance {
         Identifier.of(dstNamespace.toArray, dst))
     clone.adoptFiles(fs, fsDvs)
     fs.length
+  }
+
+  /** WAP PUBLISH (`CREATE OR REPLACE TABLE dst … CLONE src` onto an
+    * EXISTING dst): the destination adopts the source table's state as
+    * ONE commit — see [[GraftTable.publishFrom]] for the field-id
+    * read-through contract. Returns the adopted file count. */
+  def publish(srcNamespace: Seq[String], src: String,
+              dstNamespace: Seq[String], dst: String,
+              version: Option[Int] = None,
+              scope: Option[GraftStoreState] = None): Int = {
+    val s = resolve(srcNamespace, src, scope)
+    val d = resolve(dstNamespace, dst, scope)
+    if (s eq d)
+      throw new IllegalArgumentException(
+        s"cannot PUBLISH ${(srcNamespace :+ src).mkString(".")} onto " +
+          "itself — RESTORE moves a table to its own retained versions")
+    d.publishFrom(s, Identifier.of(dstNamespace.toArray, dst), version)
   }
 
   /** `VACUUM`: retire all but the last `keepLast` snapshots immediately

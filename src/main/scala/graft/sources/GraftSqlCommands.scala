@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   REORG TABLE t [WHERE part-pred] APPLY (PURGE)
   *   VACUUM t [RETAIN n SNAPSHOTS | RETAIN n HOURS] [DRY RUN]
   *   RESTORE TABLE t TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
-  *   CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
+  *   CREATE [OR REPLACE] TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
+  *     — OR REPLACE onto an existing dst = the WAP publish
   *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
@@ -64,7 +65,7 @@ object GraftSqlParser {
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w,`\s]+?)|\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
   private val EvolvePartitioning =
@@ -260,13 +261,17 @@ object GraftSqlParser {
             Seq(Row(restored))
           })
         }
-      case Clone(dstIdent, kind, srcIdent, v) =>
-        // `CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n]` —
-        // Delta's clone statement. Claimed off the SOURCE (the dst does
-        // not exist yet); the clone registers in the source's own store
+      case Clone(orReplace, dstIdent, kind, srcIdent, v) =>
+        // `CREATE [OR REPLACE] TABLE dst SHALLOW|DEEP CLONE src
+        // [VERSION AS OF n]` — Delta's clone statement. Claimed off the
+        // SOURCE; the clone registers in the source's own store
         // universe, and a dst qualified with a DIFFERENT graft catalog
         // refuses loudly (cross-warehouse clones would share segment
         // references across reclaim domains — silent invalidation).
+        // With OR REPLACE onto an EXISTING table, this is the WAP
+        // PUBLISH: the destination adopts the source's state as ONE
+        // commit that CDF/streams read straight through (field ids
+        // shared — see GraftTable.publishFrom).
         (split(srcIdent), split(dstIdent)) match {
           case (Some(srcParts), Some(dstParts))
               if claims(srcParts, session) =>
@@ -286,8 +291,15 @@ object GraftSqlParser {
                           "references cannot cross reclaim domains")
                     (dstParts.tail.dropRight(1), dstParts.last)
                   } else (dstParts.dropRight(1), dstParts.last)
-                val shared = GraftMaintenance.cloneTable(sns, st, dns, dt,
-                  Option(v).map(_.toInt), sScope)
+                val replacing = orReplace != null &&
+                  GraftTableStore.keyExistsIn((dns, dt), sScope)
+                val shared =
+                  if (replacing)
+                    GraftMaintenance.publish(sns, st, dns, dt,
+                      Option(v).map(_.toInt), sScope)
+                  else
+                    GraftMaintenance.cloneTable(sns, st, dns, dt,
+                      Option(v).map(_.toInt), sScope)
                 val deepened =
                   if (kind.equalsIgnoreCase("DEEP"))
                     GraftMaintenance.deepenClone(dns, dt, sScope)
