@@ -318,6 +318,35 @@ class GraftRandomSoakSpec extends SparkSpec {
           replaces += 1
           specOnV = false // CTAS recreates unpartitioned
           widenedW = true // the CTAS types w BIGINT outright
+        } else if (op < 97 && step > 6) { // WAP publish (r16): stage =
+          // shallow clone, audited writes land in isolation, DEEP
+          // publish back (one commit the change feed reads through;
+          // the deepen re-points adopted segments so the stage drops) —
+          // the whole flow amid the checkpoint/reclaim/restart cadence
+          gen += 1
+          val stage = s"t_${tag}_wap"
+          spark.sql(s"DROP TABLE IF EXISTS $cat.ns.$stage")
+          GraftMaintenance.sql(spark,
+            s"CREATE TABLE $cat.ns.$stage SHALLOW CLONE $cat.ns.t_$tag")
+            .collect()
+          val fresh = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            val id = nextId; nextId += 1; id
+          }
+          val values = fresh.map { id =>
+            if (evolved) s"($id, 'w$gen-$id', ${wLit(id)._1})"
+            else s"($id, 'w$gen-$id')"
+          }.mkString(", ")
+          spark.sql(s"INSERT INTO $cat.ns.$stage VALUES $values")
+          val k = 4 + rnd.nextInt(4)
+          val r = rnd.nextInt(k)
+          spark.sql(s"DELETE FROM $cat.ns.$stage WHERE id % $k = $r")
+          GraftMaintenance.sql(spark,
+            s"CREATE OR REPLACE TABLE $cat.ns.t_$tag DEEP CLONE " +
+              s"$cat.ns.$stage").collect()
+          spark.sql(s"DROP TABLE $cat.ns.$stage")
+          fresh.foreach(id =>
+            model(id) = (s"w$gen-$id", if (evolved) wLit(id)._2 else None))
+          model.keys.toSeq.filter(_ % k == r).foreach(model.remove)
         } else { // RESTART probe: a cold fold must agree RIGHT NOW
           val cold = s"soak_$tag$step"
           durableCatalog(cold, wh, isolated = true, logstore)
