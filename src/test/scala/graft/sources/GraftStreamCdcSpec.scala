@@ -284,6 +284,49 @@ class GraftStreamCdcSpec extends SparkSpec {
     assert(drain().toSet === Set(("delete", 3, 3L, "c")))
   }
 
+  test("a WAP publish arrives on the streaming change feed as exactly " +
+      "the audited delta — the read-through REPLACE TABLE cannot give") {
+    val t = freshTable("t_pub_stream")
+    val ckpt = tmpDir("ckpt-pub")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create() // v1
+    def drain(): Seq[(String, Int, Long, String)] = {
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Int, Long, String)]())
+      val q = spark.readStream
+        .table(s"graft_cat.ns.`t_pub_stream$$changes`")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_change_type", "_commit_version", "id", "v")
+            .as[(String, Int, Long, String)].collect().foreach(got.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(drain().toSet === Set(
+      ("insert", 1, 1L, "a"), ("insert", 1, 2L, "b")))
+
+    // write-audit on the stage; prod's tail sees nothing meanwhile
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.t_pub_stage")
+    GraftMaintenance.sql(spark, "CREATE TABLE graft_cat.ns.t_pub_stage " +
+      "SHALLOW CLONE graft_cat.ns.t_pub_stream").collect()
+    spark.sql("INSERT INTO graft_cat.ns.t_pub_stage VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft_cat.ns.t_pub_stage WHERE id = 1")
+    assert(drain().isEmpty, "stage writes must not leak onto prod's feed")
+
+    // the publish lands as ONE commit whose delta is the audited change
+    // set — the carried-through row (2,'b') cancels in the reference
+    // diff and never re-delivers
+    GraftMaintenance.sql(spark,
+      "CREATE OR REPLACE TABLE graft_cat.ns.t_pub_stream " +
+        "SHALLOW CLONE graft_cat.ns.t_pub_stage").collect()
+    assert(drain().toSet === Set(
+      ("delete", 2, 1L, "a"), ("insert", 2, 3L, "c")))
+  }
+
   test("RESTORE resets state as a forward commit: data reverts, history " +
       "advances, CDC records the delta") {
     val t = freshTable("t_restore")
