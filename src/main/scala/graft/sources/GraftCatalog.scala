@@ -4998,10 +4998,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
 /** One metadata column of a [[GraftTable]]. */
 final case class GraftMetaCol(colName: String, colType: DataType,
-                              colComment: String) extends MetadataColumn {
+                              colComment: String,
+                              colNullable: Boolean = false)
+    extends MetadataColumn {
   override def name(): String = colName
   override def dataType(): DataType = colType
-  override def isNullable: Boolean = false
+  override def isNullable: Boolean = colNullable
   override def comment(): String = colComment
 }
 
@@ -5021,7 +5023,20 @@ object GraftTable {
       GraftMetaCol("_file_id", org.apache.spark.sql.types.IntegerType,
         "ordinal of the row's data file (see t$files)"),
       GraftMetaCol("_row_pos", org.apache.spark.sql.types.IntegerType,
-        "row position within its data file"))
+        "row position within its data file"),
+      // Delta's _metadata.file_path: the PHYSICAL segment behind the
+      // row — NULL for heap-resident files and derived (CDC) rows,
+      // the base segment for a position view
+      GraftMetaCol("_file_ref", org.apache.spark.sql.types.StringType,
+        "physical segment path (NULL for heap/derived rows)",
+        colNullable = true))
+
+  /** Catalyst type of one metadata column (the scan builds meta rows
+    * and projections by NAME). */
+  def metaTypeOf(name: String): DataType = name match {
+    case "_file_ref" => org.apache.spark.sql.types.StringType
+    case _ => org.apache.spark.sql.types.IntegerType
+  }
 
   /** Operation tag of the atomic REPLACE TABLE swap commit. Marked
     * because it is the ONE commit kind whose pre/post states do not
@@ -6012,7 +6027,7 @@ class GraftScanBuilder(tableSchema: StructType,
     // schema — ignore pruning there (Spark projects above the scan).
     if (aggResult.isEmpty) {
       metaCols = requiredSchema.fieldNames.toSeq
-        .filter(n => n == "_file_id" || n == "_row_pos")
+        .filter(n => n == "_file_id" || n == "_row_pos" || n == "_file_ref")
       required = StructType(
         tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
     }
@@ -6372,14 +6387,16 @@ class GraftScanBuilder(tableSchema: StructType,
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
       import org.apache.spark.sql.types.{IntegerType, StructField}
       val outSchema = StructType(required.fields ++
-        metaCols.map(n => StructField(n, IntegerType, nullable = false)))
+        metaCols.map(n => StructField(n, GraftTable.metaTypeOf(n),
+          nullable = n == "_file_ref")))
       val dataRefs = required.fields.toIndexedSeq.map { f =>
         val i = tableSchema.fieldIndex(f.name)
         BoundReference(i, f.dataType, f.nullable)
           : org.apache.spark.sql.catalyst.expressions.Expression
       }
-      val metaRefs = metaCols.zipWithIndex.map { case (_, j) =>
-        BoundReference(tableSchema.length + j, IntegerType, nullable = false)
+      val metaRefs = metaCols.zipWithIndex.map { case (n, j) =>
+        BoundReference(tableSchema.length + j, GraftTable.metaTypeOf(n),
+          nullable = n == "_file_ref")
           : org.apache.spark.sql.catalyst.expressions.Expression
       }
       val proj = UnsafeProjection.create(dataRefs ++ metaRefs)
@@ -6393,9 +6410,15 @@ class GraftScanBuilder(tableSchema: StructType,
       // rows with no durable address) enumerate their own output.
       def eagerMeta(f: GraftDataFile, fid: Int): Array[InternalRow] = {
         val dead = dvOf(f)
+        val ref: Any =
+          if (f.persisted && f.derive.isEmpty)
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(f.segment.path.toString)
+          else null
         def metaOf(p: Int) = new GenericInternalRow(metaCols.map {
           case "_file_id" => fid: Any
           case "_row_pos" => p: Any
+          case "_file_ref" => ref
         }.toArray)
         val rows = Array.newBuilder[InternalRow]
         f.viewSel match {
@@ -6612,10 +6635,14 @@ private[sources] object GraftSegmentReads {
         s.project.toIndexedSeq.map(i => BoundReference(i,
           fileSchema.fields(i).dataType, fileSchema.fields(i).nullable)
           : org.apache.spark.sql.catalyst.expressions.Expression) ++
-        s.metaCols.indices.map(j => BoundReference(fileSchema.length + j,
-          IntegerType, nullable = false)
-          : org.apache.spark.sql.catalyst.expressions.Expression))
+        s.metaCols.zipWithIndex.map { case (n, j) =>
+          BoundReference(fileSchema.length + j, GraftTable.metaTypeOf(n),
+            nullable = n == "_file_ref")
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        })
       val joined = new JoinedRow
+      val refStr =
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.ref)
       Iterator.range(0, all.length)
         .filter(p => !dead.contains(p) &&
           (selBs == null || selBs.contains(p) != s.selExclude))
@@ -6623,6 +6650,7 @@ private[sources] object GraftSegmentReads {
           val meta = new GenericInternalRow(s.metaCols.map {
             case "_file_id" => s.fid: Any
             case "_row_pos" => p: Any
+            case "_file_ref" => refStr: Any
           }.toArray)
           proj(joined.apply(all(p), meta))
         }
@@ -7139,15 +7167,17 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
           BoundReference(i, f.dataType, f.nullable)
             : org.apache.spark.sql.catalyst.expressions.Expression
         } ++
-        w.metaCols.indices.map(j =>
-          BoundReference(dataSchema.length + j,
-            org.apache.spark.sql.types.IntegerType, nullable = false)
-            : org.apache.spark.sql.catalyst.expressions.Expression))
+        w.metaCols.zipWithIndex.map { case (n, j) =>
+          BoundReference(dataSchema.length + j, GraftTable.metaTypeOf(n),
+            nullable = n == "_file_ref")
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        })
       val joined = new JoinedRow
       rowsOf(w.inner).zipWithIndex.map { case (r, pos) =>
         val meta = new GenericInternalRow(w.metaCols.map {
           case "_file_id" => w.fid: Any
           case "_row_pos" => pos: Any
+          case "_file_ref" => null: Any // synthesized rows have no file
         }.toArray)
         proj(joined.apply(r, meta))
       }

@@ -406,6 +406,9 @@ class GraftTableFilesSpec extends SparkSpec {
     // snapshot relations stay the declared schema unless referenced
     assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
       .schema.fieldNames.toSeq === Seq("id", "v"))
+    // heap-resident files have no physical segment behind them
+    assert(spark.sql(s"SELECT _file_ref FROM $t").filter("_file_ref " +
+      "IS NOT NULL").count() === 0)
   }
 
   test("metadata columns on the durable lakehouse: lazy time travel and " +
@@ -452,6 +455,21 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(spark.table(s"mcdc.ns.`t$$changes`").schema.fieldNames.toSeq
       .take(3) === Seq("_change_type", "_commit_version",
         "_commit_timestamp"))
+
+    // _file_ref: durable rows name their PHYSICAL segment — one
+    // distinct path per file, joinable for a which-file-is-this audit;
+    // the feed's synthesized rows carry NULL
+    val refs = spark.sql(
+      s"SELECT _file_id, _file_ref FROM $t")
+      .as[(Int, String)].collect().toSeq
+    assert(refs.forall(_._2 != null), "durable rows must name a segment")
+    assert(refs.map(_._2).distinct.length ===
+      refs.map(_._1).distinct.length, "one path per file ordinal")
+    assert(refs.forall(_._2.endsWith(".parquet")), refs.take(2).toString)
+    assert(spark.sql(
+      s"SELECT _file_ref FROM mcdc.ns.`t$$changes` " +
+        "WHERE _file_ref IS NOT NULL").count() === 0,
+      "synthesized CDC rows have no durable file behind them")
   }
 
   test("t$files composes with time travel: the versioned census is the " +
