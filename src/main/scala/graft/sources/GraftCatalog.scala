@@ -5168,6 +5168,31 @@ object GraftTable {
   /** Render the encoded knob back to its property string (count mode
     * round-trips as the bare number; byte mode as '<n>B', which
     * [[parseAutoCompact]] accepts back). */
+  /** "123" (bytes) or "<n>B|KB|MB|GB" — the shared byte-size parser
+    * (streaming caps; the auto-compact trigger keeps its own historical
+    * grammar with the 'true'/file-count cases). */
+  private[sources] def parseByteSize(v: String, what: String): Long = {
+    val t = v.trim
+    val SizeRe = "(?i)(\\d+)\\s*(B|KB|MB|GB)".r
+    val bytes = t match {
+      case SizeRe(n, unit) =>
+        n.toLong * (unit.toUpperCase match {
+          case "B" => 1L
+          case "KB" => 1L << 10
+          case "MB" => 1L << 20
+          case "GB" => 1L << 30
+        })
+      case _ => try t.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$what must be a byte count or a size like '32MB', got '$v'")
+      }
+    }
+    if (bytes < 1) throw new IllegalArgumentException(
+      s"$what must be >= 1 byte, got '$v'")
+    bytes
+  }
+
   private[sources] def renderAutoCompact(enc: Long): String =
     if (enc > 0) enc.toString else s"${-enc}B"
 
@@ -7265,9 +7290,20 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       n
     }
 
+  /** `maxBytesPerTrigger` (Delta's): cap each micro-batch's ADDED
+    * bytes. Same whole-commit prefix semantics as the file cap, same
+    * at-least-one progress guarantee; the two caps COMPOSE — a commit
+    * admits only under both budgets. Spark has no bytes ReadLimit
+    * type, so the cap rides the same ReadMaxFiles admission pass (the
+    * file budget defaults to unlimited when only bytes are set). */
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger"))
+      .map(GraftTable.parseByteSize(_, "maxBytesPerTrigger"))
+
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger.getOrElse(Int.MaxValue))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = versionOf(start)
@@ -7277,8 +7313,9 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
           if s >= 0 =>
         var v = s
         var budget = mf.maxFiles()
+        var byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
         var stopped = false // offsets are a PREFIX: stop at the first
-                            // commit that breaks the budget
+                            // commit that breaks either budget
         while (!stopped) {
           // windowed fetch: the planner touches O(admitted) entries per
           // batch, never the remaining backlog — at catch-up depth the
@@ -7299,8 +7336,14 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
                 if (changeFeed) {
                   if (e.added.isEmpty && e.removed.isEmpty) 0 else 1
                 } else e.added.length
-              if (v == s || cost <= budget) { v = e.version; budget -= cost }
-              else stopped = true
+              val bcost =
+                if (changeFeed)
+                  e.added.iterator.map(_.sizeBytes).sum +
+                    e.removed.iterator.map(_.sizeBytes).sum
+                else e.added.iterator.map(_.sizeBytes).sum
+              if (v == s || (cost <= budget && bcost <= byteBudget)) {
+                v = e.version; budget -= cost; byteBudget -= bcost
+              } else stopped = true
               i += 1
             }
           }

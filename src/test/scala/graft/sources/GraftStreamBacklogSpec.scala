@@ -83,4 +83,56 @@ class GraftStreamBacklogSpec extends SparkSpec {
       GraftTable.historyRetention = prevRetention
     }
   }
+
+  test("maxBytesPerTrigger bounds each micro-batch by added bytes, " +
+      "whole commits, with the at-least-one progress guarantee") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    val t = "graft_cat.ns.t_bytecap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    val table = GraftTableStore.tables((Seq("ns"), "t_bytecap"))
+    (1 to 12).foreach { i =>
+      table.installAppend(Array(Array(
+        new GenericInternalRow(Array[Any](i.toLong,
+          UTF8String.fromString(s"r$i"))): InternalRow)))
+    }
+    val perFile = table.dataFiles.map(_.sizeBytes).max
+
+    def drain(budget: String, ckpt: String): Seq[Long] = {
+      val batchSizes = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Long]())
+      val q = spark.readStream
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", budget)
+        .table(t)
+        .writeStream
+        .option("checkpointLocation", tmpDir(ckpt))
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batchSizes.add(df.count())
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      batchSizes.asScala.toSeq.filter(_ > 0)
+    }
+
+    // budget of ~2 files per batch: drains in >=6 bounded batches,
+    // exactly once in total, never more than 2 commits per batch
+    val twoWide = drain((perFile * 2).toString, "ckpt-bytecap2")
+    assert(twoWide.sum === 12L, s"exactly once: $twoWide")
+    assert(twoWide.forall(_ <= 2L), s"2-file byte budget: $twoWide")
+    assert(twoWide.length >= 6, s"bounded batches: $twoWide")
+
+    // a budget SMALLER than any one commit still progresses: one
+    // commit per batch (Delta's at-least-one contract), suffix syntax
+    val starved = drain("1B", "ckpt-bytecap1")
+    assert(starved.sum === 12L && starved.forall(_ === 1L),
+      s"starved budget must advance one commit per batch: $starved")
+
+    // a malformed size refuses loudly
+    intercept[Exception](drain("lots", "ckpt-bytecap-bad"))
+  }
 }
