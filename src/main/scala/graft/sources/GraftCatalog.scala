@@ -2540,10 +2540,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       ident: Identifier, version: Option[Int] = None): Int = mutate {
     val (srcSchema, fs, fsDvs) =
       src.stateAt(version, Identifier.of(Array.empty[String], src.name()))
-    if (srcSchema != tableSchema ||
-        !srcSchema.fields.toSeq.lazyZip(tableSchema.fields.toSeq).forall {
-          (a, b) => FieldIds.idOf(a) == FieldIds.idOf(b)
-        })
+    // StructType equality compares field METADATA too, so schema
+    // equality already proves field-id agreement (ids live in the
+    // metadata) — one check covers both
+    if (srcSchema != tableSchema)
       throw new UnsupportedOperationException(
         s"$ident: cannot PUBLISH from ${src.name()} — the schemas (or " +
           "their field ids) differ. Publish requires a staging table " +
@@ -3899,8 +3899,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
     planned.foreach { p =>
       val d0 = durable
+      // position views (viewSel) must not distribute: GraftCompactJob
+      // ships only (path, dead) — the executor would read the FULL base
+      // segment and resurrect rows the view excludes. The driver
+      // rebuild reads through f.rows, which applies the selection.
       val distributable = d0.isDefined && session.isDefined &&
-        p.bins.forall(_.forall(_.persisted))
+        p.bins.forall(_.forall(f => f.persisted && f.viewSel.isEmpty))
       if (!distributable) {
         val scope = p.bins.flatten
         optimizeCompact(GraftTable.AutoCompactTargetRows,
@@ -4186,8 +4190,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
       mergeBins: Vector[Seq[GraftDataFile]],
       zorderCols: Seq[String], targetRows: Int): Vector[GraftDataFile] = {
     val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    // viewSel gate: same full-base-read hazard as the async pass — a
+    // position view's selection does not ship in GraftCompactJob
     val distributable = durable.isDefined && sparkOpt.isDefined &&
-      mergeBins.nonEmpty && mergeBins.forall(_.forall(_.persisted))
+      mergeBins.nonEmpty &&
+      mergeBins.forall(_.forall(f => f.persisted && f.viewSel.isEmpty))
     val merged: Map[Int, Seq[GraftDataFile]] =
       if (distributable) {
         val d = durable.get
@@ -4582,10 +4589,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * (which would double the ingest cost and could diverge from the
     * committed rows if a pending file were rewritten between the two
     * jobs). */
-  private[sources] def copyRowsSince(sinceVersion: Int): Long =
-    history.reverseIterator
+  private[sources] def copyRowsSince(sinceVersion: Int,
+      sourceDir: Option[String] = None): Long =
+    history.iterator
       .find(e => e.version > sinceVersion &&
-        e.operation == GraftTable.CopyOp)
+        e.operation == GraftTable.CopyOp &&
+        sourceDir.forall(d => e.params.get("source").forall(_ == d)))
       .map(_.added.iterator.map(_.rowCount.toLong).sum)
       .getOrElse(0L)
 
@@ -5105,6 +5114,17 @@ object GraftTable {
         .map("%02x".format(_)).mkString
   }
 
+  /** The pre-(size,mtime) ledger identity: md5(path) only. Read-side
+    * compatibility — a ledger written before the identity change must
+    * keep skipping its files (path-only semantics, as it always had)
+    * instead of re-loading the whole landing zone once on upgrade. New
+    * marks always write the full identity. */
+  private[sources] def copyKeyLegacy(absPath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    CopyLedgerPrefix +
+      md.digest(absPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** AUTO-COMPACTION (Delta's autoCompact / Iceberg's commit-triggered
     * rewrite): `'auto.compact'='true'` (default file-count threshold),
     * `'auto.compact'='<minFiles>'` (count trigger), or
@@ -5140,17 +5160,8 @@ object GraftTable {
     val SizeRe = "(?i)(\\d+)\\s*(B|KB|MB|GB)".r
     s match {
       case "true" => AutoCompactDefaultMinFiles.toLong
-      case SizeRe(n, unit) =>
-        val mult = unit.toUpperCase match {
-          case "B" => 1L
-          case "KB" => 1L << 10
-          case "MB" => 1L << 20
-          case "GB" => 1L << 30
-        }
-        val bytes = n.toLong * mult
-        if (bytes < 1) throw new IllegalArgumentException(
-          s"$AutoCompactProp byte threshold must be >= 1, got '$v'")
-        -bytes
+      case SizeRe(_, _) =>
+        -parseByteSize(s, s"$AutoCompactProp byte threshold")
       case _ =>
         val n = try s.toLong catch {
           case _: NumberFormatException =>
@@ -5165,12 +5176,9 @@ object GraftTable {
     }
   }
 
-  /** Render the encoded knob back to its property string (count mode
-    * round-trips as the bare number; byte mode as '<n>B', which
-    * [[parseAutoCompact]] accepts back). */
   /** "123" (bytes) or "<n>B|KB|MB|GB" — the shared byte-size parser
-    * (streaming caps; the auto-compact trigger keeps its own historical
-    * grammar with the 'true'/file-count cases). */
+    * (streaming caps; [[parseAutoCompact]]'s byte arm delegates here,
+    * keeping only its own 'true'/file-count cases). */
   private[sources] def parseByteSize(v: String, what: String): Long = {
     val t = v.trim
     val SizeRe = "(?i)(\\d+)\\s*(B|KB|MB|GB)".r
@@ -5193,6 +5201,9 @@ object GraftTable {
     bytes
   }
 
+  /** Render the encoded knob back to its property string (count mode
+    * round-trips as the bare number; byte mode as '<n>B', which
+    * [[parseAutoCompact]] accepts back). */
   private[sources] def renderAutoCompact(enc: Long): String =
     if (enc > 0) enc.toString else s"${-enc}B"
 
@@ -5455,8 +5466,13 @@ object GraftMaintenance {
     }
     if (force) (keyed, 0)
     else {
+      // a mark under EITHER identity skips: the current (path,size,
+      // mtime) key, or the pre-upgrade md5(path) key a legacy ledger
+      // carries (its path-only semantics persist for those files)
       val (loaded, pending) =
-        keyed.partition { case (_, k) => t.copyMarked(k) }
+        keyed.partition { case (f, k) =>
+          t.copyMarked(k) || t.copyMarked(GraftTable.copyKeyLegacy(f))
+        }
       (pending, loaded.size)
     }
   }
@@ -5467,12 +5483,15 @@ object GraftMaintenance {
                    scope: Option[GraftStoreState] = None): Int =
     resolve(namespace, table, scope).currentVersion
 
-  /** Rows the newest COPY INTO commit after `sinceVersion` added (see
-    * [[GraftTable.copyRowsSince]]). */
+  /** Rows THIS command's COPY INTO commit added: the EARLIEST COPY
+    * commit after `sinceVersion` whose recorded source dir matches —
+    * a concurrent copier's later commit (or one from another landing
+    * dir) never misattributes (see [[GraftTable.copyRowsSince]]). */
   def copyCommitRows(namespace: Seq[String], table: String,
                      sinceVersion: Int,
+                     sourceDir: Option[String] = None,
                      scope: Option[GraftStoreState] = None): Long =
-    resolve(namespace, table, scope).copyRowsSince(sinceVersion)
+    resolve(namespace, table, scope).copyRowsSince(sinceVersion, sourceDir)
 
   /** Merge-install ANALYZE's column statistics (FOR COLUMNS re-analyzes
     * the named columns, keeps the rest) as one log-persisted commit. */
@@ -6107,11 +6126,25 @@ class GraftScanBuilder(tableSchema: StructType,
         case v: org.apache.spark.sql.types.Decimal => v.toDouble > 0
         case _ => false
       } catch { case scala.util.control.NonFatal(_) => false })
+    // DECIMAL arithmetic stays off the list wholesale: under non-ANSI
+    // eval an overflowing Decimal divide yields NULL (and an
+    // IntegralDivide quotient of a >Long-range decimal wraps), so a
+    // stored row's generated value could be NULL where f(lit) is not —
+    // a derived range filter would LOSE that row, the one failure mode
+    // this path may never have. Double division is IEEE-monotone for
+    // ANY positive divisor (overflow saturates to ±Infinity, order
+    // preserved), so fractional divisors are fine there.
+    def decimal(
+        x: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      x.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
     e match {
       case _: BoundReference => true
       case d: IntegralDivide =>
-        positiveLit(d.right) && monotoneNonDecreasing(d.left)
-      case d: Divide => positiveLit(d.right) && monotoneNonDecreasing(d.left)
+        !decimal(d.left) && !decimal(d) &&
+          positiveLit(d.right) && monotoneNonDecreasing(d.left)
+      case d: Divide =>
+        !decimal(d.left) && !decimal(d) &&
+          positiveLit(d.right) && monotoneNonDecreasing(d.left)
       case c: Cast =>
         // lossless numeric/temporal widening is exact hence
         // order-preserving; string casts order differently — excluded
@@ -6448,11 +6481,14 @@ class GraftScanBuilder(tableSchema: StructType,
         val rows = Array.newBuilder[InternalRow]
         f.viewSel match {
           case Some((bs, ex)) =>
-            // view: enumerate the BASE, emitting selected originals
+            // view: enumerate the BASE, emitting selected originals.
+            // Views carry no delete vector by contract, but consult
+            // `dead` anyway — the lazy executor path filters both, and
+            // the two must agree whatever partitioning decision fired
             val base = f.segment.load()
             var p = 0
             while (p < base.length) {
-              if (bs.contains(p) != ex)
+              if (bs.contains(p) != ex && !dead.contains(p))
                 rows += proj(joined.apply(base(p), metaOf(p))).copy()
               p += 1
             }

@@ -397,7 +397,7 @@ object GraftSqlParser {
               // and could diverge if one were rewritten between jobs
               val rows =
                 GraftMaintenance.copyCommitRows(ns, t, versionBefore,
-                  scope)
+                  Some(dir), scope)
               Seq(Row(pending.size, skipped, rows))
             }
           })

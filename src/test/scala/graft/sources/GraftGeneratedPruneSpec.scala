@@ -135,4 +135,21 @@ class GraftGeneratedPruneSpec extends SparkSpec {
     assert(!c.pushed.exists(_.startsWith("derived:")),
       s"multiply is off the overflow-safe whitelist: $c")
   }
+
+  test("range derivation refuses DECIMAL division: a non-ANSI overflow " +
+      "stores NULL where f(lit) is a value — a derived range would " +
+      "LOSE the row") {
+    spark.conf.set("spark.sql.catalog.gpd", classOf[GraftCatalog].getName)
+    spark.sql("CREATE TABLE gpd.ns.gpd_t (d DECIMAL(38, 2), g " +
+      "DECIMAL(38, 6) GENERATED ALWAYS AS (d / 0.5), v BIGINT) " +
+      "PARTITIONED BY (v)")
+    (0L until 6L).map(i => (BigDecimal(i * 100), i))
+      .toDF("d", "v").createOrReplaceTempView("gpd_src")
+    spark.sql("INSERT INTO gpd.ns.gpd_t (d, v) SELECT d, v FROM gpd_src")
+    val t = table("gpd", "gpd_t")
+    spark.table("gpd.ns.gpd_t").filter(col("d") >= BigDecimal(300)).count()
+    val c = t.lastScanCensus.get
+    assert(!c.pushed.exists(_.startsWith("derived:")),
+      s"decimal division is off the overflow-safe whitelist: $c")
+  }
 }
