@@ -4268,7 +4268,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * be integral-valued (int/long/short/byte/date/timestamp). */
   private[sources] def zorderCompact(cols: Seq[String],
       targetRows: Int,
-      inScope: GraftDataFile => Boolean = _ => true): (Int, Int) =
+      inScope: GraftDataFile => Boolean = _ => true,
+      params: Map[String, String] = Map.empty): (Int, Int) =
     mutate {
       require(cols.nonEmpty, "ZORDER BY needs at least one column")
       require(targetRows > 0, "targetRows must be positive")
@@ -4311,8 +4312,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
       pruneDvs()
       // layout-only: zero logical row changes
-      snap("ZORDER", params = Map("zorder_by" -> cols.mkString(","),
-        "target_rows" -> targetRows.toString))
+      snap("ZORDER", params = params +
+        ("zorder_by" -> cols.mkString(",")) +
+        ("target_rows" -> targetRows.toString))
       (all.length, files.length)
     }
 
@@ -5685,7 +5687,8 @@ object GraftMaintenance {
                where: Option[String] = None): OptimizeResult = {
     val t = resolve(namespace, table, scope)
     val (b, a) = t.zorderCompact(cols, targetRows,
-      where.map(t.groupScope).getOrElse(_ => true))
+      where.map(t.groupScope).getOrElse(_ => true),
+      where.map(w => Map("where" -> w)).getOrElse(Map.empty))
     OptimizeResult(b, a)
   }
 }
