@@ -483,6 +483,8 @@ class GraftSqlCommandsSpec extends SparkSpec {
     GraftMaintenance.sql(spark, s"OPTIMIZE $t TARGET 64 ROWS").collect()
     GraftMaintenance.sql(spark,
       s"RESTORE TABLE $t TO VERSION AS OF 1").collect()
+    GraftMaintenance.sql(spark,
+      s"OPTIMIZE $t WHERE part = 0 ZORDER BY (id) TARGET 32 ROWS").collect()
     def paramsOf(cat: String): Map[String, String] =
       spark.table(s"$cat.ns.`t$$history`")
         .selectExpr("operation", "parameters")
@@ -494,6 +496,9 @@ class GraftSqlCommandsSpec extends SparkSpec {
     assert(p("OPTIMIZE") === "target_rows=64")
     assert(p("RESTORE") === "version=1")
     assert(p("APPEND") === "", "plain appends carry no parameters")
+    assert(p("ZORDER") ===
+      "target_rows=32; where=part = 0; zorder_by=id",
+      s"zorder records scope + curve columns: ${p("ZORDER")}")
     // the params ride the log entries: a fresh fold serves the same
     spark.conf.set("spark.sql.catalog.prm2", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.prm2.warehouse", wh.toString)
