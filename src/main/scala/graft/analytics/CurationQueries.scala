@@ -346,20 +346,24 @@ object CurationQueries {
       // (doc_id % 97 = 0 over the RAW corpus — the eval set must be
       // checked even where the funnel already dropped its members)
       // leave the corpus. Scale shape: the eval shingle set is
-      // eval-set-sized → broadcast (t16's plan); the corpus-side
-      // shingle pass runs over the GATED set only (gated ⊆ near, and
-      // contamination of an already-dropped doc cannot change
-      // gated∖contaminated — the post-gate corpus is the smallest
-      // relation the semantics allow); the contaminated id list scales
-      // with the contamination rate → GatedBroadcast, the same
-      // keyed-shuffle fallback as the near-dedup drop list. The
-      // shingle transforms stay INSIDE persisted projections (the
-      // generator re-eval landmine).
+      // eval-set-sized (bounded by the benchmark, not the corpus) —
+      // but for UNIFORMITY with every other derived side it still goes
+      // through GatedBroadcast (a pathological eval set falls back to
+      // the keyed shuffle instead of failing at the hint); the
+      // corpus-side shingle pass runs over the GATED set only
+      // (gated ⊆ near, and contamination of an already-dropped doc
+      // cannot change gated∖contaminated — the post-gate corpus is the
+      // smallest relation the semantics allow); the contaminated id
+      // list scales with the contamination rate → GatedBroadcast, the
+      // same keyed-shuffle fallback as the near-dedup drop list. The
+      // eval shingle set persists POST-distinct so the gate's count is
+      // a cache scan, and the hash stays inside a persisted projection
+      // (the generator re-eval landmine).
       val evalSh = Caches.persistTracked(docs
         .filter(col("doc_id") % 97 === 0)
         .select(transform(TF.shingles(TF.tokens(col("text")), 4),
-          x => TF.polyHash(x)).as("hs")))
-        .select(explode(col("hs")).as("h")).distinct()
+          x => TF.polyHash(x)).as("hs"))
+        .select(explode(col("hs")).as("h")).distinct())
       val gatedSh = Caches.persistTracked(gatedT
         .select(col("doc_id"),
           transform(TF.shingles(TF.tokens(col("text")), 4),
@@ -369,7 +373,7 @@ object CurationQueries {
       // for the count and again for the join itself
       val contaminated = Caches.persistTracked(gatedSh
         .select(col("doc_id"), explode(col("hs")).as("h"))
-        .join(broadcast(evalSh), "h")
+        .join(graft.operators.GatedBroadcast(evalSh), "h")
         .select(col("doc_id").as("cdoc")).distinct()
         .withColumn("contam", lit(1)))
       gatedT.join(graft.operators.GatedBroadcast(contaminated),

@@ -1176,9 +1176,15 @@ object TextQueries {
             transform(TF.shingles(TF.tokens(col("text")), 4),
               x => TF.polyHash(x)).as("hs")))
       val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-      val bench = ex.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      // the eval side is benchmark-sized, not corpus-sized — but like
+      // every derived small side it goes through GatedBroadcast
+      // (persisted so the gate's count is a cache scan): under the gate
+      // the corpus streams into a broadcast join; a pathological eval
+      // set falls back to one keyed shuffle instead of failing the hint
+      val bench = Caches.persistTracked(
+        ex.filter(col("doc_id") % 97 === 0).select("h").distinct())
       ex.filter(col("doc_id") % 97 =!= 0)
-        .join(bench, "h")
+        .join(graft.operators.GatedBroadcast(bench), "h")
         .groupBy("doc_id")
         .agg(countDistinct(col("h")).as("n_shared"))
         .orderBy("doc_id")

@@ -165,6 +165,28 @@ class GraphPlanSpec extends SparkSpec {
     }
   }
 
+  test("broadcast size gate: t16's eval-side join falls back to a keyed " +
+      "shuffle above the gate with the SAME oracle result") {
+    noAutoBroadcast {
+      val below = graft.SparkEntry.queries("t16_contamination")(
+        spark, "/root/testdata/sf0.001").collect().toSeq
+      graft.analytics.Caches.release()
+      withGate(0L) {
+        val df = graft.SparkEntry.queries("t16_contamination")(
+          spark, "/root/testdata/sf0.001")
+        try {
+          val above = df.collect().toSeq
+          assert(above === below, "both regimes must agree row-for-row")
+          val plan = executedFinal(df)
+          assert(walk(plan).forall(!_.isInstanceOf[BroadcastHashJoinExec]),
+            s"above the gate the eval-side join must not broadcast:\n$plan")
+          assert(shuffles(plan).nonEmpty,
+            s"expected the keyed-exchange fallback:\n$plan")
+        } finally graft.analytics.Caches.release()
+      }
+    }
+  }
+
   test("cc propagation round: key-partitioned joins only — no broadcast, no nested loop") {
     noAutoBroadcast {
       val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
