@@ -2558,7 +2558,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     files = fs
     dvs = fsDvs
     snap("PUBLISH", added = added, removed = removed,
-      params = Map("source" -> src.name()))
+      params = Map("source" -> src.name()) ++
+        version.map(v => "source_version" -> v.toString))
     fs.length
   }
 

@@ -388,7 +388,8 @@ object GraftSqlParser {
                 .option(GraftTable.CopyParamsOption,
                   (Seq(s"source=$dir", s"fileformat=$format",
                     s"n_files=${pending.size}") ++
-                    Option(pattern).map(p => s"pattern=$p")).mkString("\n"))
+                    Option(pattern).map(p => s"pattern=$p") ++
+                    (if (force) Seq("force=true") else Nil)).mkString("\n"))
               (if (force) w.option(GraftTable.CopyForceOption, "true")
                else w).append()
               // rows_loaded = what the commit actually wrote (sum of

@@ -510,6 +510,55 @@ class GraftSqlCommandsSpec extends SparkSpec {
       s"parameters must survive the restart fold: $p2")
   }
 
+  test("COPY INTO and PUBLISH record their full ask in t$history " +
+      "parameters: source/fileformat/pattern/force, and the pinned " +
+      "source version") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-opparams2")
+    spark.conf.set("spark.sql.catalog.prc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prc.warehouse", wh.toString)
+    spark.sql("CREATE TABLE prc.ns.t_prms (n BIGINT)")
+    val src = java.nio.file.Files.createTempDirectory("graft-opparams2-src")
+    spark.range(3).selectExpr("id AS n").coalesce(1)
+      .write.parquet(s"$src/b1")
+    def lastParams(t: String): String =
+      spark.table(s"prc.ns.`$t$$history`")
+        .orderBy(org.apache.spark.sql.functions.col("version").desc)
+        .select("parameters").as[String].head()
+    GraftMaintenance.sql(spark,
+      s"COPY INTO prc.ns.t_prms FROM '$src' PATTERN = '**/*.parquet'")
+      .collect()
+    assert(lastParams("t_prms") ===
+      s"fileformat=PARQUET; n_files=1; pattern=**/*.parquet; source=$src",
+      "COPY INTO must pin exactly what it was asked")
+    GraftMaintenance.sql(spark,
+      s"COPY INTO prc.ns.t_prms FROM '$src' PATTERN = '**/*.parquet' FORCE")
+      .collect()
+    assert(lastParams("t_prms") ===
+      s"fileformat=PARQUET; force=true; n_files=1; " +
+        s"pattern=**/*.parquet; source=$src",
+      "a FORCE re-load records force=true")
+    // WAP publish: stage → audit → version-pinned publish
+    GraftMaintenance.sql(spark,
+      "CREATE TABLE prc.ns.stg_prms SHALLOW CLONE prc.ns.t_prms").collect()
+    spark.sql("INSERT INTO prc.ns.stg_prms VALUES (100)")
+    val sv = spark.table("prc.ns.`stg_prms$history`")
+      .selectExpr("max(version)").as[Int].head()
+    GraftMaintenance.sql(spark,
+      "CREATE OR REPLACE TABLE prc.ns.t_prms SHALLOW CLONE " +
+        s"prc.ns.stg_prms VERSION AS OF $sv").collect()
+    val pp = lastParams("t_prms")
+    assert(pp.contains("source=") && pp.contains("stg_prms") &&
+      pp.endsWith(s"source_version=$sv"),
+      s"a pinned publish records the source version: $pp")
+    // an unpinned publish records only the source stage
+    spark.sql("INSERT INTO prc.ns.stg_prms VALUES (101)")
+    GraftMaintenance.sql(spark,
+      "CREATE OR REPLACE TABLE prc.ns.t_prms SHALLOW CLONE " +
+        "prc.ns.stg_prms").collect()
+    assert(!lastParams("t_prms").contains("source_version"),
+      lastParams("t_prms"))
+  }
+
   test("t$history operationMetrics: a MOR DELETE removes rows, not " +
       "files; metadata-only ALTER reports zeros") {
     val t = freshTable("t_opmetrics_mor")
