@@ -2592,6 +2592,110 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- named branches (round 17, Iceberg-style refs over one
+    // durable log): `ALTER TABLE t CREATE BRANCH audit` forks an
+    // isolated commit chain at the head; reads/writes address
+    // `t@audit`; main and branch share one segment store under
+    // tree-aware retention. The oracle restates both heads from the
+    // nation source: the branch carries the audited edits, main is
+    // bit-untouched.
+    Q("s66_branch_isolation", "S-branch,S10,S6,DDL-alter,A1,A7",
+      """WITH aud AS (
+        |  SELECT n_nationkey AS k FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100 FROM nation WHERE n_nationkey < 5)
+        |SELECT 'audit' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(k), 0) AS BIGINT) AS key_sum
+        |FROM aud WHERE k % 3 <> 0
+        |UNION ALL
+        |SELECT 'main', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(n_nationkey), 0) AS BIGINT)
+        |FROM nation
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s66").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gbr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH audit").collect()
+      // audited edits land on the branch chain only
+      nat.where(col("k") < 5)
+        .select((col("k") + 100).as("k"), col("name"))
+        .writeTo(s"$w.ns.`prod@audit`").append()
+      s.sql(s"DELETE FROM $w.ns.`prod@audit` WHERE k % 3 = 0")
+      s.table(s"$w.ns.`prod@audit`")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+        .select(lit("audit").as("probe"), col("n"), col("key_sum"))
+        .unionByName(s.table(s"$w.ns.prod")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("key_sum"))
+          .select(lit("main").as("probe"), col("n"), col("key_sum")))
+        .orderBy("probe")
+    },
+
+    // ----- FAST FORWARD (round 17): main adopts the audit branch's
+    // commit suffix VERBATIM — the change feed replays every branch
+    // commit as its own version (probe label encodes the commit
+    // ordinal), the per-commit capability a WAP publish's single
+    // reference-diff commit cannot provide. The oracle restates the
+    // audited inserts, the audited deletes and the fast-forwarded
+    // final state from the nation source.
+    Q("s67_branch_fastforward", "S-branch,S-publish,DDL-alter,CDF,A1,A7",
+      """WITH ins AS (
+        |  SELECT n_nationkey + 100 AS k FROM nation WHERE n_nationkey < 5),
+        |all_rows AS (
+        |  SELECT n_nationkey AS k FROM nation
+        |  UNION ALL SELECT k FROM ins)
+        |SELECT 'ff_c1_insert' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(k), 0) AS BIGINT) AS key_sum FROM ins
+        |UNION ALL
+        |SELECT 'ff_c2_delete', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(k), 0) AS BIGINT)
+        |FROM all_rows WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT 'main', CAST(count(*) AS BIGINT),
+        |  CAST(COALESCE(sum(k), 0) AS BIGINT)
+        |FROM all_rows WHERE k % 3 <> 0
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s67").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gff_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      val fork = graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH audit").head().getInt(0)
+      nat.where(col("k") < 5)
+        .select((col("k") + 100).as("k"), col("name"))
+        .writeTo(s"$w.ns.`prod@audit`").append()
+      s.sql(s"DELETE FROM $w.ns.`prod@audit` WHERE k % 3 = 0")
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod FAST FORWARD main TO audit").collect()
+      val ff = s.table(s"$w.ns.`prod$$changes`")
+        .filter(col("_commit_version") > fork)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("key_sum"))
+        .select(concat(lit("ff_c"), col("_commit_version") - fork,
+          lit("_"), col("_change_type")).as("probe"),
+          col("n"), col("key_sum"))
+      s.table(s"$w.ns.prod")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+        .select(lit("main").as("probe"), col("n"), col("key_sum"))
+        .unionByName(ff)
+        .orderBy("probe")
+    },
+
     // ----- t$partitions (round 16, Iceberg's partitions metadata
     // table): the per-group census over SQL — stored rows AND live rows
     // (a merge-on-read DELETE's delete vectors subtract without

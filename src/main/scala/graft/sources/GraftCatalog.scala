@@ -214,16 +214,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case (ns, n) if ns == namespace.toSeq => Identifier.of(namespace, n)
     }
 
+  /** Resolve a table name — plain, or branch-addressed `t@branch`
+    * (Iceberg's ref addressing): the branch resolves to its OWN live
+    * [[GraftTable]], so every read surface (scans, time travel, CDF,
+    * streaming, metadata tables) and the DSv2 write path serve the
+    * branch with zero extra plumbing. */
+  private def resolveName(ns: Seq[String], name: String)
+      : Option[GraftTable] = {
+    val at = name.indexOf('@')
+    if (at > 0)
+      store.branchTables.get((ns, name.substring(0, at),
+        name.substring(at + 1)))
+    else store.tables.get((ns, name))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val n = ident.name()
     // Iceberg-style metadata tables: `t$files` / `t$history` resolve to
     // read-only relations over the base table's file census and commit
     // log — the introspection surface (DESCRIBE HISTORY, files audit)
-    // served through the ordinary SQL read path
+    // served through the ordinary SQL read path. The base may itself be
+    // branch-addressed (`t@audit$changes` — the branch's own feed).
     val dollar = n.indexOf('$')
     if (dollar > 0) {
-      val base = store.tables.getOrElse(
-        (ident.namespace().toSeq, n.substring(0, dollar)),
+      val base = resolveName(ident.namespace().toSeq,
+        n.substring(0, dollar)).getOrElse(
         throw new NoSuchTableException(ident))
       return n.substring(dollar + 1) match {
         case "files" => base.filesMetaTable
@@ -234,7 +249,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         case other => throw new NoSuchTableException(ident)
       }
     }
-    store.tables.get(key(ident)) match {
+    resolveName(ident.namespace().toSeq, n) match {
       case Some(t) => t
       case None => throw new NoSuchTableException(ident)
     }
@@ -261,18 +276,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           () => base.entryAt(v, ident), base)
       case None => ()
     }
-    val t = store.tables.getOrElse(key(ident),
+    val t = resolveName(ident.namespace().toSeq, ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
     t.snapshotAt(v, ident)
   }
 
-  /** `(base table, suffix)` of a `t$<suffix>` metadata-table name. */
+  /** `(base table, suffix)` of a `t$<suffix>` metadata-table name
+    * (the base may be branch-addressed). */
   private def metaBaseOf(ident: Identifier): Option[(GraftTable, String)] = {
     val n = ident.name()
     val dollar = n.indexOf('$')
     if (dollar <= 0) None
-    else store.tables
-      .get((ident.namespace().toSeq, n.substring(0, dollar)))
+    else resolveName(ident.namespace().toSeq, n.substring(0, dollar))
       .map(_ -> n.substring(dollar + 1))
   }
 
@@ -306,7 +321,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           () => base.entryAsOf(timestamp, ident), base)
       case None => ()
     }
-    val t = store.tables.getOrElse(key(ident),
+    val t = resolveName(ident.namespace().toSeq, ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
     t.snapshotAsOf(timestamp, ident)
   }
@@ -393,6 +408,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new IllegalArgumentException(
         s"table name ${ident.name()} may not contain '$$' (reserved for " +
           "metadata-table suffixes — such a table could never be loaded)")
+    if (ident.name().contains('@'))
+      throw new IllegalArgumentException(
+        s"table name ${ident.name()} may not contain '@' (reserved for " +
+          "branch addressing — such a table could never be loaded)")
     (partCols, bucketSpec, mode, checks, schema)
   }
 
@@ -653,7 +672,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * new nullable columns append to the schema and every pre-evolution
     * row reads NULL in them. Other change kinds are rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = store.tables.getOrElse(key(ident),
+    // branch-addressed ALTER (`t@audit` ADD COLUMNS) evolves the BRANCH
+    // chain only — additive evolution is exactly what an audit/staging
+    // branch wants, and a later fast-forward replays it onto main
+    val t = resolveName(ident.namespace().toSeq, ident.name()).getOrElse(
       throw new NoSuchTableException(ident))
     t.applyChanges(changes)
     t
@@ -662,6 +684,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def dropTable(ident: Identifier): Boolean =
     store.tables.remove(key(ident)) match {
       case Some(t) =>
+        // the table's branches die with it (their chains live inside
+        // the table dir the durable drop removes)
+        store.branchTables.keys
+          .filter(k => k._1 == ident.namespace().toSeq &&
+            k._2 == ident.name())
+          .foreach(store.branchTables.remove)
         // managed durable table: DROP removes the data too (Delta's
         // managed-table semantics — the reference's tables are managed)
         t.dropDurable()
@@ -693,6 +721,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     t.rename((newIdent.namespace() :+ newIdent.name()).mkString("."))
     t.renameDurable(newIdent.namespace().toSeq, newIdent.name())
     store.tables.remove(key(oldIdent))
+    // branch heads follow their base table's logical name
+    store.branchTables.snapshot().foreach { case (k, bt) =>
+      if (k._1 == oldIdent.namespace().toSeq && k._2 == oldIdent.name()) {
+        store.branchTables.put(
+          (newIdent.namespace().toSeq, newIdent.name(), k._3), bt)
+        store.branchTables.remove(k)
+      }
+    }
   }
 }
 
@@ -705,6 +741,13 @@ final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
     val logStore: GraftLogStore = GraftLogStore.LocalFs) {
   val tables: TrieMap[(Seq[String], String), GraftTable] = TrieMap.empty
   val namespaces: TrieMap[Seq[String], util.Map[String, String]] =
+    TrieMap.empty
+
+  /** Live branch heads, keyed (namespace, table, branch) — one
+    * [[GraftTable]] per branch, sharing the base table's segment store
+    * but owning its own commit chain. Addressed `t@branch` through the
+    * catalog's name resolution; never listed by listTables. */
+  val branchTables: TrieMap[(Seq[String], String, String), GraftTable] =
     TrieMap.empty
 
   /** Table dirs this engine SKIPPED at warehouse open because a newer
@@ -2043,6 +2086,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * decode group keys under the wrong columns. */
   @volatile private[sources] var everReplaced: Boolean = false
 
+  /** Set on BRANCH tables only: (branch name, fork version). The fork
+    * version is the main-chain commit this branch's creation snapshot
+    * copied — the ancestry anchor FAST FORWARD checks against. */
+  @volatile private[sources] var branchMeta: Option[(String, Int)] = None
+
   /** The (partitionCols, bucketSpec) in effect at commit `v`. */
   private[sources] def layoutAt(v: Int): (Seq[String], Option[(Int, String)]) =
     priorLayouts.find(v <= _._1).map(p => (p._2, p._3))
@@ -2219,8 +2267,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * paths, in-flight writes keep their handles). */
   private[sources] def renameDurable(namespace: Seq[String],
       name: String): Unit =
-    durable.foreach(d => d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(
-      namespace, name, tableName, partitionCols, rowLevelMode, bucketSpec)))
+    durable.foreach { d =>
+      // preserve the stamped format generation: a rename of a BRANCHED
+      // table must not quietly downgrade the stamp that keeps
+      // pre-branch engines out
+      val fmt =
+        try math.max(GraftLogCodec.BaseFormat,
+          GraftLogCodec.decodeTableMeta(d.log.readTableMeta()).format)
+        catch { case _: java.io.IOException => GraftLogCodec.BaseFormat }
+      d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(
+        namespace, name, tableName, partitionCols, rowLevelMode,
+        bucketSpec, fmt))
+    }
 
   /** DROP TABLE on a durable (managed) table removes its directory. */
   private[sources] def dropDurable(): Unit =
@@ -2233,8 +2291,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * only genuinely new files cost a write. */
   private def persistCommit(d: GraftTableDurability, e: CommitEntry): Unit = {
     var n = 0
+    // branch chains tag their segments: main and a branch legally hold
+    // the SAME version numbers (the fork point onward), and the shared
+    // data/ dir must never let two chains' commit-v files collide
+    val bTag = d.log.branch.map(b => s"$b-").getOrElse("")
     def persist(f: GraftDataFile, kind: String): Unit = if (!f.persisted) {
-      val rel = s"data/$kind-${e.version}-$n.parquet"
+      val rel = s"data/$kind-$bTag${e.version}-$n.parquet"
       n += 1
       val abs = d.log.dir.resolve(rel)
       GraftSegmentIO.write(abs, e.schema, f.rows)
@@ -2309,6 +2371,25 @@ class GraftTable(initialName: String, initialSchema: StructType,
       e.dvs.keys.foreach(add)
     }
     files.foreach(add)
+    // TREE-AWARE retention, union built FIRST: every OTHER live chain
+    // over this table dir — main's and every branch's — pins its
+    // referenced segments before this chain's sweep decides what is
+    // unreferenced. Collected LEASELESS from disk (a superset of each
+    // sibling's live set — GraftTableLog.allReferencedRefs), so no
+    // cross-chain lease is ever taken (no lock-order cycle between two
+    // chains reclaiming concurrently) and a branch another PROCESS
+    // created is seen without loading it. Free for branch-less tables:
+    // one directory listing.
+    locally {
+      val siblings = d.log.listBranches.map(Option(_)) ++
+        (if (d.log.branch.isDefined) Seq(None) else Nil)
+      siblings.filterNot(_ == d.log.branch).foreach { b =>
+        new GraftTableLog(d.log.dir, d.log.store, b).allReferencedRefs
+          .foreach { r =>
+            if (!java.nio.file.Paths.get(r).isAbsolute) live += r
+          }
+      }
+    }
     val base = history.head.version
     val anchorsNow = d.anchors ++ d.log.listCheckpointVersions
     var floor = anchorsNow.rangeTo(base).lastOption.getOrElse(0)
@@ -2561,6 +2642,173 @@ class GraftTable(initialName: String, initialSchema: StructType,
       params = Map("source" -> src.name()) ++
         version.map(v => "source_version" -> v.toString))
     fs.length
+  }
+
+  // ---- named branches (Iceberg-style refs over one durable log) -------
+
+  /** `ALTER TABLE t CREATE BRANCH b`: fork a named branch at this
+    * table's current head. The branch is its OWN commit chain
+    * (`log/<b>/` + `ckpt/<b>/` + per-branch lease) over the SHARED
+    * segment store, seeded with ONE full-census entry at the fork
+    * version — self-anchoring, so branch folds never read the main
+    * chain. table.json stamps format generation 3 the FIRST time a
+    * branch exists: a pre-branch engine then refuses the whole table
+    * loudly instead of folding (or worse, vacuuming) half a tree.
+    * Runs under the MAIN chain's lease so the fork point is one
+    * consistent head. Returns the live branch table; the caller
+    * registers it under (ns, t, b). */
+  private[sources] def forkBranch(branch: String): GraftTable = mutate {
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: branches need a durable table — create the " +
+        "catalog with a `warehouse` and recreate the table there"))
+    if (d.log.branch.isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableName: cannot branch from a branch — fork from the " +
+          "main table")
+    if (!branch.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") || branch == "main")
+      throw new IllegalArgumentException(
+        s"invalid branch name '$branch' (letters, digits, _ . - ; " +
+          "must not be 'main')")
+    val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
+    if (blog.hasAnyEntry)
+      throw new IllegalArgumentException(
+        s"$tableName: branch '$branch' already exists")
+    // format stamp FIRST (before the creation CAS): once any branch
+    // can exist, pre-branch engines must refuse. A stamp whose CAS
+    // then loses is merely conservative, never unsafe.
+    val meta = GraftLogCodec.decodeTableMeta(d.log.readTableMeta())
+    if (meta.format < GraftLogCodec.BranchFormat)
+      d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(meta.namespace,
+        meta.name, meta.displayName, meta.partitionCols,
+        meta.rowLevelMode, meta.bucketSpec, GraftLogCodec.BranchFormat))
+    blog.init()
+    val v = history.last.version
+    blog.writeBranchMeta(v)
+    val ts = math.max(GraftClock.nowMicros(), history.last.tsMicros + 1)
+    val e = CommitEntry(v, tableSchema, files, ts,
+      GraftTable.CreateBranchOp, Vector.empty, Vector.empty, dvs,
+      Map("forkVersion" -> v.toString))
+    // the creation entry embeds its layout exactly when a fold could
+    // not thread it from table.json (the checkpointLayout invariant)
+    val json = GraftLogCodec.encodeEntry(e, partitionCols, bucketSpec,
+      d.log.dir, checks.map { case (k, c) => k -> c.text }, nextFieldId,
+      epochLedger, checkpointLayout, colStats)
+    if (!blog.writeEntry(v, json))
+      throw new IllegalArgumentException(
+        s"$tableName: branch '$branch' already exists")
+    GraftDurableLoader.loadTable(d.log.dir, d.log.store, Some(branch))
+  }
+
+  /** `ALTER TABLE t DROP BRANCH b`: delete the branch chain's log and
+    * checkpoints (under the MAIN lease — creation and drop serialize).
+    * The branch's own segments become unreferenced and fall to the
+    * next tree-aware reclaim; shared segments stay pinned by the
+    * chains that still reference them. */
+  private[sources] def dropBranchChain(branch: String): Unit = mutate {
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: not a durable table"))
+    val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
+    if (!blog.hasAnyEntry)
+      throw new IllegalArgumentException(
+        s"$tableName: no such branch '$branch'")
+    blog.destroyBranch()
+  }
+
+  /** `ALTER TABLE t FAST FORWARD main TO b`: adopt branch `b`'s commit
+    * suffix onto THIS (main) chain — iff main has not moved since the
+    * fork (or since the last fast-forward from `b`). The branch's
+    * entries are immutable once CAS'd, so they copy VERBATIM into
+    * main's log: main's history — and its change feed — REPLAYS the
+    * branch's per-commit censuses one commit at a time, the
+    * capability a WAP publish's single reference-diff commit cannot
+    * provide. Refuses loudly when main diverged (remedy: MERGE the
+    * rows across, or publish via CLONE/REPLACE), when the suffix
+    * carries a REPLACE/partition-evolution (layout-identity swaps
+    * cannot replay onto a live handle), or when branch retention
+    * already dropped part of the suffix. Returns the number of
+    * commits adopted. */
+  private[sources] def fastForwardFrom(branch: String): Int = mutate {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: not a durable table"))
+    if (d.log.branch.isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableName: FAST FORWARD targets the main chain")
+    val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
+    if (!blog.hasAnyEntry)
+      throw new IllegalArgumentException(
+        s"$tableName: no such branch '$branch'")
+    val fork = blog.readBranchMeta()
+    val head = history.last.version
+    val bvs = blog.listEntryVersions
+    val bHead = bvs.last
+    def refuseDiverged(why: String): Nothing =
+      throw new IllegalStateException(
+        s"$tableName: cannot FAST FORWARD to '$branch' — $why. Main " +
+          s"has commits the branch does not know (forked at v$fork); " +
+          "MERGE the branch's rows across, or publish with CREATE OR " +
+          "REPLACE ... CLONE instead")
+    if (head < fork) refuseDiverged(
+      s"main is at v$head, before the fork point v$fork")
+    // ancestry: every main commit PAST the fork must BE the branch's
+    // entry (a previous fast-forward's verbatim copy) — one divergent
+    // byte refuses. Entries below main's own retention floor are gone
+    // on both sides or unverifiable; the retained window decides.
+    if (head > fork) {
+      val ours = d.log.listEntryVersions
+      (math.max(fork + 1, ours.head) to head).foreach { v =>
+        val mine =
+          try new String(java.nio.file.Files.readAllBytes(
+            d.log.entryPath(v)), UTF_8)
+          catch { case _: java.io.IOException => null }
+        val theirs =
+          if (blog.hasEntry(v))
+            new String(java.nio.file.Files.readAllBytes(
+              blog.entryPath(v)), UTF_8)
+          else null
+        if (mine == null || theirs == null || mine != theirs)
+          refuseDiverged(s"main's v$v is not the branch's v$v")
+      }
+    }
+    if (bHead <= head) 0
+    else {
+      (head + 1 to bHead).foreach { v =>
+        if (!blog.hasEntry(v))
+          throw new IllegalStateException(
+            s"$tableName: branch '$branch' no longer retains v$v — its " +
+              "retention dropped part of the suffix; publish with " +
+              "CREATE OR REPLACE ... CLONE instead")
+      }
+      val suffix = (head + 1 to bHead).map { v =>
+        v -> new String(java.nio.file.Files.readAllBytes(
+          blog.entryPath(v)), UTF_8)
+      }
+      // pre-check BEFORE any CAS: a layout-identity swap in the suffix
+      // must refuse with nothing copied, not half-adopt a tree
+      suffix.foreach { case (v, json) =>
+        val op = org.json4s.jackson.JsonMethods.parse(json)
+          .asInstanceOf[org.json4s.JObject].obj.toMap.get("op") match {
+          case Some(org.json4s.JString(s)) => s
+          case _ => ""
+        }
+        if (op == GraftTable.ReplaceOp || op == GraftTable.EvolveOp)
+          throw new UnsupportedOperationException(
+            s"$tableName: branch '$branch' carries a $op at v$v — a " +
+              "layout-identity swap cannot fast-forward; publish via " +
+              "REPLACE TABLE instead")
+      }
+      suffix.foreach { case (v, json) =>
+        if (!d.log.writeEntry(v, json))
+          throw new java.util.ConcurrentModificationException(
+            s"$tableName: commit v$v landed outside the lease during " +
+              "the fast-forward; retry")
+      }
+      // adopt in memory through the ordinary foreign-commit replay —
+      // CDC records, DVs, schema and epoch ledger all fold exactly as
+      // a restart would fold them
+      syncFromLog(d)
+      suffix.length
+    }
   }
 
   private[sources] def restoreTo(v: Int, ident: Identifier): Unit =
@@ -2934,6 +3182,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
             e.removed.foreach(add); e.dvs.keys.foreach(add)
           }
           files.foreach(add)
+          // sibling chains pin their segments here too, or the dry run
+          // would over-report what a tree-aware reclaim actually frees
+          locally {
+            val siblings = d.log.listBranches.map(Option(_)) ++
+              (if (d.log.branch.isDefined) Seq(None) else Nil)
+            siblings.filterNot(_ == d.log.branch).foreach { b =>
+              new GraftTableLog(d.log.dir, d.log.store, b).allReferencedRefs
+                .foreach { r =>
+                  if (r.startsWith("data/")) live += r.stripPrefix("data/")
+                }
+            }
+          }
           var nSeg = 0
           var bytes = 0L
           if (java.nio.file.Files.isDirectory(d.log.dataDir)) {
@@ -5073,6 +5333,11 @@ object GraftTable {
     * and appends read straight through. */
   val WidenOp = "WIDEN COLUMN TYPE"
 
+  /** Operation tag of a branch's creation entry — the full fork-point
+    * census that anchors the branch's own commit chain
+    * (`ALTER TABLE … CREATE BRANCH`, Iceberg's refs). */
+  val CreateBranchOp = "CREATE BRANCH"
+
   /** Ledger-key namespace of batch `txnAppId` idempotent writes: the
     * batch and streaming exactly-once high-waters share one persisted
     * ledger, and the prefix (illegal in a Spark streaming query id,
@@ -5598,6 +5863,44 @@ object GraftMaintenance {
           "itself — RESTORE moves a table to its own retained versions")
     d.publishFrom(s, Identifier.of(dstNamespace.toArray, dst), version)
   }
+
+  /** The store universe holding (namespace, table) — where a branch
+    * head registers/deregisters. */
+  private def storeOf(namespace: Seq[String], table: String,
+      scope: Option[GraftStoreState]): GraftStoreState =
+    scope.getOrElse(GraftTableStore.allStores
+      .find(_.tables.contains((namespace, table)))
+      .getOrElse(GraftTableStore.global))
+
+  /** `ALTER TABLE t CREATE BRANCH b`: fork a named branch at the
+    * table's head and register its live head under (ns, t, b).
+    * Returns the fork version. */
+  def createBranch(namespace: Seq[String], table: String, branch: String,
+      scope: Option[GraftStoreState] = None): Int = {
+    val t = resolve(namespace, table, scope)
+    val bt = t.forkBranch(branch)
+    storeOf(namespace, table, scope)
+      .branchTables.put((namespace, table, branch), bt)
+    bt.branchMeta.map(_._2).getOrElse(0)
+  }
+
+  /** `ALTER TABLE t DROP BRANCH b`: remove the branch chain; its
+    * unshared segments fall to the next tree-aware reclaim. */
+  def dropBranch(namespace: Seq[String], table: String, branch: String,
+      scope: Option[GraftStoreState] = None): Unit = {
+    val t = resolve(namespace, table, scope)
+    t.dropBranchChain(branch)
+    storeOf(namespace, table, scope)
+      .branchTables.remove((namespace, table, branch))
+    ()
+  }
+
+  /** `ALTER TABLE t FAST FORWARD main TO b`: replay the branch's
+    * commit suffix onto main (ancestry-checked). Returns the number
+    * of commits adopted. */
+  def fastForward(namespace: Seq[String], table: String, branch: String,
+      scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).fastForwardFrom(branch)
 
   /** `VACUUM`: retire all but the last `keepLast` snapshots immediately
     * (history retention is the sliding backstop; this is the explicit

@@ -313,17 +313,142 @@ object GraftLogStore {
   * fold can start from"); on a cluster the same parquet parts are
   * directly `spark.read`-able for executor-side decode. */
 private[sources] final class GraftTableLog(val dir: Path,
-    val store: GraftLogStore = GraftLogStore.LocalFs) {
-  val logDir: Path = dir.resolve("log")
-  val ckptDir: Path = dir.resolve("ckpt")
+    val store: GraftLogStore = GraftLogStore.LocalFs,
+    val branch: Option[String] = None) {
+  // a NAMED BRANCH (Iceberg's refs) is its own commit chain over the
+  // SHARED segment store: entries under `log/<branch>/`, checkpoints
+  // under `ckpt/<branch>/`, its own lease file — so two branches (or a
+  // branch and main) commit concurrently without contending — while
+  // `data/` (and table.json) stay one reclaim domain for the whole tree
+  val logDir: Path = branch.map(b => dir.resolve("log").resolve(b))
+    .getOrElse(dir.resolve("log"))
+  val ckptDir: Path = branch.map(b => dir.resolve("ckpt").resolve(b))
+    .getOrElse(dir.resolve("ckpt"))
   val dataDir: Path = dir.resolve("data")
   private val metaPath = dir.resolve("table.json")
-  private val lockPath = dir.resolve("_commit.lock")
+  private val lockPath = branch.map(b => dir.resolve(s"_commit-$b.lock"))
+    .getOrElse(dir.resolve("_commit.lock"))
 
   def init(): Unit = {
     Files.createDirectories(logDir)
     Files.createDirectories(ckptDir)
     Files.createDirectories(dataDir)
+  }
+
+  /** Branch chains present on disk: the subdirectories of the MAIN
+    * `log/` dir (a name listing — branch discovery needs no metadata
+    * record that two concurrent creators could lose updates on). */
+  def listBranches: Seq[String] = {
+    val base = dir.resolve("log")
+    if (!Files.isDirectory(base)) return Nil
+    val s = Files.list(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    } finally s.close()
+  }
+
+  /** `log/<branch>/_branch.json`: the branch's immutable identity (its
+    * fork version), written at creation OUTSIDE the entry chain so it
+    * survives branch-log retention (the creation entry itself may
+    * retire behind a later branch checkpoint). The name can never
+    * collide with entry names (11-digit pattern). */
+  def branchMetaPath: Path = logDir.resolve("_branch.json")
+
+  def writeBranchMeta(forkVersion: Int): Unit = {
+    Files.write(branchMetaPath,
+      s"""{"forkVersion":$forkVersion}""".getBytes(UTF_8))
+    ()
+  }
+
+  def readBranchMeta(): Int =
+    JsonMethods.parse(new String(Files.readAllBytes(branchMetaPath), UTF_8))
+      .asInstanceOf[JObject].obj.toMap.apply("forkVersion") match {
+      case JInt(b) => b.toInt
+      case JLong(l) => l.toInt
+      case other => throw new IllegalStateException(s"bad fork: $other")
+    }
+
+  /** DROP BRANCH: delete THIS branch chain's log + checkpoint dirs and
+    * lease (through the store, freeing CAS names). The branch's own
+    * data segments stay behind as unreferenced files — the next
+    * tree-aware reclaim sweeps them once no retained chain references
+    * them. Must only be called on a branch-scoped log. */
+  def destroyBranch(): Unit = {
+    require(branch.isDefined, "destroyBranch on the main chain")
+    import scala.jdk.CollectionConverters._
+    Seq(ckptDir, logDir).foreach { p =>
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse.foreach(store.delete)
+        finally walk.close()
+      }
+    }
+    store.delete(lockPath)
+  }
+
+  /** Every data ref ANY retained entry or checkpoint of THIS chain may
+    * reference — a SUPERSET of the chain's live set (full censuses plus
+    * every delta's fadd/added/removed and DV refs; no fold needed,
+    * because a delta's census is always `anchor ∪ later fadds` minus
+    * removals), collected by a shallow LEASELESS scan of immutable
+    * CAS'd files. Sibling chains' reclaims union this in (tree-aware
+    * retention): over-reading refs only ever RETAINS more, and taking
+    * no cross-chain lease means no lock-order cycle between two chains
+    * reclaiming concurrently. */
+  def allReferencedRefs: Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    def jnum(j: JValue): Long = j match {
+      case JInt(b) => b.toLong
+      case JLong(l) => l
+      case other => throw new IllegalStateException(s"expected num: $other")
+    }
+    def refsOfJson(json: String): Unit = {
+      val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+      Seq("files", "fadd", "added", "removed").foreach { k =>
+        o.get(k) match {
+          case Some(JArray(fs)) => fs.foreach {
+            case JObject(ff) => ff.collectFirst {
+              case ("path", JString(p)) => out += p
+            }
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+      Seq("dvs", "dvset").foreach { k =>
+        o.get(k) match {
+          case Some(JArray(es)) => es.foreach {
+            case JArray(JString(ref) :: _) => out += ref
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+      // multi-part checkpoint: the census lives in the parquet parts'
+      // `path` column (CheckpointPartSchema field 0)
+      o.get("fparts").foreach { nJ =>
+        val n = jnum(nJ).toInt
+        val v = jnum(o("version")).toInt
+        (0 until n).foreach { i =>
+          val p = ckptPartPath(v, i, n)
+          if (Files.exists(p))
+            GraftSegmentIO.read(p, GraftLogCodec.CheckpointPartSchema)
+              .foreach(r => out += r.getUTF8String(0).toString)
+        }
+      }
+    }
+    def scan(read: Int => String, vs: Seq[Int]): Unit = vs.foreach { v =>
+      // a chain may be concurrently reclaimed or dropped under this
+      // leaseless walk — a vanished file simply contributes nothing
+      try refsOfJson(read(v))
+      catch { case _: java.io.IOException => () }
+    }
+    scan(v => new String(Files.readAllBytes(entryPath(v)), UTF_8),
+      listEntryVersions)
+    scan(readCheckpoint, listCheckpointVersions)
+    out.toSet
   }
 
   def entryPath(v: Int): Path = logDir.resolve(f"$v%011d.json")
@@ -1177,18 +1302,27 @@ private[sources] object GraftLogCodec {
     * minReader/minWriterVersion, collapsed to one number while every
     * feature so far is readable by every writer level).
     * 1 = full-census log entries; 2 = delta entries + (multi-part
-    * parquet) checkpoints. Format 1 tables stay readable (a full entry is a
+    * parquet) checkpoints; 3 = named branches exist (sibling commit
+    * chains under `log/<branch>/` share the `data/` reclaim domain).
+    * Format 1/2 tables stay readable (a full entry is a
     * legal shape at every version); a table stamped ABOVE this refuses
     * to open — an older engine that half-understood a newer layout
     * could fold the wrong state or VACUUM segments the newer format
-    * still references, and both failure modes are silent. */
-  val CurrentFormat = 2
+    * still references, and both failure modes are silent. Branch-less
+    * tables keep WRITING format 2 ([[BaseFormat]]); the stamp moves to
+    * 3 only when the first branch is created, so a pre-branch engine
+    * refuses exactly the tables where a half-understood tree could
+    * lose a branch's segments. */
+  val CurrentFormat = 3
+  val BaseFormat = 2
+  val BranchFormat = 3
 
   def encodeTableMeta(namespace: Seq[String], name: String,
       displayName: String, partitionCols: Seq[String],
-      rowLevelMode: String, bucketSpec: Option[(Int, String)]): String = {
+      rowLevelMode: String, bucketSpec: Option[(Int, String)],
+      format: Int = BaseFormat): String = {
     val json = JObject(
-      "format" -> JLong(CurrentFormat.toLong),
+      "format" -> JLong(format.toLong),
       "namespace" -> JArray(namespace.toList.map(JString(_))),
       "name" -> JString(name),
       "displayName" -> JString(displayName),
@@ -1334,6 +1468,17 @@ private[sources] object GraftDurableLoader {
             val meta = GraftLogCodec.decodeTableMeta(
               new GraftTableLog(dir, logStore).readTableMeta())
             store.tables.put((meta.namespace, meta.name), t)
+            // live branch chains load as their own table objects,
+            // addressed `t@branch` through the store's branch map. A
+            // half-created branch (crash between dir init and the
+            // creation entry's CAS) has no entries and is skipped —
+            // like an aborted table create, it must not fail the
+            // healthy tree.
+            new GraftTableLog(dir, logStore).listBranches.foreach { b =>
+              if (new GraftTableLog(dir, logStore, Some(b)).hasAnyEntry)
+                store.branchTables.put((meta.namespace, meta.name, b),
+                  loadTable(dir, logStore, Some(b)))
+            }
           } catch {
             // a table stamped by a NEWER engine refuses per TABLE, not
             // per warehouse: healthy siblings stay served, the skip is
@@ -1352,25 +1497,36 @@ private[sources] object GraftDurableLoader {
     * ANCHOR (v0, or a checkpoint) at or below the retention base, seed
     * state from it, fold the delta tail on top. Restart cost is one
     * checkpoint plus O(retained tail) delta entries — never O(all
-    * commits × files). */
+    * commits × files).
+    *
+    * `branch = Some(b)` folds the BRANCH chain (`log/<b>/`) instead:
+    * its creation entry is a full census at the fork version — the
+    * chain's own v0-style anchor — so a branch fold never touches the
+    * main chain's entries. */
   def loadTable(dir: Path,
-      logStore: GraftLogStore = GraftLogStore.LocalFs): GraftTable = {
-    val log = new GraftTableLog(dir, logStore)
+      logStore: GraftLogStore = GraftLogStore.LocalFs,
+      branch: Option[String] = None): GraftTable = {
+    val log = new GraftTableLog(dir, logStore, branch)
     val meta = GraftLogCodec.decodeTableMeta(log.readTableMeta())
     val d = new GraftTableDurability(log)
     val entryVs = log.listEntryVersions
     require(entryVs.nonEmpty, s"durable table at $dir has an empty log")
     val latest = entryVs.last
     val ckpts = log.listCheckpointVersions.filter(_ <= latest)
+    // the chain's log-entry anchor: v0 for main, the retained creation
+    // full entry for a branch (the fork snapshot)
+    val forkV = branch.map(_ => log.readBranchMeta())
+    val headIsAnchor =
+      (branch.isEmpty && entryVs.head == 0) || forkV.contains(entryVs.head)
     d.anchors = scala.collection.immutable.SortedSet.empty[Int] ++
-      (if (entryVs.head == 0) ckpts :+ 0 else ckpts)
+      (if (headIsAnchor) ckpts :+ entryVs.head else ckpts)
     // versions below this are unreadable after the in-memory retention
     // trim anyway, so the fold never starts below it
     val base = math.max(entryVs.head,
       latest - math.max(2, GraftTable.historyRetention) + 1)
     val start = ckpts.filter(_ <= base) match {
       case Nil =>
-        require(entryVs.head == 0, s"durable table at $dir: log starts " +
+        require(headIsAnchor, s"durable table at $dir: log starts " +
           s"at v${entryVs.head} with no checkpoint at or below it — " +
           "the delta tail has no anchor to fold from")
         None
@@ -1406,17 +1562,23 @@ private[sources] object GraftDurableLoader {
     }
     val from = prev.map(_.version + 1).getOrElse(0)
     log.readEntriesFrom(from).foreach { case (v, json) =>
-      require(prev.map(_.version + 1).getOrElse(0) == v,
+      require(prev.map(_.version + 1).getOrElse(entryVs.head) == v,
         s"durable table at $dir: gap in the commit log at v$v")
       absorb(GraftLogCodec.decodeEntry(json, curLayout._1,
         curLayout._2, dir, d.registry, prev))
     }
     val decoded = buf.result()
-    val t = new GraftTable(meta.displayName, decoded.last.entry.schema,
-      curLayout._1, curLayout._3, curLayout._2)
+    val t = new GraftTable(
+      branch.map(b => s"${meta.displayName}@$b").getOrElse(meta.displayName),
+      decoded.last.entry.schema, curLayout._1, curLayout._3, curLayout._2)
     t.bootstrapDurable(d, decoded)
     t.priorLayouts = layouts
-    t.everReplaced = sawReplace || layouts.nonEmpty
+    // a branch creation entry embeds its layout exactly when the parent
+    // was ever replaced — the fold seeing one must keep embedding in
+    // the branch's own checkpoints (same invariant as the main chain)
+    t.everReplaced = sawReplace || layouts.nonEmpty ||
+      (branch.isDefined && decoded.head.layout.isDefined)
+    forkV.foreach(f => t.branchMeta = Some((branch.get, f)))
     t
   }
 

@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   CREATE [OR REPLACE] TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
   *     — OR REPLACE onto an existing dst = the WAP publish
   *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
+  *   ALTER TABLE t CREATE BRANCH b | DROP BRANCH b    — named refs
+  *   ALTER TABLE t FAST FORWARD [main] TO b           — replay b onto main
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
   *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
@@ -78,6 +80,12 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+?)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
+  private val CreateBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val FastForward =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -560,6 +568,36 @@ object GraftSqlParser {
             stats.toSeq.sortBy(_._1).map { case (c, vs) =>
               Row(c, vs(0), vs(1), vs(2), vs(3))
             }
+          })
+        }
+
+      // ALTER TABLE … CREATE BRANCH / DROP BRANCH / FAST FORWARD:
+      // Iceberg-style named refs over the durable log — a branch is its
+      // own commit chain (isolated lease, log/ckpt namespaces) over the
+      // shared segment store, addressed `t@branch`, and FAST FORWARD
+      // replays the branch's commit suffix onto main verbatim (the CDF
+      // sees every branch commit, not one state diff). Standard SQL has
+      // none of these shapes, so unmatched statements fall through.
+      case CreateBranch(ident, b) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("fork_version"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.createBranch(ns, t, b, scope)))
+          })
+        }
+      case DropBranch(ident, b) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("branches_dropped"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            GraftMaintenance.dropBranch(ns, t, b, scope)
+            Seq(Row(1))
+          })
+        }
+      case FastForward(ident, b) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("commits_adopted"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.fastForward(ns, t, b, scope)))
           })
         }
 

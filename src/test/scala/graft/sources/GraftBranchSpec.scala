@@ -1,0 +1,252 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+
+/** Named branches / refs over one durable log (Iceberg-style
+  * `ALTER TABLE t CREATE BRANCH b`, reads/writes addressed `t@b`):
+  * isolation between live heads, restart folds, the format-generation
+  * stamp, TREE-AWARE retention (vacuum under a live branch keeps the
+  * branch's segments — the one place a bug loses data), and FAST
+  * FORWARD's ancestry-checked verbatim replay with its per-commit
+  * change feed. */
+class GraftBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def durableCatalog(name: String,
+                             isolated: Boolean = false): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+    if (isolated)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+    wh.toString
+  }
+
+  private def reopen(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse.isolated", "true")
+  }
+
+  private def rows(t: String): Seq[(Long, String)] =
+    spark.table(t).orderBy("id").as[(Long, String)].collect().toSeq
+
+  test("branch isolation: writes on t@audit never reach main, main's " +
+      "writes never reach the branch, and both heads serve their own " +
+      "history/changes") {
+    durableCatalog("brA")
+    spark.sql("CREATE TABLE brA.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brA.ns.t VALUES (1,'a'), (2,'b')")
+    val fork = GraftMaintenance.sql(spark,
+      "ALTER TABLE brA.ns.t CREATE BRANCH audit").head().getInt(0)
+    assert(fork === 1, "forked at main's head (v0 create, v1 append)")
+    // the branch head starts as main's state
+    assert(rows("brA.ns.`t@audit`") === Seq((1L, "a"), (2L, "b")))
+    // audited writes land on the branch only
+    spark.sql("INSERT INTO brA.ns.`t@audit` VALUES (3,'c')")
+    spark.sql("DELETE FROM brA.ns.`t@audit` WHERE id = 1")
+    assert(rows("brA.ns.`t@audit`") === Seq((2L, "b"), (3L, "c")))
+    assert(rows("brA.ns.t") === Seq((1L, "a"), (2L, "b")),
+      "main must be untouched while the branch is audited")
+    // main's writes stay off the branch
+    spark.sql("INSERT INTO brA.ns.t VALUES (10,'z')")
+    assert(rows("brA.ns.`t@audit`") === Seq((2L, "b"), (3L, "c")))
+    // per-branch introspection: the branch's own history and feed
+    val ops = spark.table("brA.ns.`t@audit$history`")
+      .orderBy("version").select("operation").as[String].collect().toSeq
+    assert(ops.head === "CREATE BRANCH" && ops.contains("APPEND"), ops)
+    val feed = spark.table("brA.ns.`t@audit$changes`")
+      .filter($"_commit_version" > fork)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(feed === Set(("insert", 3L), ("delete", 1L)), feed)
+    // a second CREATE BRANCH under the same name refuses
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brA.ns.t CREATE BRANCH audit").collect())
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
+  test("restart fold: a fresh store over the warehouse serves the " +
+      "branch head, its fork identity and its data; table.json is " +
+      "stamped format 3 from the first branch on") {
+    val wh = durableCatalog("brB")
+    spark.sql("CREATE TABLE brB.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brB.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brB.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brB.ns.`t@audit` VALUES (2,'b')")
+    // the stamp: pre-branch engines must refuse the whole table
+    val dir = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+    val tdir = try {
+      import scala.jdk.CollectionConverters._
+      dir.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(
+          p.resolve("table.json"))).toSeq.head
+    } finally dir.close()
+    val meta = GraftLogCodec.decodeTableMeta(new String(
+      java.nio.file.Files.readAllBytes(tdir.resolve("table.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert(meta.format === GraftLogCodec.BranchFormat,
+      s"CREATE BRANCH must stamp format 3, got ${meta.format}")
+    // a second process (isolated store) folds branch and main alike
+    reopen("brB2", wh)
+    assert(rows("brB2.ns.t") === Seq((1L, "a")))
+    assert(rows("brB2.ns.`t@audit`") === Seq((1L, "a"), (2L, "b")))
+    val bt = spark.sessionState.catalogManager.catalog("brB2")
+      .asInstanceOf[GraftCatalog].store
+      .branchTables((Seq("ns"), "t", "audit"))
+    assert(bt.branchMeta === Some(("audit", 1)),
+      s"fork identity must survive the fold: ${bt.branchMeta}")
+  }
+
+  test("tree-aware retention: vacuum under a live branch keeps the " +
+      "branch's segments — both directions — and DROP BRANCH releases " +
+      "them to the next reclaim") {
+    durableCatalog("brC")
+    spark.sql("CREATE TABLE brC.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brC.ns.t VALUES (1,'a'), (2,'b')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brC.ns.t CREATE BRANCH audit").collect()
+    // branch-only segments land under the shared data/ dir
+    spark.sql("INSERT INTO brC.ns.`t@audit` VALUES (3,'c')")
+    val st = spark.sessionState.catalogManager.catalog("brC")
+      .asInstanceOf[GraftCatalog].store
+    val mainT = st.tables((Seq("ns"), "t"))
+    val auditT = st.branchTables((Seq("ns"), "t", "audit"))
+    val forkSegs = mainT.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet
+    val auditOnly = auditT.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet -- forkSegs
+    assert(forkSegs.nonEmpty && auditOnly.nonEmpty)
+    // main moves PAST the fork state (overwrite, then another append so
+    // even the overwrite commit's CDC record retires), then vacuums to
+    // one snapshot: WITHOUT the tree union every fork segment and the
+    // branch's own segment would be unreferenced — and deleted
+    spark.sql("INSERT OVERWRITE brC.ns.t VALUES (9,'x')")
+    spark.sql("INSERT INTO brC.ns.t VALUES (10,'y')")
+    GraftMaintenance.sql(spark,
+      "VACUUM brC.ns.t RETAIN 1 SNAPSHOTS").collect()
+    assert((forkSegs ++ auditOnly).forall(java.nio.file.Files.exists(_)),
+      "main's vacuum must never eat a live branch's segments")
+    // the branch still reads its full state — fork segments AND its own
+    assert(rows("brC.ns.`t@audit`") ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the branch head must survive main's vacuum intact")
+    assert(rows("brC.ns.t") === Seq((9L, "x"), (10L, "y")))
+    // inverse direction: a second branch exists while MAIN is the
+    // sibling being pinned — the union is symmetric
+    GraftMaintenance.sql(spark, "ALTER TABLE brC.ns.t CREATE BRANCH b2")
+      .collect()
+    assert(rows("brC.ns.`t@b2`") === Seq((9L, "x"), (10L, "y")))
+    // DROP BRANCH: audit's own segment becomes unreferenced and the
+    // next explicit vacuum sweeps it (fork segments went with it —
+    // no live chain references them anymore)
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brC.ns.t DROP BRANCH audit").collect()
+    intercept[Exception](spark.table("brC.ns.`t@audit`").collect())
+    GraftMaintenance.sql(spark,
+      "VACUUM brC.ns.t RETAIN 1 SNAPSHOTS").collect()
+    assert((forkSegs ++ auditOnly).forall(!java.nio.file.Files.exists(_)),
+      "a dropped branch's segments must reclaim on the next vacuum")
+    assert(rows("brC.ns.`t@b2`") === Seq((9L, "x"), (10L, "y")),
+      "the surviving branch still serves")
+  }
+
+  test("FAST FORWARD: ancestry-checked verbatim replay — main's change " +
+      "feed carries the branch's per-commit censuses, a second forward " +
+      "continues from the new ancestry, a diverged main refuses") {
+    durableCatalog("brD")
+    spark.sql("CREATE TABLE brD.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brD.ns.t VALUES (1,'a'), (2,'b')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brD.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brD.ns.`t@audit` VALUES (3,'c')")
+    spark.sql("DELETE FROM brD.ns.`t@audit` WHERE id = 1")
+    val n = GraftMaintenance.sql(spark,
+      "ALTER TABLE brD.ns.t FAST FORWARD main TO audit").head().getInt(0)
+    assert(n === 2, "two audited commits adopt")
+    assert(rows("brD.ns.t") === Seq((2L, "b"), (3L, "c")))
+    // REPLAYED, not diffed: main's feed shows each branch commit as its
+    // own version, byte-for-byte the branch's censuses
+    def feedOf(t: String): Set[(Int, String, Long)] =
+      spark.table(s"brD.ns.`$t$$changes`").filter($"_commit_version" > 1)
+        .select("_commit_version", "_change_type", "id")
+        .as[(Int, String, Long)].collect().toSet
+    val main = feedOf("t")
+    assert(main === feedOf("t@audit"),
+      s"main must replay the branch's per-commit feed: $main")
+    assert(main.map(_._1) === Set(2, 3),
+      s"two distinct adopted versions, not one diff commit: $main")
+    // idempotent: nothing new to adopt
+    assert(GraftMaintenance.sql(spark,
+      "ALTER TABLE brD.ns.t FAST FORWARD TO audit").head().getInt(0) === 0)
+    // ancestry continues: another branch commit, forward again
+    spark.sql("INSERT INTO brD.ns.`t@audit` VALUES (4,'d')")
+    assert(GraftMaintenance.sql(spark,
+      "ALTER TABLE brD.ns.t FAST FORWARD TO audit").head().getInt(0) === 1)
+    assert(rows("brD.ns.t") === Seq((2L, "b"), (3L, "c"), (4L, "d")))
+    // divergence: main commits on its own → refuse with the remedy
+    spark.sql("INSERT INTO brD.ns.t VALUES (99,'q')")
+    spark.sql("INSERT INTO brD.ns.`t@audit` VALUES (5,'e')")
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brD.ns.t FAST FORWARD TO audit").collect())
+    assert(e.getMessage.contains("MERGE") ||
+      e.getMessage.contains("REPLACE"), e.getMessage)
+  }
+
+  test("a stream on main's change feed reads the fast-forwarded " +
+      "commits as separate micro-batch versions") {
+    durableCatalog("brE")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-brE-ckpt").toString
+    spark.sql("CREATE TABLE brE.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brE.ns.t VALUES (1,'a')")
+    def drain(): Seq[(String, Int, Long)] = {
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Int, Long)]())
+      val q = spark.readStream.table("brE.ns.`t$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_change_type", "_commit_version", "id")
+            .as[(String, Int, Long)].collect().foreach(got.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(drain().toSet === Set(("insert", 1, 1L)))
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brE.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brE.ns.`t@audit` VALUES (2,'b')")
+    spark.sql("INSERT INTO brE.ns.`t@audit` VALUES (3,'c')")
+    assert(drain().isEmpty, "branch writes must not leak onto main's feed")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brE.ns.t FAST FORWARD TO audit").collect()
+    val got = drain().toSet
+    assert(got === Set(("insert", 2, 2L), ("insert", 3, 3L)),
+      s"the tail must deliver BOTH adopted commits, per version: $got")
+  }
+
+  test("guard rails: branches need a durable table; '@' is reserved in " +
+      "created names; branch-of-branch refuses; FF of a missing branch " +
+      "refuses") {
+    spark.conf.set("spark.sql.catalog.brF", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS brF.ns.t_brmem")
+    spark.sql("CREATE TABLE brF.ns.t_brmem (id BIGINT)")
+    val e1 = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brF.ns.t_brmem CREATE BRANCH b").collect())
+    assert(e1.getMessage.contains("durable"), e1.getMessage)
+    durableCatalog("brG")
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE brG.ns.`x@y` (id BIGINT)"))
+    assert(e2.getMessage.contains("@"), e2.getMessage)
+    spark.sql("CREATE TABLE brG.ns.t (id BIGINT)")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brG.ns.t CREATE BRANCH audit").collect()
+    val e4 = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brG.ns.t FAST FORWARD TO nope").collect())
+    assert(e4.getMessage.contains("no such branch"), e4.getMessage)
+  }
+}

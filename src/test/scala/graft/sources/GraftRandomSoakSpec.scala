@@ -85,6 +85,13 @@ class GraftRandomSoakSpec extends SparkSpec {
       var specOnV = false
       var widenedW = false
       var widens = 0
+      var branchN = 0
+      var branchDraws = 0
+      // branches left LIVE across later draws: name -> the (id, v)
+      // state frozen at the draw — every later vacuum/replace/restart
+      // must leave it bit-readable (tree-aware retention's contract)
+      val liveBranch =
+        scala.collection.mutable.Map.empty[String, Seq[(Long, String)]]
 
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
@@ -155,11 +162,61 @@ class GraftRandomSoakSpec extends SparkSpec {
             s"WHERE id % $k = $r")
           model.keys.toSeq.filter(_ % k == r)
             .foreach(id => model(id) = (s"u$gen-$id", model(id)._2))
-        } else if (op < 54) { // DELETE a random residue class
+        } else if (op < 50) { // DELETE a random residue class
           val k = 3 + rnd.nextInt(5)
           val r = rnd.nextInt(k)
           spark.sql(s"DELETE FROM $cat.ns.t_$tag WHERE id % $k = $r")
           model.keys.toSeq.filter(_ % k == r).foreach(model.remove)
+        } else if (op < 56 && step > 6) { // named-branch lifecycle (r17):
+          // fork at the head, audit in isolation (insert + delete on
+          // the branch chain), then one of: FAST FORWARD the audited
+          // commits onto main (model adopts them), DROP the branch
+          // (nothing reaches main), or leave it LIVE — a live branch
+          // rides every later vacuum/REPLACE/restart draw, which is
+          // exactly where a tree-retention bug would eat its segments
+          gen += 1; branchN += 1; branchDraws += 1
+          val b = s"br$branchN"
+          // settle queued main-side auto-compactions first: a daemon
+          // commit landing between the fork and the fast-forward would
+          // be genuine divergence (the refusal is correct, the soak
+          // just doesn't want to draw it)
+          assert(GraftAutoCompact.quiesce())
+          GraftMaintenance.sql(spark,
+            s"ALTER TABLE $cat.ns.t_$tag CREATE BRANCH $b").collect()
+          val fresh = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            val id = nextId; nextId += 1; id
+          }
+          val values = fresh.map { id =>
+            if (evolved) s"($id, 'b$gen-$id', ${wLit(id)._1})"
+            else s"($id, 'b$gen-$id')"
+          }.mkString(", ")
+          spark.sql(s"INSERT INTO $cat.ns.`t_$tag@$b` VALUES $values")
+          val k = 4 + rnd.nextInt(4)
+          val r = rnd.nextInt(k)
+          spark.sql(s"DELETE FROM $cat.ns.`t_$tag@$b` WHERE id % $k = $r")
+          assert(GraftAutoCompact.quiesce())
+          rnd.nextInt(3) match {
+            case 0 => // FAST FORWARD: main replays the audited commits
+              val n = GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag FAST FORWARD TO $b")
+                .head().getInt(0)
+              assert(n >= 1,
+                s"[$mode seed=$seed] FF must adopt the audit commits")
+              fresh.foreach(id =>
+                model(id) = (s"b$gen-$id", if (evolved) wLit(id)._2 else None))
+              model.keys.toSeq.filter(_ % k == r).foreach(model.remove)
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
+            case 1 => // DROP: the audit never reaches main
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
+            case _ => // leave LIVE, frozen expectation recorded
+              val expect = (model.toSeq.map { case (id, (v, _)) =>
+                (id, v)
+              } ++ fresh.map(id => (id, s"b$gen-$id")))
+                .filterNot(_._1 % k == r).sortBy(_._1)
+              liveBranch(b) = expect
+          }
         } else if (op < 66) { // MERGE: update some, insert some
           gen += 1
           val hit = model.keys.toSeq
@@ -361,6 +418,17 @@ class GraftRandomSoakSpec extends SparkSpec {
       val fin = s"soak_${tag}_final"
       durableCatalog(fin, wh, isolated = true, logstore)
       check("final vacuum+restart", via = fin)
+      // every branch left live must still read back its frozen state —
+      // through the COLD fold — after all the vacuums, restores and
+      // replaces that ran since its draw
+      liveBranch.foreach { case (b, expect) =>
+        val got = spark.sql(
+          s"SELECT id, v FROM $fin.ns.`t_$tag@$b` ORDER BY id")
+          .as[(Long, String)].collect().toSeq
+        assert(got === expect,
+          s"[$mode seed=$seed] live branch $b lost state: " +
+            s"got=${got.take(12)}… expect=${expect.take(12)}…")
+      }
       val td = tableDir(wh)
       val logVs = {
         import scala.jdk.CollectionConverters._
@@ -374,9 +442,12 @@ class GraftRandomSoakSpec extends SparkSpec {
         s"[$mode seed=$seed] retained log must be gapless: $logVs")
       info(s"[$mode seed=${seed.toHexString}] $steps steps, " +
         s"$replaces REPLACE swap(s), $evolutions spec evolution(s), " +
-        s"$widens widen(s) exercised")
+        s"$widens widen(s), $branchDraws branch draw(s) " +
+        s"(${liveBranch.size} left live) exercised")
       assert(evolutions >= 1,
         s"[$mode seed=$seed] the op space must exercise spec evolution")
+      assert(branchDraws >= 1,
+        s"[$mode seed=$seed] the op space must exercise branches")
     } finally {
       GraftTable.checkpointInterval = savedK
       GraftTable.checkpointPartFiles = savedP
