@@ -119,6 +119,41 @@ object ForkedWriterMain {
         }
         spark.stop()
         sys.exit(0)
+      case "branch" =>
+        // named-branch racer (r17): per id, fork an own-named branch,
+        // audit one insert on it, FAST FORWARD it onto main, drop it.
+        // Two children doing this concurrently make main a contended
+        // fast-forward target: the loser's ancestry check REFUSES
+        // (main moved since its fork) and the child re-forks from the
+        // new head — the optimistic contract for refs. Exactly-once on
+        // main is the assertion: a dropped-and-reforked branch's
+        // audited row must land exactly once.
+        def diverged(e: Throwable): Boolean =
+          e != null && ((e.getMessage != null &&
+            e.getMessage.contains("cannot FAST FORWARD")) ||
+            diverged(e.getCause))
+        val t = s"$cat.ns.$tbl"
+        (fromS.toLong to toS.toLong).foreach { i =>
+          val b = s"b${cat}_$i"
+          var ok = false
+          while (!ok) {
+            retry(60)(GraftMaintenance.sql(spark,
+              s"ALTER TABLE $t CREATE BRANCH $b").collect())
+            retry(60)(spark.sql(
+              s"INSERT INTO $cat.ns.`$tbl@$b` VALUES ($i, 'b-$cat')"))
+            try {
+              retry(60)(GraftMaintenance.sql(spark,
+                s"ALTER TABLE $t FAST FORWARD TO $b").collect())
+              ok = true
+            } catch {
+              case e: Throwable if diverged(e) => () // re-fork and retry
+            }
+            retry(60)(GraftMaintenance.sql(spark,
+              s"ALTER TABLE $t DROP BRANCH $b").collect())
+          }
+        }
+        spark.stop()
+        sys.exit(0)
       case "crash" =>
         val t = spark.sessionState.catalogManager.catalog(cat)
           .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), tbl))

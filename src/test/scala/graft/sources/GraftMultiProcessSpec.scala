@@ -132,6 +132,50 @@ class GraftMultiProcessSpec extends SparkSpec {
     assert(r.getInt(0) === 0 && r.getInt(1) === 8, s"$r")
   }
 
+  test("two forked JVMs fork/write/fast-forward/drop branches on one " +
+      "table concurrently: contended forwards re-fork (the optimistic " +
+      "contract), every audited row lands exactly once, no branch " +
+      "chain survives") {
+    val wh = tmpDir("graft-mp-branch")
+    durableCatalog("mpbw", wh)
+    spark.sql("CREATE TABLE mpbw.ns.mpbt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mpbw.ns.mpbt VALUES (0, 'seed')")
+
+    val (p1, l1) = fork("branch", wh, "bw1", "mpbt", 1L, 8L)
+    val (p2, l2) = fork("branch", wh, "bw2", "mpbt", 101L, 108L)
+    awaitExit(p1, l1, 0)
+    awaitExit(p2, l2, 0)
+
+    // a fresh fold converges on exactly-once adoption of every
+    // fast-forwarded audit row, from both children
+    durableCatalog("mpbr", wh, isolated = true)
+    val ids = spark.sql("SELECT id FROM mpbr.ns.mpbt ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(ids === (0L +: ((1L to 8L) ++ (101L to 108L))).sorted,
+      s"each branch's audited row must land exactly once: $ids")
+    // every branch was dropped: the log dir holds no chain subdirs and
+    // the retained main log is gapless
+    val tableDir = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      .filter(p => java.nio.file.Files.isRegularFile(p.resolve("table.json")))
+      .findFirst().orElseThrow()
+    import scala.jdk.CollectionConverters._
+    val logKids = java.nio.file.Files.list(tableDir.resolve("log"))
+      .iterator().asScala.toSeq
+    assert(!logKids.exists(java.nio.file.Files.isDirectory(_)),
+      s"no branch chain may survive the soak: $logKids")
+    val versions = logKids.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.length == 16)
+      .map(_.stripSuffix(".json").toInt).sorted
+    assert(versions === (versions.min to versions.max),
+      s"commit versions must be gapless: $versions")
+    // the format stamp survives: branches existed, pre-branch engines
+    // must refuse this table even though none is live now
+    val meta = GraftLogCodec.decodeTableMeta(new String(
+      java.nio.file.Files.readAllBytes(tableDir.resolve("table.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert(meta.format === GraftLogCodec.BranchFormat)
+  }
+
   /** The 3-JVM mixed DML/OPTIMIZE soak, parameterized by the
     * [[GraftLogStore]] backend: `local-fs` (hard-link CAS + OS file
     * lock) and `file-cas` (atomic create-new only — the object-store-
