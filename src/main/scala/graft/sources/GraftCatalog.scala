@@ -2656,7 +2656,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * loudly instead of folding (or worse, vacuuming) half a tree.
     * Runs under the MAIN chain's lease so the fork point is one
     * consistent head. Returns the live branch table; the caller
-    * registers it under (ns, t, b). */
+    * registers it under (ns, t, b).
+    *
+    * Stale-handle note (the documented stale-reader hazard, extended
+    * to refs): a FOREIGN process's live handle to a branch that is
+    * DROPPED and RE-CREATED under the same name may alias the new
+    * chain's version numbers onto its old state — like any reader
+    * whose table was vacuumed past it, the remedy is to re-open; the
+    * engine's own store always re-registers the fresh object. */
   private[sources] def forkBranch(branch: String): GraftTable = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: branches need a durable table — create the " +
@@ -2707,6 +2714,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def dropBranchChain(branch: String): Unit = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: not a durable table"))
+    if (d.log.branch.isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableName: DROP BRANCH targets the main table")
     val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
     if (!blog.hasAnyEntry)
       throw new IllegalArgumentException(
@@ -5694,13 +5704,28 @@ object GraftMaintenance {
   // `VACUUM cat_a.ns.t` acting on cat_b's table would be silent
   // cross-warehouse damage
   private def resolve(namespace: Seq[String], table: String,
-                      scope: Option[GraftStoreState] = None): GraftTable =
-    (scope match {
-      case Some(st) => st.tables.get((namespace, table))
-      case None => GraftTableStore.lookup(namespace, table)
-    }).getOrElse(
+                      scope: Option[GraftStoreState] = None): GraftTable = {
+    // branch-addressed maintenance (`OPTIMIZE cat.ns.t@audit`,
+    // `VACUUM …`, `DESCRIBE HISTORY …`): the branch chain is its own
+    // maintenance domain — compaction/retention on it never touches
+    // main's chain, and the tree union still protects shared segments
+    val at = table.indexOf('@')
+    val found =
+      if (at > 0) {
+        val key = (namespace, table.substring(0, at), table.substring(at + 1))
+        scope match {
+          case Some(st) => st.branchTables.get(key)
+          case None => GraftTableStore.allStores.iterator
+            .flatMap(_.branchTables.get(key)).nextOption()
+        }
+      } else scope match {
+        case Some(st) => st.tables.get((namespace, table))
+        case None => GraftTableStore.lookup(namespace, table)
+      }
+    found.getOrElse(
       throw new NoSuchTableException(
         Identifier.of(namespace.toArray, table)))
+  }
 
   def optimize(namespace: Seq[String], table: String,
                targetRows: Int = 1 << 20,

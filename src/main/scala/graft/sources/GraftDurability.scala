@@ -600,10 +600,14 @@ private[sources] final class GraftTableLog(val dir: Path,
     // sweep is pure reclaim. Age-gated like data orphans so a LIVE
     // foreign process's in-flight stage is never eaten; explicit VACUUM
     // (minAge 0) sweeps immediately, with the same RETAIN-0 sharp edge.
+    // MAIN-chain reclaims only: stages belong to main's REPLACE
+    // protocol, and a branch's RETAIN-0 vacuum must not widen the sharp
+    // edge to ops it does not own (a branch sweeping main's in-flight
+    // stage would abort main's REPLACE from outside its lease).
     // Files delete THROUGH the store: the staged log's entries were
     // CAS'd under these names and a conditional-put backend must free
     // them.
-    {
+    if (branch.isEmpty) {
       val cutoff = System.currentTimeMillis() - minAgeMillis
       val s = Files.list(dir)
       try {

@@ -59,33 +59,33 @@ class GraftSqlParser(delegate: ParserInterface,
 
 object GraftSqlParser {
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.@`]+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
   private val Reorg =
-    """(?is)\s*REORG\s+TABLE\s+([\w.`]+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+    """(?is)\s*REORG\s+TABLE\s+([\w.@`]+?)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.@`]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.@`]+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.@`]+?)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.@`]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w,`\s]+?)|\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.@`]+?)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+([\w,`\s]+?)|\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
   private val EvolvePartitioning =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   private val DescribeHistory =
-    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+?)\s*;?\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.@`]+?)\s*;?\s*""".r
   private val DescribeDetail =
-    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+?)\s*;?\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.@`]+?)\s*;?\s*""".r
   private val ShowPartitions =
-    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+?)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.@`]+?)\s*;?\s*""".r
   private val CopyInto =
-    """(?is)\s*COPY\s+INTO\s+([\w.`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([\w.@`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
   private val CreateBranch =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val DropBranch =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val FastForward =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the

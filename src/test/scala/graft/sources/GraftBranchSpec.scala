@@ -229,6 +229,41 @@ class GraftBranchSpec extends SparkSpec {
       s"the tail must deliver BOTH adopted commits, per version: $got")
   }
 
+  test("branch-addressed maintenance: OPTIMIZE, VACUUM and DESCRIBE " +
+      "HISTORY act on the branch chain only; main's layout is untouched") {
+    durableCatalog("brH")
+    spark.sql("CREATE TABLE brH.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brH.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brH.ns.t CREATE BRANCH audit").collect()
+    (2 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO brH.ns.`t@audit` VALUES ($i,'b$i')"))
+    val st = spark.sessionState.catalogManager.catalog("brH")
+      .asInstanceOf[GraftCatalog].store
+    val mainFiles = st.tables((Seq("ns"), "t")).dataFiles.length
+    val r = GraftMaintenance.sql(spark, "OPTIMIZE brH.ns.t@audit").head()
+    assert(r.getInt(1) < r.getInt(0),
+      s"the branch chain must compact: $r")
+    assert(st.tables((Seq("ns"), "t")).dataFiles.length === mainFiles,
+      "a branch OPTIMIZE must never touch main's layout")
+    val ops = GraftMaintenance.sql(spark,
+      "DESCRIBE HISTORY brH.ns.t@audit")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.head === "OPTIMIZE" && ops.last === "CREATE BRANCH",
+      s"newest-first branch history: $ops")
+    val retired = GraftMaintenance.sql(spark,
+      "VACUUM brH.ns.t@audit RETAIN 1 SNAPSHOTS").head().getInt(0)
+    assert(retired >= 1, "branch retention is the branch's own")
+    assert(rows("brH.ns.`t@audit`") ===
+      (1 to 5).map(i => (i.toLong, if (i == 1) "a" else s"b$i")))
+    assert(rows("brH.ns.t") === Seq((1L, "a")),
+      "main reads its own state throughout")
+    // branch-addressed branch DDL refuses with the main-table remedy
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brH.ns.t@audit CREATE BRANCH b2").collect())
+    assert(e.getMessage.contains("main"), e.getMessage)
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {
