@@ -264,6 +264,57 @@ class GraftBranchSpec extends SparkSpec {
     assert(e.getMessage.contains("main"), e.getMessage)
   }
 
+  test("branch-addressed streaming: a checkpointed tail on the BRANCH's " +
+      "own change feed delivers its audited commits and never main's; " +
+      "writeStream lands on the branch chain only") {
+    durableCatalog("brS")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-brS-ckpt").toString
+    spark.sql("CREATE TABLE brS.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brS.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brS.ns.t CREATE BRANCH audit").collect()
+    def drain(): Seq[(String, Long)] = {
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Long)]())
+      val q = spark.readStream.table("brS.ns.`t@audit$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_change_type", "id")
+            .as[(String, Long)].collect().foreach(got.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    // the fork snapshot is NOT a change: the branch's feed starts
+    // empty (pre-fork change history belongs to main's feed)
+    assert(drain().isEmpty)
+    // audited commits arrive on the branch's feed; main commits do NOT
+    spark.sql("INSERT INTO brS.ns.`t@audit` VALUES (2,'b')")
+    spark.sql("INSERT INTO brS.ns.t VALUES (99,'z')")
+    assert(drain().toSet === Set(("insert", 2L)),
+      "main's commits must never appear on the branch's feed")
+    // streaming WRITE addressed at the branch: rows land on its chain
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val wq = mem.toDF().toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-brS-wr").toString)
+      .toTable("brS.ns.`t@audit`")
+    mem.addData((3L, "c"))
+    wq.processAllAvailable()
+    wq.stop()
+    assert(rows("brS.ns.`t@audit`") ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows("brS.ns.t") === Seq((1L, "a"), (99L, "z")),
+      "a streaming write to the branch must never reach main")
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {
