@@ -5844,6 +5844,15 @@ object GraftMaintenance {
                  dstNamespace: Seq[String], dst: String,
                  version: Option[Int] = None,
                  scope: Option[GraftStoreState] = None): Int = {
+    // cloning FROM a branch head is ordinary (the branch resolves like
+    // any source; shared-segment retention has the same documented
+    // shallow-clone hazard); a branch-ADDRESSED destination is not a
+    // creatable table — write to the branch directly, or FAST FORWARD
+    if (dst.contains('@'))
+      throw new IllegalArgumentException(
+        s"cannot clone onto '$dst': a branch is not a clone " +
+          "destination — write to the branch directly (INSERT INTO " +
+          "`t@b`), or FAST FORWARD main to it")
     val s = resolve(srcNamespace, src, scope)
     val (schema, fs, fsDvs) = s.stateAt(version,
       Identifier.of(srcNamespace.toArray, src))

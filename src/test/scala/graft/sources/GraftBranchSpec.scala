@@ -315,6 +315,26 @@ class GraftBranchSpec extends SparkSpec {
       "a streaming write to the branch must never reach main")
   }
 
+  test("cloning FROM a branch head adopts its state; a branch-addressed " +
+      "clone DESTINATION refuses with the write-directly remedy") {
+    durableCatalog("brK")
+    spark.sql("CREATE TABLE brK.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brK.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brK.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brK.ns.`t@audit` VALUES (2,'b')")
+    GraftMaintenance.sql(spark,
+      "CREATE TABLE brK.ns.snap SHALLOW CLONE brK.ns.t@audit").collect()
+    assert(rows("brK.ns.snap") === Seq((1L, "a"), (2L, "b")),
+      "the clone adopts the branch head's state")
+    // the clone is independent of later branch commits
+    spark.sql("INSERT INTO brK.ns.`t@audit` VALUES (3,'c')")
+    assert(rows("brK.ns.snap") === Seq((1L, "a"), (2L, "b")))
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "CREATE TABLE brK.ns.t@b2 SHALLOW CLONE brK.ns.t").collect())
+    assert(e.getMessage.contains("branch"), e.getMessage)
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {
