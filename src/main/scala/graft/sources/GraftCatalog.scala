@@ -711,6 +711,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         .NoSuchFunctionException(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // same reservations as createTable: a renamed-in '@' or '$' would
+    // make the table permanently unloadable (resolution diverts those
+    // names to branches / metadata tables before the store lookup)
+    if (newIdent.name().contains('$') || newIdent.name().contains('@'))
+      throw new IllegalArgumentException(
+        s"table name ${newIdent.name()} may not contain '$$' or '@' " +
+          "(reserved for metadata-table suffixes and branch addressing " +
+          "— such a table could never be loaded)")
     val t = store.tables.getOrElse(key(oldIdent),
       throw new NoSuchTableException(oldIdent))
     // move the SAME object (a copy would detach in-flight writes whose
@@ -750,10 +758,12 @@ final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
   val branchTables: TrieMap[(Seq[String], String, String), GraftTable] =
     TrieMap.empty
 
-  /** Table dirs this engine SKIPPED at warehouse open because a newer
-    * engine stamped them (format above ours): dir name → the refusal.
-    * The warehouse's healthy tables stay served; a direct load of a
-    * skipped table still fails loudly with the recorded message. */
+  /** Chains this engine SKIPPED at warehouse open — a table dir a
+    * NEWER engine stamped (format above ours), or a branch chain that
+    * failed to fold (a crashed DROP BRANCH remnant): dir name (or
+    * `dir@branch`) → the refusal. The warehouse's healthy tables and
+    * branches stay served; a direct load of a skipped chain still
+    * fails loudly with the recorded message. */
   val skippedNewerFormat: TrieMap[String, String] = TrieMap.empty
 }
 
@@ -2360,6 +2370,54 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * automatic per-commit slide just rides the periodic checkpoints —
     * its floor trails the base by < checkpointInterval entries, never
     * paying an O(files) checkpoint write per commit. */
+  /** Tree-aware retention's SIBLING UNION: every other live chain over
+    * this table dir — main's and each branch's — contributes its
+    * referenced refs (dir-relative, "data/…") so no chain's sweep can
+    * free another's segments. Collected LEASELESS from disk (a
+    * superset of each sibling's live set —
+    * [[GraftTableLog.allReferencedRefs]]): no cross-chain lease is
+    * ever taken (no lock-order cycle between two chains reclaiming
+    * concurrently) and a branch another PROCESS created is seen
+    * without loading it. Cached per sibling on (chain identity, head
+    * version) — an IDLE sibling costs one name listing + one stat per
+    * slide instead of a full log re-parse; a stale hit is a safe
+    * superset (entries are immutable, a sibling's own reclaim only
+    * shrinks its set). Free for branch-less main chains: one
+    * directory listing. */
+  private def siblingLiveRefs(d: GraftTableDurability): Set[String] = {
+    val branches = d.log.listBranches
+    if (branches.isEmpty && d.log.branch.isEmpty) return Set.empty
+    val siblings: Seq[Option[String]] =
+      (branches.map(Option(_)) ++
+        (if (d.log.branch.isDefined) Seq(None) else Nil))
+        .filterNot(_ == d.log.branch)
+    siblings.iterator.flatMap { b =>
+      val key = b.getOrElse("")
+      val slog = new GraftTableLog(d.log.dir, d.log.store, b)
+      val vs = slog.listEntryVersions
+      if (vs.isEmpty) { d.siblingRefCache.remove(key); Iterator.empty }
+      else {
+        def stat(f: java.nio.file.Path => Long): Long =
+          try f(slog.entryPath(vs.head))
+          catch { case _: java.io.IOException => -1L }
+        val identity = (vs.head,
+          stat(p => java.nio.file.Files.getLastModifiedTime(p).toMillis),
+          stat(java.nio.file.Files.size))
+        val head = vs.last
+        val refs = d.siblingRefCache.get(key) match {
+          case Some((cid, chead, set))
+              if cid == identity && chead == head => set
+          case _ =>
+            val fresh = slog.allReferencedRefs
+              .filter(r => !java.nio.file.Paths.get(r).isAbsolute)
+            d.siblingRefCache.put(key, (identity, head, fresh))
+            fresh
+        }
+        refs.iterator
+      }
+    }.toSet
+  }
+
   private def reclaimDurable(d: GraftTableDurability,
                              minAgeMillis: Long = 0L): Unit = {
     val live = scala.collection.mutable.Set.empty[String]
@@ -2374,22 +2432,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // TREE-AWARE retention, union built FIRST: every OTHER live chain
     // over this table dir — main's and every branch's — pins its
     // referenced segments before this chain's sweep decides what is
-    // unreferenced. Collected LEASELESS from disk (a superset of each
-    // sibling's live set — GraftTableLog.allReferencedRefs), so no
-    // cross-chain lease is ever taken (no lock-order cycle between two
-    // chains reclaiming concurrently) and a branch another PROCESS
-    // created is seen without loading it. Free for branch-less tables:
-    // one directory listing.
-    locally {
-      val siblings = d.log.listBranches.map(Option(_)) ++
-        (if (d.log.branch.isDefined) Seq(None) else Nil)
-      siblings.filterNot(_ == d.log.branch).foreach { b =>
-        new GraftTableLog(d.log.dir, d.log.store, b).allReferencedRefs
-          .foreach { r =>
-            if (!java.nio.file.Paths.get(r).isAbsolute) live += r
-          }
-      }
-    }
+    // unreferenced (see [[siblingLiveRefs]]).
+    siblingLiveRefs(d).foreach(live += _)
     val base = history.head.version
     val anchorsNow = d.anchors ++ d.log.listCheckpointVersions
     var floor = anchorsNow.rangeTo(base).lastOption.getOrElse(0)
@@ -3194,16 +3238,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
           files.foreach(add)
           // sibling chains pin their segments here too, or the dry run
           // would over-report what a tree-aware reclaim actually frees
-          locally {
-            val siblings = d.log.listBranches.map(Option(_)) ++
-              (if (d.log.branch.isDefined) Seq(None) else Nil)
-            siblings.filterNot(_ == d.log.branch).foreach { b =>
-              new GraftTableLog(d.log.dir, d.log.store, b).allReferencedRefs
-                .foreach { r =>
-                  if (r.startsWith("data/")) live += r.stripPrefix("data/")
-                }
-            }
-          }
+          // (this census keys by bare file name, hence the strip)
+          siblingLiveRefs(d).foreach(r => live += r.stripPrefix("data/"))
           var nSeg = 0
           var bytes = 0L
           if (java.nio.file.Files.isDirectory(d.log.dataDir)) {

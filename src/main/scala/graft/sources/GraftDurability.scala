@@ -63,6 +63,18 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
   }
 
   def addAnchor(v: Int): Unit = { anchorSet.updateAndGet(_ + v); () }
+
+  /** Per-SIBLING-chain referenced-ref cache for tree-aware retention:
+    * chain key ("" = main, else the branch name) → (chain identity
+    * (first entry's version/mtime/size — a dropped-and-recreated chain
+    * under the same name changes it), head version, dir-relative
+    * refs). A cache hit costs one name listing + one stat instead of
+    * re-parsing the sibling's whole retained log per retention slide;
+    * staleness is SAFE by construction — entries are immutable and a
+    * sibling's own reclaim only shrinks its set, so a stale entry is a
+    * superset that merely retains more. */
+  val siblingRefCache: TrieMap[String, ((Int, Long, Long), Int, Set[String])] =
+    TrieMap.empty
 }
 
 /** One lazily-loadable parquet segment: the durable body of a
@@ -378,7 +390,13 @@ private[sources] final class GraftTableLog(val dir: Path,
   def destroyBranch(): Unit = {
     require(branch.isDefined, "destroyBranch on the main chain")
     import scala.jdk.CollectionConverters._
-    Seq(ckptDir, logDir).foreach { p =>
+    // LOG FIRST: branch discovery and "does this branch exist" are both
+    // entry-name listings under log/<b>/, so a crash mid-destroy leaves
+    // at worst an undiscoverable chain remnant (orphan checkpoints /
+    // lease file — pure garbage, re-swept by a later DROP of the same
+    // name), never a discoverable chain whose anchors are already gone
+    // (ckpt-first would brick the fold of a half-dead branch)
+    Seq(logDir, ckptDir).foreach { p =>
       if (Files.exists(p)) {
         val walk = Files.walk(p)
         try walk.iterator().asScala.toSeq.reverse.foreach(store.delete)
@@ -1477,11 +1495,22 @@ private[sources] object GraftDurableLoader {
             // half-created branch (crash between dir init and the
             // creation entry's CAS) has no entries and is skipped —
             // like an aborted table create, it must not fail the
-            // healthy tree.
+            // healthy tree. A chain that HAS entries but cannot fold
+            // (a crashed DROP BRANCH's remnant — gapped log, missing
+            // anchors) skips PER BRANCH with the refusal recorded:
+            // one broken branch must never take down the table, let
+            // alone the warehouse.
             new GraftTableLog(dir, logStore).listBranches.foreach { b =>
               if (new GraftTableLog(dir, logStore, Some(b)).hasAnyEntry)
-                store.branchTables.put((meta.namespace, meta.name, b),
+                try store.branchTables.put((meta.namespace, meta.name, b),
                   loadTable(dir, logStore, Some(b)))
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    store.skippedNewerFormat.put(
+                      s"${dir.getFileName}@$b",
+                      s"branch '$b' failed to load (likely a crashed " +
+                        s"DROP BRANCH remnant): ${e.getMessage}")
+                }
             }
           } catch {
             // a table stamped by a NEWER engine refuses per TABLE, not

@@ -315,6 +315,40 @@ class GraftBranchSpec extends SparkSpec {
       "a streaming write to the branch must never reach main")
   }
 
+  test("a crashed DROP BRANCH's remnant chain skips PER BRANCH at " +
+      "warehouse open: the table and its healthy branches stay served, " +
+      "the refusal is recorded") {
+    val wh = durableCatalog("brX")
+    spark.sql("CREATE TABLE brX.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brX.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brX.ns.t CREATE BRANCH dead").collect()
+    spark.sql("INSERT INTO brX.ns.`t@dead` VALUES (2,'b')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brX.ns.t CREATE BRANCH alive").collect()
+    // simulate the crash window: the fork identity sidecar is gone but
+    // entries remain (a DROP died mid-walk of log/<dead>/)
+    val tdir = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => java.nio.file.Files
+          .isRegularFile(p.resolve("table.json"))).toSeq.head
+      } finally s.close()
+    }
+    java.nio.file.Files.delete(
+      tdir.resolve("log").resolve("dead").resolve("_branch.json"))
+    reopen("brX2", wh)
+    assert(rows("brX2.ns.t") === Seq((1L, "a")), "the table stays served")
+    assert(rows("brX2.ns.`t@alive`") === Seq((1L, "a")),
+      "healthy branches stay served")
+    intercept[Exception](spark.table("brX2.ns.`t@dead`").collect())
+    val st = spark.sessionState.catalogManager.catalog("brX2")
+      .asInstanceOf[GraftCatalog].store
+    assert(st.skippedNewerFormat.keys.exists(_.endsWith("@dead")),
+      s"the skip must be recorded: ${st.skippedNewerFormat}")
+  }
+
   test("cloning FROM a branch head adopts its state; a branch-addressed " +
       "clone DESTINATION refuses with the write-directly remedy") {
     durableCatalog("brK")
