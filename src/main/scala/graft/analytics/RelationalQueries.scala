@@ -2696,6 +2696,37 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- t$branches (round 17, Iceberg's `refs` metadata table):
+    // one row per live branch — name, fork version, head version —
+    // straight off the log layout, no chain folded. Deterministic by
+    // construction, so the oracle states the expected refs literally.
+    Q("s68_branch_refs", "S-branch,S-introspect,DDL-alter",
+      """SELECT * FROM (VALUES ('audit', 1, 3), ('rc', 1, 1))
+        |AS t(branch, fork_version, head_version)
+        |ORDER BY branch""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s68").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gbf_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH audit").collect()
+      nat.where(col("k") < 3).select(col("k") + 100, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append()
+      nat.where(col("k") < 2).select(col("k") + 200, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH rc").collect()
+      s.table(s"$w.ns.`prod$$branches`")
+        .select("branch", "fork_version", "head_version")
+        .orderBy("branch")
+    },
+
     // ----- t$partitions (round 16, Iceberg's partitions metadata
     // table): the per-group census over SQL — stored rows AND live rows
     // (a merge-on-read DELETE's delete vectors subtract without

@@ -246,6 +246,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         case "history" => base.historyMetaTable
         case "changes" => base.changesMetaTable
         case "detail" => base.detailMetaTable
+        case "branches" => base.branchesMetaTable
         case other => throw new NoSuchTableException(ident)
       }
     }
@@ -301,7 +302,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       entry: () => CommitEntry, base: GraftTable): Table = suffix match {
     case "files" => base.filesMetaTableAt(entry())
     case "partitions" => base.partitionsMetaTableAt(entry())
-    case "history" | "changes" | "detail" =>
+    case "history" | "changes" | "detail" | "branches" =>
       throw new UnsupportedOperationException(
         s"$ident does not support time travel: the $suffix relation " +
           "already spans the retained log — filter it (e.g. WHERE " +
@@ -3477,6 +3478,43 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }.toArray
     new GraftSnapshotTable(s"$tableName$$history", schema,
       Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
+  /** `SELECT * FROM t$branches` — Iceberg's `refs` metadata table: one
+    * row per live branch chain, straight off the log LAYOUT (a name
+    * listing + the fork sidecar + one head-entry ts parse — no chain
+    * is folded): branch name, the main-chain version it forked at, its
+    * current head version and the head commit's timestamp. The same
+    * tree from any chain (`t@audit$branches` ≡ `t$branches`); empty on
+    * branch-less or in-JVM tables. A half-created branch (no entries)
+    * is invisible, like everywhere else. */
+  private[sources] def branchesMetaTable: GraftSnapshotTable = {
+    val schema = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", IntegerType, nullable = false),
+      StructField("head_version", IntegerType, nullable = false),
+      StructField("head_timestamp_micros", LongType, nullable = false)))
+    val rows: Array[InternalRow] = durable match {
+      case None => Array.empty
+      case Some(d) =>
+        d.log.listBranches.flatMap { b =>
+          val blog = new GraftTableLog(d.log.dir, d.log.store, Some(b))
+          val vs = blog.listEntryVersions
+          if (vs.isEmpty) None
+          else try {
+            val fork = blog.readBranchMeta()
+            Some(new GenericInternalRow(Array[Any](
+              utf8(b), fork, vs.last, blog.entryTs(vs.last))): InternalRow)
+          } catch {
+            // a crashed DROP's remnant chain: introspection skips it
+            // (the loader records the refusal; reads of it fail loudly)
+            case scala.util.control.NonFatal(_) => None
+          }
+        }.toArray
+    }
+    new GraftSnapshotTable(s"$tableName$$branches", schema,
+      if (rows.isEmpty) Vector.empty
+      else Vector(GraftDataFile.build(rows, schema, None)))
   }
 
   /** `SELECT * FROM t$changes`: the CHANGE DATA FEED — per retained

@@ -374,6 +374,16 @@ private[sources] final class GraftTableLog(val dir: Path,
     ()
   }
 
+  /** The `ts` field of entry `v` — one-entry introspection (the refs
+    * metadata table's head timestamp), no fold. */
+  def entryTs(v: Int): Long =
+    JsonMethods.parse(new String(Files.readAllBytes(entryPath(v)), UTF_8))
+      .asInstanceOf[JObject].obj.toMap.apply("ts") match {
+      case JInt(b) => b.toLong
+      case JLong(l) => l
+      case other => throw new IllegalStateException(s"bad ts: $other")
+    }
+
   def readBranchMeta(): Int =
     JsonMethods.parse(new String(Files.readAllBytes(branchMetaPath), UTF_8))
       .asInstanceOf[JObject].obj.toMap.apply("forkVersion") match {

@@ -97,6 +97,19 @@ class GraftBranchSpec extends SparkSpec {
       .branchTables((Seq("ns"), "t", "audit"))
     assert(bt.branchMeta === Some(("audit", 1)),
       s"fork identity must survive the fold: ${bt.branchMeta}")
+    // the refs table serves the same tree from either chain, restarted
+    val refs = spark.table("brB2.ns.`t$branches`")
+      .select("branch", "fork_version", "head_version")
+      .as[(String, Int, Int)].collect().toSeq
+    assert(refs === Seq(("audit", 1, 2)), refs.toString)
+    assert(spark.table("brB2.ns.`t@audit$branches`")
+      .select("branch", "fork_version", "head_version")
+      .as[(String, Int, Int)].collect().toSeq === refs,
+      "t@audit$branches must show the same tree")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM brB2.ns.`t$branches` VERSION AS OF 1")
+        .collect())
+    assert(e.getMessage.contains("time travel"), e.getMessage)
   }
 
   test("tree-aware retention: vacuum under a live branch keeps the " +
