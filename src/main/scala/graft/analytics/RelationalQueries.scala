@@ -2697,13 +2697,23 @@ object RelationalQueries {
     },
 
     // ----- t$branches (round 17, Iceberg's `refs` metadata table):
-    // one row per live branch — name, fork version, head version —
-    // straight off the log layout, no chain folded. Deterministic by
+    // one row per live ref — branches (fork + head versions) AND tags
+    // (immutable pins: fork == head == the tagged version) — straight
+    // off the log layout, no chain folded. Deterministic by
     // construction, so the oracle states the expected refs literally.
-    Q("s68_branch_refs", "S-branch,S-introspect,DDL-alter",
-      """SELECT * FROM (VALUES ('audit', 1, 3), ('rc', 1, 1))
-        |AS t(branch, fork_version, head_version)
-        |ORDER BY branch""".stripMargin) { (s, dir) =>
+    // The tag row also proves the `t@name` read surface: the probe
+    // reads the TAGGED snapshot back and its census must equal the
+    // pre-append state even though main has moved on.
+    Q("s68_branch_refs", "S-branch,S-tag,S-introspect,DDL-alter",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+        |SELECT * FROM (
+        |  SELECT 'audit' AS name, 'branch' AS kind, 1 AS fork_version,
+        |    3 AS head_version, c + 5 AS ref_rows FROM n
+        |  UNION ALL
+        |  SELECT 'rc', 'branch', 1, 1, c FROM n
+        |  UNION ALL
+        |  SELECT 'v1', 'tag', 1, 1, c FROM n)
+        |ORDER BY name""".stripMargin) { (s, dir) =>
       val wh = java.nio.file.Files.createTempDirectory("graft-s68").toString
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val w = s"gbf_$tag"
@@ -2715,6 +2725,8 @@ object RelationalQueries {
           col("n_name").as("name"))
       nat.writeTo(s"$w.ns.prod").create()
       graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE TAG v1").collect()
+      graft.sources.GraftMaintenance.sql(s,
         s"ALTER TABLE $w.ns.prod CREATE BRANCH audit").collect()
       nat.where(col("k") < 3).select(col("k") + 100, col("name"))
         .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append()
@@ -2722,9 +2734,18 @@ object RelationalQueries {
         .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append()
       graft.sources.GraftMaintenance.sql(s,
         s"ALTER TABLE $w.ns.prod CREATE BRANCH rc").collect()
+      // per-ref row count: branches read their heads, the tag reads
+      // its pinned snapshot (NOT main's current state)
+      val refRows = Map(
+        "audit" -> s.table(s"$w.ns.`prod@audit`").count(),
+        "rc" -> s.table(s"$w.ns.`prod@rc`").count(),
+        "v1" -> s.table(s"$w.ns.`prod@v1`").count())
+      import s.implicits._
+      val cnt = refRows.toSeq.toDF("name", "ref_rows")
       s.table(s"$w.ns.`prod$$branches`")
-        .select("branch", "fork_version", "head_version")
-        .orderBy("branch")
+        .select("name", "kind", "fork_version", "head_version")
+        .join(cnt, "name")
+        .orderBy("name")
     },
 
     // ----- t$partitions (round 16, Iceberg's partitions metadata

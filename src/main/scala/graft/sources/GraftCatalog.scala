@@ -252,7 +252,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
     resolveName(ident.namespace().toSeq, n) match {
       case Some(t) => t
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // `t@name` that is not a branch may be a TAG: an immutable,
+        // read-only snapshot decoded from its own census (writes fail
+        // naturally — the snapshot table has no write capability)
+        val at = n.indexOf('@')
+        if (at > 0)
+          store.tables.get((ident.namespace().toSeq, n.substring(0, at)))
+            .flatMap(_.tagSnapshot(n.substring(at + 1)))
+            .getOrElse(throw new NoSuchTableException(ident))
+        else throw new NoSuchTableException(ident)
     }
   }
 
@@ -2383,16 +2392,38 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * version) — an IDLE sibling costs one name listing + one stat per
     * slide instead of a full log re-parse; a stale hit is a safe
     * superset (entries are immutable, a sibling's own reclaim only
-    * shrinks its set). Free for branch-less main chains: one
-    * directory listing. */
-  private def siblingLiveRefs(d: GraftTableDurability): Set[String] = {
+    * shrinks its set). TAGS pin the same way: every tag's census joins
+    * the union (immutable → refs cache forever; a name no longer
+    * listed evicts). Free for ref-less main chains: two directory
+    * checks. */
+  private def pinnedLiveRefs(d: GraftTableDurability): Set[String] = {
     val branches = d.log.listBranches
-    if (branches.isEmpty && d.log.branch.isEmpty) return Set.empty
+    val tags = d.log.listTags
+    if (branches.isEmpty && tags.isEmpty && d.log.branch.isEmpty)
+      return Set.empty
+    val tagRefs: Iterator[String] = {
+      d.tagRefCache.keys.filterNot(tags.contains)
+        .foreach(d.tagRefCache.remove)
+      tags.iterator.flatMap { n =>
+        d.tagRefCache.get(n) match {
+          case Some(r) => r
+          case None =>
+            // never cache a FAILED read as empty — a transient error
+            // must not turn a live tag's pin into a no-op forever
+            try {
+              val r = d.log.refsOfEntryJson(d.log.readTag(n))
+                .filter(x => !java.nio.file.Paths.get(x).isAbsolute)
+              d.tagRefCache.put(n, r)
+              r
+            } catch { case _: java.io.IOException => Set.empty[String] }
+        }
+      }
+    }
     val siblings: Seq[Option[String]] =
       (branches.map(Option(_)) ++
         (if (d.log.branch.isDefined) Seq(None) else Nil))
         .filterNot(_ == d.log.branch)
-    siblings.iterator.flatMap { b =>
+    (tagRefs ++ siblings.iterator.flatMap { b =>
       val key = b.getOrElse("")
       val slog = new GraftTableLog(d.log.dir, d.log.store, b)
       val vs = slog.listEntryVersions
@@ -2416,7 +2447,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         }
         refs.iterator
       }
-    }.toSet
+    }).toSet
   }
 
   private def reclaimDurable(d: GraftTableDurability,
@@ -2433,8 +2464,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // TREE-AWARE retention, union built FIRST: every OTHER live chain
     // over this table dir — main's and every branch's — pins its
     // referenced segments before this chain's sweep decides what is
-    // unreferenced (see [[siblingLiveRefs]]).
-    siblingLiveRefs(d).foreach(live += _)
+    // unreferenced (see [[pinnedLiveRefs]]).
+    pinnedLiveRefs(d).foreach(live += _)
     val base = history.head.version
     val anchorsNow = d.anchors ++ d.log.listCheckpointVersions
     var floor = anchorsNow.rangeTo(base).lastOption.getOrElse(0)
@@ -2725,14 +2756,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (blog.hasAnyEntry)
       throw new IllegalArgumentException(
         s"$tableName: branch '$branch' already exists")
-    // format stamp FIRST (before the creation CAS): once any branch
-    // can exist, pre-branch engines must refuse. A stamp whose CAS
+    // refs share one `t@name` namespace: a branch must not shadow a tag
+    if (java.nio.file.Files.exists(d.log.tagPath(branch)))
+      throw new IllegalArgumentException(
+        s"$tableName: a tag named '$branch' already exists")
+    // format stamp FIRST (before the creation CAS): once any ref
+    // can exist, pre-ref engines must refuse. A stamp whose CAS
     // then loses is merely conservative, never unsafe.
-    val meta = GraftLogCodec.decodeTableMeta(d.log.readTableMeta())
-    if (meta.format < GraftLogCodec.BranchFormat)
-      d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(meta.namespace,
-        meta.name, meta.displayName, meta.partitionCols,
-        meta.rowLevelMode, meta.bucketSpec, GraftLogCodec.BranchFormat))
+    stampRefFormat(d)
     blog.init()
     val v = history.last.version
     blog.writeBranchMeta(v)
@@ -2750,6 +2781,99 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$tableName: branch '$branch' already exists")
     GraftDurableLoader.loadTable(d.log.dir, d.log.store, Some(branch))
   }
+
+  /** Stamp table.json to the ref format generation (3) if still below
+    * it: once any branch or tag can exist, an engine that does not
+    * honor ref pins must refuse the whole table (its vacuum would eat
+    * ref-pinned segments silently). */
+  private def stampRefFormat(d: GraftTableDurability): Unit = {
+    val meta = GraftLogCodec.decodeTableMeta(d.log.readTableMeta())
+    if (meta.format < GraftLogCodec.BranchFormat)
+      d.log.writeTableMeta(GraftLogCodec.encodeTableMeta(meta.namespace,
+        meta.name, meta.displayName, meta.partitionCols,
+        meta.rowLevelMode, meta.bucketSpec, GraftLogCodec.BranchFormat))
+  }
+
+  // ---- tags (Iceberg's immutable refs) --------------------------------
+
+  /** `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` — a named,
+    * IMMUTABLE, retention-pinned snapshot: the tagged state's complete
+    * census serializes as ONE self-contained full-entry JSON under
+    * `tags/<name>.json` (layout embedded), so the tag outlives log
+    * retention of the version it named and `t@name` reads decode it
+    * without folding any chain. Every chain's reclaim unions tag refs
+    * into its live set (see [[pinnedLiveRefs]]) — vacuum keeps a
+    * tagged snapshot's segments for as long as the tag lives. Tags on
+    * a BRANCH table pin that branch's state (the namespace is
+    * table-level). Returns the tagged version. */
+  private[sources] def createTag(tag: String,
+      version: Option[Int], ident: Identifier): Int = mutate {
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: tags need a durable table — create the catalog " +
+        "with a `warehouse` and recreate the table there"))
+    if (!tag.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") || tag == "main")
+      throw new IllegalArgumentException(
+        s"invalid tag name '$tag' (letters, digits, _ . - ; " +
+          "must not be 'main')")
+    if (new GraftTableLog(d.log.dir, d.log.store, Some(tag)).hasAnyEntry)
+      throw new IllegalArgumentException(
+        s"$tableName: a branch named '$tag' already exists")
+    stampRefFormat(d)
+    val e0 = version.map(v => entryAt(v, ident)).getOrElse(history.last)
+    // a tag is a STATE snapshot, not a change record: the commit's CDC
+    // vectors stay behind (pinning them would retain change files no
+    // read of the tag can ever serve)
+    val e = e0.copy(added = Vector.empty, removed = Vector.empty,
+      operation = GraftTable.CreateTagOp,
+      params = Map("version" -> e0.version.toString))
+    val (pcV, bsV) = layoutAt(e0.version)
+    val json = GraftLogCodec.encodeEntry(e, pcV, bsV, d.log.dir,
+      Map.empty, nextFieldId, Map.empty,
+      layout = Some((pcV, bsV, rowLevelMode)))
+    if (!d.log.writeTag(tag, json))
+      throw new IllegalArgumentException(
+        s"$tableName: tag '$tag' already exists")
+    e0.version
+  }
+
+  /** `ALTER TABLE t DROP TAG name`: the pin releases; the snapshot's
+    * unshared segments fall to the next reclaim. */
+  private[sources] def dropTag(tag: String): Unit = mutate {
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: not a durable table"))
+    if (!java.nio.file.Files.exists(d.log.tagPath(tag)))
+      throw new IllegalArgumentException(
+        s"$tableName: no such tag '$tag'")
+    d.log.deleteTag(tag)
+    d.tagRefCache.remove(tag)
+    d.tagSnapshotCache.remove(tag)
+    ()
+  }
+
+  /** The `t@<tag>` read surface: decode the tag's self-contained
+    * census into a read-only snapshot (cached — tags are immutable).
+    * Decodes with a FRESH registry: a tag may predate a partition
+    * evolution, and letting its old group keys re-bind the LIVE
+    * chain's registry objects would hand later folds stale identities.
+    * None when no such tag exists. */
+  private[sources] def tagSnapshot(tag: String): Option[GraftSnapshotTable] =
+    durable.flatMap { d =>
+      d.tagSnapshotCache.get(tag) match {
+        case Some(t) => Some(t.asInstanceOf[GraftSnapshotTable])
+        case None =>
+          if (!java.nio.file.Files.exists(d.log.tagPath(tag))) None
+          else {
+            val dec = GraftLogCodec.decodeEntry(d.log.readTag(tag),
+              partitionCols, bucketSpec, d.log.dir,
+              scala.collection.concurrent.TrieMap.empty)
+            val pc = dec.layout.map(_._1).getOrElse(partitionCols)
+            val t = new GraftSnapshotTable(s"$tableName@$tag",
+              dec.entry.schema, dec.entry.files, pc, dec.entry.dvs)
+            d.tagSnapshotCache.put(tag, t)
+            Some(t)
+          }
+      }
+    }
 
   /** `ALTER TABLE t DROP BRANCH b`: delete the branch chain's log and
     * checkpoints (under the MAIN lease — creation and drop serialize).
@@ -3240,7 +3364,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           // sibling chains pin their segments here too, or the dry run
           // would over-report what a tree-aware reclaim actually frees
           // (this census keys by bare file name, hence the strip)
-          siblingLiveRefs(d).foreach(r => live += r.stripPrefix("data/"))
+          pinnedLiveRefs(d).foreach(r => live += r.stripPrefix("data/"))
           var nSeg = 0
           var bytes = 0L
           if (java.nio.file.Files.isDirectory(d.log.dataDir)) {
@@ -3490,27 +3614,39 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * is invisible, like everywhere else. */
   private[sources] def branchesMetaTable: GraftSnapshotTable = {
     val schema = StructType(Seq(
-      StructField("branch", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
       StructField("fork_version", IntegerType, nullable = false),
       StructField("head_version", IntegerType, nullable = false),
       StructField("head_timestamp_micros", LongType, nullable = false)))
     val rows: Array[InternalRow] = durable match {
       case None => Array.empty
       case Some(d) =>
-        d.log.listBranches.flatMap { b =>
+        val branchRows = d.log.listBranches.flatMap { b =>
           val blog = new GraftTableLog(d.log.dir, d.log.store, Some(b))
           val vs = blog.listEntryVersions
           if (vs.isEmpty) None
           else try {
             val fork = blog.readBranchMeta()
             Some(new GenericInternalRow(Array[Any](
-              utf8(b), fork, vs.last, blog.entryTs(vs.last))): InternalRow)
+              utf8(b), utf8("branch"), fork, vs.last,
+              blog.entryTs(vs.last))): InternalRow)
           } catch {
             // a crashed DROP's remnant chain: introspection skips it
             // (the loader records the refusal; reads of it fail loudly)
             case scala.util.control.NonFatal(_) => None
           }
-        }.toArray
+        }
+        // tags: one row per immutable ref — fork == head == the tagged
+        // version, off the tag's own self-contained JSON
+        val tagRows = d.log.listTags.flatMap { t =>
+          try {
+            val (v, ts) = d.log.tagVersionTs(t)
+            Some(new GenericInternalRow(Array[Any](
+              utf8(t), utf8("tag"), v, v, ts)): InternalRow)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        (branchRows ++ tagRows).toArray
     }
     new GraftSnapshotTable(s"$tableName$$branches", schema,
       if (rows.isEmpty) Vector.empty
@@ -5422,6 +5558,10 @@ object GraftTable {
     * (`ALTER TABLE … CREATE BRANCH`, Iceberg's refs). */
   val CreateBranchOp = "CREATE BRANCH"
 
+  /** Operation tag inside a TAG's self-contained snapshot JSON
+    * (`ALTER TABLE … CREATE TAG`, Iceberg's immutable refs). */
+  val CreateTagOp = "CREATE TAG"
+
   /** Ledger-key namespace of batch `txnAppId` idempotent writes: the
     * batch and streaming exactly-once high-waters share one persisted
     * ledger, and the prefix (illegal in a Spark streaming query id,
@@ -6009,6 +6149,19 @@ object GraftMaintenance {
   def fastForward(namespace: Seq[String], table: String, branch: String,
       scope: Option[GraftStoreState] = None): Int =
     resolve(namespace, table, scope).fastForwardFrom(branch)
+
+  /** `ALTER TABLE t CREATE TAG n [AS OF VERSION v]`: pin an immutable
+    * named snapshot, readable as `t@n`. Returns the tagged version. */
+  def createTag(namespace: Seq[String], table: String, tag: String,
+      version: Option[Int] = None,
+      scope: Option[GraftStoreState] = None): Int =
+    resolve(namespace, table, scope).createTag(tag, version,
+      Identifier.of(namespace.toArray, table))
+
+  /** `ALTER TABLE t DROP TAG n`: release the pin. */
+  def dropTag(namespace: Seq[String], table: String, tag: String,
+      scope: Option[GraftStoreState] = None): Unit =
+    resolve(namespace, table, scope).dropTag(tag)
 
   /** `VACUUM`: retire all but the last `keepLast` snapshots immediately
     * (history retention is the sliding backstop; this is the explicit

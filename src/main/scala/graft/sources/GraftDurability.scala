@@ -75,6 +75,13 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
     * superset that merely retains more. */
   val siblingRefCache: TrieMap[String, ((Int, Long, Long), Int, Set[String])] =
     TrieMap.empty
+
+  /** Tag ref/snapshot caches: a tag is IMMUTABLE once created, so its
+    * decoded refs (for retention pinning) and its decoded snapshot
+    * table (for `t@tag` reads) cache forever; DROP TAG (or a reclaim
+    * listing that no longer shows the name) evicts. */
+  val tagRefCache: TrieMap[String, Set[String]] = TrieMap.empty
+  val tagSnapshotCache: TrieMap[String, AnyRef] = TrieMap.empty
 }
 
 /** One lazily-loadable parquet segment: the durable body of a
@@ -392,6 +399,51 @@ private[sources] final class GraftTableLog(val dir: Path,
       case other => throw new IllegalStateException(s"bad fork: $other")
     }
 
+  // ---- tags (Iceberg's immutable refs) ------------------------------
+  /** `tags/<name>.json` — a TAG is a named, retention-pinned,
+    * IMMUTABLE snapshot: one self-contained full-entry JSON (complete
+    * census + embedded layout), so it outlives log retention of the
+    * version it named and decodes without folding any chain. Tags are
+    * TABLE-level (shared across chains — a tag may pin a branch's
+    * state); creation is a CAS (duplicate names refuse). */
+  def tagsDir: Path = dir.resolve("tags")
+  def tagPath(name: String): Path = tagsDir.resolve(s"$name.json")
+
+  def listTags: Seq[String] = {
+    if (!Files.isDirectory(tagsDir)) return Nil
+    val s = Files.list(tagsDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  def writeTag(name: String, json: String): Boolean = {
+    Files.createDirectories(tagsDir)
+    store.putIfAbsent(tagPath(name), json.getBytes(UTF_8))
+  }
+
+  def readTag(name: String): String =
+    new String(Files.readAllBytes(tagPath(name)), UTF_8)
+
+  def deleteTag(name: String): Unit = store.delete(tagPath(name))
+
+  /** (tagged version, ts) off a tag's JSON — refs-table introspection. */
+  def tagVersionTs(name: String): (Int, Long) = {
+    val o = JsonMethods.parse(readTag(name))
+      .asInstanceOf[JObject].obj.toMap
+    def num(j: JValue): Long = j match {
+      case JInt(b) => b.toLong
+      case JLong(l) => l
+      case other => throw new IllegalStateException(s"bad num: $other")
+    }
+    // the tagged version rides the params ("version") — the entry's own
+    // version field says the same; read the entry field directly
+    (num(o("version")).toInt, num(o("ts")))
+  }
+
   /** DROP BRANCH: delete THIS branch chain's log + checkpoint dirs and
     * lease (through the store, freeing CAS names). The branch's own
     * data segments stay behind as unreferenced files — the next
@@ -425,52 +477,57 @@ private[sources] final class GraftTableLog(val dir: Path,
     * retention): over-reading refs only ever RETAINS more, and taking
     * no cross-chain lease means no lock-order cycle between two chains
     * reclaiming concurrently. */
-  def allReferencedRefs: Set[String] = {
+  /** Every data ref ONE entry/checkpoint JSON references — the shallow
+    * scan tree-aware retention and tag pinning share. */
+  def refsOfEntryJson(json: String): Set[String] = {
     val out = scala.collection.mutable.Set.empty[String]
     def jnum(j: JValue): Long = j match {
       case JInt(b) => b.toLong
       case JLong(l) => l
       case other => throw new IllegalStateException(s"expected num: $other")
     }
-    def refsOfJson(json: String): Unit = {
-      val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
-      Seq("files", "fadd", "added", "removed").foreach { k =>
-        o.get(k) match {
-          case Some(JArray(fs)) => fs.foreach {
-            case JObject(ff) => ff.collectFirst {
-              case ("path", JString(p)) => out += p
-            }
-            case _ => ()
+    val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    Seq("files", "fadd", "added", "removed").foreach { k =>
+      o.get(k) match {
+        case Some(JArray(fs)) => fs.foreach {
+          case JObject(ff) => ff.collectFirst {
+            case ("path", JString(p)) => out += p
           }
           case _ => ()
         }
-      }
-      Seq("dvs", "dvset").foreach { k =>
-        o.get(k) match {
-          case Some(JArray(es)) => es.foreach {
-            case JArray(JString(ref) :: _) => out += ref
-            case _ => ()
-          }
-          case _ => ()
-        }
-      }
-      // multi-part checkpoint: the census lives in the parquet parts'
-      // `path` column (CheckpointPartSchema field 0)
-      o.get("fparts").foreach { nJ =>
-        val n = jnum(nJ).toInt
-        val v = jnum(o("version")).toInt
-        (0 until n).foreach { i =>
-          val p = ckptPartPath(v, i, n)
-          if (Files.exists(p))
-            GraftSegmentIO.read(p, GraftLogCodec.CheckpointPartSchema)
-              .foreach(r => out += r.getUTF8String(0).toString)
-        }
+        case _ => ()
       }
     }
+    Seq("dvs", "dvset").foreach { k =>
+      o.get(k) match {
+        case Some(JArray(es)) => es.foreach {
+          case JArray(JString(ref) :: _) => out += ref
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    // multi-part checkpoint: the census lives in the parquet parts'
+    // `path` column (CheckpointPartSchema field 0)
+    o.get("fparts").foreach { nJ =>
+      val n = jnum(nJ).toInt
+      val v = jnum(o("version")).toInt
+      (0 until n).foreach { i =>
+        val p = ckptPartPath(v, i, n)
+        if (Files.exists(p))
+          GraftSegmentIO.read(p, GraftLogCodec.CheckpointPartSchema)
+            .foreach(r => out += r.getUTF8String(0).toString)
+      }
+    }
+    out.toSet
+  }
+
+  def allReferencedRefs: Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
     def scan(read: Int => String, vs: Seq[Int]): Unit = vs.foreach { v =>
       // a chain may be concurrently reclaimed or dropped under this
       // leaseless walk — a vanished file simply contributes nothing
-      try refsOfJson(read(v))
+      try out ++= refsOfEntryJson(read(v))
       catch { case _: java.io.IOException => () }
     }
     scan(v => new String(Files.readAllBytes(entryPath(v)), UTF_8),

@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
   *   ALTER TABLE t CREATE BRANCH b | DROP BRANCH b    — named refs
   *   ALTER TABLE t FAST FORWARD [main] TO b           — replay b onto main
+  *   ALTER TABLE t CREATE TAG n [AS OF VERSION v] | DROP TAG n
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
   *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
@@ -86,6 +87,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
+  private val CreateTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -598,6 +603,25 @@ object GraftSqlParser {
           GraftMaintenanceCommand(out("commits_adopted"), _ => {
             val (ns, t, scope) = resolve(parts, session)
             Seq(Row(GraftMaintenance.fastForward(ns, t, b, scope)))
+          })
+        }
+      // ALTER TABLE … CREATE TAG name [AS OF VERSION n] / DROP TAG:
+      // Iceberg-style immutable refs — a named, retention-pinned
+      // snapshot readable as `t@name`
+      case CreateTag(ident, tag, v) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("tagged_version"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.createTag(ns, t, tag,
+              Option(v).map(_.toInt), scope)))
+          })
+        }
+      case DropTag(ident, tag) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("tags_dropped"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            GraftMaintenance.dropTag(ns, t, tag, scope)
+            Seq(Row(1))
           })
         }
 

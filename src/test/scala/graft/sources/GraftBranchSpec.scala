@@ -99,12 +99,12 @@ class GraftBranchSpec extends SparkSpec {
       s"fork identity must survive the fold: ${bt.branchMeta}")
     // the refs table serves the same tree from either chain, restarted
     val refs = spark.table("brB2.ns.`t$branches`")
-      .select("branch", "fork_version", "head_version")
-      .as[(String, Int, Int)].collect().toSeq
-    assert(refs === Seq(("audit", 1, 2)), refs.toString)
+      .select("name", "kind", "fork_version", "head_version")
+      .as[(String, String, Int, Int)].collect().toSeq
+    assert(refs === Seq(("audit", "branch", 1, 2)), refs.toString)
     assert(spark.table("brB2.ns.`t@audit$branches`")
-      .select("branch", "fork_version", "head_version")
-      .as[(String, Int, Int)].collect().toSeq === refs,
+      .select("name", "kind", "fork_version", "head_version")
+      .as[(String, String, Int, Int)].collect().toSeq === refs,
       "t@audit$branches must show the same tree")
     val e = intercept[Exception](
       spark.sql("SELECT * FROM brB2.ns.`t$branches` VERSION AS OF 1")
@@ -380,6 +380,67 @@ class GraftBranchSpec extends SparkSpec {
     val e = intercept[Exception](GraftMaintenance.sql(spark,
       "CREATE TABLE brK.ns.t@b2 SHALLOW CLONE brK.ns.t").collect())
     assert(e.getMessage.contains("branch"), e.getMessage)
+  }
+
+  test("tags: an immutable named snapshot reads as t@name, PINS its " +
+      "segments through vacuum past retention, survives restart, and " +
+      "releases on DROP TAG") {
+    val wh = durableCatalog("brT")
+    spark.sql("CREATE TABLE brT.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brT.ns.t VALUES (1,'a'), (2,'b')")
+    val tv = GraftMaintenance.sql(spark,
+      "ALTER TABLE brT.ns.t CREATE TAG rel1").head().getInt(0)
+    assert(tv === 1)
+    // main moves on — overwrite + append so the tagged segments leave
+    // every retained entry — then vacuums to one snapshot: ONLY the
+    // tag pins them now
+    spark.sql("INSERT OVERWRITE brT.ns.t VALUES (9,'x')")
+    spark.sql("INSERT INTO brT.ns.t VALUES (10,'y')")
+    GraftMaintenance.sql(spark,
+      "VACUUM brT.ns.t RETAIN 1 SNAPSHOTS").collect()
+    // the tagged version is PAST retention for time travel…
+    intercept[Exception](
+      spark.sql("SELECT * FROM brT.ns.t VERSION AS OF 1").collect())
+    // …but the tag still serves its pinned census
+    assert(rows("brT.ns.`t@rel1`") === Seq((1L, "a"), (2L, "b")),
+      "the tag must outlive log retention of the version it named")
+    // writes to a tag refuse (read-only snapshot)
+    intercept[Exception](
+      spark.sql("INSERT INTO brT.ns.`t@rel1` VALUES (3,'c')"))
+    // restart: a fresh store serves the tag from its own JSON
+    reopen("brT2", wh)
+    assert(rows("brT2.ns.`t@rel1`") === Seq((1L, "a"), (2L, "b")))
+    val refs = spark.table("brT2.ns.`t$branches`")
+      .select("name", "kind", "fork_version", "head_version")
+      .as[(String, String, Int, Int)].collect().toSeq
+    assert(refs === Seq(("rel1", "tag", 1, 1)), refs.toString)
+    // duplicate names refuse in BOTH directions (one '@' namespace)
+    intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brT.ns.t CREATE TAG rel1").collect())
+    intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brT.ns.t CREATE BRANCH rel1").collect())
+    // DROP TAG releases the pin: the next vacuum sweeps the snapshot's
+    // unshared segments and the read fails loudly
+    val segs = {
+      val st = spark.sessionState.catalogManager.catalog("brT2")
+        .asInstanceOf[GraftCatalog].store
+      st.tables((Seq("ns"), "t")).durable.get.log.dataDir
+    }
+    GraftMaintenance.sql(spark, "ALTER TABLE brT.ns.t DROP TAG rel1")
+      .collect()
+    GraftMaintenance.sql(spark,
+      "VACUUM brT.ns.t RETAIN 1 SNAPSHOTS").collect()
+    intercept[Exception](spark.table("brT.ns.`t@rel1`").collect())
+    val left = {
+      val s = java.nio.file.Files.list(segs)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString
+          .endsWith(".parquet"))
+      } finally s.close()
+    }
+    assert(left <= 3,
+      s"dropping the tag must release its segments to the sweep: $left")
   }
 
   test("guard rails: branches need a durable table; '@' is reserved in " +
