@@ -443,6 +443,39 @@ class GraftBranchSpec extends SparkSpec {
       s"dropping the tag must release its segments to the sweep: $left")
   }
 
+  test("CREATE TAG AS OF VERSION pins a retained older state; a tag " +
+      "created on a BRANCH pins that branch's state") {
+    durableCatalog("brU")
+    spark.sql("CREATE TABLE brU.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brU.ns.t VALUES (1,'a')")          // v1
+    spark.sql("INSERT INTO brU.ns.t VALUES (2,'b')")          // v2
+    val tv = GraftMaintenance.sql(spark,
+      "ALTER TABLE brU.ns.t CREATE TAG first AS OF VERSION 1")
+      .head().getInt(0)
+    assert(tv === 1)
+    assert(rows("brU.ns.`t@first`") === Seq((1L, "a")),
+      "the version-pinned tag serves the older census")
+    // a tag addressed THROUGH a branch pins the branch's state (the
+    // tag namespace is table-level — visible from every chain)
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brU.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brU.ns.`t@audit` VALUES (3,'c')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brU.ns.t@audit CREATE TAG audited").collect()
+    spark.sql("INSERT INTO brU.ns.`t@audit` VALUES (4,'d')")
+    assert(rows("brU.ns.`t@audited`") ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the branch tag pins the branch state at creation")
+    val refs = spark.table("brU.ns.`t$branches`")
+      .select("name", "kind").as[(String, String)].collect().toSet
+    assert(refs === Set(("audit", "branch"), ("first", "tag"),
+      ("audited", "tag")), refs.toString)
+    // a version no longer retained refuses at create
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brU.ns.t CREATE TAG nope AS OF VERSION 99").collect())
+    assert(e.getMessage.toLowerCase.contains("version"), e.getMessage)
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {
