@@ -2696,6 +2696,60 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- CHERRY-PICK (round 17): adopt ONE append-only branch commit
+    // onto a DIVERGED main — the surgical remedy where FAST FORWARD's
+    // ancestry check refuses. The picked segments adopt by reference
+    // (zero copies); the branch keeps its own head. The oracle
+    // restates both heads: main = nation ∪ its own divergent batch ∪
+    // exactly the picked batch (never the branch's later commit).
+    Q("s69_branch_cherrypick", "S-branch,S-cherrypick,DDL-alter,A1,A7",
+      """WITH a AS (SELECT n_nationkey + 100 AS k FROM nation
+        |           WHERE n_nationkey < 4),
+        |b AS (SELECT n_nationkey + 200 AS k FROM nation
+        |      WHERE n_nationkey < 2),
+        |c AS (SELECT n_nationkey + 300 AS k FROM nation
+        |      WHERE n_nationkey < 3),
+        |m AS (SELECT n_nationkey AS k FROM nation
+        |      UNION ALL SELECT k FROM c UNION ALL SELECT k FROM a),
+        |au AS (SELECT n_nationkey AS k FROM nation
+        |       UNION ALL SELECT k FROM a UNION ALL SELECT k FROM b)
+        |SELECT 'audit' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum FROM au
+        |UNION ALL
+        |SELECT 'main', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT) FROM m
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s69").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gcp_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH audit").collect()
+      nat.where(col("k") < 4).select(col("k") + 100, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append() // v2
+      nat.where(col("k") < 2).select(col("k") + 200, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append() // v3
+      // main diverges — FAST FORWARD's ancestry check now refuses
+      nat.where(col("k") < 3).select(col("k") + 300, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.prod").append()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CHERRY-PICK audit VERSION 2").collect()
+      s.table(s"$w.ns.`prod@audit`")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+        .select(lit("audit").as("probe"), col("n"), col("key_sum"))
+        .unionByName(s.table(s"$w.ns.prod")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("key_sum"))
+          .select(lit("main").as("probe"), col("n"), col("key_sum")))
+        .orderBy("probe")
+    },
+
     // ----- t$branches (round 17, Iceberg's `refs` metadata table):
     // one row per live ref — branches (fork + head versions) AND tags
     // (immutable pins: fork == head == the tagged version) — straight

@@ -2875,6 +2875,53 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
     }
 
+  /** `ALTER TABLE t CHERRY-PICK b VERSION v` — the surgical remedy the
+    * FAST FORWARD divergence refusal points at: adopt ONE branch
+    * commit's appended rows onto main as a new commit, by reference
+    * (the picked segments are shared under the same table dir — zero
+    * byte copies; tree-aware retention already pins shared segments).
+    * APPEND-ONLY commits pick (Iceberg's cherry-pick contract): a
+    * commit carrying removals/DVs refuses — replaying a delete whose
+    * preimage rows main may not share is not well-defined. The picked
+    * entry's schema must match main's CURRENT schema (field ids —
+    * cross-schema picks refuse with the evolve-first remedy). Group
+    * keys carry over only when the layouts agree and the branch never
+    * re-keyed; otherwise the picked files adopt DEGROUPED (the
+    * always-correct legacy-remainder state — OPTIMIZE regroups), never
+    * mis-grouped. Picking the same commit twice duplicates rows — the
+    * record (`source_branch`/`source_version` in the history) is the
+    * caller's idempotence surface, like Iceberg's. Returns main's new
+    * head version. */
+  private[sources] def cherryPickFrom(bt: GraftTable, v: Int,
+      branch: String): Int = mutate {
+    val ident = Identifier.of(Array.empty[String], bt.name())
+    val e = bt.entryAt(v, ident)
+    if (e.schema != tableSchema)
+      throw new UnsupportedOperationException(
+        s"$tableName: cannot CHERRY-PICK ${bt.name()}@v$v — the " +
+          "schemas (or their field ids) differ; evolve this table to " +
+          "match first")
+    if (e.removed.nonEmpty || e.dvs != bt.entryAt(
+        math.max(v - 1, bt.commitHistory.head._1), ident).dvs)
+      throw new UnsupportedOperationException(
+        s"$tableName: cannot CHERRY-PICK ${bt.name()}@v$v — the commit " +
+          "removes rows (rewrite/delete/DV change); only append-only " +
+          "commits replay onto a diverged main. Publish via CLONE, or " +
+          "MERGE the rows across")
+    if (e.added.isEmpty)
+      throw new IllegalArgumentException(
+        s"$tableName: ${bt.name()}@v$v appends nothing to pick")
+    val layoutSafe = bt.partitionCols == partitionCols &&
+      bt.bucketSpec == bucketSpec && !bt.everReplaced && !everReplaced
+    val adopt =
+      if (layoutSafe) e.added else e.added.map(GraftDataFile.degrouped)
+    files = files ++ adopt
+    snap("CHERRY-PICK", added = adopt,
+      params = Map("source_branch" -> branch,
+        "source_version" -> v.toString))
+    history.last.version
+  }
+
   /** `ALTER TABLE t DROP BRANCH b`: delete the branch chain's log and
     * checkpoints (under the MAIN lease — creation and drop serialize).
     * The branch's own segments become unreferenced and fall to the
@@ -6149,6 +6196,15 @@ object GraftMaintenance {
   def fastForward(namespace: Seq[String], table: String, branch: String,
       scope: Option[GraftStoreState] = None): Int =
     resolve(namespace, table, scope).fastForwardFrom(branch)
+
+  /** `ALTER TABLE t CHERRY-PICK b VERSION v`: adopt one append-only
+    * branch commit onto main. Returns main's new head version. */
+  def cherryPick(namespace: Seq[String], table: String, branch: String,
+      version: Int, scope: Option[GraftStoreState] = None): Int = {
+    val main = resolve(namespace, table, scope)
+    val bt = resolve(namespace, s"$table@$branch", scope)
+    main.cherryPickFrom(bt, version, branch)
+  }
 
   /** `ALTER TABLE t CREATE TAG n [AS OF VERSION v]`: pin an immutable
     * named snapshot, readable as `t@n`. Returns the tagged version. */

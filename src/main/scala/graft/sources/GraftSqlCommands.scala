@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   ALTER TABLE t CREATE BRANCH b | DROP BRANCH b    — named refs
   *   ALTER TABLE t FAST FORWARD [main] TO b           — replay b onto main
   *   ALTER TABLE t CREATE TAG n [AS OF VERSION v] | DROP TAG n
+  *   ALTER TABLE t CHERRY-PICK b VERSION v        — adopt one append
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
   *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
@@ -87,6 +88,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
+  private val CherryPick =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CHERRY[-\s]?PICK\s+([\w.-]+)\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val CreateTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val DropTag =
@@ -603,6 +606,16 @@ object GraftSqlParser {
           GraftMaintenanceCommand(out("commits_adopted"), _ => {
             val (ns, t, scope) = resolve(parts, session)
             Seq(Row(GraftMaintenance.fastForward(ns, t, b, scope)))
+          })
+        }
+      // ALTER TABLE t CHERRY-PICK b VERSION n: adopt one append-only
+      // branch commit onto a DIVERGED main (the FAST FORWARD refusal's
+      // surgical remedy)
+      case CherryPick(ident, b, v) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("picked_to_version"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.cherryPick(ns, t, b, v.toInt, scope)))
           })
         }
       // ALTER TABLE … CREATE TAG name [AS OF VERSION n] / DROP TAG:

@@ -476,6 +476,43 @@ class GraftBranchSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("version"), e.getMessage)
   }
 
+  test("CHERRY-PICK: an append-only branch commit adopts onto a " +
+      "diverged main by reference; remove-carrying commits refuse; " +
+      "the history records the pick's source") {
+    durableCatalog("brP")
+    spark.sql("CREATE TABLE brP.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brP.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brP.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brP.ns.`t@audit` VALUES (2,'b')")   // v2 append
+    spark.sql("DELETE FROM brP.ns.`t@audit` WHERE id = 1")     // v3 delete
+    spark.sql("INSERT INTO brP.ns.t VALUES (9,'z')")           // diverge
+    intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brP.ns.t FAST FORWARD TO audit").collect())
+    // the picked append adopts WITHOUT copying: the adopted segment is
+    // the branch's own file, shared under the tree union
+    val picked = GraftMaintenance.sql(spark,
+      "ALTER TABLE brP.ns.t CHERRY-PICK audit VERSION 2").head().getInt(0)
+    assert(picked === 3, "the pick is a new main commit")
+    assert(rows("brP.ns.t") === Seq((1L, "a"), (2L, "b"), (9L, "z")))
+    assert(rows("brP.ns.`t@audit`") === Seq((2L, "b")),
+      "the branch head is untouched by the pick")
+    val hist = spark.table("brP.ns.`t$history`")
+      .orderBy($"version".desc)
+      .select("operation", "parameters").as[(String, String)].head()
+    assert(hist === (("CHERRY-PICK",
+      "source_branch=audit; source_version=2")), hist.toString)
+    // the delete commit refuses with the publish/merge remedy
+    val e = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brP.ns.t CHERRY-PICK audit VERSION 3").collect())
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // vacuum on main keeps the shared picked segment; both heads serve
+    GraftMaintenance.sql(spark,
+      "VACUUM brP.ns.t RETAIN 1 SNAPSHOTS").collect()
+    assert(rows("brP.ns.t") === Seq((1L, "a"), (2L, "b"), (9L, "z")))
+    assert(rows("brP.ns.`t@audit`") === Seq((2L, "b")))
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {
