@@ -2405,17 +2405,42 @@ class GraftTable(initialName: String, initialSchema: StructType,
       d.tagRefCache.keys.filterNot(tags.contains)
         .foreach(d.tagRefCache.remove)
       tags.iterator.flatMap { n =>
-        d.tagRefCache.get(n) match {
-          case Some(r) => r
-          case None =>
-            // never cache a FAILED read as empty — a transient error
-            // must not turn a live tag's pin into a no-op forever
+        val p = d.log.tagPath(n)
+        // identity-checked hit: a cross-process DROP + re-CREATE under
+        // the same name must re-read, never pin the OLD snapshot
+        val identity =
+          try Some(d.log.fileIdentity(p))
+          catch { case _: java.io.IOException => None }
+        (identity, identity.flatMap(id =>
+          d.tagRefCache.get(n).collect { case (cid, r) if cid == id => r })
+        ) match {
+          case (_, Some(hit)) => hit
+          case (None, _) =>
+            // listed but already GONE: a concurrent DROP TAG — nothing
+            // to pin (its refs fall to whoever still references them)
+            if (java.nio.file.Files.exists(p))
+              throw new java.io.UncheckedIOException(
+                new java.io.IOException(
+                  s"$tableName: tag '$n' exists but cannot be read — " +
+                    "refusing to sweep without its pins"))
+            Set.empty[String]
+          case (Some(id), None) =>
             try {
               val r = d.log.refsOfEntryJson(d.log.readTag(n))
                 .filter(x => !java.nio.file.Paths.get(x).isAbsolute)
-              d.tagRefCache.put(n, r)
+              d.tagRefCache.put(n, (id, r))
               r
-            } catch { case _: java.io.IOException => Set.empty[String] }
+            } catch {
+              case e: java.io.IOException =>
+                // a LISTED tag that cannot be read is a transient
+                // fault, not a drop: sweeping without its pins would
+                // delete a live tag's segments — fail the reclaim
+                // instead (the automatic slide SKIPS this round; the
+                // explicit VACUUM surfaces the error)
+                if (java.nio.file.Files.exists(p))
+                  throw new java.io.UncheckedIOException(e)
+                Set.empty[String]
+            }
         }
       }
     }
@@ -2464,8 +2489,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // TREE-AWARE retention, union built FIRST: every OTHER live chain
     // over this table dir — main's and every branch's — pins its
     // referenced segments before this chain's sweep decides what is
-    // unreferenced (see [[pinnedLiveRefs]]).
-    pinnedLiveRefs(d).foreach(live += _)
+    // unreferenced (see [[pinnedLiveRefs]]). A pin that cannot be
+    // PROVEN (a listed tag that fails to read) must never sweep blind:
+    // the automatic slide skips this round (retrying next commit);
+    // the explicit VACUUM propagates the fault loudly.
+    try pinnedLiveRefs(d).foreach(live += _)
+    catch {
+      case e: java.io.UncheckedIOException =>
+        if (minAgeMillis > 0L) return else throw e
+    }
     val base = history.head.version
     val anchorsNow = d.anchors ++ d.log.listCheckpointVersions
     var floor = anchorsNow.rangeTo(base).lastOption.getOrElse(0)
@@ -2815,6 +2847,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new IllegalArgumentException(
         s"invalid tag name '$tag' (letters, digits, _ . - ; " +
           "must not be 'main')")
+    // the branch/tag same-name exclusion must be checked under the
+    // MAIN chain's lease: CREATE BRANCH holds main's lease, and a tag
+    // created THROUGH a branch address holds only the branch's — the
+    // two pre-checks could otherwise both pass concurrently and leave
+    // one name shadowing the other. Lock order branch→main occurs
+    // nowhere reversed with leases (fast-forward reads the branch
+    // leaselessly), so the nesting cannot cycle.
+    withMainLease(d) {
     if (new GraftTableLog(d.log.dir, d.log.store, Some(tag)).hasAnyEntry)
       throw new IllegalArgumentException(
         s"$tableName: a branch named '$tag' already exists")
@@ -2834,7 +2874,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new IllegalArgumentException(
         s"$tableName: tag '$tag' already exists")
     e0.version
+    }
   }
+
+  /** The MAIN chain's commit lease, for table-LEVEL DDL (tags) issued
+    * through a branch address — reentrant when this IS the main chain
+    * (its mutate already holds it). */
+  private def withMainLease[T](d: GraftTableDurability)(body: => T): T =
+    if (d.log.branch.isEmpty) body
+    else new GraftTableLog(d.log.dir, d.log.store, None)
+      .withCommitLock(body)
 
   /** `ALTER TABLE t DROP TAG name`: the pin releases; the snapshot's
     * unshared segments fall to the next reclaim. */
@@ -2858,19 +2907,28 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * None when no such tag exists. */
   private[sources] def tagSnapshot(tag: String): Option[GraftSnapshotTable] =
     durable.flatMap { d =>
-      d.tagSnapshotCache.get(tag) match {
-        case Some(t) => Some(t.asInstanceOf[GraftSnapshotTable])
-        case None =>
-          if (!java.nio.file.Files.exists(d.log.tagPath(tag))) None
-          else {
-            val dec = GraftLogCodec.decodeEntry(d.log.readTag(tag),
-              partitionCols, bucketSpec, d.log.dir,
-              scala.collection.concurrent.TrieMap.empty)
-            val pc = dec.layout.map(_._1).getOrElse(partitionCols)
-            val t = new GraftSnapshotTable(s"$tableName@$tag",
-              dec.entry.schema, dec.entry.files, pc, dec.entry.dvs)
-            d.tagSnapshotCache.put(tag, t)
-            Some(t)
+      val p = d.log.tagPath(tag)
+      // a hit serves only while the file's identity still matches: a
+      // DROP (anyone's) evicts at the next read instead of serving a
+      // ghost, and a DROP + re-CREATE can never serve the OLD snapshot
+      val identity =
+        try Some(d.log.fileIdentity(p))
+        catch { case _: java.io.IOException => None }
+      identity match {
+        case None => d.tagSnapshotCache.remove(tag); None
+        case Some(id) =>
+          d.tagSnapshotCache.get(tag) match {
+            case Some((cid, t)) if cid == id =>
+              Some(t.asInstanceOf[GraftSnapshotTable])
+            case _ =>
+              val dec = GraftLogCodec.decodeEntry(d.log.readTag(tag),
+                partitionCols, bucketSpec, d.log.dir,
+                scala.collection.concurrent.TrieMap.empty)
+              val pc = dec.layout.map(_._1).getOrElse(partitionCols)
+              val t = new GraftSnapshotTable(s"$tableName@$tag",
+                dec.entry.schema, dec.entry.files, pc, dec.entry.dvs)
+              d.tagSnapshotCache.put(tag, (id, t))
+              Some(t)
           }
       }
     }
@@ -2895,14 +2953,22 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def cherryPickFrom(bt: GraftTable, v: Int,
       branch: String): Int = mutate {
     val ident = Identifier.of(Array.empty[String], bt.name())
+    // append-onlyness is proven against the PRECEDING entry: without
+    // it (v is the branch's oldest retained commit) a row-mutating
+    // commit could masquerade as an append — refuse rather than guess
+    if (v <= bt.commitHistory.head._1)
+      throw new IllegalArgumentException(
+        s"$tableName: cannot CHERRY-PICK ${bt.name()}@v$v — the " +
+          "branch's retained history starts there, so the commit " +
+          "cannot be proven append-only; retain more snapshots or " +
+          "publish via CLONE")
     val e = bt.entryAt(v, ident)
     if (e.schema != tableSchema)
       throw new UnsupportedOperationException(
         s"$tableName: cannot CHERRY-PICK ${bt.name()}@v$v — the " +
           "schemas (or their field ids) differ; evolve this table to " +
           "match first")
-    if (e.removed.nonEmpty || e.dvs != bt.entryAt(
-        math.max(v - 1, bt.commitHistory.head._1), ident).dvs)
+    if (e.removed.nonEmpty || e.dvs != bt.entryAt(v - 1, ident).dvs)
       throw new UnsupportedOperationException(
         s"$tableName: cannot CHERRY-PICK ${bt.name()}@v$v — the commit " +
           "removes rows (rewrite/delete/DV change); only append-only " +

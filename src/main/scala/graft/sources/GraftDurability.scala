@@ -76,12 +76,17 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
   val siblingRefCache: TrieMap[String, ((Int, Long, Long), Int, Set[String])] =
     TrieMap.empty
 
-  /** Tag ref/snapshot caches: a tag is IMMUTABLE once created, so its
-    * decoded refs (for retention pinning) and its decoded snapshot
-    * table (for `t@tag` reads) cache forever; DROP TAG (or a reclaim
-    * listing that no longer shows the name) evicts. */
-  val tagRefCache: TrieMap[String, Set[String]] = TrieMap.empty
-  val tagSnapshotCache: TrieMap[String, AnyRef] = TrieMap.empty
+  /** Tag ref/snapshot caches: a tag FILE is immutable once created, so
+    * its decoded refs (for retention pinning) and its decoded snapshot
+    * table (for `t@tag` reads) cache keyed by the file's (mtime, size)
+    * IDENTITY — a hit is only served when the identity still matches
+    * on disk, so a cross-process DROP + re-CREATE under the same name
+    * can neither pin nor serve the wrong snapshot, and a dropped tag's
+    * cached snapshot stops serving at the next read. */
+  val tagRefCache: TrieMap[String, ((Long, Long), Set[String])] =
+    TrieMap.empty
+  val tagSnapshotCache: TrieMap[String, ((Long, Long), AnyRef)] =
+    TrieMap.empty
 }
 
 /** One lazily-loadable parquet segment: the durable body of a
@@ -381,23 +386,24 @@ private[sources] final class GraftTableLog(val dir: Path,
     ()
   }
 
+  /** The one JSON-number extraction every shallow log/ref scan shares. */
+  private def jsonNum(j: JValue): Long = j match {
+    case JInt(b) => b.toLong
+    case JLong(l) => l
+    case other => throw new IllegalStateException(s"expected number: $other")
+  }
+
   /** The `ts` field of entry `v` — one-entry introspection (the refs
     * metadata table's head timestamp), no fold. */
   def entryTs(v: Int): Long =
-    JsonMethods.parse(new String(Files.readAllBytes(entryPath(v)), UTF_8))
-      .asInstanceOf[JObject].obj.toMap.apply("ts") match {
-      case JInt(b) => b.toLong
-      case JLong(l) => l
-      case other => throw new IllegalStateException(s"bad ts: $other")
-    }
+    jsonNum(JsonMethods.parse(
+      new String(Files.readAllBytes(entryPath(v)), UTF_8))
+      .asInstanceOf[JObject].obj.toMap.apply("ts"))
 
   def readBranchMeta(): Int =
-    JsonMethods.parse(new String(Files.readAllBytes(branchMetaPath), UTF_8))
-      .asInstanceOf[JObject].obj.toMap.apply("forkVersion") match {
-      case JInt(b) => b.toInt
-      case JLong(l) => l.toInt
-      case other => throw new IllegalStateException(s"bad fork: $other")
-    }
+    jsonNum(JsonMethods.parse(
+      new String(Files.readAllBytes(branchMetaPath), UTF_8))
+      .asInstanceOf[JObject].obj.toMap.apply("forkVersion")).toInt
 
   // ---- tags (Iceberg's immutable refs) ------------------------------
   /** `tags/<name>.json` — a TAG is a named, retention-pinned,
@@ -434,15 +440,14 @@ private[sources] final class GraftTableLog(val dir: Path,
   def tagVersionTs(name: String): (Int, Long) = {
     val o = JsonMethods.parse(readTag(name))
       .asInstanceOf[JObject].obj.toMap
-    def num(j: JValue): Long = j match {
-      case JInt(b) => b.toLong
-      case JLong(l) => l
-      case other => throw new IllegalStateException(s"bad num: $other")
-    }
-    // the tagged version rides the params ("version") — the entry's own
-    // version field says the same; read the entry field directly
-    (num(o("version")).toInt, num(o("ts")))
+    (jsonNum(o("version")).toInt, jsonNum(o("ts")))
   }
+
+  /** (mtime, size) of a ref file — the cheap identity the tag caches
+    * key on: a DROP + re-CREATE under the same name changes it, so a
+    * stale cache entry can never pin (or serve) the wrong snapshot. */
+  def fileIdentity(p: Path): (Long, Long) =
+    (Files.getLastModifiedTime(p).toMillis, Files.size(p))
 
   /** DROP BRANCH: delete THIS branch chain's log + checkpoint dirs and
     * lease (through the store, freeing CAS names). The branch's own
@@ -481,11 +486,6 @@ private[sources] final class GraftTableLog(val dir: Path,
     * scan tree-aware retention and tag pinning share. */
   def refsOfEntryJson(json: String): Set[String] = {
     val out = scala.collection.mutable.Set.empty[String]
-    def jnum(j: JValue): Long = j match {
-      case JInt(b) => b.toLong
-      case JLong(l) => l
-      case other => throw new IllegalStateException(s"expected num: $other")
-    }
     val o = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
     Seq("files", "fadd", "added", "removed").foreach { k =>
       o.get(k) match {
@@ -510,8 +510,8 @@ private[sources] final class GraftTableLog(val dir: Path,
     // multi-part checkpoint: the census lives in the parquet parts'
     // `path` column (CheckpointPartSchema field 0)
     o.get("fparts").foreach { nJ =>
-      val n = jnum(nJ).toInt
-      val v = jnum(o("version")).toInt
+      val n = jsonNum(nJ).toInt
+      val v = jsonNum(o("version")).toInt
       (0 until n).foreach { i =>
         val p = ckptPartPath(v, i, n)
         if (Files.exists(p))
@@ -1391,8 +1391,12 @@ private[sources] object GraftLogCodec {
     * minReader/minWriterVersion, collapsed to one number while every
     * feature so far is readable by every writer level).
     * 1 = full-census log entries; 2 = delta entries + (multi-part
-    * parquet) checkpoints; 3 = named branches exist (sibling commit
-    * chains under `log/<branch>/` share the `data/` reclaim domain).
+    * parquet) checkpoints; 3 = named REFS exist — branches (sibling
+    * commit chains under `log/<branch>/` sharing the `data/` reclaim
+    * domain) AND tags (`tags/<name>.json` retention pins). Branches
+    * and tags shipped as ONE generation: every engine that reads
+    * format 3 honors both pin kinds, so there is no "knows branches
+    * but not tags" build a tagged table could mislead.
     * Format 1/2 tables stay readable (a full entry is a
     * legal shape at every version); a table stamped ABOVE this refuses
     * to open — an older engine that half-understood a newer layout
