@@ -513,6 +513,28 @@ class GraftBranchSpec extends SparkSpec {
     assert(rows("brP.ns.`t@audit`") === Seq((2L, "b")))
   }
 
+  test("FAST FORWARD across a branch ADD COLUMN: the evolution entry " +
+      "replays onto main, pre-evolution rows read NULL, and the feed " +
+      "refuses only at the widen class it already refuses") {
+    durableCatalog("brV")
+    spark.sql("CREATE TABLE brV.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brV.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brV.ns.t CREATE BRANCH audit").collect()
+    spark.sql("ALTER TABLE brV.ns.`t@audit` ADD COLUMN w INT")
+    spark.sql("INSERT INTO brV.ns.`t@audit` VALUES (2,'b',7)")
+    val n = GraftMaintenance.sql(spark,
+      "ALTER TABLE brV.ns.t FAST FORWARD TO audit").head().getInt(0)
+    assert(n === 2, "the ALTER entry and the append both adopt")
+    val got = spark.sql("SELECT id, v, w FROM brV.ns.t ORDER BY id")
+      .as[(Long, String, Option[Int])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (2L, "b", Some(7))),
+      "main adopts the evolved schema; pre-evolution rows read NULL")
+    // and the evolved main keeps committing normally
+    spark.sql("INSERT INTO brV.ns.t VALUES (3,'c',9)")
+    assert(spark.sql("SELECT count(*) FROM brV.ns.t").as[Long].head() === 3)
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {

@@ -92,6 +92,11 @@ class GraftRandomSoakSpec extends SparkSpec {
       // must leave it bit-readable (tree-aware retention's contract)
       val liveBranch =
         scala.collection.mutable.Map.empty[String, Seq[(Long, String)]]
+      // tags left live: name -> main's (id, v) state frozen at the
+      // draw — the retention PIN must keep it bit-readable through
+      // every later vacuum/replace/restore/restart
+      val liveTag =
+        scala.collection.mutable.Map.empty[String, Seq[(Long, String)]]
 
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
@@ -191,11 +196,17 @@ class GraftRandomSoakSpec extends SparkSpec {
             else s"($id, 'b$gen-$id')"
           }.mkString(", ")
           spark.sql(s"INSERT INTO $cat.ns.`t_$tag@$b` VALUES $values")
+          // settle the BRANCH's own enqueued compact pass before the
+          // row-level delete: the pass splicing mid-statement aborts
+          // the DELETE with the documented optimistic-retry contract
+          // (ForkedWriterMain retries it for real; the seeded soak
+          // stays deterministic by draining instead)
+          assert(GraftAutoCompact.quiesce())
           val k = 4 + rnd.nextInt(4)
           val r = rnd.nextInt(k)
           spark.sql(s"DELETE FROM $cat.ns.`t_$tag@$b` WHERE id % $k = $r")
           assert(GraftAutoCompact.quiesce())
-          rnd.nextInt(3) match {
+          rnd.nextInt(4) match {
             case 0 => // FAST FORWARD: main replays the audited commits
               val n = GraftMaintenance.sql(spark,
                 s"ALTER TABLE $cat.ns.t_$tag FAST FORWARD TO $b")
@@ -210,12 +221,22 @@ class GraftRandomSoakSpec extends SparkSpec {
             case 1 => // DROP: the audit never reaches main
               GraftMaintenance.sql(spark,
                 s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
-            case _ => // leave LIVE, frozen expectation recorded
+            case 2 => // leave LIVE, frozen expectation recorded
               val expect = (model.toSeq.map { case (id, (v, _)) =>
                 (id, v)
               } ++ fresh.map(id => (id, s"b$gen-$id")))
                 .filterNot(_._1 % k == r).sortBy(_._1)
               liveBranch(b) = expect
+            case _ => // drop the branch, TAG main's current state
+              // instead: the immutable pin must read back bit-equal
+              // after every later vacuum/replace/restore/restart
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag CREATE TAG tg$branchN")
+                .collect()
+              liveTag(s"tg$branchN") =
+                model.toSeq.map { case (id, (v, _)) => (id, v) }
           }
         } else if (op < 66) { // MERGE: update some, insert some
           gen += 1
@@ -429,6 +450,16 @@ class GraftRandomSoakSpec extends SparkSpec {
           s"[$mode seed=$seed] live branch $b lost state: " +
             s"got=${got.take(12)}… expect=${expect.take(12)}…")
       }
+      // every live TAG must read back its frozen pin through the cold
+      // fold — the retention-pin contract under the whole cadence
+      liveTag.foreach { case (tg, expect) =>
+        val got = spark.sql(
+          s"SELECT id, v FROM $fin.ns.`t_$tag@$tg` ORDER BY id")
+          .as[(Long, String)].collect().toSeq
+        assert(got === expect.sortBy(_._1),
+          s"[$mode seed=$seed] tag $tg lost its pinned state: " +
+            s"got=${got.take(12)}… expect=${expect.take(12)}…")
+      }
       val td = tableDir(wh)
       val logVs = {
         import scala.jdk.CollectionConverters._
@@ -443,7 +474,7 @@ class GraftRandomSoakSpec extends SparkSpec {
       info(s"[$mode seed=${seed.toHexString}] $steps steps, " +
         s"$replaces REPLACE swap(s), $evolutions spec evolution(s), " +
         s"$widens widen(s), $branchDraws branch draw(s) " +
-        s"(${liveBranch.size} left live) exercised")
+        s"(${liveBranch.size} branch(es), ${liveTag.size} tag(s) left live) exercised")
       assert(evolutions >= 1,
         s"[$mode seed=$seed] the op space must exercise spec evolution")
       assert(branchDraws >= 1,
