@@ -222,9 +222,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   private def resolveName(ns: Seq[String], name: String)
       : Option[GraftTable] = {
     val at = name.indexOf('@')
-    if (at > 0)
-      store.branchTables.get((ns, name.substring(0, at),
-        name.substring(at + 1)))
+    if (at > 0) {
+      val (tn, b) = (name.substring(0, at), name.substring(at + 1))
+      val k = (ns, tn, b)
+      store.branchTables.get(k).orElse {
+        // a branch created by ANOTHER process after this engine opened
+        // the warehouse: probe log/<b>/ on disk and register the loaded
+        // chain (first loader wins — concurrent probes converge on one
+        // live object). Tags miss here (no chain) and fall through to
+        // the tagSnapshot path in loadTable.
+        store.tables.get((ns, tn)).flatMap(_.loadForeignBranch(b))
+          .map(bt => store.branchTables.putIfAbsent(k, bt).getOrElse(bt))
+      }
+    }
     else store.tables.get((ns, name))
   }
 
@@ -2525,7 +2535,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
       d.addAnchor(base)
       floor = base
     }
-    d.log.reclaim(floor, live.toSet, minAgeMillis)
+    // RETAIN-0 sweeps (a) hold a sweep-intent marker across the data
+    // pass — the fence CREATE TAG's post-pin re-validation checks, so a
+    // tag pinned from a version this sweep is reclaiming either re-pins
+    // in time or refuses loudly, never dangles — and (b) re-validate
+    // candidates against a FRESH sibling/tag union between listing and
+    // deletion (see [[GraftTableLog.reclaim]]): a sibling's commit or
+    // tag landing across the leaseless union re-pins its refs.
+    if (minAgeMillis <= 0L) {
+      d.log.writeSweepIntent()
+      try d.log.reclaim(floor, live.toSet, minAgeMillis,
+        recheckLive = Some(() => pinnedLiveRefs(d)))
+      finally d.log.clearSweepIntent()
+    } else d.log.reclaim(floor, live.toSet, minAgeMillis)
     d.registry.filterInPlace((ref, _) =>
       live.contains(ref) || java.nio.file.Paths.get(ref).isAbsolute)
   }
@@ -2780,10 +2802,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new UnsupportedOperationException(
         s"$tableName: cannot branch from a branch — fork from the " +
           "main table")
-    if (!branch.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") || branch == "main")
-      throw new IllegalArgumentException(
-        s"invalid branch name '$branch' (letters, digits, _ . - ; " +
-          "must not be 'main')")
+    GraftTable.requireRefName(branch, "branch")
     val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
     if (blog.hasAnyEntry)
       throw new IllegalArgumentException(
@@ -2814,6 +2833,31 @@ class GraftTable(initialName: String, initialSchema: StructType,
     GraftDurableLoader.loadTable(d.log.dir, d.log.store, Some(branch))
   }
 
+  /** Lazily load a branch chain that exists ON DISK but not in this
+    * engine's store map — a branch created by a SECOND process after
+    * this engine opened the warehouse. FAST FORWARD, `t$branches` and
+    * tree-aware retention already discover such chains from disk; this
+    * closes the asymmetry for `t@b` reads/writes and CHERRY-PICK
+    * (mirroring how tag reads fall through to [[tagSnapshot]]). None
+    * when no healthy chain exists (an unloadable crashed-DROP remnant
+    * stays unreachable, exactly as at warehouse open). */
+  private[sources] def loadForeignBranch(branch: String)
+      : Option[GraftTable] =
+    durable.flatMap { d =>
+      if (d.log.branch.isDefined) None
+      else if (!branch.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") ||
+          branch == "main") None
+      else {
+        val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
+        if (blog.hasAnyEntry &&
+            java.nio.file.Files.exists(blog.branchMetaPath))
+          try Some(GraftDurableLoader.loadTable(
+            d.log.dir, d.log.store, Some(branch)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      }
+    }
+
   /** Stamp table.json to the ref format generation (3) if still below
     * it: once any branch or tag can exist, an engine that does not
     * honor ref pins must refuse the whole table (its vacuum would eat
@@ -2843,10 +2887,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: tags need a durable table — create the catalog " +
         "with a `warehouse` and recreate the table there"))
-    if (!tag.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") || tag == "main")
-      throw new IllegalArgumentException(
-        s"invalid tag name '$tag' (letters, digits, _ . - ; " +
-          "must not be 'main')")
+    GraftTable.requireRefName(tag, "tag")
     // the branch/tag same-name exclusion must be checked under the
     // MAIN chain's lease: CREATE BRANCH holds main's lease, and a tag
     // created THROUGH a branch address holds only the branch's — the
@@ -2873,6 +2914,36 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (!d.log.writeTag(tag, json))
       throw new IllegalArgumentException(
         s"$tableName: tag '$tag' already exists")
+    // POST-PIN re-validation — the RETAIN-0 × CREATE TAG cross-chain
+    // fence. A sibling chain's RETAIN-0 vacuum holds its OWN lease (not
+    // main's), and its leaseless ref union may have listed this tag's
+    // segments as candidates BEFORE the pin landed. Once the tag JSON
+    // is durable: (1) any sweep STARTING now unions it (sweeps list
+    // tags fresh each run, and re-validate candidates just before
+    // deleting); (2) a sweep already PAST its recheck advertises itself
+    // via its intent marker — refuse and self-delete rather than risk
+    // a dangling pin; (3) no intent means any overlapping sweep's
+    // deletes are complete, so the segment-existence check below is
+    // decisive. A tag can never dangle: it either serves bit-exact or
+    // the CREATE fails loudly (retry once the vacuum finishes).
+    def failLoudly(why: String): Nothing = {
+      d.log.deleteTag(tag)
+      d.tagRefCache.remove(tag)
+      d.tagSnapshotCache.remove(tag)
+      throw new IllegalStateException(
+        s"$tableName: CREATE TAG '$tag' raced a concurrent RETAIN-0 " +
+          s"vacuum and lost — $why. The tag was NOT created; retry " +
+          "once the vacuum finishes")
+    }
+    if (d.log.anySweepIntent())
+      failLoudly("a RETAIN-0 sweep is in flight over this table and " +
+        "may already have listed the tagged snapshot's segments for " +
+        "deletion")
+    d.log.refsOfEntryJson(json)
+      .filter(r => !java.nio.file.Paths.get(r).isAbsolute)
+      .find(r => !java.nio.file.Files.exists(d.log.dir.resolve(r)))
+      .foreach(r => failLoudly(
+        s"the tagged snapshot's segment '$r' is already reclaimed"))
     e0.version
     }
   }
@@ -2890,6 +2961,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def dropTag(tag: String): Unit = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: not a durable table"))
+    GraftTable.requireRefName(tag, "tag")
     if (!java.nio.file.Files.exists(d.log.tagPath(tag)))
       throw new IllegalArgumentException(
         s"$tableName: no such tag '$tag'")
@@ -2999,8 +3071,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (d.log.branch.isDefined)
       throw new UnsupportedOperationException(
         s"$tableName: DROP BRANCH targets the main table")
+    GraftTable.requireRefName(branch, "branch")
     val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
-    if (!blog.hasAnyEntry)
+    // a crashed destroy may leave entries without the sidecar (log is
+    // deleted first) or the sidecar alone — either remnant re-sweeps
+    if (!blog.hasAnyEntry &&
+        !java.nio.file.Files.exists(blog.branchMetaPath))
       throw new IllegalArgumentException(
         s"$tableName: no such branch '$branch'")
     blog.destroyBranch()
@@ -3026,6 +3102,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (d.log.branch.isDefined)
       throw new UnsupportedOperationException(
         s"$tableName: FAST FORWARD targets the main chain")
+    GraftTable.requireRefName(branch, "branch")
     val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
     if (!blog.hasAnyEntry)
       throw new IllegalArgumentException(
@@ -5613,6 +5690,18 @@ final case class GraftMetaCol(colName: String, colType: DataType,
 }
 
 object GraftTable {
+  /** Ref (branch/tag) names validate at EVERY entry point that builds a
+    * path from one — creation AND destruction/forward/pick/drop. The
+    * pattern rejects a leading dot, so `.`/`..` can never alias
+    * `log/.` onto MAIN'S OWN log dir (a DROP BRANCH of '.' would
+    * otherwise destroy the main chain — log, checkpoints and lease —
+    * from one SQL typo). 'main' is reserved as the unnamed chain. */
+  def requireRefName(name: String, what: String): Unit =
+    if (!name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") || name == "main")
+      throw new IllegalArgumentException(
+        s"invalid $what name '$name' (letters, digits, _ . - ; must " +
+          "start with a letter/digit/_ and must not be 'main')")
+
   val RowLevelModeProp = "write.rowlevel.mode"
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"

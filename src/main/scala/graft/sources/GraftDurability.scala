@@ -449,6 +449,49 @@ private[sources] final class GraftTableLog(val dir: Path,
   def fileIdentity(p: Path): (Long, Long) =
     (Files.getLastModifiedTime(p).toMillis, Files.size(p))
 
+  // ---- RETAIN-0 sweep intents (the CREATE TAG race fence) -----------
+  /** `_sweep-<chain>.intent` — a marker a RETAIN-0 (minAge 0) data
+    * sweep holds open across its candidate-list → recheck → delete
+    * window. CREATE TAG re-validates AFTER its pin lands: an intent
+    * present then means a sweep may have listed this tag's segments as
+    * candidates before the pin existed — the tag deletes itself and
+    * refuses loudly (retry once the vacuum finishes) instead of ever
+    * dangling. Per-chain names: two chains' concurrent RETAIN-0 sweeps
+    * never clobber each other's marker. Plain files, not CAS'd — a
+    * stale marker (crashed sweep) is ignored once older than
+    * [[GraftTableLog.SweepIntentStaleMs]] (a live sweep finishes in
+    * seconds; a crashed one must not fence tags forever). */
+  def sweepIntentPath: Path =
+    dir.resolve(s"_sweep-${branch.getOrElse("main")}.intent")
+
+  def writeSweepIntent(): Unit = {
+    Files.write(sweepIntentPath,
+      s"""{"chain":"${branch.getOrElse("main")}"}""".getBytes(UTF_8))
+    ()
+  }
+
+  def clearSweepIntent(): Unit =
+    Files.deleteIfExists(sweepIntentPath)
+
+  /** Is any chain's RETAIN-0 sweep possibly in flight right now?
+    * (fresh intent markers from ANY chain — including this one's own:
+    * the tag fence cares about sweeps, whoever runs them). */
+  def anySweepIntent(): Boolean = {
+    if (!Files.isDirectory(dir)) return false
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val now = System.currentTimeMillis()
+      s.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_sweep-") && n.endsWith(".intent") &&
+          (try now - Files.getLastModifiedTime(p).toMillis <
+            GraftTableLog.SweepIntentStaleMs
+          catch { case _: java.io.IOException => false })
+      }
+    } finally s.close()
+  }
+
   /** DROP BRANCH: delete THIS branch chain's log + checkpoint dirs and
     * lease (through the store, freeing CAS names). The branch's own
     * data segments stay behind as unreferenced files — the next
@@ -647,7 +690,8 @@ private[sources] final class GraftTableLog(val dir: Path,
     * passes 0 — the immediate orphan sweep, with Delta's RETAIN-0 sharp
     * edge (don't run it while a write is in flight). */
   def reclaim(oldestRetained: Int, liveRefs: Set[String],
-              minAgeMillis: Long = 0L): Unit = {
+              minAgeMillis: Long = 0L,
+              recheckLive: Option[() => Set[String]] = None): Unit = {
     // CAS'd names (entries, manifests, parts) delete THROUGH the store
     // so a conditional-put backend frees them for future installs
     listEntryVersions.foreach { v =>
@@ -713,35 +757,66 @@ private[sources] final class GraftTableLog(val dir: Path,
     }
     if (Files.isDirectory(dataDir)) {
       val cutoff = System.currentTimeMillis() - minAgeMillis
-      val s = Files.list(dataDir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq.foreach { p =>
-          val name = p.getFileName.toString
-          // a listed candidate may be deleted concurrently (another
-          // process's reclaim, a task abort): a vanished file is simply
-          // done — never an error that aborts a commit that already
-          // landed its log entry
-          def youngEnough: Boolean =
-            try Files.getLastModifiedTime(p).toMillis > cutoff
-            catch { case _: java.io.IOException => true }
-          if (name.endsWith(".parquet") && !liveRefs.contains(s"data/$name")
-              && (minAgeMillis <= 0L || !youngEnough))
-            Files.deleteIfExists(p)
+      val names: Seq[String] = {
+        val s = Files.list(dataDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSeq
+        } finally s.close()
+      }
+      def youngEnough(name: String): Boolean =
+        try Files.getLastModifiedTime(dataDir.resolve(name))
+          .toMillis > cutoff
+        catch { case _: java.io.IOException => true }
+      def segRefOf(name: String): Option[String] =
+        if (name.endsWith(".parquet")) Some(s"data/$name")
+        else if (name.endsWith(".parquet" + GraftBloomSidecar.Suffix))
+          Some(s"data/${name.stripSuffix(GraftBloomSidecar.Suffix)}")
+        else None
+      def dead(name: String, ref: String, live: Set[String]): Boolean =
+        !live.contains(ref) && (minAgeMillis <= 0L || !youngEnough(name))
+      // RETAIN-0 sweeps RE-VALIDATE their candidates against a FRESH
+      // sibling/tag union (the caller's pinnedLiveRefs re-run): the
+      // caller's union is a leaseless point-in-time scan, and a sibling
+      // chain — which holds its OWN lease, not this sweep's — may land
+      // a commit (segment persisted BEFORE its entry CAS) or a tag pin
+      // between that scan and this sweep. Candidates were listed FIRST,
+      // so a commit landing entirely after the listing is never a
+      // candidate; one landing across it re-pins here. The residual
+      // window is a sibling whose segment persisted before the listing
+      // and whose entry CASes after this recheck — the same in-flight-
+      // write sharp edge RETAIN-0 always had on its own chain.
+      // Age-gated (automatic) slides skip the recheck: their window
+      // already spares any file younger than the gate.
+      val repinned: Set[String] =
+        if (minAgeMillis > 0L) Set.empty
+        else {
+          val hasCandidate = names.exists(n =>
+            segRefOf(n).exists(r => dead(n, r, liveRefs)))
+          if (hasCandidate) recheckLive.map(_()).getOrElse(Set.empty)
+          else Set.empty
+        }
+      val live = liveRefs ++ repinned
+      names.foreach { name =>
+        // a listed candidate may be deleted concurrently (another
+        // process's reclaim, a task abort): a vanished file is simply
+        // done — never an error that aborts a commit that already
+        // landed its log entry
+        val p = dataDir.resolve(name)
+        segRefOf(name) match {
           // a bloom SIDECAR lives and dies with its segment: sweep it
           // when the segment's ref is no longer live (the segment file
           // itself may already be gone); crashed sidecar temps (never
           // referenced by anything) sweep age-gated like data orphans
-          else if (name.endsWith(".parquet" + GraftBloomSidecar.Suffix)
-              && !liveRefs.contains(
-                s"data/${name.stripSuffix(GraftBloomSidecar.Suffix)}")
-              && (minAgeMillis <= 0L || !youngEnough))
-            Files.deleteIfExists(p)
-          else if (name.contains(GraftBloomSidecar.Suffix + ".tmp-")
-              && (minAgeMillis <= 0L || !youngEnough))
-            Files.deleteIfExists(p)
+          case Some(ref) =>
+            if (dead(name, ref, live)) Files.deleteIfExists(p)
+          case None =>
+            if (name.contains(GraftBloomSidecar.Suffix + ".tmp-")
+                && (minAgeMillis <= 0L || !youngEnough(name)))
+              Files.deleteIfExists(p)
         }
-      } finally s.close()
+        ()
+      }
     }
   }
 
@@ -761,6 +836,13 @@ private[sources] final class GraftTableLog(val dir: Path,
 }
 
 private[sources] object GraftTableLog {
+  /** A `_sweep-*.intent` older than this is a crashed sweep's remnant:
+    * CREATE TAG's fence ignores it (a live RETAIN-0 sweep holds its
+    * marker for the data-dir pass only — seconds, not minutes). A sweep
+    * genuinely running longer than this while a tag is created
+    * concurrently re-opens the documented RETAIN-0 edge. */
+  val SweepIntentStaleMs: Long = 15L * 60 * 1000
+
   val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   val heldLocks: ThreadLocal[scala.collection.mutable.Set[String]] =
     ThreadLocal.withInitial(() => scala.collection.mutable.Set.empty[String])

@@ -154,6 +154,23 @@ object ForkedWriterMain {
         }
         spark.stop()
         sys.exit(0)
+      case "tagsweep" =>
+        // RETAIN-0-sweep racer (r18): hammer the BRANCH chain with
+        // overwrites (garbage candidates every round) and immediate
+        // RETAIN-1 vacuums (minAge-0 sweeps) while the PARENT creates/
+        // reads/drops tags on main under main's lease. The sweeps hold
+        // no lease the tag creation holds — the cross-chain window the
+        // sweep-intent fence closes. Conflicts (a parent-side sweep or
+        // sync racing ours) retry per the optimistic contract.
+        val t = s"$cat.ns.$tbl"
+        (fromS.toLong to toS.toLong).foreach { i =>
+          retry(60)(spark.sql(
+            s"INSERT OVERWRITE $cat.ns.`$tbl@sweep` VALUES ($i, 's-$i')"))
+          retry(60)(GraftMaintenance.sql(spark,
+            s"VACUUM $cat.ns.$tbl@sweep RETAIN 1 SNAPSHOTS").collect())
+        }
+        spark.stop()
+        sys.exit(0)
       case "crash" =>
         val t = spark.sessionState.catalogManager.catalog(cat)
           .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), tbl))

@@ -535,6 +535,108 @@ class GraftBranchSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM brV.ns.t").as[Long].head() === 3)
   }
 
+  test("ref-name validation holds at EVERY entry point: DROP BRANCH / " +
+      "FAST FORWARD / CREATE TAG / DROP TAG of '.' or '..' refuse " +
+      "loudly and main's own log is never aliased") {
+    durableCatalog("brN")
+    spark.sql("CREATE TABLE brN.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brN.ns.t VALUES (1,'a')")
+    // `log/.` IS main's log dir: an unvalidated DROP BRANCH '.' would
+    // destroy main's entire commit log from one SQL typo
+    Seq(
+      "ALTER TABLE brN.ns.t DROP BRANCH .",
+      "ALTER TABLE brN.ns.t DROP BRANCH ..",
+      "ALTER TABLE brN.ns.t FAST FORWARD TO .",
+      "ALTER TABLE brN.ns.t CREATE TAG .",
+      "ALTER TABLE brN.ns.t DROP TAG .",
+      "ALTER TABLE brN.ns.t CHERRY-PICK . VERSION 1",
+    ).foreach { ddl =>
+      val e = intercept[Exception](
+        GraftMaintenance.sql(spark, ddl).collect())
+      assert(e.getMessage.contains("invalid") ||
+        e.getMessage.contains("no such") ||
+        e.getMessage.contains("cannot be found") ||
+        e.getMessage.contains("not found"),
+        s"$ddl must refuse loudly, got: ${e.getMessage}")
+    }
+    // main is untouched: its log still folds and serves
+    assert(rows("brN.ns.t") === Seq((1L, "a")),
+      "main's commit log must survive every malformed ref DDL")
+    // the same state from a cold fold (the log files are really there)
+    val st = spark.sessionState.catalogManager.catalog("brN")
+      .asInstanceOf[GraftCatalog].store
+    val d = st.tables((Seq("ns"), "t")).durable.get
+    assert(d.log.hasEntry(0) && d.log.hasEntry(1),
+      "main's entries must still exist on disk")
+  }
+
+  test("a branch created by a SECOND process is reachable as t@b from " +
+      "a live catalog without re-open: the store lazily loads the " +
+      "on-disk chain (reads, writes and the refs table all agree)") {
+    val wh = durableCatalog("brL")
+    spark.sql("CREATE TABLE brL.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brL.ns.t VALUES (1,'a')")
+    // the "second process": an ISOLATED store over the same warehouse
+    reopen("brL2", wh)
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brL2.ns.t CREATE BRANCH audit").collect()
+    spark.sql("INSERT INTO brL2.ns.`t@audit` VALUES (2,'b')")
+    // the FIRST catalog's store has never seen this branch — `t@audit`
+    // must probe the on-disk chain and serve it (previously only FAST
+    // FORWARD / $branches / retention saw it; reads needed a re-open)
+    assert(rows("brL.ns.`t@audit`") === Seq((1L, "a"), (2L, "b")),
+      "a foreign-process branch must be readable without re-open")
+    // and writable: the lazily-loaded chain is a live head
+    spark.sql("INSERT INTO brL.ns.`t@audit` VALUES (3,'c')")
+    assert(rows("brL.ns.`t@audit`") === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows("brL.ns.t") === Seq((1L, "a")), "main stays untouched")
+    // a name that is neither a branch nor a tag still refuses
+    intercept[Exception](spark.table("brL.ns.`t@nope`").collect())
+  }
+
+  test("CREATE TAG's post-pin fence: an in-flight RETAIN-0 sweep " +
+      "refuses the tag (no remnant), a reclaimed segment refuses the " +
+      "tag (self-deleted), a STALE crashed intent is ignored") {
+    durableCatalog("brW")
+    spark.sql("CREATE TABLE brW.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brW.ns.t VALUES (1,'a')")
+    val st = spark.sessionState.catalogManager.catalog("brW")
+      .asInstanceOf[GraftCatalog].store
+    val d = st.tables((Seq("ns"), "t")).durable.get
+    // (1) a FRESH sweep intent (a RETAIN-0 vacuum mid-data-pass in
+    // another process) fences the tag: refuse loudly, no tags/ remnant
+    val intent = d.log.dir.resolve("_sweep-other.intent")
+    java.nio.file.Files.write(intent, "{}".getBytes)
+    val e1 = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brW.ns.t CREATE TAG rel").collect())
+    assert(e1.getMessage.contains("RETAIN-0") ||
+      e1.getMessage.contains("vacuum"), e1.getMessage)
+    assert(!java.nio.file.Files.exists(d.log.tagPath("rel")),
+      "a fenced tag must leave NO tags/ remnant")
+    // (2) a STALE intent (crashed sweep) must not fence tags forever
+    java.nio.file.Files.setLastModifiedTime(intent,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - GraftTableLog.SweepIntentStaleMs - 1))
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brW.ns.t CREATE TAG rel").collect()
+    assert(rows("brW.ns.`t@rel`") === Seq((1L, "a")))
+    GraftMaintenance.sql(spark, "ALTER TABLE brW.ns.t DROP TAG rel")
+      .collect()
+    java.nio.file.Files.delete(intent)
+    // (3) a tag whose pinned segment is ALREADY reclaimed (this JVM's
+    // view is stale past a sibling's sweep) self-deletes and refuses —
+    // never a dangling pin. Simulate the lost race by deleting the
+    // segment out from under the in-memory census.
+    val seg = st.tables((Seq("ns"), "t")).dataFiles
+      .filter(_.persisted).head.segment.path
+    java.nio.file.Files.delete(seg)
+    val e3 = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brW.ns.t CREATE TAG lost").collect())
+    assert(e3.getMessage.contains("reclaimed"), e3.getMessage)
+    assert(!java.nio.file.Files.exists(d.log.tagPath("lost")),
+      "a lost-race tag must self-delete, never dangle")
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {

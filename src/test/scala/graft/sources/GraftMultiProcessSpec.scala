@@ -278,6 +278,66 @@ class GraftMultiProcessSpec extends SparkSpec {
     assert(all.distinct.length === 37)
   }
 
+  test("CREATE TAG in this JVM racing RETAIN-0 sweeps on a sibling " +
+      "chain in a forked JVM: every tag either serves bit-exact or " +
+      "the CREATE fails loudly — never a dangling tag (r18)") {
+    val wh = tmpDir("graft-mp-tagrace")
+    durableCatalog("mpt", wh)
+    spark.sql("CREATE TABLE mpt.ns.mptt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mpt.ns.mptt VALUES (0, 'seed')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE mpt.ns.mptt CREATE BRANCH sweep").collect()
+
+    // the sibling: overwrite + RETAIN-1 vacuum (minAge-0 sweep) loops
+    // on the branch chain, holding only the BRANCH lease
+    val (p, l) = fork("tagsweep", wh, "ts1", "mptt", 1L, 40L)
+
+    // this JVM: create → read → drop tags on MAIN while the sibling
+    // sweeps. A loud raced-refusal is a legitimate outcome; a tag that
+    // CREATEs but cannot read back bit-exact is the forbidden one.
+    var created = 0
+    var fenced = 0
+    (1 to 60).foreach { i =>
+      spark.sql(s"INSERT INTO mpt.ns.mptt VALUES ($i, 'm-$i')")
+      val ok =
+        try {
+          GraftMaintenance.sql(spark,
+            s"ALTER TABLE mpt.ns.mptt CREATE TAG snap").collect()
+          true
+        } catch {
+          case e: Exception
+              if e.getMessage != null &&
+                (e.getMessage.contains("RETAIN-0") ||
+                  e.getMessage.contains("reclaimed")) =>
+            fenced += 1; false
+        }
+      if (ok) {
+        created += 1
+        val got = spark.sql(
+          "SELECT id, v FROM mpt.ns.`mptt@snap` ORDER BY id")
+          .as[(Long, String)].collect().toSeq
+        assert(got === (0L, "seed") +: (1L to i.toLong)
+          .map(j => (j, s"m-$j")),
+          s"tag $i must serve bit-exact after surviving the race: $got")
+        GraftMaintenance.sql(spark,
+          "ALTER TABLE mpt.ns.mptt DROP TAG snap").collect()
+      }
+    }
+    awaitExit(p, l, 0)
+    assert(created > 0,
+      s"the race must not starve tag creation entirely ($fenced fenced)")
+    // post-race: no tag remnant, both chains healthy, a fresh fold agrees
+    durableCatalog("mptr", wh, isolated = true)
+    assert(spark.sql("SELECT count(*) FROM mptr.ns.mptt").as[Long]
+      .head() === 61L)
+    assert(spark.sql("SELECT v FROM mptr.ns.`mptt@sweep`").as[String]
+      .collect().toSeq === Seq("s-40"))
+    assert(spark.table("mptr.ns.`mptt$branches`")
+      .select("name").as[String].collect().toSeq === Seq("sweep"),
+      "no tag may survive the loop — every created tag was dropped, " +
+        "every fenced tag self-deleted")
+  }
+
   test("a child killed after landing segments but before commit leaves " +
       "only unreferenced files; the warehouse stays healthy") {
     val wh = tmpDir("graft-mp-crash")
