@@ -2761,12 +2761,18 @@ object RelationalQueries {
     Q("s68_branch_refs", "S-branch,S-tag,S-introspect,DDL-alter",
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
         |SELECT * FROM (
-        |  SELECT 'audit' AS name, 'branch' AS kind, 1 AS fork_version,
-        |    3 AS head_version, c + 5 AS ref_rows FROM n
+        |  SELECT 'aged' AS name, 'tag' AS kind, 1 AS fork_version,
+        |    1 AS head_version, CAST(NULL AS INTEGER) AS retain_snapshots,
+        |    CAST(48.0 AS DOUBLE) AS ref_age_hours, c AS ref_rows FROM n
         |  UNION ALL
-        |  SELECT 'rc', 'branch', 1, 1, c FROM n
+        |  SELECT 'audit', 'branch', 1, 3, 5, CAST(NULL AS DOUBLE),
+        |    c + 5 FROM n
         |  UNION ALL
-        |  SELECT 'v1', 'tag', 1, 1, c FROM n)
+        |  SELECT 'rc', 'branch', 1, 1, CAST(NULL AS INTEGER),
+        |    CAST(NULL AS DOUBLE), c FROM n
+        |  UNION ALL
+        |  SELECT 'v1', 'tag', 1, 1, CAST(NULL AS INTEGER),
+        |    CAST(NULL AS DOUBLE), c FROM n)
         |ORDER BY name""".stripMargin) { (s, dir) =>
       val wh = java.nio.file.Files.createTempDirectory("graft-s68").toString
       val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -2780,8 +2786,14 @@ object RelationalQueries {
       nat.writeTo(s"$w.ns.prod").create()
       graft.sources.GraftMaintenance.sql(s,
         s"ALTER TABLE $w.ns.prod CREATE TAG v1").collect()
+      // r18 declarative retention properties surface in the refs table:
+      // a branch with its own snapshot window, a tag with an expiry age
       graft.sources.GraftMaintenance.sql(s,
-        s"ALTER TABLE $w.ns.prod CREATE BRANCH audit").collect()
+        s"ALTER TABLE $w.ns.prod CREATE TAG aged RETAIN 48 HOURS")
+        .collect()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH audit RETAIN 5 SNAPSHOTS")
+        .collect()
       nat.where(col("k") < 3).select(col("k") + 100, col("name"))
         .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append()
       nat.where(col("k") < 2).select(col("k") + 200, col("name"))
@@ -2791,13 +2803,15 @@ object RelationalQueries {
       // per-ref row count: branches read their heads, the tag reads
       // its pinned snapshot (NOT main's current state)
       val refRows = Map(
+        "aged" -> s.table(s"$w.ns.`prod@aged`").count(),
         "audit" -> s.table(s"$w.ns.`prod@audit`").count(),
         "rc" -> s.table(s"$w.ns.`prod@rc`").count(),
         "v1" -> s.table(s"$w.ns.`prod@v1`").count())
       import s.implicits._
       val cnt = refRows.toSeq.toDF("name", "ref_rows")
       s.table(s"$w.ns.`prod$$branches`")
-        .select("name", "kind", "fork_version", "head_version")
+        .select("name", "kind", "fork_version", "head_version",
+          "retain_snapshots", "ref_age_hours")
         .join(cnt, "name")
         .orderBy("name")
     },

@@ -2121,6 +2121,21 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * copied — the ancestry anchor FAST FORWARD checks against. */
   @volatile private[sources] var branchMeta: Option[(String, Int)] = None
 
+  /** Declarative per-chain snapshot retention (r18 —
+    * `CREATE BRANCH b RETAIN n SNAPSHOTS`, persisted in the branch's
+    * `_branch.json`): overrides the engine-wide
+    * [[GraftTable.historyRetention]] for THIS chain's automatic
+    * retention slide and for `VACUUM` without an explicit RETAIN. None
+    * (every main chain, retention-less branches) keeps the global. */
+  @volatile private[sources] var retainSnapshotsOverride: Option[Int] = None
+
+  /** The chain's effective snapshot-retention window. The floor of 2 is
+    * structural: the change feed and ancestry checks need at least the
+    * previous entry. */
+  private def effectiveRetention: Int =
+    math.max(2, retainSnapshotsOverride
+      .getOrElse(GraftTable.historyRetention))
+
   /** The (partitionCols, bucketSpec) in effect at commit `v`. */
   private[sources] def layoutAt(v: Int): (Seq[String], Option[(Int, String)]) =
     priorLayouts.find(v <= _._1).map(p => (p._2, p._3))
@@ -2261,7 +2276,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       nm -> GraftConstraints.compile(txt, e.schema)
     }
     history = history :+ e
-    val over = history.length - math.max(2, GraftTable.historyRetention)
+    val over = history.length - effectiveRetention
     if (over > 0) history = history.drop(over)
     changesCache = None
     readState = (files, dvs)
@@ -2487,6 +2502,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   private def reclaimDurable(d: GraftTableDurability,
                              minAgeMillis: Long = 0L): Unit = {
+    // refs past their declared age drop FIRST, so this very sweep
+    // reclaims what they alone pinned (r18 ref aging)
+    expireAgedRefs(d)
     val live = scala.collection.mutable.Set.empty[String]
     def add(f: GraftDataFile): Unit =
       if (f.persisted && f.segment.path.startsWith(d.log.dir))
@@ -2562,7 +2580,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
     history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts,
       op, added, removed, dvs, params)
-    val over = history.length - math.max(2, GraftTable.historyRetention)
+    val over = history.length - effectiveRetention
     if (over > 0) history = history.drop(over)
     readState = (files, dvs)
     durable.foreach { d =>
@@ -2794,7 +2812,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * chain's version numbers onto its old state — like any reader
     * whose table was vacuumed past it, the remedy is to re-open; the
     * engine's own store always re-registers the fresh object. */
-  private[sources] def forkBranch(branch: String): GraftTable = mutate {
+  private[sources] def forkBranch(branch: String,
+      retainSnapshots: Option[Int] = None,
+      refAgeHours: Option[Double] = None): GraftTable = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: branches need a durable table — create the " +
         "catalog with a `warehouse` and recreate the table there"))
@@ -2803,6 +2823,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$tableName: cannot branch from a branch — fork from the " +
           "main table")
     GraftTable.requireRefName(branch, "branch")
+    retainSnapshots.filter(_ < 1).foreach(n =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $n SNAPSHOTS — must keep at least 1"))
+    refAgeHours.filter(_ <= 0).foreach(h =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $h HOURS — the ref age must be positive"))
     val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
     if (blog.hasAnyEntry)
       throw new IllegalArgumentException(
@@ -2817,7 +2843,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     stampRefFormat(d)
     blog.init()
     val v = history.last.version
-    blog.writeBranchMeta(v)
+    blog.writeBranchMeta(v, retainSnapshots, refAgeHours)
     val ts = math.max(GraftClock.nowMicros(), history.last.tsMicros + 1)
     val e = CommitEntry(v, tableSchema, files, ts,
       GraftTable.CreateBranchOp, Vector.empty, Vector.empty, dvs,
@@ -2883,11 +2909,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * a BRANCH table pin that branch's state (the namespace is
     * table-level). Returns the tagged version. */
   private[sources] def createTag(tag: String,
-      version: Option[Int], ident: Identifier): Int = mutate {
+      version: Option[Int], ident: Identifier,
+      refAgeHours: Option[Double] = None): Int = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: tags need a durable table — create the catalog " +
         "with a `warehouse` and recreate the table there"))
     GraftTable.requireRefName(tag, "tag")
+    refAgeHours.filter(_ <= 0).foreach(h =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $h HOURS — the ref age must be positive"))
     // the branch/tag same-name exclusion must be checked under the
     // MAIN chain's lease: CREATE BRANCH holds main's lease, and a tag
     // created THROUGH a branch address holds only the branch's — the
@@ -2904,9 +2934,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // a tag is a STATE snapshot, not a change record: the commit's CDC
     // vectors stay behind (pinning them would retain change files no
     // read of the tag can ever serve)
+    // declarative tag expiry (r18, Iceberg's maxRefAgeMs analog) rides
+    // the params: creation instant + declared age, so ANY chain's sweep
+    // — and the read path — can decide expiry off the self-contained
+    // JSON alone
     val e = e0.copy(added = Vector.empty, removed = Vector.empty,
       operation = GraftTable.CreateTagOp,
-      params = Map("version" -> e0.version.toString))
+      params = Map("version" -> e0.version.toString) ++
+        refAgeHours.map(h => Map(
+          "refAgeHours" -> h.toString,
+          "createdMicros" -> GraftClock.nowMicros().toString))
+          .getOrElse(Map.empty))
     val (pcV, bsV) = layoutAt(e0.version)
     val json = GraftLogCodec.encodeEntry(e, pcV, bsV, d.log.dir,
       Map.empty, nextFieldId, Map.empty,
@@ -2977,8 +3015,67 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * evolution, and letting its old group keys re-bind the LIVE
     * chain's registry objects would hand later folds stale identities.
     * None when no such tag exists. */
+  /** Is tag `n` past its declared ref age (r18 tag expiry)? Decided off
+    * the tag's own self-contained JSON; tags without the property never
+    * expire; an UNREADABLE tag is NOT expired (a transient fault must
+    * never void a pin — the sweep path already fails loudly there). */
+  private def tagExpired(d: GraftTableDurability, n: String): Boolean =
+    try {
+      val p = d.log.tagParams(n)
+      (p.get("refAgeHours"), p.get("createdMicros")) match {
+        case (Some(h), Some(c)) => GraftClock.nowMicros() >
+          c.toLong + (h.toDouble * 3600d * 1e6).toLong
+        case _ => false
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Drop refs past their declared age (r18, Iceberg's maxRefAgeMs
+    * analog) — called at the head of every reclaim, so "the next sweep"
+    * both releases an expired ref AND reclaims its unshared segments.
+    * Expired TAGS delete from any chain's sweep (tag DDL takes no chain
+    * lease beyond main's, and a double delete is harmless). Expired
+    * BRANCHES destroy from MAIN-chain sweeps only — chain destruction
+    * is main-lease DDL, and main's mutate holds exactly that here; the
+    * destroyed chain's in-JVM live handles deregister so `t@b` stops
+    * serving immediately (foreign processes follow the documented
+    * stale-handle contract: re-open). */
+  private def expireAgedRefs(d: GraftTableDurability): Unit = {
+    d.log.listTags.foreach { n =>
+      if (tagExpired(d, n)) {
+        d.log.deleteTag(n)
+        d.tagRefCache.remove(n)
+        d.tagSnapshotCache.remove(n)
+      }
+    }
+    if (d.log.branch.isEmpty) {
+      val now = GraftClock.nowMicros()
+      d.log.listBranches.foreach { b =>
+        val blog = new GraftTableLog(d.log.dir, d.log.store, Some(b))
+        try {
+          val age = blog.readBranchProps()._3
+          val vs = blog.listEntryVersions
+          // a branch ages from its LAST commit, not its creation: an
+          // actively-written branch never expires out from under its
+          // writer
+          if (age.exists(h => vs.nonEmpty && now >
+              blog.entryTs(vs.last) + (h * 3600d * 1e6).toLong)) {
+            blog.destroyBranch()
+            d.siblingRefCache.remove(b)
+            GraftTableStore.allStores.foreach(_.branchTables
+              .filterInPlace { case (_, bt) =>
+                !bt.durable.exists(bd => bd.log.dir == d.log.dir &&
+                  bd.log.branch.contains(b))
+              })
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
   private[sources] def tagSnapshot(tag: String): Option[GraftSnapshotTable] =
-    durable.flatMap { d =>
+    // a tag past its declared age refuses BEFORE any sweep ran — the
+    // pre-expiry read serves, the post-expiry read is already gone
+    durable.filterNot(tagExpired(_, tag)).flatMap { d =>
       val p = d.log.tagPath(tag)
       // a hit serves only while the file's identity still matches: a
       // DROP (anyone's) evicts at the next read instead of serving a
@@ -3447,7 +3544,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     files = e.files
     dvs = e.dvs
     var hh = h
-    val over = hh.length - math.max(2, GraftTable.historyRetention)
+    val over = hh.length - effectiveRetention
     if (over > 0) hh = hh.drop(over)
     history = hh
     priorLayouts = layouts
@@ -3477,7 +3574,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     files = swap.files
     dvs = Map.empty
     var h = prior :+ swap
-    val over = h.length - math.max(2, GraftTable.historyRetention)
+    val over = h.length - effectiveRetention
     if (over > 0) h = h.drop(over)
     history = h
     priorLayouts = layouts
@@ -3536,8 +3633,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * reclaim no bytes by construction. */
   private[sources] def vacuumDryRun(keepLast: Int): (Int, Int, Long) =
     mutate {
-      require(keepLast >= 1, "must keep at least the current snapshot")
-      val retire = math.max(0, history.length - keepLast)
+      val keep =
+        if (keepLast <= 0) retainSnapshotsOverride.getOrElse(1)
+        else keepLast
+      require(keep >= 1, "must keep at least the current snapshot")
+      val retire = math.max(0, history.length - keep)
       durable match {
         case None => (retire, 0, 0L)
         case Some(d) =>
@@ -3584,8 +3684,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
 
   private[sources] def vacuumHistory(keepLast: Int): Int = mutate {
-    require(keepLast >= 1, "must keep at least the current snapshot")
-    val over = history.length - keepLast
+    // keepLast <= 0 is the "VACUUM without RETAIN" sentinel: honor the
+    // chain's DECLARED retention property (r18) when one exists, else
+    // the explicit-vacuum default of 1 (unchanged for main chains)
+    val keep =
+      if (keepLast <= 0) retainSnapshotsOverride.getOrElse(1) else keepLast
+    require(keep >= 1, "must keep at least the current snapshot")
+    val over = history.length - keep
     if (over > 0) history = history.drop(over)
     // vacuum truncates WITHOUT a version bump — the memoized CDC files
     // would otherwise keep serving (and pinning) the retired commits
@@ -3603,7 +3708,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   // ---- metadata tables (`t$files`, `t$history`) -----------------------
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField}
   import org.apache.spark.unsafe.types.UTF8String
 
   private def utf8(s: String): UTF8String =
@@ -3808,7 +3913,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
       StructField("kind", StringType, nullable = false),
       StructField("fork_version", IntegerType, nullable = false),
       StructField("head_version", IntegerType, nullable = false),
-      StructField("head_timestamp_micros", LongType, nullable = false)))
+      StructField("head_timestamp_micros", LongType, nullable = false),
+      // the declarative retention surface (r18): per-branch snapshot
+      // retention and per-ref age, NULL where undeclared
+      StructField("retain_snapshots", IntegerType, nullable = true),
+      StructField("ref_age_hours", DoubleType, nullable = true)))
     val rows: Array[InternalRow] = durable match {
       case None => Array.empty
       case Some(d) =>
@@ -3817,10 +3926,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val vs = blog.listEntryVersions
           if (vs.isEmpty) None
           else try {
-            val fork = blog.readBranchMeta()
+            val (fork, retain, age) = blog.readBranchProps()
             Some(new GenericInternalRow(Array[Any](
               utf8(b), utf8("branch"), fork, vs.last,
-              blog.entryTs(vs.last))): InternalRow)
+              blog.entryTs(vs.last), retain.map(Int.box).orNull,
+              age.map(Double.box).orNull)): InternalRow)
           } catch {
             // a crashed DROP's remnant chain: introspection skips it
             // (the loader records the refusal; reads of it fail loudly)
@@ -3832,8 +3942,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
         val tagRows = d.log.listTags.flatMap { t =>
           try {
             val (v, ts) = d.log.tagVersionTs(t)
+            val age = d.log.tagParams(t).get("refAgeHours").map(_.toDouble)
             Some(new GenericInternalRow(Array[Any](
-              utf8(t), utf8("tag"), v, v, ts)): InternalRow)
+              utf8(t), utf8("tag"), v, v, ts, null,
+              age.map(Double.box).orNull)): InternalRow)
           } catch { case scala.util.control.NonFatal(_) => None }
         }
         (branchRows ++ tagRows).toArray
@@ -6326,9 +6438,11 @@ object GraftMaintenance {
     * table's head and register its live head under (ns, t, b).
     * Returns the fork version. */
   def createBranch(namespace: Seq[String], table: String, branch: String,
-      scope: Option[GraftStoreState] = None): Int = {
+      scope: Option[GraftStoreState] = None,
+      retainSnapshots: Option[Int] = None,
+      refAgeHours: Option[Double] = None): Int = {
     val t = resolve(namespace, table, scope)
-    val bt = t.forkBranch(branch)
+    val bt = t.forkBranch(branch, retainSnapshots, refAgeHours)
     storeOf(namespace, table, scope)
       .branchTables.put((namespace, table, branch), bt)
     bt.branchMeta.map(_._2).getOrElse(0)
@@ -6365,9 +6479,10 @@ object GraftMaintenance {
     * named snapshot, readable as `t@n`. Returns the tagged version. */
   def createTag(namespace: Seq[String], table: String, tag: String,
       version: Option[Int] = None,
-      scope: Option[GraftStoreState] = None): Int =
+      scope: Option[GraftStoreState] = None,
+      refAgeHours: Option[Double] = None): Int =
     resolve(namespace, table, scope).createTag(tag, version,
-      Identifier.of(namespace.toArray, table))
+      Identifier.of(namespace.toArray, table), refAgeHours)
 
   /** `ALTER TABLE t DROP TAG n`: release the pin. */
   def dropTag(namespace: Seq[String], table: String, tag: String,

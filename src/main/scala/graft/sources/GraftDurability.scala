@@ -380,10 +380,35 @@ private[sources] final class GraftTableLog(val dir: Path,
     * collide with entry names (11-digit pattern). */
   def branchMetaPath: Path = logDir.resolve("_branch.json")
 
-  def writeBranchMeta(forkVersion: Int): Unit = {
+  def writeBranchMeta(forkVersion: Int,
+      retainSnapshots: Option[Int] = None,
+      refAgeHours: Option[Double] = None): Unit = {
+    // additive fields: a retention-less branch encodes byte-identically
+    // to the r17 format, and old engines parse forkVersion regardless
+    val extra =
+      retainSnapshots.map(n => s""","retainSnapshots":$n""").getOrElse("") +
+        refAgeHours.map(h => s""","refAgeHours":$h""").getOrElse("")
     Files.write(branchMetaPath,
-      s"""{"forkVersion":$forkVersion}""".getBytes(UTF_8))
+      s"""{"forkVersion":$forkVersion$extra}""".getBytes(UTF_8))
     ()
+  }
+
+  /** The branch's full declarative identity: (fork version, declared
+    * snapshot retention, declared ref age in hours). The latter two are
+    * the r18 per-ref retention properties — absent on pre-r18 branches. */
+  def readBranchProps(): (Int, Option[Int], Option[Double]) = {
+    val o = JsonMethods.parse(
+      new String(Files.readAllBytes(branchMetaPath), UTF_8))
+      .asInstanceOf[JObject].obj.toMap
+    def num(k: String): Option[Double] = o.get(k).map {
+      case JInt(b) => b.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case other => throw new IllegalStateException(
+        s"expected number for $k: $other")
+    }
+    (jsonNum(o("forkVersion")).toInt,
+      num("retainSnapshots").map(_.toInt), num("refAgeHours"))
   }
 
   /** The one JSON-number extraction every shallow log/ref scan shares. */
@@ -442,6 +467,18 @@ private[sources] final class GraftTableLog(val dir: Path,
       .asInstanceOf[JObject].obj.toMap
     (jsonNum(o("version")).toInt, jsonNum(o("ts")))
   }
+
+  /** The tag's operationParameters ("version", and from r18 optionally
+    * "refAgeHours" + "createdMicros" — the declarative tag-expiry
+    * properties), off its self-contained JSON. */
+  def tagParams(name: String): Map[String, String] =
+    JsonMethods.parse(readTag(name)).asInstanceOf[JObject].obj.toMap
+      .get("params") match {
+      case Some(JArray(kvs)) => kvs.collect {
+        case JArray(JString(k) :: JString(v) :: Nil) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
 
   /** (mtime, size) of a ref file — the cheap identity the tag caches
     * key on: a DROP + re-CREATE under the same name changes it, so a
@@ -1700,8 +1737,10 @@ private[sources] object GraftDurableLoader {
     val latest = entryVs.last
     val ckpts = log.listCheckpointVersions.filter(_ <= latest)
     // the chain's log-entry anchor: v0 for main, the retained creation
-    // full entry for a branch (the fork snapshot)
-    val forkV = branch.map(_ => log.readBranchMeta())
+    // full entry for a branch (the fork snapshot). Branch props carry
+    // the declarative retention (r18) alongside the fork identity.
+    val branchProps = branch.map(_ => log.readBranchProps())
+    val forkV = branchProps.map(_._1)
     val headIsAnchor =
       (branch.isEmpty && entryVs.head == 0) || forkV.contains(entryVs.head)
     d.anchors = scala.collection.immutable.SortedSet.empty[Int] ++
@@ -1757,6 +1796,9 @@ private[sources] object GraftDurableLoader {
     val t = new GraftTable(
       branch.map(b => s"${meta.displayName}@$b").getOrElse(meta.displayName),
       decoded.last.entry.schema, curLayout._1, curLayout._3, curLayout._2)
+    // the declared per-branch retention must govern the very replay
+    // that follows (its trim window), not just later commits
+    branchProps.foreach(p => t.retainSnapshotsOverride = p._2)
     t.bootstrapDurable(d, decoded)
     t.priorLayouts = layouts
     // a branch creation entry embeds its layout exactly when the parent

@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   CREATE [OR REPLACE] TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF v]
   *     — OR REPLACE onto an existing dst = the WAP publish
   *   ALTER TABLE t SET PARTITIONED BY (col [, col…])  — spec evolution
-  *   ALTER TABLE t CREATE BRANCH b | DROP BRANCH b    — named refs
+  *   ALTER TABLE t CREATE BRANCH b [RETAIN n SNAPSHOTS] [RETAIN h HOURS]
+  *     | DROP BRANCH b — named refs; RETAIN declares the branch's own
+  *     snapshot retention / ref age (Iceberg's maxRefAgeMs analog)
   *   ALTER TABLE t FAST FORWARD [main] TO b           — replay b onto main
-  *   ALTER TABLE t CREATE TAG n [AS OF VERSION v] | DROP TAG n
+  *   ALTER TABLE t CREATE TAG n [AS OF VERSION v] [RETAIN h HOURS]
+  *     | DROP TAG n — h HOURS = tag expiry (aged-out tags drop and
+  *     their segments reclaim on the next sweep)
   *   ALTER TABLE t CHERRY-PICK b VERSION v        — adopt one append
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
@@ -83,7 +87,7 @@ object GraftSqlParser {
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.@`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
   private val CreateBranch =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val DropBranch =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val FastForward =
@@ -91,7 +95,7 @@ object GraftSqlParser {
   private val CherryPick =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CHERRY[-\s]?PICK\s+([\w.-]+)\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val CreateTag =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val DropTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
 
@@ -237,7 +241,9 @@ object GraftSqlParser {
       case Vacuum(ident, keep, unit, dry) =>
         split(ident).filter(claims(_, session)).map { parts =>
           val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
-          val keepLast = Option(keep).map(_.toInt).getOrElse(1)
+          // no explicit RETAIN → 0 sentinel: the chain's declared
+          // retention property (r18) governs, else the default of 1
+          val keepLast = Option(keep).map(_.toInt).getOrElse(0)
           if (dry != null)
             // Delta's DRY RUN: the reclaim census, nothing deleted
             GraftMaintenanceCommand(outTyped(
@@ -586,11 +592,13 @@ object GraftSqlParser {
       // replays the branch's commit suffix onto main verbatim (the CDF
       // sees every branch commit, not one state diff). Standard SQL has
       // none of these shapes, so unmatched statements fall through.
-      case CreateBranch(ident, b) =>
+      case CreateBranch(ident, b, retain, age) =>
         split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(out("fork_version"), _ => {
             val (ns, t, scope) = resolve(parts, session)
-            Seq(Row(GraftMaintenance.createBranch(ns, t, b, scope)))
+            Seq(Row(GraftMaintenance.createBranch(ns, t, b, scope,
+              Option(retain).map(_.toInt),
+              Option(age).map(_.toDouble))))
           })
         }
       case DropBranch(ident, b) =>
@@ -621,12 +629,13 @@ object GraftSqlParser {
       // ALTER TABLE … CREATE TAG name [AS OF VERSION n] / DROP TAG:
       // Iceberg-style immutable refs — a named, retention-pinned
       // snapshot readable as `t@name`
-      case CreateTag(ident, tag, v) =>
+      case CreateTag(ident, tag, v, age) =>
         split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(out("tagged_version"), _ => {
             val (ns, t, scope) = resolve(parts, session)
             Seq(Row(GraftMaintenance.createTag(ns, t, tag,
-              Option(v).map(_.toInt), scope)))
+              Option(v).map(_.toInt), scope,
+              Option(age).map(_.toDouble))))
           })
         }
       case DropTag(ident, tag) =>

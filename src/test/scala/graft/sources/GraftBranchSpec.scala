@@ -637,6 +637,148 @@ class GraftBranchSpec extends SparkSpec {
       "a lost-race tag must self-delete, never dangle")
   }
 
+  test("declarative branch retention: CREATE BRANCH b RETAIN 2 " +
+      "SNAPSHOTS trims the branch's own window while main keeps its " +
+      "128; VACUUM without RETAIN honors it; a restart re-reads it") {
+    val wh = durableCatalog("brR")
+    spark.sql("CREATE TABLE brR.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brR.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brR.ns.t CREATE BRANCH keep2 RETAIN 2 SNAPSHOTS")
+      .collect()
+    (2 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO brR.ns.`t@keep2` VALUES ($i,'b$i')"))
+    (10 to 12).foreach(i =>
+      spark.sql(s"INSERT INTO brR.ns.t VALUES ($i,'m$i')"))
+    val st = spark.sessionState.catalogManager.catalog("brR")
+      .asInstanceOf[GraftCatalog].store
+    val bt = st.branchTables((Seq("ns"), "t", "keep2"))
+    assert(bt.commitHistory.length === 2,
+      s"the declared window governs the branch's automatic slide: " +
+        s"${bt.commitHistory}")
+    assert(st.tables((Seq("ns"), "t")).commitHistory.length === 5,
+      "main keeps the engine-wide 128 window")
+    // the branch still reads its FULL state (retention trims history,
+    // never current data)
+    assert(rows("brR.ns.`t@keep2`") ===
+      (1 to 5).map(i => (i.toLong, if (i == 1) "a" else s"b$i")))
+    // the refs table carries the declared property
+    val refs = spark.table("brR.ns.`t$branches`")
+      .select("name", "retain_snapshots", "ref_age_hours")
+      .as[(String, Option[Int], Option[Double])].collect().toSeq
+    assert(refs === Seq(("keep2", Some(2), None)), refs.toString)
+    // VACUUM without an explicit RETAIN honors the declared 2 (the
+    // default elsewhere is 1): both retained versions stay readable
+    GraftMaintenance.sql(spark, "VACUUM brR.ns.t@keep2").collect()
+    assert(bt.commitHistory.length === 2,
+      "VACUUM without RETAIN must keep the DECLARED 2, not default to 1")
+    spark.sql(s"SELECT * FROM brR.ns.`t@keep2` VERSION AS OF " +
+      s"${bt.commitHistory.head._1}").collect()
+    // restart: the property re-reads from _branch.json and keeps
+    // governing the replayed chain
+    reopen("brR2", wh)
+    val bt2 = spark.sessionState.catalogManager.catalog("brR2")
+      .asInstanceOf[GraftCatalog].store
+      .branchTables((Seq("ns"), "t", "keep2"))
+    assert(bt2.commitHistory.length === 2,
+      s"the declared window must survive restart: ${bt2.commitHistory}")
+    spark.sql("INSERT INTO brR2.ns.`t@keep2` VALUES (6,'b6')")
+    assert(bt2.commitHistory.length === 2)
+  }
+
+  test("tag expiry (RETAIN h HOURS): a pre-expiry read serves, a " +
+      "post-expiry read refuses, and the next sweep drops the tag and " +
+      "reclaims its pinned segments") {
+    durableCatalog("brQ")
+    val savedClock = GraftClock.nowMicros
+    try {
+      var now = System.currentTimeMillis() * 1000L
+      GraftClock.nowMicros = () => now
+      spark.sql("CREATE TABLE brQ.ns.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO brQ.ns.t VALUES (1,'a'), (2,'b')")
+      val st = spark.sessionState.catalogManager.catalog("brQ")
+        .asInstanceOf[GraftCatalog].store
+      val mainT = st.tables((Seq("ns"), "t"))
+      val tagged = mainT.dataFiles.filter(_.persisted)
+        .map(_.segment.path).toSet
+      assert(tagged.nonEmpty)
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brQ.ns.t CREATE TAG rel RETAIN 1 HOURS").collect()
+      // main moves past the tagged census; ONLY the tag pins it now
+      spark.sql("INSERT OVERWRITE brQ.ns.t VALUES (9,'x')")
+      spark.sql("INSERT INTO brQ.ns.t VALUES (10,'y')")
+      GraftMaintenance.sql(spark,
+        "VACUUM brQ.ns.t RETAIN 1 SNAPSHOTS").collect()
+      // pre-expiry: the pin holds through the sweep and the read serves
+      assert(rows("brQ.ns.`t@rel`") === Seq((1L, "a"), (2L, "b")),
+        "a pre-expiry read must serve the pinned census")
+      assert(tagged.forall(java.nio.file.Files.exists(_)),
+        "pre-expiry, the sweep must keep the tag's segments")
+      // expire: +2h on the engine clock
+      now += 2L * 3600 * 1000000
+      val e = intercept[Exception](spark.table("brQ.ns.`t@rel`").collect())
+      assert(e.getMessage.contains("not found") ||
+        e.getMessage.contains("cannot be found"), e.getMessage)
+      // the next sweep drops the tag and reclaims what it alone pinned
+      GraftMaintenance.sql(spark,
+        "VACUUM brQ.ns.t RETAIN 1 SNAPSHOTS").collect()
+      assert(tagged.forall(!java.nio.file.Files.exists(_)),
+        "an expired tag's segments must reclaim on the next sweep")
+      assert(spark.table("brQ.ns.`t$branches`").count() === 0,
+        "the expired tag must leave the refs table")
+      assert(rows("brQ.ns.t") === Seq((9L, "x"), (10L, "y")),
+        "the live table is untouched")
+    } finally GraftClock.nowMicros = savedClock
+  }
+
+  test("branch expiry (RETAIN h HOURS): an aged-out branch — idle " +
+      "since its last commit — destroys on main's next sweep and its " +
+      "segments reclaim; an ACTIVE branch never expires under it") {
+    durableCatalog("brY")
+    val savedClock = GraftClock.nowMicros
+    try {
+      var now = System.currentTimeMillis() * 1000L
+      GraftClock.nowMicros = () => now
+      spark.sql("CREATE TABLE brY.ns.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO brY.ns.t VALUES (1,'a')")
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brY.ns.t CREATE BRANCH tmp RETAIN 1 HOURS").collect()
+      spark.sql("INSERT INTO brY.ns.`t@tmp` VALUES (2,'b')")
+      val st = spark.sessionState.catalogManager.catalog("brY")
+        .asInstanceOf[GraftCatalog].store
+      val tmpSegs = st.branchTables((Seq("ns"), "t", "tmp")).dataFiles
+        .filter(_.persisted).map(_.segment.path).toSet --
+        st.tables((Seq("ns"), "t")).dataFiles
+          .filter(_.persisted).map(_.segment.path).toSet
+      assert(tmpSegs.nonEmpty)
+      // 30 min later: still young — a main sweep must NOT expire it
+      now += 30L * 60 * 1000000
+      GraftMaintenance.sql(spark,
+        "VACUUM brY.ns.t RETAIN 1 SNAPSHOTS").collect()
+      assert(rows("brY.ns.`t@tmp`") === Seq((1L, "a"), (2L, "b")),
+        "a young branch survives main's sweep")
+      // the branch ages from its LAST commit: a fresh branch commit
+      // resets the horizon
+      spark.sql("INSERT INTO brY.ns.`t@tmp` VALUES (3,'c')")
+      now += 45L * 60 * 1000000 // 45 min since the new commit
+      GraftMaintenance.sql(spark,
+        "VACUUM brY.ns.t RETAIN 1 SNAPSHOTS").collect()
+      assert(rows("brY.ns.`t@tmp`") === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "an active branch never expires out from under its writer")
+      // idle past the declared hour: main's next sweep destroys the
+      // chain and reclaims its unshared segments
+      now += 2L * 3600 * 1000000
+      GraftMaintenance.sql(spark,
+        "VACUUM brY.ns.t RETAIN 1 SNAPSHOTS").collect()
+      intercept[Exception](spark.table("brY.ns.`t@tmp`").collect())
+      assert(spark.table("brY.ns.`t$branches`").count() === 0,
+        "the expired branch must leave the refs table")
+      assert(tmpSegs.forall(!java.nio.file.Files.exists(_)),
+        "the expired branch's own segments must reclaim")
+      assert(rows("brY.ns.t") === Seq((1L, "a")), "main is untouched")
+    } finally GraftClock.nowMicros = savedClock
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {

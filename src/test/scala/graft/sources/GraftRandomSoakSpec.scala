@@ -97,6 +97,9 @@ class GraftRandomSoakSpec extends SparkSpec {
       // every later vacuum/replace/restore/restart
       val liveTag =
         scala.collection.mutable.Map.empty[String, Seq[(Long, String)]]
+      // tags created with a TINY declared age (r18): must be GONE by
+      // the end — reads refuse, the refs relation drops the row
+      val expiredTag = scala.collection.mutable.ArrayBuffer.empty[String]
 
       def wLit(id: Long): (String, Option[Long]) =
         if (id % 3 == 0) ("NULL", None) else ((id * 7).toString, Some(id * 7))
@@ -186,8 +189,14 @@ class GraftRandomSoakSpec extends SparkSpec {
           // be genuine divergence (the refusal is correct, the soak
           // just doesn't want to draw it)
           assert(GraftAutoCompact.quiesce())
+          // r18: a third of the branches declare their OWN snapshot
+          // retention — the per-chain window rides the whole cadence
+          // (trims its history, never its state; FF still adopts)
+          val retainClause =
+            if (rnd.nextInt(3) == 0) " RETAIN 2 SNAPSHOTS" else ""
           GraftMaintenance.sql(spark,
-            s"ALTER TABLE $cat.ns.t_$tag CREATE BRANCH $b").collect()
+            s"ALTER TABLE $cat.ns.t_$tag CREATE BRANCH $b$retainClause")
+            .collect()
           val fresh = (0 until 1 + rnd.nextInt(2)).map { _ =>
             val id = nextId; nextId += 1; id
           }
@@ -229,13 +238,24 @@ class GraftRandomSoakSpec extends SparkSpec {
               liveBranch(b) = expect
             case _ => // drop the branch, TAG main's current state
               // instead: the immutable pin must read back bit-equal
-              // after every later vacuum/replace/restore/restart
+              // after every later vacuum/replace/restore/restart.
+              // r18: tags draw an expiry age — a LONG one (the pin
+              // must hold exactly as an age-less tag's would) or a
+              // TINY one (the tag must expire under the cadence: reads
+              // refuse, the refs row disappears, segments release)
               GraftMaintenance.sql(spark,
                 s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
+              val ageClause = rnd.nextInt(3) match {
+                case 0 => " RETAIN 9999 HOURS"
+                case 1 => " RETAIN 0.000001 HOURS" // 3.6 ms: expires
+                case _ => ""
+              }
               GraftMaintenance.sql(spark,
-                s"ALTER TABLE $cat.ns.t_$tag CREATE TAG tg$branchN")
-                .collect()
-              liveTag(s"tg$branchN") =
+                s"ALTER TABLE $cat.ns.t_$tag CREATE TAG tg$branchN" +
+                  ageClause).collect()
+              if (ageClause.contains("0.000001"))
+                expiredTag += s"tg$branchN"
+              else liveTag(s"tg$branchN") =
                 model.toSeq.map { case (id, (v, _)) => (id, v) }
           }
         } else if (op < 66) { // MERGE: update some, insert some
@@ -460,6 +480,19 @@ class GraftRandomSoakSpec extends SparkSpec {
           s"[$mode seed=$seed] tag $tg lost its pinned state: " +
             s"got=${got.take(12)}… expect=${expect.take(12)}…")
       }
+      // every tiny-age tag expired under the cadence: its read refuses
+      // and its refs row is gone (the final vacuum swept the pin)
+      expiredTag.foreach { tg =>
+        intercept[Exception](
+          spark.sql(s"SELECT * FROM $fin.ns.`t_$tag@$tg`").collect())
+      }
+      if (expiredTag.nonEmpty) {
+        val names = spark.sql(s"SELECT name FROM $fin.ns.`t_$tag$$branches`")
+          .as[String].collect().toSet
+        assert(expiredTag.forall(!names.contains(_)),
+          s"[$mode seed=$seed] expired tags must leave the refs " +
+            s"relation: $names vs $expiredTag")
+      }
       val td = tableDir(wh)
       val logVs = {
         import scala.jdk.CollectionConverters._
@@ -474,7 +507,8 @@ class GraftRandomSoakSpec extends SparkSpec {
       info(s"[$mode seed=${seed.toHexString}] $steps steps, " +
         s"$replaces REPLACE swap(s), $evolutions spec evolution(s), " +
         s"$widens widen(s), $branchDraws branch draw(s) " +
-        s"(${liveBranch.size} branch(es), ${liveTag.size} tag(s) left live) exercised")
+        s"(${liveBranch.size} branch(es), ${liveTag.size} tag(s) left " +
+        s"live, ${expiredTag.size} tag(s) expired) exercised")
       assert(evolutions >= 1,
         s"[$mode seed=$seed] the op space must exercise spec evolution")
       assert(branchDraws >= 1,
