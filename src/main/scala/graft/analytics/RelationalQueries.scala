@@ -2816,6 +2816,47 @@ object RelationalQueries {
         .orderBy("name")
     },
 
+    // ----- SQL views (round 18, DSv2 ViewCatalog): a persisted,
+    // column-aliased view INLINES at read — created in one catalog,
+    // read through an ISOLATED restart of the warehouse (the
+    // definition is served from its _views/ JSON, not process state),
+    // and aggregated through the view. The oracle restates the inlined
+    // body directly over nation.
+    Q("s70_sql_views", "S-view,DDL-view,S5,A1,A7",
+      """SELECT CAST(n_regionkey AS INTEGER) AS region_key,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |GROUP BY region_key ORDER BY region_key""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s70").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gvw_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("int").as("r"),
+          col("n_name").as("name"))
+        .writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"CREATE VIEW $w.ns.evens (k, region_key) AS " +
+          s"SELECT k, r FROM $w.ns.prod WHERE k % 2 = 0").collect()
+      // the ISOLATED restart: a fresh store over the same warehouse
+      // serves the view from disk alone
+      val w2 = s"gvr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w2",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w2.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$w2.warehouse.isolated", "true")
+      s.sql(
+        s"""SELECT region_key, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(k) AS BIGINT) AS key_sum
+           |FROM $w2.ns.evens
+           |GROUP BY region_key ORDER BY region_key""".stripMargin)
+    },
+
     // ----- t$partitions (round 16, Iceberg's partitions metadata
     // table): the per-group census over SQL — stored rows AND live rows
     // (a merge-on-read DELETE's delete vectors subtract without

@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a delegating parser that only intercepts the three verbs
     ext.injectParser((session, delegate) =>
       new graft.sources.GraftSqlParser(delegate, Some(session)))
+    // SQL-view inlining (r18): UnresolvedRelations naming persisted
+    // graft views substitute with their parsed bodies inside the
+    // analyzer's resolution fixpoint — tables win names, nested views
+    // resolve iteratively, pruning/pushdown flow through the inlined
+    // plan into the scans
+    ext.injectResolutionRule(session => GraftViewSubstitution(session))
     ext.injectFunction((
       FunctionIdentifier(PolyHashExpr.FnName),
       info(PolyHashExpr.FnName,

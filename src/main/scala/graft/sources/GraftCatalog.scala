@@ -56,7 +56,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * route, whose plans are oracle- and shape-verified (s11/s19).
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-    with SupportsNamespaces with StagingTableCatalog {
+    with SupportsNamespaces with StagingTableCatalog with ViewCatalog {
   private var catalogName: String = _
 
   /** Column DEFAULT values (`c STRING DEFAULT 'new'`): declaring the
@@ -85,7 +85,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * persists as parquet segments + a JSON commit log under that path
     * and survives the JVM. Package-visible setter: specs inject an
     * ISOLATED store over the same path to simulate a second process. */
-  private[sources] var store: GraftStoreState = GraftTableStore.global
+  private[graft] var store: GraftStoreState = GraftTableStore.global
 
   // ---- namespaces (SHOW/CREATE/DROP NAMESPACE) ------------------------
   // A namespace EXISTS when declared (CREATE NAMESPACE) or implied by a
@@ -438,6 +438,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def createTable(ident: Identifier, schema0: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    // tables and views share one name universe (r18): a table must not
+    // shadow a view — reads through the name would silently flip
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     val (partCols, bucketSpec, mode, checks, schema) =
       parseTableSpec(ident, schema0, partitions, properties)
     val t = new GraftTable(
@@ -758,6 +763,162 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       }
     }
   }
+
+  // ---- SQL views (r18 — the DSv2 ViewCatalog surface) -----------------
+  // A view is a persisted, parameter-free SQL definition that INLINES
+  // at read time (graft.plans.GraftViewSubstitution), so Catalyst's
+  // pruning/pushdown flow through it into the scans' zone/bloom
+  // skipping. Definitions persist per warehouse (`_views/` JSONs —
+  // restart-served, cross-process-visible); tables and views share one
+  // name universe (creation refuses collisions both ways).
+
+  private def viewKey(ident: Identifier): (Seq[String], String) =
+    (ident.namespace().toSeq, ident.name())
+
+  private class GraftView(m: GraftViewMeta) extends View {
+    override def name(): String = (m.namespace :+ m.name).mkString(".")
+    override def query(): String = m.sql
+    override def currentCatalog(): String = m.currentCatalog
+    override def currentNamespace(): Array[String] =
+      m.currentNamespace.toArray
+    override def schema(): StructType = StructType.fromDDL(m.schemaDdl)
+    override def queryColumnNames(): Array[String] =
+      m.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = m.columnAliases.toArray
+    override def columnComments(): Array[String] =
+      Array.fill[String](m.columnAliases.length)(null)
+    override def properties(): util.Map[String, String] =
+      m.properties.asJava
+  }
+
+  /** The stored definition behind a view ident in THIS catalog. */
+  private[graft] def viewMeta(ident: Identifier): Option[GraftViewMeta] =
+    store.lookupView(ident.namespace().toSeq, ident.name())
+
+  private def metaOf(info: ViewInfo): GraftViewMeta =
+    GraftViewMeta(info.ident.namespace().toSeq, info.ident.name(),
+      info.sql, info.currentCatalog, info.currentNamespace.toSeq,
+      info.schema.toDDL, info.queryColumnNames.toSeq,
+      info.columnAliases.toSeq,
+      Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toSeq
+    val metas = store.warehouse match {
+      case Some(wh) => GraftViews.list(wh, ns)
+      case None =>
+        store.views.values.filter(_.namespace == ns).toSeq.sortBy(_.name)
+    }
+    metas.map(m => Identifier.of(m.namespace.toArray, m.name)).toArray
+  }
+
+  override def loadView(ident: Identifier): View =
+    viewMeta(ident).map(new GraftView(_)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewMeta(ident).isDefined
+
+  private def requireViewName(ident: Identifier): Unit = {
+    val n = ident.name()
+    if (n.contains("@") || n.contains("$"))
+      throw new IllegalArgumentException(
+        s"invalid view name '$n': '@' and '$$' are reserved for ref " +
+          "and metadata-table addressing")
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    requireViewName(ident)
+    val (ns, n) = viewKey(ident)
+    if (store.tables.contains((ns, n)))
+      throw new TableAlreadyExistsException(ident)
+    val meta = metaOf(info)
+    store.warehouse match {
+      case Some(wh) =>
+        // CAS through the log-store backend: two processes racing the
+        // same name refuse deterministically
+        if (!GraftViews.create(wh, store.logStore, meta))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .ViewAlreadyExistsException(ident)
+      case None =>
+        if (store.views.putIfAbsent((ns, n), meta).isDefined)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .ViewAlreadyExistsException(ident)
+    }
+    new GraftView(meta)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    requireViewName(ident)
+    val (ns, n) = viewKey(ident)
+    if (store.tables.contains((ns, n)))
+      throw new TableAlreadyExistsException(ident)
+    if (!viewExists(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val meta = metaOf(info)
+    store.warehouse match {
+      case Some(wh) => GraftViews.replace(wh, meta)
+      case None => store.views.put((ns, n), meta); ()
+    }
+    new GraftView(meta)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val m = viewMeta(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(m.properties) {
+      case (acc, s: ViewChange.SetProperty) =>
+        acc + (s.property() -> s.value())
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property()
+      case (acc, _) => acc
+    }
+    val updated = m.copy(properties = props)
+    store.warehouse match {
+      case Some(wh) => GraftViews.replace(wh, updated)
+      case None => store.views.put(viewKey(ident), updated); ()
+    }
+    new GraftView(updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val (ns, n) = viewKey(ident)
+    store.warehouse match {
+      case Some(wh) => GraftViews.drop(wh, store.logStore, ns, n)
+      case None => store.views.remove((ns, n)).isDefined
+    }
+  }
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    requireViewName(newIdent)
+    val m = viewMeta(oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent))
+    if (store.tables.contains(viewKey(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    val moved = m.copy(namespace = newIdent.namespace().toSeq,
+      name = newIdent.name())
+    store.warehouse match {
+      case Some(wh) =>
+        if (!GraftViews.create(wh, store.logStore, moved))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .ViewAlreadyExistsException(newIdent)
+        GraftViews.drop(wh, store.logStore,
+          oldIdent.namespace().toSeq, oldIdent.name())
+        ()
+      case None =>
+        if (store.views.putIfAbsent(viewKey(newIdent), moved).isDefined)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .ViewAlreadyExistsException(newIdent)
+        store.views.remove(viewKey(oldIdent))
+        ()
+    }
+  }
 }
 
 /** One table universe: (namespace, table) → [[GraftTable]] plus the
@@ -785,6 +946,18 @@ final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
     * branches stay served; a direct load of a skipped chain still
     * fails loudly with the recorded message. */
   val skippedNewerFormat: TrieMap[String, String] = TrieMap.empty
+
+  /** SQL views (r18) for the IN-JVM store only — durable stores read
+    * their `_views/` JSONs directly, so a second process's DDL is
+    * visible with no invalidation protocol (see [[GraftViews]]). */
+  val views: TrieMap[(Seq[String], String), GraftViewMeta] = TrieMap.empty
+
+  /** The view definition behind (ns, name), wherever it lives. */
+  def lookupView(ns: Seq[String], name: String): Option[GraftViewMeta] =
+    warehouse match {
+      case Some(wh) => GraftViews.read(wh, ns, name)
+      case None => views.get((ns, name))
+    }
 }
 
 /** JVM-global store registry. The default (in-JVM, non-durable) store is

@@ -98,6 +98,17 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val DropTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  // SQL views over a graft catalog (r18, DSv2 ViewCatalog): claimed
+  // ONLY when the identifier's leading part names a registered graft
+  // catalog — session-catalog / temp views delegate to Spark untouched
+  private val CreateViewRe =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+?)(?:\s*\(([\w\s,`]*)\))?\s+AS\s+(.+?)\s*;?\s*""".r
+  private val AlterViewRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+?)\s*;?\s*""".r
+  private val ShowViewsRe =
+    """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.`]+?)\s*;?\s*""".r
 
   /** Identifier parts, or None for an unqualified single-part name —
     * those DELEGATE to Spark's parser (another extension may own the
@@ -647,6 +658,60 @@ object GraftSqlParser {
           })
         }
 
+      // SQL views (r18, DSv2 ViewCatalog): persisted, inlined-at-read
+      // definitions. Claimed only for a catalog-qualified name whose
+      // leading part is a registered graft catalog — every other
+      // CREATE/ALTER/DROP VIEW (temp views, the session catalog)
+      // delegates to Spark untouched.
+      case CreateViewRe(orReplace, ident, colList, body) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(out("created"), s => {
+              GraftViewDdl.createOrReplace(s, parts, Option(colList),
+                body, orReplace = orReplace != null,
+                requireExists = false)
+              Seq(Row(1))
+            })
+          }
+      case AlterViewRe(ident, body) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(out("altered"), s => {
+              GraftViewDdl.createOrReplace(s, parts, None, body,
+                orReplace = true, requireExists = true)
+              Seq(Row(1))
+            })
+          }
+      case DropViewRe(ifExists, ident) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(out("dropped"), s => {
+              val vIdent = org.apache.spark.sql.connector.catalog
+                .Identifier.of(parts.tail.dropRight(1).toArray, parts.last)
+              val dropped = GraftViewDdl.catalogOf(s, parts.head)
+                .dropView(vIdent)
+              if (!dropped && ifExists == null)
+                throw new org.apache.spark.sql.catalyst.analysis
+                  .NoSuchViewException(vIdent)
+              Seq(Row(if (dropped) 1 else 0))
+            })
+          }
+      case ShowViewsRe(ident) =>
+        split(ident)
+          .filter(p => p.length >= 2 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(outTyped(
+              ("namespace", org.apache.spark.sql.types.StringType),
+              ("viewName", org.apache.spark.sql.types.StringType)), s => {
+              GraftViewDdl.catalogOf(s, parts.head)
+                .listViews(parts.tail: _*).toSeq
+                .map(i => Row(i.namespace().mkString("."), i.name()))
+            })
+          }
+
       // ALTER TABLE … SET PARTITIONED BY (…): partition-spec evolution
       // without a rewrite (Iceberg's). Every other ALTER TABLE shape
       // falls through to Spark's parser — this regex requires the
@@ -726,6 +791,69 @@ case class GraftMaintenanceCommand(
     override val output: Seq[Attribute],
     body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+}
+
+/** Execution of the view DDL statements (r18): analyze the body ONCE
+  * at create time (schema + output-column capture — the query never
+  * runs), then hand the definition to the catalog's [[GraftCatalog]]
+  * ViewCatalog surface. */
+private[sources] object GraftViewDdl {
+  import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+
+  def catalogOf(s: SparkSession, name: String): GraftCatalog =
+    s.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
+
+  def createOrReplace(s: SparkSession, parts: Seq[String],
+      colList: Option[String], body: String, orReplace: Boolean,
+      requireExists: Boolean): Unit = {
+    val cat = catalogOf(s, parts.head)
+    val ns = parts.tail.dropRight(1)
+    val ident = Identifier.of(ns.toArray, parts.last)
+    // refuse DIRECT self-reference BEFORE analysis: the stored text
+    // would otherwise inline itself forever at read time (OR REPLACE
+    // would even analyze cleanly against the OLD definition)
+    val cm = s.sessionState.catalogManager
+    val self = (parts.head +: ns :+ parts.last).map(_.toLowerCase)
+    val refs = s.sessionState.sqlParser.parsePlan(body).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier
+    }
+    refs.foreach { p =>
+      val qualified =
+        if (p.length == 1)
+          (cm.currentCatalog.name +: cm.currentNamespace.toSeq) ++ p
+        else if (!cm.isCatalogRegistered(p.head))
+          cm.currentCatalog.name +: p
+        else p
+      if (qualified.map(_.toLowerCase) == self)
+        throw new IllegalArgumentException(
+          s"recursive view: ${parts.mkString(".")} references itself " +
+            "in its own body — a persisted view must not be recursive " +
+            "(use a CTE with RECURSIVE inside the body instead)")
+    }
+    val analyzed = s.sql(body)
+    val qcols = analyzed.schema.fieldNames.toSeq
+    val aliases = colList.map(_.split(',').toSeq
+      .map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)).getOrElse(Nil)
+    if (aliases.nonEmpty && aliases.length != qcols.length)
+      throw new IllegalArgumentException(
+        s"CREATE VIEW ${parts.mkString(".")}: ${aliases.length} column " +
+          s"aliases for a ${qcols.length}-column query")
+    val schema =
+      if (aliases.isEmpty) analyzed.schema
+      else StructType(analyzed.schema.fields.zip(aliases).map {
+        case (f, a) => f.copy(name = a)
+      })
+    val info = new ViewInfo(ident, body, cm.currentCatalog.name,
+      cm.currentNamespace, schema, qcols.toArray, aliases.toArray,
+      Array.fill[String](aliases.length)(null),
+      java.util.Collections.emptyMap[String, String]())
+    if (requireExists) cat.replaceView(info, false)
+    else if (orReplace) cat.replaceView(info, true)
+    else cat.createView(info)
+    ()
+  }
 }
 
 /** COPY INTO's format readers: one plan per format that conforms the

@@ -9,6 +9,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // the production extension route: the maintenance-DDL parser,
+      // the view-substitution rule and the function registry — tests
+      // exercise the same session shape a cluster job configures
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
