@@ -2750,6 +2750,71 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- MERGE BRANCH (round 18): squash-merge a DIVERGED branch's
+    // net state onto main as ONE commit — FAST FORWARD refuses here
+    // (main moved since the fork); the merge adopts the branch head by
+    // reference and its CDC record is the net state diff: branch-only
+    // rows as inserts, main's divergent rows as deletes. The oracle
+    // restates both heads AND both CDC sides from nation.
+    Q("s71_branch_merge", "S-branch,S-merge-branch,S-cdf,DDL-alter,A1,A7",
+      """WITH a AS (SELECT n_nationkey + 100 AS k FROM nation
+        |           WHERE n_nationkey < 4),
+        |b AS (SELECT n_nationkey + 200 AS k FROM nation
+        |      WHERE n_nationkey < 2),
+        |c AS (SELECT n_nationkey + 300 AS k FROM nation
+        |      WHERE n_nationkey < 3),
+        |merged AS (SELECT n_nationkey AS k FROM nation
+        |           UNION ALL SELECT k FROM a UNION ALL SELECT k FROM b)
+        |SELECT 'audit' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum FROM merged
+        |UNION ALL
+        |SELECT 'cdc_del', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'cdc_ins', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM (SELECT k FROM a UNION ALL SELECT k FROM b) ab
+        |UNION ALL
+        |SELECT 'main', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT) FROM merged
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s71").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gmb_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH work").collect()
+      nat.where(col("k") < 4).select(col("k") + 100, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@work`").append()
+      nat.where(col("k") < 2).select(col("k") + 200, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@work`").append()
+      // main diverges — FAST FORWARD's ancestry check refuses; the
+      // squash-merge is the remedy
+      nat.where(col("k") < 3).select(col("k") + 300, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.prod").append()
+      val mv = graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod MERGE BRANCH work").head().getInt(0)
+      def agg(df: org.apache.spark.sql.DataFrame, probe: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("key_sum"))
+          .select(lit(probe).as("probe"), col("n"), col("key_sum"))
+      val feed = s.table(s"$w.ns.`prod$$changes`")
+        .filter(col("_commit_version") === mv)
+      agg(s.table(s"$w.ns.`prod@work`"), "audit")
+        .unionByName(agg(
+          feed.filter(col("_change_type") === "delete"), "cdc_del"))
+        .unionByName(agg(
+          feed.filter(col("_change_type") === "insert"), "cdc_ins"))
+        .unionByName(agg(s.table(s"$w.ns.prod"), "main"))
+        .orderBy("probe")
+    },
+
     // ----- t$branches (round 17, Iceberg's `refs` metadata table):
     // one row per live ref — branches (fork + head versions) AND tags
     // (immutable pins: fork == head == the tagged version) — straight

@@ -2965,6 +2965,51 @@ class GraftTable(initialName: String, initialSchema: StructType,
     fs.length
   }
 
+  /** `ALTER TABLE t MERGE BRANCH b` (r18) — SQUASH-MERGE a DIVERGED
+    * branch: main adopts the branch head's net STATE as ONE commit —
+    * the remedy FAST FORWARD's divergence refusal names. The adopted
+    * segments come by reference (same table dir — zero copies; the
+    * tree union and then main's own history keep them alive), the
+    * branch head is untouched, and the commit's CDC record is the
+    * [[stateDiffCdc]] reference-diff against main's pre-merge state:
+    * the branch's net-new rows appear as inserts, main's divergent
+    * rows as deletes — the change feed and streaming tails read
+    * straight through (REPLACE, the alternative, refuses them). Like
+    * PUBLISH, schemas must agree by field id and the partition layouts
+    * must match — drift refuses loudly with the evolve-first remedy.
+    * Unlike FAST FORWARD there is no ancestry requirement: divergence
+    * is exactly the case this serves (an undiverged main can still
+    * prefer FF for the per-commit replay). Returns main's new head
+    * version. */
+  private[sources] def mergeBranchFrom(bt: GraftTable,
+      branch: String): Int = mutate {
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: not a durable table"))
+    if (d.log.branch.isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableName: MERGE BRANCH targets the main chain")
+    val ident = Identifier.of(Array.empty[String], bt.name())
+    val (srcSchema, fs, fsDvs) = bt.stateAt(None, ident)
+    if (srcSchema != tableSchema)
+      throw new UnsupportedOperationException(
+        s"$tableName: cannot MERGE BRANCH '$branch' — the schemas (or " +
+          "their field ids) drifted since the fork; evolve this table " +
+          "to match the branch first, or publish via CREATE OR " +
+          "REPLACE ... CLONE")
+    if (bt.partitionCols != partitionCols || bt.bucketSpec != bucketSpec)
+      throw new UnsupportedOperationException(
+        s"$tableName: cannot MERGE BRANCH '$branch' — the partition " +
+          "layouts differ (group keys would mis-encode); evolve the " +
+          "layouts to agree first")
+    val (added, removed) = stateDiffCdc(fs, fsDvs)
+    files = fs
+    dvs = fsDvs
+    snap(GraftTable.MergeBranchOp, added = added, removed = removed,
+      params = Map("source_branch" -> branch,
+        "source_version" -> bt.commitHistory.last._1.toString))
+    history.last.version
+  }
+
   // ---- named branches (Iceberg-style refs over one durable log) -------
 
   /** `ALTER TABLE t CREATE BRANCH b`: fork a named branch at this
@@ -3385,8 +3430,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new IllegalStateException(
         s"$tableName: cannot FAST FORWARD to '$branch' — $why. Main " +
           s"has commits the branch does not know (forked at v$fork); " +
-          "MERGE the branch's rows across, or publish with CREATE OR " +
-          "REPLACE ... CLONE instead")
+          s"squash-merge with ALTER TABLE ... MERGE BRANCH $branch, " +
+          "adopt one commit with CHERRY-PICK, or publish with CREATE " +
+          "OR REPLACE ... CLONE instead")
     if (head < fork) refuseDiverged(
       s"main is at v$head, before the fork point v$fork")
     // ancestry: every main commit PAST the fork must BE the branch's
@@ -6049,6 +6095,11 @@ object GraftTable {
     * (`ALTER TABLE … CREATE TAG`, Iceberg's immutable refs). */
   val CreateTagOp = "CREATE TAG"
 
+  /** Operation tag of a branch SQUASH-MERGE commit (`ALTER TABLE …
+    * MERGE BRANCH b`, r18): main adopts the branch head's net state as
+    * one commit whose CDC record is the reference state diff. */
+  val MergeBranchOp = "MERGE BRANCH"
+
   /** Ledger-key namespace of batch `txnAppId` idempotent writes: the
     * batch and streaming exactly-once high-waters share one persisted
     * ledger, and the prefix (illegal in a Spark streaming query id,
@@ -6646,6 +6697,16 @@ object GraftMaintenance {
     val main = resolve(namespace, table, scope)
     val bt = resolve(namespace, s"$table@$branch", scope)
     main.cherryPickFrom(bt, version, branch)
+  }
+
+  /** `ALTER TABLE t MERGE BRANCH b`: squash-merge the branch head's
+    * net state onto a (possibly diverged) main as one commit. Returns
+    * main's new head version. */
+  def mergeBranch(namespace: Seq[String], table: String, branch: String,
+      scope: Option[GraftStoreState] = None): Int = {
+    val main = resolve(namespace, table, scope)
+    val bt = resolve(namespace, s"$table@$branch", scope)
+    main.mergeBranchFrom(bt, branch)
   }
 
   /** `ALTER TABLE t CREATE TAG n [AS OF VERSION v]`: pin an immutable

@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *     | DROP TAG n — h HOURS = tag expiry (aged-out tags drop and
   *     their segments reclaim on the next sweep)
   *   ALTER TABLE t CHERRY-PICK b VERSION v        — adopt one append
+  *   ALTER TABLE t MERGE BRANCH b — squash-merge a diverged branch's
+  *     net state as ONE commit (CDC = the reference state diff)
+  *   CREATE [OR REPLACE] VIEW cat.ns.v [(aliases)] AS query
+  *     | ALTER VIEW cat.ns.v AS query | DROP VIEW [IF EXISTS] cat.ns.v
+  *     | SHOW VIEWS IN cat.ns — persisted SQL views (DSv2 ViewCatalog)
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
   *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
@@ -94,6 +99,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
   private val CherryPick =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CHERRY[-\s]?PICK\s+([\w.-]+)\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val MergeBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+MERGE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val CreateTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val DropTag =
@@ -635,6 +642,16 @@ object GraftSqlParser {
           GraftMaintenanceCommand(out("picked_to_version"), _ => {
             val (ns, t, scope) = resolve(parts, session)
             Seq(Row(GraftMaintenance.cherryPick(ns, t, b, v.toInt, scope)))
+          })
+        }
+      // ALTER TABLE t MERGE BRANCH b (r18): squash-merge the branch
+      // head's net state onto a diverged main as ONE commit — the
+      // remedy FAST FORWARD's refusal names
+      case MergeBranch(ident, b) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("merged_to_version"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.mergeBranch(ns, t, b, scope)))
           })
         }
       // ALTER TABLE … CREATE TAG name [AS OF VERSION n] / DROP TAG:

@@ -637,6 +637,61 @@ class GraftBranchSpec extends SparkSpec {
       "a lost-race tag must self-delete, never dangle")
   }
 
+  test("MERGE BRANCH: a diverged branch's net state squash-merges " +
+      "onto main as ONE commit whose CDC is the reference diff; the " +
+      "branch is untouched; schema/layout drift refuses") {
+    durableCatalog("brZ")
+    spark.sql("CREATE TABLE brZ.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brZ.ns.t VALUES (1,'a'), (2,'b')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ.ns.t CREATE BRANCH work").collect()
+    spark.sql("INSERT INTO brZ.ns.`t@work` VALUES (3,'c')")
+    spark.sql("DELETE FROM brZ.ns.`t@work` WHERE id = 1")
+    spark.sql("INSERT INTO brZ.ns.t VALUES (9,'z')") // main diverges
+    // FAST FORWARD refuses and its remedy names the squash-merge
+    val eFF = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ.ns.t FAST FORWARD TO work").collect())
+    assert(eFF.getMessage.contains("MERGE BRANCH"), eFF.getMessage)
+    val mv = GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ.ns.t MERGE BRANCH work").head().getInt(0)
+    assert(rows("brZ.ns.t") === Seq((2L, "b"), (3L, "c")),
+      "main adopts the branch head's net state")
+    assert(rows("brZ.ns.`t@work`") === Seq((2L, "b"), (3L, "c")),
+      "the branch head is untouched by the merge")
+    // ONE commit, CDC = the net reference diff: the branch's new row
+    // inserts; main's divergent row AND the branch-deleted row delete
+    val feed = spark.table("brZ.ns.`t$changes`")
+      .filter($"_commit_version" === mv)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(feed === Set(("insert", 3L), ("delete", 1L), ("delete", 9L)),
+      feed.toString)
+    val hist = spark.table("brZ.ns.`t$history`")
+      .orderBy($"version".desc)
+      .select("operation", "parameters").as[(String, String)].head()
+    assert(hist._1 === "MERGE BRANCH" &&
+      hist._2.contains("source_branch=work"), hist.toString)
+    // a second merge of the (now identical) head is a no-op state swap
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ.ns.t MERGE BRANCH work").collect()
+    assert(rows("brZ.ns.t") === Seq((2L, "b"), (3L, "c")))
+    // schema drift refuses with the evolve-first remedy
+    spark.sql("ALTER TABLE brZ.ns.`t@work` ADD COLUMN w INT")
+    val e1 = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ.ns.t MERGE BRANCH work").collect())
+    assert(e1.getMessage.contains("schema"), e1.getMessage)
+    // layout drift refuses: evolve MAIN's partitioning past the fork
+    durableCatalog("brZ2")
+    spark.sql("CREATE TABLE brZ2.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brZ2.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ2.ns.t CREATE BRANCH work").collect()
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ2.ns.t SET PARTITIONED BY (v)").collect()
+    val e2 = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brZ2.ns.t MERGE BRANCH work").collect())
+    assert(e2.getMessage.contains("layout"), e2.getMessage)
+  }
+
   test("declarative branch retention: CREATE BRANCH b RETAIN 2 " +
       "SNAPSHOTS trims the branch's own window while main keeps its " +
       "128; VACUUM without RETAIN honors it; a restart re-reads it") {

@@ -215,7 +215,7 @@ class GraftRandomSoakSpec extends SparkSpec {
           val r = rnd.nextInt(k)
           spark.sql(s"DELETE FROM $cat.ns.`t_$tag@$b` WHERE id % $k = $r")
           assert(GraftAutoCompact.quiesce())
-          rnd.nextInt(4) match {
+          rnd.nextInt(5) match {
             case 0 => // FAST FORWARD: main replays the audited commits
               val n = GraftMaintenance.sql(spark,
                 s"ALTER TABLE $cat.ns.t_$tag FAST FORWARD TO $b")
@@ -236,6 +236,23 @@ class GraftRandomSoakSpec extends SparkSpec {
               } ++ fresh.map(id => (id, s"b$gen-$id")))
                 .filterNot(_._1 % k == r).sortBy(_._1)
               liveBranch(b) = expect
+            case 4 => // diverge main, then SQUASH-MERGE (r18): main
+              // adopts the branch head's net state as one commit — the
+              // audited rows land, the branch's deletes apply, and the
+              // divergent main row VANISHES (it was never on the branch)
+              val divergeId = nextId; nextId += 1
+              spark.sql(s"INSERT INTO $cat.ns.t_$tag VALUES " +
+                (if (evolved)
+                  s"($divergeId, 'd$gen-$divergeId', ${wLit(divergeId)._1})"
+                else s"($divergeId, 'd$gen-$divergeId')"))
+              assert(GraftAutoCompact.quiesce())
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag MERGE BRANCH $b").collect()
+              fresh.foreach(id =>
+                model(id) = (s"b$gen-$id", if (evolved) wLit(id)._2 else None))
+              model.keys.toSeq.filter(_ % k == r).foreach(model.remove)
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
             case _ => // drop the branch, TAG main's current state
               // instead: the immutable pin must read back bit-equal
               // after every later vacuum/replace/restore/restart.
