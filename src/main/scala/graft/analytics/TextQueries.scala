@@ -55,6 +55,61 @@ object TextQueries {
     * shared token run of ≥ WinnowW+2 tokens yields a shared fingerprint. */
   val WinnowW = 4
 
+  /** t48 BPE training rounds: enough merges that multi-character tokens
+    * win later rounds (merges compose) while the DuckDB restatement
+    * stays one readable chained-CTE block per round. */
+  val BpeRounds = 8
+
+  /** Per-round working-set sizes of the last t48 run — the ScaleCaps
+    * introspection hook: every entry must equal the DISTINCT-WORD count
+    * (the trainer iterates on the vocab-frequency table; the corpus is
+    * read once, by the first aggregate, and never again). */
+  @volatile var lastBpeVocabSizes: Seq[Long] = Nil
+
+  /** t48's DuckDB oracle: the SAME [[BpeRounds]] deterministic merge
+    * rounds as chained CTEs. Round i: pair counts over vocab v(i-1)
+    * (weighted by word frequency), the arg-max pair under the
+    * integer-exact tie-break (count DESC, then left/right token
+    * lexicographic), then the greedy leftmost rewrite — `replace` on
+    * the dot-delimited tokenization is byte-identical left-to-right
+    * non-overlapping replacement in both engines, and the '.'
+    * delimiter cannot occur inside the [a-z]+ vocabulary. */
+  private val bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT tp.l AS l, tp.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(len(tk) - 1),
+         |          j -> struct_pack(l := tk[CAST(j AS INT) + 1],
+         |                           r := tk[CAST(j AS INT) + 2]))) AS tp,
+         |          n
+         |        FROM (SELECT list_filter(string_split(seq, '..'),
+         |                x -> len(x) > 0) AS tk, n FROM v${i - 1})
+         |        WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r
+         |        LIMIT 1),
+         |v$i AS (SELECT replace(seq, '.' || l || '..' || r || '.',
+         |                       '.' || l || r || '.') AS seq, n
+         |        FROM v${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to BpeRounds).map { i =>
+      if (i == 1)
+        s"SELECT 1 AS step, l, r, l || r AS merged, cnt AS pair_n FROM m1"
+      else s"SELECT $i, l, r, l || r, cnt FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+       |           FROM documents),
+       |v0 AS (SELECT '..' || regexp_replace(word, '(.)', '\\1..', 'g')
+       |         AS seq,
+       |       CAST(count(*) AS BIGINT) AS n
+       |       FROM w WHERE regexp_matches(word, '^[a-z]+$$')
+       |       GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |$steps)
+       |ORDER BY step""".stripMargin
+  }
+
   /** t37 boilerplate document-frequency threshold: a 10-word chunk
     * recurring in at least this many documents is template/boilerplate.
     * 3 is non-vacuous on the harness corpus (15 chunks at sf0.01, from
@@ -1319,6 +1374,66 @@ object TextQueries {
           i => substr(col("word"), i + 1, lit(2)))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("pair")).limit(30)
+    },
+
+    // ----- BPE TRAINING (round 18): the iterative merge loop t19's
+    // single-round pair stats feed — the tokenizer-training procedure
+    // an LLM data pipeline actually runs. N merge rounds as a DRIVER
+    // loop over the VOCAB-FREQUENCY table (the CC-rounds pattern): the
+    // corpus collapses into (word, count) in ONE map-side-combined
+    // aggregate and is never re-read; each round is one vocab-sized
+    // pair aggregate (map-side partials are alphabet²-bounded early,
+    // vocab-pair-bounded always) whose arg-max picks the merge under
+    // an integer-exact tie-break (count DESC, then pair lexicographic
+    // — no floats anywhere), and a 2-literal `replace` rewrites every
+    // tokenization greedily leftmost (both engines' replace is the
+    // same left-to-right non-overlapping scan). At 100 TB the rounds
+    // iterate on the SAME kilobyte-to-megabyte vocab table — per-round
+    // cost is independent of corpus bytes after the first aggregate.
+    // The dot-delimited encoding ('..' between tokens, '.' at each
+    // boundary inside the pattern) makes the textual replace exactly
+    // token-boundary-safe: the [a-z]+ vocabulary cannot contain '.'.
+    Q("t48_bpe_train", "BPE-train,BPE-stats,A1,A7,O1", bpeOracle) {
+      (s, dir) =>
+      var vocab = Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(concat(lit(".."),
+          regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
+          col("n"))
+        .persist()
+      val sizes = Seq.newBuilder[Long]
+      sizes += vocab.count()
+      val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+      (1 to BpeRounds).foreach { step =>
+        val top = vocab
+          .select(col("n"),
+            filter(split(col("seq"), "\\.\\."),
+              t => length(t) > 0).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("n"),
+            slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+            slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))
+          .select(col("n"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+          .groupBy(col("p.a").as("l"), col("p.b").as("r"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(desc("cnt"), col("l"), col("r"))
+          .limit(1).collect()
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        rules += ((step, l, r, l + r, cnt))
+        val next = vocab.withColumn("seq",
+          expr(s"replace(seq, '.$l..$r.', '.$l$r.')")).persist()
+        sizes += next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      vocab.unpersist()
+      lastBpeVocabSizes = sizes.result()
+      import s.implicits._
+      rules.result().toDF("step", "l", "r", "merged", "pair_n")
+        .orderBy("step")
     },
 
     // ----- bigram language-model counts: P(w2 | w1) = c(w1,w2) / c(w1·) —

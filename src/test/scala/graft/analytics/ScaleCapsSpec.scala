@@ -178,6 +178,70 @@ class ScaleCapsSpec extends SparkSpec {
       s"no phase-1 partition may hold a hot share: max=${sizes.max}")
   }
 
+  test("t48 BPE trains on the vocab table: rules match a reference " +
+      "greedy trainer (integer-exact tie-breaks) and the per-round " +
+      "working set stays exactly vocab-sized") {
+    val dir = tmpDir("t48-bpe")
+    // the classic BPE teaching corpus — engineered so round 1 is a
+    // genuine COUNT TIE ((e,s) vs (s,t), both 9) decided only by the
+    // lexicographic tie-break, and merges compose across rounds
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.grouped(4).zipWithIndex.map { case (ws, i) =>
+      val t = ws.mkString(" ")
+      (i.toLong, t, "en", "syn", t.length.toLong)
+    }.toSeq
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // reference trainer: greedy leftmost merge with consume-and-skip —
+    // exactly the semantics the engine's textual replace implements
+    def refBpe(freq: Map[String, Long], rounds: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        freq.map { case (w, n) => w.map(_.toString).toVector -> n }
+      (1 to rounds).map { step =>
+        val counts = scala.collection.mutable
+          .Map.empty[(String, String), Long]
+        vocab.foreach { case (toks, n) =>
+          toks.iterator.sliding(2).withPartial(false).foreach { p =>
+            val k = (p.head, p(1))
+            counts(k) = counts.getOrElse(k, 0L) + n
+          }
+        }
+        val ((l, r), cnt) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        vocab = vocab.map { case (toks, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.result() -> n
+        }
+        (step, l, r, l + r, cnt)
+      }
+    }
+
+    val got = graft.SparkEntry.queries("t48_bpe_train")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    Caches.release()
+    val freq = words.groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    assert(got === refBpe(freq, TextQueries.BpeRounds))
+    // per-round state is the DISTINCT-WORD table and nothing more: the
+    // corpus is read once (the first aggregate) — every later round
+    // iterates on the vocab-frequency rows
+    assert(TextQueries.lastBpeVocabSizes.length ===
+      TextQueries.BpeRounds + 1)
+    assert(TextQueries.lastBpeVocabSizes.forall(_ === freq.size.toLong),
+      s"the working set must stay vocab-sized: " +
+        s"${TextQueries.lastBpeVocabSizes} vs vocab ${freq.size}")
+  }
+
   test("checkpoint cache mode yields identical t5 results to persist mode") {
     // the 100 TB materialization switch: multi-consumer stages cut to
     // executor-local shuffle files instead of storage-memory blocks —
