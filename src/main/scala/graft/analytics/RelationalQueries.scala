@@ -2922,6 +2922,59 @@ object RelationalQueries {
            |GROUP BY region_key ORDER BY region_key""".stripMargin)
     },
 
+    // ----- CLUSTER BY (round 18, Delta liquid-clustering-style):
+    // clustering keys declared as a table property — no hard
+    // partitioning — make a PLAIN `OPTIMIZE` default to ZORDER BY those
+    // keys. The oracle restates the box query over the raw source (the
+    // re-layout must lose nothing) and the literal introspection row
+    // (exactly ONE layout commit, recorded as ZORDER with the
+    // clustering=cluster.by attribution). The census improvement —
+    // fewer files read after the default OPTIMIZE — is physical
+    // (task-count-dependent) and pinned spec-side (GraftClusterBySpec),
+    // like s64's file counts.
+    Q("s72_cluster_by", "DDL-cluster-by,S-zorder,S5,A1,A7",
+      """SELECT 'box' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS s
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300
+        |  AND l_suppkey BETWEEN 10 AND 60
+        |UNION ALL
+        |SELECT 'zorder_default', 1, 1
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s72").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gcl_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      s.sql(s"CREATE TABLE $w.ns.pts (x BIGINT, y BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('cluster.by'='x,y')")
+      val pts = Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"),
+          col("l_orderkey").cast("long").as("v"))
+      // several appends so the pre-OPTIMIZE layout interleaves; the
+      // PLAIN OPTIMIZE then re-lays the files along the declared keys
+      (0 until 3).foreach(i =>
+        pts.filter(col("v") % 3 === i).writeTo(s"$w.ns.pts").append())
+      graft.sources.GraftMaintenance.sql(s, s"OPTIMIZE $w.ns.pts")
+        .collect()
+      val box = s.table(s"$w.ns.pts")
+        .filter(col("x").between(100, 300) && col("y").between(10, 60))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("s"))
+        .select(lit("box").as("probe"), col("n"), col("s"))
+      // the default OPTIMIZE must have recorded itself as a ZORDER over
+      // the DECLARED keys, attributed to the property
+      val attributed = s.table(s"$w.ns.`pts$$history`")
+        .filter(col("operation") === "ZORDER" &&
+          col("parameters").contains("clustering=cluster.by") &&
+          col("parameters").contains("zorder_by=x,y"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("zorder_default").as("probe"), col("n"),
+          lit(1L).as("s"))
+      box.unionByName(attributed).orderBy("probe")
+    },
+
     // ----- t$partitions (round 16, Iceberg's partitions metadata
     // table): the per-group census over SQL — stored rows AND live rows
     // (a merge-on-read DELETE's delete vectors subtract without

@@ -432,7 +432,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new IllegalArgumentException(
         s"table name ${ident.name()} may not contain '@' (reserved for " +
           "branch addressing — such a table could never be loaded)")
-    (partCols, bucketSpec, mode, checks, schema)
+    // CLUSTER BY (r18): clustering keys without hard partitioning —
+    // validated against the schema AND the hard-layout exclusions now,
+    // so a bad declaration fails the CREATE, never a later OPTIMIZE
+    val clustered = Option(properties.get(GraftTable.ClusterByProp))
+      .map { v =>
+        val cs = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        if (cs.isEmpty) throw new IllegalArgumentException(
+          s"${GraftTable.ClusterByProp} needs at least one column")
+        if (bucketSpec.isDefined) throw new UnsupportedOperationException(
+          s"${GraftTable.ClusterByProp} cannot combine with bucketing " +
+            "— a bucketed table's file layout is hash-owned")
+        if (partCols.nonEmpty) throw new UnsupportedOperationException(
+          s"${GraftTable.ClusterByProp} replaces hard partitioning — " +
+            "drop PARTITIONED BY, or keep the partition layout")
+        GraftZCurve.checkCols(schema, cs)
+        GraftTable.stampClusterBy(schema, cs)
+      }.getOrElse(schema)
+    (partCols, bucketSpec, mode, checks, clustered)
   }
 
   override def createTable(ident: Identifier, schema0: StructType,
@@ -1987,6 +2004,32 @@ class GraftTable(initialName: String, initialSchema: StructType,
         case rp: TableChange.RemoveProperty
             if rp.property == GraftTable.AutoCompactProp =>
           tableSchema = GraftTable.unstampAutoCompact(tableSchema)
+          readState = (files, dvs)
+
+        // CLUSTER BY flips (r18): metadata-only — existing files keep
+        // serving under their current layout, the next plain OPTIMIZE
+        // re-clusters along the (new) keys; UNSET reverts OPTIMIZE to
+        // plain bin-packing
+        case sp: TableChange.SetProperty
+            if sp.property == GraftTable.ClusterByProp =>
+          val cs = sp.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          if (cs.isEmpty) throw new IllegalArgumentException(
+            s"${GraftTable.ClusterByProp} needs at least one column")
+          if (bucketSpec.isDefined)
+            throw new UnsupportedOperationException(
+              s"$tableName: ${GraftTable.ClusterByProp} cannot combine " +
+                "with bucketing — the file layout is hash-owned")
+          if (partitionCols.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"$tableName: ${GraftTable.ClusterByProp} replaces hard " +
+                "partitioning — evolve the spec to unpartitioned first")
+          GraftZCurve.checkCols(tableSchema, cs)
+          tableSchema = GraftTable.stampClusterBy(
+            GraftTable.unstampClusterBy(tableSchema), cs)
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftTable.ClusterByProp =>
+          tableSchema = GraftTable.unstampClusterBy(tableSchema)
           readState = (files, dvs)
 
         // ALTER COLUMN ... TYPE — lossless type WIDENING without a
@@ -5375,6 +5418,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       m.put(GraftBloom.FppProp, p.toString))
     GraftTable.autoCompactEncoded(tableSchema).foreach(enc =>
       m.put(GraftTable.AutoCompactProp, GraftTable.renderAutoCompact(enc)))
+    val clusterBy = GraftTable.clusterByCols(tableSchema)
+    if (clusterBy.nonEmpty)
+      m.put(GraftTable.ClusterByProp, clusterBy.mkString(","))
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -5387,9 +5433,27 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * the catalog's own `bucket` function, the same kernel
     * [[groupKeyOf]] uses. */
   private def clusterTransforms
-      : Array[org.apache.spark.sql.connector.expressions.Expression] =
-    partitioning().map(t =>
+      : Array[org.apache.spark.sql.connector.expressions.Expression] = {
+    val hard = partitioning().map(t =>
       t: org.apache.spark.sql.connector.expressions.Expression)
+    // CLUSTER BY tables (never hard-partitioned — the exclusions hold
+    // at declaration): co-locate same-key rows per write task, so
+    // fresh files carry tight zone maps without waiting for OPTIMIZE
+    if (hard.nonEmpty) hard
+    else GraftTable.clusterByCols(tableSchema)
+      .map(c => Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray
+  }
+
+  /** Within-task write ordering for CLUSTER BY tables: sorted runs on
+    * the clustering keys tighten each fresh file's zone envelope (the
+    * skipping clustering exists for) at zero extra shuffle. */
+  private def clusterOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    GraftTable.clusterByCols(tableSchema).map(c =>
+      Expressions.sort(Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING)).toArray
   // a table created PARTITIONED BY must also REPORT its partitioning —
   // DESCRIBE/SHOW CREATE and any planner path keying off partitioning()
   // would otherwise see an unpartitioned table
@@ -5811,7 +5875,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
                 "reserved per batch write")
           new GraftStreamingWrite(GraftTable.this,
             info.queryId(), install, fillSpec)
-        }))
+        }), clusterOrdering)
     }
 
   // ---- MOR delta commit (SupportsDelta write path) -------------------
@@ -6000,7 +6064,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
             }
             new GraftWrite(clusterTransforms,
               () => new GraftRowLevelBatchWrite(GraftTable.this,
-                tableSchema, installAll, fs))
+                tableSchema, installAll, fs),
+              orderExprs = clusterOrdering)
           }
         }
 
@@ -6262,6 +6327,48 @@ object GraftTable {
         f.metadata.getLong(AutoCompactMeta)
     }
 
+  /** `cluster.by` (r18 — Delta liquid-clustering-style CLUSTER BY):
+    * clustering KEYS without hard partitioning. Declared as a table
+    * property (comma-separated columns), stamped into field metadata
+    * like `bloom.columns`/`auto.compact` so it persists in the log and
+    * reaches restarts and foreign processes with zero plumbing. Three
+    * effects: (1) writes request a clustered distribution + a
+    * within-task sort on the keys (tight zone maps per fresh file,
+    * without one-file-per-key partition explosion); (2) a plain
+    * `OPTIMIZE` defaults to `ZORDER BY` the clustering keys — the
+    * incremental re-layout liquid clustering promises; (3) the flip is
+    * metadata-only (`ALTER TABLE … SET/UNSET TBLPROPERTIES`) — existing
+    * files keep serving, the next OPTIMIZE re-clusters. Incompatible
+    * with identity partitioning and bucketing (clustering REPLACES the
+    * hard layout; a bucketed table's files are hash-owned). */
+  val ClusterByProp = "cluster.by"
+  private val ClusterByMeta = "graft.cluster.by"
+
+  private[sources] def stampClusterBy(schema: StructType,
+      cols: Seq[String]): StructType =
+    StructType(schema.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(ClusterByMeta, cols.mkString(","))
+        .build())
+    })
+  private[sources] def unstampClusterBy(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(ClusterByMeta)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(ClusterByMeta)
+        f.copy(metadata = mb.build())
+      }
+    })
+  private[sources] def clusterByCols(schema: StructType): Seq[String] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(ClusterByMeta) =>
+        f.metadata.getString(ClusterByMeta)
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    }.getOrElse(Nil)
+
   /** Max commits retained per table for time travel (ADVICE r7: snap()
     * pinned every superseded row array forever — a streaming writer
     * committing per micro-batch leaked O(commits × table size)). Beyond
@@ -6313,7 +6420,10 @@ class GraftWrite(clusterExprs: Array[
                  batchWrite: () => BatchWrite,
                  streamingWrite: Option[
                    () => org.apache.spark.sql.connector.write.streaming
-                     .StreamingWrite] = None)
+                     .StreamingWrite] = None,
+                 orderExprs: Array[
+                   org.apache.spark.sql.connector.expressions.SortOrder] =
+                   Array.empty)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -6322,10 +6432,12 @@ class GraftWrite(clusterExprs: Array[
     if (clusterExprs.isEmpty) Distributions.unspecified()
     else Distributions.clustered(clusterExprs)
 
-  // no within-task order requirement: buildFiles splits per group anyway
+  // no within-task order requirement for grouped tables (buildFiles
+  // splits per group anyway); CLUSTER BY tables request sorted runs on
+  // their keys so fresh files carry tight zone envelopes
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    orderExprs
 
   override def toBatch: BatchWrite = batchWrite()
 
@@ -6484,9 +6596,19 @@ object GraftMaintenance {
                scope: Option[GraftStoreState] = None,
                where: Option[String] = None): OptimizeResult = {
     val t = resolve(namespace, table, scope)
-    val (b, a) = t.optimizeCompact(targetRows,
-      where.map(t.groupScope).getOrElse(_ => true),
-      where.map(w => Map("where" -> w)).getOrElse(Map.empty))
+    val params = where.map(w => Map("where" -> w)).getOrElse(Map.empty)
+    val inScope = where.map(t.groupScope)
+      .getOrElse((_: GraftDataFile) => true)
+    // CLUSTER BY tables (r18): a PLAIN OPTIMIZE defaults to ZORDER BY
+    // the declared clustering keys — the liquid-clustering contract
+    // (declare once, every routine compaction re-clusters); an explicit
+    // ZORDER BY clause still overrides per statement
+    val cluster = GraftTable.clusterByCols(t.schema())
+    val (b, a) =
+      if (cluster.nonEmpty)
+        t.zorderCompact(cluster, targetRows, inScope,
+          params + ("clustering" -> GraftTable.ClusterByProp))
+      else t.optimizeCompact(targetRows, inScope, params)
     OptimizeResult(b, a)
   }
 

@@ -1,0 +1,153 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** `cluster.by` (r18 — Delta liquid-clustering-style CLUSTER BY):
+  * clustering keys without hard partitioning. Property lifecycle
+  * (CREATE / ALTER SET / UNSET, metadata-only), the plain-OPTIMIZE
+  * default to ZORDER BY the declared keys with the box-query census
+  * improvement that is the feature's point, restart persistence, and
+  * the hard-layout refusals. */
+class GraftClusterBySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def durableCatalog(name: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+    wh.toString
+  }
+
+  private def graftTable(cat: String, t: String): GraftTable =
+    spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), t))
+
+  /** 32×32 grid of points, written in ROW-MAJOR slices so every
+    * pre-OPTIMIZE file spans the full x range — zone maps can skip
+    * nothing for a box until the clustering re-layout. */
+  private def writeGrid(t: String): Unit =
+    (0 until 4).foreach { slice =>
+      (0 until 32 * 32).filter(i => (i / 32) % 4 == slice)
+        .map(i => ((i % 32).toLong, (i / 32).toLong, i.toLong))
+        .toDF("x", "y", "v").coalesce(1).writeTo(t).append()
+    }
+
+  test("plain OPTIMIZE on a CLUSTER BY table defaults to ZORDER over " +
+      "the declared keys: the box-query census improves, rows are " +
+      "unchanged, the history attributes the layout to the property") {
+    durableCatalog("cb")
+    spark.sql("CREATE TABLE cb.ns.pts (x BIGINT, y BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cluster.by'='x,y')")
+    writeGrid("cb.ns.pts")
+    val t = graftTable("cb", "pts")
+    def box() = spark.table("cb.ns.pts")
+      .filter(col("x").between(4, 7) && col("y").between(4, 7))
+      .as[(Long, Long, Long)].collect().toSet
+    val before = box()
+    assert(before.size === 16)
+    val censusBefore = t.lastScanCensus.get
+    assert(censusBefore.filesRead === censusBefore.filesTotal,
+      s"the row-major slices must be unskippable pre-layout: " +
+        s"$censusBefore")
+    // the DEFAULT optimize — no ZORDER BY clause anywhere (TARGET only
+    // sizes the output files so the census has something to skip)
+    GraftMaintenance.sql(spark, "OPTIMIZE cb.ns.pts TARGET 128 ROWS")
+      .collect()
+    assert(box() === before, "the re-layout must lose nothing")
+    val censusAfter = t.lastScanCensus.get
+    assert(censusAfter.filesRead < censusAfter.filesTotal,
+      s"the box census must IMPROVE after the default OPTIMIZE: " +
+        s"before=$censusBefore after=$censusAfter")
+    val hist = spark.table("cb.ns.`pts$history`")
+      .orderBy($"version".desc)
+      .select("operation", "parameters").as[(String, String)].head()
+    assert(hist._1 === "ZORDER" &&
+      hist._2.contains("clustering=cluster.by") &&
+      hist._2.contains("zorder_by=x,y"), hist.toString)
+  }
+
+  test("property lifecycle: DESCRIBE surfaces cluster.by; ALTER SET " +
+      "flips it metadata-only and redirects OPTIMIZE; UNSET reverts " +
+      "OPTIMIZE to plain bin-packing; restart re-reads the property") {
+    val wh = durableCatalog("cbl")
+    spark.sql("CREATE TABLE cbl.ns.t (x BIGINT, y BIGINT, v BIGINT)")
+    (0 until 3).foreach(i =>
+      (0 until 50).map(j => (j.toLong, (j * 7 % 50).toLong,
+        (i * 100 + j).toLong))
+        .toDF("x", "y", "v").coalesce(1).writeTo("cbl.ns.t").append())
+    // no property: OPTIMIZE bin-packs
+    GraftMaintenance.sql(spark, "OPTIMIZE cbl.ns.t").collect()
+    def lastOp(cat: String): String = spark.table(s"$cat.ns.`t$$history`")
+      .orderBy($"version".desc).select("operation").as[String].head()
+    assert(lastOp("cbl") === "OPTIMIZE")
+    // SET is metadata-only: no rewrite happens at ALTER time
+    val filesBefore = graftTable("cbl", "t").dataFiles.length
+    spark.sql("ALTER TABLE cbl.ns.t SET TBLPROPERTIES " +
+      "('cluster.by'='x')")
+    assert(graftTable("cbl", "t").dataFiles.length === filesBefore,
+      "the property flip must not rewrite any file")
+    assert(graftTable("cbl", "t").properties()
+      .get(GraftTable.ClusterByProp) === "x")
+    GraftMaintenance.sql(spark, "OPTIMIZE cbl.ns.t").collect()
+    assert(lastOp("cbl") === "ZORDER",
+      "after SET, a plain OPTIMIZE must re-cluster")
+    // restart: the property rides the schema metadata through the log
+    spark.conf.set("spark.sql.catalog.cbl2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cbl2.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.cbl2.warehouse.isolated", "true")
+    assert(graftTable("cbl2", "t").properties()
+      .get(GraftTable.ClusterByProp) === "x",
+      "cluster.by must survive a cold fold")
+    GraftMaintenance.sql(spark, "OPTIMIZE cbl2.ns.t").collect()
+    assert(lastOp("cbl2") === "ZORDER")
+    // UNSET reverts the default
+    spark.sql("ALTER TABLE cbl.ns.t UNSET TBLPROPERTIES ('cluster.by')")
+    assert(graftTable("cbl", "t").properties()
+      .get(GraftTable.ClusterByProp) === null)
+    GraftMaintenance.sql(spark, "OPTIMIZE cbl.ns.t").collect()
+    assert(lastOp("cbl") === "OPTIMIZE",
+      "after UNSET, OPTIMIZE must bin-pack again")
+  }
+
+  test("refusals: cluster.by cannot combine with bucketing or identity " +
+      "partitioning (CREATE and ALTER), unknown or unsupported-typed " +
+      "columns refuse, and an explicit ZORDER BY still overrides") {
+    durableCatalog("cbr")
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE cbr.ns.b (x BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, x)) " +
+        "TBLPROPERTIES ('cluster.by'='v')"))
+    assert(e1.getMessage.contains("bucket"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE cbr.ns.p (x BIGINT, v BIGINT) PARTITIONED BY (x) " +
+        "TBLPROPERTIES ('cluster.by'='v')"))
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE cbr.ns.m (x BIGINT) " +
+        "TBLPROPERTIES ('cluster.by'='nope')"))
+    assert(e3.getMessage.contains("nope"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "CREATE TABLE cbr.ns.d (x DOUBLE) " +
+        "TBLPROPERTIES ('cluster.by'='x')"))
+    assert(e4.getMessage.contains("unsupported type"), e4.getMessage)
+    // ALTER onto a bucketed table refuses the same way
+    spark.sql("CREATE TABLE cbr.ns.bk (x BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, x))")
+    val e5 = intercept[Exception](spark.sql(
+      "ALTER TABLE cbr.ns.bk SET TBLPROPERTIES ('cluster.by'='v')"))
+    assert(e5.getMessage.contains("bucket"), e5.getMessage)
+    // an explicit ZORDER BY clause overrides the declared keys
+    spark.sql("CREATE TABLE cbr.ns.z (x BIGINT, y BIGINT) " +
+      "TBLPROPERTIES ('cluster.by'='x')")
+    (0 until 64).map(i => (i.toLong, (63 - i).toLong)).toDF("x", "y")
+      .writeTo("cbr.ns.z").append()
+    GraftMaintenance.sql(spark, "OPTIMIZE cbr.ns.z ZORDER BY (y)")
+      .collect()
+    val hist = spark.table("cbr.ns.`z$history`")
+      .orderBy($"version".desc)
+      .select("parameters").as[String].head()
+    assert(hist.contains("zorder_by=y") &&
+      !hist.contains("clustering="), hist)
+  }
+}
