@@ -3896,7 +3896,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def vacuumDryRun(keepLast: Int): (Int, Int, Long) =
     mutate {
       val keep =
-        if (keepLast <= 0) retainSnapshotsOverride.getOrElse(1)
+        if (keepLast == GraftTable.VacuumDeclaredRetention)
+          retainSnapshotsOverride.getOrElse(1)
         else keepLast
       require(keep >= 1, "must keep at least the current snapshot")
       val retire = math.max(0, history.length - keep)
@@ -3946,11 +3947,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
     }
 
   private[sources] def vacuumHistory(keepLast: Int): Int = mutate {
-    // keepLast <= 0 is the "VACUUM without RETAIN" sentinel: honor the
-    // chain's DECLARED retention property (r18) when one exists, else
-    // the explicit-vacuum default of 1 (unchanged for main chains)
+    // the "VACUUM without RETAIN" sentinel: honor the chain's DECLARED
+    // retention property (r18) when one exists, else the explicit-
+    // vacuum default of 1. Every EXPLICIT value keeps the floor
+    // contract (keepLast >= 1 refuses loudly at 0).
     val keep =
-      if (keepLast <= 0) retainSnapshotsOverride.getOrElse(1) else keepLast
+      if (keepLast == GraftTable.VacuumDeclaredRetention)
+        retainSnapshotsOverride.getOrElse(1)
+      else keepLast
     require(keep >= 1, "must keep at least the current snapshot")
     val over = history.length - keep
     if (over > 0) history = history.drop(over)
@@ -6343,6 +6347,12 @@ object GraftTable {
     * hard layout; a bucketed table's files are hash-owned). */
   val ClusterByProp = "cluster.by"
   private val ClusterByMeta = "graft.cluster.by"
+
+  /** The `VACUUM` without-an-explicit-RETAIN sentinel (r18): resolve to
+    * the chain's declared retention property, else 1. A dedicated value
+    * — NOT 0 — so the programmatic floor contract (`keepLast >= 1`,
+    * explicit 0 refuses loudly) is untouched. */
+  val VacuumDeclaredRetention: Int = Int.MinValue
 
   private[sources] def stampClusterBy(schema: StructType,
       cols: Seq[String]): StructType =

@@ -259,9 +259,11 @@ object GraftSqlParser {
       case Vacuum(ident, keep, unit, dry) =>
         split(ident).filter(claims(_, session)).map { parts =>
           val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
-          // no explicit RETAIN → 0 sentinel: the chain's declared
-          // retention property (r18) governs, else the default of 1
-          val keepLast = Option(keep).map(_.toInt).getOrElse(0)
+          // no explicit RETAIN → the declared-retention sentinel: the
+          // chain's retention property (r18) governs, else the default
+          // of 1; explicit values keep the >= 1 floor contract
+          val keepLast = Option(keep).map(_.toInt)
+            .getOrElse(GraftTable.VacuumDeclaredRetention)
           if (dry != null)
             // Delta's DRY RUN: the reclaim census, nothing deleted
             GraftMaintenanceCommand(outTyped(
