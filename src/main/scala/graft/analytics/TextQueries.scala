@@ -66,15 +66,9 @@ object TextQueries {
     * read once, by the first aggregate, and never again). */
   @volatile var lastBpeVocabSizes: Seq[Long] = Nil
 
-  /** t48's DuckDB oracle: the SAME [[BpeRounds]] deterministic merge
-    * rounds as chained CTEs. Round i: pair counts over vocab v(i-1)
-    * (weighted by word frequency), the arg-max pair under the
-    * integer-exact tie-break (count DESC, then left/right token
-    * lexicographic), then the greedy leftmost rewrite — `replace` on
-    * the dot-delimited tokenization is byte-identical left-to-right
-    * non-overlapping replacement in both engines, and the '.'
-    * delimiter cannot occur inside the [a-z]+ vocabulary. */
-  private val bpeOracle: String = {
+  /** The shared chained-CTE prefix of the t48/t49 oracles: [[BpeRounds]]
+    * deterministic merge rounds ending at vocab `v<BpeRounds>`. */
+  private def bpeRoundsCte: String = {
     val rounds = (1 to BpeRounds).map { i =>
       s"""p$i AS (
          |  SELECT tp.l AS l, tp.r AS r, CAST(sum(n) AS BIGINT) AS cnt
@@ -92,11 +86,6 @@ object TextQueries {
          |                       '.' || l || r || '.') AS seq, n
          |        FROM v${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    val steps = (1 to BpeRounds).map { i =>
-      if (i == 1)
-        s"SELECT 1 AS step, l, r, l || r AS merged, cnt AS pair_n FROM m1"
-      else s"SELECT $i, l, r, l || r, cnt FROM m$i"
-    }.mkString("\nUNION ALL\n")
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
        |           FROM documents),
        |v0 AS (SELECT '..' || regexp_replace(word, '(.)', '\\1..', 'g')
@@ -104,11 +93,84 @@ object TextQueries {
        |       CAST(count(*) AS BIGINT) AS n
        |       FROM w WHERE regexp_matches(word, '^[a-z]+$$')
        |       GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** The SHARED t48/t49 training loop — see the t48 registry comment
+    * for the scale shape. Returns the final vocab (seq, n), tracked in
+    * [[Caches]] (the caller's consumers read it; release() reclaims),
+    * plus the ordered merge rules. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Int, String, String, String, Long)]) = {
+    var vocab = Caches.persistTracked(Tables.documents(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(concat(lit(".."),
+        regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
+        col("n")))
+    val sizes = Seq.newBuilder[Long]
+    sizes += vocab.count()
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    (1 to BpeRounds).foreach { step =>
+      val top = vocab
+        .select(col("n"),
+          filter(split(col("seq"), "\\.\\."),
+            t => length(t) > 0).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("n"),
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))
+        .select(col("n"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .groupBy(col("p.a").as("l"), col("p.b").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+        top.head.getLong(2))
+      rules += ((step, l, r, l + r, cnt))
+      val next = Caches.persistTracked(vocab.withColumn("seq",
+        expr(s"replace(seq, '.$l..$r.', '.$l$r.')")))
+      sizes += next.count()
+      vocab.unpersist()
+      vocab = next
+    }
+    lastBpeVocabSizes = sizes.result()
+    (vocab, rules.result())
+  }
+
+  /** t48's DuckDB oracle: the SAME [[BpeRounds]] deterministic merge
+    * rounds as chained CTEs. Round i: pair counts over vocab v(i-1)
+    * (weighted by word frequency), the arg-max pair under the
+    * integer-exact tie-break (count DESC, then left/right token
+    * lexicographic), then the greedy leftmost rewrite — `replace` on
+    * the dot-delimited tokenization is byte-identical left-to-right
+    * non-overlapping replacement in both engines, and the '.'
+    * delimiter cannot occur inside the [a-z]+ vocabulary. */
+  private val bpeOracle: String = {
+    val steps = (1 to BpeRounds).map { i =>
+      if (i == 1)
+        s"SELECT 1 AS step, l, r, l || r AS merged, cnt AS pair_n FROM m1"
+      else s"SELECT $i, l, r, l || r, cnt FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""$bpeRoundsCte
        |SELECT * FROM (
        |$steps)
        |ORDER BY step""".stripMargin
   }
+
+  /** t49's oracle: tokenize the corpus under the trained merges (= the
+    * final vocab's tokenizations, weighted by word frequency) and
+    * report the token distribution head plus the compression summary. */
+  private val bpeEncodeOracle: String =
+    s"""$bpeRoundsCte,
+       |tk AS (SELECT list_filter(string_split(seq, '..'),
+       |         x -> len(x) > 0) AS tk, n FROM v$BpeRounds),
+       |occ AS (SELECT unnest(tk) AS token, n FROM tk)
+       |SELECT token, CAST(sum(n) AS BIGINT) AS n_occ
+       |FROM occ GROUP BY token
+       |ORDER BY n_occ DESC, token LIMIT 30""".stripMargin
 
   /** t37 boilerplate document-frequency threshold: a 10-word chunk
     * recurring in at least this many documents is template/boilerplate.
@@ -1395,45 +1457,26 @@ object TextQueries {
     // token-boundary-safe: the [a-z]+ vocabulary cannot contain '.'.
     Q("t48_bpe_train", "BPE-train,BPE-stats,A1,A7,O1", bpeOracle) {
       (s, dir) =>
-      var vocab = Tables.documents(s, dir)
-        .select(explode(TF.tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .select(concat(lit(".."),
-          regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
-          col("n"))
-        .persist()
-      val sizes = Seq.newBuilder[Long]
-      sizes += vocab.count()
-      val rules = Seq.newBuilder[(Int, String, String, String, Long)]
-      (1 to BpeRounds).foreach { step =>
-        val top = vocab
-          .select(col("n"),
-            filter(split(col("seq"), "\\.\\."),
-              t => length(t) > 0).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("n"),
-            slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
-            slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))
-          .select(col("n"), explode(arrays_zip(col("a"), col("b"))).as("p"))
-          .groupBy(col("p.a").as("l"), col("p.b").as("r"))
-          .agg(sum("n").as("cnt"))
-          .orderBy(desc("cnt"), col("l"), col("r"))
-          .limit(1).collect()
-        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        rules += ((step, l, r, l + r, cnt))
-        val next = vocab.withColumn("seq",
-          expr(s"replace(seq, '.$l..$r.', '.$l$r.')")).persist()
-        sizes += next.count()
-        vocab.unpersist()
-        vocab = next
-      }
-      vocab.unpersist()
-      lastBpeVocabSizes = sizes.result()
+      val (_, rules) = bpeTrain(s, dir)
       import s.implicits._
-      rules.result().toDF("step", "l", "r", "merged", "pair_n")
-        .orderBy("step")
+      rules.toDF("step", "l", "r", "merged", "pair_n").orderBy("step")
+    },
+
+    // ----- BPE ENCODING (round 18): apply the trained tokenizer to the
+    // corpus — the deployment half of t48 and the statistic a trainer
+    // actually reports (which learned tokens dominate the encoded
+    // stream). The corpus was already collapsed to (tokenization,
+    // word-count) by the training loop, so the encode is ONE vocab-
+    // sized explode + aggregate — at 100 TB the marginal cost over
+    // training is a kilobyte-scale job, not a corpus pass.
+    Q("t49_bpe_encode", "BPE-train,BPE-encode,A1,A7,O1",
+      bpeEncodeOracle) { (s, dir) =>
+      val (vocab, _) = bpeTrain(s, dir)
+      vocab
+        .select(col("n"), explode(filter(split(col("seq"), "\\.\\."),
+          t => length(t) > 0)).as("token"))
+        .groupBy("token").agg(sum("n").as("n_occ"))
+        .orderBy(desc("n_occ"), col("token")).limit(30)
     },
 
     // ----- bigram language-model counts: P(w2 | w1) = c(w1,w2) / c(w1·) —

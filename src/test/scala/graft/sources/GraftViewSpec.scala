@@ -141,7 +141,20 @@ class GraftViewSpec extends SparkSpec {
       "DROP VIEW vx.ns.nested").collect())
     assert(GraftMaintenance.sql(spark,
       "DROP VIEW IF EXISTS vx.ns.nested").head().getInt(0) === 0)
-    GraftMaintenance.sql(spark, "DROP VIEW vx.ns.ones").collect()
+    // renameView (catalog surface): the definition moves, the old name
+    // releases, a taken target refuses
+    val cat = spark.sessionState.catalogManager.catalog("vx")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    cat.renameView(Identifier.of(Array("ns"), "ones"),
+      Identifier.of(Array("ns"), "renamed"))
+    assert(spark.sql("SELECT * FROM vx.ns.renamed").as[String].collect()
+      .toSet === Set("a", "b"))
+    intercept[Exception](spark.sql("SELECT * FROM vx.ns.ones").collect())
+    intercept[Exception](cat.renameView(
+      Identifier.of(Array("ns"), "renamed"),
+      Identifier.of(Array("ns"), "t"))) // a table owns that name
+    GraftMaintenance.sql(spark, "DROP VIEW vx.ns.renamed").collect()
     spark.sql("CREATE TABLE vx.ns.ones (x INT)")
     spark.sql("DROP TABLE vx.ns.ones")
   }
