@@ -82,9 +82,10 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r
          |        LIMIT 1),
-         |v$i AS (SELECT replace(seq, '.' || l || '..' || r || '.',
-         |                       '.' || l || r || '.') AS seq, n
-         |        FROM v${i - 1}, m$i)""".stripMargin
+         |v$i AS (SELECT coalesce(replace(seq,
+         |                 '.' || l || '..' || r || '.',
+         |                 '.' || l || r || '.'), seq) AS seq, n
+         |        FROM v${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
        |           FROM documents),
@@ -113,8 +114,10 @@ object TextQueries {
     val sizes = Seq.newBuilder[Long]
     sizes += vocab.count()
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
     (1 to BpeRounds).foreach { step =>
-      val top = vocab
+      val top = if (exhausted) Array.empty[org.apache.spark.sql.Row]
+      else vocab
         .select(col("n"),
           filter(split(col("seq"), "\\.\\."),
             t => length(t) > 0).as("tk"))
@@ -127,14 +130,21 @@ object TextQueries {
         .agg(sum("n").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
         .limit(1).collect()
-      val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
-        top.head.getLong(2))
-      rules += ((step, l, r, l + r, cnt))
-      val next = Caches.persistTracked(vocab.withColumn("seq",
-        expr(s"replace(seq, '.$l..$r.', '.$l$r.')")))
-      sizes += next.count()
-      vocab.unpersist()
-      vocab = next
+      // a tiny corpus can exhaust its pairs before the budget: later
+      // rounds contribute no rule and the vocab carries through —
+      // exactly the oracle's shape (empty m<i> emits no step row, and
+      // v<i>'s LEFT JOIN + coalesce keeps v<i-1> verbatim)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        rules += ((step, l, r, l + r, cnt))
+        val next = Caches.persistTracked(vocab.withColumn("seq",
+          expr(s"replace(seq, '.$l..$r.', '.$l$r.')")))
+        sizes += next.count()
+        vocab.unpersist()
+        vocab = next
+      }
     }
     lastBpeVocabSizes = sizes.result()
     (vocab, rules.result())

@@ -178,4 +178,34 @@ class GraftViewSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got === Seq((99L, 1L)), got.toString)
   }
+
+  test("views resolve inside expression subqueries, joins and UNION " +
+      "branches — everywhere the analyzer resolves relations") {
+    durableCatalog("vs")
+    spark.sql("CREATE TABLE vs.ns.t (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO vs.ns.t VALUES (1,'a'), (2,'b'), (3,'a')")
+    GraftMaintenance.sql(spark,
+      "CREATE VIEW vs.ns.keep AS SELECT id FROM vs.ns.t WHERE grp = 'a'")
+      .collect()
+    // IN-subquery over the view
+    assert(spark.sql(
+      "SELECT id FROM vs.ns.t WHERE id IN (SELECT id FROM vs.ns.keep) " +
+        "ORDER BY id").as[Long].collect().toSeq === Seq(1L, 3L))
+    // scalar subquery
+    assert(spark.sql(
+      "SELECT (SELECT count(*) FROM vs.ns.keep) AS n").as[Long]
+      .head() === 2L)
+    // EXISTS
+    assert(spark.sql(
+      "SELECT count(*) FROM vs.ns.t a WHERE EXISTS " +
+        "(SELECT 1 FROM vs.ns.keep k WHERE k.id = a.id)").as[Long]
+      .head() === 2L)
+    // join + union through the view
+    assert(spark.sql(
+      "SELECT count(*) FROM vs.ns.t a JOIN vs.ns.keep k ON a.id = k.id")
+      .as[Long].head() === 2L)
+    assert(spark.sql(
+      "SELECT id FROM vs.ns.keep UNION ALL SELECT id FROM vs.ns.keep")
+      .count() === 4L)
+  }
 }
