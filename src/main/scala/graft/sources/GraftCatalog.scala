@@ -3229,6 +3229,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       d.log.deleteTag(tag)
       d.tagRefCache.remove(tag)
       d.tagSnapshotCache.remove(tag)
+      d.tagExpiryCache.remove(tag)
       throw new IllegalStateException(
         s"$tableName: CREATE TAG '$tag' raced a concurrent RETAIN-0 " +
           s"vacuum and lost — $why. The tag was NOT created; retry " +
@@ -3267,6 +3268,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     d.log.deleteTag(tag)
     d.tagRefCache.remove(tag)
     d.tagSnapshotCache.remove(tag)
+    d.tagExpiryCache.remove(tag)
     ()
   }
 
@@ -3282,11 +3284,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * never void a pin — the sweep path already fails loudly there). */
   private def tagExpired(d: GraftTableDurability, n: String): Boolean =
     try {
-      val p = d.log.tagParams(n)
-      (p.get("refAgeHours"), p.get("createdMicros")) match {
-        case (Some(h), Some(c)) => GraftClock.nowMicros() >
-          c.toLong + (h.toDouble * 3600d * 1e6).toLong
-        case _ => false
+      // identity-keyed cache: the expiry pair is immutable per tag
+      // FILE, and this check runs per `t@tag` read — re-parsing the
+      // whole census JSON every read would defeat the snapshot cache
+      val id = d.log.fileIdentity(d.log.tagPath(n))
+      val expiry = d.tagExpiryCache.get(n) match {
+        case Some((cid, e)) if cid == id => e
+        case _ =>
+          val p = d.log.tagParams(n)
+          val e = (p.get("refAgeHours"), p.get("createdMicros")) match {
+            case (Some(h), Some(c)) => Some((h.toDouble, c.toLong))
+            case _ => None
+          }
+          d.tagExpiryCache.put(n, (id, e))
+          e
+      }
+      expiry.exists { case (h, c) =>
+        GraftClock.nowMicros() > c + (h * 3600d * 1e6).toLong
       }
     } catch { case scala.util.control.NonFatal(_) => false }
 
@@ -3306,6 +3320,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         d.log.deleteTag(n)
         d.tagRefCache.remove(n)
         d.tagSnapshotCache.remove(n)
+        d.tagExpiryCache.remove(n)
       }
     }
     if (d.log.branch.isEmpty) {

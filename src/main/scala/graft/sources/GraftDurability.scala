@@ -87,6 +87,15 @@ private[sources] final class GraftTableDurability(val log: GraftTableLog) {
     TrieMap.empty
   val tagSnapshotCache: TrieMap[String, ((Long, Long), AnyRef)] =
     TrieMap.empty
+
+  /** Tag EXPIRY cache (r18): (identity → the declared
+    * (refAgeHours, createdMicros), None when the tag never expires).
+    * The expiry check runs on EVERY `t@tag` read — without this it
+    * would re-parse the tag's whole census JSON per read, defeating
+    * the snapshot cache. Identity-keyed like the other tag caches. */
+  val tagExpiryCache
+      : TrieMap[String, ((Long, Long), Option[(Double, Long)])] =
+    TrieMap.empty
 }
 
 /** One lazily-loadable parquet segment: the durable body of a

@@ -828,28 +828,48 @@ private[sources] object GraftViewDdl {
     val cat = catalogOf(s, parts.head)
     val ns = parts.tail.dropRight(1)
     val ident = Identifier.of(ns.toArray, parts.last)
-    // refuse DIRECT self-reference BEFORE analysis: the stored text
-    // would otherwise inline itself forever at read time (OR REPLACE
-    // would even analyze cleanly against the OLD definition)
+    // refuse cycles BEFORE analysis — direct AND transitive: the
+    // stored text would otherwise inline itself forever at read time
+    // (an indirect cycle only dies at the analyzer's max-iterations
+    // with a cryptic error; OR REPLACE would even analyze cleanly
+    // against the OLD definition). The walk follows every referenced
+    // VIEW's stored body — views are few and bodies parse in ms.
     val cm = s.sessionState.catalogManager
     val self = (parts.head +: ns :+ parts.last).map(_.toLowerCase)
-    val refs = s.sessionState.sqlParser.parsePlan(body).collect {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        u.multipartIdentifier
-    }
-    refs.foreach { p =>
-      val qualified =
-        if (p.length == 1)
-          (cm.currentCatalog.name +: cm.currentNamespace.toSeq) ++ p
-        else if (!cm.isCatalogRegistered(p.head))
-          cm.currentCatalog.name +: p
-        else p
-      if (qualified.map(_.toLowerCase) == self)
+    def qualifiedRefs(sql: String, curCat: String,
+        curNs: Seq[String]): Seq[Seq[String]] =
+      s.sessionState.sqlParser.parsePlan(sql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedRelation =>
+          val p = u.multipartIdentifier
+          val q =
+            if (p.length == 1) (curCat +: curNs) ++ p
+            else if (!cm.isCatalogRegistered(p.head)) curCat +: p
+            else p
+          q.map(_.toLowerCase)
+      }
+    val visited = scala.collection.mutable.Set.empty[Seq[String]]
+    def walk(refs: Seq[Seq[String]], via: String): Unit = refs.foreach { q =>
+      if (q == self)
         throw new IllegalArgumentException(
           s"recursive view: ${parts.mkString(".")} references itself " +
-            "in its own body — a persisted view must not be recursive " +
+            s"through $via — a persisted view must not be recursive " +
             "(use a CTE with RECURSIVE inside the body instead)")
+      if (visited.add(q) && q.length >= 3)
+        (try cm.catalog(q.head) catch {
+          case scala.util.control.NonFatal(_) => null
+        }) match {
+          case g: GraftCatalog =>
+            g.store.lookupView(q.drop(1).dropRight(1), q.last)
+              .foreach { m =>
+                walk(qualifiedRefs(m.sql, m.currentCatalog,
+                  m.currentNamespace), q.mkString("."))
+              }
+          case _ => ()
+        }
     }
+    walk(qualifiedRefs(body, cm.currentCatalog.name,
+      cm.currentNamespace.toSeq), "its own body")
     val analyzed = s.sql(body)
     val qcols = analyzed.schema.fieldNames.toSeq
     val aliases = colList.map(_.split(',').toSeq

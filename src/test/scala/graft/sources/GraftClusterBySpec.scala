@@ -110,6 +110,40 @@ class GraftClusterBySpec extends SparkSpec {
       "after UNSET, OPTIMIZE must bin-pack again")
   }
 
+  test("row-level DML on a CLUSTER BY table: UPDATE/DELETE/MERGE work " +
+      "under the clustered write distribution+ordering, in COW and MOR") {
+    durableCatalog("cbd")
+    Seq(GraftTable.CopyOnWrite -> "c", GraftTable.MergeOnRead -> "m")
+      .foreach { case (mode, sfx) =>
+      val t = s"cbd.ns.t_$sfx"
+      spark.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT, v STRING) " +
+        s"TBLPROPERTIES ('cluster.by'='x,y', " +
+        s"'write.rowlevel.mode'='$mode')")
+      (0 until 40).map(i => (i.toLong, (i * 3 % 40).toLong, s"v$i"))
+        .toDF("x", "y", "v").writeTo(t).append()
+      spark.sql(s"UPDATE $t SET v = 'u' WHERE x < 5")
+      spark.sql(s"DELETE FROM $t WHERE x >= 35")
+      spark.sql(
+        s"""MERGE INTO $t dst
+           |USING (SELECT CAST(10 AS BIGINT) AS x, CAST(99 AS BIGINT)
+           |         AS y, 'merged' AS v
+           |       UNION ALL SELECT 100, 1, 'new') src
+           |ON dst.x = src.x
+           |WHEN MATCHED THEN UPDATE SET v = src.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table(t).as[(Long, Long, String)].collect()
+        .sortBy(_._1)
+      assert(got.length === 36, s"[$mode] ${got.length}")
+      assert(got.count(_._3 == "u") === 5, s"[$mode]")
+      assert(got.find(_._1 == 10L).map(_._3) === Some("merged"))
+      assert(got.find(_._1 == 100L).map(_._3) === Some("new"))
+      assert(!got.exists(r => r._1 >= 35 && r._1 != 100L), s"[$mode]")
+      // and the defaulted re-layout still runs after DML
+      GraftMaintenance.sql(spark, s"OPTIMIZE $t").collect()
+      assert(spark.table(t).count() === 36)
+    }
+  }
+
   test("refusals: cluster.by cannot combine with bucketing or identity " +
       "partitioning (CREATE and ALTER), unknown or unsupported-typed " +
       "columns refuse, and an explicit ZORDER BY still overrides") {

@@ -133,6 +133,12 @@ class GraftViewSpec extends SparkSpec {
       "CREATE OR REPLACE VIEW vx.ns.ones AS " +
         "SELECT * FROM vx.ns.ones").collect())
     assert(e4.getMessage.contains("recursive"), e4.getMessage)
+    // ...and so does an INDIRECT cycle (ones → nested → ones): the
+    // transitive walk catches what the direct check cannot
+    val e5 = intercept[Exception](GraftMaintenance.sql(spark,
+      "CREATE OR REPLACE VIEW vx.ns.ones AS " +
+        "SELECT u AS v FROM vx.ns.nested").collect())
+    assert(e5.getMessage.contains("recursive"), e5.getMessage)
     // DROP releases the name for a table; a second DROP refuses,
     // IF EXISTS tolerates
     GraftMaintenance.sql(spark, "DROP VIEW vx.ns.nested").collect()
