@@ -3044,9 +3044,24 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$tableName: cannot MERGE BRANCH '$branch' — the partition " +
           "layouts differ (group keys would mis-encode); evolve the " +
           "layouts to agree first")
-    val (added, removed) = stateDiffCdc(fs, fsDvs)
-    files = fs
-    dvs = fsDvs
+    // fork-shared segments are the SAME physical files under two
+    // folds' DISTINCT registries (each chain decodes its own objects).
+    // Re-bind the branch census to MAIN's objects by segment ref, so
+    // the reference diff sees genuinely-shared files as shared — the
+    // identity contract RESTORE/publish get for free from a single
+    // chain. Without this every fork-shared file would diff as
+    // removed+added: row-correct after multiset cancellation, but an
+    // O(table) CDC record instead of O(net delta) — the difference
+    // between a metadata commit and a table-sized one at 100 TB.
+    val byRef = files.iterator.filter(_.persisted)
+      .map(f => f.segment.path -> f).toMap
+    def rebind(f: GraftDataFile): GraftDataFile =
+      if (f.persisted) byRef.getOrElse(f.segment.path, f) else f
+    val boundFs = fs.map(rebind)
+    val boundDvs = fsDvs.map { case (f, bs) => rebind(f) -> bs }
+    val (added, removed) = stateDiffCdc(boundFs, boundDvs)
+    files = boundFs
+    dvs = boundDvs
     snap(GraftTable.MergeBranchOp, added = added, removed = removed,
       params = Map("source_branch" -> branch,
         "source_version" -> bt.commitHistory.last._1.toString))

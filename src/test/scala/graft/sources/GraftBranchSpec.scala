@@ -692,6 +692,47 @@ class GraftBranchSpec extends SparkSpec {
     assert(e2.getMessage.contains("layout"), e2.getMessage)
   }
 
+  test("MERGE BRANCH is a METADATA-sized commit: fork-shared segments " +
+      "re-bind to main's objects, so the CDC record is O(net delta) — " +
+      "one added file, one removed file — never O(table)") {
+    durableCatalog("brO")
+    spark.sql("CREATE TABLE brO.ns.t (id BIGINT, v STRING)")
+    // several fork-shared segments: each would pollute the CDC record
+    // if the diff failed to recognize them as shared across the folds
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO brO.ns.t VALUES ($i,'a$i')"))
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brO.ns.t CREATE BRANCH work").collect()
+    spark.sql("INSERT INTO brO.ns.`t@work` VALUES (5,'b')") // append only
+    spark.sql("INSERT INTO brO.ns.t VALUES (9,'z')")        // diverge
+    val mv = GraftMaintenance.sql(spark,
+      "ALTER TABLE brO.ns.t MERGE BRANCH work").head().getInt(0)
+    assert(rows("brO.ns.t") === (1 to 5).map(i =>
+      (i.toLong, if (i == 5) "b" else s"a$i")))
+    // the commit's file-level record, straight off the log entry: the
+    // four fork segments contribute NOTHING (shared by re-binding);
+    // only the branch's append and main's divergent segment move
+    val st = spark.sessionState.catalogManager.catalog("brO")
+      .asInstanceOf[GraftCatalog].store
+    val d = st.tables((Seq("ns"), "t")).durable.get
+    val json = new String(java.nio.file.Files.readAllBytes(
+      d.log.entryPath(mv)), java.nio.charset.StandardCharsets.UTF_8)
+    val o = org.json4s.jackson.JsonMethods.parse(json)
+      .asInstanceOf[org.json4s.JObject].obj.toMap
+    def nFiles(k: String): Int = o.get(k) match {
+      case Some(a: org.json4s.JArray) => a.arr.length
+      case _ => 0
+    }
+    assert(nFiles("added") === 1,
+      s"one net-new file, not a table-wide fan-out: $json")
+    assert(nFiles("removed") === 1,
+      s"one net-removed file (main's divergent segment): $json")
+    val feed = spark.table("brO.ns.`t$changes`")
+      .filter($"_commit_version" === mv)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(feed === Set(("insert", 5L), ("delete", 9L)), feed.toString)
+  }
+
   test("declarative branch retention: CREATE BRANCH b RETAIN 2 " +
       "SNAPSHOTS trims the branch's own window while main keeps its " +
       "128; VACUUM without RETAIN honors it; a restart re-reads it") {
