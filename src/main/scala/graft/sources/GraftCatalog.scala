@@ -574,6 +574,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   private def buildStaged(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String],
       seed: Long, stageDir: Option[java.nio.file.Path]): GraftTable = {
+    // tables and views share one name universe (r18): the staged
+    // CTAS/REPLACE paths refuse a view collision like plain CREATE
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     val seeded = FieldIds.assignFrom(schema, seed)
     val (partCols, bucketSpec, mode, checks, stamped) =
       parseTableSpec(ident, seeded, partitions, properties)

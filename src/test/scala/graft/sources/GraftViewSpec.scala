@@ -114,6 +114,10 @@ class GraftViewSpec extends SparkSpec {
     val e3 = intercept[Exception](
       spark.sql("CREATE TABLE vx.ns.ones (x INT)"))
     assert(e3.getMessage.toLowerCase.contains("exists"), e3.getMessage)
+    // the staged CTAS path refuses the collision too
+    val e3b = intercept[Exception](
+      spark.sql("CREATE OR REPLACE TABLE vx.ns.ones AS SELECT 1 AS x"))
+    assert(e3b.getMessage.toLowerCase.contains("exists"), e3b.getMessage)
     // ALTER VIEW AS redefines in place; of a MISSING view refuses
     GraftMaintenance.sql(spark,
       "ALTER VIEW vx.ns.ones AS SELECT v FROM vx.ns.t").collect()
