@@ -5350,6 +5350,36 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * semantics — ZORDER never mixes partitions). Row multiset unchanged
     * (same row objects); recorded as a commit. Clustering columns must
     * be integral-valued (int/long/short/byte/date/timestamp). */
+  /** Incremental-clustering scope for a CLUSTER BY table's defaulted
+    * OPTIMIZE (r18): everything NOT already laid out by the newest
+    * retained FULL-table ZORDER over the same keys. That commit's
+    * census is fully clustered by construction (its scope files were
+    * re-laid; its carried files were the previous pass's output), so
+    * only files that entered the table SINCE — appends, COW/MOR
+    * rewrites — re-cluster: routine OPTIMIZE cost tracks NEW data, not
+    * table size (Delta's liquid-clustering contract; at 100 TB the
+    * difference between a daily table rewrite and a daily delta pass).
+    * WHERE-scoped passes never anchor (their carried remainder was
+    * not clustered); no anchor retained → everything is in scope (the
+    * first pass is the full layout). Same-fold object identity is the
+    * membership key — the decode registry dedupes refs per chain, so
+    * a restart preserves it. */
+  private[sources] def incrementalClusterScope(cols: Seq[String])
+      : GraftDataFile => Boolean = {
+    val keys = cols.mkString(",")
+    history.reverseIterator.find(e =>
+      e.operation == "ZORDER" &&
+        e.params.get("zorder_by").contains(keys) &&
+        !e.params.contains("where")) match {
+      case None => _ => true
+      case Some(e) =>
+        val clustered = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())
+        e.files.foreach(clustered.add)
+        f => !clustered.contains(f)
+    }
+  }
+
   private[sources] def zorderCompact(cols: Seq[String],
       targetRows: Int,
       inScope: GraftDataFile => Boolean = _ => true,
@@ -6646,14 +6676,18 @@ object GraftMaintenance {
       .getOrElse((_: GraftDataFile) => true)
     // CLUSTER BY tables (r18): a PLAIN OPTIMIZE defaults to ZORDER BY
     // the declared clustering keys — the liquid-clustering contract
-    // (declare once, every routine compaction re-clusters); an explicit
-    // ZORDER BY clause still overrides per statement
+    // (declare once, every routine compaction re-clusters) — and runs
+    // INCREMENTALLY: only files that entered since the last full
+    // clustering pass re-lay, so routine cost tracks new data. An
+    // explicit ZORDER BY clause stays the FULL re-layout.
     val cluster = GraftTable.clusterByCols(t.schema())
     val (b, a) =
-      if (cluster.nonEmpty)
-        t.zorderCompact(cluster, targetRows, inScope,
+      if (cluster.nonEmpty) {
+        val fresh = t.incrementalClusterScope(cluster)
+        t.zorderCompact(cluster, targetRows,
+          f => inScope(f) && fresh(f),
           params + ("clustering" -> GraftTable.ClusterByProp))
-      else t.optimizeCompact(targetRows, inScope, params)
+      } else t.optimizeCompact(targetRows, inScope, params)
     OptimizeResult(b, a)
   }
 

@@ -110,6 +110,51 @@ class GraftClusterBySpec extends SparkSpec {
       "after UNSET, OPTIMIZE must bin-pack again")
   }
 
+  test("the defaulted OPTIMIZE is INCREMENTAL: a second pass re-lays " +
+      "only the files appended since the last full clustering pass — " +
+      "already-clustered segments carry untouched; explicit ZORDER BY " +
+      "stays the full re-layout") {
+    durableCatalog("cbi")
+    spark.sql("CREATE TABLE cbi.ns.t (x BIGINT, y BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cluster.by'='x,y')")
+    writeGrid("cbi.ns.t")
+    GraftMaintenance.sql(spark, "OPTIMIZE cbi.ns.t TARGET 128 ROWS")
+      .collect()
+    val t = graftTable("cbi", "t")
+    val pass1 = t.dataFiles.filter(_.persisted).map(_.segment.path).toSet
+    assert(pass1.size > 1)
+    // new data arrives
+    (0 until 2).foreach(s =>
+      (0 until 64).map(i => ((i % 8).toLong, (i / 8).toLong,
+        (10000 + s * 100 + i).toLong))
+        .toDF("x", "y", "v").coalesce(1).writeTo("cbi.ns.t").append())
+    // the second defaulted pass: pass-1 output carries UNTOUCHED, only
+    // the two fresh appends re-lay
+    val r = GraftMaintenance.sql(spark,
+      "OPTIMIZE cbi.ns.t TARGET 128 ROWS").head()
+    val pass2 = t.dataFiles.filter(_.persisted).map(_.segment.path).toSet
+    assert(pass1.subsetOf(pass2),
+      s"already-clustered segments must carry by reference: " +
+        s"missing=${pass1 -- pass2}")
+    assert((pass2 -- pass1).nonEmpty, "the fresh appends re-lay")
+    assert(r.getInt(0) - r.getInt(1) >= 1,
+      s"the pass compacts only the fresh files: $r")
+    // rows intact, box queries still serve
+    assert(spark.table("cbi.ns.t").count() === (32 * 32 + 128).toLong)
+    // a third pass with NOTHING new is a no-op on the layout
+    GraftMaintenance.sql(spark, "OPTIMIZE cbi.ns.t TARGET 128 ROWS")
+      .collect()
+    assert(t.dataFiles.filter(_.persisted).map(_.segment.path).toSet
+      === pass2, "an idle incremental pass must not rewrite anything")
+    // the explicit clause is the FULL re-layout: every path replaces
+    GraftMaintenance.sql(spark,
+      "OPTIMIZE cbi.ns.t ZORDER BY (x, y) TARGET 128 ROWS").collect()
+    val full = t.dataFiles.filter(_.persisted).map(_.segment.path).toSet
+    assert(full.intersect(pass2).isEmpty,
+      "explicit ZORDER BY must re-lay the whole table")
+    assert(spark.table("cbi.ns.t").count() === (32 * 32 + 128).toLong)
+  }
+
   test("row-level DML on a CLUSTER BY table: UPDATE/DELETE/MERGE work " +
       "under the clustered write distribution+ordering, in COW and MOR") {
     durableCatalog("cbd")
