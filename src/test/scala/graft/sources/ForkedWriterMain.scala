@@ -171,6 +171,25 @@ object ForkedWriterMain {
         }
         spark.stop()
         sys.exit(0)
+      case "views" =>
+        // view-DDL child (r18): create / replace / drop views against
+        // the shared warehouse — the parent observes every step WITHOUT
+        // re-open (durable stores read the _views/ JSONs as the source
+        // of truth; no invalidation protocol exists to get wrong)
+        val t = s"$cat.ns.$tbl"
+        GraftMaintenance.sql(spark,
+          s"CREATE VIEW $cat.ns.child_v AS " +
+            s"SELECT id FROM $t WHERE id % 2 = 0").collect()
+        GraftMaintenance.sql(spark,
+          s"CREATE OR REPLACE VIEW $cat.ns.child_v AS " +
+            s"SELECT id FROM $t WHERE id % 2 = 1").collect()
+        GraftMaintenance.sql(spark,
+          s"CREATE VIEW $cat.ns.child_gone AS SELECT id FROM $t")
+          .collect()
+        GraftMaintenance.sql(spark,
+          s"DROP VIEW $cat.ns.child_gone").collect()
+        spark.stop()
+        sys.exit(0)
       case "crash" =>
         val t = spark.sessionState.catalogManager.catalog(cat)
           .asInstanceOf[GraftCatalog].store.tables((Seq("ns"), tbl))

@@ -338,6 +338,36 @@ class GraftMultiProcessSpec extends SparkSpec {
         "every fenced tag self-deleted")
   }
 
+  test("view DDL from a forked JVM is visible here WITHOUT re-open: " +
+      "the replaced definition serves, the dropped view refuses — " +
+      "disk is the source of truth, no invalidation protocol (r18)") {
+    val wh = tmpDir("graft-mp-views")
+    durableCatalog("mpvw", wh)
+    spark.sql("CREATE TABLE mpvw.ns.mpvt (id BIGINT)")
+    spark.sql("INSERT INTO mpvw.ns.mpvt VALUES (1), (2), (3), (4)")
+    // SAME catalog name both sides: a stored view body references its
+    // tables by catalog-qualified name, and catalog names are session
+    // config — a deployment keeps them consistent across jobs (the
+    // same contract Iceberg's V2 views have)
+    val (p, l) = fork("views", wh, "mpvw", "mpvt", 0L, 0L)
+    awaitExit(p, l, 0)
+    // the child CREATEd then REPLACEd child_v (evens → odds): this
+    // process must see the REPLACED definition, with zero re-open
+    assert(spark.sql("SELECT id FROM mpvw.ns.child_v ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L),
+      "the sibling's replaced view definition must serve here")
+    // the child's dropped view refuses here too
+    intercept[Exception](
+      spark.sql("SELECT * FROM mpvw.ns.child_gone").collect())
+    // and this process's SHOW VIEWS agrees with the child's final state
+    val shown = GraftMaintenance.sql(spark, "SHOW VIEWS IN mpvw.ns")
+      .as[(String, String)].collect().toSeq
+    assert(shown === Seq(("ns", "child_v")), shown.toString)
+    // a racing duplicate CREATE from this side refuses via the CAS
+    intercept[Exception](GraftMaintenance.sql(spark,
+      "CREATE VIEW mpvw.ns.child_v AS SELECT 1 AS x").collect())
+  }
+
   test("a child killed after landing segments but before commit leaves " +
       "only unreferenced files; the warehouse stays healthy") {
     val wh = tmpDir("graft-mp-crash")
