@@ -35,9 +35,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   ALTER TABLE t CHERRY-PICK b VERSION v        — adopt one append
   *   ALTER TABLE t MERGE BRANCH b — squash-merge a diverged branch's
   *     net state as ONE commit (CDC = the reference state diff)
-  *   CREATE [OR REPLACE] VIEW cat.ns.v [(aliases)] AS query
-  *     | ALTER VIEW cat.ns.v AS query | DROP VIEW [IF EXISTS] cat.ns.v
-  *     | SHOW VIEWS IN cat.ns — persisted SQL views (DSv2 ViewCatalog)
+  *   CREATE [OR REPLACE] VIEW cat.ns.v [(aliases)]
+  *     [TBLPROPERTIES ('k'='v', …)] AS query
+  *     | ALTER VIEW cat.ns.v AS query
+  *     | ALTER VIEW cat.ns.v SET|UNSET TBLPROPERTIES (…)
+  *     | DROP VIEW [IF EXISTS] cat.ns.v | SHOW VIEWS IN cat.ns
+  *     | SHOW CREATE VIEW cat.ns.v — persisted SQL views (ViewCatalog)
   *   DESC[RIBE] HISTORY t          — newest-first commit log
   *   DESC[RIBE] DETAIL t           — the table's physical census
   *   COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
@@ -109,9 +112,15 @@ object GraftSqlParser {
   // ONLY when the identifier's leading part names a registered graft
   // catalog — session-catalog / temp views delegate to Spark untouched
   private val CreateViewRe =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+?)(?:\s*\(([\w\s,`]*)\))?\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+?)(?:\s*\(([\w\s,`]*)\))?(?:\s+TBLPROPERTIES\s*\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val AlterViewRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val AlterViewSetPropsRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val AlterViewUnsetPropsRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val ShowCreateViewRe =
+    """(?is)\s*SHOW\s+CREATE\s+VIEW\s+([\w.`]+?)\s*;?\s*""".r
   private val DropViewRe =
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+?)\s*;?\s*""".r
   private val ShowViewsRe =
@@ -682,16 +691,64 @@ object GraftSqlParser {
       // leading part is a registered graft catalog — every other
       // CREATE/ALTER/DROP VIEW (temp views, the session catalog)
       // delegates to Spark untouched.
-      case CreateViewRe(orReplace, ident, colList, body) =>
+      case CreateViewRe(orReplace, ident, colList, propsTxt, body) =>
         split(ident)
           .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
           .map { parts =>
             GraftMaintenanceCommand(out("created"), s => {
               GraftViewDdl.createOrReplace(s, parts, Option(colList),
                 body, orReplace = orReplace != null,
-                requireExists = false)
+                requireExists = false, propsTxt = Option(propsTxt))
               Seq(Row(1))
             })
+          }
+      // ALTER VIEW ... SET/UNSET TBLPROPERTIES — the ViewChange surface
+      // over SQL (Delta/Iceberg view properties); SHOW CREATE VIEW —
+      // the reproducible-DDL introspection. Ordered BEFORE the AS form
+      // (which cannot match these shapes anyway — it requires AS).
+      case AlterViewSetPropsRe(ident, propsTxt) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(out("properties_set"), s => {
+              val kvs = GraftViewDdl.parseProps(propsTxt)
+              GraftViewDdl.catalogOf(s, parts.head).alterView(
+                org.apache.spark.sql.connector.catalog.Identifier
+                  .of(parts.tail.dropRight(1).toArray, parts.last),
+                kvs.map { case (k, v) =>
+                  org.apache.spark.sql.connector.catalog.ViewChange
+                    .setProperty(k, v)
+                }: _*)
+              Seq(Row(kvs.length))
+            })
+          }
+      case AlterViewUnsetPropsRe(ident, propsTxt) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(out("properties_unset"), s => {
+              val keys = GraftViewDdl.parsePropKeys(propsTxt)
+              GraftViewDdl.catalogOf(s, parts.head).alterView(
+                org.apache.spark.sql.connector.catalog.Identifier
+                  .of(parts.tail.dropRight(1).toArray, parts.last),
+                keys.map(org.apache.spark.sql.connector.catalog
+                  .ViewChange.removeProperty): _*)
+              Seq(Row(keys.length))
+            })
+          }
+      case ShowCreateViewRe(ident) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(outTyped(
+              ("createview_stmt", org.apache.spark.sql.types.StringType)),
+              s => {
+                val cat = GraftViewDdl.catalogOf(s, parts.head)
+                val v = cat.loadView(
+                  org.apache.spark.sql.connector.catalog.Identifier
+                    .of(parts.tail.dropRight(1).toArray, parts.last))
+                Seq(Row(GraftViewDdl.showCreate(parts, v)))
+              })
           }
       case AlterViewRe(ident, body) =>
         split(ident)
@@ -822,9 +879,46 @@ private[sources] object GraftViewDdl {
   def catalogOf(s: SparkSession, name: String): GraftCatalog =
     s.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
 
+  private val PropRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val KeyRe = """'([^']*)'""".r
+
+  /** `'k'='v', 'k2'='v2'` → pairs; malformed text refuses loudly. */
+  def parseProps(txt: String): Seq[(String, String)] = {
+    val pairs = PropRe.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+    if (pairs.isEmpty) throw new IllegalArgumentException(
+      s"SET TBLPROPERTIES needs 'key'='value' pairs, got: $txt")
+    pairs
+  }
+
+  /** `'k', 'k2'` → keys (UNSET form). */
+  def parsePropKeys(txt: String): Seq[String] = {
+    val keys = KeyRe.findAllMatchIn(txt).map(_.group(1)).toSeq
+    if (keys.isEmpty) throw new IllegalArgumentException(
+      s"UNSET TBLPROPERTIES needs 'key' names, got: $txt")
+    keys
+  }
+
+  /** Reproducible DDL for SHOW CREATE VIEW: the statement this parser
+    * accepts back — aliases when declared, properties when present. */
+  def showCreate(parts: Seq[String],
+      v: org.apache.spark.sql.connector.catalog.View): String = {
+    val aliases =
+      if (v.columnAliases().isEmpty) ""
+      else v.columnAliases().mkString(" (", ", ", ")")
+    val props = {
+      import scala.jdk.CollectionConverters._
+      val m = v.properties().asScala.toSeq.sortBy(_._1)
+      if (m.isEmpty) ""
+      else m.map { case (k, q) => s"'$k'='$q'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    }
+    s"CREATE VIEW ${parts.mkString(".")}$aliases$props\nAS ${v.query()}"
+  }
+
   def createOrReplace(s: SparkSession, parts: Seq[String],
       colList: Option[String], body: String, orReplace: Boolean,
-      requireExists: Boolean): Unit = {
+      requireExists: Boolean, propsTxt: Option[String] = None): Unit = {
     val cat = catalogOf(s, parts.head)
     val ns = parts.tail.dropRight(1)
     val ident = Identifier.of(ns.toArray, parts.last)
@@ -884,10 +978,13 @@ private[sources] object GraftViewDdl {
       else StructType(analyzed.schema.fields.zip(aliases).map {
         case (f, a) => f.copy(name = a)
       })
+    val props = new java.util.HashMap[String, String]()
+    propsTxt.foreach(parseProps(_).foreach { case (k, v) =>
+      props.put(k, v)
+    })
     val info = new ViewInfo(ident, body, cm.currentCatalog.name,
       cm.currentNamespace, schema, qcols.toArray, aliases.toArray,
-      Array.fill[String](aliases.length)(null),
-      java.util.Collections.emptyMap[String, String]())
+      Array.fill[String](aliases.length)(null), props)
     if (requireExists) cat.replaceView(info, false)
     else if (orReplace) cat.replaceView(info, true)
     else cat.createView(info)

@@ -189,6 +189,51 @@ class GraftViewSpec extends SparkSpec {
     assert(got === Seq((99L, 1L)), got.toString)
   }
 
+  test("view properties over SQL: SET/UNSET TBLPROPERTIES persist and " +
+      "survive restart; SHOW CREATE VIEW emits the statement this " +
+      "parser accepts back, aliases and properties included") {
+    val wh = durableCatalog("vz")
+    spark.sql("CREATE TABLE vz.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vz.ns.t VALUES (1,'a')")
+    GraftMaintenance.sql(spark,
+      "CREATE VIEW vz.ns.pv (vid, label) AS " +
+        "SELECT id, v FROM vz.ns.t").collect()
+    assert(GraftMaintenance.sql(spark,
+      "ALTER VIEW vz.ns.pv SET TBLPROPERTIES " +
+        "('comment'='release view', 'owner'='etl')").head().getInt(0)
+      === 2)
+    val cat = spark.sessionState.catalogManager.catalog("vz")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    def props(c: GraftCatalog): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      c.loadView(Identifier.of(Array("ns"), "pv"))
+        .properties().asScala.toMap
+    }
+    assert(props(cat) === Map("comment" -> "release view",
+      "owner" -> "etl"))
+    // UNSET drops one key, keeps the other
+    GraftMaintenance.sql(spark,
+      "ALTER VIEW vz.ns.pv UNSET TBLPROPERTIES ('owner')").collect()
+    assert(props(cat) === Map("comment" -> "release view"))
+    // restart-served: a second store reads the updated JSON
+    reopen("vz2", wh)
+    val cat2 = spark.sessionState.catalogManager.catalog("vz2")
+      .asInstanceOf[GraftCatalog]
+    assert(props(cat2) === Map("comment" -> "release view"))
+    // SHOW CREATE VIEW: the emitted statement round-trips through this
+    // very parser (drop, re-create from the emitted text, same rows)
+    val stmt = GraftMaintenance.sql(spark,
+      "SHOW CREATE VIEW vz.ns.pv").as[String].head()
+    assert(stmt.contains("(vid, label)") &&
+      stmt.contains("'comment'='release view'") &&
+      stmt.contains("AS SELECT id, v FROM vz.ns.t"), stmt)
+    GraftMaintenance.sql(spark, "DROP VIEW vz.ns.pv").collect()
+    GraftMaintenance.sql(spark, stmt).collect()
+    assert(spark.sql("SELECT vid, label FROM vz.ns.pv")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+
   test("views resolve inside expression subqueries, joins and UNION " +
       "branches — everywhere the analyzer resolves relations") {
     durableCatalog("vs")
