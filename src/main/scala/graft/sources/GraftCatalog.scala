@@ -4025,21 +4025,38 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * versioned read against the version's own census. */
   private[sources] def filesMetaTable: GraftSnapshotTable = {
     refreshIfStale() // the audit must cover foreign writers' commits
-    filesCensusTable(files, tableSchema)
+    // clustered coverage (r18 — the observability half of liquid
+    // clustering): which files the incremental anchor already
+    // considers laid out. NULL on tables without `cluster.by`.
+    val cols = GraftTable.clusterByCols(tableSchema)
+    val marker =
+      if (cols.isEmpty) None
+      else {
+        val fresh = incrementalClusterScope(cols)
+        Some((f: GraftDataFile) => !fresh(f))
+      }
+    filesCensusTable(files, tableSchema, clusteredOf = marker)
   }
 
-  /** The `t$files` census of one retained commit (see [[filesMetaTable]]). */
+  /** The `t$files` census of one retained commit (see [[filesMetaTable]]).
+    * `clustered` reads NULL here: the coverage column is a CURRENT-state
+    * diagnostic (the incremental anchor is a property of the live head,
+    * not of a historical snapshot). */
   private[sources] def filesMetaTableAt(e: CommitEntry): GraftSnapshotTable =
     filesCensusTable(e.files, e.schema, s"@v${e.version}")
 
   private def filesCensusTable(snap: Vector[GraftDataFile],
-      s: StructType, tag: String = ""): GraftSnapshotTable = {
+      s: StructType, tag: String = "",
+      clusteredOf: Option[GraftDataFile => Boolean] = None)
+      : GraftSnapshotTable = {
     val schema = StructType(Seq(
       StructField("file_id", IntegerType, nullable = false),
       StructField("row_count", IntegerType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
       StructField("group_key", StringType, nullable = true),
-      StructField("zones", StringType, nullable = true)))
+      StructField("zones", StringType, nullable = true),
+      StructField("clustered",
+        org.apache.spark.sql.types.BooleanType, nullable = true)))
     val rows = snap.iterator.zipWithIndex.map { case (f, i) =>
       val zones = s.fields.iterator.zipWithIndex.flatMap { case (fl, j) =>
         if (j < f.zones.length && f.zones(j) != null) {
@@ -4049,7 +4066,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }.mkString("; ")
       new GenericInternalRow(Array[Any](i, f.rowCount, f.sizeBytes,
         utf8(f.groupKey.map(_.mkString("/")).orNull),
-        utf8(zones))): InternalRow
+        utf8(zones),
+        clusteredOf.map(m => Boolean.box(m(f))).orNull)): InternalRow
     }.toArray
     new GraftSnapshotTable(s"$tableName$$files$tag", schema,
       Vector(GraftDataFile.build(rows, schema, None)))

@@ -128,6 +128,14 @@ class GraftClusterBySpec extends SparkSpec {
       (0 until 64).map(i => ((i % 8).toLong, (i / 8).toLong,
         (10000 + s * 100 + i).toLong))
         .toDF("x", "y", "v").coalesce(1).writeTo("cbi.ns.t").append())
+    // t$files surfaces the pending coverage: pass-1 output reads
+    // clustered, the two fresh appends read unclustered
+    val pending = spark.sql(
+      "SELECT clustered, count(*) FROM cbi.ns.`t$files` GROUP BY 1")
+      .as[(Boolean, Long)].collect().toMap
+    assert(pending.getOrElse(true, 0L) === pass1.size.toLong &&
+      pending.getOrElse(false, 0L) === 2L,
+      s"coverage must show the fresh appends as unclustered: $pending")
     // the second defaulted pass: pass-1 output carries UNTOUCHED, only
     // the two fresh appends re-lay
     val r = GraftMaintenance.sql(spark,
@@ -141,6 +149,14 @@ class GraftClusterBySpec extends SparkSpec {
       s"the pass compacts only the fresh files: $r")
     // rows intact, box queries still serve
     assert(spark.table("cbi.ns.t").count() === (32 * 32 + 128).toLong)
+    // t$files surfaces the coverage: pass-1 output reads clustered,
+    // the fresh appends read unclustered until the next pass
+    val cov = spark.sql(
+      "SELECT clustered, count(*) FROM cbi.ns.`t$files` GROUP BY 1")
+      .as[(Boolean, Long)].collect().toMap
+    assert(cov.getOrElse(true, 0L) >= pass1.size.toLong &&
+      cov.getOrElse(false, 0L) === 0L,
+      s"after an incremental pass everything reads clustered: $cov")
     // a third pass with NOTHING new is a no-op on the layout
     GraftMaintenance.sql(spark, "OPTIMIZE cbi.ns.t TARGET 128 ROWS")
       .collect()
