@@ -31,13 +31,32 @@ import graft.sources.{GraftCatalog, GraftViewMeta}
 case class GraftViewSubstitution(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
+  /** Fast path (r19): this rule runs on EVERY analyzer fixpoint
+    * iteration of every session built with the extensions, so the
+    * expensive steps gate on cheap in-memory checks, cheapest first:
+    * (1) the catalog probe — hashmap lookups against the
+    * CatalogManager; (2) the catalog's store-level views-exist flag
+    * ([[graft.sources.GraftStoreState.mayHoldViews]] — cached `true`
+    * forever once seen; while `false` a durable store re-stats its
+    * `_views/` dir so a SECOND PROCESS's first CREATE VIEW is still
+    * picked up); (3) the CTE-shadow walk — computed at most once per
+    * invocation, and only when a view could actually substitute. A
+    * view-free query therefore analyzes with ZERO `lookupView` calls
+    * and zero plan-wide CTE walks (GraftExtensionsSpec pins the probe
+    * counter at zero). */
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val shadowed = cteNames(plan)
+    var shadowed: Set[String] = null
     plan.resolveOperatorsUp {
-      case u: UnresolvedRelation
-          if !(u.multipartIdentifier.length == 1 &&
-            shadowed(u.multipartIdentifier.head.toLowerCase)) =>
-        substitute(u.multipartIdentifier).getOrElse(u)
+      case u: UnresolvedRelation =>
+        candidate(u.multipartIdentifier) match {
+          case Some((catName, cat, rest))
+              if !(u.multipartIdentifier.length == 1 && {
+                if (shadowed == null) shadowed = cteNames(plan)
+                shadowed(u.multipartIdentifier.head.toLowerCase)
+              }) =>
+            lookup(cat, catName, rest).getOrElse(u)
+          case _ => u
+        }
     }
   }
 
@@ -61,18 +80,26 @@ case class GraftViewSubstitution(spark: SparkSession)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def substitute(parts: Seq[String]): Option[LogicalPlan] = {
+  /** The graft catalog that would own this name — None when the name
+    * resolves to a non-graft catalog or the owning store cannot hold a
+    * view (the fast-path gate: no disk I/O on this path). */
+  private def candidate(parts: Seq[String])
+      : Option[(String, GraftCatalog, Seq[String])] = {
     val cm = spark.sessionState.catalogManager
     val (catName, rest) =
       if (parts.length >= 2 && graftCatalog(parts.head).isDefined)
         (parts.head, parts.tail)
       else (cm.currentCatalog.name, parts)
-    graftCatalog(catName).flatMap { cat =>
-      val ns =
-        if (rest.length >= 2) rest.dropRight(1)
-        else cm.currentNamespace.toSeq
-      cat.store.lookupView(ns, rest.last).map(viewPlan(catName, _))
-    }
+    graftCatalog(catName).filter(_.store.mayHoldViews)
+      .map((catName, _, rest))
+  }
+
+  private def lookup(cat: GraftCatalog, catName: String,
+      rest: Seq[String]): Option[LogicalPlan] = {
+    val ns =
+      if (rest.length >= 2) rest.dropRight(1)
+      else spark.sessionState.catalogManager.currentNamespace.toSeq
+    cat.store.lookupView(ns, rest.last).map(viewPlan(catName, _))
   }
 
   private def viewPlan(catName: String, m: GraftViewMeta): LogicalPlan = {

@@ -975,11 +975,33 @@ final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
   val views: TrieMap[(Seq[String], String), GraftViewMeta] = TrieMap.empty
 
   /** The view definition behind (ns, name), wherever it lives. */
-  def lookupView(ns: Seq[String], name: String): Option[GraftViewMeta] =
+  def lookupView(ns: Seq[String], name: String): Option[GraftViewMeta] = {
+    GraftViews.probes.incrementAndGet()
     warehouse match {
       case Some(wh) => GraftViews.read(wh, ns, name)
       case None => views.get((ns, name))
     }
+  }
+
+  /** Analyzer fast path (r19 — [[graft.plans.GraftViewSubstitution]]):
+    * can this store universe possibly hold a view? In-JVM: the live
+    * map. Durable: the `_views/` dir exists — created by the FIRST
+    * CREATE VIEW (this process's or a second one's) and never removed
+    * by DROP, so `true` caches forever and `false` re-stats (one
+    * `Files.isDirectory` per probe, never a file read): cross-process
+    * first-CREATE visibility holds with zero invalidation protocol,
+    * and a warehouse that has ever held a view conservatively keeps
+    * the (cheap, per-name) lookups. */
+  @volatile private var viewsSeen = false
+  def mayHoldViews: Boolean = warehouse match {
+    case None => views.nonEmpty
+    case Some(wh) =>
+      viewsSeen || {
+        val e = java.nio.file.Files.isDirectory(GraftViews.viewsDir(wh))
+        if (e) viewsSeen = true
+        e
+      }
+  }
 }
 
 /** JVM-global store registry. The default (in-JVM, non-durable) store is

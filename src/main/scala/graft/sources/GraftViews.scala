@@ -44,6 +44,11 @@ case class GraftViewMeta(
   * (no warehouse) keep views in the store map alone. */
 object GraftViews {
 
+  /** Diagnostic: total `lookupView` calls this JVM — the analyzer
+    * fast-path pin (GraftExtensionsSpec asserts a view-free query
+    * analyzes with ZERO probes). Never read on a hot path. */
+  val probes = new java.util.concurrent.atomic.AtomicLong(0)
+
   def viewsDir(wh: Path): Path = wh.resolve("_views")
 
   /** Filename-safe encoding of one identifier part: URL-encode, then

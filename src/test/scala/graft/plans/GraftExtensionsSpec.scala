@@ -96,4 +96,55 @@ class GraftExtensionsSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("view-free analysis never probes the view store (fast path), " +
+    "and the first CREATE VIEW re-enables substitution") {
+    import graft.sources.GraftViews
+    // in-JVM catalog: mayHoldViews == views.nonEmpty (live map)
+    spark.conf.set("spark.sql.catalog.extfp", "graft.sources.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS extfp.fp")
+    spark.sql("CREATE TABLE extfp.fp.t (k INT, v STRING)")
+    spark.sql("INSERT INTO extfp.fp.t VALUES (1, 'a'), (2, 'b')")
+    def probesDuring(body: => Unit): Long = {
+      val before = GraftViews.probes.get(); body
+      GraftViews.probes.get() - before
+    }
+    // no views anywhere in the store → the substitution rule's gate
+    // short-circuits before lookupView on every fixpoint iteration
+    assert(probesDuring {
+      assert(spark.sql(
+        "SELECT count(*) FROM extfp.fp.t WHERE k = 1").head().getLong(0) == 1)
+    } == 0L)
+    // first CREATE VIEW flips the store flag; the same read shape now
+    // substitutes (and therefore probes)
+    spark.sql("CREATE VIEW extfp.fp.v AS SELECT k, upper(v) AS uv FROM extfp.fp.t")
+    assert(probesDuring {
+      assert(spark.sql("SELECT uv FROM extfp.fp.v WHERE k = 2")
+        .head().getString(0) == "B")
+    } > 0L)
+    // DROP of the last view restores the zero-probe fast path (in-JVM
+    // store: the live map empties; durable stores conservatively keep
+    // probing once the `_views/` dir exists — documented asymmetry)
+    spark.sql("DROP VIEW extfp.fp.v")
+    assert(probesDuring {
+      assert(spark.sql(
+        "SELECT count(*) FROM extfp.fp.t").head().getLong(0) == 2)
+    } == 0L)
+    // durable leg: a warehouse-backed catalog with no views stats the
+    // missing `_views/` dir and never reads a file; the first CREATE
+    // (even from a SECOND catalog instance over the same path) is
+    // visible with no invalidation call
+    val wh = tmpDir("extfp-wh")
+    spark.conf.set("spark.sql.catalog.extfpd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.extfpd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS extfpd.fp")
+    spark.sql("CREATE TABLE extfpd.fp.t (k INT)")
+    spark.sql("INSERT INTO extfpd.fp.t VALUES (7)")
+    assert(probesDuring {
+      assert(spark.sql(
+        "SELECT count(*) FROM extfpd.fp.t").head().getLong(0) == 1)
+    } == 0L)
+    spark.sql("CREATE VIEW extfpd.fp.dv AS SELECT k + 1 AS k1 FROM extfpd.fp.t")
+    assert(spark.sql("SELECT k1 FROM extfpd.fp.dv").head().getInt(0) == 8)
+  }
 }
