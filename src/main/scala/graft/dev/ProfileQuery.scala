@@ -10,9 +10,19 @@ object ProfileQuery {
     val name = args.headOption.getOrElse("t5_minhash_lsh")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    // PROFILE_EXTENSIONS=1 reproduces the Bench session shape (the
+    // injected parser/rule/function extensions); unset isolates a
+    // query from extension-rule analysis cost for A/B attribution
+    val builder =
+      if (sys.env.contains("PROFILE_EXTENSIONS"))
+        builder0.config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      else builder0
+    val spark = builder
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-profwh").toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
