@@ -2815,6 +2815,79 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- MERGE BRANCH onto a BRANCH target (round 19): `t@b1 MERGE
+    // BRANCH b2` squashes b2's net state onto b1 under b1's OWN lease —
+    // a WAP workflow with stacked audit branches consolidates without
+    // touching main. b1's head becomes b2's state (b1's divergent rows
+    // are the CDC deletes on B1'S feed, b2's net-new rows the inserts);
+    // b2's head and MAIN are both untouched. The oracle restates all
+    // three heads and both CDC sides from nation.
+    Q("s73_branch_merge_branch",
+      "S-branch,S-merge-branch,S-cdf,DDL-alter,A1,A7",
+      """WITH a AS (SELECT n_nationkey + 100 AS k FROM nation
+        |           WHERE n_nationkey < 4),
+        |b AS (SELECT n_nationkey + 200 AS k FROM nation
+        |      WHERE n_nationkey < 2),
+        |d AS (SELECT n_nationkey + 300 AS k FROM nation
+        |      WHERE n_nationkey < 3),
+        |b2state AS (SELECT n_nationkey AS k FROM nation
+        |            UNION ALL SELECT k FROM b UNION ALL SELECT k FROM d)
+        |SELECT 'b1' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum FROM b2state
+        |UNION ALL
+        |SELECT 'b2', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT) FROM b2state
+        |UNION ALL
+        |SELECT 'cdc_del', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'cdc_ins', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM (SELECT k FROM b UNION ALL SELECT k FROM d) bd
+        |UNION ALL
+        |SELECT 'main', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT) FROM (SELECT n_nationkey AS k
+        |                               FROM nation) m
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s73").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gbb_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH b1").collect()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH b2").collect()
+      // the two branches DIVERGE from the shared fork
+      nat.where(col("k") < 4).select(col("k") + 100, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@b1`").append()
+      nat.where(col("k") < 2).select(col("k") + 200, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@b2`").append()
+      nat.where(col("k") < 3).select(col("k") + 300, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@b2`").append()
+      val mv = graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.`prod@b1` MERGE BRANCH b2").head().getInt(0)
+      def agg(df: org.apache.spark.sql.DataFrame, probe: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("key_sum"))
+          .select(lit(probe).as("probe"), col("n"), col("key_sum"))
+      val feed = s.table(s"$w.ns.`prod@b1$$changes`")
+        .filter(col("_commit_version") === mv)
+      agg(s.table(s"$w.ns.`prod@b1`"), "b1")
+        .unionByName(agg(s.table(s"$w.ns.`prod@b2`"), "b2"))
+        .unionByName(agg(
+          feed.filter(col("_change_type") === "delete"), "cdc_del"))
+        .unionByName(agg(
+          feed.filter(col("_change_type") === "insert"), "cdc_ins"))
+        .unionByName(agg(s.table(s"$w.ns.prod"), "main"))
+        .orderBy("probe")
+    },
+
     // ----- t$branches (round 17, Iceberg's `refs` metadata table):
     // one row per live ref — branches (fork + head versions) AND tags
     // (immutable pins: fork == head == the tagged version) — straight

@@ -3055,9 +3055,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
       branch: String): Int = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: not a durable table"))
-    if (d.log.branch.isDefined)
+    // r19: the target may be MAIN or a BRANCH chain — `t@b1 MERGE
+    // BRANCH b2` squashes b2's net state onto b1 under b1's OWN lease
+    // (a WAP workflow with stacked audit branches consolidates without
+    // touching main). The one refusal is a SELF-merge: squashing a
+    // chain onto itself is a no-op dressed as a commit — caught by
+    // live-handle identity AND by (chain, name) so a second process's
+    // foreign handle to the same chain refuses identically.
+    if ((bt eq this) || d.log.branch.contains(branch))
       throw new UnsupportedOperationException(
-        s"$tableName: MERGE BRANCH targets the main chain")
+        s"$tableName: cannot MERGE BRANCH '$branch' onto itself — " +
+          "merge a DIFFERENT branch, or FAST FORWARD main to this one")
     val ident = Identifier.of(Array.empty[String], bt.name())
     val (srcSchema, fs, fsDvs) = bt.stateAt(None, ident)
     if (srcSchema != tableSchema)
@@ -6940,14 +6948,19 @@ object GraftMaintenance {
     main.cherryPickFrom(bt, version, branch)
   }
 
-  /** `ALTER TABLE t MERGE BRANCH b`: squash-merge the branch head's
-    * net state onto a (possibly diverged) main as one commit. Returns
-    * main's new head version. */
+  /** `ALTER TABLE t[@b1] MERGE BRANCH b2`: squash-merge branch b2's
+    * head state onto a (possibly diverged) target — main, or another
+    * branch (r19) — as one commit under the TARGET chain's lease.
+    * The source is always a branch of the BASE table (the target's
+    * own ref suffix never nests). Returns the target's new head
+    * version. */
   def mergeBranch(namespace: Seq[String], table: String, branch: String,
       scope: Option[GraftStoreState] = None): Int = {
-    val main = resolve(namespace, table, scope)
-    val bt = resolve(namespace, s"$table@$branch", scope)
-    main.mergeBranchFrom(bt, branch)
+    val target = resolve(namespace, table, scope)
+    val at = table.indexOf('@')
+    val base = if (at > 0) table.substring(0, at) else table
+    val bt = resolve(namespace, s"$base@$branch", scope)
+    target.mergeBranchFrom(bt, branch)
   }
 
   /** `ALTER TABLE t CREATE TAG n [AS OF VERSION v]`: pin an immutable

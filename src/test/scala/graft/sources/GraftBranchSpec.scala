@@ -733,6 +733,58 @@ class GraftBranchSpec extends SparkSpec {
     assert(feed === Set(("insert", 5L), ("delete", 9L)), feed.toString)
   }
 
+  test("MERGE BRANCH onto a BRANCH target (r19): t@b1 MERGE BRANCH b2 " +
+      "squashes b2's state onto b1 under b1's lease — b2 and MAIN are " +
+      "untouched; self-merge and drift refuse") {
+    durableCatalog("brM")
+    spark.sql("CREATE TABLE brM.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO brM.ns.t VALUES (1,'a'), (2,'b')")
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brM.ns.t CREATE BRANCH b1").collect()
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brM.ns.t CREATE BRANCH b2").collect()
+    // the two branches diverge from the shared fork
+    spark.sql("INSERT INTO brM.ns.`t@b1` VALUES (3,'c1')")
+    spark.sql("INSERT INTO brM.ns.`t@b2` VALUES (4,'c2')")
+    spark.sql("DELETE FROM brM.ns.`t@b2` WHERE id = 1")
+    val mv = GraftMaintenance.sql(spark,
+      "ALTER TABLE brM.ns.`t@b1` MERGE BRANCH b2").head().getInt(0)
+    assert(rows("brM.ns.`t@b1`") === Seq((2L, "b"), (4L, "c2")),
+      "b1 adopts b2's net state")
+    assert(rows("brM.ns.`t@b2`") === Seq((2L, "b"), (4L, "c2")),
+      "the source branch head is untouched")
+    assert(rows("brM.ns.t") === Seq((1L, "a"), (2L, "b")),
+      "MAIN is untouched — the whole point of a branch-target merge")
+    // the commit landed on B1'S chain: its feed carries the diff (b1's
+    // divergent row + b2's delete as deletes, b2's new row as insert)
+    val feed = spark.table("brM.ns.`t@b1$changes`")
+      .filter($"_commit_version" === mv)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(feed === Set(("insert", 4L), ("delete", 1L), ("delete", 3L)),
+      feed.toString)
+    val hist = spark.table("brM.ns.`t@b1$history`")
+      .orderBy($"version".desc)
+      .select("operation", "parameters").as[(String, String)].head()
+    assert(hist._1 === "MERGE BRANCH" &&
+      hist._2.contains("source_branch=b2"), hist.toString)
+    // self-merge refuses — both via the live-handle identity and via a
+    // FOREIGN handle to the same chain (isolated re-open)
+    val eSelf = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brM.ns.`t@b1` MERGE BRANCH b1").collect())
+    assert(eSelf.getMessage.contains("onto itself"), eSelf.getMessage)
+    // diverged-target drift refusal: evolve the TARGET branch's schema
+    // past the source's — the evolve-first remedy names the drift
+    spark.sql("ALTER TABLE brM.ns.`t@b1` ADD COLUMN w INT")
+    val eDrift = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER TABLE brM.ns.`t@b1` MERGE BRANCH b2").collect())
+    assert(eDrift.getMessage.contains("schema"), eDrift.getMessage)
+    // main-target semantics are unchanged by the branch-target route:
+    // merging b2 onto main still squashes and main's feed carries it
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE brM.ns.t MERGE BRANCH b2").collect()
+    assert(rows("brM.ns.t") === Seq((2L, "b"), (4L, "c2")))
+  }
+
   test("declarative branch retention: CREATE BRANCH b RETAIN 2 " +
       "SNAPSHOTS trims the branch's own window while main keeps its " +
       "128; VACUUM without RETAIN honors it; a restart re-reads it") {

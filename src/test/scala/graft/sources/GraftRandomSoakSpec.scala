@@ -215,7 +215,7 @@ class GraftRandomSoakSpec extends SparkSpec {
           val r = rnd.nextInt(k)
           spark.sql(s"DELETE FROM $cat.ns.`t_$tag@$b` WHERE id % $k = $r")
           assert(GraftAutoCompact.quiesce())
-          rnd.nextInt(5) match {
+          rnd.nextInt(6) match {
             case 0 => // FAST FORWARD: main replays the audited commits
               val n = GraftMaintenance.sql(spark,
                 s"ALTER TABLE $cat.ns.t_$tag FAST FORWARD TO $b")
@@ -253,6 +253,32 @@ class GraftRandomSoakSpec extends SparkSpec {
               model.keys.toSeq.filter(_ % k == r).foreach(model.remove)
               GraftMaintenance.sql(spark,
                 s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
+            case 5 => // r19: STACKED branches — fork a SECOND branch
+              // from main, audit it, squash it ONTO the first (the
+              // branch-target merge; main untouched in between), then
+              // squash the first onto main: main adopts the second
+              // branch's net state transitively, and the first
+              // branch's own audits vanish (squash REPLACES the
+              // target's state — exactly the consolidation contract)
+              val b2 = s"${b}x"
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag CREATE BRANCH $b2").collect()
+              val id2 = nextId; nextId += 1
+              spark.sql(s"INSERT INTO $cat.ns.`t_$tag@$b2` VALUES " +
+                (if (evolved) s"($id2, 'c$gen-$id2', ${wLit(id2)._1})"
+                 else s"($id2, 'c$gen-$id2')"))
+              assert(GraftAutoCompact.quiesce())
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.`t_$tag@$b` MERGE BRANCH $b2")
+                .collect()
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag MERGE BRANCH $b").collect()
+              model(id2) =
+                (s"c$gen-$id2", if (evolved) wLit(id2)._2 else None)
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b").collect()
+              GraftMaintenance.sql(spark,
+                s"ALTER TABLE $cat.ns.t_$tag DROP BRANCH $b2").collect()
             case _ => // drop the branch, TAG main's current state
               // instead: the immutable pin must read back bit-equal
               // after every later vacuum/replace/restore/restart.
