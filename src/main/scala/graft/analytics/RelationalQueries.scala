@@ -2901,16 +2901,21 @@ object RelationalQueries {
         |SELECT * FROM (
         |  SELECT 'aged' AS name, 'tag' AS kind, 1 AS fork_version,
         |    1 AS head_version, CAST(NULL AS INTEGER) AS retain_snapshots,
-        |    CAST(48.0 AS DOUBLE) AS ref_age_hours, c AS ref_rows FROM n
+        |    CAST(48.0 AS DOUBLE) AS ref_age_hours,
+        |    CAST(NULL AS DOUBLE) AS retain_snapshot_hours,
+        |    c AS ref_rows FROM n
         |  UNION ALL
         |  SELECT 'audit', 'branch', 1, 3, 5, CAST(NULL AS DOUBLE),
-        |    c + 5 FROM n
+        |    CAST(NULL AS DOUBLE), c + 5 FROM n
         |  UNION ALL
         |  SELECT 'rc', 'branch', 1, 1, CAST(NULL AS INTEGER),
-        |    CAST(NULL AS DOUBLE), c FROM n
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), c FROM n
+        |  UNION ALL
+        |  SELECT 'sla', 'branch', 1, 2, 7, CAST(NULL AS DOUBLE),
+        |    CAST(24.0 AS DOUBLE), c + 1 FROM n
         |  UNION ALL
         |  SELECT 'v1', 'tag', 1, 1, CAST(NULL AS INTEGER),
-        |    CAST(NULL AS DOUBLE), c FROM n)
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), c FROM n)
         |ORDER BY name""".stripMargin) { (s, dir) =>
       val wh = java.nio.file.Files.createTempDirectory("graft-s68").toString
       val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -2938,18 +2943,26 @@ object RelationalQueries {
         .toDF("k", "name").writeTo(s"$w.ns.`prod@audit`").append()
       graft.sources.GraftMaintenance.sql(s,
         s"ALTER TABLE $w.ns.prod CREATE BRANCH rc").collect()
+      // r19: a branch declaring BOTH windows — the count cap and the
+      // time-based snapshot window (Iceberg's maxSnapshotAgeMs analog)
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH sla " +
+          "RETAIN 7 SNAPSHOTS RETAIN 24 HOURS SNAPSHOTS").collect()
+      nat.where(col("k") < 1).select(col("k") + 400, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@sla`").append()
       // per-ref row count: branches read their heads, the tag reads
       // its pinned snapshot (NOT main's current state)
       val refRows = Map(
         "aged" -> s.table(s"$w.ns.`prod@aged`").count(),
         "audit" -> s.table(s"$w.ns.`prod@audit`").count(),
         "rc" -> s.table(s"$w.ns.`prod@rc`").count(),
+        "sla" -> s.table(s"$w.ns.`prod@sla`").count(),
         "v1" -> s.table(s"$w.ns.`prod@v1`").count())
       import s.implicits._
       val cnt = refRows.toSeq.toDF("name", "ref_rows")
       s.table(s"$w.ns.`prod$$branches`")
         .select("name", "kind", "fork_version", "head_version",
-          "retain_snapshots", "ref_age_hours")
+          "retain_snapshots", "ref_age_hours", "retain_snapshot_hours")
         .join(cnt, "name")
         .orderBy("name")
     },

@@ -2372,12 +2372,48 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * (every main chain, retention-less branches) keeps the global. */
   @volatile private[sources] var retainSnapshotsOverride: Option[Int] = None
 
-  /** The chain's effective snapshot-retention window. The floor of 2 is
-    * structural: the change feed and ancestry checks need at least the
-    * previous entry. */
-  private def effectiveRetention: Int =
-    math.max(2, retainSnapshotsOverride
-      .getOrElse(GraftTable.historyRetention))
+  /** Declarative per-chain TIME-based snapshot retention (r19 —
+    * `CREATE BRANCH b RETAIN h HOURS SNAPSHOTS`, Iceberg's
+    * maxSnapshotAgeMs analog, persisted beside the count in
+    * `_branch.json`): the automatic slide and declared-retention VACUUM
+    * also drop snapshots OLDER than the window. Count and time compose
+    * as min — a snapshot survives only inside both windows. */
+  @volatile private[sources] var retainHoursOverride: Option[Double] = None
+
+  /** Snapshots of `h` within the declared time window (all of them when
+    * no window is declared). Ages off the commit timestamps and the
+    * injectable [[GraftClock]], so specs pin the boundary. */
+  private def withinRetainWindow(h: Vector[CommitEntry]): Int =
+    retainHoursOverride match {
+      case Some(hours) =>
+        val cutoff = GraftClock.nowMicros() - (hours * 3600d * 1e6).toLong
+        h.count(_.tsMicros >= cutoff)
+      case None => Int.MaxValue
+    }
+
+  /** The chain's effective snapshot-retention window over history `h`:
+    * min of the count window (declared or engine-wide) and the declared
+    * time window. The floor of 2 is structural: the change feed and
+    * ancestry checks need at least the previous entry. */
+  private def effectiveRetention(h: Vector[CommitEntry]): Int =
+    math.max(2, math.min(
+      retainSnapshotsOverride.getOrElse(GraftTable.historyRetention),
+      withinRetainWindow(h)))
+
+  /** `VACUUM` WITHOUT a RETAIN clause honors the chain's DECLARED
+    * retention (r18; extended by the r19 time window): count and time
+    * compose as min; a time-only declaration keeps exactly the window
+    * (never collapsing to the explicit-vacuum default of 1); no
+    * declaration at all keeps the default 1. Floor 1 — VACUUM is the
+    * explicit reclaim, the structural floor of 2 belongs to the
+    * automatic slide. */
+  private def declaredVacuumKeep: Int =
+    (retainSnapshotsOverride, retainHoursOverride) match {
+      case (None, None) => 1
+      case (c, t) => math.max(1, math.min(
+        c.getOrElse(Int.MaxValue),
+        if (t.isDefined) withinRetainWindow(history) else Int.MaxValue))
+    }
 
   /** The (partitionCols, bucketSpec) in effect at commit `v`. */
   private[sources] def layoutAt(v: Int): (Seq[String], Option[(Int, String)]) =
@@ -2519,7 +2555,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       nm -> GraftConstraints.compile(txt, e.schema)
     }
     history = history :+ e
-    val over = history.length - effectiveRetention
+    val over = history.length - effectiveRetention(history)
     if (over > 0) history = history.drop(over)
     changesCache = None
     readState = (files, dvs)
@@ -2823,7 +2859,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
     history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts,
       op, added, removed, dvs, params)
-    val over = history.length - effectiveRetention
+    val over = history.length - effectiveRetention(history)
     if (over > 0) history = history.drop(over)
     readState = (files, dvs)
     durable.foreach { d =>
@@ -3125,7 +3161,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * engine's own store always re-registers the fresh object. */
   private[sources] def forkBranch(branch: String,
       retainSnapshots: Option[Int] = None,
-      refAgeHours: Option[Double] = None): GraftTable = mutate {
+      refAgeHours: Option[Double] = None,
+      retainHoursSnapshots: Option[Double] = None): GraftTable = mutate {
     val d = durable.getOrElse(throw new UnsupportedOperationException(
       s"$tableName: branches need a durable table — create the " +
         "catalog with a `warehouse` and recreate the table there"))
@@ -3140,6 +3177,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
     refAgeHours.filter(_ <= 0).foreach(h =>
       throw new IllegalArgumentException(
         s"$tableName: RETAIN $h HOURS — the ref age must be positive"))
+    retainHoursSnapshots.filter(_ <= 0).foreach(h =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $h HOURS SNAPSHOTS — the snapshot " +
+          "window must be positive"))
     val blog = new GraftTableLog(d.log.dir, d.log.store, Some(branch))
     if (blog.hasAnyEntry)
       throw new IllegalArgumentException(
@@ -3154,7 +3195,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     stampRefFormat(d)
     blog.init()
     val v = history.last.version
-    blog.writeBranchMeta(v, retainSnapshots, refAgeHours)
+    blog.writeBranchMeta(v, retainSnapshots, refAgeHours,
+      retainHoursSnapshots)
     val ts = math.max(GraftClock.nowMicros(), history.last.tsMicros + 1)
     val e = CommitEntry(v, tableSchema, files, ts,
       GraftTable.CreateBranchOp, Vector.empty, Vector.empty, dvs,
@@ -3871,7 +3913,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     files = e.files
     dvs = e.dvs
     var hh = h
-    val over = hh.length - effectiveRetention
+    val over = hh.length - effectiveRetention(hh)
     if (over > 0) hh = hh.drop(over)
     history = hh
     priorLayouts = layouts
@@ -3901,7 +3943,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     files = swap.files
     dvs = Map.empty
     var h = prior :+ swap
-    val over = h.length - effectiveRetention
+    val over = h.length - effectiveRetention(h)
     if (over > 0) h = h.drop(over)
     history = h
     priorLayouts = layouts
@@ -3962,7 +4004,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     mutate {
       val keep =
         if (keepLast == GraftTable.VacuumDeclaredRetention)
-          retainSnapshotsOverride.getOrElse(1)
+          declaredVacuumKeep
         else keepLast
       require(keep >= 1, "must keep at least the current snapshot")
       val retire = math.max(0, history.length - keep)
@@ -4018,7 +4060,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // contract (keepLast >= 1 refuses loudly at 0).
     val keep =
       if (keepLast == GraftTable.VacuumDeclaredRetention)
-        retainSnapshotsOverride.getOrElse(1)
+        declaredVacuumKeep
       else keepLast
     require(keep >= 1, "must keep at least the current snapshot")
     val over = history.length - keep
@@ -4263,10 +4305,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
       StructField("fork_version", IntegerType, nullable = false),
       StructField("head_version", IntegerType, nullable = false),
       StructField("head_timestamp_micros", LongType, nullable = false),
-      // the declarative retention surface (r18): per-branch snapshot
-      // retention and per-ref age, NULL where undeclared
+      // the declarative retention surface (r18/r19): per-branch
+      // snapshot retention (count + time window) and per-ref age,
+      // NULL where undeclared
       StructField("retain_snapshots", IntegerType, nullable = true),
-      StructField("ref_age_hours", DoubleType, nullable = true)))
+      StructField("ref_age_hours", DoubleType, nullable = true),
+      StructField("retain_snapshot_hours", DoubleType, nullable = true)))
     val rows: Array[InternalRow] = durable match {
       case None => Array.empty
       case Some(d) =>
@@ -4275,11 +4319,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val vs = blog.listEntryVersions
           if (vs.isEmpty) None
           else try {
-            val (fork, retain, age) = blog.readBranchProps()
+            val (fork, retain, age, retainHrs) = blog.readBranchProps()
             Some(new GenericInternalRow(Array[Any](
               utf8(b), utf8("branch"), fork, vs.last,
               blog.entryTs(vs.last), retain.map(Int.box).orNull,
-              age.map(Double.box).orNull)): InternalRow)
+              age.map(Double.box).orNull,
+              retainHrs.map(Double.box).orNull)): InternalRow)
           } catch {
             // a crashed DROP's remnant chain: introspection skips it
             // (the loader records the refusal; reads of it fail loudly)
@@ -4294,7 +4339,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
             val age = d.log.tagParams(t).get("refAgeHours").map(_.toDouble)
             Some(new GenericInternalRow(Array[Any](
               utf8(t), utf8("tag"), v, v, ts, null,
-              age.map(Double.box).orNull)): InternalRow)
+              age.map(Double.box).orNull, null)): InternalRow)
           } catch { case scala.util.control.NonFatal(_) => None }
         }
         (branchRows ++ tagRows).toArray
@@ -6913,9 +6958,11 @@ object GraftMaintenance {
   def createBranch(namespace: Seq[String], table: String, branch: String,
       scope: Option[GraftStoreState] = None,
       retainSnapshots: Option[Int] = None,
-      refAgeHours: Option[Double] = None): Int = {
+      refAgeHours: Option[Double] = None,
+      retainHoursSnapshots: Option[Double] = None): Int = {
     val t = resolve(namespace, table, scope)
-    val bt = t.forkBranch(branch, retainSnapshots, refAgeHours)
+    val bt = t.forkBranch(branch, retainSnapshots, refAgeHours,
+      retainHoursSnapshots)
     storeOf(namespace, table, scope)
       .branchTables.put((namespace, table, branch), bt)
     bt.branchMeta.map(_._2).getOrElse(0)

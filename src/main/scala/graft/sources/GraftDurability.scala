@@ -391,21 +391,26 @@ private[sources] final class GraftTableLog(val dir: Path,
 
   def writeBranchMeta(forkVersion: Int,
       retainSnapshots: Option[Int] = None,
-      refAgeHours: Option[Double] = None): Unit = {
+      refAgeHours: Option[Double] = None,
+      retainHoursSnapshots: Option[Double] = None): Unit = {
     // additive fields: a retention-less branch encodes byte-identically
     // to the r17 format, and old engines parse forkVersion regardless
     val extra =
       retainSnapshots.map(n => s""","retainSnapshots":$n""").getOrElse("") +
-        refAgeHours.map(h => s""","refAgeHours":$h""").getOrElse("")
+        refAgeHours.map(h => s""","refAgeHours":$h""").getOrElse("") +
+        retainHoursSnapshots
+          .map(h => s""","retainHoursSnapshots":$h""").getOrElse("")
     Files.write(branchMetaPath,
       s"""{"forkVersion":$forkVersion$extra}""".getBytes(UTF_8))
     ()
   }
 
   /** The branch's full declarative identity: (fork version, declared
-    * snapshot retention, declared ref age in hours). The latter two are
-    * the r18 per-ref retention properties — absent on pre-r18 branches. */
-  def readBranchProps(): (Int, Option[Int], Option[Double]) = {
+    * snapshot retention COUNT, declared ref age in hours, declared
+    * snapshot retention TIME window in hours — r19, Iceberg's
+    * maxSnapshotAgeMs analog; count and time compose as min). All
+    * retention fields are absent on pre-r18/r19 branches. */
+  def readBranchProps(): (Int, Option[Int], Option[Double], Option[Double]) = {
     val o = JsonMethods.parse(
       new String(Files.readAllBytes(branchMetaPath), UTF_8))
       .asInstanceOf[JObject].obj.toMap
@@ -417,7 +422,8 @@ private[sources] final class GraftTableLog(val dir: Path,
         s"expected number for $k: $other")
     }
     (jsonNum(o("forkVersion")).toInt,
-      num("retainSnapshots").map(_.toInt), num("refAgeHours"))
+      num("retainSnapshots").map(_.toInt), num("refAgeHours"),
+      num("retainHoursSnapshots"))
   }
 
   /** The one JSON-number extraction every shallow log/ref scan shares. */
@@ -1807,7 +1813,10 @@ private[sources] object GraftDurableLoader {
       decoded.last.entry.schema, curLayout._1, curLayout._3, curLayout._2)
     // the declared per-branch retention must govern the very replay
     // that follows (its trim window), not just later commits
-    branchProps.foreach(p => t.retainSnapshotsOverride = p._2)
+    branchProps.foreach { p =>
+      t.retainSnapshotsOverride = p._2
+      t.retainHoursOverride = p._4
+    }
     t.bootstrapDurable(d, decoded)
     t.priorLayouts = layouts
     // a branch creation entry embeds its layout exactly when the parent

@@ -94,8 +94,12 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.@`]+?)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([\w.@`]+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*""".r
+  // clause order: count window, then the TIME snapshot window (r19 —
+  // `RETAIN h HOURS SNAPSHOTS`, which must match BEFORE the bare
+  // `RETAIN h HOURS` ref-age clause or its trailing SNAPSHOTS keyword
+  // would fail the whole statement), then the ref age
   private val CreateBranch =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val DropBranch =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val FastForward =
@@ -621,13 +625,14 @@ object GraftSqlParser {
       // replays the branch's commit suffix onto main verbatim (the CDF
       // sees every branch commit, not one state diff). Standard SQL has
       // none of these shapes, so unmatched statements fall through.
-      case CreateBranch(ident, b, retain, age) =>
+      case CreateBranch(ident, b, retain, retainHrs, age) =>
         split(ident).filter(claims(_, session)).map { parts =>
           GraftMaintenanceCommand(out("fork_version"), _ => {
             val (ns, t, scope) = resolve(parts, session)
             Seq(Row(GraftMaintenance.createBranch(ns, t, b, scope,
               Option(retain).map(_.toInt),
-              Option(age).map(_.toDouble))))
+              Option(age).map(_.toDouble),
+              Option(retainHrs).map(_.toDouble))))
           })
         }
       case DropBranch(ident, b) =>

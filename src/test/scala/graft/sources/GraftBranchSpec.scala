@@ -834,6 +834,92 @@ class GraftBranchSpec extends SparkSpec {
     assert(bt2.commitHistory.length === 2)
   }
 
+  test("time-based branch snapshot retention (r19): RETAIN h HOURS " +
+      "SNAPSHOTS ages commits out of the chain's window, count and " +
+      "time compose as min, VACUUM without RETAIN honors the window, " +
+      "and a restart re-reads it") {
+    val savedClock = GraftClock.nowMicros
+    try {
+      var now = 1_700_000_000_000_000L
+      GraftClock.nowMicros = () => now
+      def advanceMin(m: Int): Unit = now += m * 60L * 1000000L
+      val wh = durableCatalog("brHrs")
+      spark.sql("CREATE TABLE brHrs.ns.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO brHrs.ns.t VALUES (1,'a')")
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brHrs.ns.t CREATE BRANCH win RETAIN 1 HOURS SNAPSHOTS")
+        .collect()
+      val st = spark.sessionState.catalogManager.catalog("brHrs")
+        .asInstanceOf[GraftCatalog].store
+      val bt = st.branchTables((Seq("ns"), "t", "win"))
+      spark.sql("INSERT INTO brHrs.ns.`t@win` VALUES (2,'b2')")
+      advanceMin(30)
+      spark.sql("INSERT INTO brHrs.ns.`t@win` VALUES (3,'b3')")
+      // all three entries (creation + two appends) are inside the hour
+      assert(bt.commitHistory.length === 3,
+        s"pre-boundary reads serve — nothing ages early: " +
+          s"${bt.commitHistory}")
+      val agedV = bt.commitHistory.head._1
+      spark.sql(s"SELECT * FROM brHrs.ns.`t@win` VERSION AS OF $agedV")
+        .collect() // still readable inside the window
+      advanceMin(40) // creation + first append are now 70 min old
+      spark.sql("INSERT INTO brHrs.ns.`t@win` VALUES (4,'b4')")
+      assert(bt.commitHistory.length === 2,
+        s"the slide drops entries past the window: ${bt.commitHistory}")
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM brHrs.ns.`t@win` VERSION AS OF $agedV").collect())
+      assert(e.getMessage.toLowerCase.contains("time travel") ||
+        e.getMessage.contains("retained"), e.getMessage)
+      // current state is never touched by retention
+      assert(rows("brHrs.ns.`t@win`") ===
+        Seq((1L, "a"), (2L, "b2"), (3L, "b3"), (4L, "b4")))
+      // main keeps the engine-wide window — the declaration is per-chain
+      assert(st.tables((Seq("ns"), "t")).commitHistory.length === 2)
+      // the refs table carries the declared window
+      val refs = spark.table("brHrs.ns.`t$branches`")
+        .select("name", "retain_snapshots", "retain_snapshot_hours")
+        .as[(String, Option[Int], Option[Double])].collect().toSeq
+      assert(refs === Seq(("win", None, Some(1.0))), refs.toString)
+      // count AND time: min binds. Four same-instant commits → the
+      // count window (3) trims first; a 2-hour jump → the time window
+      // trims to the floor of 2
+      GraftMaintenance.sql(spark, "ALTER TABLE brHrs.ns.t CREATE BRANCH " +
+        "both RETAIN 3 SNAPSHOTS RETAIN 1 HOURS SNAPSHOTS").collect()
+      val bt2 = st.branchTables((Seq("ns"), "t", "both"))
+      (5 to 8).foreach(i =>
+        spark.sql(s"INSERT INTO brHrs.ns.`t@both` VALUES ($i,'c$i')"))
+      assert(bt2.commitHistory.length === 3,
+        s"same-instant commits: the COUNT window binds: " +
+          s"${bt2.commitHistory}")
+      advanceMin(120)
+      spark.sql("INSERT INTO brHrs.ns.`t@both` VALUES (9,'c9')")
+      assert(bt2.commitHistory.length === 2,
+        s"after the jump the TIME window binds (floor 2): " +
+          s"${bt2.commitHistory}")
+      // VACUUM without RETAIN honors the declared window: only the
+      // head commit is inside the hour now
+      advanceMin(120)
+      spark.sql("INSERT INTO brHrs.ns.`t@win` VALUES (10,'b10')")
+      GraftMaintenance.sql(spark, "VACUUM brHrs.ns.t@win").collect()
+      assert(bt.commitHistory.length === 1,
+        s"VACUUM keeps exactly the declared window: ${bt.commitHistory}")
+      assert(rows("brHrs.ns.`t@win`") === Seq((1L, "a"), (2L, "b2"),
+        (3L, "b3"), (4L, "b4"), (10L, "b10")))
+      // restart: _branch.json re-reads and the window governs the
+      // replayed chain's next slide
+      reopen("brHrs2", wh)
+      val rt = spark.sessionState.catalogManager.catalog("brHrs2")
+        .asInstanceOf[GraftCatalog].store
+        .branchTables((Seq("ns"), "t", "win"))
+      advanceMin(120)
+      spark.sql("INSERT INTO brHrs2.ns.`t@win` VALUES (11,'b11')")
+      assert(rt.commitHistory.length === 2,
+        s"the window must survive restart: ${rt.commitHistory}")
+      assert(rows("brHrs2.ns.`t@win`").map(_._1).toSet ===
+        Set(1L, 2L, 3L, 4L, 10L, 11L))
+    } finally GraftClock.nowMicros = savedClock
+  }
+
   test("tag expiry (RETAIN h HOURS): a pre-expiry read serves, a " +
       "post-expiry read refuses, and the next sweep drops the tag and " +
       "reclaims its pinned segments") {
