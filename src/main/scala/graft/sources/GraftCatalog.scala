@@ -233,7 +233,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         // the tagSnapshot path in loadTable.
         store.tables.get((ns, tn)).flatMap(_.loadForeignBranch(b))
           .map(bt => store.branchTables.putIfAbsent(k, bt).getOrElse(bt))
-      }
+      }.map(_.requireBranchNotExpired())
     }
     else store.tables.get((ns, name))
   }
@@ -2364,6 +2364,33 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * copied — the ancestry anchor FAST FORWARD checks against. */
   @volatile private[sources] var branchMeta: Option[(String, Int)] = None
 
+  /** BRANCH tables: the declared ref age (`CREATE BRANCH b RETAIN h
+    * HOURS`), re-read from `_branch.json` at load. Backs the r19
+    * resolve-time expiry refusal — see [[requireBranchNotExpired]]. */
+  @volatile private[sources] var refAgeHoursDeclared: Option[Double] = None
+
+  /** Resolve-time branch expiry (r19 — closes the tag/branch
+    * asymmetry): an aged-out branch refuses the moment it is addressed
+    * (as expired tags always have), instead of serving stale reads
+    * until main's next sweep destroys the chain. A branch ages from
+    * its LAST commit (an actively-written branch never expires), so
+    * once this fires no write can revive it — the sweep's census is
+    * the same arithmetic. The sweep still reclaims; this only closes
+    * the serve-until-swept window. */
+  private[sources] def requireBranchNotExpired(): GraftTable = {
+    refAgeHoursDeclared.foreach { h =>
+      val last = history.last.tsMicros
+      val expiry = last + (h * 3600d * 1e6).toLong
+      if (GraftClock.nowMicros() > expiry)
+        throw new UnsupportedOperationException(
+          s"$tableName: this branch EXPIRED at epoch-micros $expiry " +
+            s"(RETAIN $h HOURS after its last commit at $last); the " +
+            "next main-chain sweep reclaims it — re-fork from main, " +
+            "or DROP BRANCH now")
+    }
+    this
+  }
+
   /** Declarative per-chain snapshot retention (r18 —
     * `CREATE BRANCH b RETAIN n SNAPSHOTS`, persisted in the branch's
     * `_branch.json`): overrides the engine-wide
@@ -4310,7 +4337,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // NULL where undeclared
       StructField("retain_snapshots", IntegerType, nullable = true),
       StructField("ref_age_hours", DoubleType, nullable = true),
-      StructField("retain_snapshot_hours", DoubleType, nullable = true)))
+      StructField("retain_snapshot_hours", DoubleType, nullable = true),
+      // r19: an aged-out ref that no sweep has reclaimed yet shows its
+      // state here (reads of it already refuse at resolve)
+      StructField("expired",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
     val rows: Array[InternalRow] = durable match {
       case None => Array.empty
       case Some(d) =>
@@ -4320,11 +4351,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (vs.isEmpty) None
           else try {
             val (fork, retain, age, retainHrs) = blog.readBranchProps()
+            val lastTs = blog.entryTs(vs.last)
+            val expired = age.exists(h => GraftClock.nowMicros() >
+              lastTs + (h * 3600d * 1e6).toLong)
             Some(new GenericInternalRow(Array[Any](
               utf8(b), utf8("branch"), fork, vs.last,
-              blog.entryTs(vs.last), retain.map(Int.box).orNull,
+              lastTs, retain.map(Int.box).orNull,
               age.map(Double.box).orNull,
-              retainHrs.map(Double.box).orNull)): InternalRow)
+              retainHrs.map(Double.box).orNull, expired)): InternalRow)
           } catch {
             // a crashed DROP's remnant chain: introspection skips it
             // (the loader records the refusal; reads of it fail loudly)
@@ -4339,7 +4373,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
             val age = d.log.tagParams(t).get("refAgeHours").map(_.toDouble)
             Some(new GenericInternalRow(Array[Any](
               utf8(t), utf8("tag"), v, v, ts, null,
-              age.map(Double.box).orNull, null)): InternalRow)
+              age.map(Double.box).orNull, null,
+              tagExpired(d, t))): InternalRow)
           } catch { case scala.util.control.NonFatal(_) => None }
         }
         (branchRows ++ tagRows).toArray

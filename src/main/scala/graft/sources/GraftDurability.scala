@@ -1815,6 +1815,7 @@ private[sources] object GraftDurableLoader {
     // that follows (its trim window), not just later commits
     branchProps.foreach { p =>
       t.retainSnapshotsOverride = p._2
+      t.refAgeHoursDeclared = p._3
       t.retainHoursOverride = p._4
     }
     t.bootstrapDurable(d, decoded)

@@ -999,9 +999,21 @@ class GraftBranchSpec extends SparkSpec {
         "VACUUM brY.ns.t RETAIN 1 SNAPSHOTS").collect()
       assert(rows("brY.ns.`t@tmp`") === Seq((1L, "a"), (2L, "b"), (3L, "c")),
         "an active branch never expires out from under its writer")
-      // idle past the declared hour: main's next sweep destroys the
-      // chain and reclaims its unshared segments
+      // idle past the declared hour: the branch refuses AT RESOLVE
+      // (r19 — the tag/branch asymmetry is closed) BEFORE any sweep
+      // runs, naming its expiry instant; the refs table shows the
+      // expired-but-unswept state
       now += 2L * 3600 * 1000000
+      val eRead = intercept[Exception](
+        spark.table("brY.ns.`t@tmp`").collect())
+      assert(eRead.getMessage.contains("EXPIRED") &&
+        eRead.getMessage.contains("RETAIN 1.0 HOURS"), eRead.getMessage)
+      val refState = spark.table("brY.ns.`t$branches`")
+        .select("name", "expired").as[(String, Boolean)].collect().toSeq
+      assert(refState === Seq(("tmp", true)),
+        s"the refs table must show the expired state: $refState")
+      // main's next sweep then destroys the chain and reclaims its
+      // unshared segments — the refusal above never blocks the reclaim
       GraftMaintenance.sql(spark,
         "VACUUM brY.ns.t RETAIN 1 SNAPSHOTS").collect()
       intercept[Exception](spark.table("brY.ns.`t@tmp`").collect())
