@@ -879,6 +879,12 @@ case class GraftMaintenanceCommand(
   * runs), then hand the definition to the catalog's [[GraftCatalog]]
   * ViewCatalog surface. */
 private[sources] object GraftViewDdl {
+
+  /** The last CREATE/REPLACE VIEW's portability lint (r19), for
+    * diagnostics and the spec pin: Some((view, offending names)) when
+    * the body catalog-qualified a table, None when it was portable.
+    * The user-facing surface is the CREATE-time log warning. */
+  @volatile var lastPortabilityLint: Option[(String, Seq[String])] = None
   import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 
   def catalogOf(s: SparkSession, name: String): GraftCatalog =
@@ -987,6 +993,34 @@ private[sources] object GraftViewDdl {
     propsTxt.foreach(parseProps(_).foreach { case (k, v) =>
       props.put(k, v)
     })
+    // Portability lint (r19): a body that names a CATALOG explicitly
+    // bakes session configuration into a persisted definition —
+    // catalog names are per-session registrations, so the view breaks
+    // the moment a second process registers the same warehouse under
+    // another name (the multiprocess spec documents the hazard).
+    // Unqualified names are the portable form: they re-anchor to the
+    // CREATE-time catalog+namespace wherever the view is read. CREATE
+    // warns (log + a lint property the user can inspect or UNSET) and
+    // proceeds — the definition is legal, just less portable.
+    val catQualified = s.sessionState.sqlParser.parsePlan(body).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length >= 3 &&
+            (try cm.isCatalogRegistered(u.multipartIdentifier.head)
+             catch { case scala.util.control.NonFatal(_) => false }) =>
+        u.multipartIdentifier.mkString(".")
+    }.distinct
+    lastPortabilityLint =
+      if (catQualified.isEmpty) None
+      else Some((parts.mkString("."), catQualified))
+    if (catQualified.nonEmpty) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"CREATE VIEW ${parts.mkString(".")}: the body names " +
+          s"catalog-qualified table(s) ${catQualified.mkString(", ")} — " +
+          "catalog names are session configuration, so this view breaks " +
+          "where the catalog is registered under another name; prefer " +
+          "unqualified names (they re-anchor to the CREATE-time " +
+          "catalog and namespace wherever the view is read)")
+    }
     val info = new ViewInfo(ident, body, cm.currentCatalog.name,
       cm.currentNamespace, schema, qcols.toArray, aliases.toArray,
       Array.fill[String](aliases.length)(null), props)

@@ -263,4 +263,33 @@ class GraftViewSpec extends SparkSpec {
       "SELECT id FROM vs.ns.keep UNION ALL SELECT id FROM vs.ns.keep")
       .count() === 4L)
   }
+
+  test("portability lint (r19): CREATE VIEW warns when the body " +
+      "catalog-qualifies a table — catalog names are session config — " +
+      "and stays silent for the portable unqualified form") {
+    durableCatalog("vlint")
+    spark.sql("CREATE TABLE vlint.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vlint.ns.t VALUES (1,'a')")
+    // catalog-qualified body: the lint names the offending reference
+    GraftMaintenance.sql(spark,
+      "CREATE VIEW vlint.ns.hard AS SELECT id FROM vlint.ns.t").collect()
+    assert(GraftViewDdl.lastPortabilityLint ===
+      Some(("vlint.ns.hard", Seq("vlint.ns.t"))),
+      GraftViewDdl.lastPortabilityLint.toString)
+    // the view still works — the lint warns, never refuses
+    assert(spark.sql("SELECT id FROM vlint.ns.hard").as[Long]
+      .collect().toSeq === Seq(1L))
+    // portable form: body names resolve under the session's current
+    // catalog+namespace at CREATE and re-anchor at read — no lint
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    spark.sql("USE vlint.ns")
+    try {
+      GraftMaintenance.sql(spark,
+        "CREATE VIEW vlint.ns.portable AS SELECT id FROM t").collect()
+      assert(GraftViewDdl.lastPortabilityLint === None,
+        GraftViewDdl.lastPortabilityLint.toString)
+    } finally spark.sql(s"USE $prevCat")
+    assert(spark.sql("SELECT id FROM vlint.ns.portable").as[Long]
+      .collect().toSeq === Seq(1L))
+  }
 }
