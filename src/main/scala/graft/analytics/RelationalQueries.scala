@@ -2888,6 +2888,52 @@ object RelationalQueries {
         .orderBy("probe")
     },
 
+    // ----- ALTER BRANCH (round 19): replace a branch's declared
+    // retention post-create — fork under RETAIN 2 SNAPSHOTS (three
+    // appends trim the chain to 2), widen to 5, two more appends grow
+    // the retained history to 4; the refs relation carries the
+    // replaced declaration and the head state is untouched by any of
+    // it. All counts deterministic, restated literally off nation.
+    Q("s74_branch_alter_retention",
+      "S-branch,S-retention,S-introspect,DDL-alter,A1",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+        |SELECT 'declared' AS probe, CAST(5 AS BIGINT) AS n FROM n
+        |UNION ALL SELECT 'head_rows', c + 10 FROM n
+        |UNION ALL SELECT 'retained', CAST(4 AS BIGINT) FROM n
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s74").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gab_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod CREATE BRANCH b RETAIN 2 SNAPSHOTS")
+        .collect()
+      (1 to 3).foreach(i =>
+        nat.where(col("k") < 2).select(col("k") + i * 100, col("name"))
+          .toDF("k", "name").writeTo(s"$w.ns.`prod@b`").append())
+      graft.sources.GraftMaintenance.sql(s,
+        s"ALTER TABLE $w.ns.prod ALTER BRANCH b RETAIN 5 SNAPSHOTS")
+        .collect()
+      (4 to 5).foreach(i =>
+        nat.where(col("k") < 2).select(col("k") + i * 100, col("name"))
+          .toDF("k", "name").writeTo(s"$w.ns.`prod@b`").append())
+      import s.implicits._
+      Seq(
+        ("declared", s.table(s"$w.ns.`prod$$branches`")
+          .filter(col("name") === "b")
+          .select(col("retain_snapshots").cast("long"))
+          .as[Long].head()),
+        ("head_rows", s.table(s"$w.ns.`prod@b`").count()),
+        ("retained", s.table(s"$w.ns.`prod@b$$history`").count()))
+        .toDF("probe", "n").orderBy("probe")
+    },
+
     // ----- t$branches (round 17, Iceberg's `refs` metadata table):
     // one row per live ref — branches (fork + head versions) AND tags
     // (immutable pins: fork == head == the tagged version) — straight

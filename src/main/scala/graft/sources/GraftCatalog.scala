@@ -2386,6 +2386,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           s"$tableName: this branch EXPIRED at epoch-micros $expiry " +
             s"(RETAIN $h HOURS after its last commit at $last); the " +
             "next main-chain sweep reclaims it — re-fork from main, " +
+            "rescue it (ALTER TABLE t ALTER BRANCH b RETAIN n HOURS), " +
             "or DROP BRANCH now")
     }
     this
@@ -3237,6 +3238,47 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new IllegalArgumentException(
         s"$tableName: branch '$branch' already exists")
     GraftDurableLoader.loadTable(d.log.dir, d.log.store, Some(branch))
+  }
+
+  /** `ALTER TABLE t ALTER BRANCH b RETAIN ...` (r19): replace THIS
+    * branch chain's declared retention wholesale — the statement's
+    * clauses ARE the new declaration, so omitting every clause clears
+    * the properties back to the engine defaults (Iceberg's replace-ref
+    * semantics). Runs under the branch's own lease; the fork identity
+    * is untouched. Works on an EXPIRED-but-unswept branch by design —
+    * extending the age is the rescue the expiry refusal names (the
+    * maintenance path resolves the chain without the read-surface
+    * expiry gate). A FOREIGN process's live handle keeps the old
+    * declaration until it re-opens or refolds — the documented
+    * stale-handle contract, and retention only ever trims history, so
+    * a stale window is conservative-or-tighter, never unsafe. */
+  private[sources] def alterBranchRetention(
+      retainSnapshots: Option[Int],
+      refAgeHours: Option[Double],
+      retainHoursSnapshots: Option[Double]): Unit = mutate {
+    val d = durable.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: not a durable table"))
+    if (d.log.branch.isEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableName: ALTER BRANCH declares a BRANCH chain's " +
+          "retention — main chains keep the engine-wide window")
+    retainSnapshots.filter(_ < 1).foreach(n =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $n SNAPSHOTS — must keep at least 1"))
+    refAgeHours.filter(_ <= 0).foreach(h =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $h HOURS — the ref age must be positive"))
+    retainHoursSnapshots.filter(_ <= 0).foreach(h =>
+      throw new IllegalArgumentException(
+        s"$tableName: RETAIN $h HOURS SNAPSHOTS — the snapshot " +
+          "window must be positive"))
+    val fork = branchMeta.map(_._2)
+      .getOrElse(d.log.readBranchProps()._1)
+    d.log.replaceBranchMeta(fork, retainSnapshots, refAgeHours,
+      retainHoursSnapshots)
+    retainSnapshotsOverride = retainSnapshots
+    refAgeHoursDeclared = refAgeHours
+    retainHoursOverride = retainHoursSnapshots
   }
 
   /** Lazily load a branch chain that exists ON DISK but not in this
@@ -7001,6 +7043,34 @@ object GraftMaintenance {
     storeOf(namespace, table, scope)
       .branchTables.put((namespace, table, branch), bt)
     bt.branchMeta.map(_._2).getOrElse(0)
+  }
+
+  /** `ALTER TABLE t ALTER BRANCH b [RETAIN ...]` (r19): replace the
+    * branch's declared retention wholesale (no clauses = clear back to
+    * engine defaults). Resolves the chain WITHOUT the read-surface
+    * expiry gate — extending an expired-but-unswept branch's age is
+    * this statement's rescue use. Returns the number of properties
+    * now declared. */
+  def alterBranch(namespace: Seq[String], table: String, branch: String,
+      scope: Option[GraftStoreState] = None,
+      retainSnapshots: Option[Int] = None,
+      refAgeHours: Option[Double] = None,
+      retainHoursSnapshots: Option[Double] = None): Int = {
+    val bt =
+      try resolve(namespace, s"$table@$branch", scope)
+      catch {
+        case e: NoSuchTableException =>
+          // a branch another process created: load it from disk like
+          // the read path does, then alter the registered chain
+          resolve(namespace, table, scope).loadForeignBranch(branch)
+            .map { t =>
+              storeOf(namespace, table, scope).branchTables
+                .putIfAbsent((namespace, table, branch), t).getOrElse(t)
+            }.getOrElse(throw e)
+      }
+    bt.alterBranchRetention(retainSnapshots, refAgeHours,
+      retainHoursSnapshots)
+    retainSnapshots.size + refAgeHours.size + retainHoursSnapshots.size
   }
 
   /** `ALTER TABLE t DROP BRANCH b`: remove the branch chain; its

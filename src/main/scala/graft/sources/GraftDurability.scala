@@ -405,6 +405,28 @@ private[sources] final class GraftTableLog(val dir: Path,
     ()
   }
 
+  /** `ALTER BRANCH b RETAIN ...` (r19): replace the branch's declared
+    * retention wholesale, preserving its fork identity. Atomic move —
+    * unlike the CREATE-time write, a live chain (and any sibling's
+    * leaseless expiry scan) may be mid-read of the old file. */
+  def replaceBranchMeta(forkVersion: Int,
+      retainSnapshots: Option[Int],
+      refAgeHours: Option[Double],
+      retainHoursSnapshots: Option[Double]): Unit = {
+    val extra =
+      retainSnapshots.map(n => s""","retainSnapshots":$n""").getOrElse("") +
+        refAgeHours.map(h => s""","refAgeHours":$h""").getOrElse("") +
+        retainHoursSnapshots
+          .map(h => s""","retainHoursSnapshots":$h""").getOrElse("")
+    val tmp = logDir.resolve("_branch.json.tmp")
+    Files.write(tmp,
+      s"""{"forkVersion":$forkVersion$extra}""".getBytes(UTF_8))
+    Files.move(tmp, branchMetaPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** The branch's full declarative identity: (fork version, declared
     * snapshot retention COUNT, declared ref age in hours, declared
     * snapshot retention TIME window in hours — r19, Iceberg's

@@ -102,6 +102,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+CREATE\s+BRANCH\s+([\w.-]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val DropBranch =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  // r19: replace a branch's declared retention wholesale (no clauses =
+  // clear); clause order mirrors CREATE BRANCH
+  private val AlterBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+ALTER\s+BRANCH\s+([\w.-]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s+SNAPSHOTS)?(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+([\w.@`]+?)\s+FAST\s+FORWARD\s+(?:main\s+)?TO\s+([\w.-]+)\s*;?\s*""".r
   private val CherryPick =
@@ -641,6 +645,16 @@ object GraftSqlParser {
             val (ns, t, scope) = resolve(parts, session)
             GraftMaintenance.dropBranch(ns, t, b, scope)
             Seq(Row(1))
+          })
+        }
+      case AlterBranch(ident, b, retain, retainHrs, age) =>
+        split(ident).filter(claims(_, session)).map { parts =>
+          GraftMaintenanceCommand(out("properties_declared"), _ => {
+            val (ns, t, scope) = resolve(parts, session)
+            Seq(Row(GraftMaintenance.alterBranch(ns, t, b, scope,
+              Option(retain).map(_.toInt),
+              Option(age).map(_.toDouble),
+              Option(retainHrs).map(_.toDouble))))
           })
         }
       case FastForward(ident, b) =>

@@ -920,6 +920,77 @@ class GraftBranchSpec extends SparkSpec {
     } finally GraftClock.nowMicros = savedClock
   }
 
+  test("ALTER BRANCH (r19): the declared retention replaces wholesale " +
+      "— widen/narrow/clear — a restart re-reads it, and extending an " +
+      "EXPIRED branch's age is the rescue the refusal names") {
+    val savedClock = GraftClock.nowMicros
+    try {
+      var now = 1_710_000_000_000_000L
+      GraftClock.nowMicros = () => now
+      val wh = durableCatalog("brAl")
+      spark.sql("CREATE TABLE brAl.ns.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO brAl.ns.t VALUES (1,'a')")
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t CREATE BRANCH b RETAIN 2 SNAPSHOTS")
+        .collect()
+      val st = spark.sessionState.catalogManager.catalog("brAl")
+        .asInstanceOf[GraftCatalog].store
+      val bt = st.branchTables((Seq("ns"), "t", "b"))
+      (2 to 5).foreach(i =>
+        spark.sql(s"INSERT INTO brAl.ns.`t@b` VALUES ($i,'b$i')"))
+      assert(bt.commitHistory.length === 2, "the fork-time window binds")
+      // WIDEN post-create: later commits retain under the new window
+      assert(GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t ALTER BRANCH b RETAIN 4 SNAPSHOTS")
+        .head().getInt(0) === 1)
+      (6 to 8).foreach(i =>
+        spark.sql(s"INSERT INTO brAl.ns.`t@b` VALUES ($i,'b$i')"))
+      assert(bt.commitHistory.length === 4,
+        s"the widened window governs: ${bt.commitHistory}")
+      // the refs table reflects the replaced declaration
+      val refs = spark.table("brAl.ns.`t$branches`")
+        .select("retain_snapshots", "ref_age_hours",
+          "retain_snapshot_hours")
+        .as[(Option[Int], Option[Double], Option[Double])]
+        .collect().toSeq
+      assert(refs === Seq((Some(4), None, None)), refs.toString)
+      // CLEAR (no clauses): back to the engine-wide window
+      assert(GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t ALTER BRANCH b").head().getInt(0) === 0)
+      (9 to 11).foreach(i =>
+        spark.sql(s"INSERT INTO brAl.ns.`t@b` VALUES ($i,'b$i')"))
+      assert(bt.commitHistory.length === 7,
+        s"cleared: the engine default (128) governs: ${bt.commitHistory}")
+      // restart re-reads the replaced declaration from _branch.json
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t ALTER BRANCH b RETAIN 3 SNAPSHOTS")
+        .collect()
+      reopen("brAl2", wh)
+      val rt = spark.sessionState.catalogManager.catalog("brAl2")
+        .asInstanceOf[GraftCatalog].store
+        .branchTables((Seq("ns"), "t", "b"))
+      assert(rt.commitHistory.length === 3,
+        s"the replayed chain trims under the replaced window: " +
+          s"${rt.commitHistory}")
+      // RESCUE: an expired-but-unswept branch refuses reads, then
+      // ALTER BRANCH extends the age and the same read serves again
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t CREATE BRANCH tmp RETAIN 1 HOURS")
+        .collect()
+      spark.sql("INSERT INTO brAl.ns.`t@tmp` VALUES (99,'z')")
+      now += 2L * 3600 * 1000000
+      val e = intercept[Exception](
+        spark.table("brAl.ns.`t@tmp`").collect())
+      assert(e.getMessage.contains("EXPIRED") &&
+        e.getMessage.contains("ALTER BRANCH"), e.getMessage)
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t ALTER BRANCH tmp RETAIN 100 HOURS")
+        .collect()
+      assert(rows("brAl.ns.`t@tmp`") === Seq((1L, "a"), (99L, "z")),
+        "the rescued branch serves again")
+    } finally GraftClock.nowMicros = savedClock
+  }
+
   test("tag expiry (RETAIN h HOURS): a pre-expiry read serves, a " +
       "post-expiry read refuses, and the next sweep drops the tag and " +
       "reclaims its pinned segments") {
