@@ -2934,6 +2934,48 @@ object RelationalQueries {
         .toDF("probe", "n").orderBy("probe")
     },
 
+    // ----- t$refs_log (round 19): the ref-lifecycle AUDIT relation —
+    // who created/dropped/altered/merged/expired which ref, when.
+    // Unlike t$branches (refs alive NOW) it keeps history: the dropped
+    // tag and branch below still have their rows. The event sequence
+    // is fully deterministic, so the oracle states it literally.
+    Q("s75_refs_log", "S-branch,S-tag,S-introspect,S-audit,DDL-alter",
+      """SELECT * FROM (VALUES
+        |  ('ALTER_BRANCH', 'b1', 'branch', 3),
+        |  ('CREATE_BRANCH', 'b1', 'branch', 1),
+        |  ('CREATE_BRANCH', 'b2', 'branch', 1),
+        |  ('CREATE_TAG', 'v1', 'tag', 1),
+        |  ('DROP_BRANCH', 'b2', 'branch', -1),
+        |  ('DROP_TAG', 'v1', 'tag', -1),
+        |  ('MERGE_BRANCH', 'b2', 'branch', 3))
+        |AS t(action, ref, kind, version)
+        |ORDER BY action, ref""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s75").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"grl_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      def ddl(q: String) =
+        graft.sources.GraftMaintenance.sql(s, q).collect()
+      ddl(s"ALTER TABLE $w.ns.prod CREATE TAG v1")
+      ddl(s"ALTER TABLE $w.ns.prod CREATE BRANCH b1 RETAIN 2 SNAPSHOTS")
+      nat.where(col("k") < 2).select(col("k") + 100, col("name"))
+        .toDF("k", "name").writeTo(s"$w.ns.`prod@b1`").append()
+      ddl(s"ALTER TABLE $w.ns.prod CREATE BRANCH b2")
+      ddl(s"ALTER TABLE $w.ns.`prod@b1` MERGE BRANCH b2")
+      ddl(s"ALTER TABLE $w.ns.prod ALTER BRANCH b1 RETAIN 5 SNAPSHOTS")
+      ddl(s"ALTER TABLE $w.ns.prod DROP TAG v1")
+      ddl(s"ALTER TABLE $w.ns.prod DROP BRANCH b2")
+      s.table(s"$w.ns.`prod$$refs_log`")
+        .select("action", "ref", "kind", "version")
+        .orderBy("action", "ref")
+    },
+
     // ----- t$branches (round 17, Iceberg's `refs` metadata table):
     // one row per live ref — branches (fork + head versions) AND tags
     // (immutable pins: fork == head == the tagged version) — straight

@@ -257,6 +257,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         case "changes" => base.changesMetaTable
         case "detail" => base.detailMetaTable
         case "branches" => base.branchesMetaTable
+        case "refs_log" => base.refsLogMetaTable
         case other => throw new NoSuchTableException(ident)
       }
     }
@@ -2369,6 +2370,30 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * resolve-time expiry refusal — see [[requireBranchNotExpired]]. */
   @volatile private[sources] var refAgeHoursDeclared: Option[Double] = None
 
+  /** Append one ref-lifecycle audit event (r19 — the `t$refs_log`
+    * relation): action ∈ CREATE/DROP/ALTER/EXPIRE × BRANCH/TAG plus
+    * FAST_FORWARD / CHERRY_PICK / MERGE_BRANCH. Durable tables only
+    * (refs are); `actor` records pid@host — the closest thing a
+    * library engine has to "who". Never on a data path. */
+  private[sources] def recordRefEvent(action: String, ref: String,
+      kind: String, version: Int, details: String = ""): Unit =
+    durable.foreach { d =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val actor = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName
+      val ts = GraftTableLog.nextRefEventMicros()
+      d.log.appendRefEvent(JsonMethods.compact(JsonMethods.render(
+        JObject(List(
+          "ts" -> JLong(ts),
+          "action" -> JString(action),
+          "ref" -> JString(ref),
+          "kind" -> JString(kind),
+          "version" -> JInt(version),
+          "details" -> JString(details),
+          "actor" -> JString(actor))))), ts)
+    }
+
   /** Resolve-time branch expiry (r19 — closes the tag/branch
     * asymmetry): an aged-out branch refuses the moment it is addressed
     * (as expired tags always have), instead of serving stale reads
@@ -3164,6 +3189,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     snap(GraftTable.MergeBranchOp, added = added, removed = removed,
       params = Map("source_branch" -> branch,
         "source_version" -> bt.commitHistory.last._1.toString))
+    recordRefEvent("MERGE_BRANCH", branch, "branch",
+      history.last.version,
+      "target=" + d.log.branch.getOrElse("main"))
     history.last.version
   }
 
@@ -3237,6 +3265,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (!blog.writeEntry(v, json))
       throw new IllegalArgumentException(
         s"$tableName: branch '$branch' already exists")
+    recordRefEvent("CREATE_BRANCH", branch, "branch", v,
+      (retainSnapshots.map(n => s"retainSnapshots=$n").toSeq ++
+        refAgeHours.map(h => s"refAgeHours=$h") ++
+        retainHoursSnapshots.map(h => s"retainHoursSnapshots=$h"))
+        .mkString(","))
     GraftDurableLoader.loadTable(d.log.dir, d.log.store, Some(branch))
   }
 
@@ -3279,6 +3312,12 @@ class GraftTable(initialName: String, initialSchema: StructType,
     retainSnapshotsOverride = retainSnapshots
     refAgeHoursDeclared = refAgeHours
     retainHoursOverride = retainHoursSnapshots
+    recordRefEvent("ALTER_BRANCH", d.log.branch.get, "branch",
+      history.last.version,
+      (retainSnapshots.map(n => s"retainSnapshots=$n").toSeq ++
+        refAgeHours.map(h => s"refAgeHours=$h") ++
+        retainHoursSnapshots.map(h => s"retainHoursSnapshots=$h"))
+        .mkString(","))
   }
 
   /** Lazily load a branch chain that exists ON DISK but not in this
@@ -3405,6 +3444,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       .find(r => !java.nio.file.Files.exists(d.log.dir.resolve(r)))
       .foreach(r => failLoudly(
         s"the tagged snapshot's segment '$r' is already reclaimed"))
+    recordRefEvent("CREATE_TAG", tag, "tag", e0.version,
+      refAgeHours.map(h => s"refAgeHours=$h").getOrElse(""))
     e0.version
     }
   }
@@ -3430,6 +3471,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     d.tagRefCache.remove(tag)
     d.tagSnapshotCache.remove(tag)
     d.tagExpiryCache.remove(tag)
+    recordRefEvent("DROP_TAG", tag, "tag", -1)
     ()
   }
 
@@ -3482,6 +3524,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         d.tagRefCache.remove(n)
         d.tagSnapshotCache.remove(n)
         d.tagExpiryCache.remove(n)
+        recordRefEvent("EXPIRE_TAG", n, "tag", -1)
       }
     }
     if (d.log.branch.isEmpty) {
@@ -3497,6 +3540,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (age.exists(h => vs.nonEmpty && now >
               blog.entryTs(vs.last) + (h * 3600d * 1e6).toLong)) {
             blog.destroyBranch()
+            recordRefEvent("EXPIRE_BRANCH", b, "branch", -1)
             d.siblingRefCache.remove(b)
             GraftTableStore.allStores.foreach(_.branchTables
               .filterInPlace { case (_, bt) =>
@@ -3591,6 +3635,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     snap("CHERRY-PICK", added = adopt,
       params = Map("source_branch" -> branch,
         "source_version" -> v.toString))
+    recordRefEvent("CHERRY_PICK", branch, "branch",
+      history.last.version, s"source_version=$v")
     history.last.version
   }
 
@@ -3614,6 +3660,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new IllegalArgumentException(
         s"$tableName: no such branch '$branch'")
     blog.destroyBranch()
+    recordRefEvent("DROP_BRANCH", branch, "branch", -1)
   }
 
   /** `ALTER TABLE t FAST FORWARD main TO b`: adopt branch `b`'s commit
@@ -3711,6 +3758,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // CDC records, DVs, schema and epoch ledger all fold exactly as
       // a restart would fold them
       syncFromLog(d)
+      recordRefEvent("FAST_FORWARD", branch, "branch",
+        history.last.version, s"commits_adopted=${suffix.length}")
       suffix.length
     }
   }
@@ -4422,6 +4471,51 @@ class GraftTable(initialName: String, initialSchema: StructType,
         (branchRows ++ tagRows).toArray
     }
     new GraftSnapshotTable(s"$tableName$$branches", schema,
+      if (rows.isEmpty) Vector.empty
+      else Vector(GraftDataFile.build(rows, schema, None)))
+  }
+
+  /** `SELECT * FROM t$refs_log` (r19): the ref-lifecycle AUDIT — one
+    * row per CREATE/DROP/ALTER/EXPIRE/FAST FORWARD/CHERRY-PICK/MERGE
+    * of a branch or tag, oldest first, decoded off the table-level
+    * `refevents/` census (any chain serves the same relation —
+    * `t@b$refs_log` ≡ `t$refs_log`). Unlike `t$branches` (the refs
+    * ALIVE now) this answers "who did what to which ref, when" —
+    * including refs that no longer exist. Empty on in-JVM tables. */
+  private[sources] def refsLogMetaTable: GraftSnapshotTable = {
+    import org.apache.spark.sql.types.IntegerType
+    val schema = StructType(Seq(
+      StructField("ts_micros", LongType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("ref", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("details", StringType, nullable = false),
+      StructField("actor", StringType, nullable = false)))
+    val rows: Array[InternalRow] = durable match {
+      case None => Array.empty
+      case Some(d) =>
+        d.log.listRefEvents().flatMap { json =>
+          try {
+            val o = org.json4s.jackson.JsonMethods.parse(json)
+              .asInstanceOf[org.json4s.JObject].obj.toMap
+            def str(k: String) = o(k) match {
+              case org.json4s.JString(v) => v
+              case other => other.toString
+            }
+            def num(k: String): Long = o(k) match {
+              case org.json4s.JInt(b) => b.toLong
+              case org.json4s.JLong(l) => l
+              case other => other.toString.toLong
+            }
+            Some(new GenericInternalRow(Array[Any](
+              num("ts"), utf8(str("action")), utf8(str("ref")),
+              utf8(str("kind")), num("version").toInt,
+              utf8(str("details")), utf8(str("actor")))): InternalRow)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toArray
+    }
+    new GraftSnapshotTable(s"$tableName$$refs_log", schema,
       if (rows.isEmpty) Vector.empty
       else Vector(GraftDataFile.build(rows, schema, None)))
   }

@@ -474,6 +474,42 @@ private[sources] final class GraftTableLog(val dir: Path,
     * version it named and decodes without folding any chain. Tags are
     * TABLE-level (shared across chains — a tag may pin a branch's
     * state); creation is a CAS (duplicate names refuse). */
+  /** Ref-lifecycle AUDIT events (r19 — `t$refs_log`): one immutable
+    * JSON per CREATE/DROP/ALTER/EXPIRE/FAST FORWARD/CHERRY-PICK/MERGE
+    * of a branch or tag, under the TABLE-level `refevents/` dir (one
+    * audit domain for the whole tree — any chain serves the same
+    * relation). Filenames lead with zero-padded epoch-micros so a
+    * directory listing IS the timeline; a random suffix de-collides
+    * same-instant writers across processes with no lock. DDL-frequency
+    * writes, kilobyte-scale census — never on a data path. */
+  def refEventsDir: Path = dir.resolve("refevents")
+
+  def appendRefEvent(json: String, ts: Long): Unit = {
+    Files.createDirectories(refEventsDir)
+    val name = f"$ts%020d-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".json"
+    store.putIfAbsent(refEventsDir.resolve(name), json.getBytes(UTF_8))
+    ()
+  }
+
+  /** Every recorded ref event, oldest first (filename order = time
+    * order; unreadable files are skipped — a torn concurrent write
+    * must not poison the audit read). */
+  def listRefEvents(): Seq[String] = {
+    if (!Files.isDirectory(refEventsDir)) return Nil
+    val s = Files.list(refEventsDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .flatMap { p =>
+          try Some(new String(Files.readAllBytes(p), UTF_8))
+          catch { case _: java.io.IOException => None }
+        }
+    } finally s.close()
+  }
+
   def tagsDir: Path = dir.resolve("tags")
   def tagPath(name: String): Path = tagsDir.resolve(s"$name.json")
 
@@ -910,6 +946,13 @@ private[sources] final class GraftTableLog(val dir: Path,
 }
 
 private[sources] object GraftTableLog {
+  /** Ref-event timestamp source: strictly increasing per JVM (the
+    * commit-timestamp contract), so same-instant events — and events
+    * under a frozen test clock — still order deterministically. */
+  val refEventClock = new java.util.concurrent.atomic.AtomicLong(0)
+  def nextRefEventMicros(): Long =
+    refEventClock.updateAndGet(p => math.max(p + 1, GraftClock.nowMicros()))
+
   /** A `_sweep-*.intent` older than this is a crashed sweep's remnant:
     * CREATE TAG's fence ignores it (a live RETAIN-0 sweep holds its
     * marker for the data-dir pass only — seconds, not minutes). A sweep

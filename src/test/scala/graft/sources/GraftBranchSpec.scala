@@ -1096,6 +1096,52 @@ class GraftBranchSpec extends SparkSpec {
     } finally GraftClock.nowMicros = savedClock
   }
 
+  test("t$refs_log (r19): the ref-lifecycle audit keeps rows for " +
+      "dropped and EXPIRED refs, serves the same relation from a " +
+      "branch address, and survives restart") {
+    val savedClock = GraftClock.nowMicros
+    try {
+      var now = 1_720_000_000_000_000L
+      GraftClock.nowMicros = () => now
+      val wh = durableCatalog("brLog")
+      spark.sql("CREATE TABLE brLog.ns.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO brLog.ns.t VALUES (1,'a')")
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brLog.ns.t CREATE BRANCH keep").collect()
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brLog.ns.t CREATE BRANCH tmp RETAIN 1 HOURS")
+        .collect()
+      GraftMaintenance.sql(spark,
+        "ALTER TABLE brLog.ns.t CREATE TAG shortlived " +
+          "RETAIN 0.5 HOURS").collect()
+      def events(t: String): Seq[(String, String)] =
+        spark.table(t).orderBy("ts_micros")
+          .select("action", "ref").as[(String, String)].collect().toSeq
+      assert(events("brLog.ns.`t$refs_log`") === Seq(
+        ("CREATE_BRANCH", "keep"), ("CREATE_BRANCH", "tmp"),
+        ("CREATE_TAG", "shortlived")))
+      // the branch address serves the SAME audit domain
+      assert(events("brLog.ns.`t@keep$refs_log`") ===
+        events("brLog.ns.`t$refs_log`"))
+      // age both short refs out; main's sweep records the expiries
+      now += 2L * 3600 * 1000000
+      GraftMaintenance.sql(spark,
+        "VACUUM brLog.ns.t RETAIN 1 SNAPSHOTS").collect()
+      val after = events("brLog.ns.`t$refs_log`")
+      assert(after.count(_._1 == "EXPIRE_TAG") === 1 &&
+        after.contains(("EXPIRE_TAG", "shortlived")) &&
+        after.contains(("EXPIRE_BRANCH", "tmp")), after.toString)
+      // restart: the audit is disk-backed, a fresh store serves it
+      reopen("brLog2", wh)
+      assert(events("brLog2.ns.`t$refs_log`") === after)
+      // the details column carries the declared properties at CREATE
+      val det = spark.table("brLog.ns.`t$refs_log`")
+        .filter($"ref" === "tmp" && $"action" === "CREATE_BRANCH")
+        .select("details").as[String].head()
+      assert(det.contains("refAgeHours=1"), det)
+    } finally GraftClock.nowMicros = savedClock
+  }
+
   test("guard rails: branches need a durable table; '@' is reserved in " +
       "created names; branch-of-branch refuses; FF of a missing branch " +
       "refuses") {
