@@ -1026,6 +1026,16 @@ private[sources] object GraftViewDdl {
     lastPortabilityLint =
       if (catQualified.isEmpty) None
       else Some((parts.mkString("."), catQualified))
+    if (catQualified.nonEmpty &&
+        s.conf.getOption("spark.graft.views.portability")
+          .contains("strict"))
+      throw new IllegalArgumentException(
+        s"CREATE VIEW ${parts.mkString(".")}: the body names " +
+          s"catalog-qualified table(s) ${catQualified.mkString(", ")} " +
+          "and spark.graft.views.portability=strict refuses them — " +
+          "catalog names are session configuration; USE the catalog " +
+          "and reference tables unqualified (they re-anchor to the " +
+          "CREATE-time catalog and namespace wherever the view is read)")
     if (catQualified.nonEmpty) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"CREATE VIEW ${parts.mkString(".")}: the body names " +

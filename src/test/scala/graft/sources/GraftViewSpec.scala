@@ -291,5 +291,17 @@ class GraftViewSpec extends SparkSpec {
     } finally spark.sql(s"USE $prevCat")
     assert(spark.sql("SELECT id FROM vlint.ns.portable").as[Long]
       .collect().toSeq === Seq(1L))
+    // strict mode: the same statement REFUSES instead of warning
+    spark.conf.set("spark.graft.views.portability", "strict")
+    try {
+      val e = intercept[Exception](GraftMaintenance.sql(spark,
+        "CREATE VIEW vlint.ns.refused AS SELECT id FROM vlint.ns.t")
+        .collect())
+      assert(e.getMessage.contains("strict") &&
+        e.getMessage.contains("vlint.ns.t"), e.getMessage)
+      assert(!spark.sessionState.catalogManager.catalog("vlint")
+        .asInstanceOf[GraftCatalog].store.lookupView(Seq("ns"), "refused")
+        .isDefined, "the refused view must not half-create")
+    } finally spark.conf.unset("spark.graft.views.portability")
   }
 }
