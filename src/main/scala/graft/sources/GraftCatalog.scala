@@ -3254,9 +3254,26 @@ class GraftTable(initialName: String, initialSchema: StructType,
     blog.writeBranchMeta(v, retainSnapshots, refAgeHours,
       retainHoursSnapshots)
     val ts = math.max(GraftClock.nowMicros(), history.last.tsMicros + 1)
+    // CLUSTER BY tables (r19): record MAIN's clustering anchor at the
+    // fork, so the branch's first defaulted OPTIMIZE re-lays only
+    // post-fork files instead of the whole table — at 100 TB the
+    // difference between a routine pass and a full rewrite. The
+    // branch-side fallback reads the recorded main entry leaselessly
+    // (immutable once CAS'd); if retention trims it first, the branch
+    // conservatively falls back to the full re-layout.
+    val clusterAnchor = {
+      val cols = GraftTable.clusterByCols(tableSchema)
+      if (cols.isEmpty) Map.empty[String, String]
+      else {
+        val fresh = incrementalClusterScope(cols)
+        if (files.exists(fresh)) Map.empty[String, String]
+        else Map("clusterForkCovered" -> "true",
+          "clusterForkKeys" -> cols.mkString(","))
+      }
+    }
     val e = CommitEntry(v, tableSchema, files, ts,
       GraftTable.CreateBranchOp, Vector.empty, Vector.empty, dvs,
-      Map("forkVersion" -> v.toString))
+      Map("forkVersion" -> v.toString) ++ clusterAnchor)
     // the creation entry embeds its layout exactly when a fold could
     // not thread it from table.json (the checkpointLayout invariant)
     val json = GraftLogCodec.encodeEntry(e, partitionCols, bucketSpec,
@@ -5635,7 +5652,28 @@ class GraftTable(initialName: String, initialSchema: StructType,
       e.operation == "ZORDER" &&
         e.params.get("zorder_by").contains(keys) &&
         !e.params.contains("where")) match {
-      case None => _ => true
+      case None =>
+        // BRANCH chains with no clustering pass of their own (r19):
+        // when MAIN's coverage was COMPLETE at the fork (forkBranch
+        // checked main's own scope and stamped the creation entry),
+        // the fork census is already laid out — the branch's first
+        // defaulted OPTIMIZE re-lays only post-fork files instead of
+        // the whole table (at 100 TB, a routine pass instead of a
+        // full rewrite). An unstamped fork (pre-r19 branch, or main
+        // had pending files) degrades to the full re-layout —
+        // conservative and correct.
+        history.headOption.filter(e =>
+          e.operation == GraftTable.CreateBranchOp &&
+            e.params.get("clusterForkCovered").contains("true") &&
+            e.params.get("clusterForkKeys").contains(keys)) match {
+          case Some(creation) =>
+            val clustered = java.util.Collections.newSetFromMap(
+              new java.util.IdentityHashMap[
+                GraftDataFile, java.lang.Boolean]())
+            creation.files.foreach(clustered.add)
+            f => !clustered.contains(f)
+          case None => _ => true
+        }
       case Some(e) =>
         val clustered = java.util.Collections.newSetFromMap(
           new java.util.IdentityHashMap[GraftDataFile, java.lang.Boolean]())

@@ -245,4 +245,70 @@ class GraftClusterBySpec extends SparkSpec {
     assert(hist.contains("zorder_by=y") &&
       !hist.contains("clustering="), hist)
   }
+
+  test("branch-aware incremental anchor (r19): a branch forked from a " +
+      "fully-clustered main re-lays only POST-FORK files on its first " +
+      "defaulted OPTIMIZE; a fork over PENDING files conservatively " +
+      "re-lays everything") {
+    durableCatalog("cbb")
+    spark.sql("CREATE TABLE cbb.ns.t (x BIGINT, y BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cluster.by'='x,y')")
+    writeGrid("cbb.ns.t")
+    GraftMaintenance.sql(spark, "OPTIMIZE cbb.ns.t TARGET 128 ROWS")
+      .collect()
+    val mainT = graftTable("cbb", "t")
+    val forkSegs = mainT.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE cbb.ns.t CREATE BRANCH work").collect()
+    // fresh rows on the BRANCH only
+    (0 until 2).foreach(s =>
+      (0 until 64).map(i => ((i % 8).toLong, (i / 8).toLong,
+        (20000 + s * 100 + i).toLong))
+        .toDF("x", "y", "v").coalesce(1)
+        .writeTo("cbb.ns.`t@work`").append())
+    val bt = spark.sessionState.catalogManager.catalog("cbb")
+      .asInstanceOf[GraftCatalog].store
+      .branchTables((Seq("ns"), "t", "work"))
+    // the branch's first defaulted pass: fork segments carry
+    // UNTOUCHED (main's coverage was complete at the fork), only the
+    // branch's two appends re-lay
+    val r = GraftMaintenance.sql(spark,
+      "OPTIMIZE cbb.ns.`t@work` TARGET 128 ROWS").head()
+    val after = bt.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet
+    assert(forkSegs.subsetOf(after),
+      s"fork segments must carry by reference: " +
+        s"missing=${forkSegs -- after}")
+    // OptimizeResult counts the whole table's files: 8-ish clustered
+    // fork segments carry + the 2 fresh appends compact to 1
+    assert(r.getInt(0) - r.getInt(1) === 1,
+      s"the pass must compact only the branch's fresh files: $r")
+    assert((after -- forkSegs).size === 1,
+      s"exactly the two fresh appends re-lay, into one file: " +
+        s"${after -- forkSegs}")
+    assert(spark.table("cbb.ns.`t@work`").count() ===
+      (32 * 32 + 128).toLong)
+    // main is untouched by the branch's maintenance
+    assert(mainT.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet === forkSegs)
+    // conservative path: fork while main has PENDING unclustered
+    // files → the branch's first pass re-lays the whole table
+    (0 until 64).map(i => ((i % 8).toLong, (i / 8).toLong,
+      (30000 + i).toLong))
+      .toDF("x", "y", "v").coalesce(1).writeTo("cbb.ns.t").append()
+    GraftMaintenance.sql(spark,
+      "ALTER TABLE cbb.ns.t CREATE BRANCH pending").collect()
+    val pt = spark.sessionState.catalogManager.catalog("cbb")
+      .asInstanceOf[GraftCatalog].store
+      .branchTables((Seq("ns"), "t", "pending"))
+    val before = pt.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet
+    GraftMaintenance.sql(spark,
+      "OPTIMIZE cbb.ns.`t@pending` TARGET 128 ROWS").collect()
+    val afterP = pt.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet
+    assert((before intersect afterP).isEmpty,
+      "an uncovered fork must re-lay everything (conservative)")
+  }
 }
