@@ -3545,6 +3545,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
     }
     if (d.log.branch.isEmpty) {
+      // audit cap rides the same main-chain sweep head as ref expiry
+      d.log.trimRefEvents(GraftTable.refEventsRetention)
       val now = GraftClock.nowMicros()
       d.log.listBranches.foreach { b =>
         val blog = new GraftTableLog(d.log.dir, d.log.store, Some(b))
@@ -6754,6 +6756,12 @@ object GraftTable {
     * mirroring Delta's log retention. Floor of 2 (current + previous)
     * regardless of the setting. */
   @volatile var historyRetention: Int = 128
+
+  /** Ref-event AUDIT retention (r19 — `t$refs_log`): the newest N
+    * events kept; older ones trim at main-chain reclaims (the same
+    * head where ref expiry runs). Audit events are DDL-frequency, so
+    * the default gives years of headroom while bounding the dir. */
+  @volatile var refEventsRetention: Int = 10000
 
   /** How long the AUTOMATIC reclaim spares an unreferenced segment:
     * long enough for any in-flight write's tasks to reach their commit

@@ -492,6 +492,29 @@ private[sources] final class GraftTableLog(val dir: Path,
     ()
   }
 
+  /** Cap the audit dir at `keep` newest events (r19 — called at the
+    * head of MAIN-chain reclaims, the same place ref expiry runs):
+    * DDL-frequency growth is kilobyte-scale but unbounded without
+    * this. Returns the number of events trimmed. */
+  def trimRefEvents(keep: Int): Int = {
+    if (!Files.isDirectory(refEventsDir)) return 0
+    val s = Files.list(refEventsDir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).toSeq.sorted
+    } finally s.close()
+    val over = names.length - math.max(0, keep)
+    if (over <= 0) 0
+    else {
+      names.take(over).foreach { n =>
+        try Files.deleteIfExists(refEventsDir.resolve(n))
+        catch { case _: java.io.IOException => () }
+      }
+      over
+    }
+  }
+
   /** Every recorded ref event, oldest first (filename order = time
     * order; unreadable files are skipped — a torn concurrent write
     * must not poison the audit read). */

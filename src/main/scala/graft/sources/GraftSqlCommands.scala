@@ -123,6 +123,8 @@ object GraftSqlParser {
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+?)(?:\s*\(([\w\s,`]*)\))?(?:\s+TBLPROPERTIES\s*\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val AlterViewRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val AlterViewRenameRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+RENAME\s+TO\s+([\w.`]+?)\s*;?\s*""".r
   private val AlterViewSetPropsRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.`]+?)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val AlterViewUnsetPropsRe =
@@ -725,6 +727,36 @@ object GraftSqlParser {
       // over SQL (Delta/Iceberg view properties); SHOW CREATE VIEW —
       // the reproducible-DDL introspection. Ordered BEFORE the AS form
       // (which cannot match these shapes anyway — it requires AS).
+      // ALTER VIEW old RENAME TO new (r19): rides the ViewCatalog's
+      // rename — same-catalog only (a cross-catalog move would be a
+      // copy, not a rename); the new name may be bare or qualified by
+      // the SAME catalog+namespace. Ordered before the props forms
+      // (which cannot match — they require SET/UNSET).
+      case AlterViewRenameRe(ident, newIdent) =>
+        split(ident)
+          .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))
+          .map { parts =>
+            GraftMaintenanceCommand(out("renamed"), s => {
+              val np = split(newIdent).getOrElse(Seq(newIdent.trim
+                .stripPrefix("`").stripSuffix("`")))
+              val target =
+                if (np.length == 1) parts.dropRight(1) :+ np.head
+                else np
+              if (target.length != parts.length ||
+                  target.dropRight(1) != parts.dropRight(1))
+                throw new IllegalArgumentException(
+                  s"ALTER VIEW ${parts.mkString(".")} RENAME TO " +
+                    s"${np.mkString(".")}: a rename stays in its " +
+                    "catalog and namespace — CREATE the view there " +
+                    "and DROP this one to move it")
+              GraftViewDdl.catalogOf(s, parts.head).renameView(
+                org.apache.spark.sql.connector.catalog.Identifier
+                  .of(parts.tail.dropRight(1).toArray, parts.last),
+                org.apache.spark.sql.connector.catalog.Identifier
+                  .of(target.tail.dropRight(1).toArray, target.last))
+              Seq(Row(1))
+            })
+          }
       case AlterViewSetPropsRe(ident, propsTxt) =>
         split(ident)
           .filter(p => p.length >= 3 && isGraftCatalog(session, p.head))

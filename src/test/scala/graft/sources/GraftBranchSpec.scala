@@ -1139,6 +1139,16 @@ class GraftBranchSpec extends SparkSpec {
         .filter($"ref" === "tmp" && $"action" === "CREATE_BRANCH")
         .select("details").as[String].head()
       assert(det.contains("refAgeHours=1"), det)
+      // audit retention: the cap trims OLDEST events at the next
+      // main-chain sweep, newest survive in order
+      val savedCap = GraftTable.refEventsRetention
+      try {
+        GraftTable.refEventsRetention = 4
+        GraftMaintenance.sql(spark,
+          "VACUUM brLog.ns.t RETAIN 1 SNAPSHOTS").collect()
+        assert(events("brLog.ns.`t$refs_log`") === after.drop(1),
+          "the cap must drop exactly the oldest event")
+      } finally GraftTable.refEventsRetention = savedCap
     } finally GraftClock.nowMicros = savedClock
   }
 

@@ -164,7 +164,22 @@ class GraftViewSpec extends SparkSpec {
     intercept[Exception](cat.renameView(
       Identifier.of(Array("ns"), "renamed"),
       Identifier.of(Array("ns"), "t"))) // a table owns that name
-    GraftMaintenance.sql(spark, "DROP VIEW vx.ns.renamed").collect()
+    // the SQL verb (r19): bare or same-qualified target renames; a
+    // cross-namespace target refuses with the create-and-drop remedy
+    GraftMaintenance.sql(spark,
+      "ALTER VIEW vx.ns.renamed RENAME TO renamed2").collect()
+    assert(spark.sql("SELECT * FROM vx.ns.renamed2").as[String]
+      .collect().toSet === Set("a", "b"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM vx.ns.renamed").collect())
+    GraftMaintenance.sql(spark,
+      "ALTER VIEW vx.ns.renamed2 RENAME TO vx.ns.renamed3").collect()
+    assert(spark.sql("SELECT * FROM vx.ns.renamed3").as[String]
+      .collect().toSet === Set("a", "b"))
+    val eX = intercept[Exception](GraftMaintenance.sql(spark,
+      "ALTER VIEW vx.ns.renamed3 RENAME TO vx.other.elsewhere").collect())
+    assert(eX.getMessage.contains("stays in its catalog"), eX.getMessage)
+    GraftMaintenance.sql(spark, "DROP VIEW vx.ns.renamed3").collect()
     spark.sql("CREATE TABLE vx.ns.ones (x INT)")
     spark.sql("DROP TABLE vx.ns.ones")
   }
