@@ -3266,9 +3266,22 @@ class GraftTable(initialName: String, initialSchema: StructType,
       if (cols.isEmpty) Map.empty[String, String]
       else {
         val fresh = incrementalClusterScope(cols)
-        if (files.exists(fresh)) Map.empty[String, String]
-        else Map("clusterForkCovered" -> "true",
-          "clusterForkKeys" -> cols.mkString(","))
+        val pending = files.filter(f => f.persisted && fresh(f))
+        if (pending.isEmpty && !files.exists(fresh))
+          Map("clusterForkCovered" -> "true",
+            "clusterForkKeys" -> cols.mkString(","))
+        // PARTIAL coverage (r19): main owes a few files between its
+        // last pass and this fork — stamp their NAMES (bounded; the
+        // steady-state pending set is small) so the branch re-lays
+        // only what main owed plus its own post-fork files. An
+        // oversized or coverage-less pending set skips the stamp —
+        // conservative full re-layout
+        else if (pending.length == files.count(_.persisted) ||
+            pending.length > 256 || files.exists(f => !f.persisted))
+          Map.empty[String, String]
+        else Map("clusterForkKeys" -> cols.mkString(","),
+          "clusterForkPending" -> pending
+            .map(_.segment.path.getFileName.toString).mkString(","))
       }
     }
     val e = CommitEntry(v, tableSchema, files, ts,
@@ -5666,13 +5679,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
         // conservative and correct.
         history.headOption.filter(e =>
           e.operation == GraftTable.CreateBranchOp &&
-            e.params.get("clusterForkCovered").contains("true") &&
-            e.params.get("clusterForkKeys").contains(keys)) match {
+            e.params.get("clusterForkKeys").contains(keys) &&
+            (e.params.get("clusterForkCovered").contains("true") ||
+              e.params.contains("clusterForkPending"))) match {
           case Some(creation) =>
+            // full coverage: every fork file is laid out; partial
+            // coverage: all but the stamped PENDING names are
+            val pendingNames = creation.params
+              .get("clusterForkPending")
+              .map(_.split(',').toSet).getOrElse(Set.empty)
             val clustered = java.util.Collections.newSetFromMap(
               new java.util.IdentityHashMap[
                 GraftDataFile, java.lang.Boolean]())
-            creation.files.foreach(clustered.add)
+            creation.files.foreach { f =>
+              if (!(f.persisted && pendingNames.contains(
+                  f.segment.path.getFileName.toString)))
+                clustered.add(f)
+            }
             f => !clustered.contains(f)
           case None => _ => true
         }

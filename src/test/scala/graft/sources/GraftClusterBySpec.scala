@@ -292,8 +292,11 @@ class GraftClusterBySpec extends SparkSpec {
     // main is untouched by the branch's maintenance
     assert(mainT.dataFiles.filter(_.persisted)
       .map(_.segment.path).toSet === forkSegs)
-    // conservative path: fork while main has PENDING unclustered
-    // files → the branch's first pass re-lays the whole table
+    // PARTIAL coverage: fork while main has one PENDING unclustered
+    // file → the stamp names it, and the branch's first pass re-lays
+    // EXACTLY that file while the covered fork segments carry
+    val covered = mainT.dataFiles.filter(_.persisted)
+      .map(_.segment.path).toSet
     (0 until 64).map(i => ((i % 8).toLong, (i / 8).toLong,
       (30000 + i).toLong))
       .toDF("x", "y", "v").coalesce(1).writeTo("cbb.ns.t").append()
@@ -308,7 +311,11 @@ class GraftClusterBySpec extends SparkSpec {
       "OPTIMIZE cbb.ns.`t@pending` TARGET 128 ROWS").collect()
     val afterP = pt.dataFiles.filter(_.persisted)
       .map(_.segment.path).toSet
-    assert((before intersect afterP).isEmpty,
-      "an uncovered fork must re-lay everything (conservative)")
+    assert(covered.subsetOf(afterP),
+      s"covered fork segments must carry: missing=${covered -- afterP}")
+    assert((before -- afterP) === (before -- covered),
+      s"exactly the pending file re-lays: ${before -- afterP}")
+    assert(spark.table("cbb.ns.`t@pending`").count() ===
+      (32 * 32 + 64).toLong)
   }
 }
