@@ -2934,6 +2934,42 @@ object RelationalQueries {
         .toDF("probe", "n").orderBy("probe")
     },
 
+    // ----- ADD COLUMN ... DEFAULT (round 19, the SQL EXISTS_DEFAULT
+    // contract): a metadata-only add whose default BACKFILLS existing
+    // rows at read (stateless — a requested field id absent from a
+    // file's parquet footer reads the constant), fills omitted columns
+    // at INSERT, and leaves explicitly-stored NULLs alone. The oracle
+    // restates the three populations from nation.
+    Q("s76_add_column_default", "S-evolve,S-default,DDL-alter,A1,A7",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c,
+        |                  CAST(sum(n_nationkey) AS BIGINT) AS s
+        |           FROM nation)
+        |SELECT CAST(-1 AS INT) AS score_g, CAST(1 AS BIGINT) AS n,
+        |  CAST(101 AS BIGINT) AS key_sum FROM n
+        |UNION ALL
+        |SELECT CAST(7 AS INT), c + 1, s + 100 FROM n
+        |ORDER BY score_g""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s76").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gdf_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod").create()
+      s.sql(s"ALTER TABLE $w.ns.prod ADD COLUMN score INT DEFAULT 7")
+      // omitted column → CURRENT_DEFAULT; explicit NULL stays NULL
+      s.sql(s"INSERT INTO $w.ns.prod (k, name) VALUES (100, 'X')")
+      s.sql(s"INSERT INTO $w.ns.prod VALUES (101, 'Y', NULL)")
+      s.table(s"$w.ns.prod")
+        .groupBy(coalesce(col("score"), lit(-1)).as("score_g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("key_sum"))
+        .orderBy("score_g")
+    },
+
     // ----- t$refs_log (round 19): the ref-lifecycle AUDIT relation —
     // who created/dropped/altered/merged/expired which ref, when.
     // Unlike t$branches (refs alive NOW) it keeps history: the dropped

@@ -1830,20 +1830,42 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (!add.isNullable)
             throw new UnsupportedOperationException(
               s"added column $name must be nullable: existing rows read NULL")
-          if (add.defaultValue != null)
-            throw new UnsupportedOperationException(
-              s"added column $name may not carry a DEFAULT: the SQL " +
-                "contract backfills existing rows with it at READ " +
-                "(EXISTS_DEFAULT), and this store's metadata-only adds " +
-                "null-pad — serving NULL where the default was promised " +
-                "would silently lie. Declare defaults at CREATE TABLE")
           if (add.position != null)
             throw new UnsupportedOperationException(
               "added columns append at the end (no FIRST/AFTER)")
+          // ADD COLUMN ... DEFAULT (r19 — the SQL EXISTS_DEFAULT
+          // contract): existing rows read the default, future INSERTs
+          // without the column get it too. The literal must fold at
+          // ALTER time (fail fast, driver-side); the READ-side
+          // backfill is stateless — GraftSegmentIO fills a requested
+          // field whose id is absent from a file's FOOTER, so
+          // checkpoint folds, clones and foreign processes all serve
+          // it with zero extra state. The add stays metadata-only.
+          val defaultSql = Option(add.defaultValue).map { dv =>
+            val sql = dv.getSql
+            try {
+              val lit = GraftTable.evalDefault(sql, add.dataType)
+              if (lit == null && !add.isNullable)
+                throw new IllegalArgumentException("NULL default on a " +
+                  "non-nullable column")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new UnsupportedOperationException(
+                  s"added column $name: DEFAULT $sql must be a literal " +
+                    s"of ${add.dataType.simpleString} — ${e.getMessage}")
+            }
+            sql
+          }
           val oldFields = tableSchema.fields
+          val mdb = new org.apache.spark.sql.types.MetadataBuilder()
+          defaultSql.foreach { sql =>
+            mdb.putString("CURRENT_DEFAULT", sql)
+            mdb.putString("EXISTS_DEFAULT", sql)
+          }
           val newSchema = StructType(oldFields :+
             FieldIds.withId(org.apache.spark.sql.types.StructField(
-              name, add.dataType, nullable = true), nextFieldId))
+              name, add.dataType, nullable = true,
+              metadata = mdb.build()), nextFieldId))
           nextFieldId += 1
           if (durable.isDefined && files.forall(_.persisted)) {
             // METADATA-ONLY on durable tables (the Delta/Iceberg ADD
@@ -1862,11 +1884,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
             // test fast-path; data is small by construction)
             val width = oldFields.length
             val dts = oldFields.map(_.dataType)
+            val fillVal = defaultSql
+              .map(GraftTable.evalDefault(_, add.dataType)).orNull
             rebuildFiles(newSchema, { r =>
               val vals = new Array[Any](width + 1)
               var i = 0
               while (i < width) { vals(i) = r.get(i, dts(i)); i += 1 }
-              // vals(width) stays null: pre-evolution rows read NULL
+              // null without a DEFAULT; the EXISTS_DEFAULT value with
+              vals(width) = fillVal
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 vals): InternalRow
             })
@@ -6779,6 +6804,21 @@ object GraftTable {
     * mirroring Delta's log retention. Floor of 2 (current + previous)
     * regardless of the setting. */
   @volatile var historyRetention: Int = 128
+
+  /** Evaluate a column-DEFAULT sql text to its Catalyst value at the
+    * column's type (r19 — `ADD COLUMN ... DEFAULT`): session-free
+    * (CatalystSqlParser), so read-side backfill can run EXECUTOR-side.
+    * Throws on anything that is not a foldable literal expression. */
+  def evalDefault(sql: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+    if (!parsed.foldable)
+      throw new IllegalArgumentException(s"'$sql' is not a constant")
+    org.apache.spark.sql.catalyst.expressions.Cast(parsed, dt,
+      Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
 
   /** Ref-event AUDIT retention (r19 — `t$refs_log`): the newest N
     * events kept; older ones trim at main-chain reclaims (the same

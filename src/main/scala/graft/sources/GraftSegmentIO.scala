@@ -166,6 +166,55 @@ private[sources] object GraftSegmentIO {
   }
 
   /** Read a whole segment back as compact UnsafeRows in file order. */
+  /** EXISTS_DEFAULT backfill (r19 — `ADD COLUMN ... DEFAULT`): the
+    * output projection for reading `file` at `schema`. A requested
+    * field carrying an EXISTS_DEFAULT whose field id is ABSENT from
+    * the file's FOOTER reads the default constant; a field the file
+    * stores reads its bytes (stored NULLs stay NULL). Stateless by
+    * design — the footer is the one source of truth that survives
+    * checkpoint folds, clones and foreign processes — and the footer
+    * probe only runs for schemas that carry a default at all (zero
+    * cost on every other table). An unreadable footer degrades to the
+    * plain read (NULL padding), never an error here — the row read
+    * right after will surface real corruption loudly. */
+  private def existsDefaultFill(file: java.nio.file.Path,
+      schema: StructType)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
+    val base: IndexedSeq[Expression] =
+      schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): Expression
+      }
+    val withDefault = schema.fields.zipWithIndex
+      .filter(_._1.metadata.contains("EXISTS_DEFAULT"))
+    if (withDefault.isEmpty) return base
+    val fileIds: Set[Long] =
+      try {
+        val conf = new Configuration(false)
+        conf.set("fs.defaultFS", "file:///")
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(file.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFileMetaData.getSchema.getFields.asScala
+            .flatMap(t => Option(t.getId).map(_.intValue().toLong))
+            .toSet
+        } finally r.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => return base
+      }
+    withDefault.foldLeft(base) { case (acc, (f, i)) =>
+      FieldIds.idOf(f) match {
+        case Some(id) if !fileIds.contains(id) =>
+          val v = GraftTable.evalDefault(
+            f.metadata.getString("EXISTS_DEFAULT"), f.dataType)
+          acc.updated(i, Literal(v, f.dataType))
+        case _ => acc
+      }
+    }
+  }
+
   def read(file: java.nio.file.Path, schema: StructType)
       : Array[InternalRow] = {
     bump(readCounts, file.toAbsolutePath.normalize.toString)
@@ -182,7 +231,7 @@ private[sources] object GraftSegmentIO {
       .build()
     val out = Array.newBuilder[InternalRow]
     // the materializer reuses its row buffer; project to fresh UnsafeRows
-    val toUnsafe = UnsafeProjection.create(schema)
+    val toUnsafe = UnsafeProjection.create(existsDefaultFill(file, schema))
     try {
       var r = reader.read()
       while (r != null) {

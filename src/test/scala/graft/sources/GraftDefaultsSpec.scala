@@ -35,18 +35,77 @@ class GraftDefaultsSpec extends SparkSpec {
         (4L, "new", 7)))
   }
 
-  test("ALTER ADD COLUMN with a DEFAULT refuses loudly (EXISTS_DEFAULT " +
-      "would require reader-side backfill)") {
-    spark.conf.set("spark.sql.catalog.dfh", classOf[GraftCatalog].getName)
-    spark.sql("CREATE TABLE dfh.ns.dfh_t (id BIGINT)")
-    spark.sql("INSERT INTO dfh.ns.dfh_t VALUES (1)")
+  test("ALTER ADD COLUMN ... DEFAULT (r19, EXISTS_DEFAULT): existing " +
+      "rows read the default via the stateless footer backfill, stored " +
+      "values — NULL included — stay themselves, restarts and COW " +
+      "rewrites agree, and a non-literal default refuses") {
+    val wh = tmpDir("graft-exdef")
+    spark.conf.set("spark.sql.catalog.dfe", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dfe.warehouse", wh)
+    spark.sql("CREATE TABLE dfe.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dfe.ns.t VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE dfe.ns.t ADD COLUMN score INT DEFAULT 7")
+    // pre-add files backfill at READ (metadata-only add — no rewrite)
+    assert(spark.table("dfe.ns.t").orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+      === Seq((1L, "a", 7), (2L, "b", 7)))
+    // CURRENT_DEFAULT at INSERT; an EXPLICIT NULL stays NULL (the new
+    // file stores the column — the backfill never touches stored rows)
+    spark.sql("INSERT INTO dfe.ns.t (id, v) VALUES (3, 'c')")
+    spark.sql("INSERT INTO dfe.ns.t VALUES (4, 'd', NULL)")
+    assert(spark.table("dfe.ns.t").orderBy("id")
+      .as[(Long, String, Option[Int])].collect().toSeq
+      === Seq((1L, "a", Some(7)), (2L, "b", Some(7)),
+        (3L, "c", Some(7)), (4L, "d", None)))
+    // filters see the backfilled value on pre-add files
+    assert(spark.sql(
+      "SELECT count(*) FROM dfe.ns.t WHERE score = 7").head().getLong(0)
+      === 3L)
+    // time travel to a pre-add version serves the OLD schema
+    assert(spark.sql("SELECT * FROM dfe.ns.t VERSION AS OF 1")
+      .columns.toSeq === Seq("id", "v"))
+    // restart (isolated second store): the default rides the log
+    spark.conf.set("spark.sql.catalog.dfe2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dfe2.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.dfe2.warehouse.isolated", "true")
+    assert(spark.table("dfe2.ns.t").orderBy("id")
+      .as[(Long, String, Option[Int])].collect().toSeq
+      === Seq((1L, "a", Some(7)), (2L, "b", Some(7)),
+        (3L, "c", Some(7)), (4L, "d", None)))
+    spark.sql("INSERT INTO dfe2.ns.t (id, v) VALUES (5, 'e')")
+    assert(spark.table("dfe.ns.t").count() === 5L)
+    // a COW rewrite of a pre-add row MATERIALIZES the default: the
+    // rewritten file stores 7 physically, and the row still reads 7
+    spark.sql("UPDATE dfe.ns.t SET v = 'A' WHERE id = 1")
+    assert(spark.table("dfe.ns.t").filter($"id" === 1L)
+      .as[(Long, String, Option[Int])].head() === ((1L, "A", Some(7))))
+    // chained evolution: a SECOND defaulted add backfills independently
+    spark.sql("ALTER TABLE dfe.ns.t ADD COLUMN tag STRING DEFAULT 'z'")
+    assert(spark.sql("SELECT count(*) FROM dfe.ns.t WHERE tag = 'z'")
+      .head().getLong(0) === 5L)
+    // non-literal defaults refuse loudly at ALTER time
     val e = intercept[Exception](spark.sql(
-      "ALTER TABLE dfh.ns.dfh_t ADD COLUMN s STRING DEFAULT 'x'"))
+      "ALTER TABLE dfe.ns.t ADD COLUMN bad INT DEFAULT id"))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("may not carry a DEFAULT")), e)
-    // a plain nullable ADD COLUMN still works
-    spark.sql("ALTER TABLE dfh.ns.dfh_t ADD COLUMN s STRING")
-    assert(spark.table("dfh.ns.dfh_t").columns.toSeq === Seq("id", "s"))
+    // Spark's analyzer refuses the unresolvable expression itself
+    // (INVALID_DEFAULT_VALUE); the catalog's own literal guard backs
+    // it up for anything that slips past
+    assert(msgs(e).exists(m => m.contains("DEFAULT value") ||
+      (m.contains("DEFAULT") && (m.contains("literal") ||
+        m.contains("constant")))), e)
+    // a plain nullable ADD COLUMN still null-pads (no default promised)
+    spark.sql("ALTER TABLE dfe.ns.t ADD COLUMN plain STRING")
+    assert(spark.sql(
+      "SELECT count(*) FROM dfe.ns.t WHERE plain IS NULL")
+      .head().getLong(0) === 5L)
+    // the change feed agrees: a DELETE of a PRE-ADD row emits its
+    // preimage with the backfilled default, not NULL
+    spark.sql("DELETE FROM dfe.ns.t WHERE id = 2")
+    val del = spark.table("dfe.ns.`t$changes`")
+      .filter($"_change_type" === "delete" && $"id" === 2L)
+      .select("score").as[Option[Int]].collect().toSeq
+    assert(del === Seq(Some(7)),
+      s"the CDC preimage must carry the backfilled default: $del")
   }
 }
