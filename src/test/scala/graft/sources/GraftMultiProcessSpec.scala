@@ -174,6 +174,21 @@ class GraftMultiProcessSpec extends SparkSpec {
       java.nio.file.Files.readAllBytes(tableDir.resolve("table.json")),
       java.nio.charset.StandardCharsets.UTF_8))
     assert(meta.format === GraftLogCodec.BranchFormat)
+    // the ref-lifecycle AUDIT (r19) saw both processes' DDL: every
+    // branch that lived leaves CREATE/FAST_FORWARD/DROP rows, written
+    // as CAS'd files by TWO real JVMs concurrently and served here by
+    // a fresh fold — two distinct actors, no torn reads
+    val ev = spark.table("mpbr.ns.`mpbt$refs_log`")
+      .select("action", "actor")
+      .as[(String, String)].collect().toSeq
+    val byAction = ev.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byAction.getOrElse("CREATE_BRANCH", 0) >= 16 &&
+      byAction.getOrElse("FAST_FORWARD", 0) >= 16 &&
+      byAction.getOrElse("DROP_BRANCH", 0) >= 16,
+      s"both children's ref DDL must be audited: $byAction")
+    assert(ev.map(_._2).distinct.size >= 2,
+      s"two processes must appear as distinct actors: " +
+        s"${ev.map(_._2).distinct}")
   }
 
   /** The 3-JVM mixed DML/OPTIMIZE soak, parameterized by the
