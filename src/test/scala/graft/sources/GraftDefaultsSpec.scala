@@ -108,4 +108,42 @@ class GraftDefaultsSpec extends SparkSpec {
     assert(del === Seq(Some(7)),
       s"the CDC preimage must carry the backfilled default: $del")
   }
+
+  test("EXISTS_DEFAULT across types: DATE, DECIMAL, BOOLEAN and DOUBLE " +
+      "defaults backfill pre-add rows and fill omitted INSERT columns " +
+      "(the session-free literal eval + ANSI cast path)") {
+    val wh = tmpDir("graft-exdef-ty")
+    spark.conf.set("spark.sql.catalog.dfty", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dfty.warehouse", wh)
+    spark.sql("CREATE TABLE dfty.ns.t (id BIGINT)")
+    spark.sql("INSERT INTO dfty.ns.t VALUES (1)")
+    spark.sql("ALTER TABLE dfty.ns.t ADD COLUMN d DATE " +
+      "DEFAULT DATE'2024-01-15'")
+    spark.sql("ALTER TABLE dfty.ns.t ADD COLUMN m DECIMAL(9,2) " +
+      "DEFAULT 1.25")
+    spark.sql("ALTER TABLE dfty.ns.t ADD COLUMN b BOOLEAN DEFAULT true")
+    spark.sql("ALTER TABLE dfty.ns.t ADD COLUMN x DOUBLE DEFAULT 2.5")
+    // pre-add row backfills every type
+    val r1 = spark.table("dfty.ns.t").filter($"id" === 1L)
+      .selectExpr("CAST(d AS STRING)", "CAST(m AS STRING)", "b", "x")
+      .as[(String, String, Boolean, Double)].head()
+    assert(r1 === (("2024-01-15", "1.25", true, 2.5)), r1.toString)
+    // omitted columns at INSERT fill the same values (CURRENT_DEFAULT)
+    spark.sql("INSERT INTO dfty.ns.t (id) VALUES (2)")
+    val r2 = spark.table("dfty.ns.t").filter($"id" === 2L)
+      .selectExpr("CAST(d AS STRING)", "CAST(m AS STRING)", "b", "x")
+      .as[(String, String, Boolean, Double)].head()
+    assert(r2 === r1, s"$r2 != $r1")
+    // explicit values override; the backfill never touches stored rows
+    spark.sql("INSERT INTO dfty.ns.t VALUES " +
+      "(3, DATE'1999-12-31', 9.99, false, 0.5)")
+    val r3 = spark.table("dfty.ns.t").filter($"id" === 3L)
+      .selectExpr("CAST(d AS STRING)", "CAST(m AS STRING)", "b", "x")
+      .as[(String, String, Boolean, Double)].head()
+    assert(r3 === (("1999-12-31", "9.99", false, 0.5)), r3.toString)
+    // filters over the backfilled columns behave
+    assert(spark.sql("SELECT count(*) FROM dfty.ns.t " +
+      "WHERE d = DATE'2024-01-15' AND m = 1.25 AND b AND x = 2.5")
+      .head().getLong(0) === 2L)
+  }
 }
