@@ -448,6 +448,118 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // ----- the COMPOSED TOKENIZER-PREP lifecycle (round 20): the c1/g1
+    // move for the tokenizer family — BPE train (t48's shared loop) →
+    // corpus ENCODE under the trained merges (t49's semantics, carried
+    // per document instead of corpus-wide) → sequence PACK over the
+    // encoded token stream (t20's sharded running offsets, fed BPE
+    // counts instead of whitespace counts) → MIXTURE weights over the
+    // encoded stream (t23's shares/weights, on BPE tokens). Each stage
+    // is individually oracled (t48/t49/t20/t23); this one row pins the
+    // COMPOSITION: encode with a stale vocab, pack before encode, or
+    // weights over pre-encode counts all break the hash. Plan: the
+    // train loop's vocab table (distinct-word sized, kilobytes at any
+    // corpus scale) broadcasts into ONE corpus-pass word join whose
+    // per-doc aggregate collapses map-side; packing stays a sharded
+    // window (never global); the grand total is a 1-row broadcast. At
+    // 100 TB the marginal cost over training is one token-explode pass
+    // — the same posture as t49 — and the train itself iterates on the
+    // vocab table only (see the t48 registry note).
+    Q("c3_tokenizer_lifecycle", "CURATE-compose,BPE-train,BPE-encode," +
+      "PACK-sequences,MIX-weights,A7,A10,W7", {
+      val rounds = TextQueries.BpeRounds
+      s"""${TextQueries.bpeRoundsCte},
+         |wt AS (SELECT replace(seq, '.', '') AS word,
+         |         CAST(len(list_filter(string_split(seq, '..'),
+         |           x -> len(x) > 0)) AS BIGINT) AS w_tok
+         |       FROM v$rounds),
+         |dt AS (SELECT doc_id, source,
+         |         unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |enc AS (SELECT dt.doc_id, dt.source,
+         |          CAST(count(*) AS BIGINT) AS n_words,
+         |          CAST(sum(coalesce(wt.w_tok, 1)) AS BIGINT) AS n_bpe
+         |        FROM dt LEFT JOIN wt ON dt.word = wt.word
+         |        GROUP BY 1, 2),
+         |pk AS (SELECT doc_id, source, n_words, n_bpe,
+         |         CAST(${TS.hash("'pack|' || doc_id")} % $PackShards
+         |           AS INT) AS shard
+         |       FROM enc),
+         |wnd AS (SELECT doc_id, source, n_words, n_bpe,
+         |          sum(n_bpe) OVER (PARTITION BY shard ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum
+         |        FROM pk),
+         |ck AS (SELECT doc_id, source, n_words, n_bpe,
+         |         (cum - 1) // $ChunkTokens
+         |           - (cum - n_bpe) // $ChunkTokens + 1 AS n_chunks
+         |       FROM wnd),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_words) AS BIGINT) AS n_words,
+         |         CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |         CAST(sum(n_chunks) AS BIGINT) AS chunk_spans
+         |       FROM ck GROUP BY source),
+         |g AS (SELECT count(*) AS n_sources,
+         |        CAST(sum(n_bpe) AS BIGINT) AS total_bpe FROM st)
+         |SELECT source, n_docs, n_words, n_bpe, chunk_spans,
+         |  round(CAST(n_bpe AS DOUBLE) / total_bpe, 6) AS token_share,
+         |  round(CAST(total_bpe AS DOUBLE) / (n_sources * n_bpe), 6)
+         |    AS weight
+         |FROM st CROSS JOIN g ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      // stage 1: BPE train — the SHARED t48 loop (one train per
+      // invocation; vocab is the persisted (tokenization, word-count)
+      // table the encode reads)
+      val (vocab, _) = TextQueries.bpeTrain(s, dir)
+      // stage 2: encode — word → trained-token count, distinct-word
+      // sized (the '.'-stripped seq IS the word; merges preserve it).
+      // Untrained words (non-[a-z]+: numbers, punctuation) fall back
+      // to one token — the <unk> contract, stated identically in the
+      // oracle's coalesce.
+      val wordTok = vocab.select(
+        regexp_replace(col("seq"), "\\.", "").as("word"),
+        size(filter(split(col("seq"), "\\.\\."),
+          t => length(t) > 0)).cast("long").as("w_tok"))
+      val enc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TF.tokens(col("text"))).as("word"))
+        .join(broadcast(wordTok), Seq("word"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce(col("w_tok"), lit(1L))).as("n_bpe"))
+      // stage 3: pack the ENCODED stream — t20's shard + running
+      // offset, fed n_bpe (the composition pin: whitespace counts here
+      // would reproduce t20 and break the hash)
+      val shard = pmod(
+        TF.polyHash(concat(lit("pack|"), col("doc_id").cast("string"))),
+        lit(PackShards)).cast("int")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = enc.withColumn("shard", shard)
+        .withColumn("cum", sum("n_bpe").over(w))
+        .withColumn("n_chunks",
+          expr(s"(cum - 1) div $ChunkTokens" +
+            s" - (cum - n_bpe) div $ChunkTokens + 1"))
+      // stage 4: mixture weights over the encoded stream (t23 on BPE
+      // tokens) + the per-source funnel census
+      val bySource = packed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_bpe").cast("long").as("n_bpe"),
+          sum("n_chunks").cast("long").as("chunk_spans"))
+      val grand = bySource.agg(count(lit(1)).as("n_sources"),
+        sum("n_bpe").as("total_bpe"))
+      bySource.crossJoin(broadcast(grand))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_bpe"), col("chunk_spans"),
+          round(col("n_bpe").cast("double") / col("total_bpe"), 6)
+            .as("token_share"),
+          round(col("total_bpe").cast("double")
+            / (col("n_sources") * col("n_bpe")), 6).as("weight"))
+        .orderBy("source")
+    },
+
     // ----- per-DOMAIN token-budget sampling (mixture EXECUTION — the
     // op that realizes t23's flattened mixture under a budget): every
     // source contributes documents in deterministic md5 order until its

@@ -67,8 +67,9 @@ object TextQueries {
   @volatile var lastBpeVocabSizes: Seq[Long] = Nil
 
   /** The shared chained-CTE prefix of the t48/t49 oracles: [[BpeRounds]]
-    * deterministic merge rounds ending at vocab `v<BpeRounds>`. */
-  private def bpeRoundsCte: String = {
+    * deterministic merge rounds ending at vocab `v<BpeRounds>`.
+    * Shared with c3's composed-lifecycle oracle (CurationQueries). */
+  private[analytics] def bpeRoundsCte: String = {
     val rounds = (1 to BpeRounds).map { i =>
       s"""p$i AS (
          |  SELECT tp.l AS l, tp.r AS r, CAST(sum(n) AS BIGINT) AS cnt
@@ -100,8 +101,10 @@ object TextQueries {
   /** The SHARED t48/t49 training loop — see the t48 registry comment
     * for the scale shape. Returns the final vocab (seq, n), tracked in
     * [[Caches]] (the caller's consumers read it; release() reclaims),
-    * plus the ordered merge rules. */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+    * plus the ordered merge rules. c3 (CurationQueries) shares this
+    * loop too, so the composed lifecycle never pays the train twice
+    * within one invocation. */
+  private[analytics] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame,
          Seq[(Int, String, String, String, Long)]) = {
     var vocab = Caches.persistTracked(Tables.documents(s, dir)

@@ -48,6 +48,68 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(span) <= 2))
   }
 
+  test("c3 composed tokenizer lifecycle reconciles with its stages") {
+    val (cols, rows) = q("c3_tokenizer_lifecycle")
+    def colOf(n: String) = cols.indexOf(n)
+    val bySource = rows.map(r => r.getString(colOf("source")) -> r).toMap
+
+    // stage-4 invariants (the t23 contract on the ENCODED stream):
+    // shares sum to 1, weight·share = 1/k for every source
+    val k = rows.length.toDouble
+    assert(math.abs(rows.map(_.getDouble(colOf("token_share"))).sum - 1.0)
+      < 1e-4)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(colOf("weight"))
+        * r.getDouble(colOf("token_share")) - 1.0 / k) < 1e-4)
+    }
+
+    // encode stage agrees with the WHITESPACE census of t23: same
+    // word counts went in (pack-before-encode mis-wirings change this)
+    val (tcols, trows) = q("t23_mixture_weights")
+    val wWords = trows.map(r => r.getString(tcols.indexOf("source"))
+      -> r.getLong(tcols.indexOf("n_tokens"))).toMap
+    assert(bySource.keySet == wWords.keySet)
+    bySource.foreach { case (src, r) =>
+      assert(r.getLong(colOf("n_words")) == wWords(src),
+        s"$src: c3 word census diverged from t23")
+      // BPE starts char-level: every word is >= 1 token, so the
+      // encoded stream can never be shorter than the word stream
+      assert(r.getLong(colOf("n_bpe")) >= r.getLong(colOf("n_words")))
+      // pack stage: every doc lands in >= 1 chunk
+      assert(r.getLong(colOf("chunk_spans")) >= r.getLong(colOf("n_docs")))
+    }
+
+    // encode stage agrees with a FROM-SCRATCH driver-side application
+    // of the trained merge rules (one pass per rule, leftmost
+    // non-overlapping — the `replace` contract), per source
+    val (_, rules) = TextQueries.bpeTrain(spark, dir)
+    Caches.release()
+    def encode(word: String): Long = {
+      var toks = word.map(_.toString).toVector
+      rules.foreach { case (_, l, r, merged, _) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            b += merged; i += 2
+          } else { b += toks(i); i += 1 }
+        }
+        toks = b.result()
+      }
+      toks.length.toLong
+    }
+    val docs = Tables.documents(spark, dir)
+      .select("source", "text").collect()
+    val want = docs.groupBy(_.getString(0)).map { case (src, rs) =>
+      src -> rs.map(_.getString(1).split(" ", -1).map(w =>
+        if (w.matches("[a-z]+")) encode(w) else 1L).sum).sum
+    }
+    bySource.foreach { case (src, r) =>
+      assert(r.getLong(colOf("n_bpe")) == want(src),
+        s"$src: c3 encode diverged from driver-side BPE apply")
+    }
+  }
+
   test("t22 repetition: fractions bounded, mode count exact on a probe doc") {
     val (cols, rows) = q("t22_repetition")
     val nTok = cols.indexOf("n_tokens")
