@@ -2970,6 +2970,78 @@ object RelationalQueries {
         .orderBy("score_g")
     },
 
+    // ----- ROW TRACKING (round 20, Delta's row tracking / Iceberg v3
+    // row lineage): stable per-row `_row_id` minted at first insert,
+    // PRESERVED through the COW UPDATE's whole-table rewrite and the
+    // OPTIMIZE re-layout, and served by the change feed so an UPDATE's
+    // preimage/postimage pair BY IDENTITY (the 'cdf_pre'/'cdf_post'
+    // probes join on nothing but _row_id order). 'bumped' pins the
+    // `_row_commit_version` contract: exactly the value-changed rows
+    // carry the update's commit version; copied rows keep their
+    // original. Ids are deterministic (single-task ordered writes), so
+    // the oracle restates them as a rank over nation plus the two
+    // literal inserts. Scale posture: ids are ARITHMETIC per file
+    // (base + position, O(1) log metadata); only the rewrite's output
+    // carries explicit vectors, written beside the segment like a
+    // bloom sidecar — never in the commit log.
+    Q("s77_row_tracking", "S-rowtrack,S-cdc,S-evolve,DDL-alter,A1",
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+        |    CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+        |      AS row_id
+        |  FROM nation
+        |  UNION ALL SELECT 100, 'X', (SELECT count(*) FROM nation)
+        |  UNION ALL SELECT 101, 'Y', (SELECT count(*) FROM nation) + 1),
+        |upd AS (SELECT * FROM base WHERE k % 5 = 0)
+        |SELECT 'bumped' AS probe, row_id, k, name || '+' AS name FROM upd
+        |UNION ALL SELECT 'cdf_post', row_id, k, name || '+' FROM upd
+        |UNION ALL SELECT 'cdf_pre', row_id, k, name FROM upd
+        |UNION ALL SELECT 'live', row_id, k,
+        |  CASE WHEN k % 5 = 0 THEN name || '+' ELSE name END FROM base
+        |ORDER BY probe, row_id""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s77").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"grt_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+        .repartition(1).sortWithinPartitions("k")
+      nat.writeTo(s"$w.ns.prod")
+        .tableProperty("row.tracking", "true").create()
+      s.sql(s"INSERT INTO $w.ns.prod VALUES (100, 'X'), (101, 'Y')")
+      s.sql(s"UPDATE $w.ns.prod SET name = concat(name, '+') " +
+        "WHERE k % 5 = 0")
+      import s.implicits._
+      val uv = s.table(s"$w.ns.`prod$$history`")
+        .agg(max(col("version"))).as[Int].head()
+      val feed = s.table(s"$w.ns.`prod$$changes`")
+        .filter(col("_commit_version") === uv)
+      // layout churn AFTER the update: the compaction must carry the
+      // explicit id vectors through — 'live' reads the compacted files
+      graft.sources.GraftMaintenance.sql(s, s"OPTIMIZE $w.ns.prod")
+        .collect()
+      val live = s.table(s"$w.ns.prod")
+        .select(col("_row_id").as("row_id"), col("k"), col("name"),
+          col("_row_commit_version").as("rcv"))
+      def shape(df: org.apache.spark.sql.DataFrame, probe: String) =
+        df.select(lit(probe).as("probe"), col("row_id"), col("k"),
+          col("name"))
+      shape(live.filter(col("rcv") === uv), "bumped")
+        .unionByName(shape(feed
+          .filter(col("_change_type") === "insert")
+          .select(col("_row_id").as("row_id"), col("k"), col("name")),
+          "cdf_post"))
+        .unionByName(shape(feed
+          .filter(col("_change_type") === "delete")
+          .select(col("_row_id").as("row_id"), col("k"), col("name")),
+          "cdf_pre"))
+        .unionByName(shape(live, "live"))
+        .orderBy("probe", "row_id")
+    },
+
     // ----- t$refs_log (round 19): the ref-lifecycle AUDIT relation —
     // who created/dropped/altered/merged/expired which ref, when.
     // Unlike t$branches (refs alive NOW) it keeps history: the dropped

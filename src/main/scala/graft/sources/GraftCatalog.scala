@@ -450,7 +450,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         GraftZCurve.checkCols(schema, cs)
         GraftTable.stampClusterBy(schema, cs)
       }.getOrElse(schema)
-    (partCols, bucketSpec, mode, checks, clustered)
+    // ROW TRACKING (TBLPROPERTIES row.tracking='true'): stamped into
+    // field metadata like the properties above — persists in the log,
+    // reaches restarts/foreign processes with the schema
+    val tracked = Option(properties.get(GraftTable.RowTrackingProp)) match {
+      case None => clustered
+      case Some("true") => GraftTable.stampRowTracking(clustered)
+      case Some("false") => clustered
+      case Some(other) => throw new IllegalArgumentException(
+        s"${GraftTable.RowTrackingProp} must be 'true' or 'false', " +
+          s"got '$other'")
+    }
+    (partCols, bucketSpec, mode, checks, tracked)
   }
 
   override def createTable(ident: Identifier, schema0: StructType,
@@ -1160,6 +1171,83 @@ object ColZone {
   * WORKING set, not its size: the heap wall the in-memory store had is
   * gone. Metadata (zones, size, group key, row count) always stays
   * resident — pruning and planning never touch a segment. */
+/** ROW TRACKING state of one data file (Delta's row-tracking /
+  * Iceberg-v3 row-lineage design, reproduced Spark-side): every row of
+  * a tracked table carries a STABLE `_row_id` minted at first insert
+  * and a `_row_commit_version` naming the commit that last produced its
+  * current value. Freshly-written files are ARITHMETIC — `id(p) = base
+  * + p`, `ver(p) = ver` — so the commit log stays O(files): only `base`
+  * and `ver` persist per file. Files produced by a REWRITE that
+  * reorders or mixes provenance (COW update/merge survivors, OPTIMIZE /
+  * ZORDER output) carry EXPLICIT per-row vectors; on durable tables
+  * those live in a `<segment>.rowids` sidecar (exactly where Delta
+  * materializes row ids into the data file) loaded lazily via
+  * `loader`, so metadata stays O(files) and a 100 TB table's log never
+  * carries a row-sized payload. Position VIEWS share their base's
+  * track — `_row_pos` is the ORIGINAL position by contract, so the
+  * arithmetic (and the base's explicit vectors) bind unchanged. */
+final class GraftRowTrack(
+    val base: Long, val ver: Long,
+    ids0: Array[Long], vers0: Array[Long],
+    val explicit: Boolean = false,
+    loader: () => (Array[Long], Array[Long]) = null) {
+  @volatile private var idsCache: Array[Long] = ids0
+  @volatile private var versCache: Array[Long] = vers0
+  private def force(): Unit = synchronized {
+    if (idsCache == null && loader != null) {
+      val (i, v) = loader()
+      versCache = v
+      idsCache = i
+    }
+  }
+  /** Explicit per-row ids (null = arithmetic). May lazy-load the
+    * durable sidecar on first call. */
+  def ids: Array[Long] = {
+    if (idsCache == null && explicit) force()
+    idsCache
+  }
+  def vers: Array[Long] = {
+    if (versCache == null && explicit) force()
+    versCache
+  }
+  def idAt(p: Int): Long = {
+    val a = ids
+    if (a != null) a(p) else base + p
+  }
+  def verAt(p: Int): Long = {
+    val a = vers
+    if (a != null) a(p) else ver
+  }
+  /** Highest id this file's rows can carry (hw recovery on adoption). */
+  def maxIdExclusive(rowCount: Int): Long =
+    if (!explicit) base + rowCount
+    else { val a = ids; if (a == null || a.isEmpty) 0L else a.max + 1L }
+}
+
+object GraftRowTrack {
+  /** Sentinel inside a writer-captured vector: "mint a fresh id here" /
+    * "stamp the committing version here" — resolved at snap(). */
+  val Mint: Long = -1L
+
+  /** Re-bind a track to a REWRITTEN file with identical row order
+    * (DROP COLUMN / type rebuilds): arithmetic tracks share as-is; an
+    * explicit track's vectors re-materialize beside the new segment so
+    * the identity outlives the old segment's vacuum. */
+  private[sources] def carry(t: GraftRowTrack,
+      nf: GraftDataFile): GraftRowTrack = {
+    if (t == null || !t.explicit) return t
+    val (ids, vers) = (t.ids, t.vers)
+    if (nf.persisted)
+      GraftRowIdSidecar.write(nf.segment.path, ids, vers)
+    new GraftRowTrack(t.base, t.ver, ids, vers, explicit = true)
+  }
+
+  /** PENDING explicit track from per-row vectors (resolved at snap). */
+  private[sources] def pending(ids: Array[Long],
+      vers: Array[Long]): GraftRowTrack =
+    new GraftRowTrack(-1L, -1L, ids, vers)
+}
+
 final class GraftDataFile private (
     rows0: Array[InternalRow],
     val zones: Array[ColZone], // index = schema ordinal; null = no stats
@@ -1242,6 +1330,13 @@ final class GraftDataFile private (
     case Some((bs, ex)) => (bs.toArray, ex)
     case None => (Array.empty[Int], false)
   }
+
+  /** ROW-TRACKING state (null = untracked). Assigned ONCE — at the
+    * commit that adds the file (snap mints arithmetic tracks; rewrites
+    * attach explicit vectors before install) or at log decode — and
+    * shared by every derived identity (views, degrouped/retyped twins)
+    * whose positions still index this file's rows. */
+  @volatile private[sources] var track: GraftRowTrack = null
 
   @volatile private var strong: Array[InternalRow] = rows0
   @volatile private[sources] var segment: GraftSegmentHandle = seg0
@@ -1346,14 +1441,19 @@ object GraftDataFile {
     * entries, which time travel binds under the old layout. */
   private[sources] def degrouped(f: GraftDataFile): GraftDataFile =
     if (f.groupKey.isEmpty) f
-    else if (f.persisted)
-      new GraftDataFile(null, f.zones, f.sizeBytes, None, f.rowCount,
-        f.segment, f.sel, f.selExclude,
-        blooms0 = f.bloomsCache, bloomRefs0 = f.bloomRefs,
-        degroupedFrom = f)
-    else
-      new GraftDataFile(f.rows, f.zones, f.sizeBytes, None, f.rowCount,
-        null, blooms0 = f.bloomsCache, degroupedFrom = f)
+    else {
+      val g =
+        if (f.persisted)
+          new GraftDataFile(null, f.zones, f.sizeBytes, None, f.rowCount,
+            f.segment, f.sel, f.selExclude,
+            blooms0 = f.bloomsCache, bloomRefs0 = f.bloomRefs,
+            degroupedFrom = f)
+        else
+          new GraftDataFile(f.rows, f.zones, f.sizeBytes, None, f.rowCount,
+            null, blooms0 = f.bloomsCache, degroupedFrom = f)
+      g.track = f.track // same rows, same positions, same identities
+      g
+    }
 
   /** Lossless type WIDENINGS the parquet reader serves without a
     * rewrite (requesting the wide type upcasts INT32/FLOAT values at
@@ -1411,9 +1511,11 @@ object GraftDataFile {
     if (ord < zs.length && zs(ord) != null)
       zs(ord) = ColZone(up(zs(ord).min), up(zs(ord).max),
         zs(ord).nullCount)
-    new GraftDataFile(null, zs, f.sizeBytes, f.groupKey, f.rowCount,
+    val g = new GraftDataFile(null, zs, f.sizeBytes, f.groupKey, f.rowCount,
       new GraftSegmentHandle(f.segment.path, schema), f.sel, f.selExclude,
       blooms0 = f.bloomsCache, bloomRefs0 = f.bloomRefs)
+    g.track = f.track // same rows, same positions, same identities
+    g
   }
 
   /** A file resurrected from the durable log: rows load lazily from the
@@ -1456,9 +1558,13 @@ object GraftDataFile {
     // lazy load reads the same sidecar on first consult. If the base
     // already HAS its words (eager build, legacy inline decode, or a
     // prior consult), share them — same filters, no second read
-    new GraftDataFile(null, zones, bytes, base.groupKey, n,
+    val v = new GraftDataFile(null, zones, bytes, base.groupKey, n,
       base.segment, sel, exclude, blooms0 = base.bloomsCache,
       bloomRefs0 = base.bloomRefs)
+    // a view's `_row_pos` is the base's ORIGINAL position, so the
+    // base's track (arithmetic or explicit) serves the view unchanged
+    v.track = base.track
+    v
   }
 
   /** A view decoded from the log (all metadata from the entry). */
@@ -1705,7 +1811,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * the scan only when the query references them; never materialized
     * otherwise. */
   override def metadataColumns(): Array[MetadataColumn] =
-    GraftTable.MetaColumns
+    if (rowTrackingEnabled)
+      GraftTable.MetaColumns ++ GraftTable.TrackMetaColumns
+    else GraftTable.MetaColumns
 
   // evolves under ADD COLUMNS (append-only, so the partition ordinals
   // below stay valid for the table's whole life)
@@ -1719,6 +1827,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
   // column's id, or identity matching would hand the old column's
   // historical values to the new one
   private var nextFieldId: Long = FieldIds.nextId(tableSchema)
+
+  /** ROW TRACKING enabled? Stamped in field metadata (like
+    * `bloom.columns`), so the flag persists in the log and reaches
+    * every restart/foreign process with the schema. */
+  private[sources] def rowTrackingEnabled: Boolean =
+    GraftTable.rowTrackingStamped(tableSchema)
+
+  // next `_row_id` to mint — MONOTONIC per chain, persisted O(1) in
+  // every commit's params and recovered from the latest entry on
+  // restart/foreign sync; never rewound (RESTORE moves state, not ids)
+  private var rowIdHw: Long = 0L
 
   // partition/bucket bindings resolve by NAME against whichever schema
   // a caller binds ([[boundGroupKeyFor]]) — DROP COLUMN shifts ordinals,
@@ -1738,7 +1857,9 @@ class GraftTable(initialName: String, initialSchema: StructType,
       rewrite: InternalRow => InternalRow): Unit = {
     val keyOf = boundGroupKeyFor(newSchema)
     val pairs = files.map { f =>
-      f -> GraftDataFile.build(f.rows.map(rewrite), newSchema, keyOf)
+      val nf = GraftDataFile.build(f.rows.map(rewrite), newSchema, keyOf)
+      nf.track = f.track // positional contract: same rows, same order
+      f -> nf
     }
     dvs = dvs.flatMap { case (of, bs) =>
       pairs.find(_._1 eq of).map(_._2 -> bs)
@@ -1791,6 +1912,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
       d.registry.put(m.rel, nf)
       nf
     })
+    // positional contract (order/count preserved): row identity carries
+    // 1:1; explicit vectors re-materialize beside the rebuilt segment
+    pairs.foreach { case (of, nf) =>
+      nf.track = GraftRowTrack.carry(of.track, nf)
+    }
     dvs = dvs.flatMap { case (of, bs) =>
       pairs.find(_._1 eq of).map(_._2 -> bs)
     }
@@ -1819,6 +1945,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def applyChanges(changes: Seq[TableChange]): Unit =
     mutate {
       var widened = false
+      var alterParams = Map.empty[String, String]
       changes.foreach {
         case add: TableChange.AddColumn =>
           if (add.fieldNames.length != 1)
@@ -2046,6 +2173,34 @@ class GraftTable(initialName: String, initialSchema: StructType,
           tableSchema = GraftBloom.unstamp(tableSchema)
           readState = (files, dvs)
 
+        // ROW TRACKING enablement mid-life (Delta's ALTER TABLE SET
+        // TBLPROPERTIES delta.enableRowTracking): metadata-only — every
+        // existing file takes an arithmetic track at this commit's
+        // snap() (deterministic: file order x rowCounts from the
+        // pre-commit high-water mark, so a replaying process assigns
+        // identically), new writes mint beyond. Disable just unstamps;
+        // assigned tracks stay dormant on the file objects.
+        case sp: TableChange.SetProperty
+            if sp.property == GraftTable.RowTrackingProp =>
+          sp.value match {
+            case "true" =>
+              if (!rowTrackingEnabled) {
+                alterParams += (GraftTable.RowIdBackfillParam ->
+                  rowIdHw.toString)
+                tableSchema = GraftTable.stampRowTracking(tableSchema)
+              }
+            case "false" =>
+              tableSchema = GraftTable.unstampRowTracking(tableSchema)
+            case other => throw new IllegalArgumentException(
+              s"${GraftTable.RowTrackingProp} must be 'true' or " +
+                s"'false', got '$other'")
+          }
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftTable.RowTrackingProp =>
+          tableSchema = GraftTable.unstampRowTracking(tableSchema)
+          readState = (files, dvs)
+
         // auto-compaction policy flips: metadata-only, next commit's
         // hook sees the new threshold (or none) — no blocking rewrite
         case sp: TableChange.SetProperty
@@ -2188,7 +2343,24 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // WIDEN gets its own op tag: pre-widen change records carry the
       // narrow representation, so CDF/streaming reads crossing it must
       // refuse (see assertCdfRangeReadable) — additive ALTERs need not.
-      snap(if (widened) GraftTable.WidenOp else "ALTER TABLE")
+      snap(if (widened) GraftTable.WidenOp else "ALTER TABLE",
+        params = alterParams)
+      // mid-life row-tracking ENABLEMENT persists its backfill through
+      // a forced checkpoint: the backfilled tracks of pre-existing
+      // files never re-encode in a delta entry, so the full-state
+      // anchor is what carries them to restarts (foreign live readers
+      // replay the same deterministic assignment off the params)
+      if (alterParams.contains(GraftTable.RowIdBackfillParam))
+        durable.foreach { d =>
+          val e = history.last
+          val checksTxt = checks.map { case (k, c) => k -> c.text }
+          val (manifest, parts) = GraftLogCodec.encodeCheckpoint(e,
+            partitionCols, bucketSpec, d.log.dir, checksTxt, nextFieldId,
+            epochLedger, GraftTable.checkpointPartFiles, checkpointLayout,
+            colStats)
+          d.log.installCheckpoint(e.version, manifest, parts)
+          d.addAnchor(e.version)
+        }
     }
 
   /** Partition-group key of a stored row: the identity partition
@@ -2302,7 +2474,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     else if (f.persisted)
       Some(GraftDataFile.viewOf(f,
         scala.collection.immutable.BitSet.fromSpecific(ps), exclude = false))
-    else Some(GraftDataFile.build(ps.map(f.rows(_)), tableSchema, keyOfOpt))
+    else {
+      val g = GraftDataFile.build(ps.map(f.rows(_)), tableSchema, keyOfOpt)
+      // heap copy renumbers positions: carry the rows' identities as
+      // an explicit vector so the change feed still serves them
+      val t = f.track
+      if (t != null)
+        g.track = new GraftRowTrack(-1L, t.ver,
+          ps.map(t.idAt), ps.map(t.verAt), explicit = true)
+      Some(g)
+    }
   }
 
   /** CDC view of a file set: EFFECTIVE rows only (a DV'd file's dead
@@ -2320,9 +2501,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (f.persisted)
             Some(GraftDataFile.viewOf(f, bs, exclude = true))
           else {
-            val rows = GraftDataFile.liveRows(f.rows, bs)
-            if (rows.isEmpty) None
-            else Some(GraftDataFile.build(rows, tableSchema, keyOfOpt))
+            val live = (0 until f.rowCount).filterNot(bs.contains).toArray
+            if (live.isEmpty) None
+            else {
+              val g = GraftDataFile.build(live.map(f.rows(_)),
+                tableSchema, keyOfOpt)
+              val t = f.track
+              if (t != null)
+                g.track = new GraftRowTrack(-1L, t.ver,
+                  live.map(t.idAt), live.map(t.verAt), explicit = true)
+              Some(g)
+            }
           }
       }
     }
@@ -2626,6 +2815,25 @@ class GraftTable(initialName: String, initialSchema: StructType,
     if (tableSchema != e.schema) tableSchema = e.schema
     nextFieldId = math.max(nextFieldId, dec.nextFieldId)
     restoreEpochs(dec.epochs)
+    // ROW TRACKING high-water recovery: every tracked commit carries
+    // the post-commit mark; the fold's last word wins (monotonic guard
+    // against an out-of-order replay ever rewinding the mint counter)
+    e.params.get(GraftTable.RowIdHwParam).foreach { hw =>
+      rowIdHw = math.max(rowIdHw, hw.toLong)
+    }
+    // mid-life enablement replay: a delta entry cannot re-carry the
+    // backfilled tracks of pre-existing files, so re-run the SAME
+    // deterministic assignment (file order x rowCounts from the
+    // recorded starting mark) over any still-untracked live file
+    e.params.get(GraftTable.RowIdBackfillParam).foreach { start =>
+      var hw = start.toLong
+      e.files.foreach { f =>
+        if (f.track == null) {
+          f.track = new GraftRowTrack(hw, e.version, null, null)
+          hw += f.rowCount
+        }
+      }
+    }
     // wholesale: every writer embeds its CURRENT stats in every entry,
     // so the fold's last word is the table's latest ANALYZE
     colStats = dec.colStats
@@ -2705,6 +2913,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       // bloomed heap files persist their filter words as the segment's
       // sidecar — the log entry carries only the refs
       GraftBloomSidecar.write(abs, f.blooms)
+      // explicit row-id vectors persist beside the segment the same way
+      val t = f.track
+      if (t != null && t.explicit)
+        GraftRowIdSidecar.write(abs, t.ids, t.vers)
       f.spill(new GraftSegmentHandle(abs, e.schema))
       d.registry.put(rel, f)
     }
@@ -2932,11 +3144,46 @@ class GraftTable(initialName: String, initialSchema: StructType,
                    removed: Vector[GraftDataFile] = Vector.empty,
                    params: Map[String, String] = Map.empty): Unit = {
     val last = history.last
+    // ROW TRACKING assignment — the single chokepoint every commit
+    // passes through BEFORE its state becomes readable: fresh files
+    // take an arithmetic track (base = the high-water mark, advancing
+    // by rowCount — O(1) per file); rewrite outputs arrived with
+    // PENDING captured vectors whose Mint sentinels resolve here (new
+    // ids for merge-inserts, this commit's version for updated rows).
+    // Durable explicit vectors land in the segment's .rowids sidecar
+    // now, before any scan can plan against the new state.
+    val paramsT =
+      if (!rowTrackingEnabled) params
+      else {
+        val v = last.version + 1
+        def settle(f: GraftDataFile): Unit = {
+          val t = f.track
+          if (t == null) {
+            f.track = new GraftRowTrack(rowIdHw, v, null, null)
+            rowIdHw += f.rowCount
+          } else if (!t.explicit && t.ids != null) {
+            val ids = t.ids; val vers = t.vers
+            var i = 0
+            while (i < ids.length) {
+              if (ids(i) == GraftRowTrack.Mint) {
+                ids(i) = rowIdHw; rowIdHw += 1
+              }
+              if (vers(i) == GraftRowTrack.Mint) vers(i) = v
+              i += 1
+            }
+            f.track = new GraftRowTrack(-1L, v, ids, vers, explicit = true)
+            if (f.persisted)
+              GraftRowIdSidecar.write(f.segment.path, ids, vers)
+          }
+        }
+        files.foreach(settle)
+        params + (GraftTable.RowIdHwParam -> rowIdHw.toString)
+      }
     // strictly increasing per table: commits in the same microsecond
     // (or a test clock standing still) must still resolve unambiguously
     val ts = math.max(GraftClock.nowMicros(), last.tsMicros + 1)
     history = history :+ CommitEntry(last.version + 1, tableSchema, files, ts,
-      op, added, removed, dvs, params)
+      op, added, removed, dvs, paramsT)
     val over = history.length - effectiveRetention(history)
     if (over > 0) history = history.drop(over)
     readState = (files, dvs)
@@ -3001,6 +3248,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
       fsDvs: Map[GraftDataFile, scala.collection.immutable.BitSet]): Unit =
     mutate {
       files = fs; dvs = fsDvs
+      // a tracked clone adopts its source's row ids BY REFERENCE; the
+      // clone's own mint counter must clear every adopted id or its
+      // first append would re-mint a row identity already in use
+      if (rowTrackingEnabled)
+        fs.foreach { f =>
+          val t = f.track
+          if (t != null)
+            rowIdHw = math.max(rowIdHw, t.maxIdExclusive(f.rowCount))
+        }
       snap("CLONE", added = cdcLiveView(fs))
     }
 
@@ -3039,6 +3295,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
             // deep-copied clone must keep skipping after its source is
             // vacuumed
             GraftBloomSidecar.copyAlongside(f.segment.path, abs)
+            // explicit row-id vectors are part of the segment's bytes
+            // too: the deep clone keeps serving stable row identity
+            // after its source is vacuumed
+            GraftRowIdSidecar.copyAlongside(f.segment.path, abs)
             val g = GraftDataFile.fromSegment(
               new GraftSegmentHandle(abs, f.segment.schema),
               f.zones, f.sizeBytes, f.groupKey, f.rowCount,
@@ -3049,6 +3309,22 @@ class GraftTable(initialName: String, initialSchema: StructType,
             // strong heap copy: the new file owns the array outright
             new GraftDataFile(f.rows, f.zones, f.sizeBytes, f.groupKey)
         }
+        // row identity carries with the bytes: same positions, same
+        // ids — an explicit track re-points its loader at the COPIED
+        // sidecar so it outlives the source's vacuum
+        val t = f.track
+        nf.track =
+          if (t == null || !t.explicit) t
+          else {
+            val seg = nf.segment
+            if (seg == null) t
+            else {
+              val p0 = seg.path
+              new GraftRowTrack(t.base, t.ver, null, null,
+                explicit = true,
+                loader = () => GraftRowIdSidecar.read(p0))
+            }
+          }
         dvs.get(f).foreach(newDvs(nf) = _)
         nf
       }
@@ -3122,8 +3398,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * shares them), so the change feed and streaming tails read straight
     * through: the commit's CDC record is the reference-diff row delta.
     * Schema or layout drift refuses loudly with the REPLACE remedy. */
+  /** ROW TRACKING across chains: adopting another chain's state (or a
+    * commit of it) adopts row ids that chain minted — this chain's own
+    * counter must clear them or a later append would re-mint a row
+    * identity already in use. Monotonic max, never a rewind. */
+  private def adoptRowIdHw(src: GraftTable): Unit =
+    if (rowTrackingEnabled) rowIdHw = math.max(rowIdHw, src.rowIdHw)
+
   private[sources] def publishFrom(src: GraftTable,
       ident: Identifier, version: Option[Int] = None): Int = mutate {
+    adoptRowIdHw(src)
     val (srcSchema, fs, fsDvs) =
       src.stateAt(version, Identifier.of(Array.empty[String], src.name()))
     // StructType equality compares field METADATA too, so schema
@@ -3208,6 +3492,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       if (f.persisted) byRef.getOrElse(f.segment.path, f) else f
     val boundFs = fs.map(rebind)
     val boundDvs = fsDvs.map { case (f, bs) => rebind(f) -> bs }
+    adoptRowIdHw(bt)
     val (added, removed) = stateDiffCdc(boundFs, boundDvs)
     files = boundFs
     dvs = boundDvs
@@ -3309,9 +3594,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
             .map(_.segment.path.getFileName.toString).mkString(","))
       }
     }
+    // ROW TRACKING: the fork seeds the branch's mint counter at main's
+    // — branch-minted ids start beyond every id the fork adopted
+    val trackParams =
+      if (rowTrackingEnabled)
+        Map(GraftTable.RowIdHwParam -> rowIdHw.toString)
+      else Map.empty[String, String]
     val e = CommitEntry(v, tableSchema, files, ts,
       GraftTable.CreateBranchOp, Vector.empty, Vector.empty, dvs,
-      Map("forkVersion" -> v.toString) ++ clusterAnchor)
+      Map("forkVersion" -> v.toString) ++ clusterAnchor ++ trackParams)
     // the creation entry embeds its layout exactly when a fold could
     // not thread it from table.json (the checkpointLayout invariant)
     val json = GraftLogCodec.encodeEntry(e, partitionCols, bucketSpec,
@@ -3686,6 +3977,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
         s"$tableName: ${bt.name()}@v$v appends nothing to pick")
     val layoutSafe = bt.partitionCols == partitionCols &&
       bt.bucketSpec == bucketSpec && !bt.everReplaced && !everReplaced
+    adoptRowIdHw(bt)
     val adopt =
       if (layoutSafe) e.added else e.added.map(GraftDataFile.degrouped)
     files = files ++ adopt
@@ -4590,11 +4882,23 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * postimage inserts. Layout commits (OPTIMIZE/ZORDER/ALTER) record
     * no changes at all. Rows of pre-evolution commits project to the
     * CURRENT schema with NULL in the added columns. */
-  private[sources] def changesSchema: StructType = StructType(
-    StructField("_change_type", StringType, nullable = false) +:
-    StructField("_commit_version", IntegerType, nullable = false) +:
-    StructField("_commit_timestamp", LongType, nullable = false) +:
-    tableSchema.fields.toSeq)
+  private[sources] def changesSchema: StructType = {
+    val base =
+      StructField("_change_type", StringType, nullable = false) +:
+      StructField("_commit_version", IntegerType, nullable = false) +:
+      StructField("_commit_timestamp", LongType, nullable = false) +:
+      tableSchema.fields.toSeq
+    // ROW TRACKING: the feed carries each change row's stable identity
+    // as a trailing column, so a consumer pairs an UPDATE's preimage
+    // and postimage by `_row_id` instead of positional/multiset
+    // heuristics (and the multiset cancellation itself keys on
+    // (data, id) — two equal-valued rows with different identities no
+    // longer cancel). Null on pre-tracking commits' rows.
+    if (rowTrackingEnabled)
+      StructType((base :+
+        StructField("_row_id", LongType, nullable = true)).toArray)
+    else StructType(base.toArray)
+  }
 
   /** One commit's minimal row delta in [[changesSchema]] layout —
     * the DRIVER-side materializer (heap tables; derived-file fallback;
@@ -4604,13 +4908,17 @@ class GraftTable(initialName: String, initialSchema: StructType,
 
   private def changeRowsSubset(adds: Seq[GraftDataFile],
       rems: Seq[GraftDataFile], e: CommitEntry): Array[InternalRow] = {
-    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, Literal, UnsafeProjection, UnsafeRow}
     if (adds.isEmpty && rems.isEmpty)
       return Array.empty[InternalRow]
     val dataSchema = tableSchema
+    val tracked = rowTrackingEnabled
     // canonicalize both sides to UnsafeRows of the CURRENT data schema
     // (append-only evolution: match columns by name, pad missing with
-    // NULL) so the multiset diff compares bytes
+    // NULL) so the multiset diff compares bytes. On a TRACKED table the
+    // canonical row carries the row's `_row_id` as a trailing column —
+    // cancellation then keys on (data, identity), and what survives
+    // serves the id to the feed
     val toCanonical = UnsafeProjection.create(
       dataSchema.fields.toIndexedSeq.map { f =>
         FieldIds.ordinalOf(f, e.schema) match {
@@ -4619,16 +4927,50 @@ class GraftTable(initialName: String, initialSchema: StructType,
           case i => BoundReference(i, f.dataType, nullable = true)
         }
       })
+    // (canonical data row, id) -> one canonical row of width n+1; the
+    // two-step build keeps the id ordinal fixed even when stored rows
+    // are wider than the commit's schema
+    val withId = UnsafeProjection.create(
+      dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      } :+ (BoundReference(dataSchema.length, LongType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+    val joined = new JoinedRow
+    // per-file (row, id) enumeration: positions are the file's OWN for
+    // plain files, the BASE's originals for position views
+    def idRows(f: GraftDataFile): Iterator[(InternalRow, Any)] = {
+      val t = f.track
+      def idAt(p: Int): Any =
+        if (!tracked || t == null) null
+        else (t.idAt(p): java.lang.Long): Any
+      if (f.derive.isDefined) f.rows.iterator.map(r => (r, null: Any))
+      else f.viewSel match {
+        case Some((bs, ex)) =>
+          val ps: Iterator[Int] =
+            if (!ex) bs.iterator
+            else (0 until (bs.size + f.rowCount)).iterator
+              .filterNot(bs.contains)
+          f.rows.iterator.zip(ps).map { case (r, p) => (r, idAt(p)) }
+        case None =>
+          f.rows.iterator.zipWithIndex.map { case (r, p) => (r, idAt(p)) }
+      }
+    }
     // signed multiset: +1 per added row, −1 per removed; what cancels
     // was carried through the rewrite unchanged
     val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
-    def bump(rows: Iterator[InternalRow], d: Int): Unit =
-      rows.foreach { r =>
-        val k = toCanonical(r).copy()
+    def bump(fs: Seq[GraftDataFile], d: Int): Unit =
+      fs.iterator.flatMap(idRows).foreach { case (r, id) =>
+        val cd = toCanonical(r)
+        val k =
+          if (!tracked) cd.copy()
+          else withId(joined.apply(cd,
+            new GenericInternalRow(Array[Any](id)))).copy()
         counts.merge(k, d, (a, b) => a + b)
       }
-    bump(adds.iterator.flatMap(_.rows), 1)
-    bump(rems.iterator.flatMap(_.rows), -1)
+    bump(adds, 1)
+    bump(rems, -1)
+    val emitWidth = if (tracked) dataSchema.length + 1 else dataSchema.length
     def emit(ct: String) = UnsafeProjection.create(
       (Literal(utf8(ct), StringType)
           : org.apache.spark.sql.catalyst.expressions.Expression) +:
@@ -4636,8 +4978,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
           : org.apache.spark.sql.catalyst.expressions.Expression) +:
       (Literal(e.tsMicros, LongType)
           : org.apache.spark.sql.catalyst.expressions.Expression) +:
-      dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, nullable = true)
+      (0 until emitWidth).map { i =>
+        val dt = if (i < dataSchema.length) dataSchema.fields(i).dataType
+          else LongType
+        BoundReference(i, dt, nullable = true)
           : org.apache.spark.sql.catalyst.expressions.Expression
       })
     val ins = emit("insert")
@@ -4758,12 +5102,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
       ai += 1
     }
+    val trackedCdc = rowTrackingEnabled
     def segOf(f: GraftDataFile): GraftSegmentScanPartition = {
       val fs = f.segment.schema
       val (sel, selEx) = f.selArrays
+      val t = f.track
       GraftSegmentScanPartition(f.segment.path.toString, fs.json,
-        Array.tabulate(fs.length)(identity), Array.empty, Nil, -1,
-        sel, selEx)
+        Array.tabulate(fs.length)(identity), Array.empty,
+        if (trackedCdc) Seq("_row_id") else Nil, -1,
+        sel, selEx,
+        tracked = trackedCdc && t != null,
+        trackExplicit = t != null && t.explicit,
+        trackBase = if (t != null) t.base else -1L,
+        trackVer = if (t != null) t.ver else -1L)
     }
     def zonesFor(tagMin: String, tagMax: String,
         members: Seq[GraftDataFile], claimed: Int): Array[ColZone] = {
@@ -4811,7 +5162,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (insert) Seq(segOf(f)) else Nil,
           if (insert) Nil else Seq(segOf(f)),
           cancel = false, ordMap, dataSchema.json,
-          e.version, e.tsMicros, proj),
+          e.version, e.tsMicros, proj, tracked = trackedCdc),
         driverRows = () => changeRowsSubset(
           if (insert) Seq(f) else Nil, if (insert) Nil else Seq(f), e),
         // a position view's zones are the base's superset envelope
@@ -4837,7 +5188,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
           exactCount = false, // survivors unknown without reading
           partition = proj => GraftChangeScanPartition(as.map(segOf),
             rs.map(segOf), cancel = true, ordMap, dataSchema.json,
-            e.version, e.tsMicros, proj, slice = i, nSlices = nSlices),
+            e.version, e.tsMicros, proj, slice = i, nSlices = nSlices,
+            tracked = trackedCdc),
           driverRows = () => {
             // driver fallback of one slice: the full subset diff,
             // filtered to this slice's share (heap consumers only)
@@ -4846,7 +5198,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
             else {
               // slice on the DATA projection of the emitted row — the
               // same canonical key the reader hashes
-              val dataLen = dataSchema.length
+              // tracked feeds canonicalize (data, id): the slice key
+              // must match the reader's exactly or a row lands in no
+              // slice (or two)
+              val dataLen = dataSchema.length +
+                (if (trackedCdc) 1 else 0)
               val csch = changesSchema
               val keyProj = org.apache.spark.sql.catalyst.expressions
                 .UnsafeProjection.create((0 until dataLen).toIndexedSeq
@@ -4964,16 +5320,27 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private def buildFiles(ds: Array[GraftDelivery]): Vector[GraftDataFile] =
     ds.iterator.flatMap {
       case GraftFilesDelivery(fs) => fs.iterator
-      case GraftRowsDelivery(batch) if batch.isEmpty => Iterator.empty
-      case GraftRowsDelivery(batch) =>
+      case GraftRowsDelivery(batch, _, _) if batch.isEmpty => Iterator.empty
+      case GraftRowsDelivery(batch, tIds, tVers) =>
+        def withTrack(f: GraftDataFile, idx: Array[Int]): GraftDataFile = {
+          // PENDING track (ids != null, explicit = false): Mint
+          // sentinels resolve — and the track finalizes — at snap()
+          if (tIds != null)
+            f.track = new GraftRowTrack(-1L, -1L,
+              idx.map(tIds(_)), idx.map(tVers(_)))
+          f
+        }
         keyOfOpt match {
           case None =>
-            Iterator.single(GraftDataFile.build(batch, tableSchema, None))
+            Iterator.single(withTrack(
+              GraftDataFile.build(batch, tableSchema, None),
+              batch.indices.toArray))
           case Some(keyOf) =>
-            batch.groupBy(keyOf).toSeq
+            batch.indices.toArray.groupBy(i => keyOf(batch(i))).toSeq
               .sortBy(_._1.mkString("|")) // deterministic file order
-              .iterator.map { case (_, rs) =>
-                GraftDataFile.build(rs, tableSchema, keyOfOpt)
+              .iterator.map { case (_, idx) =>
+                withTrack(GraftDataFile.build(idx.map(batch(_)),
+                  tableSchema, keyOfOpt), idx)
               }
         }
     }.toVector
@@ -4983,7 +5350,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * [[GraftSegmentDataWriter.write]]) and never re-read here. */
   private def validateDeliveries(ds: Array[GraftDelivery]): Unit =
     validateChecks(ds.iterator.collect {
-      case GraftRowsDelivery(rows) => rows
+      case GraftRowsDelivery(rows, _, _) => rows
     }.flatten)
 
   // ---- executor-side segment writes (durable tables) -----------------
@@ -5002,7 +5369,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
         partitionCols, bucketSpec,
         checks.toSeq.sortBy(_._1),
         java.util.UUID.randomUUID().toString.take(12),
-        checksFingerprint)
+        checksFingerprint,
+        rowTracking = rowTrackingEnabled)
     }
 
   /** Driver-side adoption of commit messages: rows messages pass
@@ -5013,7 +5381,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
   private[sources] def adoptDeliveries(
       messages: Array[WriterCommitMessage]): Array[GraftDelivery] =
     messages.map {
-      case GraftRowsMessage(rows) => GraftRowsDelivery(rows)
+      case GraftRowsMessage(rows, tIds, tVers) =>
+        GraftRowsDelivery(rows, tIds, tVers)
       case m: GraftSegmentsMessage =>
         val d = durable.getOrElse(throw new IllegalStateException(
           s"$tableName: segment commit message on a non-durable table"))
@@ -5033,6 +5402,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
           val f = GraftDataFile.fromSegment(
             new GraftSegmentHandle(d.log.dir.resolve(s.rel), segSchema),
             s.zones, s.bytes, s.groupKey, s.rowCount, bloomRefs = s.bloomRefs)
+          // ROW TRACKING: the task's captured identity vectors attach
+          // as a PENDING track; snap() mints the sentinels and writes
+          // the segment's .rowids sidecar
+          if (s.trackIds != null)
+            f.track = new GraftRowTrack(-1L, -1L, s.trackIds, s.trackVers)
           // a metadata-only ADD COLUMN may have widened the table
           // between the write factory's creation and this commit —
           // bring the adopted handle in line (no-op otherwise)
@@ -5320,13 +5694,22 @@ class GraftTable(initialName: String, initialSchema: StructType,
         val sp = session.get
         val writeId = java.util.UUID.randomUUID().toString.take(12)
         val schemaJson = p.schema.json
+        val trackingAc = rowTrackingEnabled
         val jobs = p.bins.zipWithIndex.map { case (fs, i) =>
           GraftCompactJob(
             fs.map(f => (f.segment.path.toString, f.segment.schema.json,
               p.dvSnap(f).toArray)),
             d.log.dir.toString, writeId, i, schemaJson,
             partitionCols, bucketSpec, Nil,
-            GraftTable.AutoCompactTargetRows)
+            GraftTable.AutoCompactTargetRows,
+            segTracks =
+              if (!trackingAc) Nil
+              else fs.map { f =>
+                val t = f.track
+                (t != null, t != null && t.explicit,
+                  if (t != null) t.base else -1L,
+                  if (t != null) t.ver else -1L)
+              })
         }
         val prevSession = org.apache.spark.sql.SparkSession.getActiveSession
         org.apache.spark.sql.SparkSession.setActiveSession(sp)
@@ -5353,6 +5736,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
                 new GraftSegmentHandle(d.log.dir.resolve(m.rel), p.schema),
                 m.zones, m.bytes, m.groupKey, m.rowCount,
                 bloomRefs = m.bloomRefs)
+              if (m.trackSidecar) {
+                val p0 = d.log.dir.resolve(m.rel)
+                nf.track = new GraftRowTrack(-1L, -1L, null, null,
+                  explicit = true,
+                  loader = () => GraftRowIdSidecar.read(p0))
+              } else if (m.trackIds != null)
+                nf.track = GraftRowTrack.pending(m.trackIds, m.trackVers)
               d.registry.put(m.rel, nf)
               nf
             }
@@ -5466,7 +5856,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // a task-written file's key comes from its metadata — the touched
     // set never needs the segment's rows
     val touched = ds.iterator.flatMap {
-      case GraftRowsDelivery(rows) => rows.iterator.map(keyOf)
+      case GraftRowsDelivery(rows, _, _) => rows.iterator.map(keyOf)
       case GraftFilesDelivery(fs) =>
         fs.iterator.map(_.groupKey.getOrElse(Nil))
     }.toSet
@@ -5600,6 +5990,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val distributable = durable.isDefined && sparkOpt.isDefined &&
       mergeBins.nonEmpty &&
       mergeBins.forall(_.forall(f => f.persisted && f.viewSel.isEmpty))
+    val tracking = rowTrackingEnabled
     val merged: Map[Int, Seq[GraftDataFile]] =
       if (distributable) {
         val d = durable.get
@@ -5613,7 +6004,15 @@ class GraftTable(initialName: String, initialSchema: StructType,
                   .toArray)
             },
             d.log.dir.toString, writeId, i, schemaJson,
-            partitionCols, bucketSpec, zorderCols, targetRows)
+            partitionCols, bucketSpec, zorderCols, targetRows,
+            segTracks =
+              if (!tracking) Nil
+              else fs.map { f =>
+                val t = f.track
+                (t != null, t != null && t.explicit,
+                  if (t != null) t.base else -1L,
+                  if (t != null) t.ver else -1L)
+              })
         }
         val metas = sparkOpt.get.sparkContext
           .parallelize(jobs, jobs.length)
@@ -5625,30 +6024,58 @@ class GraftTable(initialName: String, initialSchema: StructType,
             val f = GraftDataFile.fromSegment(
               new GraftSegmentHandle(d.log.dir.resolve(m.rel), schema),
               m.zones, m.bytes, m.groupKey, m.rowCount, bloomRefs = m.bloomRefs)
+            if (m.trackSidecar) {
+              // the task wrote the vectors beside its segment; attach
+              // a lazy loader — nothing row-sized crossed the driver
+              val p0 = d.log.dir.resolve(m.rel)
+              f.track = new GraftRowTrack(-1L, -1L, null, null,
+                explicit = true,
+                loader = () => GraftRowIdSidecar.read(p0))
+            } else if (m.trackIds != null)
+              f.track = GraftRowTrack.pending(m.trackIds, m.trackVers)
             d.registry.put(m.rel, f)
             f
           }
         }.toMap
       } else {
         mergeBins.zipWithIndex.map { case (fs, i) =>
-          val rows = fs.iterator.flatMap(effRows).toArray
+          // (row, id, ver) triples so a regroup/sort carries identity
+          val entries = fs.iterator.flatMap { f =>
+            val dead = dvs.getOrElse(f,
+              scala.collection.immutable.BitSet.empty)
+            val t = f.track
+            (0 until f.rowCount).iterator.filterNot(dead.contains)
+              .map { p =>
+                if (!tracking || t == null)
+                  (f.rows(p), GraftRowTrack.Mint, GraftRowTrack.Mint)
+                else (f.rows(p), t.idAt(p), t.verAt(p))
+              }
+          }.toArray
+          def buildT(es: Array[(InternalRow, Long, Long)]): GraftDataFile = {
+            val nf = GraftDataFile.build(es.map(_._1), tableSchema,
+              keyOfOpt)
+            if (tracking)
+              nf.track = GraftRowTrack.pending(es.map(_._2), es.map(_._3))
+            nf
+          }
           val built: Seq[GraftDataFile] =
             if (zorderCols.isEmpty) {
               // split per CURRENT group key (the executor twin does the
               // same): a mixed legacy-remainder bin REGROUPS under the
               // live spec instead of re-merging spanning
-              val groups: Seq[Array[InternalRow]] = keyOfOpt match {
-                case Some(k) if rows.nonEmpty =>
-                  rows.groupBy(k).toSeq.sortBy(_._1.mkString("|"))
-                    .map(_._2)
-                case _ => Seq(rows)
-              }
-              groups.map(GraftDataFile.build(_, tableSchema, keyOfOpt))
+              val groups: Seq[Array[(InternalRow, Long, Long)]] =
+                keyOfOpt match {
+                  case Some(k) if entries.nonEmpty =>
+                    entries.groupBy(e => k(e._1)).toSeq
+                      .sortBy(_._1.mkString("|")).map(_._2)
+                  case _ => Seq(entries)
+                }
+              groups.map(buildT)
             } else {
-              val key = GraftZCurve.keyFn(tableSchema, zorderCols, rows)
-              rows.sortBy(key).grouped(targetRows)
-                .map(c => GraftDataFile.build(c, tableSchema, keyOfOpt))
-                .toSeq
+              val key = GraftZCurve.keyFn(tableSchema, zorderCols,
+                entries.map(_._1))
+              entries.sortBy(e => key(e._1)).grouped(targetRows)
+                .map(buildT).toSeq
             }
           i -> built
         }.toMap
@@ -5764,17 +6191,37 @@ class GraftTable(initialName: String, initialSchema: StructType,
         files = runCompaction(planned, scopes, cols, targetRows)
       } else {
         // row-level scope split (driver): rare spanning-file layout
-        def pack(rows: Array[InternalRow]): Iterator[GraftDataFile] = {
-          if (rows.isEmpty) return Iterator.empty
-          val key = GraftZCurve.keyFn(schema, cols, rows)
-          rows.sortBy(key).grouped(targetRows)
-            .map(chunk => GraftDataFile.build(chunk, schema, keyOfOpt))
+        val trackingZ = rowTrackingEnabled
+        def pack(es: Array[(InternalRow, Long, Long)])
+            : Iterator[GraftDataFile] = {
+          if (es.isEmpty) return Iterator.empty
+          val key = GraftZCurve.keyFn(schema, cols, es.map(_._1))
+          es.sortBy(e => key(e._1)).grouped(targetRows).map { chunk =>
+            val nf = GraftDataFile.build(chunk.map(_._1), schema, keyOfOpt)
+            if (trackingZ)
+              nf.track = GraftRowTrack.pending(chunk.map(_._2),
+                chunk.map(_._3))
+            nf
+          }
         }
-        // live rows only: the re-layout purges delete vectors
+        // live rows only: the re-layout purges delete vectors — each
+        // row's identity rides as a (row, id, ver) triple through the
+        // sort so the re-layout never re-mints
+        val entriesZ = before.toArray.flatMap { f =>
+          val dead = dvs.getOrElse(f,
+            scala.collection.immutable.BitSet.empty)
+          val t = f.track
+          (0 until f.rowCount).iterator.filterNot(dead.contains).map { p =>
+            if (!trackingZ || t == null)
+              (f.rows(p), GraftRowTrack.Mint, GraftRowTrack.Mint)
+            else (f.rows(p), t.idAt(p), t.verAt(p))
+          }
+        }
+        val gk = boundGroupKey()
         files = carried ++
-          before.toArray.flatMap(effRows).groupBy(boundGroupKey()).toSeq
+          entriesZ.groupBy(e => gk(e._1)).toSeq
             .sortBy(_._1.mkString("|"))
-            .iterator.flatMap { case (_, rs) => pack(rs) }.toVector
+            .iterator.flatMap { case (_, es) => pack(es) }.toVector
       }
       pruneDvs()
       // layout-only: zero logical row changes
@@ -5842,6 +6289,8 @@ class GraftTable(initialName: String, initialSchema: StructType,
     val clusterBy = GraftTable.clusterByCols(tableSchema)
     if (clusterBy.nonEmpty)
       m.put(GraftTable.ClusterByProp, clusterBy.mkString(","))
+    if (rowTrackingEnabled)
+      m.put(GraftTable.RowTrackingProp, "true")
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -6019,7 +6468,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           if (id.ord < f.zones.length && f.zones(id.ord) != null)
             fold(f.zones(id.ord).max)
         }
-        case GraftRowsDelivery(rows) =>
+        case GraftRowsDelivery(rows, _, _) =>
           val dt = fs.schema.fields(id.ord).dataType
           rows.foreach { r =>
             if (!r.isNullAt(id.ord)) fold(r.get(id.ord, dt))
@@ -6388,8 +6837,14 @@ class GraftTable(initialName: String, initialSchema: StructType,
         override def rowId(): Array[NamedReference] =
           Array(Expressions.column("_file_id"), Expressions.column("_row_pos"))
 
+        // ROW TRACKING: the delta writer reads the original row's
+        // identity from these to preserve `_row_id` through an UPDATE's
+        // delete+insert decomposition (Delta's MOR update semantics)
         override def requiredMetadataAttributes(): Array[NamedReference] =
-          Array.empty
+          if (rowTrackingEnabled)
+            Array(Expressions.column("_row_id"),
+              Expressions.column("_row_commit_version"))
+          else Array.empty
 
         override def newWriteBuilder(wInfo: LogicalWriteInfo)
             : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
@@ -6427,34 +6882,58 @@ class GraftTable(initialName: String, initialSchema: StructType,
           refreshIfStale()
           val st = readState
           scannedFiles = st._1
+          // ROW TRACKING: the rewrite's scan serves each row's
+          // identity as trailing metadata columns (the ones
+          // requiredMetadataAttributes asked for), so the writer can
+          // preserve ids into the replacement files
+          val trackMeta: Seq[String] =
+            if (rowTrackingEnabled)
+              Seq("_row_id", "_row_commit_version", "_row_probe")
+            else Nil
+          val outSchema =
+            if (trackMeta.isEmpty) tableSchema
+            else StructType(tableSchema.fields ++ trackMeta.map(n =>
+              org.apache.spark.sql.types.StructField(n,
+                GraftTable.metaTypeOf(n), nullable = true)))
           if (partitionCols.isEmpty) {
             // unpartitioned: the whole table is ONE group — the rewrite
             // reads everything by definition (COW tables carry no DVs),
             // but persisted segments still STREAM through partition
             // readers; the driver handles references only
             val idx = Array.tabulate(tableSchema.length)(identity)
-            val chunks = st._1.map { f =>
+            val chunks = st._1.zipWithIndex.map { case (f, fid) =>
               val dead = st._2.getOrElse(f,
                 scala.collection.immutable.BitSet.empty)
               if (f.persisted) {
                 val (sel, selEx) = f.selArrays
+                val trk = f.track
                 ScanChunk.lazily(
                   GraftSegmentScanPartition(f.segment.path.toString,
-                    f.segment.schema.json, idx, dead.toArray, Nil, -1,
-                    sel, selEx),
+                    f.segment.schema.json, idx, dead.toArray, trackMeta,
+                    fid, sel, selEx,
+                    tracked = trackMeta.nonEmpty && trk != null,
+                    trackExplicit = trk != null && trk.explicit,
+                    trackBase = if (trk != null) trk.base else -1L,
+                    trackVer = if (trk != null) trk.ver else -1L),
                   Map.empty, None, f.rowCount - dead.size,
-                  () => GraftDataFile.liveRows(f.rows, dead))
-              } else ScanChunk(GraftDataFile.liveRows(f.rows, dead),
+                  () =>
+                    if (trackMeta.isEmpty)
+                      GraftDataFile.liveRows(f.rows, dead)
+                    else GraftTable.trackAugment(f.rows, tableSchema,
+                      f.track))
+              } else ScanChunk(
+                if (trackMeta.isEmpty) GraftDataFile.liveRows(f.rows, dead)
+                else GraftTable.trackAugment(f.rows, tableSchema, f.track),
                 Map.empty)
             }.toArray
-            new GraftScan(tableSchema, chunks,
+            new GraftScan(outSchema, chunks,
               math.max(1L, st._1.iterator.map(_.sizeBytes).sum))
           } else {
             // partitioned: hand the scan FILES, not rows — the runtime
             // group filter drops untouched partitions' files before a
             // row (or, durable, a segment byte) is ever read
-            rlScan = new GraftRowLevelScan(tableSchema, partitionCols,
-              st._1, boundGroupKey())
+            rlScan = new GraftRowLevelScan(outSchema, partitionCols,
+              st._1, boundGroupKey(), trackMeta.nonEmpty)
             rlScan
           }
         }
@@ -6490,8 +6969,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
           }
         }
 
+      // ROW TRACKING: ask the scan to thread each row's identity
+      // through the rewrite — the writer reads it off the metadata
+      // view and preserves it into the replacement files (_row_probe
+      // is how it tells copied from updated; see GraftReplaceDataOps)
       override def requiredMetadataAttributes(): Array[NamedReference] =
-        Array.empty
+        if (rowTrackingEnabled)
+          Array(Expressions.column("_row_id"),
+            Expressions.column("_row_commit_version"),
+            Expressions.column("_row_probe"))
+        else Array.empty
     }
 }
 
@@ -6523,6 +7010,43 @@ object GraftTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
 
+  /** ROW TRACKING (Delta's `delta.enableRowTracking`): stable per-row
+    * `_row_id` / `_row_commit_version` identity surviving COW rewrites,
+    * OPTIMIZE/ZORDER, clones, branches and restarts. Declared as a
+    * table property, stamped into field metadata like `bloom.columns` /
+    * `auto.compact` so it persists in the log and reaches restarts and
+    * foreign processes with zero plumbing. */
+  val RowTrackingProp = "row.tracking"
+  private val RowTrackMeta = "graft.rowtrack"
+  /** Commit-params key carrying the row-id high-water mark (the next
+    * id to mint) — O(1) per commit; restart/foreign-sync recovery reads
+    * the latest entry's value. */
+  val RowIdHwParam = "rowid.hw"
+  /** Params key of a mid-life enablement commit: the PRE-commit mark
+    * its deterministic backfill (file order x rowCounts) started from —
+    * what a replaying process re-runs to assign identical tracks. */
+  val RowIdBackfillParam = "rowid.backfill"
+
+  private[sources] def stampRowTracking(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putBoolean(RowTrackMeta, true)
+        .build())
+    })
+  private[sources] def unstampRowTracking(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(RowTrackMeta)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(RowTrackMeta)
+        f.copy(metadata = mb.build())
+      }
+    })
+  private[sources] def rowTrackingStamped(schema: StructType): Boolean =
+    schema.fields.exists(f => f.metadata.contains(RowTrackMeta) &&
+      f.metadata.getBoolean(RowTrackMeta))
+
   /** The `_file_id`/`_row_pos` metadata columns — shared by the live
     * table AND every snapshot-backed relation (time travel, the
     * `t$changes` feed), so a 100 TB audit can address rows whichever
@@ -6542,11 +7066,78 @@ object GraftTable {
         "physical segment path (NULL for heap/derived rows)",
         colNullable = true))
 
+  /** The ROW-TRACKING metadata columns — served only on tables with
+    * `row.tracking` enabled (Delta's `_metadata.row_id` /
+    * `row_commit_version`). Nullable: DERIVED pseudo-files (CDC
+    * recipes) synthesize rows with no durable identity, and a table
+    * that enabled tracking mid-life may retain pre-tracking snapshots. */
+  val TrackMetaColumns: Array[MetadataColumn] =
+    Array(
+      GraftMetaCol("_row_id", org.apache.spark.sql.types.LongType,
+        "stable row id (survives COW rewrites and OPTIMIZE)",
+        colNullable = true),
+      GraftMetaCol("_row_commit_version",
+        org.apache.spark.sql.types.LongType,
+        "commit version that last produced this row's value",
+        colNullable = true),
+      // internal: canonical hash of the row's data columns — the COW
+      // rewrite requests it so its writers can tell a copied row (keep
+      // version) from an updated one (take the committing version)
+      // without the plan disclosing the operation per row
+      GraftMetaCol("_row_probe", org.apache.spark.sql.types.LongType,
+        "canonical data-row hash (rewrite-internal)",
+        colNullable = true))
+
   /** Catalyst type of one metadata column (the scan builds meta rows
     * and projections by NAME). */
   def metaTypeOf(name: String): DataType = name match {
     case "_file_ref" => org.apache.spark.sql.types.StringType
+    case "_row_id" | "_row_commit_version" | "_row_probe" =>
+      org.apache.spark.sql.types.LongType
     case _ => org.apache.spark.sql.types.IntegerType
+  }
+
+  /** Is `name` a nullable meta column? (Schema builders and row
+    * augmenters share this single definition.) */
+  def metaNullable(name: String): Boolean =
+    name == "_file_ref" || name == "_row_id" ||
+      name == "_row_commit_version" || name == "_row_probe"
+
+  /** Append each row's (_row_id, _row_commit_version) — driver-side
+    * twin of the partition readers' augmentation, for heap files on
+    * the row-level rewrite scans. Positions are ROW INDICES: callers
+    * pass whole-file row arrays (COW tables carry no delete vectors,
+    * so index = original position). `track` null serves nulls. */
+  private[sources] def trackAugment(rows: Array[InternalRow],
+      dataSchema: StructType, track: GraftRowTrack): Array[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+    def longRef(i: Int) =
+      BoundReference(i, org.apache.spark.sql.types.LongType,
+        nullable = true)
+        : org.apache.spark.sql.catalyst.expressions.Expression
+    val proj = UnsafeProjection.create(
+      dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      } ++ Seq(longRef(dataSchema.length), longRef(dataSchema.length + 1),
+        longRef(dataSchema.length + 2)))
+    val probeProj = UnsafeProjection.create(
+      dataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      })
+    val joined = new JoinedRow
+    Array.tabulate(rows.length) { p =>
+      val (id, ver): (Any, Any) =
+        if (track == null) (null, null)
+        else ((track.idAt(p): java.lang.Long): Any,
+              (track.verAt(p): java.lang.Long): Any)
+      val probe: Any =
+        (GraftReplaceDataOps.probeOf(probeProj, rows(p)): java.lang.Long)
+      proj(joined.apply(rows(p),
+        new GenericInternalRow(Array[Any](id, ver, probe)))).copy()
+        : InternalRow
+    }
   }
 
   /** Operation tag of the atomic REPLACE TABLE swap commit. Marked
@@ -6951,7 +7542,8 @@ class GraftDeltaWrite(table: GraftTable,
         info: PhysicalWriteInfo): DeltaWriterFactory =
       // the SAME spec instance the commit verifies — writers must mint
       // from the block the reservation check covers
-      GraftDeltaWriterFactory(table.durableWriteSpec(), fill)
+      GraftDeltaWriterFactory(table.durableWriteSpec(), fill,
+        tracked = table.rowTrackingEnabled)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
@@ -6973,20 +7565,32 @@ class GraftDeltaWrite(table: GraftTable,
   * insert data never crosses to the driver either. */
 case class GraftDeltaWriterFactory(
     durableSpec: Option[GraftDurableWriteSpec] = None,
-    guard: Option[GraftFillSpec] = None)
+    guard: Option[GraftFillSpec] = None,
+    tracked: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val dels = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       private val insWriter: DataWriter[InternalRow] =
-        GraftWriterFactory(None, durableSpec, guard)
+        GraftWriterFactory(None, durableSpec, guard, rowTracking = tracked)
           .createWriter(partitionId, taskId)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += ((id.getInt(0), id.getInt(1)))
       override def update(meta: InternalRow, id: InternalRow,
                           row: InternalRow): Unit = {
-        delete(meta, id); insert(row)
+        delete(meta, id)
+        // ROW TRACKING: an update's postimage KEEPS the preimage's
+        // `_row_id` (read off the projected metadata row) and takes
+        // the committing version — Delta's MOR row-tracking contract
+        if (tracked && meta != null && meta.numFields >= 1 &&
+            !meta.isNullAt(0))
+          insWriter match {
+            case sink: GraftTrackSink =>
+              sink.noteTrack(meta.getLong(0), GraftRowTrack.Mint)
+            case _ => ()
+          }
+        insert(row)
       }
       override def insert(row: InternalRow): Unit = insWriter.write(row)
       override def commit(): WriterCommitMessage =
@@ -7439,8 +8043,14 @@ object GraftMaintenance {
   * just not delta-sized. */
 class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
                         allFiles: Vector[GraftDataFile],
-                        groupKeyOf: InternalRow => Seq[Any])
+                        groupKeyOf: InternalRow => Seq[Any],
+                        // ROW TRACKING: serve (_row_id, _row_commit_
+                        // version) as the trailing two columns of
+                        // `schema` (already appended by the caller)
+                        serveTrack: Boolean = false)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
+  /** Data-column count (the track columns are appended past these). */
+  private val dataLen = if (serveTrack) schema.length - 3 else schema.length
 
   /** Files surviving the runtime group filter. FILE-level narrowing:
     * a file wholly owned by an untouched partition group drops here
@@ -7511,13 +8121,23 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
             partCols.map(c =>
               segSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))).toArray
           } else Array.emptyIntArray
+        val trk = f.track
         Iterator.single(GraftSegmentPartition(f.segment.path.toString,
-          f.segment.schema.json, ords, keyPred): InputPartition)
+          f.segment.schema.json, ords, keyPred,
+          trackMeta = serveTrack,
+          tracked = serveTrack && trk != null,
+          trackExplicit = trk != null && trk.explicit,
+          trackBase = if (trk != null) trk.base else -1L,
+          trackVer = if (trk != null) trk.ver else -1L): InputPartition)
       } else {
         val pred = if (f.groupKey.isDefined) None else needRowFilter
+        val base: Array[InternalRow] =
+          if (!serveTrack) f.rows
+          else GraftTable.trackAugment(f.rows,
+            StructType(schema.fields.take(dataLen)), f.track)
         val rows = pred match {
-          case Some(p) => f.rows.filter(p)
-          case None => f.rows
+          case Some(p) => base.filter(p)
+          case None => base
         }
         if (rows.isEmpty) Iterator.empty
         else Iterator.single(GraftInputPartition(rows): InputPartition)
@@ -7538,7 +8158,16 @@ class GraftRowLevelScan(schema: StructType, partCols: Seq[String],
   * as serializable data; the reader rebuilds the row predicate. */
 case class GraftSegmentPartition(ref: String, schemaJson: String,
     keyOrds: Array[Int],
-    keyPred: Option[Seq[Any] => Boolean]) extends InputPartition
+    keyPred: Option[Seq[Any] => Boolean],
+    // ROW TRACKING: when `trackMeta` is true the reader appends
+    // (_row_id, _row_commit_version) to every emitted row — arithmetic
+    // from (trackBase, trackVer), or from the segment's .rowids
+    // sidecar (trackExplicit), loaded once per partition executor-side
+    trackMeta: Boolean = false,
+    tracked: Boolean = false,
+    trackExplicit: Boolean = false,
+    trackBase: Long = -1L,
+    trackVer: Long = -1L) extends InputPartition
 
 /** Conservative evaluator for the partition predicates Spark hands the
   * metadata-delete / partition-overwrite / runtime-group-filter paths:
@@ -7808,7 +8437,9 @@ class GraftScanBuilder(tableSchema: StructType,
     // schema — ignore pruning there (Spark projects above the scan).
     if (aggResult.isEmpty) {
       metaCols = requiredSchema.fieldNames.toSeq
-        .filter(n => n == "_file_id" || n == "_row_pos" || n == "_file_ref")
+        .filter(n => n == "_file_id" || n == "_row_pos" ||
+          n == "_file_ref" || n == "_row_id" ||
+          n == "_row_commit_version" || n == "_row_probe")
       required = StructType(
         tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
     }
@@ -8183,7 +8814,7 @@ class GraftScanBuilder(tableSchema: StructType,
       import org.apache.spark.sql.types.{IntegerType, StructField}
       val outSchema = StructType(required.fields ++
         metaCols.map(n => StructField(n, GraftTable.metaTypeOf(n),
-          nullable = n == "_file_ref")))
+          nullable = GraftTable.metaNullable(n))))
       val dataRefs = required.fields.toIndexedSeq.map { f =>
         val i = tableSchema.fieldIndex(f.name)
         BoundReference(i, f.dataType, f.nullable)
@@ -8191,7 +8822,7 @@ class GraftScanBuilder(tableSchema: StructType,
       }
       val metaRefs = metaCols.zipWithIndex.map { case (n, j) =>
         BoundReference(tableSchema.length + j, GraftTable.metaTypeOf(n),
-          nullable = n == "_file_ref")
+          nullable = GraftTable.metaNullable(n))
           : org.apache.spark.sql.catalyst.expressions.Expression
       }
       val proj = UnsafeProjection.create(dataRefs ++ metaRefs)
@@ -8210,10 +8841,25 @@ class GraftScanBuilder(tableSchema: StructType,
             org.apache.spark.unsafe.types.UTF8String
               .fromString(f.segment.path.toString)
           else null
-        def metaOf(p: Int) = new GenericInternalRow(metaCols.map {
+        val trk = f.track
+        lazy val probeProj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(
+            tableSchema.fields.toIndexedSeq.zipWithIndex.map {
+              case (fl, i) => BoundReference(i, fl.dataType, fl.nullable)
+                : org.apache.spark.sql.catalyst.expressions.Expression
+            })
+        def metaOf(p: Int, row: InternalRow) =
+          new GenericInternalRow(metaCols.map {
           case "_file_id" => fid: Any
           case "_row_pos" => p: Any
           case "_file_ref" => ref
+          case "_row_id" =>
+            if (trk == null) null else (trk.idAt(p): java.lang.Long): Any
+          case "_row_commit_version" =>
+            if (trk == null) null else (trk.verAt(p): java.lang.Long): Any
+          case "_row_probe" =>
+            (GraftReplaceDataOps.probeOf(probeProj, row)
+              : java.lang.Long): Any
         }.toArray)
         val rows = Array.newBuilder[InternalRow]
         f.viewSel match {
@@ -8226,14 +8872,15 @@ class GraftScanBuilder(tableSchema: StructType,
             var p = 0
             while (p < base.length) {
               if (bs.contains(p) != ex && !dead.contains(p))
-                rows += proj(joined.apply(base(p), metaOf(p))).copy()
+                rows += proj(joined.apply(base(p), metaOf(p, base(p)))).copy()
               p += 1
             }
           case None =>
             var p = 0
             while (p < f.rows.length) {
               if (!dead.contains(p))
-                rows += proj(joined.apply(f.rows(p), metaOf(p))).copy()
+                rows += proj(joined.apply(f.rows(p),
+                  metaOf(p, f.rows(p)))).copy()
               p += 1
             }
         }
@@ -8259,10 +8906,15 @@ class GraftScanBuilder(tableSchema: StructType,
             // materialize the matched files on the driver. A position
             // view's selection rides along (original addresses).
             val (sel, selEx) = f.selArrays
+            val trk = f.track
             ScanChunk.lazily(
               GraftSegmentScanPartition(f.segment.path.toString,
                 f.segment.schema.json, dataIdx, dead.toArray, metaCols, fid,
-                sel, selEx),
+                sel, selEx,
+                tracked = trk != null,
+                trackExplicit = trk != null && trk.explicit,
+                trackBase = if (trk != null) trk.base else -1L,
+                trackVer = if (trk != null) trk.ver else -1L),
               zonesByName(f), f.groupKey, f.rowCount - dead.size,
               () => eagerMeta(f, fid), bloomsByName(f))
           case None => ScanChunk(eagerMeta(f, fid), zonesByName(f),
@@ -8384,7 +9036,16 @@ case class GraftSegmentScanPartition(ref: String, schemaJson: String,
     // positions (`selExclude` = read everything BUT them). Mutually
     // exclusive with `dead` — a view never carries a delete vector.
     sel: Array[Int] = Array.empty,
-    selExclude: Boolean = false) extends InputPartition
+    selExclude: Boolean = false,
+    // ROW TRACKING: `tracked` files serve `_row_id` / `_row_commit_
+    // version` — arithmetically from (trackBase, trackVer), or (when
+    // `trackExplicit`) from the segment's `.rowids` sidecar, loaded
+    // once per partition EXECUTOR-side (the partition itself stays
+    // O(1); a 1000-executor scan never ships a row-sized vector)
+    tracked: Boolean = false,
+    trackExplicit: Boolean = false,
+    trackBase: Long = -1L,
+    trackVer: Long = -1L) extends InputPartition
 
 /** Metadata-column wrapper over any other scan partition: delegates the
   * data rows to the inner partition's reader and appends the requested
@@ -8435,12 +9096,29 @@ private[sources] object GraftSegmentReads {
           : org.apache.spark.sql.catalyst.expressions.Expression) ++
         s.metaCols.zipWithIndex.map { case (n, j) =>
           BoundReference(fileSchema.length + j, GraftTable.metaTypeOf(n),
-            nullable = n == "_file_ref")
+            nullable = GraftTable.metaNullable(n))
             : org.apache.spark.sql.catalyst.expressions.Expression
         })
       val joined = new JoinedRow
       val refStr =
         org.apache.spark.unsafe.types.UTF8String.fromString(s.ref)
+      // row tracking: arithmetic from the shipped (base, ver), or the
+      // explicit sidecar vectors loaded once per partition, executor-side
+      lazy val sidecar: (Array[Long], Array[Long]) =
+        GraftRowIdSidecar.read(java.nio.file.Paths.get(s.ref))
+      lazy val probeProj = UnsafeProjection.create(
+        fileSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        })
+      def idOf(p: Int): Any =
+        if (!s.tracked) null
+        else if (s.trackExplicit) (sidecar._1(p): java.lang.Long): Any
+        else (s.trackBase + p: java.lang.Long): Any
+      def verOf(p: Int): Any =
+        if (!s.tracked) null
+        else if (s.trackExplicit) (sidecar._2(p): java.lang.Long): Any
+        else (s.trackVer: java.lang.Long): Any
       Iterator.range(0, all.length)
         .filter(p => !dead.contains(p) &&
           (selBs == null || selBs.contains(p) != s.selExclude))
@@ -8449,6 +9127,11 @@ private[sources] object GraftSegmentReads {
             case "_file_id" => s.fid: Any
             case "_row_pos" => p: Any
             case "_file_ref" => refStr: Any
+            case "_row_id" => idOf(p)
+            case "_row_commit_version" => verOf(p)
+            case "_row_probe" =>
+              (GraftReplaceDataOps.probeOf(probeProj, all(p))
+                : java.lang.Long): Any
           }.toArray)
           proj(joined.apply(all(p), meta))
         }
@@ -8507,7 +9190,12 @@ case class GraftChangeScanPartition(
     // bounded memory each, instead of one table-sized map (the cost is
     // nSlices re-reads of the component's segments)
     slice: Int = 0,
-    nSlices: Int = 1) extends InputPartition
+    nSlices: Int = 1,
+    // ROW TRACKING: each seg's reader appends `_row_id` after its file
+    // columns; the canonical row extends with it (per-seg ordinal =
+    // that seg's projected width), and the feed emits it as the
+    // trailing output column
+    tracked: Boolean = false) extends InputPartition
 
 private[sources] object GraftChangeReads {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection, UnsafeRow}
@@ -8527,7 +9215,13 @@ private[sources] object GraftChangeReads {
             : org.apache.spark.sql.catalyst.expressions.Expression
       }
     }
-    def outProj(tag: String, overCanonical: Boolean): UnsafeProjection =
+    // TRACKED feed: each seg's rows arrive [fileCols..., _row_id] —
+    // the id ordinal is that seg's own projected width
+    def idExpr(seg: GraftSegmentScanPartition) =
+      BoundReference(seg.project.length, LongType, nullable = true)
+        : org.apache.spark.sql.catalyst.expressions.Expression
+    def outProj(tag: String, overCanonical: Boolean,
+        seg: GraftSegmentScanPartition): UnsafeProjection =
       UnsafeProjection.create(p.project.toIndexedSeq.map {
         case 0 => Literal(UTF8String.fromString(tag), StringType)
             : org.apache.spark.sql.catalyst.expressions.Expression
@@ -8537,32 +9231,49 @@ private[sources] object GraftChangeReads {
             : org.apache.spark.sql.catalyst.expressions.Expression
         case r =>
           val i = r - 3
-          if (overCanonical)
+          if (i == dataSchema.length) // the trailing _row_id column
+            (if (overCanonical)
+              BoundReference(i, LongType, nullable = true)
+                : org.apache.spark.sql.catalyst.expressions.Expression
+            else idExpr(seg))
+          else if (overCanonical)
             BoundReference(i, dataSchema.fields(i).dataType, nullable = true)
           else canonExprs(i)
       })
     if (!p.cancel) {
-      val ins = outProj("insert", overCanonical = false)
-      val del = outProj("delete", overCanonical = false)
-      p.addSegs.iterator.flatMap(GraftSegmentReads.rowsOf).map(ins(_)) ++
-        p.remSegs.iterator.flatMap(GraftSegmentReads.rowsOf).map(del(_))
+      def emit(segs: Seq[GraftSegmentScanPartition], tag: String)
+          : Iterator[InternalRow] =
+        segs.iterator.flatMap { seg =>
+          val proj = outProj(tag, overCanonical = false, seg)
+          GraftSegmentReads.rowsOf(seg).map(proj(_))
+        }
+      emit(p.addSegs, "insert") ++ emit(p.remSegs, "delete")
     } else {
       // signed multiset over FULL canonical rows (cancellation is
-      // defined on whole rows regardless of column pruning), then the
-      // pruned projection on the survivors
-      val canon = UnsafeProjection.create(canonExprs)
+      // defined on whole rows regardless of column pruning — and, on a
+      // tracked table, on the row's identity too), then the pruned
+      // projection on the survivors
+      def canonFor(seg: GraftSegmentScanPartition) =
+        UnsafeProjection.create(
+          if (p.tracked) canonExprs :+ idExpr(seg) else canonExprs)
       val counts = new java.util.LinkedHashMap[UnsafeRow, Int]()
       def mine(r: UnsafeRow): Boolean = p.nSlices <= 1 ||
         java.lang.Math.floorMod(r.hashCode, p.nSlices) == p.slice
-      def bump(it: Iterator[InternalRow], d: Int): Unit =
-        it.foreach { r =>
-          val k = canon(r)
-          if (mine(k)) counts.merge(k.copy(), d, (a, b) => a + b)
+      def bump(segs: Seq[GraftSegmentScanPartition], d: Int): Unit =
+        segs.foreach { seg =>
+          val canon = canonFor(seg)
+          GraftSegmentReads.rowsOf(seg).foreach { r =>
+            val k = canon(r)
+            if (mine(k)) counts.merge(k.copy(), d, (a, b) => a + b)
+          }
         }
-      bump(p.addSegs.iterator.flatMap(GraftSegmentReads.rowsOf), 1)
-      bump(p.remSegs.iterator.flatMap(GraftSegmentReads.rowsOf), -1)
-      val ins = outProj("insert", overCanonical = true)
-      val del = outProj("delete", overCanonical = true)
+      bump(p.addSegs, 1)
+      bump(p.remSegs, -1)
+      // survivors are CANONICAL rows — any seg works as the projection
+      // template (the id is at the fixed canonical ordinal)
+      val tpl = (p.addSegs ++ p.remSegs).head
+      val ins = outProj("insert", overCanonical = true, tpl)
+      val del = outProj("delete", overCanonical = true, tpl)
       import scala.jdk.CollectionConverters._
       counts.entrySet().iterator().asScala.flatMap { en =>
         val c = en.getValue.intValue()
@@ -8940,16 +9651,55 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
         .asInstanceOf[StructType]
       val rows = GraftSegmentIO.read(
         java.nio.file.Paths.get(s.ref), schema)
-      s.keyPred match {
+      // enumerate (row, ORIGINAL position) first: the row-tracking
+      // append needs positions, and the group re-filter must not
+      // renumber them
+      val positioned: Iterator[(InternalRow, Int)] = s.keyPred match {
         case Some(p) =>
           val dts = s.keyOrds.map(i =>
             if (i >= 0) schema.fields(i).dataType
             else org.apache.spark.sql.types.NullType)
-          rows.iterator.filter { r =>
+          rows.iterator.zipWithIndex.filter { case (r, _) =>
             p(s.keyOrds.toSeq.lazyZip(dts).map((i, dt) =>
               if (i < 0 || r.isNullAt(i)) null else r.get(i, dt)))
           }
-        case None => rows.iterator
+        case None => rows.iterator.zipWithIndex
+      }
+      if (!s.trackMeta) positioned.map(_._1)
+      else {
+        // serve (_row_id, _row_commit_version, _row_probe) — id/ver
+        // null on a file with no track yet (pre-enablement snapshots)
+        lazy val sidecar: (Array[Long], Array[Long]) =
+          GraftRowIdSidecar.read(java.nio.file.Paths.get(s.ref))
+        def longRef(i: Int) =
+          BoundReference(i, org.apache.spark.sql.types.LongType,
+            nullable = true)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        val proj = UnsafeProjection.create(
+          schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          } ++ Seq(longRef(schema.length), longRef(schema.length + 1),
+            longRef(schema.length + 2)))
+        val probeProj = UnsafeProjection.create(
+          schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          })
+        val joined = new JoinedRow
+        positioned.map { case (r, pos) =>
+          val (id, ver): (Any, Any) =
+            if (!s.tracked) (null, null)
+            else if (s.trackExplicit)
+              ((sidecar._1(pos): java.lang.Long): Any,
+               (sidecar._2(pos): java.lang.Long): Any)
+            else ((s.trackBase + pos: java.lang.Long): Any,
+                  (s.trackVer: java.lang.Long): Any)
+          val probe: Any =
+            (GraftReplaceDataOps.probeOf(probeProj, r): java.lang.Long)
+          proj(joined.apply(r,
+            new GenericInternalRow(Array[Any](id, ver, probe))))
+        }
       }
     case s: GraftSegmentScanPartition =>
       GraftSegmentReads.rowsOf(s)
@@ -8967,7 +9717,7 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
         } ++
         w.metaCols.zipWithIndex.map { case (n, j) =>
           BoundReference(dataSchema.length + j, GraftTable.metaTypeOf(n),
-            nullable = n == "_file_ref")
+            nullable = GraftTable.metaNullable(n))
             : org.apache.spark.sql.catalyst.expressions.Expression
         })
       val joined = new JoinedRow
@@ -8975,7 +9725,9 @@ case class GraftPartitionReaderFactory() extends PartitionReaderFactory {
         val meta = new GenericInternalRow(w.metaCols.map {
           case "_file_id" => w.fid: Any
           case "_row_pos" => pos: Any
-          case "_file_ref" => null: Any // synthesized rows have no file
+          // synthesized rows have no file and no durable row identity
+          case "_file_ref" | "_row_id" | "_row_commit_version" |
+               "_row_probe" => null: Any
         }.toArray)
         proj(joined.apply(r, meta))
       }
@@ -9417,7 +10169,8 @@ class GraftRowLevelBatchWrite(table: GraftTable, schema: StructType,
                               guard: Option[GraftFillSpec] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(Some(schema), table.durableWriteSpec(), guard)
+    GraftWriterFactory(Some(schema), table.durableWriteSpec(), guard,
+      rowTracking = table.rowTrackingEnabled)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     install(table.adoptDeliveries(messages))
@@ -9433,7 +10186,8 @@ class GraftRowLevelBatchWrite(table: GraftTable, schema: StructType,
   * unchanged, guarding against rewrite-rule variants that pre-project. */
 case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
                               durableSpec: Option[GraftDurableWriteSpec] = None,
-                              fill: Option[GraftFillSpec] = None)
+                              fill: Option[GraftFillSpec] = None,
+                              rowTracking: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId, epochId = -1L)
@@ -9445,16 +10199,26 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
       // ride a commit message
       new GraftSegmentDataWriter(spec, opPrefixedSchema.isDefined,
         partitionId, taskId, epochId, fill)
-    case None => new DataWriter[InternalRow] {
+    case None => new DataWriter[InternalRow] with GraftTrackSink {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+      // canonical probe schema: the data columns a rewrite writes
+      // (plain appends never receive the two-arg write)
+      private def dataSchemaForProbe: StructType = opPrefixedSchema.get
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      // row tracking: one (id, ver) per admitted row, Mint default
+      private val trackBuf =
+        if (rowTracking) scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        else null
+      private var pendingTrack: (Long, Long) = null
+      override def noteTrack(id: Long, ver: Long): Unit =
+        pendingTrack = (id, ver)
       private var filled = 0L
       private lazy val stripOp = UnsafeProjection.create(
         opPrefixedSchema.get.fields.zipWithIndex.map { case (f, i) =>
           BoundReference(i + 1, f.dataType, f.nullable)
         }.toIndexedSeq)
-      private def admit(row: InternalRow, copied: Boolean): Unit =
+      private def admit(row: InternalRow, copied: Boolean): Unit = {
         fill match {
           case Some(fs) =>
             // copy BEFORE filling — fill's materialized row aliases the
@@ -9466,6 +10230,23 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
             buf += out
           case None => buf += (if (copied) row else row.copy())
         }
+        if (trackBuf != null) {
+          trackBuf += (if (pendingTrack != null) pendingTrack
+            else (GraftRowTrack.Mint, GraftRowTrack.Mint))
+          pendingTrack = null
+        }
+      }
+      private lazy val probeProj = UnsafeProjection.create(
+        dataSchemaForProbe.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+        }.toIndexedSeq)
+      override def write(meta: InternalRow, record: InternalRow): Unit = {
+        // group-based rewrite with metadata (row tracking): capture
+        // the row's identity from the metadata view, then write data
+        if (trackBuf != null) pendingTrack =
+          GraftReplaceDataOps.captureOf(meta, record, probeProj)
+        write(record)
+      }
       override def write(record: InternalRow): Unit = opPrefixedSchema match {
         case Some(schema) if record.numFields != schema.length =>
           val op = record.getInt(0)
@@ -9475,14 +10256,28 @@ case class GraftWriterFactory(opPrefixedSchema: Option[StructType],
         case Some(_) => admit(record, copied = false)
         case None => admit(record, copied = false)
       }
-      override def commit(): WriterCommitMessage = GraftRowsMessage(buf.toArray)
-      override def abort(): Unit = buf.clear()
+      override def commit(): WriterCommitMessage = {
+        val (tIds, tVers) =
+          if (trackBuf == null ||
+              trackBuf.forall(_._1 == GraftRowTrack.Mint)) (null, null)
+          else (trackBuf.map(_._1).toArray, trackBuf.map(_._2).toArray)
+        GraftRowsMessage(buf.toArray, tIds, tVers)
+      }
+      override def abort(): Unit = {
+        buf.clear()
+        if (trackBuf != null) trackBuf.clear()
+      }
       override def close(): Unit = ()
     }
   }
 }
 
-case class GraftRowsMessage(rows: Array[InternalRow])
+case class GraftRowsMessage(rows: Array[InternalRow],
+    // ROW TRACKING capture (rewrite writes only; null = all-mint):
+    // per-row preserved (_row_id, _row_commit_version), Mint-sentinel
+    // where the commit mints — see GraftSegmentMeta.trackIds
+    trackIds: Array[Long] = null,
+    trackVers: Array[Long] = null)
     extends WriterCommitMessage
 
 /** The `t$changes` relation as a live TABLE: batch reads serve the

@@ -905,6 +905,8 @@ private[sources] final class GraftTableLog(val dir: Path,
         if (name.endsWith(".parquet")) Some(s"data/$name")
         else if (name.endsWith(".parquet" + GraftBloomSidecar.Suffix))
           Some(s"data/${name.stripSuffix(GraftBloomSidecar.Suffix)}")
+        else if (name.endsWith(".parquet" + GraftRowIdSidecar.Suffix))
+          Some(s"data/${name.stripSuffix(GraftRowIdSidecar.Suffix)}")
         else None
       def dead(name: String, ref: String, live: Set[String]): Boolean =
         !live.contains(ref) && (minAgeMillis <= 0L || !youngEnough(name))
@@ -944,7 +946,8 @@ private[sources] final class GraftTableLog(val dir: Path,
           case Some(ref) =>
             if (dead(name, ref, live)) Files.deleteIfExists(p)
           case None =>
-            if (name.contains(GraftBloomSidecar.Suffix + ".tmp-")
+            if ((name.contains(GraftBloomSidecar.Suffix + ".tmp-") ||
+                 name.contains(GraftRowIdSidecar.Suffix + ".tmp-"))
                 && (minAgeMillis <= 0L || !youngEnough(name)))
               Files.deleteIfExists(p)
         }
@@ -1097,7 +1100,15 @@ private[sources] object GraftLogCodec {
         JArray(List(JLong(r.ord.toLong), JLong(r.k.toLong),
           JLong(r.words.toLong))): JValue)): JValue)
     }
-    JObject(base ++ selJ ++ bloomJ)
+    // ROW TRACKING — O(1) per file, whatever the table size: "rid" =
+    // [base, commitVersion] for arithmetic identity (id = base + pos);
+    // "rvx" marks EXPLICIT per-row vectors, which live in the
+    // segment's .rowids sidecar (GraftRowIdSidecar), never in the log
+    val trackJ = Option(f.track).toList.flatMap { t =>
+      ("rid" -> (JArray(List(JLong(t.base), JLong(t.ver))): JValue)) ::
+        (if (t.explicit) List("rvx" -> (JBool(true): JValue)) else Nil)
+    }
+    JObject(base ++ selJ ++ bloomJ ++ trackJ)
   }
 
   private def decodeFile(j: JValue, schema: StructType, kts: Seq[DataType],
@@ -1171,7 +1182,7 @@ private[sources] object GraftLogCodec {
           arr
         case _ => null
       }
-      sel match {
+      val f = sel match {
         case Some(bs) => GraftDataFile.fromSegmentView(h, zones,
           num(o("bytes")).toLong, group, num(o("rows")).toInt, bs,
           exclude = o.contains("xsel"), blooms = blooms,
@@ -1180,6 +1191,20 @@ private[sources] object GraftLogCodec {
           num(o("bytes")).toLong, group, num(o("rows")).toInt, blooms,
           bloomRefs = bloomRefs)
       }
+      // ROW TRACKING: arithmetic from "rid"; "rvx" re-points at the
+      // segment's sidecar, loaded lazily on first identity read (a
+      // view's sidecar is its BASE segment's — h.path names it)
+      o.get("rid").foreach {
+        case JArray(List(b, v)) =>
+          val explicit = o.get("rvx").contains(JBool(true))
+          val segPath = h.path
+          f.track = new GraftRowTrack(num(b).toLong, num(v).toLong,
+            null, null, explicit = explicit,
+            loader = if (explicit)
+              () => GraftRowIdSidecar.read(segPath) else null)
+        case other => throw new IllegalStateException(s"bad rid: $other")
+      }
+      f
     }
     // views NEVER registry-share by ref: the bare ref names the BASE
     // file, and aliasing a view under it would hand the base's callers

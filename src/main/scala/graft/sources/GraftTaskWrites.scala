@@ -43,7 +43,13 @@ final case class GraftDurableWriteSpec(
     // the commit compares it with the table's CURRENT set and aborts on
     // drift (a concurrent ADD CONSTRAINT between write start and commit
     // must not let unvalidated rows slip in)
-    checksFingerprint: String) {
+    checksFingerprint: String,
+    // ROW TRACKING on: writers capture each written row's preserved
+    // (_row_id, _row_commit_version) — from the trailing metadata
+    // columns of a COW replace-data row, or via [[GraftTrackSink]] for
+    // MOR update postimages — and report them per segment; unseen rows
+    // report the Mint sentinel and the commit mints fresh ids
+    rowTracking: Boolean = false) {
   @transient lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
@@ -57,7 +63,20 @@ final case class GraftSegmentMeta(rel: String, rowCount: Int, bytes: Long,
     // bloom REFS only — the filter words were written to the segment's
     // sidecar by this task (GraftBloomSidecar); shipping them here would
     // make the commit message O(rows), not O(stats)
-    bloomRefs: Array[GraftBloomRef] = null)
+    bloomRefs: Array[GraftBloomRef] = null,
+    // ROW TRACKING (rewrite writes only): the preserved per-row id /
+    // commit-version vectors, Mint-sentinel where the commit must mint.
+    // CHURN-sized (8 B per REWRITTEN row — appends ship null and get
+    // arithmetic ids), riding the message the way position-view "sel"
+    // arrays ride the log; a cluster deployment would instead reserve
+    // id blocks per task (the identity-column reservation pattern,
+    // installIdentityReserved) and write the sidecar task-side
+    trackIds: Array[Long] = null,
+    trackVers: Array[Long] = null,
+    // the task already wrote the output's .rowids sidecar (all ids
+    // preserved — no driver minting needed): attach a lazy-loading
+    // explicit track, ship nothing row-sized
+    trackSidecar: Boolean = false)
 
 /** Commit message of a segment-writing task: file references + stats.
   * `schemaJson` is the layout the segments were written with (the
@@ -90,6 +109,56 @@ private[sources] object GraftGroupKeys {
     }
 }
 
+/** Capture channel for ROW-TRACKING writers: a delta (MOR) write calls
+  * [[noteTrack]] with the original row's identity immediately before
+  * handing an update POSTIMAGE to `write()` — the postimage keeps the
+  * preimage's `_row_id` (Delta's row-tracking update semantics). Rows
+  * written without a note default to the Mint sentinel. */
+private[sources] trait GraftTrackSink {
+  def noteTrack(id: Long, ver: Long): Unit
+}
+
+/** ROW-TRACKING view of a group-based (ReplaceData) write row. With
+  * requiredMetadataAttributes set, Spark 4 routes the rewrite through
+  * DataAndMetadataWritingSparkTask: the writer receives
+  * `write(metadataRow, dataRow)` — projection views over one
+  * underlying row — and marks EVERY carried row WRITE_WITH_METADATA
+  * (original metadata rides along for updated rows too), so the plan
+  * offers no copied-vs-updated signal. The engine's `_row_probe`
+  * metadata column closes the gap: the SCAN serves a canonical hash of
+  * each row's data columns, the writer re-hashes what it is about to
+  * write, and a mismatch proves the row's value changed — preserve the
+  * id, take the committing version (exactly Delta's row-tracking
+  * update semantics, decided executor-side at O(1) per row). A write
+  * that re-asserts the existing value hashes equal and counts as a
+  * copy — the same no-op-update collapse the change feed's multiset
+  * cancellation applies. */
+private[sources] object GraftReplaceDataOps {
+  /** Canonical data-row hash — ONE implementation for the scan's
+    * `_row_probe` and the writer's recompute, so the two can never
+    * drift: an UnsafeProjection materialization's byte hash. */
+  def probeOf(proj: UnsafeProjection, row: InternalRow): Long =
+    proj(row).hashCode().toLong
+
+  /** The (id, ver) capture of one replace-data row: id preserved from
+    * the metadata view [_row_id, _row_commit_version, _row_probe]
+    * (Mint when the row has no source — a merge insert); version
+    * preserved only when the written data hashes equal to the probe. */
+  def captureOf(meta: InternalRow, record: InternalRow,
+      proj: UnsafeProjection): (Long, Long) = {
+    if (meta == null || meta.numFields < 3 || meta.isNullAt(0))
+      return (GraftRowTrack.Mint, GraftRowTrack.Mint)
+    val id = meta.getLong(0)
+    val ver = meta.getLong(1)
+    val probe = meta.getLong(2)
+    val verOut =
+      if (!meta.isNullAt(2) && probeOf(proj, record) == probe &&
+          !meta.isNullAt(1)) ver
+      else GraftRowTrack.Mint
+    (id, verOut)
+  }
+}
+
 /** The executor-side writer itself. Buffers this TASK's rows (bounded
   * by the task's input split — `maxPartitionBytes`-sized, the same
   * bound a real parquet writer's row-group buffer has), then at commit
@@ -102,8 +171,15 @@ private[sources] final class GraftSegmentDataWriter(
     spec: GraftDurableWriteSpec, opPrefixed: Boolean,
     partitionId: Int, taskId: Long, epochId: Long,
     fill: Option[GraftFillSpec] = None)
-    extends DataWriter[InternalRow] {
+    extends DataWriter[InternalRow] with GraftTrackSink {
   private var filled = 0L
+  // row-tracking capture: one (id, ver) per buffered row, Mint default
+  private val trackBuf =
+    if (spec.rowTracking) scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    else null
+  private var pendingTrack: (Long, Long) = null
+  override def noteTrack(id: Long, ver: Long): Unit =
+    pendingTrack = (id, ver)
 
   private val schema = spec.schema
   private val checks = spec.checks
@@ -124,6 +200,19 @@ private[sources] final class GraftSegmentDataWriter(
           s"CHECK constraint '$cname' (${chk.text}) violated by an " +
             "incoming row — commit refused")
     }
+
+  private lazy val probeProj = UnsafeProjection.create(
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable)
+    }.toIndexedSeq)
+
+  override def write(meta: InternalRow, record: InternalRow): Unit = {
+    // group-based rewrite with metadata (row tracking): capture the
+    // row's identity from the metadata view, then write the data row
+    if (trackBuf != null) pendingTrack =
+      GraftReplaceDataOps.captureOf(meta, record, probeProj)
+    write(record)
+  }
 
   override def write(record: InternalRow): Unit = {
     // row-level (replace-data) writes arrive prefixed with Spark's
@@ -154,17 +243,27 @@ private[sources] final class GraftSegmentDataWriter(
     }
     validate(row)
     buf += row
+    if (trackBuf != null) {
+      trackBuf += (if (pendingTrack != null) pendingTrack
+        else (GraftRowTrack.Mint, GraftRowTrack.Mint))
+      pendingTrack = null
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    val groups: Seq[Array[InternalRow]] = keyOfOpt match {
-      case None => if (buf.isEmpty) Nil else Seq(buf.toArray)
+    // group-split INDICES so the row-tracking capture splits with its
+    // rows (a partitioned COW rewrite routes each row's identity to
+    // the segment that row lands in)
+    val idxAll = buf.indices.toArray
+    val groups: Seq[Array[Int]] = keyOfOpt match {
+      case None => if (buf.isEmpty) Nil else Seq(idxAll)
       case Some(keyOf) =>
-        buf.toArray.groupBy(keyOf).toSeq
+        idxAll.groupBy(i => keyOf(buf(i))).toSeq
           .sortBy(_._1.mkString("|")) // deterministic file order
           .map(_._2)
     }
-    val metas = groups.zipWithIndex.map { case (rs, n) =>
+    val metas = groups.zipWithIndex.map { case (idx, n) =>
+      val rs = idx.map(buf(_))
       // stats ride the SAME kernel as driver-side builds; the heap file
       // object is task-local scaffolding and drops with the task
       val f = GraftDataFile.build(rs, schema, keyOfOpt)
@@ -177,9 +276,18 @@ private[sources] final class GraftSegmentDataWriter(
       // ride the commit message
       val refs = GraftBloomSidecar.write(abs, f.blooms)
       if (refs != null) written += GraftBloomSidecar.pathFor(abs)
-      GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey, refs)
+      // tracking capture: ship only when some row PRESERVES an id —
+      // an all-Mint segment (plain append) takes arithmetic assignment
+      val (tIds, tVers) =
+        if (trackBuf == null ||
+            idx.forall(i => trackBuf(i)._1 == GraftRowTrack.Mint))
+          (null, null)
+        else (idx.map(i => trackBuf(i)._1), idx.map(i => trackBuf(i)._2))
+      GraftSegmentMeta(rel, rs.length, bytes, f.zones, f.groupKey, refs,
+        trackIds = tIds, trackVers = tVers)
     }
     buf.clear()
+    if (trackBuf != null) trackBuf.clear()
     GraftSegmentsMessage(spec.schemaJson, metas.toArray,
       spec.checksFingerprint)
   }
@@ -197,7 +305,10 @@ private[sources] final class GraftSegmentDataWriter(
   * rows (in-JVM tables — the test fast-path) or ready-made file
   * references the task already persisted (durable tables). */
 private[sources] sealed trait GraftDelivery
-private[sources] final case class GraftRowsDelivery(rows: Array[InternalRow])
+private[sources] final case class GraftRowsDelivery(rows: Array[InternalRow],
+    // ROW TRACKING capture aligned with `rows` (null = all-mint)
+    trackIds: Array[Long] = null,
+    trackVers: Array[Long] = null)
     extends GraftDelivery
 private[sources] final case class GraftFilesDelivery(
     files: Vector[GraftDataFile]) extends GraftDelivery
@@ -304,7 +415,14 @@ private[sources] final case class GraftCompactJob(
     // ordinals per row (DROP COLUMN's positional projection), preserve
     // row order/count (delete vectors re-key by position), and emit
     // exactly ONE segment (1:1 file pairing)
-    rewriteProject: Array[Int] = Array.emptyIntArray)
+    rewriteProject: Array[Int] = Array.emptyIntArray,
+    // ROW TRACKING, aligned with `segs`: (tracked, explicit, base,
+    // ver) per input — the task computes each OUTPUT row's preserved
+    // identity (loading explicit inputs' .rowids sidecars locally) and
+    // writes each output segment's sidecar in the task; only when some
+    // input is UNTRACKED (pre-enablement) do Mint sentinels force the
+    // vectors through the commit message for driver minting
+    segTracks: Seq[(Boolean, Boolean, Long, Long)] = Nil)
 
 /** Executor-side COW split of ONE group-spanning file: read the
   * segment, apply the delete vector, route each live row's group key
@@ -367,14 +485,39 @@ private[sources] object GraftCompaction {
     val schema = DataType.fromJson(job.schemaJson).asInstanceOf[StructType]
     val keyOf =
       GraftGroupKeys.keyOf(schema, job.partitionCols, job.bucketSpec)
-    val raw: Array[InternalRow] = job.segs.iterator.flatMap {
-      case (p, sj, dead) =>
+    val tracking = job.segTracks.nonEmpty
+    val idB = Array.newBuilder[Long]
+    val verB = Array.newBuilder[Long]
+    val raw: Array[InternalRow] = job.segs.iterator.zipWithIndex.flatMap {
+      case ((p, sj, dead), segIdx) =>
         val segSchema = DataType.fromJson(sj).asInstanceOf[StructType]
-        val all = GraftSegmentIO.read(java.nio.file.Paths.get(p), segSchema)
+        val path = java.nio.file.Paths.get(p)
+        val all = GraftSegmentIO.read(path, segSchema)
+        val deadBs =
+          if (dead.isEmpty) scala.collection.immutable.BitSet.empty
+          else scala.collection.immutable.BitSet.fromSpecific(dead)
+        if (tracking) {
+          // per-row identity aligned with the LIVE rows, in position
+          // order — sidecars load LOCALLY in this task
+          val (tracked, explicit, base, ver) = job.segTracks(segIdx)
+          lazy val sidecar = GraftRowIdSidecar.read(path)
+          var pos = 0
+          while (pos < all.length) {
+            if (!deadBs.contains(pos)) {
+              if (!tracked) {
+                idB += GraftRowTrack.Mint; verB += GraftRowTrack.Mint
+              } else if (explicit) {
+                idB += sidecar._1(pos); verB += sidecar._2(pos)
+              } else { idB += base + pos; verB += ver }
+            }
+            pos += 1
+          }
+        }
         (if (dead.isEmpty) all
-         else GraftDataFile.liveRows(all,
-           scala.collection.immutable.BitSet.fromSpecific(dead))).iterator
+         else GraftDataFile.liveRows(all, deadBs)).iterator
     }.toArray
+    val ids: Array[Long] = if (tracking) idB.result() else null
+    val vers: Array[Long] = if (tracking) verB.result() else null
     val rows: Array[InternalRow] =
       if (job.rewriteProject.isEmpty) raw
       else {
@@ -385,8 +528,10 @@ private[sources] object GraftCompaction {
           })
         raw.map(r => proj(r).copy(): InternalRow)
       }
-    val chunks: Iterator[Array[InternalRow]] =
-      if (job.rewriteProject.nonEmpty) Iterator.single(rows) // 1:1 pairing
+    // chunk by INDEX so the identity vectors split with their rows
+    val idxAll = rows.indices.toArray
+    val chunks: Iterator[Array[Int]] =
+      if (job.rewriteProject.nonEmpty) Iterator.single(idxAll) // 1:1
       else {
         // split per CURRENT group key FIRST: compaction is the REGROUP
         // path for legacy spanning files after a partition-spec
@@ -394,26 +539,48 @@ private[sources] object GraftCompaction {
         // live spec (SPJ re-engages only when every chunk is keyed;
         // without the split a mixed remainder would re-merge spanning).
         // Ordinary bins are single-group already — the split is a no-op.
-        val groups: Seq[Array[InternalRow]] = keyOf match {
+        val groups: Seq[Array[Int]] = keyOf match {
           case Some(k) if rows.nonEmpty =>
-            rows.groupBy(k).toSeq.sortBy(_._1.mkString("|")).map(_._2)
-          case _ => Seq(rows)
+            idxAll.groupBy(i => k(rows(i))).toSeq
+              .sortBy(_._1.mkString("|")).map(_._2)
+          case _ => Seq(idxAll)
         }
         if (job.zorderCols.isEmpty) groups.iterator
         else groups.iterator.flatMap { g =>
-          val key = GraftZCurve.keyFn(schema, job.zorderCols, g)
-          g.sortBy(key).grouped(job.targetRows)
+          val key = GraftZCurve.keyFn(schema, job.zorderCols,
+            g.map(rows(_)))
+          g.sortBy(i => key(rows(i))).grouped(job.targetRows)
         }
       }
     val keepEmpty = job.rewriteProject.nonEmpty // 1:1 pairing contract
     chunks.filter(c => keepEmpty || c.nonEmpty).zipWithIndex
-      .map { case (chunk, n) =>
+      .map { case (idx, n) =>
+        val chunk = idx.map(rows(_))
         val f = GraftDataFile.build(chunk, schema, keyOf)
         val rel = s"data/opt-${job.writeId}-b${job.binId}-$n.parquet"
         val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
         val bytes = GraftSegmentIO.write(abs, schema, chunk)
-        GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey,
-          GraftBloomSidecar.write(abs, f.blooms))
+        val refs = GraftBloomSidecar.write(abs, f.blooms)
+        if (!tracking)
+          GraftSegmentMeta(rel, chunk.length, bytes, f.zones, f.groupKey,
+            refs)
+        else {
+          val cIds = idx.map(ids(_))
+          val cVers = idx.map(vers(_))
+          if (cIds.forall(_ != GraftRowTrack.Mint)) {
+            // fully-preserved chunk: the sidecar lands task-side and
+            // only a FLAG rides the commit message — O(stats), the
+            // posture every task write here keeps
+            GraftRowIdSidecar.write(abs, cIds, cVers)
+            GraftSegmentMeta(rel, chunk.length, bytes, f.zones,
+              f.groupKey, refs, trackSidecar = true)
+          } else
+            // an untracked (pre-enablement) input: its rows need
+            // driver-minted ids, so the vectors ride the message and
+            // settle() finalizes + writes the sidecar
+            GraftSegmentMeta(rel, chunk.length, bytes, f.zones,
+              f.groupKey, refs, trackIds = cIds, trackVers = cVers)
+        }
       }.toArray
   }
 }
