@@ -2970,6 +2970,62 @@ object RelationalQueries {
         .orderBy("score_g")
     },
 
+    // ----- per-TABLE declarative retention (round 20, Delta's
+    // logRetentionDuration analog): TBLPROPERTIES retention.snapshots /
+    // retention.hours declare the MAIN chain's history window — stamped
+    // into the schema (so restarts and foreign processes agree),
+    // honored by the automatic slide, composable with the r18/r19
+    // branch declarations as min, surfaced in t$detail, and replaceable
+    // by ALTER TABLE SET TBLPROPERTIES. The count arithmetic is exact:
+    // create+CTAS = 2 entries, each append trims to the declared 3
+    // (floor 2), the ALTER commit itself slides under the widened 5.
+    Q("s78_table_retention",
+      "S-retention,S-introspect,DDL-alter,A1",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+        |SELECT 'declared_hours' AS probe, CAST(48 AS DOUBLE) AS n FROM n
+        |UNION ALL SELECT 'declared_snapshots', CAST(5 AS DOUBLE) FROM n
+        |UNION ALL SELECT 'head_rows', CAST(c + 8 AS DOUBLE) FROM n
+        |UNION ALL SELECT 'retained_after', CAST(5 AS DOUBLE) FROM n
+        |UNION ALL SELECT 'retained_mid', CAST(3 AS DOUBLE) FROM n
+        |ORDER BY probe""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s78").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gtr_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      nat.writeTo(s"$w.ns.prod")
+        .tableProperty("retention.snapshots", "3")
+        .tableProperty("retention.hours", "48")
+        .create()
+      (1 to 6).foreach(i =>
+        nat.where(col("k") < 1).select(col("k") + i * 100, col("name"))
+          .toDF("k", "name").writeTo(s"$w.ns.prod").append())
+      import s.implicits._
+      val retainedMid =
+        s.table(s"$w.ns.`prod$$history`").count().toDouble
+      s.sql(s"ALTER TABLE $w.ns.prod " +
+        "SET TBLPROPERTIES ('retention.snapshots'='5')")
+      (7 to 8).foreach(i =>
+        nat.where(col("k") < 1).select(col("k") + i * 100, col("name"))
+          .toDF("k", "name").writeTo(s"$w.ns.prod").append())
+      val d = s.table(s"$w.ns.`prod$$detail`")
+        .select(col("retention_snapshots").cast("double"),
+          col("retention_hours"))
+        .as[(Double, Double)].head()
+      Seq(
+        ("declared_hours", d._2),
+        ("declared_snapshots", d._1),
+        ("head_rows", s.table(s"$w.ns.prod").count().toDouble),
+        ("retained_after",
+          s.table(s"$w.ns.`prod$$history`").count().toDouble),
+        ("retained_mid", retainedMid))
+        .toDF("probe", "n").orderBy("probe")
+    },
+
     // ----- ROW TRACKING (round 20, Delta's row tracking / Iceberg v3
     // row lineage): stable per-row `_row_id` minted at first insert,
     // PRESERVED through the COW UPDATE's whole-table rewrite and the

@@ -461,7 +461,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"${GraftTable.RowTrackingProp} must be 'true' or 'false', " +
           s"got '$other'")
     }
-    (partCols, bucketSpec, mode, checks, tracked)
+    // per-table declarative retention (round 20): validated and
+    // stamped at CREATE — a bad window fails the statement, never a
+    // later slide
+    val retSnap = Option(properties.get(GraftTable.RetentionSnapshotsProp))
+      .map(_.toInt)
+    val retHours = Option(properties.get(GraftTable.RetentionHoursProp))
+      .map(_.toDouble)
+    val retained =
+      if (retSnap.isEmpty && retHours.isEmpty) tracked
+      else GraftTable.stampRetention(tracked, retSnap, retHours)
+    (partCols, bucketSpec, mode, checks, retained)
   }
 
   override def createTable(ident: Identifier, schema0: StructType,
@@ -2201,6 +2211,32 @@ class GraftTable(initialName: String, initialSchema: StructType,
           tableSchema = GraftTable.unstampRowTracking(tableSchema)
           readState = (files, dvs)
 
+        // per-table retention flips (round 20): metadata-only — the
+        // NEXT commit's slide (and RETAIN-less VACUUM) honor the new
+        // window; setting one half keeps the other
+        case sp: TableChange.SetProperty
+            if sp.property == GraftTable.RetentionSnapshotsProp =>
+          tableSchema = GraftTable.stampRetention(tableSchema,
+            Some(sp.value.toInt),
+            GraftTable.retentionHoursOf(tableSchema))
+          readState = (files, dvs)
+        case sp: TableChange.SetProperty
+            if sp.property == GraftTable.RetentionHoursProp =>
+          tableSchema = GraftTable.stampRetention(tableSchema,
+            GraftTable.retentionSnapshotsOf(tableSchema),
+            Some(sp.value.toDouble))
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftTable.RetentionSnapshotsProp =>
+          tableSchema = GraftTable.stampRetention(tableSchema, None,
+            GraftTable.retentionHoursOf(tableSchema))
+          readState = (files, dvs)
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftTable.RetentionHoursProp =>
+          tableSchema = GraftTable.stampRetention(tableSchema,
+            GraftTable.retentionSnapshotsOf(tableSchema), None)
+          readState = (files, dvs)
+
         // auto-compaction policy flips: metadata-only, next commit's
         // hook sees the new threshold (or none) — no blocking rewrite
         case sp: TableChange.SetProperty
@@ -2650,22 +2686,32 @@ class GraftTable(initialName: String, initialSchema: StructType,
   /** Snapshots of `h` within the declared time window (all of them when
     * no window is declared). Ages off the commit timestamps and the
     * injectable [[GraftClock]], so specs pin the boundary. */
-  private def withinRetainWindow(h: Vector[CommitEntry]): Int =
-    retainHoursOverride match {
+  private def withinRetainWindow(h: Vector[CommitEntry]): Int = {
+    // branch declaration and table property compose as MIN (tightest
+    // window wins) — the r20 per-table retention rides the schema
+    val declared = (retainHoursOverride.toSeq ++
+      GraftTable.retentionHoursOf(tableSchema)).minOption
+    declared match {
       case Some(hours) =>
         val cutoff = GraftClock.nowMicros() - (hours * 3600d * 1e6).toLong
         h.count(_.tsMicros >= cutoff)
       case None => Int.MaxValue
     }
+  }
+
+  /** Declared COUNT window: branch declaration and table property
+    * compose as min; neither declared → the engine-wide default. */
+  private def declaredCountWindow: Int =
+    (retainSnapshotsOverride.toSeq ++
+      GraftTable.retentionSnapshotsOf(tableSchema)).minOption
+      .getOrElse(GraftTable.historyRetention)
 
   /** The chain's effective snapshot-retention window over history `h`:
     * min of the count window (declared or engine-wide) and the declared
     * time window. The floor of 2 is structural: the change feed and
     * ancestry checks need at least the previous entry. */
   private def effectiveRetention(h: Vector[CommitEntry]): Int =
-    math.max(2, math.min(
-      retainSnapshotsOverride.getOrElse(GraftTable.historyRetention),
-      withinRetainWindow(h)))
+    math.max(2, math.min(declaredCountWindow, withinRetainWindow(h)))
 
   /** `VACUUM` WITHOUT a RETAIN clause honors the chain's DECLARED
     * retention (r18; extended by the r19 time window): count and time
@@ -2674,13 +2720,18 @@ class GraftTable(initialName: String, initialSchema: StructType,
     * declaration at all keeps the default 1. Floor 1 — VACUUM is the
     * explicit reclaim, the structural floor of 2 belongs to the
     * automatic slide. */
-  private def declaredVacuumKeep: Int =
-    (retainSnapshotsOverride, retainHoursOverride) match {
+  private def declaredVacuumKeep: Int = {
+    val c = (retainSnapshotsOverride.toSeq ++
+      GraftTable.retentionSnapshotsOf(tableSchema)).minOption
+    val t = (retainHoursOverride.toSeq ++
+      GraftTable.retentionHoursOf(tableSchema)).minOption
+    (c, t) match {
       case (None, None) => 1
-      case (c, t) => math.max(1, math.min(
+      case _ => math.max(1, math.min(
         c.getOrElse(Int.MaxValue),
         if (t.isDefined) withinRetainWindow(history) else Int.MaxValue))
     }
+  }
 
   /** The (partitionCols, bucketSpec) in effect at commit `v`. */
   private[sources] def layoutAt(v: Int): (Seq[String], Option[(Int, String)]) =
@@ -5263,7 +5314,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       StructField("constraints", StringType, nullable = false),
       StructField("retained_versions", StringType, nullable = false),
       StructField("bloom_columns", StringType, nullable = false),
-      StructField("analyzed_columns", StringType, nullable = false)))
+      StructField("analyzed_columns", StringType, nullable = false),
+      // r20 per-table declarative retention (NULL = engine default)
+      StructField("retention_snapshots", IntegerType, nullable = true),
+      StructField("retention_hours", DoubleType, nullable = true)))
     val fs = files
     val dvm = dvs
     val h = history
@@ -5281,7 +5335,11 @@ class GraftTable(initialName: String, initialSchema: StructType,
         .map { case (n, c) => s"$n: ${c.text}" }.mkString("; ")),
       utf8(s"${h.head.version}..${h.last.version}"),
       utf8(GraftBloom.stampedCols(tableSchema).mkString(", ")),
-      utf8(colStats.keys.toSeq.sorted.mkString(", ")))): InternalRow
+      utf8(colStats.keys.toSeq.sorted.mkString(", ")),
+      GraftTable.retentionSnapshotsOf(tableSchema)
+        .map(Int.box).orNull,
+      GraftTable.retentionHoursOf(tableSchema)
+        .map(Double.box).orNull)): InternalRow
     new GraftSnapshotTable(s"$tableName$$detail", schema,
       Vector(GraftDataFile.build(Array(row), schema, None)))
   }
@@ -6291,6 +6349,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
       m.put(GraftTable.ClusterByProp, clusterBy.mkString(","))
     if (rowTrackingEnabled)
       m.put(GraftTable.RowTrackingProp, "true")
+    GraftTable.retentionSnapshotsOf(tableSchema).foreach(n =>
+      m.put(GraftTable.RetentionSnapshotsProp, n.toString))
+    GraftTable.retentionHoursOf(tableSchema).foreach(h =>
+      m.put(GraftTable.RetentionHoursProp, h.toString))
     checks.foreach { case (n, c) =>
       m.put(GraftConstraints.Prefix + n, c.text)
     }
@@ -7046,6 +7108,53 @@ object GraftTable {
   private[sources] def rowTrackingStamped(schema: StructType): Boolean =
     schema.fields.exists(f => f.metadata.contains(RowTrackMeta) &&
       f.metadata.getBoolean(RowTrackMeta))
+
+  /** Per-TABLE declarative retention for the MAIN chain (round 20 —
+    * Delta's `delta.logRetentionDuration` analog, split into the same
+    * count/time pair the branch machinery declares): TBLPROPERTIES
+    * `retention.snapshots` = keep at most N snapshots,
+    * `retention.hours` = drop snapshots older than the window. Stamped
+    * into field metadata like every declarative property here, so the
+    * declaration persists in the log and reaches restarts and foreign
+    * processes with the schema. Composes with a branch's own declared
+    * retention (and the engine-wide default) as MIN with the
+    * structural floor of 2; honored by the automatic slide and by
+    * VACUUM without an explicit RETAIN. */
+  val RetentionSnapshotsProp = "retention.snapshots"
+  val RetentionHoursProp = "retention.hours"
+  private val RetentionSnapshotsMeta = "graft.retention.snapshots"
+  private val RetentionHoursMeta = "graft.retention.hours"
+
+  private[sources] def stampRetention(schema: StructType,
+      snapshots: Option[Int], hours: Option[Double]): StructType = {
+    snapshots.filter(_ < 1).foreach(n =>
+      throw new IllegalArgumentException(
+        s"$RetentionSnapshotsProp = $n — must keep at least 1"))
+    hours.filter(_ <= 0).foreach(h =>
+      throw new IllegalArgumentException(
+        s"$RetentionHoursProp = $h — the window must be positive"))
+    StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      mb.remove(RetentionSnapshotsMeta)
+      mb.remove(RetentionHoursMeta)
+      snapshots.foreach(n => mb.putLong(RetentionSnapshotsMeta, n.toLong))
+      hours.foreach(h => mb.putDouble(RetentionHoursMeta, h))
+      f.copy(metadata = mb.build())
+    })
+  }
+  private[sources] def retentionSnapshotsOf(
+      schema: StructType): Option[Int] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(RetentionSnapshotsMeta) =>
+        f.metadata.getLong(RetentionSnapshotsMeta).toInt
+    }
+  private[sources] def retentionHoursOf(
+      schema: StructType): Option[Double] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(RetentionHoursMeta) =>
+        f.metadata.getDouble(RetentionHoursMeta)
+    }
 
   /** The `_file_id`/`_row_pos` metadata columns — shared by the live
     * table AND every snapshot-backed relation (time travel, the

@@ -625,6 +625,73 @@ class GraftTableFilesSpec extends SparkSpec {
     assert(spark.table(t).count() === 6)
   }
 
+  test("per-table retention.snapshots bounds the MAIN chain's slide; " +
+      "RETAIN-less VACUUM honors the declaration") {
+    val t = freshTable("t_tblret")
+    Seq((1L, "a")).toDF("id", "v").repartition(1).writeTo(t)
+      .tableProperty("retention.snapshots", "3").create()
+    for (i <- 2 to 6) spark.sql(s"INSERT INTO $t VALUES ($i, 'x')")
+    val table = store("t_tblret")
+    // v0 create + 6 commits, auto-trimmed to the declared 3
+    assert(table.commitHistory.length === 3,
+      s"declared window must bound the slide: ${table.commitHistory}")
+    // RETAIN-less declared VACUUM keeps the declared window, not the
+    // explicit-vacuum default of 1
+    val retired = GraftMaintenance.vacuum(Seq("ns"), "t_tblret",
+      keepLast = GraftTable.VacuumDeclaredRetention)
+    assert(retired === 0, "the slide already enforced the declaration")
+    assert(table.commitHistory.length === 3)
+    // widening the declaration via ALTER grows the retained window
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('retention.snapshots'='5')")
+    for (i <- 7 to 9) spark.sql(s"INSERT INTO $t VALUES ($i, 'x')")
+    assert(table.commitHistory.length === 5)
+    // UNSET reverts to the engine-wide default (no trim on next commit)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES " +
+      "('retention.snapshots')")
+    spark.sql(s"INSERT INTO $t VALUES (10, 'x')")
+    assert(table.commitHistory.length === 7)
+    // the declaration must refuse nonsense loudly
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('retention.snapshots'='0')"))
+  }
+
+  test("per-table retention.hours drops snapshots past the clock window " +
+      "(floor 2); composes with the count as min") {
+    val saved = GraftClock.nowMicros
+    try {
+      var now = 1_000_000_000_000L // µs
+      GraftClock.nowMicros = () => now
+      val t = freshTable("t_tblret_h")
+      Seq((1L, "a")).toDF("id", "v").repartition(1).writeTo(t)
+        .tableProperty("retention.hours", "1").create()
+      val table = store("t_tblret_h")
+      for (i <- 2 to 4) {
+        now += 60L * 60 * 1000 * 1000 / 4 // +15 min
+        spark.sql(s"INSERT INTO $t VALUES ($i, 'x')")
+      }
+      // all commits inside the hour: nothing drops
+      assert(table.commitHistory.length === 5)
+      // jump 2 hours: the next commit's slide drops everything older
+      // than the window except the structural floor of 2
+      now += 2L * 60 * 60 * 1000 * 1000
+      spark.sql(s"INSERT INTO $t VALUES (5, 'x')")
+      assert(table.commitHistory.length === 2,
+        s"clock window must trim to floor 2: ${table.commitHistory}")
+      // count window composes as min: declare 3 snapshots too, stay
+      // inside the hour — count wins
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('retention.snapshots'='3')")
+      for (i <- 6 to 9) {
+        now += 1000L
+        spark.sql(s"INSERT INTO $t VALUES ($i, 'x')")
+      }
+      assert(table.commitHistory.length === 3)
+      // head state is never affected by retention
+      assert(spark.table(t).count() === 9)
+    } finally GraftClock.nowMicros = saved
+  }
+
   test("concurrent INSERTs never lose a batch (documented atomic-swap contract)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
