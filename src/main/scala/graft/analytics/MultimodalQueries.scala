@@ -50,6 +50,111 @@ object MultimodalQueries {
   private val aviLenSql = s"100 + raw_len + raw_len % 2 + 8 * $nFrameSql"
 
   val all: Seq[Q] = Seq(
+
+    // ----- the COMPOSED MULTIMODAL lifecycle (round 20 — the g1/c1
+    // move for the m-family): ingest real containers → header parse
+    // (m1's decode) → asset dedup by CONTENT digest (m4's key, min-doc
+    // keeper) → chunk plan over the SURVIVORS ONLY (m3's geometry —
+    // chunking before dedup would double-plan duplicate assets and
+    // break the hash) → modality-coverage gate against the embedding
+    // corpus (qa5's alignment direction). One per-modality funnel row
+    // pins the whole composition. Plan: one partition-local decode
+    // pass, one digest window, one metadata-only chunk explode over
+    // keepers, one 8-byte-key semi join — payload bytes never shuffle
+    // (digests and decoded structs do), the m4/m1 posture composed.
+    Q("c4_multimodal_lifecycle",
+      "MM-compose,MM-decode,MM-dedup,MM-chunking,QA-alignment,A1,A7", {
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |    md5(text) AS digest, strlen(text) AS raw_len,
+         |    $chSql AS ch
+         |  FROM documents),
+         |sz AS (SELECT *,
+         |    CASE WHEN modality = 'audio' THEN 44 + raw_len + raw_len % 2
+         |         WHEN modality = 'image' THEN $pngLenSql
+         |         ELSE $aviLenSql END AS byte_len
+         |  FROM m),
+         |keep AS (SELECT *,
+         |    min(doc_id) OVER (PARTITION BY modality, digest) AS keeper
+         |  FROM sz),
+         |k AS (SELECT * FROM keep WHERE doc_id = keeper),
+         |u AS (SELECT doc_id, modality,
+         |    CASE modality WHEN 'audio' THEN raw_len // (ch * 2)
+         |         WHEN 'video' THEN $nFrameSql ELSE 1 END AS n_units,
+         |    CASE modality WHEN 'audio' THEN 256
+         |         WHEN 'video' THEN 30 ELSE 1 END AS chunk,
+         |    CASE modality WHEN 'audio' THEN 192
+         |         WHEN 'video' THEN 30 ELSE 1 END AS stride
+         |  FROM k),
+         |nc AS (SELECT doc_id, modality,
+         |    CASE WHEN n_units <= chunk THEN 1
+         |         ELSE 1 + (n_units - chunk + stride - 1) // stride
+         |    END AS n_chunks
+         |  FROM u),
+         |a1 AS (SELECT modality, CAST(count(*) AS BIGINT) AS n_assets
+         |       FROM sz GROUP BY 1),
+         |a2 AS (SELECT modality, CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(sum(byte_len) AS BIGINT) AS kept_bytes
+         |       FROM k GROUP BY 1),
+         |a3 AS (SELECT modality, CAST(sum(n_chunks) AS BIGINT) AS n_chunks
+         |       FROM nc GROUP BY 1),
+         |cov AS (SELECT k.modality, CAST(count(*) AS BIGINT) AS n_covered
+         |        FROM k JOIN embeddings e ON k.doc_id = e.vec_id
+         |        GROUP BY 1)
+         |SELECT a1.modality, n_assets, n_distinct, n_chunks, kept_bytes,
+         |  coalesce(n_covered, 0) AS n_covered
+         |FROM a1 JOIN a2 USING (modality) JOIN a3 USING (modality)
+         |LEFT JOIN cov USING (modality)
+         |ORDER BY modality""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      // stage 1: ingest real containers + the partition-local header
+      // parse (builder ∘ parser = identity, proven per-asset by m1)
+      val media = Multimodal.attachPayload(
+        docs.repartition(col("doc_id")), "doc_id", "text")
+      val decoded = Caches.persistTracked(Multimodal.decodeMeta(s, media))
+      val meta = decoded.select(col("doc_id"),
+        col("meta.modality").as("modality"),
+        col("meta.byteLen").as("byte_len"))
+      // stage 2: asset dedup by CONTENT digest (the raw payload's —
+      // container bytes differ per doc_id even for equal content, so
+      // the digest must be of the content, exactly m4's key)
+      val dig = docs.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("digest"))
+      val keyed = meta.join(dig, "doc_id")
+      val keepers = Caches.persistTracked(keyed
+        .withColumn("keeper",
+          min("doc_id").over(Window.partitionBy("modality", "digest")))
+        .filter(col("doc_id") === col("keeper"))
+        .drop("keeper", "digest"))
+      // stage 3: chunk plan over the SURVIVORS only (m3's geometry)
+      val chunks = Multimodal.chunkPlan(
+        decoded.join(keepers.select("doc_id"), "doc_id"),
+        audioChunk = 256, audioStride = 192)
+      // stage 4: modality-coverage gate (qa5's direction)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"))
+      val covered = keepers
+        .join(emb, col("doc_id") === col("vec_id"), "left_semi")
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_covered"))
+      // per-modality funnel
+      val a1 = keyed.groupBy("modality")
+        .agg(count(lit(1)).as("n_assets"))
+      val a2 = keepers.groupBy("modality")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum("byte_len").cast("long").as("kept_bytes"))
+      val a3 = chunks.groupBy("modality")
+        .agg(count(lit(1)).cast("long").as("n_chunks"))
+      a1.join(a2, "modality").join(a3, "modality")
+        .join(covered, Seq("modality"), "left")
+        .select(col("modality"), col("n_assets"), col("n_distinct"),
+          col("n_chunks"), col("kept_bytes"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .orderBy("modality")
+    },
+
     Q("m1_multimodal_meta", "MM-decode", {
       s"""WITH m AS (
          |  SELECT doc_id,

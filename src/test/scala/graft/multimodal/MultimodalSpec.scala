@@ -39,6 +39,39 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(avi.slice(108, 121), "UTF-8") === "a much longer")
   }
 
+  test("c4 composed lifecycle reconciles with its stages") {
+    val dir = "/root/testdata/sf0.001"
+    val run = graft.SparkEntry.queries("c4_multimodal_lifecycle")(spark, dir)
+    val rows = run.collect()
+    graft.analytics.Caches.release()
+    val byMod = rows.map(r => r.getString(0) -> r).toMap
+    assert(byMod.keySet == Set("audio", "image", "video"))
+    // stage reconciliation against INDEPENDENT restatements of each
+    // stage over the raw table
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val modOf = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    // n_assets = raw census; n_distinct = distinct (modality, digest)
+    val raw = docs.select(modOf.as("m"), md5(col("text")).as("d"))
+    val nAssets = raw.groupBy("m").count().as[(String, Long)]
+      .collect().toMap
+    val nDistinct = raw.distinct().groupBy("m").count()
+      .as[(String, Long)].collect().toMap
+    byMod.foreach { case (m, r) =>
+      assert(r.getLong(1) == nAssets(m), s"$m n_assets")
+      assert(r.getLong(2) == nDistinct(m), s"$m n_distinct")
+      // dedup never grows; chunks cover at least one per keeper
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= r.getLong(2), s"$m n_chunks < keepers")
+      // coverage is bounded by the keeper census
+      assert(r.getLong(5) <= r.getLong(2), s"$m n_covered")
+    }
+    // images chunk 1:1 (one whole-asset chunk per keeper)
+    assert(byMod("image").getLong(3) == byMod("image").getLong(2))
+  }
+
   test("decode is deterministic and schema-typed; audio parses the real WAV header") {
     val decoded = Multimodal.decodeMeta(spark, media).cache()
     assert(decoded.schema("meta").dataType.typeName === "struct")
