@@ -346,11 +346,20 @@ object PipelineQueries {
     // without DROP round-trips; the scratch warehouse reclaims at exit.
     Q("g2_gold_lakehouse",
       "E1,S6,S8,S10,S11,W2,J10,A1-A8,E-durable", goldOracle) { (s, dir) =>
+      // r20 hygiene: a UUID-named catalog per run keeps repeated bench
+      // passes isolated (CatalogManager caches instances per NAME, so a
+      // reused name would silently keep the previous run's store) — but
+      // the conf keys must not accumulate across passes. The result is
+      // consumed AFTER this function returns, so the PREVIOUS run's
+      // keys are the ones safe to drop here.
+      g2PrevCatalogKeys.getAndSet(Nil).foreach(s.conf.unset)
       val cat = s"g2c_${java.util.UUID.randomUUID().toString.take(8)}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse",
         TempDirs.scratch("graft-g2wh"))
+      g2PrevCatalogKeys.set(Seq(s"spark.sql.catalog.$cat",
+        s"spark.sql.catalog.$cat.warehouse"))
       val sv = s"$cat.ns.g2_silver"
       val bronze = Caches.persistTracked(bronzeFromLineitem(s, dir))
       val cut = "1995-06-30"
@@ -377,7 +386,13 @@ object PipelineQueries {
       // tables land, and the star join reads them after the barrier.
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      // dedicated bounded pool (r20 hygiene): the three concurrent dim
+      // publishes must not contend with whatever else rides the JVM's
+      // global pool; shut down as soon as the barrier resolves
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
       val fdp = Future(publish("g2_dim_parameter",
         SilverToGold.dimParameter(silver0.parameter, DimBuild.HashKeys)))
       val fdm = Future(publish("g2_dim_method",
@@ -427,5 +442,12 @@ object PipelineQueries {
           sum(col("observation_count").cast("long")).as("n_obs"),
           max(col("population")).as("max_pop"))
         .orderBy("year", "region", "parameter_name", "category", "aqi_category")
+      } finally pool.shutdown()
     })
+
+  /** Conf keys of the previous g2 run's scratch catalog — dropped at
+    * the START of the next run (the result of a run is consumed after
+    * its function returns, so its own keys must outlive it). */
+  private val g2PrevCatalogKeys =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 }

@@ -996,8 +996,17 @@ final class GraftStoreState(val warehouse: Option[java.nio.file.Path],
     * visible with no invalidation protocol (see [[GraftViews]]). */
   val views: TrieMap[(Seq[String], String), GraftViewMeta] = TrieMap.empty
 
+  /** Diagnostic: `lookupView` calls against THIS store — the analyzer
+    * fast-path pin (GraftExtensionsSpec asserts a view-free query
+    * analyzes with zero probes). Per-store (r20, the r19-advice fix)
+    * so another store's background view activity cannot flake the
+    * assertion; the JVM-global [[GraftViews.probes]] still totals
+    * across stores. Never read on a hot path. */
+  val viewProbes = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The view definition behind (ns, name), wherever it lives. */
   def lookupView(ns: Seq[String], name: String): Option[GraftViewMeta] = {
+    viewProbes.incrementAndGet()
     GraftViews.probes.incrementAndGet()
     warehouse match {
       case Some(wh) => GraftViews.read(wh, ns, name)
@@ -1978,10 +1987,16 @@ class GraftTable(initialName: String, initialSchema: StructType,
           // field whose id is absent from a file's FOOTER, so
           // checkpoint folds, clones and foreign processes all serve
           // it with zero extra state. The add stays metadata-only.
+          // the ALTER session's zone is CAPTURED with the default:
+          // the read-side backfill and the insert-side fill must agree
+          // on a timezone-sensitive literal whatever zone later
+          // sessions run under (r20, the r19-advice fix)
+          val declTz = org.apache.spark.sql.internal.SQLConf.get
+            .sessionLocalTimeZone
           val defaultSql = Option(add.defaultValue).map { dv =>
             val sql = dv.getSql
             try {
-              val lit = GraftTable.evalDefault(sql, add.dataType)
+              val lit = GraftTable.evalDefault(sql, add.dataType, declTz)
               if (lit == null && !add.isNullable)
                 throw new IllegalArgumentException("NULL default on a " +
                   "non-nullable column")
@@ -1998,6 +2013,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
           defaultSql.foreach { sql =>
             mdb.putString("CURRENT_DEFAULT", sql)
             mdb.putString("EXISTS_DEFAULT", sql)
+            mdb.putString(GraftTable.ExistsDefaultTzMeta, declTz)
           }
           val newSchema = StructType(oldFields :+
             FieldIds.withId(org.apache.spark.sql.types.StructField(
@@ -2022,7 +2038,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
             val width = oldFields.length
             val dts = oldFields.map(_.dataType)
             val fillVal = defaultSql
-              .map(GraftTable.evalDefault(_, add.dataType)).orNull
+              .map(GraftTable.evalDefault(_, add.dataType, declTz)).orNull
             rebuildFiles(newSchema, { r =>
               val vals = new Array[Any](width + 1)
               var i = 0
@@ -3515,6 +3531,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
       throw new UnsupportedOperationException(
         s"$tableName: cannot MERGE BRANCH '$branch' onto itself — " +
           "merge a DIFFERENT branch, or FAST FORWARD main to this one")
+    // EXPIRED-source asymmetry, BY DESIGN (documented in SURVEY's
+    // expiry-scope note): the resolve-time expiry refusal guards the
+    // READ surface; the maintenance path that resolved `bt` serves the
+    // chain regardless, because adopting audited work you already paid
+    // for is a REMEDY for an aged ref, not a read of it — the same
+    // reason DROP BRANCH, VACUUM, FAST FORWARD and CHERRY-PICK keep
+    // working on an expired-but-unswept ref.
     val ident = Identifier.of(Array.empty[String], bt.name())
     val (srcSchema, fs, fsDvs) = bt.stateAt(None, ident)
     if (srcSchema != tableSchema)
@@ -7510,15 +7533,30 @@ object GraftTable {
     * (CatalystSqlParser), so read-side backfill can run EXECUTOR-side.
     * Throws on anything that is not a foldable literal expression. */
   def evalDefault(sql: String,
-      dt: org.apache.spark.sql.types.DataType): Any = {
+      dt: org.apache.spark.sql.types.DataType,
+      timeZone: String = "UTC"): Any = {
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(sql)
     if (!parsed.foldable)
       throw new IllegalArgumentException(s"'$sql' is not a constant")
     org.apache.spark.sql.catalyst.expressions.Cast(parsed, dt,
-      Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+      Some(timeZone),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
   }
+
+  /** Timezone a stored default evaluates under: the ALTER session's,
+    * captured into the field metadata at declaration (r20 — a
+    * timezone-sensitive default like a string→timestamp cast must
+    * serve the SAME value from the read-side backfill on every
+    * executor and every process, regardless of their session zones).
+    * Pre-capture metadata (r19 tables) keeps the UTC it was written
+    * under. */
+  val ExistsDefaultTzMeta = "EXISTS_DEFAULT_TZ"
+  def defaultTzOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(ExistsDefaultTzMeta))
+      f.metadata.getString(ExistsDefaultTzMeta)
+    else "UTC"
 
   /** Ref-event AUDIT retention (r19 — `t$refs_log`): the newest N
     * events kept; older ones trim at main-chain reclaims (the same

@@ -188,32 +188,61 @@ private[sources] object GraftSegmentIO {
     val withDefault = schema.fields.zipWithIndex
       .filter(_._1.metadata.contains("EXISTS_DEFAULT"))
     if (withDefault.isEmpty) return base
+    // segments are IMMUTABLE once committed (writes land by atomic
+    // rename and never mutate in place), so the footer's field-id set
+    // memoizes per normalized path: one ParquetFileReader.open per
+    // (JVM, file), not one per scan — a cache-miss read of a
+    // defaults-carrying table costs a single footer parse ever
+    // (r19 ADVICE: the double-open ran per read)
+    val key = file.toAbsolutePath.normalize.toString
+    val cached = footerIdCache.get(key)
     val fileIds: Set[Long] =
-      try {
-        val conf = new Configuration(false)
-        conf.set("fs.defaultFS", "file:///")
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(file.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          import scala.jdk.CollectionConverters._
-          r.getFileMetaData.getSchema.getFields.asScala
-            .flatMap(t => Option(t.getId).map(_.intValue().toLong))
-            .toSet
-        } finally r.close()
-      } catch {
-        case scala.util.control.NonFatal(_) => return base
+      if (cached != null) cached
+      else {
+        val ids: Set[Long] =
+          try {
+            val conf = new Configuration(false)
+            conf.set("fs.defaultFS", "file:///")
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(file.toUri), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getFileMetaData.getSchema.getFields.asScala
+                .flatMap(t => Option(t.getId).map(_.intValue().toLong))
+                .toSet
+            } finally r.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => return base
+          }
+        footerIdCache.put(key, ids)
+        ids
       }
     withDefault.foldLeft(base) { case (acc, (f, i)) =>
       FieldIds.idOf(f) match {
         case Some(id) if !fileIds.contains(id) =>
-          val v = GraftTable.evalDefault(
-            f.metadata.getString("EXISTS_DEFAULT"), f.dataType)
+          // evaluate under the zone CAPTURED at declaration — executor
+          // session zones must not skew a timezone-sensitive default
+          val tz = GraftTable.defaultTzOf(f)
+          val v = defaultLitCache.computeIfAbsent(
+            (f.metadata.getString("EXISTS_DEFAULT"), f.dataType, tz),
+            { case (sql, dt, z) => GraftTable.evalDefault(sql, dt, z) })
           acc.updated(i, Literal(v, f.dataType))
         case _ => acc
       }
     }
   }
+
+  /** Footer field-id sets per normalized segment path (files are
+    * immutable once committed; a replaced path is a NEW path) —
+    * footers are tiny, the census is file-count-bounded. */
+  private val footerIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Long]]()
+
+  /** Evaluated EXISTS_DEFAULT literal per (sql, dataType) — the parse
+    * + fold runs once per declared default, not once per file read. */
+  private val defaultLitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, org.apache.spark.sql.types.DataType, String), Any]()
 
   def read(file: java.nio.file.Path, schema: StructType)
       : Array[InternalRow] = {

@@ -739,8 +739,14 @@ object GraftSqlParser {
             GraftMaintenanceCommand(out("renamed"), s => {
               val np = split(newIdent).getOrElse(Seq(newIdent.trim
                 .stripPrefix("`").stripSuffix("`")))
+              // a 2-part target (ns.v2, the usual way users type it)
+              // anchors to the SOURCE's catalog before the same-place
+              // comparison — refusing it claimed a cross-catalog move
+              // that wasn't one (r19-advice fix)
               val target =
                 if (np.length == 1) parts.dropRight(1) :+ np.head
+                else if (np.length == parts.length - 1)
+                  parts.head +: np
                 else np
               if (target.length != parts.length ||
                   target.dropRight(1) != parts.dropRight(1))

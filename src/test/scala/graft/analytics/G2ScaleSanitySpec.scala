@@ -49,6 +49,14 @@ class G2ScaleSanitySpec extends SparkSpec {
     assert(smj === 0 && cp === 0,
       s"no dim join may decay to sort-merge ($smj) or cartesian ($cp)")
     assert(shj === 0, s"no shuffled-hash dim joins expected, got $shj")
+
+    // r20 hygiene: the per-run UUID catalog confs must not accumulate —
+    // after two back-to-back runs only the LATEST run's pair survives
+    // (its result was just consumed; the next run drops it)
+    val g2Keys = spark.conf.getAll.keys
+      .filter(_.startsWith("spark.sql.catalog.g2c_")).toSeq
+    assert(g2Keys.length <= 2,
+      s"g2 scratch-catalog confs leaked across runs: $g2Keys")
   }
 
   /** sf1 leg (round 10, VERDICT task 6): another 10x on top of sf0.1.

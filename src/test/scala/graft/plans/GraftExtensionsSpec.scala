@@ -99,26 +99,30 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("view-free analysis never probes the view store (fast path), " +
     "and the first CREATE VIEW re-enables substitution") {
-    import graft.sources.GraftViews
     // in-JVM catalog: mayHoldViews == views.nonEmpty (live map)
     spark.conf.set("spark.sql.catalog.extfp", "graft.sources.GraftCatalog")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS extfp.fp")
     spark.sql("CREATE TABLE extfp.fp.t (k INT, v STRING)")
     spark.sql("INSERT INTO extfp.fp.t VALUES (1, 'a'), (2, 'b')")
-    def probesDuring(body: => Unit): Long = {
-      val before = GraftViews.probes.get(); body
-      GraftViews.probes.get() - before
+    // per-STORE counter (r20): another store's view activity — a
+    // concurrent suite's background query — cannot flake the == 0 pins
+    def storeOf(cat: String) = spark.sessionState.catalogManager
+      .catalog(cat).asInstanceOf[graft.sources.GraftCatalog].store
+    def probesDuring(cat: String)(body: => Unit): Long = {
+      val c = storeOf(cat).viewProbes
+      val before = c.get(); body
+      c.get() - before
     }
     // no views anywhere in the store → the substitution rule's gate
     // short-circuits before lookupView on every fixpoint iteration
-    assert(probesDuring {
+    assert(probesDuring("extfp") {
       assert(spark.sql(
         "SELECT count(*) FROM extfp.fp.t WHERE k = 1").head().getLong(0) == 1)
     } == 0L)
     // first CREATE VIEW flips the store flag; the same read shape now
     // substitutes (and therefore probes)
     spark.sql("CREATE VIEW extfp.fp.v AS SELECT k, upper(v) AS uv FROM extfp.fp.t")
-    assert(probesDuring {
+    assert(probesDuring("extfp") {
       assert(spark.sql("SELECT uv FROM extfp.fp.v WHERE k = 2")
         .head().getString(0) == "B")
     } > 0L)
@@ -126,7 +130,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // store: the live map empties; durable stores conservatively keep
     // probing once the `_views/` dir exists — documented asymmetry)
     spark.sql("DROP VIEW extfp.fp.v")
-    assert(probesDuring {
+    assert(probesDuring("extfp") {
       assert(spark.sql(
         "SELECT count(*) FROM extfp.fp.t").head().getLong(0) == 2)
     } == 0L)
@@ -140,7 +144,7 @@ class GraftExtensionsSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS extfpd.fp")
     spark.sql("CREATE TABLE extfpd.fp.t (k INT)")
     spark.sql("INSERT INTO extfpd.fp.t VALUES (7)")
-    assert(probesDuring {
+    assert(probesDuring("extfpd") {
       assert(spark.sql(
         "SELECT count(*) FROM extfpd.fp.t").head().getLong(0) == 1)
     } == 0L)
