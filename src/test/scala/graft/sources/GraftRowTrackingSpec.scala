@@ -140,27 +140,27 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
   test("row identity survives a restart: ids, versions and CDF pairing " +
       "replay from the log; post-restart appends mint beyond") {
     val wh = tmpWh("graft-rt-restart")
-    durableCatalog("rtd", wh)
-    spark.sql("CREATE TABLE rtd.ns.t (id BIGINT, v STRING) " +
+    durableCatalog("rwtk", wh)
+    spark.sql("CREATE TABLE rwtk.ns.t (id BIGINT, v STRING) " +
       "TBLPROPERTIES ('row.tracking'='true')")
-    spark.sql("INSERT INTO rtd.ns.t VALUES (1, 'a'), (2, 'b')")
-    spark.sql("INSERT INTO rtd.ns.t VALUES (3, 'c')")
-    spark.sql("UPDATE rtd.ns.t SET v = 'u' WHERE id = 2")
+    spark.sql("INSERT INTO rwtk.ns.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO rwtk.ns.t VALUES (3, 'c')")
+    spark.sql("UPDATE rwtk.ns.t SET v = 'u' WHERE id = 2")
     val before = spark
-      .sql("SELECT id, _row_id, _row_commit_version FROM rtd.ns.t")
+      .sql("SELECT id, _row_id, _row_commit_version FROM rwtk.ns.t")
       .as[(Long, Long, Long)].collect()
       .map { case (k, r, c) => k -> ((r, c)) }.toMap
 
-    durableCatalog("rtd2", wh, isolated = true)
+    durableCatalog("rwtk2", wh, isolated = true)
     val after = spark
-      .sql("SELECT id, _row_id, _row_commit_version FROM rtd2.ns.t")
+      .sql("SELECT id, _row_id, _row_commit_version FROM rwtk2.ns.t")
       .as[(Long, Long, Long)].collect()
       .map { case (k, r, c) => k -> ((r, c)) }.toMap
     assert(after == before,
       s"row identity diverged across restart: $before vs $after")
     // the update's CDF pairing-by-id replays from the on-disk log
     val ch = spark.sql(
-      "SELECT _change_type, _row_id, id FROM rtd2.ns.`t$changes` " +
+      "SELECT _change_type, _row_id, id FROM rwtk2.ns.`t$changes` " +
         "WHERE _commit_version = 3 ORDER BY _change_type")
       .as[(String, Long, Long)].collect().toSeq
     assert(ch.map(_._1) == Seq("delete", "insert"))
@@ -168,9 +168,9 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
       s"update must pair by one id: $ch")
     assert(ch.forall(_._3 == 2L))
     // the mint counter recovered: a post-restart insert goes BEYOND
-    spark.sql("INSERT INTO rtd2.ns.t VALUES (9, 'z')")
+    spark.sql("INSERT INTO rwtk2.ns.t VALUES (9, 'z')")
     val nid = spark
-      .sql("SELECT _row_id FROM rtd2.ns.t WHERE id = 9").as[Long].head()
+      .sql("SELECT _row_id FROM rwtk2.ns.t WHERE id = 9").as[Long].head()
     val maxOld = before.values.map(_._1).max
     assert(nid > maxOld, s"restart re-minted id $nid <= $maxOld")
   }
@@ -178,21 +178,21 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
   test("clones adopt row identity; the clone's own mint counter clears " +
       "every adopted id") {
     val wh = tmpWh("graft-rt-clone")
-    durableCatalog("rtc", wh)
-    spark.sql("CREATE TABLE rtc.ns.src (id BIGINT, v STRING) " +
+    durableCatalog("rwtkc", wh)
+    spark.sql("CREATE TABLE rwtkc.ns.src (id BIGINT, v STRING) " +
       "TBLPROPERTIES ('row.tracking'='true')")
-    spark.sql("INSERT INTO rtc.ns.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
-    spark.sql("UPDATE rtc.ns.src SET v = 'u' WHERE id = 2")
-    val src = spark.sql("SELECT id, _row_id FROM rtc.ns.src")
+    spark.sql("INSERT INTO rwtkc.ns.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("UPDATE rwtkc.ns.src SET v = 'u' WHERE id = 2")
+    val src = spark.sql("SELECT id, _row_id FROM rwtkc.ns.src")
       .as[(Long, Long)].collect().toMap
     GraftMaintenance.sql(spark,
-      "CREATE TABLE rtc.ns.dst SHALLOW CLONE rtc.ns.src").collect()
-    val dst = spark.sql("SELECT id, _row_id FROM rtc.ns.dst")
+      "CREATE TABLE rwtkc.ns.dst SHALLOW CLONE rwtkc.ns.src").collect()
+    val dst = spark.sql("SELECT id, _row_id FROM rwtkc.ns.dst")
       .as[(Long, Long)].collect().toMap
     assert(dst == src, "clone must serve the source's row ids")
-    spark.sql("INSERT INTO rtc.ns.dst VALUES (9, 'z')")
+    spark.sql("INSERT INTO rwtkc.ns.dst VALUES (9, 'z')")
     val nid = spark
-      .sql("SELECT _row_id FROM rtc.ns.dst WHERE id = 9").as[Long].head()
+      .sql("SELECT _row_id FROM rwtkc.ns.dst WHERE id = 9").as[Long].head()
     assert(nid > src.values.max,
       s"clone re-minted id $nid inside the adopted range")
   }
@@ -200,35 +200,35 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
   test("branches: fork shares identity, branch writes mint in the " +
       "branch chain, MERGE BRANCH adopts ids and clears the counter") {
     val wh = tmpWh("graft-rt-branch")
-    durableCatalog("rtb", wh)
-    spark.sql("CREATE TABLE rtb.ns.t (id BIGINT, v STRING) " +
+    durableCatalog("rwtkb", wh)
+    spark.sql("CREATE TABLE rwtkb.ns.t (id BIGINT, v STRING) " +
       "TBLPROPERTIES ('row.tracking'='true')")
-    spark.sql("INSERT INTO rtb.ns.t VALUES (1, 'a'), (2, 'b')")
-    val main0 = spark.sql("SELECT id, _row_id FROM rtb.ns.t")
+    spark.sql("INSERT INTO rwtkb.ns.t VALUES (1, 'a'), (2, 'b')")
+    val main0 = spark.sql("SELECT id, _row_id FROM rwtkb.ns.t")
       .as[(Long, Long)].collect().toMap
     GraftMaintenance.sql(spark,
-      "ALTER TABLE rtb.ns.t CREATE BRANCH b").collect()
+      "ALTER TABLE rwtkb.ns.t CREATE BRANCH b").collect()
     // fork census shares the file objects — identical identity
-    val fork = spark.sql("SELECT id, _row_id FROM rtb.ns.`t@b`")
+    val fork = spark.sql("SELECT id, _row_id FROM rwtkb.ns.`t@b`")
       .as[(Long, Long)].collect().toMap
     assert(fork == main0)
     // branch append mints NEW ids (the fork seeded the branch counter)
-    spark.sql("INSERT INTO rtb.ns.`t@b` VALUES (10, 'x')")
-    spark.sql("UPDATE rtb.ns.`t@b` SET v = 'u' WHERE id = 1")
-    val br = spark.sql("SELECT id, _row_id FROM rtb.ns.`t@b`")
+    spark.sql("INSERT INTO rwtkb.ns.`t@b` VALUES (10, 'x')")
+    spark.sql("UPDATE rwtkb.ns.`t@b` SET v = 'u' WHERE id = 1")
+    val br = spark.sql("SELECT id, _row_id FROM rwtkb.ns.`t@b`")
       .as[(Long, Long)].collect().toMap
     assert(br(1L) == main0(1L) && br(2L) == main0(2L),
       "branch update must keep the forked rows' ids")
     assert(br(10L) > main0.values.max, "branch insert re-minted")
     // merge back: main adopts the branch ids, main's next insert clears
     GraftMaintenance.sql(spark,
-      "ALTER TABLE rtb.ns.t MERGE BRANCH b").collect()
-    val merged = spark.sql("SELECT id, _row_id FROM rtb.ns.t")
+      "ALTER TABLE rwtkb.ns.t MERGE BRANCH b").collect()
+    val merged = spark.sql("SELECT id, _row_id FROM rwtkb.ns.t")
       .as[(Long, Long)].collect().toMap
     assert(merged == br, "merge must adopt the branch's identity")
-    spark.sql("INSERT INTO rtb.ns.t VALUES (20, 'y')")
+    spark.sql("INSERT INTO rwtkb.ns.t VALUES (20, 'y')")
     val nid = spark
-      .sql("SELECT _row_id FROM rtb.ns.t WHERE id = 20").as[Long].head()
+      .sql("SELECT _row_id FROM rwtkb.ns.t WHERE id = 20").as[Long].head()
     assert(nid > br.values.max,
       s"post-merge insert re-minted id $nid inside the adopted range")
   }
@@ -236,21 +236,21 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
   test("mid-life enablement backfills deterministically and survives " +
       "restart via the forced checkpoint") {
     val wh = tmpWh("graft-rt-enable")
-    durableCatalog("rte", wh)
-    spark.sql("CREATE TABLE rte.ns.t (id BIGINT, v STRING)")
-    spark.sql("INSERT INTO rte.ns.t VALUES (1, 'a'), (2, 'b')")
-    spark.sql("INSERT INTO rte.ns.t VALUES (3, 'c')")
+    durableCatalog("rwtke", wh)
+    spark.sql("CREATE TABLE rwtke.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rwtke.ns.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO rwtke.ns.t VALUES (3, 'c')")
     // pre-enablement: the metadata columns do not exist
     intercept[Exception](
-      spark.sql("SELECT _row_id FROM rte.ns.t").collect())
+      spark.sql("SELECT _row_id FROM rwtke.ns.t").collect())
     spark.sql(
-      "ALTER TABLE rte.ns.t SET TBLPROPERTIES ('row.tracking'='true')")
-    val ids = spark.sql("SELECT id, _row_id FROM rte.ns.t")
+      "ALTER TABLE rwtke.ns.t SET TBLPROPERTIES ('row.tracking'='true')")
+    val ids = spark.sql("SELECT id, _row_id FROM rwtke.ns.t")
       .as[(Long, Long)].collect().toMap
     assert(ids.values.toSeq.sorted == Seq(0L, 1L, 2L),
       s"backfill must assign dense ids in file order: $ids")
-    durableCatalog("rte2", wh, isolated = true)
-    val after = spark.sql("SELECT id, _row_id FROM rte2.ns.t")
+    durableCatalog("rwtke2", wh, isolated = true)
+    val after = spark.sql("SELECT id, _row_id FROM rwtke2.ns.t")
       .as[(Long, Long)].collect().toMap
     assert(after == ids,
       s"backfilled identity diverged across restart: $ids vs $after")
