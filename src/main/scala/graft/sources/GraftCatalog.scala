@@ -10471,9 +10471,15 @@ class GraftSnapshotTable(snapName: String, snapSchema: StructType,
   /** Snapshot relations serve the same `_file_id`/`_row_pos` address
     * surface as the live table: a time-travel audit joins against the
     * version's own file census, and the CDC feed's rows say which
-    * change record produced them. */
+    * change record produced them. A tracked snapshot (row tracking
+    * stamped in its schema) serves `_row_id`/`_row_commit_version`
+    * too — row identity is the whole point of auditing ACROSS
+    * versions (the scan reads each file's own track, so a pre-tracking
+    * snapshot's rows serve NULL, never a wrong id). */
   override def metadataColumns(): Array[MetadataColumn] =
-    GraftTable.MetaColumns
+    if (GraftTable.rowTrackingStamped(snapSchema))
+      GraftTable.MetaColumns ++ GraftTable.TrackMetaColumns
+    else GraftTable.MetaColumns
   // the layout IN FORCE AT the snapshot's version (layoutAt) — after a
   // REPLACE or a partition-spec evolution this differs from the live
   // table's; reporting it keeps introspection honest about what the

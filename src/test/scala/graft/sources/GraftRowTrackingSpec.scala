@@ -126,6 +126,29 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
     assert(after(3L)._2 > before(3L)._2, "MOR update kept stale version")
   }
 
+  test("time travel serves the version's own row identity: same ids, " +
+      "the pre-update commit versions") {
+    val t = createTracked("t_rt_tt")
+    Seq.tabulate(5)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).writeTo(t).append()
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE id = 2")
+    val now = idMap(t)
+    val old = spark.sql(
+      s"SELECT id, _row_id, _row_commit_version, v FROM $t VERSION AS OF 1")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(old.keySet == now.keySet)
+    old.foreach { case (k, (rid, ver, v)) =>
+      assert(rid == now(k)._1, s"row $k: snapshot id diverged")
+      assert(v == s"v$k", "snapshot serves the pre-update value")
+      assert(ver < now(2L)._2 || k != 2L,
+        "snapshot versions predate the update")
+    }
+    assert(old(2L)._2 < now(2L)._2,
+      "the updated row's snapshot version must be the original")
+  }
+
   private def tmpWh(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString
 
