@@ -3098,6 +3098,83 @@ object RelationalQueries {
         .orderBy("probe", "row_id")
     },
 
+    // ----- EXACT MERGE AUDIT by row identity (round 20 — the
+    // capability row tracking was built for): after a MERGE, classify
+    // the change feed's rows by `_row_id` multiplicity — an id on BOTH
+    // sides is an UPDATE (pre+post pair by identity, not by value
+    // heuristics), insert-only ids are genuine inserts, delete-only
+    // ids genuine deletes — and reconcile each class's key sums. The
+    // multiset CDC alone cannot distinguish "update" from
+    // "coincidental delete+insert of equal-valued rows"; identity
+    // makes the audit exact. All arithmetic restated off nation.
+    Q("s79_merge_audit", "S-rowtrack,S-cdc,S11,J9,A1,A7",
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+        |  FROM nation),
+        |upd AS (SELECT k FROM base WHERE k % 4 = 0),
+        |del AS (SELECT k FROM base WHERE k % 7 = 3 AND k % 4 <> 0),
+        |ins AS (SELECT CAST(200 AS BIGINT) AS k
+        |        UNION ALL SELECT 201)
+        |SELECT 'delete' AS change_class,
+        |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_rows,
+        |  CAST((SELECT sum(k) FROM del) AS BIGINT) AS key_sum
+        |UNION ALL SELECT 'insert',
+        |  CAST((SELECT count(*) FROM ins) AS BIGINT),
+        |  CAST((SELECT sum(k) FROM ins) AS BIGINT)
+        |UNION ALL SELECT 'update',
+        |  CAST((SELECT count(*) FROM upd) AS BIGINT),
+        |  CAST((SELECT sum(k) FROM upd) AS BIGINT)
+        |ORDER BY change_class""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-s79").toString
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val w = s"gma_$tag"
+      s.conf.set(s"spark.sql.catalog.$w",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$w.warehouse", wh)
+      import s.implicits._
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+        .repartition(1).sortWithinPartitions("k")
+      nat.writeTo(s"$w.ns.prod")
+        .tableProperty("row.tracking", "true").create()
+      // one MERGE doing all three verbs at once
+      nat.filter(col("k") % 4 === 0)
+        .select(col("k"), concat(col("name"), lit("+")).as("name"),
+          lit("U").as("verb"))
+        .unionByName(nat
+          .filter(col("k") % 7 === 3 && col("k") % 4 =!= 0)
+          .select(col("k"), col("name"), lit("D").as("verb")))
+        .unionByName(Seq((200L, "nx", "I"), (201L, "ny", "I"))
+          .toDF("k", "name", "verb"))
+        .createOrReplaceTempView("s79_src")
+      s.sql(
+        s"""MERGE INTO $w.ns.prod t USING s79_src s ON t.k = s.k
+           |WHEN MATCHED AND s.verb = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET name = s.name
+           |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+           |""".stripMargin)
+      val mv = s.table(s"$w.ns.`prod$$history`")
+        .agg(max(col("version"))).as[Int].head()
+      val ch = s.table(s"$w.ns.`prod$$changes`")
+        .filter(col("_commit_version") === mv)
+        .select(col("_change_type"), col("_row_id"), col("k"))
+      // classify by id multiplicity: both sides = update, one side =
+      // genuine insert/delete — the EXACT audit identity enables
+      val sides = ch.groupBy("_row_id")
+        .agg(count(when(col("_change_type") === "delete", 1)).as("d"),
+          count(when(col("_change_type") === "insert", 1)).as("i"),
+          first(col("k")).as("k"))
+      sides
+        .withColumn("change_class",
+          when(col("d") > 0 && col("i") > 0, "update")
+            .when(col("d") > 0, "delete").otherwise("insert"))
+        .groupBy("change_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"))
+        .orderBy("change_class")
+    },
+
     // ----- t$refs_log (round 19): the ref-lifecycle AUDIT relation —
     // who created/dropped/altered/merged/expired which ref, when.
     // Unlike t$branches (refs alive NOW) it keeps history: the dropped
