@@ -126,6 +126,40 @@ class GraftRowTrackingSpec extends graft.SparkSpec {
     assert(after(3L)._2 > before(3L)._2, "MOR update kept stale version")
   }
 
+  test("the STREAMED change feed carries _row_id: an update's micro-batch " +
+      "pairs preimage and postimage by identity") {
+    val t = createTracked("t_rt_stream")
+    Seq.tabulate(4)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).writeTo(t).append()
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE id = 1")
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long, Long)]())
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ckpt-rt-cdf").toString
+    val q = spark.readStream.table(s"rt_cat.ns.`t_rt_stream$$changes`")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("_change_type", "_row_id", "id")
+          .as[(String, Long, Long)].collect().foreach(got.add)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSeq
+    val inserts0 = rows.filter(r => r._1 == "insert" && r._3 != 1L)
+    assert(inserts0.map(_._3).sorted == Seq(0L, 2L, 3L))
+    // id 1's rows: the original insert plus the update's pre+post —
+    // delete and (an) insert sharing ONE row id proves the pairing
+    val updPair = rows.filter(_._3 == 1L)
+    val pre = updPair.filter(_._1 == "delete")
+    assert(pre.length == 1, s"one preimage expected: $updPair")
+    val rid = pre.head._2
+    assert(updPair.filter(_._1 == "insert").map(_._2).contains(rid),
+      s"postimage must carry the preimage's _row_id $rid: $updPair")
+  }
+
   test("time travel serves the version's own row identity: same ids, " +
       "the pre-update commit versions") {
     val t = createTracked("t_rt_tt")
