@@ -4400,7 +4400,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
     // nothing, streaming tails pass through (added/removed empty,
     // schema and field ids unchanged)
     val e = CommitEntry(v, tableSchema, twinFiles, ts,
-      GraftTable.EvolveOp, dvs = twinDvs)
+      GraftTable.EvolveOp, dvs = twinDvs,
+      // the twin adopts the mint counter; the entry records it so a
+      // fold/foreign reader agrees (rows' identities are untouched by
+      // a layout change — the degrouped twins share their tracks)
+      params = if (rowTrackingEnabled)
+        Map(GraftTable.RowIdHwParam -> rowIdHw.toString)
+      else Map.empty)
     val layouts = priorLayouts :+ ((v - 1, partitionCols, bucketSpec))
     val twin = new GraftTable(tableName, tableSchema, newCols,
       rowLevelMode, None, checks)
@@ -4436,7 +4442,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       }
     }
     twin.adoptEvolved(history :+ e, durable, layouts, epochLedger,
-      colStats, nextFieldId)
+      colStats, nextFieldId, rowIdHw)
   }
 
   /** Re-root `this` (a freshly constructed post-evolution twin) over
@@ -4449,7 +4455,7 @@ class GraftTable(initialName: String, initialSchema: StructType,
       d: Option[GraftTableDurability],
       layouts: List[(Int, Seq[String], Option[(Int, String)])],
       epochs: Map[String, Long], stats: Map[String, Array[Long]],
-      fieldIdCounter: Long): GraftTable = synchronized {
+      fieldIdCounter: Long, rowIdHwMark: Long): GraftTable = synchronized {
     val e = h.last
     files = e.files
     dvs = e.dvs
@@ -4463,6 +4469,10 @@ class GraftTable(initialName: String, initialSchema: StructType,
     restoreEpochs(epochs)
     colStats = stats
     nextFieldId = fieldIdCounter
+    // ROW TRACKING: the twin must keep minting BEYOND the
+    // predecessor's mark — a reset would re-issue live identities
+    // (caught by the randomized soak's uniqueness invariant, r20)
+    rowIdHw = rowIdHwMark
     changesCache = None
     readState = (files, dvs)
     this

@@ -47,8 +47,13 @@ class GraftRandomSoakSpec extends SparkSpec {
       GraftTable.checkpointPartFiles = 2
       GraftTable.historyRetention = 8
       val rnd = new scala.util.Random(seed)
+      // row tracking decided off the SEED (not rnd — op sequence
+      // unchanged); joins the tag so each soak run gets its OWN
+      // catalog name (CatalogManager caches instances per name)
+      val tracked = (seed & 1L) == 0L
       val tag = (if (mode == GraftTable.MergeOnRead) "mor" else "cow") +
-        (if (logstore.isDefined) "cas" else "")
+        (if (logstore.isDefined) "cas" else "") +
+        (if (tracked) "rt" else "")
       val wh = tmpDir(s"graft-soak-$tag")
       // ONE acting catalog for every op (cached store: maintenance SQL
       // resolves it); restart steps cold-fold a throwaway ISOLATED
@@ -68,8 +73,13 @@ class GraftRandomSoakSpec extends SparkSpec {
       // async OPTIMIZE is verified against the model like any other
       // commit
       val autoc = if (rnd.nextBoolean()) ", 'auto.compact'='4'" else ""
+      // tracked runs pin the r20 invariant at every check: ids
+      // non-null and UNIQUE across the whole hostile cadence — COW
+      // rewrites, compaction, RESTORE, spec evolution, checkpoint
+      // folds, cold restarts — until a REPLACE swaps the identity away
+      val trackp = if (tracked) ", 'row.tracking'='true'" else ""
       spark.sql(s"CREATE TABLE $cat.ns.t_$tag (id BIGINT, v STRING) " +
-        s"TBLPROPERTIES ('write.rowlevel.mode'='$mode'$autoc)")
+        s"TBLPROPERTIES ('write.rowlevel.mode'='$mode'$autoc$trackp)")
       // id -> (v, w); w exists only after the one-shot ADD COLUMN
       val model =
         scala.collection.mutable.SortedMap.empty[Long, (String, Option[Long])]
@@ -109,6 +119,34 @@ class GraftRandomSoakSpec extends SparkSpec {
         // cold fold the caller just built) sees a settled layout
         assert(GraftAutoCompact.quiesce(),
           s"[$mode seed=$seed] auto-compact queue must drain at $at")
+        if (tracked && replaces == 0) {
+          if (sys.env.contains("GRAFT_SOAK_RT_DEBUG")) {
+            val dump = spark.sql(
+              s"SELECT id, _row_id, _row_commit_version " +
+                s"FROM $via.ns.t_$tag ORDER BY id").collect()
+              .map(r => s"${r.getLong(0)}->${r.getLong(1)}@${r.getLong(2)}")
+              .mkString(" ")
+            // scalastyle:off println
+            println(s"RTSOAK $at: $dump")
+          }
+          // row identity: non-null and UNIQUE at every settle point
+          val (n, nd, nn) = spark.sql(
+            s"SELECT count(*), count(DISTINCT _row_id), " +
+              s"count(CASE WHEN _row_id IS NULL THEN 1 END) " +
+              s"FROM $via.ns.t_$tag").as[(Long, Long, Long)].head()
+          assert(nn == 0L,
+            s"[$mode seed=$seed] NULL _row_id after $at")
+          if (n != nd) {
+            val dups = spark.sql(
+              s"SELECT _row_id, _row_commit_version, id, v " +
+                s"FROM $via.ns.t_$tag WHERE _row_id IN (" +
+                s"SELECT _row_id FROM $via.ns.t_$tag " +
+                s"GROUP BY _row_id HAVING count(*) > 1) ORDER BY _row_id")
+              .collect().toSeq
+            fail(s"[$mode seed=$seed] duplicate _row_id after $at " +
+              s"($n vs $nd): $dups")
+          }
+        }
         if (evolved) {
           val got = spark.sql(s"SELECT id, v, w FROM $via.ns.t_$tag ORDER BY id")
             .as[(Long, String, Option[Long])].collect().toSeq
@@ -577,5 +615,10 @@ class GraftRandomSoakSpec extends SparkSpec {
       "random op space through the object-store-shaped commit protocol") {
     soak("merge-on-read", seed = 0x5EEDCA5AL, steps = 40,
       logstore = Some("conditional-put"))
+  }
+
+  test("randomized COW soak with ROW TRACKING: identity stays non-null " +
+      "and unique through the full hostile cadence") {
+    soak("copy-on-write", seed = 0xC0115EE2L, steps = 60)
   }
 }
