@@ -5582,13 +5582,19 @@ class GraftTable(initialName: String, initialSchema: StructType,
       else {
         val writeId = java.util.UUID.randomUUID().toString.take(12)
         val schemaJson = tableSchema.json
+        val trackingS = rowTrackingEnabled
         val jobs = spanning.zipWithIndex.map { case (f, i) =>
+          val t = f.track
           GraftSplitJob(
             (f.segment.path.toString, f.segment.schema.json,
               dvs.getOrElse(f, scala.collection.immutable.BitSet.empty)
                 .toArray),
             d0.log.dir.toString, writeId, i, schemaJson,
-            partitionCols, bucketSpec, touched)
+            partitionCols, bucketSpec, touched,
+            segTrack = (trackingS && t != null,
+              t != null && t.explicit,
+              if (t != null) t.base else -1L,
+              if (t != null) t.ver else -1L))
         }
         val rs = sparkOpt.get.sparkContext
           .parallelize(jobs, jobs.length)
@@ -5601,6 +5607,13 @@ class GraftTable(initialName: String, initialSchema: StructType,
         val nf = GraftDataFile.fromSegment(
           new GraftSegmentHandle(d0.log.dir.resolve(m.rel), tableSchema),
           m.zones, m.bytes, m.groupKey, m.rowCount, bloomRefs = m.bloomRefs)
+        if (m.trackSidecar) {
+          val p0 = d0.log.dir.resolve(m.rel)
+          nf.track = new GraftRowTrack(-1L, -1L, null, null,
+            explicit = true,
+            loader = () => GraftRowIdSidecar.read(p0))
+        } else if (m.trackIds != null)
+          nf.track = GraftRowTrack.pending(m.trackIds, m.trackVers)
         d0.registry.put(m.rel, nf)
         nf
       }
@@ -5620,14 +5633,34 @@ class GraftTable(initialName: String, initialSchema: StructType,
               kept ++= decodeMetas(res.stay)
             }
           case None =>
-            // heap files (and position views) keep the driver split
+            // heap files (and position views) keep the driver split;
+            // (row, id, ver) triples carry identity through it — a
+            // split rewrites bytes, never identities
             val keyOf = boundGroupKey()
-            val (gone, stay) = effRows(f).partition(r => touched(keyOf(r)))
+            val dead = dvs.getOrElse(f,
+              scala.collection.immutable.BitSet.empty)
+            val trk = if (rowTrackingEnabled) f.track else null
+            val entries = (0 until f.rowCount).iterator
+              .filterNot(dead.contains).map { pn =>
+                if (trk == null)
+                  (f.rows(pn), GraftRowTrack.Mint, GraftRowTrack.Mint)
+                else (f.rows(pn), trk.idAt(pn), trk.verAt(pn))
+              }.toArray
+            def buildT(es: Array[(InternalRow, Long, Long)])
+                : GraftDataFile = {
+              val nf = GraftDataFile.build(es.map(_._1), tableSchema,
+                keyOfOpt)
+              if (trk != null)
+                nf.track = GraftRowTrack.pending(es.map(_._2),
+                  es.map(_._3))
+              nf
+            }
+            val (gone, stay) =
+              entries.partition(e => touched(keyOf(e._1)))
             if (gone.isEmpty) kept += f
             else {
-              removed += GraftDataFile.build(gone, tableSchema, keyOfOpt)
-              if (stay.nonEmpty)
-                kept += GraftDataFile.build(stay, tableSchema, keyOfOpt)
+              removed += buildT(gone)
+              if (stay.nonEmpty) kept += buildT(stay)
             }
         }
       }

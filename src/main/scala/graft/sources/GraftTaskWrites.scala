@@ -438,7 +438,11 @@ private[sources] final case class GraftSplitJob(
     outDir: String, writeId: String, binId: Int,
     schemaJson: String,
     partitionCols: Seq[String], bucketSpec: Option[(Int, String)],
-    touched: Seq[Any] => Boolean)
+    touched: Seq[Any] => Boolean,
+    // ROW TRACKING of the input file: (tracked, explicit, base, ver) —
+    // a split never mints, so both output sides carry fully-preserved
+    // vectors in task-written sidecars (only a flag rides the message)
+    segTrack: (Boolean, Boolean, Long, Long) = (false, false, -1L, -1L))
 
 private[sources] final case class GraftSplitResult(
     goneRows: Int, stayRows: Int,
@@ -452,27 +456,44 @@ private[sources] object GraftSplit {
     val keyFn = keyOf.getOrElse((_: InternalRow) => Nil: Seq[Any])
     val (p, sj, dead) = job.seg
     val segSchema = DataType.fromJson(sj).asInstanceOf[StructType]
-    val all = GraftSegmentIO.read(java.nio.file.Paths.get(p), segSchema)
-    val live =
-      if (dead.isEmpty) all
-      else GraftDataFile.liveRows(all,
-        scala.collection.immutable.BitSet.fromSpecific(dead))
-    val (gone, stay) = live.partition(r => job.touched(keyFn(r)))
-    if (gone.isEmpty)
-      return GraftSplitResult(0, stay.length, Array.empty, Array.empty)
-    if (stay.isEmpty)
-      return GraftSplitResult(gone.length, 0, Array.empty, Array.empty)
-    def writeSide(rows: Array[InternalRow],
+    val path = java.nio.file.Paths.get(p)
+    val all = GraftSegmentIO.read(path, segSchema)
+    val deadBs =
+      if (dead.isEmpty) scala.collection.immutable.BitSet.empty
+      else scala.collection.immutable.BitSet.fromSpecific(dead)
+    // split INDICES (original positions) so row identity rides with
+    // its rows — a split rewrites bytes, never identities
+    val liveIdx = (0 until all.length).filterNot(deadBs.contains).toArray
+    val (goneIdx, stayIdx) =
+      liveIdx.partition(pn => job.touched(keyFn(all(pn))))
+    if (goneIdx.isEmpty)
+      return GraftSplitResult(0, stayIdx.length, Array.empty, Array.empty)
+    if (stayIdx.isEmpty)
+      return GraftSplitResult(goneIdx.length, 0, Array.empty, Array.empty)
+    val (tracked, explicit, base, ver) = job.segTrack
+    lazy val sidecar = GraftRowIdSidecar.read(path)
+    def writeSide(idx: Array[Int],
         side: String): Array[GraftSegmentMeta] = {
+      val rows = idx.map(all(_))
       val f = GraftDataFile.build(rows, schema, keyOf)
       val rel = s"data/spl-${job.writeId}-b${job.binId}-$side.parquet"
       val abs = java.nio.file.Paths.get(job.outDir).resolve(rel)
       val bytes = GraftSegmentIO.write(abs, schema, rows)
-      Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones, f.groupKey,
-        GraftBloomSidecar.write(abs, f.blooms)))
+      val refs = GraftBloomSidecar.write(abs, f.blooms)
+      if (tracked) {
+        val ids = idx.map(pn =>
+          if (explicit) sidecar._1(pn) else base + pn)
+        val vers = idx.map(pn =>
+          if (explicit) sidecar._2(pn) else ver)
+        GraftRowIdSidecar.write(abs, ids, vers)
+        Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones,
+          f.groupKey, refs, trackSidecar = true))
+      } else
+        Array(GraftSegmentMeta(rel, rows.length, bytes, f.zones,
+          f.groupKey, refs))
     }
-    GraftSplitResult(gone.length, stay.length,
-      writeSide(gone, "g"), writeSide(stay, "s"))
+    GraftSplitResult(goneIdx.length, stayIdx.length,
+      writeSide(goneIdx, "g"), writeSide(stayIdx, "s"))
   }
 }
 

@@ -83,6 +83,9 @@ class GraftRandomSoakSpec extends SparkSpec {
       // id -> (v, w); w exists only after the one-shot ADD COLUMN
       val model =
         scala.collection.mutable.SortedMap.empty[Long, (String, Option[Long])]
+      // id -> _row_id continuity model (tracked runs): cleared at
+      // state-rewind ops, asserted unchanged everywhere else
+      val idOf = scala.collection.mutable.Map.empty[Long, Long]
       var nextId = 0L
       var gen = 0
       var evolved = false
@@ -145,6 +148,40 @@ class GraftRandomSoakSpec extends SparkSpec {
               .collect().toSeq
             fail(s"[$mode seed=$seed] duplicate _row_id after $at " +
               s"($n vs $nd): $dups")
+          }
+          // STABILITY: a continuously-live row never changes identity.
+          // State-REWIND ops (RESTORE, branch squash/publish, staged
+          // replace-clone) legitimately rewind identities with the
+          // rows, so callers clear the continuity model there.
+          val cur = spark.sql(
+            s"SELECT id, _row_id FROM $via.ns.t_$tag").collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          idOf.keys.filterNot(model.contains).toSeq.foreach(idOf.remove)
+          cur.foreach { case (id, rid) =>
+            idOf.get(id) match {
+              case Some(prev) =>
+                if (prev != rid && sys.env.contains("GRAFT_SOAK_RT_DEBUG")) {
+                  val st = spark.sessionState.catalogManager.catalog(via)
+                    .asInstanceOf[GraftCatalog].store
+                  val tbl = st.tables.getOrElse((Seq("ns"), s"t_$tag"),
+                    st.branchTables.collectFirst {
+                      case (_, t) => t }.orNull)
+                  // scalastyle:off println
+                  if (tbl != null) tbl.dataFiles.zipWithIndex.foreach {
+                    case (f, i) =>
+                      val t = f.track
+                      println(s"RTFILE[$i] rows=${f.rowCount} " +
+                        s"persisted=${f.persisted} track=" +
+                        (if (t == null) "null"
+                         else s"(base=${t.base},ver=${t.ver}," +
+                           s"explicit=${t.explicit})"))
+                  }
+                }
+                assert(prev == rid,
+                  s"[$mode seed=$seed] row $id changed _row_id " +
+                    s"$prev -> $rid after $at")
+              case None => idOf(id) = rid
+            }
           }
         }
         if (evolved) {
@@ -531,6 +568,10 @@ class GraftRandomSoakSpec extends SparkSpec {
           durableCatalog(cold, wh, isolated = true, logstore)
           check(s"cold fold at step $step", via = cold)
         }
+        // ops that legally rewind row identity with the rows clear
+        // the continuity model (their uniqueness still asserts)
+        if ((op >= 50 && op < 56) || (op >= 80 && op < 97))
+          idOf.clear()
         check(s"step $step (op=$op)")
       }
       // final: maximal reclaim, then a cold fold must still agree and
