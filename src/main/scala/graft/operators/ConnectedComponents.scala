@@ -100,9 +100,53 @@ object ConnectedComponents {
       out
     }
 
-    val (sym, symPath) = save(edges.toDF("a", "b")
-      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
-      .distinct())
+    // No `.distinct()` on the symmetrized list (r20 measurement: the
+    // distinct was ~half the CC wall cost at harness scale — one full
+    // edge shuffle + its AQE stages): min-label propagation is EXACTLY
+    // multi-edge-tolerant (min over duplicated neighbors is the same
+    // min), every in-repo caller feeds an aggregate output (unique
+    // pairs), and a caller with a materially duplicated edge list pays
+    // the dup factor per round — dedupe at the source if that factor
+    // is real, not here where unique inputs pay the shuffle every time.
+    val debugTimes = spark.conf
+      .getOption("graft.cc.debugTimes").exists(_.toBoolean)
+    def dbg[T](label: String)(f: => T): T =
+      if (!debugTimes) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%6.3fs"); r
+      }
+    val (sym0, symPath) = dbg("sym")(save(edges.toDF("a", "b")
+      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))))
+
+    // SCALE-ADAPTIVE round layout (opt guide §2.2): every round's join
+    // and aggregate re-read the materialized edge list, so its
+    // partition count is a per-round task-count multiplier. The union
+    // above concatenates the caller's partitions (no shuffle), which
+    // over-partitions small graphs (the df-capped near-dup norm):
+    // estimate the row count from a 3-partition sample of the ALREADY
+    // MATERIALIZED sym (O(sampled rows), never a lineage recompute)
+    // and coalesce (narrow) to ~rowsPerPartition-sized partitions. At
+    // scale the estimate exceeds parts × rowsPerPartition and this is
+    // a no-op — the heuristic only ever reduces task counts.
+    val sym = {
+      val parts = sym0.rdd.getNumPartitions
+      if (parts <= 1) sym0
+      else {
+        val rowsPerPart = spark.conf
+          .getOption("graft.shuffle.rowsPerPartition")
+          .map(_.toLong).getOrElse(4L * 1024 * 1024)
+        val sample = Seq(0, parts / 2, parts - 1).distinct
+        val counts = sc.runJob(sym0.rdd,
+          (it: Iterator[_]) => {
+            var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+          }, sample)
+        val est = (counts.sum.toDouble / sample.size * parts).toLong
+        val p = math.max(1L, math.min(parts.toLong,
+          (est + rowsPerPart - 1) / rowsPerPart)).toInt
+        if (p < parts) sym0.coalesce(p) else sym0
+      }
+    }
 
     // One round: every node adopts the min label among itself and its
     // neighbors. One pass computes both the new label and whether it
@@ -125,9 +169,10 @@ object ConnectedComponents {
     // the jump takes component(component(v)), which is ≤ component(v)
     // and still in-component.
     def round(cur: DataFrame, jump: Boolean): (DataFrame, Boolean) = {
-      val prop = saveLabels(propagateRound(sym, cur))
-      val next = if (!jump) prop else saveLabels(jumpRound(prop))
-      val quiet = next.filter(col("changed")).isEmpty
+      val prop = dbg("propagate")(saveLabels(propagateRound(sym, cur)))
+      val next = if (!jump) prop
+        else dbg("jump")(saveLabels(jumpRound(prop)))
+      val quiet = dbg("probe")(next.filter(col("changed")).isEmpty)
       (next.drop("changed"), quiet)
     }
 
@@ -139,10 +184,10 @@ object ConnectedComponents {
     // cheaper, and the loop below begins at round 2. Counts as one
     // label-changing round against maxIter.
     var iter = 1
-    var labels = saveLabels(sym.groupBy(col("a"))
+    var labels = dbg("init")(saveLabels(sym.groupBy(col("a"))
       .agg(min(col("b")).as("nbr_min"))
       .select(col("a").as("node"),
-        least(col("nbr_min"), col("a")).as("component")))
+        least(col("nbr_min"), col("a")).as("component"))))
     try {
       while (!converged && iter < maxIter) {
         val (next, quiet) = round(labels, jump = iter + 1 >= JumpFrom)
