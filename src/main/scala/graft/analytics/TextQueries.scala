@@ -107,7 +107,7 @@ object TextQueries {
   private[analytics] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame,
          Seq[(Int, String, String, String, Long)]) = {
-    var vocab = Caches.persistTracked(Tables.documents(s, dir)
+    val vocab0 = Caches.persistTracked(Tables.documents(s, dir)
       .select(explode(TF.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -115,9 +115,45 @@ object TextQueries {
         regexp_replace(col("word"), "(.)", "$1..")).as("seq"),
         col("n")))
     val sizes = Seq.newBuilder[Long]
-    sizes += vocab.count()
+    val n0 = vocab0.count()
+    sizes += n0
+    // SCALE-ADAPTIVE round layout (r20, opt guide §2.2): the vocab is
+    // DISTINCT-WORD-sized — thousands to millions of rows at any corpus
+    // size — but the initial aggregate leaves it in shuffle.partitions
+    // partitions (32 on the bench), so every round's pair-count and
+    // materialization job paid ~2×32 near-empty tasks of pure
+    // scheduling overhead (measured: ~0.35 s/round on a 31-row vocab,
+    // ~90% of the train's steady cost). Re-lay the cache once, with the
+    // count just taken, to ~rowsPerPartition-sized partitions; the
+    // narrow per-round `replace` projections inherit the layout. At a
+    // vocab that genuinely fills partitions the clamp is a no-op.
+    val rowsPerPart = s.conf.getOption("graft.shuffle.rowsPerPartition")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    var vocab = {
+      val parts = vocab0.rdd.getNumPartitions
+      val p = math.max(1L, math.min(parts.toLong,
+        (n0 + rowsPerPart - 1) / rowsPerPart)).toInt
+      if (p < parts) {
+        val v = Caches.persistTracked(vocab0.coalesce(p))
+        v.count()
+        vocab0.unpersist()
+        v
+      } else vocab0
+    }
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
+    // Deferred unpersist (r20, guide §1.2 "don't compute things you
+    // throw away"): each round used to run a count() job purely to
+    // materialize the new cache before dropping its parent — one extra
+    // Spark job per round on a vocab-sized frame, ~40% of the round's
+    // steady cost. The round's own pair-count job materializes the
+    // CURRENT vocab's cache, so the parent only needs to survive until
+    // then: drop it one round late and the count job disappears. The
+    // per-round working-set census stays honest without it — the merge
+    // rewrite is a 1:1 projection (replace() never adds or drops rows),
+    // so every round's row count equals the initial vocab's, and the
+    // one real count after the loop re-anchors the invariant.
+    var parent: org.apache.spark.sql.DataFrame = null
     (1 to BpeRounds).foreach { step =>
       val top = if (exhausted) Array.empty[org.apache.spark.sql.Row]
       else vocab
@@ -133,6 +169,9 @@ object TextQueries {
         .agg(sum("n").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
         .limit(1).collect()
+      // the pair-count job above materialized `vocab`'s cache — the
+      // parent backing its lineage is now droppable
+      if (parent != null) { parent.unpersist(); parent = null }
       // a tiny corpus can exhaust its pairs before the budget: later
       // rounds contribute no rule and the vocab carries through —
       // exactly the oracle's shape (empty m<i> emits no step row, and
@@ -144,11 +183,17 @@ object TextQueries {
         rules += ((step, l, r, l + r, cnt))
         val next = Caches.persistTracked(vocab.withColumn("seq",
           expr(s"replace(seq, '.$l..$r.', '.$l$r.')")))
-        sizes += next.count()
-        vocab.unpersist()
+        sizes += n0
+        parent = vocab
         vocab = next
       }
     }
+    // one real materialization: callers consume `vocab`, and its count
+    // re-anchors the row-count invariant the deferred censuses rely on
+    val nFinal = vocab.count()
+    require(nFinal == n0,
+      s"BPE merge rewrite changed the vocab row count: $n0 -> $nFinal")
+    if (parent != null) parent.unpersist()
     lastBpeVocabSizes = sizes.result()
     (vocab, rules.result())
   }
@@ -340,8 +385,21 @@ object TextQueries {
           transform(TF.shingles(toks, 3), x => TF.polyHash(x)).as("hs")))
     val sz = sh.select(col("doc_id"), size(col("hs")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val exf = ex.join(dfreq.filter(col("df") <= MaxShingleDf).select("h"), Seq("h"))
+    // df cap as a broadcast ANTI join on the HOT shingle set (df > cap)
+    // rather than an equi-join with the cold key set (r20, opt guide
+    // §3.1/§2.3): the cold set is ~every distinct shingle (corpus-sized
+    // — the old join shuffled `ex` a second time and sort-merged two
+    // corpus-sized sides), while the hot set is exactly the keys the
+    // cap exists to drop — boilerplate shingles, bounded by the
+    // corpus's repetition rate, persisted here so the gate's count is a
+    // cache scan. GatedBroadcast keeps the 100 TB posture: a corpus
+    // whose hot set outgrows the driver ceiling degrades to the keyed
+    // shuffle this join used to pay always. Measured at sf0.1
+    // (ProfilePairs, checksum-identical): full pipeline ~1.5 → ~1.3 s.
+    val hot = Caches.persistTracked(
+      ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf).select("h"))
+    val exf = ex.join(graft.operators.GatedBroadcast(hot), Seq("h"), "left_anti")
     val inter = exf.toDF("h", "doc_a")
       .join(exf.toDF("h", "doc_b"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))

@@ -79,6 +79,29 @@ object ProfilePairs {
           col("nb"), jac.as("jac"))
     }
 
+    /** Candidate C: df-cap via broadcast ANTI join on the HOT shingle
+      * list (df > cap — small by construction at any scale where the
+      * cap binds) instead of an equi-join with the cold key set. */
+    def variantC(): DataFrame = {
+      val sh = shingled()
+      val sz = sh.select(col("doc_id"), size(col("hs")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("h")
+      val exf = ex.join(broadcast(hot), Seq("h"), "left_anti")
+      val inter = exf.toDF("h", "doc_a")
+        .join(exf.toDF("h", "doc_b"), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))
+      inter
+        .join(sz.toDF("doc_a", "na"), "doc_a")
+        .join(sz.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+          col("nb"), jac.as("jac"))
+    }
+
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         expr("bit_xor(xxhash64(doc_a, doc_b, n_common, na, nb))")).head()
@@ -86,7 +109,15 @@ object ProfilePairs {
     }
     val ca = checksum(variantA()); graft.analytics.Caches.release()
     val cb = checksum(variantB()); graft.analytics.Caches.release()
-    println(s"checksum A=$ca B=$cb identical=${ca == cb}")
+    val cc = checksum(variantC()); graft.analytics.Caches.release()
+    println(s"checksum A=$ca B=$cb C=$cc identical=${ca == cb && ca == cc}")
+    for (r <- 1 to reps; (tag, mk) <- Seq(
+        "A" -> (() => variantA()), "C" -> (() => variantC()))) {
+      val t0 = System.nanoTime()
+      val n = mk().count()
+      graft.analytics.Caches.release()
+      println(f"rep $r $tag: ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
+    }
 
     def t[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
