@@ -2176,15 +2176,21 @@ object TextQueries {
          |ORDER BY pr DESC, doc_id LIMIT 50""".stripMargin
     }) { (s, dir) =>
       val scored = ngramScored(s, dir).select("doc_a", "doc_b")
-      val edges = Caches.persistTracked(
+      val edges0 = Caches.persistTracked(
         scored.select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionByName(scored.select(col("doc_b").as("u"),
             col("doc_a").as("v"))))
-      val deg = Caches.persistTracked(
-        edges.groupBy("u").agg(count(lit(1)).as("d")))
+      val deg0 = Caches.persistTracked(
+        edges0.groupBy("u").agg(count(lit(1)).as("d")))
       // one node count gates every round's state broadcast (deg is
       // persisted — the count materializes the cache the rounds read)
-      val nNodes = deg.count()
+      val nNodes = deg0.count()
+      // scale-adaptive round layout (r20, Layout doc): the capped pair
+      // graph is usually far smaller than its inherited partition
+      // count, and every round re-reads edges+deg — re-lay both once,
+      // with counts already paid (edges' count is a cached scan)
+      val edges = graft.operators.Layout.compact(edges0, edges0.count())
+      val deg = graft.operators.Layout.compact(deg0, nNodes)
       var pr = deg.select(col("u"), lit(CentralityBase).as("pr"))
       for (_ <- 1 to 3) {
         // one round = centralityRound (see its doc for the broadcast

@@ -29,4 +29,19 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** [[deterministic]] for LOW-CARDINALITY outputs (entity/dim extracts:
+    * a feed-sized input collapsing to an entity-sized result). The
+    * window alone would shuffle AND sort the whole feed just to keep
+    * one row per key; a `distinct()` first collapses exact-duplicate
+    * rows with map-side partial aggregation — the exchange then carries
+    * ≤ (distinct rows × partitions) instead of the feed, and the
+    * per-key sort runs over the entity-sized remainder (r20, opt guide
+    * §2.3 "aggregate before you shuffle"). Identical output: dropping
+    * exact-duplicate rows never changes the per-key min-by-tiebreak
+    * winner's CONTENT (among tiebreak-tied rows the window's pick is
+    * arbitrary either way — callers already require ties to agree on
+    * every surviving column, see the bronze synthesis contract). */
+  def deterministicSmall(df: DataFrame, key: Seq[String], tiebreak: Seq[String]): DataFrame =
+    deterministic(df.distinct(), key, tiebreak)
 }

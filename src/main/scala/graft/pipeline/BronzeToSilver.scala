@@ -45,7 +45,7 @@ object BronzeToSilver {
   }
 
   def site(bronze: DataFrame): DataFrame =
-    Dedup.deterministic(
+    Dedup.deterministicSmall(
       bronze.select("state_code", "county_code", "site_number",
         "local_site_name", "site_address", "city", "latitude", "longitude",
         "cbsa_code", "datum"),
@@ -53,27 +53,27 @@ object BronzeToSilver {
       tiebreak = Seq("local_site_name"))
 
   def adminArea(bronze: DataFrame): DataFrame =
-    Dedup.deterministic(
+    Dedup.deterministicSmall(
       bronze.select(col("state_code"), col("state").as("state_name"),
         col("county_code"), col("county").as("county_name")),
       key = Seq("state_code", "county_code"),
       tiebreak = Seq("state_name", "county_name"))
 
   def parameter(bronze: DataFrame): DataFrame =
-    Dedup.deterministic(
+    Dedup.deterministicSmall(
       bronze.filter(col("parameter_code").isNotNull)
         .select(col("parameter_code"), col("parameter").as("parameter_name"),
           col("units_of_measure").as("unit_of_measurement")),
       key = Seq("parameter_code"), tiebreak = Seq("parameter_name"))
 
   def method(bronze: DataFrame): DataFrame =
-    Dedup.deterministic(
+    Dedup.deterministicSmall(
       bronze.filter(col("method_code").isNotNull)
         .select(col("method_code"), col("method").as("method_name")),
       key = Seq("method_code"), tiebreak = Seq("method_name"))
 
   def cbsa(bronze: DataFrame): DataFrame =
-    Dedup.deterministic(
+    Dedup.deterministicSmall(
       bronze.filter(col("cbsa_code").isNotNull)
         .select(col("cbsa_code"), col("cbsa").as("cbsa_name")),
       key = Seq("cbsa_code"), tiebreak = Seq("cbsa_name"))
