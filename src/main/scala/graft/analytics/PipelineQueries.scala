@@ -292,6 +292,35 @@ object PipelineQueries {
       val dl = Caches.persistTracked(
         SilverToGold.dimLocation(silver.site, silver.adminArea, silver.cbsa,
           population, DimBuild.HashKeys))
+      // DAG-shaped materialization (r20 — the g2 publish pattern, opt
+      // guide §2.6, applied to the in-memory route): left lazy, the
+      // final gold job materializes bronze → measurement → dims
+      // SERIALLY (g1p2 stage times: dims alone ~3.5 s, dimLocation's
+      // four bronze passes 2.4-3.0 s of it). All three bronze-derived
+      // dims are independent of the measurement dedup, so after bronze
+      // materializes once they fill the cluster concurrently with the
+      // dedup's wide exchange; dim_date needs the deduped measurement
+      // and runs after that barrier, overlapping the location build's
+      // tail. Same frames, same results — only the submission order
+      // changes.
+      locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        bronze.count() // the shared input materializes exactly once
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val fm = Future(silver.measurement.count())
+          val fp = Future(dp.count())
+          val fmm = Future(dm.count())
+          val fl = Future(dl.count())
+          Await.result(fm, Duration.Inf)
+          val fd = Future(dd.count())
+          Seq[Future[Long]](fp, fmm, fl, fd)
+            .foreach(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
       val fact = SilverToGold.fact(silver.measurement, dd, dl, dp, dm)
       // re-resolve every dim attribute THROUGH the surrogate keys: the
       // only path from a fact row to `year`/`region`/`parameter_name` is
