@@ -8108,7 +8108,13 @@ object GraftMaintenance {
     val target = resolve(namespace, table, scope)
     val at = table.indexOf('@')
     val base = if (at > 0) table.substring(0, at) else table
+    // the merge SOURCE honors expiry like any read (r19-advice fix):
+    // an expired-but-unswept branch must not silently squash its state
+    // onto the target while direct reads of it refuse — rescue it with
+    // ALTER BRANCH first. Maintenance (VACUUM/ALTER BRANCH) keeps the
+    // bypass: those operate ON the expired state.
     val bt = resolve(namespace, s"$base@$branch", scope)
+      .requireBranchNotExpired()
     target.mergeBranchFrom(bt, branch)
   }
 

@@ -983,6 +983,12 @@ class GraftBranchSpec extends SparkSpec {
         spark.table("brAl.ns.`t@tmp`").collect())
       assert(e.getMessage.contains("EXPIRED") &&
         e.getMessage.contains("ALTER BRANCH"), e.getMessage)
+      // an expired source must refuse MERGE BRANCH too (r20, the
+      // r19-advice asymmetry): squashing state a direct read refuses
+      // would silently resurrect it on the target
+      val em = intercept[Exception](GraftMaintenance.sql(spark,
+        "ALTER TABLE brAl.ns.t MERGE BRANCH tmp").collect())
+      assert(em.getMessage.contains("EXPIRED"), em.getMessage)
       GraftMaintenance.sql(spark,
         "ALTER TABLE brAl.ns.t ALTER BRANCH tmp RETAIN 100 HOURS")
         .collect()
