@@ -887,11 +887,16 @@ object CurationQueries {
           posexplode(col("mhs")))
         .toDF("doc_id", "is_new", "mhs", "band", "sig")
       val idx = exploded.filter(!col("is_new"))
-      val okBuckets = idx.groupBy("band", "sig")
-        .agg(count(lit(1)).as("bcnt"))
-        .filter(col("bcnt") <= TextQueries.MaxBandBucket)
-        .select("band", "sig")
-      val idxB = idx.join(okBuckets, Seq("band", "sig"))
+      // hot-bucket cap as a broadcast ANTI on the HOT buckets (r20,
+      // the t7/t5 pattern): the OK set is index-sized, the hot set is
+      // bounded by the repetition rate; gated past the driver ceiling
+      val hotBuckets = Caches.persistTracked(
+        idx.groupBy("band", "sig")
+          .agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") > TextQueries.MaxBandBucket)
+          .select("band", "sig"))
+      val idxB = idx.join(graft.operators.GatedBroadcast(hotBuckets),
+          Seq("band", "sig"), "left_anti")
         .select(col("doc_id").as("index_doc"), col("mhs").as("mhb"),
           col("band"), col("sig"))
       val newB = exploded.filter(col("is_new"))

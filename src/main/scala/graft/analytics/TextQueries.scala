@@ -574,13 +574,21 @@ object TextQueries {
       val exploded = sig
         .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
         .toDF("doc_id", "mhs", "band", "sig")
-      // hot-bucket cap as an aggregate + (AQE-broadcast) semi-join — an
-      // all-hash plan, where a count window would force two full sorts
-      val okBuckets = exploded.groupBy("band", "sig")
-        .agg(count(lit(1)).as("bcnt"))
-        .filter(col("bcnt") <= MaxBandBucket)
-        .select("band", "sig")
-      val bands = exploded.join(okBuckets, Seq("band", "sig"))
+      // hot-bucket cap as a broadcast ANTI join on the HOT buckets
+      // (r20, the t7 df-cap pattern): the OK set is ~every bucket —
+      // corpus-sized, so the old semi-join only broadcast while the
+      // corpus was small — while the HOT set is exactly the buckets
+      // the cap drops, bounded by the repetition rate at any scale.
+      // Persisted so GatedBroadcast's gate count is a cache scan;
+      // past the ceiling it degrades to the keyed shuffle.
+      val hotBuckets = Caches.persistTracked(
+        exploded.groupBy("band", "sig")
+          .agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") > MaxBandBucket)
+          .select("band", "sig"))
+      val bands = exploded.join(
+          graft.operators.GatedBroadcast(hotBuckets),
+          Seq("band", "sig"), "left_anti")
         .select("doc_id", "mhs", "band", "sig")
       val matches = aggregate(
         zip_with(col("mha"), col("mhb"),
@@ -663,15 +671,25 @@ object TextQueries {
       val bandCols = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 15).bitwiseAND(lit(32767L)).as("bv")))
-      val bands = sig
+      val banded = sig
         .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("x"))
         .select(col("doc_id"), col("sh"),
           col("x.band").as("band"), col("x.bv").as("bv"))
-        // hot-bucket cap: the window partitions by the join key, so the
-        // count costs the shuffle the join needs anyway (exchange reuse)
-        .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("band", "bv")))
-        .filter(col("bcnt") <= MaxBandBucket)
-        .drop("bcnt")
+      // hot-bucket cap as a broadcast ANTI join on the HOT buckets
+      // (r20, the t7 df-cap pattern): the count window shared the
+      // join's exchange but added a full SORT of the banded explode on
+      // both sides of it; a partial-aggregated hot list (bounded by
+      // the repetition rate) plus an anti probe replaces the sort with
+      // a map-side combine and a tiny broadcast, gated past the driver
+      // ceiling like every derived small side.
+      val hotBv = Caches.persistTracked(
+        banded.groupBy("band", "bv").agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") > MaxBandBucket).select("band", "bv"))
+      // explicit column order: the join puts its keys first, and the
+      // pair join below renames POSITIONALLY via toDF
+      val bands = banded.join(graft.operators.GatedBroadcast(hotBv),
+          Seq("band", "bv"), "left_anti")
+        .select("doc_id", "sh", "band", "bv")
       val cand = bands.toDF("doc_a", "sha", "band", "bv")
         .join(bands.toDF("doc_b", "shb", "band", "bv"), Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))

@@ -59,11 +59,19 @@ object DocStreams {
       .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
       .toDF("doc_id", "mhs", "band", "sig")
       .filter(col("sig").isNotNull)
-    val ok = exploded.groupBy("band", "sig")
-      .agg(count(lit(1)).as("bcnt"))
-      .filter(col("bcnt") <= maxBucket)
-      .select("band", "sig")
-    exploded.join(ok, Seq("band", "sig"))
+    // hot-bucket cap as a broadcast ANTI on the HOT buckets (r20, the
+    // t5/t24 pattern): the OK set is index-sized while the hot set is
+    // bounded by the corpus's repetition rate; the gate falls back to
+    // the keyed shuffle past the driver ceiling. The input is static
+    // (the index side of the stream-static probe), so the persist is a
+    // plain batch materialization.
+    val hot = graft.analytics.Caches.persistTracked(
+      exploded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") > maxBucket)
+        .select("band", "sig"))
+    exploded.join(graft.operators.GatedBroadcast(hot),
+        Seq("band", "sig"), "left_anti")
       .select(col("band"), col("sig"), col("doc_id"), col("mhs"))
   }
 
