@@ -366,12 +366,90 @@ object TextQueries {
     ngramScoredOver(Tables.documents(s, dir))
   }
 
+  /** The 3-token-shingle stage both pair families start from:
+    * (doc_id, sh) with `sh` the shingle STRING array, spread by doc_id
+    * (the table is few parquet files — unspread, the downstream
+    * signature/hash expressions would run on as many cores as files).
+    * UNPERSISTED — the single-pipeline callers ([[ngramScoredOver]],
+    * t5) persist one projection PAST their hash/minhash expressions
+    * (the HOF-generator re-eval landmine, see ProfileT5), so for them
+    * this projection collapses into that one corpus pass; qa6 persists
+    * THIS frame once and feeds both pipelines, saving the second
+    * tokenize+shingle pass over the corpus (opt guide §1.2: don't
+    * compute the same thing twice). */
+  private[analytics] def shingled3(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+
+  /** The t5 MinHash+LSH candidate pairs (UNSORTED — t5's registry entry
+    * adds its contract ORDER BY; qa6 consumes the bare pair set) from a
+    * prepared [[shingled3]] frame. 3-token shingles → 8 permutations →
+    * band-1 buckets → bucket join → signature-estimated Jaccard. The
+    * pair space is only colliding buckets; the bucket join is the
+    * single shuffle. The persist is a hard materialization boundary
+    * between the HOF signature expressions and the Generate: an
+    * expensive array expression feeding explode re-evaluates per
+    * generated row (~8× measured — ProfileT5), while cached rows
+    * explode at memory speed. At scale this stage would be checkpointed
+    * for the same reason. */
+  private[analytics] def lshPairsOverShingles(
+      shingles: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // The signature ARRAY rides along through the band explode, so the
+    // pair sides never re-join the signature table: one band self-join
+    // + one pair-key aggregate replace r2's distinct + two signature
+    // joins.
+    val sig = Caches.persistTracked(
+      shingles.select(col("doc_id"), TF.minhashes(col("sh"), 8).as("mhs")))
+    val exploded = sig
+      .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
+      .toDF("doc_id", "mhs", "band", "sig")
+    // hot-bucket cap as a broadcast ANTI join on the HOT buckets
+    // (r20, the t7 df-cap pattern): the OK set is ~every bucket —
+    // corpus-sized, so the old semi-join only broadcast while the
+    // corpus was small — while the HOT set is exactly the buckets
+    // the cap drops, bounded by the repetition rate at any scale.
+    // Persisted so GatedBroadcast's gate count is a cache scan;
+    // past the ceiling it degrades to the keyed shuffle.
+    val hotBuckets = Caches.persistTracked(
+      exploded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") > MaxBandBucket)
+        .select("band", "sig"))
+    val bands = exploded.join(
+        graft.operators.GatedBroadcast(hotBuckets),
+        Seq("band", "sig"), "left_anti")
+      .select("doc_id", "mhs", "band", "sig")
+    val matches = aggregate(
+      zip_with(col("mha"), col("mhb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, b) => a + b)
+    bands.toDF("doc_a", "mha", "band", "sig")
+      .join(bands.toDF("doc_b", "mhb", "band", "sig"), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      // match count computed per collided row, BEFORE the pair-dedup
+      // aggregate: a primitive column keeps the groupBy a HashAggregate
+      // (first() over the arrays would force a SortAggregate); it is
+      // functionally determined by the pair, so first() is
+      // deterministic in value
+      .select(col("doc_a"), col("doc_b"),
+        round(matches / 8.0, 6).as("est"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first("est").as("est_jaccard"))
+  }
+
   /** [[ngramScored]] over an EXPLICIT document frame (c2 scores the
     * exact-dedup survivors, not the raw corpus). */
   private[analytics] def ngramScoredOver(
       docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ngramScoredOverShingles(shingled3(docs))
+
+  /** [[ngramScoredOver]] from a prepared [[shingled3]] frame. */
+  private[analytics] def ngramScoredOverShingles(
+      shingles: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val toks = TF.tokens(col("text"))
     // persist: the HASHED shingle arrays — the stage feeds the df count,
     // the pair join (twice) and both size lookups. Joining on the hash,
     // not the string, means smaller shuffle keys and cheaper comparisons
@@ -380,9 +458,8 @@ object TextQueries {
     // generator below is a bare cached attribute — an expensive HOF
     // generator re-evaluates per generated row (see ProfileT5).
     val sh = Caches.persistTracked(
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          transform(TF.shingles(toks, 3), x => TF.polyHash(x)).as("hs")))
+      shingles.select(col("doc_id"),
+        transform(col("sh"), x => TF.polyHash(x)).as("hs")))
     val sz = sh.select(col("doc_id"), size(col("hs")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     // df cap as a broadcast ANTI join on the HOT shingle set (df > cap)
@@ -556,56 +633,7 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       graft.plans.GraftFunctions.registerAll(s)
-      val toks = TF.tokens(col("text"))
-      // repartition: the table is few parquet files; without a spread the
-      // signature computation would run on as many cores as files.
-      // The signature ARRAY rides along through the band explode, so the
-      // pair sides never re-join the signature table: one band self-join
-      // + one pair-key aggregate replace r2's distinct + two signature
-      // joins. The persist is a hard materialization boundary between the
-      // HOF signature expressions and the Generate: an expensive array
-      // expression feeding explode re-evaluates per generated row (~8×
-      // measured — ProfileT5), while cached rows explode at memory speed.
-      // At scale this stage would be checkpointed for the same reason.
-      val sig = Caches.persistTracked(
-        Tables.documents(s, dir).repartition(col("doc_id"))
-          .select(col("doc_id"), TF.shingles(toks, 3).as("sh"))
-          .select(col("doc_id"), TF.minhashes(col("sh"), 8).as("mhs")))
-      val exploded = sig
-        .select(col("doc_id"), col("mhs"), posexplode(col("mhs")))
-        .toDF("doc_id", "mhs", "band", "sig")
-      // hot-bucket cap as a broadcast ANTI join on the HOT buckets
-      // (r20, the t7 df-cap pattern): the OK set is ~every bucket —
-      // corpus-sized, so the old semi-join only broadcast while the
-      // corpus was small — while the HOT set is exactly the buckets
-      // the cap drops, bounded by the repetition rate at any scale.
-      // Persisted so GatedBroadcast's gate count is a cache scan;
-      // past the ceiling it degrades to the keyed shuffle.
-      val hotBuckets = Caches.persistTracked(
-        exploded.groupBy("band", "sig")
-          .agg(count(lit(1)).as("bcnt"))
-          .filter(col("bcnt") > MaxBandBucket)
-          .select("band", "sig"))
-      val bands = exploded.join(
-          graft.operators.GatedBroadcast(hotBuckets),
-          Seq("band", "sig"), "left_anti")
-        .select("doc_id", "mhs", "band", "sig")
-      val matches = aggregate(
-        zip_with(col("mha"), col("mhb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (a, b) => a + b)
-      bands.toDF("doc_a", "mha", "band", "sig")
-        .join(bands.toDF("doc_b", "mhb", "band", "sig"), Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        // match count computed per collided row, BEFORE the pair-dedup
-        // aggregate: a primitive column keeps the groupBy a HashAggregate
-        // (first() over the arrays would force a SortAggregate); it is
-        // functionally determined by the pair, so first() is
-        // deterministic in value
-        .select(col("doc_a"), col("doc_b"),
-          round(matches / 8.0, 6).as("est"))
-        .groupBy("doc_a", "doc_b")
-        .agg(first("est").as("est_jaccard"))
+      lshPairsOverShingles(shingled3(Tables.documents(s, dir)))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1699,18 +1727,26 @@ object TextQueries {
          |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
          |    / (SELECT count(*) FROM cand) AS prec""".stripMargin
     }) { (s, dir) =>
+      graft.plans.GraftFunctions.registerAll(s)
+      // ONE shared tokenize+shingle pass (r20, opt guide §1.2): both
+      // pair sets start from the same 3-token shingle stage, so it
+      // persists once and feeds the exact pipeline's hash projection
+      // AND the LSH pipeline's minhash projection — previously each
+      // side re-read and re-shingled the corpus. The pair DEFINITIONS
+      // are still the oracle-proven t7/t5 builders (the same functions
+      // those registry entries call), so the census semantics are
+      // byte-identical; the t5 contract ORDER BY is skipped — qa6
+      // consumes the pair SET, and sorting a persisted frame would pay
+      // a full range exchange for nothing.
+      val shn = Caches.persistTracked(shingled3(Tables.documents(s, dir)))
       // persist both pair frames: each feeds its own count AND the hit
       // join — unpersisted, the expensive upstream self-joins would
       // execute twice (measured ~2x the t7+t5 sum)
       val exact = Caches.persistTracked(
-        ngramScored(s, dir).filter(col("jac") >= 0.2)
+        ngramScoredOverShingles(shn).filter(col("jac") >= 0.2)
           .select("doc_a", "doc_b"))
-      // the candidate set IS the t5 query's result (same code path the
-      // t5 oracle proves) — registry reuse, as the streaming parity
-      // specs do
       val cand = Caches.persistTracked(
-        graft.SparkEntry.queries("t5_minhash_lsh")(s, dir)
-          .select("doc_a", "doc_b"))
+        lshPairsOverShingles(shn).select("doc_a", "doc_b"))
       val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
