@@ -339,8 +339,16 @@ object PipelineQueries {
         .groupBy("year", "region", "parameter_name", "category", "aqi_category")
         .agg(
           count(lit(1)).as("n_meas"),
-          countDistinct(col("location_key")).as("n_sites"),
-          countDistinct(col("method_key")).as("n_methods"),
+          // exact distinct counts as set sizes (r20, GoldAggProbe): two
+          // countDistinct columns planned as Expand 3x — every fact row
+          // tripled through the aggregate (agg stage 1.9-2.5 s); a
+          // collect_set per group is ONE pass at the same shuffle bytes
+          // (partial sets are entity-bounded — sites/methods are dims,
+          // tiny relative to the fact at any scale) and lands near the
+          // no-distinct floor (1.4-1.8 s). size() is the exact distinct
+          // count over exact keys.
+          size(collect_set(col("location_key"))).cast("long").as("n_sites"),
+          size(collect_set(col("method_key"))).cast("long").as("n_methods"),
           sum(when(col("exceeds_standard"), 1L).otherwise(0L)).as("n_exceed"),
           Exact.dsum(col("arithmetic_mean")).as("mean_sum"),
           max(col("aqi")).as("max_aqi"),
@@ -463,8 +471,16 @@ object PipelineQueries {
         .groupBy("year", "region", "parameter_name", "category", "aqi_category")
         .agg(
           count(lit(1)).as("n_meas"),
-          countDistinct(col("location_key")).as("n_sites"),
-          countDistinct(col("method_key")).as("n_methods"),
+          // exact distinct counts as set sizes (r20, GoldAggProbe): two
+          // countDistinct columns planned as Expand 3x — every fact row
+          // tripled through the aggregate (agg stage 1.9-2.5 s); a
+          // collect_set per group is ONE pass at the same shuffle bytes
+          // (partial sets are entity-bounded — sites/methods are dims,
+          // tiny relative to the fact at any scale) and lands near the
+          // no-distinct floor (1.4-1.8 s). size() is the exact distinct
+          // count over exact keys.
+          size(collect_set(col("location_key"))).cast("long").as("n_sites"),
+          size(collect_set(col("method_key"))).cast("long").as("n_methods"),
           sum(when(col("exceeds_standard"), 1L).otherwise(0L)).as("n_exceed"),
           Exact.dsum(col("arithmetic_mean")).as("mean_sum"),
           max(col("aqi")).as("max_aqi"),
