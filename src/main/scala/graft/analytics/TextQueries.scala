@@ -2248,10 +2248,15 @@ object TextQueries {
       var pr = deg.select(col("u"), lit(CentralityBase).as("pr"))
       for (_ <- 1 to 3) {
         // one round = centralityRound (see its doc for the broadcast
-        // shape). Materialize each round: an unpersisted pr would
-        // re-execute every earlier round inside the next one's lineage
-        // (1+2+3 = 6x cost).
-        pr = Caches.persistTracked(centralityRound(edges, deg, pr, nNodes))
+        // shape). NO per-round persist (r20): the loop's result feeds
+        // exactly ONE action (the final join + top-50), so each
+        // round's aggregate executes exactly once — inside the next
+        // round's broadcast-state build. Per-round materialization
+        // would only pay (3 cache writes + their job barriers, ~1 s at
+        // harness scale) to insure against a multi-consumer lineage
+        // this query does not have; the broadcast exchanges are the
+        // natural round barriers.
+        pr = centralityRound(edges, deg, pr, nNodes)
       }
       pr.join(deg, "u")
         .select(col("u").as("doc_id"), col("d").cast("bigint").as("degree"),
