@@ -3870,22 +3870,27 @@ object RelationalQueries {
         |       CAST(max(strlen(l_returnflag)) AS DOUBLE)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      // four distinct counts as collect_set sizes (r20, the g1/g2 gold
+      // aggregate pattern): four countDistinct columns planned as an
+      // Expand 5x — every lineitem row quintupled through the aggregate;
+      // the per-column value domains are enum-sized, so the sets stay
+      // KB-sized at any scale and size() is the exact distinct count.
       val one = Tables.lineitem(s, dir).agg(
         count(lit(1)).as("n_rows"),
         count(col("l_discount")).as("di_nn"),
-        countDistinct(col("l_discount")).as("di_nd"),
+        size(collect_set(col("l_discount"))).cast("long").as("di_nd"),
         min(col("l_discount")).cast("double").as("di_min"),
         max(col("l_discount")).cast("double").as("di_max"),
         count(col("l_linestatus")).as("ls_nn"),
-        countDistinct(col("l_linestatus")).as("ls_nd"),
+        size(collect_set(col("l_linestatus"))).cast("long").as("ls_nd"),
         min(length(col("l_linestatus"))).cast("double").as("ls_min"),
         max(length(col("l_linestatus"))).cast("double").as("ls_max"),
         count(col("l_quantity")).as("qt_nn"),
-        countDistinct(col("l_quantity")).as("qt_nd"),
+        size(collect_set(col("l_quantity"))).cast("long").as("qt_nd"),
         min(col("l_quantity")).cast("double").as("qt_min"),
         max(col("l_quantity")).cast("double").as("qt_max"),
         count(col("l_returnflag")).as("rf_nn"),
-        countDistinct(col("l_returnflag")).as("rf_nd"),
+        size(collect_set(col("l_returnflag"))).cast("long").as("rf_nd"),
         min(length(col("l_returnflag"))).cast("double").as("rf_min"),
         max(length(col("l_returnflag"))).cast("double").as("rf_max"))
       one.select(expr(

@@ -888,8 +888,11 @@ object TextQueries {
       val base = docs.agg(
         count(lit(1)).as("n_docs"),
         sum(size(toks).cast("long")).as("n_tokens"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
+        // two distinct counts as collect_set sizes (r20, the g1/g2
+        // gold aggregate pattern — avoids the Expand 3x row blowup;
+        // lang/source domains are enum-sized at any corpus scale)
+        size(collect_set(col("lang"))).cast("long").as("n_langs"),
+        size(collect_set(col("source"))).cast("long").as("n_sources"),
         sum(col("n_chars")).as("n_chars_total"))
       val tx = docs.agg(countDistinct(md5(col("text")))
         .as("n_distinct_texts"))
