@@ -285,6 +285,31 @@ object CurationQueries {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse",
         TempDirs.scratch("graft-c2wh"))
       val docs = Tables.documents(s, dir)
+      // DAG-shaped census submission (r20, opt guide §2.6 — the
+      // g1/g2 publish pattern applied to the funnel census): each
+      // stage's per-source census is INDEPENDENT of every later stage,
+      // so it submits on a small pool as soon as its table lands and
+      // materializes concurrently with the next stage's computation,
+      // back-filling the stage jobs' task tails. The final join then
+      // reads the persisted (source-cardinality) census frames. Same
+      // aggregates, same results — only the submission order changes;
+      // a census failure still fails the query at the barrier.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val pending =
+        scala.collection.mutable.ArrayBuffer.empty[Future[Long]]
+      def census(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val c = Caches.persistTracked(df)
+        pending += Future(c.count())
+        c
+      }
+      try {
+      val raw = census(docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_raw")))
       // stage 1: exact dedup (t4's key, min-doc_id keeper) → catalog
       val keyed = docs.select(col("doc_id"), col("source"),
         col("n_chars"), col("text"),
@@ -297,6 +322,8 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars", "text")
         .writeTo(s"$cat.ns.c2_surv").partitionedBy(col("source")).create()
       val survT = s.table(s"$cat.ns.c2_surv")
+      val nDedup = census(survT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_dedup")))
       // stage 2: near-dedup keepers (t18's contract) over the DURABLE
       // survivors: df-capped Jaccard pairs → CC → drop non-minimal
       // cluster members; the drop list is pair-sized — broadcast it so
@@ -315,6 +342,8 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars", "text")
         .writeTo(s"$cat.ns.c2_near").partitionedBy(col("source")).create()
       val nearT = s.table(s"$cat.ns.c2_near")
+      val nNear = census(nearT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_near")))
       // stage 3: the t42 rule gate over near-dedup keepers → catalog
       val tt = nearT
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
@@ -339,6 +368,8 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars", "text")
         .writeTo(s"$cat.ns.c2_gated").create()
       val gatedT = s.table(s"$cat.ns.c2_gated")
+      val nGated = census(gatedT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_gated")))
       // stage 4 (round 16): DECONTAMINATION (t16's contract) between
       // gate and cap — real pipelines decontaminate before capping so
       // eval-overlapping docs never consume the corpus budget. Gated
@@ -382,6 +413,8 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars")
         .writeTo(s"$cat.ns.c2_decon").create()
       val deconT = s.table(s"$cat.ns.c2_decon")
+      val nDecon = census(deconT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_decon")))
       // stage 5: the t38 two-phase per-source cap → the final corpus
       TextQueries.cappedKeepSet(deconT, TextQueries.SourceCap)
         .select("doc_id", "source")
@@ -389,6 +422,9 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars")
         .writeTo(s"$cat.ns.c2_final").create()
       val finalT = s.table(s"$cat.ns.c2_final")
+      val nFinal = census(finalT.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_final"),
+          sum(col("n_chars")).cast("long").as("final_chars")))
       // stage 6 (round 15): the t46 per-DOMAIN budget over the curated
       // corpus — the MIXTURE-EXECUTION step that closes the
       // curate→mix lifecycle: each source contributes docs in
@@ -413,23 +449,13 @@ object CurationQueries {
         .select("doc_id", "source", "n_chars")
         .writeTo(s"$cat.ns.c2_budget").create()
       val budgetT = s.table(s"$cat.ns.c2_budget")
-      // funnel census — every stage read back THROUGH the catalog
-      val raw = docs.groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_raw"))
-      val nDedup = survT.groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_dedup"))
-      val nNear = nearT.groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_near"))
-      val nGated = gatedT.groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_gated"))
-      val nDecon = deconT.groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_decon"))
-      val nFinal = finalT.groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_final"),
-          sum(col("n_chars")).cast("long").as("final_chars"))
-      val nBudget = budgetT.groupBy("source")
+      // the tail census (nothing left to hide it behind) + the barrier:
+      // every stage census — submitted as its table landed — must be
+      // materialized before the final join reads the cached frames
+      val nBudget = census(budgetT.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_budget"),
-          sum(col("n_chars")).cast("long").as("budget_chars"))
+          sum(col("n_chars")).cast("long").as("budget_chars")))
+      pending.foreach(Await.result(_, Duration.Inf))
       raw.join(nDedup, Seq("source"), "left")
         .join(nNear, Seq("source"), "left")
         .join(nGated, Seq("source"), "left")
@@ -446,6 +472,7 @@ object CurationQueries {
           coalesce(col("n_budget"), lit(0L)).as("n_budget"),
           coalesce(col("budget_chars"), lit(0L)).as("budget_chars"))
         .orderBy("source")
+      } finally pool.shutdown()
     },
 
     // ----- the COMPOSED TOKENIZER-PREP lifecycle (round 20): the c1/g1
